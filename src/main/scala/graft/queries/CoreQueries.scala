@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.Oracle.{fmtTs, moneySum}
+import graft.gold.Gold
+import graft.ops.CdcOps
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+
+/** Reference-surface queries (SURVEY.md §2) over the fixture star schema
+  * (TESTDATA.md role mapping: events = booking change feed,
+  * customer/nation/region = customer dim + country, orders/lineitem =
+  * bookings fact). Each has an ANSI-SQL DuckDB twin in
+  * [[graft.SparkEntry.oracleSql]].
+  */
+object CoreQueries {
+
+  /** events.ts is nanosecond parquet — always go through an explicit cast
+    * so the code works whether Spark infers TIMESTAMP or TIMESTAMP_NTZ
+    * (session TZ is pinned to UTC, making the cast a no-op re-labeling). */
+  private def ts(c: String = "ts"): Column = col(c).cast(TimestampType)
+
+  /** Existing-state vs incoming-batch split for the CDC upsert queries.
+    * Key-modulo rather than a time cutoff so the split is non-degenerate
+    * at every scale factor (the events time span grows with sf). */
+  private def isIncoming: Column = pmod(col("event_id"), lit(10)) >= 8
+
+  /** Q1+Q2+Q4 — flagship gold aggregation: bookings+revenue per country
+    * (synapse_table_creation.sql:56-88). orders=fact, customer=dim,
+    * nation=country attr. */
+  def goldAgg(s: SparkSession, d: String): DataFrame =
+    Gold.bookingAggregation(
+      Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d),
+      "o_custkey", "c_custkey", "c_nationkey", "n_nationkey",
+      "n_name", "o_totalprice", "o_orderdate")
+
+  private def shipJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+        fmtTs(col("l_shipdate")).as("ship_ts"), fmtTs(col("o_orderdate")).as("order_ts"),
+        col("l_shipdate"), col("o_orderdate"))
+  }
+
+  /** T1 — data-quality conditional split, accepted branch
+    * (dataflow:96-97: rows violating the date ordering are routed out).
+    * Analog predicate: line shipped before its order existed. */
+  def qualitySplitOk(s: SparkSession, d: String): DataFrame = {
+    val (ok, _) = CdcOps.qualitySplit(shipJoin(s, d), col("l_shipdate") < col("o_orderdate"))
+    ok.select("l_orderkey", "l_linenumber", "ship_ts", "order_ts")
+  }
+
+  /** T1 — rejected branch (BadRecords). */
+  def qualitySplitBad(s: SparkSession, d: String): DataFrame = {
+    val (_, bad) = CdcOps.qualitySplit(shipJoin(s, d), col("l_shipdate") < col("o_orderdate"))
+    bad.select("l_orderkey", "l_linenumber", "ship_ts", "order_ts")
+  }
+
+  /** T2 — derived-columns projection (dataflow:98-114): event-time parts,
+    * JSON payload flatten (the `property_location` struct analog — props
+    * is a JSON string, reference docs carry a nested object), concat tag. */
+  def derive(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      fmtTs(col("ts")).as("ts_s"),
+      year(ts()).cast(LongType).as("booking_year"),
+      month(ts()).cast(LongType).as("booking_month"),
+      get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+      concat(col("event_type"), lit(":"), col("user_id").cast("string")).as("tag"))
+
+  /** T2 — millisecond timestamp arithmetic, reproduced exactly as the
+    * reference computes stay_duration (dataflow:98, README.md:397-400):
+    * (ms(t2) - ms(t1)) integer-div 86400000 → long. NOT datediff. */
+  def stayDuration(s: SparkSession, d: String): DataFrame =
+    shipJoin(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      expr("(unix_millis(cast(l_shipdate as timestamp)) - " +
+        "unix_millis(cast(o_orderdate as timestamp))) div 86400000")
+        .cast(LongType).as("stay_duration"))
+
+  /** T3 — latest-version-wins lookup dedupe (dataflow:116-118). Ordering
+    * uses the second-formatted timestamp + key so Spark (µs-truncated) and
+    * DuckDB (ns) rank identically; lexicographic order of
+    * 'yyyy-MM-dd HH:mm:ss' is chronological. */
+  def latestLookup(s: SparkSession, d: String): DataFrame =
+    CdcOps.latestPerKey(
+        Tables.events(s, d).withColumn("ts_s", fmtTs(col("ts"))),
+        Seq("user_id"), Seq(col("ts_s"), col("event_id")))
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("ts_s").as("last_ts"))
+
+  /** T4 — alter-row insert/update routing (dataflow:120-121): incoming
+    * batch (ts >= cutoff) tagged against current sink keys (ts < cutoff). */
+  def alterRow(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val incoming = ev.filter(isIncoming)
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_s"))
+    val existing = ev.filter(!isIncoming)
+    CdcOps.alterRow(incoming, existing.select("user_id"), "user_id")
+      .select("event_id", "user_id", "ts_s", "op")
+  }
+
+  private def latestSlice(s: SparkSession, d: String, pre: Boolean): DataFrame = {
+    val ev = Tables.events(s, d)
+    val sliced = if (pre) ev.filter(!isIncoming) else ev.filter(isIncoming)
+    CdcOps.latestPerKey(sliced.withColumn("ts_s", fmtTs(col("ts"))),
+        Seq("user_id"), Seq(col("ts_s"), col("event_id")))
+      .select("user_id", "event_id", "event_type", "value", "ts_s")
+  }
+
+  /** K1/K2 — keyed upsert (MERGE) as a relational expression: state before
+    * the cutoff merged with the post-cutoff batch, batch wins per key
+    * (dataflow:156-186 sink semantics, no-Delta merge per SURVEY.md §4). */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame =
+    CdcOps.mergeUpsert(latestSlice(s, d, pre = true), latestSlice(s, d, pre = false),
+      Seq("user_id"))
+
+  /** O2/K2 — SCD1 sequential multi-file fold, file order ≠ time order on
+    * purpose (applied order Q2,Q1,Q4,Q3) so the fold semantics — later
+    * FILE wins, not later timestamp — are actually exercised
+    * (pipeline/LoadCustomerDim.json:34-51 `isSequential: true`). */
+  def scd1Fold(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_s", fmtTs(col("ts")))
+      .withColumn("q", quarter(ts()))
+    val files = Seq(2, 1, 4, 3).map(q => ev.filter(col("q") === q))
+    CdcOps.scd1Fold(files, "user_id", Seq(col("ts_s"), col("event_id")))
+      .select("user_id", "event_id", "event_type", "ts_s")
+  }
+
+  /** T5 — final select / rename+project to the sink schema
+    * (dataflow:122-155), with the reference's INTENDED semantics for the
+    * derived full_address (README.md:407-411; the literal dataflow maps
+    * city/country from the lookup side — a recorded reference bug,
+    * SURVEY.md §2 T5 note). */
+  def finalSelect(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "inner")
+      .select(col("c_custkey").as("customer_id"), col("c_name").as("full_name"),
+        col("c_mktsegment").as("segment"), col("n_name").as("country"),
+        concat(col("c_name"), lit(", "), col("n_name")).as("full_address"))
+  }
+
+  /** S1→T1→T2→T3→Q1→Q2 — the whole dataflow as one batch plan: change
+    * log quality-filtered, deduped latest-per-key, joined to the customer
+    * dim and rolled up per country (the reference lifecycle of §3.3
+    * collapsed into a single Catalyst plan). */
+  def cdcEndToEnd(s: SparkSession, d: String): DataFrame = {
+    val (ok, _) = CdcOps.qualitySplit(Tables.events(s, d), col("event_type") === "error")
+    val latest = CdcOps.latestPerKey(ok.withColumn("ts_s", fmtTs(col("ts"))),
+      Seq("user_id"), Seq(col("ts_s"), col("event_id")))
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    latest.join(c, latest("user_id") === c("c_custkey"), "inner")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "inner")
+      .groupBy(col("n_name").as("country"))
+      .agg(count(lit(1)).as("n_users"),
+        moneySum(col("value")).as("total_value"),
+        max(col("ts_s")).as("last_seen"))
+  }
+
+  /** Bench headliner — TPC-H Q1-shaped pricing summary over lineitem.
+    * Money sums go through DECIMAL so Spark and DuckDB agree bitwise;
+    * averages are decimal-sum / count in both engines. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").cast(TimestampType) <= lit("1998-09-02 00:00:00").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast(DoubleType).as("sum_disc_price"),
+        (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** Bench headliner — deterministic top-k: top 10 customers by order
+    * revenue, ties broken by key. */
+  def topkCustomers(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("o_custkey").asc)
+      .limit(10)
+
+  /** Bench headliner — 4-way star join rollup to region grain; small dims
+    * broadcast so only the fact⋈customer join shuffles. */
+  def regionRollup(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "inner")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "inner")
+      .groupBy(col("r_name").as("region"))
+      .agg(count(lit(1)).as("total_bookings"),
+        moneySum(col("o_totalprice")).as("total_amount"))
+  }
+}
