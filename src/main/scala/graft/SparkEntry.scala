@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, LlmQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — one named query per implemented operator (SURVEY.md
@@ -29,6 +29,19 @@ object SparkEntry {
     "q12_pricing_summary"   -> ((s, d) => CoreQueries.pricingSummary(s, d)),
     "q13_topk_customers"    -> ((s, d) => CoreQueries.topkCustomers(s, d)),
     "q14_region_rollup"     -> ((s, d) => CoreQueries.regionRollup(s, d)),
+    // LLM-data-pipeline operator families (documents/embeddings tables)
+    "q15_text_stats"        -> ((s, d) => LlmQueries.textStats(s, d)),
+    "q16_lang_id"           -> ((s, d) => LlmQueries.langIdTokens(s, d)),
+    "q17_quality_score"     -> ((s, d) => LlmQueries.qualityBySource(s, d)),
+    "q18_fingerprints"      -> ((s, d) => LlmQueries.fingerprints(s, d)),
+    "q19_exact_dedup"       -> ((s, d) => LlmQueries.exactDedup(s, d)),
+    "q20_minhash_lsh"       -> ((s, d) => LlmQueries.minhashLsh(s, d)),
+    "q21_ngram_jaccard"     -> ((s, d) => LlmQueries.ngramJaccard(s, d)),
+    "q22_ann_topk"          -> ((s, d) => LlmQueries.annTopK(s, d)),
+    "q23_ann_ivf"           -> ((s, d) => LlmQueries.annIvf(s, d)),
+    "q24_ann_lsh_pairs"     -> ((s, d) => LlmQueries.annLshPairs(s, d)),
+    "q25_binary_meta"       -> ((s, d) => LlmQueries.binaryMeta(s, d)),
+    "q26_frame_sample"      -> ((s, d) => LlmQueries.frameSample(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -153,5 +166,151 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
+    // ---- LLM-data-pipeline twins. Shared conventions: tokenization =
+    // string_split on one space; hashes = md5 lowercase hex; integer
+    // arithmetic exact; per-row double math identical IEEE expressions;
+    // cross-row double sums routed through DECIMAL; cosine = left-fold
+    // double dot rounded to 5 dp with id tiebreaks.
+    "q15_text_stats" ->
+      """WITH w AS (SELECT doc_id, lang, source, length(text) AS nc,
+           string_split(text, ' ') AS ws FROM documents)
+         SELECT doc_id, lang, source,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+           CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr,
+           CAST(nc - len(ws) + 1 AS DOUBLE) / len(ws) AS avg_token_len,
+           CAST(len(list_filter(ws, t -> t IN ('the','a'))) AS DOUBLE) / len(ws) AS stopword_ratio
+         FROM w""",
+    "q16_lang_id" ->
+      """WITH w AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+         sc AS (SELECT doc_id, lang, l AS cand,
+             CAST(len(list_filter(ws, t -> ascii(substr(md5(l || '~' || t), 1, 1)) % 4 = 0)) AS BIGINT) AS score
+           FROM w, unnest(['de','en','es','fr','zh']) AS u(l)),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM sc),
+         t AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_word_tokens,
+             CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens
+           FROM documents)
+         SELECT r.doc_id, r.lang AS labeled_lang, r.cand AS predicted_lang, r.score,
+           t.n_bpe_tokens, t.n_word_tokens, t.n_number_tokens
+         FROM r JOIN t ON r.doc_id = t.doc_id WHERE r.rn = 1""",
+    "q17_quality_score" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         q AS (SELECT source,
+             least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.4
+             + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.4
+             + least(CAST(len(list_filter(ws, t -> t IN ('the','a'))) AS DOUBLE) / 5.0, 1.0) * 0.2 AS score
+           FROM w)
+         SELECT source,
+           CASE WHEN score >= 0.6 THEN 'high' WHEN score >= 0.4 THEN 'mid' ELSE 'low' END AS quality_tier,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         FROM q GROUP BY 1, 2""",
+    "q18_fingerprints" ->
+      """SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ' '),
+               w -> CAST('0x' || substr(md5(w), 1, 6) AS BIGINT))),
+             (acc, x) -> (acc * 1000003 + x) % 1000000007) AS rolling_fp,
+           CAST(list_sum([CASE WHEN list_sum(list_transform(
+                 list_distinct(string_split(text, ' ')),
+                 t -> (ascii(substr(md5(t), b + 1, 1)) % 2) * 2 - 1)) > 0
+               THEN CAST(1 AS BIGINT) << b ELSE 0 END FOR b IN range(16)]) AS BIGINT) AS simhash
+         FROM documents""",
+    "q19_exact_dedup" ->
+      """WITH r AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 1000000, text FROM documents)
+         SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+         FROM r GROUP BY 1""",
+    "q20_minhash_lsh" ->
+      """WITH sh AS (SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+             ELSE [] END AS shingles
+           FROM documents),
+         sig AS (SELECT doc_id, shingles,
+             [list_min(list_transform(shingles, s -> md5(CAST(h AS VARCHAR) || '|' || s))) FOR h IN range(12)] AS sig
+           FROM sh),
+         bands AS (SELECT doc_id, b,
+             md5(sig[b*3+1] || sig[b*3+2] || sig[b*3+3]) AS band_key
+           FROM sig, unnest(range(4)) AS t(b)),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bands x JOIN bands y
+             ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         j AS (SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+           FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)
+         SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8""",
+    "q21_ngram_jaccard" ->
+      """WITH sh AS (SELECT doc_id, lang,
+             CAST(floor(len(string_split(text, ' ')) / 32.0) AS BIGINT) AS lb,
+             CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+               list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+             ELSE [] END AS sh
+           FROM documents),
+         a AS (SELECT doc_id AS id_a, lang, sh AS sh_a,
+             unnest([lb - 1, lb, lb + 1]) AS pb FROM sh),
+         b AS (SELECT doc_id AS id_b, lang, sh AS sh_b, lb AS pb FROM sh),
+         p AS (SELECT a.id_a, b.id_b, a.lang,
+             CAST(len(list_intersect(a.sh_a, b.sh_b)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.sh_a, b.sh_b))) AS jaccard
+           FROM a JOIN b ON a.lang = b.lang AND a.pb = b.pb AND a.id_a < b.id_b)
+         SELECT id_a AS doc_a, id_b AS doc_b, lang, jaccard
+         FROM p WHERE jaccard >= 0.5""",
+    "q22_ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+         s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * e.v[i])) /
+               (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(e.v, x -> x * x)))), 5) AS cos5
+           FROM q JOIN e ON q.vec_id <> e.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos5 DESC, neighbor_id) AS rank FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos5
+         FROM r WHERE rank <= 3""",
+    "q23_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 10),
+         s AS (SELECT q.vec_id AS query_id, q.label AS cell, e.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * e.v[i])) /
+               (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(e.v, x -> x * x)))), 5) AS cos5
+           FROM q JOIN e ON q.label = e.label AND q.vec_id <> e.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos5 DESC, neighbor_id) AS rank FROM s)
+         SELECT query_id, cell, CAST(rank AS BIGINT) AS rank, neighbor_id, cos5
+         FROM r WHERE rank <= 3""",
+    "q24_ann_lsh_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             (CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END
+            + CASE WHEN embedding[3] > embedding[4] THEN 2 ELSE 0 END
+            + CASE WHEN embedding[5] > embedding[6] THEN 4 ELSE 0 END
+            + CASE WHEN embedding[7] > embedding[8] THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings),
+         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(a.bucket AS BIGINT) AS bucket,
+             round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+               (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(b.v, x -> x * x)))), 5) AS cos5
+           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, bucket, cos5 FROM p WHERE cos5 >= 0.3""",
+    "q25_binary_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5, 'utf8-text' AS format,
+           lang AS source_lang
+         FROM documents""",
+    "q26_frame_sample" ->
+      """SELECT doc_id, f AS frame_no,
+           md5(substr(text, 1 + f * 48, 64)) AS frame_md5,
+           CAST(length(substr(text, 1 + f * 48, 64)) AS BIGINT) AS frame_len
+         FROM documents,
+           unnest(range(CAST(ceil(length(text) / 48.0) AS BIGINT))) AS t(f)
+         WHERE length(substr(text, 1 + f * 48, 64)) > 0""",
   )
 }

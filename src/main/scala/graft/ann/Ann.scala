@@ -1,0 +1,120 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`), for LLM-data similarity dedup and retrieval.
+  *
+  * Three tiers, in ascending scale-fitness:
+  *  - [[bruteForceTopK]]: exact cosine top-k for a SMALL query set —
+  *    the query side is broadcast, so the "cross join" is really one
+  *    streaming pass over the corpus per partition (scan-bound, no
+  *    shuffle of the corpus). Correct baseline at any corpus size as
+  *    long as |queries| is small.
+  *  - [[ivfTopK]]: IVF-style cell-restricted search — each query only
+  *    scans its own coarse cell (here the fixture's `label` plays the
+  *    coarse-quantizer assignment; a real deployment k-means its own
+  *    centroids). Equi-join on the cell id ⇒ per-cell work only.
+  *  - [[lshBucketPairs]]: bucketed near-duplicate pairs — sign-LSH
+  *    buckets from coordinate comparisons (rank-based hyperplane
+  *    stand-ins chosen for exact cross-engine determinism: a float
+  *    compare never has rounding error), pairs compared within bucket
+  *    only. NEVER all-pairs.
+  *
+  * Determinism: all dot products fold left-to-right in DOUBLE via
+  * `aggregate`/`zip_with` (codegen'd, no UDF); ranking keys round the
+  * cosine to 5 dp and tiebreak on the neighbor id, so Spark and the
+  * DuckDB oracle (double-cast `list_sum` fold) rank identically.
+  */
+object Ann {
+
+  /** Embedding as double array (float arithmetic differs across
+    * engines; double is the cross-engine common ground). */
+  def asDouble(embCol: String): Column =
+    expr(s"transform($embCol, x -> cast(x as double))")
+
+  /** Left-fold dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of a double-array column. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity rounded to 5 dp — the ranking/thresholding key
+    * shared with the oracle. */
+  def cos5(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 5)
+
+  /** Exact cosine top-k: `queries` must be small (it is broadcast).
+    * Output: (query_id, rank, neighbor_id, cos5), rank 1..k per query,
+    * self-matches excluded, ties broken by neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(embCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(embCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos5", cos5(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos5").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos5"))
+  }
+
+  /** IVF-style search: each query scans only its own coarse cell
+    * (equi-join on the cell column), then exact cosine top-k within
+    * the cell. At 100 TB the corpus is hash-partitioned by cell and
+    * each probe touches one partition's worth of vectors. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, cellCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(cellCol).as("cell"), asDouble(embCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(cellCol).as("cell"), asDouble(embCol).as("cv"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos5", cos5(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos5").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cell"),
+        col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos5"))
+  }
+
+  /** Sign-LSH bucket id from `nBits` coordinate comparisons:
+    * bit j = emb[2j] > emb[2j+1] (0-based). Float comparisons are
+    * exact, so every engine buckets identically; real deployments swap
+    * in random-hyperplane dot-sign bits — same plan shape. */
+  def signBucket(embCol: String, nBits: Int): Column = {
+    val bits = (0 until nBits).map { j =>
+      s"IF(element_at($embCol, ${2 * j + 1}) > element_at($embCol, ${2 * j + 2}), ${1 << j}, 0)"
+    }
+    expr(bits.mkString(" + "))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: self-join on
+    * the sign bucket (equi-join; ~N²/2^bits candidate pairs), exact
+    * cosine ≥ tau within bucket. Output (vec_a, vec_b, bucket, cos5). */
+  def lshBucketPairs(corpus: DataFrame, idCol: String, embCol: String,
+                     nBits: Int, tau: Double): DataFrame = {
+    val e = corpus.select(col(idCol).as("id"),
+      signBucket(embCol, nBits).as("bucket"), asDouble(embCol).as("v"))
+    val a = e.select(col("id").as("vec_a"), col("bucket"), col("v").as("va"))
+    val b = e.select(col("id").as("vec_b"), col("bucket"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos5", cos5(col("va"), col("vb")))
+      .filter(col("cos5") >= tau)
+      .select(col("vec_a"), col("vec_b"), col("bucket").cast("long").as("bucket"),
+        col("cos5"))
+  }
+}

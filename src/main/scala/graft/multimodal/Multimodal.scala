@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media payloads ride through the engine
+  * as opaque `BinaryType` columns with a typed metadata struct, exactly
+  * as an image/audio/video corpus does at 100 TB — the engine never
+  * interprets the bytes except at explicit decode/feature steps.
+  *
+  * The container ships no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC STUB ([[decodeStub]]): it computes a fake feature
+  * vector (a 16-bin byte histogram) in place of a real
+  * decode+embed. Everything around it — the binary schema, the
+  * partition-preserving `mapPartitions` batch shape (the Scala analog
+  * of PySpark's `mapInPandas`: one iterator of rows per partition in,
+  * one out, no shuffle), the frame-sampling plan — is real and tested.
+  */
+object Multimodal {
+
+  /** Attach a binary payload + typed metadata struct to the documents
+    * table (text bytes stand in for media bytes; schema and plan are
+    * what a real media table looks like). */
+  def withBinaryPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast(BinaryType).as("payload"),
+      struct(
+        lit("utf8-text").as("format"),
+        length(col("text")).cast(LongType).as("n_units"),
+        col("lang").as("source_lang")).as("media_meta"))
+
+  /** Per-payload metadata projection: byte length + content digest —
+    * the "stat the blob without decoding it" scan. Narrow, codegen'd,
+    * pushdown-friendly (only payload/doc_id are read). */
+  def binaryMeta(docs: DataFrame): DataFrame =
+    withBinaryPayload(docs).select(
+      col("doc_id"),
+      octet_length(col("payload")).cast(LongType).as("n_bytes"),
+      md5(col("payload")).as("payload_md5"),
+      col("media_meta.format").as("format"),
+      col("media_meta.source_lang").as("source_lang"))
+
+  /** Frame sampling: cut each payload into fixed-width frames on a
+    * stride (overlapping when stride < width — the video-keyframe /
+    * audio-window pattern), via `sequence` + `posexplode`. The explode
+    * is partition-local: no shuffle, output rows stay with their input
+    * partition, so a 1000-executor scan fans out frames in place. */
+  def sampleFrames(docs: DataFrame, width: Int, stride: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        length(col("text")).as("n"))
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0),
+          ceil(col("n").cast(DoubleType) / stride).cast(IntegerType) - 1)))
+      .withColumn("frame_txt", substring_index_frame(width, stride))
+      .filter(length(col("frame_txt")) > 0)
+      .select(col("doc_id"), col("pos").cast(LongType).as("frame_no"),
+        md5(col("frame_txt")).as("frame_md5"),
+        length(col("frame_txt")).cast(LongType).as("frame_len"))
+
+  private def substring_index_frame(width: Int, stride: Int) =
+    substring(col("text"), lit(1) + col("pos") * stride, lit(width))
+
+  private val featureBins = 16
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
+  /** STUB decode + feature-extract over the binary payload, with the
+    * real distributed shape: `mapPartitions` over (doc_id, payload)
+    * rows — the JVM analog of a `mapInPandas` batch UDF. A real
+    * pipeline would decode media and run a feature model per batch
+    * here; the container has no codecs, so the "features" are a
+    * deterministic 16-bin byte histogram (L1-normalized). Partition
+    * count and row locality are preserved — no shuffle. */
+  def decodeStub(withPayload: DataFrame): DataFrame = {
+    val input = withPayload.select(col("doc_id").cast(LongType),
+      col("payload").cast(BinaryType))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val hist = new Array[Double](featureBins)
+        var i = 0
+        while (i < bytes.length) {
+          hist((bytes(i) & 0xff) * featureBins / 256) += 1.0
+          i += 1
+        }
+        val n = math.max(bytes.length, 1).toDouble
+        Row(id, bytes.length.toLong, hist.map(_ / n).toSeq)
+      }
+    }(RowEncoder.encoderFor(decodedSchema))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline queries over the `documents` and
+  * `embeddings` fixtures — the four operator families a 100 TB corpus
+  * pipeline needs (dedup, similarity search, multimodal columns, text
+  * analysis), each with a DuckDB twin in [[graft.SparkEntry.oracleSql]].
+  */
+object LlmQueries {
+
+  private val langs = Seq("de", "en", "es", "fr", "zh")
+
+  // ---- text analysis -------------------------------------------------
+
+  /** Per-document token statistics (type-token ratio, avg token len,
+    * stopword ratio). */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    TextOps.tokenStats(Tables.documents(s, d))
+
+  /** Language-ID n-gram scorer (deterministic stand-in profile) +
+    * regexp token counts in one per-doc projection. */
+  def langIdTokens(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextOps.langId(docs, langs)
+      .join(TextOps.regexpTokenCount(docs), "doc_id")
+      .select("doc_id", "labeled_lang", "predicted_lang", "score",
+        "n_bpe_tokens", "n_word_tokens", "n_number_tokens")
+  }
+
+  /** Quality-score tiers rolled up per source: doc counts + exact
+    * decimal-routed score sums per (source, tier). */
+  def qualityBySource(s: SparkSession, d: String): DataFrame =
+    TextOps.qualityScore(Tables.documents(s, d))
+      .groupBy(col("source"), col("quality_tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("quality_score").cast("decimal(18,6)")).cast("double")
+          .as("sum_score"))
+
+  /** Rolling-hash + SimHash content fingerprints per document. */
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    TextOps.fingerprints(Tables.documents(s, d))
+
+  // ---- dedup ---------------------------------------------------------
+
+  /** Exact hash dedup over a re-ingested (self-unioned) corpus: every
+    * text appears twice, the dedupe collapses it to one group keyed by
+    * content md5 with the min doc_id as keeper. */
+  def exactDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val reingested = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    Dedup.exactDupGroups(reingested, "doc_id", "text")
+  }
+
+  /** MinHash-LSH near-duplicate pairs: 3-gram shingles, 12 minhashes,
+    * 4 bands → bucket-join candidates → exact Jaccard ≥ 0.8. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+      n = 3, k = 12, bands = 4, tau = 0.8)
+
+  /** Blocked word-bigram Jaccard near-dup pairs (lang + length-bucket
+    * blocking), tau = 0.5. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      "lang", tau = 0.5)
+
+  // ---- similarity search ---------------------------------------------
+
+  /** Brute-force cosine top-3 for the 10 lowest-id query vectors —
+    * the exact baseline (query side broadcast). */
+  def annTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+      "embedding", k = 3)
+  }
+
+  /** IVF-style cell-restricted top-3 (label = coarse cell). */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Ann.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      "label", k = 3)
+  }
+
+  /** Sign-LSH bucketed embedding near-dup pairs (4 bits, cos ≥ 0.3). */
+  def annLshPairs(s: SparkSession, d: String): DataFrame =
+    Ann.lshBucketPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+      nBits = 4, tau = 0.3)
+
+  // ---- multimodal ----------------------------------------------------
+
+  /** Binary payload metadata scan (stat-the-blob without decoding). */
+  def binaryMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.binaryMeta(Tables.documents(s, d))
+
+  /** Frame sampling: 64-unit frames on a 48-unit stride per payload. */
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(Tables.documents(s, d), width = 64, stride = 48)
+}

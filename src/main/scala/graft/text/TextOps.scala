@@ -1,0 +1,139 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis operators for LLM training-data pipelines, over the
+  * `documents` fixture (doc_id, text, lang, source, n_chars).
+  *
+  * These are the four text ops a 100 TB corpus pipeline needs before
+  * anything model-shaped happens: tokenization stats, language ID,
+  * quality scoring, and content fingerprinting. All of them are pure
+  * per-row projections (narrow, no shuffle, whole-stage codegen) built
+  * from `org.apache.spark.sql.functions` higher-order functions — at
+  * scale they stream through the scan at parquet-read speed and any
+  * aggregate on top gets map-side partial aggregation for free.
+  *
+  * Cross-engine determinism (DuckDB oracle, cf. graft.Oracle):
+  *  - token arithmetic is integer-exact on both engines;
+  *  - hashes route through md5 (identical lowercase hex in both);
+  *  - per-row double math is identical IEEE expressions on identical
+  *    inputs — no cross-row double accumulation anywhere here.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. The fixture text is single-space
+    * separated; `split` on one space matches DuckDB `string_split`. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Per-document token statistics: token count, distinct count,
+    * type-token ratio, average token length (chars excluding the
+    * n-1 separator spaces), stopword ratio. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      size(w).cast(LongType).as("n_tokens"),
+      size(array_distinct(w)).cast(LongType).as("n_distinct"),
+      (size(array_distinct(w)).cast(DoubleType) / size(w)).as("ttr"),
+      ((length(col("text")) - size(w) + 1).cast(DoubleType) / size(w))
+        .as("avg_token_len"),
+      (size(filter(w, t => t.isin("the", "a"))).cast(DoubleType) / size(w))
+        .as("stopword_ratio"))
+  }
+
+  /** BPE-ish regexp token counting: letter runs, digit runs, and single
+    * non-alphanumeric marks counted as separate tokens (the usual
+    * pre-tokenizer shape). Codegen'd `regexp_count`, no UDF. */
+  def regexpTokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+        .cast(LongType).as("n_bpe_tokens"),
+      regexp_count(col("text"), lit("[a-zA-Z]+")).cast(LongType)
+        .as("n_word_tokens"),
+      regexp_count(col("text"), lit("[0-9]+")).cast(LongType)
+        .as("n_number_tokens"))
+
+  /** Language identification by n-gram profile scoring: each candidate
+    * language has a token profile; a document is scored per candidate
+    * by how many of its distinct tokens hit that profile, argmax wins
+    * (deterministic tiebreak on language code).
+    *
+    * The profile here is a DETERMINISTIC STAND-IN: token t belongs to
+    * lang l's profile iff ascii(md5(l~t)[0]) % 4 == 0 (~25% of tokens
+    * per lang). A real deployment ships trained char-trigram profiles;
+    * this container has none, so the profile function is stubbed while
+    * the operator shape — explode candidates, score per (doc, lang),
+    * window argmax — is the real, scale-correct pipeline (narrow
+    * projection + 5x row explode + one window per doc_id).
+    */
+  def langId(docs: DataFrame, candidates: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs
+      .select(col("doc_id"), col("lang"),
+        array_distinct(words(col("text"))).as("ws"))
+      .withColumn("cand", explode(array(candidates.map(lit): _*)))
+      .withColumn("score",
+        size(filter(col("ws"), t =>
+          ascii(substring(md5(concat(col("cand"), lit("~"), t)), 1, 1)) % 4 === 0))
+          .cast(LongType))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cand").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        col("cand").as("predicted_lang"), col("score"))
+  }
+
+  /** Per-document quality score in [0,1]: length adequacy, lexical
+    * diversity, and stopword-presence signals, banded into tiers.
+    * All inputs are integer-derived so both engines compute identical
+    * doubles row-by-row. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nTok = size(w).cast(DoubleType)
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val diversity = size(array_distinct(w)).cast(DoubleType) / nTok
+    val stopHits = size(filter(w, t => t.isin("the", "a"))).cast(DoubleType)
+    val stopScore = least(stopHits / lit(5.0), lit(1.0))
+    val score = lenScore * lit(0.4) + diversity * lit(0.4) + stopScore * lit(0.2)
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      score.as("quality_score"),
+      when(score >= 0.6, "high").when(score >= 0.4, "mid").otherwise("low")
+        .as("quality_tier"))
+  }
+
+  /** Content fingerprint: polynomial rolling hash over the token
+    * stream, each token mapped to a 24-bit integer via its md5 prefix.
+    * acc = (acc * 1000003 + tokHash) mod 1e9+7 — exact BIGINT
+    * arithmetic, order-sensitive (it IS the rolling property), and
+    * identical in any engine with md5 + 64-bit ints. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      words(text),
+      lit(0L),
+      (acc, w0) =>
+        (acc * lit(1000003L)
+          + conv(substring(md5(w0), 1, 6), 16, 10).cast(LongType))
+          % lit(1000000007L))
+
+  /** 16-bit SimHash over the distinct-token set: bit b is the sign of
+    * the sum over tokens of ±1 votes, where token t votes +1 on bit b
+    * iff hex digit b of md5(t) is odd. Integer votes ⇒ exact and
+    * order-independent; near-duplicate docs land at small Hamming
+    * distance. (16 bits is demo-width; widen k for real corpora.)
+    * SQL-expr form (explicit lambda names) because the per-bit vote
+    * nests two higher-order functions. */
+  def simhash16(textColName: String): Column = expr(
+    s"""aggregate(sequence(0, 15), cast(0 as bigint), (acc, b) ->
+       |  acc + IF(
+       |    aggregate(array_distinct(split($textColName, ' ')), 0,
+       |      (a2, t) -> a2 + (ascii(substring(md5(t), b + 1, 1)) % 2) * 2 - 1) > 0,
+       |    shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
+
+  /** doc fingerprints query: rolling hash + simhash per document. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      rollingFingerprint(col("text")).as("rolling_fp"),
+      simhash16("text").as("simhash"))
+}
