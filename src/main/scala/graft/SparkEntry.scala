@@ -42,6 +42,9 @@ object SparkEntry {
     "q24_ann_lsh_pairs"     -> ((s, d) => LlmQueries.annLshPairs(s, d)),
     "q25_binary_meta"       -> ((s, d) => LlmQueries.binaryMeta(s, d)),
     "q26_frame_sample"      -> ((s, d) => LlmQueries.frameSample(s, d)),
+    // O3: real Structured Streaming drain (checkpointed AvailableNow,
+    // foreachBatch version-merge, atomic sink), verified via batch oracle
+    "q27_stream_cdc"        -> ((s, d) => CoreQueries.streamCdc(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -312,5 +315,15 @@ object SparkEntry {
          FROM documents,
            unnest(range(CAST(ceil(length(text) / 48.0) AS BIGINT))) AS t(f)
          WHERE length(substr(text, 1 + f * 48, 64)) > 0""",
+    "q27_stream_cdc" ->
+      """WITH ok AS (SELECT * FROM events
+                     WHERE NOT COALESCE(event_type = 'error', FALSE))
+         SELECT user_id, event_id, event_type, value, ts_s
+         FROM (SELECT user_id, event_id, event_type, value,
+                 strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S') DESC, event_id DESC) AS rn
+               FROM ok)
+         WHERE rn = 1""",
   )
 }

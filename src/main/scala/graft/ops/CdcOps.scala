@@ -79,6 +79,31 @@ object CdcOps {
       .unionByName(incoming.selectExpr(cols: _*))
   }
 
+  /** K1 streaming variant — VERSION-AWARE keyed merge: the surviving row
+    * per key is the max by `orderDesc` across existing ∪ incoming, not
+    * simply the incoming one. Properties the plain [[mergeUpsert]]
+    * lacks, all load-bearing for the streaming path (O3):
+    *  - micro-batch-boundary independence: N-batch fold ≡ 1-batch fold
+    *    for ANY split of the change log (no "later batch with older row
+    *    wins" anomaly) — so the end state has a pure batch oracle;
+    *  - out-of-order tolerance: late data can never regress a key;
+    *  - replay idempotence: re-merging an already-applied batch is a
+    *    no-op (the exactly-once-equivalent guarantee under checkpoint
+    *    replay, README.md:135).
+    *
+    * Scale: one hash shuffle on `keys` over existing ∪ incoming. With
+    * AQE the small incoming side broadcasts into... no — a window needs
+    * co-partitioning, so this is a full-table shuffle per batch; pair it
+    * with [[graft.sink.BucketedFactStore]]-style bucketing so only
+    * touched buckets pay it.
+    */
+  def mergeUpsertVersioned(existing: DataFrame, incoming: DataFrame,
+                           keys: Seq[String], orderDesc: Seq[Column]): DataFrame = {
+    val cols = existing.columns
+    latestPerKey(existing.unionByName(incoming.selectExpr(cols: _*)),
+      keys, orderDesc)
+  }
+
   /** O2/K2 — SCD Type 1 sequential multi-file fold
     * (pipeline/LoadCustomerDim.json:34-51, `isSequential: true`): apply
     * file batches in order; a later file's row overwrites an earlier one

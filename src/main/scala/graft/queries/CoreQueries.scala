@@ -185,6 +185,22 @@ object CoreQueries {
       .orderBy(col("revenue").desc, col("o_custkey").asc)
       .limit(10)
 
+  /** O3+K1 — the ACTUAL streaming path end-to-end: dump the change log
+    * as JSON file groups, drain them through a checkpointed
+    * Trigger.AvailableNow stream (2 files per micro-batch) whose
+    * foreachBatch version-merges into an atomically-swapped parquet
+    * table, then read the final sink state back. The version-aware
+    * merge makes the end state independent of the file/batch split, so
+    * a pure batch latest-per-key SQL is an exact oracle. */
+  def streamCdc(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-").toString
+    val changes = Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      fmtTs(col("ts")).as("ts_s"))
+    graft.streaming.CdcStream.runEndToEnd(s, changes, work)
+      .select("user_id", "event_id", "event_type", "value", "ts_s")
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -1,0 +1,111 @@
+package graft
+
+import graft.ops.CdcOps
+import graft.sink.AtomicParquetSink
+import graft.streaming.CdcStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** O3 + K1-sink specs: stream/batch end-state parity, checkpoint
+  * resume, rejected-row capture, atomic version swap. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-test-").toString
+
+  // a change log with: multiple versions per key (u1), an error row
+  // (rejected), and keys spread across file groups so multiple
+  // micro-batches carry real work
+  private def changes = Seq(
+    (1L, 10L, "update", 1.0, "2024-01-01 10:00:00"),
+    (2L, 10L, "update", 2.0, "2024-01-01 11:00:00"), // newer u10
+    (3L, 11L, "insert", 3.0, "2024-01-01 09:00:00"),
+    (4L, 12L, "error", -1.0, "2024-01-01 09:30:00"), // rejected
+    (5L, 13L, "insert", 5.0, "2024-01-01 08:00:00"),
+    (6L, 10L, "update", 0.5, "2024-01-01 09:59:00"), // OLDER u10 late row
+    (7L, 14L, "insert", 7.0, "2024-01-01 12:00:00"),
+  ).toDF("event_id", "user_id", "event_type", "value", "ts_s")
+
+  test("stream end state == batch latest-per-key (micro-batch independence)") {
+    val work = tmp()
+    val end = CdcStream.runEndToEnd(spark, changes, work, nFiles = 4,
+      maxFilesPerTrigger = 1)
+    val (ok, _) = CdcOps.qualitySplit(changes, col("event_type") === "error")
+    val expected = CdcOps.latestPerKey(ok, Seq("user_id"),
+      Seq(col("ts_s"), col("event_id")))
+    assert(
+      end.select("user_id", "event_id", "value").as[(Long, Long, Double)]
+        .collect().toSet ==
+      expected.select("user_id", "event_id", "value").as[(Long, Long, Double)]
+        .collect().toSet)
+    // the late-but-older u10 row must NOT have regressed the key
+    assert(end.filter($"user_id" === 10).select("event_id").as[Long].head() == 2L)
+  }
+
+  test("checkpoint resume: a second drain with no new files is a no-op") {
+    val work = tmp()
+    CdcStream.runEndToEnd(spark, changes, work)
+    val v1 = AtomicParquetSink.currentVersionDir(spark, s"$work/fact")
+    // second run against the same checkpoint: no new files → no batches
+    val q2 = CdcStream.run(spark, s"$work/feed", s"$work/checkpoint",
+      s"$work/fact", s"$work/rejected")
+    q2.awaitTermination()
+    val v2 = AtomicParquetSink.currentVersionDir(spark, s"$work/fact")
+    assert(v1 == v2, "no-op drain must not rewrite the table")
+  }
+
+  test("fresh-checkpoint replay of the whole feed converges to the same state") {
+    val work = tmp()
+    val first = CdcStream.runEndToEnd(spark, changes, work)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    // replay: same feed, NEW checkpoint, SAME sink table (crash-recovery
+    // worst case: everything reprocessed against existing state)
+    val q = CdcStream.run(spark, s"$work/feed", s"$work/checkpoint2",
+      s"$work/fact", s"$work/rejected")
+    q.awaitTermination()
+    val replayed = AtomicParquetSink.read(spark, s"$work/fact").get
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(replayed == first, "full replay must be idempotent")
+  }
+
+  test("quality-rejected rows land in the rejected dir with batch ids") {
+    val work = tmp()
+    CdcStream.runEndToEnd(spark, changes, work)
+    val rejected = spark.read.parquet(s"$work/rejected")
+    assert(rejected.count() == 1)
+    assert(rejected.select("event_type").as[String].head() == "error")
+    assert(rejected.columns.contains("_batch_id"))
+  }
+
+  test("AtomicParquetSink: pointer swap + old-version GC") {
+    val table = tmp() + "/t"
+    assert(AtomicParquetSink.read(spark, table).isEmpty)
+    AtomicParquetSink.overwrite(Seq((1, "a")).toDF("k", "v"), table)
+    AtomicParquetSink.overwrite(Seq((2, "b")).toDF("k", "v"), table)
+    val state = AtomicParquetSink.read(spark, table).get
+      .as[(Int, String)].collect().toSeq
+    assert(state == Seq((2, "b")))
+    // exactly one version dir survives GC
+    val dirs = new java.io.File(table).listFiles().filter(_.isDirectory)
+    assert(dirs.length == 1, s"expected 1 version dir, got ${dirs.toSeq}")
+  }
+
+  test("versioned merge: N-batch fold == 1-batch fold for any split") {
+    val all = changes.filter($"event_type" =!= "error")
+    val order = Seq(col("ts_s"), col("event_id"))
+    val oneShot = CdcOps.latestPerKey(all, Seq("user_id"), order)
+    // pathological split: one event per batch, reverse time order
+    val folded = all.orderBy($"ts_s".desc).collect().toSeq
+      .map(r => spark.createDataFrame(java.util.Arrays.asList(r), all.schema))
+      .foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+        case (None, b) => Some(b)
+        case (Some(acc), b) =>
+          Some(CdcOps.mergeUpsertVersioned(acc, b, Seq("user_id"), order))
+      }.get
+    assert(folded.select("user_id", "event_id").as[(Long, Long)].collect().toSet
+      == oneShot.select("user_id", "event_id").as[(Long, Long)].collect().toSet)
+  }
+}
