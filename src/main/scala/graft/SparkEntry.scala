@@ -45,6 +45,12 @@ object SparkEntry {
     // O3: real Structured Streaming drain (checkpointed AvailableNow,
     // foreachBatch version-merge, atomic sink), verified via batch oracle
     "q27_stream_cdc"        -> ((s, d) => CoreQueries.streamCdc(s, d)),
+    // S3/K2: CSV all-string round-trip through the cast-on-write translator
+    "q28_csv_ingest"        -> ((s, d) => CoreQueries.csvIngest(s, d)),
+    // S4/K3/K4/O2: landing-file lifecycle fold (later file wins)
+    "q29_file_lifecycle"    -> ((s, d) => CoreQueries.fileLifecycle(s, d)),
+    // O1/O4/Q3/Q4: orchestrated dim→fact→gold with write+read-back
+    "q30_pipeline_gold"     -> ((s, d) => CoreQueries.pipelineGold(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -325,5 +331,29 @@ object SparkEntry {
                    ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S') DESC, event_id DESC) AS rn
                FROM ok)
          WHERE rn = 1""",
+    "q28_csv_ingest" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+           CAST(c_acctbal AS DECIMAL(10,2)) AS c_acctbal, c_mktsegment
+         FROM customer""",
+    "q29_file_lifecycle" ->
+      """SELECT c_custkey, c_name,
+           CAST(CASE c_custkey % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END
+                AS BIGINT) AS file_seq
+         FROM customer""",
+    "q30_pipeline_gold" ->
+      """WITH ok AS (SELECT * FROM events
+                     WHERE NOT COALESCE(event_type = 'error', FALSE)),
+         latest AS (
+           SELECT user_id, value, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S') DESC, event_id DESC) AS rn
+           FROM ok)
+         SELECT n_name AS country, COUNT(*) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MAX(ts_s) AS last_seen
+         FROM latest JOIN customer ON user_id = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE rn = 1
+         GROUP BY n_name""",
   )
 }

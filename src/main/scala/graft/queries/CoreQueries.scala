@@ -201,6 +201,55 @@ object CoreQueries {
       .select("user_id", "event_id", "event_type", "value", "ts_s")
   }
 
+  /** S3+K2 — CSV ingestion round-trip through the cast-on-write
+    * translator: customer → all-string CSV (header/quote/escape) →
+    * typed dim schema incl. decimal(10,2) money. The oracle reads the
+    * parquet directly with the same casts, so any quoting/escaping/
+    * coercion defect in the CSV path shows up as a hash mismatch. */
+  def csvIngest(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-csv-").toString
+    val schema = graft.sources.CsvIngest.customerDimSchema
+    graft.sources.CsvIngest.writeRaw(Tables.customer(s, d), schema, work)
+    graft.sources.CsvIngest.castTo(
+      graft.sources.CsvIngest.readRaw(s, work, schema), schema)
+  }
+
+  /** S4+K3+K4+O2 — the file-lifecycle fold: three OVERLAPPING landing
+    * CSVs (file i holds customers with key%3 ∈ {i, (i+1)%3}), folded
+    * sequentially with later-file-wins, each file archived and deleted
+    * with logging. Output carries the winning file_seq per key, which
+    * the oracle derives in closed form. */
+  def fileLifecycle(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-files-").toString
+    val schema = graft.sources.CsvIngest.customerDimSchema
+    val customer = Tables.customer(s, d)
+    (0 until 3).foreach { i =>
+      val slice = customer.filter(
+        pmod(col("c_custkey"), lit(3)) === i
+          || pmod(col("c_custkey"), lit(3)) === (i + 1) % 3)
+      // one data file per slice, named so name-sort == intended order
+      graft.sources.CsvIngest.writeRaw(slice.repartition(1), schema,
+        s"$work/stage_$i")
+      val staged = graft.pipeline.FileLifecycle
+        .listFiles(s, s"$work/stage_$i").head
+      val fs = new org.apache.hadoop.fs.Path(staged)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/landing"))
+      fs.rename(new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(s"$work/landing/file_$i.csv"))
+    }
+    graft.pipeline.CdcPipeline.loadCustomerDim(s, s"$work/landing", work)
+      .select(col("c_custkey"), col("c_name"), col("file_seq"))
+  }
+
+  /** O1+O4+Q3+Q4 — full pipeline run (dim CSV load → streamed fact →
+    * gold refresh through the atomic sink), returning the read-back of
+    * the WRITTEN gold table. */
+  def pipelineGold(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-pipe-").toString
+    graft.pipeline.CdcPipeline.runAll(s, d, work)
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {
