@@ -1,5 +1,21 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR.
+  *
+  * Harness contract (driver parses ONE JSON line): the line goes to
+  * stdout AND to bench_result.json in the cwd (round 1's stdout line
+  * drowned in sbt log noise and parsed as null — the file is the
+  * reliable channel).
+  *
+  * Fixes from the round-1 verdict: failures are NOT swallowed — a
+  * failed query reports value -1, lands in "failed", and the process
+  * exits nonzero; queries run in fixed sorted order after a warm-up
+  * that exercises scan+join+agg codegen paths, so first-query JIT cost
+  * doesn't get booked to an arbitrary Map-ordered victim.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +23,44 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warm-up: JIT/codegen the common scan→join→agg and window paths on
+    // the SMALLEST sf so warm-up cost stays seconds, not a second bench
+    val warmDir = "/root/testdata/sf0.001"
+    Seq("q01_gold_agg", "q06_latest_lookup", "q12_pricing_summary")
+      .foreach { q =>
+        try SparkEntry.queries(q)(spark, warmDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm-up $q failed: ${e.getMessage}")
+        }
+      }
+
+    var failed = List.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed ::= name
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    Files.writeString(Paths.get("bench_result.json"), line + "\n")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -256,10 +256,12 @@ object SparkEntry {
          SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8""",
     "q21_ngram_jaccard" ->
       """WITH sh AS (SELECT doc_id, lang,
-             CAST(floor(len(string_split(text, ' ')) / 32.0) AS BIGINT) AS lb,
+             CAST(floor(len(string_split(text, ' ')) / 16.0) AS BIGINT) AS lb,
              CASE WHEN len(string_split(text, ' ')) >= 2 THEN
-               list_distinct(list_transform(range(1, len(string_split(text, ' '))),
-                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+               list_transform(
+                 list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])),
+                 s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))
              ELSE [] END AS sh
            FROM documents),
          a AS (SELECT doc_id AS id_a, lang, sh AS sh_a,

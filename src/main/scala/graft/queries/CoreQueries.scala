@@ -21,6 +21,13 @@ object CoreQueries {
     * (session TZ is pinned to UTC, making the cast a no-op re-labeling). */
   private def ts(c: String = "ts"): Column = col(c).cast(TimestampType)
 
+  /** Cheap numeric window sort key: whole-second epoch of the event
+    * time (8-byte long) — ranks identically to the second-formatted
+    * string the oracle sorts on (lexicographic 'yyyy-MM-dd HH:mm:ss'
+    * is chronological), but the shuffle/sort moves longs, not 19-byte
+    * strings. Formatting happens only on output columns. */
+  private def tsSecs: Column = unix_timestamp(col("ts"))
+
   /** Existing-state vs incoming-batch split for the CDC upsert queries.
     * Key-modulo rather than a time cutoff so the split is non-degenerate
     * at every scale factor (the events time span grows with sf). */
@@ -80,13 +87,12 @@ object CoreQueries {
         .cast(LongType).as("stay_duration"))
 
   /** T3 — latest-version-wins lookup dedupe (dataflow:116-118). Ordering
-    * uses the second-formatted timestamp + key so Spark (µs-truncated) and
-    * DuckDB (ns) rank identically; lexicographic order of
-    * 'yyyy-MM-dd HH:mm:ss' is chronological. */
+    * uses the whole-second epoch long + key ([[tsSecs]]) — same ranking
+    * as the oracle's second-formatted string sort, cheaper sort key. */
   def latestLookup(s: SparkSession, d: String): DataFrame =
     CdcOps.latestPerKey(
         Tables.events(s, d).withColumn("ts_s", fmtTs(col("ts"))),
-        Seq("user_id"), Seq(col("ts_s"), col("event_id")))
+        Seq("user_id"), Seq(tsSecs, col("event_id")))
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("event_type").as("last_event_type"), col("ts_s").as("last_ts"))
 
@@ -105,7 +111,7 @@ object CoreQueries {
     val ev = Tables.events(s, d)
     val sliced = if (pre) ev.filter(!isIncoming) else ev.filter(isIncoming)
     CdcOps.latestPerKey(sliced.withColumn("ts_s", fmtTs(col("ts"))),
-        Seq("user_id"), Seq(col("ts_s"), col("event_id")))
+        Seq("user_id"), Seq(tsSecs, col("event_id")))
       .select("user_id", "event_id", "event_type", "value", "ts_s")
   }
 
@@ -124,7 +130,7 @@ object CoreQueries {
     val ev = Tables.events(s, d).withColumn("ts_s", fmtTs(col("ts")))
       .withColumn("q", quarter(ts()))
     val files = Seq(2, 1, 4, 3).map(q => ev.filter(col("q") === q))
-    CdcOps.scd1Fold(files, "user_id", Seq(col("ts_s"), col("event_id")))
+    CdcOps.scd1Fold(files, "user_id", Seq(tsSecs, col("event_id")))
       .select("user_id", "event_id", "event_type", "ts_s")
   }
 
@@ -149,7 +155,7 @@ object CoreQueries {
   def cdcEndToEnd(s: SparkSession, d: String): DataFrame = {
     val (ok, _) = CdcOps.qualitySplit(Tables.events(s, d), col("event_type") === "error")
     val latest = CdcOps.latestPerKey(ok.withColumn("ts_s", fmtTs(col("ts"))),
-      Seq("user_id"), Seq(col("ts_s"), col("event_id")))
+      Seq("user_id"), Seq(tsSecs, col("event_id")))
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
     latest.join(c, latest("user_id") === c("c_custkey"), "inner")

@@ -30,7 +30,10 @@ object Tables {
     * outright ([PARQUET_TYPE_ILLEGAL]). Read it via the legacy
     * nanos-as-long conf and normalize back to a microsecond-precision
     * TimestampType so every downstream operator sees a plain timestamp
-    * (matching Spark's own ns→µs truncation everywhere else). */
+    * (matching Spark's own ns→µs truncation everywhere else).
+    * The conf is also set at session build in Verify/Bench/tests; the
+    * set here is an idempotent safety net for driver-owned sessions
+    * that didn't — it only widens what the parquet reader ACCEPTS. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
