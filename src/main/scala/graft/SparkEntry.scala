@@ -51,6 +51,11 @@ object SparkEntry {
     "q29_file_lifecycle"    -> ((s, d) => CoreQueries.fileLifecycle(s, d)),
     // O1/O4/Q3/Q4: orchestrated dim→fact→gold with write+read-back
     "q30_pipeline_gold"     -> ((s, d) => CoreQueries.pipelineGold(s, d)),
+    // G1 + S1-shape: deterministic mock booking feed (nested struct) run
+    // through the reference dataflow T1→T2→T5
+    "q31_mock_bookings"     -> ((s, _) =>
+      graft.sources.MockBookings.dataflow(
+        graft.sources.MockBookings.generate(s, 10000L))),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -357,5 +362,35 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          WHERE rn = 1
          GROUP BY n_name""",
+    "q31_mock_bookings" ->
+      """WITH g AS (
+           SELECT id,
+             md5('bk' || id) AS booking_id,
+             CAST('0x' || substr(md5('cu' || id), 1, 8) AS BIGINT) % 100 + 1 AS customer_id,
+             round(50 + (CAST('0x' || substr(md5('am' || id), 1, 8) AS BIGINT) % 95000) / 100.0, 2) AS amount,
+             (['USD','EUR','GBP','CAD'])[CAST('0x' || substr(md5('cy' || id), 1, 8) AS BIGINT) % 4 + 1] AS currency,
+             strftime(DATE '2024-01-01'
+               + CAST(CAST('0x' || substr(md5('ci' || id), 1, 8) AS BIGINT) % 330 AS INTEGER), '%Y-%m-%d') AS check_in_date,
+             strftime(DATE '2024-01-01'
+               + CAST(CAST('0x' || substr(md5('ci' || id), 1, 8) AS BIGINT) % 330 AS INTEGER)
+               + CAST(CASE WHEN CAST('0x' || substr(md5('bad' || id), 1, 8) AS BIGINT) % 15 = 0 THEN -2
+                       ELSE CAST('0x' || substr(md5('nt' || id), 1, 8) AS BIGINT) % 14 + 1 END AS INTEGER),
+               '%Y-%m-%d') AS check_out_date,
+             strftime(DATE '2024-01-01'
+               + CAST(CAST('0x' || substr(md5('bd' || id), 1, 8) AS BIGINT) % 364 AS INTEGER), '%Y-%m-%d')
+               || ' ' || lpad(CAST(CAST('0x' || substr(md5('hh' || id), 1, 8) AS BIGINT) % 24 AS VARCHAR), 2, '0')
+               || ':' || lpad(CAST(CAST('0x' || substr(md5('mm' || id), 1, 8) AS BIGINT) % 60 AS VARCHAR), 2, '0')
+               || ':' || lpad(CAST(CAST('0x' || substr(md5('ss' || id), 1, 8) AS BIGINT) % 60 AS VARCHAR), 2, '0') AS booking_date,
+             (['new york','paris','berlin','madrid','tokyo'])[CAST('0x' || substr(md5('lc' || id), 1, 8) AS BIGINT) % 5 + 1] AS city,
+             (['usa','france','germany','spain','japan'])[CAST('0x' || substr(md5('lc' || id), 1, 8) AS BIGINT) % 5 + 1] AS country
+           FROM range(10000) t(id))
+         SELECT booking_id, customer_id, amount, currency,
+           (epoch_ms(strptime(check_out_date, '%Y-%m-%d'))
+            - epoch_ms(strptime(check_in_date, '%Y-%m-%d'))) // 86400000 AS stay_duration,
+           CAST(year(strptime(booking_date, '%Y-%m-%d %H:%M:%S')) AS BIGINT) AS booking_year,
+           CAST(month(strptime(booking_date, '%Y-%m-%d %H:%M:%S')) AS BIGINT) AS booking_month,
+           city, country, city || ', ' || country AS full_address
+         FROM g
+         WHERE NOT COALESCE(check_out_date < check_in_date, FALSE)""",
   )
 }

@@ -142,6 +142,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"frame sampling must not shuffle:\n$plan")
   }
 
+  // ---- mock booking feed (G1) ---------------------------------------
+
+  test("MockBookings: distributions match the reference generator spec") {
+    import graft.sources.MockBookings
+    val docs = MockBookings.generate(spark, 2000L)
+    val stats = docs.agg(
+      min("customer_id"), max("customer_id"),
+      min("amount"), max("amount"),
+      countDistinct("currency"), countDistinct("booking_id")).head()
+    assert(stats.getLong(0) >= 1L && stats.getLong(1) <= 100L)
+    assert(stats.getDouble(2) >= 50.0 && stats.getDouble(3) < 1000.0)
+    assert(stats.getLong(4) == 4L && stats.getLong(5) == 2000L)
+    // nested struct is a real StructType, not a JSON string
+    assert(docs.schema("property_location").dataType
+      .isInstanceOf[org.apache.spark.sql.types.StructType])
+    // deterministic: regeneration is identical
+    assert(MockBookings.generate(spark, 50L).collect().toSeq
+      == MockBookings.generate(spark, 50L).collect().toSeq)
+  }
+
+  test("MockBookings.dataflow: quality gate + ms stay_duration + struct flatten") {
+    import graft.sources.MockBookings
+    val out = MockBookings.dataflow(MockBookings.generate(spark, 2000L))
+    val durs = out.select("stay_duration").as[Long].collect()
+    assert(durs.forall(d => d >= 1 && d <= 14), "post-gate stays are 1..14 nights")
+    // bad rows (~1/15) were routed out by the T1 gate
+    assert(out.count() < 2000 && out.count() > 1700)
+    val row = out.head()
+    assert(row.getAs[String]("full_address")
+      == row.getAs[String]("city") + ", " + row.getAs[String]("country"))
+  }
+
   test("decodeStub: deterministic features, schema and partitioning preserved") {
     val d = docs.withColumn("source", lit("s")).repartition(3)
     val decoded = Multimodal.decodeStub(Multimodal.withBinaryPayload(d))
