@@ -56,6 +56,13 @@ object SparkEntry {
     "q31_mock_bookings"     -> ((s, _) =>
       graft.sources.MockBookings.dataflow(
         graft.sources.MockBookings.generate(s, 10000L))),
+    // event-time extensions: gap sessionization + tumbling-day windows
+    "q32_sessionize"        -> ((s, d) =>
+      graft.streaming.EventTimeOps.sessionizeBatch(
+        graft.sources.Tables.events(s, d), gapSeconds = 14400L)),
+    "q33_event_windows"     -> ((s, d) =>
+      graft.streaming.EventTimeOps.dailyTypeRollup(
+        graft.sources.Tables.events(s, d))),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -392,5 +399,24 @@ object SparkEntry {
            city, country, city || ', ' || country AS full_address
          FROM g
          WHERE NOT COALESCE(check_out_date < check_in_date, FALSE)""",
+    "q32_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s FROM events),
+         d AS (SELECT *, CASE WHEN lag(s) OVER w IS NULL
+                 OR s - lag(s) OVER w > 14400 THEN 1 ELSE 0 END AS boundary
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+         x AS (SELECT *, SUM(boundary) OVER (PARTITION BY user_id
+                 ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+               FROM d)
+         SELECT user_id, session_idx,
+           strftime(make_timestamp(MIN(s) * 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(make_timestamp(MAX(s) * 1000000), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+         FROM x GROUP BY user_id, session_idx""",
+    "q33_event_windows" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
   )
 }

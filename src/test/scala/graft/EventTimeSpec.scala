@@ -1,0 +1,83 @@
+package graft
+
+import graft.streaming.EventTimeOps
+import graft.streaming.EventTimeOps.{Ev, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Event-time extensions: batch/stream sessionization parity and
+  * watermarked windowed aggregation. */
+class EventTimeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("sessionizeBatch splits on gaps with deterministic tie-breaks") {
+    val ev = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00")),
+      (1L, 2L, t("2024-01-01 10:10:00")), // same session (gap 10m)
+      (1L, 3L, t("2024-01-01 15:00:00")), // new session (gap ~5h > 1h)
+      (2L, 4L, t("2024-01-01 09:00:00")),
+    ).toDF("user_id", "event_id", "ts")
+    val out = EventTimeOps.sessionizeBatch(ev, gapSeconds = 3600)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("sessionizeStream (flatMapGroupsWithState) matches batch sessions across micro-batches") {
+    val ms = MemoryStream[Ev](spark)
+    val q = EventTimeOps.sessionizeStream(ms.toDS(), gapSeconds = 3600)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events in one session for u1; one for u2
+      ms.addData(Ev(1L, t("2024-01-01 10:00:00")), Ev(1L, t("2024-01-01 10:30:00")),
+        Ev(2L, t("2024-01-01 08:00:00")))
+      q.processAllAvailable()
+      // batch 2: u1 jumps 6h (closes session 1); u2 continues same session
+      ms.addData(Ev(1L, t("2024-01-01 16:30:00")), Ev(2L, t("2024-01-01 08:20:00")))
+      q.processAllAvailable()
+      // flush sentinel far in the future closes everything still open
+      ms.addData(Ev(1L, t("2024-06-01 00:00:00")), Ev(2L, t("2024-06-01 00:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").as[Session].collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+      def ep(s: String) = t(s).getTime / 1000
+      assert(got == Set(
+        (1L, ep("2024-01-01 10:00:00"), ep("2024-01-01 10:30:00"), 2),
+        (1L, ep("2024-01-01 16:30:00"), ep("2024-01-01 16:30:00"), 1),
+        (2L, ep("2024-01-01 08:00:00"), ep("2024-01-01 08:20:00"), 2)))
+    } finally q.stop()
+  }
+
+  test("streaming windowed rollup with watermark == batch rollup (complete drain)") {
+    val ms = MemoryStream[(Timestamp, String, Double)](spark)
+    val stream = ms.toDS().toDF("ts", "event_type", "value")
+    val q = EventTimeOps.dailyTypeRollupStream(stream)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      val rows = Seq(
+        (t("2024-01-01 01:00:00"), "click", 1.0),
+        (t("2024-01-01 23:00:00"), "click", 2.0),
+        (t("2024-01-02 05:00:00"), "view", 3.0),
+        (t("2024-01-02 06:00:00"), "click", 4.0))
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .select("day", "event_type", "n_events")
+        .as[(String, String, Long)].collect().toSet
+      val expected = EventTimeOps.dailyTypeRollup(rows.toDF("ts", "event_type", "value"))
+        .select("day", "event_type", "n_events")
+        .as[(String, String, Long)].collect().toSet
+      assert(got == expected)
+      assert(got == Set(("2024-01-01", "click", 2L), ("2024-01-02", "view", 1L),
+        ("2024-01-02", "click", 1L)))
+    } finally q.stop()
+  }
+}
