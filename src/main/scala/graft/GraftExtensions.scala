@@ -1,0 +1,27 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point — the public, config-driven way
+  * to install the engine's native functions into any session:
+  *
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  * Currently injects `graft_cosine` (codegen'd array cosine,
+  * [[graft.functions.CosineSimilarity]]). Sessions not built with the
+  * extension get late-bound registration via
+  * [[graft.functions.GraftFunctions.ensureRegistered]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.GraftFunctions.cosineName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName,
+        graft.functions.GraftFunctions.cosineName),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+  }
+}

@@ -43,10 +43,20 @@ object Ann {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  /** Cosine similarity rounded to 5 dp — the ranking/thresholding key
-    * shared with the oracle. */
-  def cos5(a: Column, b: Column): Column =
+  /** Reference (higher-order-function) cosine, rounded to 5 dp. Kept
+    * as the spec twin of the native kernel: interpreted per element,
+    * but trivially auditable against the oracle SQL. */
+  def cos5Reference(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 5)
+
+  /** Cosine similarity rounded to 5 dp — the ranking/thresholding key
+    * shared with the oracle. Backed by the native codegen'd
+    * [[graft.functions.CosineSimilarity]] kernel (bitwise-identical to
+    * [[cos5Reference]], spec-verified); the HOF form drops out of
+    * whole-stage codegen and pays per-element lambda overhead, which
+    * dominates when a bucket join evaluates millions of cosines. */
+  def cos5(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    round(graft.functions.GraftFunctions.cosine(spark, a, b), 5)
 
   /** Exact cosine top-k: `queries` must be small (it is broadcast).
     * Output: (query_id, rank, neighbor_id, cos5), rank 1..k per query,
@@ -59,7 +69,7 @@ object Ann {
       asDouble(embCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos5", cos5(col("qv"), col("cv")))
+      .withColumn("cos5", cos5(corpus.sparkSession, col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos5").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -80,7 +90,7 @@ object Ann {
       col(cellCol).as("cell"), asDouble(embCol).as("cv"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos5", cos5(col("qv"), col("cv")))
+      .withColumn("cos5", cos5(corpus.sparkSession, col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos5").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -112,7 +122,7 @@ object Ann {
     val b = e.select(col("id").as("vec_b"), col("bucket"), col("v").as("vb"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos5", cos5(col("va"), col("vb")))
+      .withColumn("cos5", cos5(corpus.sparkSession, col("va"), col("vb")))
       .filter(col("cos5") >= tau)
       .select(col("vec_a"), col("vec_b"), col("bucket").cast("long").as("bucket"),
         col("cos5"))

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for cosine similarity over two double
+  * arrays — the hot kernel of every ANN operator (SURVEY.md §7 carved
+  * this exact case out as the one place custom Catalyst work is
+  * justified: the `aggregate`/`zip_with` higher-order-function form is
+  * interpreted per element with lambda-variable overhead and falls out
+  * of whole-stage codegen, which matters when a bucket join evaluates
+  * the kernel millions of times).
+  *
+  * Semantics are IDENTICAL to the HOF reference form
+  * ([[graft.ann.Ann.cos5Reference]], spec-verified bitwise): one
+  * left-to-right pass accumulating dot/norm² in doubles, null if the
+  * arrays differ in length (zip_with's null-pad poisons the fold) or
+  * any element is null, IEEE Inf/NaN on zero norms.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  // ExpectsInputTypes is off-limits (AbstractDataType is private[sql]),
+  // so validate the input types directly
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<double>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  int $i = 0;
+         |  for (; $i < $a.numElements(); $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for [[CosineSimilarity]]: the canonical path is
+  * `spark.sql.extensions=graft.GraftExtensions` at session build;
+  * [[GraftFunctions.ensureRegistered]] is the late-bind fallback for
+  * sessions the library doesn't own (the harness driver's). */
+object GraftFunctions {
+  val cosineName = "graft_cosine"
+
+  private def builder(exprs: Seq[Expression]): Expression =
+    CosineSimilarity(exprs.head, exprs(1))
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier(cosineName)))
+      registry.createOrReplaceTempFunction(cosineName, builder, "built-in")
+  }
+
+  /** Column form: cosine(a, b) as a codegen'd native expression. */
+  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function(cosineName, a, b)
+  }
+}
