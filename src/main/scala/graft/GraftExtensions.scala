@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, JaccardSorted}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -23,5 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName,
         graft.functions.GraftFunctions.cosineName),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.GraftFunctions.jaccardName),
+      new ExpressionInfo(classOf[JaccardSorted].getName,
+        graft.functions.GraftFunctions.jaccardName),
+      (exprs: Seq[Expression]) => JaccardSorted(exprs.head, exprs(1))))
   }
 }

@@ -246,17 +246,24 @@ object SparkEntry {
            COUNT(*) AS n_copies
          FROM r GROUP BY 1""",
     "q20_minhash_lsh" ->
-      """WITH sh AS (SELECT doc_id,
+      """WITH str AS (SELECT doc_id,
              CASE WHEN len(string_split(text, ' ')) >= 3 THEN
                list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
                  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
              ELSE [] END AS shingles
            FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS shingles
+           FROM str),
          sig AS (SELECT doc_id, shingles,
-             [list_min(list_transform(shingles, s -> md5(CAST(h AS VARCHAR) || '|' || s))) FOR h IN range(12)] AS sig
+             [list_min(list_transform(shingles, x ->
+                (((2654435761 * (h + 1)) % 1073741789) * (x // 1073741824)
+                 + ((2246822519 * (h + 1)) % 1073741789) * (x % 1073741824)
+                 + h) % 1073741789)) FOR h IN range(12)] AS sig
            FROM sh),
          bands AS (SELECT doc_id, b,
-             md5(sig[b*3+1] || sig[b*3+2] || sig[b*3+3]) AS band_key
+             md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3])) AS band_key
            FROM sig, unnest(range(4)) AS t(b)),
          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
            FROM bands x JOIN bands y

@@ -1,8 +1,9 @@
 package graft.dedup
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.LongType
 
 /** Near-duplicate and exact deduplication for LLM training corpora.
   *
@@ -15,36 +16,53 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * uniformly; a 1000-executor cluster shuffles each doc's O(bands)
   * rows, not O(N²) pairs.
   *
-  * Cross-engine determinism: MinHash = lexicographic min over md5 hex
-  * strings (seeded by hash index), so Spark and DuckDB compute
-  * bit-identical signatures, identical candidate sets, and exact
-  * Jaccard as a ratio of small ints — the whole pipeline twins in SQL.
+  * Cross-engine determinism AND cheap inner loops: each shingle is
+  * md5-hashed ONCE to a 60-bit int (15 hex chars — identical in any
+  * md5-bearing engine); everything downstream is integer arithmetic.
+  * The k MinHash functions are a pairwise-independent family
+  * `h_i(x) = (a_i·hi(x) + b_i·lo(x) + i) mod P` over the two 30-bit
+  * halves of x with P = 1073741789 (largest prime < 2^30): every
+  * product stays < 2^60, so the arithmetic is overflow-free in BOTH
+  * Spark (wrapping) and DuckDB (checked) int64 — bit-identical
+  * signatures, candidate sets, and Jaccard ratios. (Round 1 hashed
+  * every shingle k times through md5 and took min over hex STRINGS:
+  * 12× the md5 calls, string compares in the inner loop, and the
+  * whole chain interpreted — 6× slower end-to-end.)
   */
 object Dedup {
 
-  /** MinHash signature of a shingle-set column: k independent hash
-    * functions, hash h = md5("h|" + shingle), signature = element-wise
-    * min (lexicographic over hex — identical in any md5-bearing
-    * engine). One narrow projection, no shuffle. */
-  def minhashSignature(shingleCol: String, k: Int): Column = expr(
+  /** Largest prime below 2^30 — modulus of the MinHash family. */
+  val P = 1073741789L
+  private val HalfBits = 1073741824L // 2^30, splits a 60-bit hash
+
+  /** MinHash signature over a column of 60-bit shingle hashes: k
+    * pairwise-independent integer hashes, signature = element-wise
+    * min. One narrow projection, no shuffle, no md5 in the loop. */
+  def minhashSignature(hashCol: String, k: Int): Column = expr(
     s"""transform(sequence(0, ${k - 1}),
-       |  h -> array_min(transform($shingleCol,
-       |         s -> md5(concat(cast(h as string), '|', s)))))""".stripMargin)
+       |  h -> array_min(transform($hashCol,
+       |         x -> (((2654435761 * (h + 1)) % $P) * (x div $HalfBits)
+       |              + ((2246822519 * (h + 1)) % $P) * (x % $HalfBits)
+       |              + h) % $P)))""".stripMargin)
 
   /** Banded LSH keys: split the k-wide signature into `bands` bands of
-    * `rowsPerBand`, each band keyed by the md5 of its concatenated
-    * minhashes. Docs sharing ANY band key become candidate pairs. */
-  def bandKeys(sigCol: String, bands: Int, rowsPerBand: Int): Column = expr(
-    s"""transform(sequence(0, ${bands - 1}),
-       |  b -> md5(concat_ws('', transform(
-       |         sequence(1, $rowsPerBand),
-       |         r -> element_at($sigCol, b * $rowsPerBand + r)))))""".stripMargin)
+    * `rowsPerBand`, each band keyed by the md5 of its '|'-joined
+    * minhash ints (md5 per DOC-band, not per shingle). Docs sharing
+    * ANY band key become candidate pairs. */
+  def bandKeys(sigCol: String, bands: Int, rowsPerBand: Int): Column = {
+    val parts = (1 to rowsPerBand)
+      .map(r => s"element_at($sigCol, b * $rowsPerBand + $r)")
+      .mkString(", ")
+    expr(
+      s"""transform(sequence(0, ${bands - 1}),
+         |  b -> md5(concat_ws('|', $parts)))""".stripMargin)
+  }
 
-  /** docs(idCol, textCol) → (id, shingles) with the given n-gram width.
-    * The words array is materialized in its own projection first —
-    * inlining `split` into the per-shingle lambda would re-tokenize the
-    * whole document for every element_at (O(len²) per doc; measured 10×
-    * on the shingle-heavy pipelines). */
+  /** docs(idCol, textCol) → (id, shingles) word n-gram STRINGS with the
+    * given width. The words array is materialized in its own projection
+    * first — inlining `split` into the per-shingle lambda would
+    * re-tokenize the whole document for every element_at (O(len²) per
+    * doc; measured 10× on the shingle-heavy pipelines). */
   def withShingles(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3): DataFrame = {
     val grams = (0 until n)
@@ -60,21 +78,33 @@ object Dedup {
            |ELSE cast(array() as array<string>) END""".stripMargin).as("shingles"))
   }
 
+  /** docs → (id, shingles: SORTED DISTINCT 60-bit hashes of the word
+    * n-grams). One md5 per distinct shingle; sortedness is what lets
+    * [[graft.functions.JaccardSorted]] merge-scan instead of building
+    * hash sets per pair. */
+  def withHashedShingles(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame =
+    withShingles(docs, idCol, textCol, n)
+      .withColumn("shingles", expr(
+        """array_sort(array_distinct(transform(shingles,
+          |  s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))))"""
+          .stripMargin))
+
   /** LSH candidate pairs (idA < idB) from banded MinHash signatures.
     * Exploded to one row per (doc, band); the self-join is an equi-join
     * on (band index, band key) — the scale-safe bucket join. */
-  def lshCandidates(shingled: DataFrame, idCol: String,
+  def lshCandidates(hashed: DataFrame, idCol: String,
                     k: Int = 12, bands: Int = 4): DataFrame = {
     val rowsPerBand = k / bands
-    val banded = shingled
+    val banded = hashed
       .withColumn("sig", minhashSignature("shingles", k))
       .select(col(idCol), posexplode(bandKeys("sig", bands, rowsPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
       // persist the (id, band, key) projection: it is O(docs×bands) TINY
-      // rows, and without it the self-join recomputes the k·|shingles|
-      // md5 signature pipeline once per side (measured 2-3× the query).
-      // At 100 TB this materialization is an intermediate table write.
+      // rows, and without it the self-join recomputes the signature
+      // pipeline once per side. At 100 TB this materialization is an
+      // intermediate table write.
       .persist()
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
@@ -84,26 +114,29 @@ object Dedup {
   }
 
   /** Exact Jaccard over candidate pairs only: join the (small)
-    * candidate set back to the shingle arrays and compare set overlap —
-    * int/int division, bit-identical across engines. */
-  def jaccardOnCandidates(candidates: DataFrame, shingled: DataFrame,
+    * candidate set back to the sorted hashed-shingle arrays and
+    * merge-scan — int/int division, bit-identical across engines. */
+  def jaccardOnCandidates(candidates: DataFrame, hashed: DataFrame,
                           idCol: String, tau: Double): DataFrame = {
-    val sa = shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
-    val sb = shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    val spark = candidates.sparkSession
+    val sa = hashed.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val sb = hashed.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
     candidates.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
-          / size(array_union(col("sh_a"), col("sh_b"))))
+        GraftFunctions.jaccardSorted(spark, col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= tau)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
   }
 
-  /** Full MinHash-LSH near-duplicate pipeline: shingle → signature →
-    * banded buckets → candidate equi-join → exact-Jaccard verify. */
+  /** Full MinHash-LSH near-duplicate pipeline: shingle → 60-bit hash →
+    * integer signature → banded buckets → candidate equi-join →
+    * merge-scan exact-Jaccard verify. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 12, bands: Int = 4,
                       tau: Double = 0.8): DataFrame = {
-    val sh = withShingles(docs, idCol, textCol, n)
+    // persisted because BOTH the candidate generation and the verify
+    // join read it; rows are (id, ~50 longs) — tiny relative to text
+    val sh = withHashedShingles(docs, idCol, textCol, n).persist()
     jaccardOnCandidates(lshCandidates(sh, idCol, k, bands), sh, idCol, tau)
   }
 
@@ -124,15 +157,12 @@ object Dedup {
     * lb_b − lb_a ∈ {−1, 0, 1} picks a unique probe row. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         langCol: String, tau: Double): DataFrame = {
-    // Shingles are HASHED to 60-bit ints (15 hex chars of md5): the pair
-    // join ships ~8 B/shingle instead of ~25 B strings and intersects
-    // longs, not strings — the dominant cost of blocked pairwise Jaccard
-    // is moving/comparing the shingle sets, not hashing them. Collision
-    // odds at 60 bits are negligible at any realistic block size.
-    val hashed = withShingles(docs, idCol, textCol, n = 2)
-      .withColumn("shingles", expr(
-        "transform(shingles, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"))
-    val sh = hashed
+    val spark = docs.sparkSession
+    // 60-bit hashed sorted shingles: the pair join ships ~8 B/shingle
+    // instead of ~25 B strings, and the jaccard is a codegen'd merge
+    // scan — the dominant cost of blocked pairwise Jaccard is
+    // moving/comparing the shingle sets, not hashing them.
+    val sh = withHashedShingles(docs, idCol, textCol, n = 2)
       .join(docs.select(col(idCol), col(langCol),
         // explicit floor: Spark `/` is double division and its long cast
         // truncates, DuckDB's rounds — floor() agrees everywhere
@@ -148,8 +178,7 @@ object Dedup {
     a.join(b, Seq("lang", "probe_bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
-          / size(array_union(col("sh_a"), col("sh_b"))))
+        GraftFunctions.jaccardSorted(spark, col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= tau)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("lang"), col("jaccard"))

@@ -93,20 +93,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * sessions the library doesn't own (the harness driver's). */
 object GraftFunctions {
   val cosineName = "graft_cosine"
+  val jaccardName = "graft_jaccard"
 
-  private def builder(exprs: Seq[Expression]): Expression =
+  private def cosBuilder(exprs: Seq[Expression]): Expression =
     CosineSimilarity(exprs.head, exprs(1))
+  private def jacBuilder(exprs: Seq[Expression]): Expression =
+    JaccardSorted(exprs.head, exprs(1))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     if (!registry.functionExists(FunctionIdentifier(cosineName)))
-      registry.createOrReplaceTempFunction(cosineName, builder, "built-in")
+      registry.createOrReplaceTempFunction(cosineName, cosBuilder, "built-in")
+    if (!registry.functionExists(FunctionIdentifier(jaccardName)))
+      registry.createOrReplaceTempFunction(jaccardName, jacBuilder, "built-in")
   }
 
   /** Column form: cosine(a, b) as a codegen'd native expression. */
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function(cosineName, a, b)
+  }
+
+  /** Column form: Jaccard of two sorted distinct long arrays. */
+  def jaccardSorted(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function(jaccardName, a, b)
   }
 }

@@ -35,7 +35,7 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("minhash candidate generation is a bucket equi-join, not a cross join") {
-    val sh = Dedup.withShingles(docs, "doc_id", "text")
+    val sh = Dedup.withHashedShingles(docs, "doc_id", "text", n = 3)
     val plan = Dedup.lshCandidates(sh, "doc_id")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian"), s"plan must not cross-join:\n$plan")
