@@ -28,5 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaccardSorted].getName,
         graft.functions.GraftFunctions.jaccardName),
       (exprs: Seq[Expression]) => JaccardSorted(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.GraftFunctions.minhashName),
+      new ExpressionInfo(classOf[graft.functions.MinHashSignature].getName,
+        graft.functions.GraftFunctions.minhashName),
+      graft.functions.GraftFunctions.minhashBuilder))
   }
 }

@@ -37,8 +37,10 @@ object Dedup {
 
   /** MinHash signature over a column of 60-bit shingle hashes: k
     * pairwise-independent integer hashes, signature = element-wise
-    * min. One narrow projection, no shuffle, no md5 in the loop. */
-  def minhashSignature(hashCol: String, k: Int): Column = expr(
+    * min. One narrow projection, no shuffle, no md5 in the loop —
+    * HOF reference twin of the fused native kernel
+    * ([[graft.functions.MinHashSignature]], spec-verified identical). */
+  def minhashSignatureReference(hashCol: String, k: Int): Column = expr(
     s"""transform(sequence(0, ${k - 1}),
        |  h -> array_min(transform($hashCol,
        |         x -> (((2654435761 * (h + 1)) % $P) * (x div $HalfBits)
@@ -97,7 +99,8 @@ object Dedup {
                     k: Int = 12, bands: Int = 4): DataFrame = {
     val rowsPerBand = k / bands
     val banded = hashed
-      .withColumn("sig", minhashSignature("shingles", k))
+      .withColumn("sig", GraftFunctions.minhash(
+        hashed.sparkSession, col("shingles"), k))
       .select(col(idCol), posexplode(bandKeys("sig", bands, rowsPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")

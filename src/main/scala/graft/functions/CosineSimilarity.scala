@@ -94,11 +94,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   val cosineName = "graft_cosine"
   val jaccardName = "graft_jaccard"
+  val minhashName = "graft_minhash"
 
   private def cosBuilder(exprs: Seq[Expression]): Expression =
     CosineSimilarity(exprs.head, exprs(1))
   private def jacBuilder(exprs: Seq[Expression]): Expression =
     JaccardSorted(exprs.head, exprs(1))
+  private[graft] def minhashBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegerType
+    exprs(1) match {
+      case Literal(kv: Int, IntegerType) => MinHashSignature(exprs.head, kv)
+      case other => throw new IllegalArgumentException(
+        s"$minhashName requires a literal int k, got $other")
+    }
+  }
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -107,6 +117,8 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(cosineName, cosBuilder, "built-in")
     if (!registry.functionExists(FunctionIdentifier(jaccardName)))
       registry.createOrReplaceTempFunction(jaccardName, jacBuilder, "built-in")
+    if (!registry.functionExists(FunctionIdentifier(minhashName)))
+      registry.createOrReplaceTempFunction(minhashName, minhashBuilder, "built-in")
   }
 
   /** Column form: cosine(a, b) as a codegen'd native expression. */
@@ -119,5 +131,13 @@ object GraftFunctions {
   def jaccardSorted(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function(jaccardName, a, b)
+  }
+
+  /** Column form: fused k-wide MinHash signature of a shingle-hash
+    * array. */
+  def minhash(spark: SparkSession, shingleHashes: Column, k: Int): Column = {
+    ensureRegistered(spark)
+    call_function(minhashName, shingleHashes,
+      org.apache.spark.sql.functions.lit(k))
   }
 }
