@@ -63,6 +63,14 @@ object SparkEntry {
     "q33_event_windows"     -> ((s, d) =>
       graft.streaming.EventTimeOps.dailyTypeRollup(
         graft.sources.Tables.events(s, d))),
+    // distribution profiling: exact interpolated per-lang quantiles
+    "q34_length_quantiles"  -> ((s, d) => LlmQueries.lengthQuantiles(s, d)),
+    // k-means aggregation step: per-label element-wise centroids
+    "q35_centroids"         -> ((s, d) => LlmQueries.embeddingCentroids(s, d)),
+    // IVF with computed cells: route to nearest representative, probe one cell
+    "q36_ann_ivf_routed"    -> ((s, d) => LlmQueries.annIvfComputed(s, d)),
+    // streaming stateful exact dedup across micro-batches
+    "q37_stream_dedup"      -> ((s, d) => LlmQueries.streamDedup(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -425,5 +433,45 @@ object SparkEntry {
            event_type, COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q34_length_quantiles" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+           round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
+         FROM documents GROUP BY lang""",
+    "q35_centroids" ->
+      """SELECT label AS cell, CAST(i - 1 AS INT) AS pos,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 5) AS c5
+         FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+         GROUP BY 1, 2""",
+    "q36_ann_ivf_routed" ->
+      """WITH e AS (SELECT vec_id, label AS cell,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         reps AS (SELECT e.cell, e.v AS rv FROM e
+           JOIN (SELECT cell, min(vec_id) AS rep_id FROM e GROUP BY cell) r
+             ON e.vec_id = r.rep_id),
+         routed AS (SELECT q.query_id, reps.cell, q.qv,
+             round(list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> q.qv[i] * reps.rv[i])) /
+               (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+                sqrt(list_sum(list_transform(reps.rv, x -> x * x)))), 5) AS rcos
+           FROM q CROSS JOIN reps),
+         assigned AS (SELECT query_id, cell, qv FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY rcos DESC, cell ASC) AS rr FROM routed)
+           WHERE rr = 1),
+         s AS (SELECT a.query_id, a.cell, e.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(a.qv) + 1),
+                 i -> a.qv[i] * e.v[i])) /
+               (sqrt(list_sum(list_transform(a.qv, x -> x * x))) *
+                sqrt(list_sum(list_transform(e.v, x -> x * x)))), 5) AS cos5
+           FROM assigned a JOIN e ON a.cell = e.cell
+             AND a.query_id <> e.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos5 DESC, neighbor_id) AS rank FROM s)
+         SELECT query_id, cell, CAST(rank AS BIGINT) AS rank, neighbor_id, cos5
+         FROM r WHERE rank <= 3""",
+    "q37_stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS text_md5 FROM documents""",
   )
 }

@@ -127,4 +127,56 @@ object Ann {
       .select(col("vec_a"), col("vec_b"), col("bucket").cast("long").as("bucket"),
         col("cos5"))
   }
+
+  /** Per-cell element-wise centroid — the aggregation step of
+    * distributed k-means: posexplode to (cell, pos, x), one hash
+    * aggregate with map-side partial sums, so at 100 TB each executor
+    * contributes one partial per (cell, pos) and only |cells|×dim rows
+    * shuffle. Output (cell, pos, c5) with pos 0-based and the mean
+    * rounded to 5 dp (the cross-engine comparison key — partial-sum
+    * order is engine/partitioning-dependent below that). */
+  def cellCentroids(corpus: DataFrame, embCol: String,
+                    cellCol: String): DataFrame =
+    corpus
+      .select(col(cellCol).as("cell"), posexplode(asDouble(embCol)))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("col")), 5).as("c5"))
+
+  /** IVF with COMPUTED cells: a deterministic representative per cell
+    * (the member with min id — a medoid stand-in chosen so both engines
+    * agree exactly; a real deployment uses [[cellCentroids]] vectors),
+    * each query routed to its nearest representative by cosine, then
+    * exact top-k within that one cell. Two bounded joins — queries ×
+    * |cells| for routing (broadcast both: tiny), then the cell-restricted
+    * probe — never a full corpus scan per query. */
+  def ivfComputedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      embCol: String, cellCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val e = corpus.select(col(idCol).as("neighbor_id"),
+      col(cellCol).as("cell"), asDouble(embCol).as("cv"))
+    // deterministic representative: the min-id member of each cell
+    val repIds = e.groupBy("cell").agg(min("neighbor_id").as("rep_id"))
+    val reps = repIds.join(e, repIds("rep_id") === e("neighbor_id"))
+      .select(repIds("cell"), col("cv").as("rv"))
+    // route each query to its nearest representative (cell asc tiebreak)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(embCol).as("qv"))
+    val routed = q.crossJoin(broadcast(reps))
+      .withColumn("rcos", cos5(spark, col("qv"), col("rv")))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("rcos").desc, col("cell").asc)
+    val assigned = routed.withColumn("rr", row_number().over(wr))
+      .filter(col("rr") === 1)
+      .select(col("query_id"), col("cell"), col("qv"))
+    // probe only the assigned cell
+    val scored = e.join(broadcast(assigned), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos5", cos5(spark, col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos5").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cell"),
+        col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos5"))
+  }
 }

@@ -47,6 +47,10 @@ object LlmQueries {
   def fingerprints(s: SparkSession, d: String): DataFrame =
     TextOps.fingerprints(Tables.documents(s, d))
 
+  /** Per-language exact length quantiles (median/p95 of n_chars). */
+  def lengthQuantiles(s: SparkSession, d: String): DataFrame =
+    TextOps.lengthQuantiles(Tables.documents(s, d))
+
   // ---- dedup ---------------------------------------------------------
 
   /** Exact hash dedup over a re-ingested (self-unioned) corpus: every
@@ -93,6 +97,18 @@ object LlmQueries {
     Ann.lshBucketPairs(Tables.embeddings(s, d), "vec_id", "embedding",
       nBits = 4, tau = 0.3)
 
+  /** Per-label element-wise centroids (the k-means aggregation step). */
+  def embeddingCentroids(s: SparkSession, d: String): DataFrame =
+    Ann.cellCentroids(Tables.embeddings(s, d), "embedding", "label")
+
+  /** IVF over COMPUTED cells: min-id representative per label, queries
+    * routed to their nearest representative, top-3 within that cell. */
+  def annIvfComputed(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Ann.ivfComputedTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+      "embedding", "label", k = 3)
+  }
+
   // ---- multimodal ----------------------------------------------------
 
   /** Binary payload metadata scan (stat-the-blob without decoding). */
@@ -102,4 +118,22 @@ object LlmQueries {
   /** Frame sampling: 64-unit frames on a 48-unit stride per payload. */
   def frameSample(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Tables.documents(s, d), width = 64, stride = 48)
+
+  // ---- streaming dedup -----------------------------------------------
+
+  /** Streaming stateful exact dedup: the corpus plus a full re-ingested
+    * copy flows through a multi-batch checkpointed drain with
+    * `dropDuplicates` state; output is the surviving distinct content
+    * set (first-seen doc per hash is arrival-order-dependent, the HASH
+    * set itself is exact). */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-sdedup-").toString
+    val docs = Tables.documents(s, d)
+    val feed = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    graft.streaming.StreamDedup.writeFeed(feed, s"$work/feed", nFiles = 4)
+    graft.streaming.StreamDedup.run(s, s"$work/feed", s"$work/checkpoint",
+        s"$work/out")
+      .select("text_md5")
+  }
 }

@@ -136,4 +136,19 @@ object TextOps {
     docs.select(col("doc_id"),
       rollingFingerprint(col("text")).as("rolling_fp"),
       simhash16("text").as("simhash"))
+
+  /** Per-language length-distribution profile: doc count plus EXACT
+    * interpolated median/p95 of n_chars (Spark `percentile` and DuckDB
+    * `quantile_cont` share the p·(n−1) linear-interpolation definition;
+    * rounded to 4 dp as the comparison key). Exact percentile sorts
+    * within each group — correct here because groups are |langs|-many
+    * and each fits an executor; at 100 TB per-group sort memory is the
+    * constraint and the swap-in is `approx_percentile` (t-digest,
+    * partial-mergeable, one pass) at the cost of engine-specific
+    * results. */
+  def lengthQuantiles(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.95)"), 4).as("p95_chars"))
 }

@@ -83,6 +83,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(neighbors == Set(4L)) // only label-1 vectors scanned
   }
 
+  test("cellCentroids is the element-wise per-cell mean") {
+    val c = Ann.cellCentroids(vecs, "embedding", "label")
+      .filter($"cell" === 0 && $"pos" === 0).select("c5").as[Double].head()
+    assert(math.abs(c - 0.995) < 1e-9) // mean(1.0, 0.99)
+    assert(Ann.cellCentroids(vecs, "embedding", "label").count() == 8) // 2 cells x 4 dims
+  }
+
+  test("ivfComputedTopK routes a query to its nearest representative's cell") {
+    // reps: cell 0 -> vec 1 ([1,0,0,0]), cell 1 -> vec 3 ([0,1,0,0]).
+    // query vec 4 = [0,0,1,0]: cos 0 to both reps -> tie broken to cell 0,
+    // so its neighbors can only come from cell 0's members {1, 2}
+    val out = Ann.ivfComputedTopK(vecs, vecs.filter($"vec_id" === 4),
+      "vec_id", "embedding", "label", k = 3)
+    assert(out.select("cell").as[Int].collect().toSet == Set(0))
+    assert(out.select("neighbor_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("lshBucketPairs is a bucket equi-join and buckets deterministically") {
     val df = Ann.lshBucketPairs(vecs, "vec_id", "embedding", nBits = 2, tau = -1.0)
     val plan = df.queryExecution.executedPlan.toString
@@ -119,6 +136,15 @@ class LlmOpsSpec extends AnyFunSuite {
     val a = TextOps.fingerprints(swapped).select("rolling_fp").as[Long].head()
     val b = TextOps.fingerprints(orig).select("rolling_fp").as[Long].head()
     assert(a != b)
+  }
+
+  test("lengthQuantiles interpolates exactly like quantile_cont") {
+    val d = Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "en", 40L),
+      (4L, "en", 80L)).toDF("doc_id", "lang", "n_chars")
+    val r = TextOps.lengthQuantiles(d).head()
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Double]("p50_chars") == 30.0)   // (20+40)/2
+    assert(r.getAs[Double]("p95_chars") == 74.0)   // 40 + 0.85*(80-40)
   }
 
   test("langId picks a deterministic argmax per doc") {

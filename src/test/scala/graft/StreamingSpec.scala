@@ -108,4 +108,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(folded.select("user_id", "event_id").as[(Long, Long)].collect().toSet
       == oneShot.select("user_id", "event_id").as[(Long, Long)].collect().toSet)
   }
+
+  test("streaming dedup state carries ACROSS micro-batches") {
+    import graft.streaming.StreamDedup
+    val work = tmp()
+    // same text under different ids, ids spread so the copies land in
+    // different feed files => different micro-batches (1 file/trigger)
+    val docs = Seq(
+      (0L, "alpha content", "en"), (1L, "beta content", "en"),
+      (2L, "alpha content", "en"), (3L, "gamma content", "en"),
+      (5L, "beta content", "en"), (7L, "alpha content", "en"),
+    ).toDF("doc_id", "text", "lang")
+    StreamDedup.writeFeed(docs, s"$work/feed", nFiles = 4)
+    val out = StreamDedup.run(spark, s"$work/feed", s"$work/checkpoint",
+      s"$work/out", maxFilesPerTrigger = 1)
+    // 3 distinct contents survive from 6 rows across 4 micro-batches
+    assert(out.count() == 3)
+    assert(out.select("text_md5").distinct().count() == 3)
+    // re-drain on the same checkpoint: no new files, nothing appended
+    val out2 = StreamDedup.run(spark, s"$work/feed", s"$work/checkpoint",
+      s"$work/out", maxFilesPerTrigger = 1)
+    assert(out2.count() == 3)
+  }
 }
