@@ -33,5 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MinHashSignature].getName,
         graft.functions.GraftFunctions.minhashName),
       graft.functions.GraftFunctions.minhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.GraftFunctions.shinglesName),
+      new ExpressionInfo(classOf[graft.functions.ShingleHashes].getName,
+        graft.functions.GraftFunctions.shinglesName),
+      graft.functions.GraftFunctions.shinglesBuilder))
   }
 }

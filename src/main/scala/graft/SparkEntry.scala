@@ -71,6 +71,18 @@ object SparkEntry {
     "q36_ann_ivf_routed"    -> ((s, d) => LlmQueries.annIvfComputed(s, d)),
     // streaming stateful exact dedup across micro-batches
     "q37_stream_dedup"      -> ((s, d) => LlmQueries.streamDedup(s, d)),
+    // vocabulary building: global doc-frequency top-k (TakeOrdered plan)
+    "q38_vocab_topk"        -> ((s, d) => LlmQueries.vocabTopK(s, d)),
+    // Gopher-style repetition/quality gates per doc
+    "q39_gopher_rules"      -> ((s, d) => LlmQueries.gopherQuality(s, d)),
+    // fixed-budget token chunking (sequence-packing prep)
+    "q40_chunk_tokens"      -> ((s, d) => LlmQueries.chunkTokens(s, d)),
+    // benchmark n-gram decontamination (broadcast hash equi-join)
+    "q41_decontaminate"     -> ((s, d) => LlmQueries.decontaminate(s, d)),
+    // deterministic hash train/val/test split
+    "q42_train_split"       -> ((s, d) => LlmQueries.trainSplit(s, d)),
+    // weighted per-source mixture sampling
+    "q43_mixture_sample"    -> ((s, d) => LlmQueries.mixtureSample(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -473,5 +485,76 @@ object SparkEntry {
          FROM r WHERE rank <= 3""",
     "q37_stream_dedup" ->
       """SELECT DISTINCT md5(text) AS text_md5 FROM documents""",
+    "q38_vocab_topk" ->
+      """WITH g AS (SELECT unnest(list_distinct(
+             CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+               list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
+             ELSE [] END)) AS ngram
+           FROM documents)
+         SELECT ngram, COUNT(*) AS doc_freq FROM g
+         GROUP BY 1 ORDER BY doc_freq DESC, ngram ASC LIMIT 20""",
+    "q39_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+           FROM documents),
+         s AS (SELECT doc_id, lang, len(w) AS n,
+             CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) / len(w)
+               AS mean_len,
+             1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS rep_ratio,
+             len(list_filter(w,
+               t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS stop_hits
+           FROM d)
+         SELECT doc_id, lang,
+           n >= 5 AND n <= 1000 AS ok_len,
+           mean_len >= 2.0 AND mean_len <= 12.0 AS ok_mean_word_len,
+           stop_hits >= 1 AS ok_stopwords,
+           rep_ratio <= 0.5 AS ok_repetition,
+           (n >= 5 AND n <= 1000) AND (mean_len >= 2.0 AND mean_len <= 12.0)
+             AND stop_hits >= 1 AND rep_ratio <= 0.5 AS keep
+         FROM s""",
+    "q40_chunk_tokens" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents)
+         SELECT doc_id, CAST(p AS BIGINT) AS chunk_no,
+           CAST(LEAST(32, n - p * 32) AS BIGINT) AS n_tokens,
+           w[CAST(p * 32 + 1 AS INT)] AS first_token
+         FROM d, unnest(range(CAST(ceil(n / 32.0) AS BIGINT))) AS t(p)""",
+    "q41_decontaminate" ->
+      """WITH sh AS (SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])),
+                 s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))
+             ELSE [] END AS grams
+           FROM documents),
+         corpus AS (SELECT doc_id, unnest(grams) AS gram FROM sh
+           WHERE doc_id % 20 <> 0),
+         bench AS (SELECT DISTINCT unnest(grams) AS gram FROM sh
+           WHERE doc_id % 20 = 0)
+         SELECT c.doc_id, COUNT(*) AS n_contaminated_ngrams
+         FROM corpus c JOIN bench b ON c.gram = b.gram
+         GROUP BY 1""",
+    "q42_train_split" ->
+      """WITH d AS (SELECT lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 100 AS bucket
+           FROM documents)
+         SELECT lang,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+         FROM d GROUP BY 1, 2""",
+    "q43_mixture_sample" ->
+      """WITH d AS (SELECT source,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000 AS bucket
+           FROM documents)
+         SELECT source, COUNT(*) AS n_kept FROM d
+         WHERE bucket < (CASE source WHEN 'src0' THEN 1000
+                         WHEN 'src1' THEN 500 WHEN 'src2' THEN 250
+                         ELSE 100 END)
+         GROUP BY 1""",
   )
 }

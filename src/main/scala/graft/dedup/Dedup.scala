@@ -81,11 +81,21 @@ object Dedup {
   }
 
   /** docs → (id, shingles: SORTED DISTINCT 60-bit hashes of the word
-    * n-grams). One md5 per distinct shingle; sortedness is what lets
+    * n-grams), via the fused native [[graft.functions.ShingleHashes]]
+    * kernel (one md5 per shingle, thread-local digest, in-place
+    * sort+dedupe). Sortedness is what lets
     * [[graft.functions.JaccardSorted]] merge-scan instead of building
     * hash sets per pair. */
   def withHashedShingles(docs: DataFrame, idCol: String, textCol: String,
                          n: Int): DataFrame =
+    docs.select(col(idCol),
+      GraftFunctions.shingles(docs.sparkSession,
+        split(col(textCol), " "), n).as("shingles"))
+
+  /** HOF twin of [[withHashedShingles]] — the auditable built-ins-only
+    * form the native kernel is spec-verified against. */
+  def withHashedShinglesReference(docs: DataFrame, idCol: String,
+                                  textCol: String, n: Int): DataFrame =
     withShingles(docs, idCol, textCol, n)
       .withColumn("shingles", expr(
         """array_sort(array_distinct(transform(shingles,
@@ -141,6 +151,25 @@ object Dedup {
     // join read it; rows are (id, ~50 longs) — tiny relative to text
     val sh = withHashedShingles(docs, idCol, textCol, n).persist()
     jaccardOnCandidates(lshCandidates(sh, idCol, k, bands), sh, idCol, tau)
+  }
+
+  /** Benchmark decontamination: flag every corpus doc sharing at least
+    * one word n-gram with a (small) benchmark set. Both sides reduce to
+    * DISTINCT 60-bit n-gram hashes; the join is an equi-join on the
+    * hash with the benchmark side broadcast (eval suites are tiny
+    * relative to a training corpus), then one aggregate per flagged
+    * doc. Never ships document text — at 100 TB each doc contributes
+    * |ngrams| longs and only matching ones survive the join. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) =
+      withHashedShingles(df, idCol, textCol, n)
+        .select(col(idCol), explode(col("shingles")).as("gram"))
+    val bench = grams(benchmark).select("gram").distinct()
+    grams(corpus)
+      .join(broadcast(bench), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
 
   /** Exact (hash-keyed) dedup: group by content md5, keep min id and

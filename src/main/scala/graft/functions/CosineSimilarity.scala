@@ -95,6 +95,7 @@ object GraftFunctions {
   val cosineName = "graft_cosine"
   val jaccardName = "graft_jaccard"
   val minhashName = "graft_minhash"
+  val shinglesName = "graft_shingles"
 
   private def cosBuilder(exprs: Seq[Expression]): Expression =
     CosineSimilarity(exprs.head, exprs(1))
@@ -109,6 +110,15 @@ object GraftFunctions {
         s"$minhashName requires a literal int k, got $other")
     }
   }
+  private[graft] def shinglesBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegerType
+    exprs(1) match {
+      case Literal(nv: Int, IntegerType) => ShingleHashes(exprs.head, nv)
+      case other => throw new IllegalArgumentException(
+        s"$shinglesName requires a literal int n, got $other")
+    }
+  }
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -119,6 +129,8 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(jaccardName, jacBuilder, "built-in")
     if (!registry.functionExists(FunctionIdentifier(minhashName)))
       registry.createOrReplaceTempFunction(minhashName, minhashBuilder, "built-in")
+    if (!registry.functionExists(FunctionIdentifier(shinglesName)))
+      registry.createOrReplaceTempFunction(shinglesName, shinglesBuilder, "built-in")
   }
 
   /** Column form: cosine(a, b) as a codegen'd native expression. */
@@ -139,5 +151,13 @@ object GraftFunctions {
     ensureRegistered(spark)
     call_function(minhashName, shingleHashes,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Column form: fused sorted-distinct 60-bit n-gram shingle hashes
+    * of a token array. */
+  def shingles(spark: SparkSession, words: Column, n: Int): Column = {
+    ensureRegistered(spark)
+    call_function(shinglesName, words,
+      org.apache.spark.sql.functions.lit(n))
   }
 }

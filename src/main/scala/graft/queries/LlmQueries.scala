@@ -51,6 +51,18 @@ object LlmQueries {
   def lengthQuantiles(s: SparkSession, d: String): DataFrame =
     TextOps.lengthQuantiles(Tables.documents(s, d))
 
+  /** Global top-20 word bigrams by document frequency. */
+  def vocabTopK(s: SparkSession, d: String): DataFrame =
+    TextOps.vocabTopK(Tables.documents(s, d), n = 2, k = 20)
+
+  /** Gopher-style per-doc quality gates. */
+  def gopherQuality(s: SparkSession, d: String): DataFrame =
+    TextOps.gopherQuality(Tables.documents(s, d))
+
+  /** 32-token chunking of every document (sequence-packing prep). */
+  def chunkTokens(s: SparkSession, d: String): DataFrame =
+    TextOps.chunkTokens(Tables.documents(s, d), size = 32)
+
   // ---- dedup ---------------------------------------------------------
 
   /** Exact hash dedup over a re-ingested (self-unioned) corpus: every
@@ -74,6 +86,30 @@ object LlmQueries {
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
       "lang", tau = 0.5)
+
+  /** Benchmark decontamination: docs sharing any word trigram with the
+    * doc_id % 20 == 0 "benchmark" subset (trigram width keeps the
+    * fixture overlap non-trivial; production uses 8-13-grams — same
+    * plan). */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.decontaminate(docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 3)
+  }
+
+  /** Deterministic hash-based train/val/test split, counted per
+    * (lang, split). */
+  def trainSplit(s: SparkSession, d: String): DataFrame =
+    graft.sampling.Sampling.withSplit(Tables.documents(s, d), "doc_id")
+      .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+
+  /** Weighted source mixture: per-mille keep rates by source, counted
+    * per source. */
+  def mixtureSample(s: SparkSession, d: String): DataFrame =
+    graft.sampling.Sampling.mixtureSample(Tables.documents(s, d), "doc_id",
+        "source", Map("src0" -> 1000, "src1" -> 500, "src2" -> 250)
+          ++ (3 to 19).map(i => s"src$i" -> 100))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
 
   // ---- similarity search ---------------------------------------------
 

@@ -137,6 +137,64 @@ object TextOps {
       rollingFingerprint(col("text")).as("rolling_fp"),
       simhash16("text").as("simhash"))
 
+  /** Global top-k vocabulary n-grams by document frequency: explode
+    * each doc's DISTINCT n-grams (df, not tf — one count per doc),
+    * one hash aggregate with map-side combine, then `orderBy.limit`
+    * which Spark plans as TakeOrderedAndProject — per-partition top-k
+    * + driver merge of k·partitions rows, never a global sort. Ties
+    * broken on the ngram string so the cut is deterministic. */
+  def vocabTopK(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val grams = (0 until n)
+      .map(j => s"element_at(w, i + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    docs
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        s"""CASE WHEN size(w) >= $n THEN
+           |  array_distinct(transform(sequence(1, size(w) - ${n - 1}),
+           |    i -> $grams))
+           |ELSE cast(array() as array<string>) END""".stripMargin))
+        .as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /** Gopher-style repetition/quality gates (Rae et al. 2021, §A1.1 —
+    * public paper): token-count bounds, mean-word-length band, max
+    * stopword presence, repetition ratio. All signals integer-derived
+    * per doc ⇒ exact cross-engine booleans; one narrow projection. */
+  def gopherQuality(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nTok = size(w).cast(DoubleType)
+    val meanLen =
+      aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) / nTok
+    val repRatio = lit(1.0) - size(array_distinct(w)).cast(DoubleType) / nTok
+    val stopHits = size(filter(w, t => t.isin("the", "a", "of", "to", "and")))
+    docs.select(col("doc_id"), col("lang"),
+      (size(w) >= 5 && size(w) <= 1000).as("ok_len"),
+      (meanLen >= 2.0 && meanLen <= 12.0).as("ok_mean_word_len"),
+      (stopHits >= 1).as("ok_stopwords"),
+      (repRatio <= 0.5).as("ok_repetition"))
+      .withColumn("keep",
+        col("ok_len") && col("ok_mean_word_len")
+          && col("ok_stopwords") && col("ok_repetition"))
+  }
+
+  /** Fixed-budget token chunking (sequence packing prep): doc tokens →
+    * ⌈n/size⌉ chunks of `size` tokens (last ragged). `slice` over one
+    * pre-split array + posexplode of the chunk index range — per-row
+    * narrow work, no shuffle, the 100 TB form of corpus tokenize+pack. */
+  def chunkTokens(docs: DataFrame, size: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(expr(s"sequence(0, int(ceil(size(w) / $size.0d)) - 1)")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_no"),
+        expr(s"size(slice(w, pos * $size + 1, $size))").cast("long")
+          .as("n_tokens"),
+        expr(s"element_at(w, pos * $size + 1)").as("first_token"))
+
   /** Per-language length-distribution profile: doc count plus EXACT
     * interpolated median/p95 of n_chars (Spark `percentile` and DuckDB
     * `quantile_cont` share the p·(n−1) linear-interpolation definition;
