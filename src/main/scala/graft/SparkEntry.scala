@@ -83,6 +83,8 @@ object SparkEntry {
     "q42_train_split"       -> ((s, d) => LlmQueries.trainSplit(s, d)),
     // weighted per-source mixture sampling
     "q43_mixture_sample"    -> ((s, d) => LlmQueries.mixtureSample(s, d)),
+    // streaming incremental MinHash-LSH near-dup dedup (batch-oracle parity)
+    "q44_stream_near_dup"   -> ((s, d) => LlmQueries.streamNearDup(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -556,5 +558,35 @@ object SparkEntry {
                          WHEN 'src1' THEN 500 WHEN 'src2' THEN 250
                          ELSE 100 END)
          GROUP BY 1""",
+    "q44_stream_near_dup" ->
+      """WITH str AS (SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+             ELSE [] END AS shingles
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS shingles
+           FROM str),
+         sig AS (SELECT doc_id, shingles,
+             [list_min(list_transform(shingles, x ->
+                (((2654435761 * (h + 1)) % 1073741789) * (x // 1073741824)
+                 + ((2246822519 * (h + 1)) % 1073741789) * (x % 1073741824)
+                 + h) % 1073741789)) FOR h IN range(12)] AS sig
+           FROM sh),
+         bands AS (SELECT doc_id, b,
+             md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3])) AS band_key
+           FROM sig, unnest(range(4)) AS t(b)),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bands x JOIN bands y
+             ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         dropped AS (SELECT DISTINCT c.doc_b AS doc_id
+           FROM cand c JOIN sh a ON c.doc_a = a.doc_id
+             JOIN sh b ON c.doc_b = b.doc_id
+           WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8)
+         SELECT d.doc_id, d.lang FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)""",
   )
 }

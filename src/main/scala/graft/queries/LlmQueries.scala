@@ -157,6 +157,19 @@ object LlmQueries {
 
   // ---- streaming dedup -----------------------------------------------
 
+  /** Streaming incremental MinHash-LSH near-dup dedup: the corpus
+    * arrives id-monotonically across micro-batches; each batch is
+    * checked against the accumulated band/shingle state; end state =
+    * docs with no near-dup partner of smaller id (batch-oracle
+    * equivalent). */
+  def streamNearDup(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-sndup-").toString
+    graft.streaming.StreamNearDup.writeOrderedFeed(
+      Tables.documents(s, d), s"$work/feed", nFiles = 4)
+    graft.streaming.StreamNearDup.run(s, s"$work/feed", s"$work/checkpoint",
+      s"$work/state")
+  }
+
   /** Streaming stateful exact dedup: the corpus plus a full re-ingested
     * copy flows through a multi-batch checkpointed drain with
     * `dropDuplicates` state; output is the surviving distinct content

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.dedup.Dedup
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming incremental MinHash-LSH near-duplicate dedup — the
+  * continuously-ingesting form of [[Dedup.minhashNearDups]], and the
+  * canonical LLM-ingest operator: every arriving document is checked
+  * against EVERYTHING seen so far, at per-batch cost proportional to
+  * the batch, not the corpus.
+  *
+  * Per micro-batch: shingle-hash + band only the NEW docs (the fused
+  * native kernels), equi-join their band keys against the accumulated
+  * band table (seen ∪ this batch), verify candidates with merge-scan
+  * Jaccard against the accumulated shingle table, then append this
+  * batch's bands/shingles to the state tables. A doc is DROPPED iff it
+  * has a near-dup among docs seen before it — "before" meaning earlier
+  * batches, or the same batch with a smaller doc id.
+  *
+  * Drop semantics are deliberately "any earlier near-dup partner,
+  * whether or not that partner itself survived": it keeps the decision
+  * independent of keep-status (no sequential dependency inside a
+  *  batch), which is what makes the operator embarrassingly parallel
+  * per batch AND end-state-identical to a pure batch oracle over the
+  * whole corpus.
+  *
+  * Scale story: state is two append-only key-partitioned tables —
+  * (band, band_key, doc_id) and (doc_id, shingles) — the same layout a
+  * 1000-executor deployment would bucket by band_key/doc_id; each batch
+  * shuffles only its own rows plus matched candidates.
+  */
+object StreamNearDup {
+
+  /** Dump a document set as `nFiles` id-RANGE file groups (ntile over
+    * doc_id), so the feed arrives id-monotonically — the property that
+    * makes "seen before" ⟺ "smaller doc_id" and the streaming end
+    * state equal to the batch oracle. Real ingest feeds (CDC logs,
+    * crawl frontiers) have monotone ids/sequence numbers natively; at
+    * scale this is a range-partitioned write, not a window. */
+  def writeOrderedFeed(docs: DataFrame, dir: String, nFiles: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select("doc_id", "text", "lang")
+      .withColumn("file_id",
+        ntile(nFiles).over(Window.orderBy("doc_id")) - 1)
+      .repartition(col("file_id"))
+      .write.mode("overwrite").partitionBy("file_id").json(dir)
+  }
+
+  /** One micro-batch step against (and mutating) the state dirs. */
+  def processBatch(batch: DataFrame, stateDir: String,
+                   n: Int = 3, k: Int = 12, bands: Int = 4,
+                   tau: Double = 0.8): Unit = {
+    val spark = batch.sparkSession
+    val rowsPerBand = k / bands
+    val sh = Dedup.withHashedShingles(batch, "doc_id", "text", n)
+      .persist()
+    val banded = sh
+      .withColumn("sig", GraftFunctions.minhash(spark, col("shingles"), k))
+      .select(col("doc_id"), posexplode(
+        Dedup.bandKeys("sig", bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+      .persist()
+
+    val seenBands = readOrEmpty(spark, s"$stateDir/bands",
+      "band INT, band_key STRING, doc_id BIGINT")
+    val seenShingles = readOrEmpty(spark, s"$stateDir/shingles",
+      "doc_id BIGINT, shingles ARRAY<BIGINT>")
+
+    // candidates: new docs vs earlier docs — earlier batch (any id) or
+    // same batch with smaller id
+    val earlier = seenBands.withColumn("_same_batch", lit(false))
+      .unionByName(banded.withColumn("_same_batch", lit(true)))
+    val cand = banded.select(col("band"), col("band_key"),
+        col("doc_id").as("new_id"))
+      .join(earlier.select(col("band"), col("band_key"),
+        col("doc_id").as("old_id"), col("_same_batch")),
+        Seq("band", "band_key"))
+      .filter(!col("_same_batch") || (col("old_id") < col("new_id")))
+      .select("new_id", "old_id").distinct()
+
+    val allShingles = seenShingles.unionByName(sh)
+    val dropped = cand
+      .join(sh.select(col("doc_id").as("new_id"),
+        col("shingles").as("sh_new")), "new_id")
+      .join(allShingles.select(col("doc_id").as("old_id"),
+        col("shingles").as("sh_old")), "old_id")
+      .filter(GraftFunctions.jaccardSorted(spark,
+        col("sh_new"), col("sh_old")) >= tau)
+      .select(col("new_id").as("doc_id")).distinct()
+
+    batch.select("doc_id", "lang")
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(s"$stateDir/kept")
+    // state append AFTER the verdicts (this batch already unioned in)
+    banded.select("band", "band_key", "doc_id")
+      .write.mode("append").parquet(s"$stateDir/bands")
+    sh.write.mode("append").parquet(s"$stateDir/shingles")
+    sh.unpersist(); banded.unpersist()
+  }
+
+  private def readOrEmpty(spark: SparkSession, dir: String,
+                          ddl: String): DataFrame =
+    if (new java.io.File(dir).exists()) spark.read.parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  /** Drain a document feed with incremental near-dup dedup; returns
+    * the kept set. */
+  def run(spark: SparkSession, feedDir: String, checkpointDir: String,
+          stateDir: String, maxFilesPerTrigger: Int = 2): DataFrame = {
+    val q = spark.readStream
+      .schema(StreamDedup.docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("recursiveFileLookup", "true")
+      .json(feedDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, stateDir)
+      }
+      .start()
+    q.awaitTermination()
+    readOrEmpty(spark, s"$stateDir/kept", "doc_id BIGINT, lang STRING")
+  }
+}

@@ -109,6 +109,27 @@ class StreamingSpec extends AnyFunSuite {
       == oneShot.select("user_id", "event_id").as[(Long, Long)].collect().toSet)
   }
 
+  test("streaming near-dup dedup: later near-dups dropped across batches") {
+    import graft.streaming.StreamNearDup
+    val work = tmp()
+    // 32 tokens -> 30 trigram shingles; a 1-word mutation gives
+    // J = 27/33 = 0.818 >= tau 0.8
+    val base = "the quick brown fox jumps over the lazy dog near the river bank while birds sing in the tall green trees above the quiet meadow path and the small stream flows gently"
+    val docs = Seq(
+      (1L, base, "en"),
+      (2L, "completely different text about spark partitions and shuffle behavior here today and tomorrow", "en"),
+      (5L, base.replace("dog", "cat"), "en"),       // near-dup of 1, later batch
+      (6L, base, "en"),                              // exact dup of 1, later batch
+      (7L, "unique third subject matter entirely disjoint from anything else in this tiny corpus fixture", "en"),
+    ).toDF("doc_id", "text", "lang")
+    StreamNearDup.writeOrderedFeed(docs, s"$work/feed", nFiles = 3)
+    val kept = StreamNearDup.run(spark, s"$work/feed", s"$work/checkpoint",
+        s"$work/state", maxFilesPerTrigger = 1)
+      .select("doc_id").as[Long].collect().toSet
+    // 5 and 6 collide with 1 (arrived earlier); 1, 2, 7 survive
+    assert(kept == Set(1L, 2L, 7L))
+  }
+
   test("streaming dedup state carries ACROSS micro-batches") {
     import graft.streaming.StreamDedup
     val work = tmp()
