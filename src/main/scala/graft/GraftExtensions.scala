@@ -38,5 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.ShingleHashes].getName,
         graft.functions.GraftFunctions.shinglesName),
       graft.functions.GraftFunctions.shinglesBuilder))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.GraftFunctions.kmvName),
+      new ExpressionInfo(classOf[graft.functions.KmvDistinct].getName,
+        graft.functions.GraftFunctions.kmvName),
+      graft.functions.GraftFunctions.kmvBuilder))
   }
 }

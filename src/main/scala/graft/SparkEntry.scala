@@ -85,6 +85,8 @@ object SparkEntry {
     "q43_mixture_sample"    -> ((s, d) => LlmQueries.mixtureSample(s, d)),
     // streaming incremental MinHash-LSH near-dup dedup (batch-oracle parity)
     "q44_stream_near_dup"   -> ((s, d) => LlmQueries.streamNearDup(s, d)),
+    // mergeable KMV distinct-count sketch (custom TypedImperativeAggregate)
+    "q45_kmv_distinct"      -> ((s, d) => LlmQueries.kmvDistinct(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -588,5 +590,20 @@ object SparkEntry {
                len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8)
          SELECT d.doc_id, d.lang FROM documents d
          WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)""",
+    "q45_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT lang,
+             CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS hv
+           FROM documents),
+         r AS (SELECT lang, hv,
+             row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS nd
+           FROM h)
+         SELECT lang,
+           CASE WHEN MAX(nd) < 64 THEN round(CAST(MAX(nd) AS DOUBLE), 4)
+                ELSE round(63.0 * 1152921504606846976
+                           / MAX(CASE WHEN rn = 64 THEN hv END), 4)
+           END AS est_distinct,
+           MAX(nd) AS exact_distinct
+         FROM r GROUP BY lang""",
   )
 }

@@ -96,6 +96,7 @@ object GraftFunctions {
   val jaccardName = "graft_jaccard"
   val minhashName = "graft_minhash"
   val shinglesName = "graft_shingles"
+  val kmvName = "graft_kmv_distinct"
 
   private def cosBuilder(exprs: Seq[Expression]): Expression =
     CosineSimilarity(exprs.head, exprs(1))
@@ -119,6 +120,15 @@ object GraftFunctions {
         s"$shinglesName requires a literal int n, got $other")
     }
   }
+  private[graft] def kmvBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegerType
+    exprs(1) match {
+      case Literal(kv: Int, IntegerType) => KmvDistinct(exprs.head, kv)
+      case other => throw new IllegalArgumentException(
+        s"$kmvName requires a literal int k, got $other")
+    }
+  }
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -131,6 +141,8 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(minhashName, minhashBuilder, "built-in")
     if (!registry.functionExists(FunctionIdentifier(shinglesName)))
       registry.createOrReplaceTempFunction(shinglesName, shinglesBuilder, "built-in")
+    if (!registry.functionExists(FunctionIdentifier(kmvName)))
+      registry.createOrReplaceTempFunction(kmvName, kmvBuilder, "built-in")
   }
 
   /** Column form: cosine(a, b) as a codegen'd native expression. */
@@ -159,5 +171,12 @@ object GraftFunctions {
     ensureRegistered(spark)
     call_function(shinglesName, words,
       org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Column form: KMV distinct-count sketch estimate (aggregate). */
+  def kmvDistinct(spark: SparkSession, value: Column, k: Int): Column = {
+    ensureRegistered(spark)
+    call_function(kmvName, value,
+      org.apache.spark.sql.functions.lit(k))
   }
 }

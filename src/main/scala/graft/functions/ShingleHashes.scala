@@ -66,6 +66,11 @@ object ShingleHashesUtil {
     (v << 4) | ((d(7) & 0xf0L) >> 4)
   }
 
+  /** 60-bit md5 head of raw bytes — shared with [[KmvDistinct]]. */
+  def head60Md5(bytes: Array[Byte]): Long = {
+    val d = md5.get(); d.reset(); head60(d.digest(bytes))
+  }
+
   def compute(words: ArrayData, n: Int): ArrayData = {
     val nw = words.numElements()
     if (nw < n) return new GenericArrayData(Array.emptyLongArray)

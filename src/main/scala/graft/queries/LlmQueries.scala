@@ -63,6 +63,16 @@ object LlmQueries {
   def chunkTokens(s: SparkSession, d: String): DataFrame =
     TextOps.chunkTokens(Tables.documents(s, d), size = 32)
 
+  /** Per-lang distinct-content estimate via the mergeable KMV sketch
+    * (k=64), alongside the exact count it approximates — one pass,
+    * O(k) state per group. */
+  def kmvDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).groupBy(col("lang"))
+      .agg(
+        round(graft.functions.GraftFunctions.kmvDistinct(s, col("text"), 64), 4)
+          .as("est_distinct"),
+        countDistinct(col("text")).as("exact_distinct"))
+
   // ---- dedup ---------------------------------------------------------
 
   /** Exact hash dedup over a re-ingested (self-unioned) corpus: every
