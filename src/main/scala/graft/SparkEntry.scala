@@ -87,6 +87,8 @@ object SparkEntry {
     "q44_stream_near_dup"   -> ((s, d) => LlmQueries.streamNearDup(s, d)),
     // mergeable KMV distinct-count sketch (custom TypedImperativeAggregate)
     "q45_kmv_distinct"      -> ((s, d) => LlmQueries.kmvDistinct(s, d)),
+    // SQL front-end: temp views + spark.sql text (join/group/having)
+    "q46_sql_api"           -> ((s, d) => CoreQueries.sqlApi(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -605,5 +607,13 @@ object SparkEntry {
            END AS est_distinct,
            MAX(nd) AS exact_distinct
          FROM r GROUP BY lang""",
+    "q46_sql_api" ->
+      """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS order_year,
+           o.o_orderpriority AS priority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2""",
   )
 }

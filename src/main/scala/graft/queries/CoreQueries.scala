@@ -181,6 +181,28 @@ object CoreQueries {
         (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
+  /** The SQL front-end surface: the fixture tables registered as temp
+    * views and queried through `spark.sql` — same Catalyst plan space
+    * as the DataFrame API, verifying a user can drive the engine with
+    * ANSI SQL text alone. Yearly per-priority order profile with a
+    * HAVING clause and decimal-routed money math. */
+  def sqlApi(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.nation(s, d).createOrReplaceTempView("nation_v")
+    s.sql(
+      """SELECT n.n_name AS nation, year(o.o_orderdate) AS order_year,
+        |       o.o_orderpriority AS priority,
+        |       count(1) AS n_orders,
+        |       cast(sum(cast(o.o_totalprice as decimal(18,2))) as double)
+        |         AS revenue
+        |FROM orders_v o
+        |JOIN customer_v c ON o.o_custkey = c.c_custkey
+        |JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name, year(o.o_orderdate), o.o_orderpriority
+        |HAVING count(1) >= 2""".stripMargin)
+  }
+
   /** Bench headliner — deterministic top-k: top 10 customers by order
     * revenue, ties broken by key. */
   def topkCustomers(s: SparkSession, d: String): DataFrame =
