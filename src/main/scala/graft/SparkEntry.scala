@@ -89,6 +89,8 @@ object SparkEntry {
     "q45_kmv_distinct"      -> ((s, d) => LlmQueries.kmvDistinct(s, d)),
     // SQL front-end: temp views + spark.sql text (join/group/having)
     "q46_sql_api"           -> ((s, d) => CoreQueries.sqlApi(s, d)),
+    // AS-OF point-in-time join (union-window encoding, DuckDB ASOF oracle)
+    "q47_asof_join"         -> ((s, d) => CoreQueries.asofJoin(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -615,5 +617,19 @@ object SparkEntry {
          JOIN customer c ON o.o_custkey = c.c_custkey
          JOIN nation n ON c.c_nationkey = n.n_nationkey
          GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2""",
+    "q47_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value FROM events),
+         l AS (SELECT * FROM e WHERE event_id % 5 <> 0),
+         r0 AS (SELECT user_id, ts_s, value, event_id,
+             row_number() OVER (PARTITION BY user_id, ts_s
+               ORDER BY event_id DESC) AS rn
+           FROM e WHERE event_id % 5 = 0),
+         r AS (SELECT user_id, ts_s, value, event_id FROM r0 WHERE rn = 1)
+         SELECT l.event_id, l.user_id, l.ts_s, l.value,
+           r.value AS asof_value, r.event_id AS asof_event_id,
+           r.ts_s AS asof_ts
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts_s >= r.ts_s""",
   )
 }

@@ -203,6 +203,23 @@ object CoreQueries {
         |HAVING count(1) >= 2""".stripMargin)
   }
 
+  /** AS-OF (point-in-time) left join: every 5th event plays a "dim
+    * version" row; each remaining event picks up the latest version at
+    * or before its own timestamp, per user — via the one-shuffle
+    * union-window encoding in [[graft.ops.AsofJoin]]. The oracle is
+    * DuckDB's native ASOF LEFT JOIN. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      fmtTs(col("ts")).as("ts_s"), col("value"))
+    val left = e.filter(col("event_id") % 5 =!= 0)
+    val right = graft.ops.CdcOps.latestPerKey(
+      e.filter(col("event_id") % 5 === 0),
+      Seq("user_id", "ts_s"), Seq(col("event_id")))
+    graft.ops.AsofJoin.asofLeft(left, right, "user_id", "ts_s",
+      Map("value" -> "asof_value", "event_id" -> "asof_event_id",
+        "ts_s" -> "asof_ts"))
+  }
+
   /** Bench headliner — deterministic top-k: top 10 customers by order
     * revenue, ties broken by key. */
   def topkCustomers(s: SparkSession, d: String): DataFrame =
