@@ -91,6 +91,8 @@ object SparkEntry {
     "q46_sql_api"           -> ((s, d) => CoreQueries.sqlApi(s, d)),
     // AS-OF point-in-time join (union-window encoding, DuckDB ASOF oracle)
     "q47_asof_join"         -> ((s, d) => CoreQueries.asofJoin(s, d)),
+    // bucketized range join: points x containing intervals, equi-join plan
+    "q48_range_join"        -> ((s, d) => CoreQueries.rangeJoin(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -631,5 +633,16 @@ object SparkEntry {
            r.ts_s AS asof_ts
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.ts_s >= r.ts_s""",
+    "q48_range_join" ->
+      """WITH e AS (SELECT event_id,
+             epoch_ms(CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)) // 1000
+               AS ep
+           FROM events),
+         p AS (SELECT * FROM e WHERE event_id % 50 <> 0),
+         i AS (SELECT event_id AS interval_id, ep AS start_ep,
+             ep + 7200 AS end_ep
+           FROM e WHERE event_id % 50 = 0)
+         SELECT p.event_id, i.interval_id, p.ep, i.start_ep
+         FROM p JOIN i ON p.ep BETWEEN i.start_ep AND i.end_ep""",
   )
 }

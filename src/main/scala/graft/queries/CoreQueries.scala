@@ -220,6 +220,22 @@ object CoreQueries {
         "ts_s" -> "asof_ts"))
   }
 
+  /** Bucketized range join: every 50th event opens a 2-hour interval;
+    * every other event is matched to ALL intervals containing it (no
+    * key — the pure interval-join case that nested-loops if written as
+    * a raw BETWEEN join). Hour buckets ⇒ ≤3 copies per interval. */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_id"),
+      unix_timestamp(fmtTs(col("ts"))).as("ep"))
+    val points = e.filter(col("event_id") % 50 =!= 0)
+    val intervals = e.filter(col("event_id") % 50 === 0)
+      .select(col("event_id").as("interval_id"),
+        col("ep").as("start_ep"), (col("ep") + 7200L).as("end_ep"))
+    graft.ops.RangeJoin.pointInInterval(points, intervals,
+        "ep", "start_ep", "end_ep", bucketSeconds = 3600L)
+      .select("event_id", "interval_id", "ep", "start_ep")
+  }
+
   /** Bench headliner — deterministic top-k: top 10 customers by order
     * revenue, ties broken by key. */
   def topkCustomers(s: SparkSession, d: String): DataFrame =
