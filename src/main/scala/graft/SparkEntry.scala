@@ -93,6 +93,12 @@ object SparkEntry {
     "q47_asof_join"         -> ((s, d) => CoreQueries.asofJoin(s, d)),
     // bucketized range join: points x containing intervals, equi-join plan
     "q48_range_join"        -> ((s, d) => CoreQueries.rangeJoin(s, d)),
+    // 4-way star join with broadcast dims (part/supplier coverage)
+    "q49_star_join"         -> ((s, d) => CoreQueries.starJoin(s, d)),
+    // ROLLUP hierarchy totals with grouping markers
+    "q50_rollup"            -> ((s, d) => CoreQueries.rollupAgg(s, d)),
+    // explicit-value pivot (wide per-type counts)
+    "q51_pivot"             -> ((s, d) => CoreQueries.pivotEvents(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -644,5 +650,35 @@ object SparkEntry {
            FROM e WHERE event_id % 50 = 0)
          SELECT p.event_id, i.interval_id, p.ep, i.start_ep
          FROM p JOIN i ON p.ep BETWEEN i.start_ep AND i.end_ep""",
+    "q49_star_join" ->
+      """SELECT n.n_name AS nation, p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE p.p_size <= 20
+         GROUP BY 1, 2""",
+    "q50_rollup" ->
+      """SELECT COALESCE(n_name, '(all)') AS nation,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP (n_name, o_orderpriority)""",
+    "q51_pivot" ->
+      """SELECT user_id % 10 AS user_decile,
+           COUNT(*) FILTER (event_type = 'view') AS view,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'error') AS error
+         FROM events GROUP BY 1""",
   )
 }

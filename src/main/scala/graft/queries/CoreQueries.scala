@@ -236,6 +236,58 @@ object CoreQueries {
       .select("event_id", "interval_id", "ep", "start_ep")
   }
 
+  /** Four-way star join over the full schema (lineitem ⋈ part ⋈
+    * supplier ⋈ nation): the dims broadcast (explicitly — they stay
+    * small at ANY corpus scale factor), so the fact table streams
+    * through three broadcast hash joins with zero fact shuffles before
+    * the final aggregate; the `p_size` filter pushes to the part scan. */
+  def starJoin(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d).filter(col("p_size") <= 20)
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("p_brand"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"),
+        moneySum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** Hierarchical ROLLUP totals (nation → priority → grand total) with
+    * explicit grouping-level markers — partial aggregation applies at
+    * every level, one shuffle. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("revenue"),
+        grouping(col("n_name")).cast("long").as("g_nation"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+      .select(
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("g_nation"), col("g_priority"),
+        col("n_orders"), col("revenue"))
+
+  /** Wide pivot: per-user-decile event counts spread across event-type
+    * columns — `pivot` with an EXPLICIT value list (never the implicit
+    * distinct-scan form, which adds a blocking pass at scale). */
+  def pivotEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("user_decile", (col("user_id") % 10).cast("long"))
+      .groupBy("user_decile")
+      .pivot("event_type", Seq("view", "click", "signup", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   /** Bench headliner — deterministic top-k: top 10 customers by order
     * revenue, ties broken by key. */
   def topkCustomers(s: SparkSession, d: String): DataFrame =
