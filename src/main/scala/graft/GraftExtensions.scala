@@ -43,5 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.KmvDistinct].getName,
         graft.functions.GraftFunctions.kmvName),
       graft.functions.GraftFunctions.kmvBuilder))
+    // optimizer: naive BETWEEN range joins -> bucketized equi-join
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
   }
 }
