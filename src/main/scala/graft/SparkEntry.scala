@@ -99,6 +99,12 @@ object SparkEntry {
     "q50_rollup"            -> ((s, d) => CoreQueries.rollupAgg(s, d)),
     // explicit-value pivot (wide per-type counts)
     "q51_pivot"             -> ((s, d) => CoreQueries.pivotEvents(s, d)),
+    // PII redaction with per-doc counts (RE2∩Java regex dialect)
+    "q52_pii_redact"        -> ((s, d) => LlmQueries.piiRedact(s, d)),
+    // one-pass data-quality profile incl. KMV distinct estimate
+    "q53_profile"           -> ((s, d) => LlmQueries.profileTable(s, d)),
+    // incremental materialized-view maintenance of the gold aggregate
+    "q54_incremental_gold"  -> ((s, d) => CoreQueries.incrementalGold(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -680,5 +686,55 @@ object SparkEntry {
            COUNT(*) FILTER (event_type = 'purchase') AS purchase,
            COUNT(*) FILTER (event_type = 'error') AS error
          FROM events GROUP BY 1""",
+    "q52_pii_redact" ->
+      """WITH t AS (SELECT doc_id, lang,
+             text || ' contact user' || doc_id ||
+               '@example.com or call 555123' || doc_id AS text
+           FROM documents),
+         r AS (SELECT doc_id, lang, text,
+             regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+',
+               '<EMAIL>', 'g') AS noemail
+           FROM t)
+         SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(noemail, '[0-9]{4,}')) AS BIGINT)
+             AS n_long_nums,
+           right(regexp_replace(noemail, '[0-9]{4,}', '<NUM>', 'g'), 40)
+             AS tail40
+         FROM r""",
+    "q53_profile" ->
+      """WITH h AS (SELECT DISTINCT
+             CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS hv
+           FROM documents),
+         k AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+             COUNT(*) OVER () AS nd FROM h)
+         SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_text,
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_lang,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           (SELECT CASE WHEN MAX(nd) < 64 THEN round(CAST(MAX(nd) AS DOUBLE), 4)
+                   ELSE round(63.0 * 1152921504606846976
+                              / MAX(CASE WHEN rn = 64 THEN hv END), 4) END
+            FROM k) AS est_distinct_texts
+         FROM documents""",
+    "q54_incremental_gold" ->
+      """WITH ok AS (SELECT * FROM events WHERE NOT COALESCE(event_type = 'error', FALSE)),
+         latest AS (
+           SELECT user_id, value, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S') DESC, event_id DESC) AS rn
+           FROM ok)
+         SELECT n_name AS country, COUNT(*) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MAX(ts_s) AS last_seen
+         FROM latest JOIN customer ON user_id = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE rn = 1
+         GROUP BY n_name""",
   )
 }

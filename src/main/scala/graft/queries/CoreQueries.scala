@@ -288,6 +288,25 @@ object CoreQueries {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** Incremental gold maintenance (streaming materialized view): drain
+    * the change feed folding per-batch DELTAS into the stored
+    * per-country aggregate — never recomputing from the fact table —
+    * and return the final gold state. The oracle recomputes from
+    * scratch; equality proves the delta algebra. */
+  def incrementalGold(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-ivm-").toString
+    val changes = Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      fmtTs(col("ts")).as("ts_s"))
+    graft.streaming.CdcStream.writeChangeLog(changes, s"$work/feed", 4)
+    val userCountry = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name").as("country"))
+    graft.streaming.IncrementalGold.run(s, s"$work/feed",
+      s"$work/checkpoint", s"$work/state", userCountry)
+  }
+
   /** Bench headliner — deterministic top-k: top 10 customers by order
     * revenue, ties broken by key. */
   def topkCustomers(s: SparkSession, d: String): DataFrame =

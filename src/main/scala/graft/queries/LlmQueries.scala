@@ -63,6 +63,36 @@ object LlmQueries {
   def chunkTokens(s: SparkSession, d: String): DataFrame =
     TextOps.chunkTokens(Tables.documents(s, d), size = 32)
 
+  /** PII redaction over a synthesized contact line per doc (the
+    * fixture text itself is clean): email + long-digit-run scrubbing
+    * with per-doc redaction counts. */
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    TextOps.redactPii(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or call 555123"), col("doc_id")).as("text")),
+      "text")
+      .select(col("doc_id"), col("lang"),
+        col("n_emails").cast("long").as("n_emails"),
+        col("n_long_nums").cast("long").as("n_long_nums"),
+        substring(col("redacted"), -40, 40).as("tail40"))
+
+  /** Single-pass table profile: per-column null counts, plus
+    * domain-specific min/max/distinct — the data-quality scan run
+    * before any training job. One aggregate, no shuffle beyond the
+    * final single-group reduce. */
+  def profileTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+      sum(when(col("lang").isNull, 1L).otherwise(0L)).as("null_lang"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      round(graft.functions.GraftFunctions.kmvDistinct(s, col("text"), 64), 4)
+        .as("est_distinct_texts"))
+
   /** Per-lang distinct-content estimate via the mergeable KMV sketch
     * (k=64), alongside the exact count it approximates — one pass,
     * O(k) state per group. */

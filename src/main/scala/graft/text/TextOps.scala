@@ -195,6 +195,25 @@ object TextOps {
           .as("n_tokens"),
         expr(s"element_at(w, pos * $size + 1)").as("first_token"))
 
+  /** PII scrubbing: redact email-shaped and long-digit-run tokens with
+    * typed placeholders, counting redactions per doc. Patterns stay in
+    * the RE2 ∩ Java-regex common dialect (no backrefs/lookaround) so
+    * any engine applies them identically; one narrow projection. */
+  def redactPii(docs: DataFrame, textCol: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    val digitsRe = "[0-9]{4,}"
+    val redacted = regexp_replace(
+      regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+      digitsRe, "<NUM>")
+    docs
+      .withColumn("n_emails",
+        regexp_count(col(textCol), lit(emailRe)))
+      .withColumn("n_long_nums",
+        regexp_count(regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+          lit(digitsRe)))
+      .withColumn("redacted", redacted)
+  }
+
   /** Per-language length-distribution profile: doc count plus EXACT
     * interpolated median/p95 of n_chars (Spark `percentile` and DuckDB
     * `quantile_cont` share the p·(n−1) linear-interpolation definition;

@@ -109,6 +109,24 @@ class StreamingSpec extends AnyFunSuite {
       == oneShot.select("user_id", "event_id").as[(Long, Long)].collect().toSet)
   }
 
+  test("incremental gold == batch recompute under 1-file batches with late rows") {
+    import graft.streaming.{CdcStream, IncrementalGold}
+    val work = tmp()
+    CdcStream.writeChangeLog(changes, s"$work/feed", nFiles = 4)
+    val userCountry = Seq((10L, "FR"), (11L, "FR"), (12L, "DE"),
+      (13L, "DE"), (14L, "JP")).toDF("user_id", "country")
+    val gold = IncrementalGold.run(spark, s"$work/feed", s"$work/checkpoint",
+      s"$work/state", userCountry, maxFilesPerTrigger = 1)
+    val got = gold.select("country", "n_users", "total_value", "last_seen")
+      .as[(String, Long, Double, String)].collect().toSet
+    // ground truth: latest per user of non-error rows, aggregated
+    // u10 -> evt2 (2.0), u11 -> 3.0, u13 -> 5.0, u14 -> 7.0; u12 rejected
+    assert(got == Set(
+      ("FR", 2L, 5.0, "2024-01-01 11:00:00"),
+      ("DE", 1L, 5.0, "2024-01-01 08:00:00"),
+      ("JP", 1L, 7.0, "2024-01-01 12:00:00")))
+  }
+
   test("streaming near-dup dedup: later near-dups dropped across batches") {
     import graft.streaming.StreamNearDup
     val work = tmp()
