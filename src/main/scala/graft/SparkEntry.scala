@@ -105,6 +105,8 @@ object SparkEntry {
     "q53_profile"           -> ((s, d) => LlmQueries.profileTable(s, d)),
     // incremental materialized-view maintenance of the gold aggregate
     "q54_incremental_gold"  -> ((s, d) => CoreQueries.incrementalGold(s, d)),
+    // sequential windows: row_number + lag gaps + ROWS-frame rolling sum
+    "q55_user_activity"     -> ((s, d) => CoreQueries.userActivity(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -736,5 +738,17 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          WHERE rn = 1
          GROUP BY n_name""",
+    "q55_user_activity" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM events)
+         SELECT event_id, user_id, ts_s,
+           CAST(row_number() OVER w AS BIGINT) AS event_seq,
+           epoch_ms(CAST(ts_s AS TIMESTAMP)) // 1000
+             - epoch_ms(CAST(lag(ts_s) OVER w AS TIMESTAMP)) // 1000 AS gap_s,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts_s, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_value_3
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)""",
   )
 }

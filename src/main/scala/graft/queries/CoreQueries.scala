@@ -5,6 +5,7 @@ import graft.gold.Gold
 import graft.ops.CdcOps
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
 
@@ -305,6 +306,26 @@ object CoreQueries {
       .select(col("c_custkey").as("user_id"), col("n_name").as("country"))
     graft.streaming.IncrementalGold.run(s, s"$work/feed",
       s"$work/checkpoint", s"$work/state", userCountry)
+  }
+
+  /** Sequential per-user activity analytics: event sequence numbers,
+    * inter-event gaps (lag), and a rolling 3-event value sum over an
+    * explicit ROWS frame — one shuffle on user_id serves all three
+    * window functions (same partitioning+ordering ⇒ one Window node).
+    * Rolling sum in DECIMAL so frame arithmetic is exact. */
+  def userActivity(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_s").asc, col("event_id").asc)
+    val wf = w.rowsBetween(-2, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        fmtTs(col("ts")).as("ts_s"))
+      .select(col("event_id"), col("user_id"), col("ts_s"),
+        row_number().over(w).cast("long").as("event_seq"),
+        (unix_timestamp(col("ts_s"))
+          - unix_timestamp(lag(col("ts_s"), 1).over(w))).as("gap_s"),
+        sum(col("value").cast("decimal(18,2)")).over(wf)
+          .cast("double").as("rolling_value_3"))
   }
 
   /** Bench headliner — deterministic top-k: top 10 customers by order
