@@ -28,10 +28,24 @@ import org.apache.spark.sql.streaming.Trigger
 object IncrementalGold {
 
   /** One micro-batch: compute the gold delta vs the current fact
-    * state, merge fact, fold the delta into gold. */
-  def processBatch(batch: DataFrame, factDir: String, goldDir: String,
-                   userCountry: DataFrame): Unit = {
+    * state, merge fact, fold the delta into gold.
+    *
+    * REPLAY FENCE: delta folding is not naturally idempotent (a
+    * replayed batch would double-count), so the gold state carries the
+    * last folded `_batch_id`; `foreachBatch` can redeliver a batch
+    * after a failure, and the fence turns the redelivery into a no-op
+    * — the standard exactly-once pattern for non-idempotent
+    * foreachBatch sinks. */
+  def processBatch(batch: DataFrame, batchId: Long, factDir: String,
+                   goldDir: String, userCountry: DataFrame): Unit = {
     val spark = batch.sparkSession
+    val priorGold = AtomicParquetSink.read(spark, goldDir)
+    // max is NULL when the stored gold is empty (e.g. an all-rejected
+    // first batch) — treat as nothing folded yet
+    val lastFolded = priorGold
+      .flatMap(g => Option(g.agg(max(col("_batch_id"))).head().get(0)))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+    if (batchId <= lastFolded) return // replayed batch: already folded
     val order = Seq(col("ts_s"), col("event_id"))
     val (ok, _) = CdcOps.qualitySplit(batch, col("event_type") === "error")
     val winners = CdcOps.latestPerKey(ok, Seq("user_id"), order)
@@ -64,8 +78,7 @@ object IncrementalGold {
         max(col("ts_s")).as("d_last"))
 
     // fold the delta into the stored aggregate (full outer on country)
-    val gold = AtomicParquetSink.read(spark, goldDir)
-    val merged = gold match {
+    val merged = priorGold match {
       case Some(g) =>
         g.join(countryDeltas, Seq("country"), "full_outer")
           .select(col("country"),
@@ -79,7 +92,8 @@ object IncrementalGold {
         countryDeltas.select(col("country"), col("d_users").as("n_users"),
           col("d_value").as("total_value"), col("d_last").as("last_seen"))
     }
-    AtomicParquetSink.overwrite(merged, goldDir)
+    AtomicParquetSink.overwrite(
+      merged.withColumn("_batch_id", lit(batchId)), goldDir)
     // fact merge AFTER delta derivation (deltas need the pre-state)
     val factMerged = existing match {
       case Some(ex) => CdcOps.mergeUpsertVersioned(ex, winners,
@@ -103,8 +117,8 @@ object IncrementalGold {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, s"$stateDir/fact", s"$stateDir/gold",
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, s"$stateDir/fact", s"$stateDir/gold",
           userCountry)
       }
       .start()

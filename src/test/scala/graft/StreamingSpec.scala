@@ -127,6 +127,26 @@ class StreamingSpec extends AnyFunSuite {
       ("JP", 1L, 7.0, "2024-01-01 12:00:00")))
   }
 
+  test("incremental gold replay fence: re-delivered batch is a no-op") {
+    import graft.streaming.IncrementalGold
+    val work = tmp()
+    val userCountry = Seq((10L, "FR"), (11L, "FR")).toDF("user_id", "country")
+    val b = Seq((1L, 10L, "insert", 4.0, "2024-01-01 10:00:00"))
+      .toDF("event_id", "user_id", "event_type", "value", "ts_s")
+    IncrementalGold.processBatch(b, 0L, s"$work/fact", s"$work/gold", userCountry)
+    // crash-replay of the SAME batch id must not double-count
+    IncrementalGold.processBatch(b, 0L, s"$work/fact", s"$work/gold", userCountry)
+    val g = graft.sink.AtomicParquetSink.read(spark, s"$work/gold").get
+    assert(g.select("n_users").as[Long].head() == 1L)
+    assert(g.select(col("total_value").cast("double")).as[Double].head() == 4.0)
+    // a NEW batch id still folds
+    val b2 = Seq((2L, 11L, "insert", 6.0, "2024-01-01 11:00:00"))
+      .toDF("event_id", "user_id", "event_type", "value", "ts_s")
+    IncrementalGold.processBatch(b2, 1L, s"$work/fact", s"$work/gold", userCountry)
+    val g2 = graft.sink.AtomicParquetSink.read(spark, s"$work/gold").get
+    assert(g2.agg(sum("n_users")).as[Long].head() == 2L)
+  }
+
   test("streaming near-dup dedup: later near-dups dropped across batches") {
     import graft.streaming.StreamNearDup
     val work = tmp()
