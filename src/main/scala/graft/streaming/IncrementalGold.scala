@@ -24,21 +24,82 @@ import org.apache.spark.sql.streaming.Trigger
   * `total_value` is maintained in DECIMAL(18,2) so incremental
   * addition is EXACT — the end state equals a from-scratch decimal
   * sum bit-for-bit (doubles would drift by summation order).
+  *
+  * == Crash consistency (the part that makes IVM production-real) ==
+  * `foreachBatch` redelivers a batch after a failure, and a batch here
+  * performs THREE state mutations (stage deltas, merge fact, fold
+  * gold). Each phase is individually idempotent/fenced, so a replay
+  * from any crash point converges:
+  *  1. STAGE: per-user deltas vs the CURRENT (pre-merge) fact state,
+  *     written durably under the batch id (`_SUCCESS`-marked; a
+  *     half-written stage is recomputed, a complete one is reused —
+  *     this pins the pre-merge view even if the crash happens later).
+  *  2. MERGE FACT: version-aware merge — replaying it with the same
+  *     rows is a no-op by construction.
+  *  3. FOLD GOLD: staged deltas added to the stored aggregate, fenced
+  *     by `_batch_id` carried in the gold state — a second fold of the
+  *     same batch is skipped.
+  * Crash between 2 and 3 is the dangerous one (deltas recomputed
+  * post-merge would be empty and the batch's contribution lost) — the
+  * durable stage from phase 1 is exactly what survives it.
   */
 object IncrementalGold {
 
-  /** One micro-batch: compute the gold delta vs the current fact
-    * state, merge fact, fold the delta into gold.
-    *
-    * REPLAY FENCE: delta folding is not naturally idempotent (a
-    * replayed batch would double-count), so the gold state carries the
-    * last folded `_batch_id`; `foreachBatch` can redeliver a batch
-    * after a failure, and the fence turns the redelivery into a no-op
-    * — the standard exactly-once pattern for non-idempotent
-    * foreachBatch sinks. */
-  def processBatch(batch: DataFrame, batchId: Long, factDir: String,
-                   goldDir: String, userCountry: DataFrame): Unit = {
+  private def stagingDir(goldDir: String, batchId: Long): String =
+    s"$goldDir-staging/batch_$batchId"
+
+  /** Phase 1: durable per-user deltas for this batch vs the CURRENT
+    * fact state. Reused verbatim on replay if already complete. */
+  def stageDeltas(batch: DataFrame, batchId: Long, factDir: String,
+                  goldDir: String): DataFrame = {
     val spark = batch.sparkSession
+    val dir = stagingDir(goldDir, batchId)
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      val order = Seq(col("ts_s"), col("event_id"))
+      val (ok, _) = CdcOps.qualitySplit(batch, col("event_type") === "error")
+      val winners = CdcOps.latestPerKey(ok, Seq("user_id"), order)
+      val deltas = AtomicParquetSink.read(spark, factDir) match {
+        case Some(ex) =>
+          winners.as("w").join(
+            ex.select(col("user_id"), col("value").as("old_value"),
+              col("ts_s").as("old_ts"), col("event_id").as("old_id")).as("e"),
+            Seq("user_id"), "left_outer")
+            .filter(col("old_ts").isNull
+              || struct(col("w.ts_s"), col("w.event_id")) >
+                 struct(col("old_ts"), col("old_id")))
+            .select(col("user_id"), col("w.ts_s").as("ts_s"),
+              when(col("old_ts").isNull, 1L).otherwise(0L).as("d_users"),
+              (col("w.value").cast("decimal(18,2)")
+                - coalesce(col("old_value").cast("decimal(18,2)"),
+                    lit(0).cast("decimal(18,2)"))).as("d_value"))
+        case None =>
+          winners.select(col("user_id"), col("ts_s"),
+            lit(1L).as("d_users"),
+            col("value").cast("decimal(18,2)").as("d_value"))
+      }
+      deltas.write.mode("overwrite").parquet(dir)
+    }
+    spark.read.parquet(dir)
+  }
+
+  /** Phase 2: version-aware fact merge — replay-idempotent. */
+  def mergeFact(batch: DataFrame, factDir: String): Unit = {
+    val spark = batch.sparkSession
+    val order = Seq(col("ts_s"), col("event_id"))
+    val (ok, _) = CdcOps.qualitySplit(batch, col("event_type") === "error")
+    val winners = CdcOps.latestPerKey(ok, Seq("user_id"), order)
+    val merged = AtomicParquetSink.read(spark, factDir) match {
+      case Some(ex) => CdcOps.mergeUpsertVersioned(ex, winners,
+        Seq("user_id"), order)
+      case None => winners
+    }
+    AtomicParquetSink.overwrite(merged, factDir)
+  }
+
+  /** Phase 3: fold staged deltas into the stored aggregate, fenced by
+    * the `_batch_id` the gold state carries. */
+  def foldGold(spark: SparkSession, batchId: Long, stagedDeltas: DataFrame,
+               goldDir: String, userCountry: DataFrame): Unit = {
     val priorGold = AtomicParquetSink.read(spark, goldDir)
     // max is NULL when the stored gold is empty (e.g. an all-rejected
     // first batch) — treat as nothing folded yet
@@ -46,38 +107,12 @@ object IncrementalGold {
       .flatMap(g => Option(g.agg(max(col("_batch_id"))).head().get(0)))
       .map(_.asInstanceOf[Long]).getOrElse(-1L)
     if (batchId <= lastFolded) return // replayed batch: already folded
-    val order = Seq(col("ts_s"), col("event_id"))
-    val (ok, _) = CdcOps.qualitySplit(batch, col("event_type") === "error")
-    val winners = CdcOps.latestPerKey(ok, Seq("user_id"), order)
-
-    val existing = AtomicParquetSink.read(spark, factDir)
-    val deltas = existing match {
-      case Some(ex) =>
-        winners.as("w").join(
-          ex.select(col("user_id"), col("value").as("old_value"),
-            col("ts_s").as("old_ts"), col("event_id").as("old_id")).as("e"),
-          Seq("user_id"), "left_outer")
-          .filter(col("old_ts").isNull
-            || struct(col("w.ts_s"), col("w.event_id")) >
-               struct(col("old_ts"), col("old_id")))
-          .select(col("user_id"), col("w.ts_s").as("ts_s"),
-            when(col("old_ts").isNull, 1L).otherwise(0L).as("d_users"),
-            (col("w.value").cast("decimal(18,2)")
-              - coalesce(col("old_value").cast("decimal(18,2)"),
-                  lit(0).cast("decimal(18,2)"))).as("d_value"))
-      case None =>
-        winners.select(col("user_id"), col("ts_s"),
-          lit(1L).as("d_users"),
-          col("value").cast("decimal(18,2)").as("d_value"))
-    }
-    val countryDeltas = deltas
+    val countryDeltas = stagedDeltas
       .join(broadcast(userCountry), "user_id")
       .groupBy(col("country"))
       .agg(sum(col("d_users")).as("d_users"),
         sum(col("d_value")).cast("decimal(18,2)").as("d_value"),
         max(col("ts_s")).as("d_last"))
-
-    // fold the delta into the stored aggregate (full outer on country)
     val merged = priorGold match {
       case Some(g) =>
         g.join(countryDeltas, Seq("country"), "full_outer")
@@ -94,13 +129,15 @@ object IncrementalGold {
     }
     AtomicParquetSink.overwrite(
       merged.withColumn("_batch_id", lit(batchId)), goldDir)
-    // fact merge AFTER delta derivation (deltas need the pre-state)
-    val factMerged = existing match {
-      case Some(ex) => CdcOps.mergeUpsertVersioned(ex, winners,
-        Seq("user_id"), order)
-      case None => winners
-    }
-    AtomicParquetSink.overwrite(factMerged, factDir)
+  }
+
+  /** One micro-batch: stage → merge fact → fold gold. */
+  def processBatch(batch: DataFrame, batchId: Long, factDir: String,
+                   goldDir: String, userCountry: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val staged = stageDeltas(batch, batchId, factDir, goldDir)
+    mergeFact(batch, factDir)
+    foldGold(spark, batchId, staged, goldDir, userCountry)
   }
 
   /** Drain a change feed maintaining fact + gold incrementally; returns

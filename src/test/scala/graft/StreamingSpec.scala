@@ -147,6 +147,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(g2.agg(sum("n_users")).as[Long].head() == 2L)
   }
 
+  test("incremental gold: crash between fact merge and gold fold converges on replay") {
+    import graft.streaming.IncrementalGold
+    val work = tmp()
+    val userCountry = Seq((10L, "FR"), (11L, "FR")).toDF("user_id", "country")
+    val b = Seq(
+      (1L, 10L, "insert", 4.0, "2024-01-01 10:00:00"),
+      (2L, 11L, "insert", 6.0, "2024-01-01 11:00:00"),
+    ).toDF("event_id", "user_id", "event_type", "value", "ts_s")
+    // simulate the crash: stage + fact merge happen, gold fold does NOT
+    IncrementalGold.stageDeltas(b, 0L, s"$work/fact", s"$work/gold")
+    IncrementalGold.mergeFact(b, s"$work/fact")
+    // replay of the whole batch after restart
+    IncrementalGold.processBatch(b, 0L, s"$work/fact", s"$work/gold", userCountry)
+    val g = graft.sink.AtomicParquetSink.read(spark, s"$work/gold").get
+    assert(g.agg(sum("n_users")).as[Long].head() == 2L,
+      "staged pre-merge deltas must survive the crash")
+    assert(g.agg(sum(col("total_value").cast("double"))).as[Double].head() == 10.0)
+  }
+
   test("streaming near-dup dedup: later near-dups dropped across batches") {
     import graft.streaming.StreamNearDup
     val work = tmp()
