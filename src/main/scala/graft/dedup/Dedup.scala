@@ -109,6 +109,12 @@ object Dedup {
                     k: Int = 12, bands: Int = 4): DataFrame = {
     val rowsPerBand = k / bands
     val banded = hashed
+      // GUARD: sub-n-token docs have EMPTY shingle sets; without this
+      // filter they all share the identical all-null signature (band
+      // key md5('')) and the self-join goes O(m²) over them — millions
+      // of short rows in a real corpus. They can't be near-dups of
+      // anything (Jaccard vs anyone is NaN/0), so drop them up front.
+      .filter(size(col("shingles")) > 0)
       .withColumn("sig", GraftFunctions.minhash(
         hashed.sparkSession, col("shingles"), k))
       .select(col(idCol), posexplode(bandKeys("sig", bands, rowsPerBand)))
@@ -121,9 +127,16 @@ object Dedup {
       .persist()
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
-    a.join(b, Seq("band", "band_key"))
+    // materialize the (tiny) candidate set, then release the banded
+    // cache — callers would otherwise leak it (nothing downstream can
+    // unpersist an intermediate it never sees)
+    val cand = a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .persist()
+    cand.count()
+    banded.unpersist()
+    cand
   }
 
   /** Exact Jaccard over candidate pairs only: join the (small)
@@ -150,7 +163,13 @@ object Dedup {
     // persisted because BOTH the candidate generation and the verify
     // join read it; rows are (id, ~50 longs) — tiny relative to text
     val sh = withHashedShingles(docs, idCol, textCol, n).persist()
-    jaccardOnCandidates(lshCandidates(sh, idCol, k, bands), sh, idCol, tau)
+    val cand = lshCandidates(sh, idCol, k, bands)
+    // materialize the final (near-dup pairs, tiny) result so the two
+    // intermediates can be released instead of leaking per invocation
+    val result = jaccardOnCandidates(cand, sh, idCol, tau).persist()
+    result.count()
+    sh.unpersist(); cand.unpersist()
+    result
   }
 
   /** Benchmark decontamination: flag every corpus doc sharing at least

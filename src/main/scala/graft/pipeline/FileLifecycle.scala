@@ -59,14 +59,31 @@ object FileLifecycle {
     finally out.close()
   }
 
+  /** Count of completed (processed+deleted) files — one log entry per
+    * deletion, so the log IS the durable progress counter. */
+  private def completedCount(spark: SparkSession, logDir: String): Int = {
+    val f = fs(spark, logDir)
+    val p = new Path(logDir)
+    if (!f.exists(p)) 0
+    else f.listStatus(p).count(_.getPath.getName.startsWith("delete-"))
+  }
+
   /** The full per-file loop (O2): name-ordered fold of `process` over
     * the landing files, each followed by archive + logged delete —
-    * exactly the reference's ForEach{upsert, archive, delete} chain. */
+    * exactly the reference's ForEach{upsert, archive, delete} chain.
+    *
+    * Sequence numbers are RETRY-STABLE: they start from the deletion
+    * log's completed count, not from zero — after a partial failure
+    * (some files processed+deleted, then a crash) the retry re-lists
+    * only the survivors and numbers them as the continuation of the
+    * first attempt, so later-file-wins tiebreaks keyed on the sequence
+    * stay correct across retries. */
   def processAll(spark: SparkSession, landingDir: String, archiveDir: String,
                  logDir: String)(process: (String, Int) => Unit): Seq[String] = {
+    val base = completedCount(spark, logDir)
     val files = listFiles(spark, landingDir)
     files.zipWithIndex.foreach { case (file, i) =>
-      process(file, i)
+      process(file, base + i)
       archive(spark, file, archiveDir)
       deleteLogged(spark, file, logDir)
     }

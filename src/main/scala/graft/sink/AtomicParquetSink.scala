@@ -35,18 +35,36 @@ object AtomicParquetSink {
 
   private def pointer(table: String) = new Path(table, "_current")
 
-  /** Resolve the current version directory, if the table exists. */
+  /** Latest complete (_SUCCESS-marked) version dir by name — version
+    * names embed a zero-padded write timestamp so lexicographic max =
+    * newest. Recovery path for a crash inside the pointer swap. */
+  private def latestCompleteVersion(f: FileSystem, tableDir: Path): Option[String] =
+    if (!f.exists(tableDir)) None
+    else f.listStatus(tableDir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-")
+        && f.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName).sorted.lastOption
+
+  /** Resolve the current version directory, if the table exists. A
+    * missing/dangling `_current` (crash inside the delete+rename
+    * window) falls back to the newest complete version dir — the table
+    * NEVER silently reads as absent while committed data exists (that
+    * would make merge callers rebuild from one batch). */
   def currentVersionDir(spark: SparkSession, table: String): Option[String] = {
+    val tableDir = new Path(table)
     val ptr = pointer(table)
     val f = fs(spark, ptr)
-    if (!f.exists(ptr)) None
-    else {
-      val in = f.open(ptr)
-      val name = try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
-      val dir = new Path(table, name)
-      if (f.exists(dir)) Some(dir.toString) else None
-    }
+    val fromPointer =
+      if (!f.exists(ptr)) None
+      else {
+        val in = f.open(ptr)
+        val name = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        val dir = new Path(table, name)
+        if (f.exists(dir)) Some(dir.toString) else None
+      }
+    fromPointer.orElse(
+      latestCompleteVersion(f, tableDir).map(new Path(table, _).toString))
   }
 
   /** Read the current table state (None if never written). */
@@ -61,21 +79,32 @@ object AtomicParquetSink {
     val f = fs(spark, tableDir)
     f.mkdirs(tableDir)
     val old = currentVersionDir(spark, table)
-    val versionName = s"v-${java.util.UUID.randomUUID()}"
+    // timestamped version name: lexicographic max = newest, which is
+    // what pointer-loss recovery in currentVersionDir keys on
+    val versionName =
+      f"v-${System.currentTimeMillis()}%020d-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(new Path(tableDir, versionName).toString)
     // atomic pointer swap: write tmp, rename over _current
     val tmp = new Path(tableDir, s"_current.tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(versionName.getBytes("UTF-8")) finally out.close()
     // Hadoop rename refuses an existing destination on most FSs, so the
-    // common update path is delete+rename. The non-atomic window is
-    // pointer-only: a crash between the two leaves no `_current` (table
-    // reads as absent, both version dirs intact) — never a partial table.
+    // common update path is delete+rename. A crash inside that window
+    // leaves no `_current`, but both version dirs stay intact and
+    // readers recover via latest-complete-version — never data loss,
+    // never a partial table.
     if (!f.rename(tmp, pointer(table))) {
       f.delete(pointer(table), false)
       if (!f.rename(tmp, pointer(table)))
         throw new java.io.IOException(s"pointer swap failed for $table")
     }
-    old.foreach(o => f.delete(new Path(o), true)) // best-effort GC
+    // GC with a one-version grace: keep the immediately-previous dir so
+    // a reader that resolved `_current` just before the swap finishes
+    // its scan; delete anything older (single-writer assumption).
+    val keep = Set(Some(versionName), old.map(new Path(_).getName)).flatten
+    f.listStatus(tableDir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-")
+        && !keep.contains(s.getPath.getName))
+      .foreach(s => f.delete(s.getPath, true))
   }
 }

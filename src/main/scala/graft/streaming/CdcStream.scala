@@ -54,14 +54,15 @@ object CdcStream {
       .repartition(col("file_id"))
       .write.mode("overwrite").partitionBy("file_id").json(dir)
 
-  /** One micro-batch: quality-split, append rejects, version-merge the
-    * accepted rows into the atomic sink. */
+  /** One micro-batch: quality-split, stage rejects (per-batch
+    * overwrite dir — a replayed batch rewrites, never duplicates),
+    * version-merge the accepted rows into the atomic sink. */
   def processBatch(batch: DataFrame, batchId: Long, tableDir: String,
                    rejectedDir: String): Unit = {
     val spark = batch.sparkSession
     val (ok, bad) = CdcOps.qualitySplit(batch, col("event_type") === "error")
     bad.withColumn("_batch_id", lit(batchId))
-      .write.mode("append").parquet(rejectedDir)
+      .write.mode("overwrite").parquet(s"$rejectedDir/batch_$batchId")
     val deduped = CdcOps.latestPerKey(ok, mergeKeys,
       Seq(col("ts_s"), col("event_id")))
     val merged = AtomicParquetSink.read(spark, tableDir) match {

@@ -54,7 +54,9 @@ object IncrementalGold {
                   goldDir: String): DataFrame = {
     val spark = batch.sparkSession
     val dir = stagingDir(goldDir, batchId)
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
       val order = Seq(col("ts_s"), col("event_id"))
       val (ok, _) = CdcOps.qualitySplit(batch, col("event_type") === "error")
       val winners = CdcOps.latestPerKey(ok, Seq("user_id"), order)

@@ -50,11 +50,14 @@ object StreamDedup {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+      // per-batch OVERWRITE dir: a replayed batch (crash between sink
+      // write and checkpoint commit) rewrites its own files instead of
+      // appending survivor duplicates
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir)
   }
 }

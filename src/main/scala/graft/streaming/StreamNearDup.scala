@@ -49,13 +49,24 @@ object StreamNearDup {
       .write.mode("overwrite").partitionBy("file_id").json(dir)
   }
 
-  /** One micro-batch step against (and mutating) the state dirs. */
-  def processBatch(batch: DataFrame, stateDir: String,
+  /** One micro-batch step against (and mutating) the state dirs.
+    *
+    * Replay safety: every verdict filter is `old_id < new_id` — valid
+    * because the feed is id-monotone, and crucially it also fences a
+    * REPLAYED batch (whose own rows may already sit in the state from
+    * the pre-crash run: equal ids are excluded, so a doc never
+    * collides with itself). State/kept writes are per-batch OVERWRITE
+    * dirs, so a replay rewrites the same files instead of appending
+    * duplicates. */
+  def processBatch(batch: DataFrame, batchId: Long, stateDir: String,
                    n: Int = 3, k: Int = 12, bands: Int = 4,
                    tau: Double = 0.8): Unit = {
     val spark = batch.sparkSession
     val rowsPerBand = k / bands
     val sh = Dedup.withHashedShingles(batch, "doc_id", "text", n)
+      // empty shingle sets can't near-dup anything and their all-null
+      // signatures would all share band key md5('') — see Dedup guard
+      .filter(size(col("shingles")) > 0)
       .persist()
     val banded = sh
       .withColumn("sig", GraftFunctions.minhash(spark, col("shingles"), k))
@@ -70,19 +81,21 @@ object StreamNearDup {
     val seenShingles = readOrEmpty(spark, s"$stateDir/shingles",
       "doc_id BIGINT, shingles ARRAY<BIGINT>")
 
-    // candidates: new docs vs earlier docs — earlier batch (any id) or
-    // same batch with smaller id
-    val earlier = seenBands.withColumn("_same_batch", lit(false))
-      .unionByName(banded.withColumn("_same_batch", lit(true)))
+    // candidates: new docs vs ALL banded docs seen so far (state may
+    // already contain this batch after a crash) plus this batch itself;
+    // the strict id inequality picks each unordered pair exactly once
+    // and self-pairs never
+    val earlier = seenBands.unionByName(
+      banded.select("band", "band_key", "doc_id")).distinct()
     val cand = banded.select(col("band"), col("band_key"),
         col("doc_id").as("new_id"))
       .join(earlier.select(col("band"), col("band_key"),
-        col("doc_id").as("old_id"), col("_same_batch")),
+        col("doc_id").as("old_id")),
         Seq("band", "band_key"))
-      .filter(!col("_same_batch") || (col("old_id") < col("new_id")))
+      .filter(col("old_id") < col("new_id"))
       .select("new_id", "old_id").distinct()
 
-    val allShingles = seenShingles.unionByName(sh)
+    val allShingles = seenShingles.unionByName(sh).distinct()
     val dropped = cand
       .join(sh.select(col("doc_id").as("new_id"),
         col("shingles").as("sh_new")), "new_id")
@@ -94,20 +107,23 @@ object StreamNearDup {
 
     batch.select("doc_id", "lang")
       .join(dropped, Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(s"$stateDir/kept")
-    // state append AFTER the verdicts (this batch already unioned in)
+      .write.mode("overwrite").parquet(s"$stateDir/kept/batch_$batchId")
     banded.select("band", "band_key", "doc_id")
-      .write.mode("append").parquet(s"$stateDir/bands")
-    sh.write.mode("append").parquet(s"$stateDir/shingles")
+      .write.mode("overwrite").parquet(s"$stateDir/bands/batch_$batchId")
+    sh.write.mode("overwrite").parquet(s"$stateDir/shingles/batch_$batchId")
     sh.unpersist(); banded.unpersist()
   }
 
-  private def readOrEmpty(spark: SparkSession, dir: String,
-                          ddl: String): DataFrame =
-    if (new java.io.File(dir).exists()) spark.read.parquet(dir)
+  private[streaming] def readOrEmpty(spark: SparkSession, dir: String,
+                                     ddl: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.option("recursiveFileLookup", "true").parquet(dir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
+  }
 
   /** Drain a document feed with incremental near-dup dedup; returns
     * the kept set. */
@@ -121,8 +137,8 @@ object StreamNearDup {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, stateDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, stateDir)
       }
       .start()
     q.awaitTermination()

@@ -71,26 +71,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed == first, "full replay must be idempotent")
   }
 
-  test("quality-rejected rows land in the rejected dir with batch ids") {
+  test("quality-rejected rows land in per-batch rejected dirs with batch ids") {
     val work = tmp()
     CdcStream.runEndToEnd(spark, changes, work)
-    val rejected = spark.read.parquet(s"$work/rejected")
+    val rejected = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$work/rejected")
     assert(rejected.count() == 1)
     assert(rejected.select("event_type").as[String].head() == "error")
     assert(rejected.columns.contains("_batch_id"))
   }
 
-  test("AtomicParquetSink: pointer swap + old-version GC") {
+  test("AtomicParquetSink: pointer swap + GC keeps exactly one grace version") {
     val table = tmp() + "/t"
     assert(AtomicParquetSink.read(spark, table).isEmpty)
     AtomicParquetSink.overwrite(Seq((1, "a")).toDF("k", "v"), table)
     AtomicParquetSink.overwrite(Seq((2, "b")).toDF("k", "v"), table)
+    AtomicParquetSink.overwrite(Seq((3, "c")).toDF("k", "v"), table)
     val state = AtomicParquetSink.read(spark, table).get
       .as[(Int, String)].collect().toSeq
-    assert(state == Seq((2, "b")))
-    // exactly one version dir survives GC
-    val dirs = new java.io.File(table).listFiles().filter(_.isDirectory)
-    assert(dirs.length == 1, s"expected 1 version dir, got ${dirs.toSeq}")
+    assert(state == Seq((3, "c")))
+    // current + one grace version survive GC; older ones are deleted
+    val dirs = new java.io.File(table).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("v-"))
+    assert(dirs.length == 2, s"expected 2 version dirs, got ${dirs.toSeq}")
+  }
+
+  test("AtomicParquetSink: a lost pointer recovers to the newest complete version") {
+    val table = tmp() + "/t"
+    AtomicParquetSink.overwrite(Seq((1, "a")).toDF("k", "v"), table)
+    AtomicParquetSink.overwrite(Seq((2, "b")).toDF("k", "v"), table)
+    // simulate a crash inside the delete+rename pointer swap
+    assert(new java.io.File(s"$table/_current").delete())
+    val state = AtomicParquetSink.read(spark, table)
+    assert(state.isDefined, "committed data must never read as absent")
+    assert(state.get.as[(Int, String)].collect().toSeq == Seq((2, "b")))
   }
 
   test("versioned merge: N-batch fold == 1-batch fold for any split") {
