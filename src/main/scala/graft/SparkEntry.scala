@@ -107,6 +107,10 @@ object SparkEntry {
     "q54_incremental_gold"  -> ((s, d) => CoreQueries.incrementalGold(s, d)),
     // sequential windows: row_number + lag gaps + ROWS-frame rolling sum
     "q55_user_activity"     -> ((s, d) => CoreQueries.userActivity(s, d)),
+    // Spark-native session_window aggregation (builtin twin of q32)
+    "q56_session_window"    -> ((s, d) =>
+      graft.streaming.EventTimeOps.sessionWindowBatch(
+        graft.sources.Tables.events(s, d), "4 hours")),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -750,5 +754,24 @@ object SparkEntry {
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS rolling_value_3
          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)""",
+    "q56_session_window" ->
+      """WITH e AS (SELECT user_id,
+             CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS ts
+           FROM events),
+         d AS (SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 4 HOUR
+                  THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM d)
+         SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           COUNT(*) AS n_events
+         FROM s GROUP BY user_id, sid""",
   )
 }

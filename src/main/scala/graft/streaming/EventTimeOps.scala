@@ -44,6 +44,26 @@ object EventTimeOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** Spark's NATIVE `session_window` aggregation — the built-in
+    * counterpart of [[sessionizeBatch]]'s lag/running-sum form, with
+    * IDENTICAL merge semantics (an event at exactly gap distance
+    * merges — touching windows coalesce, spec-verified), so the two
+    * forms are interchangeable. The window end is last_event + gap by
+    * definition. Works unchanged under `readStream` + watermark —
+    * that is the point of the built-in. */
+  def sessionWindowBatch(events: DataFrame, gap: String): DataFrame =
+    events
+      .select(col("user_id"),
+        to_timestamp(from_unixtime(unix_timestamp(col("ts")))).as("tss"))
+      .groupBy(col("user_id"), session_window(col("tss"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+
   /** Tumbling event-time windows, batch form: per (1-day window,
     * event_type) counts + exact value sums. Uses the real `window()`
     * operator (epoch-aligned UTC buckets — identical to

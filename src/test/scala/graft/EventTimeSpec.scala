@@ -15,6 +15,24 @@ class EventTimeSpec extends AnyFunSuite {
 
   private def t(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("native session_window: boundary-touching events MERGE, end = last + gap") {
+    import graft.streaming.EventTimeOps
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00")),
+      (1L, t("2024-01-01 10:30:00")), // merges (gap 30m < 1h)
+      (1L, t("2024-01-01 11:30:00")), // exactly 1h after -> still merges
+      (1L, t("2024-01-01 12:30:01")), // 1h + 1s -> NEW session
+      (2L, t("2024-01-01 09:00:00")),
+    ).toDF("user_id", "ts")
+    val out = EventTimeOps.sessionWindowBatch(ev, "1 hour")
+      .orderBy("user_id", "session_start")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 12:30:00", 3L),
+      (1L, "2024-01-01 12:30:01", "2024-01-01 13:30:01", 1L),
+      (2L, "2024-01-01 09:00:00", "2024-01-01 10:00:00", 1L)))
+  }
+
   test("sessionizeBatch splits on gaps with deterministic tie-breaks") {
     val ev = Seq(
       (1L, 1L, t("2024-01-01 10:00:00")),
