@@ -6,15 +6,21 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point — the public, config-driven way
-  * to install the engine's native functions into any session:
+  * to install the engine's native surface into any session:
   *
   *   SparkSession.builder()
   *     .config("spark.sql.extensions", "graft.GraftExtensions")
   *
-  * Currently injects `graft_cosine` (codegen'd array cosine,
-  * [[graft.functions.CosineSimilarity]]). Sessions not built with the
-  * extension get late-bound registration via
-  * [[graft.functions.GraftFunctions.ensureRegistered]].
+  * Injects the five native kernels — `graft_cosine` (codegen'd array
+  * cosine), `graft_jaccard` (merge-scan Jaccard of sorted long
+  * arrays), `graft_minhash` (fused k-wide MinHash signature),
+  * `graft_shingles` (fused n-gram hashing), `graft_kmv_distinct`
+  * (mergeable KMV sketch aggregate) — plus the
+  * [[graft.plans.RangeJoinRewrite]] optimizer rule (naive BETWEEN
+  * range joins → bucketized equi-joins). Sessions not built with the
+  * extension get late-bound function registration via
+  * [[graft.functions.GraftFunctions.ensureRegistered]] (the optimizer
+  * rule is extension-only).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

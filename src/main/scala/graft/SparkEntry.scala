@@ -111,6 +111,8 @@ object SparkEntry {
     "q56_session_window"    -> ((s, d) =>
       graft.streaming.EventTimeOps.sessionWindowBatch(
         graft.sources.Tables.events(s, d), "4 hours")),
+    // set algebra: gates INTERSECT split EXCEPT contamination
+    "q57_final_corpus"      -> ((s, d) => LlmQueries.finalCorpusSelect(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -773,5 +775,41 @@ object SparkEntry {
              AS session_end,
            COUNT(*) AS n_events
          FROM s GROUP BY user_id, sid""",
+    "q57_final_corpus" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         gates AS (SELECT doc_id FROM (
+             SELECT doc_id, len(toks) AS n,
+               CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                 / len(toks) AS mean_len,
+               1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                 AS rep_ratio,
+               len(list_filter(toks,
+                 t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS stop_hits
+             FROM w)
+           WHERE n >= 5 AND n <= 1000 AND mean_len >= 2.0 AND mean_len <= 12.0
+             AND stop_hits >= 1 AND rep_ratio <= 0.5),
+         train AS (SELECT doc_id FROM documents
+           WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 100 < 90),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])),
+                 s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))
+             ELSE [] END AS grams
+           FROM documents),
+         corpus AS (SELECT doc_id, unnest(grams) AS gram FROM sh
+           WHERE doc_id % 20 <> 0),
+         bench AS (SELECT DISTINCT unnest(grams) AS gram FROM sh
+           WHERE doc_id % 20 = 0),
+         contaminated AS (SELECT DISTINCT c.doc_id
+           FROM corpus c JOIN bench b ON c.gram = b.gram),
+         sel AS (SELECT doc_id FROM gates
+           INTERSECT SELECT doc_id FROM train
+           EXCEPT SELECT doc_id FROM contaminated)
+         SELECT s.doc_id, d.lang, d.source
+         FROM sel s JOIN documents d ON s.doc_id = d.doc_id""",
   )
 }

@@ -93,6 +93,25 @@ object LlmQueries {
       round(graft.functions.GraftFunctions.kmvDistinct(s, col("text"), 64), 4)
         .as("est_distinct_texts"))
 
+  /** Final training-corpus selection — the set-algebra composition a
+    * real pipeline ends with: docs passing the Gopher gates INTERSECT
+    * the train split EXCEPT benchmark-contaminated docs. Spark plans
+    * INTERSECT/EXCEPT as left-semi/anti aggregates — no sort, same
+    * shuffle shape as the joins they replace. */
+  def finalCorpusSelect(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept = TextOps.gopherQuality(docs)
+      .filter(col("keep")).select("doc_id")
+    val train = graft.sampling.Sampling.withSplit(docs, "doc_id")
+      .filter(col("split") === "train").select("doc_id")
+    val contaminated = Dedup.decontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 3)
+      .select("doc_id")
+    kept.intersect(train).except(contaminated)
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+  }
+
   /** Per-lang distinct-content estimate via the mergeable KMV sketch
     * (k=64), alongside the exact count it approximates — one pass,
     * O(k) state per group. */

@@ -73,6 +73,31 @@ class EventTimeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window works under readStream with watermark (the built-in's point)") {
+    val ms = MemoryStream[Ev](spark)
+    val q = ms.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupBy($"user_id",
+        org.apache.spark.sql.functions.session_window($"ts", "1 hour"))
+      .count()
+      .writeStream.format("memory").queryName("sw_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(Ev(1L, t("2024-01-01 10:00:00")), Ev(1L, t("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      // watermark advance past the session end flushes it
+      ms.addData(Ev(1L, t("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      ms.addData(Ev(1L, t("2024-06-01 00:00:00")))
+      q.processAllAvailable()
+      val flushed = spark.table("sw_out")
+        .select($"user_id", $"session_window.start".cast("string"), $"count")
+        .as[(Long, String, Long)].collect().toSet
+      assert(flushed.contains((1L, "2024-01-01 10:00:00", 2L)),
+        s"merged 2-event session must flush once watermark passes: $flushed")
+    } finally q.stop()
+  }
+
   test("streaming windowed rollup with watermark == batch rollup (complete drain)") {
     val ms = MemoryStream[(Timestamp, String, Double)](spark)
     val stream = ms.toDS().toDF("ts", "event_type", "value")
