@@ -1,0 +1,45 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-files compaction — the table-maintenance op every streaming
+  * ingest needs: micro-batch sinks (per-batch overwrite dirs, appended
+  * rejected rows, kept-set fragments) accumulate files far smaller
+  * than a sane scan unit, and at 100 TB the file COUNT, not the byte
+  * count, becomes the scan/driver bottleneck (listing, task scheduling,
+  * parquet footer reads). Compaction rewrites the tree into
+  * ≈`targetBytes` files through [[AtomicParquetSink]], so readers swap
+  * from fragmented to compacted atomically and a crash mid-compaction
+  * leaves the original tree untouched.
+  */
+object Compaction {
+
+  /** Total bytes of parquet data under `dir` (recursive). */
+  def dataBytes(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var total = 0L
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet")) total += s.getLen
+      }
+      total
+    }
+  }
+
+  /** Compact the (possibly deeply fragmented) parquet tree at `srcDir`
+    * into the atomic table at `table`, sized to ≈targetBytes output
+    * files. Returns the number of output partitions chosen. */
+  def compact(spark: SparkSession, srcDir: String, table: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val bytes = dataBytes(spark, srcDir)
+    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.option("recursiveFileLookup", "true").parquet(srcDir)
+    AtomicParquetSink.overwrite(df.repartition(parts), table)
+    parts
+  }
+}

@@ -201,6 +201,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 7L))
   }
 
+  test("compaction collapses fragmented batch dirs into one atomic table") {
+    import graft.sink.{AtomicParquetSink, Compaction}
+    val work = tmp()
+    // simulate a fragmented streaming sink: 8 tiny per-batch dirs
+    (0 until 8).foreach { b =>
+      Seq((b.toLong, s"row$b")).toDF("id", "v")
+        .repartition(2)
+        .write.parquet(s"$work/frag/batch_$b")
+    }
+    val parts = Compaction.compact(spark, s"$work/frag", s"$work/table")
+    assert(parts == 1) // tiny data -> one file
+    val compacted = AtomicParquetSink.read(spark, s"$work/table").get
+    assert(compacted.count() == 8)
+    assert(compacted.select("id").as[Long].collect().toSet == (0L to 7L).toSet)
+    val files = new java.io.File(
+      AtomicParquetSink.currentVersionDir(spark, s"$work/table").get)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected 1 compacted file, got $files")
+  }
+
   test("streaming dedup state carries ACROSS micro-batches") {
     import graft.streaming.StreamDedup
     val work = tmp()
