@@ -31,10 +31,25 @@ object MockBookings {
     ("new york", "usa"), ("paris", "france"), ("berlin", "germany"),
     ("madrid", "spain"), ("tokyo", "japan"))
 
-  def generate(spark: SparkSession, n: Long): DataFrame = {
+  def generate(spark: SparkSession, n: Long): DataFrame =
+    docsFromIds(spark.range(n))
+
+  /** Streaming form of the feed — the reference generator emits one
+    * document every few seconds into the change feed
+    * (mock_data_in_cosmosdb.py:52); here the rate-micro-batch source
+    * plays that clock and the SAME md5-derived projections build the
+    * documents, so the streamed doc for id i is byte-identical to
+    * [[generate]]'s row i (spec-verified) — a live feed any streaming
+    * operator in this engine can consume directly. */
+  def stream(spark: SparkSession, rowsPerBatch: Int): DataFrame =
+    docsFromIds(spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch).load()
+      .select(col("value").as("id")))
+
+  private def docsFromIds(ids: org.apache.spark.sql.Dataset[_]): DataFrame = {
     val cityArr = cities.map(_._1).map(c => s"'$c'").mkString("array(", ", ", ")")
     val countryArr = cities.map(_._2).map(c => s"'$c'").mkString("array(", ", ", ")")
-    spark.range(n).selectExpr(
+    ids.selectExpr(
       "md5(concat('bk', id)) as booking_id",
       s"pmod(${h("cu")}, 100) + 1 as customer_id",
       // 100.0D: a bare 100.0 parses as DECIMAL(4,1) in Spark SQL and the

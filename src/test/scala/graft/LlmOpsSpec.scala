@@ -188,6 +188,34 @@ class LlmOpsSpec extends AnyFunSuite {
       == MockBookings.generate(spark, 50L).collect().toSeq)
   }
 
+  test("MockBookings.stream emits byte-identical docs to the batch generator") {
+    import graft.sources.MockBookings
+    val q = MockBookings.stream(spark, rowsPerBatch = 25)
+      .writeStream.format("memory").queryName("mock_stream")
+      .outputMode("append").start()
+    try {
+      // the rate source is unbounded (processAllAvailable would never
+      // return) — poll until the first batch lands
+      val deadline = System.currentTimeMillis() + 120000
+      while (spark.table("mock_stream").count() < 25
+        && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val streamed = spark.table("mock_stream")
+      // names+types must match; nullability differs only because the
+      // rate source's value column is nullable where range's id is not
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType.sql)).toSeq
+      assert(shape(streamed.schema)
+        == shape(MockBookings.generate(spark, 1L).schema))
+      val n = streamed.count()
+      assert(n >= 25, s"expected at least one 25-row batch, got $n")
+      // determinism: the streamed prefix equals the batch generator's
+      val a = streamed.orderBy("booking_id").limit(25).collect().toSeq
+      val b = MockBookings.generate(spark, n).orderBy("booking_id")
+        .limit(25).collect().toSeq
+      assert(a == b)
+    } finally q.stop()
+  }
+
   test("MockBookings.dataflow: quality gate + ms stay_duration + struct flatten") {
     import graft.sources.MockBookings
     val out = MockBookings.dataflow(MockBookings.generate(spark, 2000L))
