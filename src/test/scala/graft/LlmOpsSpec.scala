@@ -208,11 +208,13 @@ class LlmOpsSpec extends AnyFunSuite {
         == shape(MockBookings.generate(spark, 1L).schema))
       val n = streamed.count()
       assert(n >= 25, s"expected at least one 25-row batch, got $n")
-      // determinism: the streamed prefix equals the batch generator's
-      val a = streamed.orderBy("booking_id").limit(25).collect().toSeq
-      val b = MockBookings.generate(spark, n).orderBy("booking_id")
-        .limit(25).collect().toSeq
-      assert(a == b)
+      // determinism: the first batch (ids 0-24) must be byte-identical
+      // to the batch generator's rows 0-24; set-inclusion because the
+      // live stream keeps appending while we assert
+      val got = streamed.collect().toSet
+      val expected = MockBookings.generate(spark, 25L).collect().toSet
+      assert(expected.subsetOf(got),
+        s"missing: ${expected.diff(got).take(3)}")
     } finally q.stop()
   }
 

@@ -201,6 +201,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 7L))
   }
 
+  test("LIVE speed layer: rate feed -> dataflow -> versioned merge, end to end") {
+    import graft.sources.MockBookings
+    import graft.sink.AtomicParquetSink
+    val work = tmp()
+    // the reference's topology, live: generator -> T1/T2/T5 dataflow ->
+    // keyed versioned upsert into the fact sink, one merge per batch
+    val q = MockBookings.stream(spark, rowsPerBatch = 40)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // T5 drops the raw booking_date (faithful to the reference
+        // projection) — reattach it as the merge's version column, the
+        // same role the fact table's timestamp plays in the reference
+        val cooked = MockBookings.dataflow(batch)
+          .join(batch.select($"booking_id", $"booking_date"), "booking_id")
+        val merged = AtomicParquetSink.read(spark, s"$work/fact") match {
+          case Some(ex) => CdcOps.mergeUpsertVersioned(ex, cooked,
+            Seq("booking_id"), Seq(col("booking_date")))
+          case None => cooked
+        }
+        AtomicParquetSink.overwrite(merged, s"$work/fact")
+      }
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      def factRows(): Long = AtomicParquetSink.read(spark, s"$work/fact")
+        .map(_.count()).getOrElse(0L)
+      while (factRows() < 60 && System.currentTimeMillis() < deadline)
+        Thread.sleep(300)
+      q.stop()
+      val fact = AtomicParquetSink.read(spark, s"$work/fact").get
+      val n = fact.count()
+      assert(n >= 60, s"live pipeline should have merged 2+ batches, got $n")
+      // merge invariant: booking_id is unique in the sink
+      assert(fact.select("booking_id").distinct().count() == n)
+      // the T1 gate ran: no negative stays survive
+      assert(fact.filter($"stay_duration" < 0).count() == 0)
+    } finally if (q.isActive) q.stop()
+  }
+
   test("compaction collapses fragmented batch dirs into one atomic table") {
     import graft.sink.{AtomicParquetSink, Compaction}
     val work = tmp()
