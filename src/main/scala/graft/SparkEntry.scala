@@ -119,6 +119,23 @@ object SparkEntry {
   // second-precision strftime for event timestamps (ns parquet),
   // DECIMAL-routed money sums, BIGINT-aligned integer outputs,
   // deterministic window tie-breaks on (formatted ts, key).
+  /** Shared CTE block: trigram 60-bit shingle hashes split into the
+    * corpus/benchmark halves — used verbatim by BOTH q41 and q57 so
+    * the contamination definition can never drift between them. */
+  private val contaminationCtes: String =
+    """sh AS (SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])),
+                 s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))
+             ELSE [] END AS grams
+           FROM documents),
+         corpus AS (SELECT doc_id, unnest(grams) AS gram FROM sh
+           WHERE doc_id % 20 <> 0),
+         bench AS (SELECT DISTINCT unnest(grams) AS gram FROM sh
+           WHERE doc_id % 20 = 0)"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_gold_agg" ->
       """SELECT n_name AS country, COUNT(*) AS total_bookings,
@@ -551,18 +568,7 @@ object SparkEntry {
            w[CAST(p * 32 + 1 AS INT)] AS first_token
          FROM d, unnest(range(CAST(ceil(n / 32.0) AS BIGINT))) AS t(p)""",
     "q41_decontaminate" ->
-      """WITH sh AS (SELECT doc_id,
-             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-               list_distinct(list_transform(
-                 list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])),
-                 s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))
-             ELSE [] END AS grams
-           FROM documents),
-         corpus AS (SELECT doc_id, unnest(grams) AS gram FROM sh
-           WHERE doc_id % 20 <> 0),
-         bench AS (SELECT DISTINCT unnest(grams) AS gram FROM sh
-           WHERE doc_id % 20 = 0)
+      s"""WITH $contaminationCtes
          SELECT c.doc_id, COUNT(*) AS n_contaminated_ngrams
          FROM corpus c JOIN bench b ON c.gram = b.gram
          GROUP BY 1""",
@@ -776,7 +782,7 @@ object SparkEntry {
            COUNT(*) AS n_events
          FROM s GROUP BY user_id, sid""",
     "q57_final_corpus" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
            FROM documents),
          gates AS (SELECT doc_id FROM (
              SELECT doc_id, len(toks) AS n,
@@ -792,18 +798,7 @@ object SparkEntry {
          train AS (SELECT doc_id FROM documents
            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
                    AS BIGINT) % 100 < 90),
-         sh AS (SELECT doc_id,
-             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-               list_distinct(list_transform(
-                 list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])),
-                 s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))
-             ELSE [] END AS grams
-           FROM documents),
-         corpus AS (SELECT doc_id, unnest(grams) AS gram FROM sh
-           WHERE doc_id % 20 <> 0),
-         bench AS (SELECT DISTINCT unnest(grams) AS gram FROM sh
-           WHERE doc_id % 20 = 0),
+         $contaminationCtes,
          contaminated AS (SELECT DISTINCT c.doc_id
            FROM corpus c JOIN bench b ON c.gram = b.gram),
          sel AS (SELECT doc_id FROM gates

@@ -33,10 +33,18 @@ object Compaction {
 
   /** Compact the (possibly deeply fragmented) parquet tree at `srcDir`
     * into the atomic table at `table`, sized to ≈targetBytes output
-    * files. Returns the number of output partitions chosen. */
+    * files. Returns the number of output partitions chosen; 0 = no-op
+    * (missing dir or no parquet data — normal for e.g. a rejected-rows
+    * tree that never saw an error row).
+    *
+    * Concurrency contract: run against a QUIESCED source (between
+    * drains, or on a snapshot) — a live sink rewriting per-batch dirs
+    * mid-compaction can invalidate the captured file listing. The
+    * write side is safe regardless (the atomic table swaps or not). */
   def compact(spark: SparkSession, srcDir: String, table: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
     val bytes = dataBytes(spark, srcDir)
+    if (bytes == 0L) return 0
     val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.option("recursiveFileLookup", "true").parquet(srcDir)
     AtomicParquetSink.overwrite(df.repartition(parts), table)

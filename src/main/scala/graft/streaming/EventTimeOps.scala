@@ -53,8 +53,7 @@ object EventTimeOps {
     * that is the point of the built-in. */
   def sessionWindowBatch(events: DataFrame, gap: String): DataFrame =
     events
-      .select(col("user_id"),
-        to_timestamp(from_unixtime(unix_timestamp(col("ts")))).as("tss"))
+      .select(col("user_id"), date_trunc("second", col("ts")).as("tss"))
       .groupBy(col("user_id"), session_window(col("tss"), gap))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),

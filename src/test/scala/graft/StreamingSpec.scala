@@ -225,8 +225,14 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       val deadline = System.currentTimeMillis() + 120000
-      def factRows(): Long = AtomicParquetSink.read(spark, s"$work/fact")
-        .map(_.count()).getOrElse(0L)
+      // the live writer keeps swapping versions; a resolved version dir
+      // can be GC'd mid-count (the grace window covers one swap, not
+      // two) — treat a torn read as "try again", it is not a failure
+      def factRows(): Long =
+        try AtomicParquetSink.read(spark, s"$work/fact")
+          .map(_.count()).getOrElse(0L)
+        catch { case _: org.apache.spark.SparkException
+                   | _: java.io.FileNotFoundException => 0L }
       while (factRows() < 60 && System.currentTimeMillis() < deadline)
         Thread.sleep(300)
       q.stop()
