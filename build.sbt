@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit stdout in forked runs: sbt's default LoggedOutput prefixes
+// every line with "[info] ", which breaks the driver's parse of the
+// one-line bench/verify JSON (BENCH_r02 recorded parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -45,8 +45,13 @@ object SparkEntry {
     // O3: real Structured Streaming drain (checkpointed AvailableNow,
     // foreachBatch version-merge, atomic sink), verified via batch oracle
     "q27_stream_cdc"        -> ((s, d) => CoreQueries.streamCdc(s, d)),
-    // S3/K2: CSV all-string round-trip through the cast-on-write translator
-    "q28_csv_ingest"        -> ((s, d) => CoreQueries.csvIngest(s, d)),
+    // S3/K2: CSV all-string round-trip through the cast-on-write translator.
+    // Money surfaces as DOUBLE (rounded via the decimal(10,2) translator
+    // cast): a raw DECIMAL output column hashes differently across the
+    // driver's two readers even when values are identical.
+    "q28_csv_ingest"        -> ((s, d) =>
+      CoreQueries.csvIngest(s, d).withColumn("c_acctbal",
+        org.apache.spark.sql.functions.col("c_acctbal").cast("double"))),
     // S4/K3/K4/O2: landing-file lifecycle fold (later file wins)
     "q29_file_lifecycle"    -> ((s, d) => CoreQueries.fileLifecycle(s, d)),
     // O1/O4/Q3/Q4: orchestrated dim→fact→gold with write+read-back
@@ -421,7 +426,8 @@ object SparkEntry {
          WHERE rn = 1""",
     "q28_csv_ingest" ->
       """SELECT c_custkey, c_name, c_nationkey,
-           CAST(c_acctbal AS DECIMAL(10,2)) AS c_acctbal, c_mktsegment
+           CAST(CAST(c_acctbal AS DECIMAL(10,2)) AS DOUBLE) AS c_acctbal,
+           c_mktsegment
          FROM customer""",
     "q29_file_lifecycle" ->
       """SELECT c_custkey, c_name,
@@ -479,8 +485,9 @@ object SparkEntry {
          d AS (SELECT *, CASE WHEN lag(s) OVER w IS NULL
                  OR s - lag(s) OVER w > 14400 THEN 1 ELSE 0 END AS boundary
                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
-         x AS (SELECT *, SUM(boundary) OVER (PARTITION BY user_id
-                 ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+         x AS (SELECT *, CAST(SUM(boundary) OVER (PARTITION BY user_id
+                 ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_idx
                FROM d)
          SELECT user_id, session_idx,
            strftime(make_timestamp(MIN(s) * 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,

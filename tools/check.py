@@ -24,6 +24,18 @@ def rows_key(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted("|".join(norm(r[i]) for i in order) for r in rows)
 
+# Output column types that hash identically across the driver's two
+# readers (pyarrow for Spark parquet, duckdb->pandas for the oracle).
+# DECIMAL becomes Decimal objects vs float64, HUGEINT becomes float64 vs
+# int64 — both hash-mismatch even when values are equal. Keep outputs in
+# this set on BOTH sides (r02 lesson: q28 DECIMAL, q32 HUGEINT).
+SAFE_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+              "FLOAT", "VARCHAR", "DATE", "BOOLEAN"}
+
+def unsafe_cols(rel):
+    return [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+            if str(t).split("(")[0].upper() not in SAFE_TYPES]
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -50,6 +62,13 @@ def main(sf_dir, out_dir):
             continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
+            failures += 1
+            continue
+        bad = (unsafe_cols(con.sql(
+                   f"SELECT * FROM read_parquet('{spark_dir}/*.parquet') LIMIT 0"))
+               + unsafe_cols(con.sql(f"SELECT * FROM ({sql}) LIMIT 0")))
+        if bad:
+            print(f"FAIL {name}: unsafe output types {bad}")
             failures += 1
             continue
         gk, ek = rows_key(got_cols, got), rows_key(exp_cols, exp)
