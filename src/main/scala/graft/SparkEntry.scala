@@ -118,6 +118,12 @@ object SparkEntry {
         graft.sources.Tables.events(s, d), "4 hours")),
     // set algebra: gates INTERSECT split EXCEPT contamination
     "q57_final_corpus"      -> ((s, d) => LlmQueries.finalCorpusSelect(s, d)),
+    // round-3 extensions: SimHash near-dup pairs, connected-components
+    // dedup clustering, BM25 retrieval, per-group top-k
+    "q58_simhash_pairs"     -> ((s, d) => LlmQueries.simhashPairs(s, d)),
+    "q59_dedup_groups"      -> ((s, d) => LlmQueries.dedupGroups(s, d)),
+    "q60_bm25_search"       -> ((s, d) => LlmQueries.bm25Search(s, d)),
+    "q61_grouped_topk"      -> ((s, d) => CoreQueries.groupedTopK(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -813,5 +819,99 @@ object SparkEntry {
            EXCEPT SELECT doc_id FROM contaminated)
          SELECT s.doc_id, d.lang, d.source
          FROM sel s JOIN documents d ON s.doc_id = d.doc_id""",
+    "q58_simhash_pairs" ->
+      """WITH tm AS (SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')),
+               t -> md5(t)) AS tok_md5
+           FROM documents),
+         sh AS (SELECT doc_id,
+             CAST(list_sum([CASE WHEN list_sum(list_transform(tok_md5,
+                   h -> (ascii(substr(h, b + 1, 1)) % 2) * 2 - 1)) > 0
+                 THEN CAST(1 AS BIGINT) << b ELSE 0 END
+               FOR b IN range(32)]) AS BIGINT) AS sh
+           FROM tm),
+         bands AS (SELECT doc_id, sh, b, (sh >> (b * 8)) % 256 AS bkey
+           FROM sh, unnest(range(4)) AS t(b)),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.sh AS sh_a, y.sh AS sh_b
+           FROM bands x JOIN bands y
+             ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
+    "q59_dedup_groups" ->
+      """WITH RECURSIVE str AS (SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+             ELSE [] END AS shingles
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS shingles
+           FROM str),
+         sig AS (SELECT doc_id, shingles,
+             [list_min(list_transform(shingles, x ->
+                (((2654435761 * (h + 1)) % 1073741789) * (x // 1073741824)
+                 + ((2246822519 * (h + 1)) % 1073741789) * (x % 1073741824)
+                 + h) % 1073741789)) FOR h IN range(12)] AS sig
+           FROM sh),
+         bands AS (SELECT doc_id, b,
+             md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3])) AS band_key
+           FROM sig, unnest(range(4)) AS t(b)),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bands x JOIN bands y
+             ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         j AS (SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+           FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id),
+         und AS (SELECT doc_a AS a, doc_b AS b FROM j WHERE jaccard >= 0.8
+                 UNION
+                 SELECT doc_b, doc_a FROM j WHERE jaccard >= 0.8),
+         reach(id, lbl) AS (
+           SELECT a, a FROM und
+           UNION
+           SELECT u.a, r.lbl FROM und u JOIN reach r ON u.b = r.id),
+         comp AS (SELECT id, MIN(lbl) AS canonical FROM reach GROUP BY id)
+         SELECT id AS doc_id, canonical AS canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT)
+             AS cluster_size
+         FROM comp""",
+    "q60_bm25_search" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             AVG(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+           WHERE tok IN ('merge', 'stream', 'window') GROUP BY doc_id, tok),
+         dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         s AS (SELECT tf.doc_id,
+             ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+           FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id)
+           CROSS JOIN stats),
+         sc AS (SELECT doc_id, round(SUM(s), 4) AS score4 FROM s
+           GROUP BY doc_id)
+         SELECT doc_id, rank, score4 FROM (
+           SELECT doc_id, score4,
+             CAST(row_number() OVER (ORDER BY score4 DESC, doc_id ASC)
+               AS BIGINT) AS rank
+           FROM sc)
+         WHERE rank <= 20""",
+    "q61_grouped_topk" ->
+      """WITH rev AS (SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+           FROM orders GROUP BY o_custkey)
+         SELECT nation, o_custkey, revenue, rnk FROM (
+           SELECT n_name AS nation, o_custkey, revenue,
+             CAST(row_number() OVER (PARTITION BY n_name
+               ORDER BY revenue DESC, o_custkey ASC) AS BIGINT) AS rnk
+           FROM rev JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey)
+         WHERE rnk <= 3""",
   )
 }

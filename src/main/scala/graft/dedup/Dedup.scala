@@ -191,6 +191,113 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
 
+  /** SimHash near-duplicate pairs: 32-bit SimHash per doc, banded into
+    * four 8-bit bands; docs sharing ANY (band, byte) bucket become
+    * candidates; exact verify keeps pairs with Hamming distance ≤
+    * `maxHamming` of the full hash. Pigeonhole gives EXACT recall: ≤ 3
+    * flipped bits can touch at most 3 of the 4 bands, so one band is
+    * always untouched and the pair always shares a bucket.
+    *
+    * Scale: the self-join is an equi-join on (band, byte) — 4×256
+    * buckets here (demo width; production widens to a 64-bit SimHash
+    * with 16-bit bands = 65536 buckets/band, same plan). Never
+    * all-pairs: each doc contributes `bands` rows to the shuffle. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val bits = 32; val bands = 4; val bandBits = bits / bands
+    val sh = docs
+      .select(col(idCol).as("id"), expr(
+        s"transform(array_distinct(split($textCol, ' ')), t -> md5(t))")
+        .as("tok_md5"))
+      .select(col("id"),
+        graft.text.TextOps.simhashK("tok_md5", bits).as("sh"))
+    val banded = sh
+      .select(col("id"), col("sh"), posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+           |  b -> shiftright(sh, b * $bandBits) % ${1 << bandBits})"""
+          .stripMargin)))
+      .select(col("id"), col("sh"), col("pos").as("band"),
+        col("col").as("bkey"))
+      // same persist rationale as lshCandidates: O(docs×bands) tiny
+      // rows feeding both sides of the self-join
+      .persist()
+    val a = banded.select(col("id").as("doc_a"), col("sh").as("sh_a"),
+      col("band"), col("bkey"))
+    val b = banded.select(col("id").as("doc_b"), col("sh").as("sh_b"),
+      col("band"), col("bkey"))
+    val result = a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming",
+        expr("cast(bit_count(sh_a ^ sh_b) as bigint)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .persist()
+    result.count()
+    banded.unpersist()
+    result
+  }
+
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every vertex starts labelled with itself;
+    * each round takes the min of its own label and its neighbours'
+    * labels; fixpoint = per-component minimum vertex id.
+    *
+    * Scale: each round is one equi-join + one partial-aggregated
+    * groupBy on the edge list — rounds needed = graph diameter, which
+    * for near-dup clusters is small (dup clusters are dense). For
+    * adversarial high-diameter graphs the published fix is
+    * large-star/small-star (Kiveris et al. 2014, "Connected Components
+    * in MapReduce and Beyond") — same join-per-round shape, O(log²)
+    * rounds; not needed for dedup workloads. `localCheckpoint` per
+    * round truncates the exponentially-growing lineage. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val und = edges.select(col(aCol).cast(LongType).as("src"),
+      col(bCol).cast(LongType).as("dst"))
+    val sym = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"),
+          col("label").as("nlabel")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlabel")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-duplicate GROUPS: MinHash-LSH pairs → connected components →
+    * (doc, canonical = component-min doc, cluster size). This is the
+    * step a real corpus dedup needs after pair generation — "keep one
+    * doc per cluster" is canonical_id = doc_id. */
+  def dedupGroups(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, k: Int = 12, bands: Int = 4,
+                  tau: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, n, k, bands, tau)
+    val cc = connectedComponents(pairs, "doc_a", "doc_b")
+    cc.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("canonical_id")))
+  }
+
   /** Exact (hash-keyed) dedup: group by content md5, keep min id and
     * copy count. The groupBy gets map-side partial aggregation; at
     * 100 TB this is one shuffle on a 32-hex key. */

@@ -338,6 +338,31 @@ object CoreQueries {
       .orderBy(col("revenue").desc, col("o_custkey").asc)
       .limit(10)
 
+  /** Per-group top-k (extension): top-3 customers by order revenue
+    * WITHIN each nation — rank window partitioned by the group key,
+    * deterministic (revenue DESC, custkey) order, filter rank ≤ k.
+    * Scale: the window shuffles once on nation (25 groups here — at
+    * real cardinality the partition count is the group count, and a
+    * hot group sorts within one partition; for few-groups/huge-rows
+    * shapes pre-aggregate per (group, key) first, as done here via the
+    * revenue groupBy, so the window sorts keys not line items). */
+  def groupedTopK(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("nation")
+      .orderBy(col("revenue").desc, col("o_custkey").asc)
+    rev
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("o_custkey"), col("revenue"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+  }
+
   /** O3+K1 — the ACTUAL streaming path end-to-end: dump the change log
     * as JSON file groups, drain them through a checkpointed
     * Trigger.AvailableNow stream (2 files per micro-batch) whose

@@ -140,6 +140,22 @@ object LlmQueries {
     Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
       n = 3, k = 12, bands = 4, tau = 0.8)
 
+  /** SimHash near-dup pairs: 32-bit fingerprints, four 8-bit bands,
+    * Hamming ≤ 3 — exact recall at that radius by pigeonhole. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text")
+
+  /** Near-dup CLUSTERS: MinHash-LSH pairs → connected components →
+    * (doc, canonical doc = component min, cluster size). */
+  def dedupGroups(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupGroups(Tables.documents(s, d), "doc_id", "text",
+      n = 3, k = 12, bands = 4, tau = 0.8)
+
+  /** BM25 keyword search: top-20 docs for a fixed 3-term query. */
+  def bm25Search(s: SparkSession, d: String): DataFrame =
+    graft.search.Search.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+      Seq("merge", "stream", "window"), topK = 20)
+
   /** Blocked word-bigram Jaccard near-dup pairs (lang + length-bucket
     * blocking), tau = 0.5. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,68 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Full-text relevance search over a document corpus — the retrieval
+  * primitive a training-data pipeline uses for corpus exploration and
+  * targeted selection ("all docs about X, best first").
+  *
+  * BM25 (Robertson/Spärck Jones probabilistic relevance framework;
+  * public formula) with the standard k1/b parametrization. Everything
+  * is computed as one declarative plan: token explode → per-doc tf for
+  * the query terms only → df per term → score → top-k.
+  *
+  * Scale shape at 100 TB:
+  *  - the token explode is filtered to the QUERY TERMS before any
+  *    shuffle — per doc only O(matching tokens) rows move, not the
+  *    whole posting universe;
+  *  - df and the (n_docs, avgdl) corpus stats are tiny aggregates,
+  *    broadcast back (two single-digit-row build sides);
+  *  - the final top-k is `row_number ≤ k` over a rounded score — at
+  *    scale swap for `orderBy(...).limit(k)` (TakeOrderedAndProject)
+  *    when per-query; window form kept here because the oracle needs
+  *    the rank column.
+  * A real search deployment precomputes (doc_id, term, tf, dl) as an
+  * inverted-index table and reuses it across queries — same plan from
+  * the tf stage down.
+  */
+object Search {
+
+  /** BM25 top-k: score `docs` against `queryTerms`, return the top
+    * `topK` docs as (doc_id, rank, score4). Score is rounded to 4 dp
+    * BEFORE ranking so ordering (and therefore the k-cut) is identical
+    * in any IEEE-754 engine; ties break on doc_id. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], topK: Int = 20): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast(LongType).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(queryTerms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // literals spelled exactly as in the SQL oracle (2.2 = k1+1,
+    // 0.25 = 1-b) — deriving them arithmetically could differ in the
+    // last ulp from the engine's decimal-literal parse
+    val scored = tf
+      .join(broadcast(dfq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2)
+             * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum(col("s")), 4).as("score4"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score4").desc, col("doc_id").asc))
+        .cast(LongType))
+      .filter(col("rank") <= topK)
+      .select("doc_id", "rank", "score4")
+  }
+}

@@ -131,6 +131,19 @@ object TextOps {
        |      (a2, t) -> a2 + (ascii(substring(md5(t), b + 1, 1)) % 2) * 2 - 1) > 0,
        |    shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
 
+  /** K-bit SimHash over a PRECOMPUTED column of per-token md5 strings
+    * (one md5 per distinct token, hoisted — [[simhash16]] recomputes
+    * `split`+`md5` inside the per-bit lambda, which is O(bits·len) per
+    * doc; this form is O(len + bits·tokens)). Same vote rule: bit b set
+    * iff the sum over tokens of ±1 (hex digit b of the token's md5 odd
+    * → +1) is positive. bits ≤ 32 (md5 has 32 hex digits). */
+  def simhashK(tokenMd5Col: String, bits: Int): Column = expr(
+    s"""aggregate(sequence(0, ${bits - 1}), cast(0 as bigint), (acc, b) ->
+       |  acc + IF(
+       |    aggregate($tokenMd5Col, 0,
+       |      (a2, h) -> a2 + (ascii(substring(h, b + 1, 1)) % 2) * 2 - 1) > 0,
+       |    shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
+
   /** doc fingerprints query: rolling hash + simhash per document. */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
