@@ -124,6 +124,7 @@ object SparkEntry {
     "q59_dedup_groups"      -> ((s, d) => LlmQueries.dedupGroups(s, d)),
     "q60_bm25_search"       -> ((s, d) => LlmQueries.bm25Search(s, d)),
     "q61_grouped_topk"      -> ((s, d) => CoreQueries.groupedTopK(s, d)),
+    "q62_sql_native"        -> ((s, d) => CoreQueries.sqlNativeKernels(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -913,5 +914,19 @@ object SparkEntry {
            FROM rev JOIN customer ON o_custkey = c_custkey
            JOIN nation ON c_nationkey = n_nationkey)
          WHERE rnk <= 3""",
+    "q62_sql_native" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+         sc AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(q.v) + 1),
+                 i -> q.v[i] * e.v[i])) /
+               (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(e.v, x -> x * x)))), 5) AS cos5
+           FROM q JOIN e ON q.vec_id <> e.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos5 DESC, neighbor_id) AS rnk FROM sc)
+         SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos5
+         FROM r WHERE rnk <= 5""",
   )
 }

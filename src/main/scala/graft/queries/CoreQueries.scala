@@ -204,6 +204,31 @@ object CoreQueries {
         |HAVING count(1) >= 2""".stripMargin)
   }
 
+  /** SQL front-end × native kernels: the engine's OWN registered
+    * functions (`graft_cosine` here) driven from ANSI SQL text — the
+    * integration a user of the extension sees after
+    * `spark.sql.extensions=graft.GraftExtensions` (this entry uses the
+    * late-bind path so it works in any session). Exact cosine top-5
+    * for 5 query vectors; the tiny query side broadcasts, so the
+    * inequality join is one streaming pass over the corpus per
+    * partition, not a shuffle. */
+  def sqlNativeKernels(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    Tables.embeddings(s, d).createOrReplaceTempView("embeddings_v")
+    s.sql(
+      """WITH e AS (SELECT vec_id,
+        |    transform(embedding, x -> cast(x as double)) AS v
+        |  FROM embeddings_v),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+        |sc AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    round(graft_cosine(q.v, e.v), 5) AS cos5
+        |  FROM q JOIN e ON q.vec_id != e.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos5 DESC, neighbor_id) AS rnk FROM sc)
+        |SELECT query_id, cast(rnk AS BIGINT) AS rank, neighbor_id, cos5
+        |FROM r WHERE rnk <= 5""".stripMargin)
+  }
+
   /** AS-OF (point-in-time) left join: every 5th event plays a "dim
     * version" row; each remaining event picks up the latest version at
     * or before its own timestamp, per user — via the one-shuffle
