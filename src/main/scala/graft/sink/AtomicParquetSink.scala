@@ -71,9 +71,43 @@ object AtomicParquetSink {
   def read(spark: SparkSession, table: String): Option[DataFrame] =
     currentVersionDir(spark, table).map(spark.read.parquet(_))
 
+  /** All complete (committed) version names, oldest → newest. Version
+    * names embed the write timestamp, so this IS the table history. */
+  def versions(spark: SparkSession, table: String): Seq[String] = {
+    val tableDir = new Path(table)
+    val f = fs(spark, tableDir)
+    if (!f.exists(tableDir)) Seq.empty
+    else f.listStatus(tableDir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-")
+        && f.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName).sorted
+  }
+
+  /** Time travel: read one named immutable snapshot (from
+    * [[versions]]). Immutability is what makes this safe to hand to a
+    * long-running job while writers keep committing. */
+  def readVersion(spark: SparkSession, table: String,
+                  version: String): DataFrame =
+    spark.read.parquet(new Path(table, version).toString)
+
+  /** Time travel by timestamp: the newest snapshot committed at or
+    * before `asOfMillis` (None if the table didn't exist yet). The
+    * write millis are parsed straight out of the version name. */
+  def readAsOf(spark: SparkSession, table: String,
+               asOfMillis: Long): Option[DataFrame] =
+    versions(spark, table)
+      .filter(v => v.substring(2, 22).toLong <= asOfMillis)
+      .lastOption
+      .map(readVersion(spark, table, _))
+
   /** Atomically replace the table contents: write a fresh version dir,
-    * rename a pointer tempfile over `_current`, then GC old versions. */
-  def overwrite(df: DataFrame, table: String): Unit = {
+    * rename a pointer tempfile over `_current`, then GC old versions.
+    * `retainVersions` is the time-travel retention window: how many
+    * newest committed snapshots survive GC (min 2 — the current
+    * version plus one grace version for readers that resolved the
+    * pointer just before the swap). */
+  def overwrite(df: DataFrame, table: String,
+                retainVersions: Int = 2): Unit = {
     val spark = df.sparkSession
     val tableDir = new Path(table)
     val f = fs(spark, tableDir)
@@ -98,10 +132,15 @@ object AtomicParquetSink {
       if (!f.rename(tmp, pointer(table)))
         throw new java.io.IOException(s"pointer swap failed for $table")
     }
-    // GC with a one-version grace: keep the immediately-previous dir so
-    // a reader that resolved `_current` just before the swap finishes
-    // its scan; delete anything older (single-writer assumption).
-    val keep = Set(Some(versionName), old.map(new Path(_).getName)).flatten
+    // GC respecting the retention window: keep the newest
+    // `retainVersions` committed snapshots (>= current + one grace for
+    // a reader that resolved `_current` just before the swap), plus
+    // the just-superseded dir regardless; delete anything older
+    // (single-writer assumption).
+    val retained = versions(spark, table)
+      .takeRight(math.max(retainVersions, 2)).toSet
+    val keep = retained ++
+      Set(Some(versionName), old.map(new Path(_).getName)).flatten
     f.listStatus(tableDir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-")
         && !keep.contains(s.getPath.getName))

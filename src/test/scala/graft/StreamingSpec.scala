@@ -96,6 +96,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(dirs.length == 2, s"expected 2 version dirs, got ${dirs.toSeq}")
   }
 
+  test("AtomicParquetSink: time travel reads retained snapshots by name and timestamp") {
+    val table = tmp() + "/t"
+    AtomicParquetSink.overwrite(Seq((1, "a")).toDF("k", "v"), table,
+      retainVersions = 3)
+    AtomicParquetSink.overwrite(Seq((2, "b")).toDF("k", "v"), table,
+      retainVersions = 3)
+    AtomicParquetSink.overwrite(Seq((3, "c")).toDF("k", "v"), table,
+      retainVersions = 3)
+    val vs = AtomicParquetSink.versions(spark, table)
+    assert(vs.length == 3, s"retention window of 3 must keep 3: $vs")
+    // each snapshot is intact and immutable
+    val states = vs.map(v => AtomicParquetSink
+      .readVersion(spark, table, v).as[(Int, String)].collect().toSeq)
+    assert(states == Seq(Seq((1, "a")), Seq((2, "b")), Seq((3, "c"))))
+    // as-of semantics: newest snapshot committed at or before the time
+    val midTs = vs(1).substring(2, 22).toLong
+    assert(AtomicParquetSink.readAsOf(spark, table, midTs).get
+      .as[(Int, String)].collect().toSeq == Seq((2, "b")))
+    assert(AtomicParquetSink.readAsOf(spark, table,
+      vs.head.substring(2, 22).toLong - 1).isEmpty)
+    // a 4th write GCs the oldest, keeping the newest 3
+    AtomicParquetSink.overwrite(Seq((4, "d")).toDF("k", "v"), table,
+      retainVersions = 3)
+    val after = AtomicParquetSink.versions(spark, table)
+    assert(after.length == 3 && !after.contains(vs.head))
+    assert(AtomicParquetSink.read(spark, table).get
+      .as[(Int, String)].collect().toSeq == Seq((4, "d")))
+  }
+
   test("AtomicParquetSink: a lost pointer recovers to the newest complete version") {
     val table = tmp() + "/t"
     AtomicParquetSink.overwrite(Seq((1, "a")).toDF("k", "v"), table)
