@@ -125,6 +125,8 @@ object SparkEntry {
     "q60_bm25_search"       -> ((s, d) => LlmQueries.bm25Search(s, d)),
     "q61_grouped_topk"      -> ((s, d) => CoreQueries.groupedTopK(s, d)),
     "q62_sql_native"        -> ((s, d) => CoreQueries.sqlNativeKernels(s, d)),
+    "q63_window_suite"      -> ((s, d) => CoreQueries.windowSuite(s, d)),
+    "q64_cube"              -> ((s, d) => CoreQueries.cubeAgg(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -928,5 +930,30 @@ object SparkEntry {
              ORDER BY cos5 DESC, neighbor_id) AS rnk FROM sc)
          SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos5
          FROM r WHERE rnk <= 5""",
+    "q63_window_suite" ->
+      """WITH rev AS (SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+           FROM orders GROUP BY o_custkey)
+         SELECT n_name AS nation, o_custkey, revenue,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 5) AS pct_rank,
+           round(cume_dist() OVER w, 5) AS cume,
+           round(COALESCE(lag(revenue, 1) OVER w - revenue, 0.0), 2)
+             AS gap_to_next
+         FROM rev JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WINDOW w AS (PARTITION BY n_name
+           ORDER BY revenue DESC, o_custkey ASC)""",
+    "q64_cube" ->
+      """SELECT COALESCE(n_name, '(all)') AS nation,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY CUBE (n_name, o_orderpriority)""",
   )
 }

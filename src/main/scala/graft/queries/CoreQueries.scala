@@ -303,6 +303,53 @@ object CoreQueries {
         col("g_nation"), col("g_priority"),
         col("n_orders"), col("revenue"))
 
+  /** Distribution-analytic window suite over per-customer revenue
+    * within nation: quartile bucket (`ntile`), `percent_rank`,
+    * `cume_dist`, and the gap to the next-richer customer (`lag`) —
+    * one window partitioning, one shuffle, all functions share the
+    * same deterministic (revenue DESC, custkey) frame. percent_rank /
+    * cume_dist are rounded to 5 dp: they divide by (n-1)/n and the
+    * quotient is the only cross-engine float hazard here. */
+  def windowSuite(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("nation")
+      .orderBy(col("revenue").desc, col("o_custkey").asc)
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("o_custkey"), col("revenue"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 5))
+      .withColumn("cume", round(cume_dist().over(w), 5))
+      .withColumn("gap_to_next",
+        round(coalesce(lag(col("revenue"), 1).over(w) - col("revenue"),
+          lit(0.0)), 2))
+  }
+
+  /** CUBE over (nation, priority): all four grouping-set combinations
+    * with `grouping()` markers — the grouping-sets counterpart of
+    * [[rollupAgg]]. Spark expands the cube BEFORE the shuffle, so the
+    * aggregate is still one partial+final hash agg pass. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .cube(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("revenue"),
+        grouping(col("n_name")).cast("long").as("g_nation"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+      .select(
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("g_nation"), col("g_priority"),
+        col("n_orders"), col("revenue"))
+
   /** Wide pivot: per-user-decile event counts spread across event-type
     * columns — `pivot` with an EXPLICIT value list (never the implicit
     * distinct-scan form, which adds a blocking pass at scale). */
