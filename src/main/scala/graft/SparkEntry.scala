@@ -127,6 +127,7 @@ object SparkEntry {
     "q62_sql_native"        -> ((s, d) => CoreQueries.sqlNativeKernels(s, d)),
     "q63_window_suite"      -> ((s, d) => CoreQueries.windowSuite(s, d)),
     "q64_cube"              -> ((s, d) => CoreQueries.cubeAgg(s, d)),
+    "q65_snapshot_diff"     -> ((s, d) => CoreQueries.snapshotDiff(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -955,5 +956,13 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY CUBE (n_name, o_orderpriority)""",
+    "q65_snapshot_diff" ->
+      """SELECT c_custkey, 'delete' AS change FROM customer
+           WHERE c_custkey % 10 = 0
+         UNION ALL
+         SELECT c_custkey, 'update' FROM customer WHERE c_custkey % 10 = 1
+         UNION ALL
+         SELECT c_custkey + 1000000, 'insert' FROM customer
+           WHERE c_custkey % 10 = 2""",
   )
 }

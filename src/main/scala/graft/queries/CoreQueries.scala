@@ -350,6 +350,31 @@ object CoreQueries {
         col("g_nation"), col("g_priority"),
         col("n_orders"), col("revenue"))
 
+  /** Snapshot CDC (change-data feed): two successive dim versions
+    * committed through the PHYSICAL atomic sink, then
+    * [[graft.sink.AtomicParquetSink.diff]] between the retained
+    * snapshots. v2 drops keys ≡0 (mod 10), bumps the balance on keys
+    * ≡1, and re-ingests keys ≡2 under new ids — so the oracle can
+    * state the expected delete/update/insert set in closed form. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-diff-").toString
+    val table = s"$work/dim"
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val v2 = cust
+      .filter(col("c_custkey") % 10 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 10 === 1, col("c_acctbal") + lit(10.0))
+          .otherwise(col("c_acctbal")))
+      .unionByName(cust.filter(col("c_custkey") % 10 === 2)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000L)))
+    graft.sink.AtomicParquetSink.overwrite(cust, table, retainVersions = 3)
+    graft.sink.AtomicParquetSink.overwrite(v2, table, retainVersions = 3)
+    val vs = graft.sink.AtomicParquetSink.versions(s, table)
+    graft.sink.AtomicParquetSink.diff(s, table, vs.head, vs.last,
+      Seq("c_custkey"))
+  }
+
   /** Wide pivot: per-user-decile event counts spread across event-type
     * columns — `pivot` with an EXPLICIT value list (never the implicit
     * distinct-scan form, which adds a blocking pass at scale). */

@@ -100,6 +100,35 @@ object AtomicParquetSink {
       .lastOption
       .map(readVersion(spark, table, _))
 
+  /** Change-data view between two retained snapshots: which keys were
+    * inserted / updated / deleted going `fromVersion` → `toVersion`.
+    * Payload equality is a null-safe struct compare of the non-key
+    * columns — exact, no hashing. Unchanged keys are dropped.
+    *
+    * Scale: one full-outer shuffle join on the key — O(both
+    * snapshots). At 100 TB, store the table in the bucketed layout
+    * ([[BucketedFactStore]]) so the join is co-located, and prune
+    * buckets whose file lists are identical across the two versions
+    * (immutable version dirs make that a pure metadata check). */
+  def diff(spark: SparkSession, table: String, fromVersion: String,
+           toVersion: String, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = readVersion(spark, table, fromVersion)
+    val n = readVersion(spark, table, toVersion)
+    val nonKey = o.columns.filterNot(keyCols.contains).toSeq
+    val os = o.select(keyCols.map(col) :+
+      struct(nonKey.map(col): _*).as("_old"): _*)
+    val ns = n.select(keyCols.map(col) :+
+      struct(nonKey.map(col): _*).as("_new"): _*)
+    os.join(ns, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("_old").isNull, "insert")
+          .when(col("_new").isNull, "delete")
+          .when(!(col("_old") <=> col("_new")), "update"))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
   /** Atomically replace the table contents: write a fresh version dir,
     * rename a pointer tempfile over `_current`, then GC old versions.
     * `retainVersions` is the time-travel retention window: how many

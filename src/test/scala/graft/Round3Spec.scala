@@ -109,6 +109,37 @@ class Round3Spec extends AnyFunSuite {
     assert(r.orderBy("rank").collect().toSeq == again)
   }
 
+  // ---- snapshot diff -------------------------------------------------
+
+  test("AtomicParquetSink.diff classifies insert/update/delete and drops unchanged") {
+    import graft.sink.AtomicParquetSink
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-diff-spec-").toString + "/t"
+    val v1 = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "name", "bal")
+    val v2 = Seq((2L, "b", 2.0), (3L, "c", 9.0), (4L, "d", 4.0))
+      .toDF("k", "name", "bal")
+    AtomicParquetSink.overwrite(v1, table, retainVersions = 3)
+    AtomicParquetSink.overwrite(v2, table, retainVersions = 3)
+    val vs = AtomicParquetSink.versions(spark, table)
+    val got = AtomicParquetSink.diff(spark, table, vs.head, vs.last, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "delete"), (3L, "update"), (4L, "insert")))
+    // null payloads compare null-safely: a null that stays null is
+    // unchanged, a value that becomes null is an update
+    val n1 = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("k", "name")
+    val n2 = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "name")
+    AtomicParquetSink.overwrite(n1, table + "n", retainVersions = 3)
+    AtomicParquetSink.overwrite(n2, table + "n", retainVersions = 3)
+    val nvs = AtomicParquetSink.versions(spark, table + "n")
+    val ngot = AtomicParquetSink
+      .diff(spark, table + "n", nvs.head, nvs.last, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(ngot == Set((2L, "update")))
+  }
+
   // ---- grouped top-k -------------------------------------------------
 
   test("groupedTopK returns at most 3 rows per nation, rank-ordered by revenue") {
