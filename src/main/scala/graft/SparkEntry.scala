@@ -962,7 +962,7 @@ object SparkEntry {
          UNION ALL
          SELECT c_custkey, 'update' FROM customer WHERE c_custkey % 10 = 1
          UNION ALL
-         SELECT c_custkey + 1000000, 'insert' FROM customer
+         SELECT c_custkey + 10000000000, 'insert' FROM customer
            WHERE c_custkey % 10 = 2""",
   )
 }

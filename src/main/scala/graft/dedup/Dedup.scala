@@ -280,6 +280,14 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    // silent non-convergence would split one real component into
+    // several canonical ids — a correctness failure downstream "keep
+    // canonical only" can't detect. Fail loud; callers with genuinely
+    // high-diameter graphs raise maxIter (or switch to
+    // large-star/small-star, O(log²) rounds).
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "graph diameter exceeds maxIter")
     labels
   }
 
@@ -292,6 +300,9 @@ object Dedup {
                   tau: Double = 0.8): DataFrame = {
     val pairs = minhashNearDups(docs, idCol, textCol, n, k, bands, tau)
     val cc = connectedComponents(pairs, "doc_a", "doc_b")
+    // cc's labels are localCheckpointed (materialized) — the persisted
+    // pair set minhashNearDups returned can be released now
+    pairs.unpersist()
     cc.select(col("id").as("doc_id"), col("label").as("canonical_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window

@@ -303,6 +303,26 @@ object CoreQueries {
         col("g_nation"), col("g_priority"),
         col("n_orders"), col("revenue"))
 
+  /** Shared base of q61/q63: per-customer order revenue joined to its
+    * nation — (nation, o_custkey, revenue). One hash agg (partial
+    * combine) then a broadcast dim join; the window on top shuffles
+    * ONCE on nation because both consumers rank keys, not line items. */
+  private def revenueByNation(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("o_custkey"), col("revenue"))
+
+  /** The deterministic rank frame q61/q63 share: richer customer
+    * first, custkey breaks ties. */
+  private def nationRevenueWindow =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy("nation")
+      .orderBy(col("revenue").desc, col("o_custkey").asc)
+
   /** Distribution-analytic window suite over per-customer revenue
     * within nation: quartile bucket (`ntile`), `percent_rank`,
     * `cume_dist`, and the gap to the next-richer customer (`lag`) —
@@ -311,16 +331,8 @@ object CoreQueries {
     * cume_dist are rounded to 5 dp: they divide by (n-1)/n and the
     * quotient is the only cross-engine float hazard here. */
   def windowSuite(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("nation")
-      .orderBy(col("revenue").desc, col("o_custkey").asc)
-    Tables.orders(s, d)
-      .groupBy(col("o_custkey"))
-      .agg(moneySum(col("o_totalprice")).as("revenue"))
-      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.nation(s, d)),
-        col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name").as("nation"), col("o_custkey"), col("revenue"))
+    val w = nationRevenueWindow
+    revenueByNation(s, d)
       .withColumn("quartile", ntile(4).over(w).cast("long"))
       .withColumn("pct_rank", round(percent_rank().over(w), 5))
       .withColumn("cume", round(cume_dist().over(w), 5))
@@ -366,8 +378,12 @@ object CoreQueries {
       .withColumn("c_acctbal",
         when(col("c_custkey") % 10 === 1, col("c_acctbal") + lit(10.0))
           .otherwise(col("c_acctbal")))
+      // re-ingest offset sits above any real custkey at any sf this
+      // engine will see (sf100 ≈ 1.5e7 keys) so synthetic inserts
+      // never collide with existing keys — collision would fan out the
+      // diff join and diverge from the oracle's closed form
       .unionByName(cust.filter(col("c_custkey") % 10 === 2)
-        .withColumn("c_custkey", col("c_custkey") + lit(1000000L)))
+        .withColumn("c_custkey", col("c_custkey") + lit(10000000000L)))
     graft.sink.AtomicParquetSink.overwrite(cust, table, retainVersions = 3)
     graft.sink.AtomicParquetSink.overwrite(v2, table, retainVersions = 3)
     val vs = graft.sink.AtomicParquetSink.versions(s, table)
@@ -443,22 +459,10 @@ object CoreQueries {
     * hot group sorts within one partition; for few-groups/huge-rows
     * shapes pre-aggregate per (group, key) first, as done here via the
     * revenue groupBy, so the window sorts keys not line items). */
-  def groupedTopK(s: SparkSession, d: String): DataFrame = {
-    val rev = Tables.orders(s, d)
-      .groupBy(col("o_custkey"))
-      .agg(moneySum(col("o_totalprice")).as("revenue"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("nation")
-      .orderBy(col("revenue").desc, col("o_custkey").asc)
-    rev
-      .join(Tables.customer(s, d),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.nation(s, d)),
-        col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name").as("nation"), col("o_custkey"), col("revenue"))
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
+  def groupedTopK(s: SparkSession, d: String): DataFrame =
+    revenueByNation(s, d)
+      .withColumn("rnk", row_number().over(nationRevenueWindow).cast("bigint"))
       .filter(col("rnk") <= 3)
-  }
 
   /** O3+K1 — the ACTUAL streaming path end-to-end: dump the change log
     * as JSON file groups, drain them through a checkpointed

@@ -38,12 +38,15 @@ object AtomicParquetSink {
   /** Latest complete (_SUCCESS-marked) version dir by name — version
     * names embed a zero-padded write timestamp so lexicographic max =
     * newest. Recovery path for a crash inside the pointer swap. */
-  private def latestCompleteVersion(f: FileSystem, tableDir: Path): Option[String] =
-    if (!f.exists(tableDir)) None
+  private def completeVersions(f: FileSystem, tableDir: Path): Seq[String] =
+    if (!f.exists(tableDir)) Seq.empty
     else f.listStatus(tableDir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-")
         && f.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName).sorted.lastOption
+      .map(_.getPath.getName).sorted
+
+  private def latestCompleteVersion(f: FileSystem, tableDir: Path): Option[String] =
+    completeVersions(f, tableDir).lastOption
 
   /** Resolve the current version directory, if the table exists. A
     * missing/dangling `_current` (crash inside the delete+rename
@@ -75,12 +78,7 @@ object AtomicParquetSink {
     * names embed the write timestamp, so this IS the table history. */
   def versions(spark: SparkSession, table: String): Seq[String] = {
     val tableDir = new Path(table)
-    val f = fs(spark, tableDir)
-    if (!f.exists(tableDir)) Seq.empty
-    else f.listStatus(tableDir).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-")
-        && f.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName).sorted
+    completeVersions(fs(spark, tableDir), tableDir)
   }
 
   /** Time travel: read one named immutable snapshot (from
@@ -115,6 +113,12 @@ object AtomicParquetSink {
     import org.apache.spark.sql.functions._
     val o = readVersion(spark, table, fromVersion)
     val n = readVersion(spark, table, toVersion)
+    // schema drift across the two snapshots would make the payload
+    // compare silently blind to added columns (and throw on removed
+    // ones mid-plan) — fail loud up front instead
+    require(o.columns.toSet == n.columns.toSet,
+      s"diff requires identical column sets; $fromVersion has " +
+        s"${o.columns.toSeq.sorted} vs $toVersion ${n.columns.toSeq.sorted}")
     val nonKey = o.columns.filterNot(keyCols.contains).toSeq
     val os = o.select(keyCols.map(col) :+
       struct(nonKey.map(col): _*).as("_old"): _*)
@@ -143,9 +147,14 @@ object AtomicParquetSink {
     f.mkdirs(tableDir)
     val old = currentVersionDir(spark, table)
     // timestamped version name: lexicographic max = newest, which is
-    // what pointer-loss recovery in currentVersionDir keys on
-    val versionName =
-      f"v-${System.currentTimeMillis()}%020d-${java.util.UUID.randomUUID()}"
+    // what pointer-loss recovery in currentVersionDir keys on. Two
+    // commits inside one millisecond would otherwise tie on the prefix
+    // and sort by random uuid — bump past the newest existing prefix so
+    // names are strictly monotonic (single-writer assumption).
+    val newestExistingMs = completeVersions(f, tableDir).lastOption
+      .map(_.substring(2, 22).toLong).getOrElse(0L)
+    val ms = math.max(System.currentTimeMillis(), newestExistingMs + 1)
+    val versionName = f"v-$ms%020d-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(new Path(tableDir, versionName).toString)
     // atomic pointer swap: write tmp, rename over _current
     val tmp = new Path(tableDir, s"_current.tmp-${java.util.UUID.randomUUID()}")
