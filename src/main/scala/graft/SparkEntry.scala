@@ -128,6 +128,7 @@ object SparkEntry {
     "q63_window_suite"      -> ((s, d) => CoreQueries.windowSuite(s, d)),
     "q64_cube"              -> ((s, d) => CoreQueries.cubeAgg(s, d)),
     "q65_snapshot_diff"     -> ((s, d) => CoreQueries.snapshotDiff(s, d)),
+    "q66_quantized_ann"     -> ((s, d) => LlmQueries.quantizedAnn(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -964,5 +965,33 @@ object SparkEntry {
          UNION ALL
          SELECT c_custkey + 10000000000, 'insert' FROM customer
            WHERE c_custkey % 10 = 2""",
+    "q66_quantized_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         dims AS (SELECT i AS pos, min(v[i]) AS lo, max(v[i]) AS hi
+           FROM e, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY i),
+         stats AS (SELECT list(lo ORDER BY pos) AS los,
+             list(hi ORDER BY pos) AS his FROM dims),
+         dq AS (SELECT vec_id,
+             list_transform(range(1, len(v) + 1), i ->
+               CASE WHEN his[i] = los[i] THEN los[i]
+                 ELSE los[i]
+                   + (CAST(least(255, floor((v[i] - los[i])
+                        / (his[i] - los[i]) * 256)) AS DOUBLE) + 0.5)
+                   * (his[i] - los[i]) / 256 END) AS dv
+           FROM e CROSS JOIN stats),
+         q AS (SELECT vec_id AS query_id, dv AS qv FROM dq
+           WHERE vec_id < 10),
+         sc AS (SELECT q.query_id, dq.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> q.qv[i] * dq.dv[i])) /
+               (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+                sqrt(list_sum(list_transform(dq.dv, x -> x * x)))), 5)
+               AS cos5q
+           FROM q JOIN dq ON q.query_id <> dq.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos5q DESC, neighbor_id) AS rnk FROM sc)
+         SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos5q
+         FROM r WHERE rnk <= 5""",
   )
 }

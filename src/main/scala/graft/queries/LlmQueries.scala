@@ -156,6 +156,13 @@ object LlmQueries {
     graft.search.Search.bm25TopK(Tables.documents(s, d), "doc_id", "text",
       Seq("merge", "stream", "window"), topK = 20)
 
+  /** ANN over int8-quantized (scalar-quantized) vectors: same plan as
+    * brute-force top-k at a quarter of the scan bytes — the 100 TB
+    * scale path for embedding search. Top-5 for 10 queries. */
+  def quantizedAnn(s: SparkSession, d: String): DataFrame =
+    graft.ann.Ann.quantizedTopK(Tables.embeddings(s, d),
+      "vec_id", "embedding", nQueries = 10, k = 5)
+
   /** Blocked word-bigram Jaccard near-dup pairs (lang + length-bucket
     * blocking), tau = 0.5. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame =

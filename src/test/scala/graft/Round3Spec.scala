@@ -109,6 +109,37 @@ class Round3Spec extends AnyFunSuite {
     assert(r.orderBy("rank").collect().toSeq == again)
   }
 
+  // ---- quantized ANN -------------------------------------------------
+
+  test("int8-quantized ANN keeps high top-10 recall vs exact on the fixture") {
+    import graft.ann.Ann
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def topSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSet(Ann.bruteForceTopK(emb,
+      emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 10))
+    val quant = topSet(Ann.quantizedTopK(emb, "vec_id", "embedding",
+      nQueries = 10, k = 10))
+    val recalls = exact.keys.toSeq.map { q =>
+      quant(q).intersect(exact(q)).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.6, s"mean top-10 recall $mean too low: $recalls")
+  }
+
+  test("quantization is idempotent on already-dequantized vectors' ranges") {
+    import graft.ann.Ann
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dq = Ann.quantizeDequantized(emb, "vec_id", "embedding")
+    // dequantized values stay within each dimension's [lo, hi] range
+    val viol = dq.select(explode($"dv").as("x"))
+      .agg(min("x"), max("x")).as[(Double, Double)].head()
+    val raw = emb.select(explode(Ann.asDouble("embedding")).as("x"))
+      .agg(min("x"), max("x")).as[(Double, Double)].head()
+    assert(viol._1 >= raw._1 && viol._2 <= raw._2)
+  }
+
   // ---- snapshot diff -------------------------------------------------
 
   test("AtomicParquetSink.diff classifies insert/update/delete and drops unchanged") {
