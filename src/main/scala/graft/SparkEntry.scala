@@ -129,6 +129,7 @@ object SparkEntry {
     "q64_cube"              -> ((s, d) => CoreQueries.cubeAgg(s, d)),
     "q65_snapshot_diff"     -> ((s, d) => CoreQueries.snapshotDiff(s, d)),
     "q66_quantized_ann"     -> ((s, d) => LlmQueries.quantizedAnn(s, d)),
+    "q67_latest_skew_safe"  -> ((s, d) => CoreQueries.latestLookupSkewSafe(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -993,5 +994,16 @@ object SparkEntry {
              ORDER BY cos5q DESC, neighbor_id) AS rnk FROM sc)
          SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos5q
          FROM r WHERE rnk <= 5""",
+    // identical to q06's oracle: the salted two-phase plan must produce
+    // exactly the plain window dedupe's answer
+    "q67_latest_skew_safe" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+         ts_s AS last_ts
+         FROM (SELECT user_id, event_id, event_type,
+                 strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S') DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1""",
   )
 }

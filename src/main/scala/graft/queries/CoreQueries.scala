@@ -97,6 +97,19 @@ object CoreQueries {
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("event_type").as("last_event_type"), col("ts_s").as("last_ts"))
 
+  /** T3 under SKEW: the two-phase salted dedupe —
+    * [[graft.ops.CdcOps.latestPerKeySkewSafe]] — surfaced through the
+    * correctness gate. Same oracle as q06 (the result is provably
+    * identical whenever the order is total per key), different physical
+    * plan: a hot key's rows spread over 16 salted window partitions
+    * before the top-1-of-survivors pass. */
+  def latestLookupSkewSafe(s: SparkSession, d: String): DataFrame =
+    CdcOps.latestPerKeySkewSafe(
+        Tables.events(s, d).withColumn("ts_s", fmtTs(col("ts"))),
+        Seq("user_id"), Seq(tsSecs, col("event_id")))
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("ts_s").as("last_ts"))
+
   /** T4 — alter-row insert/update routing (dataflow:120-121): incoming
     * batch (ts >= cutoff) tagged against current sink keys (ts < cutoff). */
   def alterRow(s: SparkSession, d: String): DataFrame = {
