@@ -126,6 +126,21 @@ object CdcOps {
       keys, orderDesc)
   }
 
+  /** [[mergeUpsertVersioned]] under SCHEMA DRIFT — the reference sets
+    * `allowSchemaDrift: true, validateSchema: false` on every dataflow
+    * source and sink (dataflow/BookingDataTransformation.json:68-69,
+    * 91-92, 156-157), so a feed that grows a column must not break the
+    * merge. Columns are aligned by NAME with `allowMissingColumns`:
+    * a column present on one side only reads as null on the other, the
+    * merged table's schema is the union, and per-key versioning is
+    * unchanged. Dropping a column never loses data already stored —
+    * old rows keep their values; only new rows carry nulls. */
+  def mergeUpsertVersionedEvolving(existing: DataFrame, incoming: DataFrame,
+                                   keys: Seq[String],
+                                   orderDesc: Seq[Column]): DataFrame =
+    latestPerKey(existing.unionByName(incoming, allowMissingColumns = true),
+      keys, orderDesc)
+
   /** O2/K2 — SCD Type 1 sequential multi-file fold
     * (pipeline/LoadCustomerDim.json:34-51, `isSequential: true`): apply
     * file batches in order; a later file's row overwrites an earlier one

@@ -86,4 +86,27 @@ class CdcOpsSpec extends AnyFunSuite {
     val folded = CdcOps.scd1Fold(Seq(f1, f2), "k", Seq(col("ts")))
     assert(folded.select("v").as[String].head() == "old") // f2 applied last
   }
+
+  test("K1 evolving merge tolerates schema drift in both directions") {
+    val existing = Seq(("k1", "2024-01-01 00:00:00", 1.0),
+      ("k2", "2024-01-01 00:00:00", 2.0)).toDF("k", "ts", "amount")
+    // feed grew a column: merged schema is the union; untouched old
+    // rows read null for it, the updated key carries the new value
+    val grown = Seq(("k2", "2024-01-02 00:00:00", 2.5, "EUR"))
+      .toDF("k", "ts", "amount", "currency")
+    val m1 = CdcOps.mergeUpsertVersionedEvolving(existing, grown,
+      Seq("k"), Seq(col("ts")))
+    assert(m1.columns.toSet == Set("k", "ts", "amount", "currency"))
+    val rows = m1.select("k", "amount", "currency")
+      .as[(String, Double, Option[String])].collect()
+      .map { case (k, a, c) => k -> ((a, c)) }.toMap
+    assert(rows("k1") == ((1.0, None)) && rows("k2") == ((2.5, Some("EUR"))))
+    // feed dropped a column: stored values survive, new row reads null
+    val shrunk = Seq(("k3", "2024-01-03 00:00:00", 3.0)).toDF("k", "ts", "amount")
+    val m2 = CdcOps.mergeUpsertVersionedEvolving(m1, shrunk,
+      Seq("k"), Seq(col("ts")))
+    val rows2 = m2.select("k", "currency")
+      .as[(String, Option[String])].collect().toMap
+    assert(rows2("k2").contains("EUR") && rows2("k3").isEmpty)
+  }
 }
