@@ -87,6 +87,29 @@ object EventTimeOps {
         col("event_type"), col("n_events"))
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
+  /** Stream-stream INTERVAL join (attribution shape): each left event
+    * matches right events with the same key whose timestamp falls in
+    * [left.ts, left.ts + maxDelay]. Both sides carry watermarks, so
+    * Spark bounds the join state: a buffered left row is dropped once
+    * the right watermark passes left.ts + maxDelay, and vice versa —
+    * state is O(events inside the lateness+delay horizon), never
+    * O(stream). Column names must be distinct across the two sides.
+    *
+    * Batch parity: running the same join condition over the materialized
+    * inputs gives the identical row set (spec-verified) — the streaming
+    * form just adds bounded state + incremental emission. */
+  def intervalJoinStreams(left: DataFrame, leftTs: String,
+                          right: DataFrame, rightTs: String,
+                          joinKeyLeft: String, joinKeyRight: String,
+                          maxDelay: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, expr(
+      s"""$joinKeyLeft = $joinKeyRight AND
+         |$rightTs >= $leftTs AND
+         |$rightTs <= $leftTs + INTERVAL $maxDelay""".stripMargin))
+  }
+
   case class SessState(start: Long, last: Long, n: Int)
   case class Session(user_id: Long, session_start: Long, session_end: Long,
                      n_events: Int)

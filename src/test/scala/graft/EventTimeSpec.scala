@@ -73,6 +73,50 @@ class EventTimeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  import EventTimeSpec.{Clk, Imp}
+
+  test("stream-stream interval join matches the batch join and respects the bound") {
+    val imps = MemoryStream[Imp](spark)
+    val clicks = MemoryStream[Clk](spark)
+    val joined = EventTimeOps.intervalJoinStreams(
+      imps.toDS().toDF(), "imp_ts", clicks.toDS().toDF(), "click_ts",
+      "imp_user", "click_user", maxDelay = "1 HOUR", watermark = "0 seconds")
+    val q = joined.select("imp_id", "click_id")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      imps.addData(Imp(10L, 1L, t("2024-01-01 10:00:00")),
+        Imp(11L, 2L, t("2024-01-01 10:00:00")))
+      clicks.addData(
+        Clk(100L, 1L, t("2024-01-01 10:30:00")), // in window -> match
+        Clk(101L, 1L, t("2024-01-01 11:30:00")), // past 1h -> NO match
+        Clk(102L, 2L, t("2024-01-01 09:59:00")), // before imp -> NO match
+        Clk(103L, 2L, t("2024-01-01 11:00:00"))) // exactly +1h -> match
+      q.processAllAvailable()
+      // later micro-batch still joins what's in-bound for state kept
+      imps.addData(Imp(12L, 3L, t("2024-01-01 12:00:00")))
+      clicks.addData(Clk(104L, 3L, t("2024-01-01 12:10:00")))
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 100L), (11L, 103L), (12L, 104L)))
+      // batch parity: same condition over the materialized inputs
+      val bImps = Seq((10L, 1L, t("2024-01-01 10:00:00")),
+        (11L, 2L, t("2024-01-01 10:00:00")),
+        (12L, 3L, t("2024-01-01 12:00:00"))).toDF("imp_id", "imp_user", "imp_ts")
+      val bClicks = Seq((100L, 1L, t("2024-01-01 10:30:00")),
+        (101L, 1L, t("2024-01-01 11:30:00")),
+        (102L, 2L, t("2024-01-01 09:59:00")),
+        (103L, 2L, t("2024-01-01 11:00:00")),
+        (104L, 3L, t("2024-01-01 12:10:00"))).toDF("click_id", "click_user", "click_ts")
+      val batch = bImps.join(bClicks, expr(
+        """imp_user = click_user AND click_ts >= imp_ts AND
+          |click_ts <= imp_ts + INTERVAL 1 HOUR""".stripMargin))
+        .select("imp_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("session_window works under readStream with watermark (the built-in's point)") {
     val ms = MemoryStream[Ev](spark)
     val q = ms.toDS()
@@ -123,4 +167,9 @@ class EventTimeSpec extends AnyFunSuite {
         ("2024-01-02", "click", 1L)))
     } finally q.stop()
   }
+}
+
+object EventTimeSpec {
+  case class Imp(imp_id: Long, imp_user: Long, imp_ts: java.sql.Timestamp)
+  case class Clk(click_id: Long, click_user: Long, click_ts: java.sql.Timestamp)
 }
