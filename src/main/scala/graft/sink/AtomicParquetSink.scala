@@ -1,7 +1,7 @@
 package graft.sink
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** K1's physical sink half: an atomically-swappable parquet table.
   *
@@ -141,6 +141,24 @@ object AtomicParquetSink {
     * pointer just before the swap). */
   def overwrite(df: DataFrame, table: String,
                 retainVersions: Int = 2): Unit = {
+    val committed = commitIf(df, table, expectedCurrent = None,
+      retainVersions = retainVersions, checkExpected = false)
+    assert(committed, "unconditional commit cannot conflict")
+  }
+
+  /** Optimistic-concurrency commit: replace the table contents only if
+    * the current version at swap time is still `expectedCurrent` (the
+    * version this writer READ before computing `df`). Returns false —
+    * and cleans up the orphaned version dir — on conflict, i.e. when
+    * another writer committed in between; the caller re-reads and
+    * retries (see [[mergeWithRetry]]). This closes the lost-update
+    * window of read-merge-write at commit granularity; the residual
+    * check-to-swap race is documented as single-swapper (same
+    * assumption GC already makes). */
+  def commitIf(df: DataFrame, table: String,
+               expectedCurrent: Option[String],
+               retainVersions: Int = 2,
+               checkExpected: Boolean = true): Boolean = {
     val spark = df.sparkSession
     val tableDir = new Path(table)
     val f = fs(spark, tableDir)
@@ -150,12 +168,23 @@ object AtomicParquetSink {
     // what pointer-loss recovery in currentVersionDir keys on. Two
     // commits inside one millisecond would otherwise tie on the prefix
     // and sort by random uuid — bump past the newest existing prefix so
-    // names are strictly monotonic (single-writer assumption).
+    // names are strictly monotonic.
     val newestExistingMs = completeVersions(f, tableDir).lastOption
       .map(_.substring(2, 22).toLong).getOrElse(0L)
     val ms = math.max(System.currentTimeMillis(), newestExistingMs + 1)
     val versionName = f"v-$ms%020d-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(new Path(tableDir, versionName).toString)
+    if (checkExpected) {
+      val nowCurrent = currentVersionDir(spark, table)
+        .map(new Path(_).getName)
+        // our own just-written dir may already BE the lexicographic
+        // max if the pointer was lost — compare against others only
+        .filterNot(_ == versionName)
+      if (nowCurrent != expectedCurrent) {
+        f.delete(new Path(tableDir, versionName), true)
+        return false
+      }
+    }
     // atomic pointer swap: write tmp, rename over _current
     val tmp = new Path(tableDir, s"_current.tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
@@ -173,8 +202,7 @@ object AtomicParquetSink {
     // GC respecting the retention window: keep the newest
     // `retainVersions` committed snapshots (>= current + one grace for
     // a reader that resolved `_current` just before the swap), plus
-    // the just-superseded dir regardless; delete anything older
-    // (single-writer assumption).
+    // the just-superseded dir regardless; delete anything older.
     val retained = versions(spark, table)
       .takeRight(math.max(retainVersions, 2)).toSet
     val keep = retained ++
@@ -183,5 +211,52 @@ object AtomicParquetSink {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-")
         && !keep.contains(s.getPath.getName))
       .foreach(s => f.delete(s.getPath, true))
+    true
   }
+
+  /** Read-transform-commit with optimistic retry: `transform` maps the
+    * current state (None if the table is empty) to the new contents;
+    * on commit conflict the state is RE-READ and the transform re-run,
+    * so concurrent writers serialize without locks — the multi-writer
+    * safe form of every read-merge-write op on this sink. */
+  def mergeWithRetry(spark: SparkSession, table: String,
+                     transform: Option[DataFrame] => DataFrame,
+                     retainVersions: Int = 2, maxAttempts: Int = 5): Unit = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val current = currentVersionDir(spark, table)
+        .map(new Path(_).getName)
+      val state = current.map(v => readVersion(spark, table, v))
+      if (commitIf(transform(state), table, current, retainVersions))
+        return
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$table: commit conflicted $maxAttempts times")
+  }
+
+  /** Row-level DELETE: drop rows matching `cond`, committed with
+    * conflict detection. */
+  def deleteWhere(spark: SparkSession, table: String, cond: Column,
+                  retainVersions: Int = 2): Unit =
+    mergeWithRetry(spark, table,
+      st => st.map(_.filter(!cond)).getOrElse(
+        throw new IllegalStateException(s"$table does not exist")),
+      retainVersions)
+
+  /** Row-level UPDATE: set `assignments` on rows matching `cond`,
+    * committed with conflict detection. */
+  def updateWhere(spark: SparkSession, table: String, cond: Column,
+                  assignments: Map[String, Column],
+                  retainVersions: Int = 2): Unit =
+    mergeWithRetry(spark, table,
+      st => {
+        val cur = st.getOrElse(
+          throw new IllegalStateException(s"$table does not exist"))
+        assignments.foldLeft(cur) { case (d, (c, v)) =>
+          d.withColumn(c, org.apache.spark.sql.functions
+            .when(cond, v).otherwise(org.apache.spark.sql.functions.col(c)))
+        }
+      },
+      retainVersions)
 }

@@ -125,6 +125,41 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Int, String)].collect().toSeq == Seq((4, "d")))
   }
 
+  test("optimistic commit detects a lost update and serializes via retry") {
+    val table = tmp() + "/t"
+    AtomicParquetSink.overwrite(Seq((1, 0)).toDF("k", "v"), table)
+    var sneaky = true
+    AtomicParquetSink.mergeWithRetry(spark, table, { st =>
+      val mine = st.get.withColumn("v", col("v") + 1)
+      if (sneaky) {
+        sneaky = false
+        // another writer lands AFTER our read, BEFORE our commit
+        AtomicParquetSink.overwrite(Seq((1, 100)).toDF("k", "v"), table)
+      }
+      mine
+    })
+    // without conflict detection the sneaky write would be lost (v=1);
+    // serialized, our increment re-runs on top of it
+    assert(AtomicParquetSink.read(spark, table).get
+      .as[(Int, Int)].collect().toSeq == Seq((1, 101)))
+    // no orphaned version dirs beyond the retention window
+    val dirs = new java.io.File(table).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("v-"))
+    assert(dirs.length <= 3)
+  }
+
+  test("row-level DELETE and UPDATE commit through the sink") {
+    val table = tmp() + "/t"
+    AtomicParquetSink.overwrite(
+      Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "v"), table)
+    AtomicParquetSink.deleteWhere(spark, table, col("k") === 2)
+    AtomicParquetSink.updateWhere(spark, table, col("k") === 3,
+      Map("v" -> (col("v") * 2)))
+    val state = AtomicParquetSink.read(spark, table).get
+      .as[(Int, Double)].collect().toSet
+    assert(state == Set((1, 10.0), (3, 60.0)))
+  }
+
   test("AtomicParquetSink: a lost pointer recovers to the newest complete version") {
     val table = tmp() + "/t"
     AtomicParquetSink.overwrite(Seq((1, "a")).toDF("k", "v"), table)
