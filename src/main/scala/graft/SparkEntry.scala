@@ -130,6 +130,7 @@ object SparkEntry {
     "q65_snapshot_diff"     -> ((s, d) => CoreQueries.snapshotDiff(s, d)),
     "q66_quantized_ann"     -> ((s, d) => LlmQueries.quantizedAnn(s, d)),
     "q67_latest_skew_safe"  -> ((s, d) => CoreQueries.latestLookupSkewSafe(s, d)),
+    "q68_dml_roundtrip"     -> ((s, d) => CoreQueries.dmlRoundTrip(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1005,5 +1006,10 @@ object SparkEntry {
                    ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S') DESC, event_id DESC) AS rn
                FROM events)
          WHERE rn = 1""",
+    "q68_dml_roundtrip" ->
+      """SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 10 = 1 THEN c_acctbal * 2.0
+                ELSE c_acctbal END AS bal
+         FROM customer WHERE c_custkey % 10 <> 0""",
   )
 }

@@ -404,6 +404,23 @@ object CoreQueries {
       Seq("c_custkey"))
   }
 
+  /** Row-level DML through the PHYSICAL sink: load the dim, DELETE
+    * keys ≡0 (mod 10), UPDATE keys ≡1 (double the balance) — each a
+    * conflict-checked commit — then read the final state back. The
+    * oracle states the surviving rows in closed form. */
+  def dmlRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-dml-").toString
+    val table = s"$work/dim"
+    import graft.sink.AtomicParquetSink
+    AtomicParquetSink.overwrite(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("bal")), table)
+    AtomicParquetSink.deleteWhere(s, table, col("c_custkey") % 10 === 0)
+    AtomicParquetSink.updateWhere(s, table, col("c_custkey") % 10 === 1,
+      Map("bal" -> (col("bal") * lit(2.0))))
+    AtomicParquetSink.read(s, table).get
+  }
+
   /** Wide pivot: per-user-decile event counts spread across event-type
     * columns — `pivot` with an EXPLICIT value list (never the implicit
     * distinct-scan form, which adds a blocking pass at scale). */
