@@ -144,7 +144,12 @@ object Ann {
     * scan bytes. Output (query_id, rank, neighbor_id, cos5q). */
   def quantizedTopK(emb: DataFrame, idCol: String, embCol: String,
                     nQueries: Int, k: Int): DataFrame = {
-    val dq = quantizeDequantized(emb, idCol, embCol)
+    // persist the quantized corpus: BOTH the broadcast query side and
+    // the probe side read it, and each would otherwise re-run the
+    // whole quantization subtree (two scans + the per-dim range agg).
+    // At 100 TB this materialization is the quantized-index table a
+    // deployment stores once and reuses across queries.
+    val dq = quantizeDequantized(emb, idCol, embCol).persist()
     val q = dq.filter(col(idCol) < nQueries)
       .select(col(idCol).as("query_id"), col("dv").as("qv"))
     val c = dq.select(col(idCol).as("neighbor_id"), col("dv").as("cv"))
@@ -153,10 +158,14 @@ object Ann {
       .withColumn("cos5q", cos5(emb.sparkSession, col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos5q").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val result = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cos5q"))
+      .persist()
+    result.count()
+    dq.unpersist()
+    result
   }
 
   /** Sign-LSH bucket id from `nBits` coordinate comparisons:

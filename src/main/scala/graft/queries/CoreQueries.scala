@@ -91,11 +91,7 @@ object CoreQueries {
     * uses the whole-second epoch long + key ([[tsSecs]]) — same ranking
     * as the oracle's second-formatted string sort, cheaper sort key. */
   def latestLookup(s: SparkSession, d: String): DataFrame =
-    CdcOps.latestPerKey(
-        Tables.events(s, d).withColumn("ts_s", fmtTs(col("ts"))),
-        Seq("user_id"), Seq(tsSecs, col("event_id")))
-      .select(col("user_id"), col("event_id").as("last_event_id"),
-        col("event_type").as("last_event_type"), col("ts_s").as("last_ts"))
+    latestLookupVia(s, d)(CdcOps.latestPerKey(_, _, _))
 
   /** T3 under SKEW: the two-phase salted dedupe —
     * [[graft.ops.CdcOps.latestPerKeySkewSafe]] — surfaced through the
@@ -104,8 +100,14 @@ object CoreQueries {
     * plan: a hot key's rows spread over 16 salted window partitions
     * before the top-1-of-survivors pass. */
   def latestLookupSkewSafe(s: SparkSession, d: String): DataFrame =
-    CdcOps.latestPerKeySkewSafe(
-        Tables.events(s, d).withColumn("ts_s", fmtTs(col("ts"))),
+    latestLookupVia(s, d)(CdcOps.latestPerKeySkewSafe(_, _, _))
+
+  /** Shared plumbing of q06/q67: same source, order spec, and
+    * projection — only the dedupe strategy differs, which is exactly
+    * the "same oracle, different plan" guarantee the pair documents. */
+  private def latestLookupVia(s: SparkSession, d: String)(
+      dedupe: (DataFrame, Seq[String], Seq[Column]) => DataFrame): DataFrame =
+    dedupe(Tables.events(s, d).withColumn("ts_s", fmtTs(col("ts"))),
         Seq("user_id"), Seq(tsSecs, col("event_id")))
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("event_type").as("last_event_type"), col("ts_s").as("last_ts"))

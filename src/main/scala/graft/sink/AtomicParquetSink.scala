@@ -35,39 +35,53 @@ object AtomicParquetSink {
 
   private def pointer(table: String) = new Path(table, "_current")
 
-  /** Latest complete (_SUCCESS-marked) version dir by name — version
-    * names embed a zero-padded write timestamp so lexicographic max =
-    * newest. Recovery path for a crash inside the pointer swap. */
-  private def completeVersions(f: FileSystem, tableDir: Path): Seq[String] =
-    if (!f.exists(tableDir)) Seq.empty
-    else f.listStatus(tableDir).toSeq
+  /** Committed version dirs by name — version names embed a
+    * zero-padded write timestamp so lexicographic max = newest.
+    * "Committed" = data complete (_SUCCESS) AND marked `_COMMITTED`
+    * (written after winning the conflict check, before the pointer
+    * swap). The marker distinguishes real history from an orphan dir
+    * left by a crash between the data write and the conflict check —
+    * without it, pointer-loss recovery could serve never-committed
+    * data. Dirs written before the marker existed (legacy) count as
+    * committed only when NO marked dir exists. */
+  private def completeVersions(f: FileSystem, tableDir: Path): Seq[String] = {
+    if (!f.exists(tableDir)) return Seq.empty
+    val complete = f.listStatus(tableDir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-")
         && f.exists(new Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName).sorted
+    val marked = complete
+      .filter(v => f.exists(new Path(new Path(tableDir, v), "_COMMITTED")))
+    if (marked.nonEmpty) marked else complete
+  }
 
   private def latestCompleteVersion(f: FileSystem, tableDir: Path): Option[String] =
     completeVersions(f, tableDir).lastOption
 
+  /** The `_current` pointer's target version name, if the pointer
+    * exists and points at a live dir. */
+  private def pointerVersion(f: FileSystem, table: String): Option[String] = {
+    val ptr = pointer(table)
+    if (!f.exists(ptr)) None
+    else {
+      val in = f.open(ptr)
+      val name = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      if (f.exists(new Path(table, name))) Some(name) else None
+    }
+  }
+
   /** Resolve the current version directory, if the table exists. A
     * missing/dangling `_current` (crash inside the delete+rename
-    * window) falls back to the newest complete version dir — the table
-    * NEVER silently reads as absent while committed data exists (that
-    * would make merge callers rebuild from one batch). */
+    * window) falls back to the newest committed version dir — the
+    * table NEVER silently reads as absent while committed data exists
+    * (that would make merge callers rebuild from one batch). */
   def currentVersionDir(spark: SparkSession, table: String): Option[String] = {
     val tableDir = new Path(table)
-    val ptr = pointer(table)
-    val f = fs(spark, ptr)
-    val fromPointer =
-      if (!f.exists(ptr)) None
-      else {
-        val in = f.open(ptr)
-        val name = try scala.io.Source.fromInputStream(in).mkString.trim
-        finally in.close()
-        val dir = new Path(table, name)
-        if (f.exists(dir)) Some(dir.toString) else None
-      }
-    fromPointer.orElse(
-      latestCompleteVersion(f, tableDir).map(new Path(table, _).toString))
+    val f = fs(spark, tableDir)
+    pointerVersion(f, table)
+      .orElse(latestCompleteVersion(f, tableDir))
+      .map(new Path(table, _).toString)
   }
 
   /** Read the current table state (None if never written). */
@@ -175,16 +189,23 @@ object AtomicParquetSink {
     val versionName = f"v-$ms%020d-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(new Path(tableDir, versionName).toString)
     if (checkExpected) {
-      val nowCurrent = currentVersionDir(spark, table)
-        .map(new Path(_).getName)
-        // our own just-written dir may already BE the lexicographic
-        // max if the pointer was lost — compare against others only
-        .filterNot(_ == versionName)
+      // resolve what a READER would see as current, excluding our own
+      // just-written (unmarked, so recovery already ignores it) dir:
+      // pointer first, else newest committed OTHER dir — a lost
+      // pointer must not masquerade as a conflict forever
+      val nowCurrent = pointerVersion(f, table)
+        .orElse(completeVersions(f, tableDir)
+          .filterNot(_ == versionName).lastOption)
       if (nowCurrent != expectedCurrent) {
         f.delete(new Path(tableDir, versionName), true)
         return false
       }
     }
+    // commit marker: from here on the dir counts as history even if the
+    // pointer swap below is interrupted (the check has been won; the
+    // merge result in the dir reflects the latest committed state)
+    f.create(new Path(new Path(tableDir, versionName), "_COMMITTED"), true)
+      .close()
     // atomic pointer swap: write tmp, rename over _current
     val tmp = new Path(tableDir, s"_current.tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
@@ -223,40 +244,60 @@ object AtomicParquetSink {
                      transform: Option[DataFrame] => DataFrame,
                      retainVersions: Int = 2, maxAttempts: Int = 5): Unit = {
     var attempt = 0
+    var lastFailure: Throwable = null
     while (attempt < maxAttempts) {
       val current = currentVersionDir(spark, table)
         .map(new Path(_).getName)
       val state = current.map(v => readVersion(spark, table, v))
-      if (commitIf(transform(state), table, current, retainVersions))
-        return
+      // a concurrent writer's GC can delete our base version while the
+      // lazy read is still in flight — that surfaces as a job failure
+      // mid-commit, which is a CONFLICT (the base is gone because
+      // someone committed past it), not a caller error: re-read, retry
+      val won =
+        try commitIf(transform(state), table, current, retainVersions)
+        catch {
+          case scala.util.control.NonFatal(e) => lastFailure = e; false
+        }
+      if (won) return
       attempt += 1
     }
-    throw new java.util.ConcurrentModificationException(
+    val ex = new java.util.ConcurrentModificationException(
       s"$table: commit conflicted $maxAttempts times")
+    if (lastFailure != null) ex.initCause(lastFailure)
+    throw ex
   }
 
-  /** Row-level DELETE: drop rows matching `cond`, committed with
-    * conflict detection. */
+  /** Row-level DELETE: drop rows where `cond` is TRUE, committed with
+    * conflict detection. SQL DELETE semantics — a NULL predicate keeps
+    * the row (naive `filter(!cond)` would drop it: NULL negated is
+    * NULL, which filters false). */
   def deleteWhere(spark: SparkSession, table: String, cond: Column,
-                  retainVersions: Int = 2): Unit =
+                  retainVersions: Int = 2): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
     mergeWithRetry(spark, table,
-      st => st.map(_.filter(!cond)).getOrElse(
+      st => st.map(_.filter(not(coalesce(cond, lit(false))))).getOrElse(
         throw new IllegalStateException(s"$table does not exist")),
       retainVersions)
+  }
 
-  /** Row-level UPDATE: set `assignments` on rows matching `cond`,
-    * committed with conflict detection. */
+  /** Row-level UPDATE: set `assignments` on rows where `cond` is TRUE,
+    * committed with conflict detection. SQL UPDATE's SIMULTANEOUS
+    * assignment semantics: every right-hand side reads the ORIGINAL
+    * row (`SET a=b, b=a` swaps), independent of Map iteration order. */
   def updateWhere(spark: SparkSession, table: String, cond: Column,
                   assignments: Map[String, Column],
-                  retainVersions: Int = 2): Unit =
+                  retainVersions: Int = 2): Unit = {
+    import org.apache.spark.sql.functions.{col, when}
     mergeWithRetry(spark, table,
       st => {
         val cur = st.getOrElse(
           throw new IllegalStateException(s"$table does not exist"))
-        assignments.foldLeft(cur) { case (d, (c, v)) =>
-          d.withColumn(c, org.apache.spark.sql.functions
-            .when(cond, v).otherwise(org.apache.spark.sql.functions.col(c)))
-        }
+        cur.select(cur.columns.toSeq.map { c =>
+          assignments.get(c)
+            .map(v => when(cond, v).otherwise(col(c)).as(c))
+            .getOrElse(col(c))
+        }: _*)
       },
       retainVersions)
+  }
 }

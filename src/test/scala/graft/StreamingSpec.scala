@@ -160,6 +160,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(state == Set((1, 10.0), (3, 60.0)))
   }
 
+  test("DML edge semantics: NULL predicate keeps rows; UPDATE assigns simultaneously") {
+    val table = tmp() + "/t"
+    AtomicParquetSink.overwrite(
+      Seq((1, Some(1.0), 10.0), (2, None, 20.0)).toDF("k", "a", "b"), table)
+    // SQL DELETE: a NULL predicate (a > 0 on a null a) must KEEP row 2
+    AtomicParquetSink.deleteWhere(spark, table, col("a") > 100.0)
+    assert(AtomicParquetSink.read(spark, table).get.count() == 2)
+    // SQL UPDATE SET a=b, b=a swaps — RHS reads the ORIGINAL row
+    AtomicParquetSink.updateWhere(spark, table, col("k") === 1,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val swapped = AtomicParquetSink.read(spark, table).get
+      .filter(col("k") === 1)
+      .as[(Int, Option[Double], Double)].head()
+    assert(swapped == ((1, Some(10.0), 1.0)))
+  }
+
   test("AtomicParquetSink: a lost pointer recovers to the newest complete version") {
     val table = tmp() + "/t"
     AtomicParquetSink.overwrite(Seq((1, "a")).toDF("k", "v"), table)
