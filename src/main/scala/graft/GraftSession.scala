@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The engine's session factory — one place for the config every
+  * entry point (Verify/Bench/Explain, and a library user) needs:
+  *
+  *  - `spark.sql.extensions = graft.GraftExtensions`: native kernels
+  *    SQL-registered and the range-join rewrite rule active, i.e. the
+  *    full engine surface, not just the late-bind fallback;
+  *  - shuffle partitions = worker threads (a 32-thread local box wants
+  *    32, not the 200 default sized for real clusters);
+  *  - AQE skew-join explicitly on (default in Spark 4, pinned here
+  *    because the CDC dedupe story depends on it);
+  *  - nanos-as-long for the ns-timestamp events fixture;
+  *  - UTC session timezone (oracle parity).
+  */
+object GraftSession {
+
+  /** Worker thread count: SPARK_GRAFT_CPUS if set, else every core. */
+  def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+    .getOrElse(Runtime.getRuntime.availableProcessors)
+
+  def builder(cores: Int = cpus): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(cores: Int = cpus): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
