@@ -131,6 +131,7 @@ object SparkEntry {
     "q66_quantized_ann"     -> ((s, d) => LlmQueries.quantizedAnn(s, d)),
     "q67_latest_skew_safe"  -> ((s, d) => CoreQueries.latestLookupSkewSafe(s, d)),
     "q68_dml_roundtrip"     -> ((s, d) => CoreQueries.dmlRoundTrip(s, d)),
+    "q69_partitioned_gold"  -> ((s, d) => CoreQueries.partitionedGold(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1011,5 +1012,13 @@ object SparkEntry {
            CASE WHEN c_custkey % 10 = 1 THEN c_acctbal * 2.0
                 ELSE c_acctbal END AS bal
          FROM customer WHERE c_custkey % 10 <> 0""",
+    "q69_partitioned_gold" ->
+      """SELECT n_name AS country, COUNT(*) AS total_bookings,
+           CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_amount,
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_booking_date
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name HAVING n_name < 'G'""",
   )
 }

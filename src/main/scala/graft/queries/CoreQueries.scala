@@ -43,6 +43,21 @@ object CoreQueries {
       "o_custkey", "c_custkey", "c_nationkey", "n_nationkey",
       "n_name", "o_totalprice", "o_orderdate")
 
+  /** Gold written PARTITIONED by country, then a pruned read-back of
+    * the countries below 'G' — the partition filter resolves against
+    * directory names (metadata), so the scan never opens the other
+    * partitions' files (LayoutSpec proves the PartitionFilters plan;
+    * this entry proves the values survive the partitioned round-trip,
+    * including directory-name escaping of spaces in country names). */
+  def partitionedGold(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-part-").toString
+    goldAgg(s, d).write.mode("overwrite")
+      .partitionBy("country").parquet(work)
+    s.read.parquet(work).filter(col("country") < "G")
+      .select("country", "total_bookings", "total_amount",
+        "last_booking_date")
+  }
+
   private def shipJoin(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val o  = Tables.orders(s, d)
