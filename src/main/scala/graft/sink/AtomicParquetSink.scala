@@ -43,7 +43,9 @@ object AtomicParquetSink {
     * left by a crash between the data write and the conflict check —
     * without it, pointer-loss recovery could serve never-committed
     * data. Dirs written before the marker existed (legacy) count as
-    * committed only when NO marked dir exists. */
+    * committed only when NO marked dir exists — known limitation: the
+    * first marked commit supersedes pre-marker history for
+    * versions()/readAsOf even while those dirs remain on disk. */
   private def completeVersions(f: FileSystem, tableDir: Path): Seq[String] = {
     if (!f.exists(tableDir)) return Seq.empty
     val complete = f.listStatus(tableDir).toSeq
@@ -177,6 +179,17 @@ object AtomicParquetSink {
     val tableDir = new Path(table)
     val f = fs(spark, tableDir)
     f.mkdirs(tableDir)
+    // roll-forward repair: a marked dir NEWER than the pointer target
+    // is a commit that crashed between its marker and its pointer swap
+    // (it won its conflict check — its contents reflect the then-latest
+    // state). Repoint to it so history (versions) and reads (pointer)
+    // agree again; leaving it would fork the snapshot lineage.
+    for {
+      ptr <- pointerVersion(f, table)
+      newestMarked <- completeVersions(f, tableDir).lastOption
+      if newestMarked > ptr &&
+        f.exists(new Path(new Path(tableDir, newestMarked), "_COMMITTED"))
+    } swapPointer(f, table, tableDir, newestMarked)
     val old = currentVersionDir(spark, table)
     // timestamped version name: lexicographic max = newest, which is
     // what pointer-loss recovery in currentVersionDir keys on. Two
@@ -203,36 +216,53 @@ object AtomicParquetSink {
     }
     // commit marker: from here on the dir counts as history even if the
     // pointer swap below is interrupted (the check has been won; the
-    // merge result in the dir reflects the latest committed state)
+    // merge result in the dir reflects the latest committed state).
+    // Guard against a concurrent GC having removed our dir in the
+    // meantime — a bare create would silently RECREATE it empty and we
+    // would commit a data-less version. Losing the dir means someone
+    // committed past us: report a conflict instead.
+    if (!f.exists(new Path(new Path(tableDir, versionName), "_SUCCESS")))
+      return false
     f.create(new Path(new Path(tableDir, versionName), "_COMMITTED"), true)
       .close()
-    // atomic pointer swap: write tmp, rename over _current
+    swapPointer(f, table, tableDir, versionName)
+    // GC: keep the newest `retainVersions` committed snapshots (>= the
+    // current version + one grace for a reader that resolved `_current`
+    // just before the swap) plus the just-superseded dir, and delete
+    // ONLY dirs sorting strictly below the oldest retained committed
+    // version. An in-flight concurrent writer's not-yet-marked dir
+    // always sorts ABOVE the newest committed version (monotonic name
+    // bump), so GC can never take it out from under its conflict
+    // check; crashed writers' orphans age below the floor and get
+    // cleaned as new commits land.
+    val retained = versions(spark, table)
+      .takeRight(math.max(retainVersions, 2)).toSet
+    val keep = retained ++
+      Set(Some(versionName), old.map(new Path(_).getName)).flatten
+    val floor = retained.min
+    f.listStatus(tableDir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-")
+        && s.getPath.getName < floor && !keep.contains(s.getPath.getName))
+      .foreach(s => f.delete(s.getPath, true))
+    true
+  }
+
+  /** Atomic pointer swap: write a tmp file, rename over `_current`.
+    * Hadoop rename refuses an existing destination on most FSs, so the
+    * common update path is delete+rename. A crash inside that window
+    * leaves no `_current`, but version dirs stay intact and readers
+    * recover via the newest committed dir — never data loss, never a
+    * partial table. */
+  private def swapPointer(f: FileSystem, table: String, tableDir: Path,
+                          versionName: String): Unit = {
     val tmp = new Path(tableDir, s"_current.tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(versionName.getBytes("UTF-8")) finally out.close()
-    // Hadoop rename refuses an existing destination on most FSs, so the
-    // common update path is delete+rename. A crash inside that window
-    // leaves no `_current`, but both version dirs stay intact and
-    // readers recover via latest-complete-version — never data loss,
-    // never a partial table.
     if (!f.rename(tmp, pointer(table))) {
       f.delete(pointer(table), false)
       if (!f.rename(tmp, pointer(table)))
         throw new java.io.IOException(s"pointer swap failed for $table")
     }
-    // GC respecting the retention window: keep the newest
-    // `retainVersions` committed snapshots (>= current + one grace for
-    // a reader that resolved `_current` just before the swap), plus
-    // the just-superseded dir regardless; delete anything older.
-    val retained = versions(spark, table)
-      .takeRight(math.max(retainVersions, 2)).toSet
-    val keep = retained ++
-      Set(Some(versionName), old.map(new Path(_).getName)).flatten
-    f.listStatus(tableDir).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-")
-        && !keep.contains(s.getPath.getName))
-      .foreach(s => f.delete(s.getPath, true))
-    true
   }
 
   /** Read-transform-commit with optimistic retry: `transform` maps the
@@ -249,12 +279,17 @@ object AtomicParquetSink {
       val current = currentVersionDir(spark, table)
         .map(new Path(_).getName)
       val state = current.map(v => readVersion(spark, table, v))
+      // transform runs OUTSIDE the retry guard: a deterministic caller
+      // error (missing table, bad column expression) must propagate
+      // as-is, not burn retries and resurface as a phantom conflict
+      val next = transform(state)
       // a concurrent writer's GC can delete our base version while the
-      // lazy read is still in flight — that surfaces as a job failure
-      // mid-commit, which is a CONFLICT (the base is gone because
-      // someone committed past it), not a caller error: re-read, retry
+      // lazy read job is still in flight — that surfaces as a job
+      // failure inside commitIf's write, which is a CONFLICT (the base
+      // is gone because someone committed past it), not a caller
+      // error: re-read, retry
       val won =
-        try commitIf(transform(state), table, current, retainVersions)
+        try commitIf(next, table, current, retainVersions)
         catch {
           case scala.util.control.NonFatal(e) => lastFailure = e; false
         }
@@ -292,6 +327,10 @@ object AtomicParquetSink {
       st => {
         val cur = st.getOrElse(
           throw new IllegalStateException(s"$table does not exist"))
+        // a typo'd assignment key would otherwise silently no-op
+        val unknown = assignments.keySet -- cur.columns.toSet
+        require(unknown.isEmpty,
+          s"updateWhere: no such column(s) $unknown in ${cur.columns.toSeq}")
         cur.select(cur.columns.toSeq.map { c =>
           assignments.get(c)
             .map(v => when(cond, v).otherwise(col(c)).as(c))

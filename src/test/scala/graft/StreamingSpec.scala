@@ -176,6 +176,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(swapped == ((1, Some(10.0), 1.0)))
   }
 
+  test("roll-forward repair adopts a marked commit that crashed before its swap") {
+    val table = tmp() + "/t"
+    AtomicParquetSink.overwrite(Seq((1, "a")).toDF("k", "v"), table)
+    AtomicParquetSink.overwrite(Seq((2, "b")).toDF("k", "v"), table)
+    // simulate a crash between _COMMITTED and the pointer swap: point
+    // the pointer back at the older version, leaving the newer marked
+    val vs = AtomicParquetSink.versions(spark, table)
+    val hfs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(
+      new org.apache.hadoop.fs.Path(s"$table/_current"), true)
+    try out.write(vs.head.getBytes("UTF-8")) finally out.close()
+    // a subsequent write repairs the fork: its base is the marked
+    // newest (not the stale pointer target), so (2,b) is not lost
+    AtomicParquetSink.mergeWithRetry(spark, table,
+      st => st.get.unionByName(Seq((3, "c")).toDF("k", "v")))
+    val state = AtomicParquetSink.read(spark, table).get
+      .as[(Int, String)].collect().toSet
+    assert(state == Set((2, "b"), (3, "c")))
+  }
+
+  test("updateWhere rejects unknown assignment columns instead of no-opping") {
+    val table = tmp() + "/t"
+    AtomicParquetSink.overwrite(Seq((1, 1.0)).toDF("k", "bal"), table)
+    val e = intercept[IllegalArgumentException] {
+      AtomicParquetSink.updateWhere(spark, table, col("k") === 1,
+        Map("ball" -> lit(0.0)))
+    }
+    assert(e.getMessage.contains("ball"))
+  }
+
   test("AtomicParquetSink: a lost pointer recovers to the newest complete version") {
     val table = tmp() + "/t"
     AtomicParquetSink.overwrite(Seq((1, "a")).toDF("k", "v"), table)
