@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape enforcement across the relational surface: these are the
+  * regressions the row oracle can NOT catch (a cartesian product or a
+  * codegen break returns the same rows, just catastrophically slower
+  * at scale). Only side-effect-free queries are sampled — entries that
+  * stage temp dirs / run streams (q27-q31, q65, q68-q69, ...) execute
+  * eagerly on construction and are covered by their own specs. */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val lazyRelational = Seq(
+    "q01_gold_agg", "q02_quality_split_ok", "q04_derive",
+    "q05_stay_duration", "q06_latest_lookup", "q07_alter_row",
+    "q12_pricing_summary", "q13_topk_customers", "q14_region_rollup",
+    "q33_event_windows", "q46_sql_api", "q47_asof_join",
+    "q49_star_join", "q50_rollup", "q51_pivot", "q55_user_activity",
+    "q61_grouped_topk", "q63_window_suite", "q64_cube",
+    "q67_latest_skew_safe")
+
+  test("no sampled query plans a cartesian product") {
+    lazyRelational.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+    }
+  }
+
+  test("scan->join->agg pipelines stay inside whole-stage codegen") {
+    // AQE materializes stages (and their codegen wrapping) only during
+    // execution — run the query at the tiny sf, then read the FINAL plan
+    Seq("q01_gold_agg", "q12_pricing_summary", "q49_star_join")
+      .foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        df.collect() // count() would spawn its OWN QueryExecution
+        val plan = df.queryExecution.executedPlan.toString
+        // "*(n) Operator" = the operator runs inside WholeStageCodegen
+        // stage n — the simple toString never spells the node name out
+        assert(plan.contains("*("),
+          s"$name fell out of codegen:\n${plan.take(800)}")
+      }
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = SparkEntry.queries("q13_topk_customers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
