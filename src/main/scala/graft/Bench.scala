@@ -19,6 +19,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
+    // optional args = query-name subset, for local iteration on one
+    // query without paying the full suite (driver passes none)
+    val selected: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
 
     // warm-up: JIT/codegen the common scan→join→agg and window paths on
     // the SMALLEST sf so warm-up cost stays seconds, not a second bench
@@ -35,7 +40,7 @@ object Bench {
     // min of two timed runs per query: JIT/GC/IO noise on a shared box
     // is strictly additive, so the min is the stable estimate of the
     // query's cost (run-to-run totals varied ±40% with single runs)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def one(): Double =
         try {
           val t0 = System.nanoTime()
@@ -50,11 +55,17 @@ object Bench {
       val best = if (r1 < 0) r1 else math.min(r1, one())
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    // ms precision: the driver keeps only a ~2 KB tail of stdout, and
+    // 69 queries at full double precision overflow it (BENCH_r03
+    // "parsed": null — the line's HEAD was truncated away). 3 decimals
+    // keeps the whole line comfortably inside the tail buffer.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_result.json"), line + "\n")

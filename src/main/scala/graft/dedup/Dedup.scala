@@ -269,14 +269,20 @@ object Dedup {
           col("label").as("nlabel")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nbr_label"))
+      // carry the convergence bit INSIDE the checkpointed round: the
+      // old form re-joined next against labels just to ask "did
+      // anything change?", paying an extra shuffle join per round —
+      // here the changed flag is computed in the same projection and
+      // the check is a scan of the already-materialized checkpoint.
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
+            .as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label"))
+            .as("changed"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select("id", "label")
       iter += 1
     }
     sym.unpersist()
@@ -346,6 +352,14 @@ object Dedup {
       col(langCol).as("lang"), col("lbucket").as("probe_bucket"))
     a.join(b, Seq("lang", "probe_bucket"))
       .filter(col("id_a") < col("id_b"))
+      // size-ratio prefilter: jaccard = |∩|/|∪| ≤ min(|A|,|B|)/max, so
+      // jaccard ≥ τ forces the smaller set to be ≥ τ× the larger. Two
+      // array-header reads kill most blocked pairs BEFORE the O(|A|+|B|)
+      // merge scan — Catalyst pushes this below the jaccard projection,
+      // and it dominated the blocked-pairwise runtime (most pairs in a
+      // (lang, length) block are nowhere near τ).
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double")
+        >= lit(tau) * greatest(size(col("sh_a")), size(col("sh_b"))))
       .withColumn("jaccard",
         GraftFunctions.jaccardSorted(spark, col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= tau)
