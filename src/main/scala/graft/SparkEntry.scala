@@ -132,6 +132,9 @@ object SparkEntry {
     "q67_latest_skew_safe"  -> ((s, d) => CoreQueries.latestLookupSkewSafe(s, d)),
     "q68_dml_roundtrip"     -> ((s, d) => CoreQueries.dmlRoundTrip(s, d)),
     "q69_partitioned_gold"  -> ((s, d) => CoreQueries.partitionedGold(s, d)),
+    "q71_dup_spans"         -> ((s, d) => LlmQueries.dupSpans(s, d)),
+    "q72_pack_sequences"    -> ((s, d) => LlmQueries.packSequences(s, d)),
+    "q73_tfidf_terms"       -> ((s, d) => LlmQueries.tfidfTerms(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1020,5 +1023,52 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name HAVING n_name < 'G'""",
+    "q71_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 5 THEN
+               list_distinct(list_transform(range(1, len(w) - 3),
+                 i -> CAST('0x' || substr(md5(
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                     || ' ' || w[i+4]), 1, 15) AS BIGINT)))
+             ELSE [] END AS spans
+           FROM w),
+         g AS (SELECT doc_id, CAST(len(spans) AS BIGINT) AS n_spans,
+             unnest(CASE WHEN len(spans) = 0 THEN [NULL] ELSE spans END) AS gram
+           FROM sh),
+         f AS (SELECT gram, COUNT(*) AS span_df FROM g
+           WHERE gram IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 2)
+         SELECT g.doc_id, g.n_spans,
+           CAST(COUNT(f.gram) AS BIGINT) AS n_dup_spans,
+           CASE WHEN g.n_spans = 0 THEN 0.0
+                ELSE round(CAST(COUNT(f.gram) AS DOUBLE) / g.n_spans, 5)
+           END AS dup_ratio
+         FROM g LEFT JOIN f ON g.gram = f.gram
+         GROUP BY g.doc_id, g.n_spans""",
+    "q72_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+         c AS (SELECT doc_id, n,
+             COALESCE(CAST(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS strt
+           FROM d)
+         SELECT strt // 512 AS bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS sum_tokens, MIN(doc_id) AS first_doc
+         FROM c GROUP BY 1""",
+    "q73_tfidf_terms" ->
+      """WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+         t AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(*) AS df FROM t GROUP BY 1),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         r AS (SELECT t.doc_id, t.term, t.tf, df.df, n.n_docs,
+             row_number() OVER (PARTITION BY t.doc_id
+               ORDER BY t.tf DESC, df.df ASC, t.term ASC) AS rnk
+           FROM t JOIN df ON t.term = df.term CROSS JOIN n)
+         SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 5) AS tfidf
+         FROM r WHERE rnk <= 3""",
   )
 }

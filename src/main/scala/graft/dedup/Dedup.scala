@@ -315,6 +315,33 @@ object Dedup {
           .partitionBy("canonical_id")))
   }
 
+  /** Corpus-level duplicated-span statistics (the signal behind
+    * span-level dedup à la Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): for every doc, how many of
+    * its distinct word `n`-gram spans also occur in at least one OTHER
+    * document. High dup_ratio docs are templated/boilerplate content.
+    *
+    * Scale: spans are 60-bit hashes (8 B each, never strings); one
+    * shuffle on the span hash builds corpus-wide doc-frequencies with
+    * map-side combine (per-doc-distinct spans mean count(*) IS the doc
+    * frequency), one equi-join back tags shared spans, one per-doc
+    * aggregate finishes. No pairwise anything. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 5): DataFrame = {
+    val grams = withHashedShingles(docs, idCol, textCol, n)
+      .select(col(idCol), size(col("shingles")).cast(LongType).as("n_spans"),
+        explode_outer(col("shingles")).as("gram"))
+    val shared = grams.groupBy("gram").agg(count(lit(1)).as("span_df"))
+      .filter(col("span_df") >= 2)
+    grams.join(shared, Seq("gram"), "left")
+      .groupBy(col(idCol), col("n_spans"))
+      .agg(count(col("span_df")).as("n_dup_spans"))
+      .select(col(idCol), col("n_spans"), col("n_dup_spans"),
+        when(col("n_spans") === 0, lit(0.0))
+          .otherwise(round(col("n_dup_spans").cast("double") / col("n_spans"), 5))
+          .as("dup_ratio"))
+  }
+
   /** Exact (hash-keyed) dedup: group by content md5, keep min id and
     * copy count. The groupBy gets map-side partial aggregation; at
     * 100 TB this is one shuffle on a 32-hex key. */

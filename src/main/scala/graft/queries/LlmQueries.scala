@@ -237,6 +237,26 @@ object LlmQueries {
   def frameSample(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Tables.documents(s, d), width = 64, stride = 48)
 
+  /** Corpus-self duplicated-span stats: per doc, distinct 5-gram spans
+    * and how many also occur in another doc (span-dedup signal). */
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.dupSpans(Tables.documents(s, d), "doc_id", "text", n = 5)
+
+  /** Concat-and-split sequence packing into 512-token context bins via
+    * the distributed two-pass prefix sum; per-bin manifest. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.text.Packing.packBins(docs, "doc_id", "n_tokens", budget = 512L)
+  }
+
+  /** Top-3 characteristic terms per doc (tf-desc/rarity rank, TF-IDF
+    * score annotated). */
+  def tfidfTerms(s: SparkSession, d: String): DataFrame =
+    graft.search.Search.tfidfTopTerms(Tables.documents(s, d),
+      "doc_id", "text", k = 3)
+
   // ---- streaming dedup -----------------------------------------------
 
   /** Streaming incremental MinHash-LSH near-dup dedup: the corpus

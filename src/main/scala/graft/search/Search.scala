@@ -65,4 +65,36 @@ object Search {
       .filter(col("rank") <= topK)
       .select("doc_id", "rank", "score4")
   }
+
+  /** Per-doc top-`k` characteristic terms with TF-IDF scores: tf per
+    * (doc, term), df per term, tfidf = tf·ln(N/df) reported per kept
+    * term. The RANK is the lexicographic integer order (tf DESC, df
+    * ASC, term ASC) — "most frequent, rarity-tiebroken" — chosen over
+    * ranking on the float score itself so the k-cut is bit-identical
+    * in every IEEE-754 engine (no float compare decides membership);
+    * the rounded score is annotation, not the sort key.
+    *
+    * Scale: tf is one shuffle on (doc, term) with map-side combine;
+    * df is a second small-keyed aggregate broadcast back; N is a
+    * single-row broadcast. The per-doc window partitions on doc_id —
+    * each doc's term list sorts locally. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
+    tf.join(broadcast(dft), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df").asc, col("term").asc))
+        .cast(LongType))
+      .filter(col("rnk") <= k)
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 5))
+      .select("doc_id", "term", "tf", "df", "rnk", "tfidf")
+  }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.search.Search
+import graft.text.Packing
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-4 operators: duplicated-span stats, distributed
+  * prefix-sum sequence packing, characteristic-term extraction. Covers
+  * what the row oracle can't: the multi-partition offset path, span
+  * edge cases, rank invariants. */
+class Round4Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- dupSpans ------------------------------------------------------
+
+  test("dupSpans: shared 5-gram counted, unique content zero, short doc zero-span") {
+    val d = Seq(
+      (1L, "a b c d e f g"),        // spans: abcde bcdef cdefg
+      (2L, "a b c d e x y"),        // shares abcde with doc 1
+      (3L, "p q r s t u v"),        // all unique
+      (4L, "w x"),                  // < 5 tokens: zero spans
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupSpans(d, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(1L) == ((3L, 1L, 0.33333)))
+    assert(r(2L) == ((3L, 1L, 0.33333)))
+    assert(r(3L) == ((3L, 0L, 0.0)))
+    assert(r(4L) == ((0L, 0L, 0.0)))
+  }
+
+  // ---- sequence packing ---------------------------------------------
+
+  test("packing prefix sum across forced multi-partition layout equals single-window truth") {
+    val docs = (1L to 200L).map(i => (i, 1L + i % 7)).toDF("doc_id", "n_tokens")
+    // force MANY range partitions so cross-partition offsets are real
+    val got = Packing.withBins(docs, "doc_id", "n_tokens", budget = 50L,
+        partitions = 8)
+      .select("doc_id", "start", "bin")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = docs
+      .withColumn("start", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("bin", expr("start div 50"))
+      .select("doc_id", "start", "bin")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.sameElements(want))
+  }
+
+  test("packBins: bins partition the corpus and every doc lands in exactly one bin") {
+    val docs = (1L to 100L).map(i => (i, 10L)).toDF("doc_id", "n_tokens")
+    val bins = Packing.packBins(docs, "doc_id", "n_tokens", budget = 64L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(bins.map(_._2).sum == 100L)   // n_docs totals the corpus
+    assert(bins.map(_._3).sum == 1000L)  // token mass conserved
+    // 10-token docs on a 64 budget: starts 0,10,... full bins hold 6 or
+    // 7 docs; only the final (partial) bin may hold fewer
+    assert(bins.dropRight(1).forall(b => b._2 == 6L || b._2 == 7L))
+  }
+
+  // ---- tfidf top terms ----------------------------------------------
+
+  test("tfidfTopTerms: rank is (tf desc, df asc, term asc) and scores match ln") {
+    val d = Seq(
+      (1L, "x x x common rare"),
+      (2L, "common common y y y"),
+      (3L, "common z z"),
+    ).toDF("doc_id", "text")
+    val r = Search.tfidfTopTerms(d, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._5) -> t).toMap
+    // doc 1: x (tf 3) first; then rare/common tie at tf 1 -> df breaks it
+    assert(r((1L, 1L))._2 == "x")
+    assert(r((1L, 2L))._2 == "rare") // df(rare)=1 < df(common)=3
+    val (_, _, tf, df, _, tfidf) = r((1L, 1L))
+    assert(math.abs(tfidf - BigDecimal(tf * math.log(3.0 / df))
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+}
