@@ -132,6 +132,7 @@ object SparkEntry {
     "q67_latest_skew_safe"  -> ((s, d) => CoreQueries.latestLookupSkewSafe(s, d)),
     "q68_dml_roundtrip"     -> ((s, d) => CoreQueries.dmlRoundTrip(s, d)),
     "q69_partitioned_gold"  -> ((s, d) => CoreQueries.partitionedGold(s, d)),
+    "q70_bloom_decontaminate" -> ((s, d) => LlmQueries.bloomDecontaminate(s, d)),
     "q71_dup_spans"         -> ((s, d) => LlmQueries.dupSpans(s, d)),
     "q72_pack_sequences"    -> ((s, d) => LlmQueries.packSequences(s, d)),
     "q73_tfidf_terms"       -> ((s, d) => LlmQueries.tfidfTerms(s, d)),
@@ -1023,6 +1024,24 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name HAVING n_name < 'G'""",
+    // bloom prefilter is pure pruning (exact join removes false
+    // positives) — the oracle is the plain exact contamination count
+    "q70_bloom_decontaminate" ->
+      """WITH sh AS (SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+               list_distinct(list_transform(
+                 list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])),
+                 s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))
+             ELSE [] END AS grams
+           FROM documents),
+         corpus AS (SELECT doc_id, unnest(grams) AS gram FROM sh
+           WHERE doc_id % 10 <> 0),
+         bench AS (SELECT DISTINCT unnest(grams) AS gram FROM sh
+           WHERE doc_id % 10 = 0)
+         SELECT c.doc_id, COUNT(*) AS n_contaminated_ngrams
+         FROM corpus c JOIN bench b ON c.gram = b.gram
+         GROUP BY 1""",
     "q71_dup_spans" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          sh AS (SELECT doc_id,

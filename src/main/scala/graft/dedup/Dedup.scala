@@ -4,6 +4,7 @@ import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Near-duplicate and exact deduplication for LLM training corpora.
   *
@@ -189,6 +190,42 @@ object Dedup {
       .join(broadcast(bench), "gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_contaminated_ngrams"))
+  }
+
+  /** Bloom-pruned decontamination — same EXACT result as
+    * [[decontaminate]], different physical plan for the 100 TB case
+    * where even the corpus side's exploded n-gram stream is too big to
+    * ship to a join: build a Bloom filter over the benchmark's gram
+    * hashes (distributed build, merged bit sets), probe it inside the
+    * corpus scan via the codegen'd [[graft.functions.BloomProbe]]
+    * kernel, and only grams that MIGHT match (fpp-bounded) reach the
+    * exact broadcast join that removes false positives. The filter is
+    * a few MB broadcast to every task; non-matching grams — the
+    * overwhelming majority — die inside whole-stage codegen without
+    * ever being shuffled, exchanged, or even row-materialized. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    def grams(df: DataFrame) =
+      withHashedShingles(df, idCol, textCol, n)
+        .select(col(idCol), explode(col("shingles")).as("gram"))
+    val bench = grams(benchmark).select("gram").distinct().persist()
+    val nGrams = math.max(bench.count(), 1L)
+    val filter = bench.select("gram").rdd.map(_.getLong(0))
+      .treeAggregate(BloomFilter.create(nGrams, fpp))(
+        (f, v) => { f.putLong(v); f },
+        (a, b) => a.mergeInPlace(b))
+    val bytes = graft.functions.BloomProbe.serialize(filter)
+    val result = grams(corpus)
+      .filter(GraftFunctions.bloomProbe(spark, col("gram"), bytes))
+      .join(broadcast(bench), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated_ngrams"))
+      .persist()
+    result.count()
+    bench.unpersist()
+    result
   }
 
   /** SimHash near-duplicate pairs: 32-bit SimHash per doc, banded into

@@ -97,6 +97,7 @@ object GraftFunctions {
   val minhashName = "graft_minhash"
   val shinglesName = "graft_shingles"
   val kmvName = "graft_kmv_distinct"
+  val bloomName = "graft_bloom_probe"
 
   private def cosBuilder(exprs: Seq[Expression]): Expression =
     CosineSimilarity(exprs.head, exprs(1))
@@ -143,6 +144,9 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(shinglesName, shinglesBuilder, "built-in")
     if (!registry.functionExists(FunctionIdentifier(kmvName)))
       registry.createOrReplaceTempFunction(kmvName, kmvBuilder, "built-in")
+    if (!registry.functionExists(FunctionIdentifier(bloomName)))
+      registry.createOrReplaceTempFunction(bloomName, BloomProbe.builder,
+        "built-in")
   }
 
   /** Column form: cosine(a, b) as a codegen'd native expression. */
@@ -178,5 +182,14 @@ object GraftFunctions {
     ensureRegistered(spark)
     call_function(kmvName, value,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Column form: Bloom-filter membership probe of a long key against
+    * a serialized filter (see [[BloomProbe]]). */
+  def bloomProbe(spark: SparkSession, key: Column,
+                 filterBytes: Array[Byte]): Column = {
+    ensureRegistered(spark)
+    call_function(bloomName, key,
+      org.apache.spark.sql.functions.lit(filterBytes))
   }
 }

@@ -237,6 +237,16 @@ object LlmQueries {
   def frameSample(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Tables.documents(s, d), width = 64, stride = 48)
 
+  /** Bloom-pruned decontamination: same exact result as an exact-join
+    * decontamination (bigrams, doc_id % 10 benchmark split) but the
+    * corpus gram stream is pruned by a broadcast Bloom filter inside
+    * the scan before anything reaches the join. */
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.decontaminateBloom(docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 2)
+  }
+
   /** Corpus-self duplicated-span stats: per doc, distinct 5-gram spans
     * and how many also occur in another doc (span-dedup signal). */
   def dupSpans(s: SparkSession, d: String): DataFrame =

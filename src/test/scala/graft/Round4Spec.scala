@@ -63,6 +63,32 @@ class Round4Spec extends AnyFunSuite {
     assert(bins.dropRight(1).forall(b => b._2 == 6L || b._2 == 7L))
   }
 
+  // ---- bloom probe / decontamination --------------------------------
+
+  test("bloomProbe: no false negatives; probe filters inside the scan") {
+    import graft.functions.{BloomProbe, GraftFunctions}
+    import org.apache.spark.util.sketch.BloomFilter
+    val f = BloomFilter.create(100, 0.01)
+    (1L to 50L).foreach(f.putLong)
+    val bytes = BloomProbe.serialize(f)
+    val hits = (1L to 1000L).toDF("k")
+      .filter(GraftFunctions.bloomProbe(spark, $"k", bytes))
+      .as[Long].collect().toSet
+    assert((1L to 50L).forall(hits)) // every inserted key survives
+    assert(hits.size < 200)          // fpp keeps the rest mostly out
+  }
+
+  test("decontaminateBloom equals exact decontaminate") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 2)
+      .as[(Long, Long)].collect().sorted
+    val bloom = Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", n = 2)
+      .as[(Long, Long)].collect().sorted
+    assert(bloom.sameElements(exact))
+  }
+
   // ---- tfidf top terms ----------------------------------------------
 
   test("tfidfTopTerms: rank is (tf desc, df asc, term asc) and scores match ln") {
