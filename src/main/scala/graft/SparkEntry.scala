@@ -136,6 +136,8 @@ object SparkEntry {
     "q71_dup_spans"         -> ((s, d) => LlmQueries.dupSpans(s, d)),
     "q72_pack_sequences"    -> ((s, d) => LlmQueries.packSequences(s, d)),
     "q73_tfidf_terms"       -> ((s, d) => LlmQueries.tfidfTerms(s, d)),
+    "q74_semantic_dedup"    -> ((s, d) => LlmQueries.semanticDedup(s, d)),
+    "q75_quality_model"     -> ((s, d) => LlmQueries.qualityModel(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1089,5 +1091,45 @@ object SparkEntry {
          SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk,
            round(tf * ln(CAST(n_docs AS DOUBLE) / df), 5) AS tfidf
          FROM r WHERE rnk <= 3""",
+    // same sign-LSH pair generation as q24, closed into components via
+    // the recursive-reach pattern of q59
+    "q74_semantic_dedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             (CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END
+            + CASE WHEN embedding[3] > embedding[4] THEN 2 ELSE 0 END
+            + CASE WHEN embedding[5] > embedding[6] THEN 4 ELSE 0 END
+            + CASE WHEN embedding[7] > embedding[8] THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings),
+         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+               (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(b.v, x -> x * x)))), 5) AS cos5
+           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         und AS (SELECT vec_a AS a, vec_b AS b FROM p WHERE cos5 >= 0.3
+                 UNION
+                 SELECT vec_b, vec_a FROM p WHERE cos5 >= 0.3),
+         reach(id, lbl) AS (
+           SELECT a, a FROM und
+           UNION
+           SELECT u.a, r.lbl FROM und u JOIN reach r ON u.b = r.id),
+         comp AS (SELECT id, MIN(lbl) AS canonical FROM reach GROUP BY id)
+         SELECT id AS vec_id, canonical AS canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT)
+             AS cluster_size
+         FROM comp""",
+    "q75_quality_model" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+           FROM documents),
+         f AS (SELECT doc_id, lang,
+             LEAST(CAST(len(w) AS DOUBLE) / 128.0, 1.0) AS lenadq,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+             LEAST(CAST(len(list_filter(w, t -> t IN ('the', 'a')))
+               AS DOUBLE) / 4.0, 1.0) AS stopsc
+           FROM d),
+         z AS (SELECT doc_id, lang,
+             -3.0 + lenadq * 2.0 + ttr * 2.5 + stopsc * 1.5 AS z FROM f)
+         SELECT doc_id, lang, round(z, 5) AS z5,
+           round(1.0 / (1.0 + exp(-z)), 5) AS prob5, z >= 0.0 AS keep
+         FROM z""",
   )
 }

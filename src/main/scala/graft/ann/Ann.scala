@@ -196,6 +196,24 @@ object Ann {
         col("cos5"))
   }
 
+  /** Embedding-space near-duplicate GROUPS (semantic dedup): sign-LSH
+    * bucketed cosine pairs → connected components → (vec, canonical =
+    * component-min vec, cluster size). The embedding analog of
+    * [[graft.dedup.Dedup.dedupGroups]] — "keep one doc per semantic
+    * cluster" for corpora deduped on meaning rather than surface text.
+    * Same scale shape end to end: bucket equi-join for pairs (never
+    * all-pairs), join-per-round label propagation for components. */
+  def semanticDedupGroups(corpus: DataFrame, idCol: String, embCol: String,
+                          nBits: Int, tau: Double): DataFrame = {
+    val pairs = lshBucketPairs(corpus, idCol, embCol, nBits, tau).persist()
+    val cc = graft.dedup.Dedup.connectedComponents(pairs, "vec_a", "vec_b")
+    pairs.unpersist()
+    cc.select(col("id").as("vec_id"), col("label").as("canonical_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("canonical_id")))
+  }
+
   /** Per-cell element-wise centroid — the aggregation step of
     * distributed k-means: posexplode to (cell, pos, x), one hash
     * aggregate with map-side partial sums, so at 100 TB each executor

@@ -267,6 +267,18 @@ object LlmQueries {
     graft.search.Search.tfidfTopTerms(Tables.documents(s, d),
       "doc_id", "text", k = 3)
 
+  /** Embedding-space semantic dedup groups: sign-LSH cosine pairs
+    * (4 bits, cos ≥ 0.3) → connected components → canonical vec per
+    * semantic cluster. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame =
+    Ann.semanticDedupGroups(Tables.embeddings(s, d), "vec_id", "embedding",
+      nBits = 4, tau = 0.3)
+
+  /** Linear quality model + logistic link per doc; keep gate on the
+    * pre-link score. */
+  def qualityModel(s: SparkSession, d: String): DataFrame =
+    TextOps.qualityModel(Tables.documents(s, d))
+
   // ---- streaming dedup -----------------------------------------------
 
   /** Streaming incremental MinHash-LSH near-dup dedup: the corpus

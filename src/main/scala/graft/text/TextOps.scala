@@ -103,6 +103,30 @@ object TextOps {
         .as("quality_tier"))
   }
 
+  /** Model-scored quality filter: a fixed linear model over
+    * integer-derived features pushed through a logistic link — the
+    * shape of a fastText/classifier quality gate applied at corpus
+    * scale (weights here are fixed stand-ins; a real deployment loads
+    * trained weights — same single-projection, no-shuffle plan). The
+    * keep decision is `z >= 0` on the PRE-link score: z is a fixed
+    * left-associated chain of IEEE double ops on integer-derived
+    * inputs, so the gate is bit-identical in any engine; exp only
+    * decorates the reported probability. */
+  def qualityModel(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nTok = size(w).cast(DoubleType)
+    val lenAdq = least(nTok / lit(128.0), lit(1.0))
+    val ttr = size(array_distinct(w)).cast(DoubleType) / nTok
+    val stopSc = least(
+      size(filter(w, t => t.isin("the", "a"))).cast(DoubleType) / lit(4.0),
+      lit(1.0))
+    val z = lit(-3.0) + lenAdq * lit(2.0) + ttr * lit(2.5) + stopSc * lit(1.5)
+    docs.select(col("doc_id"), col("lang"),
+      round(z, 5).as("z5"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 5).as("prob5"),
+      (z >= lit(0.0)).as("keep"))
+  }
+
   /** Content fingerprint: polynomial rolling hash over the token
     * stream, each token mapped to a 24-bit integer via its md5 prefix.
     * acc = (acc * 1000003 + tokHash) mod 1e9+7 — exact BIGINT

@@ -89,6 +89,40 @@ class Round4Spec extends AnyFunSuite {
     assert(bloom.sameElements(exact))
   }
 
+  // ---- semantic dedup groups ----------------------------------------
+
+  test("semanticDedupGroups: identical vectors cluster under min id, singletons self-label") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.2f, 3.0f, 0.1f, 2.0f, 0.5f, 1.5f, 0.3f)),
+      (2L, Array(1.0f, 0.2f, 3.0f, 0.1f, 2.0f, 0.5f, 1.5f, 0.3f)), // = vec 1
+      (3L, Array(-1.0f, 5.0f, -2.0f, 4.0f, -3.0f, 6.0f, -1.5f, 2.0f)),
+    ).toDF("vec_id", "embedding")
+    val r = graft.ann.Ann.semanticDedupGroups(vecs, "vec_id", "embedding",
+        nBits = 4, tau = 0.3)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(1L) == ((1L, 2L)) && r(2L) == ((1L, 2L)))
+    // vec 3 pairs with nobody: components only cover edge-touched
+    // vertices, so it simply doesn't appear (downstream keeps it as-is)
+    assert(!r.contains(3L))
+  }
+
+  // ---- quality model -------------------------------------------------
+
+  test("qualityModel: keep gate flips exactly at z >= 0") {
+    val d = Seq(
+      (1L, "en", Seq.fill(200)("the").mkString(" ")), // long, no diversity
+      (2L, "en", "tiny text"),
+    ).toDF("doc_id", "lang", "text")
+    val r = graft.text.TextOps.qualityModel(d)
+      .as[(Long, String, Double, Double, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    // doc 1: lenAdq=1, ttr=1/200, stopSc=1 -> z = -3+2+0.0125+1.5 = 0.5125
+    assert(r(1L)._5 && math.abs(r(1L)._3 - 0.5125) < 1e-9)
+    assert(r(1L)._4 > 0.5 && r(1L)._4 < 1.0)
+    // doc 2: lenAdq=2/128, ttr=1, stopSc=0 -> z = -3+0.03125+2.5 = -0.46875
+    assert(!r(2L)._5 && math.abs(r(2L)._3 - (-0.46875)) < 1e-9)
+  }
+
   // ---- tfidf top terms ----------------------------------------------
 
   test("tfidfTopTerms: rank is (tf desc, df asc, term asc) and scores match ln") {
