@@ -1,7 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -21,8 +21,11 @@ import org.apache.spark.sql.types.LongType
   *  1. range-partition by the order key; per-partition token totals are
   *     one tiny row per partition (driver-side metadata on par with
   *     AQE's stage stats, NOT a data collect);
-  *  2. per-partition exclusive running sum (window WITHIN partition)
-  *     plus the broadcast offset of all earlier partitions.
+  *  2. per-partition exclusive running scan (an imperative
+  *     mapPartitions accumulator over the order the range shuffle
+  *     already established — a window on the partition id would
+  *     re-shuffle the corpus onto the partitioning it is already in)
+  *     plus the offset of all earlier partitions.
   *
   * Every row moves exactly once (the range shuffle); the only global
   * coordination is the P-row totals exchange.
@@ -41,6 +44,7 @@ object Packing {
       .select(col(idCol).cast(LongType).as("id"),
         col(tokenCountCol).cast(LongType).as("n_tokens"))
       .repartitionByRange(p, col("id"))
+      .sortWithinPartitions("id")
       .withColumn("_pid", spark_partition_id())
       .persist()
     // pass 1: per-partition totals — one row per partition; collecting
@@ -50,21 +54,30 @@ object Packing {
     val pids = totals.keys.toSeq.sorted
     val offsets = pids.zip(pids.scanLeft(0L)((acc, pid) => acc + totals(pid)))
       .toMap
-    val offsetCol = pids.foldLeft(lit(0L)) { (acc, pid) =>
-      when(col("_pid") === pid, lit(offsets(pid))).otherwise(acc)
-    }
-    // pass 2: exclusive running sum within each range partition + the
-    // broadcast offset of everything before it
-    val w = Window.partitionBy("_pid").orderBy("id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // materialize against the SAME pinned partitioning the offsets were
-    // measured on (an unpinned re-shuffle could re-range rows and pair
-    // them with the wrong offset), then release the intermediate
-    val out = ranged
-      .withColumn("start",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)) + offsetCol)
-      .withColumn("bin", expr("start div " + budget))
-      .select(col("id").as(idCol), col("n_tokens"), col("start"), col("bin"))
+    // pass 2: per-partition running scan. The rows already SIT in their
+    // range partition in sorted order — a window on _pid would re-hash-
+    // shuffle the whole corpus onto the partitioning it is already in,
+    // so this is the textbook legitimate mapPartitions: imperative
+    // prefix accumulation over an order the shuffle already established.
+    val b = budget
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val enc: Encoder[(Long, Long, Long, Long)] =
+      Encoders.product[(Long, Long, Long, Long)]
+    val out = ranged.select(col("id"), col("n_tokens"), col("_pid"))
+      .as[(Long, Long, Int)](Encoders.product[(Long, Long, Int)])
+      .mapPartitions { it =>
+        var acc = Long.MinValue
+        it.map { case (id, n, pid) =>
+          if (acc == Long.MinValue) acc = offsets(pid)
+          val start = acc
+          acc += n
+          (id, n, start, start / b) // non-negative: / == floor div
+        }
+      }
+      // materialize against the SAME pinned partitioning the offsets
+      // were measured on (an unpinned re-shuffle could re-range rows
+      // and pair them with the wrong offset), then release
+      .toDF(idCol, "n_tokens", "start", "bin")
       .persist()
     out.count()
     ranged.unpersist()
