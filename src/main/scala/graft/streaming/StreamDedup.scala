@@ -35,6 +35,40 @@ object StreamDedup {
       .repartition(col("file_id"))
       .write.mode("overwrite").partitionBy("file_id").json(dir)
 
+  /** Watermark-BOUNDED streaming dedup — the forever-running form of
+    * [[run]]: `dropDuplicatesWithinWatermark` keeps a key in state only
+    * until the watermark passes it, so state is O(keys per watermark
+    * horizon), not O(all keys ever) — the production answer for an
+    * unbounded feed where exact global dedup state would outgrow the
+    * cluster. Semantics: duplicates arriving within the horizon are
+    * dropped exactly; a duplicate arriving after its original's state
+    * expired passes (by design — the horizon IS the dedup guarantee).
+    * Downstream exact dedup (e.g. [[graft.dedup.Dedup.exactDupGroups]]
+    * over the sink) restores global exactness batch-side. */
+  def runBounded(spark: SparkSession, feedDir: String, checkpointDir: String,
+                 outDir: String, delay: String = "10 minutes",
+                 maxFilesPerTrigger: Int = 2): DataFrame = {
+    val eventSchema = StructType(docSchema.fields :+
+      StructField("event_ts", TimestampType))
+    val q = spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("recursiveFileLookup", "true")
+      .json(feedDir)
+      .withColumn("text_md5", md5(col("text")))
+      .withWatermark("event_ts", delay)
+      .dropDuplicatesWithinWatermark("text_md5")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+  }
+
   /** Drain the feed with cross-batch stateful dedup on md5(text);
     * first-seen doc per distinct content survives. Appends survivors
     * to `outDir`; returns the drained end state. */

@@ -123,6 +123,30 @@ class Round4Spec extends AnyFunSuite {
     assert(!r(2L)._5 && math.abs(r(2L)._3 - (-0.46875)) < 1e-9)
   }
 
+  // ---- watermark-bounded streaming dedup ----------------------------
+
+  test("runBounded: in-horizon duplicates dropped across micro-batches; end state = batch dedup") {
+    val work = java.nio.file.Files.createTempDirectory("graft-wmdedup-").toString
+    val feed = Seq(
+      (1L, "alpha beta", "en"), (2L, "alpha beta", "en"),   // dup pair
+      (3L, "gamma delta", "en"), (4L, "gamma delta", "en"), // dup pair
+      (5L, "unique text", "en"),
+    ).toDF("doc_id", "text", "lang")
+      // all inside one watermark horizon; 4 file groups => multi-batch
+      .withColumn("event_ts",
+        timestamp_seconds(unix_timestamp(
+          to_timestamp(lit("2026-01-01 00:00:00"))) + $"doc_id"))
+      .withColumn("file_id", pmod($"doc_id", lit(4)))
+    feed.repartition($"file_id").write.mode("overwrite")
+      .partitionBy("file_id").json(s"$work/feed")
+    val got = graft.streaming.StreamDedup.runBounded(spark, s"$work/feed",
+        s"$work/ckpt", s"$work/out", delay = "10 minutes")
+      .select("text_md5").as[String].collect().sorted
+    val want = feed.select(md5($"text")).distinct()
+      .as[String].collect().sorted
+    assert(got.sameElements(want))
+  }
+
   // ---- tfidf top terms ----------------------------------------------
 
   test("tfidfTopTerms: rank is (tf desc, df asc, term asc) and scores match ln") {
