@@ -26,4 +26,20 @@ object Oracle {
     * DuckDB twin: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE). */
   def moneySum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Hazard 3: `round(x, dp)` itself diverges across engines when x
+    * lands on a decimal half-point — Spark rounds the SHORTEST DECIMAL
+    * REPR of the double (BigDecimal.valueOf → HALF_UP: "-1.009375" →
+    * -1.00938) while DuckDB rounds the BINARY value (-1.0093749999… →
+    * -1.00937). Sums/averages almost never hit halves, but small-
+    * rational arithmetic (k/4, k/128, rank/n) hits them constantly —
+    * found by the sf0.1 self-check on q63/q75. This form uses only
+    * IEEE ops (multiply, add, floor, divide) that both engines execute
+    * bit-identically on identical inputs, so the result is the SAME
+    * double everywhere, half-points included.
+    * DuckDB twin: `floor(x * 1e<dp> + 0.5) / 1e<dp>`. */
+  def stableRound(c: Column, dp: Int): Column = {
+    val scale = math.pow(10.0, dp)
+    floor(c * lit(scale) + lit(0.5)).cast(DoubleType) / lit(scale)
+  }
 }

@@ -948,8 +948,9 @@ object SparkEntry {
            FROM orders GROUP BY o_custkey)
          SELECT n_name AS nation, o_custkey, revenue,
            CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-           round(percent_rank() OVER w, 5) AS pct_rank,
-           round(cume_dist() OVER w, 5) AS cume,
+           floor((percent_rank() OVER w) * 100000.0 + 0.5) / 100000.0
+             AS pct_rank,
+           floor((cume_dist() OVER w) * 100000.0 + 0.5) / 100000.0 AS cume,
            round(COALESCE(lag(revenue, 1) OVER w - revenue, 0.0), 2)
              AS gap_to_next
          FROM rev JOIN customer ON o_custkey = c_custkey
@@ -1128,8 +1129,10 @@ object SparkEntry {
            FROM d),
          z AS (SELECT doc_id, lang,
              -3.0 + lenadq * 2.0 + ttr * 2.5 + stopsc * 1.5 AS z FROM f)
-         SELECT doc_id, lang, round(z, 5) AS z5,
-           round(1.0 / (1.0 + exp(-z)), 5) AS prob5, z >= 0.0 AS keep
+         SELECT doc_id, lang,
+           floor(z * 100000.0 + 0.5) / 100000.0 AS z5,
+           floor(1.0 / (1.0 + exp(-z)) * 100000.0 + 0.5) / 100000.0
+             AS prob5, z >= 0.0 AS keep
          FROM z""",
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.Oracle.{fmtTs, moneySum}
+import graft.Oracle.{fmtTs, moneySum, stableRound}
 import graft.gold.Gold
 import graft.ops.CdcOps
 import graft.sources.Tables
@@ -364,8 +364,10 @@ object CoreQueries {
     val w = nationRevenueWindow
     revenueByNation(s, d)
       .withColumn("quartile", ntile(4).over(w).cast("long"))
-      .withColumn("pct_rank", round(percent_rank().over(w), 5))
-      .withColumn("cume", round(cume_dist().over(w), 5))
+      // stableRound, not round: rank/n ratios hit decimal half-points
+      // where the engines' round() algorithms disagree (Oracle.scala)
+      .withColumn("pct_rank", stableRound(percent_rank().over(w), 5))
+      .withColumn("cume", stableRound(cume_dist().over(w), 5))
       .withColumn("gap_to_next",
         round(coalesce(lag(col("revenue"), 1).over(w) - col("revenue"),
           lit(0.0)), 2))

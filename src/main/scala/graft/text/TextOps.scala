@@ -121,9 +121,12 @@ object TextOps {
       size(filter(w, t => t.isin("the", "a"))).cast(DoubleType) / lit(4.0),
       lit(1.0))
     val z = lit(-3.0) + lenAdq * lit(2.0) + ttr * lit(2.5) + stopSc * lit(1.5)
+    // stableRound, not round: z is small-rational arithmetic (k/128,
+    // k/4 scaled) that lands on decimal half-points where the engines'
+    // round() algorithms split (graft.Oracle.stableRound)
     docs.select(col("doc_id"), col("lang"),
-      round(z, 5).as("z5"),
-      round(lit(1.0) / (lit(1.0) + exp(-z)), 5).as("prob5"),
+      graft.Oracle.stableRound(z, 5).as("z5"),
+      graft.Oracle.stableRound(lit(1.0) / (lit(1.0) + exp(-z)), 5).as("prob5"),
       (z >= lit(0.0)).as("keep"))
   }
 
