@@ -275,23 +275,112 @@ object Dedup {
     result
   }
 
-  /** Connected components over an undirected edge list by iterative
-    * min-label propagation: every vertex starts labelled with itself;
-    * each round takes the min of its own label and its neighbours'
-    * labels; fixpoint = per-component minimum vertex id.
+  /** Partition-local union-find: parent map with path compression and
+    * union-by-min, so the root of every set IS the set's minimum id. */
+  private final class UnionFind {
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+  }
+
+  /** One contraction round: per partition, union-find over the local
+    * edges, emit the star forest (v → local root) — exact connectivity
+    * in ≤ (local vertices − local components) edges. */
+  private def localForest(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val uf = new UnionFind
+    it.foreach { case (a, b) => if (a != b) uf.union(a, b) }
+    uf.parent.keysIterator.flatMap { v =>
+      val r = uf.find(v)
+      if (r != v) Iterator((v, r)) else Iterator.empty
+    }
+  }
+
+  /** Final round on a single partition: label EVERY vertex (roots
+    * included) with its component minimum. */
+  private def localLabels(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val uf = new UnionFind
+    it.foreach { case (a, b) => if (a != b) uf.union(a, b) }
+    uf.parent.keysIterator.map(v => (v, uf.find(v)))
+  }
+
+  /** Connected components over an undirected edge list, labelled with
+    * the per-component minimum vertex id. Output columns (id, label),
+    * one row per non-isolated vertex.
     *
-    * Scale: each round is one equi-join + one partial-aggregated
-    * groupBy on the edge list — rounds needed = graph diameter, which
-    * for near-dup clusters is small (dup clusters are dense). For
-    * adversarial high-diameter graphs the published fix is
-    * large-star/small-star (Kiveris et al. 2014, "Connected Components
-    * in MapReduce and Beyond") — same join-per-round shape, O(log²)
-    * rounds; not needed for dedup workloads. `localCheckpoint` per
-    * round truncates the exponentially-growing lineage. */
+    * Algorithm: iterative TREE CONTRACTION, not label propagation.
+    * Each round repartitions the edge list with geometric fan-in (32×
+    * fewer partitions) and runs an in-memory union-find per partition,
+    * emitting the local star forest (v → component-min root) — exact
+    * connectivity preserved in ≤ local-vertices edges. Once the
+    * surviving forest fits one task (`maxLocalEdges`, default 2²⁶ ≈
+    * 67 M edges ≈ 1 GB of long pairs), a single-partition union-find
+    * labels every vertex. Star forests emit EVERY non-isolated local
+    * vertex, so no vertex is lost across rounds.
+    *
+    * Scale: rounds = log₃₂(input partitions) — 3-4 jobs for a 100 k-
+    * partition scan, each a straight repartition+mapPartitions with no
+    * join and no per-diameter driver sync. Min-label JOIN propagation
+    * needs DIAMETER rounds (near-dup graphs are frequently chain-
+    * shaped: A≈B≈C… with no A≈C edge — a 19-hop chain profiled at 19
+    * shuffled rounds); pointer doubling (Kiveris et al. 2014) still
+    * needed 11. Contraction is 2 jobs on the same graph. For the
+    * adversarial case where even the contracted forest exceeds
+    * `maxLocalEdges` (≳ 2²⁶ vertices in CLUSTERS — a corpus whose
+    * near-dup graph has billions of linked docs), the join loop with
+    * pointer jumping runs as the fallback on the CONTRACTED edges,
+    * whose star shape keeps its round count O(log) regardless of the
+    * original diameter. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
-    val und = edges.select(col(aCol).cast(LongType).as("src"),
-      col(bCol).cast(LongType).as("dst"))
+                          maxIter: Int = 50,
+                          maxLocalEdges: Long = 1L << 26): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // materialize the edge list once: every round (and the fallback)
+    // re-reads it, and upstream is typically a whole LSH pipeline
+    var e = edges.select(col(aCol).cast(LongType), col(bCol).cast(LongType))
+      .as[(Long, Long)].filter(t => t._1 != t._2)
+      .localCheckpoint(true)
+    var cnt = e.count()
+    var parts = math.max(e.rdd.getNumPartitions, 1)
+    while (cnt > maxLocalEdges && parts > 1) {
+      parts = math.max(1, parts / 32)
+      e = e.repartition(parts).mapPartitions(localForest _)
+        .localCheckpoint(true)
+      cnt = e.count()
+    }
+    if (cnt <= maxLocalEdges) {
+      e.repartition(1).mapPartitions(localLabels _)
+        .toDF("id", "label")
+    } else {
+      connectedComponentsByPropagation(e.toDF("src", "dst"), maxIter)
+    }
+  }
+
+  /** Join-based min-label propagation with pointer jumping — the
+    * beyond-single-task fallback of [[connectedComponents]]. Each round:
+    * label ← min(label, neighbours' labels), then label ← label[label]
+    * (pointer doubling halves the remaining propagation distance, so
+    * rounds = O(log diameter) — and on contracted star forests the
+    * effective diameter is already O(rounds of contraction)).
+    * `localCheckpoint` per round truncates the exponentially-growing
+    * lineage; the convergence bit rides inside the checkpointed round
+    * so the check is a scan, not an extra join. */
+  private[graft] def connectedComponentsByPropagation(
+      edges: DataFrame, maxIter: Int): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
     val sym = und
       .union(und.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
@@ -306,17 +395,19 @@ object Dedup {
           col("label").as("nlabel")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nbr_label"))
-      // carry the convergence bit INSIDE the checkpointed round: the
-      // old form re-joined next against labels just to ask "did
-      // anything change?", paying an extra shuffle join per round —
-      // here the changed flag is computed in the same projection and
-      // the check is a scan of the already-materialized checkpoint.
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"),
-          (coalesce(col("nbr_label"), col("label")) < col("label"))
-            .as("changed"))
+            .as("mid"))
+        .localCheckpoint(true)
+      // `mid` is always a vertex id (labels only take vertex-id
+      // values), so label[label] is a self-equi-join; left join +
+      // coalesce guards the self-labelled roots
+      val jmp = least(col("mid"), coalesce(col("jump"), col("mid")))
+      val next = stepped
+        .join(stepped.select(col("id").as("mid"), col("mid").as("jump")),
+          Seq("mid"), "left")
+        .select(col("id"), jmp.as("label"), (jmp < col("prev")).as("changed"))
         .localCheckpoint(true)
       converged = next.filter(col("changed")).isEmpty
       labels = next.select("id", "label")
@@ -325,9 +416,7 @@ object Dedup {
     sym.unpersist()
     // silent non-convergence would split one real component into
     // several canonical ids — a correctness failure downstream "keep
-    // canonical only" can't detect. Fail loud; callers with genuinely
-    // high-diameter graphs raise maxIter (or switch to
-    // large-star/small-star, O(log²) rounds).
+    // canonical only" can't detect. Fail loud.
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds — " +
         "graph diameter exceeds maxIter")
