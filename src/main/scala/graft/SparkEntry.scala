@@ -138,6 +138,9 @@ object SparkEntry {
     "q73_tfidf_terms"       -> ((s, d) => LlmQueries.tfidfTerms(s, d)),
     "q74_semantic_dedup"    -> ((s, d) => LlmQueries.semanticDedup(s, d)),
     "q75_quality_model"     -> ((s, d) => LlmQueries.qualityModel(s, d)),
+    "q76_knn_graph"         -> ((s, d) => LlmQueries.knnGraph(s, d)),
+    "q77_incremental_dedup" -> ((s, d) => LlmQueries.incrementalDedup(s, d)),
+    "q78_quality_canonical" -> ((s, d) => LlmQueries.qualityCanonical(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1134,5 +1137,102 @@ object SparkEntry {
            floor(1.0 / (1.0 + exp(-z)) * 100000.0 + 0.5) / 100000.0
              AS prob5, z >= 0.0 AS keep
          FROM z""",
+    "q76_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             (CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END
+            + CASE WHEN embedding[3] > embedding[4] THEN 2 ELSE 0 END
+            + CASE WHEN embedding[5] > embedding[6] THEN 4 ELSE 0 END
+            + CASE WHEN embedding[7] > embedding[8] THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings),
+         p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+               (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(b.v, x -> x * x)))), 5) AS cos5
+           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos5 DESC, neighbor_id) AS rank FROM p)
+         SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos5
+         FROM r WHERE rank <= 2""",
+    "q77_incremental_dedup" ->
+      """WITH str AS (SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+             ELSE [] END AS shingles
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS shingles
+           FROM str),
+         sig AS (SELECT doc_id, shingles,
+             [list_min(list_transform(shingles, x ->
+                (((2654435761 * (h + 1)) % 1073741789) * (x // 1073741824)
+                 + ((2246822519 * (h + 1)) % 1073741789) * (x % 1073741824)
+                 + h) % 1073741789)) FOR h IN range(12)] AS sig
+           FROM sh WHERE len(shingles) > 0),
+         bands AS (SELECT doc_id, b,
+             md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3])) AS band_key
+           FROM sig, unnest(range(4)) AS t(b)),
+         cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+           FROM bands n JOIN bands o
+             ON n.b = o.b AND n.band_key = o.band_key
+           WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0),
+         j AS (SELECT c.new_id,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+           FROM cand c JOIN sh a ON c.new_id = a.doc_id
+                       JOIN sh b ON c.old_id = b.doc_id),
+         flagged AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_near_dups,
+             floor(MAX(jaccard) * 100000.0 + 0.5) / 100000.0 AS jmax5
+           FROM j WHERE jaccard >= 0.8 GROUP BY new_id)
+         SELECT d.doc_id,
+           CAST(COALESCE(f.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+           COALESCE(f.jmax5, 0.0) AS jmax5,
+           COALESCE(f.n_near_dups, 0) = 0 AS admit
+         FROM documents d LEFT JOIN flagged f ON d.doc_id = f.new_id
+         WHERE d.doc_id % 10 = 0""",
+    "q78_quality_canonical" ->
+      """WITH RECURSIVE str AS (SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+             ELSE [] END AS shingles
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS shingles
+           FROM str),
+         sig AS (SELECT doc_id, shingles,
+             [list_min(list_transform(shingles, x ->
+                (((2654435761 * (h + 1)) % 1073741789) * (x // 1073741824)
+                 + ((2246822519 * (h + 1)) % 1073741789) * (x % 1073741824)
+                 + h) % 1073741789)) FOR h IN range(12)] AS sig
+           FROM sh),
+         bands AS (SELECT doc_id, b,
+             md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3])) AS band_key
+           FROM sig, unnest(range(4)) AS t(b)),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bands x JOIN bands y
+             ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         j AS (SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+           FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id),
+         und AS (SELECT doc_a AS a, doc_b AS b FROM j WHERE jaccard >= 0.8
+                 UNION
+                 SELECT doc_b, doc_a FROM j WHERE jaccard >= 0.8),
+         reach(id, lbl) AS (
+           SELECT a, a FROM und
+           UNION
+           SELECT u.a, r.lbl FROM und u JOIN reach r ON u.b = r.id),
+         comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+         q AS (SELECT c.id AS doc_id, c.cluster_id, d.n_chars
+           FROM comp c JOIN documents d ON c.id = d.doc_id)
+         SELECT doc_id, cluster_id,
+           FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+             ORDER BY n_chars DESC, doc_id) AS keeper_id,
+           doc_id = FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+             ORDER BY n_chars DESC, doc_id) AS keep
+         FROM q""",
   )
 }

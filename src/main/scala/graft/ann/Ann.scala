@@ -196,6 +196,36 @@ object Ann {
         col("cos5"))
   }
 
+  /** k-nearest-neighbour GRAPH over the whole corpus, LSH-bucketed:
+    * every vector gets its top-`k` cosine neighbours WITHIN its sign
+    * bucket. The self-join is an equi-join on the bucket key — each
+    * vector compares against its bucket's members only (~N²/2^bits
+    * candidate edges), never all-pairs — and the per-vector top-k is a
+    * rank-over-window with partial pushdown (Spark's WindowGroupLimit
+    * keeps only k rows per key on the map side before the shuffle).
+    * This is the build step of kNN-graph methods (NN-Descent seeds,
+    * graph-based ANN indexes, dataset cartography); production swaps
+    * the comparison-bit bucket for random-hyperplane signs and unions
+    * several rotations — same plan. Output (vec_id, rank, neighbor_id,
+    * cos5). */
+  def knnGraph(corpus: DataFrame, idCol: String, embCol: String,
+               nBits: Int, k: Int): DataFrame = {
+    val e = corpus.select(col(idCol).as("id"),
+      signBucket(embCol, nBits).as("bucket"), asDouble(embCol).as("v"))
+    val a = e.select(col("id").as("vec_id"), col("bucket"), col("v").as("va"))
+    val b = e.select(col("id").as("neighbor_id"), col("bucket"),
+      col("v").as("vb"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos5").desc, col("neighbor_id").asc)
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos5", cos5(corpus.sparkSession, col("va"), col("vb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos5"))
+  }
+
   /** Embedding-space near-duplicate GROUPS (semantic dedup): sign-LSH
     * bucketed cosine pairs → connected components → (vec, canonical =
     * component-min vec, cluster size). The embedding analog of

@@ -441,6 +441,70 @@ object Dedup {
           .partitionBy("canonical_id")))
   }
 
+  /** Incremental (new-batch-vs-corpus) near-dup admission — the
+    * production shape of corpus dedup: an arriving batch is checked
+    * against the ALREADY-ACCEPTED corpus, not against itself. Both
+    * sides get MinHash band keys; the candidate join is new×corpus on
+    * (band, key) — at 100 TB the corpus side's banded projection is a
+    * precomputed index table partitioned by band key, so each arriving
+    * batch shuffles only its own O(batch×bands) rows against it. Exact
+    * Jaccard verifies candidates; output is EVERY new doc with its
+    * corpus near-dup count, best match (jmax5, 0.0 when clean), and
+    * the admission bit. */
+  def incrementalNearDups(newDocs: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 3, k: Int = 12, bands: Int = 4,
+                          tau: Double = 0.8): DataFrame = {
+    val spark = newDocs.sparkSession
+    val rowsPerBand = k / bands
+    def banded(df: DataFrame, side: String) =
+      withHashedShingles(df, idCol, textCol, n)
+        .filter(size(col("shingles")) > 0)
+        .withColumn("sig", GraftFunctions.minhash(spark, col("shingles"), k))
+        .select(col(idCol).as(side), col("shingles").as(s"sh_$side"),
+          posexplode(bandKeys("sig", bands, rowsPerBand)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_key")
+    val cand = banded(newDocs, "new_id")
+      .join(banded(corpus, "old_id"), Seq("band", "band_key"))
+      .select("new_id", "sh_new_id", "old_id", "sh_old_id").distinct()
+      .withColumn("jaccard",
+        GraftFunctions.jaccardSorted(spark, col("sh_new_id"), col("sh_old_id")))
+      .filter(col("jaccard") >= tau)
+    val dupStats = cand.groupBy(col("new_id").as(idCol))
+      .agg(count(lit(1)).as("n_near_dups"),
+        // stableRound, not round: jaccard is a small-int ratio that can
+        // land on decimal half-points where engine round()s split
+        graft.Oracle.stableRound(max(col("jaccard")), 5).as("jmax5"))
+    newDocs.select(col(idCol))
+      .join(dupStats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        coalesce(col("jmax5"), lit(0.0)).as("jmax5"),
+        coalesce(col("n_near_dups"), lit(0L)).equalTo(0L).as("admit"))
+  }
+
+  /** Quality-ranked canonical per near-dup cluster: [[dedupGroups]]
+    * clusters, but the keeper is the BEST-quality member (quality desc,
+    * id asc tiebreak), not the min id — "dedup keeping the longest/
+    * cleanest copy", which is what corpus curation actually wants. Adds
+    * one broadcast-scale join of the (tiny) cluster table back to the
+    * quality column and one window over clusters. Output (doc_id,
+    * cluster_id = component-min label, keeper_id, keep). */
+  def qualityCanonical(docs: DataFrame, idCol: String, textCol: String,
+                       qualityCol: String, n: Int = 3, k: Int = 12,
+                       bands: Int = 4, tau: Double = 0.8): DataFrame = {
+    val groups = dedupGroups(docs, idCol, textCol, n, k, bands, tau)
+      .select(col(idCol), col("canonical_id").as("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    groups.join(docs.select(col(idCol), col(qualityCol)), idCol)
+      .withColumn("keeper_id", first(col(idCol)).over(w))
+      .select(col(idCol), col("cluster_id"), col("keeper_id"),
+        (col(idCol) === col("keeper_id")).as("keep"))
+  }
+
   /** Corpus-level duplicated-span statistics (the signal behind
     * span-level dedup à la Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better"): for every doc, how many of

@@ -279,6 +279,29 @@ object LlmQueries {
   def qualityModel(s: SparkSession, d: String): DataFrame =
     TextOps.qualityModel(Tables.documents(s, d))
 
+  /** LSH-bucketed k-nearest-neighbour graph over the embedding corpus
+    * (top-2 cosine neighbours within each sign bucket). */
+  def knnGraph(s: SparkSession, d: String): DataFrame =
+    Ann.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
+      nBits = 4, k = 2)
+
+  /** Incremental dedup: the doc_id % 10 == 0 slice arrives as the new
+    * batch and is admitted only if it has no near-dup in the
+    * already-accepted corpus (the other 90%). */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalNearDups(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0),
+      "doc_id", "text")
+  }
+
+  /** Near-dup clusters keeping the BEST copy (longest text, id
+    * tiebreak) instead of the min-id copy. */
+  def qualityCanonical(s: SparkSession, d: String): DataFrame =
+    Dedup.qualityCanonical(Tables.documents(s, d), "doc_id", "text",
+      "n_chars")
+
   // ---- streaming dedup -----------------------------------------------
 
   /** Streaming incremental MinHash-LSH near-dup dedup: the corpus

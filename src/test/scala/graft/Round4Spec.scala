@@ -165,4 +165,87 @@ class Round4Spec extends AnyFunSuite {
     assert(math.abs(tfidf - BigDecimal(tf * math.log(3.0 / df))
       .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
+
+  // ---- connected components: contraction vs propagation --------------
+
+  test("CC contraction path and propagation fallback agree on a long chain") {
+    // diameter 120 — lethal for plain min-label propagation, trivial
+    // for contraction; maxLocalEdges = 0 forces the fallback loop
+    val edges = (0L until 120L).map(i => (i, i + 1)).toDF("a", "b")
+    val contracted = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val propagated = Dedup.connectedComponents(edges, "a", "b",
+        maxIter = 50, maxLocalEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(contracted.size == 121 && contracted.values.forall(_ == 0L))
+    assert(propagated == contracted)
+  }
+
+  // ---- knnGraph ------------------------------------------------------
+
+  test("knnGraph: neighbors stay in-bucket, ranks ordered by cosine desc") {
+    val vecs = (0L until 12L).map { i =>
+      (i, Array.tabulate(8)(j =>
+        (math.sin(i * 7 + j) * 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    val g = graft.ann.Ann.knnGraph(vecs, "vec_id", "embedding",
+        nBits = 2, k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    val buckets = vecs.select(col("vec_id"),
+        graft.ann.Ann.signBucket("embedding", 2).as("bk"))
+      .as[(Long, Int)].collect().toMap
+    assert(g.nonEmpty)
+    // every edge joins same-bucket vectors, never self
+    assert(g.forall { case (v, _, nb, _) =>
+      v != nb && buckets(v) == buckets(nb) })
+    // ranks per vector are 1..m and cosine is non-increasing in rank
+    g.groupBy(_._1).values.foreach { edges =>
+      val sorted = edges.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x._4 >= y._4; case _ => true })
+      assert(sorted.length <= 3)
+    }
+  }
+
+  // ---- incremental dedup --------------------------------------------
+
+  test("incrementalNearDups: copies rejected, fresh and short docs admitted") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different corpus content about spark engines here"),
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // copy of 1
+      (11L, "entirely novel arrival that matches nothing at all yes"),
+      (12L, "wx yz"),                                             // < 3 tokens
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalNearDups(fresh, corpus, "doc_id", "text",
+        tau = 0.8)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(10L) == ((1L, 1.0, false)))
+    assert(r(11L) == ((0L, 0.0, true)))
+    assert(r(12L) == ((0L, 0.0, true)))   // no shingles, still in output
+  }
+
+  // ---- quality canonical --------------------------------------------
+
+  test("qualityCanonical keeps the highest-quality member per cluster") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (1L, base + " one", 10L),
+      (2L, base + " two", 99L),   // same cluster, best quality
+      (3L, base + " six", 50L),
+      (4L, "unrelated island text with no duplicate partner at all", 7L),
+    ).toDF("doc_id", "text", "n_chars")
+    val r = Dedup.qualityCanonical(d, "doc_id", "text", "n_chars",
+        tau = 0.5)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // docs 1-3 cluster together (cluster_id = min = 1), keeper = 2
+    assert(Seq(1L, 2L, 3L).forall(i => r(i)._1 == 1L && r(i)._2 == 2L))
+    assert(r(2L)._3 && !r(1L)._3 && !r(3L)._3)
+    assert(!r.contains(4L))   // isolated docs are not clustered
+  }
 }
