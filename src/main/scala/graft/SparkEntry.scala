@@ -141,6 +141,9 @@ object SparkEntry {
     "q76_knn_graph"         -> ((s, d) => LlmQueries.knnGraph(s, d)),
     "q77_incremental_dedup" -> ((s, d) => LlmQueries.incrementalDedup(s, d)),
     "q78_quality_canonical" -> ((s, d) => LlmQueries.qualityCanonical(s, d)),
+    "q79_unpivot"           -> ((s, d) => CoreQueries.unpivotMetrics(s, d)),
+    "q80_zipf_slope"        -> ((s, d) => LlmQueries.zipfSlope(s, d)),
+    "q81_repetition"        -> ((s, d) => LlmQueries.repetitionSignals(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1234,5 +1237,83 @@ object SparkEntry {
            doc_id = FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
              ORDER BY n_chars DESC, doc_id) AS keep
          FROM q""",
+    "q79_unpivot" ->
+      """WITH a AS (SELECT n_name AS nation,
+             CAST(COUNT(*) AS DOUBLE) AS n_customers,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_acctbal,
+             MAX(c_acctbal) AS max_acctbal
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name)
+         SELECT nation, 'n_customers' AS metric, n_customers AS value FROM a
+         UNION ALL
+         SELECT nation, 'sum_acctbal' AS metric, sum_acctbal FROM a
+         UNION ALL
+         SELECT nation, 'max_acctbal' AS metric, max_acctbal FROM a""",
+    "q80_zipf_slope" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+           FROM toks GROUP BY tok),
+         top AS (SELECT * FROM freq ORDER BY freq DESC, tok LIMIT 500),
+         ranked AS (SELECT freq, row_number() OVER
+             (ORDER BY freq DESC, tok) AS rank FROM top),
+         q AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+             ln(CAST(freq AS DOUBLE)) AS y FROM ranked),
+         qt AS (SELECT
+             CAST(floor(x * 1000000000.0 + 0.5) AS BIGINT) AS xq,
+             CAST(floor(y * 1000000000.0 + 0.5) AS BIGINT) AS yq,
+             CAST(floor(x * y * 1000000000.0 + 0.5) AS BIGINT) AS xyq,
+             CAST(floor(x * x * 1000000000.0 + 0.5) AS BIGINT) AS xxq
+           FROM q),
+         s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(xq) AS DOUBLE) / 1000000000.0 AS sx,
+             CAST(SUM(yq) AS DOUBLE) / 1000000000.0 AS sy,
+             CAST(SUM(xyq) AS DOUBLE) / 1000000000.0 AS sxy,
+             CAST(SUM(xxq) AS DOUBLE) / 1000000000.0 AS sxx
+           FROM qt)
+         SELECT CAST(n AS BIGINT) AS n_ranks,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 100000.0
+             + 0.5) / 100000.0 AS slope5,
+           floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             * 100000.0 + 0.5) / 100000.0 AS intercept5
+         FROM s""",
+    "q81_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+         b AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM d),
+         uc AS (SELECT doc_id, n, g, COUNT(*) AS c
+           FROM (SELECT doc_id, n, unnest(w) AS g FROM b)
+           GROUP BY doc_id, n, g),
+         uni AS (SELECT doc_id,
+             floor(CAST(MAX(c) AS DOUBLE) / n * 100000.0 + 0.5)
+               / 100000.0 AS top_uni5
+           FROM uc GROUP BY doc_id, n),
+         bc AS (SELECT doc_id, n - 1 AS m, g, COUNT(*) AS c
+           FROM (SELECT doc_id, n, unnest(list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i+1])) AS g FROM b WHERE n >= 2)
+           GROUP BY doc_id, n, g),
+         bi AS (SELECT doc_id,
+             floor(CAST(MAX(c) AS DOUBLE) / m * 100000.0 + 0.5)
+               / 100000.0 AS top_bi5
+           FROM bc GROUP BY doc_id, m),
+         tc AS (SELECT doc_id, n - 2 AS m, g, COUNT(*) AS c
+           FROM (SELECT doc_id, n, unnest(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+             FROM b WHERE n >= 3)
+           GROUP BY doc_id, n, g),
+         tri AS (SELECT doc_id,
+             floor(CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+               / m * 100000.0 + 0.5) / 100000.0 AS dup_tri5
+           FROM tc GROUP BY doc_id, m)
+         SELECT b.doc_id,
+           COALESCE(u.top_uni5, 0.0) AS top_uni5,
+           COALESCE(bi.top_bi5, 0.0) AS top_bi5,
+           COALESCE(t.dup_tri5, 0.0) AS dup_tri5,
+           COALESCE(u.top_uni5, 0.0) >= 0.125
+             OR COALESCE(t.dup_tri5, 0.0) >= 0.25 AS repetitive
+         FROM b LEFT JOIN uni u ON b.doc_id = u.doc_id
+           LEFT JOIN bi ON b.doc_id = bi.doc_id
+           LEFT JOIN tri t ON b.doc_id = t.doc_id""",
   )
 }

@@ -451,6 +451,24 @@ object CoreQueries {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** Wide→long unpivot (melt) — the reshape dual of [[pivotEvents]]:
+    * per-nation customer metrics melted to (nation, metric, value)
+    * rows via `Dataset.unpivot` (STACK at the physical level — a
+    * narrow per-row expansion, no shuffle beyond the feeding
+    * aggregate; metric values all cast to one double-typed column). */
+  def unpivotMetrics(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val agg = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).cast("double").as("n_customers"),
+        moneySum(col("c_acctbal")).as("sum_acctbal"),
+        max(col("c_acctbal")).as("max_acctbal"))
+    agg.unpivot(Array(col("nation")),
+      Array(col("n_customers"), col("sum_acctbal"), col("max_acctbal")),
+      "metric", "value")
+  }
+
   /** Incremental gold maintenance (streaming materialized view): drain
     * the change feed folding per-batch DELTAS into the stored
     * per-country aggregate — never recomputing from the fact table —

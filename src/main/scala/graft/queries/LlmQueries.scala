@@ -279,6 +279,16 @@ object LlmQueries {
   def qualityModel(s: SparkSession, d: String): DataFrame =
     TextOps.qualityModel(Tables.documents(s, d))
 
+  /** Corpus Zipf (rank-frequency power law) least-squares fit over the
+    * top-500 vocabulary tokens. */
+  def zipfSlope(s: SparkSession, d: String): DataFrame =
+    TextOps.zipfFit(Tables.documents(s, d), "text", topR = 500)
+
+  /** Gopher-style per-doc repetition signals (top-unigram/bigram
+    * share, duplicated-trigram occurrence share). */
+  def repetitionSignals(s: SparkSession, d: String): DataFrame =
+    TextOps.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
+
   /** LSH-bucketed k-nearest-neighbour graph over the embedding corpus
     * (top-2 cosine neighbours within each sign bucket). */
   def knnGraph(s: SparkSession, d: String): DataFrame =

@@ -27,6 +27,106 @@ object TextOps {
     * separated; `split` on one space matches DuckDB `string_split`. */
   def words(text: Column): Column = split(text, " ")
 
+  /** Zipf fit over the corpus vocabulary: least-squares slope and
+    * intercept of ln(freq) ~ ln(rank) for the top-`topR` tokens by
+    * frequency — the rank-frequency power-law diagnostic (healthy
+    * natural-language corpora sit near slope −1; templated/synthetic
+    * corpora flatten or cliff).
+    *
+    * Scale: one shuffle builds token frequencies (map-side combine);
+    * the top-R cut is a distributed TakeOrdered (per-partition top-R,
+    * merged — never a global sort of the vocabulary); the regression
+    * runs on R rows. Cross-engine: ln values are quantized to exact
+    * 1e-9-scaled BIGINTs BEFORE summing (floor(x·1e9+0.5) — identical
+    * IEEE ops on identical doubles), so the sums are integer-exact and
+    * order-independent on both engines; the closed-form solve then
+    * happens on identical doubles. Single-row output
+    * (n_ranks, slope5, intercept5). */
+  def zipfFit(docs: DataFrame, textCol: String, topR: Int): DataFrame = {
+    val scale = 1e9
+    val freq = docs.select(explode(words(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val top = freq.orderBy(col("freq").desc, col("tok").asc).limit(topR)
+    val ranked = top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("tok").asc)))
+    val q = ranked.select(
+      log(col("rank").cast(DoubleType)).as("x"),
+      log(col("freq").cast(DoubleType)).as("y"))
+    val sums = q.select(
+        floor(col("x") * scale + 0.5).cast(LongType).as("xq"),
+        floor(col("y") * scale + 0.5).cast(LongType).as("yq"),
+        floor(col("x") * col("y") * scale + 0.5).cast(LongType).as("xyq"),
+        floor(col("x") * col("x") * scale + 0.5).cast(LongType).as("xxq"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"),
+        (sum("xq").cast(DoubleType) / scale).as("sx"),
+        (sum("yq").cast(DoubleType) / scale).as("sy"),
+        (sum("xyq").cast(DoubleType) / scale).as("sxy"),
+        (sum("xxq").cast(DoubleType) / scale).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("n").cast(LongType).as("n_ranks"),
+      graft.Oracle.stableRound(slope, 5).as("slope5"),
+      graft.Oracle.stableRound((col("sy") - slope * col("sx")) / col("n"), 5)
+        .as("intercept5"))
+  }
+
+  /** Gopher-style intra-document repetition signals: most-common
+    * unigram share, most-common bigram share, and the share of trigram
+    * OCCURRENCES whose gram repeats within the doc (Rae et al. 2021
+    * §A1.1 repetition filters). Templated/boilerplate docs spike all
+    * three.
+    *
+    * Scale: counting is explode → groupBy(doc, gram) with map-side
+    * partial aggregation — linear in tokens, never the O(n²)
+    * per-row HOF scan (filter-per-distinct-token), which dies on
+    * 100k-token documents. Three narrow aggregates re-join on doc_id;
+    * docs too short for a gram width keep 0.0. */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val base = docs.select(col(idCol), words(col(textCol)).as("w"))
+      .select(col(idCol), col("w"), size(col("w")).cast(LongType).as("n"))
+    // top-unigram share
+    val uni = base.select(col(idCol), col("n"), explode(col("w")).as("g"))
+      .groupBy(col(idCol), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("n")).agg(max("c").as("maxc"))
+      .select(col(idCol), graft.Oracle.stableRound(
+        col("maxc").cast(DoubleType) / col("n").cast(DoubleType), 5)
+        .as("top_uni5"))
+    def gramCounts(k: Int) = {
+      val parts = (0 until k).map(j => s"element_at(w, i + $j)")
+        .mkString("concat_ws(' ', ", ", ", ")")
+      base.filter(col("n") >= k)
+        .select(col(idCol), (col("n") - (k - 1)).as("m"),
+          explode(expr(s"transform(sequence(1, size(w) - ${k - 1}), i -> $parts)"))
+            .as("g"))
+        .groupBy(col(idCol), col("m"), col("g"))
+        .agg(count(lit(1)).as("c"))
+    }
+    val bi = gramCounts(2)
+      .groupBy(col(idCol), col("m")).agg(max("c").as("maxc"))
+      .select(col(idCol), graft.Oracle.stableRound(
+        col("maxc").cast(DoubleType) / col("m").cast(DoubleType), 5)
+        .as("top_bi5"))
+    val tri = gramCounts(3)
+      .groupBy(col(idCol), col("m"))
+      .agg(sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dupocc"))
+      .select(col(idCol), graft.Oracle.stableRound(
+        col("dupocc").cast(DoubleType) / col("m").cast(DoubleType), 5)
+        .as("dup_tri5"))
+    base.select(col(idCol))
+      .join(uni, Seq(idCol), "left")
+      .join(bi, Seq(idCol), "left")
+      .join(tri, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("top_uni5"), lit(0.0)).as("top_uni5"),
+        coalesce(col("top_bi5"), lit(0.0)).as("top_bi5"),
+        coalesce(col("dup_tri5"), lit(0.0)).as("dup_tri5"))
+      .withColumn("repetitive",
+        col("top_uni5") >= 0.125 || col("dup_tri5") >= 0.25)
+  }
+
   /** Per-document token statistics: token count, distinct count,
     * type-token ratio, average token length (chars excluding the
     * n-1 separator spaces), stopword ratio. */

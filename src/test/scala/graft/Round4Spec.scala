@@ -229,6 +229,47 @@ class Round4Spec extends AnyFunSuite {
     assert(r(12L) == ((0L, 0.0, true)))   // no shingles, still in output
   }
 
+  // ---- zipf fit ------------------------------------------------------
+
+  test("zipfFit recovers slope -1 exactly on a freq = c/rank corpus") {
+    // freqs 6, 3, 2 at ranks 1, 2, 3: ln f = ln 6 - ln rank — an exact
+    // power law, so least squares must return slope -1, intercept ln 6
+    val docs = Seq((1L, "a a a a a a b b b c c")).toDF("doc_id", "text")
+    val r = graft.text.TextOps.zipfFit(docs, "text", topR = 500)
+      .as[(Long, Double, Double)].head()
+    assert(r == ((3L, -1.0, 1.79176)))
+  }
+
+  test("zipfFit topR bounds the ranks entering the fit") {
+    val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val r = graft.text.TextOps.zipfFit(docs, "text", topR = 2)
+      .as[(Long, Double, Double)].head()
+    assert(r._1 == 2L)
+  }
+
+  // ---- repetition signals -------------------------------------------
+
+  test("repetitionSignals: unigram share, bigram share, duplicated trigrams") {
+    val docs = Seq(
+      (1L, "x x x y"),                 // top uni 3/4, top bi 2/3, no tri dup
+      (2L, "a b c a b c a b"),         // every trigram duplicated
+      (3L, "p q r s t u v w"),         // no repetition anywhere
+    ).toDF("doc_id", "text")
+    val r = graft.text.TextOps.repetitionSignals(docs, "doc_id", "text")
+      .as[(Long, Double, Double, Double, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(r(1L) == ((0.75, 0.66667, 0.0, true)))
+    assert(r(2L) == ((0.375, 0.42857, 1.0, true)))
+    assert(r(3L) == ((0.125, 0.14286, 0.0, true)))
+  }
+
+  test("repetitionSignals: short docs keep zero bigram/trigram shares") {
+    val docs = Seq((9L, "solo")).toDF("doc_id", "text")
+    val r = graft.text.TextOps.repetitionSignals(docs, "doc_id", "text")
+      .as[(Long, Double, Double, Double, Boolean)].head()
+    assert(r == ((9L, 1.0, 0.0, 0.0, true)))
+  }
+
   // ---- quality canonical --------------------------------------------
 
   test("qualityCanonical keeps the highest-quality member per cluster") {
