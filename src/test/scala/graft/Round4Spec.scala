@@ -270,6 +270,54 @@ class Round4Spec extends AnyFunSuite {
     assert(r == ((9L, 1.0, 0.0, 0.0, true)))
   }
 
+  // ---- count-min sketch ---------------------------------------------
+
+  test("cmsHeavyHitters: estimates are exact without collisions, never undercount") {
+    val docs = Seq((1L, "a a a a b b b c c d")).toDF("doc_id", "text")
+    val r = graft.text.TextOps.cmsHeavyHitters(docs, "text", k = 4)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // 4 tokens into 4×1024 cells: no collisions, sketch is exact
+    assert(r("a") == ((4L, 4L, 0L)))
+    assert(r("b") == ((3L, 3L, 0L)))
+    assert(r("c") == ((2L, 2L, 0L)))
+    assert(r("d") == ((1L, 1L, 0L)))
+  }
+
+  test("cmsHeavyHitters one-sided error under a tiny width (forced collisions)") {
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text + " hot hot hot")).toDF("doc_id", "text")
+    val r = graft.text.TextOps.cmsHeavyHitters(docs, "text",
+        depth = 2, width = 4, k = 10)
+      .as[(String, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_._4 >= 0L))            // overcount is never negative
+    val hot = r.find(_._1 == "hot").get
+    assert(hot._2 == 3L && hot._3 >= 3L)
+  }
+
+  // ---- gap-filled resample ------------------------------------------
+
+  test("resampleDaily-style spine fills gaps with zeros") {
+    // use the operator's own building blocks on a hand-made frame
+    val e = Seq((1L, 10L, 5.0), (1L, 13L, 2.5), (2L, 11L, 1.0))
+      .toDF("user_id", "day", "value")
+    val agg = e.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val spine = e.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+    val r = spine.join(agg, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day",
+        coalesce($"n_events", lit(0L)).as("n"),
+        coalesce($"sum_value", lit(0.0)).as("v"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._2))
+    assert(r.toSeq == Seq(
+      (1L, 10L, 1L, 5.0), (1L, 11L, 0L, 0.0), (1L, 12L, 0L, 0.0),
+      (1L, 13L, 1L, 2.5), (2L, 11L, 1L, 1.0)))
+  }
+
   // ---- quality canonical --------------------------------------------
 
   test("qualityCanonical keeps the highest-quality member per cluster") {
