@@ -146,6 +146,8 @@ object SparkEntry {
     "q81_repetition"        -> ((s, d) => LlmQueries.repetitionSignals(s, d)),
     "q82_cms_heavy"         -> ((s, d) => LlmQueries.cmsHeavy(s, d)),
     "q83_resample_daily"    -> ((s, d) => CoreQueries.resampleDaily(s, d)),
+    "q84_mad_outliers"      -> ((s, d) => LlmQueries.madOutliers(s, d)),
+    "q85_funnel"            -> ((s, d) => CoreQueries.funnel(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1357,5 +1359,41 @@ object SparkEntry {
            COALESCE(a.sum_value, 0.0) AS sum_value
          FROM spine s LEFT JOIN agg a
            ON s.user_id = a.user_id AND s.day = a.day""",
+    "q84_mad_outliers" ->
+      """WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+           FROM documents GROUP BY lang),
+         dev AS (SELECT d.doc_id, d.lang, d.n_chars, m.med,
+             abs(d.n_chars - m.med) AS adev
+           FROM documents d JOIN med m ON d.lang = m.lang),
+         mad AS (SELECT lang, med, quantile_cont(adev, 0.5) AS mad
+           FROM dev GROUP BY lang, med)
+         SELECT v.doc_id, v.lang, v.n_chars, a.med, a.mad,
+           v.adev > 3.0 * a.mad AS outlier
+         FROM dev v JOIN mad a ON v.lang = a.lang""",
+    "q85_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM events),
+         t1 AS (SELECT user_id, MIN(ts_s) AS t_view FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+         t2 AS (SELECT e.user_id, MIN(e.ts_s) AS t_click
+           FROM e JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND e.ts_s > t1.t_view
+           GROUP BY e.user_id),
+         t3 AS (SELECT e.user_id, MIN(e.ts_s) AS t_purchase
+           FROM e JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts_s > t2.t_click
+           GROUP BY e.user_id),
+         u AS (SELECT DISTINCT user_id FROM e)
+         SELECT u.user_id,
+           CAST(CASE WHEN t3.t_purchase IS NOT NULL THEN 3
+                     WHEN t2.t_click IS NOT NULL THEN 2
+                     WHEN t1.t_view IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_stage,
+           COALESCE(t1.t_view, '') AS t_view,
+           COALESCE(t2.t_click, '') AS t_click,
+           COALESCE(t3.t_purchase, '') AS t_purchase
+         FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
+           LEFT JOIN t2 ON u.user_id = t2.user_id
+           LEFT JOIN t3 ON u.user_id = t3.user_id""",
   )
 }

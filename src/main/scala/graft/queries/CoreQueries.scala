@@ -492,6 +492,45 @@ object CoreQueries {
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
   }
 
+  /** Ordered-funnel analysis: per user, the first 'view', the first
+    * 'click' STRICTLY after it, and the first 'purchase' strictly
+    * after that — `funnel_stage` = how deep the user got, in order
+    * (a later purchase with no prior click does NOT count). The
+    * sequential-pattern analytics classic. Scale: three conditional
+    * min-aggregates, each an equi-join + groupBy on user_id — the
+    * same key throughout, so one hash partitioning serves every
+    * stage; timestamps compare as second-formatted strings, exact in
+    * both engines. */
+  def funnel(s: SparkSession, d: String): DataFrame =
+    funnelStages(Tables.events(s, d).select(col("user_id"),
+      col("event_type"), fmtTs(col("ts")).as("ts_s")))
+
+  /** Core of [[funnel]] over a (user_id, event_type, ts_s) frame. */
+  def funnelStages(e: DataFrame): DataFrame = {
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_s").as("t_view"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts_s") > col("t_view"))
+      .groupBy("user_id").agg(min("ts_s").as("t_click"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("ts_s") > col("t_click"))
+      .groupBy("user_id").agg(min("ts_s").as("t_purchase"))
+    e.select("user_id").distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L)
+          .when(col("t_view").isNotNull, 1L)
+          .otherwise(0L).as("funnel_stage"),
+        coalesce(col("t_view"), lit("")).as("t_view"),
+        coalesce(col("t_click"), lit("")).as("t_click"),
+        coalesce(col("t_purchase"), lit("")).as("t_purchase"))
+  }
+
   /** Incremental gold maintenance (streaming materialized view): drain
     * the change feed folding per-batch DELTAS into the stored
     * per-country aggregate — never recomputing from the fact table —

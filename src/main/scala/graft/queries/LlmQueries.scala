@@ -289,6 +289,10 @@ object LlmQueries {
   def repetitionSignals(s: SparkSession, d: String): DataFrame =
     TextOps.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
 
+  /** Robust per-language length outliers: median + MAD, 3×MAD flag. */
+  def madOutliers(s: SparkSession, d: String): DataFrame =
+    TextOps.madOutliers(Tables.documents(s, d))
+
   /** Count-Min-Sketch heavy hitters: bounded-memory sketch estimates
     * next to exact counts for the top-20 vocabulary tokens. */
   def cmsHeavy(s: SparkSession, d: String): DataFrame =

@@ -407,4 +407,27 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
         round(expr("percentile(n_chars, 0.95)"), 4).as("p95_chars"))
+
+  /** Robust per-language outlier flags on document length: median and
+    * MAD (median absolute deviation) per language, docs beyond 3×MAD
+    * flagged. The robust alternative to mean/stddev gates —
+    * unkillable by the very outliers it hunts. Exact interpolated
+    * percentiles here return k or k.5 values (dyadic — bit-exact
+    * doubles), so the comparison is engine-identical with no rounding
+    * at all. Scale: two |langs|-group aggregates plus broadcast joins
+    * back; the doc table streams through, never a global sort. */
+  def madOutliers(docs: DataFrame): DataFrame = {
+    val med = docs.groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val dev = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(med), "lang")
+      .withColumn("adev", abs(col("n_chars") - col("med")))
+    val mad = dev.groupBy("lang", "med")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.drop("med")
+      .join(broadcast(mad), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("med"), col("mad"),
+        (col("adev") > lit(3.0) * col("mad")).as("outlier"))
+  }
 }

@@ -318,6 +318,40 @@ class Round4Spec extends AnyFunSuite {
       (1L, 13L, 1L, 2.5), (2L, 11L, 1L, 1.0)))
   }
 
+  // ---- MAD outliers --------------------------------------------------
+
+  test("madOutliers: MAD gate is immune to the outlier it flags") {
+    val docs = Seq(
+      (1L, "en", 10L), (2L, "en", 10L), (3L, "en", 10L),
+      (4L, "en", 10L), (5L, "en", 100L),   // med 10, MAD 0 → 100 flagged
+      (6L, "fr", 5L), (7L, "fr", 7L),      // med 6, MAD 1 → none flagged
+    ).toDF("doc_id", "lang", "n_chars")
+    val r = graft.text.TextOps.madOutliers(docs)
+      .as[(Long, String, Long, Double, Double, Boolean)].collect()
+      .map(t => t._1 -> ((t._4, t._5, t._6))).toMap
+    assert(r(5L) == ((10.0, 0.0, true)))
+    assert(r(1L) == ((10.0, 0.0, false)))
+    assert(r(6L) == ((6.0, 1.0, false)) && r(7L) == ((6.0, 1.0, false)))
+  }
+
+  // ---- funnel --------------------------------------------------------
+
+  test("funnelStages: strict ordering — later stages need earlier ones first") {
+    val e = Seq(
+      (1L, "view", "t1"), (1L, "click", "t2"), (1L, "purchase", "t3"),
+      (2L, "click", "t1"), (2L, "view", "t2"),          // click BEFORE view
+      (3L, "purchase", "t1"),                           // purchase only
+      (4L, "view", "t1"), (4L, "purchase", "t2"),       // skipped click
+    ).toDF("user_id", "event_type", "ts_s")
+    val r = graft.queries.CoreQueries.funnelStages(e)
+      .as[(Long, Long, String, String, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(r(1L) == ((3L, "t1", "t2", "t3")))
+    assert(r(2L) == ((1L, "t2", "", "")))
+    assert(r(3L) == ((0L, "", "", "")))
+    assert(r(4L) == ((1L, "t1", "", "")))
+  }
+
   // ---- quality canonical --------------------------------------------
 
   test("qualityCanonical keeps the highest-quality member per cluster") {
