@@ -57,5 +57,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.BloomProbe.builder))
     // optimizer: naive BETWEEN range joins -> bucketized equi-join
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
+    // optimizer: jaccard >= tau filters get a size-ratio prefilter
+    ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilter())
   }
 }

@@ -577,6 +577,13 @@ object Dedup {
       // (lang, length) block are nowhere near τ).
       .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double")
         >= lit(tau) * greatest(size(col("sh_a")), size(col("sh_b"))))
+      // BOTH-empty pairs slip the ratio gate (0 >= τ·0) and then
+      // jaccard = 0/0 = NaN, which Spark's comparison semantics order
+      // ABOVE every double — `NaN >= τ` is TRUE and the pair would
+      // survive here while the DuckDB twin's NULL division drops it.
+      // Two one-token docs in the same (lang, bucket-0) block reach
+      // this; gate them out explicitly.
+      .filter(greatest(size(col("sh_a")), size(col("sh_b"))) > 0)
       .withColumn("jaccard",
         GraftFunctions.jaccardSorted(spark, col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= tau)

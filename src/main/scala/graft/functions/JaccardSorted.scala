@@ -20,8 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * twin can keep plain `list_intersect`/`list_distinct(list_concat)`.
   * Returns null for null inputs; NaN for two empty arrays (0/0 — the
   * same value the built-in `size(array_intersect)/size(array_union)`
-  * form yields, so a `jaccard >= tau` filter drops the row in Spark
-  * exactly like DuckDB's NULL-division filter drops it in the oracle).
+  * form yields). CAUTION: Spark's comparison semantics order NaN
+  * ABOVE every double, so `jaccard >= tau` KEEPS a both-empty pair —
+  * the opposite of DuckDB, whose NULL division drops it. Callers that
+  * hash-match an oracle must gate out both-empty pairs before the
+  * threshold filter (cf. Dedup.ngramJaccardPairs).
   */
 case class JaccardSorted(left: Expression, right: Expression)
   extends BinaryExpression {
