@@ -148,6 +148,8 @@ object SparkEntry {
     "q83_resample_daily"    -> ((s, d) => CoreQueries.resampleDaily(s, d)),
     "q84_mad_outliers"      -> ((s, d) => LlmQueries.madOutliers(s, d)),
     "q85_funnel"            -> ((s, d) => CoreQueries.funnel(s, d)),
+    "q86_ann_multiprobe"    -> ((s, d) => LlmQueries.annMultiprobe(s, d)),
+    "q87_shipping_priority" -> ((s, d) => CoreQueries.shippingPriority(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1395,5 +1397,41 @@ object SparkEntry {
          FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
            LEFT JOIN t2 ON u.user_id = t2.user_id
            LEFT JOIN t3 ON u.user_id = t3.user_id""",
+    "q86_ann_multiprobe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             (CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END
+            + CASE WHEN embedding[3] > embedding[4] THEN 2 ELSE 0 END
+            + CASE WHEN embedding[5] > embedding[6] THEN 4 ELSE 0 END
+            + CASE WHEN embedding[7] > embedding[8] THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv,
+             unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                     xor(bucket, 4), xor(bucket, 8)]) AS bucket
+           FROM e WHERE vec_id < 10),
+         s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * e.v[i])) /
+               (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+                sqrt(list_sum(list_transform(e.v, x -> x * x)))), 5) AS cos5
+           FROM q JOIN e ON q.bucket = e.bucket AND q.query_id <> e.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos5 DESC, neighbor_id) AS rank FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos5
+         FROM r WHERE rank <= 3""",
+    "q87_shipping_priority" ->
+      """SELECT l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+           o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+             < '1998-01-01 00:00:00'
+           AND strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')
+             > '1998-01-01 00:00:00'
+         GROUP BY l_orderkey, order_ts, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
   )
 }

@@ -226,6 +226,36 @@ object Ann {
         col("neighbor_id"), col("cos5"))
   }
 
+  /** Multi-probe LSH top-k: each query probes its OWN sign bucket plus
+    * every Hamming-1 neighbour bucket (flip one bit), then exact
+    * cosine top-k over the union of probed buckets. The standard
+    * recall-vs-cost dial of bucketed ANN (Lv et al. 2007, "Multi-probe
+    * LSH"): recall strictly contains the single-bucket result at
+    * (nBits+1)× the candidate volume — still ~N·(nBits+1)/2^bits per
+    * query, never a full scan. Probes are distinct buckets, so the
+    * equi-join meets each (query, neighbour) pair at most once and no
+    * dedup pass is needed. */
+  def multiprobeTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     embCol: String, nBits: Int, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      signBucket(embCol, nBits).as("bucket"), asDouble(embCol).as("cv"))
+    val probeArr = array(
+      (Seq(col("qb")) ++ (0 until nBits).map(i =>
+        col("qb").bitwiseXOR(lit(1 << i)))): _*)
+    val q = queries.select(col(idCol).as("query_id"),
+        signBucket(embCol, nBits).as("qb"), asDouble(embCol).as("qv"))
+      .select(col("query_id"), col("qv"), explode(probeArr).as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos5").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos5", cos5(corpus.sparkSession, col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos5"))
+  }
+
   /** Embedding-space near-duplicate GROUPS (semantic dedup): sign-LSH
     * bucketed cosine pairs → connected components → (vec, canonical =
     * component-min vec, cluster size). The embedding analog of

@@ -570,6 +570,35 @@ object CoreQueries {
           .cast("double").as("rolling_value_3"))
   }
 
+  /** TPC-H Q3-shaped shipping priority: unshipped-revenue top-10 —
+    * segment-filtered customers ⋈ pre-cutoff orders ⋈ post-cutoff
+    * lineitems, revenue = Σ price·(1−discount) per order. The classic
+    * selective-filter star join: both date filters and the segment
+    * filter reach the parquet scans as pushed predicates, the
+    * aggregate partials map-side, and the top-10 is a TakeOrdered
+    * merge — at 100 TB the only full shuffle is the per-order
+    * aggregate on the already filter-thinned join output. */
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cutoff = "1998-01-01 00:00:00"
+    val c = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(s, d)
+      .withColumn("order_ts", fmtTs(col("o_orderdate")))
+      .filter(col("order_ts") < cutoff)
+      .select("o_orderkey", "o_custkey", "order_ts", "o_orderpriority")
+    val l = Tables.lineitem(s, d)
+      .filter(fmtTs(col("l_shipdate")) > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("order_ts"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
   /** Bench headliner — deterministic top-k: top 10 customers by order
     * revenue, ties broken by key. */
   def topkCustomers(s: SparkSession, d: String): DataFrame =

@@ -289,6 +289,14 @@ object LlmQueries {
   def repetitionSignals(s: SparkSession, d: String): DataFrame =
     TextOps.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
 
+  /** Multi-probe LSH ANN: queries (vec_id < 10) probe their own sign
+    * bucket plus every Hamming-1 bucket, exact cosine top-3. */
+  def annMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Ann.multiprobeTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+      "embedding", nBits = 4, k = 3)
+  }
+
   /** Robust per-language length outliers: median + MAD, 3×MAD flag. */
   def madOutliers(s: SparkSession, d: String): DataFrame =
     TextOps.madOutliers(Tables.documents(s, d))

@@ -352,6 +352,59 @@ class Round4Spec extends AnyFunSuite {
     assert(r(4L) == ((1L, "t1", "", "")))
   }
 
+  // ---- multiprobe ANN ------------------------------------------------
+
+  test("multiprobeTopK: probes stay within Hamming 1, top-1 dominates same-bucket") {
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(j => (math.cos(i * 3 + j * 5) * 9).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 5)
+    val mp = graft.ann.Ann.multiprobeTopK(vecs, queries, "vec_id",
+        "embedding", nBits = 4, k = 1)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._3, t._4))).toMap
+    val sameBucket = graft.ann.Ann.knnGraph(vecs, "vec_id", "embedding",
+        nBits = 4, k = 1)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t._4).toMap
+    val buckets = vecs.select($"vec_id",
+        graft.ann.Ann.signBucket("embedding", 4).as("b"))
+      .as[(Long, Int)].collect().toMap
+    mp.foreach { case (q, (nb, cos)) =>
+      assert(Integer.bitCount(buckets(q) ^ buckets(nb)) <= 1)
+      // wider candidate pool can only raise the best cosine
+      sameBucket.get(q).foreach(sb => assert(cos >= sb))
+    }
+    assert(mp.nonEmpty)
+  }
+
+  // ---- shipping priority --------------------------------------------
+
+  test("shippingPriority: segment + date gates and exact revenue math") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q87-").toString
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq(
+      (10L, 1L, ts("1997-06-01 00:00:00"), "1-URGENT"),  // qualifies
+      (11L, 1L, ts("1998-06-01 00:00:00"), "2-HIGH"),    // order after cutoff
+      (12L, 2L, ts("1997-06-01 00:00:00"), "3-MEDIUM"),  // wrong segment
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq(
+      (10L, 100.0, 0.10, ts("1998-02-01 00:00:00")),     // 90.00
+      (10L, 50.0, 0.00, ts("1998-03-01 00:00:00")),      // 50.00
+      (10L, 999.0, 0.50, ts("1997-12-31 00:00:00")),     // shipped pre-cutoff
+      (11L, 10.0, 0.00, ts("1998-07-01 00:00:00")),
+      (12L, 10.0, 0.00, ts("1998-07-01 00:00:00")),
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = graft.queries.CoreQueries.shippingPriority(spark, dir)
+      .as[(Long, String, String, Double)].collect()
+    assert(r.toSeq == Seq((10L, "1997-06-01 00:00:00", "1-URGENT", 140.0)))
+  }
+
   // ---- quality canonical --------------------------------------------
 
   test("qualityCanonical keeps the highest-quality member per cluster") {
