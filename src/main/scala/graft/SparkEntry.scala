@@ -150,6 +150,8 @@ object SparkEntry {
     "q85_funnel"            -> ((s, d) => CoreQueries.funnel(s, d)),
     "q86_ann_multiprobe"    -> ((s, d) => LlmQueries.annMultiprobe(s, d)),
     "q87_shipping_priority" -> ((s, d) => CoreQueries.shippingPriority(s, d)),
+    "q88_pagerank"          -> ((s, d) => LlmQueries.pageRankKnn(s, d)),
+    "q89_minhash_estimate"  -> ((s, d) => LlmQueries.minhashEstimate(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1433,5 +1435,100 @@ object SparkEntry {
              > '1998-01-01 00:00:00'
          GROUP BY l_orderkey, order_ts, o_orderpriority
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q88_pagerank" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             (CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END
+            + CASE WHEN embedding[3] > embedding[4] THEN 2 ELSE 0 END
+            + CASE WHEN embedding[5] > embedding[6] THEN 4 ELSE 0 END
+            + CASE WHEN embedding[7] > embedding[8] THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings),
+         p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+               (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(b.v, x -> x * x)))), 5) AS cos5
+           FROM e0 a JOIN e0 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY src
+                 ORDER BY cos5 DESC, dst) AS rank FROM p),
+         e AS (SELECT src, dst FROM rk WHERE rank <= 2),
+         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM e GROUP BY src),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+         vx AS (SELECT vec_id AS id FROM embeddings),
+         r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / n.n AS r FROM vx, n),
+         s1 AS (SELECT e.dst AS id, SUM(CAST(floor(r0.r / deg.deg
+               * 1000000000000.0 + 0.5) AS BIGINT)) AS scq
+           FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+         r1 AS (SELECT vx.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+             + CAST(0.85 AS DOUBLE)
+             * (CAST(COALESCE(s1.scq, 0) AS DOUBLE) / 1000000000000.0) AS r
+           FROM vx LEFT JOIN s1 ON vx.id = s1.id, n),
+         s2 AS (SELECT e.dst AS id, SUM(CAST(floor(r1.r / deg.deg
+               * 1000000000000.0 + 0.5) AS BIGINT)) AS scq
+           FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+         r2 AS (SELECT vx.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+             + CAST(0.85 AS DOUBLE)
+             * (CAST(COALESCE(s2.scq, 0) AS DOUBLE) / 1000000000000.0) AS r
+           FROM vx LEFT JOIN s2 ON vx.id = s2.id, n),
+         s3 AS (SELECT e.dst AS id, SUM(CAST(floor(r2.r / deg.deg
+               * 1000000000000.0 + 0.5) AS BIGINT)) AS scq
+           FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+         r3 AS (SELECT vx.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+             + CAST(0.85 AS DOUBLE)
+             * (CAST(COALESCE(s3.scq, 0) AS DOUBLE) / 1000000000000.0) AS r
+           FROM vx LEFT JOIN s3 ON vx.id = s3.id, n),
+         s4 AS (SELECT e.dst AS id, SUM(CAST(floor(r3.r / deg.deg
+               * 1000000000000.0 + 0.5) AS BIGINT)) AS scq
+           FROM e JOIN r3 ON e.src = r3.id JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+         r4 AS (SELECT vx.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+             + CAST(0.85 AS DOUBLE)
+             * (CAST(COALESCE(s4.scq, 0) AS DOUBLE) / 1000000000000.0) AS r
+           FROM vx LEFT JOIN s4 ON vx.id = s4.id, n),
+         s5 AS (SELECT e.dst AS id, SUM(CAST(floor(r4.r / deg.deg
+               * 1000000000000.0 + 0.5) AS BIGINT)) AS scq
+           FROM e JOIN r4 ON e.src = r4.id JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+         r5 AS (SELECT vx.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+             + CAST(0.85 AS DOUBLE)
+             * (CAST(COALESCE(s5.scq, 0) AS DOUBLE) / 1000000000000.0) AS r
+           FROM vx LEFT JOIN s5 ON vx.id = s5.id, n)
+         SELECT id AS vec_id, r AS pagerank FROM r5""",
+    "q89_minhash_estimate" ->
+      """WITH str AS (SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+             ELSE [] END AS shingles
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS shingles
+           FROM str),
+         sig AS (SELECT doc_id, shingles,
+             [list_min(list_transform(shingles, x ->
+                (((2654435761 * (h + 1)) % 1073741789) * (x // 1073741824)
+                 + ((2246822519 * (h + 1)) % 1073741789) * (x % 1073741824)
+                 + h) % 1073741789)) FOR h IN range(12)] AS sig
+           FROM sh WHERE len(shingles) > 0),
+         bands AS (SELECT doc_id, b,
+             md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3])) AS band_key
+           FROM sig, unnest(range(4)) AS t(b)),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bands x JOIN bands y
+             ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         j AS (SELECT c.doc_a, c.doc_b,
+             CAST(list_sum(list_transform(range(1, 13),
+               i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+               AS DOUBLE) / 12.0 AS sig_est,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+           FROM cand c JOIN sig a ON c.doc_a = a.doc_id
+                       JOIN sig b ON c.doc_b = b.doc_id)
+         SELECT doc_a, doc_b, sig_est, jaccard,
+           abs(sig_est - jaccard) AS abs_err
+         FROM j""",
   )
 }

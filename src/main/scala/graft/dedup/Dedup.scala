@@ -173,6 +173,42 @@ object Dedup {
     result
   }
 
+  /** Estimator-quality report: for every LSH candidate pair, the
+    * MinHash SIGNATURE similarity (matching components / k — the
+    * unbiased Jaccard estimator the banding scheme is built on) next
+    * to the EXACT merge-scan Jaccard, plus the absolute error.
+    * "Measure, don't guess" for the sketch itself: the error column
+    * is what justifies (or indicts) a chosen k at corpus scale.
+    * All three outputs are exact small-int ratios on identical
+    * inputs — engine-identical with no rounding. */
+  def minhashEstimateQuality(docs: DataFrame, idCol: String,
+                             textCol: String, n: Int = 3, k: Int = 12,
+                             bands: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val sh = withHashedShingles(docs, idCol, textCol, n).persist()
+    val sig = sh.filter(size(col("shingles")) > 0)
+      .withColumn("sig", GraftFunctions.minhash(spark, col("shingles"), k))
+    val cand = lshCandidates(sh, idCol, k, bands)
+    val a = sig.select(col(idCol).as("id_a"), col("shingles").as("sh_a"),
+      col("sig").as("sig_a"))
+    val b = sig.select(col(idCol).as("id_b"), col("shingles").as("sh_b"),
+      col("sig").as("sig_b"))
+    val matches = expr(
+      """aggregate(zip_with(sig_a, sig_b,
+        |  (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+        |  0, (acc, v) -> acc + v)""".stripMargin)
+    val result = cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        (matches.cast("double") / lit(k.toDouble)).as("sig_est"),
+        GraftFunctions.jaccardSorted(spark, col("sh_a"), col("sh_b"))
+          .as("jaccard"))
+      .withColumn("abs_err", abs(col("sig_est") - col("jaccard")))
+      .persist()
+    result.count()
+    sh.unpersist(); cand.unpersist()
+    result
+  }
+
   /** Benchmark decontamination: flag every corpus doc sharing at least
     * one word n-gram with a (small) benchmark set. Both sides reduce to
     * DISTINCT 60-bit n-gram hashes; the join is an equi-join on the

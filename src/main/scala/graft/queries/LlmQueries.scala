@@ -297,6 +297,22 @@ object LlmQueries {
       "embedding", nBits = 4, k = 3)
   }
 
+  /** Fixed-iteration PageRank over the kNN graph — node centrality as
+    * a representative-document signal, with order-independent
+    * quantized-contribution sums. */
+  def pageRankKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val edges = Ann.knnGraph(emb, "vec_id", "embedding", nBits = 4, k = 2)
+    graft.graph.PageRank.run(edges, emb, "vec_id", "neighbor_id",
+        "vec_id", iters = 5)
+      .select(col("id").as("vec_id"), col("pagerank"))
+  }
+
+  /** MinHash estimator quality: signature similarity vs exact Jaccard
+    * on every LSH candidate pair. */
+  def minhashEstimate(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashEstimateQuality(Tables.documents(s, d), "doc_id", "text")
+
   /** Robust per-language length outliers: median + MAD, 3×MAD flag. */
   def madOutliers(s: SparkSession, d: String): DataFrame =
     TextOps.madOutliers(Tables.documents(s, d))

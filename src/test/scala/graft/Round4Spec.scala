@@ -405,6 +405,42 @@ class Round4Spec extends AnyFunSuite {
     assert(r.toSeq == Seq((10L, "1997-06-01 00:00:00", "1-URGENT", 140.0)))
   }
 
+  // ---- pagerank ------------------------------------------------------
+
+  test("pageRank: uniform on a cycle, hub-heavy on a star, mass conserved") {
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("s", "t")
+    val verts = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val rc = graft.graph.PageRank.run(cycle, verts, "s", "t", "id")
+      .as[(Long, Double)].collect().toMap
+    // cycle is stationary at the uniform vector
+    rc.values.foreach(r => assert(math.abs(r - 0.25) < 1e-9))
+    assert(math.abs(rc.values.sum - 1.0) < 1e-9)
+
+    val star = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("s", "t")
+    val rs = graft.graph.PageRank.run(star, verts, "s", "t", "id")
+      .as[(Long, Double)].collect().toMap
+    assert(rs(0L) > rs(1L))
+    assert(rs(1L) == rs(2L) && rs(2L) == rs(3L))
+  }
+
+  // ---- minhash estimator quality ------------------------------------
+
+  test("minhashEstimateQuality: exact copies estimate 1.0 with zero error") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base),                       // identical pair
+      (3L, "totally different words in this other document here now"),
+    ).toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.minhashEstimateQuality(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val copy = r.find(t => t._1 == 1L && t._2 == 2L).get
+    assert(copy == ((1L, 2L, 1.0, 1.0, 0.0)))
+    r.foreach { t =>
+      assert(t._3 >= 0.0 && t._3 <= 1.0)
+      assert(math.abs(t._5 - math.abs(t._3 - t._4)) < 1e-15)
+    }
+  }
+
   // ---- quality canonical --------------------------------------------
 
   test("qualityCanonical keeps the highest-quality member per cluster") {
