@@ -152,6 +152,8 @@ object SparkEntry {
     "q87_shipping_priority" -> ((s, d) => CoreQueries.shippingPriority(s, d)),
     "q88_pagerank"          -> ((s, d) => LlmQueries.pageRankKnn(s, d)),
     "q89_minhash_estimate"  -> ((s, d) => LlmQueries.minhashEstimate(s, d)),
+    "q90_trailing_window"   -> ((s, d) => CoreQueries.trailingWindow(s, d)),
+    "q91_lang_confusion"    -> ((s, d) => LlmQueries.langConfusion(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1530,5 +1532,34 @@ object SparkEntry {
          SELECT doc_a, doc_b, sig_est, jaccard,
            abs(sig_est - jaccard) AS abs_err
          FROM j""",
+    "q90_trailing_window" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+           FROM events)
+         SELECT user_id, event_id, ts_sec,
+           CAST(COUNT(*) OVER wf AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER wf AS DOUBLE)
+             AS sum_1h
+         FROM e WINDOW wf AS (PARTITION BY user_id ORDER BY ts_sec
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+    "q91_lang_confusion" ->
+      """WITH w AS (SELECT doc_id, lang,
+             list_distinct(string_split(text, ' ')) AS ws FROM documents),
+         sc AS (SELECT doc_id, lang, l AS cand,
+             CAST(len(list_filter(ws, t -> ascii(substr(md5(l || '~' || t), 1, 1)) % 4 = 0)) AS BIGINT) AS score
+           FROM w, unnest(['de','en','es','fr','zh']) AS u(l)),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, cand) AS rn FROM sc),
+         pred AS (SELECT lang AS labeled_lang, cand AS predicted_lang
+           FROM r WHERE rn = 1),
+         cm AS (SELECT labeled_lang, predicted_lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM pred GROUP BY labeled_lang, predicted_lang)
+         SELECT labeled_lang, predicted_lang, n_docs,
+           floor(CAST(n_docs AS DOUBLE)
+             / CAST(SUM(n_docs) OVER (PARTITION BY labeled_lang) AS DOUBLE)
+             * 100000.0 + 0.5) / 100000.0 AS frac5,
+           labeled_lang = predicted_lang AS correct
+         FROM cm""",
   )
 }

@@ -531,6 +531,25 @@ object CoreQueries {
         coalesce(col("t_purchase"), lit("")).as("t_purchase"))
   }
 
+  /** Trailing 1-hour RANGE-frame window per user: event count and
+    * decimal-exact value sum over [ts−3600 s, ts]. RANGE (not ROWS)
+    * frames are the correct trailing-window semantics when multiple
+    * events share a timestamp — all peers enter the frame together,
+    * which also makes the result order-independent within ties on
+    * both engines. One shuffle on user_id serves both window
+    * functions. */
+  def trailingWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+      .rangeBetween(-3600, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+      .select(col("user_id"), col("event_id"), col("ts_sec"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+          .as("sum_1h"))
+  }
+
   /** Incremental gold maintenance (streaming materialized view): drain
     * the change feed folding per-batch DELTAS into the stored
     * per-country aggregate — never recomputing from the fact table —

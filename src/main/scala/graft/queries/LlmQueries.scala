@@ -313,6 +313,22 @@ object LlmQueries {
   def minhashEstimate(s: SparkSession, d: String): DataFrame =
     Dedup.minhashEstimateQuality(Tables.documents(s, d), "doc_id", "text")
 
+  /** Language-ID evaluation: confusion matrix of labeled vs predicted
+    * language with per-label row fractions — the eval table every
+    * classifier-driven corpus gate needs next to the gate itself. */
+  def langConfusion(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("labeled_lang")
+    TextOps.langId(Tables.documents(s, d), langs)
+      .groupBy("labeled_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_total", sum("n_docs").over(w))
+      .select(col("labeled_lang"), col("predicted_lang"), col("n_docs"),
+        graft.Oracle.stableRound(col("n_docs").cast("double")
+          / col("row_total").cast("double"), 5).as("frac5"),
+        (col("labeled_lang") === col("predicted_lang")).as("correct"))
+  }
+
   /** Robust per-language length outliers: median + MAD, 3×MAD flag. */
   def madOutliers(s: SparkSession, d: String): DataFrame =
     TextOps.madOutliers(Tables.documents(s, d))

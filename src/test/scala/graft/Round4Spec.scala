@@ -441,6 +441,47 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  // ---- trailing range window ----------------------------------------
+
+  test("trailing RANGE frame admits timestamp peers together") {
+    val e = Seq(
+      (1L, 10L, 0L, 1.0), (1L, 11L, 3600L, 2.0),
+      (1L, 12L, 3600L, 3.0), (1L, 13L, 7201L, 4.0),
+    ).toDF("user_id", "event_id", "ts_sec", "value")
+    val w = Window.partitionBy("user_id").orderBy("ts_sec")
+      .rangeBetween(-3600, Window.currentRow)
+    val r = e.select($"event_id", count(lit(1)).over(w).as("n"),
+        sum($"value".cast("decimal(18,2)")).over(w).cast("double").as("s"))
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(10L) == ((1L, 1.0)))
+    // both ts=3600 peers see the SAME frame: {0, 3600, 3600}
+    assert(r(11L) == ((3L, 6.0)) && r(12L) == ((3L, 6.0)))
+    // 7201 is past 3600+3600: only itself
+    assert(r(13L) == ((1L, 4.0)))
+  }
+
+  // ---- confusion matrix ---------------------------------------------
+
+  test("lang confusion rows: fractions sum to 1 per label, correct = diagonal") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over dogs", "en"),
+      (2L, "der schnelle braune fuchs springt hoch", "de"),
+      (3L, "le renard brun rapide saute haut", "fr"),
+      (4L, "more english words appear in here", "en"),
+    ).toDF("doc_id", "text", "lang")
+    val w = Window.partitionBy("labeled_lang")
+    val cm = graft.text.TextOps.langId(docs, Seq("de", "en", "es", "fr", "zh"))
+      .groupBy("labeled_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("frac", $"n_docs".cast("double")
+        / sum("n_docs").over(w).cast("double"))
+      .as[(String, String, Long, Double)].collect()
+    cm.groupBy(_._1).values.foreach { rows =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    }
+    assert(cm.map(_._3).sum == 4L)
+  }
+
   // ---- quality canonical --------------------------------------------
 
   test("qualityCanonical keeps the highest-quality member per cluster") {
