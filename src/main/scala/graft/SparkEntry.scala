@@ -154,6 +154,7 @@ object SparkEntry {
     "q89_minhash_estimate"  -> ((s, d) => LlmQueries.minhashEstimate(s, d)),
     "q90_trailing_window"   -> ((s, d) => CoreQueries.trailingWindow(s, d)),
     "q91_lang_confusion"    -> ((s, d) => LlmQueries.langConfusion(s, d)),
+    "q92_unigram_xent"      -> ((s, d) => LlmQueries.unigramXent(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1561,5 +1562,21 @@ object SparkEntry {
              * 100000.0 + 0.5) / 100000.0 AS frac5,
            labeled_lang = predicted_lang AS correct
          FROM cm""",
+    "q92_unigram_xent" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY tok),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks),
+         q AS (SELECT t.doc_id,
+             CAST(floor(-ln(f.tf / n.total) * 1000000000.0 + 0.5)
+               AS BIGINT) AS qln
+           FROM toks t JOIN freq f ON t.tok = f.tok, n),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(qln) AS DOUBLE) / 1000000000.0 AS sq
+           FROM q GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+           floor(sq / n_tokens * 100000.0 + 0.5) / 100000.0 AS xent5
+         FROM agg""",
   )
 }

@@ -329,6 +329,10 @@ object LlmQueries {
         (col("labeled_lang") === col("predicted_lang")).as("correct"))
   }
 
+  /** Unigram-LM cross-entropy per doc (perplexity-proxy quality). */
+  def unigramXent(s: SparkSession, d: String): DataFrame =
+    TextOps.unigramXent(Tables.documents(s, d), "doc_id", "text")
+
   /** Robust per-language length outliers: median + MAD, 3×MAD flag. */
   def madOutliers(s: SparkSession, d: String): DataFrame =
     TextOps.madOutliers(Tables.documents(s, d))

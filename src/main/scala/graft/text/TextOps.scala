@@ -71,6 +71,37 @@ object TextOps {
         .as("intercept5"))
   }
 
+  /** Unigram-LM cross-entropy per document — the perplexity-proxy
+    * quality filter (the in-engine stand-in for KenLM scoring in
+    * CCNet/RefinedWeb-style pipelines): train unigram probabilities on
+    * the corpus itself (p(t) = tf/total), score each doc by the mean
+    * −ln p over its token occurrences. Low = templated/common, high =
+    * rare-token soup; both tails get gated in practice.
+    *
+    * Scale: the LM "training" is one token-frequency aggregate; the
+    * "inference" is an equi-join of the token stream against the freq
+    * table (broadcast for bounded vocabularies, shuffle join at web
+    * scale) plus a per-doc aggregate. Cross-engine: −ln p quantizes to
+    * 1e-9-scaled BIGINTs per OCCURRENCE before the per-doc sum, so
+    * accumulation order cannot matter; the mean then runs on identical
+    * doubles. */
+  def unigramXent(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val scale = 1e9
+    val toks = docs.select(col(idCol), explode(words(col(textCol))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = toks.count()
+    val q = toks.join(freq, "tok")
+      .select(col(idCol),
+        floor(-log(col("tf") / lit(total)) * lit(scale) + lit(0.5))
+          .cast(LongType).as("qln"))
+    q.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum("qln").cast(DoubleType) / lit(scale)).as("sq"))
+      .select(col(idCol), col("n_tokens"),
+        graft.Oracle.stableRound(col("sq") / col("n_tokens"), 5).as("xent5"))
+  }
+
   /** Count-Min-Sketch heavy hitters: build a `depth`×`width` CMS over
     * token occurrences, then report the sketch estimate next to the
     * exact count for the exact top-`k` tokens. The estimate is

@@ -482,6 +482,18 @@ class Round4Spec extends AnyFunSuite {
     assert(cm.map(_._3).sum == 4L)
   }
 
+  // ---- unigram cross-entropy ----------------------------------------
+
+  test("unigramXent: rare tokens score high, common tokens low, exact values") {
+    val docs = Seq((1L, "a a a"), (2L, "r")).toDF("doc_id", "text")
+    // corpus: a×3, r×1 → p(a)=3/4, p(r)=1/4
+    val r = graft.text.TextOps.unigramXent(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(1L) == ((3L, 0.28768)))   // -ln(3/4)
+    assert(r(2L) == ((1L, 1.38629)))   // -ln(1/4)
+  }
+
   // ---- quality canonical --------------------------------------------
 
   test("qualityCanonical keeps the highest-quality member per cluster") {
