@@ -391,6 +391,16 @@ object Dedup {
       .localCheckpoint(true)
     var cnt = e.count()
     var parts = math.max(e.rdd.getNumPartitions, 1)
+    // Wide scans first contract IN PLACE (mapPartitions, no shuffle):
+    // each partition's edges collapse to its star forest (≤ local
+    // vertices) BEFORE any fan-in merges 32 partitions into one task —
+    // without this, the first merged round would hold 32 partitions of
+    // RAW edges in one union-find; after it, only forest edges ride
+    // the shuffle. At bench scale (≤ 32 partitions) it's skipped.
+    if (cnt > maxLocalEdges && parts > 32) {
+      e = e.mapPartitions(localForest _).localCheckpoint(true)
+      cnt = e.count()
+    }
     while (cnt > maxLocalEdges && parts > 1) {
       parts = math.max(1, parts / 32)
       e = e.repartition(parts).mapPartitions(localForest _)

@@ -168,6 +168,19 @@ class Round4Spec extends AnyFunSuite {
 
   // ---- connected components: contraction vs propagation --------------
 
+  test("CC in-place pre-contraction round (wide scans) preserves components") {
+    // > 32 partitions + a zero guard forces: in-place forest round →
+    // fan-in rounds → propagation fallback on the contracted stars
+    val edges = ((0L until 80L).map(i => (i, i + 1))
+      ++ Seq((200L, 201L), (201L, 202L)))
+      .toDF("a", "b").repartition(40)
+    val got = Dedup.connectedComponents(edges, "a", "b",
+        maxIter = 50, maxLocalEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 80L).forall(got(_) == 0L))
+    assert(Seq(200L, 201L, 202L).forall(got(_) == 200L))
+  }
+
   test("CC contraction path and propagation fallback agree on a long chain") {
     // diameter 120 — lethal for plain min-label propagation, trivial
     // for contraction; maxLocalEdges = 0 forces the fallback loop
