@@ -503,31 +503,45 @@ object Dedup {
                           tau: Double = 0.8): DataFrame = {
     val spark = newDocs.sparkSession
     val rowsPerBand = k / bands
-    def banded(df: DataFrame, side: String) =
+    def hashed(df: DataFrame) =
       withHashedShingles(df, idCol, textCol, n)
         .filter(size(col("shingles")) > 0)
-        .withColumn("sig", GraftFunctions.minhash(spark, col("shingles"), k))
-        .select(col(idCol).as(side), col("shingles").as(s"sh_$side"),
+    def banded(df: DataFrame, side: String) =
+      df.withColumn("sig", GraftFunctions.minhash(spark, col("shingles"), k))
+        .select(col(idCol).as(side),
           posexplode(bandKeys("sig", bands, rowsPerBand)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_key")
-    val cand = banded(newDocs, "new_id")
-      .join(banded(corpus, "old_id"), Seq("band", "band_key"))
-      .select("new_id", "sh_new_id", "old_id", "sh_old_id").distinct()
+    // the band join + distinct ship only (id, band, key) rows — the
+    // shingle arrays join back AFTER the pair set is deduped, so a doc
+    // matching in several bands never ships its array per band
+    val newSh = hashed(newDocs).persist()
+    val oldSh = hashed(corpus).persist()
+    val cand = banded(newSh, "new_id")
+      .join(banded(oldSh, "old_id"), Seq("band", "band_key"))
+      .select("new_id", "old_id").distinct()
+      .join(newSh.select(col(idCol).as("new_id"),
+        col("shingles").as("sh_new")), "new_id")
+      .join(oldSh.select(col(idCol).as("old_id"),
+        col("shingles").as("sh_old")), "old_id")
       .withColumn("jaccard",
-        GraftFunctions.jaccardSorted(spark, col("sh_new_id"), col("sh_old_id")))
+        GraftFunctions.jaccardSorted(spark, col("sh_new"), col("sh_old")))
       .filter(col("jaccard") >= tau)
     val dupStats = cand.groupBy(col("new_id").as(idCol))
       .agg(count(lit(1)).as("n_near_dups"),
         // stableRound, not round: jaccard is a small-int ratio that can
         // land on decimal half-points where engine round()s split
         graft.Oracle.stableRound(max(col("jaccard")), 5).as("jmax5"))
-    newDocs.select(col(idCol))
+    val result = newDocs.select(col(idCol))
       .join(dupStats, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
         coalesce(col("jmax5"), lit(0.0)).as("jmax5"),
         coalesce(col("n_near_dups"), lit(0L)).equalTo(0L).as("admit"))
+      .persist()
+    result.count()
+    newSh.unpersist(); oldSh.unpersist()
+    result
   }
 
   /** Quality-ranked canonical per near-dup cluster: [[dedupGroups]]
