@@ -21,6 +21,14 @@ object Bench {
     val spark = GraftSession.getOrCreate()
     // optional args = query-name subset, for local iteration on one
     // query without paying the full suite (driver passes none)
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      // fail loud: a typo'd name would otherwise run zero queries and
+      // still overwrite bench_result.json with an empty "success"
+      System.err.println(
+        s"[bench] unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val selected: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap

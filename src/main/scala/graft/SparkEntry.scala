@@ -1080,7 +1080,8 @@ object SparkEntry {
          SELECT g.doc_id, g.n_spans,
            CAST(COUNT(f.gram) AS BIGINT) AS n_dup_spans,
            CASE WHEN g.n_spans = 0 THEN 0.0
-                ELSE round(CAST(COUNT(f.gram) AS DOUBLE) / g.n_spans, 5)
+                ELSE floor(CAST(COUNT(f.gram) AS DOUBLE) / g.n_spans
+                  * 100000.0 + 0.5) / 100000.0
            END AS dup_ratio
          FROM g LEFT JOIN f ON g.gram = f.gram
          GROUP BY g.doc_id, g.n_spans""",

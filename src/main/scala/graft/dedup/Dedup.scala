@@ -401,8 +401,16 @@ object Dedup {
       e = e.mapPartitions(localForest _).localCheckpoint(true)
       cnt = e.count()
     }
-    while (cnt > maxLocalEdges && parts > 1) {
-      parts = math.max(1, parts / 32)
+    // fan-in only while it SHRINKS and real parallelism remains: the
+    // loop must never collapse an above-guard edge set into one task
+    // (that single-task union-find is exactly what the guard exists to
+    // prevent — the join-loop fallback below handles that case), and a
+    // non-shrinking round (adversarial matching-like graphs) means
+    // further fan-in only concentrates memory without progress.
+    var prev = Long.MaxValue
+    while (cnt > maxLocalEdges && parts > 32 && cnt < prev) {
+      prev = cnt
+      parts = math.max(32, parts / 32)
       e = e.repartition(parts).mapPartitions(localForest _)
         .localCheckpoint(true)
       cnt = e.count()
@@ -588,7 +596,10 @@ object Dedup {
       .agg(count(col("span_df")).as("n_dup_spans"))
       .select(col(idCol), col("n_spans"), col("n_dup_spans"),
         when(col("n_spans") === 0, lit(0.0))
-          .otherwise(round(col("n_dup_spans").cast("double") / col("n_spans"), 5))
+          // stableRound, not round: k/n with n divisible by 64 lands on
+          // decimal half-points where engine round()s split
+          .otherwise(graft.Oracle.stableRound(
+            col("n_dup_spans").cast("double") / col("n_spans"), 5))
           .as("dup_ratio"))
   }
 

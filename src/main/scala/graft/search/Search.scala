@@ -75,9 +75,12 @@ object Search {
     * the rounded score is annotation, not the sort key.
     *
     * Scale: tf is one shuffle on (doc, term) with map-side combine;
-    * df is a second small-keyed aggregate broadcast back; N is a
-    * single-row broadcast. The per-doc window partitions on doc_id —
-    * each doc's term list sorts locally. */
+    * df re-aggregates tf on term and joins back WITHOUT a forced
+    * broadcast — the df table is one row per vocabulary term, which is
+    * unbounded at web scale (that is why q38's vocab top-k exists);
+    * AQE broadcasts it when it measures small and shuffle-joins
+    * otherwise. N is a single-row broadcast. The per-doc window
+    * partitions on doc_id — each doc's term list sorts locally. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     val tf = docs
@@ -86,7 +89,7 @@ object Search {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
-    tf.join(broadcast(dft), "term")
+    tf.join(dft, "term")
       .crossJoin(broadcast(n))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("doc_id")
