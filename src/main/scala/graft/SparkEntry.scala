@@ -1043,7 +1043,7 @@ object SparkEntry {
            strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_booking_date
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
-         GROUP BY n_name HAVING n_name < 'G'""",
+         GROUP BY n_name HAVING n_name < 'NATION_2'""",
     // bloom prefilter is pure pruning (exact join removes false
     // positives) — the oracle is the plain exact contamination count
     "q70_bloom_decontaminate" ->

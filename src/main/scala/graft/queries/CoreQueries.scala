@@ -44,16 +44,18 @@ object CoreQueries {
       "n_name", "o_totalprice", "o_orderdate")
 
   /** Gold written PARTITIONED by country, then a pruned read-back of
-    * the countries below 'G' — the partition filter resolves against
+    * a proper country subset — the partition filter resolves against
     * directory names (metadata), so the scan never opens the other
     * partitions' files (LayoutSpec proves the PartitionFilters plan;
-    * this entry proves the values survive the partitioned round-trip,
-    * including directory-name escaping of spaces in country names). */
+    * this entry proves the values survive the partitioned round-trip).
+    * The fixture countries are NATION_0..NATION_24, so the cutoff
+    * 'NATION_2' keeps 12 of 25 partitions (NATION_0/1/10..19) — a
+    * non-vacuous prune (the earlier `< 'G'` cutoff matched nothing). */
   def partitionedGold(s: SparkSession, d: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft-part-").toString
     goldAgg(s, d).write.mode("overwrite")
       .partitionBy("country").parquet(work)
-    s.read.parquet(work).filter(col("country") < "G")
+    s.read.parquet(work).filter(col("country") < "NATION_2")
       .select("country", "total_bookings", "total_amount",
         "last_booking_date")
   }
