@@ -78,11 +78,16 @@ object Bench {
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
       val failedJson = failed.sorted.map("\"" + keyOf(_) + "\"")
         .mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      val partial = if (args.nonEmpty) """"partial":true,""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partial"queries":$qs,""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     }
     println(line(_.takeWhile(_ != '_')))
-    Files.writeString(Paths.get("bench_result.json"), line(identity) + "\n")
+    // a subset run writes elsewhere: its "total" covers only the
+    // selected queries and must never replace the full-suite snapshot
+    val outFile = if (args.isEmpty) "bench_result.json"
+                  else "bench_result_partial.json"
+    Files.writeString(Paths.get(outFile), line(identity) + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

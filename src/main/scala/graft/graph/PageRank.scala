@@ -29,12 +29,17 @@ object PageRank {
   private val Scale = 1e12
 
   /** edges(srcCol, dstCol) + vertices(idCol) → (id, pagerank) after
-    * `iters` damped iterations from the uniform start. */
+    * `iters` damped iterations from the uniform start.
+    *
+    * Note: dangling-node mass is lost (not redistributed), so Σ rank
+    * < 1 whenever the graph has sinks — callers must not assert mass
+    * conservation. */
   def run(edges: DataFrame, vertices: DataFrame, srcCol: String,
           dstCol: String, idCol: String, iters: Int = 5,
           damping: Double = 0.85): DataFrame = {
     val v = vertices.select(col(idCol).as("id"))
     val n = v.count()
+    require(n > 0, "PageRank needs a non-empty vertex table")
     val deg = edges.groupBy(col(srcCol).as("src"))
       .agg(count(lit(1)).as("deg"))
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

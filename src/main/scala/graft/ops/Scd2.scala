@@ -43,7 +43,13 @@ object Scd2 {
     val openMark = lit("9999-12-31 00:00:00")
     feed
       .withColumn("prev_attr", lag(col(attr), 1).over(w))
-      .filter(!(col("prev_attr") <=> col(attr)))
+      .withColumn("rn", row_number().over(w))
+      // rn = 1 keeps the first observed state unconditionally: for the
+      // leading row lag() is NULL, and when the attr itself is NULL the
+      // null-safe inequality would otherwise drop the run opener — a key
+      // whose initial state has a NULL attr would get no version row
+      // until the attr changed.
+      .filter(col("rn") === 1 || !(col("prev_attr") <=> col(attr)))
       .withColumn("version", row_number().over(w).cast("long"))
       .withColumn("next_from", lead(col(tsOut), 1).over(w))
       .select(col(key), col("version"), col(attr),

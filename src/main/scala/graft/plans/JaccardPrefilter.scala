@@ -35,9 +35,15 @@ case class JaccardPrefilter() extends Rule[LogicalPlan] with PredicateHelper {
   private def prefilterFor(a: Expression, b: Expression,
                            tau: Double): Expression = {
     val sa = Size(a); val sb = Size(b)
+    // 1-ulp-scale slack on the bound: fl(|∩|/|∪|) >= τ and
+    // size_min >= fl(τ·size_max) can disagree by 1 ulp for adversarial
+    // τ, which would silently prune a boundary pair the exact jaccard
+    // filter (and the oracle) keeps. Pairs admitted by the slack still
+    // die at the exact filter, so results are identical.
     GreaterThanOrEqual(
       Cast(Least(Seq(sa, sb)), DoubleType),
-      Multiply(Literal(tau), Cast(Greatest(Seq(sa, sb)), DoubleType)))
+      Multiply(Literal(tau * (1.0 - 1e-9)),
+        Cast(Greatest(Seq(sa, sb)), DoubleType)))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

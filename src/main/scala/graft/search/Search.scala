@@ -20,10 +20,10 @@ import org.apache.spark.sql.types.LongType
   *    whole posting universe;
   *  - df and the (n_docs, avgdl) corpus stats are tiny aggregates,
   *    broadcast back (two single-digit-row build sides);
-  *  - the final top-k is `row_number ≤ k` over a rounded score — at
-  *    scale swap for `orderBy(...).limit(k)` (TakeOrderedAndProject)
-  *    when per-query; window form kept here because the oracle needs
-  *    the rank column.
+  *  - the final top-k is `orderBy(...).limit(k)`
+  *    (TakeOrderedAndProject — per-partition heaps, no global sort),
+  *    with the oracle's rank column computed afterwards over just the
+  *    k survivors.
   * A real search deployment precomputes (doc_id, term, tf, dl) as an
   * inverted-index table and reuses it across queries — same plan from
   * the tf stage down.
@@ -58,11 +58,15 @@ object Search {
           / (col("tf") + lit(1.2)
              * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
       .groupBy("doc_id").agg(round(sum(col("s")), 4).as("score4"))
+    // TakeOrderedAndProject cuts to topK rows BEFORE the global rank
+    // window, so WindowExec's single partition holds topK rows, never
+    // the corpus — the limit and the window share one sort key, making
+    // the rank identical to ranking the full set then filtering ≤ k
     scored
+      .orderBy(col("score4").desc, col("doc_id").asc).limit(topK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score4").desc, col("doc_id").asc))
         .cast(LongType))
-      .filter(col("rank") <= topK)
       .select("doc_id", "rank", "score4")
   }
 
