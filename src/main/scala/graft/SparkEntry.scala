@@ -155,6 +155,22 @@ object SparkEntry {
     "q90_trailing_window"   -> ((s, d) => CoreQueries.trailingWindow(s, d)),
     "q91_lang_confusion"    -> ((s, d) => LlmQueries.langConfusion(s, d)),
     "q92_unigram_xent"      -> ((s, d) => LlmQueries.unigramXent(s, d)),
+    // round-5 relational breadth: the classic decorrelated-subquery
+    // shapes (EXISTS semi-join, outer-join histogram, correlated scalar
+    // agg, anti-join + global scalar, scalar-MAX over an aggregate)
+    "q93_exists_semi"       -> ((s, d) => CoreQueries.orderPriorityExists(s, d)),
+    "q94_order_histogram"   -> ((s, d) => CoreQueries.custOrderDistribution(s, d)),
+    "q95_small_qty_revenue" -> ((s, d) => CoreQueries.smallQtyRevenue(s, d)),
+    "q96_dormant_customers" -> ((s, d) => CoreQueries.dormantHighValue(s, d)),
+    "q97_top_supplier"      -> ((s, d) => CoreQueries.topSupplier(s, d)),
+    // round-5 LLM-pipeline ops: DSIR target-likeness weights, full
+    // Lloyd k-means, two-stage quantized→exact retrieval, per-domain
+    // quota, CCNet perplexity terciles
+    "q98_dsir_weights"      -> ((s, d) => LlmQueries.dsirWeights(s, d)),
+    "q99_kmeans"            -> ((s, d) => LlmQueries.kmeansClusters(s, d)),
+    "q100_rerank_ann"       -> ((s, d) => LlmQueries.rerankAnn(s, d)),
+    "q101_domain_cap"       -> ((s, d) => LlmQueries.domainCap(s, d)),
+    "q102_ccnet_buckets"    -> ((s, d) => LlmQueries.ccnetBuckets(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1579,5 +1595,201 @@ object SparkEntry {
          SELECT doc_id, n_tokens,
            floor(sq / n_tokens * 100000.0 + 0.5) / 100000.0 AS xent5
          FROM agg""",
+    "q93_exists_semi" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey
+             AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority""",
+    "q94_order_histogram" ->
+      """WITH pc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         SELECT c_count, COUNT(*) AS n_customers FROM pc GROUP BY c_count""",
+    "q95_small_qty_revenue" ->
+      """WITH lp AS (SELECT l_partkey, l_quantity, l_extendedprice
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE p_brand = 'Brand#1' AND p_size < 10),
+           aq AS (SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+             FROM lp GROUP BY 1)
+         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+         FROM lp JOIN aq ON l_partkey = a_partkey
+         WHERE l_quantity < 0.2 * avg_qty""",
+    "q96_dormant_customers" ->
+      """WITH ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+           FROM customer WHERE c_acctbal > 0)
+         SELECT c_mktsegment, COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM customer, ab
+         WHERE c_acctbal > avg_bal
+           AND NOT EXISTS (SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         GROUP BY c_mktsegment""",
+    "q97_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') >= '1998-01-01 00:00:00'
+             AND strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') < '1998-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+    "q98_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang = 'en' AS is_target,
+             unnest(string_split(text, ' ')) AS tok FROM documents),
+         tb AS (SELECT doc_id, is_target,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 256 AS bucket
+           FROM toks),
+         bb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr,
+             CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+           FROM tb GROUP BY bucket),
+         tt AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+             CAST(SUM(ct) AS BIGINT) AS nt FROM bb),
+         st AS (SELECT bucket,
+             CAST(floor((ln((CAST(ct AS DOUBLE) + 1.0)
+                   / (CAST(nt AS DOUBLE) + 256.0))
+                 - ln((CAST(cr AS DOUBLE) + 1.0)
+                   / (CAST(nr AS DOUBLE) + 256.0)))
+               * 1000000000.0 + 0.5) AS BIGINT) AS qlr
+           FROM bb, tt),
+         pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(qlr) AS DOUBLE) / 1000000000.0 AS slr
+           FROM tb JOIN st USING (bucket) GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+           floor(slr / n_tokens * 100000.0 + 0.5) / 100000.0 AS logw5
+         FROM pd""",
+    "q99_kmeans" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         c0 AS (SELECT id AS cluster, v AS cv FROM e WHERE id < 4),
+         s1 AS (SELECT e.id, c0.cluster,
+             round(list_sum(list_transform(range(1, len(e.v) + 1),
+                 i -> e.v[i] * c0.cv[i])) /
+               (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(c0.cv, x -> x * x)))), 5) AS cos5
+           FROM e, c0),
+         a1 AS (SELECT id, cluster, cos5 FROM (SELECT *,
+             row_number() OVER (PARTITION BY id
+               ORDER BY cos5 DESC, cluster) AS rn FROM s1) WHERE rn = 1),
+         m1 AS (SELECT a1.cluster, i - 1 AS pos,
+             CAST(SUM(CAST(floor(e.v[i] * 1000000000.0 + 0.5) AS BIGINT))
+               AS DOUBLE) / 1000000000.0 / CAST(COUNT(*) AS DOUBLE) AS m
+           FROM a1 JOIN e USING (id),
+             unnest(range(1, len(e.v) + 1)) AS t(i)
+           GROUP BY 1, 2),
+         c1 AS (SELECT cluster, list(m ORDER BY pos) AS cv FROM m1
+           GROUP BY cluster),
+         s2 AS (SELECT e.id, c1.cluster,
+             round(list_sum(list_transform(range(1, len(e.v) + 1),
+                 i -> e.v[i] * c1.cv[i])) /
+               (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(c1.cv, x -> x * x)))), 5) AS cos5
+           FROM e, c1),
+         a2 AS (SELECT id, cluster, cos5 FROM (SELECT *,
+             row_number() OVER (PARTITION BY id
+               ORDER BY cos5 DESC, cluster) AS rn FROM s2) WHERE rn = 1),
+         m2 AS (SELECT a2.cluster, i - 1 AS pos,
+             CAST(SUM(CAST(floor(e.v[i] * 1000000000.0 + 0.5) AS BIGINT))
+               AS DOUBLE) / 1000000000.0 / CAST(COUNT(*) AS DOUBLE) AS m
+           FROM a2 JOIN e USING (id),
+             unnest(range(1, len(e.v) + 1)) AS t(i)
+           GROUP BY 1, 2),
+         c2 AS (SELECT cluster, list(m ORDER BY pos) AS cv FROM m2
+           GROUP BY cluster),
+         s3 AS (SELECT e.id, c2.cluster,
+             round(list_sum(list_transform(range(1, len(e.v) + 1),
+                 i -> e.v[i] * c2.cv[i])) /
+               (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(c2.cv, x -> x * x)))), 5) AS cos5
+           FROM e, c2),
+         a3 AS (SELECT id, cluster, cos5 FROM (SELECT *,
+             row_number() OVER (PARTITION BY id
+               ORDER BY cos5 DESC, cluster) AS rn FROM s3) WHERE rn = 1)
+         SELECT id AS vec_id, cluster, cos5 FROM a3""",
+    "q100_rerank_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         dims AS (SELECT i AS pos, min(v[i]) AS lo, max(v[i]) AS hi
+           FROM e, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY i),
+         stats AS (SELECT list(lo ORDER BY pos) AS los,
+             list(hi ORDER BY pos) AS his FROM dims),
+         dq AS (SELECT vec_id,
+             list_transform(range(1, len(v) + 1), i ->
+               CASE WHEN his[i] = los[i] THEN los[i]
+                 ELSE los[i]
+                   + (CAST(least(255, floor((v[i] - los[i])
+                        / (his[i] - los[i]) * 256)) AS DOUBLE) + 0.5)
+                   * (his[i] - los[i]) / 256 END) AS dv
+           FROM e CROSS JOIN stats),
+         q AS (SELECT vec_id AS query_id, dv AS qv FROM dq
+           WHERE vec_id < 10),
+         sc AS (SELECT q.query_id, dq.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> q.qv[i] * dq.dv[i])) /
+               (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+                sqrt(list_sum(list_transform(dq.dv, x -> x * x)))), 5)
+               AS cos5q
+           FROM q JOIN dq ON q.query_id <> dq.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos5q DESC, neighbor_id) AS rnk FROM sc),
+         short AS (SELECT query_id, neighbor_id,
+             CAST(rnk AS BIGINT) AS coarse_rank FROM r WHERE rnk <= 20),
+         sc2 AS (SELECT s.query_id, s.neighbor_id, s.coarse_rank,
+             round(list_sum(list_transform(range(1, len(a.v) + 1),
+                 i -> a.v[i] * b.v[i])) /
+               (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(b.v, x -> x * x)))), 5) AS cos5
+           FROM short s JOIN e a ON s.query_id = a.vec_id
+                        JOIN e b ON s.neighbor_id = b.vec_id),
+         r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos5 DESC, neighbor_id) AS rnk2 FROM sc2)
+         SELECT query_id, CAST(rnk2 AS BIGINT) AS rank, neighbor_id,
+           cos5, coarse_rank
+         FROM r2 WHERE rnk2 <= 5""",
+    "q101_domain_cap" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+           FROM documents),
+         q AS (SELECT doc_id, source,
+             least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.4
+             + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.4
+             + least(CAST(len(list_filter(ws, t -> t IN ('the','a')))
+                 AS DOUBLE) / 5.0, 1.0) * 0.2 AS score
+           FROM w),
+         r AS (SELECT doc_id, source, score,
+             row_number() OVER (PARTITION BY source
+               ORDER BY score DESC, doc_id) AS rnk FROM q)
+         SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk,
+           floor(score * 100000.0 + 0.5) / 100000.0 AS score5
+         FROM r WHERE rnk <= 15""",
+    "q102_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY tok),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks),
+         q AS (SELECT t.doc_id,
+             CAST(floor(-ln(f.tf / n.total) * 1000000000.0 + 0.5)
+               AS BIGINT) AS qln
+           FROM toks t JOIN freq f ON t.tok = f.tok, n),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(qln) AS DOUBLE) / 1000000000.0 AS sq
+           FROM q GROUP BY doc_id),
+         x AS (SELECT doc_id,
+             floor(sq / n_tokens * 100000.0 + 0.5) / 100000.0 AS xent5
+           FROM agg),
+         j AS (SELECT x.doc_id, d.lang, x.xent5
+           FROM x JOIN documents d USING (doc_id)),
+         t AS (SELECT *, CAST(ntile(3) OVER (PARTITION BY lang
+             ORDER BY xent5 ASC, doc_id ASC) AS BIGINT) AS tercile FROM j)
+         SELECT doc_id, lang, xent5, tercile,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             ELSE 'tail' END AS ppl_bucket
+         FROM t""",
   )
 }

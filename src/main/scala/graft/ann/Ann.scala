@@ -288,6 +288,115 @@ object Ann {
       .groupBy(col("cell"), col("pos"))
       .agg(round(avg(col("col")), 5).as("c5"))
 
+  /** Assign every vector to its nearest centroid by cosine (5-dp
+    * ranking key, centroid-id tiebreak). `centroids` must be tiny —
+    * it is broadcast, so the "cross join" is one streaming pass over
+    * the corpus. Output: corpus row + (cluster, cos5). */
+  private def assignToCentroids(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val w = Window.partitionBy("id")
+      .orderBy(col("cos5").desc, col("cluster").asc)
+    e.crossJoin(broadcast(centroids))
+      .withColumn("cos5", cos5(spark, col("v"), col("cv")))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") === 1)
+      .drop("arn", "cv")
+  }
+
+  /** Element-wise mean vectors per cluster with ORDER-INDEPENDENT
+    * arithmetic: each coordinate contribution is quantized to 1e-9
+    * (floor(x·1e9 + 0.5) as BIGINT) before the sum, so the partial-sum
+    * order Spark's shuffle happens to use cannot change the result and
+    * any engine reproduces the centroid bit-for-bit — necessary here
+    * (unlike [[cellCentroids]]'s display rounding) because these means
+    * feed ANOTHER cosine ranking where a 1-ulp drift flips argmaxes.
+    * One posexplode + one hash aggregate: only |clusters|·dim rows
+    * shuffle. */
+  private def quantizedMeans(assigned: DataFrame): DataFrame = {
+    val scale = 1e9
+    assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(sum(floor(col("x") * lit(scale) + lit(0.5)).cast("long")).as("qs"),
+        count(lit(1)).as("n"))
+      .withColumn("m",
+        col("qs").cast("double") / lit(scale) / col("n").cast("double"))
+      .groupBy("cluster")
+      .agg(expr("array_sort(collect_list(struct(pos, m)))").as("s"))
+      .select(col("cluster"), expr("transform(s, t -> t.m)").as("cv"))
+  }
+
+  /** Distributed k-means, `iters` full Lloyd rounds: seed centroids =
+    * the `k` lowest-id vectors (deterministic init — production swaps
+    * k-means|| sampling, same plan), then repeat [assign every vector
+    * to its nearest centroid → recompute quantized element-wise mean
+    * centroids]. Per round: one broadcast-assign pass over the corpus
+    * (no shuffle of the vectors) and one |k|·dim-row centroid
+    * aggregate — the textbook Spark k-means shape, every arithmetic
+    * step cross-engine exact. Output: (vec_id, cluster, cos5 to the
+    * final centroid) after a final assignment pass. */
+  def kmeans(emb: DataFrame, idCol: String, embCol: String, k: Int,
+             iters: Int): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), asDouble(embCol).as("v"))
+    val seeds = e.filter(col("id") < k)
+      .select(col("id").cast("long").as("cluster"), col("v").as("cv"))
+    var centroids = seeds
+    var assigned = assignToCentroids(e, centroids)
+    (1 until iters).foreach { _ =>
+      centroids = quantizedMeans(assigned)
+      assigned = assignToCentroids(e, centroids)
+    }
+    assigned.select(col("id").as("vec_id"), col("cluster"), col("cos5"))
+  }
+
+  /** Two-stage retrieval (the production ANN serving shape): a CHEAP
+    * coarse pass over int8-quantized vectors keeps `m` candidates per
+    * query, then an exact full-precision cosine re-ranks only those
+    * m·|queries| candidates down to top-`k`. The corpus-sized scan
+    * touches 4×-smaller codes; full floats are read only for the
+    * candidate set (at 100 TB: codes live hot, floats come from a
+    * point-lookup-friendly store). Recall ≥ the coarse-only search
+    * whenever the true neighbour survives the coarse cut. Output
+    * (query_id, rank, neighbor_id, cos5, coarse_rank) — coarse_rank
+    * shows how re-ranking reordered the shortlist. */
+  def rerankTopK(emb: DataFrame, idCol: String, embCol: String,
+                 nQueries: Int, m: Int, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val dq = quantizeDequantized(emb, idCol, embCol).persist()
+    val q = dq.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"), col("dv").as("qv"))
+    val c = dq.select(col(idCol).as("neighbor_id"), col("dv").as("cv"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cos5q").desc, col("neighbor_id").asc)
+    val shortlist = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos5q", cos5(spark, col("qv"), col("cv")))
+      .withColumn("coarse_rank", row_number().over(wq).cast("long"))
+      .filter(col("coarse_rank") <= m)
+      .select("query_id", "neighbor_id", "coarse_rank")
+      .persist()
+    shortlist.count()
+    dq.unpersist()
+    // exact re-rank: full-precision vectors only for the shortlist
+    val ex = emb.select(col(idCol), asDouble(embCol).as("ev"))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cos5").desc, col("neighbor_id").asc)
+    val out = shortlist
+      .join(broadcast(ex.select(col(idCol).as("query_id"),
+        col("ev").as("qv"))), "query_id")
+      .join(ex.select(col(idCol).as("neighbor_id"), col("ev").as("cv")),
+        "neighbor_id")
+      .withColumn("cos5", cos5(spark, col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos5"), col("coarse_rank"))
+      .persist()
+    out.count()
+    shortlist.unpersist()
+    out
+  }
+
   /** IVF with COMPUTED cells: a deterministic representative per cell
     * (the member with min id — a medoid stand-in chosen so both engines
     * agree exactly; a real deployment uses [[cellCentroids]] vectors),

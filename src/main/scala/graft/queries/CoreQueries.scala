@@ -708,6 +708,126 @@ object CoreQueries {
     graft.pipeline.CdcPipeline.runAll(s, d, work)
   }
 
+  /** Correlated-EXISTS semi-join (TPC-H Q4 shape): count orders per
+    * priority that have at least one late-shipping line (shipped more
+    * than 60 days after the order date). The EXISTS becomes a LEFT SEMI
+    * join whose condition spans both sides — Spark hash-joins on the
+    * equi half (l_orderkey = o_orderkey) and applies the date predicate
+    * as a residual, so each order is emitted at most once with no
+    * distinct/dedup pass. Scale: one key shuffle of the two filtered
+    * scans; the per-priority aggregate is map-side-combined over ≤5
+    * groups. */
+  def orderPriorityExists(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    // timestamp + interval keeps TimestampType on both engines (the
+    // DuckDB twin is `o_orderdate + INTERVAL 60 DAY`); date_add would
+    // truncate to DateType mid-comparison
+    o.join(l, col("l_orderkey") === col("o_orderkey")
+        && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Outer-join count distribution (TPC-H Q13 shape): how many
+    * customers placed 0, 1, 2, … non-urgent orders. The join must be
+    * LEFT OUTER with the priority filter in the JOIN CONDITION (not a
+    * WHERE — that would drop the zero-order customers), and
+    * count(o_orderkey) counts only matched rows. Two aggregates: per
+    * customer (shuffles on c_custkey), then the tiny histogram over
+    * order counts. */
+  def custOrderDistribution(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select("c_custkey")
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    val perCust = c.join(o,
+        col("c_custkey") === col("o_custkey")
+          && col("o_orderpriority") =!= "1-URGENT", "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Correlated scalar-subquery filter (TPC-H Q17 shape): revenue
+    * impact of small-quantity orders — lineitems of Brand#1 small
+    * parts whose quantity is below 20% of that PART's average quantity.
+    * The correlated `avg per l_partkey` decorrelates into a per-part
+    * aggregate joined back on the key; the brand/size filter prunes the
+    * part side BEFORE both joins, so the per-part average is computed
+    * only for the ~0.1% of parts that survive (semi-join pushdown of
+    * the filter through the aggregate). Output is the single Q17-style
+    * weekly-revenue scalar. */
+  def smallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#1" && col("p_size") < 10)
+      .select("p_partkey")
+    val l = Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    // prune lineitem to surviving parts first; both downstream uses
+    // (the per-part avg and the final filter) read this one subtree
+    val lp = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val avgQty = lp.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    // l_quantity is integer-valued, so the double avg is exact and
+    // order-independent; cast the DECIMAL sum to double BEFORE the /7
+    // so both engines perform the same single IEEE division
+    lp.join(broadcast(avgQty), col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+        / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** Anti-join + global scalar aggregate (TPC-H Q22 shape): "dormant
+    * high-value customers" — above-average balance but no urgent order
+    * on file, rolled up per market segment. The global average is one
+    * scalar broadcast to the filter (no per-row recompute); the NOT
+    * EXISTS is a LEFT ANTI join against the filtered orders scan.
+    * Scale: anti join shuffles on the customer key; everything else is
+    * scalar or ≤5 groups. */
+  def dormantHighValue(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    // decimal-routed mean: exact order-independent sum, then ONE double
+    // division — bit-identical in any engine (a plain double avg's
+    // partial-sum order is engine-dependent)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+        / count(lit(1)).cast("double")).as("avg_bal"))
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        moneySum(col("c_acctbal")).as("total_bal"))
+  }
+
+  /** Scalar-MAX subquery over an aggregate (TPC-H Q15 shape): the
+    * top-revenue supplier(s) of 1998Q1. The revenue-per-supplier
+    * aggregate is computed ONCE and reused by both the max scalar and
+    * the equality filter (self-join of the agg against its own max —
+    * Spark plans the reuse as an exchange-reuse of the shared
+    * subtree). Ties all surface (= max, not top-1), matching the SQL
+    * semantics. */
+  def topSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(fmtTs(col("l_shipdate")) >= "1998-01-01 00:00:00"
+        && fmtTs(col("l_shipdate")) < "1998-04-01 00:00:00")
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("double").as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

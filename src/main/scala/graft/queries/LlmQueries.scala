@@ -365,6 +365,39 @@ object LlmQueries {
     Dedup.qualityCanonical(Tables.documents(s, d), "doc_id", "text",
       "n_chars")
 
+  /** DSIR importance weights: score every doc by how 'en'-like its
+    * hashed-unigram distribution is (target model = the lang == 'en'
+    * slice, raw model = the whole corpus). */
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    graft.sampling.Sampling.dsirWeights(Tables.documents(s, d),
+      "doc_id", "text", col("lang") === "en")
+
+  /** Distributed k-means over the embedding corpus: 4 clusters, 3 full
+    * Lloyd rounds from min-id seeds; final (vec, cluster, cos5). */
+  def kmeansClusters(s: SparkSession, d: String): DataFrame =
+    Ann.kmeans(Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 4, iters = 3)
+
+  /** Two-stage retrieval: int8-quantized coarse top-20 shortlist per
+    * query, exact full-precision cosine re-rank to top-5. */
+  def rerankAnn(s: SparkSession, d: String): DataFrame =
+    Ann.rerankTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      nQueries = 10, m = 20, k = 5)
+
+  /** FineWeb-style per-domain cap: at most 15 docs per source,
+    * best-first by quality score. */
+  def domainCap(s: SparkSession, d: String): DataFrame =
+    graft.sampling.Sampling.domainCap(
+      TextOps.qualityScore(Tables.documents(s, d)),
+      "doc_id", "source", "quality_score", cap = 15)
+      .select(col("doc_id"), col("source"), col("rnk"),
+        graft.Oracle.stableRound(col("quality_score"), 5).as("score5"))
+
+  /** CCNet-style per-language perplexity terciles (head/middle/tail)
+    * of the unigram cross-entropy. */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame =
+    TextOps.ccnetBuckets(Tables.documents(s, d), "doc_id", "text")
+
   // ---- streaming dedup -----------------------------------------------
 
   /** Streaming incremental MinHash-LSH near-dup dedup: the corpus

@@ -102,6 +102,30 @@ object TextOps {
         graft.Oracle.stableRound(col("sq") / col("n_tokens"), 5).as("xent5"))
   }
 
+  /** CCNet-style perplexity bucketing: split each language's docs into
+    * head/middle/tail terciles of the [[unigramXent]] score (CCNet,
+    * Wenzek et al. 2020 §4.3 — in production the score is a KenLM
+    * perplexity; the bucketing and its plan are identical). "head" =
+    * most-fluent third, the slice usually kept outright; "tail" gets
+    * heavier filtering. ntile runs over a window partitioned by lang
+    * with a fully deterministic (xent5, doc_id) order, so bucket
+    * boundaries are reproducible in any engine. Scale: the window
+    * shuffles once on lang; skew-prone megalanguages would pre-slice
+    * by hash the way [[graft.ops.CdcOps.latestPerKeySkewSafe]] does. */
+  def ccnetBuckets(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("xent5").asc, col(idCol).asc)
+    unigramXent(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col("lang")), idCol)
+      .withColumn("tercile", ntile(3).over(w).cast(LongType))
+      .withColumn("ppl_bucket",
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle").otherwise("tail"))
+      .select(col(idCol), col("lang"), col("xent5"), col("tercile"),
+        col("ppl_bucket"))
+  }
+
   /** Count-Min-Sketch heavy hitters: build a `depth`×`width` CMS over
     * token occurrences, then report the sketch estimate next to the
     * exact count for the exact top-`k` tokens. The estimate is

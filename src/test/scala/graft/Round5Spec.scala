@@ -1,0 +1,146 @@
+package graft
+
+import graft.ann.Ann
+import graft.sampling.Sampling
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-5 operators: decorrelated-subquery relational
+  * shapes, DSIR importance weights, Lloyd k-means, two-stage re-ranked
+  * retrieval, per-domain caps, CCNet perplexity terciles. Covers the
+  * invariants the row oracle can't see: plan shapes, dominance
+  * relations, signal direction. */
+class Round5Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- k-means -------------------------------------------------------
+
+  test("kmeans: total assignment, cluster ids are seeds, deterministic") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => ((i % 4) * 8 + j).toFloat / 32f))
+    }.toDF("vec_id", "embedding")
+    val r1 = Ann.kmeans(vecs, "vec_id", "embedding", k = 4, iters = 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(r1.length == 40)                      // every vector assigned once
+    assert(r1.map(_._2).forall(c => c >= 0 && c < 4))
+    val r2 = Ann.kmeans(vecs, "vec_id", "embedding", k = 4, iters = 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(r1.sameElements(r2))                  // bit-identical rerun
+  }
+
+  test("kmeans separates two obvious blobs") {
+    // two orthogonal directions; seeds 0 and 1 are one from each blob
+    val blobA = (0L until 10L).filter(_ % 2 == 0)
+      .map(i => (i, Array(1f, 0f, 0f, 0f) ++ Array.fill(4)(i.toFloat / 100f)))
+    val blobB = (0L until 10L).filter(_ % 2 == 1)
+      .map(i => (i, Array(0f, 1f, 0f, 0f) ++ Array.fill(4)(i.toFloat / 100f)))
+    val vecs = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val r = Ann.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val aClusters = blobA.map(v => r(v._1)).toSet
+    val bClusters = blobB.map(v => r(v._1)).toSet
+    assert(aClusters.size == 1 && bClusters.size == 1)
+    assert(aClusters != bClusters)
+  }
+
+  // ---- two-stage re-rank --------------------------------------------
+
+  test("rerank: exact order within shortlist, coarse ranks bounded") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7 + j * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val r = Ann.rerankTopK(vecs, "vec_id", "embedding",
+        nQueries = 5, m = 10, k = 3)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(r.length == 15)
+    assert(r.forall(t => t._5 >= 1 && t._5 <= 10)) // from the shortlist
+    // within each query the exact cosine is non-increasing in rank
+    r.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  // ---- DSIR ----------------------------------------------------------
+
+  test("dsir: target-like docs score higher than off-target docs") {
+    val target = (0L until 30L).map(i =>
+      (i, "en", s"the quick brown fox ${i % 3} jumps over the lazy dog"))
+    val other = (30L until 60L).map(i =>
+      (i, "de", s"der schnelle braune fuchs ${i % 3} springt ueber den hund"))
+    val docs = (target ++ other).toDF("doc_id", "lang", "text")
+    val w = Sampling.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(avg("logw5").as("mw"))
+      .as[(String, Double)].collect().toMap
+    assert(w("en") > w("de"))
+    assert(w("en") > 0 && w("de") < 0)
+  }
+
+  // ---- domain cap ----------------------------------------------------
+
+  test("domainCap: at most cap rows per domain, best-first, WindowGroupLimit plan") {
+    val docs = (1L to 100L).map(i =>
+      (i, s"src${i % 3}", (i % 17).toDouble)).toDF("doc_id", "source", "score")
+    val capped = Sampling.domainCap(docs, "doc_id", "source", "score", cap = 5)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+    val rows = capped.select("source", "doc_id", "score", "rnk")
+      .as[(String, Long, Double, Long)].collect()
+    assert(rows.groupBy(_._1).values.forall(_.length == 5))
+    // kept rows are the per-source score-desc head (id tiebreak)
+    val want = (1L to 100L).map(i => (s"src${i % 3}", i, (i % 17).toDouble))
+      .groupBy(_._1).values.flatMap(_.sortBy(t => (-t._3, t._2)).take(5))
+      .map(t => (t._1, t._2)).toSet
+    assert(rows.map(t => (t._1, t._2)).toSet == want)
+  }
+
+  // ---- CCNet buckets -------------------------------------------------
+
+  test("ccnetBuckets: terciles balanced within 1 per lang, ordered by xent") {
+    val docs = (1L to 90L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      // vary rarity: low ids repeat common tokens, high ids are rare soup
+      val text = if (i < 45) "common common common word"
+        else s"rare$i token$i soup$i word"
+      (i, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val r = TextOps.ccnetBuckets(docs, "doc_id", "text")
+      .as[(Long, String, Double, Long, String)].collect()
+    r.groupBy(_._2).values.foreach { rows =>
+      val sizes = rows.groupBy(_._4).view.mapValues(_.size).values.toSeq
+      assert(sizes.max - sizes.min <= 1)          // ntile balance
+      // head has lower (or equal) xent than tail
+      val head = rows.filter(_._5 == "head").map(_._3)
+      val tail = rows.filter(_._5 == "tail").map(_._3)
+      assert(head.max <= tail.min)
+    }
+  }
+
+  // ---- relational shapes --------------------------------------------
+
+  test("exists semi-join emits each order at most once") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.orderPriorityExists(spark, sf)
+      .agg(sum("n_orders")).as[Long].head()
+    val orders = graft.sources.Tables.orders(spark, sf).count()
+    assert(r > 0 && r <= orders)
+  }
+
+  test("order histogram conserves the customer population") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.custOrderDistribution(spark, sf)
+      .agg(sum("n_customers")).as[Long].head()
+    assert(r == graft.sources.Tables.customer(spark, sf).count())
+  }
+
+  test("top supplier revenue equals the max of the per-supplier aggregate") {
+    val sf = "/root/testdata/sf0.001"
+    val top = graft.queries.CoreQueries.topSupplier(spark, sf)
+      .select("total_revenue").as[Double].collect()
+    assert(top.nonEmpty && top.toSet.size == 1) // all rows tie at the max
+  }
+}
