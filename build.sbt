@@ -30,5 +30,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 102-query single-JVM suites accumulate shuffle/cache blocks; 8g
+  // pushed late-suite queries into GC thrash (q41 measured 9s in-suite
+  // vs 0.7s isolated). The box has 128 GiB — give the bench headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 100+ whole-stage-codegen queries in one JVM overflow the default
+  // ~240 MB code cache; once flushing starts, hot generated classes
+  // deopt to the interpreter and a random late-suite query runs ~10x
+  // slow (both timed runs, different victim each suite run). Standard
+  // Spark guidance: reserve a big code cache.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -51,6 +51,12 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def one(): Double =
         try {
+          // hygiene OUTSIDE the timed window: drop any cache entries a
+          // previous query leaked and let the JVM compact, so query N
+          // doesn't pay query N-1's garbage (the in-suite-vs-isolated
+          // gap measured 10x on late-suite queries without this)
+          spark.sharedState.cacheManager.clearCache()
+          System.gc()
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9

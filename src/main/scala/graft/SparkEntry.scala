@@ -171,6 +171,17 @@ object SparkEntry {
     "q100_rerank_ann"       -> ((s, d) => LlmQueries.rerankAnn(s, d)),
     "q101_domain_cap"       -> ((s, d) => LlmQueries.domainCap(s, d)),
     "q102_ccnet_buckets"    -> ((s, d) => LlmQueries.ccnetBuckets(s, d)),
+    // multi-COUNT(DISTINCT) via Expand; RRF hybrid retrieval fusion;
+    // exact-N stratified sampling; temperature-flattened mixture
+    // design; filtered-ANN hard negatives; dedup cluster histogram;
+    // multiset INTERSECT/EXCEPT ALL
+    "q103_multi_distinct"   -> ((s, d) => CoreQueries.multiDistinct(s, d)),
+    "q104_hybrid_rrf"       -> ((s, d) => LlmQueries.hybridRrf(s, d)),
+    "q105_stratified_sample" -> ((s, d) => LlmQueries.stratifiedSample(s, d)),
+    "q106_temperature_mix"  -> ((s, d) => LlmQueries.temperatureMixture(s, d)),
+    "q107_hard_negatives"   -> ((s, d) => LlmQueries.hardNegatives(s, d)),
+    "q108_cluster_histogram" -> ((s, d) => LlmQueries.clusterHistogram(s, d)),
+    "q109_bag_setops"       -> ((s, d) => CoreQueries.bagSetOps(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -193,6 +204,46 @@ object SparkEntry {
            WHERE doc_id % 20 <> 0),
          bench AS (SELECT DISTINCT unnest(grams) AS gram FROM sh
            WHERE doc_id % 20 = 0)"""
+
+  /** Shared CTE chain: MinHash-LSH near-dup pairs → recursive
+    * min-label closure ending at `comp(id, canonical)` — used verbatim
+    * by q59 (doc→cluster rows) and q108 (cluster-size histogram) so
+    * the clustering definition can never drift between them. */
+  private val dedupGroupCtes: String =
+    """str AS (SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+             ELSE [] END AS shingles
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS shingles
+           FROM str),
+         sig AS (SELECT doc_id, shingles,
+             [list_min(list_transform(shingles, x ->
+                (((2654435761 * (h + 1)) % 1073741789) * (x // 1073741824)
+                 + ((2246822519 * (h + 1)) % 1073741789) * (x % 1073741824)
+                 + h) % 1073741789)) FOR h IN range(12)] AS sig
+           FROM sh),
+         bands AS (SELECT doc_id, b,
+             md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3])) AS band_key
+           FROM sig, unnest(range(4)) AS t(b)),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bands x JOIN bands y
+             ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         j AS (SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+           FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id),
+         und AS (SELECT doc_a AS a, doc_b AS b FROM j WHERE jaccard >= 0.8
+                 UNION
+                 SELECT doc_b, doc_a FROM j WHERE jaccard >= 0.8),
+         reach(id, lbl) AS (
+           SELECT a, a FROM und
+           UNION
+           SELECT u.a, r.lbl FROM und u JOIN reach r ON u.b = r.id),
+         comp AS (SELECT id, MIN(lbl) AS canonical FROM reach GROUP BY id)"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_gold_agg" ->
@@ -887,40 +938,7 @@ object SparkEntry {
            CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
     "q59_dedup_groups" ->
-      """WITH RECURSIVE str AS (SELECT doc_id,
-             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-               list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
-             ELSE [] END AS shingles
-           FROM documents),
-         sh AS (SELECT doc_id,
-             list_distinct(list_transform(shingles,
-               s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS shingles
-           FROM str),
-         sig AS (SELECT doc_id, shingles,
-             [list_min(list_transform(shingles, x ->
-                (((2654435761 * (h + 1)) % 1073741789) * (x // 1073741824)
-                 + ((2246822519 * (h + 1)) % 1073741789) * (x % 1073741824)
-                 + h) % 1073741789)) FOR h IN range(12)] AS sig
-           FROM sh),
-         bands AS (SELECT doc_id, b,
-             md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3])) AS band_key
-           FROM sig, unnest(range(4)) AS t(b)),
-         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           FROM bands x JOIN bands y
-             ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-         j AS (SELECT c.doc_a, c.doc_b,
-             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-               len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-           FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id),
-         und AS (SELECT doc_a AS a, doc_b AS b FROM j WHERE jaccard >= 0.8
-                 UNION
-                 SELECT doc_b, doc_a FROM j WHERE jaccard >= 0.8),
-         reach(id, lbl) AS (
-           SELECT a, a FROM und
-           UNION
-           SELECT u.a, r.lbl FROM und u JOIN reach r ON u.b = r.id),
-         comp AS (SELECT id, MIN(lbl) AS canonical FROM reach GROUP BY id)
+      s"""WITH RECURSIVE $dedupGroupCtes
          SELECT id AS doc_id, canonical AS canonical_id,
            CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT)
              AS cluster_size
@@ -1791,5 +1809,111 @@ object SparkEntry {
            CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
              ELSE 'tail' END AS ppl_bucket
          FROM t""",
+    "q103_multi_distinct" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT CAST(year(o_orderdate) AS BIGINT)) AS n_years,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY o_orderpriority""",
+    "q104_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             AVG(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+           WHERE tok IN ('merge', 'stream', 'window') GROUP BY doc_id, tok),
+         dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         s AS (SELECT tf.doc_id,
+             ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+           FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id)
+           CROSS JOIN stats),
+         sc AS (SELECT doc_id, round(SUM(s), 4) AS score4 FROM s
+           GROUP BY doc_id),
+         bm AS (SELECT doc_id, rank AS r_bm25 FROM (
+           SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY score4 DESC, doc_id ASC) AS BIGINT) AS rank
+           FROM sc) WHERE rank <= 20),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         qv AS (SELECT vec_id, v FROM e WHERE vec_id = 0),
+         sa AS (SELECT e.vec_id AS doc_id,
+             round(list_sum(list_transform(range(1, len(q.v) + 1),
+                 i -> q.v[i] * e.v[i])) /
+               (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(e.v, x -> x * x)))), 5) AS cos5
+           FROM qv q JOIN e ON q.vec_id <> e.vec_id),
+         ann AS (SELECT doc_id, rank AS r_ann FROM (
+           SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY cos5 DESC, doc_id ASC) AS BIGINT) AS rank
+           FROM sa) WHERE rank <= 20),
+         f AS (SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+             bm.r_bm25, ann.r_ann,
+             COALESCE(1.0 / (60.0 + bm.r_bm25), 0.0)
+               + COALESCE(1.0 / (60.0 + ann.r_ann), 0.0) AS rrf
+           FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id)
+         SELECT doc_id, fused_rank, r_bm25, r_ann,
+           floor(rrf * 1000000.0 + 0.5) / 1000000.0 AS rrf6
+         FROM (SELECT *, CAST(row_number() OVER (
+             ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS fused_rank FROM f)
+         WHERE fused_rank <= 10""",
+    "q105_stratified_sample" ->
+      """SELECT doc_id, lang, smp_rank FROM (
+           SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+             AS smp_rank
+           FROM documents)
+         WHERE smp_rank <= 20""",
+    "q106_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source),
+         t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c),
+         q AS (SELECT source, n_docs,
+             CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS p,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))
+               * 1000000000000.0 + 0.5) AS BIGINT) AS wq
+           FROM c, t),
+         ws AS (SELECT CAST(SUM(wq) AS BIGINT) AS wq_sum FROM q)
+         SELECT source, n_docs,
+           floor(p * 1000000.0 + 0.5) / 1000000.0 AS p6,
+           floor(CAST(wq AS DOUBLE) / CAST(wq_sum AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS share6
+         FROM q, ws""",
+    "q107_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 10),
+         s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             e.label AS neg_label,
+             round(list_sum(list_transform(range(1, len(q.v) + 1),
+                 i -> q.v[i] * e.v[i])) /
+               (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(e.v, x -> x * x)))), 5) AS cos5
+           FROM q JOIN e ON q.label <> e.label),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos5 DESC, neighbor_id) AS rank FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           neg_label, cos5
+         FROM r WHERE rank <= 3""",
+    "q108_cluster_histogram" ->
+      s"""WITH RECURSIVE $dedupGroupCtes,
+         sz AS (SELECT canonical, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM comp GROUP BY canonical)
+         SELECT cluster_size, COUNT(*) AS n_clusters
+         FROM sz GROUP BY cluster_size""",
+    "q109_bag_setops" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id % 10 >= 8 AS inc
+           FROM events),
+         pre AS (SELECT user_id, event_type FROM ev WHERE NOT inc),
+         post AS (SELECT user_id, event_type FROM ev WHERE inc),
+         ia AS (SELECT * FROM pre INTERSECT ALL SELECT * FROM post),
+         ea AS (SELECT * FROM pre EXCEPT ALL SELECT * FROM post)
+         SELECT event_type, COUNT(*) AS n, 'intersect_all' AS op
+         FROM ia GROUP BY event_type
+         UNION ALL
+         SELECT event_type, COUNT(*) AS n, 'except_all' AS op
+         FROM ea GROUP BY event_type""",
   )
 }

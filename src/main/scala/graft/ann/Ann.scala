@@ -288,6 +288,31 @@ object Ann {
       .groupBy(col("cell"), col("pos"))
       .agg(round(avg(col("col")), 5).as("c5"))
 
+  /** Hard-negative mining (contrastive-training prep, the DPR/
+    * Contriever recipe): for each query, the top-`k` most-similar
+    * vectors whose label DIFFERS from the query's — maximally
+    * confusable negatives. Same broadcast scan-and-rank plan as
+    * [[bruteForceTopK]] with the label-mismatch predicate applied
+    * before scoring; a production run swaps the scan for the
+    * LSH/IVF-bucketed probe, predicate unchanged ("filtered ANN").
+    * Output (query_id, rank, neighbor_id, neg_label, cos5). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"), asDouble(embCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neg_label"), asDouble(embCol).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos5").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("neg_label") =!= col("q_label"))
+      .withColumn("cos5", cos5(corpus.sparkSession, col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neg_label"), col("cos5"))
+  }
+
   /** Assign every vector to its nearest centroid by cosine (5-dp
     * ranking key, centroid-id tiebreak). `centroids` must be tiny —
     * it is broadcast, so the "cross join" is one streaming pass over

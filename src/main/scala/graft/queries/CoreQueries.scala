@@ -828,6 +828,43 @@ object CoreQueries {
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
 
+  /** Multi-DISTINCT aggregation: several COUNT(DISTINCT …) with
+    * different argument sets plus plain aggregates in ONE GROUP BY.
+    * Catalyst plans this via Expand — each input row fans out once per
+    * distinct-argument group with nulled-out other columns, then a
+    * two-phase aggregate dedups and counts — so the query stays a
+    * single shuffle pipeline rather than N self-joins. At 100 TB the
+    * expand factor (here 3×) is the cost knob; sketches (q45's KMV)
+    * are the swap-in when approximate counts suffice. */
+  def multiDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        countDistinct(year(col("o_orderdate")).cast("long")).as("n_years"),
+        moneySum(col("o_totalprice")).as("revenue"))
+
+  /** Bag (multiset) set operations: INTERSECT ALL / EXCEPT ALL between
+    * the existing-state and incoming-batch event projections —
+    * multiplicity-aware overlap accounting (plain INTERSECT/EXCEPT in
+    * q57 collapse duplicates; replay/audit diffing must not). Spark
+    * plans both as a single aggregate computing per-row multiplicities
+    * on each side, then replicates rows min(a,b) / max(a-b, 0) times —
+    * one shuffle on the row value, no join explosion. */
+  def bagSetOps(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), isIncoming.as("inc"))
+    val pre  = ev.filter(!col("inc")).drop("inc")
+    val post = ev.filter(col("inc")).drop("inc")
+    val both = pre.intersectAll(post)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    val onlyPre = pre.exceptAll(post)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    both.unionByName(onlyPre)
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -398,6 +398,43 @@ object LlmQueries {
   def ccnetBuckets(s: SparkSession, d: String): DataFrame =
     TextOps.ccnetBuckets(Tables.documents(s, d), "doc_id", "text")
 
+  /** Hybrid retrieval: BM25 top-20 (3-term query) fused with dense
+    * cosine top-20 (query vector 0) by Reciprocal Rank Fusion. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val bm = graft.search.Search.bm25TopK(Tables.documents(s, d),
+      "doc_id", "text", Seq("merge", "stream", "window"), topK = 20)
+    val emb = Tables.embeddings(s, d)
+    val ann = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 20)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    graft.search.Search.hybridRrf(bm, ann, k = 10)
+  }
+
+  /** Exact-20-per-language stratified sample by md5 rank. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    graft.sampling.Sampling.stratifiedSample(
+      Tables.documents(s, d).select("doc_id", "lang"), "doc_id", "lang", n = 20)
+
+  /** Temperature-0.5 mixture design over the per-source corpus shares. */
+  def temperatureMixture(s: SparkSession, d: String): DataFrame =
+    graft.sampling.Sampling.temperatureMixture(Tables.documents(s, d), "source")
+
+  /** Hard-negative mining: top-3 cross-label cosine neighbours for the
+    * 10 lowest-id query vectors. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Ann.hardNegatives(e, e.filter(col("vec_id") < 10), "vec_id",
+      "embedding", "label", k = 3)
+  }
+
+  /** Near-dup cluster-size histogram — the dedup observability report:
+    * how many clusters of each size the MinHash-LSH pipeline found. */
+  def clusterHistogram(s: SparkSession, d: String): DataFrame =
+    dedupGroups(s, d)
+      .select(col("canonical_id"), col("cluster_size")).distinct()
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   // ---- streaming dedup -----------------------------------------------
 
   /** Streaming incremental MinHash-LSH near-dup dedup: the corpus

@@ -41,6 +41,54 @@ object Sampling {
       .filter(col("bucket") < w)
   }
 
+  /** Exact-size stratified sample: exactly `n` rows per stratum (fewer
+    * only if the stratum is smaller), chosen uniformly-at-"random" by
+    * ranking on the md5 of the id — deterministic, growth-stable
+    * within the kept set, engine-reproducible. The eval-set/
+    * human-review-batch sampler ("200 docs per language"). Scale: one
+    * rank-over-window per stratum with WindowGroupLimit pushdown —
+    * map tasks keep n rows per stratum before the shuffle. */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    docs.withColumn("smp_rank", row_number().over(w).cast("long"))
+      .filter(col("smp_rank") <= n)
+  }
+
+  /** Temperature-flattened mixture design (the multilingual sampling
+    * rule of mBERT/XLM-R, Conneau et al. 2020): given per-source doc
+    * counts, the target sampling share of source s is
+    * q_s = p_s^τ / Σ_t p_t^τ with p_s the corpus share and τ < 1
+    * flattening head sources toward the tail. Output per source:
+    * n_docs, corpus share p6, target share share6 (τ = 0.5). Feed
+    * share6·budget into [[mixtureSample]] rates to realize the design.
+    *
+    * Determinism: p_s = n_s/N is one exact-input IEEE division;
+    * p^0.5 = sqrt (correctly-rounded per IEEE); each sqrt is quantized
+    * to a 1e-12-scaled BIGINT before the Σ so the normalizer is
+    * order-independent; the final share divides the two exactly-
+    * representable quantized values. */
+  def temperatureMixture(docs: DataFrame, sourceCol: String): DataFrame = {
+    val scale = 1e12
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum("n_docs").as("n_total"))
+    val q = counts.crossJoin(broadcast(total))
+      .withColumn("p",
+        col("n_docs").cast("double") / col("n_total").cast("double"))
+      .withColumn("wq",
+        floor(sqrt(col("p")) * lit(scale) + lit(0.5)).cast("long"))
+    val wsum = q.agg(sum("wq").as("wq_sum"))
+    q.crossJoin(broadcast(wsum))
+      .select(col(sourceCol), col("n_docs"),
+        graft.Oracle.stableRound(col("p"), 6).as("p6"),
+        graft.Oracle.stableRound(
+          col("wq").cast("double") / col("wq_sum").cast("double"), 6)
+          .as("share6"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw doc
     * by how target-like its hashed-unigram distribution is. Features

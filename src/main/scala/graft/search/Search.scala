@@ -70,6 +70,34 @@ object Search {
       .select("doc_id", "rank", "score4")
   }
 
+  /** Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al. 2009):
+    * fuse a lexical (BM25) rank list and a dense (cosine ANN) rank list
+    * over the same id space into one ranking by
+    * score(d) = Σ_lists 1/(rrfK + rank_list(d)), missing list → 0.
+    * The production RAG retrieval shape — two cheap top-`m` retrievers
+    * beat either alone, and RRF needs no score calibration because it
+    * only consumes RANKS (integers, engine-exact), so the fused
+    * ordering is bit-identical in any IEEE-754 engine.
+    *
+    * Scale: each retriever already ends at `m` rows per query; the
+    * fusion is a full-outer join of two m-row lists plus a 2m-row
+    * sort — driver-trivial regardless of corpus size. */
+  def hybridRrf(bm25Ranks: DataFrame, annRanks: DataFrame,
+                k: Int, rrfK: Int = 60): DataFrame = {
+    val a = bm25Ranks.select(col("doc_id"), col("rank").as("r_bm25"))
+    val b = annRanks.select(col("doc_id"), col("rank").as("r_ann"))
+    val fused = a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK).cast("double") + col("r_bm25")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK).cast("double") + col("r_ann")), lit(0.0)))
+    fused
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast(LongType))
+      .filter(col("fused_rank") <= k)
+      .select(col("doc_id"), col("fused_rank"), col("r_bm25"), col("r_ann"),
+        graft.Oracle.stableRound(col("rrf"), 6).as("rrf6"))
+  }
+
   /** Per-doc top-`k` characteristic terms with TF-IDF scores: tf per
     * (doc, term), df per term, tfidf = tf·ln(N/df) reported per kept
     * term. The RANK is the lexicographic integer order (tf DESC, df

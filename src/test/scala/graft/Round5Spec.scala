@@ -120,6 +120,82 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  // ---- hybrid RRF ----------------------------------------------------
+
+  test("hybridRrf: rank-1 docs of both lists survive, rrf non-increasing") {
+    val bm = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rank")
+    val ann = Seq((20L, 1L), (11L, 2L), (21L, 3L)).toDF("doc_id", "rank")
+    val r = graft.search.Search.hybridRrf(bm, ann, k = 5)
+      .orderBy("fused_rank")
+      .select("doc_id", "rrf6").as[(Long, Double)].collect()
+    // doc 11 appears in BOTH lists → highest fused score
+    assert(r.head._1 == 11L)
+    assert(r.map(_._2).sliding(2).forall(p => p.head >= p.last))
+    assert(r.map(_._1).toSet == Set(10L, 11L, 12L, 20L, 21L))
+  }
+
+  // ---- stratified sample --------------------------------------------
+
+  test("stratifiedSample: exactly n per large stratum, whole small stratum") {
+    val docs = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 105L).map(i => (i, "small"))).toDF("doc_id", "lang")
+    val r = Sampling.stratifiedSample(docs, "doc_id", "lang", n = 10)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    val bySt = r.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySt == Map("big" -> 10, "small" -> 5))
+    val r2 = Sampling.stratifiedSample(docs, "doc_id", "lang", n = 10)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    assert(r.sortBy(_._2).sameElements(r2.sortBy(_._2))) // deterministic
+  }
+
+  // ---- temperature mixture ------------------------------------------
+
+  test("temperatureMixture: shares sum to ~1 and flatten toward uniform") {
+    val docs = ((1 to 900).map(i => (i.toLong, "head")) ++
+      (901 to 1000).map(i => (i.toLong, "tail"))).toDF("doc_id", "source")
+    val r = Sampling.temperatureMixture(docs, "source")
+      .select("source", "p6", "share6").as[(String, Double, Double)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-4)
+    // τ=0.5 moves mass from head to tail but keeps the order
+    assert(r("head")._2 < r("head")._1)
+    assert(r("tail")._2 > r("tail")._1)
+    assert(r("head")._2 > r("tail")._2)
+  }
+
+  // ---- hard negatives ------------------------------------------------
+
+  test("hardNegatives: no same-label results, ranks dense from 1") {
+    val vecs = (0L until 30L).map { i =>
+      (i, s"label${i % 3}", Array.tabulate(8)(j => math.cos(i + j).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val r = graft.ann.Ann.hardNegatives(vecs,
+        vecs.filter($"vec_id" < 3), "vec_id", "embedding", "label", k = 4)
+      .as[(Long, Long, Long, String, Double)].collect()
+    assert(r.length == 12)
+    assert(r.forall(t => t._4 != s"label${t._1 % 3}"))
+    r.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted.sameElements(1L to 4L))
+    }
+  }
+
+  // ---- bag set ops ---------------------------------------------------
+
+  test("bagSetOps: intersectAll + exceptAll multiplicities reconstruct the left side") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.bagSetOps(spark, sf)
+      .as[(String, Long, String)].collect()
+    val byType = r.groupBy(_._1).view
+      .mapValues(_.map(t => t._3 -> t._2).toMap).toMap
+    val pre = graft.sources.Tables.events(spark, sf)
+      .filter(pmod($"event_id", lit(10)) < 8)
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    byType.foreach { case (tpe, ops) =>
+      assert(ops.getOrElse("intersect_all", 0L)
+        + ops.getOrElse("except_all", 0L) == pre(tpe))
+    }
+  }
+
   // ---- relational shapes --------------------------------------------
 
   test("exists semi-join emits each order at most once") {
