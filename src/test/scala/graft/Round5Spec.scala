@@ -196,6 +196,26 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  // ---- simhash hot path ---------------------------------------------
+
+  test("simhashAggK equals the HOF simhashK twin bit-for-bit") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different content entirely here now"),
+      (4L, "x"),
+    ).toDF("doc_id", "text")
+    val fast = TextOps.simhashAggK(docs, "doc_id", "text", bits = 32)
+      .as[(Long, Long)].collect().toMap
+    val slow = docs
+      .select($"doc_id", expr(
+        "transform(array_distinct(split(text, ' ')), t -> md5(t))")
+        .as("tok_md5"))
+      .select($"doc_id", TextOps.simhashK("tok_md5", 32).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(fast == slow)
+  }
+
   // ---- relational shapes --------------------------------------------
 
   test("exists semi-join emits each order at most once") {
