@@ -182,6 +182,9 @@ object SparkEntry {
     "q107_hard_negatives"   -> ((s, d) => LlmQueries.hardNegatives(s, d)),
     "q108_cluster_histogram" -> ((s, d) => LlmQueries.clusterHistogram(s, d)),
     "q109_bag_setops"       -> ((s, d) => CoreQueries.bagSetOps(s, d)),
+    // SCD2 versioned dimension history; triangle counts on the kNN graph
+    "q110_scd2_history"     -> ((s, d) => CoreQueries.scd2History(s, d)),
+    "q111_triangles"        -> ((s, d) => LlmQueries.triangleCounts(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -244,6 +247,26 @@ object SparkEntry {
            UNION
            SELECT u.a, r.lbl FROM und u JOIN reach r ON u.b = r.id),
          comp AS (SELECT id, MIN(lbl) AS canonical FROM reach GROUP BY id)"""
+
+  /** Shared CTE chain: sign-bucketed top-2 cosine kNN edges over the
+    * embedding corpus, ending at `e(src, dst)` — used verbatim by q88
+    * (PageRank) and q111 (triangles) so the graph definition cannot
+    * drift between them. */
+  private val knnEdgeCtes: String =
+    """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             (CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END
+            + CASE WHEN embedding[3] > embedding[4] THEN 2 ELSE 0 END
+            + CASE WHEN embedding[5] > embedding[6] THEN 4 ELSE 0 END
+            + CASE WHEN embedding[7] > embedding[8] THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings),
+         p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+               (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(b.v, x -> x * x)))), 5) AS cos5
+           FROM e0 a JOIN e0 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY src
+                 ORDER BY cos5 DESC, dst) AS rank FROM p),
+         e AS (SELECT src, dst FROM rk WHERE rank <= 2)"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_gold_agg" ->
@@ -1474,20 +1497,7 @@ object SparkEntry {
          GROUP BY l_orderkey, order_ts, o_orderpriority
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q88_pagerank" ->
-      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             (CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END
-            + CASE WHEN embedding[3] > embedding[4] THEN 2 ELSE 0 END
-            + CASE WHEN embedding[5] > embedding[6] THEN 4 ELSE 0 END
-            + CASE WHEN embedding[7] > embedding[8] THEN 8 ELSE 0 END) AS bucket
-           FROM embeddings),
-         p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-             round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
-               (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
-                sqrt(list_sum(list_transform(b.v, x -> x * x)))), 5) AS cos5
-           FROM e0 a JOIN e0 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-         rk AS (SELECT *, row_number() OVER (PARTITION BY src
-                 ORDER BY cos5 DESC, dst) AS rank FROM p),
-         e AS (SELECT src, dst FROM rk WHERE rank <= 2),
+      s"""WITH $knnEdgeCtes,
          deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
            FROM e GROUP BY src),
          n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
@@ -1915,5 +1925,35 @@ object SparkEntry {
          UNION ALL
          SELECT event_type, COUNT(*) AS n, 'except_all' AS op
          FROM ea GROUP BY event_type""",
+    "q110_scd2_history" ->
+      """WITH f AS (SELECT user_id, event_type, event_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM events),
+         m AS (SELECT *, lag(event_type) OVER w AS prev_attr,
+             row_number() OVER w AS rn
+           FROM f WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts_s, event_id)),
+         runs AS (SELECT * FROM m
+           WHERE rn = 1 OR (prev_attr IS DISTINCT FROM event_type)),
+         v AS (SELECT user_id, event_type, ts_s,
+             CAST(row_number() OVER w2 AS BIGINT) AS version,
+             lead(ts_s) OVER w2 AS next_from
+           FROM runs WINDOW w2 AS (PARTITION BY user_id
+             ORDER BY ts_s, event_id))
+         SELECT user_id, version, event_type, ts_s AS valid_from,
+           COALESCE(next_from, '9999-12-31 00:00:00') AS valid_to,
+           next_from IS NULL AS is_current
+         FROM v""",
+    "q111_triangles" ->
+      s"""WITH $knnEdgeCtes,
+         und AS (SELECT DISTINCT least(src, dst) AS u,
+             greatest(src, dst) AS v FROM e WHERE src <> dst),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM und e1 JOIN und e2 ON e1.v = e2.u
+           JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+         corners AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+           GROUP BY node)
+         SELECT vec_id, COALESCE(n, 0) AS n_triangles
+         FROM embeddings LEFT JOIN corners ON vec_id = node""",
   )
 }

@@ -865,6 +865,18 @@ object CoreQueries {
     both.unionByName(onlyPre)
   }
 
+  /** SCD TYPE-2 dimension history (the versioned extension of the
+    * reference's SCD1 copy-with-upsert, K2): compress each user's
+    * event-type change feed into attribute runs with [valid_from,
+    * valid_to) bounds, version numbers, and the is_current flag.
+    * Single shuffle on the key — see [[graft.ops.Scd2.history]]. */
+  def scd2History(s: SparkSession, d: String): DataFrame =
+    graft.ops.Scd2.history(
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), fmtTs(col("ts")).as("ts_s")),
+      key = "user_id", attr = "event_type",
+      order = Seq(col("ts_s"), col("event_id")), tsOut = "ts_s")
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

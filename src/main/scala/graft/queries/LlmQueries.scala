@@ -435,6 +435,17 @@ object LlmQueries {
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
 
+  /** Per-node triangle participation over the LSH kNN graph — the
+    * neighbourhood-density signal separating tight near-dup clusters
+    * from hub-shaped similarity (wedge-join algorithm, each triangle
+    * produced exactly once). */
+  def triangleCounts(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val edges = Ann.knnGraph(emb, "vec_id", "embedding", nBits = 4, k = 2)
+    graft.graph.Triangles.perNode(edges, "vec_id", "neighbor_id",
+      emb, "vec_id")
+  }
+
   // ---- streaming dedup -----------------------------------------------
 
   /** Streaming incremental MinHash-LSH near-dup dedup: the corpus

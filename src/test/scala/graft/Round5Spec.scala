@@ -216,6 +216,44 @@ class Round5Spec extends AnyFunSuite {
     assert(fast == slow)
   }
 
+  // ---- SCD2 history --------------------------------------------------
+
+  test("scd2: runs compress, bounds chain, leading NULL attr kept") {
+    val feed = Seq(
+      (1L, 10L, "a", "2024-01-01 00:00:00"),
+      (2L, 10L, "a", "2024-01-02 00:00:00"), // same run
+      (3L, 10L, "b", "2024-01-03 00:00:00"), // run 2
+      (4L, 20L, null.asInstanceOf[String], "2024-01-01 00:00:00"), // NULL opener
+      (5L, 20L, "x", "2024-01-02 00:00:00"),
+    ).toDF("event_id", "user_id", "event_type", "ts_s")
+    val r = graft.ops.Scd2.history(feed, "user_id", "event_type",
+        Seq($"ts_s", $"event_id"), "ts_s")
+      .as[(Long, Long, String, String, String, Boolean)].collect()
+      .sortBy(t => (t._1, t._2))
+    assert(r.length == 4)
+    val u10 = r.filter(_._1 == 10L)
+    assert(u10.map(t => (t._2, t._3, t._4, t._5, t._6)).toSeq == Seq(
+      (1L, "a", "2024-01-01 00:00:00", "2024-01-03 00:00:00", false),
+      (2L, "b", "2024-01-03 00:00:00", "9999-12-31 00:00:00", true)))
+    val u20 = r.filter(_._1 == 20L)
+    assert(u20.map(t => (t._2, t._3, t._6)).toSeq == Seq(
+      (1L, null, false), (2L, "x", true))) // NULL opener has a version
+  }
+
+  // ---- triangles -----------------------------------------------------
+
+  test("triangles: each triangle counted once per corner, hubs zero") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),  // triangle {1,2,3}
+      (2L, 1L),                       // duplicate reversed edge: no double count
+      (3L, 4L), (4L, 5L),             // path, no triangle
+    ).toDF("src", "dst")
+    val nodes = (1L to 6L).toDF("id")
+    val r = graft.graph.Triangles.perNode(edges, "src", "dst", nodes, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L, 6L -> 0L))
+  }
+
   // ---- relational shapes --------------------------------------------
 
   test("exists semi-join emits each order at most once") {
