@@ -55,6 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.BloomProbe].getName,
         graft.functions.GraftFunctions.bloomName),
       graft.functions.BloomProbe.builder))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.GraftFunctions.topkName),
+      new ExpressionInfo(classOf[graft.functions.GroupedTopK].getName,
+        graft.functions.GraftFunctions.topkName),
+      graft.functions.GraftFunctions.topkBuilder))
     // optimizer: naive BETWEEN range joins -> bucketized equi-join
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
     // optimizer: jaccard >= tau filters get a size-ratio prefilter

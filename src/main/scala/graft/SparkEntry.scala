@@ -185,6 +185,9 @@ object SparkEntry {
     // SCD2 versioned dimension history; triangle counts on the kNN graph
     "q110_scd2_history"     -> ((s, d) => CoreQueries.scd2History(s, d)),
     "q111_triangles"        -> ((s, d) => LlmQueries.triangleCounts(s, d)),
+    // native k-bounded-heap grouped top-k aggregate (no-sort plan,
+    // q61's rows) — seventh native kernel
+    "q112_native_topk"      -> ((s, d) => CoreQueries.nativeTopK(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1955,5 +1958,19 @@ object SparkEntry {
            GROUP BY node)
          SELECT vec_id, COALESCE(n, 0) AS n_triangles
          FROM embeddings LEFT JOIN corners ON vec_id = node""",
+    // the native heap aggregate must reproduce the rank-window rows
+    // exactly — q61's oracle, verbatim
+    "q112_native_topk" ->
+      """WITH rev AS (SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+           FROM orders GROUP BY o_custkey)
+         SELECT nation, o_custkey, revenue, rnk FROM (
+           SELECT n_name AS nation, o_custkey, revenue,
+             CAST(row_number() OVER (PARTITION BY n_name
+               ORDER BY revenue DESC, o_custkey ASC) AS BIGINT) AS rnk
+           FROM rev JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey)
+         WHERE rnk <= 3""",
   )
 }

@@ -98,6 +98,7 @@ object GraftFunctions {
   val shinglesName = "graft_shingles"
   val kmvName = "graft_kmv_distinct"
   val bloomName = "graft_bloom_probe"
+  val topkName = "graft_topk"
 
   private def cosBuilder(exprs: Seq[Expression]): Expression =
     CosineSimilarity(exprs.head, exprs(1))
@@ -131,6 +132,17 @@ object GraftFunctions {
     }
   }
 
+  private[graft] def topkBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegerType
+    exprs(2) match {
+      case Literal(kv: Int, IntegerType) =>
+        GroupedTopK(exprs.head, exprs(1), kv)
+      case other => throw new IllegalArgumentException(
+        s"$topkName requires a literal int k, got $other")
+    }
+  }
+
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
@@ -147,6 +159,8 @@ object GraftFunctions {
     if (!registry.functionExists(FunctionIdentifier(bloomName)))
       registry.createOrReplaceTempFunction(bloomName, BloomProbe.builder,
         "built-in")
+    if (!registry.functionExists(FunctionIdentifier(topkName)))
+      registry.createOrReplaceTempFunction(topkName, topkBuilder, "built-in")
   }
 
   /** Column form: cosine(a, b) as a codegen'd native expression. */
@@ -181,6 +195,15 @@ object GraftFunctions {
   def kmvDistinct(spark: SparkSession, value: Column, k: Int): Column = {
     ensureRegistered(spark)
     call_function(kmvName, value,
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Column form: grouped top-k aggregate — best-first (score DESC,
+    * id ASC) array of (id, score) structs, k-bounded mergeable state
+    * (see [[GroupedTopK]]). */
+  def topK(spark: SparkSession, score: Column, id: Column, k: Int): Column = {
+    ensureRegistered(spark)
+    call_function(topkName, score, id,
       org.apache.spark.sql.functions.lit(k))
   }
 

@@ -865,6 +865,24 @@ object CoreQueries {
     both.unionByName(onlyPre)
   }
 
+  /** Per-group top-k via the NATIVE [[graft.functions.GroupedTopK]]
+    * aggregate — same rows as q61's rank-window form (shared oracle),
+    * different physical plan: a single hash aggregate whose k-bounded
+    * heap state partial-merges map-side, so only k pairs per (task,
+    * group) shuffle and NO sort operator exists anywhere in the plan.
+    * The window form sorts each group's (already WindowGroupLimit-
+    * capped) rows after the shuffle; at a billion rows per group the
+    * aggregate form is the one that holds. */
+  def nativeTopK(s: SparkSession, d: String): DataFrame =
+    revenueByNation(s, d)
+      .groupBy(col("nation"))
+      .agg(graft.functions.GraftFunctions
+        .topK(s, col("revenue"), col("o_custkey"), 3).as("tk"))
+      .select(col("nation"), posexplode(col("tk")))
+      .select(col("nation"), col("col.id").as("o_custkey"),
+        col("col.score").as("revenue"),
+        (col("pos") + 1).cast("bigint").as("rnk"))
+
   /** SCD TYPE-2 dimension history (the versioned extension of the
     * reference's SCD1 copy-with-upsert, K2): compress each user's
     * event-type change feed into attribute runs with [valid_from,

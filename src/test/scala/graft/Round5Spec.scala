@@ -254,6 +254,50 @@ class Round5Spec extends AnyFunSuite {
     assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L, 6L -> 0L))
   }
 
+  // ---- native grouped top-k -----------------------------------------
+
+  test("graft_topk equals the rank-window form across a multi-partition layout") {
+    val rows = (1L to 500L).map(i => (s"g${i % 7}", i, (i % 13).toDouble))
+    val df = rows.toDF("g", "id", "score").repartition(8)
+    val native = df.groupBy($"g")
+      .agg(graft.functions.GraftFunctions.topK(spark, $"score", $"id", 5)
+        .as("tk"))
+      .select($"g", posexplode($"tk"))
+      .select($"g", $"col.id".as("id"), $"col.score".as("score"),
+        ($"pos" + 1).cast("long").as("rnk"))
+      .as[(String, Long, Double, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy($"score".desc, $"id".asc)
+    val window = df.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 5).select("g", "id", "score", "rnk")
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(native == window)
+  }
+
+  test("graft_topk plan has no Sort operator; window twin does") {
+    val df = (1L to 100L).map(i => (s"g${i % 3}", i, i.toDouble))
+      .toDF("g", "id", "score")
+    val native = df.groupBy($"g")
+      .agg(graft.functions.GraftFunctions.topK(spark, $"score", $"id", 3))
+    assert(!native.queryExecution.executedPlan.toString.contains("Sort "))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy($"score".desc, $"id".asc)
+    val win = df.withColumn("r", row_number().over(w)).filter($"r" <= 3)
+    assert(win.queryExecution.executedPlan.toString.contains("Sort "))
+  }
+
+  test("graft_topk: fewer rows than k yields the whole group, best-first") {
+    val df = Seq(("a", 1L, 2.0), ("a", 2L, 9.0), ("b", 3L, 1.0))
+      .toDF("g", "id", "score")
+    val r = df.groupBy($"g")
+      .agg(graft.functions.GraftFunctions.topK(spark, $"score", $"id", 10)
+        .as("tk"))
+      .select($"g", $"tk".cast("array<struct<id:bigint,score:double>>"))
+      .as[(String, Seq[(Long, Double)])].collect().toMap
+    assert(r("a") == Seq((2L, 9.0), (1L, 2.0)))
+    assert(r("b") == Seq((3L, 1.0)))
+  }
+
   // ---- relational shapes --------------------------------------------
 
   test("exists semi-join emits each order at most once") {
