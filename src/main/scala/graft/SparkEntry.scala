@@ -188,6 +188,10 @@ object SparkEntry {
     // native k-bounded-heap grouped top-k aggregate (no-sort plan,
     // q61's rows) — seventh native kernel
     "q112_native_topk"      -> ((s, d) => CoreQueries.nativeTopK(s, d)),
+    // dedup τ sweep; feature-hashed sparse cosine; weighted sampling
+    "q113_tau_sweep"        -> ((s, d) => LlmQueries.tauSweep(s, d)),
+    "q114_sparse_cosine"    -> ((s, d) => LlmQueries.sparseCosine(s, d)),
+    "q115_weighted_sample"  -> ((s, d) => LlmQueries.weightedSample(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1972,5 +1976,48 @@ object SparkEntry {
            FROM rev JOIN customer ON o_custkey = c_custkey
            JOIN nation ON c_nationkey = n_nationkey)
          WHERE rnk <= 3""",
+    // reuses the q59/q108 CTE chain: `j` holds every LSH candidate
+    // pair with its exact Jaccard (recursive members lazily unused)
+    "q113_tau_sweep" ->
+      s"""WITH RECURSIVE $dedupGroupCtes,
+         t AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+             AS tau)
+         SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         FROM j, t WHERE jaccard >= tau GROUP BY tau""",
+    "q114_sparse_cosine" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         v AS (SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 64 AS dim,
+             CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+         norms AS (SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+           FROM v GROUP BY doc_id),
+         q AS (SELECT doc_id AS query_id, dim, tf AS tfq FROM v
+           WHERE doc_id <= 5),
+         c AS (SELECT doc_id AS neighbor_id, dim, tf AS tfc FROM v),
+         dots AS (SELECT query_id, neighbor_id,
+             CAST(SUM(tfq * tfc) AS BIGINT) AS dot
+           FROM q JOIN c USING (dim) WHERE query_id <> neighbor_id
+           GROUP BY 1, 2),
+         sc AS (SELECT d.query_id, d.neighbor_id,
+             round(CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm), 5) AS cos5
+           FROM dots d JOIN norms nq ON d.query_id = nq.doc_id
+                       JOIN norms nc ON d.neighbor_id = nc.doc_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos5 DESC, neighbor_id) AS rank FROM sc)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos5
+         FROM r WHERE rank <= 3""",
+    "q115_weighted_sample" ->
+      """WITH k AS (SELECT doc_id, n_chars, lang,
+             ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) AS DOUBLE) + 1.0)
+                 / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS skey
+           FROM documents),
+         top AS (SELECT * FROM k ORDER BY skey DESC, doc_id LIMIT 50)
+         SELECT doc_id, n_chars, lang,
+           CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS BIGINT)
+             AS smp_rank
+         FROM top""",
   )
 }

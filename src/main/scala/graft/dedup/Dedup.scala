@@ -173,6 +173,31 @@ object Dedup {
     result
   }
 
+  /** Threshold-sweep report: near-dup pair counts at several Jaccard
+    * thresholds in ONE pass over the LSH candidate set — the dial-
+    * setting diagnostic run before committing a corpus to a τ (too
+    * low: real content merged; too high: boilerplate survives). The
+    * candidate set and exact Jaccards are computed once; each pair
+    * then fans out to the thresholds it clears (explode over a
+    * 5-element literal array — cost is |pairs|·|taus| tiny rows).
+    * Candidates come from the SAME banding as [[minhashNearDups]], so
+    * counts at τ below the banding's design point are recall-bounded
+    * by the LSH curve — that is the point of the report. */
+  def tauSweep(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 3, k: Int = 12, bands: Int = 4,
+               taus: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    val sh = withHashedShingles(docs, idCol, textCol, n).persist()
+    val cand = lshCandidates(sh, idCol, k, bands)
+    val j = jaccardOnCandidates(cand, sh, idCol, tau = taus.min).persist()
+    j.count()
+    sh.unpersist(); cand.unpersist()
+    j.select(col("jaccard"),
+        explode(array(taus.map(lit): _*)).as("tau"))
+      .filter(col("jaccard") >= col("tau"))
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Estimator-quality report: for every LSH candidate pair, the
     * MinHash SIGNATURE similarity (matching components / k — the
     * unbiased Jaccard estimator the banding scheme is built on) next

@@ -446,6 +446,27 @@ object LlmQueries {
       emb, "vec_id")
   }
 
+  /** Near-dup threshold sweep: pair counts at τ ∈ {0.5 … 0.9} over one
+    * LSH candidate pass. */
+  def tauSweep(s: SparkSession, d: String): DataFrame =
+    Dedup.tauSweep(Tables.documents(s, d), "doc_id", "text")
+
+  /** Feature-hashed sparse cosine: 64-dim hashing-trick vectors,
+    * inverted-index top-3 for the 5 lowest-id docs. */
+  def sparseCosine(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val vecs = graft.search.SparseSim.hashedVectors(docs, "doc_id", "text",
+      dims = 64)
+    graft.search.SparseSim.sparseCosineTopK(vecs, "doc_id",
+      docs.filter(col("doc_id") <= 5).select("doc_id"), k = 3)
+  }
+
+  /** Efraimidis-Spirakis weighted sample: 50 docs, weight = n_chars. */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    graft.sampling.Sampling.weightedSample(
+      Tables.documents(s, d).select("doc_id", "n_chars", "lang"),
+      "doc_id", "n_chars", n = 50)
+
   // ---- streaming dedup -----------------------------------------------
 
   /** Streaming incremental MinHash-LSH near-dup dedup: the corpus

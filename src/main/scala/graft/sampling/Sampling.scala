@@ -89,6 +89,33 @@ object Sampling {
           .as("share6"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis
+    * 2006, public): each row draws the deterministic uniform
+    * u = (h+1)/2^60 from the md5 of its id and gets the key
+    * ln(u)/w — the top-`n` keys are exactly a w-weighted sample
+    * without replacement (u^(1/w) maximization in log space; heavier
+    * rows draw keys nearer 0). Deterministic, reproducible, one pass:
+    * the top-n cut is orderBy+limit (TakeOrderedAndProject —
+    * per-partition heaps, no global sort), rank annotated over just
+    * the n survivors. Weights must be > 0. */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val key = log((h.cast("double") + lit(1.0)) / lit(KeySpace))
+      .divide(col(weightCol).cast("double"))
+    docs.withColumn("skey", key)
+      .orderBy(col("skey").desc, col(idCol).asc)
+      .limit(n)
+      .withColumn("smp_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("skey").desc, col(idCol).asc)).cast("long"))
+      .drop("skey")
+  }
+
+  /** 2^60 as a double — the md5-head hash space. */
+  private val KeySpace: Double = 1152921504606846976.0
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw doc
     * by how target-like its hashed-unigram distribution is. Features

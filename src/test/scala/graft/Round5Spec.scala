@@ -298,6 +298,52 @@ class Round5Spec extends AnyFunSuite {
     assert(r("b") == Seq((3L, 1.0)))
   }
 
+  // ---- tau sweep -----------------------------------------------------
+
+  test("tauSweep: counts monotonically non-increasing in tau") {
+    val docs = (1L to 40L).map { i =>
+      val base = "alpha beta gamma delta epsilon zeta eta theta"
+      val text = if (i % 4 == 0) base else s"$base tail$i extra$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.tauSweep(docs, "doc_id", "text")
+      .as[(Double, Long)].collect().sortBy(_._1)
+    assert(r.nonEmpty)
+    assert(r.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  // ---- sparse cosine -------------------------------------------------
+
+  test("sparseCosine: identical docs hit cos 1.0, self excluded, ranks dense") {
+    val docs = Seq(
+      (1L, "red green blue"), (2L, "red green blue"),
+      (3L, "cyan magenta yellow"), (4L, "red green purple"),
+    ).toDF("doc_id", "text")
+    val vecs = graft.search.SparseSim.hashedVectors(docs, "doc_id", "text", 64)
+    val r = graft.search.SparseSim.sparseCosineTopK(vecs, "doc_id",
+        docs.filter($"doc_id" === 1).select("doc_id"), k = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(r.forall(_._3 != 1L))
+    assert(r.head._3 == 2L && r.head._4 == 1.0) // exact duplicate first
+    assert(r.map(_._2).sameElements(1L to r.length.toLong))
+  }
+
+  // ---- weighted sample -----------------------------------------------
+
+  test("weightedSample: exact n, heavy weights dominate the kept set") {
+    val docs = (1L to 400L).map(i =>
+      (i, if (i <= 100L) 1000L else 1L)).toDF("doc_id", "w")
+    val kept = Sampling.weightedSample(docs, "doc_id", "w", n = 50)
+      .select("doc_id").as[Long].collect()
+    assert(kept.length == 50)
+    // 100 heavy rows (weight 1000) vs 300 light (weight 1): the sample
+    // should be essentially all heavy rows
+    assert(kept.count(_ <= 100L) >= 45)
+    val again = Sampling.weightedSample(docs, "doc_id", "w", n = 50)
+      .select("doc_id").as[Long].collect()
+    assert(kept.sorted.sameElements(again.sorted)) // deterministic
+  }
+
   // ---- relational shapes --------------------------------------------
 
   test("exists semi-join emits each order at most once") {
