@@ -192,6 +192,9 @@ object SparkEntry {
     "q113_tau_sweep"        -> ((s, d) => LlmQueries.tauSweep(s, d)),
     "q114_sparse_cosine"    -> ((s, d) => LlmQueries.sparseCosine(s, d)),
     "q115_weighted_sample"  -> ((s, d) => LlmQueries.weightedSample(s, d)),
+    // per-group z-score standardization; no-window argmax (max_by)
+    "q116_zscores"          -> ((s, d) => CoreQueries.zscores(s, d)),
+    "q117_argmax"           -> ((s, d) => CoreQueries.argmaxCustomer(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2019,5 +2022,29 @@ object SparkEntry {
            CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS BIGINT)
              AS smp_rank
          FROM top""",
+    "q116_zscores" ->
+      """WITH st AS (SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4)))
+               AS DOUBLE) AS sxx
+           FROM orders GROUP BY 1),
+         ms AS (SELECT o_orderpriority, sx / n AS mean,
+             sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) AS sd
+           FROM st)
+         SELECT o_orderkey, o.o_orderpriority, o_totalprice,
+           floor((o_totalprice - mean) / sd * 100000.0 + 0.5) / 100000.0
+             AS z5
+         FROM orders o JOIN ms ON o.o_orderpriority = ms.o_orderpriority""",
+    // DuckDB's max_by takes only scalar keys, so the oracle states the
+    // same (bal DESC, key DESC)-argmax as a rank window — the Spark
+    // side is the aggregate plan on purpose
+    "q117_argmax" ->
+      """WITH j AS (SELECT n_name, c_name, c_acctbal, c_custkey
+           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         r AS (SELECT *, row_number() OVER (PARTITION BY n_name
+             ORDER BY c_acctbal DESC, c_custkey DESC) AS rn FROM j)
+         SELECT n_name AS nation, c_name AS top_customer,
+           c_acctbal AS top_bal
+         FROM r WHERE rn = 1""",
   )
 }

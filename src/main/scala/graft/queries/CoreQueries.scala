@@ -895,6 +895,48 @@ object CoreQueries {
       key = "user_id", attr = "event_type",
       order = Seq(col("ts_s"), col("event_id")), tsOut = "ts_s")
 
+  /** Per-group standardization (z-scores) — the feature-normalization
+    * pass before any ML consumes a column. Mean and variance come from
+    * DECIMAL-routed Σx / Σx² (exact, order-independent; a plain
+    * stddev's float partial sums are engine/partition-order dependent),
+    * then one broadcast join back onto the rows: two aggregates' worth
+    * of shuffle plus a narrow projection, at any scale. Population
+    * variance (÷n) with max(var, 0) guarding the x²-identity's
+    * rounding at var≈0. */
+  def zscores(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val stats = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sx"),
+        sum((col("o_totalprice") * col("o_totalprice"))
+          .cast("decimal(28,4)")).cast("double").as("sxx"))
+      .select(col("o_orderpriority"),
+        (col("sx") / col("n")).as("mean"),
+        sqrt(greatest(col("sxx") / col("n")
+          - (col("sx") / col("n")) * (col("sx") / col("n")), lit(0.0)))
+          .as("sd"))
+    o.join(broadcast(stats), "o_orderpriority")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"),
+        stableRound((col("o_totalprice") - col("mean")) / col("sd"), 5)
+          .as("z5"))
+  }
+
+  /** No-window argmax: the richest customer per nation via `max_by`
+    * with a (balance, key) struct ordering key — a single hash
+    * aggregate with map-side partials carrying one candidate per
+    * group, where the window form would shuffle and sort every row.
+    * The struct's second field makes ties deterministic. */
+  def argmaxCustomer(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(max_by(col("c_name"),
+          struct(col("c_acctbal"), col("c_custkey"))).as("top_customer"),
+        max(struct(col("c_acctbal"), col("c_custkey")))
+          .getField("c_acctbal").as("top_bal"))
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {
