@@ -88,7 +88,18 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partial"queries":$qs,""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     }
-    println(line(_.takeWhile(_ != '_')))
+    // stdout guard: 117 short-key queries ≈ 1.5 KB; the driver's tail
+    // buffer is 2000 chars and head-truncation breaks its parse
+    // (r01–r03). If the suite grows past the buffer, shed the
+    // per-query map from STDOUT (bench_result.json keeps everything).
+    val stdoutLine = line(_.takeWhile(_ != '_'))
+    println(
+      if (stdoutLine.length <= 1900) stdoutLine
+      else {
+        val total = results.collect { case (_, v) if v >= 0 => v }.sum
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+          s""""queries":{},"failed":${failed.size},"sf":"$sfDir"}"""
+      })
     // a subset run writes elsewhere: its "total" covers only the
     // selected queries and must never replace the full-suite snapshot
     val outFile = if (args.isEmpty) "bench_result.json"
