@@ -195,6 +195,16 @@ object SparkEntry {
     // per-group z-score standardization; no-window argmax (max_by)
     "q116_zscores"          -> ((s, d) => CoreQueries.zscores(s, d)),
     "q117_argmax"           -> ((s, d) => CoreQueries.argmaxCustomer(s, d)),
+    // round-5 continuation: the remaining classic TPC-H shapes —
+    // conditional-ratio (Q14), returned-revenue top-k (Q10), HAVING-IN
+    // decorrelation (Q18), correlated scalar-MIN argmin (Q2), NOT-IN +
+    // COUNT(DISTINCT) (Q16), market-share ratio per year (Q8)
+    "q118_promo_share"      -> ((s, d) => CoreQueries.promoShare(s, d)),
+    "q119_returned_value"   -> ((s, d) => CoreQueries.returnedValue(s, d)),
+    "q120_large_orders"     -> ((s, d) => CoreQueries.largeOrders(s, d)),
+    "q121_min_price_supplier" -> ((s, d) => CoreQueries.minPriceSupplier(s, d)),
+    "q122_supplier_types"   -> ((s, d) => CoreQueries.supplierTypeCounts(s, d)),
+    "q123_market_share"     -> ((s, d) => CoreQueries.marketShare(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2046,5 +2056,85 @@ object SparkEntry {
          SELECT n_name AS nation, c_name AS top_customer,
            c_acctbal AS top_bal
          FROM r WHERE rn = 1""",
+    // Discounted revenue is quantized to a 1e-4-grain BIGINT on both
+    // sides (floor(x*1e4+0.5)) so the SUM is exact and order-free —
+    // the same pattern as q92's qln (see graft.queries.CoreQueries.revQ)
+    "q118_promo_share" ->
+      """WITH lp AS (SELECT strftime(l_shipdate, '%Y-%m') AS month,
+             p_type,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0
+               + 0.5) AS BIGINT) AS rq
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         agg AS (SELECT month,
+             SUM(CASE WHEN p_type = 'PROMO' THEN rq ELSE 0 END) AS promo_q,
+             SUM(rq) AS total_q
+           FROM lp GROUP BY month)
+         SELECT month,
+           floor(CAST(promo_q AS DOUBLE) / CAST(total_q AS DOUBLE)
+             * 100.0 * 100000.0 + 0.5) / 100000.0 AS promo_share5
+         FROM agg""",
+    "q119_returned_value" ->
+      """WITH r AS (SELECT l_orderkey,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0
+               + 0.5) AS BIGINT) AS rq
+           FROM lineitem WHERE l_returnflag = 'R'),
+         pc AS (SELECT o_custkey, SUM(rq) AS rqs
+           FROM r JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY o_custkey)
+         SELECT c_custkey, c_name, n_name AS nation,
+           CAST(rqs AS DOUBLE) / 10000.0 AS revenue
+         FROM pc JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q120_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             > 280.0)
+         SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+           o_totalprice, sum_qty
+         FROM big JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey""",
+    "q121_min_price_supplier" ->
+      """WITH up AS (SELECT l_partkey, l_suppkey,
+             floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               * 100000.0 + 0.5) / 100000.0 AS unit_price5
+           FROM lineitem GROUP BY l_partkey, l_suppkey),
+         best AS (SELECT l_partkey, l_suppkey AS s_suppkey, unit_price5,
+             row_number() OVER (PARTITION BY l_partkey
+               ORDER BY unit_price5, l_suppkey) AS rn
+           FROM up)
+         SELECT l_partkey, b.s_suppkey, s_name, unit_price5
+         FROM best b JOIN supplier s ON b.s_suppkey = s.s_suppkey
+         WHERE rn = 1""",
+    "q122_supplier_types" ->
+      """SELECT p_brand, p_type,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_suppkey NOT IN
+           (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type""",
+    "q123_market_share" ->
+      """WITH lp AS (SELECT year(o_orderdate) AS o_year, n_name,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0
+               + 0.5) AS BIGINT) AS rq
+           FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey),
+         agg AS (SELECT o_year,
+             SUM(CASE WHEN n_name = 'NATION_9' THEN rq ELSE 0 END)
+               AS nation_q,
+             SUM(rq) AS total_q
+           FROM lp GROUP BY o_year)
+         SELECT CAST(o_year AS BIGINT) AS o_year,
+           floor(CAST(nation_q AS DOUBLE) / CAST(total_q AS DOUBLE)
+             * 100000.0 + 0.5) / 100000.0 AS share5
+         FROM agg""",
   )
 }

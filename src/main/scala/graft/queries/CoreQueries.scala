@@ -937,6 +937,134 @@ object CoreQueries {
         max(struct(col("c_acctbal"), col("c_custkey")))
           .getField("c_acctbal").as("top_bal"))
 
+  /** Per-row discounted revenue `l_extendedprice * (1 - l_discount)`,
+    * quantized to a 1e-4-grain BIGINT so SUMs are exact and
+    * order-independent (the product of two 2-dp doubles has ≤4 decimal
+    * digits; floor(x·1e4 + 0.5) recovers them with pure IEEE ops both
+    * engines execute bit-identically — the q92 quantization pattern).
+    * BIGINT headroom: ~1e9 per row ⇒ ~9e9 rows per partial sum before
+    * overflow, far past any per-group cardinality here. */
+  private def revQ: Column =
+    floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * lit(10000.0) + lit(0.5)).cast(LongType)
+
+  /** TPC-H Q14 shape — promo revenue share per ship month: conditional
+    * aggregation ratio over lineitem⋈part. The join shuffles on partkey
+    * (part is NOT broadcast: at 100 TB the part dim is itself fact-
+    * sized; AQE still broadcasts it at test scale), then one hash agg
+    * on ~83 month groups. Discounted revenue goes through the exact
+    * BIGINT quantization so the share is engine-identical. */
+  def promoShare(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_shipdate"), revQ.as("rq"))
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(sum(when(col("p_type") === "PROMO", col("rq"))
+          .otherwise(lit(0L))).as("promo_q"),
+        sum(col("rq")).as("total_q"))
+      .select(col("month"),
+        stableRound(col("promo_q").cast(DoubleType)
+          / col("total_q").cast(DoubleType) * lit(100.0), 5)
+          .as("promo_share5"))
+
+  /** TPC-H Q10 shape — top-20 customers by revenue lost to returns:
+    * filter returned lineitems FIRST (the scan's pushed predicate cuts
+    * ~2/3 of the fact before any shuffle), aggregate to customer grain,
+    * then join the customer dim and broadcast nation. The final top-20
+    * plans as TakeOrderedAndProject — no global sort materializes. */
+  def returnedValue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revQ.as("rq"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey")).agg(sum(col("rq")).as("rqs"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+        (col("rqs").cast(DoubleType) / lit(10000.0)).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q18 shape — large-volume orders: the IN-subquery over a
+    * grouped HAVING decorrelates to aggregate→filter→join. Quantities
+    * are integer-valued doubles, so the DECIMAL-routed sum is exact;
+    * the >280 filter runs on the aggregate BEFORE the joins, so only
+    * the ~0.4% surviving orders reach the customer join. */
+  def largeOrders(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(moneySum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 280.0)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"), col("sum_qty"))
+
+  /** TPC-H Q2 shape — cheapest supplier per part (correlated scalar-MIN
+    * subquery, decorrelated the Spark way): per (part, supplier) unit
+    * price = exact Σprice/Σqty, then a single hash-aggregate argmin via
+    * `min(struct(price, suppkey))` — one candidate per group rides the
+    * map-side partials, where the window-rank form would sort every
+    * row. Price is rounded to 5 dp BEFORE the argmin so the ranking key
+    * is the same double in both engines; suppkey breaks ties. */
+  def minPriceSupplier(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(stableRound(moneySum(col("l_extendedprice"))
+          / moneySum(col("l_quantity")), 5).as("unit_price5"))
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("unit_price5"), col("l_suppkey"))).as("best"))
+      .select(col("l_partkey"),
+        col("best.l_suppkey").as("s_suppkey"),
+        col("best.unit_price5").as("unit_price5"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey").as("sk"), col("s_name"))),
+        col("s_suppkey") === col("sk"))
+      .select(col("l_partkey"), col("s_suppkey"), col("s_name"),
+        col("unit_price5"))
+
+  /** TPC-H Q16 shape — supplier variety per (brand, type), excluding a
+    * NOT-IN supplier set (negative balance): the exclusion is a
+    * broadcast LEFT-ANTI join on the tiny bad-supplier list, then one
+    * COUNT(DISTINCT) aggregate; Spark plans the distinct as a two-phase
+    * partial aggregate on (brand, type, suppkey) — no row explosion. */
+  def supplierTypeCounts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
+        col("p_type")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
+  /** TPC-H Q8 shape — one nation's market share of total discounted
+    * revenue per order year. Supplier⋈nation is a genuinely small dim
+    * (scales with nations × suppliers-per-nation, not with the fact) —
+    * broadcast; orders joins on the shuffle. The share is a quantized-
+    * BIGINT conditional ratio like [[promoShare]]. */
+  def marketShare(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), revQ.as("rq"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)
+        .join(Tables.nation(s, d),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year").cast(LongType).as("o_year"))
+      .agg(sum(when(col("n_name") === "NATION_9", col("rq"))
+          .otherwise(lit(0L))).as("nation_q"),
+        sum(col("rq")).as("total_q"))
+      .select(col("o_year"),
+        stableRound(col("nation_q").cast(DoubleType)
+          / col("total_q").cast(DoubleType), 5).as("share5"))
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

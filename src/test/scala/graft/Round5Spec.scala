@@ -367,4 +367,66 @@ class Round5Spec extends AnyFunSuite {
       .select("total_revenue").as[Double].collect()
     assert(top.nonEmpty && top.toSet.size == 1) // all rows tie at the max
   }
+
+  test("promo share is a percentage per distinct month") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.promoShare(spark, sf)
+      .as[(String, Double)].collect()
+    assert(r.nonEmpty)
+    assert(r.map(_._1).distinct.length == r.length)
+    assert(r.forall(t => t._2 >= 0.0 && t._2 <= 100.0))
+    assert(r.exists(_._2 > 0.0)) // PROMO parts actually sell
+  }
+
+  test("returned value: exactly 20 rows, revenue non-increasing") {
+    val sf = "/root/testdata/sf0.001"
+    val rev = graft.queries.CoreQueries.returnedValue(spark, sf)
+      .select("revenue").as[Double].collect()
+    assert(rev.length == 20)
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("large orders: every order exceeds the quantity cutoff, once") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.largeOrders(spark, sf)
+      .select("o_orderkey", "sum_qty").as[(Long, Double)].collect()
+    assert(r.forall(_._2 > 280.0))
+    assert(r.map(_._1).distinct.length == r.length)
+  }
+
+  test("min-price supplier: one row per part, price is the true minimum") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.minPriceSupplier(spark, sf)
+    val parts = r.select("l_partkey").as[Long].collect()
+    assert(parts.distinct.length == parts.length)
+    // recompute the per-(part,supplier) unit price independently and
+    // check the argmin matches on a sample part
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg((sum($"l_extendedprice") / sum($"l_quantity")).as("p"))
+    val some = parts.head
+    val best = li.filter($"l_partkey" === some).orderBy($"p", $"l_suppkey")
+      .select("l_suppkey").as[Long].head()
+    val got = r.filter($"l_partkey" === some)
+      .select("s_suppkey").as[Long].head()
+    assert(got == best)
+  }
+
+  test("supplier-type counts never include excluded suppliers") {
+    val sf = "/root/testdata/sf0.001"
+    val okSupp = graft.sources.Tables.supplier(spark, sf)
+      .filter($"s_acctbal" >= 0).count()
+    val r = graft.queries.CoreQueries.supplierTypeCounts(spark, sf)
+      .select("supplier_cnt").as[Long].collect()
+    assert(r.nonEmpty && r.forall(c => c >= 1 && c <= okSupp))
+  }
+
+  test("market share is a [0,1] ratio per distinct year") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.marketShare(spark, sf)
+      .as[(Long, Double)].collect()
+    assert(r.nonEmpty)
+    assert(r.map(_._1).distinct.length == r.length)
+    assert(r.forall(t => t._2 >= 0.0 && t._2 <= 1.0))
+  }
 }
