@@ -205,6 +205,14 @@ object SparkEntry {
     "q121_min_price_supplier" -> ((s, d) => CoreQueries.minPriceSupplier(s, d)),
     "q122_supplier_types"   -> ((s, d) => CoreQueries.supplierTypeCounts(s, d)),
     "q123_market_share"     -> ((s, d) => CoreQueries.marketShare(s, d)),
+    // round-5 continuation, LLM side: Matryoshka prefix-dim two-stage
+    // retrieval, recall@k index audit, bigram-LM fluency, trigram
+    // novelty, per-source length-Gini corpus balance
+    "q124_matryoshka_ann"   -> ((s, d) => LlmQueries.matryoshkaAnn(s, d)),
+    "q125_ann_recall"       -> ((s, d) => LlmQueries.annRecall(s, d)),
+    "q126_bigram_xent"      -> ((s, d) => LlmQueries.bigramXent(s, d)),
+    "q127_gram_novelty"     -> ((s, d) => LlmQueries.gramNovelty(s, d)),
+    "q128_source_gini"      -> ((s, d) => LlmQueries.sourceGini(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2135,6 +2143,111 @@ object SparkEntry {
          SELECT CAST(o_year AS BIGINT) AS o_year,
            floor(CAST(nation_q AS DOUBLE) / CAST(total_q AS DOUBLE)
              * 100000.0 + 0.5) / 100000.0 AS share5
+         FROM agg""",
+    "q124_matryoshka_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT vec_id, v[1:16] AS pv FROM e),
+         q AS (SELECT vec_id AS query_id, pv AS qpv FROM p WHERE vec_id < 10),
+         s AS (SELECT q.query_id, p.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, 17), i -> q.qpv[i] * p.pv[i])) /
+               (sqrt(list_sum(list_transform(q.qpv, x -> x * x))) *
+                sqrt(list_sum(list_transform(p.pv, x -> x * x)))), 5) AS cos5p
+           FROM q JOIN p ON q.query_id <> p.vec_id),
+         sl AS (SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos5p DESC, neighbor_id) AS BIGINT) AS coarse_rank
+           FROM s QUALIFY coarse_rank <= 20),
+         ex AS (SELECT sl.query_id, sl.neighbor_id, sl.coarse_rank,
+             round(list_sum(list_transform(range(1, len(qe.v) + 1), i -> qe.v[i] * ne.v[i])) /
+               (sqrt(list_sum(list_transform(qe.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(ne.v, x -> x * x)))), 5) AS cos5
+           FROM sl JOIN e qe ON sl.query_id = qe.vec_id
+             JOIN e ne ON sl.neighbor_id = ne.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos5 DESC, neighbor_id) AS rank FROM ex)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           cos5, coarse_rank
+         FROM r WHERE rank <= 5""",
+    "q125_ann_recall" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 10),
+         sx AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * e.v[i])) /
+               (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(e.v, x -> x * x)))), 5) AS cos5
+           FROM q JOIN e ON q.vec_id <> e.vec_id),
+         exact AS (SELECT query_id, neighbor_id FROM (SELECT *,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos5 DESC, neighbor_id) AS rank FROM sx)
+           WHERE rank <= 3),
+         si AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * e.v[i])) /
+               (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(e.v, x -> x * x)))), 5) AS cos5
+           FROM q JOIN e ON q.label = e.label AND q.vec_id <> e.vec_id),
+         ivf AS (SELECT query_id, neighbor_id FROM (SELECT *,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos5 DESC, neighbor_id) AS rank FROM si)
+           WHERE rank <= 3)
+         SELECT x.query_id,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS hits,
+           floor(CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / 3.0 * 100000.0 + 0.5) / 100000.0 AS recall5
+         FROM exact x LEFT JOIN ivf i
+           ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+         GROUP BY x.query_id""",
+    "q126_bigram_xent" ->
+      """WITH bg AS (SELECT doc_id, unnest(
+             CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+               list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
+             ELSE [] END) AS bg
+           FROM documents),
+         f2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2
+           FROM bg GROUP BY bg),
+         f1 AS (SELECT string_split(bg, ' ')[1] AS w1,
+             CAST(COUNT(*) AS BIGINT) AS c1
+           FROM bg GROUP BY 1),
+         q AS (SELECT doc_id,
+             CAST(floor(-ln(CAST(c2 AS DOUBLE) / c1) * 1000000000.0 + 0.5)
+               AS BIGINT) AS qln
+           FROM bg JOIN f2 USING (bg)
+             JOIN f1 ON string_split(bg.bg, ' ')[1] = f1.w1),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(qln) AS DOUBLE) / 1000000000.0 AS sq
+           FROM q GROUP BY doc_id)
+         SELECT doc_id, n_bigrams,
+           floor(sq / n_bigrams * 100000.0 + 0.5) / 100000.0 AS xent5
+         FROM agg""",
+    "q127_gram_novelty" ->
+      """WITH sh AS (SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+             ELSE [] END AS grams
+           FROM documents),
+         shf AS (SELECT doc_id, grams FROM sh WHERE len(grams) > 0),
+         g AS (SELECT doc_id, unnest(grams) AS gram FROM shf),
+         uq AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) = 1),
+         nv AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS novel
+           FROM g JOIN uq USING (gram) GROUP BY doc_id)
+         SELECT s.doc_id, CAST(len(s.grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(nv.novel, 0) AS BIGINT) AS novel,
+           floor(CAST(COALESCE(nv.novel, 0) AS DOUBLE) / len(s.grams)
+             * 100000.0 + 0.5) / 100000.0 AS novel_share5
+         FROM shf s LEFT JOIN nv USING (doc_id)""",
+    "q128_source_gini" ->
+      """WITH r AS (SELECT source, n_chars, doc_id,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+           FROM documents),
+         agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(n_chars) AS sx, SUM(rn * n_chars) AS srx
+           FROM r GROUP BY source)
+         SELECT source, n,
+           floor(((2.0 * srx) / (n * sx) - (n + 1.0) / n)
+             * 100000.0 + 0.5) / 100000.0 AS gini5
          FROM agg""",
   )
 }

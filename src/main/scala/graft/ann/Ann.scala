@@ -429,6 +429,70 @@ object Ann {
     * exact top-k within that one cell. Two bounded joins — queries ×
     * |cells| for routing (broadcast both: tiny), then the cell-restricted
     * probe — never a full corpus scan per query. */
+  /** Matryoshka two-stage retrieval (MRL-style): shortlist the top-`m`
+    * by cosine over only the first `prefix` dimensions, then re-rank
+    * the shortlist with the full vector. The coarse pass reads
+    * `prefix/dim` of the data (a 64→16 prefix is a 4× smaller scan —
+    * the column-pruned projection `slice(emb, 1, prefix)` means the
+    * narrow vectors are all that flows through the broadcast compare),
+    * and only |queries|·m full-width vectors are touched in stage two.
+    * Both ranking keys are 5-dp-rounded cosines with id tiebreaks, so
+    * the pipeline is engine-deterministic end to end. */
+  def matryoshkaTopK(emb: DataFrame, idCol: String, embCol: String,
+                     prefix: Int, nQueries: Int, m: Int, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val pre = emb.select(col(idCol),
+      slice(asDouble(embCol), 1, prefix).as("pv"))
+    val q = pre.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"), col("pv").as("qpv"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cos5p").desc, col("neighbor_id").asc)
+    val shortlist = pre
+      .select(col(idCol).as("neighbor_id"), col("pv").as("cpv"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos5p", cos5(spark, col("qpv"), col("cpv")))
+      .withColumn("coarse_rank", row_number().over(wq).cast("long"))
+      .filter(col("coarse_rank") <= m)
+      .select("query_id", "neighbor_id", "coarse_rank")
+    val ex = emb.select(col(idCol), asDouble(embCol).as("ev"))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cos5").desc, col("neighbor_id").asc)
+    shortlist
+      .join(broadcast(ex.select(col(idCol).as("query_id"),
+        col("ev").as("qv"))), "query_id")
+      .join(ex.select(col(idCol).as("neighbor_id"), col("ev").as("cv")),
+        "neighbor_id")
+      .withColumn("cos5", cos5(spark, col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos5"), col("coarse_rank"))
+  }
+
+  /** Recall@k report for the IVF cell-restricted search against the
+    * exact brute-force answer — the measurement loop every ANN
+    * deployment needs before trusting its index. Per query: `hits` =
+    * |IVF top-k ∩ exact top-k| and `recall5` = hits/k. A left join
+    * from the exact side keeps 0-hit queries visible. Costs one
+    * brute-force pass over the corpus (the thing being audited is the
+    * cheap path, so the audit pays the exact price once). */
+  def ivfRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+                embCol: String, cellCol: String, k: Int): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, idCol, embCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(corpus, queries, idCol, embCol, cellCol, k)
+      .select(col("query_id"), col("neighbor_id").as("ivf_id"))
+    exact
+      .join(approx, exact("query_id") === approx("query_id")
+        && col("neighbor_id") === col("ivf_id"), "left")
+      .groupBy(exact("query_id"))
+      .agg(sum(when(col("ivf_id").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("query_id"), col("hits"),
+        graft.Oracle.stableRound(
+          col("hits").cast("double") / lit(k.toDouble), 5).as("recall5"))
+  }
+
   def ivfComputedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                       embCol: String, cellCol: String, k: Int): DataFrame = {
     val spark = corpus.sparkSession

@@ -497,4 +497,30 @@ object LlmQueries {
         s"$work/out")
       .select("text_md5")
   }
+
+  /** Matryoshka two-stage ANN: 16-dim-prefix shortlist of 20, full
+    * 64-dim re-rank to top-5, 10 queries. */
+  def matryoshkaAnn(s: SparkSession, d: String): DataFrame =
+    Ann.matryoshkaTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      prefix = 16, nQueries = 10, m = 20, k = 5)
+
+  /** Recall@3 audit of the IVF (label-cell) index vs exact search. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Ann.ivfRecall(e, e.filter(col("vec_id") < 10), "vec_id",
+      "embedding", "label", k = 3)
+  }
+
+  /** Bigram-LM cross-entropy per document (order-sensitive fluency). */
+  def bigramXent(s: SparkSession, d: String): DataFrame =
+    TextOps.bigramXent(Tables.documents(s, d), "doc_id", "text")
+
+  /** Trigram novelty: share of each doc's distinct grams that are
+    * corpus-unique. */
+  def gramNovelty(s: SparkSession, d: String): DataFrame =
+    TextOps.gramNovelty(Tables.documents(s, d), "doc_id", "text")
+
+  /** Per-source Gini of document length (corpus balance diagnostic). */
+  def sourceGini(s: SparkSession, d: String): DataFrame =
+    TextOps.sourceGini(Tables.documents(s, d), "doc_id")
 }

@@ -102,6 +102,93 @@ object TextOps {
         graft.Oracle.stableRound(col("sq") / col("n_tokens"), 5).as("xent5"))
   }
 
+  /** Bigram-LM cross-entropy per doc — the order-sensitive upgrade of
+    * [[unigramXent]]: −mean ln P(w₂|w₁) under the corpus MLE bigram
+    * model (P = c(w₁w₂)/c(w₁·), prefix count over bigram OCCURRENCES
+    * so probabilities per context sum to exactly 1). Catches templated
+    * text that unigram stats miss (common words in improbable order
+    * score high). Two count shuffles (bigram grain, prefix grain) +
+    * one per-doc aggregate; the same 1e-9 BIGINT quantization makes
+    * every sum order-free. Docs with <2 tokens have no bigrams and are
+    * absent, mirroring the oracle. */
+  def bigramXent(docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val scale = 1e9
+    val bg = docs
+      .select(col(idCol), words(col(textCol)).as("_w"))
+      .select(col(idCol), explode(expr(
+        """CASE WHEN size(_w) >= 2 THEN
+          |  transform(sequence(1, size(_w) - 1),
+          |    i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))
+          |ELSE cast(array() as array<string>) END""".stripMargin)).as("bg"))
+    val f2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val f1 = bg.select(split(col("bg"), " ").getItem(0).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.join(f2, "bg")
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(f1, "w1")
+      .select(col(idCol),
+        floor(-log(col("c2").cast(DoubleType) / col("c1")) * lit(scale)
+          + lit(0.5)).cast(LongType).as("qln"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum("qln").cast(DoubleType) / lit(scale)).as("sq"))
+      .select(col(idCol), col("n_bigrams"),
+        graft.Oracle.stableRound(col("sq") / col("n_bigrams"), 5)
+          .as("xent5"))
+  }
+
+  /** Per-doc n-gram novelty: the share of a doc's DISTINCT word
+    * trigrams that occur in no other document (document frequency 1)
+    * — high novelty marks original content, low novelty marks boiler-
+    * plate assembled from corpus-common phrasing. One shuffle on the
+    * gram builds df (map-side combine on the per-doc-distinct stream),
+    * one joins it back, one aggregates per doc. Docs shorter than 3
+    * tokens have no grams and are absent, mirroring the oracle. */
+  def gramNovelty(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val sh = graft.dedup.Dedup.withShingles(docs, idCol, textCol, 3)
+      .filter(size(col("shingles")) > 0)
+    val grams = sh.select(col(idCol), explode(col("shingles")).as("gram"))
+    // df over per-doc-DISTINCT grams (withShingles dedupes in-doc), so
+    // df=1 ⇔ the gram lives in exactly one document; a hot gram never
+    // materializes a doc list — it just counts and gets filtered out
+    val unique = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") === 1).select("gram")
+    val novel = grams.join(unique, Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("novel"))
+    sh.select(col(idCol), size(col("shingles")).cast(LongType).as("n_grams"))
+      .join(novel, Seq(idCol), "left")
+      .withColumn("novel", coalesce(col("novel"), lit(0L)))
+      .select(col(idCol), col("n_grams"), col("novel"),
+        graft.Oracle.stableRound(
+          col("novel").cast(DoubleType) / col("n_grams"), 5)
+          .as("novel_share5"))
+  }
+
+  /** Per-source Gini coefficient of document length — the corpus-
+    * balance diagnostic (a source whose token mass concentrates in a
+    * few giant docs skews any uniform-by-doc sampling). Exact rank
+    * formulation G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-
+    * sorted lengths: one window shuffle on source (rank ties broken by
+    * doc_id for determinism — same-length docs get distinct adjacent
+    * ranks, and the SUM of i·xᵢ is tie-order-invariant because equal x
+    * swap freely), then integer-exact sums and one final double
+    * expression both engines evaluate identically. */
+  def sourceGini(docs: DataFrame, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").asc, col(idCol).asc)
+    docs.select(col("source"), col("n_chars"), col(idCol))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sx"),
+        sum(col("rn") * col("n_chars")).as("srx"))
+      .select(col("source"), col("n"),
+        graft.Oracle.stableRound(
+          (lit(2.0) * col("srx")) / (col("n") * col("sx"))
+            - (col("n") + lit(1.0)) / col("n"), 5).as("gini5"))
+  }
+
   /** CCNet-style perplexity bucketing: split each language's docs into
     * head/middle/tail terciles of the [[unigramXent]] score (CCNet,
     * Wenzek et al. 2020 §4.3 — in production the score is a KenLM

@@ -421,6 +421,83 @@ class Round5Spec extends AnyFunSuite {
     assert(r.nonEmpty && r.forall(c => c >= 1 && c <= okSupp))
   }
 
+  test("matryoshka rerank: k per query, exact-cosine order, shortlist bound") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(16)(j => math.cos(i * 5 + j * 11).toFloat))
+    }.toDF("vec_id", "embedding")
+    val r = Ann.matryoshkaTopK(vecs, "vec_id", "embedding",
+        prefix = 4, nQueries = 4, m = 10, k = 3)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(r.length == 12)
+    assert(r.forall(t => t._5 >= 1 && t._5 <= 10))
+    r.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._4).zip(sorted.map(_._4).tail)
+        .forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ivfRecall: one-cell corpus gives perfect recall, bounds hold") {
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 3 + j).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val r = Ann.ivfRecall(vecs, vecs.filter($"vec_id" < 3), "vec_id",
+        "embedding", "label", k = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(r.length == 3)
+    assert(r.forall(t => t._2 == 3 && t._3 == 1.0)) // same cell ⇒ identical
+    // split cells: recall can only drop, never exceed 1
+    val split = vecs.withColumn("label", (col("vec_id") % 2).cast("int"))
+    val r2 = Ann.ivfRecall(split, split.filter($"vec_id" < 3), "vec_id",
+        "embedding", "label", k = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(r2.length == 3)
+    assert(r2.forall(t => t._2 >= 0 && t._2 <= 3 && t._3 <= 1.0))
+  }
+
+  test("bigramXent: fully predictable successors score exactly zero") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // 'a'→always 'b', 'b'→always 'a'
+      (2L, "a b a b"),
+      (3L, "c d c e")        // 'c' splits between 'd' and 'e' → xent > 0
+    ).toDF("doc_id", "text")
+    val r = TextOps.bigramXent(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(r.map(_._1).sameElements(Array(1L, 2L, 3L)))
+    assert(r(0)._2 == 5 && r(1)._2 == 3)     // n-1 bigrams per doc
+    assert(r(0)._3 == 0.0 && r(1)._3 == 0.0)
+    assert(r(2)._3 > 0.0)
+  }
+
+  test("bigramXent drops docs with fewer than two tokens") {
+    val docs = Seq((1L, "solo"), (2L, "two tokens")).toDF("doc_id", "text")
+    val ids = TextOps.bigramXent(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect()
+    assert(ids.sameElements(Array(2L)))
+  }
+
+  test("gramNovelty: unique doc scores 1, clone pair scores 0") {
+    val docs = Seq(
+      (1L, "w x y z q r s"),            // all grams unique to doc 1
+      (2L, "m n o p m n o p"),          // cloned below → df 2 everywhere
+      (3L, "m n o p m n o p")
+    ).toDF("doc_id", "text")
+    val r = TextOps.gramNovelty(docs, "doc_id", "text")
+      .select("doc_id", "novel_share5").as[(Long, Double)].collect().toMap
+    assert(r(1L) == 1.0 && r(2L) == 0.0 && r(3L) == 0.0)
+  }
+
+  test("sourceGini: uniform lengths ~0, concentrated source is higher") {
+    val docs = (
+      (0L until 10L).map(i => (i, "flat", 100L)) ++
+      (10L until 20L).map(i => (i, "skew", if (i == 19L) 10000L else 10L))
+    ).toDF("doc_id", "source", "n_chars")
+    val g = TextOps.sourceGini(docs, "doc_id")
+      .select("source", "gini5").as[(String, Double)].collect().toMap
+    assert(g("flat") == 0.0) // equal lengths: 2Σi·x/(nΣx) = (n+1)/n exactly
+    assert(g("skew") > 0.8 && g("skew") < 1.0)
+  }
+
   test("market share is a [0,1] ratio per distinct year") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.CoreQueries.marketShare(spark, sf)
