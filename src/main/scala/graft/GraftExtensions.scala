@@ -64,5 +64,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
     // optimizer: jaccard >= tau filters get a size-ratio prefilter
     ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilter())
+    // planner: AsofJoinPlan -> merge-scan AsofJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -208,6 +208,10 @@ object SparkEntry {
     // round-5 continuation, LLM side: Matryoshka prefix-dim two-stage
     // retrieval, recall@k index audit, bigram-LM fluency, trigram
     // novelty, per-source length-Gini corpus balance
+    // the FULL custom-operator stack: resolved logical node + planner
+    // strategy + merge-scan physical exec (tier (c) of the brief's
+    // preference order), sharing q47's oracle semantics
+    "q129_asof_native"      -> ((s, d) => CoreQueries.asofJoinNative(s, d)),
     "q124_matryoshka_ann"   -> ((s, d) => LlmQueries.matryoshkaAnn(s, d)),
     "q125_ann_recall"       -> ((s, d) => LlmQueries.annRecall(s, d)),
     "q126_bigram_xent"      -> ((s, d) => LlmQueries.bigramXent(s, d)),
@@ -2144,6 +2148,22 @@ object SparkEntry {
            floor(CAST(nation_q AS DOUBLE) / CAST(total_q AS DOUBLE)
              * 100000.0 + 0.5) / 100000.0 AS share5
          FROM agg""",
+    // identical semantics to q47 (the ASOF LEFT JOIN), evaluated by the
+    // native AsofJoinExec instead of the union-window encoding
+    "q129_asof_native" ->
+      """WITH e AS (SELECT event_id, user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value FROM events),
+         l AS (SELECT * FROM e WHERE event_id % 5 <> 0),
+         r0 AS (SELECT user_id, ts_s, value, event_id,
+             row_number() OVER (PARTITION BY user_id, ts_s
+               ORDER BY event_id DESC) AS rn
+           FROM e WHERE event_id % 5 = 0),
+         r AS (SELECT user_id, ts_s, value, event_id FROM r0 WHERE rn = 1)
+         SELECT l.event_id, l.user_id, l.ts_s, l.value,
+           r.value AS asof_value, r.event_id AS asof_event_id,
+           r.ts_s AS asof_ts
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts_s >= r.ts_s""",
     "q124_matryoshka_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (SELECT vec_id, v[1:16] AS pv FROM e),

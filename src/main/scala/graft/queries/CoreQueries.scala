@@ -278,6 +278,27 @@ object CoreQueries {
         "ts_s" -> "asof_ts"))
   }
 
+  /** q47's point-in-time probe through the NATIVE custom operator
+    * stack ([[graft.plans.AsofJoinPlan]] → [[graft.plans.AsofJoinStrategy]]
+    * → merge-scan [[graft.plans.AsofJoinExec]]) instead of the
+    * union-window encoding — same rows, same oracle, different (and at
+    * scale cheaper) physical plan: the payload never rides the sort
+    * and no post-window filter exists. */
+  def asofJoinNative(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      fmtTs(col("ts")).as("ts_s"), col("value"))
+    val left = e.filter(col("event_id") % 5 =!= 0)
+    val right = graft.ops.CdcOps.latestPerKey(
+        e.filter(col("event_id") % 5 === 0),
+        Seq("user_id", "ts_s"), Seq(col("event_id")))
+      .select(col("user_id").as("r_uid"), col("ts_s").as("asof_ts"),
+        col("value").as("asof_value"), col("event_id").as("asof_event_id"))
+    graft.plans.AsofJoinNative.asofLeft(left, right,
+        "user_id", "r_uid", "ts_s", "asof_ts")
+      .select(col("event_id"), col("user_id"), col("ts_s"), col("value"),
+        col("asof_value"), col("asof_event_id"), col("asof_ts"))
+  }
+
   /** Bucketized range join: every 50th event opens a 2-hour interval;
     * every other event is matched to ALL intervals containing it (no
     * key — the pure interval-join case that nested-loops if written as

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
+
+/** The one sanctioned crossing into Spark's `private[sql]` plan
+  * constructor: wrapping a custom resolved [[LogicalPlan]] (e.g.
+  * [[graft.plans.AsofJoinPlan]]) back into a public [[DataFrame]].
+  * Lives under `org.apache.spark.sql` for access, contains no logic.
+  * Pattern used by every plan-extending Spark library (Delta, Qbeast,
+  * spark-cassandra, …) since `Dataset.ofRows` has no public twin.
+  */
+object GraftPlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+}
