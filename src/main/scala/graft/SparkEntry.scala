@@ -217,6 +217,14 @@ object SparkEntry {
     "q126_bigram_xent"      -> ((s, d) => LlmQueries.bigramXent(s, d)),
     "q127_gram_novelty"     -> ((s, d) => LlmQueries.gramNovelty(s, d)),
     "q128_source_gini"      -> ((s, d) => LlmQueries.sourceGini(s, d)),
+    // TPC-H Q5/Q7/Q12/Q19/Q21 shapes: same-nation revenue, nation-pair
+    // volume, priority counts, disjunctive pushdown, double-EXISTS
+    // waiting-supplier decorrelation
+    "q130_local_supplier"   -> ((s, d) => CoreQueries.localSupplierRevenue(s, d)),
+    "q131_volume_shipping"  -> ((s, d) => CoreQueries.volumeShipping(s, d)),
+    "q132_priority_counts"  -> ((s, d) => CoreQueries.priorityCounts(s, d)),
+    "q133_disjunctive"      -> ((s, d) => CoreQueries.disjunctiveRevenue(s, d)),
+    "q134_waiting_suppliers" -> ((s, d) => CoreQueries.waitingSuppliers(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2269,5 +2277,68 @@ object SparkEntry {
            floor(((2.0 * srx) / (n * sx) - (n + 1.0) / n)
              * 100000.0 + 0.5) / 100000.0 AS gini5
          FROM agg""",
+    "q130_local_supplier" ->
+      """SELECT n_name AS nation,
+           CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+             * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_nationkey = s_nationkey
+         GROUP BY n_name""",
+    "q131_volume_shipping" ->
+      """WITH v AS (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0
+               + 0.5) AS BIGINT) AS rq
+           FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation sn ON s_nationkey = sn.n_nationkey
+             JOIN nation cn ON c_nationkey = cn.n_nationkey
+           WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+              OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+         SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(rq) AS DOUBLE) / 10000.0 AS revenue
+         FROM v GROUP BY supp_nation, cust_nation, l_year""",
+    "q132_priority_counts" ->
+      """SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE year(l_shipdate) = 1997
+         GROUP BY l_linestatus""",
+    "q133_disjunctive" ->
+      """SELECT CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+             * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+             AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+             AND l_quantity BETWEEN 20 AND 30)""",
+    "q134_waiting_suppliers" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         os AS (SELECT l_orderkey AS ok,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late THEN l_suppkey END)
+               AS n_late_supp
+           FROM l GROUP BY 1),
+         w AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE late),
+         nw AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+           FROM w JOIN os ON l_orderkey = ok
+           WHERE n_supp > 1 AND n_late_supp = 1
+           GROUP BY l_suppkey)
+         SELECT s_name, numwait
+         FROM nw JOIN supplier ON l_suppkey = s_suppkey
+         ORDER BY numwait DESC, s_name LIMIT 10""",
   )
 }

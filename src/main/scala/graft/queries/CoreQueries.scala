@@ -1086,6 +1086,126 @@ object CoreQueries {
         stableRound(col("nation_q").cast(DoubleType)
           / col("total_q").cast(DoubleType), 5).as("share5"))
 
+  /** TPC-H Q5 shape — revenue where the customer and the supplier sit
+    * in the SAME nation. Join order keeps the fact narrow: quantized
+    * revenue + two keys through the orders/customer shuffles, then the
+    * tiny supplier and nation dims broadcast; the same-nation filter
+    * runs as soon as both nationkeys exist. */
+  def localSupplierRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), revQ.as("rq"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg((sum(col("rq")).cast(DoubleType) / lit(10000.0)).as("revenue"))
+
+  /** TPC-H Q7 shape — shipping volume between one nation pair, both
+    * directions, per ship year. Supplier- and customer-side nation
+    * names arrive via two independent broadcast dims; the pair filter
+    * prunes before the aggregate. */
+  def volumeShipping(s: SparkSession, d: String): DataFrame = {
+    val sn = broadcast(Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cn = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"), revQ.as("rq"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === "NATION_1"
+          && col("cust_nation") === "NATION_2")
+        || (col("supp_nation") === "NATION_2"
+          && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg((sum(col("rq")).cast(DoubleType) / lit(10000.0)).as("revenue"))
+  }
+
+  /** TPC-H Q12 shape — per line status, how many 1997-shipped lines
+    * belong to critical- vs normal-priority orders: the conditional
+    * two-way count with the ship-year predicate pushed to the fact
+    * scan before the orders join. */
+  def priorityCounts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")) === 1997)
+      .select(col("l_orderkey"), col("l_linestatus"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT"
+          || col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT"
+          && col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_count"))
+
+  /** TPC-H Q19 shape — disjunction of brand/size/quantity conjunctions
+    * (the predicate-normalization stress test: Catalyst extracts the
+    * common `l_partkey = p_partkey` equi-condition and pushes the
+    * per-side conjuncts below the join; a naive planner nested-loops
+    * the OR). Single global revenue row. */
+  def disjunctiveRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), revQ.as("rq"))
+      .join(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10)
+          && col("l_quantity").between(1, 11))
+        || (col("p_brand") === "Brand#2" && col("p_size").between(1, 20)
+          && col("l_quantity").between(10, 20))
+        || (col("p_brand") === "Brand#3" && col("p_size").between(1, 30)
+          && col("l_quantity").between(20, 30)))
+      .agg((sum(col("rq")).cast(DoubleType) / lit(10000.0)).as("revenue"))
+
+  /** TPC-H Q21 shape — suppliers who kept multi-supplier orders
+    * waiting: supplier S was LATE (shipped >90 days after the order
+    * date) in an order that involved ANOTHER supplier, and S was the
+    * ONLY late supplier in it. The double EXISTS/NOT-EXISTS
+    * decorrelates into ONE per-order aggregate (distinct suppliers,
+    * distinct late suppliers) joined back to the late pairs — two
+    * shuffles total, no correlated re-scans. Top 10 by wait count. */
+  def waitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+    val ordStats = l.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    l.filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .join(ordStats.filter(col("n_supp") > 1 && col("n_late_supp") === 1),
+        col("l_orderkey") === col("ok"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

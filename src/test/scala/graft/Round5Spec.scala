@@ -498,6 +498,69 @@ class Round5Spec extends AnyFunSuite {
     assert(g("skew") > 0.8 && g("skew") < 1.0)
   }
 
+  test("local-supplier revenue only counts same-nation pairs") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.localSupplierRevenue(spark, sf)
+      .as[(String, Double)].collect()
+    assert(r.nonEmpty && r.forall(_._2 > 0.0))
+    assert(r.map(_._1).distinct.length == r.length)
+  }
+
+  test("volume shipping emits only the two requested nation directions") {
+    // sf0.001 has ~10 suppliers and none in NATION_1/2 — use sf0.01
+    val sf = "/root/testdata/sf0.01"
+    val pairs = graft.queries.CoreQueries.volumeShipping(spark, sf)
+      .select("supp_nation", "cust_nation").distinct()
+      .as[(String, String)].collect().toSet
+    assert(pairs.subsetOf(Set(("NATION_1", "NATION_2"),
+      ("NATION_2", "NATION_1"))))
+    assert(pairs.nonEmpty)
+  }
+
+  test("priority counts partition the 1997-shipped join exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.priorityCounts(spark, sf)
+      .as[(String, Long, Long)].collect()
+    val total = r.map(t => t._2 + t._3).sum
+    val expected = graft.sources.Tables.lineitem(spark, sf)
+      .filter(year($"l_shipdate") === 1997)
+      .join(graft.sources.Tables.orders(spark, sf),
+        $"l_orderkey" === $"o_orderkey").count()
+    assert(total == expected)
+  }
+
+  test("disjunctive revenue equals the sum of its disjoint branches") {
+    val sf = "/root/testdata/sf0.001"
+    val whole = graft.queries.CoreQueries.disjunctiveRevenue(spark, sf)
+      .as[Double].head()
+    // brands differ per branch, so the disjuncts are disjoint and the
+    // OR must equal the sum of three independent filters
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val p = graft.sources.Tables.part(spark, sf)
+    def branch(brand: String, sz: (Int, Int), q: (Int, Int)): Double = {
+      val d = li.join(p, $"l_partkey" === $"p_partkey")
+        .filter($"p_brand" === brand && $"p_size".between(sz._1, sz._2)
+          && $"l_quantity".between(q._1, q._2))
+        .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount")
+          * 10000.0 + 0.5).cast("long")).cast("double") / 10000.0)
+        .as[Option[Double]].head()
+      d.getOrElse(0.0)
+    }
+    val parts = branch("Brand#1", (1, 10), (1, 11)) +
+      branch("Brand#2", (1, 20), (10, 20)) +
+      branch("Brand#3", (1, 30), (20, 30))
+    assert(math.abs(whole - parts) < 1e-6)
+  }
+
+  test("waiting suppliers: top-10, descending, only multi-supplier orders") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.waitingSuppliers(spark, sf)
+      .as[(String, Long)].collect()
+    assert(r.length <= 10 && r.nonEmpty)
+    assert(r.forall(_._2 > 0))
+    assert(r.map(_._2).zip(r.map(_._2).tail).forall { case (a, b) => a >= b })
+  }
+
   test("market share is a [0,1] ratio per distinct year") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.CoreQueries.marketShare(spark, sf)
