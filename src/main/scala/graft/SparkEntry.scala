@@ -225,6 +225,11 @@ object SparkEntry {
     "q132_priority_counts"  -> ((s, d) => CoreQueries.priorityCounts(s, d)),
     "q133_disjunctive"      -> ((s, d) => CoreQueries.disjunctiveRevenue(s, d)),
     "q134_waiting_suppliers" -> ((s, d) => CoreQueries.waitingSuppliers(s, d)),
+    // Q6 pushed-predicate aggregate; cross-source near-dup matrix;
+    // KMV sketch set algebra (union-by-merge + inclusion-exclusion)
+    "q135_simple_revenue"   -> ((s, d) => CoreQueries.simpleRevenue(s, d)),
+    "q136_dup_matrix"       -> ((s, d) => LlmQueries.dupSourceMatrix(s, d)),
+    "q137_kmv_setops"       -> ((s, d) => LlmQueries.kmvSetOps(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2251,8 +2256,10 @@ object SparkEntry {
     "q127_gram_novelty" ->
       """WITH sh AS (SELECT doc_id,
              CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-               list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+               list_distinct(list_transform(
+                 list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])),
+                 s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))
              ELSE [] END AS grams
            FROM documents),
          shf AS (SELECT doc_id, grams FROM sh WHERE len(grams) > 0),
@@ -2340,5 +2347,71 @@ object SparkEntry {
          SELECT s_name, numwait
          FROM nw JOIN supplier ON l_suppkey = s_suppkey
          ORDER BY numwait DESC, s_name LIMIT 10""",
+    "q135_simple_revenue" ->
+      """SELECT CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+             * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+         FROM lineitem
+         WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+           AND year(l_shipdate) = 1997""",
+    // reuses the q20/q59 MinHash chain; near-dup pairs rolled up to
+    // unordered source-pair cells
+    "q136_dup_matrix" ->
+      s"""WITH RECURSIVE $dedupGroupCtes,
+         m AS (SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+           FROM (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8) p
+             JOIN documents da ON p.doc_a = da.doc_id
+             JOIN documents db ON p.doc_b = db.doc_id)
+         SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         FROM m GROUP BY source_a, source_b""",
+    // the q45 KMV estimator, extended to set algebra: merge two
+    // k-minima sketches by keeping the k smallest of the union, apply
+    // the same (k-1)*2^60/kth estimate, intersect by
+    // inclusion-exclusion; < k merged hashes => both inputs complete
+    // => exact
+    "q137_kmv_setops" ->
+      """WITH tk AS (SELECT DISTINCT source,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents
+                 WHERE source IN ('src0','src1','src2','src3','src4'))),
+         sk AS (SELECT source, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS nd
+           FROM tk),
+         est AS (SELECT source,
+             CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
+                  ELSE 63.0 * 1152921504606846976
+                       / MAX(CASE WHEN rn = 64 THEN hv END) END AS est
+           FROM sk GROUP BY source),
+         sk64 AS (SELECT source, hv FROM sk WHERE rn <= 64),
+         prs AS (SELECT a.source AS source_a, b.source AS source_b
+           FROM (SELECT DISTINCT source FROM tk) a
+             JOIN (SELECT DISTINCT source FROM tk) b
+             ON a.source < b.source),
+         mg AS (SELECT DISTINCT source_a, source_b, hv FROM (
+             SELECT p.source_a, p.source_b, s.hv
+               FROM prs p JOIN sk64 s ON s.source = p.source_a
+             UNION ALL
+             SELECT p.source_a, p.source_b, s.hv
+               FROM prs p JOIN sk64 s ON s.source = p.source_b)),
+         mr AS (SELECT source_a, source_b, hv,
+             row_number() OVER (PARTITION BY source_a, source_b
+               ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY source_a, source_b) AS m
+           FROM mg),
+         uest AS (SELECT source_a, source_b,
+             CASE WHEN MAX(m) < 64 THEN CAST(MAX(m) AS DOUBLE)
+                  ELSE 63.0 * 1152921504606846976
+                       / MAX(CASE WHEN rn = 64 THEN hv END) END AS est_u
+           FROM mr GROUP BY source_a, source_b)
+         SELECT u.source_a, u.source_b,
+           floor(ea.est * 10000.0 + 0.5) / 10000.0 AS est_a4,
+           floor(eb.est * 10000.0 + 0.5) / 10000.0 AS est_b4,
+           floor(u.est_u * 10000.0 + 0.5) / 10000.0 AS est_union4,
+           floor(greatest(ea.est + eb.est - u.est_u, 0.0) * 10000.0 + 0.5)
+             / 10000.0 AS est_inter4
+         FROM uest u JOIN est ea ON u.source_a = ea.source
+           JOIN est eb ON u.source_b = eb.source""",
   )
 }

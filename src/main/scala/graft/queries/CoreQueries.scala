@@ -1174,6 +1174,16 @@ object CoreQueries {
           && col("l_quantity").between(20, 30)))
       .agg((sum(col("rq")).cast(DoubleType) / lit(10000.0)).as("revenue"))
 
+  /** TPC-H Q6 shape — the pure pushed-predicate aggregate: discount-
+    * band/quantity/ship-year filters all reach the parquet scan
+    * (PushedFilters), one partial+final agg over the survivors, no
+    * join anywhere. The canonical "is the scan doing the work" probe. */
+  def simpleRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24 && year(col("l_shipdate")) === 1997)
+      .agg((sum(revQ).cast(DoubleType) / lit(10000.0)).as("revenue"))
+
   /** TPC-H Q21 shape — suppliers who kept multi-supplier orders
     * waiting: supplier S was LATE (shipped >90 days after the order
     * date) in an order that involved ANOTHER supplier, and S was the

@@ -523,4 +523,29 @@ object LlmQueries {
   /** Per-source Gini of document length (corpus balance diagnostic). */
   def sourceGini(s: SparkSession, d: String): DataFrame =
     TextOps.sourceGini(Tables.documents(s, d), "doc_id")
+
+  /** Cross-source near-duplicate matrix: q20's MinHash-LSH pairs
+    * rolled up to unordered (source, source) cells — the report that
+    * tells a corpus owner WHERE its duplication lives (mirror sites,
+    * cross-source syndication) rather than just how much exists. */
+  def dupSourceMatrix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val src = docs.select(col("doc_id"), col("source"))
+    graft.dedup.Dedup.minhashNearDups(docs, "doc_id", "text")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** KMV sketch set algebra across the first five sources (q45's
+    * mergeable-sketch story completed: union by merging k-minima,
+    * intersection by inclusion-exclusion). */
+  def kmvSetOps(s: SparkSession, d: String): DataFrame =
+    TextOps.sourceOverlapKmv(Tables.documents(s, d),
+      Seq("src0", "src1", "src2", "src3", "src4"))
 }

@@ -147,7 +147,10 @@ object TextOps {
     * tokens have no grams and are absent, mirroring the oracle. */
   def gramNovelty(docs: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
-    val sh = graft.dedup.Dedup.withShingles(docs, idCol, textCol, 3)
+    // hashed (60-bit md5) shingles, not raw strings: the df shuffle
+    // moves 8-byte longs instead of ~30-byte trigram text — the same
+    // trade q20 makes, same negligible collision budget
+    val sh = graft.dedup.Dedup.withHashedShingles(docs, idCol, textCol, 3)
       .filter(size(col("shingles")) > 0)
     val grams = sh.select(col(idCol), explode(col("shingles")).as("gram"))
     // df over per-doc-DISTINCT grams (withShingles dedupes in-doc), so
@@ -187,6 +190,77 @@ object TextOps {
         graft.Oracle.stableRound(
           (lit(2.0) * col("srx")) / (col("n") * col("sx"))
             - (col("n") + lit(1.0)) / col("n"), 5).as("gini5"))
+  }
+
+  /** KMV distinct-token SET ALGEBRA between sources — the mergeable-
+    * sketch property `graft_kmv_distinct` (q45) is built on, exercised
+    * end to end: per-source k-minima sketches merge into a union
+    * sketch by keeping the k smallest of the combined minima, the
+    * union estimate falls out of the same (k−1)·2⁶⁰/kth formula, and
+    * |A∩B| follows by inclusion-exclusion. Everything is relational
+    * (window top-k per source, equi-join per pair), deterministic
+    * (md5-derived 60-bit hashes), and constant-size per source
+    * regardless of corpus size — the sketch IS the shuffle payload.
+    * When a merged sketch holds fewer than k hashes both inputs were
+    * complete, so the "estimate" is exact — same guard as q45. */
+  def sourceOverlapKmv(docs: DataFrame, sources: Seq[String],
+                       k: Int = 64): DataFrame = {
+    val twoPow60 = lit(1152921504606846976L)
+    val tk = docs.filter(col("source").isin(sources: _*))
+      .select(col("source"), explode(words(col("text"))).as("tok"))
+      .select(col("source"),
+        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)")
+          .as("hv"))
+      .distinct()
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("hv")
+    val wSAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val sk = tk.withColumn("rn", row_number().over(wS))
+      .withColumn("nd", count(lit(1)).over(wSAll))
+    val est = sk.groupBy("source")
+      .agg(max("nd").as("nd"),
+        max(when(col("rn") === k, col("hv"))).as("kth"))
+      .select(col("source"),
+        when(col("nd") < k, col("nd").cast(DoubleType))
+          .otherwise(lit(63.0) * twoPow60 / col("kth")).as("est"))
+    val sk64 = sk.filter(col("rn") <= k).select("source", "hv")
+    val srcs = tk.select("source").distinct()
+    val prs = srcs.select(col("source").as("source_a"))
+      .crossJoin(srcs.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    // merged sketch per pair via two equi-joins + distinct (an OR-join
+    // would nested-loop; this unions the two sides instead)
+    val mg = prs
+      .join(sk64.withColumnRenamed("source", "source_a"), "source_a")
+      .select("source_a", "source_b", "hv")
+      .unionByName(prs
+        .join(sk64.withColumnRenamed("source", "source_b"), "source_b")
+        .select("source_a", "source_b", "hv"))
+      .distinct()
+    val wP = org.apache.spark.sql.expressions.Window
+      .partitionBy("source_a", "source_b").orderBy("hv")
+    val wPAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("source_a", "source_b")
+    val uest = mg.withColumn("rn", row_number().over(wP))
+      .withColumn("m", count(lit(1)).over(wPAll))
+      .groupBy("source_a", "source_b")
+      .agg(max("m").as("m"),
+        max(when(col("rn") === k, col("hv"))).as("kth"))
+      .select(col("source_a"), col("source_b"),
+        when(col("m") < k, col("m").cast(DoubleType))
+          .otherwise(lit(63.0) * twoPow60 / col("kth")).as("est_u"))
+    uest
+      .join(est.select(col("source").as("source_a"), col("est").as("ea")),
+        "source_a")
+      .join(est.select(col("source").as("source_b"), col("est").as("eb")),
+        "source_b")
+      .select(col("source_a"), col("source_b"),
+        graft.Oracle.stableRound(col("ea"), 4).as("est_a4"),
+        graft.Oracle.stableRound(col("eb"), 4).as("est_b4"),
+        graft.Oracle.stableRound(col("est_u"), 4).as("est_union4"),
+        graft.Oracle.stableRound(
+          greatest(col("ea") + col("eb") - col("est_u"), lit(0.0)), 4)
+          .as("est_inter4"))
   }
 
   /** CCNet-style perplexity bucketing: split each language's docs into

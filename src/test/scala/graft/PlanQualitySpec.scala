@@ -19,7 +19,12 @@ class PlanQualitySpec extends AnyFunSuite {
     "q33_event_windows", "q46_sql_api", "q47_asof_join",
     "q49_star_join", "q50_rollup", "q51_pivot", "q55_user_activity",
     "q61_grouped_topk", "q63_window_suite", "q64_cube",
-    "q67_latest_skew_safe")
+    "q67_latest_skew_safe",
+    "q118_promo_share", "q119_returned_value", "q120_large_orders",
+    "q121_min_price_supplier", "q122_supplier_types",
+    "q123_market_share", "q129_asof_native", "q130_local_supplier",
+    "q131_volume_shipping", "q132_priority_counts", "q133_disjunctive",
+    "q134_waiting_suppliers", "q135_simple_revenue", "q137_kmv_setops")
 
   test("no sampled query plans a cartesian product") {
     lazyRelational.foreach { name =>

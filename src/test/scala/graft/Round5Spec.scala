@@ -561,6 +561,48 @@ class Round5Spec extends AnyFunSuite {
     assert(r.map(_._2).zip(r.map(_._2).tail).forall { case (a, b) => a >= b })
   }
 
+  test("kmv set ops are exact below the sketch size") {
+    // two identical 30-token sources + one disjoint 20-token source:
+    // every distinct count sits under k=64, so estimates are exact
+    val mk = (src: String, toks: Seq[String]) =>
+      (src, toks.mkString(" "))
+    val docs = Seq(
+      mk("src0", (0 until 30).map(i => s"tok$i")),
+      mk("src1", (0 until 30).map(i => s"tok$i")),
+      mk("src2", (100 until 120).map(i => s"tok$i"))
+    ).toDF("source", "text").withColumn("doc_id", lit(1L))
+    val r = TextOps.sourceOverlapKmv(docs, Seq("src0", "src1", "src2"))
+      .as[(String, String, Double, Double, Double, Double)]
+      .collect().map(t => (t._1, t._2) -> (t._3, t._4, t._5, t._6)).toMap
+    assert(r(("src0", "src1")) == ((30.0, 30.0, 30.0, 30.0)))
+    assert(r(("src0", "src2")) == ((30.0, 20.0, 50.0, 0.0)))
+    assert(r(("src1", "src2")) == ((30.0, 20.0, 50.0, 0.0)))
+  }
+
+  test("dup matrix pair mass equals the q20 near-dup pair count") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = graft.dedup.Dedup.minhashNearDups(
+      graft.sources.Tables.documents(spark, sf), "doc_id", "text").count()
+    val matrix = graft.queries.LlmQueries.dupSourceMatrix(spark, sf)
+      .agg(sum("n_pairs")).as[Long].head()
+    assert(matrix == pairs)
+    val badOrder = graft.queries.LlmQueries.dupSourceMatrix(spark, sf)
+      .filter($"source_a" > $"source_b").count()
+    assert(badOrder == 0)
+  }
+
+  test("simple revenue: one row, positive, filters genuinely restrict") {
+    val sf = "/root/testdata/sf0.001"
+    val rev = graft.queries.CoreQueries.simpleRevenue(spark, sf)
+      .as[Double].collect()
+    assert(rev.length == 1 && rev.head > 0.0)
+    val all = graft.sources.Tables.lineitem(spark, sf)
+      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount")
+        * 10000.0 + 0.5).cast("long")).cast("double") / 10000.0)
+      .as[Double].head()
+    assert(rev.head < all)
+  }
+
   test("market share is a [0,1] ratio per distinct year") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.CoreQueries.marketShare(spark, sf)
