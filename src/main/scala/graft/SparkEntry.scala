@@ -230,6 +230,13 @@ object SparkEntry {
     "q135_simple_revenue"   -> ((s, d) => CoreQueries.simpleRevenue(s, d)),
     "q136_dup_matrix"       -> ((s, d) => LlmQueries.dupSourceMatrix(s, d)),
     "q137_kmv_setops"       -> ((s, d) => LlmQueries.kmvSetOps(s, d)),
+    // PMI collocations (phrase mining); robust trimmed mean; fixed-
+    // width value histogram
+    "q138_pmi_pairs"        -> ((s, d) =>
+      graft.text.TextOps.pmiCollocations(
+        graft.sources.Tables.documents(s, d), "text", minCount = 5, k = 20)),
+    "q139_trimmed_mean"     -> ((s, d) => CoreQueries.trimmedMean(s, d)),
+    "q140_price_histogram"  -> ((s, d) => CoreQueries.priceHistogram(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2413,5 +2420,49 @@ object SparkEntry {
              / 10000.0 AS est_inter4
          FROM uest u JOIN est ea ON u.source_a = ea.source
            JOIN est eb ON u.source_b = eb.source""",
+    "q138_pmi_pairs" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1
+           FROM toks GROUP BY tok),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks),
+         bg AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM
+             (SELECT unnest(CASE WHEN len(string_split(text, ' ')) >= 2
+               THEN list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
+               ELSE [] END) AS bg FROM documents)
+           GROUP BY bg HAVING COUNT(*) >= 5),
+         p AS (SELECT bg.bg, bg.c2,
+             floor(ln(CAST(bg.c2 * n.total AS DOUBLE)
+               / CAST(a.c1 * b.c1 AS DOUBLE)) * 100000.0 + 0.5)
+               / 100000.0 AS pmi5
+           FROM bg
+             JOIN uni a ON string_split(bg.bg, ' ')[1] = a.tok
+             JOIN uni b ON string_split(bg.bg, ' ')[2] = b.tok, n)
+         SELECT bg, c2, pmi5 FROM p
+         ORDER BY pmi5 DESC, bg LIMIT 20""",
+    "q139_trimmed_mean" ->
+      """WITH j AS (SELECT n_name AS nation, o_totalprice, o_orderkey
+           FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey),
+         r AS (SELECT nation, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY nation
+               ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+             COUNT(*) OVER (PARTITION BY nation) AS n
+           FROM j),
+         t AS (SELECT nation, o_totalprice FROM r
+           WHERE rn > floor(n / 10) AND rn <= n - floor(n / 10))
+         SELECT nation, CAST(COUNT(*) AS BIGINT) AS kept,
+           floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) * 100000.0 + 0.5) / 100000.0 AS trimmed_mean5
+         FROM t GROUP BY nation""",
+    "q140_price_histogram" ->
+      """WITH b AS (SELECT CAST(least(floor(o_totalprice / 25000.0), 10.0)
+             AS BIGINT) AS bucket
+           FROM orders),
+         tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM orders)
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           floor(COUNT(*) / t * 100000.0 + 0.5) / 100000.0 AS share5
+         FROM b, tot GROUP BY bucket, t""",
   )
 }

@@ -1216,6 +1216,47 @@ object CoreQueries {
 
   }
 
+  /** Per-nation 10%-trimmed mean of order value — the robust-mean
+    * companion to q84's MAD outliers: rank within nation (value, key
+    * tiebreak), drop the bottom and top deciles by EXACT rank bounds
+    * (floor(n/10) off each end — integer arithmetic, no percentile
+    * interpolation), DECIMAL-route the surviving sum. One window
+    * shuffle on the nation + the count broadcast back. */
+  def trimmedMean(s: SparkSession, d: String): DataFrame = {
+    val j = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("o_totalprice"),
+        col("o_orderkey"))
+    val w = Window.partitionBy("nation")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    j.withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("nation")))
+      .filter(col("rn") > floor(col("n") / 10)
+        && col("rn") <= col("n") - floor(col("n") / 10))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("kept"),
+        stableRound(moneySum(col("o_totalprice")) / count(lit(1)), 5)
+          .as("trimmed_mean5"))
+  }
+
+  /** Fixed-width order-value histogram with shares — the numeric
+    * bucketing primitive (profiling / skew diagnosis). The bucket id
+    * is floor(x / 25000) capped at 10: pure IEEE divide+floor, no
+    * logs, so bucket edges are engine-identical; one hash aggregate. */
+  def priceHistogram(s: SparkSession, d: String): DataFrame = {
+    val total = Tables.orders(s, d).count()
+    Tables.orders(s, d)
+      .select(least(floor(col("o_totalprice") / lit(25000.0)), lit(10.0))
+        .cast(LongType).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"), col("n"),
+        stableRound(col("n").cast(DoubleType) / lit(total.toDouble), 5)
+          .as("share5"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -263,6 +263,40 @@ object TextOps {
           .as("est_inter4"))
   }
 
+  /** Top-k collocations by pointwise mutual information: bigrams with
+    * count ≥ `minCount` ranked by ln(c(ab)·N / (c(a)·c(b))) — the
+    * classic phrase-mining signal (Church & Hanks 1990). Counts stay
+    * LONG-exact through two shuffles (bigram grain, unigram grain);
+    * the single ln runs on an integer-derived double both engines
+    * compute identically, the rank key is 5-dp-quantized with the
+    * bigram string as tiebreak, and top-k is a TakeOrdered, not a
+    * global sort. */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+                      minCount: Int, k: Int): DataFrame = {
+    val toks = docs.select(explode(words(col(textCol))).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val n = toks.count()
+    val bg = docs
+      .select(words(col(textCol)).as("_w"))
+      .select(explode(expr(
+        """CASE WHEN size(_w) >= 2 THEN
+          |  transform(sequence(1, size(_w) - 1),
+          |    i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))
+          |ELSE cast(array() as array<string>) END""".stripMargin)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    bg.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("tok").as("w1"), col("c1").as("ca")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c1").as("cb")), "w2")
+      .select(col("bg"), col("c2"),
+        graft.Oracle.stableRound(
+          log((col("c2") * lit(n)).cast(DoubleType)
+            / (col("ca") * col("cb")).cast(DoubleType)), 5).as("pmi5"))
+      .orderBy(col("pmi5").desc, col("bg"))
+      .limit(k)
+  }
+
   /** CCNet-style perplexity bucketing: split each language's docs into
     * head/middle/tail terciles of the [[unigramXent]] score (CCNet,
     * Wenzek et al. 2020 §4.3 — in production the score is a KenLM

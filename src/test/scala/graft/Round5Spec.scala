@@ -603,6 +603,47 @@ class Round5Spec extends AnyFunSuite {
     assert(rev.head < all)
   }
 
+  test("pmi: inseparable pair tops the ranking, counts respect minCount") {
+    // 'alpha beta' always co-occur and appear nowhere else; filler
+    // tokens are common — PMI must rank the exclusive pair first
+    val docs = ((1 to 10).map(i => (i.toLong,
+        "alpha beta x y z w x y z w")) ++
+      (11 to 20).map(i => (i.toLong, "x y z w x y z w x y")))
+      .toDF("doc_id", "text")
+    val r = TextOps.pmiCollocations(docs, "text", minCount = 5, k = 5)
+      .as[(String, Long, Double)].collect()
+    assert(r.nonEmpty && r.forall(_._2 >= 5))
+    assert(r.head._1 == "alpha beta")
+    assert(r.map(_._3).zip(r.map(_._3).tail).forall { case (a, b) => a >= b })
+  }
+
+  test("trimmed mean keeps exactly n - 2*floor(n/10) per nation") {
+    val sf = "/root/testdata/sf0.001"
+    val counts = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf),
+        $"o_custkey" === $"c_custkey")
+      .join(graft.sources.Tables.nation(spark, sf),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name").count().as[(String, Long)].collect().toMap
+    val r = graft.queries.CoreQueries.trimmedMean(spark, sf)
+      .select("nation", "kept").as[(String, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (nation, kept) =>
+      val n = counts(nation)
+      assert(kept == n - 2 * (n / 10), s"$nation: kept=$kept n=$n")
+    }
+  }
+
+  test("price histogram conserves the order count and shares sum to 1") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.priceHistogram(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val orders = graft.sources.Tables.orders(spark, sf).count()
+    assert(r.map(_._2).sum == orders)
+    assert(math.abs(r.map(_._3).sum - 1.0) < 1e-3)
+    assert(r.forall(t => t._1 >= 0 && t._1 <= 10))
+  }
+
   test("market share is a [0,1] ratio per distinct year") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.CoreQueries.marketShare(spark, sf)
