@@ -237,6 +237,12 @@ object SparkEntry {
         graft.sources.Tables.documents(s, d), "text", minCount = 5, k = 20)),
     "q139_trimmed_mean"     -> ((s, d) => CoreQueries.trimmedMean(s, d)),
     "q140_price_histogram"  -> ((s, d) => CoreQueries.priceHistogram(s, d)),
+    // the last TPC-H shapes (Q9/Q11/Q20 analogs — fixture has no
+    // partsupp): multi-table computed-measure rollup, HAVING vs a
+    // global scalar, semi-join chain over an aggregate threshold
+    "q141_profit_rollup"    -> ((s, d) => CoreQueries.profitByNationYear(s, d)),
+    "q142_important_parts"  -> ((s, d) => CoreQueries.importantParts(s, d)),
+    "q143_dominant_suppliers" -> ((s, d) => CoreQueries.dominantSuppliers(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2464,5 +2470,43 @@ object SparkEntry {
          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
            floor(COUNT(*) / t * 100000.0 + 0.5) / 100000.0 AS share5
          FROM b, tot GROUP BY bucket, t""",
+    "q141_profit_rollup" ->
+      """WITH l AS (SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(floor((l_extendedprice * (1.0 - l_discount)
+               - 0.6 * l_quantity * p_retailprice) * 10000.0 + 0.5)
+               AS BIGINT) AS pq
+           FROM lineitem
+             JOIN part ON l_partkey = p_partkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey)
+         SELECT nation, o_year,
+           CAST(SUM(pq) AS DOUBLE) / 10000.0 AS profit
+         FROM l GROUP BY nation, o_year""",
+    "q142_important_parts" ->
+      """WITH base AS (SELECT l_partkey,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0
+               + 0.5) AS BIGINT) AS rq
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_9'),
+         pp AS (SELECT l_partkey, SUM(rq) AS vq FROM base GROUP BY 1),
+         tot AS (SELECT SUM(vq) AS tq FROM pp)
+         SELECT l_partkey,
+           CAST(vq AS DOUBLE) / 10000.0 AS part_value
+         FROM pp, tot
+         WHERE CAST(vq AS DOUBLE) > 0.001 * CAST(tq AS DOUBLE)""",
+    "q143_dominant_suppliers" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
+           FROM lineitem GROUP BY 1, 2),
+         p AS (SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS tq
+           FROM lineitem GROUP BY 1),
+         dom AS (SELECT DISTINCT l_suppkey FROM ps JOIN p
+           ON l_partkey = pk WHERE sq > 0.15 * tq)
+         SELECT s_suppkey, s_name, s_acctbal
+         FROM supplier SEMI JOIN dom ON s_suppkey = l_suppkey""",
   )
 }

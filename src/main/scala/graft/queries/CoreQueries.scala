@@ -1257,6 +1257,74 @@ object CoreQueries {
           .as("share5"))
   }
 
+  /** TPC-H Q9 shape — profit per (supplier nation, order year). The
+    * fixture has no partsupp, so cost is proxied as
+    * 0.6·qty·p_retailprice (the shape — multi-dim rollup of a measure
+    * computed across THREE joined tables — is what's exercised).
+    * Profit quantizes to the 1e-4 BIGINT grain per row, so the sums
+    * are exact; part joins on the shuffle, supplier~nation broadcasts. */
+  def profitByNationYear(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("n_name").as("nation"),
+        col("o_year").cast(LongType).as("o_year"),
+        floor((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          - lit(0.6) * col("l_quantity") * col("p_retailprice"))
+          * lit(10000.0) + lit(0.5)).cast(LongType).as("pq"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg((sum(col("pq")).cast(DoubleType) / lit(10000.0)).as("profit"))
+
+  /** TPC-H Q11 shape — "important" parts: per-part shipped value from
+    * NATION_9's suppliers, kept only where it exceeds a fraction of
+    * that nation's total (the HAVING-against-a-scalar-subquery shape).
+    * The global scalar decorrelates into a broadcast single-row cross
+    * join — one pass builds both the per-part aggregate and (reused
+    * subtree) the total. */
+  def importantParts(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_9").select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), revQ.as("rq"))
+    val perPart = base.groupBy(col("l_partkey")).agg(sum(col("rq")).as("vq"))
+    val total = perPart.agg(sum(col("vq")).as("tq"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("vq").cast(DoubleType) > lit(0.001) * col("tq").cast(DoubleType))
+      .select(col("l_partkey"),
+        (col("vq").cast(DoubleType) / lit(10000.0)).as("part_value"))
+  }
+
+  /** TPC-H Q20 shape — the semi-join chain over an aggregate
+    * threshold: suppliers who shipped MORE than 15% of some part's
+    * total volume (dominant-supplier stand-in for the excess-stock
+    * subquery). Inner: per-(part, supplier) and per-part quantity
+    * aggregates joined on the part; outer: LEFT SEMI from supplier. */
+  def dominantSuppliers(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(moneySum(col("l_quantity")).as("sq"))
+    val p = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(moneySum(col("l_quantity")).as("tq"))
+    val dominant = ps.join(p, col("l_partkey") === col("pk"))
+      .filter(col("sq") > lit(0.15) * col("tq"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

