@@ -243,6 +243,9 @@ object SparkEntry {
     "q141_profit_rollup"    -> ((s, d) => CoreQueries.profitByNationYear(s, d)),
     "q142_important_parts"  -> ((s, d) => CoreQueries.importantParts(s, d)),
     "q143_dominant_suppliers" -> ((s, d) => CoreQueries.dominantSuppliers(s, d)),
+    // streaming mergeable-KMV drain: per-batch k-minima merges whose
+    // final estimate is bit-identical to the one-shot batch sketch
+    "q144_stream_kmv"       -> ((s, d) => LlmQueries.streamKmv(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2508,5 +2511,21 @@ object SparkEntry {
            ON l_partkey = pk WHERE sq > 0.15 * tq)
          SELECT s_suppkey, s_name, s_acctbal
          FROM supplier SEMI JOIN dom ON s_suppkey = l_suppkey""",
+    // q45's estimator, est-only: the streamed merge of per-batch
+    // k-minima must land on exactly this one-shot batch sketch
+    "q144_stream_kmv" ->
+      """WITH h AS (SELECT DISTINCT lang,
+             CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS hv
+           FROM documents),
+         r AS (SELECT lang, hv,
+             row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS nd
+           FROM h)
+         SELECT lang,
+           CASE WHEN MAX(nd) < 64 THEN round(CAST(MAX(nd) AS DOUBLE), 4)
+                ELSE round(63.0 * 1152921504606846976
+                           / MAX(CASE WHEN rn = 64 THEN hv END), 4)
+           END AS est_distinct
+         FROM r GROUP BY lang""",
   )
 }

@@ -548,4 +548,16 @@ object LlmQueries {
   def kmvSetOps(s: SparkSession, d: String): DataFrame =
     TextOps.sourceOverlapKmv(Tables.documents(s, d),
       Seq("src0", "src1", "src2", "src3", "src4"))
+
+  /** Streaming KMV distinct-count: the corpus drains through
+    * checkpointed micro-batches, per-lang k-minima state merges batch
+    * by batch, and the final estimate equals the one-shot batch sketch
+    * bit-for-bit (mergeability, proven against q45's oracle). */
+  def streamKmv(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-skmv-").toString
+    graft.streaming.StreamDedup.writeFeed(
+      Tables.documents(s, d), s"$work/feed", nFiles = 4)
+    graft.streaming.StreamKmv.run(s, s"$work/feed", s"$work/checkpoint",
+      s"$work/state")
+  }
 }

@@ -398,4 +398,22 @@ class StreamingSpec extends AnyFunSuite {
       s"$work/out", maxFilesPerTrigger = 1)
     assert(out2.count() == 3)
   }
+
+  test("stream kmv: per-batch merge is batch-size invariant (mergeability)") {
+    import graft.streaming.{StreamDedup, StreamKmv}
+    val docs = (0 until 300).map { i =>
+      (i.toLong, s"content ${i % 97} with tail $i", if (i % 2 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    val w1 = tmp(); val w2 = tmp()
+    StreamDedup.writeFeed(docs, s"$w1/feed", nFiles = 5)
+    StreamDedup.writeFeed(docs, s"$w2/feed", nFiles = 5)
+    val dribble = StreamKmv.run(spark, s"$w1/feed", s"$w1/checkpoint",
+        s"$w1/state", maxFilesPerTrigger = 1)
+      .as[(String, Double)].collect().toSet
+    val oneShot = StreamKmv.run(spark, s"$w2/feed", s"$w2/checkpoint",
+        s"$w2/state", maxFilesPerTrigger = 5)
+      .as[(String, Double)].collect().toSet
+    assert(dribble == oneShot) // merge-then-estimate == estimate-of-union
+    assert(dribble.nonEmpty && dribble.forall(_._2 > 0.0))
+  }
 }
