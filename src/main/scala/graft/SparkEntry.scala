@@ -246,6 +246,12 @@ object SparkEntry {
     // streaming mergeable-KMV drain: per-batch k-minima merges whose
     // final estimate is bit-identical to the one-shot batch sketch
     "q144_stream_kmv"       -> ((s, d) => LlmQueries.streamKmv(s, d)),
+    // product-analytics batch: cohort retention, event-transition
+    // matrix, ALL()-per-group fill rate, month-over-month growth
+    "q145_cohorts"          -> ((s, d) => CoreQueries.cohortRetention(s, d)),
+    "q146_transitions"      -> ((s, d) => CoreQueries.eventTransitions(s, d)),
+    "q147_fill_rate"        -> ((s, d) => CoreQueries.fillRate(s, d)),
+    "q148_mom_revenue"      -> ((s, d) => CoreQueries.momRevenue(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2527,5 +2533,46 @@ object SparkEntry {
                            / MAX(CASE WHEN rn = 64 THEN hv END), 4)
            END AS est_distinct
          FROM r GROUP BY lang""",
+    "q145_cohorts" ->
+      """WITH um AS (SELECT DISTINCT user_id,
+             strftime(ts, '%Y-%m-%d') AS day FROM events),
+         c AS (SELECT user_id, MIN(day) AS cohort FROM um GROUP BY 1)
+         SELECT cohort, day,
+           CAST(COUNT(DISTINCT um.user_id) AS BIGINT) AS n_users
+         FROM um JOIN c USING (user_id)
+         GROUP BY cohort, day""",
+    "q146_transitions" ->
+      """WITH o AS (SELECT user_id, event_type, event_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM events),
+         l AS (SELECT event_type AS to_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts_s, event_id) AS from_type
+           FROM o)
+         SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+         FROM l WHERE from_type IS NOT NULL
+         GROUP BY from_type, to_type""",
+    "q147_fill_rate" ->
+      """WITH j AS (SELECT o_orderkey, o_orderpriority,
+             MIN(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+               THEN 1 ELSE 0 END) AS all_fast
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY o_orderkey, o_orderpriority)
+         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(all_fast) AS BIGINT) AS n_fast,
+           floor(CAST(SUM(all_fast) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) * 100000.0 + 0.5) / 100000.0
+             AS fill_rate5
+         FROM j GROUP BY o_orderpriority""",
+    "q148_mom_revenue" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+           FROM orders GROUP BY 1),
+         l AS (SELECT month, revenue,
+             lag(revenue) OVER (ORDER BY month) AS prev FROM m)
+         SELECT month, revenue,
+           floor((revenue - prev) / prev * 100000.0 + 0.5) / 100000.0
+             AS mom_change5
+         FROM l WHERE prev IS NOT NULL""",
   )
 }

@@ -1325,6 +1325,78 @@ object CoreQueries {
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
   }
 
+  /** Cohort retention — users grouped by first-active DAY (the
+    * fixture feed spans one month), counted in every day they return:
+    * the product-analytics staple. Two aggregates: first-day per user
+    * (min over a distinct day set), then distinct users per (cohort,
+    * active day); days are 'yyyy-MM-dd' strings (lexicographic =
+    * chronological). */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val um = Tables.events(s, d)
+      .select(col("user_id"),
+        date_format(ts(), "yyyy-MM-dd").as("day"))
+      .distinct()
+    val cohort = um.groupBy("user_id").agg(min("day").as("cohort"))
+    um.join(cohort, "user_id")
+      .groupBy(col("cohort"), col("day"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Event-type transition matrix — per user, consecutive event pairs
+    * (lag over the per-user time order) counted per (from, to): the
+    * sequence-mining primitive behind funnels and Markov-chain churn
+    * models. One window shuffle on user_id, one tiny aggregate. */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(tsSecs, col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Universal quantification per group — orders where EVERY lineitem
+    * shipped within 30 days, as a fill-rate per priority. The ALL()
+    * collapses to `min(cond)` in the per-order aggregate (map-side
+    * partials carry one bit per order), then a second tiny aggregate
+    * rates each priority. No anti-join, no double scan. */
+  def fillRate(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey").as("ok"), col("o_orderpriority"))
+      .agg(min(when(col("l_shipdate")
+        <= col("o_orderdate") + expr("INTERVAL 30 DAY"), 1L)
+        .otherwise(0L)).as("all_fast"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("all_fast")).as("n_fast"))
+      .select(col("o_orderpriority"), col("n_orders"), col("n_fast"),
+        stableRound(col("n_fast").cast(DoubleType)
+          / col("n_orders").cast(DoubleType), 5).as("fill_rate5"))
+
+  /** Month-over-month revenue change — the time-series growth report.
+    * The lag window is GLOBAL but runs over the ~80-row monthly
+    * aggregate, not the fact (months are bounded by the calendar, so
+    * the single-partition window is O(months) at any fact size); the
+    * first month drops (no predecessor). */
+  def momRevenue(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"))
+    val w = Window.orderBy("month")
+    monthly.withColumn("prev", lag(col("revenue"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("month"), col("revenue"),
+        stableRound((col("revenue") - col("prev")) / col("prev"), 5)
+          .as("mom_change5"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -677,6 +677,46 @@ class Round5Spec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("cohorts: no activity before the cohort day, population conserved") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.cohortRetention(spark, sf)
+      .as[(String, String, Long)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall(t => t._1 <= t._2)) // activity never precedes cohort
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    // day-0 rows (cohort == day) partition the user population
+    assert(r.filter(t => t._1 == t._2).map(_._3).sum == users)
+  }
+
+  test("transitions: pair mass equals events minus one per user") {
+    val sf = "/root/testdata/sf0.001"
+    val total = graft.queries.CoreQueries.eventTransitions(spark, sf)
+      .agg(sum("n")).as[Long].head()
+    val e = graft.sources.Tables.events(spark, sf)
+    val expected = e.count() - e.select("user_id").distinct().count()
+    assert(total == expected)
+  }
+
+  test("fill rate bounded and order population conserved") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.fillRate(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall(t => t._3 <= t._2 && t._4 >= 0.0 && t._4 <= 1.0))
+    val orders = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count()
+    assert(r.map(_._2).sum == orders)
+  }
+
+  test("mom revenue: one row per month after the first") {
+    val sf = "/root/testdata/sf0.001"
+    val months = graft.sources.Tables.orders(spark, sf)
+      .select(date_format($"o_orderdate", "yyyy-MM")).distinct().count()
+    val r = graft.queries.CoreQueries.momRevenue(spark, sf).count()
+    assert(r == months - 1)
+  }
+
   test("market share is a [0,1] ratio per distinct year") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.CoreQueries.marketShare(spark, sf)
