@@ -252,6 +252,9 @@ object SparkEntry {
     "q146_transitions"      -> ((s, d) => CoreQueries.eventTransitions(s, d)),
     "q147_fill_rate"        -> ((s, d) => CoreQueries.fillRate(s, d)),
     "q148_mom_revenue"      -> ((s, d) => CoreQueries.momRevenue(s, d)),
+    // custom DataSourceV2 connector: reader-side filter pushdown +
+    // column pruning, one task per feed file
+    "q149_changefeed_source" -> ((s, d) => CoreQueries.changeFeedSource(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2574,5 +2577,12 @@ object SparkEntry {
            floor((revenue - prev) / prev * 100000.0 + 0.5) / 100000.0
              AS mom_change5
          FROM l WHERE prev IS NOT NULL""",
+    "q149_changefeed_source" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           MAX(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS last_ts
+         FROM events WHERE user_id < 75
+         GROUP BY event_type""",
   )
 }

@@ -1397,6 +1397,27 @@ object CoreQueries {
           .as("mom_change5"))
   }
 
+  /** The change feed read through the CUSTOM DataSourceV2 connector
+    * ([[graft.sources.ChangeFeedSource]]): the user_id predicate pushes
+    * INTO the reader (rows drop at parse time, before Spark sees
+    * them), the projection prunes the parsed fields, and parallelism
+    * is one task per feed file — S1 as a first-class pluggable source
+    * rather than a built-in JSON read. */
+  def changeFeedSource(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-cfsrc-").toString
+    val changes = Tables.events(s, d).select(col("event_id"),
+      col("user_id"), col("event_type"), col("value"),
+      fmtTs(col("ts")).as("ts_s"))
+    graft.streaming.CdcStream.writeChangeLog(changes, s"$work/feed", 8)
+    s.read.format("graft.sources.ChangeFeedSource")
+      .option("path", s"$work/feed").load()
+      .filter(col("user_id") < 75)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(col("value")).as("total_value"),
+        max(col("ts_s")).as("last_ts"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -43,4 +43,53 @@ class LayoutSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<id:bigint,value:double>"),
       s"scan must read only projected columns:\n$plan")
   }
+
+  test("dynamic partition pruning fires when the prune key arrives via a join") {
+    // the 100 TB pattern: fact partitioned by a dim-derived key, filter
+    // on the DIM side only — static pruning can't see it, DPP injects a
+    // runtime subquery filter into the fact scan
+    val dir = Files.createTempDirectory("graft-dpp-").toString
+    (1 to 2000).map(i => (i.toLong, s"P${i % 8}", i * 1.0))
+      .toDF("id", "pkey", "value")
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("pkey").parquet(dir)
+    // the dim must live on disk: a filtered LocalRelation constant-folds
+    // (ConvertToLocalRelation) and leaves no Filter node for the DPP
+    // rule's selective-predicate check
+    val dimDir = Files.createTempDirectory("graft-dpp-dim-").toString
+    (0 until 8).map(i => (s"P$i", s"name$i")).toDF("pkey", "name")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "true")
+      val q = spark.read.parquet(dir)
+        .join(dim.filter($"name" === "name3"), "pkey")
+        .select("id", "value", "name")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"expected a DPP subquery in the fact scan:\n$plan")
+      // and it actually prunes: the fact scan reads 1 of the 8
+      // partition files (scan metrics, post-execution)
+      val rows = q.collect()
+      assert(rows.nonEmpty && rows.forall(_.getString(2) == "name3"))
+      // unwrap AQE + query stages: both hide their subtrees from collect
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case qs: QueryStageExec => allScans(qs.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other =>
+          (other.children ++ other.subqueries).flatMap(allScans)
+      }
+      val scans = allScans(q.queryExecution.executedPlan)
+        .filter(_.schema.fieldNames.contains("id"))
+      assert(scans.nonEmpty)
+      assert(scans.head.metrics("numFiles").value == 1,
+        s"expected 1 pruned file, got ${scans.head.metrics("numFiles").value}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

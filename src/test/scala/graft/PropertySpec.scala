@@ -124,4 +124,39 @@ class PropertySpec extends AnyFunSuite {
       }
     }, cases = 5)
   }
+
+  test("native as-of exec equals an in-memory reference on generated feeds") {
+    // random keys/times with heavy collision pressure: ties on (key,
+    // time), keys missing from one side, multiple versions per instant
+    val rowGen = for {
+      n <- Gen.chooseNum(0, 60)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0L, 5L)
+        t <- Gen.chooseNum(0L, 20L)
+      } yield (k, t))
+    } yield rows
+    check(Prop.forAll(rowGen, rowGen) { (lraw, rraw) =>
+      val l = lraw.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k, f"2024-01-01 00:00:$t%02d") }
+      // right unique per (key, time): keep max id
+      val r = rraw.zipWithIndex.map { case ((k, t), i) =>
+        (k, f"2024-01-01 00:00:$t%02d", i.toDouble) }
+        .groupBy(x => (x._1, x._2)).values.map(_.maxBy(_._3)).toSeq
+      (l.isEmpty || r.isEmpty) || {
+        val lDf = l.toDF("event_id", "user_id", "ts_s")
+        val rDf = r.toDF("r_uid", "asof_ts", "asof_v")
+        val got = graft.plans.AsofJoinNative.asofLeft(lDf, rDf,
+            "user_id", "r_uid", "ts_s", "asof_ts")
+          .select("event_id", "asof_v")
+          .as[(Long, Option[Double])].collect().toMap
+        // reference: per left row, max right time <= left time, same key
+        val byKey = r.groupBy(_._1)
+        val expected = l.map { case (id, k, t) =>
+          id -> byKey.getOrElse(k, Seq.empty)
+            .filter(_._2 <= t).sortBy(x => (x._2, x._3)).lastOption.map(_._3)
+        }.toMap
+        got == expected
+      }
+    }, cases = 15)
+  }
 }
