@@ -255,6 +255,12 @@ object SparkEntry {
     // custom DataSourceV2 connector: reader-side filter pushdown +
     // column pruning, one task per feed file
     "q149_changefeed_source" -> ((s, d) => CoreQueries.changeFeedSource(s, d)),
+    // ordered group concat; trailing-window distinct actives (explode-
+    // to-equi-join, no nested loop); exact Pearson by brand; Benford
+    "q150_top_customer_list" -> ((s, d) => CoreQueries.topCustomerList(s, d)),
+    "q151_rolling_actives"  -> ((s, d) => CoreQueries.rollingActives(s, d)),
+    "q152_qty_price_corr"   -> ((s, d) => CoreQueries.qtyPriceCorr(s, d)),
+    "q153_benford"          -> ((s, d) => CoreQueries.benfordDigits(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2584,5 +2590,50 @@ object SparkEntry {
            MAX(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS last_ts
          FROM events WHERE user_id < 75
          GROUP BY event_type""",
+    "q150_top_customer_list" ->
+      """WITH r AS (SELECT n_name, c_name,
+             row_number() OVER (PARTITION BY n_name
+               ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer JOIN nation ON c_nationkey = n_nationkey)
+         SELECT n_name AS nation,
+           string_agg(c_name, ',' ORDER BY rn) AS top3
+         FROM r WHERE rn <= 3 GROUP BY n_name""",
+    "q151_rolling_actives" ->
+      """WITH um AS (SELECT DISTINCT user_id,
+             CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS day FROM events),
+         days AS (SELECT DISTINCT day FROM um),
+         cov AS (SELECT user_id,
+             CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+               INTERVAL 1 DAY)) AS DATE) AS cday
+           FROM um),
+         f AS (SELECT c.user_id, c.cday FROM cov c
+           SEMI JOIN days d ON c.cday = d.day)
+         SELECT strftime(cday, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_7d
+         FROM f GROUP BY 1""",
+    // moment sums in HUGEINT (exact), one double conversion at the end
+    "q152_qty_price_corr" ->
+      """WITH b AS (SELECT p_brand,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         m AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+           FROM b GROUP BY p_brand)
+         SELECT p_brand, n,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+               * CAST(n * syy - sy * sy AS DOUBLE))
+             * 100000.0 + 0.5) / 100000.0 AS corr5
+         FROM m""",
+    "q153_benford" ->
+      """WITH b AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+             AS VARCHAR), 1, 1) AS digit
+           FROM orders),
+         tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM orders)
+         SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+           floor(COUNT(*) / t * 100000.0 + 0.5) / 100000.0 AS share5
+         FROM b, tot GROUP BY digit, t""",
   )
 }

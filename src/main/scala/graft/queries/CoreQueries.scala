@@ -1418,6 +1418,92 @@ object CoreQueries {
         max(col("ts_s")).as("last_ts"))
   }
 
+  /** Ordered group concatenation — top-3 customers per nation as one
+    * comma-joined string (the report/export shape SQL calls
+    * string_agg ... ORDER BY). Spark has no ordered string_agg;
+    * collect_list is unordered by contract, so the order is imposed
+    * DETERMINISTICALLY by sorting the collected (rank, name) structs
+    * before joining — never rely on collect_list's arrival order. */
+  def topCustomerList(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("n_name").as("nation"))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(rn, c_name))), x -> x.c_name)"),
+        ",").as("top3"))
+  }
+
+  /** Trailing 7-day distinct actives per day (the DAU/WAU families).
+    * The trailing window over COUNT(DISTINCT) can't be a window
+    * function (distinct isn't frameable), and a BETWEEN self-join
+    * nested-loops — so each active (user, day) explodes onto the ≤7
+    * future days it covers and an EQUI-join + distinct count does the
+    * rest. ×7 row amplification, all shuffles on keys — scale-safe. */
+  def rollingActives(s: SparkSession, d: String): DataFrame = {
+    val um = Tables.events(s, d)
+      .select(col("user_id"), to_date(ts()).as("day")).distinct()
+    val days = um.select(col("day").as("obs_day")).distinct()
+    um.select(col("user_id"), explode(
+        expr("sequence(day, date_add(day, 6))")).as("cday"))
+      .join(days, col("cday") === col("obs_day"), "left_semi")
+      .groupBy(date_format(col("cday"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+  }
+
+  /** Per-brand Pearson correlation of quantity vs extended price —
+    * the numeric-profiling pass. Quantity is integer-valued and price
+    * quantizes to cents, so every moment sum is INTEGER-exact; the
+    * squared-cents sums exceed int64 at large scale factors, so they
+    * ride DECIMAL(38,0) (mirroring DuckDB's automatic HUGEINT), and
+    * the closed-form correlation runs on identical doubles at the
+    * very end — no engine-divergent variance accumulation. */
+  def qtyPriceCorr(s: SparkSession, d: String): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = col("l_quantity").cast(LongType)
+    val y = floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+      .cast(LongType)
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), x.as("x"), y.as("y"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(big)).as("sx"), sum(col("y").cast(big)).as("sy"),
+        sum((col("x") * col("x")).cast(big)).as("sxx"),
+        sum((col("y").cast(big) * col("y").cast(big))).as("syy"),
+        sum((col("x").cast(big) * col("y").cast(big))).as("sxy"))
+      .select(col("p_brand"), col("n"),
+        stableRound(
+          (col("n").cast(big) * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType)
+            / sqrt((col("n").cast(big) * col("sxx") - col("sx") * col("sx"))
+              .cast(DoubleType)
+              * (col("n").cast(big) * col("syy") - col("sy") * col("sy"))
+                .cast(DoubleType)), 5).as("corr5"))
+  }
+
+  /** Benford leading-digit distribution of order totals — the fraud/
+    * data-quality screen. The digit comes from the DECIMAL STRING of
+    * floor(x) (floor is IEEE-identical everywhere; double→int CASTS
+    * are not: Spark truncates where DuckDB rounds — the one hazard
+    * this query is really about). */
+  def benfordDigits(s: SparkSession, d: String): DataFrame = {
+    val total = Tables.orders(s, d).count()
+    Tables.orders(s, d)
+      .select(substring(floor(col("o_totalprice")).cast(LongType)
+        .cast("string"), 1, 1).as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+      .select(col("digit"), col("n"),
+        stableRound(col("n").cast(DoubleType) / lit(total.toDouble), 5)
+          .as("share5"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

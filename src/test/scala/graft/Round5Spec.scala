@@ -717,6 +717,51 @@ class Round5Spec extends AnyFunSuite {
     assert(r == months - 1)
   }
 
+  test("top customer list: first element equals the argmax winner") {
+    val sf = "/root/testdata/sf0.001"
+    val lists = graft.queries.CoreQueries.topCustomerList(spark, sf)
+      .as[(String, String)].collect().toMap
+    assert(lists.values.forall(_.split(",").length <= 3))
+    val argmax = graft.queries.CoreQueries.argmaxCustomer(spark, sf)
+      .select("nation", "top_customer").as[(String, String)]
+      .collect().toMap
+    argmax.foreach { case (nation, top) =>
+      assert(lists(nation).split(",").head == top, nation)
+    }
+  }
+
+  test("rolling 7-day actives dominate single-day actives") {
+    val sf = "/root/testdata/sf0.001"
+    val weekly = graft.queries.CoreQueries.rollingActives(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val daily = graft.sources.Tables.events(spark, sf)
+      .select(date_format($"ts".cast("timestamp"), "yyyy-MM-dd").as("day"),
+        $"user_id")
+      .distinct().groupBy("day").count()
+      .as[(String, Long)].collect().toMap
+    assert(weekly.nonEmpty)
+    daily.foreach { case (day, n) =>
+      assert(weekly(day) >= n, s"$day: weekly ${weekly(day)} < daily $n")
+    }
+  }
+
+  test("correlation stays inside [-1, 1]") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.qtyPriceCorr(spark, sf)
+      .select("corr5").as[Double].collect()
+    assert(r.nonEmpty)
+    assert(r.forall(c => c >= -1.0 && c <= 1.0))
+  }
+
+  test("benford digits: 1-9 only, counts conserve the order population") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.benfordDigits(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(r.forall(t => t._1.length == 1 && t._1 >= "1" && t._1 <= "9"))
+    assert(r.map(_._2).sum ==
+      graft.sources.Tables.orders(spark, sf).count())
+  }
+
   test("market share is a [0,1] ratio per distinct year") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.CoreQueries.marketShare(spark, sf)
