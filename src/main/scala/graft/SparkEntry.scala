@@ -261,6 +261,10 @@ object SparkEntry {
     "q151_rolling_actives"  -> ((s, d) => CoreQueries.rollingActives(s, d)),
     "q152_qty_price_corr"   -> ((s, d) => CoreQueries.qtyPriceCorr(s, d)),
     "q153_benford"          -> ((s, d) => CoreQueries.benfordDigits(s, d)),
+    // asymmetric containment (excerpt detection) on LSH candidates;
+    // tokenizer fertility per language
+    "q154_containment"      -> ((s, d) => LlmQueries.containmentPairs(s, d)),
+    "q155_fertility"        -> ((s, d) => LlmQueries.tokenizerFertility(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2635,5 +2639,36 @@ object SparkEntry {
          SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
            floor(COUNT(*) / t * 100000.0 + 0.5) / 100000.0 AS share5
          FROM b, tot GROUP BY digit, t""",
+    // reuses the q20/q59 MinHash chain up to `cand`; containment
+    // instead of jaccard on the verified pairs
+    "q154_containment" ->
+      s"""WITH RECURSIVE $dedupGroupCtes,
+         shf AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+         ct AS (SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(a.shingles) AS ca,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(b.shingles) AS cb
+           FROM cand c JOIN shf a ON c.doc_a = a.doc_id
+             JOIN shf b ON c.doc_b = b.doc_id)
+         SELECT doc_a, doc_b,
+           floor(ca * 100000.0 + 0.5) / 100000.0 AS cont_a5,
+           floor(cb * 100000.0 + 0.5) / 100000.0 AS cont_b5
+         FROM ct WHERE greatest(ca, cb) >= 0.7""",
+    "q155_fertility" ->
+      """WITH b AS (SELECT lang, n_chars,
+             len(string_split(text, ' ')) AS n_ws,
+             len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe
+           FROM documents),
+         m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(n_chars) AS sc, SUM(n_ws) AS sw, SUM(n_bpe) AS sb
+           FROM b GROUP BY lang)
+         SELECT lang, n_docs,
+           floor(CAST(sc AS DOUBLE) / CAST(sw AS DOUBLE)
+             * 100000.0 + 0.5) / 100000.0 AS chars_per_ws5,
+           floor(CAST(sc AS DOUBLE) / CAST(sb AS DOUBLE)
+             * 100000.0 + 0.5) / 100000.0 AS chars_per_bpe5
+         FROM m""",
   )
 }

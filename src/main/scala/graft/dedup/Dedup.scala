@@ -647,6 +647,35 @@ object Dedup {
     * equi-join on (lang, bucket) — the blocked analog of the LSH
     * bucket join; each pair matches exactly once because
     * lb_b − lb_a ∈ {−1, 0, 1} picks a unique probe row. */
+  /** Asymmetric CONTAINMENT pairs on the LSH candidates — |A∩B|/|A|
+    * and |A∩B|/|B| for every banded-MinHash candidate pair with either
+    * side ≥ `tau`. The VERIFY stage is where this differs from
+    * [[minhashNearDups]]: a short doc swallowed by a long one has
+    * diluted jaccard (fails the 0.8 cut) but one-sided containment
+    * 1.0. Candidate RECALL is still the minhash bands' — a band
+    * collides with probability ≈ containment³ — so this catches
+    * large-fraction excerpts; exhaustive small-excerpt detection needs
+    * the span-level pass ([[dupSpans]]). Never all-pairs. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       tau: Double): DataFrame = {
+    val sh = withHashedShingles(docs, idCol, textCol, 3)
+      .filter(size(col("shingles")) > 0)
+    val cand = lshCandidates(sh, idCol)
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("shingles").as("sa")),
+        "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingles").as("sb")),
+        "id_b")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        (inter / size(col("sa"))).as("ca"),
+        (inter / size(col("sb"))).as("cb"))
+      .filter(greatest(col("ca"), col("cb")) >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        graft.Oracle.stableRound(col("ca"), 5).as("cont_a5"),
+        graft.Oracle.stableRound(col("cb"), 5).as("cont_b5"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         langCol: String, tau: Double): DataFrame = {
     val spark = docs.sparkSession

@@ -549,6 +549,38 @@ object LlmQueries {
     TextOps.sourceOverlapKmv(Tables.documents(s, d),
       Seq("src0", "src1", "src2", "src3", "src4"))
 
+  /** Asymmetric CONTAINMENT pairs — |A∩B|/|A| vs |A∩B|/|B| on the LSH
+    * candidates: Jaccard misses a short doc swallowed whole by a long
+    * one (small union ratio, total one-sided overlap); containment is
+    * the quote/excerpt detector. Candidates come from the same banded
+    * MinHash pass as q20 — never all-pairs — and the set sizes are the
+    * already-distinct hashed shingle arrays. */
+  def containmentPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+      tau = 0.7)
+
+  /** Tokenizer fertility per language: characters per whitespace token
+    * and per BPE-ish regexp token — the compression diagnostic that
+    * decides which languages burn context budget. Integer char/token
+    * sums, one final division. */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(col("lang"), col("n_chars"),
+        size(TextOps.words(col("text"))).cast("long").as("n_ws"),
+        regexp_count(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).cast("long").as("n_bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sc"),
+        sum("n_ws").as("sw"), sum("n_bpe").as("sb"))
+      .select(col("lang"), col("n_docs"),
+        graft.Oracle.stableRound(
+          col("sc").cast("double") / col("sw").cast("double"), 5)
+          .as("chars_per_ws5"),
+        graft.Oracle.stableRound(
+          col("sc").cast("double") / col("sb").cast("double"), 5)
+          .as("chars_per_bpe5"))
+  }
+
   /** Streaming KMV distinct-count: the corpus drains through
     * checkpointed micro-batches, per-lang k-minima state merges batch
     * by batch, and the final estimate equals the one-shot batch sketch

@@ -762,6 +762,38 @@ class Round5Spec extends AnyFunSuite {
       graft.sources.Tables.orders(spark, sf).count())
   }
 
+  test("containment catches an excerpt that the jaccard cut rejects") {
+    // candidates come from the SAME ~0.8-tuned LSH bands as near-dup
+    // detection, so the detectable excerpts are the large-fraction
+    // ones (band collision odds scale with containment³); the point is
+    // the VERIFY stage: jaccard 0.76 < 0.8 rejects the pair, one-sided
+    // containment 1.0 keeps it
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val short = (1 to 46).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short),
+      (3L, ("zzz " * 50).trim)).toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.containmentPairs(docs, "doc_id", "text", 0.7)
+      .as[(Long, Long, Double, Double)].collect()
+    val pair = r.find(t => t._1 == 1L && t._2 == 2L)
+    assert(pair.isDefined, s"expected (1,2) pair in ${r.toSeq}")
+    assert(pair.get._4 == 1.0)      // |A∩B|/|B| with B = the excerpt
+    assert(pair.get._3 < 0.8)       // the long side's share is partial
+    // the symmetric jaccard-0.8 near-dup pass rejects this same pair
+    val jac = graft.dedup.Dedup.minhashNearDups(docs, "doc_id", "text")
+      .count()
+    assert(jac == 0)
+  }
+
+  test("fertility: chars per token at least 1, docs conserved") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.LlmQueries.tokenizerFertility(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall(t => t._3 >= 1.0 && t._4 >= 1.0))
+    assert(r.map(_._2).sum ==
+      graft.sources.Tables.documents(spark, sf).count())
+  }
+
   test("market share is a [0,1] ratio per distinct year") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.CoreQueries.marketShare(spark, sf)
