@@ -265,6 +265,11 @@ object SparkEntry {
     // tokenizer fertility per language
     "q154_containment"      -> ((s, d) => LlmQueries.containmentPairs(s, d)),
     "q155_fertility"        -> ((s, d) => LlmQueries.tokenizerFertility(s, d)),
+    // watermarked streaming window rollup through the oracle gate
+    // (update-mode key-merged sink; q33's batch semantics); exact
+    // 128-char prefix boilerplate groups
+    "q156_stream_windows"   -> ((s, d) => CoreQueries.streamWindows(s, d)),
+    "q157_prefix_groups"    -> ((s, d) => LlmQueries.prefixGroups(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2670,5 +2675,17 @@ object SparkEntry {
            floor(CAST(sc AS DOUBLE) / CAST(sb AS DOUBLE)
              * 100000.0 + 0.5) / 100000.0 AS chars_per_bpe5
          FROM m""",
+    // q33's batch semantics — the streamed update-mode drain must land
+    // on exactly this aggregate
+    "q156_stream_windows" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+    "q157_prefix_groups" ->
+      """SELECT md5(substr(text, 1, 128)) AS prefix_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keeper
+         FROM documents GROUP BY 1 HAVING COUNT(*) > 1""",
   )
 }

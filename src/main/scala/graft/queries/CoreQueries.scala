@@ -1504,6 +1504,21 @@ object CoreQueries {
           .as("share5"))
   }
 
+  /** q33's daily windowed rollup produced by the STREAMING engine:
+    * watermarked tumbling windows drained in update mode through a
+    * key-merged atomic sink (see [[graft.streaming.StreamWindows]]) —
+    * the end state must equal the batch `window()` aggregate the
+    * oracle recomputes. */
+  def streamWindows(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-swin-").toString
+    val changes = Tables.events(s, d).select(col("event_id"),
+      col("user_id"), col("event_type"), col("value"),
+      fmtTs(col("ts")).as("ts_s"))
+    graft.streaming.CdcStream.writeChangeLog(changes, s"$work/feed", 4)
+    graft.streaming.StreamWindows.run(s, s"$work/feed",
+      s"$work/checkpoint", s"$work/state")
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -581,6 +581,17 @@ object LlmQueries {
           .as("chars_per_bpe5"))
   }
 
+  /** Boilerplate prefix groups: documents sharing their first 128
+    * characters verbatim (page templates, headers, licence blocks) —
+    * the cheap exact precursor to span-level dedup. One hash shuffle
+    * on the prefix md5. */
+  def prefixGroups(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 128)).as("p"))
+      .groupBy(col("p").as("prefix_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .filter(col("n_docs") > 1)
+
   /** Streaming KMV distinct-count: the corpus drains through
     * checkpointed micro-batches, per-lang k-minima state merges batch
     * by batch, and the final estimate equals the one-shot batch sketch

@@ -399,6 +399,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.count() == 3)
   }
 
+  test("stream windows: update-mode drain equals the batch rollup") {
+    import graft.streaming.{CdcStream, StreamWindows, EventTimeOps}
+    val work = tmp()
+    CdcStream.writeChangeLog(changes, s"$work/feed", nFiles = 4)
+    val got = StreamWindows.run(spark, s"$work/feed", s"$work/checkpoint",
+        s"$work/state", maxFilesPerTrigger = 1)
+      .as[(String, String, Long, Double)].collect().toSet
+    val want = EventTimeOps.dailyTypeRollup(
+        changes.withColumn("ts", to_timestamp($"ts_s"))
+          .select("ts", "event_type", "value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == want)
+    // re-drain on the same checkpoint: nothing changes (replay-safe)
+    val again = StreamWindows.run(spark, s"$work/feed", s"$work/checkpoint",
+        s"$work/state", maxFilesPerTrigger = 1)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(again == want)
+  }
+
   test("stream kmv: per-batch merge is batch-size invariant (mergeability)") {
     import graft.streaming.{StreamDedup, StreamKmv}
     val docs = (0 until 300).map { i =>
