@@ -270,6 +270,10 @@ object SparkEntry {
     // 128-char prefix boilerplate groups
     "q156_stream_windows"   -> ((s, d) => CoreQueries.streamWindows(s, d)),
     "q157_prefix_groups"    -> ((s, d) => LlmQueries.prefixGroups(s, d)),
+    // table maintenance through the gate: compaction round-trip and
+    // snapshot time-travel restore, both against q01's oracle
+    "q158_compaction"       -> ((s, d) => CoreQueries.compactionRoundtrip(s, d)),
+    "q159_time_travel"      -> ((s, d) => CoreQueries.timeTravelRestore(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2687,5 +2691,20 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            MIN(doc_id) AS keeper
          FROM documents GROUP BY 1 HAVING COUNT(*) > 1""",
+    // both maintenance ops must be value-neutral: q01's aggregate
+    "q158_compaction" ->
+      """SELECT n_name AS country, COUNT(*) AS total_bookings,
+         CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+         strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_booking_date
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q159_time_travel" ->
+      """SELECT n_name AS country, COUNT(*) AS total_bookings,
+         CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+         strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_booking_date
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
   )
 }

@@ -1519,6 +1519,34 @@ object CoreQueries {
       s"$work/checkpoint", s"$work/state")
   }
 
+  /** Small-files compaction ROUND-TRIP through the gate: the gold
+    * aggregate written as 16 fragment files (a per-batch streaming
+    * sink's debris), compacted into the atomic table, read back — the
+    * maintenance op must be value-neutral, and the oracle (q01's SQL)
+    * is what proves it. */
+  def compactionRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-cmp-").toString
+    goldAgg(s, d).repartition(16).write.mode("overwrite")
+      .parquet(s"$work/frag")
+    graft.sink.Compaction.compact(s, s"$work/frag", s"$work/table")
+    graft.sink.AtomicParquetSink.read(s, s"$work/table").get
+  }
+
+  /** Snapshot TIME TRAVEL through the gate: commit the gold aggregate,
+    * commit a corrupting second version (doubled amounts), then read
+    * the FIRST snapshot back by version id — the restore path after a
+    * bad deploy. The oracle checks the restored rows equal the
+    * original aggregate exactly. */
+  def timeTravelRestore(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-ttr-").toString
+    val t = s"$work/table"
+    graft.sink.AtomicParquetSink.overwrite(goldAgg(s, d), t)
+    graft.sink.AtomicParquetSink.overwrite(
+      goldAgg(s, d).withColumn("total_amount", col("total_amount") * 2), t)
+    val v0 = graft.sink.AtomicParquetSink.versions(s, t).min
+    graft.sink.AtomicParquetSink.readVersion(s, t, v0)
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -794,6 +794,24 @@ class Round5Spec extends AnyFunSuite {
       graft.sources.Tables.documents(spark, sf).count())
   }
 
+  test("time travel restores v0 while the current version stays corrupted") {
+    val sf = "/root/testdata/sf0.001"
+    val work = java.nio.file.Files.createTempDirectory("graft-ttrs-").toString
+    val t = s"$work/table"
+    val gold = graft.queries.CoreQueries.goldAgg(spark, sf)
+    graft.sink.AtomicParquetSink.overwrite(gold, t)
+    graft.sink.AtomicParquetSink.overwrite(
+      gold.withColumn("total_amount", $"total_amount" * 2), t)
+    val v0 = graft.sink.AtomicParquetSink.versions(spark, t).min
+    val restored = graft.sink.AtomicParquetSink.readVersion(spark, t, v0)
+      .agg(sum("total_amount")).as[Double].head()
+    val current = graft.sink.AtomicParquetSink.read(spark, t).get
+      .agg(sum("total_amount")).as[Double].head()
+    val original = gold.agg(sum("total_amount")).as[Double].head()
+    assert(restored == original)
+    assert(current == original * 2)
+  }
+
   test("market share is a [0,1] ratio per distinct year") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.CoreQueries.marketShare(spark, sf)
