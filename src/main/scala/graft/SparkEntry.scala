@@ -274,6 +274,10 @@ object SparkEntry {
     // snapshot time-travel restore, both against q01's oracle
     "q158_compaction"       -> ((s, d) => CoreQueries.compactionRoundtrip(s, d)),
     "q159_time_travel"      -> ((s, d) => CoreQueries.timeTravelRestore(s, d)),
+    // non-hierarchical GROUPING SETS via the SQL front-end; schema-full
+    // from_json struct parsing
+    "q160_grouping_sets"    -> ((s, d) => CoreQueries.groupingSets(s, d)),
+    "q161_from_json"        -> ((s, d) => CoreQueries.fromJsonStats(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2706,5 +2710,26 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name""",
+    "q160_grouping_sets" ->
+      """SELECT coalesce(n_name, '(all)') AS nation,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           CAST(grouping(n_name) AS BIGINT) AS g_nation,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+         FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY GROUPING SETS ((n_name), (o_orderpriority))""",
+    "q161_from_json" ->
+      """WITH k AS (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(k) AS min_k, MAX(k) AS max_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           floor(CAST(SUM(k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             * 100000.0 + 0.5) / 100000.0 AS avg_k5
+         FROM k GROUP BY event_type""",
   )
 }

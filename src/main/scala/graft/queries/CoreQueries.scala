@@ -1547,6 +1547,49 @@ object CoreQueries {
     graft.sink.AtomicParquetSink.readVersion(s, t, v0)
   }
 
+  /** Explicit NON-hierarchical GROUPING SETS — two disjoint grains
+    * ((nation), (priority)) in ONE aggregate pass: the shape rollup
+    * and cube can't express (those are prefix/powerset hierarchies).
+    * Spark expands the sets before the shuffle, so it is still one
+    * partial+final hash agg. Issued through the SQL front-end. */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("gs_orders")
+    Tables.customer(s, d).createOrReplaceTempView("gs_customer")
+    Tables.nation(s, d).createOrReplaceTempView("gs_nation")
+    s.sql(
+      """SELECT coalesce(n_name, '(all)') AS nation,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       count(1) AS n_orders,
+        |       cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+        |         AS revenue,
+        |       cast(grouping(n_name) as bigint) AS g_nation,
+        |       cast(grouping(o_orderpriority) as bigint) AS g_priority
+        |FROM gs_orders o
+        |JOIN gs_customer c ON o.o_custkey = c.c_custkey
+        |JOIN gs_nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (o_orderpriority))""".stripMargin)
+  }
+
+  /** Schema-full JSON parsing: `from_json` with a declared StructType
+    * (not per-path `get_json_object`) turns the props payload into a
+    * typed struct ONCE, then ordinary column pruning/aggregation takes
+    * over — the right shape when several fields come out of one
+    * document (the reference's nested `property_location`, §1.1). */
+  def fromJsonStats(s: SparkSession, d: String): DataFrame = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", LongType)
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"),
+        max("k").as("max_k"), sum("k").as("sum_k"))
+      .select(col("event_type"), col("n"), col("min_k"), col("max_k"),
+        col("sum_k"),
+        stableRound(col("sum_k").cast(DoubleType)
+          / col("n").cast(DoubleType), 5).as("avg_k5"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {
