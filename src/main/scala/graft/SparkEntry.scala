@@ -278,6 +278,14 @@ object SparkEntry {
     // from_json struct parsing
     "q160_grouping_sets"    -> ((s, d) => CoreQueries.groupingSets(s, d)),
     "q161_from_json"        -> ((s, d) => CoreQueries.fromJsonStats(s, d)),
+    // ratio-to-parent share; exact running totals; partitioned YoY lag;
+    // sentence segmentation stats
+    "q162_share_of_region"  -> ((s, d) => CoreQueries.shareOfRegion(s, d)),
+    "q163_running_total"    -> ((s, d) => CoreQueries.runningTotal(s, d)),
+    "q164_yoy_by_nation"    -> ((s, d) => CoreQueries.yoyByNation(s, d)),
+    "q165_sentence_stats"   -> ((s, d) =>
+      graft.text.TextOps.sentenceStats(
+        graft.sources.Tables.documents(s, d), "doc_id", "text")),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2731,5 +2739,53 @@ object SparkEntry {
            floor(CAST(SUM(k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
              * 100000.0 + 0.5) / 100000.0 AS avg_k5
          FROM k GROUP BY event_type""",
+    "q162_share_of_region" ->
+      """WITH nat AS (SELECT r_name AS region, n_name AS nation,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+           FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name, n_name)
+         SELECT region, nation, revenue,
+           floor(revenue / SUM(revenue) OVER (PARTITION BY region)
+             * 100000.0 + 0.5) / 100000.0 AS share5
+         FROM nat""",
+    "q163_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+         FROM orders""",
+    "q164_yoy_by_nation" ->
+      """WITH y AS (SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+           FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name, year(o_orderdate)),
+         l AS (SELECT nation, o_year, revenue,
+             lag(revenue) OVER (PARTITION BY nation ORDER BY o_year)
+               AS prev
+           FROM y)
+         SELECT nation, o_year, revenue,
+           floor((revenue - prev) / prev * 100000.0 + 0.5) / 100000.0
+             AS yoy_change5
+         FROM l WHERE prev IS NOT NULL""",
+    "q165_sentence_stats" ->
+      """WITH s AS (SELECT doc_id, trim(sent) AS sent FROM
+             (SELECT doc_id, unnest(string_split(text, '. ')) AS sent
+              FROM documents)
+           WHERE length(trim(sent)) > 0),
+         w AS (SELECT doc_id,
+             CAST(len(string_split(sent, ' ')) AS BIGINT) AS wc FROM s)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(wc) AS BIGINT) AS n_words,
+           floor(CAST(SUM(wc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             * 100000.0 + 0.5) / 100000.0 AS words_per_sent5
+         FROM w GROUP BY doc_id""",
   )
 }

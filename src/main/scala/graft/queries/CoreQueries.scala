@@ -1590,6 +1590,64 @@ object CoreQueries {
           / col("n").cast(DoubleType), 5).as("avg_k5"))
   }
 
+  /** Ratio-to-parent: each nation's share of its REGION's revenue —
+    * the two-grain report shape (aggregate to child grain, window-sum
+    * to parent grain, divide). The window partitions by the ~5-value
+    * region key over the 25-row nation aggregate — O(nations) however
+    * large the fact. */
+  def shareOfRegion(s: SparkSession, d: String): DataFrame = {
+    val nation = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"))
+    nation
+      .withColumn("region_revenue",
+        sum(col("revenue")).over(Window.partitionBy("region")))
+      .select(col("region"), col("nation"), col("revenue"),
+        stableRound(col("revenue") / col("region_revenue"), 5)
+          .as("share5"))
+  }
+
+  /** Running (cumulative) revenue per customer in order-date order —
+    * the account-balance / lifetime-value shape: one window shuffle on
+    * the customer key, DECIMAL frame arithmetic so every prefix sum is
+    * exact, cast to double only on output. */
+  def runningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast(DoubleType))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"), col("running_total"))
+  }
+
+  /** Year-over-year growth per nation: yearly aggregate + a lag window
+    * PARTITIONED by nation (unlike q148's global month series) — the
+    * cohorted time-series comparison. First year per nation drops. */
+  def yoyByNation(s: SparkSession, d: String): DataFrame = {
+    val yearly = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"))
+    val w = Window.partitionBy("nation").orderBy("o_year")
+    yearly.withColumn("prev", lag(col("revenue"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("nation"), col("o_year"), col("revenue"),
+        stableRound((col("revenue") - col("prev")) / col("prev"), 5)
+          .as("yoy_change5"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -297,6 +297,23 @@ object TextOps {
       .limit(k)
   }
 
+  /** Sentence segmentation stats: sentences per doc and mean sentence
+    * length in words, from a '. '-delimiter split (the cheap segmenter
+    * every heuristic pipeline starts with). Empty trailing segments
+    * are dropped on both engines by filtering blank sentences. */
+  def sentenceStats(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(split(col(textCol), "\\. ")).as("sent"))
+      .filter(length(trim(col("sent"))) > 0)
+      .select(col(idCol),
+        size(split(trim(col("sent")), " ")).cast(LongType).as("wc"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sentences"), sum("wc").as("n_words"))
+      .select(col(idCol), col("n_sentences"), col("n_words"),
+        graft.Oracle.stableRound(col("n_words").cast(DoubleType)
+          / col("n_sentences").cast(DoubleType), 5).as("words_per_sent5"))
+
   /** CCNet-style perplexity bucketing: split each language's docs into
     * head/middle/tail terciles of the [[unigramXent]] score (CCNet,
     * Wenzek et al. 2020 §4.3 — in production the score is a KenLM

@@ -24,7 +24,12 @@ class PlanQualitySpec extends AnyFunSuite {
     "q121_min_price_supplier", "q122_supplier_types",
     "q123_market_share", "q129_asof_native", "q130_local_supplier",
     "q131_volume_shipping", "q132_priority_counts", "q133_disjunctive",
-    "q134_waiting_suppliers", "q135_simple_revenue", "q137_kmv_setops")
+    "q134_waiting_suppliers", "q135_simple_revenue", "q137_kmv_setops",
+    "q145_cohorts", "q146_transitions", "q147_fill_rate",
+    "q150_top_customer_list", "q151_rolling_actives",
+    "q152_qty_price_corr", "q153_benford", "q155_fertility",
+    "q160_grouping_sets", "q161_from_json", "q162_share_of_region",
+    "q163_running_total", "q164_yoy_by_nation", "q165_sentence_stats")
 
   test("no sampled query plans a cartesian product") {
     lazyRelational.foreach { name =>

@@ -812,6 +812,53 @@ class Round5Spec extends AnyFunSuite {
     assert(current == original * 2)
   }
 
+  test("region shares sum to 1 within every region") {
+    val sf = "/root/testdata/sf0.001"
+    val byRegion = graft.queries.CoreQueries.shareOfRegion(spark, sf)
+      .groupBy("region").agg(sum("share5").as("s"))
+      .as[(String, Double)].collect()
+    assert(byRegion.nonEmpty)
+    byRegion.foreach { case (r, total) =>
+      assert(math.abs(total - 1.0) < 1e-3, s"$r shares sum to $total")
+    }
+  }
+
+  test("running total ends at the customer's full spend") {
+    val sf = "/root/testdata/sf0.001"
+    val last = graft.queries.CoreQueries.runningTotal(spark, sf)
+      .groupBy("o_custkey").agg(max("running_total").as("rt"))
+    val full = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("t"))
+    val bad = last.join(full, "o_custkey").filter($"rt" =!= $"t").count()
+    assert(bad == 0)
+  }
+
+  test("yoy: per nation, one row per year after its first") {
+    val sf = "/root/testdata/sf0.001"
+    val perNation = graft.queries.CoreQueries.yoyByNation(spark, sf)
+      .groupBy("nation").count().as[(String, Long)].collect().toMap
+    val years = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf),
+        $"o_custkey" === $"c_custkey")
+      .join(graft.sources.Tables.nation(spark, sf),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", year($"o_orderdate")).distinct()
+      .groupBy("n_name").count().as[(String, Long)].collect().toMap
+    years.foreach { case (n, y) =>
+      assert(perNation.getOrElse(n, 0L) == y - 1, n)
+    }
+  }
+
+  test("sentence stats: at least one word per sentence") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.text.TextOps.sentenceStats(
+        graft.sources.Tables.documents(spark, sf), "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall(t => t._3 >= t._2 && t._4 >= 1.0))
+  }
+
   test("market share is a [0,1] ratio per distinct year") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.CoreQueries.marketShare(spark, sf)
