@@ -286,6 +286,9 @@ object SparkEntry {
     "q165_sentence_stats"   -> ((s, d) =>
       graft.text.TextOps.sentenceStats(
         graft.sources.Tables.documents(s, d), "doc_id", "text")),
+    // 2-phase window skyline (Pareto frontier); 2-D histogram grid
+    "q166_pareto"           -> ((s, d) => CoreQueries.paretoCustomers(s, d)),
+    "q167_histogram_2d"     -> ((s, d) => CoreQueries.histogram2d(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2787,5 +2790,28 @@ object SparkEntry {
            floor(CAST(SUM(wc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
              * 100000.0 + 0.5) / 100000.0 AS words_per_sent5
          FROM w GROUP BY doc_id""",
+    // one global sort-and-scan suffices in the oracle (the 2-phase
+    // Spark plan prunes to the same frontier by dominance transitivity)
+    "q166_pareto" ->
+      """WITH per AS (SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spent,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY o_custkey),
+         sc AS (SELECT o_custkey, total_spent, n_orders,
+             MAX(n_orders) OVER (
+               ORDER BY total_spent DESC, n_orders DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_prior
+           FROM per)
+         SELECT o_custkey, total_spent, n_orders FROM sc
+         WHERE best_prior IS NULL OR n_orders > best_prior""",
+    "q167_histogram_2d" ->
+      """SELECT CAST(least(floor(l_quantity / 10.0), 4.0) AS BIGINT)
+             AS qty_band,
+           CAST(least(floor(l_extendedprice / 20000.0), 5.0) AS BIGINT)
+             AS price_band,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1, 2""",
   )
 }

@@ -1648,6 +1648,57 @@ object CoreQueries {
           .as("yoy_change5"))
   }
 
+  /** 2-D Pareto frontier (skyline): customers not dominated on
+    * (total spend, order count). The O(n²) dominance check collapses
+    * to ONE sort: descending by spend (tie: count, key), a customer is
+    * on the frontier iff its count strictly exceeds the running max
+    * count of everyone with ≥ its spend — the classic sort-and-scan
+    * skyline, expressed as a window. Spend ranks on the exact DECIMAL
+    * sum so the frontier is engine-identical. */
+  def paretoCustomers(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("total_spent"),
+        count(lit(1)).as("n_orders"))
+    // phase 1: LOCAL frontier within each hash bucket (a row dominated
+    // inside its bucket is dominated globally, so pruning is safe) —
+    // keeps the phase-2 global window to the tiny survivor set instead
+    // of single-partitioning every customer
+    val wLocal = Window.partitionBy("b")
+      .orderBy(col("total_spent").desc, col("n_orders").desc,
+        col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val local = per.withColumn("b", pmod(col("o_custkey"), lit(32)))
+      .withColumn("best_prior", max(col("n_orders")).over(wLocal))
+      .filter(col("best_prior").isNull
+        || col("n_orders") > col("best_prior"))
+      .drop("b", "best_prior")
+    // phase 2: exact frontier of the survivors (ties on both dims keep
+    // the smallest key — the convention the oracle mirrors)
+    val wGlobal = Window
+      .orderBy(col("total_spent").desc, col("n_orders").desc,
+        col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    local
+      .withColumn("best_prior", max(col("n_orders")).over(wGlobal))
+      .filter(col("best_prior").isNull
+        || col("n_orders") > col("best_prior"))
+      .select(col("o_custkey"), col("total_spent"), col("n_orders"))
+  }
+
+  /** 2-D histogram grid — (quantity band × price band) cell counts
+    * over lineitem: the joint-distribution profile. Bucket edges are
+    * pure IEEE divide+floor; one hash aggregate over ≤ 60 cells. */
+  def histogram2d(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        least(floor(col("l_quantity") / lit(10.0)), lit(4.0))
+          .cast(LongType).as("qty_band"),
+        least(floor(col("l_extendedprice") / lit(20000.0)), lit(5.0))
+          .cast(LongType).as("price_band"))
+      .groupBy("qty_band", "price_band")
+      .agg(count(lit(1)).as("n"))
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

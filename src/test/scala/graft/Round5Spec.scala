@@ -859,6 +859,39 @@ class Round5Spec extends AnyFunSuite {
     assert(r.forall(t => t._3 >= t._2 && t._4 >= 1.0))
   }
 
+  test("pareto frontier: members undominated, non-members dominated") {
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+        .as("spent"), count(lit(1)).as("n"))
+      .as[(Long, Double, Long)].collect()
+    val frontier = graft.queries.CoreQueries.paretoCustomers(spark, sf)
+      .as[(Long, Double, Long)].collect()
+    val fSet = frontier.map(_._1).toSet
+    def dominates(a: (Long, Double, Long), b: (Long, Double, Long)) =
+      a._2 >= b._2 && a._3 >= b._3 && (a._2 > b._2 || a._3 > b._3)
+    frontier.foreach { f =>
+      assert(!all.exists(o => o._1 != f._1 && dominates(o, f)),
+        s"frontier member $f is dominated")
+    }
+    all.filterNot(o => fSet(o._1)).foreach { o =>
+      // dominated, or an exact tie whose larger key lost the tiebreak
+      assert(all.exists(x => x._1 != o._1 && (dominates(x, o)
+        || (x._2 == o._2 && x._3 == o._3 && x._1 < o._1))),
+        s"non-member $o is undominated")
+    }
+  }
+
+  test("2d histogram conserves the lineitem population") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.histogram2d(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(r.map(_._3).sum ==
+      graft.sources.Tables.lineitem(spark, sf).count())
+    assert(r.forall(t => t._1 >= 0 && t._1 <= 4 && t._2 >= 0 && t._2 <= 5))
+  }
+
   test("market share is a [0,1] ratio per distinct year") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.CoreQueries.marketShare(spark, sf)
