@@ -289,6 +289,11 @@ object SparkEntry {
     // 2-phase window skyline (Pareto frontier); 2-D histogram grid
     "q166_pareto"           -> ((s, d) => CoreQueries.paretoCustomers(s, d)),
     "q167_histogram_2d"     -> ((s, d) => CoreQueries.histogram2d(s, d)),
+    // Heaps-law vocabulary growth; Fano-factor burstiness
+    "q168_vocab_growth"     -> ((s, d) =>
+      graft.text.TextOps.vocabGrowth(
+        graft.sources.Tables.documents(s, d), "doc_id", "text")),
+    "q169_burstiness"       -> ((s, d) => CoreQueries.burstiness(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2813,5 +2818,40 @@ object SparkEntry {
              AS price_band,
            CAST(COUNT(*) AS BIGINT) AS n
          FROM lineitem GROUP BY 1, 2""",
+    "q168_vocab_growth" ->
+      """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+         first AS (SELECT tok, MIN(doc_id) AS first_doc FROM
+             (SELECT doc_id, unnest(
+                CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+                  list_transform(range(1, len(string_split(text, ' '))),
+                    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
+                ELSE [] END) AS tok
+              FROM documents)
+           GROUP BY tok),
+         dec AS (SELECT CAST(least(floor(first_doc * 10.0 / (m + 1.0)),
+               9.0) AS BIGINT) AS decile
+           FROM first, mx),
+         cnt AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_tokens
+           FROM dec GROUP BY decile)
+         SELECT decile, new_tokens,
+           CAST(SUM(new_tokens) OVER (ORDER BY decile
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+         FROM cnt""",
+    "q169_burstiness" ->
+      """WITH dc AS (SELECT event_type,
+             strftime(ts, '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(c * c) AS BIGINT) AS scc
+           FROM dc GROUP BY event_type)
+         SELECT event_type, n_days,
+           floor((CAST(scc AS DOUBLE) / n_days
+             - (CAST(sc AS DOUBLE) / n_days)
+               * (CAST(sc AS DOUBLE) / n_days))
+             / (CAST(sc AS DOUBLE) / n_days) * 100000.0 + 0.5) / 100000.0
+             AS vmr5
+         FROM m""",
   )
 }

@@ -1699,6 +1699,26 @@ object CoreQueries {
       .groupBy("qty_band", "price_band")
       .agg(count(lit(1)).as("n"))
 
+  /** Burstiness per event type — variance-to-mean ratio (Fano factor)
+    * of daily event counts: VMR ≈ 1 is Poisson-like traffic, ≫ 1 is
+    * bursty. Day counts are integers, so Σc and Σc² are exact; the
+    * ratio assembles from identical doubles at the end. */
+  def burstiness(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_format(ts(), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum("c").as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .select(col("event_type"), col("n_days"),
+        stableRound(
+          (col("scc").cast(DoubleType) / col("n_days")
+            - (col("sc").cast(DoubleType) / col("n_days"))
+              * (col("sc").cast(DoubleType) / col("n_days")))
+            / (col("sc").cast(DoubleType) / col("n_days")), 5)
+          .as("vmr5"))
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -314,6 +314,34 @@ object TextOps {
         graft.Oracle.stableRound(col("n_words").cast(DoubleType)
           / col("n_sentences").cast(DoubleType), 5).as("words_per_sent5"))
 
+  /** Vocabulary growth curve (Heaps'-law profile): corpus deciles (by
+    * doc id) vs cumulative distinct word BIGRAMS (unigrams saturate in
+    * the first slice of the synthetic corpus; the bigram space keeps
+    * growing — exactly why Heaps' law is measured on n-grams). One
+    * shuffle finds each bigram's FIRST document; the curve is then a
+    * ≤10-row cumulative window — no per-prefix distinct scans. A
+    * flattening curve means new data stops bringing new phrasing. */
+  def vocabGrowth(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val maxId = docs.agg(max(col(idCol))).head().getLong(0)
+    val first = docs
+      .select(col(idCol), words(col(textCol)).as("_w"))
+      .select(col(idCol), explode(expr(
+        """CASE WHEN size(_w) >= 2 THEN
+          |  transform(sequence(1, size(_w) - 1),
+          |    i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))
+          |ELSE cast(array() as array<string>) END""".stripMargin))
+        .as("tok"))
+      .groupBy("tok").agg(min(col(idCol)).as("first_doc"))
+      .select(least(floor(col("first_doc") * 10.0 / (maxId + 1.0)),
+        lit(9.0)).cast(LongType).as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("new_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0L)
+    first.withColumn("cum_vocab", sum(col("new_tokens")).over(w))
+  }
+
   /** CCNet-style perplexity bucketing: split each language's docs into
     * head/middle/tail terciles of the [[unigramXent]] score (CCNet,
     * Wenzek et al. 2020 §4.3 — in production the score is a KenLM

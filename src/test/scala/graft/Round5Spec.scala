@@ -892,6 +892,31 @@ class Round5Spec extends AnyFunSuite {
     assert(r.forall(t => t._1 >= 0 && t._1 <= 4 && t._2 >= 0 && t._2 <= 5))
   }
 
+  test("vocab growth: cumulative, monotone, ends at the bigram vocabulary") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val r = graft.text.TextOps.vocabGrowth(docs, "doc_id", "text")
+      .orderBy("decile").as[(Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    assert(r.map(_._3).zip(r.map(_._3).tail).forall { case (a, b) => a < b }
+      || r.length == 1)
+    val total = docs.select(explode(expr(
+        """transform(sequence(1, size(split(text,' ')) - 1),
+          |  i -> concat(element_at(split(text,' '), i), ' ',
+          |    element_at(split(text,' '), i + 1)))""".stripMargin)))
+      .distinct().count()
+    assert(r.last._3 == total)
+  }
+
+  test("burstiness: vmr non-negative, day population conserved") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.burstiness(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_._3 >= 0.0))
+    assert(r.forall(t => t._2 >= 1 && t._2 <= 31))
+  }
+
   test("market share is a [0,1] ratio per distinct year") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.CoreQueries.marketShare(spark, sf)
