@@ -294,6 +294,8 @@ object SparkEntry {
       graft.text.TextOps.vocabGrowth(
         graft.sources.Tables.documents(s, d), "doc_id", "text")),
     "q169_burstiness"       -> ((s, d) => CoreQueries.burstiness(s, d)),
+    // kNN-graph label mixing matrix (homophily diagnostic)
+    "q170_knn_labels"       -> ((s, d) => LlmQueries.knnLabelMatrix(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2853,5 +2855,16 @@ object SparkEntry {
              / (CAST(sc AS DOUBLE) / n_days) * 100000.0 + 0.5) / 100000.0
              AS vmr5
          FROM m""",
+    // reuses the q88/q111 kNN edge chain verbatim
+    "q170_knn_labels" ->
+      s"""WITH $knnEdgeCtes,
+         m AS (SELECT least(ea.label, eb.label) AS label_a,
+             greatest(ea.label, eb.label) AS label_b
+           FROM e JOIN embeddings ea ON e.src = ea.vec_id
+             JOIN embeddings eb ON e.dst = eb.vec_id)
+         SELECT CAST(label_a AS BIGINT) AS label_a,
+           CAST(label_b AS BIGINT) AS label_b,
+           CAST(COUNT(*) AS BIGINT) AS n_edges
+         FROM m GROUP BY label_a, label_b""",
   )
 }

@@ -592,6 +592,23 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
       .filter(col("n_docs") > 1)
 
+  /** Label mixing matrix of the kNN graph — edge counts per unordered
+    * label pair: the homophily diagnostic (an embedding space whose
+    * neighbors cross labels constantly won't support label-aware
+    * retrieval). Reuses the exact q88/q111 graph definition. */
+  def knnLabelMatrix(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val lab = e.select(col("vec_id"), col("label").cast("long").as("lb"))
+    Ann.knnGraph(e, "vec_id", "embedding", nBits = 4, k = 2)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .join(lab.select(col("vec_id").as("src"), col("lb").as("la")), "src")
+      .join(lab.select(col("vec_id").as("dst"), col("lb").as("lbl")), "dst")
+      .select(least(col("la"), col("lbl")).as("label_a"),
+        greatest(col("la"), col("lbl")).as("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(count(lit(1)).as("n_edges"))
+  }
+
   /** Streaming KMV distinct-count: the corpus drains through
     * checkpointed micro-batches, per-lang k-minima state merges batch
     * by batch, and the final estimate equals the one-shot batch sketch

@@ -917,6 +917,17 @@ class Round5Spec extends AnyFunSuite {
     assert(r.forall(t => t._2 >= 1 && t._2 <= 31))
   }
 
+  test("knn label matrix conserves edge mass, pairs are ordered") {
+    val sf = "/root/testdata/sf0.001"
+    val edges = graft.ann.Ann.knnGraph(
+      graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding",
+      nBits = 4, k = 2).count()
+    val m = graft.queries.LlmQueries.knnLabelMatrix(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(m.map(_._3).sum == edges)
+    assert(m.forall(t => t._1 <= t._2))
+  }
+
   test("market share is a [0,1] ratio per distinct year") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.CoreQueries.marketShare(spark, sf)
