@@ -6,9 +6,10 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,14 +49,136 @@ class ChangeFeedSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = false
 }
 
-class ChangeFeedTable(path: String) extends Table with SupportsRead {
+class ChangeFeedTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_changefeed($path)"
   override def schema(): StructType = graft.streaming.CdcStream.changeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ChangeFeedScanBuilder(
       Option(path).getOrElse(options.get("path")))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ChangeFeedWriteBuilder(
+      Option(path).getOrElse(info.options.get("path")), info.schema())
+}
+
+/** V2 WRITE path: each task stages its rows as a uniquely-named
+  * `.staged` file (invisible to the reader, which lists `*.json`
+  * only); the DRIVER commit renames every staged file to `.json` in
+  * one pass after all tasks succeeded — a partial job leaves only
+  * ignorable staging debris, never a half-visible feed. `truncate`
+  * (overwrite mode) deletes the existing `.json` files inside the
+  * same commit, after the renames are prepared. */
+class ChangeFeedWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new ChangeFeedBatchWrite(path, schema, doTruncate)
+  }
+}
+
+case class StagedFile(file: String) extends WriterCommitMessage
+
+class ChangeFeedBatchWrite(path: String, schema: StructType,
+                           truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    ChangeFeedWriterFactory(path, schema)
+
+  private def fs() = new Path(path).getFileSystem(
+    org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs()
+    if (truncate) {
+      val it = f.listFiles(new Path(path), true)
+      val olds = scala.collection.mutable.ArrayBuffer[Path]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".json"))
+          olds += st.getPath
+      }
+      olds.foreach(p => f.delete(p, false))
+    }
+    messages.foreach { case StagedFile(file) =>
+      val src = new Path(file)
+      val dst = new Path(file.stripSuffix(".staged"))
+      if (!f.rename(src, dst))
+        throw new java.io.IOException(s"commit rename failed: $src")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs()
+    messages.foreach {
+      case StagedFile(file) => f.delete(new Path(file), false)
+      case _ =>
+    }
+  }
+}
+
+case class ChangeFeedWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new ChangeFeedWriter(path, schema, partitionId, taskId)
+}
+
+/** Serializes rows to the feed's JSON-lines format. The staged name
+  * carries (partition, task) so speculative/retried attempts never
+  * collide; only the committed attempt's file gets renamed. */
+class ChangeFeedWriter(path: String, schema: StructType,
+                       partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val file =
+    s"$path/part-$partitionId-$taskId.json.staged"
+  private val p = new Path(file)
+  private val out = {
+    val f = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      f.create(p, true), "UTF-8"))
+  }
+  private val names = schema.fields.map(_.name)
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new StringBuilder("{")
+    var i = 0
+    while (i < names.length) {
+      if (i > 0) sb.append(',')
+      sb.append('"').append(names(i)).append("\":")
+      names(i) match {
+        case "event_id" | "user_id" => sb.append(row.getLong(i))
+        case "value" => sb.append(row.getDouble(i))
+        case _ =>
+          // event_type / ts_s carry no JSON-special chars in this
+          // format; escape quotes/backslashes anyway for safety
+          val s = row.getUTF8String(i).toString
+            .replace("\\", "\\\\").replace("\"", "\\\"")
+          sb.append('"').append(s).append('"')
+      }
+      i += 1
+    }
+    out.write(sb.append('}').toString)
+    out.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    StagedFile(file)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    new Path(file).getFileSystem(
+      new org.apache.hadoop.conf.Configuration()).delete(p, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 class ChangeFeedScanBuilder(path: String) extends ScanBuilder

@@ -47,6 +47,31 @@ class ChangeFeedSourceSpec extends AnyFunSuite {
     assert(q.distinct().as[String].collect().toSet == Set("update", "error"))
   }
 
+  test("v2 write: append round-trips, overwrite truncates, staging invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfw-").toString
+    val a = (1 to 50).map(i => (i.toLong, (i % 5).toLong, "update",
+      i * 1.0, f"2024-01-01 ${i % 24}%02d:00:00"))
+      .toDF("event_id", "user_id", "event_type", "value", "ts_s")
+    a.write.format(fmt).option("path", dir).mode("append").save()
+    val back = spark.read.format(fmt).option("path", dir).load()
+    assert(back.count() == 50)
+    assert(back.as[(Long, Long, String, Double, String)].collect().toSet
+      == a.as[(Long, Long, String, Double, String)].collect().toSet)
+    // no .staged debris survives a successful commit
+    val staged = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".staged"))
+    assert(staged.isEmpty)
+    // append accumulates; overwrite truncates to the new content
+    a.withColumn("event_id", $"event_id" + 1000L)
+      .write.format(fmt).option("path", dir).mode("append").save()
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 100)
+    val b = a.withColumn("event_id", $"event_id" + 5000L)
+    b.write.format(fmt).option("path", dir).mode("overwrite").save()
+    val after = spark.read.format(fmt).option("path", dir).load()
+    assert(after.count() == 50)
+    assert(after.agg(min("event_id")).as[Long].head() == 5001L)
+  }
+
   test("event_id/user_id comparisons push into the reader; rest residual") {
     val (dir, changes) = feed()
     val q = spark.read.format(fmt).option("path", dir).load()
