@@ -296,6 +296,9 @@ object SparkEntry {
     "q169_burstiness"       -> ((s, d) => CoreQueries.burstiness(s, d)),
     // kNN-graph label mixing matrix (homophily diagnostic)
     "q170_knn_labels"       -> ((s, d) => LlmQueries.knnLabelMatrix(s, d)),
+    // gaps-and-islands error streaks; staleness-bounded as-of
+    "q171_error_streaks"    -> ((s, d) => CoreQueries.errorStreaks(s, d)),
+    "q172_asof_tolerance"   -> ((s, d) => CoreQueries.asofTolerance(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2866,5 +2869,52 @@ object SparkEntry {
            CAST(label_b AS BIGINT) AS label_b,
            CAST(COUNT(*) AS BIGINT) AS n_edges
          FROM m GROUP BY label_a, label_b""",
+    "q171_error_streaks" ->
+      """WITH seg AS (SELECT user_id, event_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id
+                 ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S'), event_id
+                 ROWS UNBOUNDED PRECEDING) AS seg
+           FROM events),
+         runs AS (SELECT user_id, seg, CAST(COUNT(*) AS BIGINT)
+               AS run_len
+           FROM seg WHERE is_err = 0 GROUP BY user_id, seg),
+         ls AS (SELECT user_id, MAX(seg) AS last_seg,
+             CAST(SUM(is_err) AS BIGINT) AS n_errors
+           FROM seg GROUP BY user_id),
+         lg AS (SELECT user_id, MAX(run_len) AS longest_run
+           FROM runs GROUP BY user_id)
+         SELECT ls.user_id, ls.n_errors,
+           COALESCE(lg.longest_run, 0) AS longest_run,
+           COALESCE(cr.run_len, 0) AS current_run
+         FROM ls LEFT JOIN lg ON ls.user_id = lg.user_id
+           LEFT JOIN runs cr
+             ON ls.user_id = cr.user_id AND ls.last_seg = cr.seg""",
+    "q172_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value FROM events),
+         l AS (SELECT * FROM e WHERE event_id % 5 <> 0),
+         r0 AS (SELECT user_id, ts_s, value, event_id,
+             row_number() OVER (PARTITION BY user_id, ts_s
+               ORDER BY event_id DESC) AS rn
+           FROM e WHERE event_id % 5 = 0),
+         r AS (SELECT user_id, ts_s, value, event_id FROM r0 WHERE rn = 1),
+         j AS (SELECT l.event_id, l.user_id, l.ts_s, l.value,
+             r.value AS asof_value, r.event_id AS asof_event_id,
+             r.ts_s AS asof_ts
+           FROM l ASOF LEFT JOIN r
+             ON l.user_id = r.user_id AND l.ts_s >= r.ts_s)
+         SELECT event_id, user_id, ts_s, value,
+           CASE WHEN asof_ts IS NULL OR epoch(CAST(ts_s AS TIMESTAMP))
+               - epoch(CAST(asof_ts AS TIMESTAMP)) > 3600
+             THEN NULL ELSE asof_value END AS asof_value,
+           CASE WHEN asof_ts IS NULL OR epoch(CAST(ts_s AS TIMESTAMP))
+               - epoch(CAST(asof_ts AS TIMESTAMP)) > 3600
+             THEN NULL ELSE asof_event_id END AS asof_event_id,
+           CASE WHEN asof_ts IS NULL OR epoch(CAST(ts_s AS TIMESTAMP))
+               - epoch(CAST(asof_ts AS TIMESTAMP)) > 3600
+             THEN NULL ELSE asof_ts END AS asof_ts
+         FROM j""",
   )
 }

@@ -1719,6 +1719,56 @@ object CoreQueries {
             / (col("sc").cast(DoubleType) / col("n_days")), 5)
           .as("vmr5"))
 
+  /** Gaps-and-islands: per-user clean-run statistics between error
+    * events. The marker-reset pattern — a running count of errors
+    * assigns every event its segment id, segments aggregate to run
+    * lengths, runs aggregate to (n_errors, longest_run, current_run)
+    * per user. Two window/grouping passes over ONE hash partitioning
+    * on the user key. */
+  def errorStreaks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(tsSecs, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0L)
+    val seg = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("event_type") === "error").cast("long").as("is_err"))
+      .withColumn("seg", sum(col("is_err")).over(w))
+    // clean-run length per (user, segment); the error row itself is
+    // excluded from its segment's run
+    val runs = seg.filter(col("is_err") === 0)
+      .groupBy(col("user_id"), col("seg"))
+      .agg(count(lit(1)).as("run_len"))
+    val lastSeg = seg.groupBy(col("user_id"))
+      .agg(max(col("seg")).as("last_seg"),
+        sum(col("is_err")).as("n_errors"))
+    lastSeg
+      .join(runs.groupBy("user_id").agg(max("run_len").as("longest_run")),
+        Seq("user_id"), "left")
+      .join(runs.select(col("user_id"), col("seg").as("last_seg"),
+        col("run_len").as("current_run")), Seq("user_id", "last_seg"),
+        "left")
+      .select(col("user_id"), col("n_errors"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        coalesce(col("current_run"), lit(0L)).as("current_run"))
+  }
+
+  /** Staleness-bounded AS-OF: the q47 point-in-time probe with a
+    * 1-hour tolerance — a version older than the bound is no match
+    * (feature stores call this max staleness; serving a day-old
+    * feature is often worse than serving none). Same single-shuffle
+    * plan; the bound is a post-join null-out, not a second join. */
+  def asofTolerance(s: SparkSession, d: String): DataFrame = {
+    val joined = asofJoin(s, d)
+    val stale = col("asof_ts").isNull ||
+      (unix_timestamp(col("ts_s")) - unix_timestamp(col("asof_ts"))
+        > 3600L)
+    joined.select(col("event_id"), col("user_id"), col("ts_s"),
+      col("value"),
+      when(stale, lit(null)).otherwise(col("asof_value")).as("asof_value"),
+      when(stale, lit(null)).otherwise(col("asof_event_id"))
+        .as("asof_event_id"),
+      when(stale, lit(null)).otherwise(col("asof_ts")).as("asof_ts"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -928,6 +928,31 @@ class Round5Spec extends AnyFunSuite {
     assert(m.forall(t => t._1 <= t._2))
   }
 
+  test("error streaks: error mass conserved, current never beats longest") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.errorStreaks(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall(t => t._4 <= t._3))
+    val errs = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type" === "error").count()
+    assert(r.map(_._2).sum == errs)
+  }
+
+  test("asof tolerance: surviving matches are fresh, others nulled") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.CoreQueries.asofTolerance(spark, sf)
+    val bad = r.filter($"asof_ts".isNotNull &&
+      (unix_timestamp($"ts_s") - unix_timestamp($"asof_ts") > 3600L))
+      .count()
+    assert(bad == 0)
+    // the bound genuinely drops some matches vs the unbounded probe
+    val unbounded = graft.queries.CoreQueries.asofJoin(spark, sf)
+      .filter($"asof_ts".isNotNull).count()
+    val bounded = r.filter($"asof_ts".isNotNull).count()
+    assert(bounded < unbounded)
+  }
+
   test("market share is a [0,1] ratio per distinct year") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.CoreQueries.marketShare(spark, sf)
