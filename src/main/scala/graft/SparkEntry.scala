@@ -299,6 +299,11 @@ object SparkEntry {
     // gaps-and-islands error streaks; staleness-bounded as-of
     "q171_error_streaks"    -> ((s, d) => CoreQueries.errorStreaks(s, d)),
     "q172_asof_tolerance"   -> ((s, d) => CoreQueries.asofTolerance(s, d)),
+    // IDF-weighted soft Jaccard (boilerplate-insensitive dedup weight)
+    "q173_weighted_jaccard" -> ((s, d) =>
+      graft.dedup.Dedup.weightedJaccardPairs(
+        graft.sources.Tables.documents(s, d), "doc_id", "text",
+        tau = 0.5)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2916,5 +2921,38 @@ object SparkEntry {
                - epoch(CAST(asof_ts AS TIMESTAMP)) > 3600
              THEN NULL ELSE asof_ts END AS asof_ts
          FROM j""",
+    // reuses the q20/q59 candidate chain; idf-weighted overlap instead
+    // of set-count jaccard
+    "q173_weighted_jaccard" ->
+      s"""WITH RECURSIVE $dedupGroupCtes,
+         shf AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+         g AS (SELECT doc_id AS gid, unnest(shingles) AS gram FROM shf),
+         nd AS (SELECT COUNT(*) AS n FROM documents),
+         idf AS (SELECT gram,
+             CAST(floor(ln((n + 1.0) / (df + 1.0)) * 1000000000.0 + 0.5)
+               AS BIGINT) AS w
+           FROM (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram), nd),
+         wa AS (SELECT c.doc_a, c.doc_b, SUM(w) AS wa
+           FROM cand c JOIN g ON g.gid = c.doc_a
+             JOIN idf ON idf.gram = g.gram
+           GROUP BY c.doc_a, c.doc_b),
+         wb AS (SELECT c.doc_a, c.doc_b, SUM(w) AS wb
+           FROM cand c JOIN g ON g.gid = c.doc_b
+             JOIN idf ON idf.gram = g.gram
+           GROUP BY c.doc_a, c.doc_b),
+         ws AS (SELECT c.doc_a, c.doc_b, SUM(w) AS ws
+           FROM cand c JOIN g ga ON ga.gid = c.doc_a
+             JOIN g gb ON gb.gid = c.doc_b AND gb.gram = ga.gram
+             JOIN idf ON idf.gram = ga.gram
+           GROUP BY c.doc_a, c.doc_b)
+         SELECT wa.doc_a, wa.doc_b,
+           floor(CAST(COALESCE(ws.ws, 0) AS DOUBLE)
+             / CAST(wa.wa + wb.wb - COALESCE(ws.ws, 0) AS DOUBLE)
+             * 100000.0 + 0.5) / 100000.0 AS wj5
+         FROM wa JOIN wb ON wa.doc_a = wb.doc_a AND wa.doc_b = wb.doc_b
+           LEFT JOIN ws ON wa.doc_a = ws.doc_a AND wa.doc_b = ws.doc_b
+         WHERE floor(CAST(COALESCE(ws.ws, 0) AS DOUBLE)
+             / CAST(wa.wa + wb.wb - COALESCE(ws.ws, 0) AS DOUBLE)
+             * 100000.0 + 0.5) / 100000.0 >= 0.5""",
   )
 }

@@ -676,6 +676,46 @@ object Dedup {
         graft.Oracle.stableRound(col("cb"), 5).as("cont_b5"))
   }
 
+  /** IDF-WEIGHTED Jaccard on the LSH candidates — shared boilerplate
+    * grams (high df, near-zero idf) stop inflating similarity, shared
+    * RARE grams dominate: Σidf(∩) / Σidf(∪). The weighting is the
+    * standard soft-dedup upgrade when corpora share templates. IDF is
+    * smoothed ln((N+1)/(df+1)) quantized to 1e-9 BIGINTs, so every
+    * per-pair sum is integer-exact; one division at the end. Work is
+    * candidate-bounded (never all-pairs). */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String,
+                           textCol: String, tau: Double): DataFrame = {
+    val nDocs = docs.count()
+    val sh = withHashedShingles(docs, idCol, textCol, 3)
+      .filter(size(col("shingles")) > 0)
+    val g = sh.select(col(idCol).as("gid"), explode(col("shingles"))
+      .as("gram"))
+    val idf = g.groupBy("gram").agg(count(lit(1)).as("df"))
+      .select(col("gram"),
+        floor(log((lit(nDocs) + lit(1.0)) / (col("df") + lit(1.0)))
+          * lit(1e9) + lit(0.5)).cast(LongType).as("w"))
+    val cand = lshCandidates(sh, idCol)
+    val ga = cand.join(g.withColumnRenamed("gid", "id_a"), "id_a")
+    val wa = ga.join(idf, "gram")
+      .groupBy("id_a", "id_b").agg(sum("w").as("wa"))
+    val wb = cand.join(g.withColumnRenamed("gid", "id_b"), "id_b")
+      .join(idf, "gram")
+      .groupBy("id_a", "id_b").agg(sum("w").as("wb"))
+    val ws = ga
+      .join(g.select(col("gid").as("id_b"), col("gram")),
+        Seq("id_b", "gram"))
+      .join(idf, "gram")
+      .groupBy("id_a", "id_b").agg(sum("w").as("ws"))
+    wa.join(wb, Seq("id_a", "id_b"))
+      .join(ws, Seq("id_a", "id_b"), "left")
+      .withColumn("ws", coalesce(col("ws"), lit(0L)))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        graft.Oracle.stableRound(col("ws").cast("double")
+          / (col("wa") + col("wb") - col("ws")).cast("double"), 5)
+          .as("wj5"))
+      .filter(col("wj5") >= tau)
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         langCol: String, tau: Double): DataFrame = {
     val spark = docs.sparkSession

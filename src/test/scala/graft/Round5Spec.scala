@@ -953,6 +953,28 @@ class Round5Spec extends AnyFunSuite {
     assert(bounded < unbounded)
   }
 
+  test("weighted jaccard: clones score 1, universal boilerplate scores ~0") {
+    // docs 1/2: identical. docs 3/4: overlap ONLY in the boilerplate
+    // block every doc carries — plain jaccard is high, idf-weighted
+    // collapses because df=N grams have idf ln((N+1)/(N+1)) = 0
+    val boiler = (1 to 40).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler unique alpha beta gamma"),
+      (2L, s"$boiler unique alpha beta gamma"),
+      (3L, s"$boiler three own words here"),
+      (4L, s"$boiler four distinct tail tokens")
+    ).toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.weightedJaccardPairs(docs, "doc_id", "text",
+        tau = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(r((1L, 2L)) == 1.0)
+    assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
+    // the boilerplate-only pair survives candidacy but scores low —
+    // far below its ~0.8 unweighted set jaccard
+    r.get((3L, 4L)).foreach(v => assert(v < 0.2, s"(3,4) scored $v"))
+  }
+
   test("market share is a [0,1] ratio per distinct year") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.CoreQueries.marketShare(spark, sf)
