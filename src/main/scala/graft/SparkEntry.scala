@@ -304,6 +304,11 @@ object SparkEntry {
       graft.dedup.Dedup.weightedJaccardPairs(
         graft.sources.Tables.documents(s, d), "doc_id", "text",
         tau = 0.5)),
+    // exact source-overlap ground truth for q137's sketch estimates
+    "q174_source_overlap"   -> ((s, d) =>
+      graft.text.TextOps.sourceOverlapExact(
+        graft.sources.Tables.documents(s, d),
+        Seq("src0", "src1", "src2", "src3", "src4"))),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2954,5 +2959,25 @@ object SparkEntry {
          WHERE floor(CAST(COALESCE(ws.ws, 0) AS DOUBLE)
              / CAST(wa.wa + wb.wb - COALESCE(ws.ws, 0) AS DOUBLE)
              * 100000.0 + 0.5) / 100000.0 >= 0.5""",
+    "q174_source_overlap" ->
+      """WITH tk AS (SELECT DISTINCT source,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents
+                 WHERE source IN ('src0','src1','src2','src3','src4'))),
+         nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM tk GROUP BY source),
+         inter AS (SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+           FROM tk a JOIN tk b
+             ON a.hv = b.hv AND a.source < b.source
+           GROUP BY a.source, b.source)
+         SELECT i.source_a, i.source_b, i.n_inter,
+           na.n + nb.n - i.n_inter AS n_union,
+           floor(CAST(i.n_inter AS DOUBLE)
+             / CAST(na.n + nb.n - i.n_inter AS DOUBLE)
+             * 100000.0 + 0.5) / 100000.0 AS jaccard5
+         FROM inter i JOIN nd na ON i.source_a = na.source
+           JOIN nd nb ON i.source_b = nb.source""",
   )
 }

@@ -342,6 +342,37 @@ object TextOps {
     first.withColumn("cum_vocab", sum(col("new_tokens")).over(w))
   }
 
+  /** EXACT distinct-token overlap between sources — the ground truth
+    * [[sourceOverlapKmv]] approximates: |A∩B|, |A∪B|, and their
+    * Jaccard per source pair, from one (source, token-hash) distinct
+    * set and a pair equi-join. The sketch version stays O(k) per
+    * source; this one shuffles the real token sets — run both and the
+    * difference IS the estimator error report. */
+  def sourceOverlapExact(docs: DataFrame, sources: Seq[String]): DataFrame = {
+    val tk = docs.filter(col("source").isin(sources: _*))
+      .select(col("source"), explode(words(col("text"))).as("tok"))
+      .select(col("source"),
+        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)")
+          .as("hv"))
+      .distinct()
+    val nd = tk.groupBy("source").agg(count(lit(1)).as("nd"))
+    val inter = tk.select(col("source").as("source_a"), col("hv"))
+      .join(tk.select(col("source").as("source_b"), col("hv")), "hv")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(nd.select(col("source").as("source_a"), col("nd").as("na")),
+        "source_a")
+      .join(nd.select(col("source").as("source_b"), col("nd").as("nb")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"),
+        graft.Oracle.stableRound(col("n_inter").cast(DoubleType)
+          / (col("na") + col("nb") - col("n_inter")).cast(DoubleType), 5)
+          .as("jaccard5"))
+  }
+
   /** CCNet-style perplexity bucketing: split each language's docs into
     * head/middle/tail terciles of the [[unigramXent]] score (CCNet,
     * Wenzek et al. 2020 §4.3 — in production the score is a KenLM

@@ -975,6 +975,30 @@ class Round5Spec extends AnyFunSuite {
     r.get((3L, 4L)).foreach(v => assert(v < 0.2, s"(3,4) scored $v"))
   }
 
+  test("exact source overlap grounds the kmv sketch estimates") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val srcs = docs.select("source").distinct().as[String]
+      .collect().sorted.take(3).toSeq
+    val exact = graft.text.TextOps.sourceOverlapExact(docs, srcs)
+      .select("source_a", "source_b", "n_inter", "n_union")
+      .as[(String, String, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    val est = graft.text.TextOps.sourceOverlapKmv(docs, srcs)
+      .select("source_a", "source_b", "est_union4", "est_inter4")
+      .as[(String, String, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(exact.nonEmpty && exact.keySet == est.keySet)
+    exact.foreach { case (pair, (inter, union)) =>
+      assert(inter <= union)
+      val (eu, _) = est(pair)
+      // deterministic data => fixed estimates; k=64 lands well inside
+      // this bound (sigma ~ 13%)
+      assert(math.abs(eu - union) / union.toDouble < 0.4,
+        s"$pair: est_union $eu vs exact $union")
+    }
+  }
+
   test("market share is a [0,1] ratio per distinct year") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.CoreQueries.marketShare(spark, sf)
