@@ -88,17 +88,23 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partial"queries":$qs,""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     }
-    // stdout guard: 117 short-key queries ≈ 1.5 KB; the driver's tail
-    // buffer is 2000 chars and head-truncation breaks its parse
-    // (r01–r03). If the suite grows past the buffer, shed the
-    // per-query map from STDOUT (bench_result.json keeps everything).
+    // stdout guard: the driver's tail buffer is 2000 chars and
+    // head-truncation breaks its parse (r01–r03). Past the budget,
+    // keep the TOP-20 SLOWEST per-query entries plus a "shed" count —
+    // never an empty map (r05 lost ALL per-query data at 174 keys);
+    // bench_result.json keeps everything regardless.
     val stdoutLine = line(_.takeWhile(_ != '_'))
     println(
       if (stdoutLine.length <= 1900) stdoutLine
       else {
         val total = results.collect { case (_, v) if v >= 0 => v }.sum
+        val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+        val qs = top.map { case (k, v) =>
+          s""""${k.takeWhile(_ != '_')}":${fmt(v)}""" }
+          .mkString("{", ",", "}")
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-          s""""queries":{},"failed":${failed.size},"sf":"$sfDir"}"""
+          s""""queries":$qs,"shed":${results.size - top.size},""" +
+          s""""failed":${failed.size},"sf":"$sfDir"}"""
       })
     // a subset run writes elsewhere: its "total" covers only the
     // selected queries and must never replace the full-suite snapshot

@@ -309,6 +309,11 @@ object SparkEntry {
       graft.text.TextOps.sourceOverlapExact(
         graft.sources.Tables.documents(s, d),
         Seq("src0", "src1", "src2", "src3", "src4"))),
+    // T5 as LITERALLY written in the reference dataflow: enrichment
+    // columns from the lookup side — NULL on fresh inserts (q10 is
+    // the documented-intent reading of the same select)
+    "q175_final_select_literal" -> ((s, d) =>
+      CoreQueries.finalSelectLiteral(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -2051,7 +2056,12 @@ object SparkEntry {
          FROM ea GROUP BY event_type""",
     "q110_scd2_history" ->
       """WITH f AS (SELECT user_id, event_type, event_id,
-             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM events),
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM events
+           UNION ALL
+           SELECT DISTINCT user_id, CAST(NULL AS VARCHAR) AS event_type,
+             CAST(-1 AS BIGINT) AS event_id,
+             '1970-01-01 00:00:00' AS ts_s
+           FROM events WHERE user_id % 10 = 0),
          m AS (SELECT *, lag(event_type) OVER w AS prev_attr,
              row_number() OVER w AS rn
            FROM f WINDOW w AS (PARTITION BY user_id
@@ -2979,5 +2989,28 @@ object SparkEntry {
              * 100000.0 + 0.5) / 100000.0 AS jaccard5
          FROM inter i JOIN nd na ON i.source_a = na.source
            JOIN nd nb ON i.source_b = nb.source""",
+    "q175_final_select_literal" ->
+      """WITH pre AS (SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S') DESC,
+                 event_id DESC) AS rn
+           FROM events WHERE event_id % 10 < 8),
+         sink AS (SELECT p.user_id, n.n_name AS country,
+             c.c_name || ', ' || n.n_name AS full_address
+           FROM (SELECT user_id FROM pre WHERE rn = 1) p
+           JOIN customer c ON p.user_id = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         post AS (SELECT user_id, event_id, value,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S') DESC,
+                 event_id DESC) AS rn
+           FROM events WHERE event_id % 10 >= 8)
+         SELECT p.user_id AS customer_id, p.event_id, p.value, p.ts_s,
+           CASE WHEN s.full_address IS NULL
+             THEN 'insert' ELSE 'update' END AS op,
+           s.country, s.full_address
+         FROM (SELECT * FROM post WHERE rn = 1) p
+         LEFT JOIN sink s ON p.user_id = s.user_id""",
   )
 }

@@ -685,28 +685,34 @@ object Dedup {
     * candidate-bounded (never all-pairs). */
   def weightedJaccardPairs(docs: DataFrame, idCol: String,
                            textCol: String, tau: Double): DataFrame = {
-    val nDocs = docs.count()
     val sh = withHashedShingles(docs, idCol, textCol, 3)
       .filter(size(col("shingles")) > 0)
     val g = sh.select(col(idCol).as("gid"), explode(col("shingles"))
       .as("gram"))
+    // N rides the plan as a broadcast scalar aggregate — no separate
+    // driver-side count() pass over the corpus
+    val nd = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val idf = g.groupBy("gram").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
       .select(col("gram"),
-        floor(log((lit(nDocs) + lit(1.0)) / (col("df") + lit(1.0)))
+        floor(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
           * lit(1e9) + lit(0.5)).cast(LongType).as("w"))
+    val gw = g.join(idf, "gram")
+    // Σw over a doc's grams is independent of what it is paired with
+    // (grams are distinct per doc): ONE groupBy on the doc id, joined
+    // to the candidate set twice — not a pair-level gram join that
+    // multiplies each doc's gram work by its candidate fan-out. Only
+    // the intersection Σw is genuinely pair-level.
+    val docW = gw.groupBy("gid").agg(sum("w").as("dw"))
     val cand = lshCandidates(sh, idCol)
-    val ga = cand.join(g.withColumnRenamed("gid", "id_a"), "id_a")
-    val wa = ga.join(idf, "gram")
-      .groupBy("id_a", "id_b").agg(sum("w").as("wa"))
-    val wb = cand.join(g.withColumnRenamed("gid", "id_b"), "id_b")
-      .join(idf, "gram")
-      .groupBy("id_a", "id_b").agg(sum("w").as("wb"))
-    val ws = ga
+    val ws = cand
+      .join(gw.select(col("gid").as("id_a"), col("gram"), col("w")), "id_a")
       .join(g.select(col("gid").as("id_b"), col("gram")),
         Seq("id_b", "gram"))
-      .join(idf, "gram")
       .groupBy("id_a", "id_b").agg(sum("w").as("ws"))
-    wa.join(wb, Seq("id_a", "id_b"))
+    cand
+      .join(docW.select(col("gid").as("id_a"), col("dw").as("wa")), "id_a")
+      .join(docW.select(col("gid").as("id_b"), col("dw").as("wb")), "id_b")
       .join(ws, Seq("id_a", "id_b"), "left")
       .withColumn("ws", coalesce(col("ws"), lit(0L)))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),

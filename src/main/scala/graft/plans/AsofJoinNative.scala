@@ -17,8 +17,14 @@ import org.apache.spark.sql.graftbridge.GraftPlanBridge
   * Semantics match [[graft.ops.AsofJoin.asofLeft]] (inclusive
   * point-in-time left join, DuckDB/kdb `ASOF LEFT JOIN`): for each
   * left row, the single right row with the greatest time ≤ the left
-  * time within the same key, or nulls. The right side must be unique
-  * per (key, time) — pre-dedupe with latest-per-key otherwise.
+  * time within the same key, or nulls. NULL keys follow SQL equi-join
+  * semantics on BOTH sides: a left row with a NULL key gets a null
+  * right side, a right row with a NULL key is never held as a match
+  * (without the explicit guards the natural ascending ordering would
+  * compare NULL == NULL and fabricate matches). PRECONDITION: the
+  * right side must be unique per (key, time) — duplicate (key, time)
+  * rows make the held winner depend on sort-tie order, which is not
+  * deterministic; pre-dedupe with latest-per-key otherwise.
   *
   * Why a physical operator when the union-window encoding already
   * works: the window form materializes |L|+|R| rows through one sort
@@ -135,18 +141,29 @@ case class AsofJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
+          // SQL equi-join semantics: a NULL in the key never matches
+          // anything (the natural ascending ordering would compare
+          // NULL == NULL and fabricate a match). Null-key left rows
+          // sort first (NULLS FIRST), so emitting early leaves the
+          // merge state untouched for the non-null run that follows.
+          if (lKey.anyNull)
+            return resultProj(joined(l, nullRight))
           val lTime = lTimeProj(l)
           if (hRow != null && keyOrd.compare(hKey, lKey) != 0) {
             hRow = null; hKey = null
           }
           var scanning = true
           while (scanning && pRow != null) {
-            val c = keyOrd.compare(pKey, lKey)
-            if (c < 0) advancePending()
-            else if (c == 0 && timeOrd.compare(pTime, lTime) <= 0) {
-              hRow = pRow; hKey = pKey
-              advancePending()
-            } else scanning = false
+            // null-key right rows match no left row — skip, never hold
+            if (pKey.anyNull) advancePending()
+            else {
+              val c = keyOrd.compare(pKey, lKey)
+              if (c < 0) advancePending()
+              else if (c == 0 && timeOrd.compare(pTime, lTime) <= 0) {
+                hRow = pRow; hKey = pKey
+                advancePending()
+              } else scanning = false
+            }
           }
           resultProj(joined(l, if (hRow != null) hRow else nullRight))
         }

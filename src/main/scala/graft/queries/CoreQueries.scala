@@ -181,6 +181,41 @@ object CoreQueries {
         concat(col("c_name"), lit(", "), col("n_name")).as("full_address"))
   }
 
+  /** T5-LITERAL — the reference's final select AS WRITTEN
+    * (dataflow/BookingDataTransformation.json:146-148): `city`,
+    * `country`, `full_address` are mapped from the LOOKUP side
+    * (`SynapseLookUp@city` / `@country` / bare `full_address`), not
+    * the derived side, so a fresh INSERT — a key the sink has never
+    * seen — lands with NULL enrichment columns. q10 implements the
+    * documented intent (README.md:407-411); this entry pins the
+    * literal reading so BOTH interpretations of the recorded
+    * reference bug are oracle-verified (SURVEY.md §2 T5 note).
+    *
+    * Model: sink state = pre-cutoff latest-per-key enriched via
+    * customer⋈nation (broadcast dim); incoming = post-cutoff
+    * latest-per-key. One shuffle on the key for each latest-per-key
+    * window plus a broadcast — the left join to the sink reuses the
+    * incoming side's partitioning. */
+  def finalSelectLiteral(s: SparkSession, d: String): DataFrame = {
+    val incoming = latestSlice(s, d, pre = false)
+    val lookup = latestSlice(s, d, pre = true)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val sink = lookup
+      .join(c, lookup("user_id") === c("c_custkey"), "inner")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "inner")
+      .select(col("user_id"), col("n_name").as("lk_country"),
+        concat(col("c_name"), lit(", "), col("n_name"))
+          .as("lk_full_address"))
+    incoming.join(sink, Seq("user_id"), "left")
+      .select(col("user_id").as("customer_id"), col("event_id"),
+        col("value"), col("ts_s"),
+        when(col("lk_full_address").isNull, lit("insert"))
+          .otherwise(lit("update")).as("op"),
+        col("lk_country").as("country"),
+        col("lk_full_address").as("full_address"))
+  }
+
   /** S1→T1→T2→T3→Q1→Q2 — the whole dataflow as one batch plan: change
     * log quality-filtered, deduped latest-per-key, joined to the customer
     * dim and rolled up per country (the reference lifecycle of §3.3
@@ -908,13 +943,26 @@ object CoreQueries {
     * reference's SCD1 copy-with-upsert, K2): compress each user's
     * event-type change feed into attribute runs with [valid_from,
     * valid_to) bounds, version numbers, and the is_current flag.
-    * Single shuffle on the key — see [[graft.ops.Scd2.history]]. */
-  def scd2History(s: SparkSession, d: String): DataFrame =
-    graft.ops.Scd2.history(
-      Tables.events(s, d).select(col("event_id"), col("user_id"),
-        col("event_type"), fmtTs(col("ts")).as("ts_s")),
+    * Single shuffle on the key — see [[graft.ops.Scd2.history]].
+    *
+    * The feed is extended with a synthetic NULL-attribute FIRST state
+    * for every 10th user (event_id −1 at epoch), so the oracle
+    * exercises the leading-NULL edge: a key whose initial tracked
+    * attribute is NULL must still open version 1 (the `rn === 1`
+    * branch in Scd2.history — without it `!(NULL <=> NULL)` silently
+    * swallowed the opening run). */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), fmtTs(col("ts")).as("ts_s"))
+    val nullLead = ev.select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(10)) === 0)
+      .select(lit(-1L).as("event_id"), col("user_id"),
+        lit(null).cast("string").as("event_type"),
+        lit("1970-01-01 00:00:00").as("ts_s"))
+    graft.ops.Scd2.history(ev.unionByName(nullLead),
       key = "user_id", attr = "event_type",
       order = Seq(col("ts_s"), col("event_id")), tsOut = "ts_s")
+  }
 
   /** Per-group standardization (z-scores) — the feature-normalization
     * pass before any ML consumes a column. Mean and variance come from

@@ -70,7 +70,9 @@ class ChangeFeedTable(path: String) extends Table
   * one pass after all tasks succeeded — a partial job leaves only
   * ignorable staging debris, never a half-visible feed. `truncate`
   * (overwrite mode) deletes the existing `.json` files inside the
-  * same commit, after the renames are prepared. */
+  * same commit, AFTER every staged file has been renamed visible —
+  * a crash between the two passes leaves old+new (recoverable),
+  * never an empty feed. */
 class ChangeFeedWriteBuilder(path: String, schema: StructType)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
@@ -95,22 +97,32 @@ class ChangeFeedBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs()
-    if (truncate) {
+    // Snapshot the pre-existing .json files BEFORE renaming, then
+    // rename staged→.json FIRST and delete the olds LAST: a driver
+    // crash mid-commit leaves old+new feed (re-readable, recoverable),
+    // never an empty or partial feed. Deleting first would open a
+    // window where the feed has no committed files at all.
+    val olds: Seq[Path] = if (truncate) {
       val it = f.listFiles(new Path(path), true)
-      val olds = scala.collection.mutable.ArrayBuffer[Path]()
+      val b = scala.collection.mutable.ArrayBuffer[Path]()
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile && st.getPath.getName.endsWith(".json"))
-          olds += st.getPath
+          b += st.getPath
       }
-      olds.foreach(p => f.delete(p, false))
-    }
-    messages.foreach { case StagedFile(file) =>
+      b.toSeq
+    } else Nil
+    val renamed = messages.map { case StagedFile(file) =>
       val src = new Path(file)
       val dst = new Path(file.stripSuffix(".staged"))
       if (!f.rename(src, dst))
         throw new java.io.IOException(s"commit rename failed: $src")
-    }
+      dst
+    }.toSet
+    // staged part-<p>-<t> names cannot collide with prior committed
+    // names within a session, but guard anyway: never delete a file
+    // this commit just made visible
+    olds.filterNot(renamed.contains).foreach(p => f.delete(p, false))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -187,12 +199,22 @@ class ChangeFeedScanBuilder(path: String) extends ScanBuilder
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
 
+  // A filter may be CLAIMED only if the reader can actually evaluate
+  // it: ChangeFeedReader.passes() compares Long values only, so the
+  // attribute AND the literal's runtime type must both qualify —
+  // claiming on the name alone would let a non-Long literal (schema
+  // evolution, different literal type) slip through the reader's
+  // `case _ => true` and return silently-unfiltered rows that Catalyst
+  // no longer re-checks.
+  private def longCol(a: String, v: Any): Boolean =
+    (a == "event_id" || a == "user_id") && v.isInstanceOf[java.lang.Long]
+
   private def supported(f: Filter): Boolean = f match {
-    case EqualTo(a, _) => a == "event_id" || a == "user_id"
-    case GreaterThan(a, _) => a == "event_id" || a == "user_id"
-    case GreaterThanOrEqual(a, _) => a == "event_id" || a == "user_id"
-    case LessThan(a, _) => a == "event_id" || a == "user_id"
-    case LessThanOrEqual(a, _) => a == "event_id" || a == "user_id"
+    case EqualTo(a, v) => longCol(a, v)
+    case GreaterThan(a, v) => longCol(a, v)
+    case GreaterThanOrEqual(a, v) => longCol(a, v)
+    case LessThan(a, v) => longCol(a, v)
+    case LessThanOrEqual(a, v) => longCol(a, v)
     case _ => false
   }
 

@@ -121,4 +121,25 @@ class AsofJoinSpec extends AnyFunSuite {
       (col("asof_ts") > col("ts_s") || col("r_uid") =!= col("user_id")))
     assert(bad.count() == 0)
   }
+
+  test("native exec: NULL keys never match (SQL equi-join semantics)") {
+    // A NULL left key must get a null right side, and a NULL right
+    // key must never be held as a match — the natural ascending
+    // ordering compares NULL == NULL, so without explicit guards the
+    // exec would fabricate a NULL↔NULL match here.
+    val l = Seq(
+      (1L, Option(10L), "2024-01-01 10:00:00"),
+      (2L, None: Option[Long], "2024-01-01 10:00:00"), // null left key
+    ).toDF("event_id", "user_id", "ts_s")
+    val r = Seq(
+      (Option(10L), "2024-01-01 09:00:00", 1.0),
+      (None: Option[Long], "2024-01-01 08:00:00", 99.0), // null right key
+    ).toDF("r_uid", "asof_ts", "asof_v")
+    val byId = graft.plans.AsofJoinNative.asofLeft(l, r,
+        "user_id", "r_uid", "ts_s", "asof_ts")
+      .select("event_id", "asof_v")
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(byId(1L) == Some(1.0), "non-null key still matches")
+    assert(byId(2L) == None, "null left key must not match the null right key")
+  }
 }

@@ -71,6 +71,42 @@ class JaccardPrefilterSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial τ: boundary pairs the naive bound would over-prune survive") {
+    // Property: for τ = m/n (exact jaccard of a ⊂ b with |a| = m,
+    // |b| = n), the pair sits EXACTLY on the threshold, so the exact
+    // filter keeps it. The naive prefilter `m >= fl(τ·n)` over-prunes
+    // whenever fl(fl(m/n)·n) rounds up past m — the 1-ulp slack
+    // (τ·(1−1e-9)) must rescue every such case. First find real
+    // offenders by exhaustive scan, then prove they survive end-to-end.
+    val adversarial = (for {
+      n <- 1 to 300
+      m <- 1 until n
+      tau = m.toDouble / n
+      if tau * n > m.toDouble // naive bound would prune this τ-exact pair
+    } yield (m, n)).toList
+    assert(adversarial.nonEmpty,
+      "scan must find genuine over-prune cases or the property is vacuous")
+    val cases = adversarial.take(8)
+    val _ = base
+    withGraftSession { s =>
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-jpf-adv-").toString
+      cases.zipWithIndex.map { case ((m, n), i) =>
+        (i.toLong, (1L to m.toLong).toSeq, (1L to n.toLong).toSeq)
+      }.toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+      val df = s.read.parquet(dir)
+      cases.zipWithIndex.foreach { case ((m, n), i) =>
+        val tau = m.toDouble / n
+        val kept = df.filter(col("id") === i).filter(
+          graft.functions.GraftFunctions.jaccardSorted(s, col("a"), col("b"))
+            >= lit(tau))
+          .count()
+        assert(kept == 1L,
+          s"pair m=$m n=$n τ=$tau must survive the prefilter (1-ulp slack)")
+      }
+    }
+  }
+
   test("ngramJaccardPairs gates out the both-empty NaN pair the oracle drops") {
     val _ = base
     withGraftSession { s =>

@@ -436,6 +436,15 @@ class Round4Spec extends AnyFunSuite {
     assert(rs(1L) == rs(2L) && rs(2L) == rs(3L))
   }
 
+  test("pageRank: empty vertex table fails loud, not Infinity teleport") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("s", "t")
+    val noVerts = Seq.empty[Long].toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      graft.graph.PageRank.run(noEdges, noVerts, "s", "t", "id")
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
+
   // ---- minhash estimator quality ------------------------------------
 
   test("minhashEstimateQuality: exact copies estimate 1.0 with zero error") {

@@ -418,6 +418,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(again == want)
   }
 
+  test("stream windows: month-spanning feed, 1 file/trigger — no late-row loss") {
+    // Regression for the watermark data-loss bug: writeChangeLog
+    // stripes files by event_id, so EVERY file spans the full month.
+    // With a 2h watermark, batch 1 advanced the watermark to
+    // max(ts)−2h and batches ≥3 silently dropped all older-day rows
+    // (16/40 day-type groups lost on this fixture). The drain must
+    // instead produce the complete aggregate.
+    import graft.streaming.{CdcStream, StreamWindows, EventTimeOps}
+    val work = tmp()
+    val monthChanges = (0 until 200).map { i =>
+      val day = i % 20 + 1 // 20 distinct days
+      (i.toLong, (i % 7).toLong, if ((i / 20) % 2 == 0) "insert" else "update",
+        i.toDouble, f"2024-03-$day%02d ${i % 24}%02d:00:00")
+    }.toDF("event_id", "user_id", "event_type", "value", "ts_s")
+    CdcStream.writeChangeLog(monthChanges, s"$work/feed", nFiles = 5)
+    val got = StreamWindows.run(spark, s"$work/feed", s"$work/checkpoint",
+        s"$work/state", maxFilesPerTrigger = 1) // ≥5 data micro-batches
+      .as[(String, String, Long, Double)].collect().toSet
+    val want = EventTimeOps.dailyTypeRollup(
+        monthChanges.withColumn("ts", to_timestamp($"ts_s"))
+          .select("ts", "event_type", "value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(want.size == 40, "fixture must cover 20 days × 2 types")
+    assert(got == want)
+  }
+
   test("stream kmv: per-batch merge is batch-size invariant (mergeability)") {
     import graft.streaming.{StreamDedup, StreamKmv}
     val docs = (0 until 300).map { i =>
