@@ -52,7 +52,7 @@ object CoreQueries {
     * 'NATION_2' keeps 12 of 25 partitions (NATION_0/1/10..19) — a
     * non-vacuous prune (the earlier `< 'G'` cutoff matched nothing). */
   def partitionedGold(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-part-").toString
+    val work = graft.TempDirs.create("graft-part-")
     goldAgg(s, d).write.mode("overwrite")
       .partitionBy("country").parquet(work)
     s.read.parquet(work).filter(col("country") < "NATION_2")
@@ -459,7 +459,7 @@ object CoreQueries {
     * ≡1, and re-ingests keys ≡2 under new ids — so the oracle can
     * state the expected delete/update/insert set in closed form. */
   def snapshotDiff(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-diff-").toString
+    val work = graft.TempDirs.create("graft-diff-")
     val table = s"$work/dim"
     val cust = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -486,7 +486,7 @@ object CoreQueries {
     * conflict-checked commit — then read the final state back. The
     * oracle states the surviving rows in closed form. */
   def dmlRoundTrip(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-dml-").toString
+    val work = graft.TempDirs.create("graft-dml-")
     val table = s"$work/dim"
     import graft.sink.AtomicParquetSink
     AtomicParquetSink.overwrite(
@@ -614,7 +614,7 @@ object CoreQueries {
     * and return the final gold state. The oracle recomputes from
     * scratch; equality proves the delta algebra. */
   def incrementalGold(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-ivm-").toString
+    val work = graft.TempDirs.create("graft-ivm-")
     val changes = Tables.events(s, d).select(
       col("event_id"), col("user_id"), col("event_type"), col("value"),
       fmtTs(col("ts")).as("ts_s"))
@@ -707,7 +707,7 @@ object CoreQueries {
     * merge makes the end state independent of the file/batch split, so
     * a pure batch latest-per-key SQL is an exact oracle. */
   def streamCdc(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-stream-").toString
+    val work = graft.TempDirs.create("graft-stream-")
     val changes = Tables.events(s, d).select(
       col("event_id"), col("user_id"), col("event_type"), col("value"),
       fmtTs(col("ts")).as("ts_s"))
@@ -721,7 +721,7 @@ object CoreQueries {
     * parquet directly with the same casts, so any quoting/escaping/
     * coercion defect in the CSV path shows up as a hash mismatch. */
   def csvIngest(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-csv-").toString
+    val work = graft.TempDirs.create("graft-csv-")
     val schema = graft.sources.CsvIngest.customerDimSchema
     graft.sources.CsvIngest.writeRaw(Tables.customer(s, d), schema, work)
     graft.sources.CsvIngest.castTo(
@@ -734,7 +734,7 @@ object CoreQueries {
     * with logging. Output carries the winning file_seq per key, which
     * the oracle derives in closed form. */
   def fileLifecycle(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-files-").toString
+    val work = graft.TempDirs.create("graft-files-")
     val schema = graft.sources.CsvIngest.customerDimSchema
     val customer = Tables.customer(s, d)
     (0 until 3).foreach { i =>
@@ -760,7 +760,7 @@ object CoreQueries {
     * gold refresh through the atomic sink), returning the read-back of
     * the WRITTEN gold table. */
   def pipelineGold(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-pipe-").toString
+    val work = graft.TempDirs.create("graft-pipe-")
     graft.pipeline.CdcPipeline.runAll(s, d, work)
   }
 
@@ -1452,7 +1452,7 @@ object CoreQueries {
     * is one task per feed file — S1 as a first-class pluggable source
     * rather than a built-in JSON read. */
   def changeFeedSource(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-cfsrc-").toString
+    val work = graft.TempDirs.create("graft-cfsrc-")
     val changes = Tables.events(s, d).select(col("event_id"),
       col("user_id"), col("event_type"), col("value"),
       fmtTs(col("ts")).as("ts_s"))
@@ -1558,7 +1558,7 @@ object CoreQueries {
     * the end state must equal the batch `window()` aggregate the
     * oracle recomputes. */
   def streamWindows(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-swin-").toString
+    val work = graft.TempDirs.create("graft-swin-")
     val changes = Tables.events(s, d).select(col("event_id"),
       col("user_id"), col("event_type"), col("value"),
       fmtTs(col("ts")).as("ts_s"))
@@ -1573,7 +1573,7 @@ object CoreQueries {
     * maintenance op must be value-neutral, and the oracle (q01's SQL)
     * is what proves it. */
   def compactionRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-cmp-").toString
+    val work = graft.TempDirs.create("graft-cmp-")
     goldAgg(s, d).repartition(16).write.mode("overwrite")
       .parquet(s"$work/frag")
     graft.sink.Compaction.compact(s, s"$work/frag", s"$work/table")
@@ -1586,7 +1586,7 @@ object CoreQueries {
     * bad deploy. The oracle checks the restored rows equal the
     * original aggregate exactly. */
   def timeTravelRestore(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-ttr-").toString
+    val work = graft.TempDirs.create("graft-ttr-")
     val t = s"$work/table"
     graft.sink.AtomicParquetSink.overwrite(goldAgg(s, d), t)
     graft.sink.AtomicParquetSink.overwrite(

@@ -475,7 +475,7 @@ object LlmQueries {
     * docs with no near-dup partner of smaller id (batch-oracle
     * equivalent). */
   def streamNearDup(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-sndup-").toString
+    val work = graft.TempDirs.create("graft-sndup-")
     graft.streaming.StreamNearDup.writeOrderedFeed(
       Tables.documents(s, d), s"$work/feed", nFiles = 4)
     graft.streaming.StreamNearDup.run(s, s"$work/feed", s"$work/checkpoint",
@@ -488,7 +488,7 @@ object LlmQueries {
     * set (first-seen doc per hash is arrival-order-dependent, the HASH
     * set itself is exact). */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-sdedup-").toString
+    val work = graft.TempDirs.create("graft-sdedup-")
     val docs = Tables.documents(s, d)
     val feed = docs.unionByName(
       docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
@@ -614,7 +614,7 @@ object LlmQueries {
     * by batch, and the final estimate equals the one-shot batch sketch
     * bit-for-bit (mergeability, proven against q45's oracle). */
   def streamKmv(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-skmv-").toString
+    val work = graft.TempDirs.create("graft-skmv-")
     graft.streaming.StreamDedup.writeFeed(
       Tables.documents(s, d), s"$work/feed", nFiles = 4)
     graft.streaming.StreamKmv.run(s, s"$work/feed", s"$work/checkpoint",
