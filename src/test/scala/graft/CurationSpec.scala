@@ -83,4 +83,31 @@ class CurationSpec extends AnyFunSuite {
       Map("web" -> 1000)).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L)) // all web docs, no wiki (unlisted -> 0)
   }
+
+  test("leakageSafeSplit keeps every near-dup cluster inside one split") {
+    // many near-dup pairs (shared shingles) plus singletons
+    val corpus = (0 until 60).flatMap { i =>
+      val base = s"alpha bravo charlie delta echo foxtrot golf hotel $i"
+      Seq((i * 10L, base, "en", "web"),
+        (i * 10L + 1, base + " india", "en", "web")) // near-dup of base
+    }.toDF("doc_id", "text", "lang", "source")
+    val split = Sampling.leakageSafeSplit(corpus, "doc_id", "text")
+      .as[(Long, Long, String)].collect()
+    // invariant: one split per canonical id
+    val byCluster = split.groupBy(_._2).map { case (_, g) => g.map(_._3).toSet }
+    assert(byCluster.forall(_.size == 1),
+      "a near-dup cluster straddled a split boundary")
+    // the pairs really did cluster (otherwise the test is vacuous)
+    assert(split.groupBy(_._2).exists(_._2.length >= 2))
+    // every doc is assigned exactly once
+    assert(split.length == 120 && split.map(_._1).distinct.length == 120)
+    // singletons follow the plain withSplit rule
+    val singles = Seq((777L, "totally unique text with no shingle overlap at all whatsoever", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val lone = Sampling.leakageSafeSplit(corpus.unionByName(singles), "doc_id", "text")
+      .filter($"doc_id" === 777L).as[(Long, Long, String)].head()
+    val plain = Sampling.withSplit(singles, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].head()
+    assert(lone._2 == 777L && lone._3 == plain._2)
+  }
 }

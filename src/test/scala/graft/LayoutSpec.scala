@@ -92,4 +92,69 @@ class LayoutSpec extends AnyFunSuite {
         s"expected 1 pruned file, got ${scans.head.metrics("numFiles").value}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("morton2 interleaves bits: dim A at even positions, dim B at odd") {
+    import graft.sink.ZOrderLayout
+    val rows = Seq((0xFFFFL, 0L), (0L, 0xFFFFL), (0b1011L, 0b0110L))
+      .toDF("a", "b")
+      .select(ZOrderLayout.morton2($"a", $"b").as("z"))
+      .as[Long].collect()
+    assert(rows(0) == 0x55555555L)  // all-A → even bit positions
+    assert(rows(1) == 0xAAAAAAAAL)  // all-B → odd bit positions
+    // a=1011, b=0110 → interleave(b3 a3 b2 a2 b1 a1 b0 a0) = 01101101
+    assert(rows(2) == 0x6DL, s"got ${rows(2).toBinaryString}")
+  }
+
+  test("z-order box scan equals the plain filter and skips files") {
+    import graft.sink.ZOrderLayout
+    val dir = Files.createTempDirectory("graft-zspec-").toString + "/t"
+    // 64×64 grid of (x, y) points — every box is predictable
+    val df = (0 until 4096).map { i => (i.toLong, (i % 64).toLong, (i / 64).toDouble) }
+      .toDF("id", "x", "y")
+    ZOrderLayout.zorderWrite(df, "x", "y", dir, nFiles = 16)
+    val mf = ZOrderLayout.manifest(spark, dir, "x", "y")
+    assert(mf.count() == 16L)
+    // small box in one corner: most files' stats boxes must miss it
+    val surviving = ZOrderLayout.survivingFiles(mf, 0L, 7L, 0.0, 7.0)
+    assert(surviving.nonEmpty && surviving.size <= 4,
+      s"z-order clustering should confine an 8x8 corner box to <=4 of 16 files, got ${surviving.size}")
+    // and pruning is semantically invisible
+    val pruned = ZOrderLayout.prunedBoxScan(spark, dir, "x", "y", 10L, 30L, 5.0, 45.0)
+      .select("id").as[Long].collect().sorted
+    val full = df.filter($"x".between(10, 30) && $"y".between(5.0, 45.0))
+      .select("id").as[Long].collect().sorted
+    assert(pruned.sameElements(full))
+    // empty box → zero rows, no crash
+    assert(ZOrderLayout.prunedBoxScan(spark, dir, "x", "y", 100L, 200L, 0.0, 1.0).count() == 0L)
+  }
+
+  test("rank-bucket z-order stays selective under heavy value skew") {
+    import graft.sink.ZOrderLayout
+    val base = Files.createTempDirectory("graft-zskew-").toString
+    // y = v³ for uniform v: half the rows live in the bottom 1/8 of the
+    // value RANGE — a linear quantizer crams them into few cells
+    val df = (0 until 4096).map { i =>
+      val v = (i * 37) % 4096
+      (i.toLong, (i % 64).toLong, v.toDouble * v * v)
+    }.toDF("id", "x", "y")
+    ZOrderLayout.zorderWrite(df, "x", "y", s"$base/lin", nFiles = 16)
+    ZOrderLayout.zorderWriteRanked(df, "x", "y", s"$base/rank", nFiles = 16)
+    // box over the dense head of y and a narrow x slice
+    val (xLo, xHi, yLo, yHi) = (0L, 7L, 0.0, math.pow(512.0, 3))
+    val linFiles = ZOrderLayout.survivingFiles(
+      ZOrderLayout.manifest(spark, s"$base/lin", "x", "y"), xLo, xHi, yLo, yHi)
+    val rankFiles = ZOrderLayout.survivingFiles(
+      ZOrderLayout.manifest(spark, s"$base/rank", "x", "y"), xLo, xHi, yLo, yHi)
+    assert(rankFiles.size <= linFiles.size,
+      s"rank buckets should prune at least as hard under skew: rank=${rankFiles.size} lin=${linFiles.size}")
+    assert(rankFiles.size < 16, s"ranked layout pruned nothing (${rankFiles.size}/16)")
+    // both layouts return EXACTLY the plain filter
+    val expect = df.filter($"x".between(xLo, xHi) && $"y".between(yLo, yHi))
+      .select("id").as[Long].collect().sorted
+    for (d <- Seq("lin", "rank")) {
+      val got = ZOrderLayout.prunedBoxScan(spark, s"$base/$d", "x", "y", xLo, xHi, yLo, yHi)
+        .select("id").as[Long].collect().sorted
+      assert(got.sameElements(expect), s"layout $d diverged from the plain filter")
+    }
+  }
 }
