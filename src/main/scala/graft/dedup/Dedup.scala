@@ -685,8 +685,13 @@ object Dedup {
     * candidate-bounded (never all-pairs). */
   def weightedJaccardPairs(docs: DataFrame, idCol: String,
                            textCol: String, tau: Double): DataFrame = {
+    // the shingle kernel's output feeds FIVE consumers (idf, both gw
+    // branches, the id_b gram probe, candidate generation) — persist
+    // it once instead of re-hashing the corpus per branch. At 100 TB
+    // this materialization is the dedup pass's intermediate table.
     val sh = withHashedShingles(docs, idCol, textCol, 3)
       .filter(size(col("shingles")) > 0)
+      .persist()
     val g = sh.select(col(idCol).as("gid"), explode(col("shingles"))
       .as("gram"))
     // N rides the plan as a broadcast scalar aggregate — no separate
@@ -697,29 +702,53 @@ object Dedup {
       .select(col("gram"),
         floor(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
           * lit(1e9) + lit(0.5)).cast(LongType).as("w"))
-    val gw = g.join(idf, "gram")
-    // Σw over a doc's grams is independent of what it is paired with
-    // (grams are distinct per doc): ONE groupBy on the doc id, joined
-    // to the candidate set twice — not a pair-level gram join that
-    // multiplies each doc's gram work by its candidate fan-out. Only
-    // the intersection Σw is genuinely pair-level.
-    val docW = gw.groupBy("gid").agg(sum("w").as("dw"))
     val cand = lshCandidates(sh, idCol)
-    val ws = cand
-      .join(gw.select(col("gid").as("id_a"), col("gram"), col("w")), "id_a")
-      .join(g.select(col("gid").as("id_b"), col("gram")),
-        Seq("id_b", "gram"))
-      .groupBy("id_a", "id_b").agg(sum("w").as("ws"))
-    cand
-      .join(docW.select(col("gid").as("id_a"), col("dw").as("wa")), "id_a")
-      .join(docW.select(col("gid").as("id_b"), col("dw").as("wb")), "id_b")
-      .join(ws, Seq("id_a", "id_b"), "left")
-      .withColumn("ws", coalesce(col("ws"), lit(0L)))
+    // df counts must see the WHOLE corpus (idf is a global statistic),
+    // but gram WEIGHTS only matter for docs that appear in some
+    // candidate pair — semi-join the gram table down to candidate doc
+    // ids before paying the gram⋈idf join. At 100 TB the near-dup
+    // candidate set is a small fraction of the corpus, so per-doc
+    // weight maps materialize for that fraction only. No broadcast
+    // hint: the candidate-id cardinality is data-dependent, so let
+    // AQE pick broadcast vs shuffle from the measured size.
+    val candIds = cand.select(col("id_a").as("gid"))
+      .union(cand.select(col("id_b").as("gid"))).distinct()
+    val gc = g.join(candIds, Seq("gid"), "left_semi")
+    // ONE groupBy builds everything pair scoring needs per doc: the
+    // gram→weight map and Σw. The pair-level intersection sum then
+    // needs NO gram-level join at all — it is a codegen'd HOF over
+    // array_intersect of the two docs' gram keys, looking weights up
+    // in the a-side map. (The earlier form joined candidates back to
+    // the gram table and re-aggregated per pair: one extra shuffle of
+    // candidate-fanout × grams rows, and the dominant q173 cost.)
+    val docws = gc.join(idf, "gram")
+      .groupBy("gid")
+      .agg(sum("w").as("dw"),
+        map_from_entries(collect_list(struct(col("gram"), col("w"))))
+          .as("wmap"))
+      .persist()
+    val wsExpr = aggregate(
+      array_intersect(map_keys(col("wmap_a")), map_keys(col("wmap_b"))),
+      lit(0L),
+      (acc, gram) => acc + element_at(col("wmap_a"), gram))
+    val out = cand
+      .join(docws.select(col("gid").as("id_a"), col("dw").as("wa"),
+        col("wmap").as("wmap_a")), "id_a")
+      .join(docws.select(col("gid").as("id_b"), col("dw").as("wb"),
+        col("wmap").as("wmap_b")), "id_b")
+      .withColumn("ws", wsExpr)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         graft.Oracle.stableRound(col("ws").cast("double")
           / (col("wa") + col("wb") - col("ws")).cast("double"), 5)
           .as("wj5"))
       .filter(col("wj5") >= tau)
+      // materialize the (tiny) pair result, then release the
+      // intermediates — same leak-avoidance pattern as lshCandidates
+      .persist()
+    out.count()
+    sh.unpersist()
+    docws.unpersist()
+    out
   }
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -1851,9 +1851,12 @@ object CoreQueries {
   def zorderRankedBoxScan(s: SparkSession, d: String): DataFrame = {
     val work = graft.TempDirs.create("graft-zrank-")
     val dir = s"$work/events_zr"
+    // 64 rank buckets per dimension: 4096 curve cells over 16 files is
+    // already ~256 cells/file — more buckets sharpen nothing at this
+    // file count and the quantile pass is the write's fixed cost
     graft.sink.ZOrderLayout.zorderWriteRanked(
       Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
-      "user_id", "value", dir, nFiles = 16)
+      "user_id", "value", dir, nFiles = 16, buckets = 64)
     graft.sink.ZOrderLayout
       .prunedBoxScan(s, dir, "user_id", "value", 0L, 5L, 0.0, 120.0)
       .groupBy(col("event_type"))

@@ -85,8 +85,11 @@ object ZOrderLayout {
                         buckets: Int = 256): Unit = {
     require(buckets >= 2 && buckets <= 65536, s"buckets out of range: $buckets")
     val probs = (0 to buckets).map(_.toDouble / buckets).toArray
+    // relative error = half a bucket's rank width: tighter buys nothing
+    // (cell boundaries can't be sharper than a bucket), looser only
+    // blurs cell occupancy — rows never leave the result either way
     val Array(bA, bB) = df.stat.approxQuantile(
-      Array(dimA, dimB), probs, 0.001)
+      Array(dimA, dimB), probs, 0.5 / buckets)
     val z = df.withColumn("_z", morton2(
       quantizeRank(col(dimA), bA),
       quantizeRank(col(dimB), bB)))
