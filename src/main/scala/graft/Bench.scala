@@ -60,10 +60,14 @@ object Bench {
       def one(): Double =
         try {
           // hygiene OUTSIDE the timed window: drop any cache entries a
-          // previous query leaked and let the JVM compact, so query N
-          // doesn't pay query N-1's garbage (the in-suite-vs-isolated
-          // gap measured 10x on late-suite queries without this)
+          // previous query leaked, sweep the previous run's scratch
+          // dirs (the ≤5-sample loop would otherwise accumulate every
+          // write-heavy query's debris for the whole JVM lifetime),
+          // and let the JVM compact, so query N doesn't pay query
+          // N-1's garbage (the in-suite-vs-isolated gap measured 10x
+          // on late-suite queries without this)
           spark.sharedState.cacheManager.clearCache()
+          TempDirs.sweep()
           System.gc()
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
@@ -97,33 +101,51 @@ object Bench {
     // line still goes to bench_result.json for humans and the repo.
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val partial = if (args.nonEmpty) """"partial":true,""" else ""
+    def failedJson(keyOf: String => String): String =
+      failed.sorted.map("\"" + keyOf(_) + "\"").mkString("[", ",", "]")
+    // environment stamp (file channel only — the stdout budget is
+    // tight): what a future round needs to verify a cross-round
+    // comparison is like-for-like
+    val envJson = {
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.toArray.map(_.toString)
+        .filter(a => a.startsWith("-Xmx") || a.startsWith("-Xms")
+          || a.contains("CodeCache") || a.startsWith("-XX:MaxMetaspace"))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      s""""env":{"spark":"${spark.version}",""" +
+        s""""java":"${System.getProperty("java.version")}",""" +
+        s""""max_heap_mb":${Runtime.getRuntime.maxMemory >> 20},""" +
+        s""""cores":${Runtime.getRuntime.availableProcessors},""" +
+        s""""master":"${spark.sparkContext.master}",""" +
+        s""""shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
+        s""""jvm_args":$jvmArgs}"""
+    }
     def line(keyOf: String => String): String = {
       val qs = results.map { case (k, v) => s"\"${keyOf(k)}\":${fmt(v)}" }
         .mkString("{", ",", "}")
-      val total = results.collect { case (_, v) if v >= 0 => v }.sum
-      val failedJson = failed.sorted.map("\"" + keyOf(_) + "\"")
-        .mkString("[", ",", "]")
-      val partial = if (args.nonEmpty) """"partial":true,""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partial"queries":$qs,""" +
-        s""""failed":$failedJson,"sf":"$sfDir"}"""
+        s""""failed":${failedJson(keyOf)},$envJson,"sf":"$sfDir"}"""
     }
     // stdout guard: the driver's tail buffer is 2000 chars and
     // head-truncation breaks its parse (r01–r03). Past the budget,
     // keep the TOP-20 SLOWEST per-query entries plus a "shed" count —
     // never an empty map (r05 lost ALL per-query data at 174 keys);
-    // bench_result.json keeps everything regardless.
+    // bench_result.json keeps everything regardless. Both channels
+    // share ONE schema: "failed" is always an array of keys and the
+    // partial marker appears on subset runs in either branch.
     val stdoutLine = line(_.takeWhile(_ != '_'))
     println(
       if (stdoutLine.length <= 1900) stdoutLine
       else {
-        val total = results.collect { case (_, v) if v >= 0 => v }.sum
         val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
         val qs = top.map { case (k, v) =>
           s""""${k.takeWhile(_ != '_')}":${fmt(v)}""" }
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partial""" +
           s""""queries":$qs,"shed":${results.size - top.size},""" +
-          s""""failed":${failed.size},"sf":"$sfDir"}"""
+          s""""failed":${failedJson(_.takeWhile(_ != '_'))},"sf":"$sfDir"}"""
       })
     // a subset run writes elsewhere: its "total" covers only the
     // selected queries and must never replace the full-suite snapshot

@@ -328,6 +328,19 @@ object SparkEntry {
       graft.search.Search.phraseSearch(
         graft.sources.Tables.documents(s, d), "doc_id", "text",
         Seq("the", "group", "line"))),
+    // OPTIMIZE ZORDER BY on the atomic sink: fragmented commit →
+    // clustered rewrite + write-time manifest → pruned box read
+    "q180_zorder_compact"   -> ((s, d) => CoreQueries.zorderCompactScan(s, d)),
+    // phrase search over the PERSISTED term-bucketed posting index —
+    // same contract as q179, but reads ≤ m pruned index partitions
+    "q181_phrase_indexed"   -> ((s, d) => {
+      val work = graft.TempDirs.create("graft-pidx-")
+      graft.search.Search.buildPostings(
+        graft.sources.Tables.documents(s, d), "doc_id", "text",
+        s"$work/postings")
+      graft.search.Search.phraseSearchIndexed(
+        s, s"$work/postings", Seq("the", "group", "line"))
+    }),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -3052,11 +3065,37 @@ object SparkEntry {
                AS BIGINT) % 100 AS bucket
            FROM assign)
          SELECT doc_id, canonical_id,
-           CASE WHEN bucket < 80 THEN 'train'
-                WHEN bucket < 90 THEN 'val'
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
                 ELSE 'test' END AS split
          FROM bk""",
     "q179_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+           FROM documents),
+         pos AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+           FROM t, unnest(range(1, len(tk) + 1)) AS r(i)),
+         m0 AS (SELECT doc_id, pos FROM pos WHERE tok = 'the'),
+         m1 AS (SELECT m0.doc_id, m0.pos FROM m0 JOIN pos p
+           ON p.doc_id = m0.doc_id AND p.pos = m0.pos + 1
+             AND p.tok = 'group'),
+         m2 AS (SELECT m1.doc_id, m1.pos FROM m1 JOIN pos p
+           ON p.doc_id = m1.doc_id AND p.pos = m1.pos + 2
+             AND p.tok = 'line')
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+         FROM m2 GROUP BY doc_id""",
+    // value-neutrality of OPTIMIZE ZORDER: the clustered+pruned read
+    // must equal the plain box filter on the raw table
+    "q180_zorder_compact" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE user_id BETWEEN 2 AND 7 AND value BETWEEN 100.0 AND 400.0
+         GROUP BY event_type""",
+    // the persisted-index phrase search shares q179's oracle verbatim:
+    // same phrase, same output contract, different read path
+    "q181_phrase_indexed" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
            FROM documents),
          pos AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok

@@ -24,7 +24,10 @@ import org.apache.spark.sql.graftbridge.GraftPlanBridge
   * compare NULL == NULL and fabricate matches). PRECONDITION: the
   * right side must be unique per (key, time) — duplicate (key, time)
   * rows make the held winner depend on sort-tie order, which is not
-  * deterministic; pre-dedupe with latest-per-key otherwise.
+  * deterministic; pre-dedupe with latest-per-key otherwise. The exec
+  * ENFORCES this with a streaming adjacent-row check on the sorted
+  * right side (O(1) per consumed row): a violation fails the task
+  * with a clear error instead of returning order-dependent winners.
   *
   * Why a physical operator when the union-window encoding already
   * works: the window form materializes |L|+|R| rows through one sort
@@ -129,11 +132,30 @@ case class AsofJoinExec(
         private var hKey: InternalRow = _
         advancePending()
 
+        // The documented right-side precondition — unique (key, time) —
+        // is CHECKED, not trusted: the right side arrives sorted by
+        // (key, time), so any violation is two ADJACENT consumed rows
+        // with equal key and time, and a single prev-row compare per
+        // advance catches it. Violations would otherwise return
+        // sort-tie-order-dependent winners — silently nondeterministic.
+        // (Rows beyond the last one the merge consumes are never
+        // examined; the check covers every row that could influence a
+        // result.)
         private def advancePending(): Unit =
           if (rIter.hasNext) {
+            val prevKey = pKey
+            val prevTime = pTime
             pRow = rIter.next().copy()
             pKey = rKeyProj(pRow).copy()
             pTime = rTimeProj(pRow).copy()
+            if (prevKey != null && !prevKey.anyNull && !pKey.anyNull &&
+                keyOrd.compare(prevKey, pKey) == 0 &&
+                timeOrd.compare(prevTime, pTime) == 0)
+              throw new IllegalStateException(
+                "as-of join right side must be unique per (key, time): " +
+                  "found duplicate rows for one (key, time) — pre-dedupe " +
+                  "with a latest-per-key pass (the held winner would " +
+                  "otherwise depend on nondeterministic sort-tie order)")
           } else { pRow = null; pKey = null; pTime = null }
 
         override def hasNext: Boolean = lIter.hasNext

@@ -1865,6 +1865,31 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** Z-order COMPACTION through the atomic sink (q180): commit the
+    * events slice as a fragmented 16-file table, `zorderCompact` it
+    * into a clustered version (the Delta OPTIMIZE ZORDER BY shape —
+    * rewrite + write-time manifest, old snapshot retained for time
+    * travel), then answer a box query through the manifest-pruned
+    * read. The oracle is the plain box filter on the raw table: the
+    * maintenance op must be value-neutral AND the pruned read
+    * semantically invisible. LayoutSpec separately asserts the
+    * skip-count and version retention. */
+  def zorderCompactScan(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-zcompact-")
+    val t = s"$work/table"
+    graft.sink.AtomicParquetSink.overwrite(
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+        .repartition(16), t)
+    val vdir = graft.sink.Compaction.zorderCompact(
+      s, t, Seq("user_id", "value"), nFiles = 8, buckets = 64)
+    graft.sink.ZOrderLayout.prunedBoxScanN(s, vdir, Seq(
+        ("user_id", lit(2L), lit(7L)), ("value", lit(100.0), lit(400.0))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -32,15 +32,22 @@ object Sampling {
     * NEVER straddle a split boundary, because assignment hashes the
     * cluster CANONICAL id (from MinHash-LSH pairs → connected
     * components), not the member id — singletons hash their own id,
-    * so they keep exactly [[withSplit]]'s assignment. This is the
-    * split a real eval needs: hashing member ids leaks train docs'
+    * and the default percentages equal [[withSplit]]'s, so singletons
+    * keep exactly [[withSplit]]'s assignment. This is the split a
+    * real eval needs: hashing member ids leaks train docs'
     * near-duplicates into test and inflates every benchmark score.
-    * One extra keyed join over [[withSplit]]; the cluster map is the
-    * (small) output of the dedup pass the corpus already runs. */
+    *
+    * `clusterMap`: the (doc_id, canonical_id) output of an ALREADY-RUN
+    * dedup pass ([[graft.dedup.Dedup.dedupGroups]]) — at 100 TB the
+    * corpus dedup stores this map once and every split/decontamination
+    * consumer reads it, so pass it here and the split is one keyed
+    * join plus a projection. When absent (exploratory runs, tests) the
+    * LSH+CC chain is recomputed inline — same assignment either way. */
   def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
-                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val canon = graft.dedup.Dedup
-      .dedupGroups(docs, idCol, textCol)
+                       trainPct: Int = 90, valPct: Int = 5,
+                       clusterMap: Option[DataFrame] = None): DataFrame = {
+    val canon = clusterMap
+      .getOrElse(graft.dedup.Dedup.dedupGroups(docs, idCol, textCol))
       .select(col("doc_id"), col("canonical_id"))
     docs.select(col(idCol).as("doc_id"))
       .join(canon, Seq("doc_id"), "left")

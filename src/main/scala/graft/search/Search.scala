@@ -85,17 +85,74 @@ object Search {
     require(phrase.nonEmpty, "empty phrase")
     val post = docs.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
-    val anchor = post.filter(col("tok") === phrase.head)
-      .select(col("doc_id"), col("pos"))
+    matchPhrase(t => post.filter(col("tok") === t)
+      .select(col("doc_id"), col("pos")), phrase)
+  }
+
+  /** The phrase-match core shared by [[phraseSearch]] (postings built
+    * inline) and [[phraseSearchIndexed]] (postings read from the
+    * persisted index): anchor on term 0's postings, then m−1
+    * equi-joins on (doc_id, pos − i). */
+  private def matchPhrase(postingsOf: String => DataFrame,
+                          phrase: Seq[String]): DataFrame = {
+    val anchor = postingsOf(phrase.head)
     val matched = phrase.zipWithIndex.drop(1).foldLeft(anchor) {
       case (acc, (term, i)) =>
-        acc.join(post.filter(col("tok") === term)
+        acc.join(postingsOf(term)
             .select(col("doc_id"), (col("pos") - i).as("pos")),
           Seq("doc_id", "pos"))
     }
     matched.groupBy("doc_id")
       .agg(count(lit(1)).cast(LongType).as("n_hits"),
         min(col("pos")).cast(LongType).as("first_pos"))
+  }
+
+  /** Driver-side twin of [[graft.sampling.Sampling.hashBucket]] (md5
+    * head, base-16 → long, mod) — the same bucket a row's `tok` gets
+    * in [[buildPostings]], computable for a literal query term so the
+    * read can prune partitions. */
+  private def termBucket(term: String, nBuckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(term.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % nBuckets
+  }
+
+  /** Build the PERSISTED positional inverted index: one row per
+    * (doc, position, token), written partitioned by a stable hash
+    * bucket of the token. Bucketing (not one partition per term) keeps
+    * the directory count bounded at web-scale vocabularies while still
+    * letting a phrase query prune to ≤ m partitions — the 100 TB form
+    * where the index is built once and amortized across every query.
+    * The explode+shuffle cost paid here is exactly what every
+    * [[phraseSearch]] call pays inline. */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String,
+                    dir: String, nBuckets: Int = 64): Unit = {
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .withColumn("tok_bucket",
+        graft.sampling.Sampling.hashBucket(col("tok"), nBuckets))
+      .repartition(col("tok_bucket"))
+      .write.mode("overwrite").partitionBy("tok_bucket").parquet(dir)
+  }
+
+  /** Exact-phrase search over a [[buildPostings]] index: identical
+    * output contract to [[phraseSearch]], but each term's postings
+    * come from ONE partition of the persisted index —
+    * `tok_bucket = <driver-computed bucket>` is a literal filter on
+    * the partition column, so the scan lists ≤ m of the nBuckets
+    * directories (partition pruning) and the `tok = term` filter
+    * pushes into the parquet scan of just those. No tokenize, no
+    * explode, no full-index read per query. */
+  def phraseSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, phrase: Seq[String],
+                          nBuckets: Int = 64): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val post = spark.read.parquet(dir)
+    matchPhrase(t => post
+      .filter(col("tok_bucket") === lit(termBucket(t, nBuckets))
+        && col("tok") === t)
+      .select(col("doc_id"), col("pos")), phrase)
   }
 
   /** Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al. 2009):

@@ -50,4 +50,32 @@ object Compaction {
     AtomicParquetSink.overwrite(df.repartition(parts), table)
     parts
   }
+
+  /** Z-order compaction of an [[AtomicParquetSink]] table — the Delta
+    * `OPTIMIZE … ZORDER BY` shape: rewrite the CURRENT snapshot
+    * clustered on the Morton curve of `dims` (skew-proof rank-bucket
+    * quantization) as a NEW atomic version, then persist the per-file
+    * min/max manifest inside that version dir. Value-neutral by
+    * construction (same rows, new layout) and time-travel-preserving:
+    * the pre-compaction snapshot stays readable via
+    * [[AtomicParquetSink.readVersion]] under the sink's normal
+    * retention. Point [[ZOrderLayout.prunedBoxScanN]] at the returned
+    * version dir for manifest-pruned reads.
+    *
+    * Scale: the rewrite is one range-partitioned shuffle of the
+    * snapshot (the cost any OPTIMIZE pays) plus one approxQuantile
+    * pass; the manifest is a write-side stats pass over the freshly
+    * written files. Returns the new current version directory. */
+  def zorderCompact(spark: SparkSession, table: String,
+                    dims: Seq[String], nFiles: Int,
+                    buckets: Int = 64): String = {
+    val cur = AtomicParquetSink.read(spark, table).getOrElse(
+      throw new IllegalStateException(s"$table does not exist"))
+    AtomicParquetSink.overwrite(
+      ZOrderLayout.clusteredRanked(cur, dims, nFiles, buckets), table)
+    val vdir = AtomicParquetSink.currentVersionDir(spark, table).getOrElse(
+      throw new IllegalStateException(s"$table vanished after compaction"))
+    ZOrderLayout.writeManifest(spark, vdir, dims)
+    vdir
+  }
 }

@@ -1,7 +1,9 @@
 package graft.sink
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, TimestampType}
 
 /** Z-ORDER clustering + file-stats manifest pruning — multi-dimensional
   * data skipping for box-filter scans.
@@ -10,7 +12,7 @@ import org.apache.spark.sql.functions._
   * column prunes scans on that column only; a filter box over two
   * dimensions (`user_id BETWEEN … AND value BETWEEN …`) still reads
   * every file for the un-sorted dimension. Interleaving the bits of
-  * both dimensions (Morton / Z-order curve) makes rows close in the
+  * the dimensions (Morton / Z-order curve) makes rows close in the
   * curve close in EVERY dimension, so each file's per-column min/max
   * box is tight on all clustered columns at once and most files can
   * be skipped for any small box. This is the standard lakehouse
@@ -18,25 +20,27 @@ import org.apache.spark.sql.functions._
   * orders) rebuilt from first principles on plain parquet.
   *
   * Everything is Column algebra (shifts/masks/ors) — codegen'd, no
-  * UDFs; the bit-spread is the classic 4-step mask doubling.
-  *
-  * Dimension quantization is linear min→max into 16 bits (one tiny
-  * broadcast aggregate). At 100 TB with heavily skewed dimensions,
-  * swap the linear scale for approx-quantile rank buckets — same
-  * interleave, skew-proof cell occupancy; linear is kept here because
-  * it is deterministic and oracle-friendly.
+  * UDFs; the 2-dim bit-spread is the classic 4-step mask doubling,
+  * the N-dim spread is the same idea unrolled per bit.
   *
   * The manifest is the file-skipping half: per-file min/max of the
-  * clustered columns, collected into a tiny DataFrame (one row per
-  * file — metadata-scale, like a Delta log / Iceberg manifest). A
-  * pruned read intersects the query box with each file's box and
-  * hands ONLY the surviving files to the parquet reader — file-level
-  * skipping on top of the row-group-level pruning parquet stats
-  * already give. On a real deployment the manifest is maintained
-  * incrementally at write time; recomputing it here keeps the demo
-  * self-contained.
+  * clustered columns, ONE row per file (metadata-scale, like a Delta
+  * log / Iceberg manifest). It is MAINTAINED AT WRITE TIME: every
+  * clustered write finishes by persisting the manifest as a sidecar
+  * parquet at `dir/_manifest` (underscore-prefixed, so plain readers
+  * of `dir` never see it). A pruned read consults that metadata-sized
+  * sidecar — never the data — intersects the query box with each
+  * file's box, and hands ONLY the surviving files to the parquet
+  * reader: file-level skipping on top of the row-group-level pruning
+  * parquet stats already give, with zero data scanned to decide what
+  * to skip. Recomputing the manifest by scanning remains available as
+  * an explicit fallback for foreign directories (and fires
+  * automatically when the sidecar is missing or stale — detected by a
+  * pure file-LISTING comparison, still metadata-only).
   */
 object ZOrderLayout {
+
+  // ---- Morton interleave ----------------------------------------------
 
   /** Spread the low 16 bits of `x` so bit i lands at position 2·i
     * (classic mask-doubling; all arithmetic in LongType). */
@@ -51,6 +55,30 @@ object ZOrderLayout {
     * so signed-long ordering is the curve ordering). */
   def morton2(qa: Column, qb: Column): Column =
     spread16(qa).bitwiseOR(shiftleft(spread16(qb), 1))
+
+  /** Spread the low `bits` bits of `x` so bit i lands at position
+    * i·stride — the N-dim generalization of [[spread16]]. Unrolled per
+    * bit; still pure codegen'd column algebra (≤ bits OR/AND/shift
+    * terms, evaluated once per row). */
+  private def spreadBits(x: Column, stride: Int, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), i * stride)
+    }.reduce(_.bitwiseOR(_))
+
+  /** Morton code of N quantized dimensions at `bits` bits each: bit i
+    * of dimension j lands at position i·N + j. N·bits must fit a
+    * signed long (≤ 62). For N = 2 this yields the same ORDERING as
+    * [[morton2]] (identical interleave, fewer spread positions). */
+  def mortonN(qs: Seq[Column], bits: Int): Column = {
+    require(qs.size >= 2, s"need >= 2 dims, got ${qs.size}")
+    require(qs.size * bits <= 62,
+      s"${qs.size} dims x $bits bits overflows a signed long")
+    qs.zipWithIndex.map { case (q, j) =>
+      shiftleft(spreadBits(q, qs.size, bits), j)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  // ---- quantizers -------------------------------------------------------
 
   /** Linear 16-bit quantizer for a numeric column given its [lo, hi]
     * range; constant column when hi == lo. */
@@ -73,36 +101,73 @@ object ZOrderLayout {
     least(greatest(idx.cast("long"), lit(0L)), lit((bounds.length - 2).toLong))
   }
 
-  /** Skew-proof Z-order write: quantize both dimensions into
-    * `buckets` equal-mass rank buckets (boundaries from one
-    * `approxQuantile` pass — a driver-side array of ≤257 doubles, not
-    * data), interleave, range-partition, sort, write. Same manifest /
-    * pruned-scan read path as [[zorderWrite]]; only cell occupancy
-    * changes. At 100 TB run the quantile pass on a row sample —
-    * boundary error only costs skipping efficiency, never rows. */
-  def zorderWriteRanked(df: DataFrame, dimA: String, dimB: String,
-                        dir: String, nFiles: Int,
-                        buckets: Int = 256): Unit = {
+  /** Numeric view of a dimension for quantile/quantize math: dates →
+    * epoch days, timestamps → epoch micros, everything else → double. */
+  private def numericView(df: DataFrame, dim: String): Column =
+    df.schema(dim).dataType match {
+      case DateType      => unix_date(col(dim)).cast("double")
+      case TimestampType => unix_micros(col(dim)).cast("double")
+      case _             => col(dim).cast("double")
+    }
+
+  /** ceil(log2(buckets)) — bits needed to hold a bucket index. */
+  private def bitsFor(buckets: Int): Int =
+    math.max(1, 64 - java.lang.Long.numberOfLeadingZeros((buckets - 1).toLong))
+
+  // ---- clustered writes --------------------------------------------------
+
+  /** The clustering TRANSFORM alone (no write): quantize every
+    * dimension into `buckets` equal-mass rank buckets (boundaries from
+    * one `approxQuantile` pass — a driver-side array of ≤257 doubles
+    * per dim, not data), interleave into the N-dim Morton code,
+    * range-partition on it (range, not hash — neighboring curve cells
+    * must land in the same file for the min/max boxes to be tight),
+    * sort within partitions. Callers that own the write add the
+    * manifest ([[zorderWriteRankedN]]); callers that hand the frame to
+    * another committer (the atomic sink in
+    * [[Compaction.zorderCompact]]) write it after their commit. */
+  def clusteredRanked(df: DataFrame, dims: Seq[String], nFiles: Int,
+                      buckets: Int = 256): DataFrame = {
+    require(dims.size >= 2, s"need >= 2 dims, got $dims")
     require(buckets >= 2 && buckets <= 65536, s"buckets out of range: $buckets")
     val probs = (0 to buckets).map(_.toDouble / buckets).toArray
+    val numNames = dims.indices.map(i => s"_zq$i")
+    val dfn = dims.zip(numNames).foldLeft(df) { case (d, (dim, nn)) =>
+      d.withColumn(nn, numericView(df, dim))
+    }
     // relative error = half a bucket's rank width: tighter buys nothing
     // (cell boundaries can't be sharper than a bucket), looser only
     // blurs cell occupancy — rows never leave the result either way
-    val Array(bA, bB) = df.stat.approxQuantile(
-      Array(dimA, dimB), probs, 0.5 / buckets)
-    val z = df.withColumn("_z", morton2(
-      quantizeRank(col(dimA), bA),
-      quantizeRank(col(dimB), bB)))
+    val bounds = dfn.stat.approxQuantile(numNames.toArray, probs, 0.5 / buckets)
+    val z = dfn.withColumn("_z", mortonN(
+      numNames.zip(bounds).map { case (nn, b) => quantizeRank(col(nn), b) },
+      bitsFor(buckets)))
     z.repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
-      .drop("_z")
-      .write.mode("overwrite").parquet(dir)
+      .drop("_z").drop(numNames: _*)
   }
 
-  /** Cluster `df` on the Z-order curve of (dimA, dimB) and write it as
-    * `nFiles` parquet files: range-partition on the morton code (range,
-    * not hash — neighboring curve cells must land in the same file for
-    * the min/max boxes to be tight), sort within partitions, write. */
+  /** Skew-proof N-dim Z-order write: [[clusteredRanked]] + parquet
+    * write + write-time manifest. At 100 TB run the quantile pass on a
+    * row sample — boundary error only costs skipping efficiency, never
+    * rows. */
+  def zorderWriteRankedN(df: DataFrame, dims: Seq[String], dir: String,
+                         nFiles: Int, buckets: Int = 256): Unit = {
+    clusteredRanked(df, dims, nFiles, buckets)
+      .write.mode("overwrite").parquet(dir)
+    writeManifest(df.sparkSession, dir, dims)
+  }
+
+  /** Two-dim skew-proof Z-order write (the common case). */
+  def zorderWriteRanked(df: DataFrame, dimA: String, dimB: String,
+                        dir: String, nFiles: Int,
+                        buckets: Int = 256): Unit =
+    zorderWriteRankedN(df, Seq(dimA, dimB), dir, nFiles, buckets)
+
+  /** Cluster `df` on the Z-order curve of (dimA, dimB) with the LINEAR
+    * quantizer (deterministic, oracle-friendly; use the ranked variant
+    * for skewed dimensions) and write as `nFiles` parquet files plus
+    * the write-time manifest. */
   def zorderWrite(df: DataFrame, dimA: String, dimB: String,
                   dir: String, nFiles: Int): Unit = {
     val r = df.agg(
@@ -119,40 +184,131 @@ object ZOrderLayout {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode("overwrite").parquet(dir)
+    writeManifest(df.sparkSession, dir, Seq(dimA, dimB))
   }
 
-  /** Per-file min/max manifest of two columns: one row per parquet
-    * file — the metadata table a pruned scan consults. */
-  def manifest(spark: SparkSession, dir: String,
-               dimA: String, dimB: String): DataFrame =
+  // ---- manifest ----------------------------------------------------------
+
+  private def manifestDir(dir: String): String = s"$dir/_manifest"
+
+  private def minMaxAggs(dims: Seq[String]): Seq[Column] =
+    dims.flatMap(d => Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d")))
+
+  /** Recompute the per-file min/max manifest by scanning the data —
+    * the fallback for directories written by someone else. One row per
+    * file; columns `file, min_<dim>, max_<dim>…` in native types. */
+  def computeManifest(spark: SparkSession, dir: String,
+                      dims: Seq[String]): DataFrame = {
+    val aggs = minMaxAggs(dims)
     spark.read.parquet(dir)
       .groupBy(input_file_name().as("file"))
-      .agg(min(col(dimA)).as("minA"), max(col(dimA)).as("maxA"),
-        min(col(dimB)).as("minB"), max(col(dimB)).as("maxB"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** Files whose [min,max] box intersects the query box. */
+  /** Persist the manifest sidecar for `dir` (one tiny parquet file at
+    * `dir/_manifest` — hidden from plain readers by the underscore).
+    * Called by every clustered write; also the hook for committers
+    * that write the data themselves ([[Compaction.zorderCompact]]).
+    * The stats come from one read of the files just written — a fixed
+    * write-side cost (Delta/Iceberg pay the same stats collection at
+    * commit), never a read-side one. */
+  def writeManifest(spark: SparkSession, dir: String,
+                    dims: Seq[String]): Unit =
+    computeManifest(spark, dir, dims)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestDir(dir))
+
+  /** Data-file names currently under `dir` (non-hidden .parquet, one
+    * listing call — metadata-only). */
+  private def dataFileNames(spark: SparkSession, dir: String): Set[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).iterator
+      .filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet")
+        && !n.startsWith("_") && !n.startsWith("."))
+      .toSet
+  }
+
+  /** The manifest for (`dir`, `dims`): the write-time sidecar when it
+    * exists, covers the requested dims, and matches the directory's
+    * CURRENT file listing (a stale sidecar — e.g. the data was
+    * rewritten behind our back — is detected by pure name-set
+    * comparison and falls back to [[computeManifest]]). The happy path
+    * reads one metadata-sized parquet file and zero data. */
+  def manifestN(spark: SparkSession, dir: String,
+                dims: Seq[String]): DataFrame = {
+    val needed = "file" +: dims.flatMap(d => Seq(s"min_$d", s"max_$d"))
+    val mdir = new Path(manifestDir(dir))
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mdir)) {
+      val side = spark.read.parquet(manifestDir(dir))
+      if (needed.forall(side.columns.contains)) {
+        val recorded = side.select("file").collect()
+          .map(r => new Path(r.getString(0)).getName).toSet
+        if (recorded == dataFileNames(spark, dir))
+          return side.select(needed.map(col): _*)
+      }
+    }
+    computeManifest(spark, dir, dims)
+  }
+
+  /** Per-file min/max manifest of two columns (columns named
+    * minA/maxA/minB/maxB — the 2-dim legacy shape). */
+  def manifest(spark: SparkSession, dir: String,
+               dimA: String, dimB: String): DataFrame =
+    manifestN(spark, dir, Seq(dimA, dimB))
+      .toDF("file", "minA", "maxA", "minB", "maxB")
+
+  // ---- pruned reads --------------------------------------------------------
+
+  /** Files whose [min,max] box intersects the query box, from an
+    * N-dim manifest. `box` is (dim, lo, hi) with Column-typed bounds —
+    * longs, doubles, dates, whatever compares with the stored stats.
+    * The collected list is one string per surviving file — metadata,
+    * not data. */
+  def survivingFilesN(mf: DataFrame,
+                      box: Seq[(String, Column, Column)]): Seq[String] = {
+    require(box.nonEmpty, "empty box")
+    val pred = box.map { case (d, lo, hi) =>
+      col(s"max_$d") >= lo && col(s"min_$d") <= hi
+    }.reduce(_ && _)
+    mf.filter(pred).select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** 2-dim legacy form over a [[manifest]]-shaped frame. */
   def survivingFiles(mf: DataFrame, aLo: Long, aHi: Long,
                      bLo: Double, bHi: Double): Seq[String] =
     mf.filter(col("maxA") >= aLo && col("minA") <= aHi &&
         col("maxB") >= bLo && col("minB") <= bHi)
       .select("file").collect().map(_.getString(0)).toSeq
 
-  /** Manifest-pruned box scan: consult the manifest, read ONLY the
-    * surviving files, apply the exact filter. Result is identical to
-    * filtering the full table — the manifest can only skip files whose
-    * box provably misses. The driver-side file list is metadata-sized
-    * (one string per surviving file), not data. */
-  def prunedBoxScan(spark: SparkSession, dir: String,
-                    dimA: String, dimB: String,
-                    aLo: Long, aHi: Long,
-                    bLo: Double, bHi: Double): DataFrame = {
-    val mf = manifest(spark, dir, dimA, dimB)
-    val files = survivingFiles(mf, aLo, aHi, bLo, bHi)
+  /** Manifest-pruned N-dim box scan: consult the (write-maintained)
+    * manifest, read ONLY the surviving files, apply the exact filter.
+    * Result is identical to filtering the full table — the manifest
+    * can only skip files whose box provably misses. The read path
+    * touches: one sidecar parquet + one directory listing (both
+    * metadata-sized) + the surviving data files. */
+  def prunedBoxScanN(spark: SparkSession, dir: String,
+                     box: Seq[(String, Column, Column)]): DataFrame = {
+    val mf = manifestN(spark, dir, box.map(_._1))
+    val files = survivingFilesN(mf, box)
     val src =
       if (files.isEmpty)
         spark.read.parquet(dir).limit(0)
       else spark.read.parquet(files: _*)
-    src.filter(col(dimA) >= aLo && col(dimA) <= aHi &&
-      col(dimB) >= bLo && col(dimB) <= bHi)
+    src.filter(box.map { case (d, lo, hi) =>
+      col(d) >= lo && col(d) <= hi
+    }.reduce(_ && _))
   }
+
+  /** 2-dim (long, double) legacy form of [[prunedBoxScanN]]. */
+  def prunedBoxScan(spark: SparkSession, dir: String,
+                    dimA: String, dimB: String,
+                    aLo: Long, aHi: Long,
+                    bLo: Double, bHi: Double): DataFrame =
+    prunedBoxScanN(spark, dir, Seq(
+      (dimA, lit(aLo), lit(aHi)),
+      (dimB, lit(bLo), lit(bHi))))
 }

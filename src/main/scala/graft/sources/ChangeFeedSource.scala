@@ -112,17 +112,22 @@ class ChangeFeedBatchWrite(path: String, schema: StructType,
       }
       b.toSeq
     } else Nil
+    // qualified on BOTH sides: `olds` paths come from listFiles (fully
+    // qualified), dsts are built from raw commit-message strings — an
+    // unqualified dst would never compare equal and silently disarm
+    // the guard below
     val renamed = messages.map { case StagedFile(file) =>
       val src = new Path(file)
       val dst = new Path(file.stripSuffix(".staged"))
       if (!f.rename(src, dst))
         throw new java.io.IOException(s"commit rename failed: $src")
-      dst
+      f.makeQualified(dst)
     }.toSet
     // staged part-<p>-<t> names cannot collide with prior committed
     // names within a session, but guard anyway: never delete a file
     // this commit just made visible
-    olds.filterNot(renamed.contains).foreach(p => f.delete(p, false))
+    olds.map(f.makeQualified).filterNot(renamed.contains)
+      .foreach(p => f.delete(p, false))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

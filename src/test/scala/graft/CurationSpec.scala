@@ -110,4 +110,23 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id", "split").as[(Long, String)].head()
     assert(lone._2 == 777L && lone._3 == plain._2)
   }
+
+  test("leakageSafeSplit with a precomputed cluster map assigns identically") {
+    val corpus = (0 until 40).flatMap { i =>
+      val base = s"alpha bravo charlie delta echo foxtrot golf hotel $i"
+      Seq((i * 10L, base, "en", "web"),
+        (i * 10L + 1, base + " india", "en", "web"))
+    }.toDF("doc_id", "text", "lang", "source")
+    // the production path: the dedup pass's stored map handed in —
+    // no LSH/CC recompute inside the split
+    val stored = graft.dedup.Dedup.dedupGroups(corpus, "doc_id", "text")
+      .select("doc_id", "canonical_id")
+    val viaMap = Sampling.leakageSafeSplit(corpus, "doc_id", "text",
+        clusterMap = Some(stored))
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val inline = Sampling.leakageSafeSplit(corpus, "doc_id", "text")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(viaMap == inline,
+      "stored-map split must equal the inline-recompute split")
+  }
 }

@@ -128,6 +128,125 @@ class LayoutSpec extends AnyFunSuite {
     assert(ZOrderLayout.prunedBoxScan(spark, dir, "x", "y", 100L, 200L, 0.0, 1.0).count() == 0L)
   }
 
+  test("pruned box scan reads the write-time manifest sidecar, never the table") {
+    import graft.sink.ZOrderLayout
+    val dir = Files.createTempDirectory("graft-zmf-").toString + "/t"
+    val df = (0 until 4096).map { i => (i.toLong, (i % 64).toLong, (i / 64).toDouble) }
+      .toDF("id", "x", "y")
+    ZOrderLayout.zorderWrite(df, "x", "y", dir, nFiles = 16)
+    // the write left a sidecar …
+    assert(Files.exists(java.nio.file.Paths.get(dir, "_manifest")),
+      "zorderWrite must persist the manifest sidecar")
+    // … and manifestN serves it: the manifest READ touches only
+    // _manifest files — zero data files — so deciding what to skip
+    // costs metadata, not a table scan
+    val mf = ZOrderLayout.manifestN(spark, dir, Seq("x", "y"))
+    val mfFiles = mf.inputFiles
+    assert(mfFiles.nonEmpty && mfFiles.forall(_.contains("/_manifest/")),
+      s"manifest must come from the sidecar, got ${mfFiles.toSeq}")
+    // the pruned query's FileScan lists ONLY the surviving data files
+    val surviving = ZOrderLayout.survivingFilesN(mf,
+      Seq(("x", lit(0L), lit(7L)), ("y", lit(0.0), lit(7.0)))).toSet
+    assert(surviving.nonEmpty && surviving.size < 16)
+    val pruned = ZOrderLayout.prunedBoxScanN(spark, dir,
+      Seq(("x", lit(0L), lit(7L)), ("y", lit(0.0), lit(7.0))))
+    val scanned = pruned.inputFiles.map(f =>
+      new org.apache.hadoop.fs.Path(f).getName).toSet
+    val survivingNames = surviving.map(f =>
+      new org.apache.hadoop.fs.Path(f).getName)
+    assert(scanned == survivingNames,
+      s"pruned scan must read exactly the surviving files: $scanned vs $survivingNames")
+  }
+
+  test("stale sidecar (data rewritten behind it) falls back to recompute, stays exact") {
+    import graft.sink.ZOrderLayout
+    val dir = Files.createTempDirectory("graft-zstale-").toString + "/t"
+    val df = (0 until 1024).map { i => (i.toLong, (i % 32).toLong, (i / 32).toDouble) }
+      .toDF("id", "x", "y")
+    ZOrderLayout.zorderWrite(df, "x", "y", dir, nFiles = 8)
+    // rewrite the DATA without touching the sidecar — a foreign writer
+    val grown = (0 until 2048).map { i => (i.toLong, (i % 32).toLong, (i / 32).toDouble) }
+      .toDF("id", "x", "y")
+    grown.repartition(4).write.mode("overwrite").parquet(dir + "_new")
+    // move new data files in, delete old ones (sidecar now stale)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach(s => fs.delete(s.getPath, false))
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir + "_new")).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach(s => fs.rename(s.getPath,
+        new org.apache.hadoop.fs.Path(dir, s.getPath.getName)))
+    // the manifest detects the stale listing and recomputes — the
+    // pruned scan still equals the plain filter on the NEW data
+    val got = ZOrderLayout.prunedBoxScanN(spark, dir,
+        Seq(("x", lit(0L), lit(5L)), ("y", lit(0.0), lit(10.0))))
+      .select("id").as[Long].collect().sorted
+    val want = grown.filter($"x".between(0, 5) && $"y".between(0.0, 10.0))
+      .select("id").as[Long].collect().sorted
+    assert(got.sameElements(want), "stale-sidecar fallback diverged")
+  }
+
+  test("N-dim z-order: double x double x long box scan equals the plain filter") {
+    import graft.sink.ZOrderLayout
+    val dir = Files.createTempDirectory("graft-z3d-").toString + "/t"
+    // 16x16x16 lattice — two double dims and a long dim
+    val df = (0 until 4096).map { i =>
+      (i.toLong, (i % 16).toDouble, ((i / 16) % 16).toDouble, (i / 256).toLong)
+    }.toDF("id", "a", "b", "c")
+    ZOrderLayout.zorderWriteRankedN(df, Seq("a", "b", "c"), dir,
+      nFiles = 16, buckets = 16)
+    val box = Seq(
+      ("a", lit(0.0), lit(3.0)),
+      ("b", lit(0.0), lit(3.0)),
+      ("c", lit(0L), lit(3L)))
+    // a corner box in 3-space must skip most of the 16 files
+    val surviving = ZOrderLayout.survivingFilesN(
+      ZOrderLayout.manifestN(spark, dir, Seq("a", "b", "c")), box)
+    assert(surviving.nonEmpty && surviving.size <= 6,
+      s"3-dim corner box should prune most of 16 files, got ${surviving.size}")
+    val got = ZOrderLayout.prunedBoxScanN(spark, dir, box)
+      .select("id").as[Long].collect().sorted
+    val want = df.filter($"a".between(0.0, 3.0) && $"b".between(0.0, 3.0)
+        && $"c".between(0L, 3L))
+      .select("id").as[Long].collect().sorted
+    assert(got.sameElements(want))
+  }
+
+  test("zorderCompact: value-neutral, time-travel preserved, pruned reads skip files") {
+    import graft.sink.{AtomicParquetSink, Compaction, ZOrderLayout}
+    val table = Files.createTempDirectory("graft-zcmp-").toString + "/t"
+    val df = (0 until 4096).map { i => (i.toLong, (i % 64).toLong, (i / 64).toDouble) }
+      .toDF("id", "x", "y")
+    // fragmented initial commit: 16 unclustered files
+    AtomicParquetSink.overwrite(df.repartition(16), table)
+    val v0 = AtomicParquetSink.versions(spark, table).head
+    val vdir = Compaction.zorderCompact(spark, table, Seq("x", "y"),
+      nFiles = 16, buckets = 64)
+    // value-neutral: current snapshot has exactly the original rows
+    val after = AtomicParquetSink.read(spark, table).get
+      .select("id").as[Long].collect().sorted
+    assert(after.sameElements(Array.tabulate(4096)(_.toLong)))
+    // time travel: the pre-compaction snapshot is still readable
+    assert(AtomicParquetSink.versions(spark, table).size >= 2)
+    assert(AtomicParquetSink.readVersion(spark, table, v0).count() == 4096L)
+    // the compacted version carries a write-time manifest and a corner
+    // box skips most files (the fragmented layout could skip none)
+    val mf = ZOrderLayout.manifestN(spark, vdir, Seq("x", "y"))
+    assert(mf.inputFiles.forall(_.contains("/_manifest/")))
+    val surviving = ZOrderLayout.survivingFilesN(mf,
+      Seq(("x", lit(0L), lit(7L)), ("y", lit(0.0), lit(7.0))))
+    assert(surviving.nonEmpty && surviving.size <= 4,
+      s"compacted 8x8 corner box should touch <=4 of 16 files, got ${surviving.size}")
+    val got = ZOrderLayout.prunedBoxScanN(spark, vdir,
+        Seq(("x", lit(10L), lit(30L)), ("y", lit(5.0), lit(45.0))))
+      .select("id").as[Long].collect().sorted
+    val want = df.filter($"x".between(10, 30) && $"y".between(5.0, 45.0))
+      .select("id").as[Long].collect().sorted
+    assert(got.sameElements(want))
+  }
+
   test("rank-bucket z-order stays selective under heavy value skew") {
     import graft.sink.ZOrderLayout
     val base = Files.createTempDirectory("graft-zskew-").toString

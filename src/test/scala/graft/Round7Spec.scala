@@ -1,0 +1,99 @@
+package graft
+
+import graft.search.Search
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Specs for the round-7 additions — invariants the row oracle can't
+  * see: the persisted posting index's partition-pruned read path, and
+  * the native as-of join's loud rejection of a non-unique right side. */
+class Round7Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- persisted-index phrase search --------------------------------
+
+  private def phraseDocs = Seq(
+    (1L, "a b a b a b"),
+    (2L, "a a b a"),
+    (3L, "b a b"),
+    (4L, "x y z"),
+  ).toDF("doc_id", "text")
+
+  test("phraseSearchIndexed matches phraseSearch exactly (incl. overlaps)") {
+    val dir = Files.createTempDirectory("graft-pidx-").toString + "/p"
+    Search.buildPostings(phraseDocs, "doc_id", "text", dir, nBuckets = 8)
+    for (phrase <- Seq(Seq("a", "b", "a"), Seq("b"), Seq("a", "b"))) {
+      val inline = Search.phraseSearch(phraseDocs, "doc_id", "text", phrase)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val indexed = Search.phraseSearchIndexed(spark, dir, phrase, nBuckets = 8)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(indexed == inline, s"phrase $phrase diverged: $indexed vs $inline")
+    }
+  }
+
+  test("indexed phrase read prunes to the phrase terms' index partitions") {
+    val dir = Files.createTempDirectory("graft-pidx-").toString + "/p"
+    Search.buildPostings(phraseDocs, "doc_id", "text", dir, nBuckets = 8)
+    val q = Search.phraseSearchIndexed(spark, dir, Seq("a", "b"), nBuckets = 8)
+    q.collect()  // metrics fill post-execution
+    // each term's posting scan must read exactly ONE tok_bucket
+    // partition of the 8 — the whole point of the persisted index is
+    // reading ≤ m of the nBuckets partitions per phrase query
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case qs: QueryStageExec => allScans(qs.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => (other.children ++ other.subqueries).flatMap(allScans)
+    }
+    val scans = allScans(q.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    scans.foreach { sc =>
+      assert(sc.metrics.contains("numPartitions")
+          && sc.metrics("numPartitions").value <= 1,
+        s"each posting scan must read one pruned bucket partition, got " +
+          s"${sc.metrics.get("numPartitions").map(_.value)} in:\n$sc")
+    }
+    // and the plan carries partition filters on the partition column
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tok_bucket"),
+      s"expected tok_bucket partition filters at the scan:\n$plan")
+  }
+
+  // ---- as-of right-side uniqueness enforcement ----------------------
+
+  test("native as-of join fails loud on duplicate (key, time) right rows") {
+    val left = Seq((1L, 10L, "2024-01-01 10:00:00"))
+      .toDF("event_id", "user_id", "ts_s")
+    val dupRight = Seq(
+      (10L, "2024-01-01 09:00:00", 1.0),
+      (10L, "2024-01-01 09:00:00", 2.0),  // duplicate (key, time)
+    ).toDF("r_uid", "asof_ts", "asof_v")
+    val e = intercept[Throwable] {
+      graft.plans.AsofJoinNative.asofLeft(left, dupRight,
+        "user_id", "r_uid", "ts_s", "asof_ts").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m =>
+        m != null && m.contains("unique per (key, time)")),
+      s"expected the uniqueness error, got: $e")
+  }
+
+  test("native as-of join still accepts same time under different keys") {
+    val left = Seq((1L, 10L, "2024-01-01 10:00:00"),
+      (2L, 20L, "2024-01-01 10:00:00"))
+      .toDF("event_id", "user_id", "ts_s")
+    val right = Seq(
+      (10L, "2024-01-01 09:00:00", 1.0),
+      (20L, "2024-01-01 09:00:00", 2.0),  // same time, different key: fine
+    ).toDF("r_uid", "asof_ts", "asof_v")
+    val got = graft.plans.AsofJoinNative.asofLeft(left, right,
+        "user_id", "r_uid", "ts_s", "asof_ts")
+      .select("event_id", "asof_v").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.0, 2L -> 2.0))
+  }
+}
