@@ -2,6 +2,7 @@ package graft
 
 import graft.queries.{CoreQueries, LlmQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Driver contract — one named query per implemented operator (SURVEY.md
   * §2) plus its DuckDB-runnable ANSI-SQL oracle over the same parquet
@@ -340,6 +341,23 @@ object SparkEntry {
         s"$work/postings")
       graft.search.Search.phraseSearchIndexed(
         s, s"$work/postings", Seq("the", "group", "line"))
+    }),
+    // 3-dim Z-order: the generalized Morton interleave through the
+    // oracle — a box over (user, value, id) against the plain filter
+    "q182_zorder_3d"        -> ((s, d) => CoreQueries.zorder3dBoxScan(s, d)),
+    // INCREMENTAL posting-index maintenance: build from half the
+    // corpus, APPEND the other half, query — must equal the
+    // full-corpus phrase search (q179's oracle again)
+    "q183_postings_append"  -> ((s, d) => {
+      val work = graft.TempDirs.create("graft-pinc-")
+      val docs = graft.sources.Tables.documents(s, d)
+      val dir = s"$work/postings"
+      graft.search.Search.buildPostings(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir)
+      graft.search.Search.appendPostings(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", dir)
+      graft.search.Search.phraseSearchIndexed(
+        s, dir, Seq("the", "group", "line"))
     }),
   )
 
@@ -3096,6 +3114,32 @@ object SparkEntry {
     // the persisted-index phrase search shares q179's oracle verbatim:
     // same phrase, same output contract, different read path
     "q181_phrase_indexed" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+           FROM documents),
+         pos AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+           FROM t, unnest(range(1, len(tk) + 1)) AS r(i)),
+         m0 AS (SELECT doc_id, pos FROM pos WHERE tok = 'the'),
+         m1 AS (SELECT m0.doc_id, m0.pos FROM m0 JOIN pos p
+           ON p.doc_id = m0.doc_id AND p.pos = m0.pos + 1
+             AND p.tok = 'group'),
+         m2 AS (SELECT m1.doc_id, m1.pos FROM m1 JOIN pos p
+           ON p.doc_id = m1.doc_id AND p.pos = m1.pos + 2
+             AND p.tok = 'line')
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+         FROM m2 GROUP BY doc_id""",
+    // 3-dim box pruning must be row-for-row invisible too
+    "q182_zorder_3d" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE user_id BETWEEN 0 AND 6 AND value BETWEEN 0.0 AND 250.0
+           AND event_id BETWEEN 0 AND 30000
+         GROUP BY event_type""",
+    // incremental index build (half built, half appended) must equal
+    // the full-corpus phrase search — q179's oracle once more
+    "q183_postings_append" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
            FROM documents),
          pos AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok

@@ -1890,6 +1890,29 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** THREE-dimensional Z-order box scan (q182): cluster events on the
+    * (user_id, value, event_id) Morton curve — the generalized N-dim
+    * interleave, rank-bucket quantized — and answer a 3-dim box query
+    * through the write-maintained manifest. Same invisibility
+    * contract as q176/q177; the third dimension is what a
+    * (tenant, metric, time-ish id) operational query needs and what a
+    * 2-dim layout cannot prune on. */
+  def zorder3dBoxScan(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-z3d-")
+    val dir = s"$work/events_z3"
+    graft.sink.ZOrderLayout.zorderWriteRankedN(
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
+      Seq("user_id", "value", "event_id"), dir, nFiles = 16, buckets = 32)
+    graft.sink.ZOrderLayout.prunedBoxScanN(s, dir, Seq(
+        ("user_id", lit(0L), lit(6L)),
+        ("value", lit(0.0), lit(250.0)),
+        ("event_id", lit(0L), lit(30000L))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

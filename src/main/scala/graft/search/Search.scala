@@ -127,13 +127,30 @@ object Search {
     * The explode+shuffle cost paid here is exactly what every
     * [[phraseSearch]] call pays inline. */
   def buildPostings(docs: DataFrame, idCol: String, textCol: String,
-                    dir: String, nBuckets: Int = 64): Unit = {
+                    dir: String, nBuckets: Int = 64): Unit =
+    writePostings(docs, idCol, textCol, dir, nBuckets, "overwrite")
+
+  /** INCREMENTAL index maintenance: append a new batch's postings into
+    * the existing bucket partitions — the production property that an
+    * arriving batch costs O(batch), not an index rebuild. New files
+    * land inside the same `tok_bucket=` dirs, so the pruned read path
+    * is unchanged; doc ids must be new (append never rewrites an
+    * existing doc's postings — delete-then-append for updates).
+    * Periodic [[graft.sink.Compaction]] keeps per-bucket file counts
+    * sane under high batch cadence. */
+  def appendPostings(newDocs: DataFrame, idCol: String, textCol: String,
+                     dir: String, nBuckets: Int = 64): Unit =
+    writePostings(newDocs, idCol, textCol, dir, nBuckets, "append")
+
+  private def writePostings(docs: DataFrame, idCol: String,
+                            textCol: String, dir: String,
+                            nBuckets: Int, mode: String): Unit = {
     docs.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
       .withColumn("tok_bucket",
         graft.sampling.Sampling.hashBucket(col("tok"), nBuckets))
       .repartition(col("tok_bucket"))
-      .write.mode("overwrite").partitionBy("tok_bucket").parquet(dir)
+      .write.mode(mode).partitionBy("tok_bucket").parquet(dir)
   }
 
   /** Exact-phrase search over a [[buildPostings]] index: identical

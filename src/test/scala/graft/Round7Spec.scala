@@ -63,6 +63,24 @@ class Round7Spec extends AnyFunSuite {
       s"expected tok_bucket partition filters at the scan:\n$plan")
   }
 
+  test("appendPostings: incrementally built index equals a full rebuild") {
+    val base = Files.createTempDirectory("graft-pinc-").toString
+    val inc = s"$base/inc"
+    val full = s"$base/full"
+    Search.buildPostings(phraseDocs.filter($"doc_id" <= 2), "doc_id", "text",
+      inc, nBuckets = 8)
+    Search.appendPostings(phraseDocs.filter($"doc_id" > 2), "doc_id", "text",
+      inc, nBuckets = 8)
+    Search.buildPostings(phraseDocs, "doc_id", "text", full, nBuckets = 8)
+    for (phrase <- Seq(Seq("a", "b", "a"), Seq("b"))) {
+      val a = Search.phraseSearchIndexed(spark, inc, phrase, nBuckets = 8)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val b = Search.phraseSearchIndexed(spark, full, phrase, nBuckets = 8)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(a == b, s"incremental index diverged for $phrase: $a vs $b")
+    }
+  }
+
   // ---- as-of right-side uniqueness enforcement ----------------------
 
   test("native as-of join fails loud on duplicate (key, time) right rows") {
