@@ -243,13 +243,17 @@ object ZOrderLayout {
     val mdir = new Path(manifestDir(dir))
     val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(mdir)) {
-      val side = spark.read.parquet(manifestDir(dir))
-      if (needed.forall(side.columns.contains)) {
-        val recorded = side.select("file").collect()
-          .map(r => new Path(r.getString(0)).getName).toSet
-        if (recorded == dataFileNames(spark, dir))
-          return side.select(needed.map(col): _*)
-      }
+      // an unreadable sidecar (crashed mid-write, foreign junk) must
+      // degrade to the recompute, never fail the read
+      try {
+        val side = spark.read.parquet(manifestDir(dir))
+        if (needed.forall(side.columns.contains)) {
+          val recorded = side.select("file").collect()
+            .map(r => new Path(r.getString(0)).getName).toSet
+          if (recorded == dataFileNames(spark, dir))
+            return side.select(needed.map(col): _*)
+        }
+      } catch { case scala.util.control.NonFatal(_) => }
     }
     computeManifest(spark, dir, dims)
   }

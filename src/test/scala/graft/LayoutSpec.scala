@@ -188,6 +188,24 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.sameElements(want), "stale-sidecar fallback diverged")
   }
 
+  test("unreadable sidecar (crashed mid-write) degrades to recompute, not failure") {
+    import graft.sink.ZOrderLayout
+    val dir = Files.createTempDirectory("graft-zbad-").toString + "/t"
+    val df = (0 until 512).map { i => (i.toLong, (i % 16).toLong, (i / 16).toDouble) }
+      .toDF("id", "x", "y")
+    ZOrderLayout.zorderWrite(df, "x", "y", dir, nFiles = 4)
+    // clobber the sidecar with junk a parquet reader rejects
+    val mdir = java.nio.file.Paths.get(dir, "_manifest")
+    Files.list(mdir).forEach(p => Files.deleteIfExists(p))
+    Files.writeString(mdir.resolve("part-00000.parquet"), "not parquet")
+    val got = ZOrderLayout.prunedBoxScanN(spark, dir,
+        Seq(("x", lit(0L), lit(5L)), ("y", lit(0.0), lit(10.0))))
+      .select("id").as[Long].collect().sorted
+    val want = df.filter($"x".between(0, 5) && $"y".between(0.0, 10.0))
+      .select("id").as[Long].collect().sorted
+    assert(got.sameElements(want), "corrupt-sidecar fallback diverged")
+  }
+
   test("N-dim z-order: double x double x long box scan equals the plain filter") {
     import graft.sink.ZOrderLayout
     val dir = Files.createTempDirectory("graft-z3d-").toString + "/t"
