@@ -359,6 +359,17 @@ object SparkEntry {
       graft.search.Search.phraseSearchIndexed(
         s, dir, Seq("the", "group", "line"))
     }),
+    // bloom-sidecar file skipping: the equality-probe complement to
+    // the min/max manifest — a point lookup on a hash-clustered table
+    // (where min/max stats prune nothing) reads ~|values| of 16 files
+    "q184_bloom_point"      -> ((s, d) => CoreQueries.bloomPointScan(s, d)),
+    // persisted IVF vector index: cell-partitioned table + routing
+    // sidecar; search reads ONLY the probed cell partitions (the ANN
+    // serving form of q36 — identical rows, pruned read path)
+    "q185_ivf_indexed"      -> ((s, d) => LlmQueries.annIvfIndexed(s, d)),
+    // incremental IVF maintenance: even ids built, odd ids appended
+    // (O(batch) + sidecar fold) — must equal the full build
+    "q186_ivf_append"       -> ((s, d) => LlmQueries.annIvfIndexedAppend(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -381,6 +392,41 @@ object SparkEntry {
            WHERE doc_id % 20 <> 0),
          bench AS (SELECT DISTINCT unnest(grams) AS gram FROM sh
            WHERE doc_id % 20 = 0)"""
+
+  /** Shared oracle: routed IVF top-3 (min-id representative per
+    * label-cell, queries cosine-routed to their nearest rep, exact
+    * top-3 within the assigned cell) — used verbatim by q36 (inline
+    * scan), q185 (persisted-index pruned read), and q186 (incremental
+    * append), so the routing definition can never drift between the
+    * inline and indexed paths. */
+  private val ivfRoutedOracle: String =
+    """WITH e AS (SELECT vec_id, label AS cell,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         reps AS (SELECT e.cell, e.v AS rv FROM e
+           JOIN (SELECT cell, min(vec_id) AS rep_id FROM e GROUP BY cell) r
+             ON e.vec_id = r.rep_id),
+         routed AS (SELECT q.query_id, reps.cell, q.qv,
+             round(list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> q.qv[i] * reps.rv[i])) /
+               (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+                sqrt(list_sum(list_transform(reps.rv, x -> x * x)))), 5) AS rcos
+           FROM q CROSS JOIN reps),
+         assigned AS (SELECT query_id, cell, qv FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY rcos DESC, cell ASC) AS rr FROM routed)
+           WHERE rr = 1),
+         s AS (SELECT a.query_id, a.cell, e.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(a.qv) + 1),
+                 i -> a.qv[i] * e.v[i])) /
+               (sqrt(list_sum(list_transform(a.qv, x -> x * x))) *
+                sqrt(list_sum(list_transform(e.v, x -> x * x)))), 5) AS cos5
+           FROM assigned a JOIN e ON a.cell = e.cell
+             AND a.query_id <> e.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos5 DESC, neighbor_id) AS rank FROM s)
+         SELECT query_id, cell, CAST(rank AS BIGINT) AS rank, neighbor_id, cos5
+         FROM r WHERE rank <= 3"""
 
   /** Shared CTE chain: MinHash-LSH near-dup pairs → recursive
     * min-label closure ending at `comp(id, canonical)` — used verbatim
@@ -810,34 +856,7 @@ object SparkEntry {
            round(avg(CAST(embedding[i] AS DOUBLE)), 5) AS c5
          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
          GROUP BY 1, 2""",
-    "q36_ann_ivf_routed" ->
-      """WITH e AS (SELECT vec_id, label AS cell,
-             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-         reps AS (SELECT e.cell, e.v AS rv FROM e
-           JOIN (SELECT cell, min(vec_id) AS rep_id FROM e GROUP BY cell) r
-             ON e.vec_id = r.rep_id),
-         routed AS (SELECT q.query_id, reps.cell, q.qv,
-             round(list_sum(list_transform(range(1, len(q.qv) + 1),
-                 i -> q.qv[i] * reps.rv[i])) /
-               (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
-                sqrt(list_sum(list_transform(reps.rv, x -> x * x)))), 5) AS rcos
-           FROM q CROSS JOIN reps),
-         assigned AS (SELECT query_id, cell, qv FROM (
-             SELECT *, row_number() OVER (PARTITION BY query_id
-               ORDER BY rcos DESC, cell ASC) AS rr FROM routed)
-           WHERE rr = 1),
-         s AS (SELECT a.query_id, a.cell, e.vec_id AS neighbor_id,
-             round(list_sum(list_transform(range(1, len(a.qv) + 1),
-                 i -> a.qv[i] * e.v[i])) /
-               (sqrt(list_sum(list_transform(a.qv, x -> x * x))) *
-                sqrt(list_sum(list_transform(e.v, x -> x * x)))), 5) AS cos5
-           FROM assigned a JOIN e ON a.cell = e.cell
-             AND a.query_id <> e.vec_id),
-         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY cos5 DESC, neighbor_id) AS rank FROM s)
-         SELECT query_id, cell, CAST(rank AS BIGINT) AS rank, neighbor_id, cos5
-         FROM r WHERE rank <= 3""",
+    "q36_ann_ivf_routed" -> ivfRoutedOracle,
     "q37_stream_dedup" ->
       """SELECT DISTINCT md5(text) AS text_md5 FROM documents""",
     "q38_vocab_topk" ->
@@ -3154,5 +3173,20 @@ object SparkEntry {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
            CAST(MIN(pos) AS BIGINT) AS first_pos
          FROM m2 GROUP BY doc_id""",
+    // bloom skipping must be semantically invisible: the pruned point
+    // lookup equals the plain IN filter on the raw table
+    "q184_bloom_point" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE user_id IN (7, 42, 99)
+         GROUP BY event_type""",
+    // the persisted-index IVF search shares q36's oracle verbatim:
+    // same routing math and corpus, different (pruned) read path
+    "q185_ivf_indexed" -> ivfRoutedOracle,
+    // half-built + appended index must equal the full build — q36's
+    // oracle once more
+    "q186_ivf_append" -> ivfRoutedOracle,
   )
 }

@@ -1913,6 +1913,30 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** Bloom-skipped point lookup (q184): hash-cluster `events` on
+    * user_id into 16 files (the co-located-join layout, under which
+    * every file spans ~the full [min, max] of the key and min/max
+    * stats prune NOTHING), persist the per-file bloom sidecar, then
+    * answer `user_id IN (7, 42, 99)` reading only the files whose
+    * filter may contain a probed value. The oracle runs the plain IN
+    * filter over the raw table — bloom skipping must be row-for-row
+    * invisible (a false positive costs an extra file read; a file
+    * holding a match can never be skipped). LayoutSpec separately
+    * asserts the skip actually happens (≤ k of 16 files read). */
+  def bloomPointScan(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-bloom-")
+    val dir = s"$work/events_b"
+    graft.sink.BloomSkipIndex.bloomWrite(
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
+      "user_id", dir, nFiles = 16)
+    graft.sink.BloomSkipIndex
+      .prunedPointScan(s, dir, "user_id", Seq(lit(7L), lit(42L), lit(99L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

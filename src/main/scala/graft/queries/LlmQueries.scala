@@ -227,6 +227,35 @@ object LlmQueries {
       "embedding", "label", k = 3)
   }
 
+  /** IVF over the PERSISTED index (q185): build the cell-partitioned
+    * vector table + `_reps` routing sidecar, then search through the
+    * partition-pruned read path. Must return bit-identical rows to
+    * [[annIvfComputed]] — q36's oracle is shared verbatim. */
+  def annIvfIndexed(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-ivfidx-")
+    val dir = s"$work/ivf"
+    val e = Tables.embeddings(s, d)
+    graft.ann.IvfIndex.buildIndex(e, "vec_id", "embedding", "label", dir)
+    graft.ann.IvfIndex.searchIndexed(s, dir,
+      e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+  }
+
+  /** INCREMENTAL index maintenance (q186): build from the even
+    * vec_ids, APPEND the odd ones (new files inside the same cell
+    * partitions + sidecar min-id fold — O(batch), no rebuild), then
+    * search. Must equal the full-corpus build — q36's oracle again. */
+  def annIvfIndexedAppend(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-ivfinc-")
+    val dir = s"$work/ivf"
+    val e = Tables.embeddings(s, d)
+    graft.ann.IvfIndex.buildIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", "label", dir)
+    graft.ann.IvfIndex.appendVectors(
+      e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", "label", dir)
+    graft.ann.IvfIndex.searchIndexed(s, dir,
+      e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+  }
+
   // ---- multimodal ----------------------------------------------------
 
   /** Binary payload metadata scan (stat-the-blob without decoding). */

@@ -1,0 +1,180 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-file BLOOM-FILTER data skipping — the equality-probe complement
+  * to [[ZOrderLayout]]'s min/max manifest.
+  *
+  * The gap it closes: min/max stats prune RANGE predicates and only
+  * help when the layout makes each file's range tight. A table
+  * hash-clustered on a key (the natural layout for a co-located join,
+  * [[BucketedFactStore]]) gives every file a near-full [min, max] span
+  * on that key — stats prune nothing — yet each file holds only
+  * 1/nFiles of the KEY VALUES. A per-file Bloom filter captures
+  * exactly that set-membership structure: a point lookup
+  * (`key = v` / `key IN (…)`) skips every file whose filter provably
+  * excludes the value, reading ~|values|/nFiles of the table instead
+  * of all of it. This is the lakehouse bloom index (Delta bloom
+  * filters, Parquet bloom filters — public formats) rebuilt as an
+  * explicit sidecar on plain parquet, and it works for ANY layout:
+  * hash-clustered (best case), append-ordered, or Z-ordered.
+  *
+  * Mechanics: m = 1024 bits per file as 16 long words; k = 4 bit
+  * positions per value from `xxhash64(seed_j, key)`. Per row the mask
+  * contribution to each word is pure codegen'd column algebra
+  * (when/shiftleft/OR — no UDF); per file the filter is one `bit_or`
+  * hash aggregate with map-side partials, so building costs one scan
+  * with |files|×16 longs of shuffle. The sidecar at `dir/_bloom` is
+  * one metadata-sized parquet row per file (like the `_manifest`
+  * sidecar, hidden from plain readers by the underscore); the probe
+  * reads the sidecar plus one directory listing — zero data bytes —
+  * to decide what to skip, then hands only surviving files to the
+  * reader. Stale sidecars (data rewritten behind our back) are
+  * detected by file-name-set comparison and fall back to a recompute,
+  * so a probe can never return wrong rows, only read more files.
+  *
+  * False positives cost extra reads, never wrong results — the exact
+  * predicate is re-applied on the surviving files. With n ≈ 10 keys
+  * per file, FPR ≈ (1−e^(−kn/m))^k ≈ 2·10⁻⁶; at n ≈ 250 it is ~4%
+  * (worse layouts want a bigger m — the word count is a constant
+  * here, a config knob in a deployment).
+  */
+object BloomSkipIndex {
+
+  /** Filter geometry: 1024 bits = 16 long words, 4 probes per value. */
+  private val WordCount = 16
+  private val MBits = WordCount * 64
+  private val KHashes = 4
+
+  private def bloomDir(dir: String): String = s"$dir/_bloom"
+
+  /** The k bit positions of one key value (column form — evaluated
+    * per row at build time, over literals at probe time). */
+  private def positions(key: Column): Seq[Column] =
+    (0 until KHashes).map(j => pmod(xxhash64(lit(j), key), lit(MBits.toLong)))
+
+  /** Per-row contribution to word `w`: OR of the probe bits that land
+    * in that word (0 when none do). */
+  private def wordMask(key: Column, w: Int): Column =
+    positions(key).map { pos =>
+      when(floor(pos / 64) === w,
+          call_function("shiftleft", lit(1L), (pos % 64).cast("int")))
+        .otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Hash-cluster `df` into `nFiles` files on `keyCol` (co-located
+    * point lookups AND joins on the key) and persist the per-file
+    * bloom sidecar in the same commit. */
+  def bloomWrite(df: DataFrame, keyCol: String, dir: String,
+                 nFiles: Int): Unit = {
+    df.repartition(nFiles, col(keyCol))
+      .write.mode("overwrite").parquet(dir)
+    writeBloomSidecar(df.sparkSession, dir, keyCol)
+  }
+
+  /** Recompute the per-file bloom table by scanning the data — the
+    * write-time build and the fallback for foreign directories. One
+    * row per file: (file, w0…w15). */
+  def computeBloom(spark: SparkSession, dir: String,
+                   keyCol: String): DataFrame = {
+    val aggs = (0 until WordCount).map(w =>
+      bit_or(wordMask(col(keyCol), w)).as(s"w$w"))
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Persist the bloom sidecar for `dir` (one tiny parquet at
+    * `dir/_bloom`). Stats come from one read of the files just
+    * written — a fixed write-side cost, never a read-side one. */
+  def writeBloomSidecar(spark: SparkSession, dir: String,
+                        keyCol: String): Unit =
+    computeBloom(spark, dir, keyCol)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(bloomDir(dir))
+
+  /** Data-file names currently under `dir` (one listing call). */
+  private def dataFileNames(spark: SparkSession, dir: String): Set[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).iterator
+      .filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet")
+        && !n.startsWith("_") && !n.startsWith("."))
+      .toSet
+  }
+
+  /** The bloom table for (`dir`, `keyCol`): the write-time sidecar
+    * when present, well-formed, and matching the directory's CURRENT
+    * file listing; otherwise the scan recompute. The happy path reads
+    * one metadata-sized parquet and zero data. */
+  def bloomTable(spark: SparkSession, dir: String,
+                 keyCol: String): DataFrame = {
+    val needed = "file" +: (0 until WordCount).map(w => s"w$w")
+    val bdir = new Path(bloomDir(dir))
+    val fs = bdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(bdir)) {
+      try {
+        val side = spark.read.parquet(bloomDir(dir))
+        if (needed.forall(side.columns.contains)) {
+          val recorded = side.select("file").collect()
+            .map(r => new Path(r.getString(0)).getName).toSet
+          if (recorded == dataFileNames(spark, dir))
+            return side.select(needed.map(col): _*)
+        }
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
+    computeBloom(spark, dir, keyCol)
+  }
+
+  /** The k (word, mask) probes of each literal value, computed by ONE
+    * driver-local evaluation of the SAME column expressions the build
+    * used (no hand-rolled twin hash to drift). Metadata-sized. */
+  private def probeWords(spark: SparkSession,
+                         values: Seq[Column]): Seq[Seq[(Int, Long)]] = {
+    val cols = values.zipWithIndex.flatMap { case (v, i) =>
+      positions(v).zipWithIndex.map { case (p, j) => p.as(s"p_${i}_$j") }
+    }
+    val row = spark.range(1).select(cols: _*).collect().head
+    values.indices.map { i =>
+      (0 until KHashes).map { j =>
+        val pos = row.getLong(row.fieldIndex(s"p_${i}_$j"))
+        ((pos / 64).toInt, 1L << (pos % 64))
+      }
+    }
+  }
+
+  /** Files that MAY contain at least one of `values`: for each value,
+    * every probed bit must be set in the file's filter; a file
+    * survives if any value passes. Collected list is metadata. */
+  def survivingFiles(spark: SparkSession, dir: String, keyCol: String,
+                     values: Seq[Column]): Seq[String] = {
+    require(values.nonEmpty, "empty probe set")
+    val pred = probeWords(spark, values).map { probes =>
+      probes.map { case (w, mask) =>
+        col(s"w$w").bitwiseAND(lit(mask)) === lit(mask)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    bloomTable(spark, dir, keyCol).filter(pred)
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Bloom-pruned point lookup: consult the (write-maintained) bloom
+    * sidecar, read ONLY the files that may contain a probed value,
+    * re-apply the exact `keyCol IN (values)` predicate. Identical to
+    * filtering the full table — a false positive costs one extra file
+    * read, a true negative is a skipped file, and no file containing
+    * a match can ever be skipped (its filter has all probed bits
+    * set by construction). */
+  def prunedPointScan(spark: SparkSession, dir: String, keyCol: String,
+                      values: Seq[Column]): DataFrame = {
+    val files = survivingFiles(spark, dir, keyCol, values)
+    val src =
+      if (files.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(files: _*)
+    src.filter(values.map(col(keyCol) === _).reduce(_ || _))
+  }
+}

@@ -294,4 +294,67 @@ class LayoutSpec extends AnyFunSuite {
       assert(got.sameElements(expect), s"layout $d diverged from the plain filter")
     }
   }
+
+  test("bloom sidecar skips files min/max stats cannot: hash-clustered point lookup") {
+    import graft.sink.BloomSkipIndex
+    val dir = Files.createTempDirectory("graft-bloom-").toString + "/t"
+    // 256 keys × 16 rows each, hash-clustered into 16 files: every
+    // file spans ~the whole key range (min/max stats prune nothing)
+    // but holds only ~16 of the 256 key VALUES
+    val df = (0 until 4096).map { i => (i.toLong, (i % 256).toLong) }
+      .toDF("id", "k")
+    BloomSkipIndex.bloomWrite(df, "k", dir, nFiles = 16)
+    assert(Files.exists(java.nio.file.Paths.get(dir, "_bloom")),
+      "bloomWrite must persist the bloom sidecar")
+    // the bloom TABLE read touches only sidecar files — zero data
+    val bt = BloomSkipIndex.bloomTable(spark, dir, "k")
+    assert(bt.count() == 16L)
+    assert(bt.inputFiles.nonEmpty && bt.inputFiles.forall(_.contains("/_bloom/")),
+      s"bloom table must come from the sidecar, got ${bt.inputFiles.toSeq}")
+    // a 2-value probe survives ≤ a handful of 16 files (each value
+    // lives in exactly one hash partition; FPR adds at most a file or
+    // two at n≈16, m=1024, k=4)
+    val surviving = BloomSkipIndex.survivingFiles(
+      spark, dir, "k", Seq(lit(7L), lit(200L)))
+    assert(surviving.nonEmpty && surviving.size <= 4,
+      s"bloom should confine a 2-value probe to <=4 of 16 files, got ${surviving.size}")
+    // the pruned scan reads exactly the surviving files …
+    val pruned = BloomSkipIndex.prunedPointScan(
+      spark, dir, "k", Seq(lit(7L), lit(200L)))
+    val scanned = pruned.inputFiles.map(f =>
+      new org.apache.hadoop.fs.Path(f).getName).toSet
+    assert(scanned == surviving.map(f =>
+      new org.apache.hadoop.fs.Path(f).getName).toSet)
+    // … and is row-for-row the plain IN filter
+    val got = pruned.select("id").as[Long].collect().sorted
+    val want = df.filter($"k" === 7L || $"k" === 200L)
+      .select("id").as[Long].collect().sorted
+    assert(got.sameElements(want), "bloom pruning diverged from the plain filter")
+    // absent value → typically zero files, always zero rows
+    assert(BloomSkipIndex.prunedPointScan(
+      spark, dir, "k", Seq(lit(9999L))).count() == 0L)
+  }
+
+  test("stale bloom sidecar falls back to recompute and stays exact") {
+    import graft.sink.BloomSkipIndex
+    val dir = Files.createTempDirectory("graft-bstale-").toString + "/t"
+    val df = (0 until 1024).map { i => (i.toLong, (i % 64).toLong) }.toDF("id", "k")
+    BloomSkipIndex.bloomWrite(df, "k", dir, nFiles = 8)
+    // foreign rewrite: new data, sidecar untouched → name-set mismatch
+    val grown = (0 until 2048).map { i => (i.toLong, (i % 64).toLong) }.toDF("id", "k")
+    grown.repartition(4, col("k")).write.mode("overwrite").parquet(dir + "_new")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach(s => fs.delete(s.getPath, false))
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir + "_new")).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach(s => fs.rename(s.getPath,
+        new org.apache.hadoop.fs.Path(dir, s.getPath.getName)))
+    val got = BloomSkipIndex.prunedPointScan(spark, dir, "k", Seq(lit(3L)))
+      .select("id").as[Long].collect().sorted
+    val want = grown.filter($"k" === 3L).select("id").as[Long].collect().sorted
+    assert(got.sameElements(want), "stale bloom fallback diverged")
+  }
 }

@@ -114,4 +114,97 @@ class Round7Spec extends AnyFunSuite {
       .select("event_id", "asof_v").as[(Long, Double)].collect().toMap
     assert(got == Map(1L -> 1.0, 2L -> 2.0))
   }
+
+  // ---- persisted IVF vector index ------------------------------------
+
+  /** 40 vectors in 4 label cells; deterministic non-trivial geometry. */
+  private lazy val ivfVecs = (0L until 40L).map { i =>
+    (i, (i % 4).toInt, Array(
+      math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat,
+      ((i % 7) / 7.0).toFloat, 1.0f))
+  }.toDF("vec_id", "label", "embedding")
+
+  private def ivfRows(df: org.apache.spark.sql.DataFrame) =
+    df.select($"query_id", $"cell".cast("int"), $"rank", $"neighbor_id", $"cos5")
+      .as[(Long, Int, Long, Long, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+
+  test("searchIndexed returns bit-identical rows to the inline routed IVF") {
+    import graft.ann.{Ann, IvfIndex}
+    val dir = Files.createTempDirectory("graft-ivfidx-").toString + "/ivf"
+    IvfIndex.buildIndex(ivfVecs, "vec_id", "embedding", "label", dir)
+    val queries = ivfVecs.filter($"vec_id" < 5)
+    val indexed = ivfRows(
+      IvfIndex.searchIndexed(spark, dir, queries, "vec_id", "embedding", k = 3))
+    val inline = ivfRows(
+      Ann.ivfComputedTopK(ivfVecs, queries, "vec_id", "embedding", "label", k = 3))
+    assert(indexed.nonEmpty && indexed == inline,
+      s"indexed IVF diverged from inline: $indexed vs $inline")
+  }
+
+  test("indexed IVF search reads only the probed cell partitions") {
+    import graft.ann.IvfIndex
+    val dir = Files.createTempDirectory("graft-ivfp-").toString + "/ivf"
+    IvfIndex.buildIndex(ivfVecs, "vec_id", "embedding", "label", dir)
+    // one query → exactly one probed cell
+    val out = IvfIndex.searchIndexed(spark, dir,
+      ivfVecs.filter($"vec_id" === 0L), "vec_id", "embedding", k = 3)
+    out.collect()  // metrics fill post-execution
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case qs: QueryStageExec => allScans(qs.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => (other.children ++ other.subqueries).flatMap(allScans)
+    }
+    // the cell-partitioned vector scan (the one carrying the `cell`
+    // partition column) must touch exactly ONE of the 4 partitions
+    val vecScans = allScans(out.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("cell"))
+    assert(vecScans.nonEmpty, "expected a scan over the cell-partitioned table")
+    vecScans.foreach { sc =>
+      assert(sc.metrics.contains("numPartitions")
+          && sc.metrics("numPartitions").value == 1,
+        s"one-query search must read one cell partition, got " +
+          s"${sc.metrics.get("numPartitions").map(_.value)} in:\n$sc")
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell partition filters at the scan:\n$plan")
+  }
+
+  test("appendVectors: incrementally built IVF index equals a full rebuild") {
+    import graft.ann.IvfIndex
+    val base = Files.createTempDirectory("graft-ivfinc-").toString
+    IvfIndex.buildIndex(ivfVecs.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", "label", s"$base/inc")
+    IvfIndex.appendVectors(ivfVecs.filter($"vec_id" % 2 =!= 0),
+      "vec_id", "embedding", "label", s"$base/inc")
+    IvfIndex.buildIndex(ivfVecs, "vec_id", "embedding", "label", s"$base/full")
+    val queries = ivfVecs.filter($"vec_id" < 5)
+    val a = ivfRows(IvfIndex.searchIndexed(spark, s"$base/inc", queries,
+      "vec_id", "embedding", k = 3))
+    val b = ivfRows(IvfIndex.searchIndexed(spark, s"$base/full", queries,
+      "vec_id", "embedding", k = 3))
+    assert(a.nonEmpty && a == b, s"incremental IVF diverged: $a vs $b")
+  }
+
+  test("foreign write (new cell, stale reps sidecar) falls back to recompute") {
+    import graft.ann.IvfIndex
+    val dir = Files.createTempDirectory("graft-ivfstale-").toString + "/ivf"
+    IvfIndex.buildIndex(ivfVecs.filter($"label" < 3),
+      "vec_id", "embedding", "label", dir)
+    // bypass appendVectors: write a 4th cell directly (sidecar now
+    // lists 3 cells, the directory 4 → name-set mismatch → recompute)
+    ivfVecs.filter($"label" === 3)
+      .select($"vec_id", $"label".cast("int").as("cell"),
+        graft.ann.Ann.asDouble("embedding").as("v"))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+    val queries = ivfVecs.filter($"vec_id" < 5)
+    val got = ivfRows(IvfIndex.searchIndexed(spark, dir, queries,
+      "vec_id", "embedding", k = 3))
+    val want = ivfRows(graft.ann.Ann.ivfComputedTopK(ivfVecs, queries,
+      "vec_id", "embedding", "label", k = 3))
+    assert(got == want, "stale-sidecar fallback diverged from inline IVF")
+  }
 }
