@@ -11,12 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   SparkSession.builder()
   *     .config("spark.sql.extensions", "graft.GraftExtensions")
   *
-  * Injects the six native kernels — `graft_cosine` (codegen'd array
+  * Injects the native kernels — `graft_cosine` (codegen'd array
   * cosine), `graft_jaccard` (merge-scan Jaccard of sorted long
   * arrays), `graft_minhash` (fused k-wide MinHash signature),
   * `graft_shingles` (fused n-gram hashing), `graft_kmv_distinct`
-  * (mergeable KMV sketch aggregate), `graft_bloom_probe` (codegen'd
-  * Bloom-filter membership probe for semi-join pruning) — plus the
+  * (mergeable KMV sketch aggregate), `graft_hll_distinct` (64-byte
+  * mergeable HyperLogLog aggregate), `graft_bloom_probe` (codegen'd
+  * Bloom-filter membership probe for semi-join pruning),
+  * `graft_topk` (grouped top-k aggregate) — plus the
   * [[graft.plans.RangeJoinRewrite]] optimizer rule (naive BETWEEN
   * range joins → bucketized equi-joins). Sessions not built with the
   * extension get late-bound function registration via
@@ -50,6 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.KmvDistinct].getName,
         graft.functions.GraftFunctions.kmvName),
       graft.functions.GraftFunctions.kmvBuilder))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.GraftFunctions.hllName),
+      new ExpressionInfo(classOf[graft.functions.HllDistinct].getName,
+        graft.functions.GraftFunctions.hllName),
+      graft.functions.GraftFunctions.hllBuilder))
     ext.injectFunction((
       FunctionIdentifier(graft.functions.GraftFunctions.bloomName),
       new ExpressionInfo(classOf[graft.functions.BloomProbe].getName,

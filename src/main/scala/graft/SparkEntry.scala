@@ -370,6 +370,10 @@ object SparkEntry {
     // incremental IVF maintenance: even ids built, odd ids appended
     // (O(batch) + sidecar fold) — must equal the full build
     "q186_ivf_append"       -> ((s, d) => LlmQueries.annIvfIndexedAppend(s, d)),
+    // HyperLogLog sketch: 64-byte mergeable register state per group,
+    // integer-exact register sum → engine-exact estimate (q45's KMV
+    // sibling at a fraction of the shuffled state)
+    "q187_hll_distinct"     -> ((s, d) => LlmQueries.hllDistinct(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -3188,5 +3192,40 @@ object SparkEntry {
     // half-built + appended index must equal the full build — q36's
     // oracle once more
     "q186_ivf_append" -> ivfRoutedOracle,
+    // HLL twin: same 60-bit md5-head hash, bucket = h % 64, rank =
+    // 55 - bitlength(h // 64), integer register sum via bit shifts,
+    // float steps spelled exactly as the kernel's eval
+    "q187_hll_distinct" ->
+      """WITH h AS (SELECT source,
+             CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS hv
+           FROM documents),
+         b AS (SELECT source, hv % 64 AS bucket,
+             CASE WHEN hv // 64 = 0 THEN 55
+                  ELSE 55 - length(bin(hv // 64)) END AS rho
+           FROM h),
+         r AS (SELECT source, bucket, MAX(rho) AS mx
+           FROM b GROUP BY source, bucket),
+         agg AS (SELECT source,
+             CAST(64 - COUNT(*) AS BIGINT) AS zeros_missing,
+             SUM(CASE WHEN mx = 0 THEN CAST(1 AS BIGINT) << 55
+                      ELSE CAST(1 AS BIGINT) << (55 - mx) END)
+               + CAST(64 - COUNT(*) AS BIGINT) * (CAST(1 AS BIGINT) << 55)
+               AS isum,
+             SUM(CASE WHEN mx = 0 THEN 1 ELSE 0 END)
+               + (64 - COUNT(*)) AS zeros
+           FROM r GROUP BY source),
+         est AS (SELECT source, zeros,
+             (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0
+               * 36028797018963968.0 / CAST(isum AS DOUBLE) AS raw
+           FROM agg),
+         ex AS (SELECT source,
+             CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+           FROM documents GROUP BY source)
+         SELECT est.source,
+           round(CASE WHEN raw <= 2.5 * 64.0 AND zeros > 0
+                 THEN 64.0 * ln(64.0 / zeros) ELSE raw END, 4)
+             AS est_distinct,
+           ex.exact_distinct
+         FROM est JOIN ex ON est.source = ex.source""",
   )
 }

@@ -97,6 +97,7 @@ object GraftFunctions {
   val minhashName = "graft_minhash"
   val shinglesName = "graft_shingles"
   val kmvName = "graft_kmv_distinct"
+  val hllName = "graft_hll_distinct"
   val bloomName = "graft_bloom_probe"
   val topkName = "graft_topk"
 
@@ -132,6 +133,9 @@ object GraftFunctions {
     }
   }
 
+  private[graft] def hllBuilder(exprs: Seq[Expression]): Expression =
+    HllDistinct(exprs.head)
+
   private[graft] def topkBuilder(exprs: Seq[Expression]): Expression = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.IntegerType
@@ -156,6 +160,8 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(shinglesName, shinglesBuilder, "built-in")
     if (!registry.functionExists(FunctionIdentifier(kmvName)))
       registry.createOrReplaceTempFunction(kmvName, kmvBuilder, "built-in")
+    if (!registry.functionExists(FunctionIdentifier(hllName)))
+      registry.createOrReplaceTempFunction(hllName, hllBuilder, "built-in")
     if (!registry.functionExists(FunctionIdentifier(bloomName)))
       registry.createOrReplaceTempFunction(bloomName, BloomProbe.builder,
         "built-in")
@@ -196,6 +202,13 @@ object GraftFunctions {
     ensureRegistered(spark)
     call_function(kmvName, value,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Column form: HyperLogLog distinct-count sketch estimate
+    * (aggregate; 64-byte mergeable register state). */
+  def hllDistinct(spark: SparkSession, value: Column): Column = {
+    ensureRegistered(spark)
+    call_function(hllName, value)
   }
 
   /** Column form: grouped top-k aggregate — best-first (score DESC,

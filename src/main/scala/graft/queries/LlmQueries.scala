@@ -122,6 +122,19 @@ object LlmQueries {
           .as("est_distinct"),
         countDistinct(col("text")).as("exact_distinct"))
 
+  /** Per-source distinct-content estimate via the mergeable HLL
+    * sketch (q187) — 64 BYTES of state per group vs KMV's O(k) longs,
+    * the sketch a per-key cardinality rollup ships at 100 TB —
+    * alongside the exact count it approximates. The estimator's
+    * register sum is integer-exact, so the estimate is bit-identical
+    * regardless of partial-merge order and across engines. */
+  def hllDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).groupBy(col("source"))
+      .agg(
+        round(graft.functions.GraftFunctions.hllDistinct(s, col("text")), 4)
+          .as("est_distinct"),
+        countDistinct(col("text")).as("exact_distinct"))
+
   // ---- dedup ---------------------------------------------------------
 
   /** Exact hash dedup over a re-ingested (self-unioned) corpus: every
