@@ -374,6 +374,10 @@ object SparkEntry {
     // integer-exact register sum → engine-exact estimate (q45's KMV
     // sibling at a fraction of the shuffled state)
     "q187_hll_distinct"     -> ((s, d) => LlmQueries.hllDistinct(s, d)),
+    // incremental Z-order maintenance: clustered batch append with an
+    // O(batch) manifest fold — pruned box read must still equal the
+    // plain filter on the full table
+    "q188_zorder_append"    -> ((s, d) => CoreQueries.zorderAppendBoxScan(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -3227,5 +3231,14 @@ object SparkEntry {
              AS est_distinct,
            ex.exact_distinct
          FROM est JOIN ex ON est.source = ex.source""",
+    // batch-appended layout must answer the box exactly like the
+    // plain filter on the full table
+    "q188_zorder_append" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE user_id BETWEEN 4 AND 11 AND value BETWEEN 80.0 AND 350.0
+         GROUP BY event_type""",
   )
 }

@@ -151,12 +151,17 @@ object IvfIndex {
       .withColumn("rcos", Ann.cos5(spark, col("qv"), col("rv")))
     val wr = Window.partitionBy("query_id")
       .orderBy(col("rcos").desc, col("cell").asc)
-    val assigned = routed.withColumn("rr", row_number().over(wr))
+    val assignedPlan = routed.withColumn("rr", row_number().over(wr))
       .filter(col("rr") === 1)
       .select(col("query_id"), col("cell"), col("qv"))
-      .persist()
-    val probed = assigned.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // materialize the routing ONCE on the driver (|queries| rows — the
+    // query side is broadcast-small by contract): the probed cell set
+    // and the probe join both need it, and keeping it as a plan would
+    // either recompute the routing per consumer or pin a cache entry
+    val assignedRows = assignedPlan.collect().toSeq
+    val probed = assignedRows.map(_.getInt(1)).distinct
+    val assigned = spark.createDataFrame(
+      spark.sparkContext.parallelize(assignedRows, 1), assignedPlan.schema)
     val post = spark.read.parquet(dir)
       .filter(col("cell").isin(probed: _*))
       .select(col("vec_id").as("neighbor_id"),

@@ -1913,6 +1913,33 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** Incremental Z-order append (q188): cluster the even-event_id
+    * half of `events`, APPEND the odd half as its own clustered batch
+    * (new files + an O(batch) manifest-sidecar fold — no table
+    * rewrite), then answer a box query through the pruned read. The
+    * oracle is the plain box filter over the FULL table: batch
+    * boundaries and per-batch quantile boundaries can only blur the
+    * skipping, never the rows. Completes the incremental-maintenance
+    * triad (postings q183, vectors q186, layout here). */
+  def zorderAppendBoxScan(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-zappend-")
+    val dir = s"$work/events_za"
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    graft.sink.ZOrderLayout.zorderWriteRankedN(
+      ev.filter(col("event_id") % 2 === 0),
+      Seq("user_id", "value"), dir, nFiles = 8, buckets = 64)
+    graft.sink.ZOrderLayout.zorderAppendRankedN(
+      ev.filter(col("event_id") % 2 =!= 0),
+      Seq("user_id", "value"), dir, nFiles = 8, buckets = 64)
+    graft.sink.ZOrderLayout.prunedBoxScanN(s, dir, Seq(
+        ("user_id", lit(4L), lit(11L)), ("value", lit(80.0), lit(350.0))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** Bloom-skipped point lookup (q184): hash-cluster `events` on
     * user_id into 16 files (the co-located-join layout, under which
     * every file spans ~the full [min, max] of the key and min/max

@@ -187,6 +187,52 @@ object ZOrderLayout {
     writeManifest(df.sparkSession, dir, Seq(dimA, dimB))
   }
 
+  /** INCREMENTAL clustered append: cluster the batch on its OWN
+    * quantile boundaries (a batch-sized pass, not a table rewrite),
+    * append the resulting files, and fold their per-file stats into
+    * the manifest sidecar — the whole maintenance step reads the old
+    * sidecar (metadata) plus the just-written batch files, never the
+    * table. This is the arriving-batch path a 100 TB layout needs:
+    * appends cost O(batch); the curve cells of different batches
+    * overlap more than one global clustering would, which only costs
+    * skipping efficiency (boxes stay correct — pruning can never drop
+    * a row), and a periodic [[Compaction.zorderCompact]] restores the
+    * globally-clustered layout. First append to a fresh dir degrades
+    * to [[zorderWriteRankedN]]. */
+  def zorderAppendRankedN(df: DataFrame, dims: Seq[String], dir: String,
+                          nFiles: Int, buckets: Int = 256): Unit = {
+    val spark = df.sparkSession
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) { zorderWriteRankedN(df, dims, dir, nFiles, buckets); return }
+    // snapshot the sidecar rows BEFORE the append (while it still
+    // matches the listing; metadata-sized), then diff the listing to
+    // find the batch's files
+    val old = manifestN(spark, dir, dims)
+    val oldRows = old.collect().toSeq
+    val before = dataFileNames(spark, dir)
+    clusteredRanked(df, dims, nFiles, buckets)
+      .write.mode("append").parquet(dir)
+    val newPaths = fs.listStatus(p).iterator
+      .filter(_.isFile)
+      .filter { s =>
+        val n = s.getPath.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+          !before.contains(n)
+      }
+      .map(_.getPath.toString).toSeq
+    if (newPaths.isEmpty) return  // empty batch: nothing appended
+    val aggs = minMaxAggs(dims)
+    val newStats = spark.read.parquet(newPaths: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(oldRows, 1), old.schema)
+      .unionByName(newStats)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestDir(dir))
+  }
+
   // ---- manifest ----------------------------------------------------------
 
   private def manifestDir(dir: String): String = s"$dir/_manifest"

@@ -335,6 +335,40 @@ class LayoutSpec extends AnyFunSuite {
       spark, dir, "k", Seq(lit(9999L))).count() == 0L)
   }
 
+  test("zorderAppend: batch append folds the manifest, pruned reads stay exact") {
+    import graft.sink.ZOrderLayout
+    val dir = Files.createTempDirectory("graft-zapp-").toString + "/t"
+    val df = (0 until 4096).map { i => (i.toLong, (i % 64).toLong, (i / 64).toDouble) }
+      .toDF("id", "x", "y")
+    ZOrderLayout.zorderWriteRankedN(df.filter($"id" % 2 === 0),
+      Seq("x", "y"), dir, nFiles = 8, buckets = 32)
+    ZOrderLayout.zorderAppendRankedN(df.filter($"id" % 2 =!= 0),
+      Seq("x", "y"), dir, nFiles = 8, buckets = 32)
+    // the folded sidecar covers the post-append listing, so the
+    // manifest read still touches ZERO data files
+    val mf = ZOrderLayout.manifestN(spark, dir, Seq("x", "y"))
+    assert(mf.count() == 16L, "8 base + 8 appended files in the manifest")
+    assert(mf.inputFiles.nonEmpty && mf.inputFiles.forall(_.contains("/_manifest/")),
+      s"post-append manifest must come from the sidecar, got ${mf.inputFiles.toSeq}")
+    // per-batch clustering still skips: a corner box misses most files
+    val surviving = ZOrderLayout.survivingFilesN(mf,
+      Seq(("x", lit(0L), lit(7L)), ("y", lit(0.0), lit(7.0))))
+    assert(surviving.nonEmpty && surviving.size <= 8,
+      s"appended layout should still skip most files, got ${surviving.size} of 16")
+    // and pruning is semantically invisible over BOTH batches
+    val got = ZOrderLayout.prunedBoxScanN(spark, dir,
+        Seq(("x", lit(10L), lit(30L)), ("y", lit(5.0), lit(45.0))))
+      .select("id").as[Long].collect().sorted
+    val want = df.filter($"x".between(10, 30) && $"y".between(5.0, 45.0))
+      .select("id").as[Long].collect().sorted
+    assert(got.sameElements(want), "appended-layout pruning diverged")
+    // appending to a fresh dir degrades to a plain clustered write
+    val fresh = Files.createTempDirectory("graft-zappf-").toString + "/t"
+    ZOrderLayout.zorderAppendRankedN(df, Seq("x", "y"), fresh,
+      nFiles = 4, buckets = 32)
+    assert(ZOrderLayout.manifestN(spark, fresh, Seq("x", "y")).count() == 4L)
+  }
+
   test("stale bloom sidecar falls back to recompute and stays exact") {
     import graft.sink.BloomSkipIndex
     val dir = Files.createTempDirectory("graft-bstale-").toString + "/t"
