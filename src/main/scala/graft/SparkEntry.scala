@@ -378,6 +378,10 @@ object SparkEntry {
     // O(batch) manifest fold — pruned box read must still equal the
     // plain filter on the full table
     "q188_zorder_append"    -> ((s, d) => CoreQueries.zorderAppendBoxScan(s, d)),
+    // streaming HLL: micro-batch max-merged 64-byte register states
+    // must estimate exactly like the one-pass kernel (q187's math,
+    // q144's streaming shape, smaller state than either)
+    "q189_stream_hll"       -> ((s, d) => LlmQueries.streamHll(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -3240,5 +3244,38 @@ object SparkEntry {
          FROM events
          WHERE user_id BETWEEN 4 AND 11 AND value BETWEEN 80.0 AND 350.0
          GROUP BY event_type""",
+    // q187's HLL math grouped by lang: the drained stream's max-merged
+    // registers must estimate exactly like one pass over the corpus
+    "q189_stream_hll" ->
+      """WITH h AS (SELECT lang,
+             CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS hv
+           FROM documents),
+         b AS (SELECT lang, hv % 64 AS bucket,
+             CASE WHEN hv // 64 = 0 THEN 55
+                  ELSE 55 - length(bin(hv // 64)) END AS rho
+           FROM h),
+         r AS (SELECT lang, bucket, MAX(rho) AS mx
+           FROM b GROUP BY lang, bucket),
+         agg AS (SELECT lang,
+             SUM(CASE WHEN mx = 0 THEN CAST(1 AS BIGINT) << 55
+                      ELSE CAST(1 AS BIGINT) << (55 - mx) END)
+               + CAST(64 - COUNT(*) AS BIGINT) * (CAST(1 AS BIGINT) << 55)
+               AS isum,
+             SUM(CASE WHEN mx = 0 THEN 1 ELSE 0 END)
+               + (64 - COUNT(*)) AS zeros
+           FROM r GROUP BY lang),
+         est AS (SELECT lang, zeros,
+             (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0
+               * 36028797018963968.0 / CAST(isum AS DOUBLE) AS raw
+           FROM agg),
+         ex AS (SELECT lang,
+             CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+           FROM documents GROUP BY lang)
+         SELECT est.lang,
+           round(CASE WHEN raw <= 2.5 * 64.0 AND zeros > 0
+                 THEN 64.0 * ln(64.0 / zeros) ELSE raw END, 4)
+             AS est_distinct,
+           ex.exact_distinct
+         FROM est JOIN ex ON est.lang = ex.lang""",
   )
 }

@@ -96,7 +96,9 @@ case class HllDistinct(
 
   override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
 
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  // defensive copy: merge() mutates its buffer in place, and the input
+  // bytes may be backed by a row buffer the caller still owns
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllDistinct =
     copy(mutableAggBufferOffset = newOffset)

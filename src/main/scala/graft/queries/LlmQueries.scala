@@ -662,4 +662,20 @@ object LlmQueries {
     graft.streaming.StreamKmv.run(s, s"$work/feed", s"$work/checkpoint",
       s"$work/state")
   }
+
+  /** Streaming HLL distinct-count (q189): drain the corpus feed
+    * max-merging 64-byte per-lang register states across micro-batches
+    * ([[graft.streaming.StreamHll]]); the final estimate must be
+    * BIT-IDENTICAL to the one-pass q187 kernel over the same corpus
+    * (merge-then-estimate ≡ estimate-of-union). Exact count joined in
+    * for the same (est, exact) contract as q45/q187. */
+  def streamHll(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-shll-")
+    graft.streaming.StreamDedup.writeFeed(
+      Tables.documents(s, d), s"$work/feed", nFiles = 4)
+    val est = graft.streaming.StreamHll.run(
+      s, s"$work/feed", s"$work/checkpoint", s"$work/state")
+    est.join(Tables.documents(s, d).groupBy("lang")
+      .agg(countDistinct(col("text")).as("exact_distinct")), "lang")
+  }
 }

@@ -51,9 +51,16 @@ object BloomSkipIndex {
   private def bloomDir(dir: String): String = s"$dir/_bloom"
 
   /** The k bit positions of one key value (column form — evaluated
-    * per row at build time, over literals at probe time). */
+    * per row at build time, over literals at probe time). The key is
+    * hashed through its STRING form (the repo-wide md5-bucket
+    * convention): xxhash64 hashes by input type, so a probe literal
+    * typed differently than the stored column (lit(7): Int vs a LONG
+    * key) would otherwise hash to different bits and silently skip
+    * files that DO contain the value — string normalization makes
+    * numeric-literal width irrelevant. */
   private def positions(key: Column): Seq[Column] =
-    (0 until KHashes).map(j => pmod(xxhash64(lit(j), key), lit(MBits.toLong)))
+    (0 until KHashes).map(j =>
+      pmod(xxhash64(lit(j), key.cast("string")), lit(MBits.toLong)))
 
   /** Per-row contribution to word `w`: OR of the probe bits that land
     * in that word (0 when none do). */

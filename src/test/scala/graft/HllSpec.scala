@@ -57,6 +57,24 @@ class HllSpec extends AnyFunSuite {
       || plan.contains("Partial"), s"want partial agg:\n$plan")
   }
 
+  test("streaming max-merge across micro-batches equals the one-pass kernel") {
+    val work = java.nio.file.Files.createTempDirectory("graft-shll-").toString
+    val docs = (0L until 120L).map { i =>
+      (i, s"text-${i % 77}", if (i % 3 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    graft.streaming.StreamDedup.writeFeed(docs, s"$work/feed", nFiles = 3)
+    // 1 file/trigger forces >= 3 micro-batches: the state is
+    // max-merged at least twice before the estimate is taken
+    val streamed = graft.streaming.StreamHll.run(spark, s"$work/feed",
+        s"$work/ckpt", s"$work/state", maxFilesPerTrigger = 1)
+      .as[(String, Double)].collect().toMap
+    val kernel = docs.groupBy($"lang")
+      .agg(round(GraftFunctions.hllDistinct(spark, $"text"), 4).as("e"))
+      .as[(String, Double)].collect().toMap
+    assert(streamed == kernel,
+      s"streamed registers diverged from one-pass kernel: $streamed vs $kernel")
+  }
+
   test("kernel matches the declarative column-algebra twin bit-for-bit") {
     // the same math the DuckDB oracle runs, expressed in Spark columns:
     // md5-head hash -> bucket/rank -> max per bucket -> integer register
@@ -65,7 +83,9 @@ class HllSpec extends AnyFunSuite {
     val kernel = df.agg(
       round(GraftFunctions.hllDistinct(spark, $"s"), 4)).as[Double].head()
     val h = conv(substring(md5($"s"), 1, 15), 16, 10).cast("long")
-    val twin = df.select((h % 64).as("bucket"), (h / 64).as("rem"))
+    // shiftright, not `/ 64`: Column division is DOUBLE division, and
+    // h/64 can exceed 2^53 where doubles round the low bits
+    val twin = df.select((h % 64).as("bucket"), shiftright(h, 6).as("rem"))
       .select($"bucket", when($"rem" === 0L, lit(55))
         .otherwise(lit(55) - length(bin($"rem"))).as("rho"))
       .groupBy($"bucket").agg(max($"rho").as("mx"))

@@ -333,6 +333,13 @@ class LayoutSpec extends AnyFunSuite {
     // absent value → typically zero files, always zero rows
     assert(BloomSkipIndex.prunedPointScan(
       spark, dir, "k", Seq(lit(9999L))).count() == 0L)
+    // probe-literal WIDTH must not matter: an Int literal against the
+    // Long key hashes identically (string-normalized), so it can never
+    // silently skip a file that holds the value
+    val gotInt = BloomSkipIndex.prunedPointScan(spark, dir, "k", Seq(lit(7)))
+      .select("id").as[Long].collect().sorted
+    val wantInt = df.filter($"k" === 7L).select("id").as[Long].collect().sorted
+    assert(gotInt.sameElements(wantInt), "Int-typed probe diverged from Long")
   }
 
   test("zorderAppend: batch append folds the manifest, pruned reads stay exact") {
