@@ -1,6 +1,5 @@
 package graft.sink
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -102,40 +101,16 @@ object BloomSkipIndex {
       .coalesce(1)
       .write.mode("overwrite").parquet(bloomDir(dir))
 
-  /** Data-file names currently under `dir` (one listing call). */
-  private def dataFileNames(spark: SparkSession, dir: String): Set[String] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).iterator
-      .filter(_.isFile)
-      .map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet")
-        && !n.startsWith("_") && !n.startsWith("."))
-      .toSet
-  }
-
   /** The bloom table for (`dir`, `keyCol`): the write-time sidecar
     * when present, well-formed, and matching the directory's CURRENT
-    * file listing; otherwise the scan recompute. The happy path reads
-    * one metadata-sized parquet and zero data. */
+    * file listing ([[Sidecars.readFresh]]); otherwise the scan
+    * recompute. The happy path reads one metadata-sized parquet and
+    * zero data. */
   def bloomTable(spark: SparkSession, dir: String,
-                 keyCol: String): DataFrame = {
-    val needed = "file" +: (0 until WordCount).map(w => s"w$w")
-    val bdir = new Path(bloomDir(dir))
-    val fs = bdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(bdir)) {
-      try {
-        val side = spark.read.parquet(bloomDir(dir))
-        if (needed.forall(side.columns.contains)) {
-          val recorded = side.select("file").collect()
-            .map(r => new Path(r.getString(0)).getName).toSet
-          if (recorded == dataFileNames(spark, dir))
-            return side.select(needed.map(col): _*)
-        }
-      } catch { case scala.util.control.NonFatal(_) => }
-    }
-    computeBloom(spark, dir, keyCol)
-  }
+                 keyCol: String): DataFrame =
+    Sidecars.readFresh(spark, dir, "_bloom",
+        "file" +: (0 until WordCount).map(w => s"w$w"))
+      .getOrElse(computeBloom(spark, dir, keyCol))
 
   /** The k (word, mask) probes of each literal value, computed by ONE
     * driver-local evaluation of the SAME column expressions the build

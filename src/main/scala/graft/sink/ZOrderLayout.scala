@@ -266,43 +266,21 @@ object ZOrderLayout {
 
   /** Data-file names currently under `dir` (non-hidden .parquet, one
     * listing call — metadata-only). */
-  private def dataFileNames(spark: SparkSession, dir: String): Set[String] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).iterator
-      .filter(_.isFile)
-      .map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet")
-        && !n.startsWith("_") && !n.startsWith("."))
-      .toSet
-  }
+  private def dataFileNames(spark: SparkSession, dir: String): Set[String] =
+    Sidecars.dataFileNames(spark, dir)
 
   /** The manifest for (`dir`, `dims`): the write-time sidecar when it
     * exists, covers the requested dims, and matches the directory's
-    * CURRENT file listing (a stale sidecar — e.g. the data was
-    * rewritten behind our back — is detected by pure name-set
-    * comparison and falls back to [[computeManifest]]). The happy path
+    * CURRENT file listing (a stale or unreadable sidecar — e.g. the
+    * data was rewritten behind our back, or a crashed mid-write —
+    * fails the [[Sidecars.readFresh]] guard and falls back to
+    * [[computeManifest]], never failing the read). The happy path
     * reads one metadata-sized parquet file and zero data. */
   def manifestN(spark: SparkSession, dir: String,
-                dims: Seq[String]): DataFrame = {
-    val needed = "file" +: dims.flatMap(d => Seq(s"min_$d", s"max_$d"))
-    val mdir = new Path(manifestDir(dir))
-    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(mdir)) {
-      // an unreadable sidecar (crashed mid-write, foreign junk) must
-      // degrade to the recompute, never fail the read
-      try {
-        val side = spark.read.parquet(manifestDir(dir))
-        if (needed.forall(side.columns.contains)) {
-          val recorded = side.select("file").collect()
-            .map(r => new Path(r.getString(0)).getName).toSet
-          if (recorded == dataFileNames(spark, dir))
-            return side.select(needed.map(col): _*)
-        }
-      } catch { case scala.util.control.NonFatal(_) => }
-    }
-    computeManifest(spark, dir, dims)
-  }
+                dims: Seq[String]): DataFrame =
+    Sidecars.readFresh(spark, dir, "_manifest",
+        "file" +: dims.flatMap(d => Seq(s"min_$d", s"max_$d")))
+      .getOrElse(computeManifest(spark, dir, dims))
 
   /** Per-file min/max manifest of two columns (columns named
     * minA/maxA/minB/maxB — the 2-dim legacy shape). */
