@@ -58,7 +58,25 @@ object IvfIndex {
     val e = normalized(emb, idCol, embCol, cellCol)
     e.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
-    repsOf(e).coalesce(1)
+    writeReps(e.sparkSession, dir, repsOf(e))
+  }
+
+  /** Persist the routing sidecar, stamping the CURRENT data-file
+    * inventory (relative `cell=…/name` paths — dynamic-partition
+    * writes reuse basenames across cell dirs) into every row. The
+    * stamp is what makes staleness detectable at FILE granularity:
+    * a crash between a data write and this sidecar write, or a
+    * foreign append into an existing cell dir, changes the listing
+    * and fails the freshness check — a cell-set comparison alone
+    * would miss both. */
+  private def writeReps(spark: SparkSession, dir: String,
+                        reps: DataFrame): Unit = {
+    val files = dataFileNames(spark, dir).toSeq.sorted
+    val stamped = reps.withColumn("files",
+      array(files.map(lit(_)): _*))
+    val rows = stamped.collect().toSeq
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), stamped.schema)
       .write.mode("overwrite").parquet(repsDir(dir))
   }
 
@@ -82,57 +100,63 @@ object IvfIndex {
       .withColumn("rn", row_number().over(
         Window.partitionBy("cell").orderBy(col("rep_id").asc)))
       .filter(col("rn") === 1).drop("rn")
-    val rows = merged.collect().toSeq
+    // (re-evaluating `merged` after the append is safe either way:
+    // the fresh-sidecar path reads the old sidecar until writeReps
+    // collects it, and the recompute path folds the batch twice —
+    // idempotent under min)
     e.repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(dir)
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), merged.schema)
-      .write.mode("overwrite").parquet(repsDir(dir))
+    writeReps(spark, dir, merged)
   }
 
   /** Recompute the routing sidecar from the data — the recovery hook
     * after a foreign write (one scan, |cells| rows out). */
-  def rebuildReps(spark: SparkSession, dir: String): Unit = {
-    val e = spark.read.parquet(dir)
-      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("v"))
-    val reps = repsOf(e)
-    val rows = reps.collect().toSeq
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), reps.schema)
-      .write.mode("overwrite").parquet(repsDir(dir))
-  }
+  def rebuildReps(spark: SparkSession, dir: String): Unit =
+    writeReps(spark, dir, repsOf(spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("v"))))
 
-  /** Cell values present in the index directory (one listing call —
-    * the partition dirs ARE the cell inventory). */
-  private def cellDirs(spark: SparkSession, dir: String): Set[Int] = {
+  /** Relative (`cell=…/name`) data-file paths currently under `dir` —
+    * one listing per cell dir, metadata-only. */
+  private def dataFileNames(spark: SparkSession, dir: String): Set[String] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(p).iterator
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      .map(_.getPath.getName.stripPrefix("cell=").toInt)
+      .flatMap { d =>
+        fs.listStatus(d.getPath).iterator
+          .filter(_.isFile)
+          .map(f => s"${d.getPath.getName}/${f.getPath.getName}")
+          .filter { rel =>
+            val n = rel.substring(rel.indexOf('/') + 1)
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }
+      }
       .toSet
   }
 
   /** The routing table: the sidecar when present, well-formed, and
-    * covering exactly the cells the directory listing shows (a
-    * missing or extra cell means a foreign write — fall back to a
-    * recompute so routing can never consult a stale inventory). */
+    * stamped with EXACTLY the data files the directory currently
+    * holds — any divergence (foreign append into an existing cell, a
+    * crash between a data write and the sidecar fold, a new cell dir)
+    * fails the comparison and falls back to a scan recompute, so
+    * routing can never consult a stale inventory. */
   private def routingReps(spark: SparkSession, dir: String): DataFrame = {
     val rdir = new Path(repsDir(dir))
     val fs = rdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(rdir)) {
       try {
         val side = spark.read.parquet(repsDir(dir))
-        if (Seq("cell", "rep_id", "rv").forall(side.columns.contains)) {
-          val recorded = side.select("cell").collect()
-            .map(_.getInt(0)).toSet
-          if (recorded == cellDirs(spark, dir)) return side
+        if (Seq("cell", "rep_id", "rv", "files").forall(side.columns.contains)) {
+          val head = side.limit(1).select("files").collect()
+          val recorded = if (head.isEmpty) Set.empty[String]
+            else head.head.getSeq[String](0).toSet
+          if (recorded.nonEmpty && recorded == dataFileNames(spark, dir))
+            return side.select("cell", "rep_id", "rv")
         }
       } catch { case scala.util.control.NonFatal(_) => }
     }
-    val e = spark.read.parquet(dir)
-      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("v"))
-    repsOf(e)
+    repsOf(spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("v")))
   }
 
   /** IVF search over the persisted index — bit-identical output to

@@ -189,6 +189,28 @@ class Round7Spec extends AnyFunSuite {
     assert(a.nonEmpty && a == b, s"incremental IVF diverged: $a vs $b")
   }
 
+  test("foreign write into an EXISTING cell is detected at file granularity") {
+    import graft.ann.IvfIndex
+    val dir = Files.createTempDirectory("graft-ivff-").toString + "/ivf"
+    IvfIndex.buildIndex(ivfVecs.filter($"vec_id" >= 8),
+      "vec_id", "embedding", "label", dir)
+    // bypass appendVectors with vectors whose ids UNDERCUT the stored
+    // reps, into cells that already exist: the cell set is unchanged,
+    // so only the file-inventory stamp can catch the staleness — a
+    // stale rep here would silently change every query's routing
+    ivfVecs.filter($"vec_id" < 8)
+      .select($"vec_id", $"label".cast("int").as("cell"),
+        graft.ann.Ann.asDouble("embedding").as("v"))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+    val queries = ivfVecs.filter($"vec_id" < 5)
+    val got = ivfRows(IvfIndex.searchIndexed(spark, dir, queries,
+      "vec_id", "embedding", k = 3))
+    val want = ivfRows(graft.ann.Ann.ivfComputedTopK(ivfVecs, queries,
+      "vec_id", "embedding", "label", k = 3))
+    assert(got == want,
+      "same-cell foreign append must fail the freshness stamp and recompute")
+  }
+
   test("foreign write (new cell, stale reps sidecar) falls back to recompute") {
     import graft.ann.IvfIndex
     val dir = Files.createTempDirectory("graft-ivfstale-").toString + "/ivf"
