@@ -382,6 +382,10 @@ object SparkEntry {
     // must estimate exactly like the one-pass kernel (q187's math,
     // q144's streaming shape, smaller state than either)
     "q189_stream_hll"       -> ((s, d) => LlmQueries.streamHll(s, d)),
+    // secondary bloom index: the q184 table clustered on user_id ALSO
+    // carries a `_bloom_event_id` sidecar — a primary-key fetch prunes
+    // to ~1 of 16 files despite the layout hashing a different column
+    "q190_bloom_secondary"  -> ((s, d) => CoreQueries.bloomSecondaryFetch(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -3277,5 +3281,11 @@ object SparkEntry {
              AS est_distinct,
            ex.exact_distinct
          FROM est JOIN ex ON est.lang = ex.lang""",
+    // the secondary-index fetch must be semantically invisible: the
+    // pruned primary-key lookup equals the plain IN filter
+    "q190_bloom_secondary" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events
+         WHERE event_id IN (11, 502, 1003, 4444, 7777)""",
   )
 }

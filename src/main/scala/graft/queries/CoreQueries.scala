@@ -1964,6 +1964,27 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** Secondary bloom index: the SAME table, clustered on `user_id` for
+    * co-located joins, carries a second per-column bloom sidecar on
+    * the near-unique `event_id` — a primary-key fetch consults
+    * `_bloom_event_id` and reads ~1 of 16 files even though the
+    * layout hashes on a different column entirely (set membership,
+    * unlike min/max stats, never needs the layout's help). Pruning
+    * must be semantically invisible vs the plain IN filter. */
+  def bloomSecondaryFetch(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-bloom2-")
+    val dir = s"$work/events_b2"
+    graft.sink.BloomSkipIndex.bloomWrite(
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
+      "user_id", dir, nFiles = 16)
+    graft.sink.BloomSkipIndex.writeBloomSidecar(s, dir, "event_id")
+    graft.sink.BloomSkipIndex
+      .prunedPointScan(s, dir, "event_id",
+        Seq(lit(11L), lit(502L), lit(1003L), lit(4444L), lit(7777L)))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   * explicit sidecar on plain parquet, and it works for ANY layout:
   * hash-clustered (best case), append-ordered, or Z-ordered.
   *
+  * Sidecars are PER COLUMN (`dir/_bloom_<col>`), so one table carries
+  * independent bloom indexes on several keys at once — e.g. clustered
+  * on `user_id` (co-located joins + point lookups) with a SECOND
+  * index on `event_id` for primary-key fetches. A near-unique
+  * secondary key prunes just as hard as the cluster key: each value
+  * lives in exactly one file regardless of which column the layout
+  * hashes on — set membership, unlike min/max stats, never needs the
+  * layout's help.
+  *
   * Mechanics: m = 1024 bits per file as 16 long words; k = 4 bit
   * positions per value from `xxhash64(seed_j, key)`. Per row the mask
   * contribution to each word is pure codegen'd column algebra
@@ -47,7 +56,8 @@ object BloomSkipIndex {
   private val MBits = WordCount * 64
   private val KHashes = 4
 
-  private def bloomDir(dir: String): String = s"$dir/_bloom"
+  private def bloomDir(dir: String, keyCol: String): String =
+    s"$dir/_bloom_$keyCol"
 
   /** The k bit positions of one key value (column form — evaluated
     * per row at build time, over literals at probe time). The key is
@@ -92,14 +102,15 @@ object BloomSkipIndex {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Persist the bloom sidecar for `dir` (one tiny parquet at
-    * `dir/_bloom`). Stats come from one read of the files just
-    * written — a fixed write-side cost, never a read-side one. */
+  /** Persist the bloom sidecar for (`dir`, `keyCol`) (one tiny
+    * parquet at `dir/_bloom_<keyCol>`). Stats come from one read of
+    * the files just written — a fixed write-side cost, never a
+    * read-side one. Call once per indexed column. */
   def writeBloomSidecar(spark: SparkSession, dir: String,
                         keyCol: String): Unit =
     computeBloom(spark, dir, keyCol)
       .coalesce(1)
-      .write.mode("overwrite").parquet(bloomDir(dir))
+      .write.mode("overwrite").parquet(bloomDir(dir, keyCol))
 
   /** The bloom table for (`dir`, `keyCol`): the write-time sidecar
     * when present, well-formed, and matching the directory's CURRENT
@@ -108,7 +119,7 @@ object BloomSkipIndex {
     * zero data. */
   def bloomTable(spark: SparkSession, dir: String,
                  keyCol: String): DataFrame =
-    Sidecars.readFresh(spark, dir, "_bloom",
+    Sidecars.readFresh(spark, dir, s"_bloom_$keyCol",
         "file" +: (0 until WordCount).map(w => s"w$w"))
       .getOrElse(computeBloom(spark, dir, keyCol))
 

@@ -33,7 +33,17 @@ private[sink] object Sidecars {
     val fs = sdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(sdir)) return None
     try {
-      val side = spark.read.parquet(sdir.toString)
+      // list the part files and read them explicitly: the sidecar dir
+      // itself is underscore-prefixed (so DATA reads of `dir` skip it),
+      // and handing that dir straight to the reader trips the hidden-
+      // path filter ("All paths were ignored" warning)
+      val parts = fs.listStatus(sdir).iterator
+        .filter(_.isFile)
+        .map(_.getPath.toString)
+        .filter(_.endsWith(".parquet"))
+        .toSeq
+      if (parts.isEmpty) return None
+      val side = spark.read.parquet(parts: _*)
       if (!needed.forall(side.columns.contains)) return None
       val recorded = side.select("file").collect()
         .map(r => new Path(r.getString(0)).getName).toSet

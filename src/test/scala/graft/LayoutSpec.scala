@@ -304,12 +304,12 @@ class LayoutSpec extends AnyFunSuite {
     val df = (0 until 4096).map { i => (i.toLong, (i % 256).toLong) }
       .toDF("id", "k")
     BloomSkipIndex.bloomWrite(df, "k", dir, nFiles = 16)
-    assert(Files.exists(java.nio.file.Paths.get(dir, "_bloom")),
+    assert(Files.exists(java.nio.file.Paths.get(dir, "_bloom_k")),
       "bloomWrite must persist the bloom sidecar")
     // the bloom TABLE read touches only sidecar files — zero data
     val bt = BloomSkipIndex.bloomTable(spark, dir, "k")
     assert(bt.count() == 16L)
-    assert(bt.inputFiles.nonEmpty && bt.inputFiles.forall(_.contains("/_bloom/")),
+    assert(bt.inputFiles.nonEmpty && bt.inputFiles.forall(_.contains("/_bloom_k/")),
       s"bloom table must come from the sidecar, got ${bt.inputFiles.toSeq}")
     // a 2-value probe survives ≤ a handful of 16 files (each value
     // lives in exactly one hash partition; FPR adds at most a file or
@@ -374,6 +374,38 @@ class LayoutSpec extends AnyFunSuite {
     ZOrderLayout.zorderAppendRankedN(df, Seq("x", "y"), fresh,
       nFiles = 4, buckets = 32)
     assert(ZOrderLayout.manifestN(spark, fresh, Seq("x", "y")).count() == 4L)
+  }
+
+  test("secondary bloom index: a non-clustered column prunes independently") {
+    import graft.sink.BloomSkipIndex
+    val dir = Files.createTempDirectory("graft-bloom2-").toString + "/t"
+    // clustered on k (64 values × 64 rows), with id near-unique: every
+    // id lives in exactly ONE of the 16 files even though the layout
+    // hashes on k — set membership doesn't need the layout's help
+    val df = (0 until 4096).map { i => (i.toLong, (i % 64).toLong) }
+      .toDF("id", "k")
+    BloomSkipIndex.bloomWrite(df, "k", dir, nFiles = 16)
+    BloomSkipIndex.writeBloomSidecar(spark, dir, "id")
+    // both sidecars coexist (per-column naming)
+    assert(Files.exists(java.nio.file.Paths.get(dir, "_bloom_k")))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "_bloom_id")))
+    val bt = BloomSkipIndex.bloomTable(spark, dir, "id")
+    assert(bt.inputFiles.nonEmpty && bt.inputFiles.forall(_.contains("/_bloom_id/")),
+      s"id bloom table must come from its own sidecar, got ${bt.inputFiles.toSeq}")
+    // a single-id fetch survives ~1 file of 16 (n≈256/file pushes the
+    // per-file FPR to ~4% — allow a couple of false-positive files)
+    val surviving = BloomSkipIndex.survivingFiles(
+      spark, dir, "id", Seq(lit(1234L)))
+    assert(surviving.nonEmpty && surviving.size <= 3,
+      s"secondary index should confine an id fetch to <=3 of 16 files, got ${surviving.size}")
+    val got = BloomSkipIndex.prunedPointScan(spark, dir, "id", Seq(lit(1234L)))
+      .select("id", "k").as[(Long, Long)].collect().sorted
+    val want = df.filter($"id" === 1234L)
+      .select("id", "k").as[(Long, Long)].collect().sorted
+    assert(got.sameElements(want), "secondary-index pruning diverged")
+    // the cluster-key index still works beside it
+    assert(BloomSkipIndex.prunedPointScan(spark, dir, "k", Seq(lit(7L)))
+      .count() == 64L)
   }
 
   test("stale bloom sidecar falls back to recompute and stays exact") {
