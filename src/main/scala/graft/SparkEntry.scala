@@ -386,6 +386,10 @@ object SparkEntry {
     // carries a `_bloom_event_id` sidecar — a primary-key fetch prunes
     // to ~1 of 16 files despite the layout hashing a different column
     "q190_bloom_secondary"  -> ((s, d) => CoreQueries.bloomSecondaryFetch(s, d)),
+    // composite skipping: manifest box prune ∩ bloom id prune — a
+    // "these ids, inside this box" query reads only files surviving
+    // BOTH metadata passes, still row-identical to the plain filter
+    "q191_composite_skip"   -> ((s, d) => CoreQueries.compositeSkipScan(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -3287,5 +3291,13 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value
          FROM events
          WHERE event_id IN (11, 502, 1003, 4444, 7777)""",
+    // composite pruning must be semantically invisible: the
+    // intersected two-sidecar read equals the plain combined filter
+    "q191_composite_skip" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events
+         WHERE event_id IN (11, 502, 1003, 4444, 7777)
+           AND user_id BETWEEN 0 AND 100
+           AND value >= 0.0 AND value <= 250.0""",
   )
 }

@@ -1985,6 +1985,28 @@ object CoreQueries {
         col("value"))
   }
 
+  /** Composite skipping (q191): events Z-ordered on (user_id, value)
+    * for range pruning, PLUS a bloom sidecar on the near-unique
+    * event_id for equality pruning — a "these ids, inside this box"
+    * query reads only the files surviving the INTERSECTION of the
+    * two prune passes (each a metadata-only sidecar consult). Both
+    * prune sides are individually sound, so the intersection is too:
+    * the result must be row-identical to the plain combined filter. */
+  def compositeSkipScan(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-comp-")
+    val dir = s"$work/events_cs"
+    graft.sink.ZOrderLayout.zorderWriteRankedN(
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
+      Seq("user_id", "value"), dir, nFiles = 16, buckets = 32)
+    graft.sink.BloomSkipIndex.writeBloomSidecar(s, dir, "event_id")
+    graft.sink.CompositeSkip.prunedScan(s, dir,
+        Seq(("user_id", lit(0L), lit(100L)), ("value", lit(0.0), lit(250.0))),
+        "event_id",
+        Seq(lit(11L), lit(502L), lit(1003L), lit(4444L), lit(7777L)))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

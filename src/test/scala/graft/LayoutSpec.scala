@@ -408,6 +408,42 @@ class LayoutSpec extends AnyFunSuite {
       .count() == 64L)
   }
 
+  test("composite skip: manifest box ∩ bloom id prunes tighter than either") {
+    import graft.sink.{BloomSkipIndex, CompositeSkip, ZOrderLayout}
+    val dir = Files.createTempDirectory("graft-comp-").toString + "/t"
+    // 64×64 lattice, id unique — z-ordered on (a, b) with a bloom
+    // sidecar on id. Box = the a∈[0,15] quarter of the lattice
+    // (≥4 of 16 files survive the manifest); one id → 1-2 bloom files.
+    val df = (0 until 4096).map { i =>
+      (i.toLong, (i / 64).toLong, (i % 64).toLong)
+    }.toDF("id", "a", "b")
+    ZOrderLayout.zorderWriteRankedN(df, Seq("a", "b"), dir,
+      nFiles = 16, buckets = 32)
+    BloomSkipIndex.writeBloomSidecar(spark, dir, "id")
+    val box = Seq(("a", lit(0L), lit(15L)), ("b", lit(0L), lit(63L)))
+    // id 500 → (a=7, b=52): inside the box, so the composite keeps
+    // its file and the scan is non-empty
+    val probe = Seq(lit(500L))
+    val boxF = ZOrderLayout.survivingFilesN(
+      ZOrderLayout.manifestN(spark, dir, Seq("a", "b")), box)
+    val bloomF = BloomSkipIndex.survivingFiles(spark, dir, "id", probe)
+    val comp = CompositeSkip.survivingFiles(spark, dir, box, "id", probe)
+    assert(comp.nonEmpty && comp.size <= math.min(boxF.size, bloomF.size),
+      s"intersection must be within both prune sets: comp=${comp.size} " +
+        s"box=${boxF.size} bloom=${bloomF.size}")
+    assert(comp.size < boxF.size,
+      s"the bloom side must prune beyond the box alone " +
+        s"(comp=${comp.size}, box=${boxF.size})")
+    val got = CompositeSkip.prunedScan(spark, dir, box, "id", probe)
+      .select("id", "a", "b").as[(Long, Long, Long)].collect().sorted
+    val want = df.filter($"id" === 500L && $"a".between(0L, 15L))
+      .select("id", "a", "b").as[(Long, Long, Long)].collect().sorted
+    assert(got.sameElements(want), "composite pruning diverged")
+    // an id OUTSIDE the box: both sides stay sound, zero rows
+    assert(CompositeSkip.prunedScan(spark, dir, box,
+      "id", Seq(lit(4000L))).count() == 0L)
+  }
+
   test("stale bloom sidecar falls back to recompute and stays exact") {
     import graft.sink.BloomSkipIndex
     val dir = Files.createTempDirectory("graft-bstale-").toString + "/t"
