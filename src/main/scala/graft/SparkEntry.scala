@@ -390,6 +390,10 @@ object SparkEntry {
     // "these ids, inside this box" query reads only files surviving
     // BOTH metadata passes, still row-identical to the plain filter
     "q191_composite_skip"   -> ((s, d) => CoreQueries.compositeSkipScan(s, d)),
+    // incremental bloom maintenance: append a batch, fold it into the
+    // sidecar at O(batch), answer q184's lookup through the folded
+    // index — must equal the full-table filter (q184's oracle)
+    "q192_bloom_fold"       -> ((s, d) => CoreQueries.bloomAppendFetch(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -3299,5 +3303,14 @@ object SparkEntry {
          WHERE event_id IN (11, 502, 1003, 4444, 7777)
            AND user_id BETWEEN 0 AND 100
            AND value >= 0.0 AND value <= 250.0""",
+    // the folded sidecar must answer exactly like q184's full-table
+    // filter (even + odd halves reassemble the whole table)
+    "q192_bloom_fold" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE user_id IN (7, 42, 99)
+         GROUP BY event_type""",
   )
 }

@@ -1985,6 +1985,34 @@ object CoreQueries {
         col("value"))
   }
 
+  /** Incremental bloom maintenance (q192): hash-cluster the
+    * even-event_id half of `events` with its bloom sidecar, APPEND
+    * the odd half as its own clustered batch, then FOLD the batch
+    * into the sidecar — O(batch) data read, no table rewrite — and
+    * answer q184's point lookup through the folded index. The oracle
+    * is q184's plain IN filter over the FULL table: the fold must be
+    * row-identical to a rebuild (per-file filters are independent).
+    * Completes the incremental-maintenance family: manifest (q188),
+    * postings (q183), vectors (q186), bloom (here). */
+  def bloomAppendFetch(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-bloomf-")
+    val dir = s"$work/events_bf"
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    graft.sink.BloomSkipIndex.bloomWrite(
+      ev.filter(col("event_id") % 2 === 0), "user_id", dir, nFiles = 8)
+    ev.filter(col("event_id") % 2 =!= 0)
+      .repartition(8, col("user_id"))
+      .write.mode("append").parquet(dir)
+    graft.sink.BloomSkipIndex.foldBloomSidecar(s, dir, "user_id")
+    graft.sink.BloomSkipIndex
+      .prunedPointScan(s, dir, "user_id", Seq(lit(7L), lit(42L), lit(99L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** Composite skipping (q191): events Z-ordered on (user_id, value)
     * for range pruning, PLUS a bloom sidecar on the near-unique
     * event_id for equality pruning — a "these ids, inside this box"

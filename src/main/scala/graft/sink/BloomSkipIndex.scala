@@ -1,5 +1,6 @@
 package graft.sink
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -90,16 +91,59 @@ object BloomSkipIndex {
     writeBloomSidecar(df.sparkSession, dir, keyCol)
   }
 
+  private def bloomAggs(keyCol: String): Seq[Column] =
+    (0 until WordCount).map(w =>
+      bit_or(wordMask(col(keyCol), w)).as(s"w$w"))
+
   /** Recompute the per-file bloom table by scanning the data — the
     * write-time build and the fallback for foreign directories. One
     * row per file: (file, w0…w15). */
   def computeBloom(spark: SparkSession, dir: String,
                    keyCol: String): DataFrame = {
-    val aggs = (0 until WordCount).map(w =>
-      bit_or(wordMask(col(keyCol), w)).as(s"w$w"))
+    val aggs = bloomAggs(keyCol)
     spark.read.parquet(dir)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold an appended batch into the bloom sidecar: keep the recorded
+    * rows of files still present, bloom-scan ONLY the files the
+    * sidecar has not seen, drop rows of removed files, rewrite. The
+    * result is row-identical to a full rebuild (per-file filters are
+    * independent) at O(appended batch) data read + metadata — the
+    * incremental-maintenance path completing the sidecar family
+    * (manifest [[ZOrderLayout.zorderAppendRankedN]], postings,
+    * vectors). Works after ANY append, not just ours: the fold keys
+    * on the listing diff, not on who wrote the files. A missing or
+    * unreadable sidecar degrades to the full recompute-and-write;
+    * an already-fresh sidecar is a metadata-only no-op. */
+  def foldBloomSidecar(spark: SparkSession, dir: String,
+                       keyCol: String): Unit = {
+    val cols = "file" +: (0 until WordCount).map(w => s"w$w")
+    Sidecars.readRaw(spark, dir, s"_bloom_$keyCol", cols) match {
+      case None => writeBloomSidecar(spark, dir, keyCol)
+      case Some(side) =>
+        val current = Sidecars.dataFileNames(spark, dir)
+        // snapshot the sidecar rows BEFORE overwriting the dir we
+        // read them from (metadata-sized, like the manifest fold)
+        val all = side.collect().toSeq
+        val kept = all.filter(r =>
+          current(new Path(r.getString(0)).getName))
+        val seen = kept.map(r => new Path(r.getString(0)).getName).toSet
+        val missing = (current -- seen).toSeq.sorted.map(n => s"$dir/$n")
+        if (missing.isEmpty && kept.size == all.size) return
+        val keptDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(kept, 1), side.schema)
+        val aggs = bloomAggs(keyCol)
+        val out =
+          if (missing.isEmpty) keptDf
+          else keptDf.unionByName(
+            spark.read.parquet(missing: _*)
+              .groupBy(input_file_name().as("file"))
+              .agg(aggs.head, aggs.tail: _*))
+        out.coalesce(1)
+          .write.mode("overwrite").parquet(bloomDir(dir, keyCol))
+    }
   }
 
   /** Persist the bloom sidecar for (`dir`, `keyCol`) (one tiny

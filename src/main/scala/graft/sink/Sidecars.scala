@@ -24,11 +24,13 @@ private[sink] object Sidecars {
       .toSet
   }
 
-  /** The sidecar at `dir/<name>`, with columns `needed` (which must
-    * include `file`, the recorded data-file path), iff it is fresh
-    * against the current listing of `dir`. */
-  def readFresh(spark: SparkSession, dir: String, name: String,
-                needed: Seq[String]): Option[DataFrame] = {
+  /** The sidecar at `dir/<name>` with columns `needed`, read WITHOUT
+    * the freshness comparison — the raw form incremental folds need
+    * (a fold's whole point is reconciling a sidecar that no longer
+    * matches the listing). None when absent, unreadable, or missing
+    * columns. */
+  def readRaw(spark: SparkSession, dir: String, name: String,
+              needed: Seq[String]): Option[DataFrame] = {
     val sdir = new Path(s"$dir/$name")
     val fs = sdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(sdir)) return None
@@ -45,11 +47,19 @@ private[sink] object Sidecars {
       if (parts.isEmpty) return None
       val side = spark.read.parquet(parts: _*)
       if (!needed.forall(side.columns.contains)) return None
+      Some(side.select(needed.map(org.apache.spark.sql.functions.col): _*))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The sidecar at `dir/<name>`, with columns `needed` (which must
+    * include `file`, the recorded data-file path), iff it is fresh
+    * against the current listing of `dir`. */
+  def readFresh(spark: SparkSession, dir: String, name: String,
+                needed: Seq[String]): Option[DataFrame] = {
+    try readRaw(spark, dir, name, needed).filter { side =>
       val recorded = side.select("file").collect()
         .map(r => new Path(r.getString(0)).getName).toSet
-      if (recorded == dataFileNames(spark, dir))
-        Some(side.select(needed.map(org.apache.spark.sql.functions.col): _*))
-      else None
+      recorded == dataFileNames(spark, dir)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 }

@@ -444,6 +444,41 @@ class LayoutSpec extends AnyFunSuite {
       "id", Seq(lit(4000L))).count() == 0L)
   }
 
+  test("bloom fold after append equals a full rebuild and stays fresh") {
+    import graft.sink.BloomSkipIndex
+    val dir = Files.createTempDirectory("graft-bfold-").toString + "/t"
+    val df = (0 until 4096).map { i => (i.toLong, (i % 256).toLong) }
+      .toDF("id", "k")
+    BloomSkipIndex.bloomWrite(df.filter($"id" < 2048), "k", dir, nFiles = 8)
+    df.filter($"id" >= 2048).repartition(8, $"k")
+      .write.mode("append").parquet(dir)
+    // stale now (8 recorded files, 16 present) — fold the batch in
+    BloomSkipIndex.foldBloomSidecar(spark, dir, "k")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
+      (new java.io.File(r.getString(0).stripPrefix("file:")).getName,
+        (1 until r.length).map(r.getLong).toSeq)
+    }.toSet
+    // folded sidecar ≡ full rebuild, row for row
+    val folded = rows(BloomSkipIndex.bloomTable(spark, dir, "k"))
+    val rebuilt = rows(BloomSkipIndex.computeBloom(spark, dir, "k"))
+    assert(folded == rebuilt, "folded sidecar diverged from full rebuild")
+    // ...and it is served FROM the sidecar (fresh again after the fold)
+    val bt = BloomSkipIndex.bloomTable(spark, dir, "k")
+    assert(bt.inputFiles.nonEmpty &&
+      bt.inputFiles.forall(_.contains("/_bloom_k/")),
+      s"folded sidecar must serve reads, got ${bt.inputFiles.toSeq}")
+    // a second fold with nothing appended is a no-op (still fresh)
+    BloomSkipIndex.foldBloomSidecar(spark, dir, "k")
+    assert(rows(BloomSkipIndex.bloomTable(spark, dir, "k")) == rebuilt)
+    // probes through the folded index stay exact across both halves
+    val got = BloomSkipIndex.prunedPointScan(spark, dir, "k",
+        Seq(lit(7L), lit(200L)))
+      .select("id", "k").as[(Long, Long)].collect().sorted
+    val want = df.filter($"k" === 7L || $"k" === 200L)
+      .select("id", "k").as[(Long, Long)].collect().sorted
+    assert(got.sameElements(want), "folded-index probe diverged")
+  }
+
   test("stale bloom sidecar falls back to recompute and stays exact") {
     import graft.sink.BloomSkipIndex
     val dir = Files.createTempDirectory("graft-bstale-").toString + "/t"
