@@ -156,6 +156,32 @@ object BloomSkipIndex {
       .coalesce(1)
       .write.mode("overwrite").parquet(bloomDir(dir, keyCol))
 
+  /** Hash-clustered append + sidecar fold — the appending twin of
+    * [[bloomWrite]]. Batch files land beside the existing layout
+    * (same key hashing, so point lookups still confine each value to
+    * few files) and every per-column sidecar is reconciled at
+    * O(batch) via [[foldAllBloomSidecars]]. */
+  def bloomAppend(df: DataFrame, keyCol: String, dir: String,
+                  nFiles: Int): Unit = {
+    df.repartition(nFiles, col(keyCol))
+      .write.mode("append").parquet(dir)
+    foldAllBloomSidecars(df.sparkSession, dir)
+  }
+
+  /** Fold every per-column bloom sidecar under `dir` (the
+    * `_bloom_<col>` listing) — one call refreshes ALL indexed keys
+    * after an append, so a table with a cluster-key index and
+    * secondary indexes never serves a stale filter from any of them. */
+  def foldAllBloomSidecars(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_bloom_"))
+      .foreach(n => foldBloomSidecar(spark, dir, n.stripPrefix("_bloom_")))
+  }
+
   /** The bloom table for (`dir`, `keyCol`): the write-time sidecar
     * when present, well-formed, and matching the directory's CURRENT
     * file listing ([[Sidecars.readFresh]]); otherwise the scan

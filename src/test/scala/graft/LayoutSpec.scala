@@ -450,10 +450,11 @@ class LayoutSpec extends AnyFunSuite {
     val df = (0 until 4096).map { i => (i.toLong, (i % 256).toLong) }
       .toDF("id", "k")
     BloomSkipIndex.bloomWrite(df.filter($"id" < 2048), "k", dir, nFiles = 8)
-    df.filter($"id" >= 2048).repartition(8, $"k")
-      .write.mode("append").parquet(dir)
-    // stale now (8 recorded files, 16 present) — fold the batch in
-    BloomSkipIndex.foldBloomSidecar(spark, dir, "k")
+    // a SECOND per-column index on the same table: bloomAppend must
+    // reconcile both sidecars, not just the cluster key's
+    BloomSkipIndex.writeBloomSidecar(spark, dir, "id")
+    BloomSkipIndex.bloomAppend(df.filter($"id" >= 2048), "k", dir,
+      nFiles = 8)
     def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
       (new java.io.File(r.getString(0).stripPrefix("file:")).getName,
         (1 until r.length).map(r.getLong).toSeq)
@@ -470,6 +471,15 @@ class LayoutSpec extends AnyFunSuite {
     // a second fold with nothing appended is a no-op (still fresh)
     BloomSkipIndex.foldBloomSidecar(spark, dir, "k")
     assert(rows(BloomSkipIndex.bloomTable(spark, dir, "k")) == rebuilt)
+    // the secondary index was folded by the same append call
+    val bid = BloomSkipIndex.bloomTable(spark, dir, "id")
+    assert(bid.inputFiles.nonEmpty &&
+      bid.inputFiles.forall(_.contains("/_bloom_id/")),
+      s"secondary sidecar must also be fresh, got ${bid.inputFiles.toSeq}")
+    assert(rows(bid) == rows(BloomSkipIndex.computeBloom(spark, dir, "id")))
+    // an id from the APPENDED half is found through the folded index
+    assert(BloomSkipIndex.prunedPointScan(spark, dir, "id",
+      Seq(lit(3000L))).count() == 1L)
     // probes through the folded index stay exact across both halves
     val got = BloomSkipIndex.prunedPointScan(spark, dir, "k",
         Seq(lit(7L), lit(200L)))
