@@ -394,6 +394,10 @@ object SparkEntry {
     // sidecar at O(batch), answer q184's lookup through the folded
     // index — must equal the full-table filter (q184's oracle)
     "q192_bloom_fold"       -> ((s, d) => CoreQueries.bloomAppendFetch(s, d)),
+    // streaming indexed layout: micro-batches append clustered files
+    // with manifest + bloom folded per batch (replay-fenced); the
+    // drained table answers q191's composite query via its metadata
+    "q193_stream_indexed"   -> ((s, d) => CoreQueries.streamIndexedScan(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -3298,6 +3302,14 @@ object SparkEntry {
     // composite pruning must be semantically invisible: the
     // intersected two-sidecar read equals the plain combined filter
     "q191_composite_skip" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events
+         WHERE event_id IN (11, 502, 1003, 4444, 7777)
+           AND user_id BETWEEN 0 AND 100
+           AND value >= 0.0 AND value <= 250.0""",
+    // the streamed-in indexed table must answer exactly like q191's
+    // plain combined filter (drained batches reassemble the table)
+    "q193_stream_indexed" ->
       """SELECT event_id, user_id, event_type, value
          FROM events
          WHERE event_id IN (11, 502, 1003, 4444, 7777)

@@ -2035,6 +2035,30 @@ object CoreQueries {
         col("value"))
   }
 
+  /** Streaming indexed layout (q193): `events` arrives as a 4-file
+    * parquet feed drained one file per micro-batch; each batch
+    * appends Z-order-clustered on (user_id, value) with the manifest
+    * AND the event_id bloom sidecar folded per batch (O(batch), batch
+    * id fenced against replay), and the drained table answers q191's
+    * composite box+id query through its write-maintained metadata.
+    * The oracle is q191's plain combined filter verbatim: batch
+    * boundaries can only blur the skipping, never the rows. */
+  def streamIndexedScan(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-sidx-")
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    ev.repartition(4).write.parquet(s"$work/feed")
+    graft.streaming.StreamIndexedLayout.run(
+      s, s"$work/feed", ev.schema, s"$work/checkpoint", s"$work/table",
+      Seq("user_id", "value"), "event_id", nFiles = 4, buckets = 32)
+    graft.sink.CompositeSkip.prunedScan(s, s"$work/table",
+        Seq(("user_id", lit(0L), lit(100L)), ("value", lit(0.0), lit(250.0))),
+        "event_id",
+        Seq(lit(11L), lit(502L), lit(1003L), lit(4444L), lit(7777L)))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

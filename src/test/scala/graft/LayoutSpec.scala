@@ -489,6 +489,43 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.sameElements(want), "folded-index probe diverged")
   }
 
+  test("stream-indexed layout: replayed batch is a no-op, sidecars stay live") {
+    import graft.sink.{BloomSkipIndex, CompositeSkip, ZOrderLayout}
+    import graft.streaming.StreamIndexedLayout
+    val dir = Files.createTempDirectory("graft-sidx-").toString + "/t"
+    val df = (0 until 4096).map { i =>
+      (i.toLong, (i / 64).toLong, (i % 64).toLong)
+    }.toDF("id", "a", "b")
+    val b0 = df.filter($"id" < 2048)
+    val b1 = df.filter($"id" >= 2048)
+    def append(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamIndexedLayout.appendBatch(spark, dir, b, id,
+        Seq("a", "b"), "id", nFiles = 8, buckets = 32)
+    append(b0, 0)
+    // REPLAY of batch 0 (checkpoint rollback): the fence makes it a no-op
+    append(b0, 0)
+    assert(spark.read.parquet(dir).count() == 2048L,
+      "replayed batch must not duplicate rows")
+    append(b1, 1)
+    assert(spark.read.parquet(dir).count() == 4096L)
+    // both sidecars are live after per-batch folds: served, not rescanned
+    val mf = ZOrderLayout.manifestN(spark, dir, Seq("a", "b"))
+    assert(mf.inputFiles.nonEmpty && mf.inputFiles.forall(_.contains("/_manifest/")),
+      s"manifest must serve from its sidecar, got ${mf.inputFiles.toSeq}")
+    val bt = BloomSkipIndex.bloomTable(spark, dir, "id")
+    assert(bt.inputFiles.nonEmpty && bt.inputFiles.forall(_.contains("/_bloom_id/")),
+      s"bloom must serve from its sidecar, got ${bt.inputFiles.toSeq}")
+    // the composite query over the streamed table equals the plain filter
+    val box = Seq(("a", lit(0L), lit(15L)), ("b", lit(0L), lit(63L)))
+    val got = CompositeSkip.prunedScan(spark, dir, box, "id",
+        Seq(lit(500L), lit(3000L)))
+      .select("id", "a", "b").as[(Long, Long, Long)].collect().sorted
+    val want = df.filter(($"id" === 500L || $"id" === 3000L) &&
+        $"a".between(0L, 15L))
+      .select("id", "a", "b").as[(Long, Long, Long)].collect().sorted
+    assert(got.sameElements(want), "streamed composite scan diverged")
+  }
+
   test("stale bloom sidecar falls back to recompute and stays exact") {
     import graft.sink.BloomSkipIndex
     val dir = Files.createTempDirectory("graft-bstale-").toString + "/t"
