@@ -398,6 +398,16 @@ object SparkEntry {
     // with manifest + bloom folded per batch (replay-fenced); the
     // drained table answers q191's composite query via its metadata
     "q193_stream_indexed"   -> ((s, d) => CoreQueries.streamIndexedScan(s, d)),
+    // merge-on-read DELETE: tombstone row identities in a committed
+    // deletion-vector sidecar (bloom-pruned locate, no data rewrite);
+    // the DV-aware read equals the plain complement filter
+    "q194_dv_delete"        -> ((s, d) => CoreQueries.dvDeleteScan(s, d)),
+    // DV compaction: applyDeletes rewrites ONLY tombstoned files and
+    // empties the slate — a plain read then equals the same complement
+    "q195_dv_apply"         -> ((s, d) => CoreQueries.dvApplyScan(s, d)),
+    // merge-on-read UPSERT: tombstone-by-key + append (Hudi-MOR /
+    // Iceberg-v2 MERGE) — equals the CASE twin over the raw table
+    "q196_mor_upsert"       -> ((s, d) => CoreQueries.morUpsertScan(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -3323,6 +3333,34 @@ object SparkEntry {
            CAST(sum(event_id) AS BIGINT) AS sum_event_id
          FROM events
          WHERE user_id IN (7, 42, 99)
+         GROUP BY event_type""",
+    // a deletion-vector DELETE must be exactly the complement filter:
+    // tombstoned rows vanish, everything else is untouched
+    "q194_dv_delete" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE user_id NOT IN (7, 42, 99)
+         GROUP BY event_type""",
+    // compacting the deletes into the data files is value-neutral:
+    // the plain post-apply read equals the same complement filter
+    "q195_dv_apply" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE user_id NOT IN (7, 42, 99)
+         GROUP BY event_type""",
+    // merge-on-read upsert = latest-wins per key: every 5th event
+    // carries the re-priced value, everything else the original
+    "q196_mor_upsert" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CASE WHEN event_id % 5 = 0
+                              THEN value + 10000.0 ELSE value END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
          GROUP BY event_type""",
   )
 }

@@ -2059,6 +2059,72 @@ object CoreQueries {
         col("value"))
   }
 
+  /** Merge-on-read DELETE (q194): hash-cluster `events` on user_id
+    * with its bloom sidecar, then DELETE `user_id IN (7, 42, 99)` as
+    * deletion-vector tombstones — the locate scan reads only the
+    * bloom's may-contain files and NO data file is rewritten (the
+    * copy-on-write alternative rewrites the whole table for a 3-key
+    * delete). The DV-aware read must equal the plain complement
+    * filter row-for-row. DvSpec separately asserts the data files are
+    * untouched and the generation commit survives torn writes. */
+  def dvDeleteScan(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-dv-")
+    val dir = s"$work/events_dv"
+    graft.sink.BloomSkipIndex.bloomWrite(
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
+      "user_id", dir, nFiles = 16)
+    graft.sink.DeletionVectors.deleteByKeys(
+      s, dir, "user_id", Seq(lit(7L), lit(42L), lit(99L)))
+    graft.sink.DeletionVectors.read(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
+  /** DV compaction (q195): same delete as q194, then `applyDeletes`
+    * rewrites ONLY the tombstoned files (never the table) and empties
+    * the tombstone slate — after which a PLAIN read (no DV join) must
+    * still equal the complement filter: compaction is value-neutral,
+    * exactly Delta's DV-aware OPTIMIZE. */
+  def dvApplyScan(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-dva-")
+    val dir = s"$work/events_dva"
+    graft.sink.BloomSkipIndex.bloomWrite(
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
+      "user_id", dir, nFiles = 16)
+    graft.sink.DeletionVectors.deleteByKeys(
+      s, dir, "user_id", Seq(lit(7L), lit(42L), lit(99L)))
+    graft.sink.DeletionVectors.applyDeletes(s, dir)
+    s.read.parquet(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
+  /** Merge-on-read UPSERT (q196): the Hudi-MOR / Iceberg-v2 MERGE
+    * shape — a batch re-pricing every 5th event tombstones the old
+    * rows by key (bloom-pruned locate) and APPENDS the new versions;
+    * cost O(batch + matched files), zero table rewrite, vs the
+    * atomic sink's full-snapshot copy-on-write merge. The DV read
+    * must equal the CASE-expression twin over the raw table. */
+  def morUpsertScan(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-mor-")
+    val dir = s"$work/events_mor"
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    graft.sink.BloomSkipIndex.bloomWrite(ev, "user_id", dir, nFiles = 16)
+    val batch = ev.filter(col("event_id") % 5 === 0)
+      .withColumn("value", col("value") + lit(10000.0))
+    graft.sink.DeletionVectors.upsertMoR(s, dir, batch, "event_id")
+    graft.sink.DeletionVectors.read(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -1,0 +1,251 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level DELETE without rewriting data — the Delta/Iceberg-v2
+  * deletion-vector (merge-on-read) shape on open parquet.
+  *
+  * [[AtomicParquetSink.deleteWhere]] is copy-on-write at TABLE
+  * granularity: deleting 100 rows from a 100 TB table rewrites 100 TB.
+  * Here a DELETE only RECORDS the victims' row identities — the pair
+  * (`_metadata.file_path`, `_metadata.row_index`), Spark's stable
+  * parquet row identity, so no key column is needed and duplicate rows
+  * delete independently — in a metadata-sized tombstone sidecar, and
+  * reads anti-join against it (broadcast). Data files are untouched
+  * until [[applyDeletes]] compacts ONLY the tombstoned files.
+  *
+  * Unlike the `_manifest`/`_bloom` sidecars (pure scan-skipping
+  * optimizations — losing one costs extra reads, never wrong rows),
+  * tombstones are CORRECTNESS-BEARING: a torn sidecar write must not
+  * half-apply a delete. Commit protocol: tombstones live in monotone
+  * GENERATIONS `_dv_g<N>/` (each holds the FULL accumulated set —
+  * metadata-sized), a generation counts only once Spark's own
+  * `_SUCCESS` marker exists, and readers serve the highest complete
+  * generation. A crash mid-write leaves a markerless directory that
+  * readers skip entirely, falling back to the previous generation —
+  * the delete either committed or it didn't, never partially.
+  *
+  * Single-writer contract (like every sidecar here): the directory is
+  * maintained through this API plus plain appends. Appends are safe by
+  * construction — new files carry no tombstones. Rewriting or renaming
+  * an EXISTING data file out-of-band would re-target its row indexes;
+  * don't (the atomic-sink version swap is the transactional alternative
+  * when that's needed).
+  */
+object DeletionVectors {
+
+  private val GenPrefix = "_dv_g"
+  /** tombstone sidecar schema */
+  private val FileCol = "file"
+  private val RowCol = "row_idx"
+  /** temp column names for the read-side row identity (underscored to
+    * stay clear of data columns) */
+  private val RFile = "__dv_file"
+  private val RRow = "__dv_row"
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The data rows plus their stable row identity. */
+  private def withRowId(df: DataFrame): DataFrame =
+    df.select(col("*"),
+      col("_metadata.file_path").as(RFile),
+      col("_metadata.row_index").as(RRow))
+
+  /** Generation numbers under `dir` that are COMPLETE (carry the
+    * `_SUCCESS` marker), ascending. */
+  private def completeGens(spark: SparkSession, dir: String): Seq[Int] = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(dir)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(GenPrefix))
+      .flatMap(n => scala.util.Try(n.drop(GenPrefix.length).toInt).toOption)
+      .filter(g => fs.exists(new Path(s"$dir/$GenPrefix$g/_SUCCESS")))
+      .toSeq.sorted
+  }
+
+  /** The current tombstone set — highest complete generation, or None
+    * when no delete has ever committed. Metadata-sized. */
+  def currentTombstones(spark: SparkSession, dir: String): Option[DataFrame] =
+    completeGens(spark, dir).lastOption.flatMap { g =>
+      Sidecars.readRaw(spark, dir, s"$GenPrefix$g", Seq(FileCol, RowCol))
+    }
+
+  /** Accumulate `newTombs` into the next generation (full set = old ∪
+    * new, deduplicated); returns the number of NEWLY tombstoned rows.
+    * The write is committed by `_SUCCESS` — torn attempts are invisible
+    * to readers. */
+  private def writeNextGen(spark: SparkSession, dir: String,
+                           newTombs: DataFrame): Long = {
+    val prev = currentTombstones(spark, dir)
+    val prevN = prev.map(_.count()).getOrElse(0L)
+    val all = prev.map(_.unionByName(newTombs)).getOrElse(newTombs)
+      .select(col(FileCol), col(RowCol)).distinct()
+      .persist()
+    val n = all.count()
+    if (n > prevN) {
+      val gen = completeGens(spark, dir).lastOption.getOrElse(0) + 1
+      // tombstones are metadata-sized: one part file keeps the
+      // generation listing O(1)
+      all.coalesce(1).write.parquet(s"$dir/$GenPrefix$gen")
+    }
+    all.unpersist()
+    n - prevN
+  }
+
+  /** DELETE WHERE `cond` — records tombstones, touches NO data file.
+    * SQL DELETE semantics: a NULL predicate keeps the row. Returns the
+    * number of newly deleted rows. Locate cost is one table scan; use
+    * [[deleteByKeys]] when a bloom sidecar can prune the scan. */
+  def deleteWhere(spark: SparkSession, dir: String, cond: Column): Long = {
+    val victims = withRowId(spark.read.parquet(dir))
+      .filter(coalesce(cond, lit(false)))
+      .select(col(RFile).as(FileCol), col(RRow).as(RowCol))
+    writeNextGen(spark, dir, victims)
+  }
+
+  /** DELETE by key values, locating victims through the
+    * `_bloom_<keyCol>` sidecar when present: only may-contain files are
+    * scanned, so the locate cost is O(matched files), not O(table) —
+    * the merge-on-read DELETE a 100 TB keyed table needs. Falls back to
+    * the full locate scan when no fresh sidecar exists. */
+  def deleteByKeys(spark: SparkSession, dir: String, keyCol: String,
+                   values: Seq[Column]): Long = {
+    require(values.nonEmpty, "empty delete key set")
+    val files = scala.util.Try(
+      BloomSkipIndex.survivingFiles(spark, dir, keyCol, values)).toOption
+    val src = files match {
+      case Some(fs) if fs.isEmpty => return 0L // no file may contain a victim
+      case Some(fs) => spark.read.parquet(fs: _*)
+      case None     => spark.read.parquet(dir)
+    }
+    val victims = withRowId(src)
+      .filter(values.map(col(keyCol) === _).reduce(_ || _))
+      .select(col(RFile).as(FileCol), col(RRow).as(RowCol))
+    writeNextGen(spark, dir, victims)
+  }
+
+  /** DV-aware read: the table minus its tombstoned rows. The tombstone
+    * set is metadata-sized, so the anti-join broadcasts — each data row
+    * pays a hash probe, no shuffle of the table. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val plain = spark.read.parquet(dir)
+    currentTombstones(spark, dir) match {
+      case None => plain
+      case Some(t) =>
+        withRowId(plain)
+          .join(broadcast(t),
+            col(RFile) === col(FileCol) && col(RRow) === col(RowCol),
+            "left_anti")
+          .drop(RFile, RRow)
+    }
+  }
+
+  /** Compact deletes into the data: rewrite ONLY the tombstoned files
+    * (read → anti-join → staged write → swap in), leaving untouched
+    * files alone, then commit an EMPTY tombstone generation. Returns
+    * the number of files rewritten. O(affected files), never O(table) —
+    * Delta's DV-aware OPTIMIZE.
+    *
+    * Crash windows on a plain (non-transactional) directory, in order:
+    * staging is underscore-hidden (invisible); after old-file deletes
+    * but before the staged moves, surviving rows of affected files are
+    * temporarily ABSENT (recoverable from staging) — rows are never
+    * duplicated and deletes never resurrect, in any window; after the
+    * moves, the stale generation only holds dangling tombstones
+    * (files that no longer exist — anti-join no-ops, harmless). The
+    * atomic-sink version swap ([[Compaction.zorderCompact]] shape) is
+    * the zero-window alternative. */
+  def applyDeletes(spark: SparkSession, dir: String): Int = {
+    val t = currentTombstones(spark, dir).getOrElse(return 0).persist()
+    val affected = t.select(FileCol).distinct().collect()
+      .map(_.getString(0)).sorted
+    if (affected.isEmpty) { t.unpersist(); return 0 }
+    val gen = completeGens(spark, dir).lastOption.getOrElse(0)
+    val staging = s"$dir/_dv_apply_tmp"
+    // keep rows of one old file together (≈ preserves any clustering):
+    // hash-repartition on the source file before the staged write
+    val staged = withRowId(spark.read.parquet(affected: _*))
+      .join(broadcast(t),
+        col(RFile) === col(FileCol) && col(RRow) === col(RowCol),
+        "left_anti")
+      .repartition(affected.length, col(RFile))
+      .drop(RFile, RRow)
+    staged.write.mode("overwrite").parquet(staging)
+    val fs = fsOf(spark, dir)
+    // commit: drop the old files, then move the staged parts in under
+    // fresh (generation-stamped) names
+    affected.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }
+    val parts = fs.listStatus(new Path(staging)).iterator
+      .filter(_.isFile).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    parts.foreach { p =>
+      fs.rename(p, new Path(s"$dir/applied-g$gen-${p.getName}"))
+    }
+    fs.delete(new Path(staging), true)
+    t.unpersist()
+    // empty next generation — the slate is clean
+    val empty = t.limit(0)
+    val next = gen + 1
+    empty.coalesce(1).write.parquet(s"$dir/$GenPrefix$next")
+    affected.length
+  }
+
+  /** Drop tombstones whose file no longer exists in the listing
+    * (left dangling by [[applyDeletes]] or a compaction) and stale
+    * generations older than the current one. Compares on file NAME —
+    * scheme/authority spellings differ between `_metadata.file_path`
+    * and the listing. Pure metadata maintenance; reads are already
+    * correct without it. */
+  def vacuumTombstones(spark: SparkSession, dir: String): Unit = {
+    val t = currentTombstones(spark, dir).getOrElse(return)
+    val live = Sidecars.dataFileNames(spark, dir)
+    val nameOf = udfFreeName(col(FileCol))
+    val kept = t.filter(nameOf.isInCollection(live))
+    val gens = completeGens(spark, dir)
+    val gen = gens.lastOption.getOrElse(0)
+    kept.coalesce(1).write.parquet(s"$dir/$GenPrefix${gen + 1}")
+    val fs = fsOf(spark, dir)
+    gens.foreach(g => fs.delete(new Path(s"$dir/$GenPrefix$g"), true))
+  }
+
+  /** Last path segment of a path/URI string, as a Column (no UDF). */
+  private def udfFreeName(c: Column): Column =
+    element_at(split(c, "/"), -1)
+
+  /** Merge-on-read UPSERT (the Hudi MOR / Iceberg-v2 MERGE shape):
+    * tombstone the current rows whose `keyCol` appears in `batch`
+    * (bloom-pruned locate when the sidecar exists), then APPEND the
+    * batch as new files — cost O(batch + matched files), zero table
+    * rewrite, vs [[AtomicParquetSink.mergeWithRetry]]'s full-snapshot
+    * copy-on-write. Read through [[read]]. `batch` must be unique on
+    * `keyCol` (checked — two batch rows for one key have no defined
+    * winner). Key-set size is bounded by the batch (broadcast both in
+    * the locate and in Delta's equivalent MERGE file-prune). */
+  def upsertMoR(spark: SparkSession, dir: String, batch: DataFrame,
+                keyCol: String): Unit = {
+    val keys = batch.select(col(keyCol)).distinct().persist()
+    val nKeys = keys.count()
+    require(nKeys == batch.count(),
+      s"upsertMoR: batch is not unique on $keyCol")
+    // bloom-located tombstoning for modest key sets (driver-side probe
+    // literals); large batches locate by broadcast join instead
+    if (nKeys <= 256) {
+      val vals = keys.collect().map(r => lit(r.get(0)).cast(
+        batch.schema(keyCol).dataType)).toSeq
+      deleteByKeys(spark, dir, keyCol, vals)
+    } else {
+      val victims = withRowId(spark.read.parquet(dir))
+        .join(broadcast(keys), Seq(keyCol), "left_semi")
+        .select(col(RFile).as(FileCol), col(RRow).as(RowCol))
+      writeNextGen(spark, dir, victims)
+    }
+    keys.unpersist()
+    batch.write.mode("append").parquet(dir)
+  }
+}
