@@ -408,6 +408,10 @@ object SparkEntry {
     // merge-on-read UPSERT: tombstone-by-key + append (Hudi-MOR /
     // Iceberg-v2 MERGE) — equals the CASE twin over the raw table
     "q196_mor_upsert"       -> ((s, d) => CoreQueries.morUpsertScan(s, d)),
+    // streaming CDC apply, merge-on-read: an I/U/D change feed drained
+    // at O(batch) per micro-batch (tombstone + append, replay-fenced);
+    // the DV read equals the CASE/complement twin over the raw table
+    "q197_stream_mor"       -> ((s, d) => CoreQueries.streamMorScan(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -3361,6 +3365,17 @@ object SparkEntry {
                          AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
            CAST(sum(event_id) AS BIGINT) AS sum_event_id
          FROM events
+         GROUP BY event_type""",
+    // the drained CDC state: odds inserted, …4-ids re-priced,
+    // …8-ids deleted — batch boundaries must be invisible
+    "q197_stream_mor" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CASE WHEN event_id % 10 = 4
+                              THEN value + 10000.0 ELSE value END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE event_id % 10 <> 8
          GROUP BY event_type""",
   )
 }

@@ -2125,6 +2125,41 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** Streaming CDC merge-on-read (q197): a checkpointed op-tagged
+    * change feed (I/U/D — the reference's alter-row routing) drained
+    * into a MoR table at O(batch) per micro-batch: tombstone the
+    * updated/deleted keys, append the fresh images, fence the batch
+    * against replay — never rewriting the table (the copy-on-write
+    * [[graft.streaming.CdcStream]] alternative rewrites the full
+    * snapshot per batch). Base = even event_ids; the feed inserts the
+    * odds, re-prices every `…4`-ending id, deletes every `…8`-ending
+    * id. The DV-aware read must equal the CASE/complement twin over
+    * the raw table, regardless of how the feed split into batches
+    * (ops are key-disjoint). */
+  def streamMorScan(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-smor-")
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    ev.filter(col("event_id") % 2 === 0)
+      .repartition(8).write.parquet(s"$work/table")
+    val feed = ev.filter(col("event_id") % 2 =!= 0)
+      .withColumn("op", lit("I"))
+      .unionByName(ev.filter(col("event_id") % 10 === 4)
+        .withColumn("value", col("value") + lit(10000.0))
+        .withColumn("op", lit("U")))
+      .unionByName(ev.filter(col("event_id") % 10 === 8)
+        .withColumn("op", lit("D")))
+    feed.repartition(4).write.parquet(s"$work/feed")
+    graft.streaming.StreamMoR.run(
+      s, s"$work/feed", feed.schema, s"$work/checkpoint", s"$work/table",
+      keyCol = "event_id", opCol = "op")
+    graft.sink.DeletionVectors.read(s, s"$work/table")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

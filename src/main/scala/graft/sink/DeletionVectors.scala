@@ -130,20 +130,56 @@ object DeletionVectors {
     writeNextGen(spark, dir, victims)
   }
 
-  /** DV-aware read: the table minus its tombstoned rows. The tombstone
-    * set is metadata-sized, so the anti-join broadcasts — each data row
-    * pays a hash probe, no shuffle of the table. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val plain = spark.read.parquet(dir)
+  /** DELETE every row whose `keyCol` appears in `keys` (a DataFrame —
+    * the form a CDC micro-batch's delete set arrives in). Locates by
+    * broadcast semi-join; tombstone-only, no data rewrite. */
+  def deleteByKeyDf(spark: SparkSession, dir: String, keyCol: String,
+                    keys: DataFrame): Long = {
+    val victims = withRowId(spark.read.parquet(dir))
+      .join(broadcast(keys.select(col(keyCol)).distinct()),
+        Seq(keyCol), "left_semi")
+      .select(col(RFile).as(FileCol), col(RRow).as(RowCol))
+    writeNextGen(spark, dir, victims)
+  }
+
+  /** Subtract the current tombstones from `data` (rows carrying their
+    * `_metadata` identity). Broadcast anti-join — each row pays a hash
+    * probe, nothing shuffles. */
+  private def minusTombstones(spark: SparkSession, dir: String,
+                              data: DataFrame): DataFrame =
     currentTombstones(spark, dir) match {
-      case None => plain
+      case None => data
       case Some(t) =>
-        withRowId(plain)
+        withRowId(data)
           .join(broadcast(t),
             col(RFile) === col(FileCol) && col(RRow) === col(RowCol),
             "left_anti")
           .drop(RFile, RRow)
     }
+
+  /** DV-aware read: the table minus its tombstoned rows. The tombstone
+    * set is metadata-sized, so the anti-join broadcasts — each data row
+    * pays a hash probe, no shuffle of the table. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    minusTombstones(spark, dir, spark.read.parquet(dir))
+
+  /** Bloom-pruned point lookup THROUGH the deletion vectors: the
+    * metadata sidecars and the tombstones compose — bloom-surviving
+    * files only, then the anti-join hides deleted rows, then the exact
+    * predicate. Reading a DV'd table via [[BloomSkipIndex
+    * .prunedPointScan]] directly would RESURRECT tombstoned rows
+    * (skipping sidecars are over-inclusive by design, never
+    * row-subtractive); every read of a DV'd directory must flow
+    * through this module. */
+  def prunedPointScan(spark: SparkSession, dir: String, keyCol: String,
+                      values: Seq[Column]): DataFrame = {
+    require(values.nonEmpty, "empty probe set")
+    val files = BloomSkipIndex.survivingFiles(spark, dir, keyCol, values)
+    val src =
+      if (files.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(files: _*)
+    minusTombstones(spark, dir, src)
+      .filter(values.map(col(keyCol) === _).reduce(_ || _))
   }
 
   /** Compact deletes into the data: rewrite ONLY the tombstoned files
@@ -240,10 +276,7 @@ object DeletionVectors {
         batch.schema(keyCol).dataType)).toSeq
       deleteByKeys(spark, dir, keyCol, vals)
     } else {
-      val victims = withRowId(spark.read.parquet(dir))
-        .join(broadcast(keys), Seq(keyCol), "left_semi")
-        .select(col(RFile).as(FileCol), col(RRow).as(RowCol))
-      writeNextGen(spark, dir, victims)
+      deleteByKeyDf(spark, dir, keyCol, keys)
     }
     keys.unpersist()
     batch.write.mode("append").parquet(dir)
