@@ -412,6 +412,12 @@ object SparkEntry {
     // at O(batch) per micro-batch (tombstone + append, replay-fenced);
     // the DV read equals the CASE/complement twin over the raw table
     "q197_stream_mor"       -> ((s, d) => CoreQueries.streamMorScan(s, d)),
+    // skipping ∧ tombstones: the bloom-pruned point lookup THROUGH the
+    // deletion vectors — pruning may not resurrect deleted rows
+    "q198_dv_pruned_point"  -> ((s, d) => CoreQueries.dvPrunedPoint(s, d)),
+    // merge-on-read UPDATE: tombstone matched rows + append updated
+    // images (O(matched)); equals the CASE twin over the raw table
+    "q199_mor_update"       -> ((s, d) => CoreQueries.morUpdateScan(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -3376,6 +3382,25 @@ object SparkEntry {
            CAST(sum(event_id) AS BIGINT) AS sum_event_id
          FROM events
          WHERE event_id % 10 <> 8
+         GROUP BY event_type""",
+    // pruned read through the tombstones: user 42 is deleted, so the
+    // 3-key probe must surface only users 7 and 99
+    "q198_dv_pruned_point" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE user_id IN (7, 99)
+         GROUP BY event_type""",
+    // DV-backed UPDATE = the CASE projection: expensive clicks
+    // doubled, every other row untouched
+    "q199_mor_update" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CASE WHEN event_type = 'click' AND value > 100.0
+                              THEN value * 2.0 ELSE value END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
          GROUP BY event_type""",
   )
 }

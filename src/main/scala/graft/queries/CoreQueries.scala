@@ -2125,6 +2125,48 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** Skipping ∧ deletion vectors (q198): the bloom-pruned point
+    * lookup THROUGH the tombstones — sidecar pruning is over-inclusive
+    * (never row-subtractive), so a pruned read that bypassed the DV
+    * anti-join would resurrect deleted rows; the composed read prunes
+    * files by the sidecar AND hides victims by the tombstone join.
+    * Delete user 42, probe users {7, 42, 99}: the oracle sees only
+    * {7, 99}. */
+  def dvPrunedPoint(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-dvp-")
+    val dir = s"$work/events_dvp"
+    graft.sink.BloomSkipIndex.bloomWrite(
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
+      "user_id", dir, nFiles = 16)
+    graft.sink.DeletionVectors.deleteByKeys(s, dir, "user_id", Seq(lit(42L)))
+    graft.sink.DeletionVectors
+      .prunedPointScan(s, dir, "user_id", Seq(lit(7L), lit(42L), lit(99L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
+  /** Merge-on-read UPDATE (q199): Delta's DV-backed UPDATE — tombstone
+    * the matched rows, append their updated images, O(matched) not
+    * O(table); the same re-pricing [[AtomicParquetSink.updateWhere]]
+    * would pay a full-snapshot rewrite for. Must equal the CASE twin,
+    * including NULL-predicate rows staying put. */
+  def morUpdateScan(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-moru-")
+    val dir = s"$work/events_moru"
+    Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+      .repartition(8).write.parquet(dir)
+    graft.sink.DeletionVectors.updateWhere(s, dir,
+      col("event_type") === "click" && col("value") > 100.0,
+      Map("value" -> (col("value") * lit(2.0))))
+    graft.sink.DeletionVectors.read(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** Streaming CDC merge-on-read (q197): a checkpointed op-tagged
     * change feed (I/U/D — the reference's alter-row routing) drained
     * into a MoR table at O(batch) per micro-batch: tombstone the

@@ -254,6 +254,50 @@ object DeletionVectors {
   private def udfFreeName(c: Column): Column =
     element_at(split(c, "/"), -1)
 
+  /** Merge-on-read UPDATE (Delta's DV-backed UPDATE shape): tombstone
+    * the matched rows and append their updated images — O(matched),
+    * no table rewrite, vs [[AtomicParquetSink.updateWhere]]'s
+    * full-snapshot copy-on-write. SQL UPDATE's SIMULTANEOUS assignment
+    * semantics (every right-hand side reads the ORIGINAL row); a NULL
+    * predicate matches nothing. The match runs on the DV-AWARE view —
+    * an already-deleted row must not resurrect as an updated image.
+    * Returns the number of updated rows.
+    *
+    * Crash window (plain, non-transactional dir): tombstones commit
+    * first, images append second — a crash between the two leaves the
+    * matched rows temporarily ABSENT (retry completes the update);
+    * rows are never duplicated. The atomic-sink version swap is the
+    * zero-window alternative. */
+  def updateWhere(spark: SparkSession, dir: String, cond: Column,
+                  assignments: Map[String, Column]): Long = {
+    val cur = spark.read.parquet(dir)
+    val unknown = assignments.keySet -- cur.columns.toSet
+    require(unknown.isEmpty,
+      s"updateWhere: no such column(s) $unknown in ${cur.columns.toSeq}")
+    // keep the row identity through the DV filter: anti-join BEFORE
+    // dropping the id columns (`_metadata` only resolves on the scan)
+    val visible = currentTombstones(spark, dir) match {
+      case None => withRowId(cur)
+      case Some(t) => withRowId(cur).join(broadcast(t),
+        col(RFile) === col(FileCol) && col(RRow) === col(RowCol),
+        "left_anti")
+    }
+    val matched = visible
+      .filter(coalesce(cond, lit(false)))
+      .persist()
+    val n = matched.count()
+    if (n > 0) {
+      writeNextGen(spark, dir,
+        matched.select(col(RFile).as(FileCol), col(RRow).as(RowCol)))
+      val images = matched.select(cur.columns.toSeq.map { c =>
+        assignments.get(c).map(_.as(c)).getOrElse(col(c))
+      }: _*)
+      images.write.mode("append").parquet(dir)
+    }
+    matched.unpersist()
+    n
+  }
+
   /** Merge-on-read UPSERT (the Hudi MOR / Iceberg-v2 MERGE shape):
     * tombstone the current rows whose `keyCol` appears in `batch`
     * (bloom-pruned locate when the sidecar exists), then APPEND the

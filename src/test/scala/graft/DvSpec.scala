@@ -146,6 +146,42 @@ class DvSpec extends AnyFunSuite {
     }
   }
 
+  test("prunedPointScan hides tombstoned rows AND still skips files") {
+    val (dir, _) = fixture(nFiles = 16)
+    DV.deleteByKeys(spark, dir, "k", Seq(lit(3L)))
+    val got = DV.prunedPointScan(spark, dir, "k",
+      Seq(lit(3L), lit(11L))).orderBy("id")
+      .as[(Long, Long, Double)].collect().toSeq
+    val want = spark.range(0, 400)
+      .select(col("id"), (col("id") % 20).as("k"),
+        (col("id") * 2).cast("double").as("v"))
+      .filter(col("k") === 11L).orderBy("id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == want, "deleted key 3 must not resurrect through the prune")
+    // and the prune still prunes: the bloom sidecar bounds the files
+    assert(BloomSkipIndex.survivingFiles(spark, dir, "k",
+      Seq(lit(3L), lit(11L))).size <= 6)
+  }
+
+  test("updateWhere: simultaneous assignment, NULL cond, no resurrection") {
+    val (dir, _) = fixture()
+    // delete k=5 first: the update must NOT revive those rows
+    DV.deleteByKeys(spark, dir, "k", Seq(lit(5L)))
+    val n = DV.updateWhere(spark, dir, col("k") === 5L || col("k") === 7L,
+      Map("v" -> (col("v") + col("id")), "k" -> (col("k") * 10L)))
+    assert(n == 20, s"only the 20 visible k=7 rows may update, got $n")
+    val rows = DV.read(spark, dir)
+    assert(rows.filter(col("k") === 5L || col("k") === 7L).count() == 0)
+    // RHS reads the ORIGINAL row: v' = 2*id + id = 3*id for old k=7
+    val upd = rows.filter(col("k") === 70L).orderBy("id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(upd.size == 20 && upd.forall(r => r._3 == 3.0 * r._1))
+    // NULL predicate matches nothing
+    assert(DV.updateWhere(spark, dir,
+      when(col("id") < 0, true), Map("v" -> lit(0.0))) == 0)
+    assert(DV.read(spark, dir).count() == 380)
+  }
+
   test("upsertMoR rejects a batch that is not unique on the key") {
     val (dir, _) = fixture()
     val dup = Seq((1L, 1L, 0.0), (1L, 1L, 9.9)).toDF("id", "k", "v")
