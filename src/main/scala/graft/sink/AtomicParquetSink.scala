@@ -149,6 +149,48 @@ object AtomicParquetSink {
       .select(keyCols.map(col) :+ col("change"): _*)
   }
 
+  /** RESTORE … TO VERSION: re-commit the contents of a retained
+    * historical snapshot as a NEW version — the Delta RESTORE shape.
+    * History only moves forward: nothing is rewound or deleted, the
+    * bad intermediate versions stay readable under normal retention,
+    * and the restore itself is an OCC commit (a writer racing past us
+    * conflicts and retries like any other merge). The data copy reads
+    * the immutable source dir, so a concurrent GC of the source after
+    * the write completes cannot hurt the new version. */
+  def restore(spark: SparkSession, table: String, version: String,
+              retainVersions: Int = 4): Unit = {
+    require(versions(spark, table).contains(version),
+      s"$table has no retained version '$version' " +
+        s"(have ${versions(spark, table)})")
+    mergeWithRetry(spark, table,
+      _ => readVersion(spark, table, version), retainVersions)
+  }
+
+  /** Change data feed across the retained history — Delta's
+    * `table_changes()` on the version-dir sink: the ordered change log
+    * `(key…, change, commit_seq)` built by [[diff]]-ing each ADJACENT
+    * pair of retained snapshots, `commit_seq` = 1-based index of the
+    * newer snapshot in the oldest→newest version list. A key that
+    * flips twice shows up once per commit, so downstream incremental
+    * consumers can replay the exact sequence instead of one collapsed
+    * end-to-end diff.
+    *
+    * Scale: retention bounds the pair count; each pair is one
+    * full-outer join on the key (co-locate via [[BucketedFactStore]]
+    * at 100 TB, and skip pairs whose file lists are identical — a pure
+    * metadata check on immutable version dirs). */
+  def tableChanges(spark: SparkSession, table: String,
+                   keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions(spark, table)
+    require(vs.size >= 2,
+      s"$table has ${vs.size} retained version(s); need >= 2 for a change feed")
+    vs.sliding(2).zipWithIndex.map { case (pair, i) =>
+      diff(spark, table, pair.head, pair.last, keyCols)
+        .withColumn("commit_seq", lit((i + 1).toLong))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Atomically replace the table contents: write a fresh version dir,
     * rename a pointer tempfile over `_current`, then GC old versions.
     * `retainVersions` is the time-travel retention window: how many
