@@ -12,8 +12,14 @@ import org.apache.spark.sql.SparkSession
   *    32, not the 200 default sized for real clusters);
   *  - AQE skew-join explicitly on (default in Spark 4, pinned here
   *    because the CDC dedupe story depends on it);
-  *  - nanos-as-long for the ns-timestamp events fixture;
-  *  - UTC session timezone (oracle parity).
+  *  - UTC session timezone (oracle parity; also makes the NTZ→LTZ
+  *    normalization in `Tables.events` value-preserving).
+  *
+  * Note on `events.ts` encoding drift: the legacy nanos-as-long conf is
+  * NOT set here — `Tables.events` detects the legacy TIMESTAMP(NANOS)
+  * encoding and enables the conf only when that encoding is actually
+  * present (see Tables.scala), so modern `timestamp[us]` data reads with
+  * stock session state.
   */
 object GraftSession {
 
@@ -26,7 +32,6 @@ object GraftSession {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -126,6 +126,19 @@ object AtomicParquetSink {
     * (immutable version dirs make that a pure metadata check). */
   def diff(spark: SparkSession, table: String, fromVersion: String,
            toVersion: String, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    diffFull(spark, table, fromVersion, toVersion, keyCols)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
+  /** [[diff]] with the row payloads kept: `(key…, change, _old, _new)`
+    * where `_old`/`_new` are the non-key columns struct-packed —
+    * `_old` is null for inserts, `_new` for deletes (Delta CDF's
+    * preimage/postimage shape). This is what lets a change-feed
+    * consumer REPLAY data without joining back to snapshots that GC
+    * may have already deleted. */
+  def diffFull(spark: SparkSession, table: String, fromVersion: String,
+               toVersion: String, keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     val o = readVersion(spark, table, fromVersion)
     val n = readVersion(spark, table, toVersion)
@@ -146,7 +159,9 @@ object AtomicParquetSink {
           .when(col("_new").isNull, "delete")
           .when(!(col("_old") <=> col("_new")), "update"))
       .filter(col("change").isNotNull)
-      .select(keyCols.map(col) :+ col("change"): _*)
+      .select(keyCols.map(col) ++ Seq(col("change"),
+        when(col("change") =!= "insert", col("_old")).as("_old"),
+        when(col("change") =!= "delete", col("_new")).as("_new")): _*)
   }
 
   /** RESTORE … TO VERSION: re-commit the contents of a retained
@@ -156,24 +171,49 @@ object AtomicParquetSink {
     * and the restore itself is an OCC commit (a writer racing past us
     * conflicts and retries like any other merge). The data copy reads
     * the immutable source dir, so a concurrent GC of the source after
-    * the write completes cannot hurt the new version. */
+    * the write completes cannot hurt the new version.
+    *
+    * The retention check runs INSIDE the transform (re-evaluated on
+    * every OCC retry), not just up front: a concurrent writer using a
+    * tighter retention can GC the source dir between our attempts, and
+    * that must surface as a clear "no longer retained" error — not a
+    * raw path-not-found from the re-read. */
   def restore(spark: SparkSession, table: String, version: String,
               retainVersions: Int = 4): Unit = {
-    require(versions(spark, table).contains(version),
-      s"$table has no retained version '$version' " +
-        s"(have ${versions(spark, table)})")
-    mergeWithRetry(spark, table,
-      _ => readVersion(spark, table, version), retainVersions)
+    def checked(): DataFrame = {
+      require(versions(spark, table).contains(version),
+        s"$table has no retained version '$version' " +
+          s"(have ${versions(spark, table)}) — it may have been GC'd " +
+          "by a concurrent writer's retention policy")
+      readVersion(spark, table, version)
+    }
+    checked() // fail fast on a plainly-unknown version before any I/O
+    mergeWithRetry(spark, table, _ => checked(), retainVersions)
   }
 
   /** Change data feed across the retained history — Delta's
     * `table_changes()` on the version-dir sink: the ordered change log
-    * `(key…, change, commit_seq)` built by [[diff]]-ing each ADJACENT
-    * pair of retained snapshots, `commit_seq` = 1-based index of the
-    * newer snapshot in the oldest→newest version list. A key that
-    * flips twice shows up once per commit, so downstream incremental
-    * consumers can replay the exact sequence instead of one collapsed
-    * end-to-end diff.
+    * `(key…, change, _old, _new, commit_seq, commit_version)` built by
+    * [[diffFull]]-ing each ADJACENT pair of retained snapshots. A key
+    * that flips twice shows up once per commit, so downstream
+    * incremental consumers can replay the exact sequence instead of
+    * one collapsed end-to-end diff, and the `_old`/`_new` payload
+    * structs (Delta CDF's preimage/postimage) mean replay needs no
+    * join back to snapshots GC may have deleted.
+    *
+    * Commit identity is STABLE across GC: `commit_version` is the
+    * newer snapshot's version-dir name and `commit_seq` its embedded
+    * write-millis (strictly monotonic by construction — see the name
+    * bump in [[commitIf]]). A consumer that checkpoints "last seen
+    * commit_seq" keeps working after retention slides, which a
+    * positional index into the retained list would break (every GC
+    * would renumber later commits) — the same reason Delta keys
+    * table_changes on `_commit_version`.
+    *
+    * Schema evolution: [[diffFull]] requires identical column sets, so
+    * the feed covers the longest schema-consistent SUFFIX of retained
+    * history — pairs before the most recent schema change are skipped
+    * (their keys/payloads aren't comparable), not thrown on.
     *
     * Scale: retention bounds the pair count; each pair is one
     * full-outer join on the key (co-locate via [[BucketedFactStore]]
@@ -185,9 +225,19 @@ object AtomicParquetSink {
     val vs = versions(spark, table)
     require(vs.size >= 2,
       s"$table has ${vs.size} retained version(s); need >= 2 for a change feed")
-    vs.sliding(2).zipWithIndex.map { case (pair, i) =>
-      diff(spark, table, pair.head, pair.last, keyCols)
-        .withColumn("commit_seq", lit((i + 1).toLong))
+    // longest schema-consistent suffix: walk newest → oldest while the
+    // column set matches the newest snapshot's (metadata-only reads)
+    val colsOf = vs.map(v =>
+      v -> readVersion(spark, table, v).columns.toSet).toMap
+    val newestCols = colsOf(vs.last)
+    val suffix = vs.reverse.takeWhile(colsOf(_) == newestCols).reverse
+    require(suffix.size >= 2,
+      s"$table: schema changed at the latest commit; no comparable " +
+        "adjacent pair remains in retained history")
+    suffix.sliding(2).map { pair =>
+      diffFull(spark, table, pair.head, pair.last, keyCols)
+        .withColumn("commit_seq", lit(pair.last.substring(2, 22).toLong))
+        .withColumn("commit_version", lit(pair.last))
     }.reduce(_.unionByName(_))
   }
 

@@ -182,6 +182,30 @@ object DeletionVectors {
       .filter(values.map(col(keyCol) === _).reduce(_ || _))
   }
 
+  /** Manifest-pruned box scan THROUGH the deletion vectors: the
+    * Z-order `_manifest` sidecar prunes to intersecting files, the
+    * tombstone anti-join hides deleted rows, then the exact box
+    * predicate applies. Reading a DV'd directory via [[ZOrderLayout
+    * .prunedBoxScanN]] directly would RESURRECT tombstoned rows (the
+    * manifest is over-inclusive by design, never row-subtractive) —
+    * same composition rule as [[prunedPointScan]]: every read of a
+    * DV'd directory flows through this module. Cost: two
+    * metadata-sized sidecar reads + the surviving data files + a
+    * broadcast hash probe per row. */
+  def prunedBoxScan(spark: SparkSession, dir: String,
+                    box: Seq[(String, Column, Column)]): DataFrame = {
+    require(box.nonEmpty, "empty box")
+    val mf = ZOrderLayout.manifestN(spark, dir, box.map(_._1))
+    val files = ZOrderLayout.survivingFilesN(mf, box)
+    val src =
+      if (files.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(files: _*)
+    minusTombstones(spark, dir, src)
+      .filter(box.map { case (d, lo, hi) =>
+        col(d) >= lo && col(d) <= hi
+      }.reduce(_ && _))
+  }
+
   /** Compact deletes into the data: rewrite ONLY the tombstoned files
     * (read → anti-join → staged write → swap in), leaving untouched
     * files alone, then commit an EMPTY tombstone generation. Returns
@@ -202,21 +226,79 @@ object DeletionVectors {
     val affected = t.select(FileCol).distinct().collect()
       .map(_.getString(0)).sorted
     if (affected.isEmpty) { t.unpersist(); return 0 }
+    rewriteFiles(spark, dir, affected.toSeq, t)
+    t.unpersist()
+    // empty next generation — the slate is clean
+    val gen = completeGens(spark, dir).lastOption.getOrElse(0)
+    t.limit(0).coalesce(1).write.parquet(s"$dir/$GenPrefix${gen + 1}")
+    affected.length
+  }
+
+  /** Ratio-triggered MoR compaction — the scheduler [[applyDeletes]]
+    * lacks: under a long CDC stream every micro-batch tombstones a few
+    * rows, and without a trigger either nobody compacts (read
+    * amplification grows without bound: every read anti-joins an
+    * ever-larger tombstone set against ever-deader files) or every
+    * batch compacts (write amplification: rewriting a file to drop 1
+    * row of 1M). Rewrite ONLY files whose tombstoned-row fraction
+    * exceeds `maxDeleteRatio` (Delta's OPTIMIZE trigger shape);
+    * lightly-tombstoned files stay merge-on-read. Per-file row totals
+    * come from parquet footers — a driver-side metadata read per
+    * affected file, O(affected), no data scan. The next tombstone
+    * generation keeps the NOT-compacted files' entries, so partial
+    * compaction never un-deletes anything. Returns the number of files
+    * rewritten.
+    *
+    * Invariant a caller can rely on (spec-enforced): after
+    * compactIfNeeded, every live tombstone points at a file whose
+    * delete fraction is < maxDeleteRatio — i.e. read amplification is
+    * bounded by the threshold no matter how long the stream runs. */
+  def compactIfNeeded(spark: SparkSession, dir: String,
+                      maxDeleteRatio: Double = 0.1): Int = {
+    require(maxDeleteRatio > 0 && maxDeleteRatio <= 1,
+      s"maxDeleteRatio must be in (0,1], got $maxDeleteRatio")
+    val t = currentTombstones(spark, dir).getOrElse(return 0).persist()
+    val perFile = t.groupBy(FileCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (perFile.isEmpty) { t.unpersist(); return 0 }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val due = perFile.keys.toSeq.sorted.filter { f =>
+      val p = new Path(new java.net.URI(f))
+      val rows = org.apache.parquet.hadoop.ParquetFileReader
+        .open(org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      val n = try rows.getRecordCount finally rows.close()
+      n > 0 && perFile(f).toDouble / n >= maxDeleteRatio
+    }
+    if (due.isEmpty) { t.unpersist(); return 0 }
+    rewriteFiles(spark, dir, due, t.filter(col(FileCol).isInCollection(due)))
+    // carry forward tombstones of files we did NOT rewrite
+    val remaining = t.filter(!col(FileCol).isInCollection(due))
+    val gen = completeGens(spark, dir).lastOption.getOrElse(0)
+    remaining.coalesce(1).write.parquet(s"$dir/$GenPrefix${gen + 1}")
+    t.unpersist()
+    due.length
+  }
+
+  /** Staged rewrite of `files` minus their tombstones in `t` (which
+    * must cover exactly those files). Crash-window characteristics as
+    * documented on [[applyDeletes]]. */
+  private def rewriteFiles(spark: SparkSession, dir: String,
+                           files: Seq[String], t: DataFrame): Unit = {
     val gen = completeGens(spark, dir).lastOption.getOrElse(0)
     val staging = s"$dir/_dv_apply_tmp"
     // keep rows of one old file together (≈ preserves any clustering):
     // hash-repartition on the source file before the staged write
-    val staged = withRowId(spark.read.parquet(affected: _*))
+    val staged = withRowId(spark.read.parquet(files: _*))
       .join(broadcast(t),
         col(RFile) === col(FileCol) && col(RRow) === col(RowCol),
         "left_anti")
-      .repartition(affected.length, col(RFile))
+      .repartition(files.length, col(RFile))
       .drop(RFile, RRow)
     staged.write.mode("overwrite").parquet(staging)
     val fs = fsOf(spark, dir)
     // commit: drop the old files, then move the staged parts in under
     // fresh (generation-stamped) names
-    affected.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }
+    files.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }
     val parts = fs.listStatus(new Path(staging)).iterator
       .filter(_.isFile).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).toSeq
@@ -224,12 +306,6 @@ object DeletionVectors {
       fs.rename(p, new Path(s"$dir/applied-g$gen-${p.getName}"))
     }
     fs.delete(new Path(staging), true)
-    t.unpersist()
-    // empty next generation — the slate is clean
-    val empty = t.limit(0)
-    val next = gen + 1
-    empty.coalesce(1).write.parquet(s"$dir/$GenPrefix$next")
-    affected.length
   }
 
   /** Drop tombstones whose file no longer exists in the listing

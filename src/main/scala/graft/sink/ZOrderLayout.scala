@@ -317,7 +317,12 @@ object ZOrderLayout {
     * Result is identical to filtering the full table — the manifest
     * can only skip files whose box provably misses. The read path
     * touches: one sidecar parquet + one directory listing (both
-    * metadata-sized) + the surviving data files. */
+    * metadata-sized) + the surviving data files.
+    *
+    * NOT deletion-vector-aware: on a directory that carries DV
+    * tombstones, use [[DeletionVectors.prunedBoxScan]] — this raw scan
+    * would resurrect deleted rows (the manifest only skips files, it
+    * never subtracts rows). */
   def prunedBoxScanN(spark: SparkSession, dir: String,
                      box: Seq[(String, Column, Column)]): DataFrame = {
     val mf = manifestN(spark, dir, box.map(_._1))

@@ -26,18 +26,50 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    * outright ([PARQUET_TYPE_ILLEGAL]). Read it via the legacy
-    * nanos-as-long conf and normalize back to a microsecond-precision
-    * TimestampType so every downstream operator sees a plain timestamp
-    * (matching Spark's own ns→µs truncation everywhere else).
-    * The conf is also set at session build in Verify/Bench/tests; the
-    * set here is an idempotent safety net for driver-owned sessions
-    * that didn't — it only widens what the parquet reader ACCEPTS. */
+  /** `events.ts` has drifted across test-data generations: older data is
+    * TIMESTAMP(NANOS) parquet (which Spark 4 rejects outright,
+    * [PARQUET_TYPE_ILLEGAL], unless read via the legacy nanos-as-long
+    * conf as an int64), newer data is plain `timestamp[us]` with no UTC
+    * adjustment (which Spark loads as TIMESTAMP_NTZ). Adapt to whatever
+    * encoding the files actually carry and normalize to a single
+    * session-zone TimestampType so every downstream operator sees the
+    * same microsecond-precision timestamp either way. Sessions here run
+    * with `spark.sql.session.timeZone=UTC` (GraftSession), so the
+    * NTZ→LTZ cast is value-preserving and agrees with a naive reader
+    * (e.g. the DuckDB oracle) byte for byte.
+    * The legacy conf is set only on the retry path — i.e. only when the
+    * nanos encoding is actually present — so reading modern data leaves
+    * session state untouched. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw =
+      try table(s, d, "events")
+      catch {
+        case e: Throwable if isIllegalNanosType(e) =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          table(s, d, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long: truncate ns → µs like Spark itself does
+        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      case TimestampType => raw
+      case TimestampNTZType => raw.withColumn("ts", F.col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(s"events.ts has unsupported type $other")
+    }
+  }
+
+  /** True when the failure is Spark 4 refusing a TIMESTAMP(NANOS) parquet
+    * column — the one case where the nanos-as-long legacy conf applies. */
+  private def isIllegalNanosType(e: Throwable): Boolean = {
+    var t = e
+    while (t != null) {
+      val m = t.getMessage
+      if (m != null && (m.contains("PARQUET_TYPE_ILLEGAL") ||
+          (m.contains("Illegal Parquet type") && m.contains("NANOS")))) return true
+      t = t.getCause
+    }
+    false
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -1,0 +1,169 @@
+package graft.streaming
+
+import graft.sink.{AtomicParquetSink, DeletionVectors}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.streaming.Trigger
+
+/** The reference's full speed layer as ONE checkpointed stream —
+  * change feed → merge-on-read fact → incrementally-folded gold
+  * aggregate (pipeline/LoadBookingFact.json:5-65 composed with the
+  * gold refresh proc, synapse_table_creation.sql:56-88) — built from
+  * the two halves that already exist:
+  *
+  *   - fact apply is [[StreamMoR.applyBatch]]: tombstone the batch's
+  *     updated/deleted keys, append the fresh images — O(batch +
+  *     matched files) per micro-batch, never a table rewrite;
+  *   - gold maintenance is [[IncrementalGold.foldGold]]: per-batch
+  *     country deltas added to the stored aggregate — O(batch +
+  *     |countries|) per micro-batch, never a fact recompute.
+  *
+  * At 100 TB this composition is the point: copy-on-write fact merge
+  * pays O(table) per batch and a TRUNCATE+refresh gold pays O(fact)
+  * per batch; here a trickle batch costs what the batch touches.
+  *
+  * == Crash consistency ==
+  * Same three-phase protocol as [[IncrementalGold]] (its doc carries
+  * the full argument): per-batch deltas are STAGED durably against the
+  * pre-apply fact state (`_SUCCESS`-marked, reused verbatim on
+  * replay), the MoR apply is fenced by [[StreamMoR]]'s
+  * `_commits/<batchId>` marker, and the fold is fenced by the
+  * `_batch_id` the gold state carries — a replay from any crash point
+  * converges because each phase is idempotent and the stage pins the
+  * pre-apply view that a post-crash recompute could no longer see.
+  *
+  * == Delta semantics (op-tagged batch vs DV-aware fact view) ==
+  *   - I/U, key not visible  → users +1, value +v_new
+  *   - I/U, key visible      → users +0, value +(v_new − v_old)
+  *     (routing by PRESENCE, not by the tag — the reference's
+  *     alter-row treats the tag as advisory, the lookup decides)
+  *   - D, key visible        → users −1, value −v_old
+  *   - D, key not visible    → no delta
+  * `last_seen` folds as a running MAX and deletes do NOT retract it —
+  * the monotone-event-time assumption every streaming max makes;
+  * exact retraction would need the full per-country ts multiset.
+  *
+  * Keys that never join `userCountry` (no dimension row) contribute
+  * nothing to gold — on BOTH their insert and their delete — so the
+  * fact can carry operational rows the gold never sees, consistently.
+  */
+object StreamMorGold {
+
+  private def stagingDir(goldDir: String, batchId: Long): String =
+    s"$goldDir-staging/batch_$batchId"
+
+  /** The fact's current visible rows (DV-aware), or None before any
+    * data file exists. */
+  private def visibleFact(spark: SparkSession,
+                          tableDir: String): Option[DataFrame] = {
+    val p = new Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (hasData) Some(DeletionVectors.read(spark, tableDir)) else None
+  }
+
+  /** Bootstrap the stored gold from the CURRENT fact state (the
+    * from-scratch aggregate a fresh materialized view starts from);
+    * no-op when a gold state already exists or the fact is empty.
+    * Runs BEFORE the stream so batch deltas always fold into a state
+    * that already accounts for the pre-existing fact rows. */
+  def bootstrapGold(spark: SparkSession, tableDir: String, goldDir: String,
+                    userCountry: DataFrame): Unit = {
+    if (AtomicParquetSink.read(spark, goldDir).nonEmpty) return
+    visibleFact(spark, tableDir).foreach { fact =>
+      val gold = fact
+        .join(broadcast(userCountry), "user_id")
+        .groupBy(col("country"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("total_value"),
+          max(col("ts_s")).as("last_seen"))
+        .withColumn("_batch_id", lit(-1L))
+      AtomicParquetSink.overwrite(gold, goldDir)
+    }
+  }
+
+  /** Phase 1: durable per-user deltas of this op-tagged batch against
+    * the PRE-apply DV-aware fact view. Schema matches what
+    * [[IncrementalGold.foldGold]] folds: (user_id, ts_s, d_users,
+    * d_value). Reused verbatim on replay if already complete. */
+  def stageDeltas(batch: DataFrame, batchId: Long, tableDir: String,
+                  goldDir: String, keyCol: String,
+                  opCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    val dir = stagingDir(goldDir, batchId)
+    val marker = new Path(s"$dir/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val dec = lit(0).cast("decimal(18,2)")
+      val old = visibleFact(spark, tableDir) match {
+        case Some(f) => f.select(col(keyCol),
+          col("value").cast("decimal(18,2)").as("_old_value"))
+        case None => batch.select(col(keyCol))
+          .limit(0).withColumn("_old_value", dec)
+      }
+      // a delete's event time must NOT advance last_seen (the row is
+      // gone in a from-scratch recompute) — null it so the fold's max
+      // skips it; an update always carries its ts, value-changed or not
+      val deltas = batch
+        .join(old, Seq(keyCol), "left_outer")
+        .select(col(keyCol).as("user_id"),
+          when(col(opCol) === "D", lit(null).cast("string"))
+            .otherwise(col("ts_s")).as("ts_s"),
+          when(col(opCol) === "D",
+            when(col("_old_value").isNotNull, -1L).otherwise(0L))
+            .otherwise(when(col("_old_value").isNull, 1L).otherwise(0L))
+            .as("d_users"),
+          when(col(opCol) === "D", coalesce(-col("_old_value"), dec))
+            .otherwise(col("value").cast("decimal(18,2)")
+              - coalesce(col("_old_value"), dec))
+            .cast("decimal(18,2)").as("d_value"))
+      deltas.write.mode("overwrite").parquet(dir)
+    }
+    spark.read.parquet(dir)
+  }
+
+  /** One micro-batch: stage deltas → MoR apply → fold gold. */
+  def processBatch(batch: DataFrame, batchId: Long, tableDir: String,
+                   goldDir: String, userCountry: DataFrame,
+                   keyCol: String, opCol: String): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    try {
+      val staged = stageDeltas(b, batchId, tableDir, goldDir, keyCol, opCol)
+      StreamMoR.applyBatch(spark, tableDir, b, batchId, keyCol, opCol)
+      IncrementalGold.foldGold(spark, batchId, staged, goldDir, userCountry)
+    } finally b.unpersist()
+  }
+
+  /** Drain an op-tagged parquet change feed maintaining MoR fact AND
+    * gold in one checkpointed AvailableNow stream; returns the final
+    * gold state (country, n_users, total_value double, last_seen). */
+  def run(spark: SparkSession, feedDir: String, schema: StructType,
+          checkpointDir: String, tableDir: String, goldDir: String,
+          userCountry: DataFrame, keyCol: String = "user_id",
+          opCol: String = "op", maxFilesPerTrigger: Int = 1): DataFrame = {
+    bootstrapGold(spark, tableDir, goldDir, userCountry)
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(feedDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, tableDir, goldDir, userCountry,
+          keyCol, opCol)
+      }
+      .start()
+    q.awaitTermination()
+    AtomicParquetSink.read(spark, goldDir)
+      .getOrElse(spark.emptyDataFrame)
+      .select(col("country"), col("n_users"),
+        col("total_value").cast("double").as("total_value"),
+        col("last_seen"))
+  }
+}

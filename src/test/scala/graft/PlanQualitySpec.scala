@@ -32,12 +32,25 @@ class PlanQualitySpec extends AnyFunSuite {
     "q163_running_total", "q164_yoy_by_nation", "q165_sentence_stats")
 
   test("no sampled query plans a cartesian product") {
+    // Distinguish "the query failed analysis" (e.g. a loader broken by
+    // test-data drift) from "the query planned a cartesian product" —
+    // the failure message must name the real cause, not masquerade as
+    // a plan-shape violation (round-7 lesson).
+    val broken = scala.collection.mutable.ListBuffer.empty[String]
     lazyRelational.foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, sf)
-        .queryExecution.executedPlan.toString
+      val plan =
+        try SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        catch { case e: Throwable =>
+          broken += s"$name: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.take(3).mkString(" | ")}"
+          ""
+        }
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n$plan")
     }
+    assert(broken.isEmpty,
+      s"${broken.size} sampled queries failed before planning (NOT a plan-shape issue):\n" +
+        broken.mkString("\n"))
   }
 
   test("scan->join->agg pipelines stay inside whole-stage codegen") {
