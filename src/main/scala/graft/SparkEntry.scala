@@ -418,6 +418,13 @@ object SparkEntry {
     // merge-on-read UPDATE: tombstone matched rows + append updated
     // images (O(matched)); equals the CASE twin over the raw table
     "q199_mor_update"       -> ((s, d) => CoreQueries.morUpdateScan(s, d)),
+    // tombstones ∧ Z-order manifest: the pruned BOX scan through the
+    // deletion vectors — file skipping may not resurrect deleted rows
+    "q200_dv_box_scan"      -> ((s, d) => CoreQueries.dvBoxScan(s, d)),
+    // full MoR speed layer in one checkpointed stream: change feed →
+    // tombstone+append fact → delta-folded gold; equals q30's
+    // from-scratch batch gold over the same events
+    "q201_stream_mor_gold"  -> ((s, d) => CoreQueries.streamMorGold(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -3402,5 +3409,35 @@ object SparkEntry {
            CAST(sum(event_id) AS BIGINT) AS sum_event_id
          FROM events
          GROUP BY event_type""",
+    // manifest-pruned box scan through the deletion vectors: the box
+    // filter with the tombstoned users complemented out — file
+    // skipping must never resurrect a deleted row
+    "q200_dv_box_scan" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE user_id BETWEEN 3 AND 9
+           AND value BETWEEN 10.0 AND 300.0
+           AND user_id NOT IN (5, 7)
+         GROUP BY event_type""",
+    // streaming MoR fact + incrementally folded gold must equal the
+    // from-scratch batch gold (q30's oracle) over the same events —
+    // batch boundaries, stale base images, and ghost deletes invisible
+    "q201_stream_mor_gold" ->
+      """WITH ok AS (SELECT * FROM events
+                     WHERE NOT COALESCE(event_type = 'error', FALSE)),
+         latest AS (
+           SELECT user_id, value, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S') DESC, event_id DESC) AS rn
+           FROM ok)
+         SELECT n_name AS country, COUNT(*) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MAX(ts_s) AS last_seen
+         FROM latest JOIN customer ON user_id = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE rn = 1
+         GROUP BY n_name""",
   )
 }

@@ -2202,6 +2202,72 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** Deletion vectors ∧ Z-order manifest (q200): the composed read the
+    * round-7 audit flagged as missing — a manifest-pruned BOX scan on a
+    * DV-bearing table. The manifest can only skip files (never subtract
+    * rows), so the raw [[graft.sink.ZOrderLayout.prunedBoxScanN]] would
+    * resurrect the tombstoned users; [[graft.sink.DeletionVectors
+    * .prunedBoxScan]] prunes by the sidecar AND hides victims by the
+    * broadcast anti-join. Oracle: the plain box filter with the deleted
+    * users complemented out. Round8Spec additionally asserts files were
+    * actually skipped. */
+  def dvBoxScan(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-dvb-")
+    val dir = s"$work/events_dvb"
+    graft.sink.ZOrderLayout.zorderWriteRankedN(
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
+      Seq("user_id", "value"), dir, nFiles = 16)
+    graft.sink.DeletionVectors.deleteWhere(s, dir,
+      col("user_id").isin(5L, 7L))
+    graft.sink.DeletionVectors.prunedBoxScan(s, dir, Seq(
+        ("user_id", lit(3L), lit(9L)),
+        ("value", lit(10.0), lit(300.0))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
+  /** Full speed layer, merge-on-read (q201): change feed → MoR fact →
+    * incrementally folded gold, one checkpointed stream
+    * ([[graft.streaming.StreamMorGold]]) — the reference's change feed
+    * → fact merge → gold refresh chain with BOTH O(table)-per-batch
+    * costs replaced (copy-on-write merge → tombstone+append;
+    * TRUNCATE+refresh → delta fold). Setup: the fact starts with STALE
+    * images for odd users plus ghost rows no dimension matches; the
+    * feed inserts the even users, re-prices the odd users to their
+    * true latest images, and deletes the ghosts — ops are key-disjoint
+    * so any micro-batch split converges. The drained gold must equal
+    * q30's from-scratch batch gold over the same events. */
+  def streamMorGold(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-smg-")
+    val changes = Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("value"), col("event_type"),
+      fmtTs(col("ts")).as("ts_s"))
+    val (ok, _) = CdcOps.qualitySplit(changes, col("event_type") === "error")
+    val winners = CdcOps
+      .latestPerKey(ok, Seq("user_id"), Seq(col("ts_s"), col("event_id")))
+      .select(col("user_id"), col("value"), col("ts_s"))
+    val ghosts = winners.withColumn("user_id",
+      col("user_id") + lit(1000000000L))
+    winners.filter(col("user_id") % 2 === 1)
+      .withColumn("value", col("value") + lit(1000.0))
+      .unionByName(ghosts)
+      .repartition(4).write.parquet(s"$work/fact")
+    val feed = winners.filter(col("user_id") % 2 === 0)
+      .withColumn("op", lit("I"))
+      .unionByName(winners.filter(col("user_id") % 2 === 1)
+        .withColumn("op", lit("U")))
+      .unionByName(ghosts.withColumn("op", lit("D")))
+    feed.repartition(4).write.parquet(s"$work/feed")
+    val userCountry = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name").as("country"))
+    graft.streaming.StreamMorGold.run(s, s"$work/feed", feed.schema,
+      s"$work/checkpoint", s"$work/fact", s"$work/gold", userCountry)
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

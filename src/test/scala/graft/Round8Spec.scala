@@ -1,0 +1,194 @@
+package graft
+
+import graft.sink.{AtomicParquetSink, DeletionVectors, ZOrderLayout}
+import graft.streaming.StreamMorGold
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Specs for the round-8 additions — invariants the row oracle can't
+  * see: change-feed commit-id stability across GC, replayable
+  * pre/post-image payloads, schema-evolution tolerance, the bounded
+  * read amplification of ratio-triggered MoR compaction, the
+  * DV∧manifest box-scan composition (with actual file skipping), and
+  * the presence-routing of the streaming MoR gold deltas. */
+class Round8Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // ---- tableChanges: stable ids + payloads --------------------------
+
+  test("tableChanges commit ids survive GC and carry replayable payloads") {
+    val table = tmp("graft-cdf-") + "/t"
+    val v1 = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "name", "bal")
+    val v2 = Seq((1L, "a", 1.0), (2L, "b", 9.0), (3L, "c", 3.0))
+      .toDF("k", "name", "bal")
+    val v3 = Seq((2L, "b", 9.0), (3L, "c", 3.0)).toDF("k", "name", "bal")
+    AtomicParquetSink.overwrite(v1, table, retainVersions = 4)
+    AtomicParquetSink.overwrite(v2, table, retainVersions = 4)
+    AtomicParquetSink.overwrite(v3, table, retainVersions = 4)
+
+    val feed1 = AtomicParquetSink.tableChanges(spark, table, Seq("k"))
+      .select("k", "change", "commit_seq", "commit_version")
+      .as[(Long, String, Long, String)].collect().toSet
+    // commit ids are the version names / their embedded millis
+    val vs = AtomicParquetSink.versions(spark, table)
+    assert(feed1.map(_._4).subsetOf(vs.toSet.drop(0) - vs.head))
+    val v2tov3Seq = feed1.find(_._1 == 1L).map(_._3).get // k=1 deleted v2→v3
+
+    // payloads: update carries both images, insert only _new, delete only _old
+    val upd = AtomicParquetSink.tableChanges(spark, table, Seq("k"))
+      .filter(col("change") === "update")
+      .select(col("_old.bal"), col("_new.bal")).as[(Double, Double)]
+      .collect().toSeq
+    assert(upd == Seq((2.0, 9.0)))
+    val byChange = AtomicParquetSink.tableChanges(spark, table, Seq("k"))
+      .select(col("change"), col("_old").isNull, col("_new").isNull)
+      .as[(String, Boolean, Boolean)].collect().toSet
+    assert(byChange == Set(("update", false, false),
+      ("insert", true, false), ("delete", false, true)))
+
+    // GC: commit v4 with retention 3 → v1 drops; surviving pairs keep
+    // their ORIGINAL commit_seq (a positional index would renumber)
+    val v4 = Seq((2L, "b", 9.0), (3L, "c", 3.0), (4L, "d", 4.0))
+      .toDF("k", "name", "bal")
+    AtomicParquetSink.overwrite(v4, table, retainVersions = 3)
+    val feed2 = AtomicParquetSink.tableChanges(spark, table, Seq("k"))
+      .select("k", "change", "commit_seq")
+      .as[(Long, String, Long)].collect().toSet
+    assert(feed2.find(_._1 == 1L).map(_._3).contains(v2tov3Seq),
+      s"commit id for the v2→v3 delete changed after GC: $feed2")
+    // commit ids strictly increase with history order
+    val seqs = AtomicParquetSink.tableChanges(spark, table, Seq("k"))
+      .select("commit_seq").distinct().as[Long].collect().sorted
+    assert(seqs.length == 2 && seqs(0) < seqs(1))
+  }
+
+  test("tableChanges spans only the schema-consistent suffix") {
+    val table = tmp("graft-cdfs-") + "/t"
+    AtomicParquetSink.overwrite(
+      Seq((1L, "a")).toDF("k", "name"), table, retainVersions = 5)
+    // schema change: add a column — the pre-change pair is skipped
+    AtomicParquetSink.overwrite(
+      Seq((1L, "a", 0.0)).toDF("k", "name", "bal"), table,
+      retainVersions = 5)
+    AtomicParquetSink.overwrite(
+      Seq((1L, "a", 5.0), (2L, "b", 1.0)).toDF("k", "name", "bal"), table,
+      retainVersions = 5)
+    val feed = AtomicParquetSink.tableChanges(spark, table, Seq("k"))
+      .select("k", "change").as[(Long, String)].collect().toSet
+    assert(feed == Set((1L, "update"), (2L, "insert")),
+      s"expected only the post-evolution pair, got $feed")
+  }
+
+  // ---- ratio-triggered MoR compaction -------------------------------
+
+  test("compactIfNeeded bounds live tombstones under a long MoR stream") {
+    val dir = tmp("graft-morc-") + "/t"
+    val ratio = 0.3
+    val base = (1L to 400L).map(k => (k, k * 10.0)).toDF("k", "v")
+    base.repartition(4).write.parquet(dir)
+    // 8 micro-batches, each re-pricing a disjoint 40-key slice; compact
+    // with the ratio trigger after every batch
+    for (b <- 0 until 8) {
+      val keys = (1L + b * 40L) to (40L + b * 40L)
+      val batch = keys.map(k => (k, k * 10.0 + 1.0)).toDF("k", "v")
+      DeletionVectors.upsertMoR(spark, dir, batch, "k")
+      DeletionVectors.compactIfNeeded(spark, dir, ratio)
+      // invariant: every live tombstone's file is below the threshold
+      DeletionVectors.currentTombstones(spark, dir).foreach { t =>
+        val perFile = t.groupBy("file").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+        perFile.foreach { case (f, n) =>
+          val rows = spark.read.parquet(f).count()
+          assert(rows == 0 || n.toDouble / rows < ratio,
+            s"batch $b left file $f at delete ratio ${n.toDouble / rows}")
+        }
+      }
+    }
+    // value-neutrality: the DV read equals the expected final state
+    val got = DeletionVectors.read(spark, dir)
+      .as[(Long, Double)].collect().toMap
+    val want = (1L to 400L).map(k =>
+      k -> (if (k <= 320L) k * 10.0 + 1.0 else k * 10.0)).toMap
+    assert(got == want)
+  }
+
+  test("compactIfNeeded is a no-op below the threshold") {
+    val dir = tmp("graft-morn-") + "/t"
+    (1L to 100L).map(k => (k, k.toString)).toDF("k", "s")
+      .coalesce(1).write.parquet(dir)
+    // 2 of 100 rows tombstoned — under a 10% trigger nothing rewrites
+    DeletionVectors.deleteByKeys(spark, dir, "k", Seq(lit(3L), lit(9L)))
+    assert(DeletionVectors.compactIfNeeded(spark, dir, 0.1) == 0)
+    assert(DeletionVectors.currentTombstones(spark, dir).get.count() == 2)
+    // but a 1% trigger rewrites the file and clears the slate
+    assert(DeletionVectors.compactIfNeeded(spark, dir, 0.01) == 1)
+    assert(DeletionVectors.currentTombstones(spark, dir)
+      .map(_.count()).getOrElse(0L) == 0L)
+    assert(DeletionVectors.read(spark, dir).count() == 98)
+  }
+
+  // ---- DV ∧ Z-order manifest box scan -------------------------------
+
+  test("prunedBoxScan hides deleted rows AND actually skips files") {
+    val dir = tmp("graft-dvz-") + "/t"
+    val n = 4096
+    val df = (0 until n).map { i =>
+      (i.toLong, (i % 64).toLong, (i % 97).toDouble, s"p$i")
+    }.toDF("id", "a", "b", "payload")
+    ZOrderLayout.zorderWriteRankedN(df, Seq("a", "b"), dir, nFiles = 16)
+    DeletionVectors.deleteWhere(spark, dir,
+      col("a") === 5L && col("b") < 50.0)
+    val box = Seq(
+      ("a", lit(0L), lit(7L)),
+      ("b", lit(0.0), lit(96.0)))
+    val got = DeletionVectors.prunedBoxScan(spark, dir, box)
+      .select("id").as[Long].collect().toSet
+    val want = df.filter(col("a").between(0, 7) && col("b").between(0, 96)
+        && !(col("a") === 5L && col("b") < 50.0))
+      .select("id").as[Long].collect().toSet
+    assert(got == want, "box scan through DVs diverged from the oracle")
+    // raw box scan (no DV) WOULD resurrect the victims — proves the
+    // composition is load-bearing, not vacuous
+    val raw = ZOrderLayout.prunedBoxScanN(spark, dir, box)
+      .select("id").as[Long].collect().toSet
+    assert(raw != want && (raw -- want).nonEmpty)
+    // and the narrow box genuinely skipped files
+    val mf = ZOrderLayout.manifestN(spark, dir, Seq("a", "b"))
+    val surviving = ZOrderLayout.survivingFilesN(mf, box)
+    assert(surviving.size < 16,
+      s"narrow box read all ${surviving.size} files — no skipping")
+  }
+
+  // ---- streaming MoR gold: delta routing ----------------------------
+
+  test("stageDeltas routes by presence, not by the op tag") {
+    val work = tmp("graft-smgd-")
+    val fact = s"$work/fact"
+    Seq((1L, 10.0, "2024-01-01 00:00:00"))
+      .toDF("user_id", "value", "ts_s").write.parquet(fact)
+    // I on an existing key must route as an update (delta = new − old),
+    // U on a missing key as an insert, D on a missing key as a no-op
+    val batch = Seq(
+      (1L, 25.0, "2024-01-02 00:00:00", "I"),
+      (2L, 7.0, "2024-01-02 00:00:00", "U"),
+      (3L, 99.0, "2024-01-02 00:00:00", "D"))
+      .toDF("user_id", "value", "ts_s", "op")
+    val deltas = StreamMorGold
+      .stageDeltas(batch, 0L, fact, s"$work/gold", "user_id", "op")
+      .select("user_id", "d_users", "d_value")
+      .as[(Long, Long, java.math.BigDecimal)].collect()
+      .map(t => (t._1, t._2, t._3.doubleValue)).toSet
+    assert(deltas == Set((1L, 0L, 15.0), (2L, 1L, 7.0), (3L, 0L, 0.0)))
+    // the delete's ts is nulled so it can never advance last_seen
+    val dTs = StreamMorGold
+      .stageDeltas(batch, 0L, fact, s"$work/gold", "user_id", "op")
+      .filter(col("user_id") === 3L).select("ts_s")
+      .collect().head.isNullAt(0)
+    assert(dTs)
+  }
+}
