@@ -425,6 +425,12 @@ object SparkEntry {
     // tombstone+append fact → delta-folded gold; equals q30's
     // from-scratch batch gold over the same events
     "q201_stream_mor_gold"  -> ((s, d) => CoreQueries.streamMorGold(s, d)),
+    // Delta-CDF-shaped change feed: adjacent-snapshot diffs with
+    // stable commit ids and pre/post-image payloads, oracle-checked
+    "q202_table_changes"    -> ((s, d) => CoreQueries.tableChangesScan(s, d)),
+    // manifest ∧ bloom ∧ tombstones: the composite-pruned scan through
+    // the deletion vectors — double skipping may not resurrect deletes
+    "q203_composite_dv"     -> ((s, d) => CoreQueries.compositeDvScan(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -3439,5 +3445,31 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          WHERE rn = 1
          GROUP BY n_name""",
+    // change feed between two derived snapshots: FULL OUTER of the two
+    // version predicates reconstructs insert/update/delete with the
+    // pre/post payloads; value-unchanged keys must not appear
+    "q202_table_changes" ->
+      """WITH base AS (
+           SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+           FROM events GROUP BY user_id),
+         v1 AS (SELECT * FROM base WHERE user_id % 5 <> 4),
+         v2 AS (SELECT user_id,
+                  CASE WHEN user_id % 2 = 0 THEN v + 100.0 ELSE v END AS v
+                FROM base WHERE user_id % 5 <> 0)
+         SELECT COALESCE(v1.user_id, v2.user_id) AS user_id,
+           CASE WHEN v1.user_id IS NULL THEN 'insert'
+                WHEN v2.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change,
+           v1.v AS old_v, v2.v AS new_v
+         FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+         WHERE v1.user_id IS NULL OR v2.user_id IS NULL OR v1.v <> v2.v""",
+    // composite box+id prune through the tombstones: event 502 is
+    // DV-deleted, so the probe surfaces only the other ids
+    "q203_composite_dv" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events
+         WHERE user_id BETWEEN 0 AND 100 AND value BETWEEN 0.0 AND 250.0
+           AND event_id IN (11, 1003, 4444, 7777)""",
   )
 }

@@ -2268,6 +2268,53 @@ object CoreQueries {
       s"$work/checkpoint", s"$work/fact", s"$work/gold", userCountry)
   }
 
+  /** Change data feed (q202): the atomic sink's `tableChanges` under
+    * the row oracle for the first time — two snapshots derived
+    * deterministically from `events` (per-user value totals; v2 drops
+    * the `%5==0` users, adds the `%5==4` users, re-prices the evens),
+    * and the feed must classify exactly the inserted/deleted/changed
+    * keys with their pre/post-image payloads; unchanged odd users
+    * must NOT appear. The oracle reconstructs the same classification
+    * with a FULL OUTER self-join of the two version predicates. */
+  def tableChangesScan(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-cdfq-")
+    val table = s"$work/t"
+    val base = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(moneySum(col("value")).as("v"))
+    val v1 = base.filter(col("user_id") % 5 =!= 4)
+    val v2 = base.filter(col("user_id") % 5 =!= 0)
+      .withColumn("v",
+        when(col("user_id") % 2 === 0, col("v") + lit(100.0))
+          .otherwise(col("v")))
+    graft.sink.AtomicParquetSink.overwrite(v1, table, retainVersions = 4)
+    graft.sink.AtomicParquetSink.overwrite(v2, table, retainVersions = 4)
+    graft.sink.AtomicParquetSink.tableChanges(s, table, Seq("user_id"))
+      .select(col("user_id"), col("change"),
+        col("_old.v").as("old_v"), col("_new.v").as("new_v"))
+  }
+
+  /** Composite skipping ∧ deletion vectors (q203): q191's "these ids,
+    * inside this box" double-sidecar prune on a table that ALSO
+    * carries tombstones — the intersection prune picks files, the
+    * anti-join hides the deleted id, the exact predicates close. A
+    * read that skipped the DV join would resurrect event 502. */
+  def compositeDvScan(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-cdv-")
+    val dir = s"$work/events_cdv"
+    graft.sink.ZOrderLayout.zorderWriteRankedN(
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
+      Seq("user_id", "value"), dir, nFiles = 16, buckets = 32)
+    graft.sink.BloomSkipIndex.writeBloomSidecar(s, dir, "event_id")
+    graft.sink.DeletionVectors.deleteByKeys(
+      s, dir, "event_id", Seq(lit(502L)))
+    graft.sink.DeletionVectors.prunedCompositeScan(s, dir,
+        Seq(("user_id", lit(0L), lit(100L)), ("value", lit(0.0), lit(250.0))),
+        "event_id",
+        Seq(lit(11L), lit(502L), lit(1003L), lit(4444L), lit(7777L)))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

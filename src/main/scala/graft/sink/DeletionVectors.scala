@@ -206,6 +206,29 @@ object DeletionVectors {
       }.reduce(_ && _))
   }
 
+  /** Composite-pruned scan ("these keys, inside this box") THROUGH
+    * the deletion vectors: [[CompositeSkip.survivingFiles]]'s
+    * manifest∧bloom intersection picks the files, the tombstone
+    * anti-join hides deleted rows, then the exact predicates apply.
+    * Same composition rule as [[prunedPointScan]]/[[prunedBoxScan]]:
+    * sidecar pruning is file-subtractive only, never row-subtractive,
+    * so every read of a DV'd directory flows through this module. */
+  def prunedCompositeScan(spark: SparkSession, dir: String,
+                          box: Seq[(String, Column, Column)],
+                          keyCol: String,
+                          values: Seq[Column]): DataFrame = {
+    require(box.nonEmpty && values.nonEmpty, "empty box or probe set")
+    val files = CompositeSkip.survivingFiles(spark, dir, box, keyCol, values)
+    val src =
+      if (files.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(files: _*)
+    minusTombstones(spark, dir, src)
+      .filter(box.map { case (d, lo, hi) =>
+        col(d) >= lo && col(d) <= hi
+      }.reduce(_ && _))
+      .filter(values.map(col(keyCol) === _).reduce(_ || _))
+  }
+
   /** Compact deletes into the data: rewrite ONLY the tombstoned files
     * (read → anti-join → staged write → swap in), leaving untouched
     * files alone, then commit an EMPTY tombstone generation. Returns

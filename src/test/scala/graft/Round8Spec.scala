@@ -164,6 +164,27 @@ class Round8Spec extends AnyFunSuite {
       s"narrow box read all ${surviving.size} files — no skipping")
   }
 
+  test("prunedCompositeScan hides deleted rows behind the double prune") {
+    import graft.sink.{BloomSkipIndex, CompositeSkip}
+    val dir = tmp("graft-cdvz-") + "/t"
+    val df = (0 until 2048).map { i =>
+      (i.toLong, (i % 32).toLong, (i % 53).toDouble)
+    }.toDF("id", "a", "b")
+    ZOrderLayout.zorderWriteRankedN(df, Seq("a", "b"), dir, nFiles = 8)
+    BloomSkipIndex.writeBloomSidecar(spark, dir, "id")
+    DeletionVectors.deleteByKeys(spark, dir, "id", Seq(lit(100L)))
+    val box = Seq(("a", lit(0L), lit(31L)), ("b", lit(0.0), lit(52.0)))
+    val probes = Seq(lit(100L), lit(200L), lit(300L))
+    val got = DeletionVectors
+      .prunedCompositeScan(spark, dir, box, "id", probes)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(200L, 300L), s"expected 100 hidden, got $got")
+    // the raw composite scan resurrects the victim
+    val raw = CompositeSkip.prunedScan(spark, dir, box, "id", probes)
+      .select("id").as[Long].collect().toSet
+    assert(raw == Set(100L, 200L, 300L))
+  }
+
   // ---- streaming MoR gold: delta routing ----------------------------
 
   test("stageDeltas routes by presence, not by the op tag") {
