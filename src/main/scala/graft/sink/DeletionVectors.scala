@@ -76,6 +76,28 @@ object DeletionVectors {
       Sidecars.readRaw(spark, dir, s"$GenPrefix$g", Seq(FileCol, RowCol))
     }
 
+  /** Commit `df` as the next tombstone generation, then GC every
+    * generation older than the immediately-previous one (kept as a
+    * grace copy for a reader that resolved it just before this
+    * commit). Without the GC a long CDC stream accumulates one
+    * directory per micro-batch forever — the listing cost would grow
+    * without bound even though only the newest generation is ever
+    * read. Deleting strictly-older generations is safe under the
+    * module's single-writer contract: the new generation holds the
+    * FULL accumulated set, so no reader ever needs an older one for
+    * correctness. */
+  private def commitGen(spark: SparkSession, dir: String,
+                        df: DataFrame): Unit = {
+    val prev = completeGens(spark, dir)
+    val gen = prev.lastOption.getOrElse(0) + 1
+    // tombstones are metadata-sized: one part file keeps the
+    // generation listing O(1)
+    df.coalesce(1).write.parquet(s"$dir/$GenPrefix$gen")
+    val fs = fsOf(spark, dir)
+    prev.dropRight(1).foreach(g =>
+      fs.delete(new Path(s"$dir/$GenPrefix$g"), true))
+  }
+
   /** Accumulate `newTombs` into the next generation (full set = old ∪
     * new, deduplicated); returns the number of NEWLY tombstoned rows.
     * The write is committed by `_SUCCESS` — torn attempts are invisible
@@ -88,12 +110,7 @@ object DeletionVectors {
       .select(col(FileCol), col(RowCol)).distinct()
       .persist()
     val n = all.count()
-    if (n > prevN) {
-      val gen = completeGens(spark, dir).lastOption.getOrElse(0) + 1
-      // tombstones are metadata-sized: one part file keeps the
-      // generation listing O(1)
-      all.coalesce(1).write.parquet(s"$dir/$GenPrefix$gen")
-    }
+    if (n > prevN) commitGen(spark, dir, all)
     all.unpersist()
     n - prevN
   }
@@ -252,8 +269,7 @@ object DeletionVectors {
     rewriteFiles(spark, dir, affected.toSeq, t)
     t.unpersist()
     // empty next generation — the slate is clean
-    val gen = completeGens(spark, dir).lastOption.getOrElse(0)
-    t.limit(0).coalesce(1).write.parquet(s"$dir/$GenPrefix${gen + 1}")
+    commitGen(spark, dir, t.limit(0))
     affected.length
   }
 
@@ -295,9 +311,7 @@ object DeletionVectors {
     if (due.isEmpty) { t.unpersist(); return 0 }
     rewriteFiles(spark, dir, due, t.filter(col(FileCol).isInCollection(due)))
     // carry forward tombstones of files we did NOT rewrite
-    val remaining = t.filter(!col(FileCol).isInCollection(due))
-    val gen = completeGens(spark, dir).lastOption.getOrElse(0)
-    remaining.coalesce(1).write.parquet(s"$dir/$GenPrefix${gen + 1}")
+    commitGen(spark, dir, t.filter(!col(FileCol).isInCollection(due)))
     t.unpersist()
     due.length
   }

@@ -185,7 +185,56 @@ class Round8Spec extends AnyFunSuite {
     assert(raw == Set(100L, 200L, 300L))
   }
 
+  test("tombstone generations are GC'd, not accumulated, under a long stream") {
+    val dir = tmp("graft-dvgc-") + "/t"
+    (1L to 200L).map(k => (k, k.toString)).toDF("k", "s")
+      .repartition(2).write.parquet(dir)
+    for (b <- 0 until 6)
+      DeletionVectors.deleteByKeys(spark, dir, "k",
+        Seq(lit(1L + b * 3L), lit(2L + b * 3L)))
+    // 6 generations committed; only the newest + one grace survive
+    val gens = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_dv_g"))
+    assert(gens.length == 2,
+      s"expected newest+grace generations, found ${gens.map(_.getName).toSeq.sorted}")
+    // and the accumulated set is intact: all 12 victims stay hidden
+    assert(DeletionVectors.read(spark, dir).count() == 188)
+  }
+
   // ---- streaming MoR gold: delta routing ----------------------------
+
+  test("streaming MoR gold batch replay is a structural no-op") {
+    val work = tmp("graft-smgr-")
+    val fact = s"$work/fact"
+    val gold = s"$work/gold"
+    Seq((1L, 10.0, "2024-01-01 00:00:00"), (2L, 20.0, "2024-01-01 00:00:00"))
+      .toDF("user_id", "value", "ts_s").write.parquet(fact)
+    val userCountry = Seq((1L, "A"), (2L, "A"), (3L, "B"))
+      .toDF("user_id", "country")
+    StreamMorGold.bootstrapGold(spark, fact, gold, userCountry)
+    val batch = Seq(
+      (2L, 25.0, "2024-01-02 00:00:00", "U"),
+      (3L, 7.0, "2024-01-02 00:00:00", "I"))
+      .toDF("user_id", "value", "ts_s", "op")
+    StreamMorGold.processBatch(batch, 0L, fact, gold, userCountry,
+      "user_id", "op")
+    def snap() = (
+      DeletionVectors.read(spark, fact)
+        .as[(Long, Double, String)].collect().toSet,
+      AtomicParquetSink.read(spark, gold).get
+        .select("country", "n_users", "total_value")
+        .as[(String, Long, java.math.BigDecimal)].collect()
+        .map(t => (t._1, t._2, t._3.doubleValue)).toSet)
+    val (fact1, gold1) = snap()
+    assert(fact1 == Set((1L, 10.0, "2024-01-01 00:00:00"),
+      (2L, 25.0, "2024-01-02 00:00:00"), (3L, 7.0, "2024-01-02 00:00:00")))
+    assert(gold1 == Set(("A", 2L, 35.0), ("B", 1L, 7.0)))
+    // a redelivered batch (same id) must change NOTHING — the stage is
+    // reused, the apply is marker-fenced, the fold is batch-id-fenced
+    StreamMorGold.processBatch(batch, 0L, fact, gold, userCountry,
+      "user_id", "op")
+    assert(snap() == ((fact1, gold1)))
+  }
 
   test("stageDeltas routes by presence, not by the op tag") {
     val work = tmp("graft-smgd-")
