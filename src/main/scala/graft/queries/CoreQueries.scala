@@ -2217,7 +2217,11 @@ object CoreQueries {
     graft.sink.ZOrderLayout.zorderWriteRankedN(
       Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
       Seq("user_id", "value"), dir, nFiles = 16)
-    graft.sink.DeletionVectors.deleteWhere(s, dir,
+    // manifest-pruned locate: the victims' user_id range bounds the
+    // box, so only intersecting files are scanned to find them
+    graft.sink.DeletionVectors.deleteWhereInBox(s, dir,
+      Seq(("user_id", lit(5L), lit(7L)),
+        ("value", lit(Double.MinValue), lit(Double.MaxValue))),
       col("user_id").isin(5L, 7L))
     graft.sink.DeletionVectors.prunedBoxScan(s, dir, Seq(
         ("user_id", lit(3L), lit(9L)),

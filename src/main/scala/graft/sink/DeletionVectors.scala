@@ -126,6 +126,30 @@ object DeletionVectors {
     writeNextGen(spark, dir, victims)
   }
 
+  /** DELETE WHERE `cond`, locating victims only inside the files whose
+    * manifest box intersects `box` — the range-predicate twin of
+    * [[deleteByKeys]]'s bloom-pruned locate: on a Z-ordered table the
+    * locate cost is O(intersecting files), not O(table). `cond` MUST
+    * imply the box (rows matching `cond` outside it would survive);
+    * the box only SKIPS files, so any cond⊆box is exact. Falls back
+    * to the full locate scan when no fresh manifest exists. */
+  def deleteWhereInBox(spark: SparkSession, dir: String,
+                       box: Seq[(String, Column, Column)],
+                       cond: Column): Long = {
+    require(box.nonEmpty, "empty box")
+    val files = scala.util.Try(ZOrderLayout.survivingFilesN(
+      ZOrderLayout.manifestN(spark, dir, box.map(_._1)), box)).toOption
+    val src = files match {
+      case Some(fs) if fs.isEmpty => return 0L // no file intersects
+      case Some(fs) => spark.read.parquet(fs: _*)
+      case None     => spark.read.parquet(dir)
+    }
+    val victims = withRowId(src)
+      .filter(coalesce(cond, lit(false)))
+      .select(col(RFile).as(FileCol), col(RRow).as(RowCol))
+    writeNextGen(spark, dir, victims)
+  }
+
   /** DELETE by key values, locating victims through the
     * `_bloom_<keyCol>` sidecar when present: only may-contain files are
     * scanned, so the locate cost is O(matched files), not O(table) —

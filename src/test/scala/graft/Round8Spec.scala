@@ -185,6 +185,24 @@ class Round8Spec extends AnyFunSuite {
     assert(raw == Set(100L, 200L, 300L))
   }
 
+  test("deleteWhereInBox equals the full-scan delete, tombstone for tombstone") {
+    val df = (0 until 1024).map { i =>
+      (i.toLong, (i % 16).toLong, (i % 31).toDouble)
+    }.toDF("id", "a", "b")
+    val cond = col("a") === 9L && col("b") >= 10.0
+    val box = Seq(("a", lit(9L), lit(9L)),
+      ("b", lit(10.0), lit(Double.MaxValue)))
+    val full = tmp("graft-dwf-") + "/t"
+    val pruned = tmp("graft-dwp-") + "/t"
+    ZOrderLayout.zorderWriteRankedN(df, Seq("a", "b"), full, nFiles = 8)
+    ZOrderLayout.zorderWriteRankedN(df, Seq("a", "b"), pruned, nFiles = 8)
+    val nFull = DeletionVectors.deleteWhere(spark, full, cond)
+    val nPruned = DeletionVectors.deleteWhereInBox(spark, pruned, box, cond)
+    assert(nFull == nPruned && nFull > 0)
+    assert(DeletionVectors.read(spark, full).select("id").as[Long].collect().toSet
+      == DeletionVectors.read(spark, pruned).select("id").as[Long].collect().toSet)
+  }
+
   test("tombstone generations are GC'd, not accumulated, under a long stream") {
     val dir = tmp("graft-dvgc-") + "/t"
     (1L to 200L).map(k => (k, k.toString)).toDF("k", "s")
