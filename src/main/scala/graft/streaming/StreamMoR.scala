@@ -87,12 +87,23 @@ object StreamMoR {
   /** Drain an op-tagged parquet change feed into the MoR table:
     * checkpointed, AvailableNow — the reference's
     * drain-now-resume-later CDC trigger. Read the result through
-    * [[DeletionVectors.read]]; compact with
-    * [[DeletionVectors.applyDeletes]] between drains. */
+    * [[DeletionVectors.read]].
+    *
+    * `compactRatio` (0 disables) runs the ratio-triggered
+    * [[DeletionVectors.compactIfNeeded]] after each batch — the
+    * Hudi-style inline compaction that keeps a LONG stream's read
+    * amplification bounded without ever paying a full-table rewrite:
+    * only files whose tombstoned fraction crossed the threshold are
+    * rewritten, between batches (never under one). Running it
+    * between batches is safe: it goes through the DV API, so
+    * tombstones of rewritten files are retired with the rewrite and
+    * row identities stay consistent; a crash inside the compaction
+    * replays the batch into a table that is value-identical. */
   def run(spark: SparkSession, feedDir: String, schema: StructType,
           checkpointDir: String, tableDir: String,
           keyCol: String, opCol: String = "op",
-          maxFilesPerTrigger: Int = 1): Unit = {
+          maxFilesPerTrigger: Int = 1,
+          compactRatio: Double = 0.0): Unit = {
     val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -102,6 +113,10 @@ object StreamMoR {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(spark, tableDir, batch, batchId, keyCol, opCol)
+        if (compactRatio > 0) {
+          DeletionVectors.compactIfNeeded(spark, tableDir, compactRatio)
+          ()
+        }
       }
       .start()
     q.awaitTermination()

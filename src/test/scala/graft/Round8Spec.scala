@@ -219,6 +219,48 @@ class Round8Spec extends AnyFunSuite {
     assert(DeletionVectors.read(spark, dir).count() == 188)
   }
 
+  test("streaming MoR drain with inline compaction is value-identical") {
+    import graft.streaming.StreamMoR
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType),
+      StructField("op", StringType)))
+    def drain(compactRatio: Double): Set[(Long, Double)] = {
+      val work = tmp("graft-smc-")
+      (1L to 300L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .repartition(3).write.parquet(s"$work/table")
+      // 4 feed files, key-disjoint ops: update 1..150, delete 151..200
+      Seq(
+        (1L to 75L).map(k => (k, k + 0.5, "U")),
+        (76L to 150L).map(k => (k, k + 0.5, "U")),
+        (151L to 200L).map(k => (k, 0.0, "D")),
+        (201L to 220L).map(k => (k + 1000L, k * 2.0, "I"))
+      ).zipWithIndex.foreach { case (rows, i) =>
+        rows.toDF("k", "v", "op").coalesce(1)
+          .write.mode("append").parquet(s"$work/feed")
+      }
+      StreamMoR.run(spark, s"$work/feed", schema, s"$work/ckpt",
+        s"$work/table", "k", "op", compactRatio = compactRatio)
+      if (compactRatio > 0) {
+        // the compaction actually fired: live tombstones stay bounded
+        DeletionVectors.currentTombstones(spark, s"$work/table").foreach { t =>
+          t.groupBy("file").count().collect().foreach { r =>
+            val rows = spark.read.parquet(r.getString(0)).count()
+            assert(rows == 0 ||
+              r.getLong(1).toDouble / rows < compactRatio,
+              s"file ${r.getString(0)} over the compaction threshold")
+          }
+        }
+      }
+      DeletionVectors.read(spark, s"$work/table")
+        .as[(Long, Double)].collect().toSet
+    }
+    val plain = drain(0.0)
+    val compacted = drain(0.3)
+    assert(plain == compacted, "inline compaction changed the table value")
+    assert(plain.size == 300 - 50 + 20)
+  }
+
   // ---- streaming MoR gold: delta routing ----------------------------
 
   test("streaming MoR gold batch replay is a structural no-op") {
