@@ -241,6 +241,37 @@ object AtomicParquetSink {
     }.reduce(_.unionByName(_))
   }
 
+  /** The incremental-consumer read over [[tableChanges]]: only commits
+    * STRICTLY AFTER `sinceSeq` (the consumer's checkpointed last-seen
+    * `commit_seq`; pass -1 for everything retained). This is the loop
+    * the stable commit ids exist for — checkpoint `max(commit_seq)` of
+    * what you processed, pass it back next poll, and retention GC
+    * between polls cannot skip or replay commits (a positional index
+    * would renumber under you). Diffs of at-or-before-`sinceSeq` pairs
+    * are pruned BEFORE their joins run, so a caught-up consumer pays
+    * only the metadata listing. */
+  def tableChangesSince(spark: SparkSession, table: String,
+                        keyCols: Seq[String], sinceSeq: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions(spark, table)
+    require(vs.size >= 2,
+      s"$table has ${vs.size} retained version(s); need >= 2 for a change feed")
+    val colsOf = vs.map(v =>
+      v -> readVersion(spark, table, v).columns.toSet).toMap
+    val newestCols = colsOf(vs.last)
+    val suffix = vs.reverse.takeWhile(colsOf(_) == newestCols).reverse
+    val fresh = suffix.sliding(2)
+      .filter(pair => pair.last.substring(2, 22).toLong > sinceSeq)
+      .map { pair =>
+        diffFull(spark, table, pair.head, pair.last, keyCols)
+          .withColumn("commit_seq", lit(pair.last.substring(2, 22).toLong))
+          .withColumn("commit_version", lit(pair.last))
+      }.toSeq
+    if (fresh.isEmpty)
+      tableChanges(spark, table, keyCols).limit(0) // caught up: empty, same schema
+    else fresh.reduce(_.unionByName(_))
+  }
+
   /** Atomically replace the table contents: write a fresh version dir,
     * rename a pointer tempfile over `_current`, then GC old versions.
     * `retainVersions` is the time-travel retention window: how many

@@ -145,7 +145,8 @@ object StreamMorGold {
   def run(spark: SparkSession, feedDir: String, schema: StructType,
           checkpointDir: String, tableDir: String, goldDir: String,
           userCountry: DataFrame, keyCol: String = "user_id",
-          opCol: String = "op", maxFilesPerTrigger: Int = 1): DataFrame = {
+          opCol: String = "op", maxFilesPerTrigger: Int = 1,
+          compactRatio: Double = 0.0): DataFrame = {
     bootstrapGold(spark, tableDir, goldDir, userCountry)
     val q = spark.readStream
       .schema(schema)
@@ -157,6 +158,14 @@ object StreamMorGold {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, tableDir, goldDir, userCountry,
           keyCol, opCol)
+        // inline MoR compaction AFTER the fold (same rationale and
+        // safety argument as StreamMoR.run's compactRatio): the next
+        // batch's delta stage reads through DeletionVectors.read, so
+        // a rewrite between batches is value-invisible to it
+        if (compactRatio > 0) {
+          DeletionVectors.compactIfNeeded(spark, tableDir, compactRatio)
+          ()
+        }
       }
       .start()
     q.awaitTermination()

@@ -67,6 +67,33 @@ class Round8Spec extends AnyFunSuite {
     assert(seqs.length == 2 && seqs(0) < seqs(1))
   }
 
+  test("tableChangesSince resumes from a checkpointed commit across GC") {
+    val table = tmp("graft-cdfi-") + "/t"
+    def ver(rows: Seq[(Long, Double)], retain: Int) =
+      AtomicParquetSink.overwrite(rows.toDF("k", "v"), table, retain)
+    ver(Seq((1L, 1.0)), 4)
+    ver(Seq((1L, 1.0), (2L, 2.0)), 4)
+    ver(Seq((1L, 9.0), (2L, 2.0)), 4)
+    // consumer processes everything retained, checkpoints max seq
+    val all = AtomicParquetSink.tableChangesSince(spark, table, Seq("k"), -1L)
+      .select("k", "change", "commit_seq").as[(Long, String, Long)]
+      .collect()
+    assert(all.map(t => (t._1, t._2)).toSet ==
+      Set((2L, "insert"), (1L, "update")))
+    val ckpt = all.map(_._3).max
+    // caught up: empty result, schema intact
+    val empty = AtomicParquetSink.tableChangesSince(spark, table, Seq("k"), ckpt)
+    assert(empty.count() == 0 && empty.columns.contains("commit_seq"))
+    // new commit with tighter retention GCs v1; the resumed read sees
+    // EXACTLY the one new commit — no skip, no replay
+    ver(Seq((1L, 9.0), (2L, 2.0), (3L, 3.0)), 3)
+    val next = AtomicParquetSink.tableChangesSince(spark, table, Seq("k"), ckpt)
+      .select("k", "change", "commit_seq").as[(Long, String, Long)]
+      .collect()
+    assert(next.map(t => (t._1, t._2)).toSeq == Seq((3L, "insert")))
+    assert(next.head._3 > ckpt)
+  }
+
   test("tableChanges spans only the schema-consistent suffix") {
     val table = tmp("graft-cdfs-") + "/t"
     AtomicParquetSink.overwrite(
