@@ -60,9 +60,20 @@ object StreamMoR {
 
     val ops = batch.persist()
     try {
-      val bad = ops.filter(!col(opCol).isin("I", "U", "D")).count()
+      // ONE aggregation job for every batch-contract check and routing
+      // count (separate count()/distinct()/isEmpty actions here cost
+      // ~5 jobs per micro-batch — pure trigger overhead at any scale)
+      val stats = ops.agg(
+        count(lit(1)),
+        count(when(!col(opCol).isin("I", "U", "D"), 1)),
+        countDistinct(col(keyCol)),
+        count(when(col(opCol).isin("U", "D"), 1)),
+        count(when(col(opCol).isin("I", "U"), 1))).head()
+      val (n, bad, nKeys, nTouched, nFresh) =
+        (stats.getLong(0), stats.getLong(1), stats.getLong(2),
+          stats.getLong(3), stats.getLong(4))
       require(bad == 0, s"applyBatch: $bad rows carry an unknown $opCol op")
-      require(ops.count() == ops.select(keyCol).distinct().count(),
+      require(n == nKeys,
         s"applyBatch: batch is not unique on $keyCol " +
           "(fold to latest-per-key upstream)")
 
@@ -71,13 +82,13 @@ object StreamMoR {
           s.isFile && s.getPath.getName.endsWith(".parquet"))
       // tombstone every visible row of the batch's updated/deleted
       // keys (covers images appended by earlier batches)
-      val touched = ops.filter(col(opCol).isin("U", "D"))
-      if (exists && !touched.isEmpty)
-        DeletionVectors.deleteByKeyDf(spark, tableDir, keyCol, touched)
+      if (exists && nTouched > 0)
+        DeletionVectors.deleteByKeyDf(spark, tableDir, keyCol,
+          ops.filter(col(opCol).isin("U", "D")))
       // append the fresh images
-      val fresh = ops.filter(col(opCol).isin("I", "U")).drop(opCol)
-      if (!fresh.isEmpty)
-        fresh.write.mode("append").parquet(tableDir)
+      if (nFresh > 0)
+        ops.filter(col(opCol).isin("I", "U")).drop(opCol)
+          .write.mode("append").parquet(tableDir)
 
       fs.mkdirs(marker.getParent)
       fs.create(marker, true).close()
