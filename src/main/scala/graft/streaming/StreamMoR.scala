@@ -80,11 +80,16 @@ object StreamMoR {
       val exists = fs.exists(new Path(tableDir)) &&
         fs.listStatus(new Path(tableDir)).exists(s =>
           s.isFile && s.getPath.getName.endsWith(".parquet"))
-      // tombstone every visible row of the batch's updated/deleted
-      // keys (covers images appended by earlier batches)
-      if (exists && nTouched > 0)
-        DeletionVectors.deleteByKeyDf(spark, tableDir, keyCol,
-          ops.filter(col(opCol).isin("U", "D")))
+      // tombstone every visible row of EVERY batch key — not just the
+      // U/D-tagged ones. The tag is advisory (the reference's
+      // alter-row lets the lookup decide): an "I" on a key that is
+      // already present must REPLACE it, and tombstoning only U/D
+      // would instead duplicate the key in the fact (caught by the
+      // random-history property spec). For keys genuinely absent the
+      // semi-join matches nothing — same O(batch) broadcast either
+      // way.
+      if (exists && n > 0)
+        DeletionVectors.deleteByKeyDf(spark, tableDir, keyCol, ops)
       // append the fresh images
       if (nFresh > 0)
         ops.filter(col(opCol).isin("I", "U")).drop(opCol)

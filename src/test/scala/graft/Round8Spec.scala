@@ -323,6 +323,60 @@ class Round8Spec extends AnyFunSuite {
     assert(snap() == ((fact1, gold1)))
   }
 
+  test("property: MoR gold counts/sums exact over random CDC histories") {
+    // Random op histories (I/U/D with sloppy tags, arbitrary batch
+    // splits, repeated keys across batches, full-country deletes) —
+    // the folded gold's n_users/total_value must equal a from-scratch
+    // aggregate of the final visible fact EXACTLY (count/sum deltas
+    // retract exactly). last_seen is only an upper bound under
+    // deletes (documented non-retraction of the running max).
+    val userCountry = (1L to 12L).map(k => (k, s"C${k % 3}"))
+      .toDF("user_id", "country")
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val work = tmp(s"graft-smgp$seed-")
+      val fact = s"$work/fact"
+      val gold = s"$work/gold"
+      var ts = 0
+      for (b <- 0 until 5) {
+        val keys = rnd.shuffle((1L to 12L).toList).take(1 + rnd.nextInt(8))
+        val rows = keys.zipWithIndex.map { case (k, i) =>
+          ts += 1
+          val op = if (b == 0 && i == 0) "I"
+            else Seq("I", "U", "D")(rnd.nextInt(3))
+          (k, rnd.nextInt(10000) / 100.0,
+            f"2024-01-01 00:${ts / 60}%02d:${ts % 60}%02d", op)
+        }
+        StreamMorGold.processBatch(
+          rows.toDF("user_id", "value", "ts_s", "op"), b.toLong,
+          fact, gold, userCountry, "user_id", "op")
+      }
+      val folded = AtomicParquetSink.read(spark, gold).get
+        .filter(col("n_users") =!= 0L)
+        .select("country", "n_users", "total_value")
+        .as[(String, Long, java.math.BigDecimal)].collect()
+        .map(t => (t._1, t._2, t._3.doubleValue)).toSet
+      val scratch = DeletionVectors.read(spark, fact)
+        .join(userCountry, "user_id")
+        .groupBy(col("country"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        .as[(String, Long, java.math.BigDecimal)].collect()
+        .map(t => (t._1, t._2, t._3.doubleValue)).toSet
+      assert(folded == scratch,
+        s"seed $seed: folded $folded != from-scratch $scratch")
+      // last_seen never below the surviving rows' max per country
+      val foldLast = AtomicParquetSink.read(spark, gold).get
+        .select("country", "last_seen").as[(String, String)]
+        .collect().toMap
+      DeletionVectors.read(spark, fact).join(userCountry, "user_id")
+        .groupBy(col("country")).agg(max(col("ts_s")).as("m"))
+        .as[(String, String)].collect().foreach { case (c, m) =>
+          assert(foldLast(c) >= m, s"seed $seed: last_seen($c) regressed")
+        }
+    }
+  }
+
   test("stageDeltas routes by presence, not by the op tag") {
     val work = tmp("graft-smgd-")
     val fact = s"$work/fact"
