@@ -94,6 +94,68 @@ class Round8Spec extends AnyFunSuite {
     assert(next.head._3 > ckpt)
   }
 
+  test("property: replaying tableChanges payloads reconstructs the final snapshot") {
+    // The point of carrying _old/_new in the feed: a consumer holding
+    // only the FIRST snapshot plus the change stream must be able to
+    // reach the LAST snapshot without reading any intermediate one.
+    for (seed <- Seq(5, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val table = tmp(s"graft-cdfr$seed-") + "/t"
+      def randState(): Seq[(Long, Double, String)] =
+        (1L to 10L).filter(_ => rnd.nextBoolean())
+          .map(k => (k, rnd.nextInt(1000) / 10.0, s"s${rnd.nextInt(3)}"))
+      var states = Seq.empty[Seq[(Long, Double, String)]]
+      while (states.size < 4) {
+        val st = randState()
+        if (st.nonEmpty) states :+= st
+      }
+      states.foreach(st => AtomicParquetSink.overwrite(
+        st.toDF("k", "v", "s"), table, retainVersions = 6))
+      val feed = AtomicParquetSink.tableChanges(spark, table, Seq("k"))
+        .select(col("k"), col("change"), col("commit_seq"),
+          col("_new.v").as("nv"), col("_new.s").as("ns"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some((r.getDouble(3), r.getString(4)))))
+      // replay: fold commits in commit_seq order over the first state
+      var replayed = states.head.map(t => t._1 -> (t._2, t._3)).toMap
+      feed.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (_, commits) =>
+        commits.foreach {
+          case (k, "delete", _, _) => replayed -= k
+          case (k, _, _, Some(img)) => replayed += (k -> img)
+          case other => fail(s"malformed feed row $other")
+        }
+      }
+      val want = states.last.map(t => t._1 -> (t._2, t._3)).toMap
+      assert(replayed == want,
+        s"seed $seed: replay diverged\n$replayed\n$want")
+    }
+  }
+
+  test("property: repeated upsertMoR batches converge to latest-wins") {
+    for (seed <- Seq(7, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = tmp(s"graft-morp$seed-") + "/t"
+      var expect = Map.empty[Long, Double]
+      for (b <- 0 until 6) {
+        val keys = rnd.shuffle((1L to 20L).toList).take(1 + rnd.nextInt(12))
+        val rows = keys.map(k => (k, rnd.nextInt(10000) / 100.0))
+        if (b == 0)
+          rows.toDF("k", "v").repartition(2).write.parquet(dir)
+        else
+          DeletionVectors.upsertMoR(spark, dir, rows.toDF("k", "v"), "k")
+        expect ++= rows.toMap
+        // interleave ratio-triggered compaction like a real stream
+        if (b % 2 == 1) DeletionVectors.compactIfNeeded(spark, dir, 0.4)
+      }
+      val got = DeletionVectors.read(spark, dir)
+        .as[(Long, Double)].collect()
+      assert(got.length == got.map(_._1).distinct.length,
+        s"seed $seed: duplicate keys in MoR table")
+      assert(got.toMap == expect, s"seed $seed: diverged from latest-wins")
+    }
+  }
+
   test("tableChanges spans only the schema-consistent suffix") {
     val table = tmp("graft-cdfs-") + "/t"
     AtomicParquetSink.overwrite(
@@ -374,6 +436,58 @@ class Round8Spec extends AnyFunSuite {
         .as[(String, String)].collect().foreach { case (c, m) =>
           assert(foldLast(c) >= m, s"seed $seed: last_seen($c) regressed")
         }
+    }
+  }
+
+  test("property: IncrementalGold equals from-scratch versioned aggregate") {
+    // Random multi-version histories: repeated users across batches,
+    // OUT-OF-ORDER versions (a batch can deliver an older ts than the
+    // stored row — must fold as a no-op), error rows the quality gate
+    // drops. The incremental gold must equal the from-scratch
+    // latest-version-wins aggregate EXACTLY, last_seen included (no
+    // deletes on this path, so the running max never needs to
+    // retract).
+    val userCountry = (1L to 10L).map(k => (k, s"C${k % 3}"))
+      .toDF("user_id", "country")
+    for (seed <- Seq(3, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val work = tmp(s"graft-ivmp$seed-")
+      var eid = 0L
+      var all = Seq.empty[(Long, Long, String, Double, String)]
+      for (b <- 0 until 4) {
+        val rows = (0 until (3 + rnd.nextInt(8))).map { _ =>
+          eid += 1
+          val typ = if (rnd.nextInt(5) == 0) "error" else "click"
+          // ts drawn RANDOMLY (not monotone) to exercise staleness
+          (eid, 1L + rnd.nextInt(10),
+            typ, rnd.nextInt(10000) / 100.0,
+            f"2024-01-01 00:00:${rnd.nextInt(60)}%02d")
+        }
+        all ++= rows
+        graft.streaming.IncrementalGold.processBatch(
+          rows.toDF("event_id", "user_id", "event_type", "value", "ts_s"),
+          b.toLong, s"$work/fact", s"$work/gold", userCountry)
+      }
+      val folded = AtomicParquetSink.read(spark, s"$work/gold").get
+        .select("country", "n_users", "total_value", "last_seen")
+        .as[(String, Long, java.math.BigDecimal, String)].collect()
+        .map(t => (t._1, t._2, t._3.doubleValue, t._4)).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts_s").desc, col("event_id").desc)
+      val scratch = all
+        .toDF("event_id", "user_id", "event_type", "value", "ts_s")
+        .filter(!(col("event_type") === "error"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(userCountry, "user_id")
+        .groupBy(col("country"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).as("total_value"),
+          max(col("ts_s")).as("last_seen"))
+        .as[(String, Long, java.math.BigDecimal, String)].collect()
+        .map(t => (t._1, t._2, t._3.doubleValue, t._4)).toSet
+      assert(folded == scratch,
+        s"seed $seed: folded $folded != from-scratch $scratch")
     }
   }
 
