@@ -77,6 +77,11 @@ object StreamMoR {
         s"applyBatch: batch is not unique on $keyCol " +
           "(fold to latest-per-key upstream)")
 
+      // schema enforcement: a drifting feed must fail loud at apply
+      // time, not corrupt the table with a mixed-schema append
+      DeletionVectors.requireSameColumns(spark, tableDir,
+        ops.drop(opCol), "applyBatch")
+
       val exists = fs.exists(new Path(tableDir)) &&
         fs.listStatus(new Path(tableDir)).exists(s =>
           s.isFile && s.getPath.getName.endsWith(".parquet"))

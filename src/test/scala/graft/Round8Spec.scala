@@ -350,6 +350,28 @@ class Round8Spec extends AnyFunSuite {
     assert(plain.size == 300 - 50 + 20)
   }
 
+  test("MoR appends reject schema drift loudly") {
+    import graft.streaming.StreamMoR
+    val dir = tmp("graft-morsd-") + "/t"
+    Seq((1L, 1.0)).toDF("k", "v").write.parquet(dir)
+    val extra = Seq((2L, 2.0, "x")).toDF("k", "v", "w")
+    val missing = Seq(2L).toDF("k")
+    for (bad <- Seq(extra, missing)) {
+      val e = intercept[IllegalArgumentException] {
+        DeletionVectors.upsertMoR(spark, dir, bad, "k")
+      }
+      assert(e.getMessage.contains("schema drifts"))
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      StreamMoR.applyBatch(spark, dir,
+        Seq((2L, 2.0, "x", "I")).toDF("k", "v", "w", "op"), 99L, "k", "op")
+    }
+    assert(e2.getMessage.contains("schema drifts"))
+    // nothing was appended and no marker was written by the failures
+    assert(spark.read.parquet(dir).count() == 1)
+    assert(!new java.io.File(s"$dir/_commits/batch-99").exists())
+  }
+
   // ---- streaming MoR gold: delta routing ----------------------------
 
   test("streaming MoR gold batch replay is a structural no-op") {
