@@ -163,6 +163,7 @@ object BloomSkipIndex {
     * O(batch) via [[foldAllBloomSidecars]]. */
   def bloomAppend(df: DataFrame, keyCol: String, dir: String,
                   nFiles: Int): Unit = {
+    SchemaGuard.requireSameColumns(df.sparkSession, dir, df, "bloomAppend")
     df.repartition(nFiles, col(keyCol))
       .write.mode("append").parquet(dir)
     foldAllBloomSidecars(df.sparkSession, dir)

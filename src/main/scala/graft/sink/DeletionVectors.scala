@@ -391,29 +391,12 @@ object DeletionVectors {
   private def udfFreeName(c: Column): Column =
     element_at(split(c, "/"), -1)
 
-  /** Schema enforcement for the MoR append paths: a batch whose column
-    * set differs from the table's would APPEND a mixed-schema file —
-    * silently dropping columns on read (parquet unions by the reader's
-    * schema) long after the write "succeeded". Fail loud at write time
-    * instead, naming the drift (Delta's schema-enforcement stance; the
-    * evolution path here is an explicit atomic-sink rewrite). No-op
-    * when the table doesn't exist yet. */
+  /** See [[SchemaGuard.requireSameColumns]] — shared by every append
+    * path onto a plain parquet directory. */
   private[graft] def requireSameColumns(spark: SparkSession, dir: String,
                                         batch: DataFrame,
-                                        who: String): Unit = {
-    val p = new Path(dir)
-    val fs = fsOf(spark, dir)
-    val hasData = fs.exists(p) && fs.listStatus(p).exists(s =>
-      s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (!hasData) return
-    val table = spark.read.parquet(dir).columns.toSet
-    val b = batch.columns.toSet
-    require(b == table,
-      s"$who: batch schema drifts from the table's — " +
-        s"extra ${(b -- table).toSeq.sorted}, " +
-        s"missing ${(table -- b).toSeq.sorted}; evolve the schema " +
-        "through an explicit atomic-sink rewrite, not an append")
-  }
+                                        who: String): Unit =
+    SchemaGuard.requireSameColumns(spark, dir, batch, who)
 
   /** Merge-on-read UPDATE (Delta's DV-backed UPDATE shape): tombstone
     * the matched rows and append their updated images — O(matched),

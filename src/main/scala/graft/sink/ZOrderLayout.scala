@@ -205,6 +205,7 @@ object ZOrderLayout {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) { zorderWriteRankedN(df, dims, dir, nFiles, buckets); return }
+    SchemaGuard.requireSameColumns(spark, dir, df, "zorderAppendRankedN")
     // snapshot the sidecar rows BEFORE the append (while it still
     // matches the listing; metadata-sized), then diff the listing to
     // find the batch's files
