@@ -340,6 +340,72 @@ object DeletionVectors {
     due.length
   }
 
+  /** Small-file compaction, DV-aware — the OTHER read-amplification a
+    * long MoR stream accrues: every micro-batch appends its own file
+    * set, so after 10k trickle batches the table is 10k tiny files
+    * (listing, footer, and task-scheduling overhead per file) even if
+    * no tombstone ratio ever trips [[compactIfNeeded]]. Bin-pack every
+    * data file smaller than `smallBytes` into ~`targetBytes` outputs:
+    * read the victims THROUGH their tombstones (a raw rewrite would
+    * resurrect deleted rows), write the packed replacements, drop the
+    * victims and retire their tombstone entries. O(small files), never
+    * O(table); large files are untouched. Returns the number of files
+    * compacted away. Delta's OPTIMIZE bin-packing compaction on the
+    * open-parquet MoR layout.
+    *
+    * Same crash windows as [[applyDeletes]] (staged write, then
+    * delete+rename commit): rows are never duplicated and deletes
+    * never resurrect in any window. */
+  def compactSmallFiles(spark: SparkSession, dir: String,
+                        smallBytes: Long = 8L << 20,
+                        targetBytes: Long = 128L << 20): Int = {
+    require(smallBytes > 0 && targetBytes >= smallBytes,
+      s"need 0 < smallBytes <= targetBytes, got $smallBytes/$targetBytes")
+    val fs = fsOf(spark, dir)
+    val small = fs.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")
+        && !s.getPath.getName.startsWith("_")
+        && s.getLen < smallBytes)
+    if (small.size < 2) return 0 // nothing to pack
+    val files = small.map(_.getPath.toString).sorted
+    val nOut = math.max(1,
+      math.ceil(small.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    val t = currentTombstones(spark, dir)
+    val tState = t.getOrElse(spark.emptyDataFrame
+      .withColumn(FileCol, lit("")).withColumn(RowCol, lit(0L))
+      .select(col(FileCol), col(RowCol)))
+    // read the victims through their tombstones; repack into nOut files
+    val staging = s"$dir/_dv_pack_tmp"
+    val src = withRowId(spark.read.parquet(files: _*))
+    val live = t match {
+      case None => src
+      case Some(ts) => src.join(broadcast(ts),
+        col(RFile) === col(FileCol) && col(RRow) === col(RowCol),
+        "left_anti")
+    }
+    live.drop(RFile, RRow)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(staging)
+    val gen = completeGens(spark, dir).lastOption.getOrElse(0)
+    files.foreach { f => fs.delete(new Path(new java.net.URI(f)), false) }
+    fs.listStatus(new Path(staging)).iterator
+      .filter(_.isFile).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { p =>
+        fs.rename(p, new Path(s"$dir/packed-g$gen-${p.getName}"))
+      }
+    fs.delete(new Path(staging), true)
+    // retire the compacted files' tombstone entries — compare on file
+    // NAME (scheme/authority spellings differ between
+    // `_metadata.file_path` and the listing, cf. vacuumTombstones)
+    if (t.nonEmpty) {
+      val names = files.map(f => new Path(f).getName)
+      commitGen(spark, dir,
+        tState.filter(!udfFreeName(col(FileCol)).isInCollection(names)))
+    }
+    files.size
+  }
+
   /** Staged rewrite of `files` minus their tombstones in `t` (which
     * must cover exactly those files). Crash-window characteristics as
     * documented on [[applyDeletes]]. */

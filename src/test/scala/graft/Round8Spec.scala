@@ -350,6 +350,46 @@ class Round8Spec extends AnyFunSuite {
     assert(plain.size == 300 - 50 + 20)
   }
 
+  test("compactSmallFiles bin-packs a trickle-append table through its DVs") {
+    val dir = tmp("graft-pack-") + "/t"
+    // 10 trickle batches -> 10 small files
+    for (b <- 0 until 10)
+      (b * 100L until b * 100L + 100L).map(k => (k, k * 1.0))
+        .toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    DeletionVectors.deleteByKeys(spark, dir, "k",
+      Seq(lit(5L), lit(105L), lit(905L)))
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")
+        && !f.getName.startsWith("_"))
+    assert(dataFiles().length == 10)
+    val before = DeletionVectors.read(spark, dir)
+      .as[(Long, Double)].collect().toSet
+    val packed = DeletionVectors.compactSmallFiles(spark, dir,
+      smallBytes = 8L << 20, targetBytes = 64L << 20)
+    assert(packed == 10)
+    assert(dataFiles().length < 10, "no packing happened")
+    val after = DeletionVectors.read(spark, dir)
+      .as[(Long, Double)].collect().toSet
+    assert(after == before && !after.exists(r => Set(5L, 105L, 905L)(r._1)))
+    // tombstones of packed-away files are retired with them
+    assert(DeletionVectors.currentTombstones(spark, dir)
+      .map(_.count()).getOrElse(0L) == 0L)
+    // and a large file beside small ones is left untouched
+    val dir2 = tmp("graft-pack2-") + "/t"
+    (0L until 50000L).map(k => (k, "x" * 50)).toDF("k", "s")
+      .coalesce(1).write.parquet(dir2)
+    (50000L to 50010L).map(k => (k, "y")).toDF("k", "s")
+      .coalesce(1).write.mode("append").parquet(dir2)
+    val bigBefore = new java.io.File(dir2).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getName).toSet
+    // only ONE small file (the append) is under the threshold -> no-op
+    assert(DeletionVectors.compactSmallFiles(spark, dir2,
+      smallBytes = 64L << 10, targetBytes = 1L << 20) == 0)
+    assert(new java.io.File(dir2).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getName).toSet
+      == bigBefore)
+  }
+
   test("MoR appends reject schema drift loudly") {
     import graft.streaming.StreamMoR
     val dir = tmp("graft-morsd-") + "/t"
