@@ -428,6 +428,10 @@ object SparkEntry {
     // Delta-CDF-shaped change feed: adjacent-snapshot diffs with
     // stable commit ids and pre/post-image payloads, oracle-checked
     "q202_table_changes"    -> ((s, d) => CoreQueries.tableChangesScan(s, d)),
+    // cross-corpus best-match with top1−top2 margin (bitext mining /
+    // contrastive-pair construction): queries broadcast, corpus never
+    // shuffles, cosine is the native codegen'd kernel
+    "q204_bitext_margin"    -> ((s, d) => LlmQueries.bitextMargin(s, d)),
     // manifest ∧ bloom ∧ tombstones: the composite-pruned scan through
     // the deletion vectors — double skipping may not resurrect deletes
     "q203_composite_dv"     -> ((s, d) => CoreQueries.compositeDvScan(s, d)),
@@ -3471,5 +3475,24 @@ object SparkEntry {
          FROM events
          WHERE user_id BETWEEN 0 AND 100 AND value BETWEEN 0.0 AND 250.0
            AND event_id IN (11, 1003, 4444, 7777)""",
+    // cross-corpus best match + top1−top2 margin; margins are >= 0 by
+    // ranking so the half-up floor grid is exact on both engines
+    "q204_bitext_margin" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         a AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0 AND vec_id < 40),
+         b AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+         s AS (SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+             round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+               (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(b.v, x -> x * x)))), 5) AS cos5
+           FROM a JOIN b ON TRUE),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos5 DESC, match_id) AS rank FROM s)
+         SELECT query_id,
+           MAX(CASE WHEN rank = 1 THEN match_id END) AS match_id,
+           MAX(CASE WHEN rank = 1 THEN cos5 END) AS cos5,
+           floor((MAX(CASE WHEN rank = 1 THEN cos5 END)
+             - COALESCE(MAX(CASE WHEN rank = 2 THEN cos5 END), 0)) * 1e5 + 0.5) / 1e5 AS margin5
+         FROM r WHERE rank <= 2 GROUP BY query_id""",
   )
 }

@@ -78,6 +78,45 @@ object Ann {
         col("neighbor_id"), col("cos5"))
   }
 
+  /** Margin-scored cross-corpus match — the parallel-pair mining shape
+    * (bitext mining, retrieval-pair construction for contrastive
+    * training): for every query vector from corpus A, the single best
+    * match in a DIFFERENT corpus B plus the top1−top2 margin, the
+    * standard confidence signal (an isolated best match is
+    * trustworthy; two near-ties are not). Downstream keeps pairs with
+    * margin ≥ τ — the filter stays downstream so τ-sweeps reuse one
+    * scored frame.
+    *
+    * Scale: same shape as [[bruteForceTopK]] — queries broadcast, the
+    * corpus never shuffles, cosine is the codegen'd kernel, and the
+    * per-query top-2 is one window pass; swap corpus B for its IVF
+    * cell partitioning ([[ivfTopK]]) when B is the 100 TB side.
+    * Output: (query_id, match_id, cos5, margin5), margin5 on the same
+    * stable-round grid as cos5. */
+  def marginMatch(corpusB: DataFrame, queriesA: DataFrame,
+                  idCol: String, embCol: String): DataFrame = {
+    val spark = corpusB.sparkSession
+    val q = queriesA.select(col(idCol).as("query_id"),
+      asDouble(embCol).as("qv"))
+    val c = corpusB.select(col(idCol).as("match_id"),
+      asDouble(embCol).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos5").desc, col("match_id").asc)
+    c.crossJoin(broadcast(q))
+      .withColumn("cos5", cos5(spark, col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("rank") === 1, col("match_id"))).as("match_id"),
+        max(when(col("rank") === 1, col("cos5"))).as("cos5"),
+        // floor(x·1e5 + 0.5)/1e5 — margins are ≥ 0 by ranking, so the
+        // half-up trick is exact and matches the DuckDB twin
+        (floor((max(when(col("rank") === 1, col("cos5")))
+          - coalesce(max(when(col("rank") === 2, col("cos5"))), lit(0.0)))
+          * 1e5 + 0.5) / 1e5).as("margin5"))
+  }
+
   /** IVF-style search: each query scans only its own coarse cell
     * (equi-join on the cell column), then exact cosine top-k within
     * the cell. At 100 TB the corpus is hash-partitioned by cell and

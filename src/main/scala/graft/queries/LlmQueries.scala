@@ -216,6 +216,18 @@ object LlmQueries {
       "embedding", k = 3)
   }
 
+  /** Cross-corpus margin match (q204): even vec_ids play corpus A
+    * (first 20 as queries), odd vec_ids corpus B — for each A-vector
+    * the best B-match plus the top1−top2 margin (the bitext-mining /
+    * retrieval-pair confidence signal). */
+  def bitextMargin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Ann.marginMatch(
+      e.filter(col("vec_id") % 2 === 1),
+      e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 40),
+      "vec_id", "embedding")
+  }
+
   /** IVF-style cell-restricted top-3 (label = coarse cell). */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
