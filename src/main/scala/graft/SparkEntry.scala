@@ -432,6 +432,9 @@ object SparkEntry {
     // contrastive-pair construction): queries broadcast, corpus never
     // shuffles, cosine is the native codegen'd kernel
     "q204_bitext_margin"    -> ((s, d) => LlmQueries.bitextMargin(s, d)),
+    // the same margin mining routed through IVF cells: each query
+    // matches only within its own coarse cell — partition-pruned probes
+    "q205_bitext_ivf"       -> ((s, d) => LlmQueries.bitextIvf(s, d)),
     // manifest ∧ bloom ∧ tombstones: the composite-pruned scan through
     // the deletion vectors — double skipping may not resurrect deletes
     "q203_composite_dv"     -> ((s, d) => CoreQueries.compositeDvScan(s, d)),
@@ -3489,6 +3492,26 @@ object SparkEntry {
          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY cos5 DESC, match_id) AS rank FROM s)
          SELECT query_id,
+           MAX(CASE WHEN rank = 1 THEN match_id END) AS match_id,
+           MAX(CASE WHEN rank = 1 THEN cos5 END) AS cos5,
+           floor((MAX(CASE WHEN rank = 1 THEN cos5 END)
+             - COALESCE(MAX(CASE WHEN rank = 2 THEN cos5 END), 0)) * 1e5 + 0.5) / 1e5 AS margin5
+         FROM r WHERE rank <= 2 GROUP BY query_id""",
+    // q204 within IVF cells: the join carries the cell equality, so a
+    // query matches only candidates sharing its coarse label
+    "q205_bitext_ivf" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         a AS (SELECT vec_id, label, v FROM e WHERE vec_id % 2 = 0 AND vec_id < 40),
+         b AS (SELECT vec_id, label, v FROM e WHERE vec_id % 2 = 1),
+         s AS (SELECT a.vec_id AS query_id, a.label AS cell, b.vec_id AS match_id,
+             round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+               (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(b.v, x -> x * x)))), 5) AS cos5
+           FROM a JOIN b ON a.label = b.label),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos5 DESC, match_id) AS rank FROM s)
+         SELECT query_id,
+           MAX(cell) AS cell,
            MAX(CASE WHEN rank = 1 THEN match_id END) AS match_id,
            MAX(CASE WHEN rank = 1 THEN cos5 END) AS cos5,
            floor((MAX(CASE WHEN rank = 1 THEN cos5 END)

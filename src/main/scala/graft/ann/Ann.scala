@@ -117,6 +117,37 @@ object Ann {
           * 1e5 + 0.5) / 1e5).as("margin5"))
   }
 
+  /** [[marginMatch]] routed through IVF cells — the 100 TB form: each
+    * query matches only within its own coarse cell (equi-join on
+    * `cellCol`, the [[ivfTopK]] contract), so corpus B is
+    * hash-partitioned by cell and a probe touches one partition's
+    * vectors instead of the corpus. Margin algebra unchanged; a
+    * single-candidate cell yields margin = cos1 (nothing to tie
+    * with), a query whose cell holds no B-vector is absent. */
+  def marginMatchIvf(corpusB: DataFrame, queriesA: DataFrame,
+                     idCol: String, embCol: String,
+                     cellCol: String): DataFrame = {
+    val spark = corpusB.sparkSession
+    val q = queriesA.select(col(idCol).as("query_id"),
+      col(cellCol).as("cell"), asDouble(embCol).as("qv"))
+    val c = corpusB.select(col(idCol).as("match_id"),
+      col(cellCol).as("cell"), asDouble(embCol).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos5").desc, col("match_id").asc)
+    c.join(broadcast(q), Seq("cell"))
+      .withColumn("cos5", cos5(spark, col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .groupBy(col("query_id"))
+      .agg(
+        max(col("cell")).as("cell"),
+        max(when(col("rank") === 1, col("match_id"))).as("match_id"),
+        max(when(col("rank") === 1, col("cos5"))).as("cos5"),
+        (floor((max(when(col("rank") === 1, col("cos5")))
+          - coalesce(max(when(col("rank") === 2, col("cos5"))), lit(0.0)))
+          * 1e5 + 0.5) / 1e5).as("margin5"))
+  }
+
   /** IVF-style search: each query scans only its own coarse cell
     * (equi-join on the cell column), then exact cosine top-k within
     * the cell. At 100 TB the corpus is hash-partitioned by cell and

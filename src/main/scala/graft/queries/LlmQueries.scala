@@ -228,6 +228,17 @@ object LlmQueries {
       "vec_id", "embedding")
   }
 
+  /** q204 routed through IVF cells (q205): match only within the
+    * query's own coarse cell (label) — the partition-pruned 100 TB
+    * form of the same margin mining. */
+  def bitextIvf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Ann.marginMatchIvf(
+      e.filter(col("vec_id") % 2 === 1),
+      e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 40),
+      "vec_id", "embedding", "label")
+  }
+
   /** IVF-style cell-restricted top-3 (label = coarse cell). */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
