@@ -100,21 +100,30 @@ object Ann {
       asDouble(embCol).as("qv"))
     val c = corpusB.select(col(idCol).as("match_id"),
       asDouble(embCol).as("cv"))
+    top2Margin(c.crossJoin(broadcast(q))
+      .withColumn("cos5", cos5(spark, col("qv"), col("cv"))))
+  }
+
+  /** Shared top-2/margin reduction for the margin-match family: one
+    * window pass cuts each query to its two best candidates, then a
+    * per-query pivot emits (match_id, cos5, margin5). Kept in ONE
+    * place so the margin grid (floor-half-up on 1e-5 — exact because
+    * margins are ≥ 0 by ranking — matching the DuckDB twins) cannot
+    * silently diverge between the brute-force and IVF forms. */
+  private def top2Margin(scored: DataFrame,
+                         extraAgg: Seq[Column] = Seq.empty): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos5").desc, col("match_id").asc)
-    c.crossJoin(broadcast(q))
-      .withColumn("cos5", cos5(spark, col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
+    val aggs = extraAgg ++ Seq(
+      max(when(col("rank") === 1, col("match_id"))).as("match_id"),
+      max(when(col("rank") === 1, col("cos5"))).as("cos5"),
+      (floor((max(when(col("rank") === 1, col("cos5")))
+        - coalesce(max(when(col("rank") === 2, col("cos5"))), lit(0.0)))
+        * 1e5 + 0.5) / 1e5).as("margin5"))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 2)
       .groupBy(col("query_id"))
-      .agg(
-        max(when(col("rank") === 1, col("match_id"))).as("match_id"),
-        max(when(col("rank") === 1, col("cos5"))).as("cos5"),
-        // floor(x·1e5 + 0.5)/1e5 — margins are ≥ 0 by ranking, so the
-        // half-up trick is exact and matches the DuckDB twin
-        (floor((max(when(col("rank") === 1, col("cos5")))
-          - coalesce(max(when(col("rank") === 2, col("cos5"))), lit(0.0)))
-          * 1e5 + 0.5) / 1e5).as("margin5"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** [[marginMatch]] routed through IVF cells — the 100 TB form: each
@@ -132,20 +141,10 @@ object Ann {
       col(cellCol).as("cell"), asDouble(embCol).as("qv"))
     val c = corpusB.select(col(idCol).as("match_id"),
       col(cellCol).as("cell"), asDouble(embCol).as("cv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos5").desc, col("match_id").asc)
-    c.join(broadcast(q), Seq("cell"))
-      .withColumn("cos5", cos5(spark, col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 2)
-      .groupBy(col("query_id"))
-      .agg(
-        max(col("cell")).as("cell"),
-        max(when(col("rank") === 1, col("match_id"))).as("match_id"),
-        max(when(col("rank") === 1, col("cos5"))).as("cos5"),
-        (floor((max(when(col("rank") === 1, col("cos5")))
-          - coalesce(max(when(col("rank") === 2, col("cos5"))), lit(0.0)))
-          * 1e5 + 0.5) / 1e5).as("margin5"))
+    top2Margin(
+      c.join(broadcast(q), Seq("cell"))
+        .withColumn("cos5", cos5(spark, col("qv"), col("cv"))),
+      extraAgg = Seq(max(col("cell")).as("cell")))
   }
 
   /** IVF-style search: each query scans only its own coarse cell

@@ -219,26 +219,49 @@ object AtomicParquetSink {
     * full-outer join on the key (co-locate via [[BucketedFactStore]]
     * at 100 TB, and skip pairs whose file lists are identical — a pure
     * metadata check on immutable version dirs). */
-  def tableChanges(spark: SparkSession, table: String,
-                   keyCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+  /** The longest schema-consistent SUFFIX of retained history (walk
+    * newest → oldest while the column set matches the newest
+    * snapshot's — metadata-only reads), shared by [[tableChanges]] and
+    * [[tableChangesSince]] so the two can never disagree on which
+    * pairs are comparable. Requires >= 2 retained versions. */
+  private def comparableSuffix(spark: SparkSession,
+                               table: String): Seq[String] = {
     val vs = versions(spark, table)
     require(vs.size >= 2,
       s"$table has ${vs.size} retained version(s); need >= 2 for a change feed")
-    // longest schema-consistent suffix: walk newest → oldest while the
-    // column set matches the newest snapshot's (metadata-only reads)
     val colsOf = vs.map(v =>
       v -> readVersion(spark, table, v).columns.toSet).toMap
     val newestCols = colsOf(vs.last)
-    val suffix = vs.reverse.takeWhile(colsOf(_) == newestCols).reverse
-    require(suffix.size >= 2,
-      s"$table: schema changed at the latest commit; no comparable " +
-        "adjacent pair remains in retained history")
-    suffix.sliding(2).map { pair =>
+    vs.reverse.takeWhile(colsOf(_) == newestCols).reverse
+  }
+
+  /** One stamped diff per ADJACENT pair of `suffix`. */
+  private def pairDiffs(spark: SparkSession, table: String,
+                        keyCols: Seq[String],
+                        suffix: Seq[String]): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    suffix.sliding(2).filter(_.size == 2).map { pair =>
       diffFull(spark, table, pair.head, pair.last, keyCols)
         .withColumn("commit_seq", lit(pair.last.substring(2, 22).toLong))
         .withColumn("commit_version", lit(pair.last))
-    }.reduce(_.unionByName(_))
+    }.toSeq
+  }
+
+  /** Empty frame with the change-feed schema (keys from the newest
+    * snapshot) — the caught-up poll result. */
+  private def emptyFeed(spark: SparkSession, table: String,
+                        keyCols: Seq[String]): DataFrame = {
+    val newest = versions(spark, table).last
+    pairDiffs(spark, table, keyCols, Seq(newest, newest)).head.limit(0)
+  }
+
+  def tableChanges(spark: SparkSession, table: String,
+                   keyCols: Seq[String]): DataFrame = {
+    val suffix = comparableSuffix(spark, table)
+    require(suffix.size >= 2,
+      s"$table: schema changed at the latest commit; no comparable " +
+        "adjacent pair remains in retained history")
+    pairDiffs(spark, table, keyCols, suffix).reduce(_.unionByName(_))
   }
 
   /** The incremental-consumer read over [[tableChanges]]: only commits
@@ -252,23 +275,33 @@ object AtomicParquetSink {
     * only the metadata listing. */
   def tableChangesSince(spark: SparkSession, table: String,
                         keyCols: Seq[String], sinceSeq: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
     val vs = versions(spark, table)
-    require(vs.size >= 2,
-      s"$table has ${vs.size} retained version(s); need >= 2 for a change feed")
-    val colsOf = vs.map(v =>
-      v -> readVersion(spark, table, v).columns.toSet).toMap
-    val newestCols = colsOf(vs.last)
-    val suffix = vs.reverse.takeWhile(colsOf(_) == newestCols).reverse
-    val fresh = suffix.sliding(2)
+    val suffix = comparableSuffix(spark, table)
+    val seqOf = (v: String) => v.substring(2, 22).toLong
+    // lag guard: GC removes the OLDEST versions first, so a checkpoint
+    // below the oldest retained version's seq means commits between
+    // them are gone — a silently-partial feed would make the consumer
+    // believe it caught up while missing data. -1 is the explicit
+    // "replay everything retained from the oldest snapshot" bootstrap.
+    require(sinceSeq == -1L || sinceSeq >= seqOf(vs.head),
+      s"$table: retention slid past checkpoint $sinceSeq (oldest " +
+        s"retained ${seqOf(vs.head)}); re-bootstrap the consumer from " +
+        "a current snapshot")
+    // schema guard: every commit the consumer still needs must be
+    // expressible as a comparable-pair diff; one stranded beyond a
+    // schema change must fail loud, not return silently-empty.
+    val wanted = vs.drop(1).map(seqOf).filter(_ > sinceSeq)
+    val expressible = suffix.drop(1).map(seqOf).toSet
+    val inexpressible = wanted.filterNot(expressible)
+    require(inexpressible.isEmpty,
+      s"$table: schema changed at commit ${inexpressible.headOption.getOrElse(-1L)} " +
+        s"after checkpoint $sinceSeq; the change feed cannot express it — " +
+        "re-bootstrap the consumer from a current snapshot")
+    val fresh = suffix.sliding(2).filter(_.size == 2)
       .filter(pair => pair.last.substring(2, 22).toLong > sinceSeq)
-      .map { pair =>
-        diffFull(spark, table, pair.head, pair.last, keyCols)
-          .withColumn("commit_seq", lit(pair.last.substring(2, 22).toLong))
-          .withColumn("commit_version", lit(pair.last))
-      }.toSeq
-    if (fresh.isEmpty)
-      tableChanges(spark, table, keyCols).limit(0) // caught up: empty, same schema
+      .flatMap(pair => pairDiffs(spark, table, keyCols, pair))
+      .toSeq
+    if (fresh.isEmpty) emptyFeed(spark, table, keyCols)
     else fresh.reduce(_.unionByName(_))
   }
 

@@ -173,14 +173,34 @@ object DeletionVectors {
 
   /** DELETE every row whose `keyCol` appears in `keys` (a DataFrame —
     * the form a CDC micro-batch's delete set arrives in). Locates by
-    * broadcast semi-join; tombstone-only, no data rewrite. */
+    * broadcast semi-join; tombstone-only, no data rewrite. When a
+    * fresh `_bloom_<keyCol>` sidecar exists and the key set is small
+    * enough to probe driver-side (≤256 after dedup), the locate scans
+    * only may-contain files — O(matched files); otherwise it is one
+    * full table scan per call (maintain the bloom sidecar on tables
+    * that take frequent keyed batches to avoid that). */
   def deleteByKeyDf(spark: SparkSession, dir: String, keyCol: String,
                     keys: DataFrame): Long = {
-    val victims = withRowId(spark.read.parquet(dir))
-      .join(broadcast(keys.select(col(keyCol)).distinct()),
-        Seq(keyCol), "left_semi")
-      .select(col(RFile).as(FileCol), col(RRow).as(RowCol))
-    writeNextGen(spark, dir, victims)
+    val k = keys.select(col(keyCol)).distinct().persist()
+    try {
+      val n = k.count()
+      if (n == 0) return 0L
+      val src =
+        if (n <= 256) {
+          val dt = keys.schema(keyCol).dataType
+          val vals = k.collect().map(r => lit(r.get(0)).cast(dt)).toSeq
+          scala.util.Try(
+            BloomSkipIndex.survivingFiles(spark, dir, keyCol, vals)).toOption match {
+            case Some(fls) if fls.isEmpty => return 0L
+            case Some(fls) => spark.read.parquet(fls: _*)
+            case None => spark.read.parquet(dir)
+          }
+        } else spark.read.parquet(dir)
+      val victims = withRowId(src)
+        .join(broadcast(k), Seq(keyCol), "left_semi")
+        .select(col(RFile).as(FileCol), col(RRow).as(RowCol))
+      writeNextGen(spark, dir, victims)
+    } finally k.unpersist()
   }
 
   /** Subtract the current tombstones from `data` (rows carrying their
@@ -325,12 +345,20 @@ object DeletionVectors {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     if (perFile.isEmpty) { t.unpersist(); return 0 }
     val conf = spark.sparkContext.hadoopConfiguration
+    val fsys = fsOf(spark, dir)
     val due = perFile.keys.toSeq.sorted.filter { f =>
       val p = new Path(new java.net.URI(f))
-      val rows = org.apache.parquet.hadoop.ParquetFileReader
-        .open(org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      val n = try rows.getRecordCount finally rows.close()
-      n > 0 && perFile(f).toDouble / n >= maxDeleteRatio
+      // a tombstone can reference a vanished file (crash window of a
+      // prior rewrite before its generation committed) — skip it, the
+      // anti-join no-ops on dangling entries and vacuumTombstones
+      // retires them; throwing here would wedge a compactRatio stream
+      // on every replay
+      fsys.exists(p) && {
+        val rows = org.apache.parquet.hadoop.ParquetFileReader
+          .open(org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        val n = try rows.getRecordCount finally rows.close()
+        n > 0 && perFile(f).toDouble / n >= maxDeleteRatio
+      }
     }
     if (due.isEmpty) { t.unpersist(); return 0 }
     rewriteFiles(spark, dir, due, t.filter(col(FileCol).isInCollection(due)))
@@ -371,19 +399,9 @@ object DeletionVectors {
     val nOut = math.max(1,
       math.ceil(small.map(_.getLen).sum.toDouble / targetBytes).toInt)
     val t = currentTombstones(spark, dir)
-    val tState = t.getOrElse(spark.emptyDataFrame
-      .withColumn(FileCol, lit("")).withColumn(RowCol, lit(0L))
-      .select(col(FileCol), col(RowCol)))
     // read the victims through their tombstones; repack into nOut files
     val staging = s"$dir/_dv_pack_tmp"
-    val src = withRowId(spark.read.parquet(files: _*))
-    val live = t match {
-      case None => src
-      case Some(ts) => src.join(broadcast(ts),
-        col(RFile) === col(FileCol) && col(RRow) === col(RowCol),
-        "left_anti")
-    }
-    live.drop(RFile, RRow)
+    minusTombstones(spark, dir, spark.read.parquet(files: _*))
       .repartition(nOut)
       .write.mode("overwrite").parquet(staging)
     val gen = completeGens(spark, dir).lastOption.getOrElse(0)
@@ -398,10 +416,10 @@ object DeletionVectors {
     // retire the compacted files' tombstone entries — compare on file
     // NAME (scheme/authority spellings differ between
     // `_metadata.file_path` and the listing, cf. vacuumTombstones)
-    if (t.nonEmpty) {
+    t.foreach { ts =>
       val names = files.map(f => new Path(f).getName)
       commitGen(spark, dir,
-        tState.filter(!udfFreeName(col(FileCol)).isInCollection(names)))
+        ts.filter(!udfFreeName(col(FileCol)).isInCollection(names)))
     }
     files.size
   }

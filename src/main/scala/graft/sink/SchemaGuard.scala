@@ -23,12 +23,17 @@ object SchemaGuard {
     val hasData = fs.exists(p) && fs.listStatus(p).exists(s =>
       s.isFile && s.getPath.getName.endsWith(".parquet"))
     if (!hasData) return
-    val table = spark.read.parquet(dir).columns.toSet
-    val b = batch.columns.toSet
+    val table = spark.read.parquet(dir).schema
+      .map(f => f.name -> f.dataType).toMap
+    val b = batch.schema.map(f => f.name -> f.dataType).toMap
+    val retyped = table.keySet.intersect(b.keySet)
+      .filter(c => table(c) != b(c))
+      .map(c => s"$c: ${table(c).simpleString} -> ${b(c).simpleString}")
     require(b == table,
       s"$who: batch schema drifts from the table's — " +
-        s"extra ${(b -- table).toSeq.sorted}, " +
-        s"missing ${(table -- b).toSeq.sorted}; evolve the schema " +
+        s"extra ${(b.keySet -- table.keySet).toSeq.sorted}, " +
+        s"missing ${(table.keySet -- b.keySet).toSeq.sorted}, " +
+        s"retyped ${retyped.toSeq.sorted}; evolve the schema " +
         "through an explicit atomic-sink rewrite, not an append")
   }
 }

@@ -67,11 +67,10 @@ object StreamMoR {
         count(lit(1)),
         count(when(!col(opCol).isin("I", "U", "D"), 1)),
         countDistinct(col(keyCol)),
-        count(when(col(opCol).isin("U", "D"), 1)),
         count(when(col(opCol).isin("I", "U"), 1))).head()
-      val (n, bad, nKeys, nTouched, nFresh) =
+      val (n, bad, nKeys, nFresh) =
         (stats.getLong(0), stats.getLong(1), stats.getLong(2),
-          stats.getLong(3), stats.getLong(4))
+          stats.getLong(3))
       require(bad == 0, s"applyBatch: $bad rows carry an unknown $opCol op")
       require(n == nKeys,
         s"applyBatch: batch is not unique on $keyCol " +
@@ -90,9 +89,12 @@ object StreamMoR {
       // alter-row lets the lookup decide): an "I" on a key that is
       // already present must REPLACE it, and tombstoning only U/D
       // would instead duplicate the key in the fact (caught by the
-      // random-history property spec). For keys genuinely absent the
-      // semi-join matches nothing — same O(batch) broadcast either
-      // way.
+      // random-history property spec). The locate is bloom-pruned
+      // when the table carries a `_bloom_<keyCol>` sidecar and the
+      // batch's key set is probe-sized; without one it is a full
+      // table locate scan per batch — maintain the sidecar
+      // ([[graft.sink.BloomSkipIndex.bloomAppend]] layout) on tables
+      // fed by high-frequency trickle streams.
       if (exists && n > 0)
         DeletionVectors.deleteByKeyDf(spark, tableDir, keyCol, ops)
       // append the fresh images

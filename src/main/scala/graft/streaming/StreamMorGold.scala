@@ -69,10 +69,23 @@ object StreamMorGold {
     * from-scratch aggregate a fresh materialized view starts from);
     * no-op when a gold state already exists or the fact is empty.
     * Runs BEFORE the stream so batch deltas always fold into a state
-    * that already accounts for the pre-existing fact rows. */
+    * that already accounts for the pre-existing fact rows.
+    *
+    * Also a no-op when the fact already carries `_commits` markers —
+    * i.e. STREAM batches have been applied to it. In that state the
+    * fact may contain an applied-but-not-yet-folded batch (crash
+    * between apply and fold), and bootstrapping from it would count
+    * that batch once in the bootstrap and again when its replayed
+    * fold lands (the review-caught double-count). Attaching gold
+    * maintenance to a table a PREVIOUS drain built is instead an
+    * explicit, quiesced-point call of this method after removing the
+    * markers — not something run() may do implicitly mid-recovery. */
   def bootstrapGold(spark: SparkSession, tableDir: String, goldDir: String,
                     userCountry: DataFrame): Unit = {
     if (AtomicParquetSink.read(spark, goldDir).nonEmpty) return
+    val commits = new Path(s"$tableDir/_commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(commits)) return
     visibleFact(spark, tableDir).foreach { fact =>
       val gold = fact
         .join(broadcast(userCountry), "user_id")

@@ -42,7 +42,8 @@ class PlanQualitySpec extends AnyFunSuite {
         try SparkEntry.queries(name)(spark, sf)
           .queryExecution.executedPlan.toString
         catch { case e: Throwable =>
-          broken += s"$name: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.take(3).mkString(" | ")}"
+          val msg = String.valueOf(e.getMessage)
+          broken += s"$name: ${e.getClass.getSimpleName}: ${msg.linesIterator.take(3).mkString(" | ")}"
           ""
         }
       assert(!plan.contains("CartesianProduct"),

@@ -156,6 +156,63 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("tableChangesSince fails loud when stranded, stays quiet when caught up") {
+    val table = tmp("graft-cdfg-") + "/t"
+    AtomicParquetSink.overwrite(Seq((1L, "a")).toDF("k", "n"), table, 5)
+    AtomicParquetSink.overwrite(Seq((1L, "b")).toDF("k", "n"), table, 5)
+    val ckpt = AtomicParquetSink
+      .tableChangesSince(spark, table, Seq("k"), -1L)
+      .agg(max(col("commit_seq"))).head().getLong(0)
+    // schema change lands as the newest commit: a consumer behind it
+    // must get a loud error (silent-empty would strand it forever)...
+    AtomicParquetSink.overwrite(
+      Seq((1L, "b", 0.0)).toDF("k", "n", "extra"), table, 5)
+    val e = intercept[IllegalArgumentException] {
+      AtomicParquetSink.tableChangesSince(spark, table, Seq("k"), ckpt)
+    }
+    assert(e.getMessage.contains("schema changed"))
+    // ...while a consumer already past it polls an empty feed cleanly,
+    // even though only ONE comparable version exists
+    val newest = AtomicParquetSink.versions(spark, table)
+      .last.substring(2, 22).toLong
+    val caughtUp = AtomicParquetSink
+      .tableChangesSince(spark, table, Seq("k"), newest)
+    assert(caughtUp.count() == 0 && caughtUp.columns.contains("commit_seq"))
+    // retention sliding past a checkpoint is loud too
+    val e2 = intercept[IllegalArgumentException] {
+      AtomicParquetSink.tableChangesSince(spark, table, Seq("k"), 0L)
+    }
+    assert(e2.getMessage.contains("retention slid past"))
+  }
+
+  test("bootstrapGold does not double-count a crash between apply and fold") {
+    import graft.streaming.StreamMoR
+    val work = tmp("graft-smgb-")
+    val fact = s"$work/fact"
+    val gold = s"$work/gold"
+    val userCountry = Seq((1L, "A"), (2L, "A")).toDF("user_id", "country")
+    val batch = Seq(
+      (1L, 10.0, "2024-01-01 00:00:00", "I"),
+      (2L, 20.0, "2024-01-01 00:00:00", "I"))
+      .toDF("user_id", "value", "ts_s", "op")
+    // crash window: stage + apply land, the fold does NOT
+    StreamMorGold.stageDeltas(batch, 0L, fact, gold, "user_id", "op")
+    StreamMoR.applyBatch(spark, fact, batch, 0L, "user_id", "op")
+    // recovery replays run(): bootstrap must NOT build gold from the
+    // half-applied fact (the _commits marker proves stream batches
+    // touched it), then the replayed batch folds exactly once
+    StreamMorGold.bootstrapGold(spark, fact, gold, userCountry)
+    assert(AtomicParquetSink.read(spark, gold).isEmpty,
+      "bootstrap built gold from an applied-but-unfolded fact")
+    StreamMorGold.processBatch(batch, 0L, fact, gold, userCountry,
+      "user_id", "op")
+    val g = AtomicParquetSink.read(spark, gold).get
+      .select("country", "n_users", "total_value")
+      .as[(String, Long, java.math.BigDecimal)].collect()
+      .map(t => (t._1, t._2, t._3.doubleValue)).toSet
+    assert(g == Set(("A", 2L, 30.0)), s"double-counted: $g")
+  }
+
   test("tableChanges spans only the schema-consistent suffix") {
     val table = tmp("graft-cdfs-") + "/t"
     AtomicParquetSink.overwrite(
