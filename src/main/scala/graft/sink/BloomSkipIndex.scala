@@ -194,6 +194,17 @@ object BloomSkipIndex {
         "file" +: (0 until WordCount).map(w => s"w$w"))
       .getOrElse(computeBloom(spark, dir, keyCol))
 
+  /** True when a FRESH sidecar exists for `keyCol` — i.e.
+    * [[survivingFiles]] would prune from metadata alone, without the
+    * computeBloom full-scan fallback. Callers deciding between a
+    * pruned locate and a plain scan should check this first: paying a
+    * full scan to BUILD a throwaway bloom and then scanning again is
+    * strictly worse than one scan. */
+  def hasFreshSidecar(spark: SparkSession, dir: String,
+                      keyCol: String): Boolean =
+    Sidecars.readFresh(spark, dir, s"_bloom_$keyCol",
+      "file" +: (0 until WordCount).map(w => s"w$w")).nonEmpty
+
   /** The k (word, mask) probes of each literal value, computed by ONE
     * driver-local evaluation of the SAME column expressions the build
     * used (no hand-rolled twin hash to drift). Metadata-sized. */

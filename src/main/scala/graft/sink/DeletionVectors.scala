@@ -158,8 +158,14 @@ object DeletionVectors {
   def deleteByKeys(spark: SparkSession, dir: String, keyCol: String,
                    values: Seq[Column]): Long = {
     require(values.nonEmpty, "empty delete key set")
-    val files = scala.util.Try(
-      BloomSkipIndex.survivingFiles(spark, dir, keyCol, values)).toOption
+    // probe only behind a FRESH sidecar — the survivingFiles fallback
+    // would pay a full scan to build a throwaway bloom and then read
+    // the surviving files again (strictly worse than one locate scan)
+    val files =
+      if (scala.util.Try(BloomSkipIndex
+            .hasFreshSidecar(spark, dir, keyCol)).getOrElse(false))
+        Some(BloomSkipIndex.survivingFiles(spark, dir, keyCol, values))
+      else None
     val src = files match {
       case Some(fs) if fs.isEmpty => return 0L // no file may contain a victim
       case Some(fs) => spark.read.parquet(fs: _*)
@@ -185,16 +191,19 @@ object DeletionVectors {
     try {
       val n = k.count()
       if (n == 0) return 0L
+      // probe path ONLY behind a fresh sidecar: survivingFiles'
+      // fallback would full-scan to build a throwaway bloom and then
+      // scan the surviving files again — strictly worse than the one
+      // plain locate scan (review-caught)
       val src =
-        if (n <= 256) {
+        if (n <= 256 &&
+            scala.util.Try(BloomSkipIndex
+              .hasFreshSidecar(spark, dir, keyCol)).getOrElse(false)) {
           val dt = keys.schema(keyCol).dataType
           val vals = k.collect().map(r => lit(r.get(0)).cast(dt)).toSeq
-          scala.util.Try(
-            BloomSkipIndex.survivingFiles(spark, dir, keyCol, vals)).toOption match {
-            case Some(fls) if fls.isEmpty => return 0L
-            case Some(fls) => spark.read.parquet(fls: _*)
-            case None => spark.read.parquet(dir)
-          }
+          val fls = BloomSkipIndex.survivingFiles(spark, dir, keyCol, vals)
+          if (fls.isEmpty) return 0L
+          spark.read.parquet(fls: _*)
         } else spark.read.parquet(dir)
       val victims = withRowId(src)
         .join(broadcast(k), Seq(keyCol), "left_semi")

@@ -45,7 +45,11 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object IncrementalGold {
 
-  private def stagingDir(goldDir: String, batchId: Long): String =
+  /** One canonical staging path per (gold, batch) — shared with
+    * [[StreamMorGold]], whose crash-recovery protocol (stage reuse,
+    * bootstrap marker check, fold fence) depends on BOTH pipelines
+    * agreeing on where a batch's durable deltas live. */
+  private[streaming] def stagingDir(goldDir: String, batchId: Long): String =
     s"$goldDir-staging/batch_$batchId"
 
   /** Batch winner rows: quality-gate then latest version per user. */
@@ -180,10 +184,26 @@ object IncrementalGold {
       }
       .start()
     q.awaitTermination()
-    AtomicParquetSink.read(spark, s"$stateDir/gold")
-      .getOrElse(spark.emptyDataFrame)
-      .select(col("country"), col("n_users"),
+    AtomicParquetSink.read(spark, s"$stateDir/gold") match {
+      case Some(g) => g.select(col("country"), col("n_users"),
         col("total_value").cast("double").as("total_value"),
         col("last_seen"))
+      case None => emptyGold(spark) // zero-batch drain: typed empty
+    }
+  }
+
+  /** The gold result schema as a typed EMPTY frame — what a drain that
+    * processed zero batches returns. (`spark.emptyDataFrame.select`
+    * would fail resolution: no columns to select from — review-caught
+    * on both run() methods.) */
+  private[streaming] def emptyGold(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("country", StringType),
+        StructField("n_users", LongType),
+        StructField("total_value", DoubleType),
+        StructField("last_seen", StringType))))
   }
 }

@@ -63,15 +63,23 @@ object StreamMoR {
       // ONE aggregation job for every batch-contract check and routing
       // count (separate count()/distinct()/isEmpty actions here cost
       // ~5 jobs per micro-batch — pure trigger overhead at any scale)
+      // the bad-op predicate MUST coalesce: `!null.isin(...)` is null,
+      // which count(when(...)) skips — a null-op row would slip the
+      // guard and (since the locate tombstones every batch key) turn
+      // into a silent DELETE of its key (review-caught)
       val stats = ops.agg(
         count(lit(1)),
-        count(when(!col(opCol).isin("I", "U", "D"), 1)),
+        count(when(coalesce(!col(opCol).isin("I", "U", "D"), lit(true)), 1)),
         countDistinct(col(keyCol)),
+        count(when(col(keyCol).isNull, 1)),
         count(when(col(opCol).isin("I", "U"), 1))).head()
-      val (n, bad, nKeys, nFresh) =
+      val (n, bad, nKeys, nNullKeys, nFresh) =
         (stats.getLong(0), stats.getLong(1), stats.getLong(2),
-          stats.getLong(3))
+          stats.getLong(3), stats.getLong(4))
       require(bad == 0, s"applyBatch: $bad rows carry an unknown $opCol op")
+      require(nNullKeys == 0,
+        s"applyBatch: $nNullKeys rows carry a NULL $keyCol — null keys " +
+          "have no identity to merge on")
       require(n == nKeys,
         s"applyBatch: batch is not unique on $keyCol " +
           "(fold to latest-per-key upstream)")

@@ -51,8 +51,9 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamMorGold {
 
+  /** Shared with [[IncrementalGold]] — one canonical staging path. */
   private def stagingDir(goldDir: String, batchId: Long): String =
-    s"$goldDir-staging/batch_$batchId"
+    IncrementalGold.stagingDir(goldDir, batchId)
 
   /** The fact's current visible rows (DV-aware), or None before any
     * data file exists. */
@@ -71,21 +72,40 @@ object StreamMorGold {
     * Runs BEFORE the stream so batch deltas always fold into a state
     * that already accounts for the pre-existing fact rows.
     *
-    * Also a no-op when the fact already carries `_commits` markers —
-    * i.e. STREAM batches have been applied to it. In that state the
-    * fact may contain an applied-but-not-yet-folded batch (crash
-    * between apply and fold), and bootstrapping from it would count
-    * that batch once in the bootstrap and again when its replayed
-    * fold lands (the review-caught double-count). Attaching gold
-    * maintenance to a table a PREVIOUS drain built is instead an
-    * explicit, quiesced-point call of this method after removing the
-    * markers — not something run() may do implicitly mid-recovery. */
+    * When the fact already carries `_commits` markers — STREAM batches
+    * have been applied to it — bootstrapping from it naively would
+    * count an applied-but-not-yet-folded batch once in the bootstrap
+    * and again when its replayed fold lands (the review-caught
+    * double-count). Two marker cases are distinguished:
+    *
+    *   - every marked batch has a COMPLETE staged-deltas dir under
+    *     THIS goldDir → crash recovery of this very pipeline (apply
+    *     landed, fold pending): skip the bootstrap, the replayed folds
+    *     account for everything;
+    *   - some marked batch was never staged here → the fact was built
+    *     by a DIFFERENT drain; a delta-only gold would silently miss
+    *     every pre-existing row, so FAIL LOUD. Attach gold to such a
+    *     table by calling this method with `force = true` at a
+    *     quiesced point (no stream running, no fold pending). */
   def bootstrapGold(spark: SparkSession, tableDir: String, goldDir: String,
-                    userCountry: DataFrame): Unit = {
+                    userCountry: DataFrame, force: Boolean = false): Unit = {
     if (AtomicParquetSink.read(spark, goldDir).nonEmpty) return
     val commits = new Path(s"$tableDir/_commits")
     val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(commits)) return
+    if (!force && fs.exists(commits)) {
+      val markedIds = fs.listStatus(commits).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("batch-"))
+        .map(_.stripPrefix("batch-"))
+      val allStagedHere = markedIds.forall(id =>
+        fs.exists(new Path(s"${stagingDir(goldDir, id.toLong)}/_SUCCESS")))
+      if (allStagedHere) return // crash recovery: folds are pending
+      throw new IllegalStateException(
+        s"bootstrapGold: $tableDir carries stream commits " +
+          s"(${markedIds.size} marker(s)) this gold never staged — a " +
+          "delta-only gold would silently miss the pre-existing rows. " +
+          "Quiesce the stream and call bootstrapGold(force = true) to " +
+          "attach gold maintenance to an already-drained table.")
+    }
     visibleFact(spark, tableDir).foreach { fact =>
       val gold = fact
         .join(broadcast(userCountry), "user_id")
@@ -182,10 +202,11 @@ object StreamMorGold {
       }
       .start()
     q.awaitTermination()
-    AtomicParquetSink.read(spark, goldDir)
-      .getOrElse(spark.emptyDataFrame)
-      .select(col("country"), col("n_users"),
+    AtomicParquetSink.read(spark, goldDir) match {
+      case Some(g) => g.select(col("country"), col("n_users"),
         col("total_value").cast("double").as("total_value"),
         col("last_seen"))
+      case None => IncrementalGold.emptyGold(spark) // zero-batch drain
+    }
   }
 }

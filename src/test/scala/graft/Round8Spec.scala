@@ -185,6 +185,51 @@ class Round8Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("retention slid past"))
   }
 
+  test("a NULL op or NULL key fails the batch loudly, never silently deletes") {
+    import graft.streaming.StreamMoR
+    val dir = tmp("graft-mornull-") + "/t"
+    Seq((1L, 1.0)).toDF("k", "v").write.parquet(dir)
+    // null op: pre-fix this slipped the guard (null predicate skipped
+    // by count(when)) and the presence locate DELETED key 1 silently
+    val nullOp = Seq((1L, 9.0, Option.empty[String]))
+      .toDF("k", "v", "op")
+    val e = intercept[IllegalArgumentException] {
+      StreamMoR.applyBatch(spark, dir, nullOp, 50L, "k", "op")
+    }
+    assert(e.getMessage.contains("unknown"))
+    assert(spark.read.parquet(dir).count() == 1, "null-op batch mutated the table")
+    val nullKey = Seq((Option.empty[Long], 9.0, "I"))
+      .toDF("k", "v", "op")
+    val e2 = intercept[IllegalArgumentException] {
+      StreamMoR.applyBatch(spark, dir, nullKey, 51L, "k", "op")
+    }
+    assert(e2.getMessage.contains("NULL k"))
+  }
+
+  test("bootstrapGold refuses a foreign stream-built fact without force") {
+    import graft.streaming.StreamMoR
+    val work = tmp("graft-smgf-")
+    val fact = s"$work/fact"
+    val userCountry = Seq((1L, "A"), (2L, "A")).toDF("user_id", "country")
+    // a DIFFERENT drain built the fact (markers exist, nothing staged
+    // under THIS goldDir): implicit bootstrap must fail loud, not
+    // quietly produce a delta-only gold missing every existing row
+    StreamMorGold.processBatch(
+      Seq((1L, 10.0, "2024-01-01 00:00:00", "I"))
+        .toDF("user_id", "value", "ts_s", "op"),
+      0L, fact, s"$work/gold_other", userCountry, "user_id", "op")
+    val e = intercept[IllegalStateException] {
+      StreamMorGold.bootstrapGold(spark, fact, s"$work/gold_new", userCountry)
+    }
+    assert(e.getMessage.contains("force = true"))
+    // the documented quiesced attach works
+    StreamMorGold.bootstrapGold(spark, fact, s"$work/gold_new", userCountry,
+      force = true)
+    val g = AtomicParquetSink.read(spark, s"$work/gold_new").get
+      .select("country", "n_users").as[(String, Long)].collect().toSet
+    assert(g == Set(("A", 1L)))
+  }
+
   test("bootstrapGold does not double-count a crash between apply and fold") {
     import graft.streaming.StreamMoR
     val work = tmp("graft-smgb-")
