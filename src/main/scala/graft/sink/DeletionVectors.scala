@@ -187,29 +187,31 @@ object DeletionVectors {
     * that take frequent keyed batches to avoid that). */
   def deleteByKeyDf(spark: SparkSession, dir: String, keyCol: String,
                     keys: DataFrame): Long = {
-    val k = keys.select(col(keyCol)).distinct().persist()
-    try {
-      val n = k.count()
-      if (n == 0) return 0L
-      // probe path ONLY behind a fresh sidecar: survivingFiles'
-      // fallback would full-scan to build a throwaway bloom and then
-      // scan the surviving files again — strictly worse than the one
-      // plain locate scan (review-caught)
-      val src =
-        if (n <= 256 &&
-            scala.util.Try(BloomSkipIndex
-              .hasFreshSidecar(spark, dir, keyCol)).getOrElse(false)) {
-          val dt = keys.schema(keyCol).dataType
-          val vals = k.collect().map(r => lit(r.get(0)).cast(dt)).toSeq
-          val fls = BloomSkipIndex.survivingFiles(spark, dir, keyCol, vals)
-          if (fls.isEmpty) return 0L
-          spark.read.parquet(fls: _*)
-        } else spark.read.parquet(dir)
-      val victims = withRowId(src)
-        .join(broadcast(k), Seq(keyCol), "left_semi")
-        .select(col(RFile).as(FileCol), col(RRow).as(RowCol))
-      writeNextGen(spark, dir, victims)
-    } finally k.unpersist()
+    val k = keys.select(col(keyCol)).distinct()
+    // ONE capped collect decides the probe path AND captures the probe
+    // values: ≤256 distinct keys → driver-side bloom probe material;
+    // 257 rows back → too many, plain locate. (A separate count()
+    // would cost an extra job per CDC micro-batch.)
+    val sample = k.limit(257).collect()
+    if (sample.isEmpty) return 0L
+    // probe path ONLY behind a fresh sidecar: survivingFiles'
+    // fallback would full-scan to build a throwaway bloom and then
+    // scan the surviving files again — strictly worse than the one
+    // plain locate scan (review-caught)
+    val src =
+      if (sample.length <= 256 &&
+          scala.util.Try(BloomSkipIndex
+            .hasFreshSidecar(spark, dir, keyCol)).getOrElse(false)) {
+        val dt = keys.schema(keyCol).dataType
+        val vals = sample.map(r => lit(r.get(0)).cast(dt)).toSeq
+        val fls = BloomSkipIndex.survivingFiles(spark, dir, keyCol, vals)
+        if (fls.isEmpty) return 0L
+        spark.read.parquet(fls: _*)
+      } else spark.read.parquet(dir)
+    val victims = withRowId(src)
+      .join(broadcast(k), Seq(keyCol), "left_semi")
+      .select(col(RFile).as(FileCol), col(RRow).as(RowCol))
+    writeNextGen(spark, dir, victims)
   }
 
   /** Subtract the current tombstones from `data` (rows carrying their
