@@ -56,7 +56,7 @@ object Bench {
     // ~10% of the reachable floor, and two independent suite runs land
     // on the same floor instead of each reporting a different lucky
     // draw.
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sampled = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def one(): Double =
         try {
           // hygiene OUTSIDE the timed window: drop any cache entries a
@@ -90,7 +90,15 @@ object Bench {
             samples.size >= 5
         }
       }
-      name -> (if (err) -1.0 else samples.min)
+      name -> (if (err) List.empty[Double] else samples.reverse)
+    }
+    // headline value per query = min of its samples (noise on a shared
+    // box is additive); ALL samples land in the file artifact so a
+    // cross-round comparison can see the variance band per query
+    // instead of re-litigating host noise from SURVEY prose every
+    // round (round-8 verdict item 3)
+    val results = sampled.map { case (name, ss) =>
+      name -> (if (ss.isEmpty) -1.0 else ss.min)
     }
     // The driver keeps EXACTLY the last 2000 chars of stdout (measured
     // from the BENCH_r0{1,2,3} artifacts: tail len 2000, parsed null
@@ -122,11 +130,27 @@ object Bench {
         s""""shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
         s""""jvm_args":$jvmArgs}"""
     }
-    def line(keyOf: String => String): String = {
+    // suite-level variance band: what the total WOULD span if every
+    // query drew its worst (resp. best) observed sample — plus the
+    // per-query sample lists themselves
+    val bandJson = {
+      val mins = sampled.collect { case (_, ss) if ss.nonEmpty => ss.min }.sum
+      val maxs = sampled.collect { case (_, ss) if ss.nonEmpty => ss.max }.sum
+      val pct = if (mins > 0) (maxs - mins) / mins * 100 else 0.0
+      val samplesJson = sampled.map { case (k, ss) =>
+        s""""$k":${ss.map(fmt).mkString("[", ",", "]")}"""
+      }.mkString("{", ",", "}")
+      s""""band":{"total_min":${fmt(mins)},"total_max":${fmt(maxs)},""" +
+        s""""band_pct":${fmt(pct)}},"samples":$samplesJson"""
+    }
+    // band+samples ride the FILE channel only — the stdout line has a
+    // hard 1900-char budget (driver tail buffer)
+    def line(keyOf: String => String, withBand: Boolean = false): String = {
       val qs = results.map { case (k, v) => s"\"${keyOf(k)}\":${fmt(v)}" }
         .mkString("{", ",", "}")
+      val band = if (withBand) s"$bandJson," else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partial"queries":$qs,""" +
-        s""""failed":${failedJson(keyOf)},$envJson,"sf":"$sfDir"}"""
+        s""""failed":${failedJson(keyOf)},$envJson,$band"sf":"$sfDir"}"""
     }
     // stdout guard: the driver's tail buffer is 2000 chars and
     // head-truncation breaks its parse (r01–r03). Past the budget,
@@ -151,7 +175,8 @@ object Bench {
     // selected queries and must never replace the full-suite snapshot
     val outFile = if (args.isEmpty) "bench_result.json"
                   else "bench_result_partial.json"
-    Files.writeString(Paths.get(outFile), line(identity) + "\n")
+    Files.writeString(Paths.get(outFile),
+      line(identity, withBand = true) + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

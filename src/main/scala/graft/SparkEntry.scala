@@ -438,6 +438,10 @@ object SparkEntry {
     // manifest ∧ bloom ∧ tombstones: the composite-pruned scan through
     // the deletion vectors — double skipping may not resurrect deletes
     "q203_composite_dv"     -> ((s, d) => CoreQueries.compositeDvScan(s, d)),
+    // q201's drain with exactLastSeen: deletes must retract last_seen
+    "q206_gold_exact_retract" -> ((s, d) => CoreQueries.streamMorGoldExact(s, d)),
+    // trickle drain → bin-pack smalls through DVs → same answers
+    "q207_mor_small_files"  -> ((s, d) => CoreQueries.streamMorPacked(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -3517,5 +3521,34 @@ object SparkEntry {
            floor((MAX(CASE WHEN rank = 1 THEN cos5 END)
              - COALESCE(MAX(CASE WHEN rank = 2 THEN cos5 END), 0)) * 1e5 + 0.5) / 1e5 AS margin5
          FROM r WHERE rank <= 2 GROUP BY query_id""",
+    // exact-retraction gold: last_seen must equal the SURVIVING rows'
+    // max after the %3==0 winners are deleted — the running-max fold
+    // would keep the deleted rows' (higher) timestamps
+    "q206_gold_exact_retract" ->
+      """WITH ok AS (SELECT * FROM events
+                     WHERE NOT COALESCE(event_type = 'error', FALSE)),
+         latest AS (
+           SELECT user_id, value, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S') DESC, event_id DESC) AS rn
+           FROM ok)
+         SELECT n_name AS country, COUNT(*) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MAX(ts_s) AS last_seen
+         FROM latest JOIN customer ON user_id = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE rn = 1 AND user_id % 3 <> 0
+         GROUP BY n_name""",
+    // packed MoR table answers exactly like the never-packed one —
+    // q197's oracle over the same final state
+    "q207_mor_small_files" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CASE WHEN event_id % 10 = 4
+                              THEN value + 10000.0 ELSE value END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE event_id % 10 <> 8
+         GROUP BY event_type""",
   )
 }

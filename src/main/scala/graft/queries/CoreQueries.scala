@@ -2319,6 +2319,74 @@ object CoreQueries {
         col("value"))
   }
 
+  /** Exact-recency gold under deletes (q206): q201's speed layer with
+    * `exactLastSeen = true` — the feed DELETES every `user_id % 3 ==
+    * 0` winner, which (at this data) removes several countries'
+    * max-ts rows, so the drained gold's `last_seen` must STEP BACK to
+    * the surviving rows' max. The default running-MAX fold cannot
+    * retract (documented monotone-event-time assumption); the exact
+    * mode recomputes the affected countries from the post-apply fact
+    * ([[graft.streaming.StreamMorGold]]). Oracle: the from-scratch
+    * gold over the surviving winners — verified locally to DIFFER
+    * from the non-exact drain on this data, so the entry genuinely
+    * pins the retraction. */
+  def streamMorGoldExact(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-smge-")
+    val changes = Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("value"), col("event_type"),
+      fmtTs(col("ts")).as("ts_s"))
+    val (ok, _) = CdcOps.qualitySplit(changes, col("event_type") === "error")
+    val winners = CdcOps
+      .latestPerKey(ok, Seq("user_id"), Seq(col("ts_s"), col("event_id")))
+      .select(col("user_id"), col("value"), col("ts_s"))
+    winners.repartition(4).write.parquet(s"$work/fact")
+    val feed = winners.filter(col("user_id") % 3 === 0)
+      .withColumn("op", lit("D"))
+    feed.repartition(2).write.parquet(s"$work/feed")
+    val userCountry = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name").as("country"))
+    graft.streaming.StreamMorGold.run(s, s"$work/feed", feed.schema,
+        s"$work/checkpoint", s"$work/fact", s"$work/gold", userCountry,
+        exactLastSeen = true)
+      .filter(col("n_users") =!= 0L)
+  }
+
+  /** Small-file compaction under the oracle (q207): q197's trickle
+    * drain leaves one appended file set per micro-batch — the
+    * read-amplification [[graft.sink.DeletionVectors
+    * .compactSmallFiles]] exists for. Bin-pack the smalls THROUGH
+    * their tombstones, then the DV-aware read of the packed table
+    * must answer exactly like the never-compacted table (q197's
+    * oracle): packing can neither resurrect a deleted row nor drop a
+    * visible one. */
+  def streamMorPacked(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-smp-")
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    ev.filter(col("event_id") % 2 === 0)
+      .repartition(8).write.parquet(s"$work/table")
+    val feed = ev.filter(col("event_id") % 2 =!= 0)
+      .withColumn("op", lit("I"))
+      .unionByName(ev.filter(col("event_id") % 10 === 4)
+        .withColumn("value", col("value") + lit(10000.0))
+        .withColumn("op", lit("U")))
+      .unionByName(ev.filter(col("event_id") % 10 === 8)
+        .withColumn("op", lit("D")))
+    feed.repartition(4).write.parquet(s"$work/feed")
+    graft.streaming.StreamMoR.run(
+      s, s"$work/feed", feed.schema, s"$work/checkpoint", s"$work/table",
+      keyCol = "event_id", opCol = "op")
+    graft.sink.DeletionVectors.compactSmallFiles(s, s"$work/table",
+      smallBytes = 64L << 20, targetBytes = 128L << 20)
+    graft.sink.DeletionVectors.read(s, s"$work/table")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -95,15 +95,24 @@ object BloomSkipIndex {
     (0 until WordCount).map(w =>
       bit_or(wordMask(col(keyCol), w)).as(s"w$w"))
 
+  /** One sidecar row for a ZERO-ROW data file: the all-zero filter —
+    * it provably contains no value, so every probe prunes it. See
+    * [[Sidecars.withZeroRowFiles]] for why these rows must exist. */
+  private def zeroBloomRow(path: String): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row.fromSeq(path +: Seq.fill(WordCount)(0L))
+
   /** Recompute the per-file bloom table by scanning the data — the
     * write-time build and the fallback for foreign directories. One
-    * row per file: (file, w0…w15). */
+    * row per file: (file, w0…w15); 0-row files carry the all-zero
+    * filter (a scan-side aggregate alone would miss them and the
+    * sidecar could never match the listing again). */
   def computeBloom(spark: SparkSession, dir: String,
                    keyCol: String): DataFrame = {
     val aggs = bloomAggs(keyCol)
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
+    Sidecars.withZeroRowFiles(spark, dir,
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*))(zeroBloomRow)
   }
 
   /** Fold an appended batch into the bloom sidecar: keep the recorded
@@ -141,7 +150,11 @@ object BloomSkipIndex {
             spark.read.parquet(missing: _*)
               .groupBy(input_file_name().as("file"))
               .agg(aggs.head, aggs.tail: _*))
-        out.coalesce(1)
+        // zero-complete: a 0-row appended/rewritten file never shows
+        // up in the scan aggregate — record it with the all-zero
+        // filter or the fold can never reach freshness again
+        Sidecars.withZeroRowFiles(spark, dir, out)(zeroBloomRow)
+          .coalesce(1)
           .write.mode("overwrite").parquet(bloomDir(dir, keyCol))
     }
   }
@@ -234,6 +247,39 @@ object BloomSkipIndex {
       }.reduce(_ && _)
     }.reduce(_ || _)
     bloomTable(spark, dir, keyCol).filter(pred)
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Files that MAY contain at least one key of `keys` (a DataFrame —
+    * the form a large CDC batch's key set arrives in): the DISTRIBUTED
+    * twin of [[survivingFiles]], for key sets too big to collect as
+    * driver-side probe literals. Each key row computes its k probe
+    * positions with the SAME column expressions the build used; the
+    * probe set broadcasts (O(batch) — a CDC batch is broadcast-sized
+    * by definition, it just arrived over the wire) and streams against
+    * the bloom table, which is one metadata row per file and NEVER
+    * collects to the driver here — at 10⁶ files × 10⁴ keys the
+    * predicate evaluates distributed across the sidecar's partitions,
+    * no shuffle, output O(matched files). A file survives iff some key
+    * finds all its probed bits set, so no containing file is ever
+    * skipped (same guarantee as the literal path). */
+  def survivingFilesForKeyDf(spark: SparkSession, dir: String,
+                             keyCol: String,
+                             keys: DataFrame): Seq[String] = {
+    val probes = keys.select(col(keyCol)).distinct()
+      .select(positions(col(keyCol)).zipWithIndex.map {
+        case (p, j) => p.as(s"_p$j")
+      }: _*)
+    val words = array((0 until WordCount).map(w => col(s"w$w")): _*)
+    val pred = (0 until KHashes).map { j =>
+      val pos = col(s"_p$j")
+      val mask = call_function("shiftleft", lit(1L), (pos % 64).cast("int"))
+      element_at(col("_words"), (floor(pos / 64) + 1).cast("int"))
+        .bitwiseAND(mask) === mask
+    }.reduce(_ && _)
+    bloomTable(spark, dir, keyCol)
+      .withColumn("_words", words)
+      .join(broadcast(probes), pred, "left_semi")
       .select("file").collect().map(_.getString(0)).toSeq
   }
 

@@ -34,6 +34,15 @@ import org.apache.spark.sql.functions._
   * don't (the atomic-sink version swap is the transactional alternative
   * when that's needed).
   */
+/** Observability hook for specs: how many files the last keyed
+  * locate/fetch actually read — Some(n) when a bloom prune engaged
+  * (n = surviving files), None when it fell back to the full scan.
+  * Test-only; never consulted by the operators themselves. */
+private[graft] object DvStats {
+  @volatile var lastLocateFiles: Option[Int] = None
+  @volatile var lastFetchFiles: Option[Int] = None
+}
+
 object DeletionVectors {
 
   private val GenPrefix = "_dv_g"
@@ -178,40 +187,89 @@ object DeletionVectors {
   }
 
   /** DELETE every row whose `keyCol` appears in `keys` (a DataFrame —
-    * the form a CDC micro-batch's delete set arrives in). Locates by
-    * broadcast semi-join; tombstone-only, no data rewrite. When a
-    * fresh `_bloom_<keyCol>` sidecar exists and the key set is small
-    * enough to probe driver-side (≤256 after dedup), the locate scans
-    * only may-contain files — O(matched files); otherwise it is one
-    * full table scan per call (maintain the bloom sidecar on tables
-    * that take frequent keyed batches to avoid that). */
+    * the form a CDC micro-batch's delete set arrives in).
+    * Tombstone-only, no data rewrite. When a fresh `_bloom_<keyCol>`
+    * sidecar exists the locate scans only may-contain files — via
+    * driver-side probe literals for small key sets (≤256 after dedup)
+    * and via [[BloomSkipIndex.survivingFilesForKeyDf]]'s distributed
+    * probe for anything larger — so locate stays O(matched files) for
+    * ANY batch size; without a sidecar it is one full table scan per
+    * call (maintain the sidecar on tables that take frequent keyed
+    * batches). On the small path BOTH the file prune and the victim
+    * predicate are built from the one collected sample, so a
+    * non-deterministic `keys` plan (sample/rand upstream) can never
+    * make the probe and the delete disagree on the key set; the large
+    * path pins `keys` by persisting it across probe and locate. */
   def deleteByKeyDf(spark: SparkSession, dir: String, keyCol: String,
                     keys: DataFrame): Long = {
-    val k = keys.select(col(keyCol)).distinct()
-    // ONE capped collect decides the probe path AND captures the probe
-    // values: ≤256 distinct keys → driver-side bloom probe material;
-    // 257 rows back → too many, plain locate. (A separate count()
-    // would cost an extra job per CDC micro-batch.)
-    val sample = k.limit(257).collect()
-    if (sample.isEmpty) return 0L
-    // probe path ONLY behind a fresh sidecar: survivingFiles'
-    // fallback would full-scan to build a throwaway bloom and then
-    // scan the surviving files again — strictly worse than the one
-    // plain locate scan (review-caught)
-    val src =
-      if (sample.length <= 256 &&
-          scala.util.Try(BloomSkipIndex
-            .hasFreshSidecar(spark, dir, keyCol)).getOrElse(false)) {
+    val k = keys.select(col(keyCol)).distinct().persist()
+    try {
+      // ONE capped collect decides the probe path AND captures the
+      // probe values: ≤256 distinct keys → driver-side bloom probe
+      // material; 257 rows back → too many, distributed probe. (A
+      // separate count() would cost an extra job per CDC micro-batch.)
+      val sample = k.limit(257).collect()
+      if (sample.isEmpty) return 0L
+      // probe paths ONLY behind a fresh sidecar: survivingFiles'
+      // fallback would full-scan to build a throwaway bloom and then
+      // scan the surviving files again — strictly worse than the one
+      // plain locate scan (review-caught)
+      val fresh = scala.util.Try(BloomSkipIndex
+        .hasFreshSidecar(spark, dir, keyCol)).getOrElse(false)
+      if (sample.length <= 256) {
         val dt = keys.schema(keyCol).dataType
         val vals = sample.map(r => lit(r.get(0)).cast(dt)).toSeq
-        val fls = BloomSkipIndex.survivingFiles(spark, dir, keyCol, vals)
-        if (fls.isEmpty) return 0L
-        spark.read.parquet(fls: _*)
-      } else spark.read.parquet(dir)
-    val victims = withRowId(src)
+        val src =
+          if (fresh) {
+            val fls = BloomSkipIndex.survivingFiles(spark, dir, keyCol, vals)
+            DvStats.lastLocateFiles = Some(fls.length)
+            if (fls.isEmpty) return 0L
+            spark.read.parquet(fls: _*)
+          } else { DvStats.lastLocateFiles = None; spark.read.parquet(dir) }
+        // victim predicate from the SAME sample the prune used
+        val victims = withRowId(src)
+          .filter(vals.map(col(keyCol) === _).reduce(_ || _))
+          .select(col(RFile).as(FileCol), col(RRow).as(RowCol))
+        writeNextGen(spark, dir, victims)
+      } else {
+        val src =
+          if (fresh) {
+            val fls = BloomSkipIndex
+              .survivingFilesForKeyDf(spark, dir, keyCol, k)
+            DvStats.lastLocateFiles = Some(fls.length)
+            if (fls.isEmpty) return 0L
+            spark.read.parquet(fls: _*)
+          } else { DvStats.lastLocateFiles = None; spark.read.parquet(dir) }
+        val victims = withRowId(src)
+          .join(broadcast(k), Seq(keyCol), "left_semi")
+          .select(col(RFile).as(FileCol), col(RRow).as(RowCol))
+        writeNextGen(spark, dir, victims)
+      }
+    } finally k.unpersist()
+  }
+
+  /** DV-aware fetch of the VISIBLE rows whose `keyCol` may appear in
+    * `keys` — the "old images of exactly these keys" primitive a
+    * streaming merge's pre-image lookup needs
+    * ([[graft.streaming.StreamMorGold]]): bloom-pruned to may-contain
+    * files when a fresh `_bloom_<keyCol>` sidecar exists (distributed
+    * probe — any key-set size), tombstone anti-join hides deleted
+    * rows, then a broadcast semi-join closes to exactly the requested
+    * keys. O(batch + matched files), never O(table), on a maintained
+    * table; degrades to one full scan without the sidecar. */
+  def visibleByKeyDf(spark: SparkSession, dir: String, keyCol: String,
+                     keys: DataFrame): DataFrame = {
+    val k = keys.select(col(keyCol)).distinct()
+    val src =
+      if (scala.util.Try(BloomSkipIndex
+            .hasFreshSidecar(spark, dir, keyCol)).getOrElse(false)) {
+        val fls = BloomSkipIndex.survivingFilesForKeyDf(spark, dir, keyCol, k)
+        DvStats.lastFetchFiles = Some(fls.length)
+        if (fls.isEmpty) spark.read.parquet(dir).limit(0)
+        else spark.read.parquet(fls: _*)
+      } else { DvStats.lastFetchFiles = None; spark.read.parquet(dir) }
+    minusTombstones(spark, dir, src)
       .join(broadcast(k), Seq(keyCol), "left_semi")
-      .select(col(RFile).as(FileCol), col(RRow).as(RowCol))
-    writeNextGen(spark, dir, victims)
   }
 
   /** Subtract the current tombstones from `data` (rows carrying their
@@ -466,10 +524,16 @@ object DeletionVectors {
 
   /** Drop tombstones whose file no longer exists in the listing
     * (left dangling by [[applyDeletes]] or a compaction) and stale
-    * generations older than the current one. Compares on file NAME —
+    * generations older than the PREVIOUS one. Compares on file NAME —
     * scheme/authority spellings differ between `_metadata.file_path`
     * and the listing. Pure metadata maintenance; reads are already
-    * correct without it. */
+    * correct without it. The immediately-previous generation (the one
+    * that was current when vacuum started) survives as the grace copy
+    * — same reader-grace argument as [[commitGen]]: a reader that
+    * resolved the generation list just before the vacuum commits must
+    * still find the directory it resolved (review-caught: the old
+    * delete-everything behavior was the module's one exception to its
+    * own grace rule). */
   def vacuumTombstones(spark: SparkSession, dir: String): Unit = {
     val t = currentTombstones(spark, dir).getOrElse(return)
     val live = Sidecars.dataFileNames(spark, dir)
@@ -479,7 +543,8 @@ object DeletionVectors {
     val gen = gens.lastOption.getOrElse(0)
     kept.coalesce(1).write.parquet(s"$dir/$GenPrefix${gen + 1}")
     val fs = fsOf(spark, dir)
-    gens.foreach(g => fs.delete(new Path(s"$dir/$GenPrefix$g"), true))
+    gens.dropRight(1).foreach(g =>
+      fs.delete(new Path(s"$dir/$GenPrefix$g"), true))
   }
 
   /** Last path segment of a path/URI string, as a Column (no UDF). */

@@ -1,7 +1,7 @@
 package graft.sink
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 /** Shared read-path guard for metadata sidecars (`_manifest` stats,
   * `_bloom` filters): a sidecar is served ONLY when it exists, parses,
@@ -22,6 +22,31 @@ private[sink] object Sidecars {
       .filter(n => n.endsWith(".parquet")
         && !n.startsWith("_") && !n.startsWith("."))
       .toSet
+  }
+
+  /** Materialize `agged` — a per-file `groupBy(input_file_name())`
+    * aggregate, metadata-sized by construction (one row per file) —
+    * and append one row per ZERO-ROW data file under `dir`, built by
+    * `zeroRow(fullPath)`. A scan-side aggregate is BLIND to 0-row
+    * files (no input rows → no group), and writers do emit them
+    * (e.g. a compaction rewrite whose hash-partitioning leaves an
+    * empty task, which some committer paths still materialize as an
+    * empty part file) — without this completion any sidecar derived
+    * from such an aggregate is permanently name-set-stale against
+    * the listing, so freshness never holds again and every "pruned"
+    * read silently degrades to a full scan forever (review-caught:
+    * the round-9 mid-drain spec flushed it out). The returned frame
+    * is backed by collected rows, so writing it over the very
+    * directory the aggregate read from cannot re-trigger the scan
+    * mid-overwrite. */
+  def withZeroRowFiles(spark: SparkSession, dir: String, agged: DataFrame)
+                      (zeroRow: String => Row): DataFrame = {
+    val rows = agged.collect().toSeq
+    val seen = rows.map(r => new Path(r.getString(0)).getName).toSet
+    val zeros = (dataFileNames(spark, dir) -- seen).toSeq.sorted
+      .map(n => zeroRow(s"$dir/$n"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows ++ zeros, 1), agged.schema)
   }
 
   /** The sidecar at `dir/<name>` with columns `needed`, read WITHOUT

@@ -227,9 +227,12 @@ object ZOrderLayout {
     val newStats = spark.read.parquet(newPaths: _*)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(oldRows, 1), old.schema)
-      .unionByName(newStats)
+    // zero-complete (see computeManifest): an empty appended part
+    // file must still get a manifest row or freshness is lost forever
+    Sidecars.withZeroRowFiles(spark, dir,
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(oldRows, 1), old.schema)
+          .unionByName(newStats))(zeroManifestRow(dims))
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestDir(dir))
   }
@@ -241,15 +244,28 @@ object ZOrderLayout {
   private def minMaxAggs(dims: Seq[String]): Seq[Column] =
     dims.flatMap(d => Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d")))
 
+  /** One manifest row for a ZERO-ROW data file: all-null stats — the
+    * box predicate `max >= lo && min <= hi` is null on it, so every
+    * box query prunes the file (it provably holds no row). See
+    * [[Sidecars.withZeroRowFiles]] for why these rows must exist. */
+  private def zeroManifestRow(dims: Seq[String])(
+      path: String): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row.fromSeq(
+      path +: Seq.fill(2 * dims.size)(null))
+
   /** Recompute the per-file min/max manifest by scanning the data —
     * the fallback for directories written by someone else. One row per
-    * file; columns `file, min_<dim>, max_<dim>…` in native types. */
+    * file; columns `file, min_<dim>, max_<dim>…` in native types.
+    * 0-row files carry all-null stats (a scan-side aggregate alone
+    * would miss them and the manifest could never match the listing
+    * again). */
   def computeManifest(spark: SparkSession, dir: String,
                       dims: Seq[String]): DataFrame = {
     val aggs = minMaxAggs(dims)
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
+    Sidecars.withZeroRowFiles(spark, dir,
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*))(zeroManifestRow(dims))
   }
 
   /** Persist the manifest sidecar for `dir` (one tiny parquet file at

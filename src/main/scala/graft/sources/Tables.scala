@@ -37,17 +37,26 @@ object Tables {
     * with `spark.sql.session.timeZone=UTC` (GraftSession), so the
     * NTZ→LTZ cast is value-preserving and agrees with a naive reader
     * (e.g. the DuckDB oracle) byte for byte.
-    * The legacy conf is set only on the retry path — i.e. only when the
-    * nanos encoding is actually present — so reading modern data leaves
-    * session state untouched. */
+    * The retry path reads through an ISOLATED sibling session
+    * (`newSession()` — shared SparkContext, fresh session state from
+    * the builder-time conf, which carries the UTC zone and the
+    * extensions) with the legacy conf set THERE: the scan consults
+    * its own session's conf at execution planning, not just at load,
+    * so the conf must out-live this call — but setting it on the
+    * CALLER's session would silently load every OTHER
+    * TIMESTAMP(NANOS) dataset in the session as long from then on,
+    * diverging from the stock-session behavior documented here
+    * (review-caught). Frames from the sibling compose with the
+    * caller's in one plan (same SparkContext). */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw =
       try table(s, d, "events")
       catch {
         case e: Throwable if isIllegalNanosType(e) =>
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          table(s, d, "events")
+          val legacy = s.newSession()
+          legacy.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          table(legacy, d, "events")
       }
     raw.schema("ts").dataType match {
       case LongType => // legacy nanos-as-long: truncate ns → µs like Spark itself does

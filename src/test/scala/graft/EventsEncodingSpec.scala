@@ -64,6 +64,20 @@ class EventsEncodingSpec extends AnyFunSuite {
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
   }
 
+  test("the retry path does NOT leak the legacy conf into the caller's session") {
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val rows = load("nanos") // forces the detect-and-retry branch
+    assert(rows.size == 3)
+    // the caller's session must be untouched: a session-wide set here
+    // would silently load every OTHER nanos dataset as long from then
+    // on (review-caught) — the loader reads through a cloned session
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true",
+      "Tables.events leaked spark.sql.legacy.parquet.nanosAsLong into the session")
+    // and the returned frame stays fully usable after ANOTHER read
+    // reset the world (the conf lives with the frame's own session)
+    assert(rows.head._2.toInstant.toString == "2024-01-01T00:00:07.179575Z")
+  }
+
   test("events loads nanos when the legacy conf is already set (no retry needed)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try assert(load("nanos") == load("micros"))

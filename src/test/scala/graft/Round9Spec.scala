@@ -1,0 +1,324 @@
+package graft
+
+import graft.sink.{BloomSkipIndex, DeletionVectors, DvStats}
+import graft.streaming.{StreamMoR, StreamMorGold}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Specs for the round-9 scale fixes — invariants the row oracle
+  * can't see: the DISTRIBUTED bloom probe (large keyed batches prune
+  * the locate without driver-side literals), the mid-drain pruned
+  * locate and pre-image fetch of the streaming MoR paths (file-count
+  * assertions, q193-style), presence-vs-nullability delta routing on
+  * NULL-valued fact rows, no-stage-on-contract-violation, and the
+  * vacuum grace generation. */
+class Round9Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def dataFiles(dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+  }
+
+  // ---- distributed bloom probe -------------------------------------
+
+  test("survivingFilesForKeyDf prunes like the literal probe, at any key-set size") {
+    val work = tmp("graft-r9dp-")
+    val dir = s"$work/t"
+    // 64 files hash-clustered on id, ~62 keys/file: FPR per (absent
+    // key, file) ≈ (1−e^(−4·62/1024))⁴ ≈ 0.2% — ghosts prune hard
+    val df = (0L until 4000L).map(i => (i, s"v$i")).toDF("id", "v")
+    BloomSkipIndex.bloomWrite(df, "id", dir, nFiles = 64)
+    // 1k-key probe set — far past the 256 driver-literal cap
+    val keys = (0L until 1000L).map(i => i * 4).toDF("id")
+    val files = BloomSkipIndex.survivingFilesForKeyDf(spark, dir, "id", keys)
+    assert(files.nonEmpty && files.size <= 64)
+    // exactness: the distributed probe must agree with the literal
+    // probe on a small common subset (no containing file skipped)
+    val lit5 = Seq(lit(0L), lit(4L), lit(8L), lit(12L), lit(16L))
+    val litFiles = BloomSkipIndex.survivingFiles(spark, dir, "id", lit5)
+    val dfFiles = BloomSkipIndex.survivingFilesForKeyDf(
+      spark, dir, "id", Seq(0L, 4L, 8L, 12L, 16L).toDF("id"))
+    assert(litFiles.toSet == dfFiles.toSet,
+      "distributed and literal probes disagree on the same key set")
+    // a probe for an ABSENT key must prune to (near) nothing
+    val ghost = BloomSkipIndex.survivingFilesForKeyDf(
+      spark, dir, "id", Seq(10_000_000L).toDF("id"))
+    assert(ghost.size <= 4, s"ghost key survived ${ghost.size} files")
+  }
+
+  test("deleteByKeyDf prunes the locate for a 5k-key batch and deletes exactly") {
+    val work = tmp("graft-r9dk-")
+    val dir = s"$work/t"
+    val df = (0L until 20000L).map(i => (i, i % 7)).toDF("id", "g")
+    BloomSkipIndex.bloomWrite(df, "id", dir, nFiles = 64)
+    val nFilesTotal = dataFiles(dir).size
+    val keys = (0L until 5000L).map(i => i * 3).toDF("id") // 5k keys
+    DvStats.lastLocateFiles = None
+    val n = DeletionVectors.deleteByKeyDf(spark, dir, "id", keys)
+    assert(n == 5000L, s"expected 5000 deletes, got $n")
+    // the locate must have taken the PRUNED path (hash-clustered on
+    // id, 5k of 20k keys → most files contain a victim, but the path
+    // taken must be the probe, recorded as Some)
+    assert(DvStats.lastLocateFiles.exists(_ <= nFilesTotal),
+      s"5k-key locate did not take the distributed probe path: ${DvStats.lastLocateFiles}")
+    val left = DeletionVectors.read(spark, dir).count()
+    assert(left == 20000L - 5000L)
+    // and a SMALL absent-key batch takes the pruned path too (at
+    // ~312 keys/file the per-file FPR is ~25%, so it still reads a
+    // minority of the files — the point is the path, the tight-FPR
+    // case is covered above at 62 keys/file)
+    DvStats.lastLocateFiles = None
+    val n2 = DeletionVectors.deleteByKeyDf(spark, dir, "id",
+      Seq(99_999_999L).toDF("id"))
+    assert(n2 == 0L)
+    assert(DvStats.lastLocateFiles.exists(_ < nFilesTotal / 2),
+      s"absent-key locate read ${DvStats.lastLocateFiles} files")
+  }
+
+  test("visibleByKeyDf fetches exactly the keys' visible rows through a pruned read") {
+    val work = tmp("graft-r9vf-")
+    val dir = s"$work/t"
+    val df = (0L until 8000L).map(i => (i, i * 1.5)).toDF("id", "v")
+    BloomSkipIndex.bloomWrite(df, "id", dir, nFiles = 32)
+    // tombstone two of the keys we'll fetch — they must NOT come back
+    DeletionVectors.deleteByKeys(spark, dir, "id", Seq(lit(10L), lit(20L)))
+    DvStats.lastFetchFiles = None
+    val got = DeletionVectors.visibleByKeyDf(spark, dir, "id",
+        Seq(10L, 20L, 30L, 40L).toDF("id"))
+      .select("id", "v").as[(Long, Double)].collect().toSet
+    assert(got == Set((30L, 45.0), (40L, 60.0)),
+      s"fetch returned $got — deleted rows resurrected or keys missed")
+    assert(DvStats.lastFetchFiles.exists(_ < 32),
+      s"fetch did not prune: ${DvStats.lastFetchFiles}")
+  }
+
+  // ---- mid-drain pruning (the round-8 verdict's `weak`) ------------
+
+  test("mid-drain MoR locate reads only may-contain files, batch after batch") {
+    val work = tmp("graft-r9md-")
+    val dir = s"$work/t"
+    // bootstrap table: 16 hash-clustered files, bloom-indexed
+    val base = (0L until 4000L).map(i => (i, s"n$i", i * 1.0))
+      .toDF("id", "name", "v")
+    BloomSkipIndex.bloomWrite(base, "id", dir, nFiles = 16)
+    // five batches, each touching a handful of keys
+    for (b <- 0 until 5) {
+      val lo = b * 10L
+      val batch = Seq(
+        (lo + 1, "u", -1.0, "U"), (lo + 2, "d", 0.0, "D"),
+        (100000L + b, "i", 9.0, "I")).toDF("id", "name", "v", "op")
+      DvStats.lastLocateFiles = None
+      StreamMoR.applyBatch(spark, dir, batch, b.toLong, "id", "op")
+      // EVERY batch's locate must take the pruned path — including
+      // the ones after the stream's own appends (the round-8 gap:
+      // appends staled the sidecar and nothing folded it)
+      assert(DvStats.lastLocateFiles.nonEmpty,
+        s"batch $b locate fell back to a full table scan")
+      assert(BloomSkipIndex.hasFreshSidecar(spark, dir, "id"),
+        s"sidecar stale after batch $b")
+    }
+    // value correctness after the drain
+    val got = DeletionVectors.read(spark, dir)
+    assert(got.count() == 4000L - 5 /*deleted*/ + 5 /*inserted*/)
+    assert(got.filter(col("id") === 41L).select("v")
+      .as[Double].head() == -1.0)
+  }
+
+  test("mid-drain pre-image fetch is pruned and gold stays exact (incl. compaction)") {
+    val work = tmp("graft-r9mg-")
+    val fact = s"$work/fact"
+    val gold = s"$work/gold"
+    val userCountry = (1L to 400L).map(k => (k, s"C${k % 3}"))
+      .toDF("user_id", "country")
+    // bootstrap fact: bloom-clustered on user_id
+    val base = (1L to 300L).map(k =>
+      (k, k * 1.0, "2024-01-01 00:00:00")).toDF("user_id", "value", "ts_s")
+    BloomSkipIndex.bloomWrite(base, "user_id", fact, nFiles = 16)
+    StreamMorGold.bootstrapGold(spark, fact, gold, userCountry)
+    for (b <- 0 until 4) {
+      val lo = b * 20L
+      val batch = Seq(
+        (lo + 1, 500.0, s"2024-01-02 00:0$b:00", "U"),
+        (lo + 2, 0.0, s"2024-01-02 00:0$b:01", "D"),
+        (301L + b, 7.0, s"2024-01-02 00:0$b:02", "I"))
+        .toDF("user_id", "value", "ts_s", "op")
+      DvStats.lastFetchFiles = None
+      DvStats.lastLocateFiles = None
+      StreamMorGold.processBatch(batch, b.toLong, fact, gold,
+        userCountry, "user_id", "op")
+      assert(DvStats.lastFetchFiles.nonEmpty,
+        s"batch $b pre-image fetch fell back to a full fact scan")
+      assert(DvStats.lastLocateFiles.nonEmpty,
+        s"batch $b locate fell back to a full fact scan")
+      // inline compaction between batches: the next batch's pre-stage
+      // fold must reconcile the rewritten files and STILL prune
+      if (b == 1) DeletionVectors.compactIfNeeded(spark, fact, 0.01)
+    }
+    // exactness: folded gold == from-scratch aggregate of final fact
+    val folded = graft.sink.AtomicParquetSink.read(spark, gold).get
+      .filter(col("n_users") =!= 0L)
+      .select("country", "n_users", "total_value")
+      .as[(String, Long, java.math.BigDecimal)].collect()
+      .map(t => (t._1, t._2, t._3.doubleValue)).toSet
+    val scratch = DeletionVectors.read(spark, fact)
+      .join(userCountry, "user_id").groupBy(col("country"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("tv"))
+      .as[(String, Long, java.math.BigDecimal)].collect()
+      .map(t => (t._1, t._2, t._3.doubleValue)).toSet
+    assert(folded == scratch, s"folded $folded != scratch $scratch")
+  }
+
+  // ---- presence vs nullability -------------------------------------
+
+  test("a NULL-valued fact row is PRESENT: its delete retracts, its update doesn't double-count") {
+    val work = tmp("graft-r9nv-")
+    val fact = s"$work/fact"
+    val gold = s"$work/gold"
+    val userCountry = Seq((1L, "A"), (2L, "A"), (3L, "B"))
+      .toDF("user_id", "country")
+    Seq((1L, Option.empty[java.lang.Double], "2024-01-01 00:00:00"),
+        (2L, Option(10.0: java.lang.Double), "2024-01-01 00:00:01"),
+        (3L, Option.empty[java.lang.Double], "2024-01-01 00:00:02"))
+      .toDF("user_id", "value", "ts_s")
+      .select(col("user_id"), col("value").cast("double").as("value"),
+        col("ts_s"))
+      .write.parquet(fact)
+    StreamMorGold.bootstrapGold(spark, fact, gold, userCountry)
+    // delete the NULL-valued user 1; update the NULL-valued user 3
+    StreamMorGold.processBatch(
+      Seq((1L, 0.0, "2024-01-02 00:00:00", "D"),
+          (3L, 5.0, "2024-01-02 00:00:01", "U"))
+        .toDF("user_id", "value", "ts_s", "op"),
+      0L, fact, gold, userCountry, "user_id", "op")
+    val g = graft.sink.AtomicParquetSink.read(spark, gold).get
+      .select("country", "n_users", "total_value")
+      .as[(String, Long, java.math.BigDecimal)].collect()
+      .map(t => t._1 -> ((t._2, t._3.doubleValue))).toMap
+    // A: user 1 retracted (was present despite NULL value) → 1 user;
+    // B: user 3 updated in place → still 1 user, value 0→5
+    assert(g("A") == ((1L, 10.0)), s"country A drifted: ${g("A")}")
+    assert(g("B") == ((1L, 5.0)), s"country B drifted: ${g("B")}")
+  }
+
+  // ---- contract violation leaves no durable stage ------------------
+
+  test("a contract-violating batch stages nothing — a repaired replay can't reuse stale deltas") {
+    val work = tmp("graft-r9cv-")
+    val fact = s"$work/fact"
+    val gold = s"$work/gold"
+    Seq((1L, 10.0, "2024-01-01 00:00:00"))
+      .toDF("user_id", "value", "ts_s").write.parquet(fact)
+    val bad = Seq((1L, 1.0, "2024-01-02 00:00:00", "U"),
+        (1L, 2.0, "2024-01-02 00:00:01", "U")) // duplicate key
+      .toDF("user_id", "value", "ts_s", "op")
+    intercept[IllegalArgumentException] {
+      StreamMorGold.stageDeltas(bad, 7L, fact, gold, "user_id", "op")
+    }
+    val staged = new java.io.File(s"$gold-staging/batch_7")
+    assert(!staged.exists,
+      "violating batch left a durable stage behind")
+    // the repaired batch under the SAME id stages its own (correct) deltas
+    val fixed = Seq((1L, 2.0, "2024-01-02 00:00:01", "U"))
+      .toDF("user_id", "value", "ts_s", "op")
+    val deltas = StreamMorGold
+      .stageDeltas(fixed, 7L, fact, gold, "user_id", "op")
+      .select("user_id", "d_users", "d_value")
+      .as[(Long, Long, java.math.BigDecimal)].collect()
+      .map(t => (t._1, t._2, t._3.doubleValue)).toSet
+    assert(deltas == Set((1L, 0L, -8.0)))
+  }
+
+  // ---- exact last_seen retraction ----------------------------------
+
+  test("exactLastSeen steps last_seen BACK when a country's max-holder is deleted") {
+    val work = tmp("graft-r9ex-")
+    val userCountry = Seq((1L, "A"), (2L, "A"), (3L, "B"))
+      .toDF("user_id", "country")
+    // user 2 holds country A's max ts — then gets deleted
+    Seq((1L, 10.0, "2024-01-01 00:00:00"),
+        (2L, 20.0, "2024-06-01 00:00:00"),
+        (3L, 30.0, "2024-01-01 00:00:05"))
+      .toDF("user_id", "value", "ts_s").write.parquet(s"$work/fact")
+    val del = Seq((2L, 0.0, "2024-07-01 00:00:00", "D"))
+      .toDF("user_id", "value", "ts_s", "op")
+    // default fold: running max keeps the deleted row's ts
+    StreamMorGold.bootstrapGold(spark, s"$work/fact", s"$work/gold0", userCountry)
+    StreamMorGold.processBatch(del, 0L, s"$work/fact", s"$work/gold0",
+      userCountry, "user_id", "op")
+    val lax = graft.sink.AtomicParquetSink.read(spark, s"$work/gold0").get
+      .filter(col("country") === "A").select("last_seen")
+      .as[String].head()
+    assert(lax == "2024-06-01 00:00:00", s"default fold changed: $lax")
+    // exact mode on a fresh copy of the same fact: last_seen retracts
+    spark.read.parquet(s"$work/fact").write.parquet(s"$work/fact2")
+    StreamMorGold.bootstrapGold(spark, s"$work/fact2", s"$work/gold1", userCountry)
+    StreamMorGold.processBatch(del, 0L, s"$work/fact2", s"$work/gold1",
+      userCountry, "user_id", "op", exactLastSeen = true)
+    val exact = graft.sink.AtomicParquetSink.read(spark, s"$work/gold1").get
+      .filter(col("country") === "A")
+      .select("n_users", "last_seen").as[(Long, String)].head()
+    assert(exact == ((1L, "2024-01-01 00:00:00")),
+      s"exact mode did not retract: $exact")
+  }
+
+  test("q206's data really exercises the retraction (not vacuously green)") {
+    // the oracle entry only pins the retraction if some country's
+    // max-ts winner has user_id % 3 == 0 at the test scale — assert
+    // that holds on sf0.001 (and by extension the larger sfs, which
+    // superset the keys), so the q-entry can't go green by accident
+    val d = "/root/testdata/sf0.001"
+    val changes = graft.sources.Tables.events(spark, d).select(
+      col("event_id"), col("user_id"), col("value"), col("event_type"),
+      graft.Oracle.fmtTs(col("ts")).as("ts_s"))
+    val (ok, _) = graft.ops.CdcOps.qualitySplit(changes,
+      col("event_type") === "error")
+    val winners = graft.ops.CdcOps.latestPerKey(ok, Seq("user_id"),
+      Seq(col("ts_s"), col("event_id")))
+    val userCountry = graft.sources.Tables.customer(spark, d)
+      .join(graft.sources.Tables.nation(spark, d),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name").as("country"))
+    val perCountryMax = winners.join(userCountry, "user_id")
+      .withColumn("rn", org.apache.spark.sql.expressions.Window
+        .partitionBy("country") match { case w =>
+          row_number().over(w.orderBy(col("ts_s").desc, col("event_id").desc)) })
+      .filter(col("rn") === 1)
+    val retracted = perCountryMax.filter(col("user_id") % 3 === 0).count()
+    assert(retracted > 0,
+      "no country's max-holder is deleted by q206's %3==0 feed — the " +
+        "oracle entry would be vacuously green; change the feed predicate")
+  }
+
+  // ---- vacuum keeps the grace generation ---------------------------
+
+  test("vacuumTombstones retains the previous generation as the reader grace copy") {
+    val work = tmp("graft-r9vg-")
+    val dir = s"$work/t"
+    (0L until 100L).map(i => (i, i)).toDF("id", "v")
+      .repartition(4).write.parquet(dir)
+    DeletionVectors.deleteWhere(spark, dir, col("id") < 5L)   // gen 1
+    DeletionVectors.deleteWhere(spark, dir, col("id") === 50L) // gen 2
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def gens(): Set[String] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("_dv_g")).toSet
+    assert(gens() == Set("_dv_g1", "_dv_g2"))
+    // a reader that resolved gen 2 just before the vacuum commits
+    // must still find it afterwards (same grace rule as commitGen)
+    DeletionVectors.vacuumTombstones(spark, dir)
+    assert(gens() == Set("_dv_g2", "_dv_g3"),
+      s"vacuum broke the grace rule: ${gens()}")
+    // and the vacuumed state still reads correctly
+    assert(DeletionVectors.read(spark, dir).count() == 94L)
+  }
+}
