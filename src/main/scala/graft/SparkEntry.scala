@@ -442,6 +442,8 @@ object SparkEntry {
     "q206_gold_exact_retract" -> ((s, d) => CoreQueries.streamMorGoldExact(s, d)),
     // trickle drain → bin-pack smalls through DVs → same answers
     "q207_mor_small_files"  -> ((s, d) => CoreQueries.streamMorPacked(s, d)),
+    // bloom-indexed fact + small keyed batches: the pruned MoR drain
+    "q208_stream_mor_indexed" -> ((s, d) => CoreQueries.streamMorIndexed(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -3549,6 +3551,18 @@ object SparkEntry {
            CAST(sum(event_id) AS BIGINT) AS sum_event_id
          FROM events
          WHERE event_id % 10 <> 8
+         GROUP BY event_type""",
+    // indexed MoR drain: evens minus the deleted %1000==502, the
+    // %1000==2 re-priced, plus the inserted odd %1000==1 rows
+    "q208_stream_mor_indexed" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CASE WHEN event_id % 1000 = 2
+                              THEN value + 10000.0 ELSE value END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE (event_id % 2 = 0 AND event_id % 1000 <> 502)
+            OR event_id % 1000 = 1
          GROUP BY event_type""",
   )
 }

@@ -2387,6 +2387,41 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** INDEXED MoR drain (q208): the shape the streaming MoR tier is
+    * FOR at 100 TB — a bloom-clustered keyed fact taking SMALL
+    * keyed CDC batches. The table carries a `_bloom_event_id`
+    * sidecar from its build ([[graft.sink.BloomSkipIndex
+    * .bloomWrite]]); the drain keeps it fresh per batch, so every
+    * mid-drain locate and the DV-aware reads touch only may-contain
+    * files (per-mille key sets here exercise the DISTRIBUTED probe —
+    * past the 256 driver-literal cap). Contrast q197, which drains
+    * an index-less table with table-sized batches and locates by
+    * scan. Oracle: the final state in one predicate. */
+  def streamMorIndexed(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-smi-")
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    graft.sink.BloomSkipIndex.bloomWrite(
+      ev.filter(col("event_id") % 2 === 0), "event_id",
+      s"$work/table", nFiles = 32)
+    val feed = ev.filter(col("event_id") % 1000 === 1)
+      .withColumn("op", lit("I"))
+      .unionByName(ev.filter(col("event_id") % 1000 === 2)
+        .withColumn("value", col("value") + lit(10000.0))
+        .withColumn("op", lit("U")))
+      .unionByName(ev.filter(col("event_id") % 1000 === 502)
+        .withColumn("op", lit("D")))
+    feed.repartition(3).write.parquet(s"$work/feed")
+    graft.streaming.StreamMoR.run(
+      s, s"$work/feed", feed.schema, s"$work/checkpoint", s"$work/table",
+      keyCol = "event_id", opCol = "op")
+    graft.sink.DeletionVectors.read(s, s"$work/table")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -24,9 +24,9 @@ private[sink] object Sidecars {
       .toSet
   }
 
-  /** Materialize `agged` — a per-file `groupBy(input_file_name())`
+  /** Complete `agged` — a per-file `groupBy(input_file_name())`
     * aggregate, metadata-sized by construction (one row per file) —
-    * and append one row per ZERO-ROW data file under `dir`, built by
+    * with one row per ZERO-ROW data file under `dir`, built by
     * `zeroRow(fullPath)`. A scan-side aggregate is BLIND to 0-row
     * files (no input rows → no group), and writers do emit them
     * (e.g. a compaction rewrite whose hash-partitioning leaves an
@@ -35,10 +35,14 @@ private[sink] object Sidecars {
     * from such an aggregate is permanently name-set-stale against
     * the listing, so freshness never holds again and every "pruned"
     * read silently degrades to a full scan forever (review-caught:
-    * the round-9 mid-drain spec flushed it out). The returned frame
-    * is backed by collected rows, so writing it over the very
-    * directory the aggregate read from cannot re-trigger the scan
-    * mid-overwrite. */
+    * the round-9 mid-drain spec flushed it out). The aggregate is
+    * COLLECTED (it is one row per file — metadata) and the result
+    * re-parallelized: one scan plus a driver roundtrip, and the
+    * returned frame is backed by driver rows, so writing it over the
+    * very directory the aggregate read from cannot re-trigger the
+    * scan mid-overwrite. (A lazy anti-join completion would instead
+    * recompute the aggregate — i.e. rescan the data — in both union
+    * branches.) */
   def withZeroRowFiles(spark: SparkSession, dir: String, agged: DataFrame)
                       (zeroRow: String => Row): DataFrame = {
     val rows = agged.collect().toSeq

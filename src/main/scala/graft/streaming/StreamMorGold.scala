@@ -25,9 +25,11 @@ import org.apache.spark.sql.streaming.Trigger
   * per batch; here a trickle batch costs what the batch touches —
   * including the two lookups that USED to scan the table (the
   * round-8 verdict's gap): the pre-image fetch and the locate both
-  * go through the `_bloom_<keyCol>` sidecar, which the drain itself
-  * keeps fresh (fold-per-batch, O(batch) metadata work), so they
-  * read only may-contain files.
+  * go through the fact's `_bloom_<keyCol>` sidecar when it carries
+  * one (the keyed 100 TB layout does — [[graft.sink.BloomSkipIndex
+  * .bloomWrite]]), and the drain itself keeps that index fresh
+  * (fold-per-batch, O(batch) work), so they read only may-contain
+  * files.
   *
   * == Crash consistency ==
   * Same three-phase protocol as [[IncrementalGold]] (its doc carries
@@ -159,10 +161,20 @@ object StreamMorGold {
     if (!fs.exists(marker)) {
       StreamMoR.checkContract(batch, keyCol, opCol, "stageDeltas")
       val dec = lit(0).cast("decimal(18,2)")
+      // pre-image source: bloom-pruned key fetch when the fact
+      // carries a FRESH index (O(matched files)); otherwise the
+      // plain DV-aware view, exactly the round-8 plan — inserting
+      // the semi-join layer without an index prunes nothing and can
+      // demote the outer join below from broadcast to shuffle
       val old = visibleFact(spark, tableDir) match {
-        case Some(_) => DeletionVectors
-          .visibleByKeyDf(spark, tableDir, keyCol, batch)
-          .select(col(keyCol),
+        case Some(f) =>
+          val pruned =
+            if (scala.util.Try(graft.sink.BloomSkipIndex
+                  .hasFreshSidecar(spark, tableDir, keyCol))
+                  .getOrElse(false))
+              DeletionVectors.visibleByKeyDf(spark, tableDir, keyCol, batch)
+            else f
+          pruned.select(col(keyCol),
             col("value").cast("decimal(18,2)").as("_old_value"),
             lit(true).as("_present"))
         case None => batch.select(col(keyCol)).limit(0)
@@ -237,12 +249,13 @@ object StreamMorGold {
   }
 
   /** One micro-batch: stage deltas → MoR apply → fold gold.
-    * `maintainBloom` (default true) reconciles the fact's
-    * `_bloom_<keyCol>` sidecar BEFORE staging — a no-op when fresh,
-    * O(changed files) after an inline compaction, a one-time O(table)
-    * index build on the very first batch over a bootstrap fact — so
+    * `maintainBloom` (default true) reconciles an EXISTING
+    * `_bloom_<keyCol>` sidecar on the fact BEFORE staging — a no-op
+    * when fresh, O(changed files) after an inline compaction — so
     * the pre-image fetch AND the apply's locate both prune from
-    * metadata on every batch of the drain. */
+    * metadata on every batch of the drain. Same contract as
+    * [[StreamMoR.applyBatch]]: the drain maintains an index the
+    * table-build chose to carry, it never creates one. */
   def processBatch(batch: DataFrame, batchId: Long, tableDir: String,
                    goldDir: String, userCountry: DataFrame,
                    keyCol: String, opCol: String,
@@ -251,7 +264,10 @@ object StreamMorGold {
     val spark = batch.sparkSession
     val b = batch.persist()
     try {
-      if (maintainBloom && visibleFact(spark, tableDir).nonEmpty)
+      val sidecar = new Path(s"$tableDir/_bloom_$keyCol")
+      val sfs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (maintainBloom && sfs.exists(sidecar) &&
+          visibleFact(spark, tableDir).nonEmpty)
         graft.sink.BloomSkipIndex.foldBloomSidecar(spark, tableDir, keyCol)
       val staged = stageDeltas(b, batchId, tableDir, goldDir, keyCol, opCol)
       StreamMoR.applyBatch(spark, tableDir, b, batchId, keyCol, opCol,
