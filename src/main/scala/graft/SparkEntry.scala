@@ -444,6 +444,8 @@ object SparkEntry {
     "q207_mor_small_files"  -> ((s, d) => CoreQueries.streamMorPacked(s, d)),
     // bloom-indexed fact + small keyed batches: the pruned MoR drain
     "q208_stream_mor_indexed" -> ((s, d) => CoreQueries.streamMorIndexed(s, d)),
+    // q202's diff over bucketed snapshots: the zero-Exchange pair join
+    "q209_bucketed_changes" -> ((s, d) => CoreQueries.bucketedTableChanges(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -3564,5 +3566,23 @@ object SparkEntry {
          WHERE (event_id % 2 = 0 AND event_id % 1000 <> 502)
             OR event_id % 1000 = 1
          GROUP BY event_type""",
+    // same classification as q202 — the bucketed layout must change
+    // the PLAN (zero Exchange, Round9Spec), never the rows
+    "q209_bucketed_changes" ->
+      """WITH base AS (
+           SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+           FROM events GROUP BY user_id),
+         v1 AS (SELECT * FROM base WHERE user_id % 5 <> 4),
+         v2 AS (SELECT user_id,
+                  CASE WHEN user_id % 2 = 0 THEN v + 100.0 ELSE v END AS v
+                FROM base WHERE user_id % 5 <> 0)
+         SELECT COALESCE(v1.user_id, v2.user_id) AS user_id,
+           CASE WHEN v1.user_id IS NULL THEN 'insert'
+                WHEN v2.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change,
+           v1.v AS old_v, v2.v AS new_v
+         FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+         WHERE v1.user_id IS NULL OR v2.user_id IS NULL OR v1.v <> v2.v""",
   )
 }

@@ -2422,6 +2422,38 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** Bucketed change feed (q209): q202's snapshot diff with the
+    * versions persisted through [[graft.sink.BucketedSnapshots]] —
+    * both snapshots bucket-clustered on the key, so the full-outer
+    * pair join plans ZERO Exchange (Round9Spec asserts the plan; this
+    * entry pins the values). At 100 TB this is the difference between
+    * two full-table shuffles per retained pair and a streaming merge
+    * of co-located buckets. Oracle: identical classification SQL to
+    * q202. */
+  def bucketedTableChanges(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-bcdf-")
+    val base = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(moneySum(col("value")).as("v"))
+    val v1 = base.filter(col("user_id") % 5 =!= 4)
+    val v2 = base.filter(col("user_id") % 5 =!= 0)
+      .withColumn("v",
+        when(col("user_id") % 2 === 0, col("v") + lit(100.0))
+          .otherwise(col("v")))
+    val name = s"graft_q209_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    graft.sink.BucketedSnapshots.write(v1, name, 1L, work, Seq("user_id"), 16)
+    graft.sink.BucketedSnapshots.write(v2, name, 2L, work, Seq("user_id"), 16)
+    val out = graft.sink.BucketedSnapshots
+      .diff(s, name, 1L, 2L, Seq("user_id"))
+      .select(col("user_id"), col("change"),
+        col("_old.v").as("old_v"), col("_new.v").as("new_v"))
+      // materialize before dropping the catalog entries the plan reads
+      .persist()
+    out.count()
+    graft.sink.BucketedSnapshots.drop(s, name, 1L)
+    graft.sink.BucketedSnapshots.drop(s, name, 2L)
+    out
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -138,16 +138,28 @@ object AtomicParquetSink {
     * consumer REPLAY data without joining back to snapshots that GC
     * may have already deleted. */
   def diffFull(spark: SparkSession, table: String, fromVersion: String,
-               toVersion: String, keyCols: Seq[String]): DataFrame = {
+               toVersion: String, keyCols: Seq[String]): DataFrame =
+    diffFrames(readVersion(spark, table, fromVersion),
+      readVersion(spark, table, toVersion), keyCols,
+      fromVersion, toVersion)
+
+  /** The snapshot-diff CORE over two already-loaded frames — shared
+    * with [[BucketedSnapshots.diff]], whose co-located (bucketed)
+    * snapshot scans make this very join plan zero Exchange at scale.
+    * The plan shape is whatever the inputs' partitioning admits: plain
+    * version dirs shuffle both sides; bucketed catalog snapshots
+    * shuffle neither. */
+  private[sink] def diffFrames(o: DataFrame, n: DataFrame,
+                               keyCols: Seq[String],
+                               fromLabel: String,
+                               toLabel: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val o = readVersion(spark, table, fromVersion)
-    val n = readVersion(spark, table, toVersion)
     // schema drift across the two snapshots would make the payload
     // compare silently blind to added columns (and throw on removed
     // ones mid-plan) — fail loud up front instead
     require(o.columns.toSet == n.columns.toSet,
-      s"diff requires identical column sets; $fromVersion has " +
-        s"${o.columns.toSeq.sorted} vs $toVersion ${n.columns.toSeq.sorted}")
+      s"diff requires identical column sets; $fromLabel has " +
+        s"${o.columns.toSeq.sorted} vs $toLabel ${n.columns.toSeq.sorted}")
     val nonKey = o.columns.filterNot(keyCols.contains).toSeq
     val os = o.select(keyCols.map(col) :+
       struct(nonKey.map(col): _*).as("_old"): _*)

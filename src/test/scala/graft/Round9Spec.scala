@@ -298,6 +298,154 @@ class Round9Spec extends AnyFunSuite {
         "oracle entry would be vacuously green; change the feed predicate")
   }
 
+  // ---- randomized histories at the larger envelope -----------------
+
+  test("property: random CDC histories with compaction interleave and crash replays converge exactly") {
+    // The round-8 random-history property (5 batches, ≤8 keys, no
+    // maintenance, no replays) caught real bugs; this is the larger
+    // envelope the round-8 verdict asked for: 8 batches, ≤12 keys,
+    // a bloom-INDEXED fact (so the pruned locate/fetch paths carry
+    // the history), random compactIfNeeded/compactSmallFiles between
+    // batches, and crash-shaped replays (stop after stage; stop after
+    // apply; full double-apply) injected per batch. Gold must equal
+    // the from-scratch aggregate of the final visible fact EXACTLY.
+    val userCountry = (1L to 16L).map(k => (k, s"C${k % 4}"))
+      .toDF("user_id", "country")
+    for (seed <- Seq(5, 17, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val work = tmp(s"graft-r9pp$seed-")
+      val fact = s"$work/fact"
+      val gold = s"$work/gold"
+      val base = (1L to 10L).map(k =>
+        (k, rnd.nextInt(1000) / 100.0, "2024-01-01 00:00:00"))
+        .toDF("user_id", "value", "ts_s")
+      BloomSkipIndex.bloomWrite(base, "user_id", fact, nFiles = 4)
+      StreamMorGold.bootstrapGold(spark, fact, gold, userCountry)
+      var ts = 0
+      for (b <- 0 until 8) {
+        val keys = rnd.shuffle((1L to 16L).toList).take(1 + rnd.nextInt(12))
+        val rows = keys.map { k =>
+          ts += 1
+          (k, rnd.nextInt(10000) / 100.0,
+            f"2024-01-02 00:${ts / 60}%02d:${ts % 60}%02d",
+            Seq("I", "U", "D")(rnd.nextInt(3)))
+        }
+        val df = rows.toDF("user_id", "value", "ts_s", "op")
+        def full(): Unit = StreamMorGold.processBatch(
+          df, b.toLong, fact, gold, userCountry, "user_id", "op")
+        rnd.nextInt(4) match {
+          case 0 => // crash after stage → replay
+            StreamMorGold.stageDeltas(df, b.toLong, fact, gold,
+              "user_id", "op")
+            full()
+          case 1 => // crash after apply (fold pending) → replay
+            StreamMorGold.stageDeltas(df, b.toLong, fact, gold,
+              "user_id", "op")
+            StreamMoR.applyBatch(spark, fact, df, b.toLong,
+              "user_id", "op")
+            full()
+          case 2 => full(); full() // clean run + spurious redelivery
+          case _ => full()
+        }
+        rnd.nextInt(3) match {
+          case 0 => DeletionVectors.compactIfNeeded(spark, fact, 0.05)
+          case 1 => DeletionVectors.compactSmallFiles(spark, fact,
+            smallBytes = 1L << 20, targetBytes = 4L << 20)
+          case _ => ()
+        }
+      }
+      val folded = graft.sink.AtomicParquetSink.read(spark, gold).get
+        .filter(col("n_users") =!= 0L)
+        .select("country", "n_users", "total_value")
+        .as[(String, Long, java.math.BigDecimal)].collect()
+        .map(t => (t._1, t._2, t._3.doubleValue)).toSet
+      val scratch = DeletionVectors.read(spark, fact)
+        .join(userCountry, "user_id").groupBy(col("country"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("tv"))
+        .as[(String, Long, java.math.BigDecimal)].collect()
+        .map(t => (t._1, t._2, t._3.doubleValue)).toSet
+      assert(folded == scratch,
+        s"seed $seed: folded $folded != from-scratch $scratch")
+    }
+  }
+
+  test("property: exactLastSeen equals the from-scratch max under random deletes") {
+    val userCountry = (1L to 12L).map(k => (k, s"C${k % 3}"))
+      .toDF("user_id", "country")
+    for (seed <- Seq(7, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val work = tmp(s"graft-r9el$seed-")
+      val fact = s"$work/fact"
+      val gold = s"$work/gold"
+      var ts = 0
+      for (b <- 0 until 6) {
+        val keys = rnd.shuffle((1L to 12L).toList).take(1 + rnd.nextInt(8))
+        val rows = keys.map { k =>
+          ts += 1
+          (k, rnd.nextInt(10000) / 100.0,
+            f"2024-01-01 00:${ts / 60}%02d:${ts % 60}%02d",
+            Seq("I", "U", "D", "D")(rnd.nextInt(4))) // delete-heavy
+        }
+        StreamMorGold.processBatch(
+          rows.toDF("user_id", "value", "ts_s", "op"), b.toLong,
+          fact, gold, userCountry, "user_id", "op",
+          exactLastSeen = true)
+      }
+      val folded = graft.sink.AtomicParquetSink.read(spark, gold).get
+        .filter(col("n_users") =!= 0L)
+        .select("country", "n_users", "last_seen")
+        .as[(String, Long, String)].collect().toSet
+      val scratch = DeletionVectors.read(spark, fact)
+        .join(userCountry, "user_id").groupBy(col("country"))
+        .agg(count(lit(1)).as("n"), max(col("ts_s")).as("m"))
+        .as[(String, Long, String)].collect().toSet
+      assert(folded == scratch,
+        s"seed $seed: exact last_seen drifted: $folded != $scratch")
+    }
+  }
+
+  // ---- bucketed snapshot diffs: zero Exchange ----------------------
+
+  test("BucketedSnapshots.diff plans ZERO Exchange and classifies exactly") {
+    val work = tmp("graft-r9bs-")
+    val name = s"r9bs_${System.nanoTime()}"
+    val v1 = (0L until 1000L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .filter(col("id") % 5 =!= 4)
+    val v2 = (0L until 1000L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .filter(col("id") % 5 =!= 0)
+      .withColumn("v", when(col("id") % 2 === 0, col("v") + 100.0)
+        .otherwise(col("v")))
+    graft.sink.BucketedSnapshots.write(v1, name, 1L, work, Seq("id"), 8)
+    graft.sink.BucketedSnapshots.write(v2, name, 2L, work, Seq("id"), 8)
+    val d = graft.sink.BucketedSnapshots.diff(spark, name, 1L, 2L, Seq("id"))
+    // plan: the full-outer join must ride the bucketed scans — no
+    // ShuffleExchange anywhere (this is the whole point of persisting
+    // snapshot history bucketed at 100 TB)
+    val plan = d.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed pair diff still shuffles:\n$plan")
+    // values: same classification the version-dir diff produces
+    val got = d.select(col("id"), col("change"),
+        col("_old.v").as("ov"), col("_new.v").as("nv"))
+      .as[(Long, String, Option[Double], Option[Double])]
+      .collect().toSet
+    val expected = (0L until 1000L).flatMap { i =>
+      val in1 = i % 5 != 4
+      val in2 = i % 5 != 0
+      val old = i * 2.0
+      val nw = if (i % 2 == 0) old + 100.0 else old
+      if (in1 && in2 && i % 2 == 0)
+        Some((i, "update", Some(old), Some(nw)))
+      else if (in1 && !in2) Some((i, "delete", Some(old), None))
+      else if (!in1 && in2) Some((i, "insert", None, Some(nw)))
+      else None // unchanged or absent from both
+    }.toSet
+    assert(got == expected)
+    graft.sink.BucketedSnapshots.drop(spark, name, 1L)
+    graft.sink.BucketedSnapshots.drop(spark, name, 2L)
+  }
+
   // ---- vacuum keeps the grace generation ---------------------------
 
   test("vacuumTombstones retains the previous generation as the reader grace copy") {
