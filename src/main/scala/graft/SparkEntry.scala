@@ -446,6 +446,12 @@ object SparkEntry {
     "q208_stream_mor_indexed" -> ((s, d) => CoreQueries.streamMorIndexed(s, d)),
     // q202's diff over bucketed snapshots: the zero-Exchange pair join
     "q209_bucketed_changes" -> ((s, d) => CoreQueries.bucketedTableChanges(s, d)),
+    // doc→chunk sliding-window fan-out (32-word chunks, 50% overlap)
+    "q210_rag_chunks"       -> ((s, d) => LlmQueries.ragChunks(s, d)),
+    // 8-gram benchmark-overlap decontamination gate
+    "q211_contamination"    -> ((s, d) => LlmQueries.benchContamination(s, d)),
+    // incremental SCD2 CDC fold (q110 is the one-shot backfill form)
+    "q212_scd2_fold"        -> ((s, d) => CoreQueries.scd2Fold(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -3584,5 +3590,78 @@ object SparkEntry {
            v1.v AS old_v, v2.v AS new_v
          FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
          WHERE v1.user_id IS NULL OR v2.user_id IS NULL OR v1.v <> v2.v""",
+    // sliding 32-word chunks advancing by 16: starts 0,16,32,… while
+    // < n_words, last chunk truncated — mirrored list-slice for
+    // list-slice (both engines split on the literal single space)
+    "q210_rag_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr
+                    FROM documents),
+         c AS (SELECT doc_id, arr,
+                 unnest(range(0, (len(arr) - 1) // 16 + 1)) AS ci
+               FROM w)
+         SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+           array_to_string(arr[ci*16+1 : least(ci*16+32, len(arr))], ' ')
+             AS chunk_text,
+           CAST(least(ci*16+32, len(arr)) - ci*16 AS BIGINT) AS n_words
+         FROM c""",
+    // contamination: training docs (doc_id % 20 != 0) sharing any
+    // 8-word shingle with the benchmark partition (doc_id % 20 = 0)
+    "q211_contamination" ->
+      """WITH w AS (SELECT doc_id, doc_id % 20 = 0 AS bench,
+                      string_split(text, ' ') AS arr
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) >= 8),
+         e AS (SELECT doc_id, bench, arr,
+                 unnest(range(0, len(arr) - 7)) AS i
+               FROM w),
+         sh AS (SELECT doc_id, bench,
+                  array_to_string(arr[i+1 : i+8], ' ') AS shingle
+                FROM e),
+         b AS (SELECT DISTINCT shingle FROM sh WHERE bench),
+         t AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE NOT bench)
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+         FROM t JOIN b USING (shingle)
+         GROUP BY t.doc_id""",
+    // SCD2 interval reconstruction: per key, keep only STATE CHANGES
+    // (first row; delete after non-delete; value change or re-insert
+    // after delete), then each change's valid_to is the NEXT change's
+    // ts; delete markers close predecessors but emit no row
+    "q212_scd2_fold" ->
+      """WITH base AS (
+           SELECT user_id,
+             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+               AS BIGINT) AS attr
+           FROM events GROUP BY user_id),
+         allb AS (
+           SELECT user_id, attr, '2024-01-01 00:00:00' AS ts, 'U' AS op
+           FROM base
+           UNION ALL
+           SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN attr + 100 ELSE attr END AS attr,
+             '2024-02-01 00:00:00' AS ts, 'U' AS op
+           FROM base WHERE user_id % 2 = 0 OR user_id % 10 = 1
+           UNION ALL
+           SELECT user_id, CAST(NULL AS BIGINT) AS attr,
+             '2024-03-01 00:00:00' AS ts, 'D' AS op
+           FROM base WHERE user_id % 5 = 0
+           UNION ALL
+           SELECT user_id + 1000000 AS user_id, CAST(7 AS BIGINT) AS attr,
+             '2024-03-01 00:00:00' AS ts, 'I' AS op
+           FROM base WHERE user_id % 3 = 0),
+         seq AS (
+           SELECT *, LAG(attr) OVER w AS p_attr, LAG(op) OVER w AS p_op
+           FROM allb WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         changes AS (
+           SELECT * FROM seq
+           WHERE p_op IS NULL
+              OR (op = 'D' AND p_op <> 'D')
+              OR (op <> 'D' AND (p_op = 'D' OR attr IS DISTINCT FROM p_attr))),
+         iv AS (
+           SELECT user_id, attr, op, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+           FROM changes)
+         SELECT user_id, attr, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+         FROM iv WHERE op <> 'D'""",
   )
 }

@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
   * validity interval). Standard warehouse-dimension shape: one row per
   * (key, run of equal tracked-attribute values) with [valid_from,
   * valid_to) bounds and an is_current flag on the open run.
+  *
+  * Two complementary builders:
+  *  - [[history]]: compress a FULL ordered change feed in one pass
+  *    (the backfill / from-scratch form);
+  *  - [[init]]/[[foldBatch]]: maintain the history INCREMENTALLY from
+  *    op-tagged CDC batches (the steady-state form — per batch it
+  *    joins only the CURRENT slice, never touches closed rows, and
+  *    supports deletes and the no-change-no-version rule).
   */
 object Scd2 {
 
@@ -56,5 +64,110 @@ object Scd2 {
         col(tsOut).as("valid_from"),
         coalesce(col("next_from"), openMark).as("valid_to"),
         col("next_from").isNull.as("is_current"))
+  }
+
+  // ---- incremental CDC fold -----------------------------------------
+
+  /** Bootstrap an incremental history from an initial batch (every
+    * row opens a current version at `ts`). Schema:
+    * `key…, attr…, valid_from, valid_to (null = open), is_current`. */
+  def init(batch: DataFrame, keyCols: Seq[String], attrCols: Seq[String],
+           ts: String): DataFrame =
+    batch.select((keyCols ++ attrCols).map(col): _*)
+      .withColumn("valid_from", lit(ts))
+      .withColumn("valid_to", lit(null).cast("string"))
+      .withColumn("is_current", lit(true))
+
+  /** Fold one op-tagged CDC batch at effective time `ts` into an
+    * incremental history (the [[init]] schema).
+    *
+    * Fold semantics per batch row (latest-per-key, one row per key —
+    * the repo-wide CDC batch contract; tags advisory, key presence
+    * decides, as everywhere else in this engine):
+    *   - key unseen, op I/U      → open a new current version
+    *   - key current, attrs SAME → no-op (a no-change row must NOT
+    *                               cut a version — the classic SCD2
+    *                               bug)
+    *   - key current, attrs diff → close the current version at `ts`,
+    *                               open a new one at it
+    *   - op D, key current       → close without opening (the key has
+    *                               no current version until re-insert)
+    *   - op D, key absent        → no-op
+    * Batch timestamps must not precede the affected keys' open
+    * `valid_from` (checked loud): late-arriving history would need
+    * interval splitting, which no warehouse SCD2 fold does silently.
+    *
+    * Plan shape: ONE full-outer join of the CURRENT slice against the
+    * batch on the key — closed (non-current) history rows ride along
+    * untouched via union, never joined, never shuffled. At 100 TB the
+    * current slice is dimension-sized (the reference's customer dim);
+    * store the history through [[graft.sink.AtomicParquetSink]] for
+    * atomic swaps, or key [[graft.sink.DeletionVectors.upsertMoR]] on
+    * (key, valid_from) to avoid rewriting closed history at all.
+    * LAZY and stateless: the caller persists the fold result between
+    * batches (to disk — exactly as the reference's per-file
+    * sequential loop does), which also keeps repeated folds from
+    * nesting plans. */
+  def foldBatch(history: DataFrame, batch: DataFrame,
+                keyCols: Seq[String], attrCols: Seq[String],
+                ts: String, opCol: String): DataFrame = {
+    val b = batch.select(
+      keyCols.map(col) ++
+        attrCols.map(a => col(a).as(s"_b_$a")) :+
+        col(opCol).as("_b_op"): _*)
+
+    // contract: unique per key, known ops, no monotonicity violation
+    // against the OPEN versions
+    val stats = batch.agg(
+      count(lit(1)),
+      count(when(coalesce(
+        !col(opCol).isin("I", "U", "D"), lit(true)), 1))).head()
+    require(stats.getLong(0) ==
+      batch.select(keyCols.map(col): _*).distinct().count(),
+      s"scd2 foldBatch: batch is not unique on ${keyCols.mkString(",")}")
+    require(stats.getLong(1) == 0,
+      s"scd2 foldBatch: batch carries unknown $opCol ops")
+
+    val cur = history.filter(col("is_current"))
+    val closedHist = history.filter(!col("is_current"))
+
+    val j = cur.join(b, keyCols, "full_outer")
+
+    val late = j.filter(col("_b_op").isNotNull &&
+      col("valid_from").isNotNull && col("valid_from") > lit(ts)).count()
+    require(late == 0,
+      s"scd2 foldBatch: $late key(s) have an open version newer than " +
+        s"$ts — late-arriving history needs interval splitting, not a fold")
+
+    val inBatch = col("_b_op").isNotNull
+    val hasCur = col("valid_from").isNotNull
+    val sameAttrs: Column = attrCols
+      .map(a => col(a) <=> col(s"_b_$a")).reduce(_ && _)
+
+    val outCols = (keyCols ++ attrCols).map(col) ++
+      Seq(col("valid_from"), col("valid_to"), col("is_current"))
+
+    // untouched current rows: key absent from batch, or a no-change
+    // I/U row (must not cut a version)
+    val kept = j.filter(hasCur && (!inBatch ||
+        (col("_b_op") =!= "D" && sameAttrs)))
+      .select(outCols: _*)
+    // closed versions: current rows whose key is deleted or re-valued
+    val closed = j.filter(hasCur && inBatch &&
+        (col("_b_op") === "D" || !sameAttrs))
+      .select((keyCols ++ attrCols).map(col) ++ Seq(
+        col("valid_from"), lit(ts).as("valid_to"),
+        lit(false).as("is_current")): _*)
+    // opened versions: fresh values for new or re-valued keys
+    val opened = j.filter(inBatch && col("_b_op") =!= "D" &&
+        (!hasCur || !sameAttrs))
+      .select(keyCols.map(col) ++
+        attrCols.map(a => col(s"_b_$a").as(a)) ++ Seq(
+          lit(ts).as("valid_from"),
+          lit(null).cast("string").as("valid_to"),
+          lit(true).as("is_current")): _*)
+
+    closedHist.select(outCols: _*)
+      .unionByName(kept).unionByName(closed).unionByName(opened)
   }
 }

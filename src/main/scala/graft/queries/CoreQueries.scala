@@ -2454,6 +2454,49 @@ object CoreQueries {
     out
   }
 
+  /** INCREMENTAL SCD2 fold (q212): where q110's [[graft.ops.Scd2
+    * .history]] compresses a full feed in one backfill pass, this is
+    * the STEADY-STATE form — three sequential op-tagged CDC batches
+    * (initial load; re-price evens + a no-change slice that must NOT
+    * cut versions; deletes + fresh inserts) folded through
+    * [[graft.ops.Scd2.foldBatch]], which joins only the current
+    * slice per batch, with the history persisted between batches
+    * (the reference's sequential-loop shape,
+    * pipeline/LoadCustomerDim.json:34-51). Oracle: the full interval
+    * reconstruction via LAG/LEAD over the change sequence — every
+    * version row, boundary for boundary, deletes closing without
+    * reopening. */
+  def scd2Fold(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-scd2-")
+    val hist = s"$work/hist"
+    val base = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(floor(moneySum(col("value"))).cast("long").as("attr"))
+    val b2 = base
+      .filter(col("user_id") % 2 === 0 || col("user_id") % 10 === 1)
+      .withColumn("attr", when(col("user_id") % 2 === 0,
+        col("attr") + 100L).otherwise(col("attr")))
+      .withColumn("op", lit("U"))
+    val b3 = base.filter(col("user_id") % 5 === 0)
+      .select(col("user_id"), lit(null).cast("long").as("attr"),
+        lit("D").as("op"))
+      .unionByName(base.filter(col("user_id") % 3 === 0)
+        .select((col("user_id") + 1000000L).as("user_id"),
+          lit(7L).as("attr"), lit("I").as("op")))
+    graft.sink.AtomicParquetSink.overwrite(
+      graft.ops.Scd2.init(base, Seq("user_id"), Seq("attr"),
+        "2024-01-01 00:00:00"), hist)
+    for ((b, ts) <- Seq((b2, "2024-02-01 00:00:00"),
+                        (b3, "2024-03-01 00:00:00"))) {
+      graft.sink.AtomicParquetSink.overwrite(
+        graft.ops.Scd2.foldBatch(
+          graft.sink.AtomicParquetSink.read(s, hist).get, b,
+          Seq("user_id"), Seq("attr"), ts, "op"), hist)
+    }
+    graft.sink.AtomicParquetSink.read(s, hist).get
+      .select(col("user_id"), col("attr"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -24,6 +24,20 @@ object LlmQueries {
   def textStats(s: SparkSession, d: String): DataFrame =
     TextOps.tokenStats(Tables.documents(s, d))
 
+  /** RAG chunking (q210): 32-word windows advancing by 16 (50%
+    * overlap) — the doc→chunk fan-out before embedding; one
+    * codegen'd in-scan expansion, no shuffle. */
+  def ragChunks(s: SparkSession, d: String): DataFrame =
+    TextOps.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+      chunkSize = 32, overlap = 16)
+
+  /** Benchmark contamination (q211): training docs sharing any
+    * 8-word shingle with the `doc_id % 20 == 0` benchmark partition
+    * — the decontamination gate, as a broadcast shingle semi-join. */
+  def benchContamination(s: SparkSession, d: String): DataFrame =
+    TextOps.shingleContamination(Tables.documents(s, d), "doc_id",
+      "text", n = 8, benchPred = col("doc_id") % 20 === 0)
+
   /** Language-ID n-gram scorer (deterministic stand-in profile) +
     * regexp token counts in one per-doc projection. */
   def langIdTokens(s: SparkSession, d: String): DataFrame = {

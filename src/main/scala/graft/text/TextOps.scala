@@ -27,6 +27,72 @@ object TextOps {
     * separated; `split` on one space matches DuckDB `string_split`. */
   def words(text: Column): Column = split(text, " ")
 
+  /** Sliding-window CHUNKING — the doc→chunk fan-out every
+    * RAG/embedding pipeline runs before vectorizing: chunks of
+    * `chunkSize` words advancing by `chunkSize - overlap`, last chunk
+    * truncated, every word covered, consecutive chunks sharing
+    * `overlap` words. Output one row per (doc, chunk):
+    * `idCol, chunk_idx, chunk_text, n_words`.
+    *
+    * Entirely codegen'd column algebra (split → sequence → explode →
+    * slice → array_join) — no UDF, no shuffle: the fan-out happens
+    * inside the scan's stage, so at 100 TB each input split expands
+    * locally and flows straight into the next operator (embedding,
+    * dedup, indexing) without ever collecting a document. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && chunkSize > overlap,
+      s"need 0 <= overlap < chunkSize, got $overlap/$chunkSize")
+    val step = chunkSize - overlap
+    docs.select(col(idCol), words(col(textCol)).as("_w"))
+      .select(col(idCol), col("_w"),
+        explode(sequence(lit(0),
+          floor((size(col("_w")) - 1) / step).cast("int"))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("_w"),
+          col("chunk_idx") * step + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        (least(col("chunk_idx") * step + chunkSize, size(col("_w")))
+          - col("chunk_idx") * step).cast("long").as("n_words"))
+  }
+
+  /** Benchmark CONTAMINATION check — the n-gram-overlap decontamination
+    * gate every serious training-data pipeline runs (the GPT-3/Gopher
+    * appendix methodology, rebuilt relationally): a training document
+    * is contaminated if it shares any `n`-word shingle with the
+    * benchmark partition (`benchPred` rows). Returns one row per
+    * contaminated training doc: `idCol, n_shared_shingles` (distinct
+    * shared shingles).
+    *
+    * Scale: shingling is the same in-scan fan-out as [[chunkDocs]]
+    * (no shuffle); the benchmark shingle set is benchmark-sized —
+    * tiny against a 100 TB corpus — so the membership test is a
+    * BROADCAST semi-join: the corpus never shuffles, each shingle
+    * pays a hash probe. (At extreme benchmark sizes, xxhash64 the
+    * shingles on both sides and semi-join the 8-byte hashes instead
+    * of the strings — same plan, smaller broadcast; exact strings
+    * kept here for oracle parity.) */
+  def shingleContamination(docs: DataFrame, idCol: String,
+                           textCol: String, n: Int,
+                           benchPred: Column): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val sh = docs
+      .select(col(idCol), benchPred.as("_bench"),
+        words(col(textCol)).as("_w"))
+      .filter(size(col("_w")) >= n)
+      .select(col(idCol), col("_bench"), col("_w"),
+        explode(sequence(lit(0), (size(col("_w")) - n).cast("int")))
+          .as("_i"))
+      .select(col(idCol), col("_bench"),
+        array_join(slice(col("_w"), col("_i") + 1, lit(n)), " ")
+          .as("shingle"))
+    val bench = sh.filter(col("_bench")).select(col("shingle")).distinct()
+    sh.filter(!col("_bench"))
+      .join(broadcast(bench), Seq("shingle"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shingle")).as("n_shared_shingles"))
+  }
+
   /** Zipf fit over the corpus vocabulary: least-squares slope and
     * intercept of ln(freq) ~ ln(rank) for the top-`topR` tokens by
     * frequency — the rank-frequency power-law diagnostic (healthy

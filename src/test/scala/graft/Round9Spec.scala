@@ -446,6 +446,51 @@ class Round9Spec extends AnyFunSuite {
     graft.sink.BucketedSnapshots.drop(spark, name, 2L)
   }
 
+  // ---- incremental SCD2 fold ---------------------------------------
+
+  test("Scd2.foldBatch: no-change keeps the version, delete closes, re-insert reopens, late batch fails loud") {
+    import graft.ops.Scd2
+    val h0 = Scd2.init(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "attr"),
+      Seq("id"), Seq("attr"), "2024-01-01 00:00:00")
+    // batch 2: no-change on 1 (must NOT cut a version), change on 2,
+    // insert 3
+    val h1 = Scd2.foldBatch(h0,
+      Seq((1L, "a", "U"), (2L, "b2", "U"), (3L, "c", "I"))
+        .toDF("id", "attr", "op"),
+      Seq("id"), Seq("attr"), "2024-02-01 00:00:00", "op")
+    val rows1 = h1.select("id", "attr", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, String, Option[String], Boolean)].collect().toSet
+    assert(rows1 == Set(
+      (1L, "a", "2024-01-01 00:00:00", None, true),
+      (2L, "b", "2024-01-01 00:00:00", Some("2024-02-01 00:00:00"), false),
+      (2L, "b2", "2024-02-01 00:00:00", None, true),
+      (3L, "c", "2024-02-01 00:00:00", None, true)), s"got $rows1")
+    // batch 3: delete 1 (close, no reopen), delete-then… nothing for 9
+    val h2 = Scd2.foldBatch(h1,
+      Seq((1L, "x", "D"), (9L, "x", "D")).toDF("id", "attr", "op"),
+      Seq("id"), Seq("attr"), "2024-03-01 00:00:00", "op")
+    val cur2 = h2.filter(col("is_current")).select("id")
+      .as[Long].collect().toSet
+    assert(cur2 == Set(2L, 3L), s"current after delete: $cur2")
+    assert(h2.filter(col("id") === 1L).select("valid_to")
+      .as[Option[String]].collect().toSeq ==
+      Seq(Some("2024-03-01 00:00:00")))
+    // batch 4: re-insert 1 → a fresh open version
+    val h3 = Scd2.foldBatch(h2,
+      Seq((1L, "a3", "I")).toDF("id", "attr", "op"),
+      Seq("id"), Seq("attr"), "2024-04-01 00:00:00", "op")
+    assert(h3.filter(col("id") === 1L).count() == 2)
+    assert(h3.filter(col("id") === 1L && col("is_current"))
+      .select("attr").as[String].head() == "a3")
+    // a batch older than an open version must fail loud
+    assert(intercept[IllegalArgumentException] {
+      Scd2.foldBatch(h3,
+        Seq((1L, "z", "U")).toDF("id", "attr", "op"),
+        Seq("id"), Seq("attr"), "2023-01-01 00:00:00", "op")
+    }.getMessage.contains("late-arriving"))
+  }
+
   // ---- vacuum keeps the grace generation ---------------------------
 
   test("vacuumTombstones retains the previous generation as the reader grace copy") {
