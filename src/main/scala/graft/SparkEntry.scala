@@ -452,6 +452,8 @@ object SparkEntry {
     "q211_contamination"    -> ((s, d) => LlmQueries.benchContamination(s, d)),
     // incremental SCD2 CDC fold (q110 is the one-shot backfill form)
     "q212_scd2_fold"        -> ((s, d) => CoreQueries.scd2Fold(s, d)),
+    // q212 via merge-on-read: keyed MoR close + append open, same rows
+    "q213_scd2_mor"         -> ((s, d) => CoreQueries.scd2FoldMoR(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -570,7 +572,48 @@ object SparkEntry {
                  ORDER BY cos5 DESC, dst) AS rank FROM p),
          e AS (SELECT src, dst FROM rk WHERE rank <= 2)"""
 
+  /** Shared by q212 (copy-on-write fold) and q213 (merge-on-read
+    * fold): same scenario, same rows — only the storage plan differs. */
+  private val scd2IntervalOracle: String =
+    """WITH base AS (
+         SELECT user_id,
+           CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+             AS BIGINT) AS attr
+         FROM events GROUP BY user_id),
+       allb AS (
+         SELECT user_id, attr, '2024-01-01 00:00:00' AS ts, 'U' AS op
+         FROM base
+         UNION ALL
+         SELECT user_id,
+           CASE WHEN user_id % 2 = 0 THEN attr + 100 ELSE attr END AS attr,
+           '2024-02-01 00:00:00' AS ts, 'U' AS op
+         FROM base WHERE user_id % 2 = 0 OR user_id % 10 = 1
+         UNION ALL
+         SELECT user_id, CAST(NULL AS BIGINT) AS attr,
+           '2024-03-01 00:00:00' AS ts, 'D' AS op
+         FROM base WHERE user_id % 5 = 0
+         UNION ALL
+         SELECT user_id + 1000000 AS user_id, CAST(7 AS BIGINT) AS attr,
+           '2024-03-01 00:00:00' AS ts, 'I' AS op
+         FROM base WHERE user_id % 3 = 0),
+       seq AS (
+         SELECT *, LAG(attr) OVER w AS p_attr, LAG(op) OVER w AS p_op
+         FROM allb WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       changes AS (
+         SELECT * FROM seq
+         WHERE p_op IS NULL
+            OR (op = 'D' AND p_op <> 'D')
+            OR (op <> 'D' AND (p_op = 'D' OR attr IS DISTINCT FROM p_attr))),
+       iv AS (
+         SELECT user_id, attr, op, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+         FROM changes)
+       SELECT user_id, attr, valid_from, valid_to,
+         (valid_to IS NULL) AS is_current
+       FROM iv WHERE op <> 'D'"""
+
   def oracleSql: Map[String, String] = Map(
+    "q213_scd2_mor" -> scd2IntervalOracle,
     "q01_gold_agg" ->
       """SELECT n_name AS country, COUNT(*) AS total_bookings,
          CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
@@ -3626,42 +3669,6 @@ object SparkEntry {
     // (first row; delete after non-delete; value change or re-insert
     // after delete), then each change's valid_to is the NEXT change's
     // ts; delete markers close predecessors but emit no row
-    "q212_scd2_fold" ->
-      """WITH base AS (
-           SELECT user_id,
-             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
-               AS BIGINT) AS attr
-           FROM events GROUP BY user_id),
-         allb AS (
-           SELECT user_id, attr, '2024-01-01 00:00:00' AS ts, 'U' AS op
-           FROM base
-           UNION ALL
-           SELECT user_id,
-             CASE WHEN user_id % 2 = 0 THEN attr + 100 ELSE attr END AS attr,
-             '2024-02-01 00:00:00' AS ts, 'U' AS op
-           FROM base WHERE user_id % 2 = 0 OR user_id % 10 = 1
-           UNION ALL
-           SELECT user_id, CAST(NULL AS BIGINT) AS attr,
-             '2024-03-01 00:00:00' AS ts, 'D' AS op
-           FROM base WHERE user_id % 5 = 0
-           UNION ALL
-           SELECT user_id + 1000000 AS user_id, CAST(7 AS BIGINT) AS attr,
-             '2024-03-01 00:00:00' AS ts, 'I' AS op
-           FROM base WHERE user_id % 3 = 0),
-         seq AS (
-           SELECT *, LAG(attr) OVER w AS p_attr, LAG(op) OVER w AS p_op
-           FROM allb WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-         changes AS (
-           SELECT * FROM seq
-           WHERE p_op IS NULL
-              OR (op = 'D' AND p_op <> 'D')
-              OR (op <> 'D' AND (p_op = 'D' OR attr IS DISTINCT FROM p_attr))),
-         iv AS (
-           SELECT user_id, attr, op, ts AS valid_from,
-             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
-           FROM changes)
-         SELECT user_id, attr, valid_from, valid_to,
-           (valid_to IS NULL) AS is_current
-         FROM iv WHERE op <> 'D'""",
+    "q212_scd2_fold" -> scd2IntervalOracle,
   )
 }

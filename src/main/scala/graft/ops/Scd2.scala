@@ -170,4 +170,88 @@ object Scd2 {
     closedHist.select(outCols: _*)
       .unionByName(kept).unionByName(closed).unionByName(opened)
   }
+
+  /** MERGE-ON-READ SCD2 fold — [[foldBatch]]'s semantics on a
+    * [[graft.sink.DeletionVectors]]-managed history directory,
+    * without ever rewriting closed history: closing a version is a
+    * keyed MoR UPDATE of the affected keys' OPEN rows
+    * ([[graft.sink.DeletionVectors.updateByKeyDf]] — bloom-pruned
+    * locate, tombstone + closed image append), opening is a plain
+    * append. Per batch the cost is O(batch + matched files) at ANY
+    * history size — the copy-on-write [[foldBatch]] rewrites the
+    * whole history per batch, which at a 100 TB fact-sized history
+    * (fine-grained SCD2 on event-level attributes) is the same
+    * wall-of-I/O the MoR fact path exists to avoid. Read the history
+    * through [[graft.sink.DeletionVectors.read]].
+    *
+    * Replay-idempotent WITHOUT a fence: every step routes on the
+    * CURRENT visible state (a replayed close finds its versions
+    * already closed → no-op; a replayed open finds an identical
+    * current version → the no-change rule suppresses it), so a crash
+    * anywhere converges on retry — same argument as the fold's
+    * semantics themselves. Keep the history's `_bloom_<keyCol>`
+    * sidecar fresh (the fold refreshes an existing one at O(batch))
+    * and both the close-locate and the pre-image join prune to
+    * may-contain files. */
+  def foldBatchMoR(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   batch: DataFrame, keyCol: String,
+                   attrCols: Seq[String], ts: String,
+                   opCol: String): Unit = {
+    import graft.sink.{BloomSkipIndex, DeletionVectors}
+    val b = batch.select(
+      col(keyCol) +:
+        attrCols.map(a => col(a).as(s"_b_$a")) :+
+        col(opCol).as("_b_op"): _*)
+    val stats = batch.agg(
+      count(lit(1)),
+      count(when(coalesce(
+        !col(opCol).isin("I", "U", "D"), lit(true)), 1))).head()
+    require(stats.getLong(0) ==
+      batch.select(col(keyCol)).distinct().count(),
+      s"scd2 foldBatchMoR: batch is not unique on $keyCol")
+    require(stats.getLong(1) == 0,
+      s"scd2 foldBatchMoR: batch carries unknown $opCol ops")
+
+    // the batch keys' CURRENT versions — bloom-pruned when indexed
+    val cur = DeletionVectors.visibleByKeyDf(spark, dir, keyCol, b)
+      .filter(col("is_current"))
+      .select(col(keyCol) +:
+        attrCols.map(a => col(a).as(s"_c_$a")) :+
+        col("valid_from").as("_c_from"): _*)
+    val j = b.join(cur, Seq(keyCol), "left_outer").persist()
+    try {
+      val late = j.filter(col("_c_from").isNotNull &&
+        col("_c_from") > lit(ts)).count()
+      require(late == 0,
+        s"scd2 foldBatchMoR: $late key(s) have an open version newer " +
+          s"than $ts — late-arriving history needs interval splitting")
+      val hasCur = col("_c_from").isNotNull
+      val sameAttrs: Column = attrCols
+        .map(a => col(s"_c_$a") <=> col(s"_b_$a")).reduce(_ && _)
+      // keys whose open version must close: deleted or re-valued
+      val toClose = j.filter(hasCur &&
+        (col("_b_op") === "D" || !sameAttrs)).select(col(keyCol))
+      // fresh open versions: new keys or re-valued keys (not deletes).
+      // PINNED (persist+count) BEFORE the close mutates the directory
+      // — its plan reads the pre-state through `j`, and a
+      // post-mutation recompute would route against the wrong world
+      val opened = j.filter(col("_b_op") =!= "D" &&
+          (!hasCur || !sameAttrs))
+        .select(col(keyCol) +:
+          attrCols.map(a => col(s"_b_$a").as(a)) :+
+          lit(ts).as("valid_from") :+
+          lit(null).cast("string").as("valid_to") :+
+          lit(true).as("is_current"): _*)
+        .persist()
+      try {
+        opened.count()
+        DeletionVectors.updateByKeyDf(spark, dir, keyCol, toClose,
+          col("is_current"),
+          Map("valid_to" -> lit(ts), "is_current" -> lit(false)))
+        opened.write.mode("append").parquet(dir)
+      } finally opened.unpersist()
+      // keep an existing key index fresh across our own writes
+      BloomSkipIndex.foldAllBloomSidecars(spark, dir)
+    } finally j.unpersist()
+  }
 }

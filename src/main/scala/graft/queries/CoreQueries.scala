@@ -2497,6 +2497,42 @@ object CoreQueries {
         col("valid_to"), col("is_current"))
   }
 
+  /** MERGE-ON-READ SCD2 (q213): q212's exact scenario and oracle, but
+    * the history lives in a bloom-indexed DV directory and each batch
+    * folds via [[graft.ops.Scd2.foldBatchMoR]] — closing a version is
+    * a keyed MoR UPDATE (pruned locate, tombstone + closed image),
+    * opening is an append; closed history is NEVER rewritten. The
+    * same rows as the copy-on-write fold, at O(batch + matched files)
+    * per batch instead of O(history). */
+  def scd2FoldMoR(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-scd2m-")
+    val dir = s"$work/hist"
+    val base = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(floor(moneySum(col("value"))).cast("long").as("attr"))
+    val b2 = base
+      .filter(col("user_id") % 2 === 0 || col("user_id") % 10 === 1)
+      .withColumn("attr", when(col("user_id") % 2 === 0,
+        col("attr") + 100L).otherwise(col("attr")))
+      .withColumn("op", lit("U"))
+    val b3 = base.filter(col("user_id") % 5 === 0)
+      .select(col("user_id"), lit(null).cast("long").as("attr"),
+        lit("D").as("op"))
+      .unionByName(base.filter(col("user_id") % 3 === 0)
+        .select((col("user_id") + 1000000L).as("user_id"),
+          lit(7L).as("attr"), lit("I").as("op")))
+    graft.sink.BloomSkipIndex.bloomWrite(
+      graft.ops.Scd2.init(base, Seq("user_id"), Seq("attr"),
+        "2024-01-01 00:00:00"),
+      "user_id", dir, nFiles = 16)
+    for ((b, ts) <- Seq((b2, "2024-02-01 00:00:00"),
+                        (b3, "2024-03-01 00:00:00")))
+      graft.ops.Scd2.foldBatchMoR(s, dir, b, "user_id", Seq("attr"),
+        ts, "op")
+    graft.sink.DeletionVectors.read(s, dir)
+      .select(col("user_id"), col("attr"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

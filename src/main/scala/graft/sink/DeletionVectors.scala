@@ -602,6 +602,77 @@ object DeletionVectors {
     n
   }
 
+  /** Merge-on-read UPDATE restricted to a KEY SET (the per-key twin
+    * of [[updateWhere]], for CDC-shaped "update exactly these keys"
+    * mutations): tombstone the visible rows whose `keyCol` appears in
+    * `keys` AND satisfy `cond`, append their updated images. The
+    * locate goes through the `_bloom_<keyCol>` sidecar when fresh
+    * (driver probe ≤256 keys, distributed probe beyond — the
+    * [[deleteByKeyDf]] paths), so the cost is O(batch + matched
+    * files), not O(table). Same SIMULTANEOUS-assignment semantics and
+    * crash window as [[updateWhere]] (tombstones commit first, images
+    * append second; a retry completes the update; rows are never
+    * duplicated). Returns the number of updated rows. */
+  def updateByKeyDf(spark: SparkSession, dir: String, keyCol: String,
+                    keys: DataFrame, cond: Column,
+                    assignments: Map[String, Column]): Long = {
+    val curCols = spark.read.parquet(dir).columns.toSeq
+    val unknown = assignments.keySet -- curCols.toSet
+    require(unknown.isEmpty,
+      s"updateByKeyDf: no such column(s) $unknown in $curCols")
+    val k = keys.select(col(keyCol)).distinct().persist()
+    try {
+      val sample = k.limit(257).collect()
+      if (sample.isEmpty) return 0L
+      val fresh = scala.util.Try(BloomSkipIndex
+        .hasFreshSidecar(spark, dir, keyCol)).getOrElse(false)
+      val dt = keys.schema(keyCol).dataType
+      // pruned source + a key predicate built from the SAME material
+      // the prune used (the deleteByKeyDf determinism rule)
+      val (src, keyPred: Column) =
+        if (sample.length <= 256) {
+          val vals = sample.map(r => lit(r.get(0)).cast(dt)).toSeq
+          val s0 =
+            if (fresh) {
+              val fls = BloomSkipIndex.survivingFiles(spark, dir, keyCol, vals)
+              if (fls.isEmpty) return 0L
+              spark.read.parquet(fls: _*)
+            } else spark.read.parquet(dir)
+          (s0, vals.map(col(keyCol) === _).reduce(_ || _))
+        } else {
+          val s0 =
+            if (fresh) {
+              val fls = BloomSkipIndex
+                .survivingFilesForKeyDf(spark, dir, keyCol, k)
+              if (fls.isEmpty) return 0L
+              spark.read.parquet(fls: _*)
+            } else spark.read.parquet(dir)
+          (s0, lit(true)) // closed by the semi-join below
+        }
+      val visible = currentTombstones(spark, dir) match {
+        case None => withRowId(src)
+        case Some(t) => withRowId(src).join(broadcast(t),
+          col(RFile) === col(FileCol) && col(RRow) === col(RowCol),
+          "left_anti")
+      }
+      val keyed =
+        if (sample.length <= 256) visible.filter(keyPred)
+        else visible.join(broadcast(k), Seq(keyCol), "left_semi")
+      val matched = keyed.filter(coalesce(cond, lit(false))).persist()
+      try {
+        val n = matched.count()
+        if (n > 0) {
+          writeNextGen(spark, dir,
+            matched.select(col(RFile).as(FileCol), col(RRow).as(RowCol)))
+          matched.select(curCols.map { c =>
+            assignments.get(c).map(_.as(c)).getOrElse(col(c))
+          }: _*).write.mode("append").parquet(dir)
+        }
+        n
+      } finally matched.unpersist()
+    } finally k.unpersist()
+  }
+
   /** Merge-on-read UPSERT (the Hudi MOR / Iceberg-v2 MERGE shape):
     * tombstone the current rows whose `keyCol` appears in `batch`
     * (bloom-pruned locate when the sidecar exists), then APPEND the

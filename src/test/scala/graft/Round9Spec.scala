@@ -491,6 +491,51 @@ class Round9Spec extends AnyFunSuite {
     }.getMessage.contains("late-arriving"))
   }
 
+  test("Scd2.foldBatchMoR: replay-idempotent, pruned close-locate, equals the CoW fold") {
+    import graft.ops.Scd2
+    val work = tmp("graft-r9sm-")
+    val dir = s"$work/hist"
+    val init = (1L to 400L).map(k => (k, s"v${k % 7}")).toDF("id", "attr")
+    BloomSkipIndex.bloomWrite(
+      Scd2.init(init, Seq("id"), Seq("attr"), "2024-01-01 00:00:00"),
+      "id", dir, nFiles = 8)
+    val b = (1L to 60L).map { k =>
+      if (k % 3 == 0) (k, "x", "D")        // delete
+      else if (k % 3 == 1) (k, "NEW", "U") // re-value
+      else (k, s"v${k % 7}", "U")          // no-change
+    }.toDF("id", "attr", "op")
+    DvStats.lastFetchFiles = None
+    DvStats.lastLocateFiles = None
+    Scd2.foldBatchMoR(spark, dir, b, "id", Seq("attr"),
+      "2024-02-01 00:00:00", "op")
+    // the pre-image fetch pruned (bloom-clustered history, 60 keys)
+    assert(DvStats.lastFetchFiles.exists(_ <= 8),
+      s"MoR fold pre-image fetch unpruned: ${DvStats.lastFetchFiles}")
+    val once = DeletionVectors.read(spark, dir)
+      .select("id", "attr", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, String, Option[String], Boolean)].collect().toSet
+    // REPLAY the whole batch: every step routes on current state, so
+    // the second application is a structural no-op
+    Scd2.foldBatchMoR(spark, dir, b, "id", Seq("attr"),
+      "2024-02-01 00:00:00", "op")
+    val twice = DeletionVectors.read(spark, dir)
+      .select("id", "attr", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, String, Option[String], Boolean)].collect().toSet
+    assert(twice == once, "replayed MoR fold changed the history")
+    // equality with the copy-on-write fold over the same scenario
+    var cow = Scd2.init(init, Seq("id"), Seq("attr"), "2024-01-01 00:00:00")
+    cow = Scd2.foldBatch(cow, b, Seq("id"), Seq("attr"),
+      "2024-02-01 00:00:00", "op")
+    val cowSet = cow
+      .select("id", "attr", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, String, Option[String], Boolean)].collect().toSet
+    assert(once == cowSet, "MoR and CoW folds disagree")
+    // spot-check semantics: deleted key closed without reopening,
+    // no-change key kept its original version row
+    assert(once.count(_._1 == 3L) == 1 && !once.find(_._1 == 3L).get._5)
+    assert(once.find(_._1 == 2L).get._3 == "2024-01-01 00:00:00")
+  }
+
   // ---- vacuum keeps the grace generation ---------------------------
 
   test("vacuumTombstones retains the previous generation as the reader grace copy") {
