@@ -454,6 +454,8 @@ object SparkEntry {
     "q212_scd2_fold"        -> ((s, d) => CoreQueries.scd2Fold(s, d)),
     // q212 via merge-on-read: keyed MoR close + append open, same rows
     "q213_scd2_mor"         -> ((s, d) => CoreQueries.scd2FoldMoR(s, d)),
+    // q213 as a checkpointed change-feed drain: same rows again
+    "q214_scd2_stream"      -> ((s, d) => CoreQueries.scd2Stream(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -614,6 +616,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q213_scd2_mor" -> scd2IntervalOracle,
+    "q214_scd2_stream" -> scd2IntervalOracle,
     "q01_gold_agg" ->
       """SELECT n_name AS country, COUNT(*) AS total_bookings,
          CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,

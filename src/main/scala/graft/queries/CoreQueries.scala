@@ -2533,6 +2533,61 @@ object CoreQueries {
         col("valid_to"), col("is_current"))
   }
 
+  /** STREAMED SCD2 (q214): q213's scenario delivered as a checkpointed
+    * AvailableNow change-feed drain ([[graft.streaming.StreamScd2]])
+    * — one feed file per effective date, each micro-batch folded
+    * through the merge-on-read SCD2 path. Same interval oracle as
+    * q212/q213: batch boundaries and the streaming fence must be
+    * invisible in the history. Feed files get explicit, strictly
+    * increasing modification times so the file source's
+    * (mtime, path) ordering delivers the effective dates in order —
+    * an out-of-order delivery would fail the fold's late-batch check
+    * loudly rather than corrupt the history. */
+  def scd2Stream(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-scd2s-")
+    val dir = s"$work/hist"
+    val feed = s"$work/feed"
+    val base = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(floor(moneySum(col("value"))).cast("long").as("attr"))
+    val b2 = base
+      .filter(col("user_id") % 2 === 0 || col("user_id") % 10 === 1)
+      .withColumn("attr", when(col("user_id") % 2 === 0,
+        col("attr") + 100L).otherwise(col("attr")))
+      .select(col("user_id"), col("attr"), lit("U").as("op"),
+        lit("2024-02-01 00:00:00").as("ts_s"))
+    val b3 = base.filter(col("user_id") % 5 === 0)
+      .select(col("user_id"), lit(null).cast("long").as("attr"),
+        lit("D").as("op"), lit("2024-03-01 00:00:00").as("ts_s"))
+      .unionByName(base.filter(col("user_id") % 3 === 0)
+        .select((col("user_id") + 1000000L).as("user_id"),
+          lit(7L).as("attr"), lit("I").as("op"),
+          lit("2024-03-01 00:00:00").as("ts_s")))
+    graft.sink.BloomSkipIndex.bloomWrite(
+      graft.ops.Scd2.init(base, Seq("user_id"), Seq("attr"),
+        "2024-01-01 00:00:00"),
+      "user_id", dir, nFiles = 16)
+    b2.coalesce(1).write.mode("append").parquet(feed)
+    b3.coalesce(1).write.mode("append").parquet(feed)
+    // pin strictly increasing mtimes per effective date (see Scaladoc)
+    val fp = new org.apache.hadoop.fs.Path(feed)
+    val fs = fp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(fp).filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet"))
+    val byDate = files.map { st =>
+      val ts = s.read.parquet(st.getPath.toString)
+        .select(max(col("ts_s"))).head().getString(0)
+      (ts, st.getPath)
+    }.sortBy(_._1)
+    byDate.zipWithIndex.foreach { case ((_, p), i) =>
+      fs.setTimes(p, 1700000000000L + i * 60000L, -1)
+    }
+    graft.streaming.StreamScd2.run(s, feed, b2.schema, s"$work/ckpt",
+      dir, "user_id", Seq("attr"))
+    graft.sink.DeletionVectors.read(s, dir)
+      .select(col("user_id"), col("attr"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -536,6 +536,41 @@ class Round9Spec extends AnyFunSuite {
     assert(once.find(_._1 == 2L).get._3 == "2024-01-01 00:00:00")
   }
 
+  test("StreamScd2: one-ts-per-batch contract enforced; batch replay is a no-op") {
+    import graft.streaming.StreamScd2
+    val work = tmp("graft-r9ss-")
+    val dir = s"$work/hist"
+    BloomSkipIndex.bloomWrite(
+      graft.ops.Scd2.init(
+        Seq((1L, "a"), (2L, "b")).toDF("id", "attr"),
+        Seq("id"), Seq("attr"), "2024-01-01 00:00:00"),
+      "id", dir, nFiles = 2)
+    // mixed effective timestamps must fail loud
+    val mixed = Seq((1L, "a2", "U", "2024-02-01 00:00:00"),
+        (2L, "b2", "U", "2024-02-02 00:00:00"))
+      .toDF("id", "attr", "op", "ts_s")
+    assert(intercept[IllegalArgumentException] {
+      StreamScd2.applyBatch(spark, dir, mixed, "id", Seq("attr"),
+        "ts_s", "op")
+    }.getMessage.contains("exactly one"))
+    // a clean batch applies; redelivery (foreachBatch replay) no-ops
+    val ok = Seq((1L, "a2", "U", "2024-02-01 00:00:00"))
+      .toDF("id", "attr", "op", "ts_s")
+    StreamScd2.applyBatch(spark, dir, ok, "id", Seq("attr"), "ts_s", "op")
+    val once = DeletionVectors.read(spark, dir)
+      .select("id", "attr", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, String, Option[String], Boolean)].collect().toSet
+    StreamScd2.applyBatch(spark, dir, ok, "id", Seq("attr"), "ts_s", "op")
+    val twice = DeletionVectors.read(spark, dir)
+      .select("id", "attr", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, String, Option[String], Boolean)].collect().toSet
+    assert(twice == once, "replayed StreamScd2 batch changed the history")
+    assert(once == Set(
+      (1L, "a", "2024-01-01 00:00:00", Some("2024-02-01 00:00:00"), false),
+      (1L, "a2", "2024-02-01 00:00:00", None, true),
+      (2L, "b", "2024-01-01 00:00:00", None, true)))
+  }
+
   // ---- vacuum keeps the grace generation ---------------------------
 
   test("vacuumTombstones retains the previous generation as the reader grace copy") {
