@@ -456,6 +456,8 @@ object SparkEntry {
     "q213_scd2_mor"         -> ((s, d) => CoreQueries.scd2FoldMoR(s, d)),
     // q213 as a checkpointed change-feed drain: same rows again
     "q214_scd2_stream"      -> ((s, d) => CoreQueries.scd2Stream(s, d)),
+    // q208's drain + one maintain() pass: value-neutral, sidecars fresh
+    "q215_mor_maintain"     -> ((s, d) => CoreQueries.streamMorMaintained(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -573,6 +575,19 @@ object SparkEntry {
          rk AS (SELECT *, row_number() OVER (PARTITION BY src
                  ORDER BY cos5 DESC, dst) AS rank FROM p),
          e AS (SELECT src, dst FROM rk WHERE rank <= 2)"""
+
+  /** Shared by q208 (indexed drain) and q215 (same drain + one
+    * maintain() pass): maintenance must be value-invisible. */
+  private val indexedDrainOracle: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(CASE WHEN event_id % 1000 = 2
+                            THEN value + 10000.0 ELSE value END
+                       AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         CAST(sum(event_id) AS BIGINT) AS sum_event_id
+       FROM events
+       WHERE (event_id % 2 = 0 AND event_id % 1000 <> 502)
+          OR event_id % 1000 = 1
+       GROUP BY event_type"""
 
   /** Shared by q212 (copy-on-write fold) and q213 (merge-on-read
     * fold): same scenario, same rows — only the storage plan differs. */
@@ -3608,16 +3623,10 @@ object SparkEntry {
          GROUP BY event_type""",
     // indexed MoR drain: evens minus the deleted %1000==502, the
     // %1000==2 re-priced, plus the inserted odd %1000==1 rows
-    "q208_stream_mor_indexed" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(CASE WHEN event_id % 1000 = 2
-                              THEN value + 10000.0 ELSE value END
-                         AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-           CAST(sum(event_id) AS BIGINT) AS sum_event_id
-         FROM events
-         WHERE (event_id % 2 = 0 AND event_id % 1000 <> 502)
-            OR event_id % 1000 = 1
-         GROUP BY event_type""",
+    "q208_stream_mor_indexed" -> indexedDrainOracle,
+    // same final state AFTER a maintain() pass — maintenance must be
+    // value-invisible
+    "q215_mor_maintain" -> indexedDrainOracle,
     // same classification as q202 — the bucketed layout must change
     // the PLAN (zero Exchange, Round9Spec), never the rows
     "q209_bucketed_changes" ->

@@ -184,15 +184,26 @@ object Scd2 {
     * wall-of-I/O the MoR fact path exists to avoid. Read the history
     * through [[graft.sink.DeletionVectors.read]].
     *
-    * Replay-idempotent WITHOUT a fence: every step routes on the
+    * REDELIVERY-idempotent without a fence: every step routes on the
     * CURRENT visible state (a replayed close finds its versions
     * already closed → no-op; a replayed open finds an identical
-    * current version → the no-change rule suppresses it), so a crash
-    * anywhere converges on retry — same argument as the fold's
-    * semantics themselves. Keep the history's `_bloom_<keyCol>`
-    * sidecar fresh (the fold refreshes an existing one at O(batch))
-    * and both the close-locate and the pre-image join prune to
-    * may-contain files. */
+    * current version → the no-change rule suppresses it), so a
+    * complete batch applied twice is a structural no-op
+    * (spec-diffed). One honest crash window remains, inherited from
+    * [[graft.sink.DeletionVectors.updateByKeyDf]]: a crash INSIDE
+    * the keyed close — after its tombstone generation commits but
+    * before the closed images append — leaves the affected keys with
+    * no visible version; the replay then routes them as NEW keys and
+    * opens fresh versions, so the closed interval row is lost (the
+    * key's CURRENT state still converges; its history row doesn't).
+    * The copy-on-write [[foldBatch]] over [[graft.sink
+    * .AtomicParquetSink]] is the zero-window alternative; a
+    * deployment that needs both MoR economics and zero windows puts
+    * the whole directory behind the atomic sink's version swap.
+    * Keep the history's `_bloom_<keyCol>` sidecar fresh (the fold
+    * refreshes an existing one at O(batch)) and both the
+    * close-locate and the pre-image join prune to may-contain
+    * files. */
   def foldBatchMoR(spark: org.apache.spark.sql.SparkSession, dir: String,
                    batch: DataFrame, keyCol: String,
                    attrCols: Seq[String], ts: String,

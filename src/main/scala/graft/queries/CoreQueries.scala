@@ -2422,6 +2422,40 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** MoR table maintenance under the oracle (q215): q208's indexed
+    * drain followed by ONE [[graft.sink.DeletionVectors.maintain]]
+    * pass (ratio compaction + small-file packing + tombstone vacuum +
+    * bloom/manifest refolds, in the safe order) — the maintained
+    * table must answer exactly like the unmaintained one (q208's
+    * oracle), and the Round9Spec twin asserts the sidecars come out
+    * FRESH, so the next pruned read serves from metadata. */
+  def streamMorMaintained(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-smm-")
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    graft.sink.BloomSkipIndex.bloomWrite(
+      ev.filter(col("event_id") % 2 === 0), "event_id",
+      s"$work/table", nFiles = 32)
+    val feed = ev.filter(col("event_id") % 1000 === 1)
+      .withColumn("op", lit("I"))
+      .unionByName(ev.filter(col("event_id") % 1000 === 2)
+        .withColumn("value", col("value") + lit(10000.0))
+        .withColumn("op", lit("U")))
+      .unionByName(ev.filter(col("event_id") % 1000 === 502)
+        .withColumn("op", lit("D")))
+    feed.repartition(3).write.parquet(s"$work/feed")
+    graft.streaming.StreamMoR.run(
+      s, s"$work/feed", feed.schema, s"$work/checkpoint", s"$work/table",
+      keyCol = "event_id", opCol = "op")
+    graft.sink.DeletionVectors.maintain(s, s"$work/table",
+      maxDeleteRatio = 0.001, smallBytes = 1L << 20)
+    graft.sink.DeletionVectors.read(s, s"$work/table")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** Bucketed change feed (q209): q202's snapshot diff with the
     * versions persisted through [[graft.sink.BucketedSnapshots]] —
     * both snapshots bucket-clustered on the key, so the full-outer

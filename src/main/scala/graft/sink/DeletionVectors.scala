@@ -547,6 +547,39 @@ object DeletionVectors {
       fs.delete(new Path(s"$dir/$GenPrefix$g"), true))
   }
 
+  /** One maintenance pass over a long-lived MoR table, in the safe
+    * order — the single call a table-service cron runs between (never
+    * under) stream batches:
+    *
+    *   1. [[compactIfNeeded]]: rewrite files whose tombstoned
+    *      fraction crossed `maxDeleteRatio` (bounds read
+    *      amplification from deletes);
+    *   2. [[compactSmallFiles]]: bin-pack sub-`smallBytes` files
+    *      (bounds listing/footer/task amplification from trickle
+    *      appends);
+    *   3. [[vacuumTombstones]]: retire entries dangling at files the
+    *      compactions removed (keeps the reader-grace generation);
+    *   4. refold every `_bloom_*` sidecar and the `_manifest` sidecar
+    *      against the post-compaction listing (O(rewritten files)),
+    *      so the next pruned read serves from fresh metadata instead
+    *      of paying the staleness fallback.
+    *
+    * Each step is independently safe between batches (documented on
+    * the respective methods); ordering matters only for EFFICIENCY —
+    * folding before compacting would fold twice. Returns
+    * (filesCompacted, filesPacked). */
+  def maintain(spark: SparkSession, dir: String,
+               maxDeleteRatio: Double = 0.1,
+               smallBytes: Long = 8L << 20,
+               targetBytes: Long = 128L << 20): (Int, Int) = {
+    val compacted = compactIfNeeded(spark, dir, maxDeleteRatio)
+    val packed = compactSmallFiles(spark, dir, smallBytes, targetBytes)
+    vacuumTombstones(spark, dir)
+    BloomSkipIndex.foldAllBloomSidecars(spark, dir)
+    ZOrderLayout.foldManifestSidecar(spark, dir)
+    (compacted, packed)
+  }
+
   /** Last path segment of a path/URI string, as a Column (no UDF). */
   private def udfFreeName(c: Column): Column =
     element_at(split(c, "/"), -1)

@@ -286,6 +286,50 @@ object ZOrderLayout {
   private def dataFileNames(spark: SparkSession, dir: String): Set[String] =
     Sidecars.dataFileNames(spark, dir)
 
+  /** Reconcile an EXISTING `_manifest` sidecar with the current
+    * listing, standalone — the [[BloomSkipIndex.foldBloomSidecar]]
+    * twin for the manifest, usable when the append/rewrite did NOT go
+    * through [[zorderAppendRankedN]] (a compaction, a foreign append,
+    * [[DeletionVectors.compactSmallFiles]]…). The clustered DIMS are
+    * inferred from the sidecar's own `min_<d>`/`max_<d>` column names
+    * — no caller-supplied schema to drift. Keeps recorded rows of
+    * still-present files, min/max-scans ONLY the unseen files,
+    * zero-completes, rewrites. No-op when no manifest exists (a
+    * manifest build needs the dims — that is [[writeManifest]]'s
+    * job) or when already fresh. */
+  def foldManifestSidecar(spark: SparkSession, dir: String): Unit = {
+    val mdir = new Path(manifestDir(dir))
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mdir)) return
+    val parts = fs.listStatus(mdir).iterator.filter(_.isFile)
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSeq
+    if (parts.isEmpty) return
+    val side = spark.read.parquet(parts: _*)
+    val dims = side.columns.toSeq.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_")
+    }
+    if (dims.isEmpty || !side.columns.contains("file")) return
+    val current = dataFileNames(spark, dir)
+    val all = side.collect().toSeq
+    val fileIdx = side.columns.indexOf("file")
+    val kept = all.filter(r => current(new Path(r.getString(fileIdx)).getName))
+    val seen = kept.map(r => new Path(r.getString(fileIdx)).getName).toSet
+    val missing = (current -- seen).toSeq.sorted.map(n => s"$dir/$n")
+    if (missing.isEmpty && kept.size == all.size) return
+    val keptDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(kept, 1), side.schema)
+    val aggs = minMaxAggs(dims)
+    val out =
+      if (missing.isEmpty) keptDf
+      else keptDf.unionByName(
+        spark.read.parquet(missing: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*), allowMissingColumns = false)
+    Sidecars.withZeroRowFiles(spark, dir, out)(zeroManifestRow(dims))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestDir(dir))
+  }
+
   /** The manifest for (`dir`, `dims`): the write-time sidecar when it
     * exists, covers the requested dims, and matches the directory's
     * CURRENT file listing (a stale or unreadable sidecar — e.g. the

@@ -29,12 +29,18 @@ import org.apache.spark.sql.streaming.Trigger
   * step on the CURRENT visible state (a replayed close finds its
   * versions closed, a replayed open is suppressed by the no-change
   * rule), so foreachBatch redelivery converges structurally — the
-  * spec replays a batch and diffs the full history.
+  * spec replays a batch and diffs the full history. The one crash
+  * window (a crash INSIDE the keyed close can lose a closing
+  * interval row while the current state still converges) is
+  * documented on [[Scd2.foldBatchMoR]].
   */
 object StreamScd2 {
 
-  /** Apply one op-tagged micro-batch. Exposed for direct spec-level
-    * replay testing. */
+  /** Apply one op-tagged micro-batch. `tsCol` must be STRING-typed
+    * (the effective-date convention of the whole SCD2 family — its
+    * value becomes `valid_from`/`valid_to` verbatim; a timestamp
+    * column's `toString` rendering would leak engine formatting into
+    * the history). Exposed for direct spec-level replay testing. */
   def applyBatch(spark: SparkSession, histDir: String, batch: DataFrame,
                  keyCol: String, attrCols: Seq[String],
                  tsCol: String, opCol: String): Unit = {

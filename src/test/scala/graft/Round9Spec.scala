@@ -571,6 +571,51 @@ class Round9Spec extends AnyFunSuite {
       (2L, "b", "2024-01-01 00:00:00", None, true)))
   }
 
+  // ---- one-call maintenance ----------------------------------------
+
+  test("maintain: value-neutral, refreshes bloom AND manifest, bounds tombstones") {
+    val work = tmp("graft-r9mt-")
+    val dir = s"$work/t"
+    // a zordered+bloom-indexed table that then takes MoR mutations
+    graft.sink.ZOrderLayout.zorderWriteRankedN(
+      (0L until 4000L).map(i => (i, i % 97, i * 1.5)).toDF("id", "g", "v"),
+      Seq("id", "v"), dir, nFiles = 16)
+    BloomSkipIndex.writeBloomSidecar(spark, dir, "id")
+    // trickle mutations: deletes + tiny appends → dead rows + small files
+    DeletionVectors.deleteByKeyDf(spark, dir, "id",
+      (0L until 400L).map(_ * 2).toDF("id"))
+    (9000L until 9100L).map(i => (i, i % 97, i * 1.5)).toDF("id", "g", "v")
+      .repartition(5).write.mode("append").parquet(dir)
+    // decimal-routed sum: a double sum's order varies with the file
+    // layout the maintenance is about to change
+    val before = DeletionVectors.read(spark, dir)
+      .agg(count(lit(1)), sum(col("v").cast("decimal(18,2)")).cast("double"))
+      .as[(Long, Double)].head()
+    val (compacted, packed) =
+      DeletionVectors.maintain(spark, dir, maxDeleteRatio = 0.05,
+        smallBytes = 1L << 20, targetBytes = 8L << 20)
+    assert(compacted + packed > 0, "maintenance found nothing to do")
+    // value-neutral
+    val after = DeletionVectors.read(spark, dir)
+      .agg(count(lit(1)), sum(col("v").cast("decimal(18,2)")).cast("double"))
+      .as[(Long, Double)].head()
+    assert(after == before, s"maintain changed values: $before -> $after")
+    // both sidecars fresh against the post-compaction listing
+    assert(BloomSkipIndex.hasFreshSidecar(spark, dir, "id"),
+      "bloom sidecar stale after maintain")
+    val mfFiles = {
+      val parts = new java.io.File(s"$dir/_manifest").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      spark.read.parquet(parts.toSeq: _*).select("file").collect()
+        .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
+        .toSet
+    }
+    assert(mfFiles == dataFiles(dir).toSet,
+      "manifest sidecar stale after maintain")
+    // live tombstones bounded by the ratio (compactIfNeeded invariant)
+    assert(DeletionVectors.read(spark, dir).count() == before._1)
+  }
+
   // ---- vacuum keeps the grace generation ---------------------------
 
   test("vacuumTombstones retains the previous generation as the reader grace copy") {
