@@ -458,6 +458,10 @@ object SparkEntry {
     "q214_scd2_stream"      -> ((s, d) => CoreQueries.scd2Stream(s, d)),
     // q208's drain + one maintain() pass: value-neutral, sidecars fresh
     "q215_mor_maintain"     -> ((s, d) => CoreQueries.streamMorMaintained(s, d)),
+    // two-source checkpointed stream-stream interval join (attribution)
+    "q216_stream_join"      -> ((s, d) => CoreQueries.streamIntervalJoin(s, d)),
+    // flatMapGroupsWithState sessionization as a checkpointed drain
+    "q217_stream_sessions"  -> ((s, d) => CoreQueries.streamSessions(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -632,6 +636,32 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q213_scd2_mor" -> scd2IntervalOracle,
     "q214_scd2_stream" -> scd2IntervalOracle,
+    "q216_stream_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+               FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id, COUNT(*) AS n_pairs,
+           COUNT(DISTINCT click_id) AS n_clicks,
+           COUNT(DISTINCT purchase_id) AS n_purchases
+         FROM c JOIN p ON p.user_id = c.user_id
+           AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 4 HOUR
+         GROUP BY c.user_id""",
+    "q217_stream_sessions" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s FROM events),
+         d AS (SELECT *, CASE WHEN lag(s) OVER w IS NULL
+                 OR s - lag(s) OVER w > 14400 THEN 1 ELSE 0 END AS boundary
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+         x AS (SELECT *, CAST(SUM(boundary) OVER (PARTITION BY user_id
+                 ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_idx
+               FROM d)
+         SELECT user_id,
+           strftime(make_timestamp(MIN(s) * 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(make_timestamp(MAX(s) * 1000000), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+         FROM x GROUP BY user_id, session_idx""",
     "q01_gold_agg" ->
       """SELECT n_name AS country, COUNT(*) AS total_bookings,
          CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,

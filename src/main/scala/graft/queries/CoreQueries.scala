@@ -2622,6 +2622,115 @@ object CoreQueries {
         col("valid_to"), col("is_current"))
   }
 
+  /** STREAM-STREAM interval join (q216): click→purchase attribution as
+    * a REAL checkpointed two-source Structured Streaming join —
+    * [[graft.streaming.EventTimeOps.intervalJoinStreams]] under a
+    * parquet-file feed per side, drained AvailableNow with
+    * maxFilesPerTrigger=1 so matches MUST span micro-batch boundaries
+    * (both sides' join state carries across batches; the sides'
+    * files are split round-robin, not by time, so late-arriving
+    * partners are the common case, not the corner). Watermark is set
+    * wide (365 days) for exact batch parity at fixture scale — a
+    * production deployment sets the real lateness horizon and the
+    * SAME code bounds state to O(horizon) instead of O(stream), which
+    * is the whole 100 TB story: the join never shuffles history, it
+    * keeps a rolling window of keyed state. Oracle: the identical
+    * interval join as one batch SQL over `events`.
+    *
+    * Reference anchor: the stream-static lookup join
+    * (dataflow/BookingDataTransformation.json:115-138) generalized to
+    * the case where BOTH sides move. */
+  def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-ssj-")
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        ts().as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        ts().as("p_ts"))
+    clicks.repartition(2).write.mode("overwrite").parquet(s"$work/clicks")
+    purchases.repartition(2).write.mode("overwrite").parquet(s"$work/purchases")
+    def feed(path: String, schema: org.apache.spark.sql.types.StructType) =
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    val joined = graft.streaming.EventTimeOps.intervalJoinStreams(
+      feed(s"$work/clicks", clicks.schema), "c_ts",
+      feed(s"$work/purchases", purchases.schema), "p_ts",
+      "c_user", "p_user", maxDelay = "4 hours", watermark = "365 days")
+    val q = joined.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .format("parquet").option("path", s"$work/out").start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("click_id")).as("n_clicks"),
+        countDistinct(col("purchase_id")).as("n_purchases"))
+  }
+
+  /** STREAMING sessionization (q217): the
+    * [[graft.streaming.EventTimeOps.sessionizeStream]]
+    * `flatMapGroupsWithState` operator as a checkpointed AvailableNow
+    * drain — per-user open-session state survives micro-batch
+    * boundaries (the feed is split at the median event time, so
+    * mid-session cuts are guaranteed at every sf), and a per-user
+    * sentinel event one gap-plus-hour past the user's last real event
+    * closes the final open sessions so the emitted set equals the
+    * batch reconstruction exactly (the sentinel's own session stays
+    * open and is never emitted). Feed files carry pinned ascending
+    * mtimes (the q214 convention) so the file source delivers the
+    * halves in event-time order — the cross-batch per-user ordering
+    * the operator's contract requires. Oracle: q32's LAG/running-sum
+    * sessionization, minus the per-user index column. */
+  def streamSessions(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-sess-")
+    val feed = s"$work/feed"
+    val ev = Tables.events(s, d).select(col("user_id"), ts().as("ts"))
+    val mid = ev.select(
+      percentile_approx(unix_timestamp(col("ts")), lit(0.5), lit(1000)))
+      .head().getLong(0)
+    ev.filter(unix_timestamp(col("ts")) < mid)
+      .coalesce(1).write.mode("append").parquet(feed)
+    ev.filter(unix_timestamp(col("ts")) >= mid)
+      .coalesce(1).write.mode("append").parquet(feed)
+    ev.groupBy(col("user_id")).agg(max(col("ts")).as("mx"))
+      .select(col("user_id"), (col("mx") + expr("INTERVAL 5 hours")).as("ts"))
+      .coalesce(1).write.mode("append").parquet(feed)
+    // pin strictly increasing mtimes in event-time order (see q214)
+    val fp = new org.apache.hadoop.fs.Path(feed)
+    val fs = fp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val byDate = fs.listStatus(fp)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val mx = s.read.parquet(st.getPath.toString)
+          .select(max(col("ts")).cast("long")).head().getLong(0)
+        (mx, st.getPath)
+      }.sortBy(_._1)
+    byDate.zipWithIndex.foreach { case ((_, p), i) =>
+      fs.setTimes(p, 1700000000000L + i * 60000L, -1)
+    }
+    import s.implicits._
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+      .as[graft.streaming.EventTimeOps.Ev]
+    val sessions =
+      graft.streaming.EventTimeOps.sessionizeStream(stream, 14400L)
+    val q = sessions.toDF()
+      .select(col("user_id"),
+        from_unixtime(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        from_unixtime(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events").cast(LongType).as("n_events"))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .format("parquet").option("path", s"$work/out").start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

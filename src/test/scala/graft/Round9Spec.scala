@@ -639,4 +639,40 @@ class Round9Spec extends AnyFunSuite {
     // and the vacuumed state still reads correctly
     assert(DeletionVectors.read(spark, dir).count() == 94L)
   }
+
+  // ---- checkpointed event-time drains (q216/q217) ------------------
+
+  test("q216: stream-stream interval join drain equals the batch join") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.queries.CoreQueries.streamIntervalJoin(spark, d)
+    val ev = graft.sources.Tables.events(spark, d)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").cast("timestamp").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"),
+        col("ts").cast("timestamp").as("p_ts"))
+    val batch = c.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 4 hours"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("click_id")).as("n_clicks"),
+        countDistinct(col("purchase_id")).as("n_purchases"))
+    assert(streamed.count() > 0, "q216 must be non-vacuous at sf0.001")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("q217: stateful sessionization drain equals the batch sessionization") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.queries.CoreQueries.streamSessions(spark, d)
+    val batch = graft.streaming.EventTimeOps.sessionizeBatch(
+        graft.sources.Tables.events(spark, d), gapSeconds = 14400L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed sessions must equal the LAG/running-sum reconstruction")
+  }
 }
