@@ -67,6 +67,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.GroupedTopK].getName,
         graft.functions.GraftFunctions.topkName),
       graft.functions.GraftFunctions.topkBuilder))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.GraftFunctions.covName),
+      new ExpressionInfo(classOf[graft.functions.EmbedCov].getName,
+        graft.functions.GraftFunctions.covName),
+      graft.functions.GraftFunctions.covBuilder))
     // optimizer: naive BETWEEN range joins -> bucketized equi-join
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
     // optimizer: jaccard >= tau filters get a size-ratio prefilter

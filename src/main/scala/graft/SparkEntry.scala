@@ -462,6 +462,10 @@ object SparkEntry {
     "q216_stream_join"      -> ((s, d) => CoreQueries.streamIntervalJoin(s, d)),
     // flatMapGroupsWithState sessionization as a checkpointed drain
     "q217_stream_sessions"  -> ((s, d) => CoreQueries.streamSessions(s, d)),
+    // one-pass distributed covariance of the embedding column
+    "q218_embed_cov"        -> ((s, d) => LlmQueries.embedCovariance(s, d)),
+    // JL Rademacher random projection (literal sign matrix, in-scan)
+    "q219_rand_proj"        -> ((s, d) => LlmQueries.randomProjection(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -662,6 +666,28 @@ object SparkEntry {
            strftime(make_timestamp(MAX(s) * 1000000), '%Y-%m-%d %H:%M:%S') AS session_end,
            COUNT(*) AS n_events
          FROM x GROUP BY user_id, session_idx""",
+    "q218_embed_cov" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         x AS (SELECT i, j, v[i] * v[j] AS p, v[i] AS xi, v[j] AS xj
+               FROM e,
+                 unnest(range(1, len(v) + 1)) AS t(i),
+                 unnest(range(1, len(v) + 1)) AS t2(j)
+               WHERE j >= i)
+         SELECT CAST(i - 1 AS INT) AS di, CAST(j - 1 AS INT) AS dj,
+           floor((AVG(p) - AVG(xi) * AVG(xj)) * 100000.0 + 0.5) / 100000.0
+             AS cov5
+         FROM x GROUP BY 1, 2""",
+    "q219_rand_proj" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT k, i,
+             CASE WHEN CAST('0x' || substr(md5('rp' || k || '_' || i), 1, 8)
+               AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+           FROM range(0, 16) t(k), range(0, 64) t2(i)),
+         p AS (SELECT vec_id, k, SUM(v[i + 1] * sgn) AS y
+               FROM e, s GROUP BY 1, 2)
+         SELECT vec_id, CAST(k AS INT) AS k,
+           floor(y / sqrt(16.0) * 100000.0 + 0.5) / 100000.0 AS y5
+         FROM p""",
     "q01_gold_agg" ->
       """SELECT n_name AS country, COUNT(*) AS total_bookings,
          CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,

@@ -100,6 +100,7 @@ object GraftFunctions {
   val hllName = "graft_hll_distinct"
   val bloomName = "graft_bloom_probe"
   val topkName = "graft_topk"
+  val covName = "graft_embed_cov"
 
   private def cosBuilder(exprs: Seq[Expression]): Expression =
     CosineSimilarity(exprs.head, exprs(1))
@@ -136,6 +137,9 @@ object GraftFunctions {
   private[graft] def hllBuilder(exprs: Seq[Expression]): Expression =
     HllDistinct(exprs.head)
 
+  private[graft] def covBuilder(exprs: Seq[Expression]): Expression =
+    EmbedCov(exprs.head)
+
   private[graft] def topkBuilder(exprs: Seq[Expression]): Expression = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.IntegerType
@@ -167,6 +171,8 @@ object GraftFunctions {
         "built-in")
     if (!registry.functionExists(FunctionIdentifier(topkName)))
       registry.createOrReplaceTempFunction(topkName, topkBuilder, "built-in")
+    if (!registry.functionExists(FunctionIdentifier(covName)))
+      registry.createOrReplaceTempFunction(covName, covBuilder, "built-in")
   }
 
   /** Column form: cosine(a, b) as a codegen'd native expression. */

@@ -715,4 +715,52 @@ object LlmQueries {
     est.join(Tables.documents(s, d).groupBy("lang")
       .agg(countDistinct(col("text")).as("exact_distinct")), "lang")
   }
+
+  /** Embedding covariance matrix (q218): the one-pass distributed
+    * moment aggregate ([[graft.functions.EmbedCov]] — partial
+    * aggregation, ~d²/2 doubles per partition over the wire, never a
+    * d²-per-row explode) rendered as (dim_i, dim_j, cov) upper-triangle
+    * rows. The fit pass every PCA/whitening/clustering-diagnostic step
+    * shares; oracle = the same population covariance via a double
+    * unnest in DuckDB. */
+  def embedCovariance(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    Tables.embeddings(s, d)
+      .select(expr("graft_embed_cov(embedding)").as("m"))
+      .select(explode(col("m.cov")).as("c"))
+      .select(col("c.i").as("di"), col("c.j").as("dj"),
+        graft.Oracle.stableRound(col("c.cov"), 5).as("cov5"))
+  }
+
+  /** Johnson–Lindenstrauss random projection (q219): project the
+    * embedding column onto k Rademacher (±1) axes derived from md5
+    * parity — the cheap distance-preserving dim-reduction in front of
+    * a 100 TB ANN/cluster pass. The sign matrix is computed ONCE
+    * driver-side (k·d entries) and baked into the plan as literals:
+    * per row the projection is k·d multiply-adds inside whole-stage
+    * codegen — no shuffle, no UDF, no per-row hashing. Deterministic
+    * cross-engine: DuckDB re-derives the same signs from the same md5
+    * strings. */
+  def randomProjection(s: SparkSession, d: String,
+                       k: Int = 16): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(kk: Int, i: Int): Double = {
+      val hex = md.digest(s"rp${kk}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+    val signs = Array.tabulate(k, dim)(sign)
+    val xd = transform(col("embedding"), x => x.cast("double"))
+    val coords = (0 until k).map { kk =>
+      val row = array(signs(kk).map(lit): _*)
+      struct(lit(kk).as("k"),
+        (aggregate(zip_with(xd, row, (a, b) => a * b), lit(0.0),
+          (acc, x) => acc + x) / lit(math.sqrt(k.toDouble))).as("y"))
+    }
+    e.select(col("vec_id"), explode(array(coords: _*)).as("p"))
+      .select(col("vec_id"), col("p.k").as("k"),
+        graft.Oracle.stableRound(col("p.y"), 5).as("y5"))
+  }
 }
