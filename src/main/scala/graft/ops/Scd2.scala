@@ -117,15 +117,17 @@ object Scd2 {
         col(opCol).as("_b_op"): _*)
 
     // contract: unique per key, known ops, no monotonicity violation
-    // against the OPEN versions
+    // against the OPEN versions — ONE aggregation job (struct-wrapped
+    // count_distinct so a null key still counts as a group, exactly
+    // like the distinct().count() it replaces)
     val stats = batch.agg(
       count(lit(1)),
+      count_distinct(struct(keyCols.map(col): _*)),
       count(when(coalesce(
         !col(opCol).isin("I", "U", "D"), lit(true)), 1))).head()
-    require(stats.getLong(0) ==
-      batch.select(keyCols.map(col): _*).distinct().count(),
+    require(stats.getLong(0) == stats.getLong(1),
       s"scd2 foldBatch: batch is not unique on ${keyCols.mkString(",")}")
-    require(stats.getLong(1) == 0,
+    require(stats.getLong(2) == 0,
       s"scd2 foldBatch: batch carries unknown $opCol ops")
 
     val cur = history.filter(col("is_current"))
@@ -213,14 +215,15 @@ object Scd2 {
       col(keyCol) +:
         attrCols.map(a => col(a).as(s"_b_$a")) :+
         col(opCol).as("_b_op"): _*)
+    // one aggregation job (struct wrap: null keys still form a group)
     val stats = batch.agg(
       count(lit(1)),
+      count_distinct(struct(col(keyCol))),
       count(when(coalesce(
         !col(opCol).isin("I", "U", "D"), lit(true)), 1))).head()
-    require(stats.getLong(0) ==
-      batch.select(col(keyCol)).distinct().count(),
+    require(stats.getLong(0) == stats.getLong(1),
       s"scd2 foldBatchMoR: batch is not unique on $keyCol")
-    require(stats.getLong(1) == 0,
+    require(stats.getLong(2) == 0,
       s"scd2 foldBatchMoR: batch carries unknown $opCol ops")
 
     // the batch keys' CURRENT versions — bloom-pruned when indexed
