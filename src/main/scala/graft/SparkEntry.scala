@@ -466,6 +466,8 @@ object SparkEntry {
     "q218_embed_cov"        -> ((s, d) => LlmQueries.embedCovariance(s, d)),
     // JL Rademacher random projection (literal sign matrix, in-scan)
     "q219_rand_proj"        -> ((s, d) => LlmQueries.randomProjection(s, d)),
+    // PQ-ADC: 8-byte codes + broadcast per-query LUT scan
+    "q220_pq_adc"           -> ((s, d) => LlmQueries.pqAdc(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -688,6 +690,37 @@ object SparkEntry {
          SELECT vec_id, CAST(k AS INT) AS k,
            floor(y / sqrt(16.0) * 100000.0 + 0.5) / 100000.0 AS y5
          FROM p""",
+    "q220_pq_adc" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         mu AS (SELECT i, AVG(v[i]) AS mu
+                FROM e, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY i),
+         cd AS (SELECT e.vec_id, CAST(s AS INT) AS s,
+                  CAST(SUM(CASE WHEN e.v[s * 8 + b + 1] >= mu.mu
+                    THEN 1 << b ELSE 0 END) AS INT) AS code
+                FROM e, range(0, 8) ts(s), range(0, 8) tb(b), mu
+                WHERE mu.i = s * 8 + b + 1
+                GROUP BY 1, 2),
+         cb AS (SELECT cd.s, cd.code, CAST(b AS INT) AS b,
+                  AVG(e.v[cd.s * 8 + b + 1]) AS cv
+                FROM e JOIN cd USING (vec_id), range(0, 8) tb(b)
+                GROUP BY 1, 2, 3),
+         q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+         lut AS (SELECT q.query_id, cb.s, cb.code,
+                   SUM(q.v[cb.s * 8 + cb.b + 1] * cb.cv) AS dot8
+                 FROM q, cb GROUP BY 1, 2, 3),
+         sc AS (SELECT lut.query_id, cd.vec_id AS neighbor_id,
+                  SUM(lut.dot8) AS adc
+                FROM cd JOIN lut ON lut.s = cd.s AND lut.code = cd.code
+                WHERE cd.vec_id <> lut.query_id
+                GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id,
+                 floor(adc * 100000.0 + 0.5) / 100000.0 AS adc5,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY floor(adc * 100000.0 + 0.5) / 100000.0 DESC,
+                     neighbor_id) AS rank
+               FROM sc)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc5
+         FROM r WHERE rank <= 3""",
     "q01_gold_agg" ->
       """SELECT n_name AS country, COUNT(*) AS total_bookings,
          CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,

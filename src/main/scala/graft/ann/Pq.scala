@@ -1,0 +1,110 @@
+package graft.ann
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization with asymmetric-distance (ADC) scanning — the
+  * memory side of the IVF-PQ architecture every 100 TB vector corpus
+  * runs (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011; public): split d dims into m subspaces, store
+  * ONE byte of codebook index per subspace (64-dim float = 256 B →
+  * m = 8 B per vector, a 32× compression), and answer queries by
+  * summing m PRE-COMPUTED query·centroid dot products looked up by
+  * code — the corpus scan never touches the original floats.
+  *
+  * Codebook training here is the deterministic mean-threshold variant
+  * (cell index = the sign pattern of the sub-vector against the
+  * per-dimension corpus means; centroid = cell mean) rather than
+  * k-means — same codebook structure and identical ADC mechanics,
+  * but reproducible bit-for-bit by the DuckDB oracle, which is what
+  * puts the whole operator under the row gate. Swapping in k-means
+  * centroids changes [[fitMeans]]/cell assignment only; the scan
+  * shape (the part that matters at scale) is unchanged.
+  *
+  * Scale shape: means come from the one-pass moment aggregate
+  * ([[graft.functions.EmbedCov]]); encoding is a per-row in-scan
+  * expression (no shuffle — codes can be persisted next to the
+  * vectors and the floats dropped); the per-query LUT is
+  * queries × m × 256 rows, broadcast; the ADC scan is one
+  * broadcast-hash join on (subspace, code) plus a partial-aggregated
+  * sum over m rows per (query, neighbor). Codebook training at
+  * 100 TB runs on a sample — the standard practice this mirrors.
+  */
+object Pq {
+
+  /** Per-dimension corpus means — the codebook thresholds. One
+    * distributed pass. */
+  def fitMeans(df: DataFrame, vecCol: String): Array[Double] = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(expr(s"graft_embed_cov($vecCol)").as("m"))
+      .select(col("m.mean")).head().getSeq[Double](0).toArray
+  }
+
+  /** In-scan PQ encoder: array of m codes, code s = the sub-vector's
+    * ≥-mean sign pattern as a byte (bit b set ⇔ dim s·sub+b ≥ its
+    * corpus mean). Pure codegen'd expression over literals. */
+  def codesColumn(vecCol: String, means: Array[Double], m: Int): Column = {
+    val d = means.length
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val sub = d / m
+    array((0 until m).map { s =>
+      (0 until sub).map { b =>
+        when(col(vecCol).getItem(s * sub + b).cast("double") >=
+          lit(means(s * sub + b)), lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _).cast("int")
+    }: _*)
+  }
+
+  /** Codebook: per (subspace, code, sub-dim) the mean coordinate of
+    * the cell's members. Small (≤ m·2^sub·sub rows). */
+  def codebook(df: DataFrame, vecCol: String, means: Array[Double],
+               m: Int): DataFrame = {
+    val sub = means.length / m
+    df.withColumn("_codes", codesColumn(vecCol, means, m))
+      .select(transform(col(vecCol), x => x.cast("double")).as("_v"),
+        posexplode(col("_codes")).as(Seq("s", "code")))
+      .select(col("s"), col("code"),
+        posexplode(slice(col("_v"), col("s") * lit(sub) + lit(1),
+          lit(sub))).as(Seq("b", "xv")))
+      .groupBy("s", "code", "b").agg(avg("xv").as("cv"))
+  }
+
+  /** ADC top-k: per query build the m×2^sub lookup table of
+    * query·centroid dot products (broadcast), scan the CODES (never
+    * the floats), sum m looked-up values per neighbor, rank on the
+    * 5-dp-rounded score with a neighbor-id tiebreak (the repo's
+    * cross-engine ranking rule). */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, means: Array[Double], m: Int,
+              k: Int): DataFrame = {
+    val sub = means.length / m
+    val cb = codebook(corpus, vecCol, means, m)
+    val qd = queries
+      .select(col(idCol).as("query_id"),
+        posexplode(transform(col(vecCol), x => x.cast("double")))
+          .as(Seq("i", "qv")))
+      .withColumn("s", floor(col("i") / lit(sub)).cast("int"))
+      .withColumn("b", (col("i") % lit(sub)).cast("int"))
+    val lut = qd.join(cb, Seq("s", "b"))
+      .groupBy("query_id", "s", "code")
+      .agg(sum(col("qv") * col("cv")).as("dot8"))
+    val ncodes = corpus
+      .withColumn("_codes", codesColumn(vecCol, means, m))
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(col("_codes")).as(Seq("s", "code")))
+    val scores = ncodes.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("dot8")).as("adc"))
+    val adc5 = graft.Oracle.stableRound(col("adc"), 5)
+    scores.withColumn("adc5", adc5)
+      .withColumn("rank", row_number().over(Window
+        .partitionBy("query_id")
+        .orderBy(col("adc5").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("adc5"))
+  }
+}

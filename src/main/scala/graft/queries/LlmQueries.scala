@@ -763,4 +763,17 @@ object LlmQueries {
       .select(col("vec_id"), col("p.k").as("k"),
         graft.Oracle.stableRound(col("p.y"), 5).as("y5"))
   }
+
+  /** PQ-ADC ANN (q220): 8-byte product-quantized codes + asymmetric
+    * distance scan ([[graft.ann.Pq]]) — top-3 neighbors for the first
+    * five vectors, scored entirely through the per-query LUT; the
+    * corpus floats are never touched after encoding. Deterministic
+    * mean-threshold codebook so the DuckDB oracle retrains it
+    * bit-for-bit. */
+  def pqAdc(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val means = graft.ann.Pq.fitMeans(e, "embedding")
+    graft.ann.Pq.adcTopK(e, e.filter(col("vec_id") < 5), "embedding",
+      "vec_id", means, m = 8, k = 3)
+  }
 }
