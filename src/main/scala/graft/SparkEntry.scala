@@ -468,6 +468,8 @@ object SparkEntry {
     "q219_rand_proj"        -> ((s, d) => LlmQueries.randomProjection(s, d)),
     // PQ-ADC: 8-byte codes + broadcast per-query LUT scan
     "q220_pq_adc"           -> ((s, d) => LlmQueries.pqAdc(s, d)),
+    // IVF-PQ: the ADC scan routed through the coarse cell
+    "q221_ivf_pq"           -> ((s, d) => LlmQueries.ivfPqAdc(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -711,6 +713,41 @@ object SparkEntry {
          sc AS (SELECT lut.query_id, cd.vec_id AS neighbor_id,
                   SUM(lut.dot8) AS adc
                 FROM cd JOIN lut ON lut.s = cd.s AND lut.code = cd.code
+                WHERE cd.vec_id <> lut.query_id
+                GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id,
+                 floor(adc * 100000.0 + 0.5) / 100000.0 AS adc5,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY floor(adc * 100000.0 + 0.5) / 100000.0 DESC,
+                     neighbor_id) AS rank
+               FROM sc)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc5
+         FROM r WHERE rank <= 3""",
+    "q221_ivf_pq" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         mu AS (SELECT i, AVG(v[i]) AS mu
+                FROM e, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY i),
+         cd AS (SELECT e.vec_id, CAST(s AS INT) AS s,
+                  CAST(SUM(CASE WHEN e.v[s * 8 + b + 1] >= mu.mu
+                    THEN 1 << b ELSE 0 END) AS INT) AS code
+                FROM e, range(0, 8) ts(s), range(0, 8) tb(b), mu
+                WHERE mu.i = s * 8 + b + 1
+                GROUP BY 1, 2),
+         cb AS (SELECT cd.s, cd.code, CAST(b AS INT) AS b,
+                  AVG(e.v[cd.s * 8 + b + 1]) AS cv
+                FROM e JOIN cd USING (vec_id), range(0, 8) tb(b)
+                GROUP BY 1, 2, 3),
+         q AS (SELECT vec_id AS query_id, label AS qlabel, v
+               FROM e WHERE vec_id < 5),
+         lut AS (SELECT q.query_id, q.qlabel, cb.s, cb.code,
+                   SUM(q.v[cb.s * 8 + cb.b + 1] * cb.cv) AS dot8
+                 FROM q, cb GROUP BY 1, 2, 3, 4),
+         sc AS (SELECT lut.query_id, cd.vec_id AS neighbor_id,
+                  SUM(lut.dot8) AS adc
+                FROM cd
+                JOIN e en ON en.vec_id = cd.vec_id
+                JOIN lut ON lut.s = cd.s AND lut.code = cd.code
+                  AND en.label = lut.qlabel
                 WHERE cd.vec_id <> lut.query_id
                 GROUP BY 1, 2),
          r AS (SELECT query_id, neighbor_id,

@@ -75,26 +75,42 @@ object Pq {
     * query·centroid dot products (broadcast), scan the CODES (never
     * the floats), sum m looked-up values per neighbor, rank on the
     * 5-dp-rounded score with a neighbor-id tiebreak (the repo's
-    * cross-engine ranking rule). */
+    * cross-engine ranking rule).
+    *
+    * `cellCol` = IVF composition: queries only score neighbors in
+    * their own coarse cell — the in-plan form of IVF-PQ. At scale the
+    * cells are partition directories and the routed read prunes to
+    * them physically ([[IvfIndex]] is the persisted form, q185/q186);
+    * here the cell equality rides the broadcast LUT join, so the scan
+    * still touches codes only. */
   def adcTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, means: Array[Double], m: Int,
-              k: Int): DataFrame = {
+              k: Int, cellCol: Option[String] = None): DataFrame = {
     val sub = means.length / m
     val cb = codebook(corpus, vecCol, means, m)
     val qd = queries
-      .select(col(idCol).as("query_id"),
+      .select(col(idCol).as("query_id") +:
+        cellCol.map(c => col(c).as("_qcell")).toSeq :+
         posexplode(transform(col(vecCol), x => x.cast("double")))
-          .as(Seq("i", "qv")))
+          .as(Seq("i", "qv")): _*)
       .withColumn("s", floor(col("i") / lit(sub)).cast("int"))
       .withColumn("b", (col("i") % lit(sub)).cast("int"))
     val lut = qd.join(cb, Seq("s", "b"))
-      .groupBy("query_id", "s", "code")
+      .groupBy(col("query_id") +:
+        cellCol.map(_ => col("_qcell")).toSeq :+ col("s") :+
+        col("code"): _*)
       .agg(sum(col("qv") * col("cv")).as("dot8"))
     val ncodes = corpus
       .withColumn("_codes", codesColumn(vecCol, means, m))
-      .select(col(idCol).as("neighbor_id"),
-        posexplode(col("_codes")).as(Seq("s", "code")))
-    val scores = ncodes.join(broadcast(lut), Seq("s", "code"))
+      .select(col(idCol).as("neighbor_id") +:
+        cellCol.map(c => col(c).as("_ncell")).toSeq :+
+        posexplode(col("_codes")).as(Seq("s", "code")): _*)
+    val joined = ncodes.join(broadcast(lut), Seq("s", "code"))
+    val routed = cellCol match {
+      case Some(_) => joined.filter(col("_ncell") === col("_qcell"))
+      case None => joined
+    }
+    val scores = routed
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("dot8")).as("adc"))

@@ -776,4 +776,15 @@ object LlmQueries {
     graft.ann.Pq.adcTopK(e, e.filter(col("vec_id") < 5), "embedding",
       "vec_id", means, m = 8, k = 3)
   }
+
+  /** IVF-PQ (q221): q220's ADC scan routed through the coarse IVF
+    * cell (label) — the complete two-level architecture a 100 TB
+    * vector corpus runs: coarse routing prunes the scan to the
+    * query's cell, PQ codes keep the scanned bytes at 8/vector. */
+  def ivfPqAdc(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val means = graft.ann.Pq.fitMeans(e, "embedding")
+    graft.ann.Pq.adcTopK(e, e.filter(col("vec_id") < 5), "embedding",
+      "vec_id", means, m = 8, k = 3, cellCol = Some("label"))
+  }
 }
