@@ -72,6 +72,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.EmbedCov].getName,
         graft.functions.GraftFunctions.covName),
       graft.functions.GraftFunctions.covBuilder))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.GraftFunctions.momName),
+      new ExpressionInfo(classOf[graft.functions.EmbedCov].getName,
+        graft.functions.GraftFunctions.momName),
+      graft.functions.GraftFunctions.momBuilder))
     // optimizer: naive BETWEEN range joins -> bucketized equi-join
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
     // optimizer: jaccard >= tau filters get a size-ratio prefilter

@@ -470,6 +470,8 @@ object SparkEntry {
     "q220_pq_adc"           -> ((s, d) => LlmQueries.pqAdc(s, d)),
     // IVF-PQ: the ADC scan routed through the coarse cell
     "q221_ivf_pq"           -> ((s, d) => LlmQueries.ivfPqAdc(s, d)),
+    // streaming moment state: drained covariance = one-pass q218
+    "q222_stream_cov"       -> ((s, d) => LlmQueries.streamCovariance(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -641,6 +643,21 @@ object SparkEntry {
          (valid_to IS NULL) AS is_current
        FROM iv WHERE op <> 'D'"""
 
+  /** Shared by q218 (one-pass covariance kernel) and q222 (the same
+    * moments maintained as streaming state — merge-then-derive must
+    * equal derive-of-union). */
+  private val embedCovOracle =
+    """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       x AS (SELECT i, j, v[i] * v[j] AS p, v[i] AS xi, v[j] AS xj
+             FROM e,
+               unnest(range(1, len(v) + 1)) AS t(i),
+               unnest(range(1, len(v) + 1)) AS t2(j)
+             WHERE j >= i)
+       SELECT CAST(i - 1 AS INT) AS di, CAST(j - 1 AS INT) AS dj,
+         floor((AVG(p) - AVG(xi) * AVG(xj)) * 100000.0 + 0.5) / 100000.0
+           AS cov5
+       FROM x GROUP BY 1, 2"""
+
   def oracleSql: Map[String, String] = Map(
     "q213_scd2_mor" -> scd2IntervalOracle,
     "q214_scd2_stream" -> scd2IntervalOracle,
@@ -670,17 +687,8 @@ object SparkEntry {
            strftime(make_timestamp(MAX(s) * 1000000), '%Y-%m-%d %H:%M:%S') AS session_end,
            COUNT(*) AS n_events
          FROM x GROUP BY user_id, session_idx""",
-    "q218_embed_cov" ->
-      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         x AS (SELECT i, j, v[i] * v[j] AS p, v[i] AS xi, v[j] AS xj
-               FROM e,
-                 unnest(range(1, len(v) + 1)) AS t(i),
-                 unnest(range(1, len(v) + 1)) AS t2(j)
-               WHERE j >= i)
-         SELECT CAST(i - 1 AS INT) AS di, CAST(j - 1 AS INT) AS dj,
-           floor((AVG(p) - AVG(xi) * AVG(xj)) * 100000.0 + 0.5) / 100000.0
-             AS cov5
-         FROM x GROUP BY 1, 2""",
+    "q218_embed_cov" -> embedCovOracle,
+    "q222_stream_cov" -> embedCovOracle,
     "q219_rand_proj" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          s AS (SELECT k, i,

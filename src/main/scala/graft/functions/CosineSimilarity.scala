@@ -101,6 +101,7 @@ object GraftFunctions {
   val bloomName = "graft_bloom_probe"
   val topkName = "graft_topk"
   val covName = "graft_embed_cov"
+  val momName = "graft_embed_mom"
 
   private def cosBuilder(exprs: Seq[Expression]): Expression =
     CosineSimilarity(exprs.head, exprs(1))
@@ -140,6 +141,9 @@ object GraftFunctions {
   private[graft] def covBuilder(exprs: Seq[Expression]): Expression =
     EmbedCov(exprs.head)
 
+  private[graft] def momBuilder(exprs: Seq[Expression]): Expression =
+    EmbedCov(exprs.head, raw = true)
+
   private[graft] def topkBuilder(exprs: Seq[Expression]): Expression = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.IntegerType
@@ -173,6 +177,8 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(topkName, topkBuilder, "built-in")
     if (!registry.functionExists(FunctionIdentifier(covName)))
       registry.createOrReplaceTempFunction(covName, covBuilder, "built-in")
+    if (!registry.functionExists(FunctionIdentifier(momName)))
+      registry.createOrReplaceTempFunction(momName, momBuilder, "built-in")
   }
 
   /** Column form: cosine(a, b) as a codegen'd native expression. */

@@ -27,8 +27,14 @@ import org.apache.spark.sql.types._
   * Dimension is inferred from the first non-null row and enforced —
   * ragged embedding columns fail loud rather than mis-accumulate.
   */
+/** @param raw when true, emit the RAW moments (`{n, sum, prod}`,
+  *   no divisions) instead of mean/covariance — the mergeable form a
+  *   streaming drain accumulates across micro-batches by elementwise
+  *   SUM ([[graft.streaming.StreamCov]]); registered as
+  *   `graft_embed_mom`. */
 case class EmbedCov(
     child: Expression,
+    raw: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Double]] {
@@ -47,14 +53,23 @@ case class EmbedCov(
       case _ => false
     }
 
-  override def dataType: DataType = StructType(Seq(
-    StructField("n", LongType, nullable = false),
-    StructField("mean", ArrayType(DoubleType, containsNull = false)),
-    StructField("cov", ArrayType(StructType(Seq(
-      StructField("i", IntegerType, nullable = false),
-      StructField("j", IntegerType, nullable = false),
-      StructField("cov", DoubleType, nullable = false))),
-      containsNull = false))))
+  override def dataType: DataType =
+    if (raw) StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("sum", ArrayType(DoubleType, containsNull = false)),
+      StructField("prod", ArrayType(StructType(Seq(
+        StructField("i", IntegerType, nullable = false),
+        StructField("j", IntegerType, nullable = false),
+        StructField("v", DoubleType, nullable = false))),
+        containsNull = false))))
+    else StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("mean", ArrayType(DoubleType, containsNull = false)),
+      StructField("cov", ArrayType(StructType(Seq(
+        StructField("i", IntegerType, nullable = false),
+        StructField("j", IntegerType, nullable = false),
+        StructField("cov", DoubleType, nullable = false))),
+        containsNull = false))))
 
   override def nullable: Boolean = true
   override def prettyName: String = "graft_embed_cov"
@@ -114,25 +129,30 @@ case class EmbedCov(
     if (buffer.isEmpty) return null
     val d = buffer(0).toInt
     val n = buffer(1)
-    val mean = new Array[Any](d)
+    val first = new Array[Any](d)
     var i = 0
-    while (i < d) { mean(i) = buffer(2 + i) / n; i += 1 }
+    while (i < d) {
+      first(i) = if (raw) buffer(2 + i) else buffer(2 + i) / n
+      i += 1
+    }
     val tri = new Array[Any](d * (d + 1) / 2)
     var t = 0
     i = 0
     while (i < d) {
       var j = i
       while (j < d) {
-        val cov = buffer(2 + d + t) / n -
-          (buffer(2 + i) / n) * (buffer(2 + j) / n)
-        tri(t) = new GenericInternalRow(Array[Any](i, j, cov))
+        val v =
+          if (raw) buffer(2 + d + t)
+          else buffer(2 + d + t) / n -
+            (buffer(2 + i) / n) * (buffer(2 + j) / n)
+        tri(t) = new GenericInternalRow(Array[Any](i, j, v))
         t += 1
         j += 1
       }
       i += 1
     }
     new GenericInternalRow(Array[Any](n.toLong,
-      new GenericArrayData(mean), new GenericArrayData(tri)))
+      new GenericArrayData(first), new GenericArrayData(tri)))
   }
 
   override def serialize(buffer: Array[Double]): Array[Byte] = {

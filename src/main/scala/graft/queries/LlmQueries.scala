@@ -787,4 +787,17 @@ object LlmQueries {
     graft.ann.Pq.adcTopK(e, e.filter(col("vec_id") < 5), "embedding",
       "vec_id", means, m = 8, k = 3, cellCol = Some("label"))
   }
+
+  /** Streaming covariance (q222): the q218 moment kernel as a
+    * checkpointed drain ([[graft.streaming.StreamCov]]) — per batch
+    * one O(d²) raw-moment buffer, SUM-merged into an atomically
+    * swapped state with an in-frame batch fence. Same oracle as
+    * q218: the drained state must derive the one-pass covariance. */
+  def streamCovariance(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-scov-")
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.repartition(4).write.mode("overwrite").parquet(s"$work/feed")
+    graft.streaming.StreamCov.run(s, s"$work/feed", e.schema,
+      s"$work/ckpt", s"$work/state", "embedding")
+  }
 }

@@ -664,6 +664,31 @@ class Round9Spec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("StreamCov: batch fence makes SUM-merge replay-safe; drained cov = one-pass") {
+    val work = tmp("graft-r9sc-")
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val half1 = e.filter(col("vec_id") % 2 === 0)
+    val half2 = e.filter(col("vec_id") % 2 === 1)
+    graft.streaming.StreamCov.applyBatch(spark, s"$work/st", half1,
+      "embedding", 0L)
+    graft.streaming.StreamCov.applyBatch(spark, s"$work/st", half2,
+      "embedding", 1L)
+    val after = graft.streaming.StreamCov.derive(spark, s"$work/st").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // redeliver batch 1 (crash-replay shape) — fence must skip it
+    graft.streaming.StreamCov.applyBatch(spark, s"$work/st", half2,
+      "embedding", 1L)
+    val replayed = graft.streaming.StreamCov.derive(spark, s"$work/st")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(after == replayed, "replayed batch changed the moment state")
+    // merged state derives the one-pass kernel's covariance
+    val onePass = graft.queries.LlmQueries.embedCovariance(spark,
+      "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(after == onePass, "merge-then-derive != derive-of-union")
+  }
+
   test("q217: stateful sessionization drain equals the batch sessionization") {
     val d = "/root/testdata/sf0.001"
     val streamed = graft.queries.CoreQueries.streamSessions(spark, d)
