@@ -2731,6 +2731,32 @@ object CoreQueries {
     s.read.parquet(s"$work/out")
   }
 
+  /** SCHEMA EVOLUTION on the MoR table (q223): the reference runs its
+    * dataflow with `allowSchemaDrift: true` on sources and sink
+    * (dataflow/BookingDataTransformation.json:68,91,156) — drifted
+    * columns flow through; this is that capability as a
+    * metadata-plus-batch operation ([[graft.sink.DeletionVectors
+    * .evolveAppend]]): a bloom-indexed fact gains a `tier` column via
+    * one evolved append (old rows surface it as NULL — no rewrite),
+    * then a DV delete cuts keys across BOTH generations of files, and
+    * the read resolves through the persisted union schema. Oracle:
+    * the same union + null-filled column + delete in plain SQL. */
+  def schemaEvolve(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-evo-")
+    val dir = s"$work/t"
+    val base = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(floor(moneySum(col("value"))).cast("long").as("val"))
+    graft.sink.BloomSkipIndex.bloomWrite(base, "user_id", dir, nFiles = 8)
+    val add = base.filter(col("user_id") % 3 === 0)
+      .select((col("user_id") + 1000000L).as("user_id"),
+        (col("val") + 1L).as("val"),
+        concat(lit("t"), (col("user_id") % 4).cast("string")).as("tier"))
+    graft.sink.DeletionVectors.evolveAppend(s, dir, add)
+    graft.sink.DeletionVectors.deleteWhere(s, dir, col("user_id") % 7 === 0)
+    graft.sink.DeletionVectors.read(s, dir)
+      .select(col("user_id"), col("val"), col("tier"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -57,6 +57,26 @@ object DeletionVectors {
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Schema-resolved reads: every data read in this module flows
+    * through these so an EVOLVED table ([[evolveAppend]]) presents
+    * its full union schema — old files surface added columns as
+    * NULL, sampled-footer schema roulette can't happen, and
+    * compaction rewrites carry the union schema forward instead of
+    * silently dropping evolved columns. One file stat per read;
+    * never-evolved tables take the plain parquet path. */
+  private def readDir(spark: SparkSession, dir: String): DataFrame =
+    SchemaGuard.storedSchema(spark, dir) match {
+      case Some(sc) => spark.read.schema(sc).parquet(dir)
+      case None => spark.read.parquet(dir)
+    }
+
+  private def readFiles(spark: SparkSession, dir: String,
+                        files: Seq[String]): DataFrame =
+    SchemaGuard.storedSchema(spark, dir) match {
+      case Some(sc) => spark.read.schema(sc).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
+
   /** The data rows plus their stable row identity. */
   private def withRowId(df: DataFrame): DataFrame =
     df.select(col("*"),
@@ -129,7 +149,7 @@ object DeletionVectors {
     * number of newly deleted rows. Locate cost is one table scan; use
     * [[deleteByKeys]] when a bloom sidecar can prune the scan. */
   def deleteWhere(spark: SparkSession, dir: String, cond: Column): Long = {
-    val victims = withRowId(spark.read.parquet(dir))
+    val victims = withRowId(readDir(spark, dir))
       .filter(coalesce(cond, lit(false)))
       .select(col(RFile).as(FileCol), col(RRow).as(RowCol))
     writeNextGen(spark, dir, victims)
@@ -150,8 +170,8 @@ object DeletionVectors {
       ZOrderLayout.manifestN(spark, dir, box.map(_._1)), box)).toOption
     val src = files match {
       case Some(fs) if fs.isEmpty => return 0L // no file intersects
-      case Some(fs) => spark.read.parquet(fs: _*)
-      case None     => spark.read.parquet(dir)
+      case Some(fs) => readFiles(spark, dir, fs)
+      case None     => readDir(spark, dir)
     }
     val victims = withRowId(src)
       .filter(coalesce(cond, lit(false)))
@@ -177,8 +197,8 @@ object DeletionVectors {
       else None
     val src = files match {
       case Some(fs) if fs.isEmpty => return 0L // no file may contain a victim
-      case Some(fs) => spark.read.parquet(fs: _*)
-      case None     => spark.read.parquet(dir)
+      case Some(fs) => readFiles(spark, dir, fs)
+      case None     => readDir(spark, dir)
     }
     val victims = withRowId(src)
       .filter(values.map(col(keyCol) === _).reduce(_ || _))
@@ -224,8 +244,8 @@ object DeletionVectors {
             val fls = BloomSkipIndex.survivingFiles(spark, dir, keyCol, vals)
             DvStats.lastLocateFiles = Some(fls.length)
             if (fls.isEmpty) return 0L
-            spark.read.parquet(fls: _*)
-          } else { DvStats.lastLocateFiles = None; spark.read.parquet(dir) }
+            readFiles(spark, dir, fls)
+          } else { DvStats.lastLocateFiles = None; readDir(spark, dir) }
         // victim predicate from the SAME sample the prune used
         val victims = withRowId(src)
           .filter(vals.map(col(keyCol) === _).reduce(_ || _))
@@ -238,8 +258,8 @@ object DeletionVectors {
               .survivingFilesForKeyDf(spark, dir, keyCol, k)
             DvStats.lastLocateFiles = Some(fls.length)
             if (fls.isEmpty) return 0L
-            spark.read.parquet(fls: _*)
-          } else { DvStats.lastLocateFiles = None; spark.read.parquet(dir) }
+            readFiles(spark, dir, fls)
+          } else { DvStats.lastLocateFiles = None; readDir(spark, dir) }
         val victims = withRowId(src)
           .join(broadcast(k), Seq(keyCol), "left_semi")
           .select(col(RFile).as(FileCol), col(RRow).as(RowCol))
@@ -265,9 +285,9 @@ object DeletionVectors {
             .hasFreshSidecar(spark, dir, keyCol)).getOrElse(false)) {
         val fls = BloomSkipIndex.survivingFilesForKeyDf(spark, dir, keyCol, k)
         DvStats.lastFetchFiles = Some(fls.length)
-        if (fls.isEmpty) spark.read.parquet(dir).limit(0)
-        else spark.read.parquet(fls: _*)
-      } else { DvStats.lastFetchFiles = None; spark.read.parquet(dir) }
+        if (fls.isEmpty) readDir(spark, dir).limit(0)
+        else readFiles(spark, dir, fls)
+      } else { DvStats.lastFetchFiles = None; readDir(spark, dir) }
     minusTombstones(spark, dir, src)
       .join(broadcast(k), Seq(keyCol), "left_semi")
   }
@@ -291,7 +311,7 @@ object DeletionVectors {
     * set is metadata-sized, so the anti-join broadcasts — each data row
     * pays a hash probe, no shuffle of the table. */
   def read(spark: SparkSession, dir: String): DataFrame =
-    minusTombstones(spark, dir, spark.read.parquet(dir))
+    minusTombstones(spark, dir, readDir(spark, dir))
 
   /** Bloom-pruned point lookup THROUGH the deletion vectors: the
     * metadata sidecars and the tombstones compose — bloom-surviving
@@ -306,8 +326,8 @@ object DeletionVectors {
     require(values.nonEmpty, "empty probe set")
     val files = BloomSkipIndex.survivingFiles(spark, dir, keyCol, values)
     val src =
-      if (files.isEmpty) spark.read.parquet(dir).limit(0)
-      else spark.read.parquet(files: _*)
+      if (files.isEmpty) readDir(spark, dir).limit(0)
+      else readFiles(spark, dir, files)
     minusTombstones(spark, dir, src)
       .filter(values.map(col(keyCol) === _).reduce(_ || _))
   }
@@ -328,8 +348,8 @@ object DeletionVectors {
     val mf = ZOrderLayout.manifestN(spark, dir, box.map(_._1))
     val files = ZOrderLayout.survivingFilesN(mf, box)
     val src =
-      if (files.isEmpty) spark.read.parquet(dir).limit(0)
-      else spark.read.parquet(files: _*)
+      if (files.isEmpty) readDir(spark, dir).limit(0)
+      else readFiles(spark, dir, files)
     minusTombstones(spark, dir, src)
       .filter(box.map { case (d, lo, hi) =>
         col(d) >= lo && col(d) <= hi
@@ -350,8 +370,8 @@ object DeletionVectors {
     require(box.nonEmpty && values.nonEmpty, "empty box or probe set")
     val files = CompositeSkip.survivingFiles(spark, dir, box, keyCol, values)
     val src =
-      if (files.isEmpty) spark.read.parquet(dir).limit(0)
-      else spark.read.parquet(files: _*)
+      if (files.isEmpty) readDir(spark, dir).limit(0)
+      else readFiles(spark, dir, files)
     minusTombstones(spark, dir, src)
       .filter(box.map { case (d, lo, hi) =>
         col(d) >= lo && col(d) <= hi
@@ -470,7 +490,7 @@ object DeletionVectors {
     val t = currentTombstones(spark, dir)
     // read the victims through their tombstones; repack into nOut files
     val staging = s"$dir/_dv_pack_tmp"
-    minusTombstones(spark, dir, spark.read.parquet(files: _*))
+    minusTombstones(spark, dir, readFiles(spark, dir, files))
       .repartition(nOut)
       .write.mode("overwrite").parquet(staging)
     val gen = completeGens(spark, dir).lastOption.getOrElse(0)
@@ -502,7 +522,7 @@ object DeletionVectors {
     val staging = s"$dir/_dv_apply_tmp"
     // keep rows of one old file together (≈ preserves any clustering):
     // hash-repartition on the source file before the staged write
-    val staged = withRowId(spark.read.parquet(files: _*))
+    val staged = withRowId(readFiles(spark, dir, files))
       .join(broadcast(t),
         col(RFile) === col(FileCol) && col(RRow) === col(RowCol),
         "left_anti")
@@ -607,7 +627,7 @@ object DeletionVectors {
     * zero-window alternative. */
   def updateWhere(spark: SparkSession, dir: String, cond: Column,
                   assignments: Map[String, Column]): Long = {
-    val cur = spark.read.parquet(dir)
+    val cur = readDir(spark, dir)
     val unknown = assignments.keySet -- cur.columns.toSet
     require(unknown.isEmpty,
       s"updateWhere: no such column(s) $unknown in ${cur.columns.toSeq}")
@@ -649,7 +669,7 @@ object DeletionVectors {
   def updateByKeyDf(spark: SparkSession, dir: String, keyCol: String,
                     keys: DataFrame, cond: Column,
                     assignments: Map[String, Column]): Long = {
-    val curCols = spark.read.parquet(dir).columns.toSeq
+    val curCols = readDir(spark, dir).columns.toSeq
     val unknown = assignments.keySet -- curCols.toSet
     require(unknown.isEmpty,
       s"updateByKeyDf: no such column(s) $unknown in $curCols")
@@ -669,8 +689,8 @@ object DeletionVectors {
             if (fresh) {
               val fls = BloomSkipIndex.survivingFiles(spark, dir, keyCol, vals)
               if (fls.isEmpty) return 0L
-              spark.read.parquet(fls: _*)
-            } else spark.read.parquet(dir)
+              readFiles(spark, dir, fls)
+            } else readDir(spark, dir)
           (s0, vals.map(col(keyCol) === _).reduce(_ || _))
         } else {
           val s0 =
@@ -678,8 +698,8 @@ object DeletionVectors {
               val fls = BloomSkipIndex
                 .survivingFilesForKeyDf(spark, dir, keyCol, k)
               if (fls.isEmpty) return 0L
-              spark.read.parquet(fls: _*)
-            } else spark.read.parquet(dir)
+              readFiles(spark, dir, fls)
+            } else readDir(spark, dir)
           (s0, lit(true)) // closed by the semi-join below
         }
       val visible = currentTombstones(spark, dir) match {
@@ -733,5 +753,45 @@ object DeletionVectors {
     }
     keys.unpersist()
     batch.write.mode("append").parquet(dir)
+  }
+
+  /** SCHEMA EVOLUTION as a metadata-plus-batch operation — the
+    * reference dataflow runs with `allowSchemaDrift: true` on both
+    * sources and sink (dataflow/BookingDataTransformation.json:68,91,
+    * 156), i.e. drifted columns flow through instead of failing; this
+    * is that capability on the MoR substitute, done the Delta/Iceberg
+    * way: adding a column NEVER rewrites data. The union schema
+    * persists in the `_schema.json` sidecar
+    * ([[SchemaGuard.writeSchema]], atomic rename), the batch appends
+    * projected to the union (its own missing columns null-filled),
+    * and every read in this module resolves through the sidecar — so
+    * old files surface the new columns as NULL and compaction
+    * rewrites carry the union forward. Cost: O(batch) + one metadata
+    * file, at ANY table size; contrast the atomic-sink rewrite, which
+    * is the copy-on-write evolution (type CHANGES still go that way —
+    * checked loud here).
+    *
+    * Crash window: schema sidecar lands before the append, so a crash
+    * between the two leaves a declared-but-all-NULL column until the
+    * replay — never a half-typed table (single-writer contract, as
+    * everywhere in this module). */
+  def evolveAppend(spark: SparkSession, dir: String,
+                   batch: DataFrame): Unit = {
+    val cur = SchemaGuard.tableSchema(spark, dir)
+    val curMap = cur.map(f => f.name -> f.dataType).toMap
+    val bMap = batch.schema.map(f => f.name -> f.dataType).toMap
+    val retyped = curMap.keySet.intersect(bMap.keySet)
+      .filter(c => curMap(c) != bMap(c))
+    require(retyped.isEmpty,
+      s"evolveAppend: retyped columns ${retyped.toSeq.sorted} — type " +
+        "changes need an atomic-sink rewrite, not an append")
+    val newFields = batch.schema.filter(f => !curMap.contains(f.name))
+    val union = org.apache.spark.sql.types.StructType(
+      (cur.fields ++ newFields).map(_.copy(nullable = true)))
+    if (newFields.nonEmpty) SchemaGuard.writeSchema(spark, dir, union)
+    batch.select(union.map(f =>
+        if (bMap.contains(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+      .write.mode("append").parquet(dir)
   }
 }

@@ -14,6 +14,52 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ([[AtomicParquetSink]]). */
 object SchemaGuard {
 
+  /** Schema-in-metadata, the Delta/Iceberg stance: after a schema
+    * evolution the table's schema can no longer be derived from a
+    * sampled data-file footer (old files miss the new columns, and
+    * WHICH file defines the schema would be listing-order roulette),
+    * so [[DeletionVectors.evolveAppend]] persists the union schema in
+    * a `_schema.json` sidecar and every read/rewrite of the directory
+    * resolves through it — one file stat per read, no per-file footer
+    * merging (`mergeSchema` is O(files), this is O(1)). Absent
+    * sidecar = never evolved = the plain parquet-derived schema. */
+  private def schemaPath(dir: String) = new Path(dir, "_schema.json")
+
+  def storedSchema(spark: SparkSession,
+                   dir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = schemaPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(
+        new String(buf, "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** Atomically (write-then-rename) persist the table schema. */
+  def writeSchema(spark: SparkSession, dir: String,
+                  schema: org.apache.spark.sql.types.StructType): Unit = {
+    val p = schemaPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, s"._schema.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
+  }
+
+  /** The table's authoritative schema: the stored sidecar when the
+    * table has evolved, else the parquet-derived one. */
+  def tableSchema(spark: SparkSession,
+                  dir: String): org.apache.spark.sql.types.StructType =
+    storedSchema(spark, dir).getOrElse(spark.read.parquet(dir).schema)
+
   /** No-op when `dir` holds no data file yet (first write defines the
     * schema). */
   def requireSameColumns(spark: SparkSession, dir: String,
@@ -23,7 +69,7 @@ object SchemaGuard {
     val hasData = fs.exists(p) && fs.listStatus(p).exists(s =>
       s.isFile && s.getPath.getName.endsWith(".parquet"))
     if (!hasData) return
-    val table = spark.read.parquet(dir).schema
+    val table = tableSchema(spark, dir)
       .map(f => f.name -> f.dataType).toMap
     val b = batch.schema.map(f => f.name -> f.dataType).toMap
     val retyped = table.keySet.intersect(b.keySet)

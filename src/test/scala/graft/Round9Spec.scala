@@ -664,6 +664,44 @@ class Round9Spec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("evolveAppend: union schema survives deletes, compaction, and keyed MoR ops; retype fails loud") {
+    val work = tmp("graft-r9evo-")
+    val dir = s"$work/t"
+    val base = (0L until 400L).map(i => (i, s"v$i")).toDF("id", "v")
+    BloomSkipIndex.bloomWrite(base, "id", dir, nFiles = 8)
+    // evolve: add a `tier` column via a small append — no rewrite
+    val add = (1000L until 1050L).map(i => (i, s"v$i", s"t${i % 3}"))
+      .toDF("id", "v", "tier")
+    DeletionVectors.evolveAppend(spark, dir, add)
+    val r1 = DeletionVectors.read(spark, dir)
+    assert(r1.columns.toSeq == Seq("id", "v", "tier"))
+    assert(r1.filter(col("id") < 400L && col("tier").isNotNull).count() == 0,
+      "old rows must surface the evolved column as NULL")
+    assert(r1.filter(col("tier").isNotNull).count() == 50)
+    // delete across both generations of files, then compact the
+    // tombstoned files away — the union schema must survive the rewrite
+    DeletionVectors.deleteWhere(spark, dir, col("id") % 5 === 0L)
+    DeletionVectors.applyDeletes(spark, dir)
+    val r2 = DeletionVectors.read(spark, dir)
+    assert(r2.columns.toSeq == Seq("id", "v", "tier"))
+    assert(r2.count() == 320 + 40)
+    assert(r2.filter(col("tier").isNotNull).count() == 40,
+      "compaction dropped the evolved column's values")
+    assert(r2.filter(col("id") < 400L && col("tier").isNotNull).count() == 0,
+      "compaction must keep old rows' evolved column NULL")
+    // keyed MoR ops post-evolution run on the union schema
+    val up = Seq((7L, "V7", "gold")).toDF("id", "v", "tier")
+    DeletionVectors.upsertMoR(spark, dir, up, "id")
+    val got = DeletionVectors.read(spark, dir)
+      .filter(col("id") === 7L).collect()
+    assert(got.length == 1 && got.head.getString(2) == "gold")
+    // type change must fail loud, not append
+    val bad = Seq((1L, 2.5, "x")).toDF("id", "v", "tier")
+    intercept[IllegalArgumentException] {
+      DeletionVectors.evolveAppend(spark, dir, bad)
+    }
+  }
+
   test("StreamCov: batch fence makes SUM-merge replay-safe; drained cov = one-pass") {
     val work = tmp("graft-r9sc-")
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
