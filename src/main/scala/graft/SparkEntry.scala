@@ -474,6 +474,8 @@ object SparkEntry {
     "q222_stream_cov"       -> ((s, d) => LlmQueries.streamCovariance(s, d)),
     // schema drift on the MoR table: evolved append + cross-gen delete
     "q223_schema_evolve"    -> ((s, d) => CoreQueries.schemaEvolve(s, d)),
+    // metadata-only DROP COLUMN on the evolved MoR table
+    "q224_schema_drop"      -> ((s, d) => CoreQueries.schemaDrop(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -702,6 +704,16 @@ object SparkEntry {
              't' || CAST(user_id % 4 AS VARCHAR)
            FROM base WHERE user_id % 3 = 0)
          SELECT user_id, val, tier FROM ev WHERE user_id % 7 <> 0""",
+    "q224_schema_drop" ->
+      """WITH base AS (SELECT user_id,
+             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+               AS BIGINT) AS val
+           FROM events GROUP BY user_id),
+         ev AS (SELECT user_id, CAST(NULL AS VARCHAR) AS tier FROM base
+           UNION ALL
+           SELECT user_id + 1000000, 't' || CAST(user_id % 4 AS VARCHAR)
+           FROM base WHERE user_id % 3 = 0)
+         SELECT user_id, tier FROM ev WHERE user_id % 7 <> 0""",
     "q219_rand_proj" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          s AS (SELECT k, i,

@@ -2757,6 +2757,30 @@ object CoreQueries {
       .select(col("user_id"), col("val"), col("tier"))
   }
 
+  /** SCHEMA DROP (q224): q223's evolved table, then `val` is DROPPED
+    * as a metadata-only operation ([[graft.sink.DeletionVectors
+    * .dropColumn]] — the field stays flagged in the schema sidecar,
+    * reads project the visible subset, the parquet reader never
+    * decodes the column). The delete still cuts keys across both file
+    * generations afterwards: tombstones address (file, row), not
+    * columns. */
+  def schemaDrop(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-evod-")
+    val dir = s"$work/t"
+    val base = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(floor(moneySum(col("value"))).cast("long").as("val"))
+    graft.sink.BloomSkipIndex.bloomWrite(base, "user_id", dir, nFiles = 8)
+    val add = base.filter(col("user_id") % 3 === 0)
+      .select((col("user_id") + 1000000L).as("user_id"),
+        (col("val") + 1L).as("val"),
+        concat(lit("t"), (col("user_id") % 4).cast("string")).as("tier"))
+    graft.sink.DeletionVectors.evolveAppend(s, dir, add)
+    graft.sink.DeletionVectors.dropColumn(s, dir, "val")
+    graft.sink.DeletionVectors.deleteWhere(s, dir, col("user_id") % 7 === 0)
+    graft.sink.DeletionVectors.read(s, dir)
+      .select(col("user_id"), col("tier"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -66,14 +66,16 @@ object DeletionVectors {
     * never-evolved tables take the plain parquet path. */
   private def readDir(spark: SparkSession, dir: String): DataFrame =
     SchemaGuard.storedSchema(spark, dir) match {
-      case Some(sc) => spark.read.schema(sc).parquet(dir)
+      case Some(sc) =>
+        spark.read.schema(SchemaGuard.visible(sc)).parquet(dir)
       case None => spark.read.parquet(dir)
     }
 
   private def readFiles(spark: SparkSession, dir: String,
                         files: Seq[String]): DataFrame =
     SchemaGuard.storedSchema(spark, dir) match {
-      case Some(sc) => spark.read.schema(sc).parquet(files: _*)
+      case Some(sc) =>
+        spark.read.schema(SchemaGuard.visible(sc)).parquet(files: _*)
       case None => spark.read.parquet(files: _*)
     }
 
@@ -777,9 +779,17 @@ object DeletionVectors {
     * everywhere in this module). */
   def evolveAppend(spark: SparkSession, dir: String,
                    batch: DataFrame): Unit = {
-    val cur = SchemaGuard.tableSchema(spark, dir)
+    val full = SchemaGuard.storedSchema(spark, dir)
+      .getOrElse(spark.read.parquet(dir).schema)
+    val cur = SchemaGuard.visible(full)
+    val dropped = full.fields.map(_.name).toSet -- cur.fieldNames.toSet
     val curMap = cur.map(f => f.name -> f.dataType).toMap
     val bMap = batch.schema.map(f => f.name -> f.dataType).toMap
+    val resurrected = dropped.intersect(bMap.keySet)
+    require(resurrected.isEmpty,
+      s"evolveAppend: columns ${resurrected.toSeq.sorted} were DROPPED — " +
+        "re-adding the name would resurrect old file values; use a new " +
+        "name or an atomic-sink rewrite")
     val retyped = curMap.keySet.intersect(bMap.keySet)
       .filter(c => curMap(c) != bMap(c))
     require(retyped.isEmpty,
@@ -788,10 +798,40 @@ object DeletionVectors {
     val newFields = batch.schema.filter(f => !curMap.contains(f.name))
     val union = org.apache.spark.sql.types.StructType(
       (cur.fields ++ newFields).map(_.copy(nullable = true)))
-    if (newFields.nonEmpty) SchemaGuard.writeSchema(spark, dir, union)
+    if (newFields.nonEmpty) SchemaGuard.writeSchema(spark, dir,
+      org.apache.spark.sql.types.StructType(
+        union.fields ++ full.fields.filter(f => dropped.contains(f.name))))
     batch.select(union.map(f =>
         if (bMap.contains(f.name)) col(f.name).cast(f.dataType)
         else lit(null).cast(f.dataType).as(f.name)): _*)
       .write.mode("append").parquet(dir)
+  }
+
+  /** DROP COLUMN as a metadata-only operation (column-mapping lite):
+    * the field stays in the `_schema.json` sidecar flagged
+    * `graft.dropped` — remembering its physical name+type so a later
+    * [[evolveAppend]] can't re-add a conflicting column that would
+    * resurrect old file values — and every read projects the VISIBLE
+    * schema, so the parquet reader never even decodes the dropped
+    * column. No data rewrite; the next compaction physically sheds
+    * the column from the files it rewrites (it reads the visible
+    * projection), exactly like Delta's drop-then-vacuum. */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Unit = {
+    val full = SchemaGuard.storedSchema(spark, dir)
+      .getOrElse(spark.read.parquet(dir).schema)
+    val vis = SchemaGuard.visible(full)
+    require(vis.fieldNames.contains(name),
+      s"dropColumn: no visible column $name in ${vis.fieldNames.toSeq}")
+    require(vis.fields.length > 1,
+      s"dropColumn: cannot drop the last visible column $name")
+    val marked = org.apache.spark.sql.types.StructType(full.fields.map {
+      f =>
+        if (f.name == name) f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putBoolean(SchemaGuard.DroppedKey, true).build())
+        else f
+    })
+    SchemaGuard.writeSchema(spark, dir, marked)
   }
 }

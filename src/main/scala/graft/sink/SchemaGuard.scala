@@ -54,11 +54,26 @@ object SchemaGuard {
       throw new java.io.IOException(s"rename $tmp -> $p failed")
   }
 
-  /** The table's authoritative schema: the stored sidecar when the
-    * table has evolved, else the parquet-derived one. */
+  /** A column DROPPED by [[DeletionVectors.dropColumn]] stays in the
+    * stored schema flagged with this metadata key (column-mapping
+    * lite): the flag remembers the physical name+type so a later
+    * evolve can't re-add a conflicting column that would resurrect
+    * old file values, while [[visible]] keeps it out of every read
+    * projection. */
+  val DroppedKey = "graft.dropped"
+
+  def visible(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(schema.fields.filterNot(f =>
+      f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)))
+
+  /** The table's authoritative VISIBLE schema: the stored sidecar
+    * (minus dropped columns) when the table has evolved, else the
+    * parquet-derived one. */
   def tableSchema(spark: SparkSession,
                   dir: String): org.apache.spark.sql.types.StructType =
-    storedSchema(spark, dir).getOrElse(spark.read.parquet(dir).schema)
+    storedSchema(spark, dir).map(visible)
+      .getOrElse(spark.read.parquet(dir).schema)
 
   /** No-op when `dir` holds no data file yet (first write defines the
     * schema). */

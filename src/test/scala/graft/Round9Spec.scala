@@ -700,6 +700,28 @@ class Round9Spec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DeletionVectors.evolveAppend(spark, dir, bad)
     }
+    // metadata-only DROP: v disappears from reads without a rewrite,
+    // and compaction sheds it physically from rewritten files
+    DeletionVectors.dropColumn(spark, dir, "v")
+    val r3 = DeletionVectors.read(spark, dir)
+    assert(r3.columns.toSeq == Seq("id", "tier"))
+    assert(r3.count() == 360) // same rows, one fewer column
+    DeletionVectors.deleteWhere(spark, dir, col("id") === 1L)
+    DeletionVectors.applyDeletes(spark, dir)
+    assert(DeletionVectors.read(spark, dir).columns.toSeq ==
+      Seq("id", "tier"))
+    // re-adding a dropped name must fail loud (old values would
+    // resurrect), even at the original type
+    val res = Seq((2000L, "v2000", "t0")).toDF("id", "v", "tier")
+    intercept[IllegalArgumentException] {
+      DeletionVectors.evolveAppend(spark, dir, res)
+    }
+    // but a genuinely new column still evolves fine post-drop
+    val more = Seq((3000L, "t1", 9L)).toDF("id", "tier", "score")
+    DeletionVectors.evolveAppend(spark, dir, more)
+    val r4 = DeletionVectors.read(spark, dir)
+    assert(r4.columns.toSeq == Seq("id", "tier", "score"))
+    assert(r4.filter(col("score").isNotNull).count() == 1)
   }
 
   test("StreamCov: batch fence makes SUM-merge replay-safe; drained cov = one-pass") {
