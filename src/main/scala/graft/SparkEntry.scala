@@ -476,6 +476,8 @@ object SparkEntry {
     "q223_schema_evolve"    -> ((s, d) => CoreQueries.schemaEvolve(s, d)),
     // metadata-only DROP COLUMN on the evolved MoR table
     "q224_schema_drop"      -> ((s, d) => CoreQueries.schemaDrop(s, d)),
+    // mid-stream schema drift: second drain evolves the live fact
+    "q225_stream_drift"     -> ((s, d) => CoreQueries.streamDrift(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -714,6 +716,17 @@ object SparkEntry {
            SELECT user_id + 1000000, 't' || CAST(user_id % 4 AS VARCHAR)
            FROM base WHERE user_id % 3 = 0)
          SELECT user_id, tier FROM ev WHERE user_id % 7 <> 0""",
+    "q225_stream_drift" ->
+      """WITH base AS (SELECT user_id,
+             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+               AS BIGINT) AS val
+           FROM events GROUP BY user_id)
+         SELECT user_id,
+           CASE WHEN user_id % 2 = 0 THEN val + 100 ELSE val END AS val,
+           CASE WHEN user_id % 2 = 0
+             THEN 't' || CAST(user_id % 3 AS VARCHAR)
+             ELSE CAST(NULL AS VARCHAR) END AS tier
+         FROM base WHERE user_id % 5 <> 0""",
     "q219_rand_proj" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          s AS (SELECT k, i,

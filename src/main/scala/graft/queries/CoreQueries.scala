@@ -2781,6 +2781,41 @@ object CoreQueries {
       .select(col("user_id"), col("tier"))
   }
 
+  /** STREAMING SCHEMA DRIFT (q225): the reference's
+    * `allowSchemaDrift: true` in its LIVE dataflow — the change feed's
+    * schema grows mid-pipeline and drifted columns flow through
+    * (dataflow/BookingDataTransformation.json:68,91,156). Two
+    * checkpointed MoR drains into ONE fact: drain A loads the base
+    * feed; drain B (new checkpoint — exercising the per-(table,
+    * checkpoint) fence namespace) delivers op-tagged updates+deletes
+    * whose schema carries a new `tier` column, applied with
+    * `allowDrift = true` so the append routes through the
+    * metadata-only evolution. Old rows surface `tier` as NULL; the
+    * deletes cut keys across both schema generations. */
+  def streamDrift(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-sdrift-")
+    val dir = s"$work/t"
+    val base = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(floor(moneySum(col("value"))).cast("long").as("val"))
+    val f1 = base.withColumn("op", lit("I"))
+    f1.coalesce(1).write.mode("append").parquet(s"$work/feedA")
+    graft.streaming.StreamMoR.run(s, s"$work/feedA", f1.schema,
+      s"$work/ckptA", dir, "user_id")
+    val f2 = base
+      .filter(col("user_id") % 2 === 0 && col("user_id") % 5 =!= 0)
+      .select(col("user_id"), (col("val") + 100L).as("val"),
+        concat(lit("t"), (col("user_id") % 3).cast("string")).as("tier"),
+        lit("U").as("op"))
+      .unionByName(base.filter(col("user_id") % 5 === 0)
+        .select(col("user_id"), col("val"),
+          lit(null).cast("string").as("tier"), lit("D").as("op")))
+    f2.coalesce(1).write.mode("append").parquet(s"$work/feedB")
+    graft.streaming.StreamMoR.run(s, s"$work/feedB", f2.schema,
+      s"$work/ckptB", dir, "user_id", allowDrift = true)
+    graft.sink.DeletionVectors.read(s, dir)
+      .select(col("user_id"), col("val"), col("tier"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

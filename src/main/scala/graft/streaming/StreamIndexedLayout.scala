@@ -35,8 +35,11 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamIndexedLayout {
 
-  private def markerPath(tableDir: String, batchId: Long): Path =
-    new Path(s"$tableDir/_commits/batch-$batchId")
+  /** Same (table, checkpoint) fence namespace as [[StreamMoR]]: batch
+    * ids restart per checkpoint, so markers carry a run tag. */
+  private def markerPath(tableDir: String, runTag: String,
+                         batchId: Long): Path =
+    new Path(s"$tableDir/_commits/${runTag}batch-$batchId")
 
   /** Idempotently fold one micro-batch into the indexed table: skip
     * outright when this batchId's marker exists (replay), else
@@ -47,8 +50,9 @@ object StreamIndexedLayout {
   def appendBatch(spark: SparkSession, tableDir: String,
                   batch: DataFrame, batchId: Long,
                   dims: Seq[String], keyCol: String,
-                  nFiles: Int, buckets: Int): Unit = {
-    val marker = markerPath(tableDir, batchId)
+                  nFiles: Int, buckets: Int,
+                  runTag: String = ""): Unit = {
+    val marker = markerPath(tableDir, runTag, batchId)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return
     ZOrderLayout.zorderAppendRankedN(batch, dims, tableDir, nFiles, buckets)
@@ -76,7 +80,8 @@ object StreamIndexedLayout {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(spark, tableDir, batch, batchId,
-          dims, keyCol, nFiles, buckets)
+          dims, keyCol, nFiles, buckets,
+          StreamMoR.runTagOf(checkpointDir))
       }
       .start()
     q.awaitTermination()

@@ -44,8 +44,22 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamMoR {
 
-  private def markerPath(tableDir: String, batchId: Long): Path =
-    new Path(s"$tableDir/_commits/batch-$batchId")
+  /** Replay fence namespace: batch ids RESTART at 0 for every new
+    * checkpoint, so a bare `batch-<id>` marker would silently skip
+    * the first batches of a SECOND drain into the same table (e.g.
+    * the drifted-feed follow-up drain, q225). [[run]] therefore tags
+    * markers with a checkpoint-derived run id — the fence is per
+    * (table, checkpoint), exactly Delta's idempotent-write
+    * (appId, txnVersion) pair. Direct [[applyBatch]] callers keep the
+    * untagged legacy namespace. */
+  private[streaming] def runTagOf(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8) + "-"
+
+  private def markerPath(tableDir: String, runTag: String,
+                         batchId: Long): Path =
+    new Path(s"$tableDir/_commits/${runTag}batch-$batchId")
 
   /** Counts from one pass of the batch-contract check. */
   private[streaming] final case class BatchStats(n: Long, nFresh: Long)
@@ -109,8 +123,10 @@ object StreamMoR {
   def applyBatch(spark: SparkSession, tableDir: String,
                  batch: DataFrame, batchId: Long,
                  keyCol: String, opCol: String,
-                 maintainBloom: Boolean = true): Unit = {
-    val marker = markerPath(tableDir, batchId)
+                 maintainBloom: Boolean = true,
+                 allowDrift: Boolean = false,
+                 runTag: String = ""): Unit = {
+    val marker = markerPath(tableDir, runTag, batchId)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return
 
@@ -120,9 +136,16 @@ object StreamMoR {
         "applyBatch")
 
       // schema enforcement: a drifting feed must fail loud at apply
-      // time, not corrupt the table with a mixed-schema append
-      DeletionVectors.requireSameColumns(spark, tableDir,
-        ops.drop(opCol), "applyBatch")
+      // time, not corrupt the table with a mixed-schema append —
+      // UNLESS drift is opted in (the reference dataflow's
+      // allowSchemaDrift: true, BookingDataTransformation.json:68,
+      // 91,156), in which case the append routes through
+      // [[DeletionVectors.evolveAppend]]: the union schema persists
+      // as metadata, old rows surface new columns as NULL, and
+      // retype/resurrect drifts still fail loud inside the evolve.
+      if (!allowDrift)
+        DeletionVectors.requireSameColumns(spark, tableDir,
+          ops.drop(opCol), "applyBatch")
 
       val exists = fs.exists(new Path(tableDir)) &&
         fs.listStatus(new Path(tableDir)).exists(s =>
@@ -149,8 +172,10 @@ object StreamMoR {
       // O(appended files) so the next batch (and any reader between
       // batches) prunes from fresh metadata
       if (nFresh > 0) {
-        ops.filter(col(opCol).isin("I", "U")).drop(opCol)
-          .write.mode("append").parquet(tableDir)
+        val fresh = ops.filter(col(opCol).isin("I", "U")).drop(opCol)
+        if (allowDrift && exists)
+          DeletionVectors.evolveAppend(spark, tableDir, fresh)
+        else fresh.write.mode("append").parquet(tableDir)
         if (maintainBloom)
           BloomSkipIndex.foldAllBloomSidecars(spark, tableDir)
       }
@@ -180,7 +205,8 @@ object StreamMoR {
           keyCol: String, opCol: String = "op",
           maxFilesPerTrigger: Int = 1,
           compactRatio: Double = 0.0,
-          maintainBloom: Boolean = true): Unit = {
+          maintainBloom: Boolean = true,
+          allowDrift: Boolean = false): Unit = {
     val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -190,7 +216,7 @@ object StreamMoR {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(spark, tableDir, batch, batchId, keyCol, opCol,
-          maintainBloom)
+          maintainBloom, allowDrift, runTagOf(checkpointDir))
         if (compactRatio > 0) {
           // a rewrite staleness the NEXT batch's pre-locate fold
           // reconciles at O(rewritten files)

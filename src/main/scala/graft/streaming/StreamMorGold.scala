@@ -288,7 +288,35 @@ object StreamMorGold {
           compactRatio: Double = 0.0,
           maintainBloom: Boolean = true,
           exactLastSeen: Boolean = false): DataFrame = {
+    // The gold's staged-delta and fold fences are keyed by BATCH ID,
+    // and batch ids restart at 0 for a new checkpoint — so one gold
+    // may only ever be maintained by ONE checkpointed stream. Pin the
+    // checkpoint identity into the goldDir on first run and fail loud
+    // on a foreign checkpoint, instead of silently replaying its
+    // batch ids against this gold's staged artifacts (the fact-side
+    // fence namespaces by run tag for exactly this reason,
+    // StreamMoR.runTagOf; the gold additionally has bootstrap state
+    // that a second stream must not re-fold).
+    val tag = StreamMoR.runTagOf(checkpointDir)
+    val idFile = new Path(s"$goldDir/_stream_id")
+    val idFs = idFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (idFs.exists(idFile)) {
+      val len = idFs.getFileStatus(idFile).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = idFs.open(idFile)
+      try in.readFully(0, buf) finally in.close()
+      require(new String(buf, "UTF-8") == tag,
+        s"StreamMorGold: $goldDir is maintained by a different " +
+          "checkpointed stream — its fold fences are keyed by that " +
+          "stream's batch ids. Resume with the original checkpoint, " +
+          "or bootstrap a fresh goldDir")
+    }
     bootstrapGold(spark, tableDir, goldDir, userCountry)
+    if (!idFs.exists(idFile)) {
+      idFs.mkdirs(idFile.getParent)
+      val out = idFs.create(idFile, true)
+      try out.write(tag.getBytes("UTF-8")) finally out.close()
+    }
     val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -724,6 +724,48 @@ class Round9Spec extends AnyFunSuite {
     assert(r4.filter(col("score").isNotNull).count() == 1)
   }
 
+  test("fence namespace: a second drain (new checkpoint) into the same table applies its batch 0") {
+    val work = tmp("graft-r9fence-")
+    val dir = s"$work/t"
+    Seq((1L, "a", "I"), (2L, "b", "I")).toDF("id", "v", "op")
+      .coalesce(1).write.parquet(s"$work/feedA")
+    StreamMoR.run(spark, s"$work/feedA",
+      spark.read.parquet(s"$work/feedA").schema,
+      s"$work/ckptA", dir, "id")
+    // drain B restarts batch ids at 0 — pre-fix, table-scoped markers
+    // made this a silent no-op and the update below vanished
+    Seq((2L, "B2", "U"), (3L, "c", "I")).toDF("id", "v", "op")
+      .coalesce(1).write.parquet(s"$work/feedB")
+    StreamMoR.run(spark, s"$work/feedB",
+      spark.read.parquet(s"$work/feedB").schema,
+      s"$work/ckptB", dir, "id")
+    val got = DeletionVectors.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "c"),
+      s"second drain's batch 0 was lost: $got")
+  }
+
+  test("StreamMorGold refuses a foreign checkpoint against an existing gold") {
+    val work = tmp("graft-r9gid-")
+    val feed = s"$work/feed"
+    Seq((1L, 10.0, "2024-01-01 00:00:00", "I"))
+      .toDF("user_id", "value", "ts_s", "op")
+      .coalesce(1).write.parquet(feed)
+    val schema = spark.read.parquet(feed).schema
+    val uc = Seq((1L, "de")).toDF("user_id", "country")
+    StreamMorGold.run(spark, feed, schema, s"$work/ckptA",
+      s"$work/fact", s"$work/gold", uc)
+    // same checkpoint resumes fine (no new data -> no-op)
+    StreamMorGold.run(spark, feed, schema, s"$work/ckptA",
+      s"$work/fact", s"$work/gold", uc)
+    // a DIFFERENT checkpoint must be rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      StreamMorGold.run(spark, feed, schema, s"$work/ckptB",
+        s"$work/fact", s"$work/gold", uc)
+    }
+    assert(e.getMessage.contains("different"))
+  }
+
   test("StreamCov: batch fence makes SUM-merge replay-safe; drained cov = one-pass") {
     val work = tmp("graft-r9sc-")
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
