@@ -478,6 +478,12 @@ object SparkEntry {
     "q224_schema_drop"      -> ((s, d) => CoreQueries.schemaDrop(s, d)),
     // mid-stream schema drift: second drain evolves the live fact
     "q225_stream_drift"     -> ((s, d) => CoreQueries.streamDrift(s, d)),
+    // persisted PQ index: query reads 8 B/vector off disk
+    "q226_pq_persisted"     -> ((s, d) => LlmQueries.pqPersisted(s, d)),
+    // O(batch) PQ append against the stored codebook
+    "q227_pq_append"        -> ((s, d) => LlmQueries.pqAppend(s, d)),
+    // recall@3 of PQ-ADC vs the exact dot-product top-3
+    "q228_pq_recall"        -> ((s, d) => LlmQueries.pqRecall(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -664,6 +670,41 @@ object SparkEntry {
            AS cov5
        FROM x GROUP BY 1, 2"""
 
+  /** Shared by q220 (inline PQ-ADC) and q226 (the persisted index —
+    * same codebook, same codes, same ranks; only the storage plan
+    * differs). */
+  private val pqAdcOracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       mu AS (SELECT i, AVG(v[i]) AS mu
+              FROM e, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY i),
+       cd AS (SELECT e.vec_id, CAST(s AS INT) AS s,
+                CAST(SUM(CASE WHEN e.v[s * 8 + b + 1] >= mu.mu
+                  THEN 1 << b ELSE 0 END) AS INT) AS code
+              FROM e, range(0, 8) ts(s), range(0, 8) tb(b), mu
+              WHERE mu.i = s * 8 + b + 1
+              GROUP BY 1, 2),
+       cb AS (SELECT cd.s, cd.code, CAST(b AS INT) AS b,
+                AVG(e.v[cd.s * 8 + b + 1]) AS cv
+              FROM e JOIN cd USING (vec_id), range(0, 8) tb(b)
+              GROUP BY 1, 2, 3),
+       q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+       lut AS (SELECT q.query_id, cb.s, cb.code,
+                 SUM(q.v[cb.s * 8 + cb.b + 1] * cb.cv) AS dot8
+               FROM q, cb GROUP BY 1, 2, 3),
+       sc AS (SELECT lut.query_id, cd.vec_id AS neighbor_id,
+                SUM(lut.dot8) AS adc
+              FROM cd JOIN lut ON lut.s = cd.s AND lut.code = cd.code
+              WHERE cd.vec_id <> lut.query_id
+              GROUP BY 1, 2),
+       r AS (SELECT query_id, neighbor_id,
+               floor(adc * 100000.0 + 0.5) / 100000.0 AS adc5,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY floor(adc * 100000.0 + 0.5) / 100000.0 DESC,
+                   neighbor_id) AS rank
+             FROM sc)
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc5
+       FROM r WHERE rank <= 3"""
+
   def oracleSql: Map[String, String] = Map(
     "q213_scd2_mor" -> scd2IntervalOracle,
     "q214_scd2_stream" -> scd2IntervalOracle,
@@ -738,7 +779,42 @@ object SparkEntry {
          SELECT vec_id, CAST(k AS INT) AS k,
            floor(y / sqrt(16.0) * 100000.0 + 0.5) / 100000.0 AS y5
          FROM p""",
-    "q220_pq_adc" ->
+    "q220_pq_adc" -> pqAdcOracle,
+    "q226_pq_persisted" -> pqAdcOracle,
+    "q227_pq_append" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         tr AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+         mu AS (SELECT i, AVG(v[i]) AS mu
+                FROM tr, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY i),
+         cd AS (SELECT e.vec_id, CAST(s AS INT) AS s,
+                  CAST(SUM(CASE WHEN e.v[s * 8 + b + 1] >= mu.mu
+                    THEN 1 << b ELSE 0 END) AS INT) AS code
+                FROM e, range(0, 8) ts(s), range(0, 8) tb(b), mu
+                WHERE mu.i = s * 8 + b + 1
+                GROUP BY 1, 2),
+         cb AS (SELECT cd.s, cd.code, CAST(b AS INT) AS b,
+                  AVG(tr.v[cd.s * 8 + b + 1]) AS cv
+                FROM tr, cd, range(0, 8) tb(b)
+                WHERE cd.vec_id = tr.vec_id
+                GROUP BY 1, 2, 3),
+         q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+         lut AS (SELECT q.query_id, cb.s, cb.code,
+                   SUM(q.v[cb.s * 8 + cb.b + 1] * cb.cv) AS dot8
+                 FROM q, cb GROUP BY 1, 2, 3),
+         sc AS (SELECT lut.query_id, cd.vec_id AS neighbor_id,
+                  SUM(lut.dot8) AS adc
+                FROM cd JOIN lut ON lut.s = cd.s AND lut.code = cd.code
+                WHERE cd.vec_id <> lut.query_id
+                GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id,
+                 floor(adc * 100000.0 + 0.5) / 100000.0 AS adc5,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY floor(adc * 100000.0 + 0.5) / 100000.0 DESC,
+                     neighbor_id) AS rank
+               FROM sc)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc5
+         FROM r WHERE rank <= 3""",
+    "q228_pq_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          mu AS (SELECT i, AVG(v[i]) AS mu
                 FROM e, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY i),
@@ -761,14 +837,31 @@ object SparkEntry {
                 FROM cd JOIN lut ON lut.s = cd.s AND lut.code = cd.code
                 WHERE cd.vec_id <> lut.query_id
                 GROUP BY 1, 2),
-         r AS (SELECT query_id, neighbor_id,
-                 floor(adc * 100000.0 + 0.5) / 100000.0 AS adc5,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY floor(adc * 100000.0 + 0.5) / 100000.0 DESC,
-                     neighbor_id) AS rank
-               FROM sc)
-         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc5
-         FROM r WHERE rank <= 3""",
+         pq AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY floor(adc * 100000.0 + 0.5) / 100000.0 DESC,
+                      neighbor_id) AS rank
+                  FROM sc) WHERE rank <= 3),
+         ex AS (SELECT q.query_id, e2.vec_id AS neighbor_id,
+                  list_sum(list_transform(range(1, len(q.v) + 1),
+                    i -> q.v[i] * e2.v[i])) AS dot
+                FROM q, e e2 WHERE e2.vec_id <> q.query_id),
+         exact AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY floor(dot * 100000.0 + 0.5) / 100000.0 DESC,
+                      neighbor_id) AS rnk
+                  FROM ex) WHERE rnk <= 3)
+         SELECT x.query_id,
+           CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS hits,
+           floor(CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1
+               ELSE 0 END) AS DOUBLE) / 3.0 * 100000.0 + 0.5) / 100000.0
+             AS recall3
+         FROM exact x LEFT JOIN pq p
+           ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id
+         GROUP BY 1""",
     "q221_ivf_pq" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          mu AS (SELECT i, AVG(v[i]) AS mu

@@ -1,0 +1,116 @@
+package graft.ann
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PERSISTED product-quantization index — the disk form of [[Pq]]'s
+  * ADC scan, which is what a 100 TB corpus actually deploys: the
+  * codes table (id + m byte-codes per vector) and the codebook
+  * (m·2^sub·sub centroid coordinates) are written ONCE; every query
+  * afterwards reads 8 bytes per vector and never touches the floats.
+  * Layout under `dir`:
+  *
+  *   codes/    (idCol, codes array<int>)   — the scannable index
+  *   codebook/ (s, code, b, cv)            — centroid coordinates
+  *   _pq_means.json                        — the per-dim thresholds
+  *
+  * The codebook is TRAINED AT BUILD TIME and stays fixed — exactly
+  * how production PQ deployments work (FAISS trains on a sample,
+  * then encodes forever): [[append]] encodes new vectors against the
+  * STORED thresholds at O(batch), no retrain, no rewrite, and query
+  * results stay comparable across appends because every code means
+  * the same centroid it always did.
+  */
+object PqIndex {
+
+  private def meansPath(dir: String) = new Path(dir, "_pq_means.json")
+
+  private def writeMeans(spark: SparkSession, dir: String,
+                         means: Array[Double]): Unit = {
+    val p = meansPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, "._pq_means.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(means.mkString("[", ",", "]").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
+  }
+
+  private[graft] def readMeans(spark: SparkSession,
+                               dir: String): Array[Double] = {
+    val p = meansPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, "UTF-8").stripPrefix("[").stripSuffix("]")
+      .split(",").map(_.toDouble)
+  }
+
+  /** Build the index: train thresholds + codebook on `corpus`, write
+    * codes for every corpus vector. One pass for the moments, one for
+    * the codebook/codes. */
+  def write(corpus: DataFrame, vecCol: String, idCol: String,
+            dir: String, m: Int): Unit = {
+    val spark = corpus.sparkSession
+    val means = Pq.fitMeans(corpus, vecCol)
+    writeMeans(spark, dir, means)
+    Pq.codebook(corpus, vecCol, means, m)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    corpus.select(col(idCol),
+        Pq.codesColumn(vecCol, means, m).as("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Encode `batch` against the STORED thresholds and append its
+    * codes — O(batch), codebook untouched (see class doc). */
+  def append(spark: SparkSession, batch: DataFrame, vecCol: String,
+             idCol: String, dir: String, m: Int): Unit = {
+    val means = readMeans(spark, dir)
+    batch.select(col(idCol),
+        Pq.codesColumn(vecCol, means, m).as("codes"))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** ADC top-k over the PERSISTED codes: the query side builds its
+    * LUT from the stored codebook (broadcast), the scan reads the
+    * codes table only — per corpus row, m integers off disk and m
+    * hash lookups; the floats never load. Same ranking rule as
+    * [[Pq.adcTopK]]. */
+  def adcTopK(spark: SparkSession, dir: String, queries: DataFrame,
+              vecCol: String, idCol: String, m: Int,
+              k: Int): DataFrame = {
+    val means = readMeans(spark, dir)
+    val sub = means.length / m
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val qd = queries
+      .select(col(idCol).as("query_id"),
+        posexplode(transform(col(vecCol), x => x.cast("double")))
+          .as(Seq("i", "qv")))
+      .withColumn("s", floor(col("i") / lit(sub)).cast("int"))
+      .withColumn("b", (col("i") % lit(sub)).cast("int"))
+    val lut = qd.join(cb, Seq("s", "b"))
+      .groupBy("query_id", "s", "code")
+      .agg(sum(col("qv") * col("cv")).as("dot8"))
+    val ncodes = spark.read.parquet(s"$dir/codes")
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+    val scores = ncodes.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("dot8")).as("adc"))
+    scores
+      .withColumn("adc5", graft.Oracle.stableRound(col("adc"), 5))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy("query_id")
+        .orderBy(col("adc5").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("adc5"))
+  }
+}

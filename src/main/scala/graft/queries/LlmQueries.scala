@@ -788,6 +788,69 @@ object LlmQueries {
       "vec_id", means, m = 8, k = 3, cellCol = Some("label"))
   }
 
+  /** Persisted PQ index (q226): [[graft.ann.PqIndex]] — codes +
+    * codebook + thresholds written once; the query scans 8 bytes per
+    * corpus vector off DISK and never loads the floats. Must equal
+    * the inline q220 exactly (same oracle). */
+  def pqPersisted(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-pqi-")
+    val e = Tables.embeddings(s, d)
+    graft.ann.PqIndex.write(e, "embedding", "vec_id", s"$work/idx", m = 8)
+    graft.ann.PqIndex.adcTopK(s, s"$work/idx",
+      e.filter(col("vec_id") < 5), "embedding", "vec_id", m = 8, k = 3)
+  }
+
+  /** PQ index append (q227): train the codebook on 90% of the corpus,
+    * then [[graft.ann.PqIndex.append]] the rest at O(batch) — encoded
+    * against the STORED thresholds, codebook untouched (FAISS's
+    * train-once-encode-forever lifecycle). The oracle retrains the
+    * codebook on the same 90% split and encodes everyone with it. */
+  def pqAppend(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-pqa-")
+    val e = Tables.embeddings(s, d)
+    val train = e.filter(col("vec_id") % 10 =!= 0)
+    graft.ann.PqIndex.write(train, "embedding", "vec_id",
+      s"$work/idx", m = 8)
+    graft.ann.PqIndex.append(s, e.filter(col("vec_id") % 10 === 0),
+      "embedding", "vec_id", s"$work/idx", m = 8)
+    graft.ann.PqIndex.adcTopK(s, s"$work/idx",
+      e.filter(col("vec_id") < 5), "embedding", "vec_id", m = 8, k = 3)
+  }
+
+  /** PQ recall audit (q228): per query, how many of the EXACT
+    * dot-product top-3 the PQ-ADC top-3 recovers — the quality gauge
+    * every quantized deployment ships next to its index. Both sides
+    * deterministic, so the oracle reproduces the full audit. */
+  def pqRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val means = graft.ann.Pq.fitMeans(e, "embedding")
+    val queries = e.filter(col("vec_id") < 5)
+    val pqTop = graft.ann.Pq.adcTopK(e, queries, "embedding", "vec_id",
+      means, m = 8, k = 3).select(col("query_id"), col("neighbor_id"))
+    val q2 = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val dot = aggregate(zip_with(
+      transform(col("qv"), x => x.cast("double")),
+      transform(col("nv"), x => x.cast("double")),
+      (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+    val exact = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"))
+      .crossJoin(broadcast(q2))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot5", graft.Oracle.stableRound(dot, 5))
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("dot5").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(pqTop.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+      .select(col("query_id"), col("hits"),
+        graft.Oracle.stableRound(col("hits") / lit(3.0), 5).as("recall3"))
+  }
+
   /** Streaming covariance (q222): the q218 moment kernel as a
     * checkpointed drain ([[graft.streaming.StreamCov]]) — per batch
     * one O(d²) raw-moment buffer, SUM-merged into an atomically

@@ -26,6 +26,37 @@ class PqSpec extends AnyFunSuite {
     assert(mm.getLong(2) == e.count() * 8) // 8 bytes per vector
   }
 
+  test("persisted index answers exactly like the inline scan; appends encode against the stored codebook") {
+    val work = java.nio.file.Files.createTempDirectory("graft-pqidx-")
+      .toString
+    val e = Tables.embeddings(spark, d)
+    val queries = e.filter(col("vec_id") < 5)
+    // full-corpus index == inline ADC
+    graft.ann.PqIndex.write(e, "embedding", "vec_id", s"$work/a", m = 8)
+    val persisted = graft.ann.PqIndex.adcTopK(spark, s"$work/a",
+      queries, "embedding", "vec_id", m = 8, k = 3)
+    val means = Pq.fitMeans(e, "embedding")
+    val inline = Pq.adcTopK(e, queries, "embedding", "vec_id", means,
+      m = 8, k = 3)
+    assert(persisted.exceptAll(inline).isEmpty &&
+      inline.exceptAll(persisted).isEmpty)
+    // append path: stored thresholds, not retrained ones
+    val train = e.filter(col("vec_id") % 10 =!= 0)
+    val rest = e.filter(col("vec_id") % 10 === 0)
+    graft.ann.PqIndex.write(train, "embedding", "vec_id", s"$work/b",
+      m = 8)
+    graft.ann.PqIndex.append(spark, rest, "embedding", "vec_id",
+      s"$work/b", m = 8)
+    val trainMeans = Pq.fitMeans(train, "embedding")
+    val expected = e.select(col("vec_id"),
+      Pq.codesColumn("embedding", trainMeans, 8).as("codes"))
+    val stored = spark.read.parquet(s"$work/b/codes")
+    assert(stored.count() == e.count())
+    assert(stored.exceptAll(expected).isEmpty &&
+      expected.exceptAll(stored).isEmpty,
+      "appended codes must come from the STORED thresholds")
+  }
+
   test("ADC score = query · centroid-decoded neighbor, exactly") {
     val e = Tables.embeddings(spark, d)
     val means = Pq.fitMeans(e, "embedding")
