@@ -258,11 +258,12 @@ object Scd2 {
           lit(true).as("is_current"): _*)
         .persist()
       try {
-        opened.count()
+        val nOpened = opened.count()
         DeletionVectors.updateByKeyDf(spark, dir, keyCol, toClose,
           col("is_current"),
           Map("valid_to" -> lit(ts), "is_current" -> lit(false)))
-        opened.write.mode("append").parquet(dir)
+        // optimized write: file count sized from the known row count
+        DeletionVectors.appendSized(opened, nOpened, dir)
       } finally opened.unpersist()
       // keep an existing key index fresh across our own writes
       BloomSkipIndex.foldAllBloomSidecars(spark, dir)

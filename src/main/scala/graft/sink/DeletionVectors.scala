@@ -79,6 +79,22 @@ object DeletionVectors {
       case None => spark.read.parquet(files: _*)
     }
 
+  /** Optimized write (Delta's optimized-write stance): size an
+    * append's file count from its KNOWN row count instead of letting
+    * every trickle batch fragment into one-file-per-shuffle-partition
+    * debris — a 1 500-row CDC batch under 32 shuffle partitions would
+    * otherwise append 32 near-empty files, and every subsequent
+    * sidecar fold, listing, and locate pays that fragmentation
+    * forever (compaction exists, but not writing the debris beats
+    * packing it later). `coalesce` only ever REDUCES partitions, so
+    * large batches keep their parallelism. */
+  private val RowsPerFile = 524288L
+  private[graft] def appendSized(df: DataFrame, rows: Long,
+                                 dir: String): Unit = {
+    val files = math.max(1L, (rows + RowsPerFile - 1) / RowsPerFile).toInt
+    df.coalesce(files).write.mode("append").parquet(dir)
+  }
+
   /** The data rows plus their stable row identity. */
   private def withRowId(df: DataFrame): DataFrame =
     df.select(col("*"),
@@ -651,7 +667,7 @@ object DeletionVectors {
       val images = matched.select(cur.columns.toSeq.map { c =>
         assignments.get(c).map(_.as(c)).getOrElse(col(c))
       }: _*)
-      images.write.mode("append").parquet(dir)
+      appendSized(images, n, dir)
     }
     matched.unpersist()
     n
@@ -719,9 +735,9 @@ object DeletionVectors {
         if (n > 0) {
           writeNextGen(spark, dir,
             matched.select(col(RFile).as(FileCol), col(RRow).as(RowCol)))
-          matched.select(curCols.map { c =>
+          appendSized(matched.select(curCols.map { c =>
             assignments.get(c).map(_.as(c)).getOrElse(col(c))
-          }: _*).write.mode("append").parquet(dir)
+          }: _*), n, dir)
         }
         n
       } finally matched.unpersist()
@@ -754,7 +770,7 @@ object DeletionVectors {
       deleteByKeyDf(spark, dir, keyCol, keys)
     }
     keys.unpersist()
-    batch.write.mode("append").parquet(dir)
+    appendSized(batch, nKeys, dir)
   }
 
   /** SCHEMA EVOLUTION as a metadata-plus-batch operation — the
@@ -778,7 +794,7 @@ object DeletionVectors {
     * replay — never a half-typed table (single-writer contract, as
     * everywhere in this module). */
   def evolveAppend(spark: SparkSession, dir: String,
-                   batch: DataFrame): Unit = {
+                   batch: DataFrame, rowsHint: Long = -1L): Unit = {
     val full = SchemaGuard.storedSchema(spark, dir)
       .getOrElse(spark.read.parquet(dir).schema)
     val cur = SchemaGuard.visible(full)
@@ -801,10 +817,11 @@ object DeletionVectors {
     if (newFields.nonEmpty) SchemaGuard.writeSchema(spark, dir,
       org.apache.spark.sql.types.StructType(
         union.fields ++ full.fields.filter(f => dropped.contains(f.name))))
-    batch.select(union.map(f =>
-        if (bMap.contains(f.name)) col(f.name).cast(f.dataType)
-        else lit(null).cast(f.dataType).as(f.name)): _*)
-      .write.mode("append").parquet(dir)
+    val projected = batch.select(union.map(f =>
+      if (bMap.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
+    if (rowsHint >= 0) appendSized(projected, rowsHint, dir)
+    else projected.write.mode("append").parquet(dir)
   }
 
   /** DROP COLUMN as a metadata-only operation (column-mapping lite):

@@ -173,9 +173,13 @@ object StreamMoR {
       // batches) prunes from fresh metadata
       if (nFresh > 0) {
         val fresh = ops.filter(col(opCol).isin("I", "U")).drop(opCol)
+        // optimized write: the contract check already counted the
+        // fresh rows — size the file count from it so a trickle drain
+        // doesn't fragment the table (and every later sidecar fold)
+        // into one-file-per-shuffle-partition debris
         if (allowDrift && exists)
-          DeletionVectors.evolveAppend(spark, tableDir, fresh)
-        else fresh.write.mode("append").parquet(tableDir)
+          DeletionVectors.evolveAppend(spark, tableDir, fresh, nFresh)
+        else DeletionVectors.appendSized(fresh, nFresh, tableDir)
         if (maintainBloom)
           BloomSkipIndex.foldAllBloomSidecars(spark, tableDir)
       }
