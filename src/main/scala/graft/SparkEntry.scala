@@ -484,6 +484,8 @@ object SparkEntry {
     "q227_pq_append"        -> ((s, d) => LlmQueries.pqAppend(s, d)),
     // recall@3 of PQ-ADC vs the exact dot-product top-3
     "q228_pq_recall"        -> ((s, d) => LlmQueries.pqRecall(s, d)),
+    // stream-stream LEFT OUTER: watermark-evicted unmatched emission
+    "q229_stream_outer_join" -> ((s, d) => CoreQueries.streamOuterJoin(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -717,6 +719,19 @@ object SparkEntry {
            COUNT(DISTINCT click_id) AS n_clicks,
            COUNT(DISTINCT purchase_id) AS n_purchases
          FROM c JOIN p ON p.user_id = c.user_id
+           AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 4 HOUR
+         GROUP BY c.user_id""",
+    "q229_stream_outer_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+               FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id AS p_user, event_id AS purchase_id,
+               ts AS p_ts FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_unmatched,
+           CAST(SUM(CASE WHEN purchase_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pairs
+         FROM c LEFT JOIN p ON p.p_user = c.user_id
            AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 4 HOUR
          GROUP BY c.user_id""",
     "q217_stream_sessions" ->

@@ -2816,6 +2816,77 @@ object CoreQueries {
       .select(col("user_id"), col("val"), col("tier"))
   }
 
+  /** STREAM-STREAM LEFT OUTER interval join (q229): q216's
+    * attribution with the unconverted clicks KEPT — the outer side of
+    * a stream-stream join is a different machine than the inner: an
+    * unmatched left row can only emit (with null right columns) once
+    * the watermark proves no partner can still arrive, so emission is
+    * driven by WATERMARK EVICTION, not by matching. A far-future
+    * sentinel per side (filtered from the output; the two sentinels
+    * match each other, never a real row) pushes the final watermark
+    * past every real row's join horizon so the drain flushes exactly
+    * the batch-join row set — production streams don't need the
+    * sentinel, their next events do the same job continuously. State
+    * is O(watermark + delay horizon) per the same argument as q216. */
+  def streamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val work = graft.TempDirs.create("graft-ssoj-")
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        ts().as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), ts().as("p_ts"))
+    val mx = ev.agg(max(ts())).head().getTimestamp(0)
+    val sentTs = new java.sql.Timestamp(mx.getTime + 2L * 86400 * 1000)
+    clicks.repartition(2).write.mode("overwrite")
+      .parquet(s"$work/clicks")
+    Seq((-1L, -1L, sentTs)).toDF("c_user", "click_id", "c_ts")
+      .coalesce(1).write.mode("append").parquet(s"$work/clicks")
+    purchases.repartition(2).write.mode("overwrite")
+      .parquet(s"$work/purchases")
+    Seq((-1L, -1L, sentTs)).toDF("p_user", "purchase_id", "p_ts")
+      .coalesce(1).write.mode("append").parquet(s"$work/purchases")
+    // pin mtimes so each side's sentinel arrives LAST (q214 convention)
+    for (side <- Seq("clicks", "purchases")) {
+      val fp = new org.apache.hadoop.fs.Path(s"$work/$side")
+      val fs = fp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val parts = fs.listStatus(fp).filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet"))
+      val ordered = parts.map { st =>
+        val isSent = s.read.parquet(st.getPath.toString)
+          .filter(col(if (side == "clicks") "c_user" else "p_user") === -1L)
+          .limit(1).count() > 0
+        (isSent, st.getPath)
+      }.sortBy(_._1) // sentinels last
+      ordered.zipWithIndex.foreach { case ((_, p), i) =>
+        fs.setTimes(p, 1700000000000L + i * 60000L, -1)
+      }
+    }
+    def feed(path: String, schema: org.apache.spark.sql.types.StructType) =
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    val joined = graft.streaming.EventTimeOps.intervalJoinStreams(
+      feed(s"$work/clicks", clicks.schema), "c_ts",
+      feed(s"$work/purchases", purchases.schema), "p_ts",
+      "c_user", "p_user", maxDelay = "4 hours", watermark = "1 hour",
+      joinType = "left_outer")
+    val q = joined.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt")
+      .format("parquet").option("path", s"$work/out").start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+      .filter(col("c_user") =!= -1L)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched"),
+        sum(when(col("purchase_id").isNotNull, 1L).otherwise(0L))
+          .as("n_pairs"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

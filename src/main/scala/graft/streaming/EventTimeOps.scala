@@ -101,13 +101,14 @@ object EventTimeOps {
   def intervalJoinStreams(left: DataFrame, leftTs: String,
                           right: DataFrame, rightTs: String,
                           joinKeyLeft: String, joinKeyRight: String,
-                          maxDelay: String, watermark: String): DataFrame = {
+                          maxDelay: String, watermark: String,
+                          joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r, expr(
       s"""$joinKeyLeft = $joinKeyRight AND
          |$rightTs >= $leftTs AND
-         |$rightTs <= $leftTs + INTERVAL $maxDelay""".stripMargin))
+         |$rightTs <= $leftTs + INTERVAL $maxDelay""".stripMargin), joinType)
   }
 
   case class SessState(start: Long, last: Long, n: Int)
