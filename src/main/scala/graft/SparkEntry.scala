@@ -486,6 +486,8 @@ object SparkEntry {
     "q228_pq_recall"        -> ((s, d) => LlmQueries.pqRecall(s, d)),
     // stream-stream LEFT OUTER: watermark-evicted unmatched emission
     "q229_stream_outer_join" -> ((s, d) => CoreQueries.streamOuterJoin(s, d)),
+    // tombstone time travel: read the reader-grace snapshot
+    "q230_dv_undelete"      -> ((s, d) => CoreQueries.dvUndelete(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -734,6 +736,12 @@ object SparkEntry {
          FROM c LEFT JOIN p ON p.p_user = c.user_id
            AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 4 HOUR
          GROUP BY c.user_id""",
+    "q230_dv_undelete" ->
+      """SELECT user_id,
+           CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+             AS BIGINT) AS val
+         FROM events GROUP BY user_id
+         HAVING user_id % 7 <> 0""",
     "q217_stream_sessions" ->
       """WITH e AS (SELECT user_id, event_id,
              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s FROM events),

@@ -2887,6 +2887,24 @@ object CoreQueries {
           .as("n_pairs"))
   }
 
+  /** TOMBSTONE time travel (q230): two DV delete generations, then
+    * [[graft.sink.DeletionVectors.readPreviousGen]] reads the
+    * reader-grace snapshot — the newest delete batch un-applied, the
+    * older one still in force. The cheap undo window the grace copy
+    * already pays for (full snapshot travel is the atomic sink's
+    * version pointer, q159). */
+  def dvUndelete(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-undel-")
+    val dir = s"$work/t"
+    val base = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(floor(moneySum(col("value"))).cast("long").as("val"))
+    graft.sink.BloomSkipIndex.bloomWrite(base, "user_id", dir, nFiles = 8)
+    graft.sink.DeletionVectors.deleteWhere(s, dir, col("user_id") % 7 === 0)
+    graft.sink.DeletionVectors.deleteWhere(s, dir, col("user_id") % 3 === 0)
+    graft.sink.DeletionVectors.readPreviousGen(s, dir)
+      .select(col("user_id"), col("val"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -331,6 +331,46 @@ object DeletionVectors {
   def read(spark: SparkSession, dir: String): DataFrame =
     minusTombstones(spark, dir, readDir(spark, dir))
 
+  /** TOMBSTONE time travel: read as of the PREVIOUS generation — the
+    * reader-grace snapshot [[commitGen]]/[[vacuumTombstones]]
+    * deliberately retain — i.e. with the NEWEST delete batch
+    * un-applied. Scope is honest and narrow: only tombstones are
+    * versioned here, so rows APPENDED after the previous generation
+    * committed are still visible, and a compaction that rewrote files
+    * since then invalidates the older generation's row addresses
+    * (fails loud via the zero-match guard below rather than
+    * resurrecting wrong rows). Full snapshot time travel is the
+    * atomic sink's version pointer (q159); this is the cheap
+    * last-delete undo window the grace copy already pays for. */
+  def readPreviousGen(spark: SparkSession, dir: String): DataFrame = {
+    val gens = completeGens(spark, dir)
+    require(gens.length >= 2,
+      s"readPreviousGen: ${gens.length} generation(s) in $dir — " +
+        "the grace window needs a previous one")
+    val prev = Sidecars.readRaw(spark, dir, s"$GenPrefix${gens(gens.length - 2)}",
+      Seq(FileCol, RowCol)).getOrElse(
+      throw new IllegalStateException(
+        s"readPreviousGen: generation ${gens(gens.length - 2)} unreadable"))
+    // zero-match guard: a compaction since the previous generation
+    // rewrote files its tombstones address — those addresses no longer
+    // pin the same rows, so fail loud instead of resurrecting
+    val live = fsOf(spark, dir).listStatus(new Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    val dead = prev.select(col(FileCol)).distinct().collect()
+      .map(r => new Path(r.getString(0)).getName)
+      .filterNot(live.contains)
+    require(dead.isEmpty,
+      s"readPreviousGen: ${dead.length} file(s) of the previous " +
+        "generation were rewritten since (compaction) — the grace " +
+        "snapshot is gone; use the atomic sink for full time travel")
+    withRowId(readDir(spark, dir))
+      .join(broadcast(prev),
+        col(RFile) === col(FileCol) && col(RRow) === col(RowCol),
+        "left_anti")
+      .drop(RFile, RRow)
+  }
+
   /** Bloom-pruned point lookup THROUGH the deletion vectors: the
     * metadata sidecars and the tombstones compose — bloom-surviving
     * files only, then the anti-join hides deleted rows, then the exact

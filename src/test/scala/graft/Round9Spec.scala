@@ -766,6 +766,25 @@ class Round9Spec extends AnyFunSuite {
     assert(e.getMessage.contains("different"))
   }
 
+  test("readPreviousGen: un-applies the newest delete; fails loud after a compaction") {
+    val work = tmp("graft-r9undel-")
+    val dir = s"$work/t"
+    (0L until 100L).map(i => (i, i)).toDF("id", "v")
+      .repartition(4).write.parquet(dir)
+    DeletionVectors.deleteWhere(spark, dir, col("id") < 10L)  // gen 1
+    DeletionVectors.deleteWhere(spark, dir, col("id") >= 90L) // gen 2
+    assert(DeletionVectors.read(spark, dir).count() == 80)
+    val grace = DeletionVectors.readPreviousGen(spark, dir)
+    assert(grace.count() == 90, "grace read must un-apply only gen 2")
+    assert(grace.filter(col("id") >= 90L).count() == 10)
+    assert(grace.filter(col("id") < 10L).count() == 0)
+    // compaction rewrites the addressed files -> guard must fire
+    DeletionVectors.applyDeletes(spark, dir)
+    intercept[IllegalArgumentException] {
+      DeletionVectors.readPreviousGen(spark, dir).count()
+    }
+  }
+
   test("StreamCov: batch fence makes SUM-merge replay-safe; drained cov = one-pass") {
     val work = tmp("graft-r9sc-")
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
