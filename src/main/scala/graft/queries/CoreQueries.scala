@@ -2827,7 +2827,17 @@ object CoreQueries {
     * past every real row's join horizon so the drain flushes exactly
     * the batch-join row set — production streams don't need the
     * sentinel, their next events do the same job continuously. State
-    * is O(watermark + delay horizon) per the same argument as q216. */
+    * is O(watermark + delay horizon) per the same argument as q216.
+    *
+    * The watermark delay is derived from the DATA SPAN (span + 2
+    * days), not a fixed lateness: the feed files are random splits,
+    * so any fixed delay shorter than the span would make batch
+    * parity depend on partners co-arriving within one micro-batch of
+    * each other (state for older rows evicts one batch after the
+    * watermark passes them) — a silent correctness cliff if the file
+    * count ever changes. A production deployment with time-ordered
+    * arrival uses its real lateness bound instead and gets the small
+    * state that buys. */
   def streamOuterJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val work = graft.TempDirs.create("graft-ssoj-")
@@ -2838,8 +2848,11 @@ object CoreQueries {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"),
         col("event_id").as("purchase_id"), ts().as("p_ts"))
-    val mx = ev.agg(max(ts())).head().getTimestamp(0)
-    val sentTs = new java.sql.Timestamp(mx.getTime + 2L * 86400 * 1000)
+    val bounds = ev.agg(min(ts()), max(ts())).head()
+    val (mn, mx) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    val spanDays = (mx.getTime - mn.getTime) / 86400000L + 2L
+    val sentTs = new java.sql.Timestamp(
+      mx.getTime + (spanDays + 1L) * 86400 * 1000)
     clicks.repartition(2).write.mode("overwrite")
       .parquet(s"$work/clicks")
     Seq((-1L, -1L, sentTs)).toDF("c_user", "click_id", "c_ts")
@@ -2870,8 +2883,8 @@ object CoreQueries {
     val joined = graft.streaming.EventTimeOps.intervalJoinStreams(
       feed(s"$work/clicks", clicks.schema), "c_ts",
       feed(s"$work/purchases", purchases.schema), "p_ts",
-      "c_user", "p_user", maxDelay = "4 hours", watermark = "1 hour",
-      joinType = "left_outer")
+      "c_user", "p_user", maxDelay = "4 hours",
+      watermark = s"$spanDays days", joinType = "left_outer")
     val q = joined.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", s"$work/ckpt")
