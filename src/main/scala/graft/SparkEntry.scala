@@ -488,6 +488,8 @@ object SparkEntry {
     "q229_stream_outer_join" -> ((s, d) => CoreQueries.streamOuterJoin(s, d)),
     // tombstone time travel: read the reader-grace snapshot
     "q230_dv_undelete"      -> ((s, d) => CoreQueries.dvUndelete(s, d)),
+    // per-label covariance: one moment buffer per group
+    "q231_grouped_cov"      -> ((s, d) => LlmQueries.groupedCovariance(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -759,6 +761,17 @@ object SparkEntry {
          FROM x GROUP BY user_id, session_idx""",
     "q218_embed_cov" -> embedCovOracle,
     "q222_stream_cov" -> embedCovOracle,
+    "q231_grouped_cov" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         x AS (SELECT label, i, j, v[i] * v[j] AS p, v[i] AS xi, v[j] AS xj
+               FROM e,
+                 unnest(range(1, len(v) + 1)) AS t(i),
+                 unnest(range(1, len(v) + 1)) AS t2(j)
+               WHERE j >= i)
+         SELECT label, CAST(i - 1 AS INT) AS di, CAST(j - 1 AS INT) AS dj,
+           floor((AVG(p) - AVG(xi) * AVG(xj)) * 100000.0 + 0.5) / 100000.0
+             AS cov5
+         FROM x GROUP BY 1, 2, 3""",
     "q223_schema_evolve" ->
       """WITH base AS (SELECT user_id,
              CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))

@@ -851,6 +851,22 @@ object LlmQueries {
         graft.Oracle.stableRound(col("hits") / lit(3.0), 5).as("recall3"))
   }
 
+  /** GROUPED covariance (q231): the q218 moment aggregate under
+    * `groupBy(label)` — one O(d²) buffer PER GROUP with map-side
+    * partial aggregation, the per-cluster second-moment profile an
+    * embedding-space diagnostic (anisotropy per IVF cell, per-source
+    * drift) needs. Same scan, same wire cost argument as q218,
+    * multiplied by the group count — never by the row count. */
+  def groupedCovariance(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    Tables.embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(expr("graft_embed_cov(embedding)").as("m"))
+      .select(col("label"), explode(col("m.cov")).as("c"))
+      .select(col("label"), col("c.i").as("di"), col("c.j").as("dj"),
+        graft.Oracle.stableRound(col("c.cov"), 5).as("cov5"))
+  }
+
   /** Streaming covariance (q222): the q218 moment kernel as a
     * checkpointed drain ([[graft.streaming.StreamCov]]) — per batch
     * one O(d²) raw-moment buffer, SUM-merged into an atomically

@@ -38,7 +38,10 @@ object StreamCov {
     val fence = prev.map(_.filter(col("kind") === "B")
       .agg(max(col("v"))).head().getDouble(0)).getOrElse(-1.0)
     if (batchId.toDouble <= fence) return // redelivery — already applied
+    // an empty batch contributes no moments (the aggregate evals to
+    // NULL on zero rows) but must still advance the fence
     val m = batch.select(expr(s"graft_embed_mom($vecCol)").as("m"))
+      .filter(col("m").isNotNull)
     val nRow = m.select(lit("N").as("kind"), lit(-1).as("i"),
       lit(-1).as("j"), col("m.n").cast("double").as("v"))
     val sRows = m.select(posexplode(col("m.sum")).as(Seq("i", "v")))
