@@ -91,6 +91,8 @@ object DeletionVectors {
   private val RowsPerFile = 524288L
   private[graft] def appendSized(df: DataFrame, rows: Long,
                                  dir: String): Unit = {
+    if (rows == 0) return // a zero-row append would only add a
+    // zero-row file for every sidecar fold to track forever
     val files = math.max(1L, (rows + RowsPerFile - 1) / RowsPerFile).toInt
     df.coalesce(files).write.mode("append").parquet(dir)
   }
