@@ -370,6 +370,94 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("property: random evolve/drop/delete/upsert/compact histories match an in-memory model") {
+    import scala.collection.mutable
+    import org.apache.spark.sql.types._
+    for (seed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val work = tmp(s"graft-r9sev$seed-")
+      val dir = s"$work/t"
+      // model: id -> (visible col -> Option[Long] value); id is col 0
+      var cols = Vector("id", "c0")
+      val model = mutable.LinkedHashMap[Long, mutable.Map[String, Option[Long]]]()
+      var nextId = 0L
+      var nextCol = 1
+      def newRow(id: Long, vals: Map[String, Option[Long]]) : Unit =
+        model(id) = mutable.Map(cols.filter(_ != "id")
+          .map(c => c -> vals.getOrElse(c, None)): _*)
+      def df(rows: Seq[Long], valueCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+        val schema = StructType(StructField("id", LongType, nullable = false) +:
+          valueCols.map(c => StructField(c, LongType, nullable = true)))
+        val data = rows.map { id =>
+          org.apache.spark.sql.Row.fromSeq(id +: valueCols.map(c =>
+            model(id)(c).map(Long.box).orNull))
+        }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(data, 2), schema)
+      }
+      // seed table: 30 rows (id, c0)
+      (0 until 30).foreach { _ =>
+        val id = nextId; nextId += 1
+        newRow(id, Map("c0" -> Some(rnd.nextInt(100).toLong)))
+      }
+      BloomSkipIndex.bloomWrite(df(model.keys.toSeq, Seq("c0")),
+        "id", dir, nFiles = 4)
+      for (step <- 0 until 12) {
+        rnd.nextInt(5) match {
+          case 0 => // evolved append: fresh ids, possibly a NEW column
+            val addCol = rnd.nextBoolean()
+            if (addCol) { cols = cols :+ s"c$nextCol"; nextCol += 1
+              model.values.foreach(_(cols.last) = None) }
+            val fresh = (0 until (1 + rnd.nextInt(6))).map { _ =>
+              val id = nextId; nextId += 1
+              newRow(id, cols.filter(_ != "id")
+                .map(c => c -> Some(rnd.nextInt(100).toLong)).toMap)
+              id
+            }
+            DeletionVectors.evolveAppend(spark, dir,
+              df(fresh, cols.filter(_ != "id")))
+          case 1 if cols.length > 2 => // metadata drop of a value column
+            val victim = cols.drop(1)(rnd.nextInt(cols.length - 1))
+            cols = cols.filterNot(_ == victim)
+            model.values.foreach(_.remove(victim))
+            DeletionVectors.dropColumn(spark, dir, victim)
+          case 2 => // modulo delete across all generations
+            val k = 2 + rnd.nextInt(4)
+            model.keys.toSeq.filter(_ % k == 0).foreach(model.remove)
+            DeletionVectors.deleteWhere(spark, dir, col("id") % k === 0L)
+          case 3 if model.nonEmpty => // keyed upsert at the full schema
+            val ids = rnd.shuffle(model.keys.toSeq)
+              .take(1 + rnd.nextInt(4))
+            ids.foreach(id => newRow(id, cols.filter(_ != "id")
+              .map(c => c -> Some(rnd.nextInt(100).toLong)).toMap))
+            DeletionVectors.upsertMoR(spark, dir,
+              df(ids, cols.filter(_ != "id")), "id")
+          case 4 => rnd.nextInt(2) match {
+            case 0 => DeletionVectors.applyDeletes(spark, dir)
+            case _ => DeletionVectors.compactSmallFiles(spark, dir,
+              smallBytes = 1L << 20, targetBytes = 4L << 20)
+          }
+          case _ => ()
+        }
+        // full-state check every few steps (and always at the end)
+        if (step % 4 == 3 || step == 11) {
+          val got = DeletionVectors.read(spark, dir)
+          assert(got.columns.toSeq == cols,
+            s"seed $seed step $step: schema ${got.columns.toSeq} != $cols")
+          val gotMap = got.collect().map { r =>
+            r.getLong(0) -> cols.drop(1).zipWithIndex.map { case (c, i) =>
+              c -> (if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1)))
+            }.toMap
+          }.toMap
+          val want = model.map { case (id, m) =>
+            id -> cols.drop(1).map(c => c -> m.getOrElse(c, None)).toMap
+          }.toMap
+          assert(gotMap == want, s"seed $seed step $step diverged")
+        }
+      }
+    }
+  }
+
   test("property: exactLastSeen equals the from-scratch max under random deletes") {
     val userCountry = (1L to 12L).map(k => (k, s"C${k % 3}"))
       .toDF("user_id", "country")
