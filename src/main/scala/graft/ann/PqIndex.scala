@@ -27,30 +27,20 @@ object PqIndex {
 
   private def meansPath(dir: String) = new Path(dir, "_pq_means.json")
 
+  /** Overwrite-rename via [[graft.sink.AtomicFiles.replace]] — the
+    * old delete-then-rename left a window where a crash deleted the
+    * thresholds and every later append/adcTopK threw FileNotFound
+    * until a full index rebuild (review-caught). */
   private def writeMeans(spark: SparkSession, dir: String,
-                         means: Array[Double]): Unit = {
-    val p = meansPath(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dir, "._pq_means.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(means.mkString("[", ",", "]").getBytes("UTF-8"))
-    finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"rename $tmp -> $p failed")
-  }
+                         means: Array[Double]): Unit =
+    graft.sink.AtomicFiles.replace(spark.sparkContext.hadoopConfiguration,
+      meansPath(dir), means.mkString("[", ",", "]").getBytes("UTF-8"))
 
   private[graft] def readMeans(spark: SparkSession,
-                               dir: String): Array[Double] = {
-    val p = meansPath(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val len = fs.getFileStatus(p).getLen.toInt
-    val buf = new Array[Byte](len)
-    val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
-    new String(buf, "UTF-8").stripPrefix("[").stripSuffix("]")
-      .split(",").map(_.toDouble)
-  }
+                               dir: String): Array[Double] =
+    graft.sink.AtomicFiles
+      .readString(spark.sparkContext.hadoopConfiguration, meansPath(dir))
+      .stripPrefix("[").stripSuffix("]").split(",").map(_.toDouble)
 
   /** Build the index: train thresholds + codebook on `corpus`, write
     * codes for every corpus vector. One pass for the moments, one for
@@ -68,20 +58,53 @@ object PqIndex {
   }
 
   /** Encode `batch` against the STORED thresholds and append its
-    * codes — O(batch), codebook untouched (see class doc). */
+    * codes — O(batch), codebook untouched (see class doc).
+    *
+    * DRIFT ACCOUNTING: an appended vector can land in an (s, code)
+    * cell the training corpus never produced — that cell has no
+    * codebook centroid, so in [[adcTopK]] its subspace contributes
+    * 0 to the vector's ADC sum (the LUT join simply has no entry;
+    * numerically identical to scoring the term as 0). That is a
+    * SILENT recall degradation, not an error, so this method counts
+    * the batch's unseen cells against the stored codebook (one
+    * O(batch)+O(codebook) job) and returns the count — a caller
+    * watching drift retrains when it grows; 0 means every appended
+    * code is fully scored. */
   def append(spark: SparkSession, batch: DataFrame, vecCol: String,
-             idCol: String, dir: String, m: Int): Unit = {
+             idCol: String, dir: String, m: Int): Long = {
     val means = readMeans(spark, dir)
-    batch.select(col(idCol),
+    val coded = batch.select(col(idCol),
         Pq.codesColumn(vecCol, means, m).as("codes"))
-      .write.mode("append").parquet(s"$dir/codes")
+      .persist()
+    try {
+      coded.write.mode("append").parquet(s"$dir/codes")
+      val cells = spark.read.parquet(s"$dir/codebook")
+        .select(col("s"), col("code")).distinct()
+      val unseen = coded
+        .select(posexplode(col("codes")).as(Seq("s", "code")))
+        .distinct()
+        .join(broadcast(cells), Seq("s", "code"), "left_anti")
+        .count()
+      if (unseen > 0)
+        System.err.println(s"[PqIndex] append: $unseen (s, code) " +
+          s"cell(s) absent from the codebook at $dir — those " +
+          "subspaces score 0 in ADC; consider retraining")
+      unseen
+    } finally coded.unpersist()
   }
 
   /** ADC top-k over the PERSISTED codes: the query side builds its
     * LUT from the stored codebook (broadcast), the scan reads the
     * codes table only — per corpus row, m integers off disk and m
     * hash lookups; the floats never load. Same ranking rule as
-    * [[Pq.adcTopK]]. */
+    * [[Pq.adcTopK]].
+    *
+    * Unseen-cell semantics: a code cell with no codebook entry (an
+    * [[append]]ed vector outside the training distribution) has no
+    * LUT row, so the (s, code) join scores that subspace as 0 — the
+    * vector still ranks, on its remaining terms. [[append]] counts
+    * and reports such cells; the DuckDB oracle mirrors the same
+    * absent-term-is-0 semantics (both sum only matched terms). */
   def adcTopK(spark: SparkSession, dir: String, queries: DataFrame,
               vecCol: String, idCol: String, m: Int,
               k: Int): DataFrame = {

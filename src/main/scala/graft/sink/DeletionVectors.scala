@@ -87,13 +87,66 @@ object DeletionVectors {
     * sidecar fold, listing, and locate pays that fragmentation
     * forever (compaction exists, but not writing the debris beats
     * packing it later). `coalesce` only ever REDUCES partitions, so
-    * large batches keep their parallelism. */
-  private val RowsPerFile = 524288L
-  private[graft] def appendSized(df: DataFrame, rows: Long,
-                                 dir: String): Unit = {
+    * large batches keep their parallelism.
+    *
+    * Sizing is BYTE-based, not row-based (review-caught: a fixed
+    * 512 k-rows constant writes multi-GB files of a wide multimodal
+    * row and ~10 MB files of a 3-column fact): rows-per-file derives
+    * from the TABLE'S OWN observed bytes-per-row — parquet footer
+    * record counts against listed file sizes, the same
+    * metadata-only sampling [[compactIfNeeded]] already uses, so the
+    * estimate reflects real post-encoding/compression width. The
+    * estimate is cached per directory (a table's row width drifts
+    * slowly, and the sizing is a heuristic — a stale estimate mis-
+    * sizes a file, never corrupts one). First write into an empty
+    * directory has nothing to observe and falls back to the row
+    * heuristic; the second batch onward is byte-sized. */
+  private val TargetFileBytes = 128L << 20
+  private val FallbackRowsPerFile = 524288L
+  private val bprCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  /** Observed bytes/row of `dir`'s data files, from ≤4 largest files'
+    * footer record counts (metadata-only). None when unobservable
+    * (no files, zero rows, unreadable footer). */
+  private def bytesPerRow(spark: SparkSession, dir: String): Option[Double] =
+    Option(bprCache.get(dir)).map(_.doubleValue).orElse {
+      val est = scala.util.Try {
+        val fs = fsOf(spark, dir)
+        val p = new Path(dir)
+        if (!fs.exists(p)) None
+        else {
+          val conf = spark.sparkContext.hadoopConfiguration
+          val samples = fs.listStatus(p).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")
+              && !s.getPath.getName.startsWith("_"))
+            .sortBy(-_.getLen).take(4)
+          val (bytes, rows) = samples.foldLeft((0L, 0L)) { case ((b, r), s) =>
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(s.getPath, conf))
+            val n = try rd.getRecordCount finally rd.close()
+            (b + s.getLen, r + n)
+          }
+          if (rows > 0) Some(bytes.toDouble / rows) else None
+        }
+      }.toOption.flatten
+      est.foreach(v => bprCache.put(dir, Double.box(v)))
+      est
+    }
+
+  private[graft] def appendSized(df: DataFrame, rows: Long, dir: String,
+                                 targetBytes: Long = TargetFileBytes): Unit = {
     if (rows == 0) return // a zero-row append would only add a
     // zero-row file for every sidecar fold to track forever
-    val files = math.max(1L, (rows + RowsPerFile - 1) / RowsPerFile).toInt
+    val files = bytesPerRow(df.sparkSession, dir) match {
+      case Some(bpr) =>
+        math.max(1L, math.ceil(rows * bpr / targetBytes).toLong)
+          .min(Int.MaxValue).toInt
+      case None =>
+        math.max(1L, (rows + FallbackRowsPerFile - 1)
+          / FallbackRowsPerFile).toInt
+    }
     df.coalesce(files).write.mode("append").parquet(dir)
   }
 

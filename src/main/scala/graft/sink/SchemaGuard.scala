@@ -41,18 +41,15 @@ object SchemaGuard {
     }
   }
 
-  /** Atomically (write-then-rename) persist the table schema. */
+  /** Atomically persist the table schema — overwrite-rename via
+    * [[AtomicFiles.replace]], no delete-then-rename window: this file
+    * is CORRECTNESS-BEARING (a reader finding no sidecar falls back
+    * to footer-derived schema, resurrecting dropped columns), so a
+    * crash mid-swap must leave the old schema readable, never a gap. */
   def writeSchema(spark: SparkSession, dir: String,
-                  schema: org.apache.spark.sql.types.StructType): Unit = {
-    val p = schemaPath(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dir, s"._schema.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"rename $tmp -> $p failed")
-  }
+                  schema: org.apache.spark.sql.types.StructType): Unit =
+    AtomicFiles.replace(spark.sparkContext.hadoopConfiguration,
+      schemaPath(dir), schema.json.getBytes("UTF-8"))
 
   /** A column DROPPED by [[DeletionVectors.dropColumn]] stays in the
     * stored schema flagged with this metadata key (column-mapping

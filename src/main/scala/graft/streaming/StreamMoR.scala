@@ -51,8 +51,19 @@ object StreamMoR {
     * markers with a checkpoint-derived run id — the fence is per
     * (table, checkpoint), exactly Delta's idempotent-write
     * (appId, txnVersion) pair. Direct [[applyBatch]] callers keep the
-    * untagged legacy namespace. */
-  private[streaming] def runTagOf(checkpointDir: String): String =
+    * untagged legacy namespace.
+    *
+    * UPGRADE NOTE: a table written by the pre-tag scheme and resumed
+    * post-upgrade WITH ITS ORIGINAL CHECKPOINT will not find its old
+    * `batch-<id>` markers under the tagged name, so the redelivered
+    * in-flight batch would re-apply once (duplicate appends). The fence
+    * does NOT silently fall back to the untagged path — an untagged
+    * marker is ambiguous (it may belong to a DIFFERENT past drain whose
+    * batch ids coincide, exactly the collision the tag fixes). Instead,
+    * run [[adoptLegacyMarkers]] ONCE, quiesced, before resuming: it
+    * explicitly claims the untagged markers for the named checkpoint.
+    * A drain started on a FRESH checkpoint needs nothing. */
+  private[graft] def runTagOf(checkpointDir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(checkpointDir.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8) + "-"
@@ -60,6 +71,31 @@ object StreamMoR {
   private def markerPath(tableDir: String, runTag: String,
                          batchId: Long): Path =
     new Path(s"$tableDir/_commits/${runTag}batch-$batchId")
+
+  /** One-time migration for tables fenced under the PRE-TAG marker
+    * scheme (see [[runTagOf]]'s upgrade note): rename every untagged
+    * `_commits/batch-<id>` marker into `checkpointDir`'s tag
+    * namespace, so resuming that drain post-upgrade skips its
+    * already-applied in-flight batch instead of re-appending it.
+    * EXPLICIT by design — only the operator knows which checkpoint
+    * the legacy markers belong to; an automatic fallback would
+    * mis-claim markers of a different past drain whose batch ids
+    * coincide. Run quiesced (no stream on the table). Returns the
+    * number of markers adopted. */
+  def adoptLegacyMarkers(spark: SparkSession, tableDir: String,
+                         checkpointDir: String): Int = {
+    val tag = runTagOf(checkpointDir)
+    val commits = new Path(s"$tableDir/_commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(commits)) return 0
+    val legacy = fs.listStatus(commits).toSeq
+      .filter(s => s.isFile && s.getPath.getName.matches("batch-\\d+"))
+    legacy.foreach { s =>
+      fs.rename(s.getPath,
+        new Path(commits, s"$tag${s.getPath.getName}"))
+    }
+    legacy.size
+  }
 
   /** Counts from one pass of the batch-contract check. */
   private[streaming] final case class BatchStats(n: Long, nFresh: Long)

@@ -1,0 +1,171 @@
+package graft
+
+import graft.sink.{AtomicFiles, DeletionVectors, SchemaGuard}
+import graft.streaming.StreamMoR
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Round-10 specs: atomic metadata replace (no delete-then-rename
+  * window), PQ append drift accounting, explicit legacy-marker
+  * adoption for pre-tag MoR fences. */
+class Round10Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // ---- atomic metadata replace -------------------------------------
+
+  test("AtomicFiles.replace swaps content atomically over an existing file") {
+    val work = tmp("graft-r10af-")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$work/meta.json")
+    AtomicFiles.replace(conf, p, "one".getBytes("UTF-8"))
+    assert(AtomicFiles.readString(conf, p) == "one")
+    AtomicFiles.replace(conf, p, "two".getBytes("UTF-8"))
+    assert(AtomicFiles.readString(conf, p) == "two")
+    // no temp debris survives the swap
+    val fs = p.getFileSystem(conf)
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(work))
+      .map(_.getPath.getName).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"temp debris: ${leftovers.toSeq}")
+  }
+
+  test("writeSchema round-trips through the atomic swap; evolve still reads back") {
+    val work = tmp("graft-r10sg-")
+    val dir = s"$work/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir)
+    DeletionVectors.evolveAppend(spark, dir,
+      Seq((3L, "c", 7L)).toDF("id", "v", "extra"))
+    val sc1 = SchemaGuard.storedSchema(spark, dir).get
+    assert(sc1.fieldNames.toSeq == Seq("id", "v", "extra"))
+    // a second evolve OVERWRITES the sidecar through the same swap
+    DeletionVectors.evolveAppend(spark, dir,
+      Seq((4L, "d", 8L, 0.5)).toDF("id", "v", "extra", "score"))
+    val sc2 = SchemaGuard.storedSchema(spark, dir).get
+    assert(sc2.fieldNames.toSeq == Seq("id", "v", "extra", "score"))
+    assert(DeletionVectors.read(spark, dir).count() == 4)
+  }
+
+  // ---- PQ append drift accounting ----------------------------------
+
+  test("PqIndex.append reports unseen cells for out-of-distribution vectors") {
+    val work = tmp("graft-r10pq-")
+    val dir = s"$work/idx"
+    // training corpus: all-positive coordinates → every trained code
+    // has all sign bits set; 16 dims, m=2 subspaces of 8 dims
+    val train = (0 until 20).map { i =>
+      (i.toLong, Array.fill(16)(1.0f + i * 0.01f))
+    }.toDF("vec_id", "embedding")
+    graft.ann.PqIndex.write(train, "embedding", "vec_id", dir, m = 2)
+    // in-distribution append: same cells, zero unseen
+    val inDist = Seq((100L, Array.fill(16)(2.0f)))
+      .toDF("vec_id", "embedding")
+    assert(graft.ann.PqIndex.append(spark, inDist, "embedding",
+      "vec_id", dir, m = 2) == 0L)
+    // out-of-distribution: alternating signs → a MIXED sign pattern;
+    // the training vectors are constant per vector, so only the
+    // all-bits-0 and all-bits-1 cells exist in the codebook
+    val outDist = Seq((101L, Array.tabulate(16)(i =>
+        if (i % 2 == 0) 10.0f else -10.0f)))
+      .toDF("vec_id", "embedding")
+    assert(graft.ann.PqIndex.append(spark, outDist, "embedding",
+      "vec_id", dir, m = 2) == 2L)
+    // the drifted vector still ranks (on 0-scored terms), never throws
+    val q = Seq((999L, Array.fill(16)(1.5f))).toDF("vec_id", "embedding")
+    val top = graft.ann.PqIndex.adcTopK(spark, dir, q, "embedding",
+      "vec_id", m = 2, k = 5)
+    assert(top.count() == 5)
+  }
+
+  // ---- byte-based optimized write ----------------------------------
+
+  private def dataFileSizes(dir: String): Seq[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq.filter(_.isFile)
+      .filter(s => s.getPath.getName.endsWith(".parquet")
+        && !s.getPath.getName.startsWith("_"))
+      .map(s => s.getPath.getName -> s.getLen)
+  }
+
+  test("appendSized writes near-target files for narrow AND wide rows") {
+    val target = 1L << 20 // 1 MB — small enough to exercise at test sf
+    // NARROW: pseudo-random longs (stable encoding ratio across the
+    // initial write and the append, so the footer-derived estimate
+    // transfers)
+    val narrowDir = s"${tmp("graft-r10bw-")}/narrow"
+    def narrow(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id"), (col("id") * 2654435761L % 1000003L).as("a"),
+        (col("id") * 40503L % 65521L).as("b"))
+    narrow(0, 200000).repartition(2).write.parquet(narrowDir)
+    val before = dataFileSizes(narrowDir).map(_._1).toSet
+    val batch = narrow(200000, 800000)
+    graft.sink.DeletionVectors.appendSized(batch, 600000, narrowDir,
+      targetBytes = target)
+    val appended = dataFileSizes(narrowDir).filterNot(f => before(f._1))
+    assert(appended.nonEmpty)
+    appended.foreach { case (n, len) =>
+      assert(len <= 2 * target && len >= target / 4,
+        s"narrow file $n is $len bytes vs target $target")
+    }
+    // WIDE: ~64 KB binary payload per row — the fixed 512k-rows
+    // heuristic would pack all rows into ONE multi-GB-shaped file;
+    // byte sizing must split near target instead
+    val wideDir = s"${tmp("graft-r10bw-")}/wide"
+    def wide(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id"),
+        // ~64 KB of md5 hex per row — random-looking, so parquet
+        // can't compress it away and the observed width is real
+        expr("array_join(transform(sequence(1, 2048), " +
+          "i -> md5(cast(id * 2048 + i as string))), '')").as("payload"))
+    wide(0, 20).repartition(1).write.parquet(wideDir)
+    val wBefore = dataFileSizes(wideDir).map(_._1).toSet
+    graft.sink.DeletionVectors.appendSized(wide(20, 120), 100, wideDir,
+      targetBytes = target)
+    val wAppended = dataFileSizes(wideDir).filterNot(f => wBefore(f._1))
+    assert(wAppended.size > 1,
+      s"wide append landed in ${wAppended.size} file(s) — not byte-sized")
+    wAppended.foreach { case (n, len) =>
+      assert(len <= 2 * target,
+        s"wide file $n is $len bytes vs target $target")
+    }
+  }
+
+  // ---- legacy marker adoption --------------------------------------
+
+  test("adoptLegacyMarkers claims untagged fences so a resumed drain skips, not re-applies") {
+    val work = tmp("graft-r10lm-")
+    val dir = s"$work/t"
+    val ckpt = s"$work/ckpt"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir)
+    // a legacy (untagged) drain applied batch 0: simulate its marker
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_commits"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_commits/batch-0"),
+      true).close()
+    val batch0 = Seq((1L, "A", "U")).toDF("id", "v", "op")
+    val tag = StreamMoR.runTagOf(ckpt)
+    // WITHOUT adoption, the tagged fence misses and batch 0 re-applies
+    // (that is the documented upgrade hazard) — so adopt first:
+    assert(StreamMoR.adoptLegacyMarkers(spark, dir, ckpt) == 1)
+    StreamMoR.applyBatch(spark, dir, batch0, 0L, "id", "op",
+      runTag = tag)
+    // the replayed batch was skipped: the table still holds the OLD
+    // image of id 1
+    val vs = DeletionVectors.read(spark, dir).orderBy("id")
+      .select("v").as[String].collect().toSeq
+    assert(vs == Seq("a", "b"),
+      s"adopted fence failed — batch re-applied: $vs")
+    // a NEW batch id under the same tag still applies normally
+    StreamMoR.applyBatch(spark, dir,
+      Seq((2L, "B", "U")).toDF("id", "v", "op"), 1L, "id", "op",
+      runTag = tag)
+    val vs2 = DeletionVectors.read(spark, dir).orderBy("id")
+      .select("v").as[String].collect().toSeq
+    assert(vs2 == Seq("a", "B"))
+  }
+}
