@@ -490,6 +490,8 @@ object SparkEntry {
     "q230_dv_undelete"      -> ((s, d) => CoreQueries.dvUndelete(s, d)),
     // per-label covariance: one moment buffer per group
     "q231_grouped_cov"      -> ((s, d) => LlmQueries.groupedCovariance(s, d)),
+    // past-the-guard deletes: per-file sidecars applied in-scan
+    "q232_dv_inscan"        -> ((s, d) => CoreQueries.dvInScan(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -783,6 +785,15 @@ object SparkEntry {
              't' || CAST(user_id % 4 AS VARCHAR)
            FROM base WHERE user_id % 3 = 0)
          SELECT user_id, val, tier FROM ev WHERE user_id % 7 <> 0""",
+    // per-file (post-migration) deletion vectors answer exactly like
+    // plain predicate deletes — the representation is invisible
+    "q232_dv_inscan" ->
+      """WITH base AS (SELECT user_id,
+             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+               AS BIGINT) AS val
+           FROM events GROUP BY user_id)
+         SELECT user_id, val FROM base
+         WHERE user_id % 7 <> 0 AND user_id % 11 <> 3""",
     "q224_schema_drop" ->
       """WITH base AS (SELECT user_id,
              CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))

@@ -102,6 +102,7 @@ object GraftFunctions {
   val topkName = "graft_topk"
   val covName = "graft_embed_cov"
   val momName = "graft_embed_mom"
+  val dvDeletedName = "graft_dv_deleted"
 
   private def cosBuilder(exprs: Seq[Expression]): Expression =
     CosineSimilarity(exprs.head, exprs(1))
@@ -155,6 +156,18 @@ object GraftFunctions {
     }
   }
 
+  private[graft] def dvDeletedBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    (exprs(0), exprs(1)) match {
+      case (Literal(d: org.apache.spark.unsafe.types.UTF8String, StringType),
+            Literal(g: Int, IntegerType)) =>
+        graft.sink.DvDeleted(d.toString, g, exprs(2), exprs(3))
+      case other => throw new IllegalArgumentException(
+        s"$dvDeletedName requires literal (dir, gen), got $other")
+    }
+  }
+
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
@@ -179,6 +192,9 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(covName, covBuilder, "built-in")
     if (!registry.functionExists(FunctionIdentifier(momName)))
       registry.createOrReplaceTempFunction(momName, momBuilder, "built-in")
+    if (!registry.functionExists(FunctionIdentifier(dvDeletedName)))
+      registry.createOrReplaceTempFunction(dvDeletedName, dvDeletedBuilder,
+        "built-in")
   }
 
   /** Column form: cosine(a, b) as a codegen'd native expression. */

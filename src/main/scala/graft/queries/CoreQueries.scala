@@ -2918,6 +2918,34 @@ object CoreQueries {
       .select(col("user_id"), col("val"))
   }
 
+  /** IN-SCAN deletion vectors (q232): the same MoR deletes as the
+    * q194-family, but with the broadcast guard forced LOW so the
+    * first delete batch crosses it and MIGRATES the table to the
+    * per-file sidecar store ([[graft.sink.DvPerFile]]) — the 100 TB
+    * regime where broadcasting the accumulated tombstone set would
+    * fail outright. The second delete exercises the post-migration
+    * incremental merge (only affected files' sidecars rewrite), and
+    * the read applies both batches in-scan: a codegen'd per-row
+    * probe against the scanned file's own sidecar, no join anywhere
+    * in the plan (DvPerFileSpec asserts the plan shape; this entry
+    * pins the VALUES against the oracle). */
+  def dvInScan(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-dvpf-")
+    val dir = s"$work/t"
+    val base = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(floor(moneySum(col("value"))).cast("long").as("val"))
+    graft.sink.BloomSkipIndex.bloomWrite(base, "user_id", dir, nFiles = 8)
+    s.conf.set(graft.sink.DeletionVectors.GuardConfKey, "64")
+    try {
+      graft.sink.DeletionVectors.deleteWhere(s, dir,
+        col("user_id") % 7 === 0) // crosses the guard → migrates
+      graft.sink.DeletionVectors.deleteWhere(s, dir,
+        col("user_id") % 11 === 3) // post-migration per-file merge
+    } finally s.conf.unset(graft.sink.DeletionVectors.GuardConfKey)
+    graft.sink.DeletionVectors.read(s, dir)
+      .select(col("user_id"), col("val"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -41,6 +41,10 @@ import org.apache.spark.sql.functions._
 private[graft] object DvStats {
   @volatile var lastLocateFiles: Option[Int] = None
   @volatile var lastFetchFiles: Option[Int] = None
+  /** How the last DV-aware read subtracted tombstones: "broadcast"
+    * (gen-mode anti-join), "inscan" (per-file sidecar probe), None
+    * (no tombstones). Test-only. */
+  @volatile var lastReadMode: Option[String] = None
 }
 
 object DeletionVectors {
@@ -171,11 +175,32 @@ object DeletionVectors {
       .toSeq.sorted
   }
 
-  /** The current tombstone set — highest complete generation, or None
-    * when no delete has ever committed. Metadata-sized. */
+  /** Broadcast-regime ceiling: tombstone sets stay in full-set
+    * `_dv_g<N>` generations (read = broadcast anti-join, write =
+    * accumulate-and-rewrite — both fine while the set is
+    * metadata-sized) until a commit would push the accumulated count
+    * past this guard; that commit MIGRATES the table to the per-file
+    * representation ([[DvPerFile]]), after which reads apply deletes
+    * in-scan and delete batches rewrite only affected files'
+    * sidecars. Settable per session for tests and tuning. */
+  private[graft] val GuardConfKey = "graft.dv.broadcastMaxRows"
+  private def broadcastGuard(spark: SparkSession): Long =
+    spark.conf.getOption(GuardConfKey).map(_.toLong).getOrElse(4000000L)
+
+  /** The table's per-file-mode commit ceiling, when migrated. */
+  private def pfGen(spark: SparkSession, dir: String): Option[Int] =
+    DvPerFile.committedGen(spark, dir)
+
+  /** The current tombstone set — highest complete generation (or the
+    * per-file store reconstructed, past the migration), or None when
+    * no delete has ever committed. Mode-transparent for consumers;
+    * maintenance paths use the per-file primitives directly. */
   def currentTombstones(spark: SparkSession, dir: String): Option[DataFrame] =
-    completeGens(spark, dir).lastOption.flatMap { g =>
-      Sidecars.readRaw(spark, dir, s"$GenPrefix$g", Seq(FileCol, RowCol))
+    pfGen(spark, dir) match {
+      case Some(ceil) => Some(DvPerFile.asDf(spark, dir, ceil))
+      case None => completeGens(spark, dir).lastOption.flatMap { g =>
+        Sidecars.readRaw(spark, dir, s"$GenPrefix$g", Seq(FileCol, RowCol))
+      }
     }
 
   /** Commit `df` as the next tombstone generation, then GC every
@@ -189,7 +214,7 @@ object DeletionVectors {
     * FULL accumulated set, so no reader ever needs an older one for
     * correctness. */
   private def commitGen(spark: SparkSession, dir: String,
-                        df: DataFrame): Unit = {
+                        df: DataFrame): Int = {
     val prev = completeGens(spark, dir)
     val gen = prev.lastOption.getOrElse(0) + 1
     // tombstones are metadata-sized: one part file keeps the
@@ -198,23 +223,46 @@ object DeletionVectors {
     val fs = fsOf(spark, dir)
     prev.dropRight(1).foreach(g =>
       fs.delete(new Path(s"$dir/$GenPrefix$g"), true))
+    gen
   }
 
   /** Accumulate `newTombs` into the next generation (full set = old ∪
     * new, deduplicated); returns the number of NEWLY tombstoned rows.
     * The write is committed by `_SUCCESS` — torn attempts are invisible
-    * to readers. */
+    * to readers.
+    *
+    * Past the migration to the per-file store this routes to
+    * [[DvPerFile.mergeCommit]] — O(changed files), the accumulated
+    * set is never read or rewritten again. The commit that CROSSES
+    * [[GuardConfKey]] performs the one-time migration: it commits
+    * the full-set generation as usual (so gen-mode readers mid-
+    * flight stay correct), then writes the whole set per-file at the
+    * same generation number and the per-file marker; every
+    * subsequent read and write is per-file. */
   private def writeNextGen(spark: SparkSession, dir: String,
                            newTombs: DataFrame): Long = {
-    val prev = currentTombstones(spark, dir)
-    val prevN = prev.map(_.count()).getOrElse(0L)
-    val all = prev.map(_.unionByName(newTombs)).getOrElse(newTombs)
-      .select(col(FileCol), col(RowCol)).distinct()
-      .persist()
-    val n = all.count()
-    if (n > prevN) commitGen(spark, dir, all)
-    all.unpersist()
-    n - prevN
+    pfGen(spark, dir) match {
+      case Some(_) =>
+        DvPerFile.mergeCommit(spark, dir,
+          newTombs.select(col(FileCol), col(RowCol)))
+      case None =>
+        val prev = completeGens(spark, dir).lastOption.flatMap { g =>
+          Sidecars.readRaw(spark, dir, s"$GenPrefix$g",
+            Seq(FileCol, RowCol))
+        }
+        val prevN = prev.map(_.count()).getOrElse(0L)
+        val all = prev.map(_.unionByName(newTombs)).getOrElse(newTombs)
+          .select(col(FileCol), col(RowCol)).distinct()
+          .persist()
+        val n = all.count()
+        if (n > prevN) {
+          val gen = commitGen(spark, dir, all)
+          if (n > broadcastGuard(spark))
+            DvPerFile.migrate(spark, dir, all, gen, n)
+        }
+        all.unpersist()
+        n - prevN
+    }
   }
 
   /** DELETE WHERE `cond` — records tombstones, touches NO data file.
@@ -365,20 +413,47 @@ object DeletionVectors {
       .join(broadcast(k), Seq(keyCol), "left_semi")
   }
 
+  /** `data` (a scan of `dir`) with its `_metadata` row identity
+    * attached and the tombstoned rows removed, identity columns KEPT
+    * — the shared kernel of every DV-aware read/locate:
+    *
+    *   - per-file mode: IN-SCAN probe — a codegen'd predicate binary-
+    *     searches each row's index in its file's sidecar, loaded
+    *     per-executor for only the files that executor scans
+    *     ([[DvPerFile.deletedColumn]]). No broadcast, no shuffle, no
+    *     ceiling on the total tombstone count;
+    *   - gen mode: broadcast anti-join of the (metadata-sized) full
+    *     set — each row pays a hash probe, nothing shuffles. */
+  private def visibleWithRowId(spark: SparkSession, dir: String,
+                               data: DataFrame): DataFrame =
+    pfGen(spark, dir) match {
+      case Some(ceil) =>
+        DvStats.lastReadMode = Some("inscan")
+        withRowId(data).filter(!DvPerFile.deletedColumn(spark, dir, ceil,
+          col(RFile), col(RRow)))
+      case None =>
+        currentTombstones(spark, dir) match {
+          case None =>
+            DvStats.lastReadMode = None
+            withRowId(data)
+          case Some(t) =>
+            DvStats.lastReadMode = Some("broadcast")
+            withRowId(data).join(broadcast(t),
+              col(RFile) === col(FileCol) && col(RRow) === col(RowCol),
+              "left_anti")
+        }
+    }
+
   /** Subtract the current tombstones from `data` (rows carrying their
-    * `_metadata` identity). Broadcast anti-join — each row pays a hash
-    * probe, nothing shuffles. */
+    * `_metadata` identity) — [[visibleWithRowId]] minus the identity
+    * columns. */
   private def minusTombstones(spark: SparkSession, dir: String,
                               data: DataFrame): DataFrame =
-    currentTombstones(spark, dir) match {
-      case None => data
-      case Some(t) =>
-        withRowId(data)
-          .join(broadcast(t),
-            col(RFile) === col(FileCol) && col(RRow) === col(RowCol),
-            "left_anti")
-          .drop(RFile, RRow)
-    }
+    if (pfGen(spark, dir).isEmpty &&
+        completeGens(spark, dir).isEmpty) { // never deleted: plain scan
+      DvStats.lastReadMode = None
+      data
+    } else visibleWithRowId(spark, dir, data).drop(RFile, RRow)
 
   /** DV-aware read: the table minus its tombstoned rows. The tombstone
     * set is metadata-sized, so the anti-join broadcasts — each data row
@@ -398,6 +473,33 @@ object DeletionVectors {
     * atomic sink's version pointer (q159); this is the cheap
     * last-delete undo window the grace copy already pays for. */
   def readPreviousGen(spark: SparkSession, dir: String): DataFrame = {
+    pfGen(spark, dir) match {
+      case Some(ceil) =>
+        // per-file mode: "previous generation" = each file's best
+        // sidecar ≤ ceil−1 (the grace copies [[DvPerFile]]'s GC
+        // retains). The ceiling must itself have a per-file
+        // predecessor — a grace window reaching back across the
+        // migration would mix representations, so fail loud there.
+        val fsys = fsOf(spark, dir)
+        require(fsys.exists(
+          new Path(DvPerFile.pfDir(dir), s"_commit.g${ceil - 1}")),
+          s"readPreviousGen: per-file ceiling $ceil has no per-file " +
+            "predecessor — the grace window predates the migration")
+        val prevFiles = DvPerFile.countsByFile(spark, dir, ceil - 1).keys
+        val live = Sidecars.dataFileNames(spark, dir)
+        val dead = prevFiles
+          .map(f => new Path(new java.net.URI(f)).getName)
+          .filterNot(live.contains).toSeq
+        require(dead.isEmpty,
+          s"readPreviousGen: ${dead.length} file(s) of the previous " +
+            "generation were rewritten since (compaction) — the grace " +
+            "snapshot is gone; use the atomic sink for full time travel")
+        return withRowId(readDir(spark, dir))
+          .filter(!DvPerFile.deletedColumn(spark, dir, ceil - 1,
+            col(RFile), col(RRow)))
+          .drop(RFile, RRow)
+      case None => ()
+    }
     val gens = completeGens(spark, dir)
     require(gens.length >= 2,
       s"readPreviousGen: ${gens.length} generation(s) in $dir — " +
@@ -507,17 +609,38 @@ object DeletionVectors {
     * (files that no longer exist — anti-join no-ops, harmless). The
     * atomic-sink version swap ([[Compaction.zorderCompact]] shape) is
     * the zero-window alternative. */
-  def applyDeletes(spark: SparkSession, dir: String): Int = {
-    val t = currentTombstones(spark, dir).getOrElse(return 0).persist()
-    val affected = t.select(FileCol).distinct().collect()
-      .map(_.getString(0)).sorted
-    if (affected.isEmpty) { t.unpersist(); return 0 }
-    rewriteFiles(spark, dir, affected.toSeq, t)
-    t.unpersist()
-    // empty next generation — the slate is clean
-    commitGen(spark, dir, t.limit(0))
-    affected.length
-  }
+  def applyDeletes(spark: SparkSession, dir: String): Int =
+    pfGen(spark, dir) match {
+      case Some(ceil) =>
+        // per-file mode: the affected list and each file's tombstones
+        // come straight from the sidecars (header/sidecar reads, no
+        // full-set reconstruction); rewrites run in ≤64-file rounds so
+        // the per-round anti-join broadcast stays bounded no matter
+        // how many files accumulated tombstones
+        val affected = DvPerFile.countsByFile(spark, dir, ceil)
+          .keys.toSeq.sorted
+        if (affected.isEmpty) return 0
+        affected.grouped(64).foreach { grp =>
+          val names = grp.map(f => new Path(new java.net.URI(f)).getName)
+            .toSet
+          val t = DvPerFile.tombstonesOfFiles(spark, dir, ceil,
+            Some(names))
+          rewriteFiles(spark, dir, grp, t)
+          DvPerFile.retire(spark, dir, names)
+        }
+        DvPerFile.commitAfterRetire(spark, dir)
+        affected.length
+      case None =>
+        val t = currentTombstones(spark, dir).getOrElse(return 0).persist()
+        val affected = t.select(FileCol).distinct().collect()
+          .map(_.getString(0)).sorted
+        if (affected.isEmpty) { t.unpersist(); return 0 }
+        rewriteFiles(spark, dir, affected.toSeq, t)
+        t.unpersist()
+        // empty next generation — the slate is clean
+        commitGen(spark, dir, t.limit(0))
+        affected.length
+    }
 
   /** Ratio-triggered MoR compaction — the scheduler [[applyDeletes]]
     * lacks: under a long CDC stream every micro-batch tombstones a few
@@ -542,32 +665,56 @@ object DeletionVectors {
                       maxDeleteRatio: Double = 0.1): Int = {
     require(maxDeleteRatio > 0 && maxDeleteRatio <= 1,
       s"maxDeleteRatio must be in (0,1], got $maxDeleteRatio")
-    val t = currentTombstones(spark, dir).getOrElse(return 0).persist()
-    val perFile = t.groupBy(FileCol).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (perFile.isEmpty) { t.unpersist(); return 0 }
     val conf = spark.sparkContext.hadoopConfiguration
     val fsys = fsOf(spark, dir)
-    val due = perFile.keys.toSeq.sorted.filter { f =>
-      val p = new Path(new java.net.URI(f))
-      // a tombstone can reference a vanished file (crash window of a
-      // prior rewrite before its generation committed) — skip it, the
-      // anti-join no-ops on dangling entries and vacuumTombstones
-      // retires them; throwing here would wedge a compactRatio stream
-      // on every replay
-      fsys.exists(p) && {
-        val rows = org.apache.parquet.hadoop.ParquetFileReader
-          .open(org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-        val n = try rows.getRecordCount finally rows.close()
-        n > 0 && perFile(f).toDouble / n >= maxDeleteRatio
+    def ratioDue(perFile: Map[String, Long]): Seq[String] =
+      perFile.keys.toSeq.sorted.filter { f =>
+        val p = new Path(new java.net.URI(f))
+        // a tombstone can reference a vanished file (crash window of a
+        // prior rewrite before its generation committed) — skip it, the
+        // anti-join no-ops on dangling entries and vacuumTombstones
+        // retires them; throwing here would wedge a compactRatio stream
+        // on every replay
+        fsys.exists(p) && {
+          val rows = org.apache.parquet.hadoop.ParquetFileReader
+            .open(org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+          val n = try rows.getRecordCount finally rows.close()
+          n > 0 && perFile(f).toDouble / n >= maxDeleteRatio
+        }
       }
+    pfGen(spark, dir) match {
+      case Some(ceil) =>
+        // per-file mode: per-file counts are sidecar HEADER reads —
+        // O(tombstoned files) metadata, never a full-set scan; only
+        // the due files' sidecars are materialized for the rewrite,
+        // and untouched files simply keep theirs (no carry-forward
+        // rewrite of the accumulated set)
+        val perFile = DvPerFile.countsByFile(spark, dir, ceil)
+        if (perFile.isEmpty) return 0
+        val due = ratioDue(perFile)
+        if (due.isEmpty) return 0
+        due.grouped(64).foreach { grp =>
+          val names = grp.map(f => new Path(new java.net.URI(f)).getName)
+            .toSet
+          rewriteFiles(spark, dir, grp,
+            DvPerFile.tombstonesOfFiles(spark, dir, ceil, Some(names)))
+          DvPerFile.retire(spark, dir, names)
+        }
+        DvPerFile.commitAfterRetire(spark, dir)
+        due.length
+      case None =>
+        val t = currentTombstones(spark, dir).getOrElse(return 0).persist()
+        val perFile = t.groupBy(FileCol).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (perFile.isEmpty) { t.unpersist(); return 0 }
+        val due = ratioDue(perFile)
+        if (due.isEmpty) { t.unpersist(); return 0 }
+        rewriteFiles(spark, dir, due, t.filter(col(FileCol).isInCollection(due)))
+        // carry forward tombstones of files we did NOT rewrite
+        commitGen(spark, dir, t.filter(!col(FileCol).isInCollection(due)))
+        t.unpersist()
+        due.length
     }
-    if (due.isEmpty) { t.unpersist(); return 0 }
-    rewriteFiles(spark, dir, due, t.filter(col(FileCol).isInCollection(due)))
-    // carry forward tombstones of files we did NOT rewrite
-    commitGen(spark, dir, t.filter(!col(FileCol).isInCollection(due)))
-    t.unpersist()
-    due.length
   }
 
   /** Small-file compaction, DV-aware — the OTHER read-amplification a
@@ -600,7 +747,6 @@ object DeletionVectors {
     val files = small.map(_.getPath.toString).sorted
     val nOut = math.max(1,
       math.ceil(small.map(_.getLen).sum.toDouble / targetBytes).toInt)
-    val t = currentTombstones(spark, dir)
     // read the victims through their tombstones; repack into nOut files
     val staging = s"$dir/_dv_pack_tmp"
     minusTombstones(spark, dir, readFiles(spark, dir, files))
@@ -618,10 +764,16 @@ object DeletionVectors {
     // retire the compacted files' tombstone entries — compare on file
     // NAME (scheme/authority spellings differ between
     // `_metadata.file_path` and the listing, cf. vacuumTombstones)
-    t.foreach { ts =>
-      val names = files.map(f => new Path(f).getName)
-      commitGen(spark, dir,
-        ts.filter(!udfFreeName(col(FileCol)).isInCollection(names)))
+    pfGen(spark, dir) match {
+      case Some(_) =>
+        DvPerFile.retire(spark, dir, files.map(f => new Path(f).getName).toSet)
+        DvPerFile.commitAfterRetire(spark, dir)
+      case None =>
+        currentTombstones(spark, dir).foreach { ts =>
+          val names = files.map(f => new Path(f).getName)
+          commitGen(spark, dir,
+            ts.filter(!udfFreeName(col(FileCol)).isInCollection(names)))
+        }
     }
     files.size
   }
@@ -667,18 +819,32 @@ object DeletionVectors {
     * still find the directory it resolved (review-caught: the old
     * delete-everything behavior was the module's one exception to its
     * own grace rule). */
-  def vacuumTombstones(spark: SparkSession, dir: String): Unit = {
-    val t = currentTombstones(spark, dir).getOrElse(return)
-    val live = Sidecars.dataFileNames(spark, dir)
-    val nameOf = udfFreeName(col(FileCol))
-    val kept = t.filter(nameOf.isInCollection(live))
-    val gens = completeGens(spark, dir)
-    val gen = gens.lastOption.getOrElse(0)
-    kept.coalesce(1).write.parquet(s"$dir/$GenPrefix${gen + 1}")
-    val fs = fsOf(spark, dir)
-    gens.dropRight(1).foreach(g =>
-      fs.delete(new Path(s"$dir/$GenPrefix$g"), true))
-  }
+  def vacuumTombstones(spark: SparkSession, dir: String): Unit =
+    pfGen(spark, dir) match {
+      case Some(ceil) =>
+        // per-file mode: a dangling entry is a whole dangling SIDECAR
+        // (its data file vanished under a compaction) — drop those
+        // files' sidecars, metadata-only, and advance the marker
+        val live = Sidecars.dataFileNames(spark, dir)
+        val dead = DvPerFile.countsByFile(spark, dir, ceil).keys
+          .map(f => new Path(new java.net.URI(f)).getName)
+          .filterNot(live.contains).toSet
+        if (dead.nonEmpty) {
+          DvPerFile.retire(spark, dir, dead)
+          DvPerFile.commitAfterRetire(spark, dir)
+        }
+      case None =>
+        val t = currentTombstones(spark, dir).getOrElse(return)
+        val live = Sidecars.dataFileNames(spark, dir)
+        val nameOf = udfFreeName(col(FileCol))
+        val kept = t.filter(nameOf.isInCollection(live))
+        val gens = completeGens(spark, dir)
+        val gen = gens.lastOption.getOrElse(0)
+        kept.coalesce(1).write.parquet(s"$dir/$GenPrefix${gen + 1}")
+        val fs = fsOf(spark, dir)
+        gens.dropRight(1).foreach(g =>
+          fs.delete(new Path(s"$dir/$GenPrefix$g"), true))
+    }
 
   /** One maintenance pass over a long-lived MoR table, in the safe
     * order — the single call a table-service cron runs between (never
@@ -744,14 +910,9 @@ object DeletionVectors {
     val unknown = assignments.keySet -- cur.columns.toSet
     require(unknown.isEmpty,
       s"updateWhere: no such column(s) $unknown in ${cur.columns.toSeq}")
-    // keep the row identity through the DV filter: anti-join BEFORE
+    // keep the row identity through the DV filter: subtract BEFORE
     // dropping the id columns (`_metadata` only resolves on the scan)
-    val visible = currentTombstones(spark, dir) match {
-      case None => withRowId(cur)
-      case Some(t) => withRowId(cur).join(broadcast(t),
-        col(RFile) === col(FileCol) && col(RRow) === col(RowCol),
-        "left_anti")
-    }
+    val visible = visibleWithRowId(spark, dir, cur)
     val matched = visible
       .filter(coalesce(cond, lit(false)))
       .persist()
@@ -815,12 +976,7 @@ object DeletionVectors {
             } else readDir(spark, dir)
           (s0, lit(true)) // closed by the semi-join below
         }
-      val visible = currentTombstones(spark, dir) match {
-        case None => withRowId(src)
-        case Some(t) => withRowId(src).join(broadcast(t),
-          col(RFile) === col(FileCol) && col(RRow) === col(RowCol),
-          "left_anti")
-      }
+      val visible = visibleWithRowId(spark, dir, src)
       val keyed =
         if (sample.length <= 256) visible.filter(keyPred)
         else visible.join(broadcast(k), Seq(keyCol), "left_semi")

@@ -1,0 +1,175 @@
+package graft
+
+import graft.sink.{BloomSkipIndex, DeletionVectors, DvPerFile, DvStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The per-file deletion-vector store (round-10 top item): past the
+  * broadcast guard the tombstone set migrates to per-file sidecars,
+  * reads apply deletes IN-SCAN (no broadcast, no join), delete
+  * batches rewrite only affected files' sidecars, and every
+  * maintenance op keeps working on the new representation. */
+class DvPerFileSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def withGuard[A](rows: Long)(body: => A): A = {
+    spark.conf.set(DeletionVectors.GuardConfKey, rows.toString)
+    try body finally spark.conf.unset(DeletionVectors.GuardConfKey)
+  }
+
+  private def base(n: Long) =
+    spark.range(n).select(col("id"), (col("id") % 97).as("g"))
+
+  private def expected(n: Long, deleted: Long => Boolean) =
+    (0L until n).filterNot(deleted).toSet
+
+  private def readIds(dir: String): Set[Long] =
+    DeletionVectors.read(spark, dir).select("id").as[Long]
+      .collect().toSet
+
+  private def pfSidecars(dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_dvpf")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".dv") && !n.startsWith("."))
+  }
+
+  test("a delete past the guard migrates; reads apply in-scan with no join") {
+    val dir = s"${tmp("graft-pf1-")}/t"
+    base(20000).repartition(16).write.parquet(dir)
+    withGuard(500) {
+      val n = DeletionVectors.deleteWhere(spark, dir, col("id") % 7 === 0)
+      assert(n == 2858) // ids 0,7,...,19999
+      assert(DvPerFile.committedGen(spark, dir).nonEmpty,
+        "crossing the guard must migrate to the per-file store")
+      val out = DeletionVectors.read(spark, dir)
+      assert(out.select("id").as[Long].collect().toSet ==
+        expected(20000, _ % 7 == 0))
+      assert(DvStats.lastReadMode.contains("inscan"))
+      // the read plan is a pure filtered scan: no join of any kind
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("join"),
+        s"in-scan DV read must not join:\n$plan")
+      assert(plan.contains("graft_dv_deleted"))
+    }
+  }
+
+  test("post-migration batches rewrite only affected files' sidecars") {
+    val dir = s"${tmp("graft-pf2-")}/t"
+    // bloom-clustered so a keyed delete touches few files
+    BloomSkipIndex.bloomWrite(base(20000), "id", dir, nFiles = 16)
+    withGuard(500) {
+      DeletionVectors.deleteWhere(spark, dir, col("id") % 7 === 0)
+      val ceil0 = DvPerFile.committedGen(spark, dir).get
+      val before = pfSidecars(dir).toSet
+      // a SMALL keyed batch: 3 keys live in ≤3 files (hash-clustered)
+      val added = DeletionVectors.deleteByKeys(spark, dir, "id",
+        Seq(lit(1L), lit(2L), lit(3L)))
+      assert(added == 3)
+      val ceil1 = DvPerFile.committedGen(spark, dir).get
+      assert(ceil1 == ceil0 + 1)
+      val fresh = pfSidecars(dir).filter(_.endsWith(s".g$ceil1.dv"))
+      assert(fresh.nonEmpty && fresh.size <= 3,
+        s"small batch rewrote ${fresh.size} sidecars: $fresh")
+      assert(readIds(dir) ==
+        expected(20000, i => i % 7 == 0 || (i >= 1 && i <= 3)))
+      // idempotent replay: same victims add nothing, no new commit
+      assert(DeletionVectors.deleteByKeys(spark, dir, "id",
+        Seq(lit(1L), lit(2L), lit(3L))) == 0)
+      assert(DvPerFile.committedGen(spark, dir).get == ceil1)
+      assert((before -- pfSidecars(dir).toSet).forall(_.isEmpty),
+        "existing sidecars must not vanish outside GC")
+    }
+  }
+
+  test("updates and upserts keep working across the migration") {
+    val dir = s"${tmp("graft-pf3-")}/t"
+    val df = spark.range(5000)
+      .select(col("id"), (col("id") * 10).as("v"))
+    df.repartition(8).write.parquet(dir)
+    withGuard(300) {
+      // push past the guard with a bulk delete
+      DeletionVectors.deleteWhere(spark, dir, col("id") % 5 === 0)
+      assert(DvPerFile.committedGen(spark, dir).nonEmpty)
+      // MoR UPDATE on the migrated table
+      val updated = DeletionVectors.updateWhere(spark, dir,
+        col("id") === 1L, Map("v" -> lit(-1L)))
+      assert(updated == 1)
+      // MoR UPSERT: one replacement + one brand-new key
+      DeletionVectors.upsertMoR(spark, dir,
+        Seq((2L, -2L), (5001L, -3L)).toDF("id", "v"), "id")
+      val got = DeletionVectors.read(spark, dir)
+        .select("id", "v").as[(Long, Long)].collect().toMap
+      assert(got(1L) == -1L && got(2L) == -2L && got(5001L) == -3L)
+      assert(!got.contains(5L) && !got.contains(100L))
+      assert(got.size == 4000 + 2 - 1) // 5000 - 1000 deleted - 1 + upserts
+    }
+  }
+
+  test("maintenance ops on the per-file store: ratio compact, pack, vacuum, applyDeletes") {
+    val dir = s"${tmp("graft-pf4-")}/t"
+    base(20000).repartition(16).write.parquet(dir)
+    withGuard(400) {
+      DeletionVectors.deleteWhere(spark, dir, col("id") % 3 === 0)
+      val want = expected(20000, _ % 3 == 0)
+      assert(DvPerFile.committedGen(spark, dir).nonEmpty)
+      // every file is ~33% tombstoned → all due at ratio 0.1
+      val rewritten = DeletionVectors.compactIfNeeded(spark, dir, 0.1)
+      assert(rewritten == 16)
+      assert(readIds(dir) == want, "compaction changed the answer")
+      val ceil = DvPerFile.committedGen(spark, dir).get
+      assert(DvPerFile.countsByFile(spark, dir, ceil).isEmpty,
+        "full compaction must retire every sidecar")
+      // new deletes after compaction still work (fresh row addresses)
+      DeletionVectors.deleteWhere(spark, dir, col("id") % 1000 === 1)
+      val want2 = expected(20000, i => i % 3 == 0 || i % 1000 == 1)
+      assert(readIds(dir) == want2)
+      // pack small files through the in-scan tombstones
+      DeletionVectors.compactSmallFiles(spark, dir,
+        smallBytes = 64L << 20, targetBytes = 128L << 20)
+      assert(readIds(dir) == want2, "packing changed the answer")
+      // vacuum is a no-op here but must not corrupt
+      DeletionVectors.vacuumTombstones(spark, dir)
+      assert(readIds(dir) == want2)
+      // clean-slate apply
+      DeletionVectors.deleteWhere(spark, dir, col("id") % 1000 === 2)
+      val want3 = expected(20000,
+        i => i % 3 == 0 || i % 1000 == 1 || i % 1000 == 2)
+      DeletionVectors.applyDeletes(spark, dir)
+      assert(readIds(dir) == want3)
+    }
+  }
+
+  test("readPreviousGen on the per-file store undoes exactly the newest batch") {
+    val dir = s"${tmp("graft-pf5-")}/t"
+    base(20000).repartition(8).write.parquet(dir)
+    withGuard(500) {
+      DeletionVectors.deleteWhere(spark, dir, col("id") % 7 === 0)
+      DeletionVectors.deleteWhere(spark, dir, col("id") % 11 === 0)
+      val prev = DeletionVectors.readPreviousGen(spark, dir)
+        .select("id").as[Long].collect().toSet
+      assert(prev == expected(20000, _ % 7 == 0),
+        "previous generation must show only the first delete applied")
+      // current view has both
+      assert(readIds(dir) ==
+        expected(20000, i => i % 7 == 0 || i % 11 == 0))
+    }
+  }
+
+  test("pre-guard tables stay in the broadcast regime") {
+    val dir = s"${tmp("graft-pf6-")}/t"
+    base(2000).repartition(4).write.parquet(dir)
+    withGuard(500000) {
+      DeletionVectors.deleteWhere(spark, dir, col("id") % 7 === 0)
+      assert(DvPerFile.committedGen(spark, dir).isEmpty)
+      assert(readIds(dir) == expected(2000, _ % 7 == 0))
+      assert(DvStats.lastReadMode.contains("broadcast"))
+    }
+  }
+}
