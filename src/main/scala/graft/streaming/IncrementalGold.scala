@@ -114,9 +114,17 @@ object IncrementalGold {
   }
 
   /** Phase 3: fold staged deltas into the stored aggregate, fenced by
-    * the `_batch_id` the gold state carries. */
+    * the `_batch_id` the gold state carries.
+    *
+    * `patch` runs on the merged frame BEFORE the fenced overwrite
+    * (receiving the prior gold too) — extra exact-maintenance state
+    * (e.g. [[StreamMorGold]]'s per-country recency top-k) rides the
+    * SAME atomic swap and the same `_batch_id` fence, so state and
+    * aggregate can never diverge across a crash/replay. */
   def foldGold(spark: SparkSession, batchId: Long, stagedDeltas: DataFrame,
-               goldDir: String, userCountry: DataFrame): Unit = {
+               goldDir: String, userCountry: DataFrame,
+               patch: (DataFrame, Option[DataFrame]) => DataFrame =
+                 (m, _) => m): Unit = {
     val priorGold = AtomicParquetSink.read(spark, goldDir)
     // max is NULL when the stored gold is empty (e.g. an all-rejected
     // first batch) — treat as nothing folded yet
@@ -145,7 +153,8 @@ object IncrementalGold {
           col("d_value").as("total_value"), col("d_last").as("last_seen"))
     }
     AtomicParquetSink.overwrite(
-      merged.withColumn("_batch_id", lit(batchId)), goldDir)
+      patch(merged, priorGold).withColumn("_batch_id", lit(batchId)),
+      goldDir)
   }
 
   /** One micro-batch: stage → merge fact → fold gold. The winner rows

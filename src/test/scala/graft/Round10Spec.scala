@@ -1,7 +1,7 @@
 package graft
 
 import graft.sink.{AtomicFiles, DeletionVectors, SchemaGuard}
-import graft.streaming.StreamMoR
+import graft.streaming.{MorGoldStats, StreamMoR, StreamMorGold}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -132,6 +132,78 @@ class Round10Spec extends AnyFunSuite {
       assert(len <= 2 * target,
         s"wide file $n is $len bytes vs target $target")
     }
+  }
+
+  // ---- exact last_seen via per-country top-K state -----------------
+
+  private def ts(i: Int): String = f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"
+
+  private def goldOf(goldDir: String): Map[String, (Long, Option[String])] =
+    graft.sink.AtomicParquetSink.read(spark, goldDir).get
+      .select("country", "n_users", "last_seen").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.getString(2)))).toMap
+
+  test("exact last_seen retracts through the top-K state with ZERO fact recomputes") {
+    val work = tmp("graft-r10tk-")
+    val (table, gold) = (s"$work/fact", s"$work/gold")
+    // countries A (even users) and B (odd); user i carries ts(i)
+    val dim = (1L to 100L).map(u =>
+      (u, if (u % 2 == 0) "A" else "B")).toDF("user_id", "country")
+    def batch(rows: Seq[(Long, Double, Int, String)]) =
+      rows.map { case (u, v, t, op) => (u, v, ts(t), op) }
+        .toDF("user_id", "value", "ts_s", "op")
+    val before = MorGoldStats.totalFallbacks
+    // batch 0: insert users 1..100
+    StreamMorGold.processBatch(
+      batch((1L to 100L).map(u => (u, 1.0, u.toInt, "I"))),
+      0L, table, gold, dim, "user_id", "op", exactLastSeen = true)
+    assert(goldOf(gold)("A") == (50L, Some(ts(100))))
+    assert(goldOf(gold)("B") == (50L, Some(ts(99))))
+    // batch 1: delete A's top three users (100, 98, 96)
+    StreamMorGold.processBatch(
+      batch(Seq((100L, 1.0, 100, "D"), (98L, 1.0, 98, "D"),
+        (96L, 1.0, 96, "D"))),
+      1L, table, gold, dim, "user_id", "op", exactLastSeen = true)
+    assert(goldOf(gold)("A") == (47L, Some(ts(94))),
+      "last_seen must step back to the surviving max")
+    assert(goldOf(gold)("B") == (50L, Some(ts(99))))
+    // batch 2: update user 94 to a NEWER ts; delete+re-add flows
+    StreamMorGold.processBatch(
+      batch(Seq((94L, 2.0, 200, "U"))),
+      2L, table, gold, dim, "user_id", "op", exactLastSeen = true)
+    assert(goldOf(gold)("A") == (47L, Some(ts(200))))
+    assert(MorGoldStats.totalFallbacks == before,
+      "the state must answer every retraction without reading the fact")
+  }
+
+  test("exhausting a truncated top-K falls back to one pruned rebuild, stays exact") {
+    val work = tmp("graft-r10fb-")
+    val (table, gold) = (s"$work/fact", s"$work/gold")
+    // ONE country with 40 users — more than ExactTopK=32, so the
+    // bootstrapped list is truncated (incomplete)
+    val dim = (1L to 40L).map(u => (u, "A")).toDF("user_id", "country")
+    def batch(rows: Seq[(Long, Int, String)]) =
+      rows.map { case (u, t, op) => (u, 1.0, ts(t), op) }
+        .toDF("user_id", "value", "ts_s", "op")
+    StreamMorGold.processBatch(
+      batch((1L to 40L).map(u => (u, u.toInt, "I"))),
+      0L, table, gold, dim, "user_id", "op", exactLastSeen = true)
+    val before = MorGoldStats.totalFallbacks
+    // delete the top 33 — one past the stored window: must rebuild
+    StreamMorGold.processBatch(
+      batch((8L to 40L).map(u => (u, u.toInt, "D"))),
+      1L, table, gold, dim, "user_id", "op", exactLastSeen = true)
+    assert(MorGoldStats.totalFallbacks == before + 1
+      && MorGoldStats.lastFallbackCountries == 1,
+      "exhausting the truncated window must trigger exactly one rebuild")
+    assert(goldOf(gold)("A") == (7L, Some(ts(7))))
+    // and the rebuilt (now complete) state keeps answering exactly
+    StreamMorGold.processBatch(
+      batch(Seq((7L, 7, "D"), (6L, 6, "D"))),
+      2L, table, gold, dim, "user_id", "op", exactLastSeen = true)
+    assert(goldOf(gold)("A") == (5L, Some(ts(5))))
+    assert(MorGoldStats.totalFallbacks == before + 1)
   }
 
   // ---- legacy marker adoption --------------------------------------
