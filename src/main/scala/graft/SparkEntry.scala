@@ -492,6 +492,8 @@ object SparkEntry {
     "q231_grouped_cov"      -> ((s, d) => LlmQueries.groupedCovariance(s, d)),
     // past-the-guard deletes: per-file sidecars applied in-scan
     "q232_dv_inscan"        -> ((s, d) => CoreQueries.dvInScan(s, d)),
+    // int→long widening as metadata: both file generations, one schema
+    "q233_type_widen"       -> ((s, d) => CoreQueries.typeWiden(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -794,6 +796,18 @@ object SparkEntry {
            FROM events GROUP BY user_id)
          SELECT user_id, val FROM base
          WHERE user_id % 7 <> 0 AND user_id % 11 <> 3""",
+    // metadata-widened int column: old int32 files and new bigint
+    // files answer under ONE bigint schema
+    "q233_type_widen" ->
+      """WITH base AS (SELECT user_id,
+             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+               AS INT) AS vi
+           FROM events GROUP BY user_id),
+         ev AS (SELECT user_id, CAST(vi AS BIGINT) AS val FROM base
+           UNION ALL
+           SELECT user_id + 1000000, user_id + 3000000000
+           FROM base WHERE user_id % 3 = 0)
+         SELECT user_id, val FROM ev WHERE user_id % 7 <> 0""",
     "q224_schema_drop" ->
       """WITH base AS (SELECT user_id,
              CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))

@@ -2946,6 +2946,30 @@ object CoreQueries {
       .select(col("user_id"), col("val"))
   }
 
+  /** TYPE-WIDENING evolution (q233): the table's `val` column starts
+    * INT; a later batch ships it as BIGINT with values past the int32
+    * range — [[graft.sink.DeletionVectors.evolveAppend]] widens the
+    * column as METADATA (schema sidecar update only; Spark's
+    * vectorized parquet reader decodes the old int32 pages under the
+    * wider read schema natively, q-probed on this Spark), so both
+    * file generations serve under one BIGINT schema with zero
+    * rewrite. A DV delete then cuts keys across both generations —
+    * tombstones address rows, not types. */
+  def typeWiden(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-widen-")
+    val dir = s"$work/t"
+    val base = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(floor(moneySum(col("value"))).cast("int").as("val"))
+    graft.sink.BloomSkipIndex.bloomWrite(base, "user_id", dir, nFiles = 8)
+    val add = base.filter(col("user_id") % 3 === 0)
+      .select((col("user_id") + 1000000L).as("user_id"),
+        (col("user_id") + 3000000000L).as("val")) // > Int.MaxValue
+    graft.sink.DeletionVectors.evolveAppend(s, dir, add)
+    graft.sink.DeletionVectors.deleteWhere(s, dir, col("user_id") % 7 === 0)
+    graft.sink.DeletionVectors.read(s, dir)
+      .select(col("user_id"), col("val"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -1037,8 +1037,9 @@ object DeletionVectors {
     * old files surface the new columns as NULL and compaction
     * rewrites carry the union forward. Cost: O(batch) + one metadata
     * file, at ANY table size; contrast the atomic-sink rewrite, which
-    * is the copy-on-write evolution (type CHANGES still go that way —
-    * checked loud here).
+    * is the copy-on-write evolution. Type WIDENING (byte→short→int→
+    * long, float→double) also evolves as metadata — see the widening
+    * block below; narrowing/incompatible retypes stay loud.
     *
     * Crash window: schema sidecar lands before the append, so a crash
     * between the two leaves a declared-but-all-NULL column until the
@@ -1057,17 +1058,40 @@ object DeletionVectors {
       s"evolveAppend: columns ${resurrected.toSeq.sorted} were DROPPED — " +
         "re-adding the name would resurrect old file values; use a new " +
         "name or an atomic-sink rewrite")
+    // TYPE WIDENING as metadata (Delta's type-widening stance, on the
+    // reader support Spark's vectorized parquet reader ships): a batch
+    // whose column WIDENS the table's type (byte→short→int→long,
+    // float→double) just updates the schema sidecar — old files decode
+    // under the wider read schema natively, no rewrite. A batch
+    // NARROWER than the table casts up in the projection below (no
+    // schema change). Anything else — narrowing the table, or an
+    // incompatible retype — still fails loud: those need a rewrite.
+    import org.apache.spark.sql.types._
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
     val retyped = curMap.keySet.intersect(bMap.keySet)
       .filter(c => curMap(c) != bMap(c))
-    require(retyped.isEmpty,
-      s"evolveAppend: retyped columns ${retyped.toSeq.sorted} — type " +
-        "changes need an atomic-sink rewrite, not an append")
+    val widened = retyped.filter(c => widens(curMap(c), bMap(c)))
+    val upcastOnly = retyped.filter(c => widens(bMap(c), curMap(c)))
+    val bad = retyped -- widened -- upcastOnly
+    require(bad.isEmpty,
+      s"evolveAppend: retyped columns ${bad.toSeq.sorted} — only " +
+        "widening (byte→short→int→long, float→double) evolves as " +
+        "metadata; other type changes need an atomic-sink rewrite")
     val newFields = batch.schema.filter(f => !curMap.contains(f.name))
     val union = org.apache.spark.sql.types.StructType(
-      (cur.fields ++ newFields).map(_.copy(nullable = true)))
-    if (newFields.nonEmpty) SchemaGuard.writeSchema(spark, dir,
-      org.apache.spark.sql.types.StructType(
-        union.fields ++ full.fields.filter(f => dropped.contains(f.name))))
+      (cur.fields.map(f =>
+        if (widened.contains(f.name)) f.copy(dataType = bMap(f.name))
+        else f) ++ newFields).map(_.copy(nullable = true)))
+    if (newFields.nonEmpty || widened.nonEmpty)
+      SchemaGuard.writeSchema(spark, dir,
+        org.apache.spark.sql.types.StructType(
+          union.fields ++ full.fields.filter(f => dropped.contains(f.name))))
     val projected = batch.select(union.map(f =>
       if (bMap.contains(f.name)) col(f.name).cast(f.dataType)
       else lit(null).cast(f.dataType).as(f.name)): _*)

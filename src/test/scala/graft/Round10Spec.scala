@@ -49,6 +49,57 @@ class Round10Spec extends AnyFunSuite {
     assert(DeletionVectors.read(spark, dir).count() == 4)
   }
 
+  // ---- type-widening evolution -------------------------------------
+
+  test("widening evolves as metadata; narrowing and incompatible retypes stay loud") {
+    val work = tmp("graft-r10w-")
+    val dir = s"$work/t"
+    Seq((1L, 10, 1.5f), (2L, 20, 2.5f)).toDF("id", "n", "x")
+      .write.parquet(dir)
+    // int→long AND float→double in one widened batch, plus values
+    // past the narrow ranges
+    DeletionVectors.evolveAppend(spark, dir,
+      Seq((3L, 3000000000L, 1e300)).toDF("id", "n", "x"))
+    val got = DeletionVectors.read(spark, dir).orderBy("id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10L, 1.5), (2L, 20L, 2.5),
+      (3L, 3000000000L, 1e300)))
+    // schema sidecar carries the widened types
+    val sc = SchemaGuard.tableSchema(spark, dir)
+    assert(sc("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(sc("x").dataType == org.apache.spark.sql.types.DoubleType)
+    // a NARROWER later batch casts up, no schema change
+    DeletionVectors.evolveAppend(spark, dir,
+      Seq((4, 40, 4.5f)).toDF("id", "n", "x"))
+    assert(DeletionVectors.read(spark, dir).count() == 4)
+    assert(SchemaGuard.tableSchema(spark, dir)("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // incompatible retype still fails loud
+    val e = intercept[IllegalArgumentException] {
+      DeletionVectors.evolveAppend(spark, dir,
+        Seq(("5", 50L, 5.5)).toDF("id", "n", "x"))
+    }
+    assert(e.getMessage.contains("widening"))
+    // deletes cut across both width generations
+    DeletionVectors.deleteWhere(spark, dir, col("id") === 1L)
+    assert(DeletionVectors.read(spark, dir).count() == 3)
+  }
+
+  test("a dropped column cannot resurrect under a widened type either") {
+    val work = tmp("graft-r10wd-")
+    val dir = s"$work/t"
+    Seq((1L, 10, "a"), (2L, 20, "b")).toDF("id", "n", "v")
+      .write.parquet(dir)
+    DeletionVectors.dropColumn(spark, dir, "n")
+    // re-adding the dropped name as LONG (a widening of its stored
+    // int) must still be rejected — the guard is on the NAME
+    val e = intercept[IllegalArgumentException] {
+      DeletionVectors.evolveAppend(spark, dir,
+        Seq((3L, 30L, "c")).toDF("id", "n", "v"))
+    }
+    assert(e.getMessage.contains("DROPPED"))
+  }
+
   // ---- PQ append drift accounting ----------------------------------
 
   test("PqIndex.append reports unseen cells for out-of-distribution vectors") {
