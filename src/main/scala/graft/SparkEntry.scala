@@ -494,6 +494,8 @@ object SparkEntry {
     "q232_dv_inscan"        -> ((s, d) => CoreQueries.dvInScan(s, d)),
     // int→long widening as metadata: both file generations, one schema
     "q233_type_widen"       -> ((s, d) => CoreQueries.typeWiden(s, d)),
+    // one commit log: snapshots across append+delete+compaction
+    "q234_mor_timetravel"   -> ((s, d) => CoreQueries.morTimeTravel(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -808,6 +810,24 @@ object SparkEntry {
            SELECT user_id + 1000000, user_id + 3000000000
            FROM base WHERE user_id % 3 = 0)
          SELECT user_id, val FROM ev WHERE user_id % 7 <> 0""",
+    // four snapshots reconstructed: v1 append, v2 delete, v3 compact
+    // (≡ v2 — value-invisible), v4 append-after-compact
+    "q234_mor_timetravel" ->
+      """WITH base AS (SELECT user_id,
+             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+               AS BIGINT) AS val
+           FROM events GROUP BY user_id),
+         v1 AS (SELECT user_id, val FROM base
+           UNION ALL
+           SELECT user_id + 1000000, val + 1 FROM base WHERE user_id % 3 = 0),
+         v2 AS (SELECT * FROM v1 WHERE user_id % 7 <> 0),
+         v4 AS (SELECT * FROM v2
+           UNION ALL
+           SELECT user_id + 2000000, val + 2 FROM base WHERE user_id % 5 = 0)
+         SELECT CAST(1 AS BIGINT) AS v, user_id, val FROM v1
+         UNION ALL SELECT 2, user_id, val FROM v2
+         UNION ALL SELECT 3, user_id, val FROM v2
+         UNION ALL SELECT 4, user_id, val FROM v4""",
     "q224_schema_drop" ->
       """WITH base AS (SELECT user_id,
              CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))

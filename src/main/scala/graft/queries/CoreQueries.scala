@@ -2970,6 +2970,35 @@ object CoreQueries {
       .select(col("user_id"), col("val"))
   }
 
+  /** UNIFIED MoR time travel (q234): the log-backed table
+    * ([[graft.sink.MorLog]]) commits appends, deletes AND a
+    * compaction under one version log, then reads EVERY snapshot
+    * back — including the PRE-compaction one (v2), the case the
+    * directory-listing tier's grace window cannot serve (q230's
+    * documented scope gap): the log names each version's exact
+    * files, so compaction retains the old files instead of
+    * destroying the snapshot. Output: (v, user_id, val) across
+    * versions 1..4; the oracle reconstructs each snapshot, and
+    * v3 ≡ v2 doubles as the compaction-is-value-invisible pin. */
+  def morTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-mltt-")
+    val dir = s"$work/t"
+    val base = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(floor(moneySum(col("value"))).cast("long").as("val"))
+    graft.sink.MorLog.create(base.repartition(4), dir) // v0
+    graft.sink.MorLog.append(s, dir, base.filter(col("user_id") % 3 === 0)
+      .select((col("user_id") + 1000000L).as("user_id"),
+        (col("val") + 1L).as("val"))) // v1
+    graft.sink.MorLog.deleteWhere(s, dir, col("user_id") % 7 === 0) // v2
+    graft.sink.MorLog.compact(s, dir) // v3
+    graft.sink.MorLog.append(s, dir, base.filter(col("user_id") % 5 === 0)
+      .select((col("user_id") + 2000000L).as("user_id"),
+        (col("val") + 2L).as("val"))) // v4
+    (1 to 4).map(v => graft.sink.MorLog.readVersion(s, dir, v)
+        .select(lit(v.toLong).as("v"), col("user_id"), col("val")))
+      .reduce(_ unionByName _)
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -1,0 +1,301 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** LOG-BACKED MoR table — unified time travel across appends,
+  * deletes, schema evolution AND compaction, under ONE commit log
+  * (the Delta/Iceberg table-log shape; closes the documented scope
+  * gaps of the directory-listing MoR tier, where
+  * [[DeletionVectors.readPreviousGen]] versions only tombstones and
+  * any compaction invalidates the grace snapshot).
+  *
+  * The key inversion vs the `_dv_g` tier: readers NEVER list the
+  * directory — every version's metadata file names its exact data
+  * files, so a compaction just commits a version with NEW files
+  * while the old files stay on disk (invisible to new readers,
+  * exactly what an old version needs). Physical deletion is a
+  * separate, explicit [[vacuum]] — Delta's retention model.
+  *
+  * Layout under the table dir:
+  *
+  *   part-v<k>-<i>.parquet     — data files, written by version k
+  *   _log/v<k>.meta            — version k's state: action, the
+  *                               tombstone pointer, the schema, and
+  *                               the FULL data-file list (atomic
+  *                               overwrite-rename = the commit point)
+  *   _log/tombs_v<k>/          — full tombstone set (fileName,
+  *                               row_idx) committed at version k
+  *
+  * Each `.meta` is a FULL snapshot (metadata-sized — the file list;
+  * Delta reaches the same property via checkpoints), so reading any
+  * version is O(1) metadata. Commit protocol: data files and the
+  * tombstone set land first, the `.meta` swap commits — a crash
+  * before the swap leaves an uncommitted version whose leftovers the
+  * next attempt overwrites. Single-writer, like every sink here.
+  *
+  * Scale notes: per-version tombstones read as a broadcast anti-join
+  * (this tier targets the versioned-dimension/table use case; a
+  * fact table with 100 TB delete volume uses the [[DvPerFile]]
+  * in-scan representation, and the two compose by ceiling the log
+  * table's tombstones with [[DeletionVectors.GuardConfKey]]-style
+  * maintenance — compact folds them into data). The file LIST rides
+  * the meta file; at millions of files the list itself pages —
+  * that is the point where a real manifest tree (Iceberg) takes
+  * over; documented, not hidden. */
+object MorLog {
+
+  private val LogDir = "_log"
+  private val FileCol = "file"
+  private val RowCol = "row_idx"
+  private val RName = "__ml_name"
+  private val RRow = "__ml_row"
+
+  /** One version's committed state. `tombsV` points at the version
+    * whose `tombs_v<k>` dir holds the CURRENT full tombstone set
+    * (−1 = none); appends carry the pointer forward, compaction
+    * resets it. */
+  final case class State(version: Int, action: String, tombsV: Int,
+                         schema: StructType, files: Seq[String])
+
+  private def conf(spark: SparkSession) =
+    spark.sparkContext.hadoopConfiguration
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(conf(spark))
+  private def metaPath(dir: String, v: Int) =
+    new Path(s"$dir/$LogDir/v$v.meta")
+  private def tombsDir(dir: String, v: Int) = s"$dir/$LogDir/tombs_v$v"
+
+  /** Committed versions, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val p = new Path(s"$dir/$LogDir")
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".meta"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("v").stripSuffix(".meta").toInt).toOption)
+      .toSeq.sorted
+  }
+
+  def currentVersion(spark: SparkSession, dir: String): Int =
+    versions(spark, dir).lastOption.getOrElse(
+      throw new IllegalStateException(s"$dir carries no committed log"))
+
+  private def writeState(spark: SparkSession, dir: String,
+                         st: State): Unit = {
+    val body = (Seq(st.action, st.tombsV.toString, st.schema.json) ++
+      st.files).mkString("\n")
+    AtomicFiles.replace(conf(spark), metaPath(dir, st.version),
+      body.getBytes("UTF-8"))
+  }
+
+  def state(spark: SparkSession, dir: String, v: Int): State = {
+    require(fsOf(spark, dir).exists(metaPath(dir, v)),
+      s"version $v is not in $dir's log — never committed, or vacuumed " +
+        "past the retention window")
+    val body = AtomicFiles.readString(conf(spark), metaPath(dir, v))
+    val lines = body.split("\n").toSeq
+    State(v, lines.head, lines(1).toInt,
+      org.apache.spark.sql.types.DataType.fromJson(lines(2))
+        .asInstanceOf[StructType],
+      lines.drop(3))
+  }
+
+  private def currentState(spark: SparkSession, dir: String): State =
+    state(spark, dir, currentVersion(spark, dir))
+
+  /** Land `df` as version `v`'s data files under deterministic names
+    * (`part-v<k>-<i>.parquet`). A torn previous attempt's leftovers
+    * for the same (uncommitted) version are removed first, so retry
+    * is idempotent. */
+  private def stageIn(spark: SparkSession, dir: String, df: DataFrame,
+                      v: Int): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    val stage = s"$dir/$LogDir/_stage_v$v"
+    df.write.mode("overwrite").parquet(stage)
+    if (fs.exists(new Path(dir)))
+      fs.listStatus(new Path(dir)).iterator
+        .filter(s => s.isFile && s.getPath.getName.startsWith(s"part-v$v-"))
+        .foreach(s => fs.delete(s.getPath, false))
+    val parts = fs.listStatus(new Path(stage)).iterator
+      .filter(_.isFile).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+      .sortBy(_.getName)
+    val names = parts.zipWithIndex.map { case (p, i) =>
+      val n = s"part-v$v-$i.parquet"
+      if (!fs.rename(p, new Path(s"$dir/$n")))
+        throw new java.io.IOException(s"rename $p failed")
+      n
+    }
+    fs.delete(new Path(stage), true)
+    names
+  }
+
+  /** Version 0: create the table from `df`. */
+  def create(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    require(versions(spark, dir).isEmpty, s"$dir already carries a log")
+    val files = stageIn(spark, dir, df, 0)
+    writeState(spark, dir,
+      State(0, "create", -1, df.schema, files))
+  }
+
+  /** Append a batch (same columns, width-compatible) as one version. */
+  def append(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    val st = currentState(spark, dir)
+    val cols = st.schema.fieldNames.toSeq
+    require(batch.columns.toSet == cols.toSet,
+      s"append: batch columns ${batch.columns.toSeq.sorted} drift from " +
+        s"the table's ${cols.sorted}; use evolveAppend for new columns")
+    val v = st.version + 1
+    val names = stageIn(spark, dir,
+      batch.select(st.schema.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*), v)
+    writeState(spark, dir,
+      State(v, "append", st.tombsV, st.schema, st.files ++ names))
+  }
+
+  /** ADD-COLUMN schema evolution as one version: the union schema
+    * commits in the meta, the batch appends projected to it, and old
+    * files surface the new columns as NULL under the versioned read
+    * schema — previous versions keep their own (narrower) schema. */
+  def evolveAppend(spark: SparkSession, dir: String,
+                   batch: DataFrame): Unit = {
+    val st = currentState(spark, dir)
+    val curMap = st.schema.map(f => f.name -> f.dataType).toMap
+    val retyped = batch.schema.filter(f =>
+      curMap.get(f.name).exists(_ != f.dataType))
+    require(retyped.isEmpty,
+      s"evolveAppend: retyped ${retyped.map(_.name)} — this tier " +
+        "evolves by ADDING columns; retypes go through a rewrite")
+    val newFields = batch.schema.filter(f => !curMap.contains(f.name))
+    val union = StructType(
+      (st.schema.fields ++ newFields).map(_.copy(nullable = true)))
+    val bCols = batch.columns.toSet
+    val v = st.version + 1
+    val names = stageIn(spark, dir,
+      batch.select(union.map(f =>
+        if (bCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*), v)
+    writeState(spark, dir,
+      State(v, "evolve", st.tombsV, union, st.files ++ names))
+  }
+
+  private def withId(df: DataFrame): DataFrame =
+    df.select(col("*"),
+      element_at(split(col("_metadata.file_path"), "/"), -1).as(RName),
+      col("_metadata.row_index").as(RRow))
+
+  private def readData(spark: SparkSession, dir: String,
+                       st: State): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val missing = st.files.filterNot(n => fs.exists(new Path(s"$dir/$n")))
+    require(missing.isEmpty,
+      s"version ${st.version} references ${missing.length} vacuumed " +
+        s"file(s) (${missing.take(3).mkString(", ")}…) — travel past " +
+        "the retention window")
+    spark.read.schema(st.schema)
+      .parquet(st.files.map(n => s"$dir/$n"): _*)
+  }
+
+  private def tombsOf(spark: SparkSession, dir: String,
+                      st: State): Option[DataFrame] =
+    if (st.tombsV < 0) None
+    else Sidecars.readRaw(spark, s"$dir/$LogDir", s"tombs_v${st.tombsV}",
+      Seq(FileCol, RowCol)) match {
+      case None => throw new IllegalStateException(
+        s"version ${st.version}: tombstone set v${st.tombsV} unreadable")
+      case some => some
+    }
+
+  /** DELETE WHERE as one version: tombstones accumulate (full set per
+    * version — metadata-sized at this tier), data untouched. Returns
+    * newly deleted rows. */
+  def deleteWhere(spark: SparkSession, dir: String, cond: Column): Long = {
+    val st = currentState(spark, dir)
+    val cur = withId(readData(spark, dir, st))
+    val visible = tombsOf(spark, dir, st) match {
+      case None => cur
+      case Some(t) => cur.join(broadcast(t),
+        col(RName) === col(FileCol) && col(RRow) === col(RowCol),
+        "left_anti")
+    }
+    val victims = visible.filter(coalesce(cond, lit(false)))
+      .select(col(RName).as(FileCol), col(RRow).as(RowCol))
+    val prev = tombsOf(spark, dir, st)
+    val prevN = prev.map(_.count()).getOrElse(0L)
+    val all = prev.map(_.unionByName(victims)).getOrElse(victims)
+      .distinct().persist()
+    try {
+      val n = all.count()
+      if (n == prevN) return 0L
+      val v = st.version + 1
+      all.coalesce(1).write.mode("overwrite").parquet(tombsDir(dir, v))
+      writeState(spark, dir,
+        State(v, "delete", v, st.schema, st.files))
+      n - prevN
+    } finally all.unpersist()
+  }
+
+  /** Compaction as one version: the current VISIBLE rows rewrite into
+    * fresh files, tombstones fold away — and the OLD files stay on
+    * disk, so every earlier version remains readable (the capability
+    * the directory-listing tier's compaction destroys). Returns the
+    * number of files the new version replaced. */
+  def compact(spark: SparkSession, dir: String): Int = {
+    val st = currentState(spark, dir)
+    val v = st.version + 1
+    val names = stageIn(spark, dir, readVersion(spark, dir, st.version), v)
+    writeState(spark, dir, State(v, "compact", -1, st.schema, names))
+    st.files.size
+  }
+
+  /** Drop versions older than the newest `keepVersions` and every
+    * data file / tombstone set only they reference. Explicit
+    * retention, Delta's VACUUM: travel to a vacuumed version fails
+    * loud in [[readVersion]]'s liveness check. Returns the number of
+    * data files deleted. */
+  def vacuum(spark: SparkSession, dir: String,
+             keepVersions: Int = 2): Int = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val vs = versions(spark, dir)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    if (drop.isEmpty) return 0
+    val keptStates = keep.map(state(spark, dir, _))
+    val referenced = keptStates.flatMap(_.files).toSet
+    val keptTombs = keptStates.map(_.tombsV).filter(_ >= 0).toSet
+    val fs = fsOf(spark, dir)
+    var deleted = 0
+    drop.map(state(spark, dir, _)).foreach { st =>
+      st.files.filterNot(referenced.contains).foreach { n =>
+        if (fs.delete(new Path(s"$dir/$n"), false)) deleted += 1
+      }
+      if (st.tombsV >= 0 && !keptTombs.contains(st.tombsV))
+        fs.delete(new Path(tombsDir(dir, st.tombsV)), true)
+      fs.delete(metaPath(dir, st.version), false)
+    }
+    deleted
+  }
+
+  /** The table as of version `v` — files, tombstones, and schema all
+    * as committed then. */
+  def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    val st = state(spark, dir, v)
+    val data = readData(spark, dir, st)
+    tombsOf(spark, dir, st) match {
+      case None => data
+      case Some(t) =>
+        withId(data).join(broadcast(t),
+          col(RName) === col(FileCol) && col(RRow) === col(RowCol),
+          "left_anti")
+          .drop(RName, RRow)
+    }
+  }
+
+  /** The current snapshot. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readVersion(spark, dir, currentVersion(spark, dir))
+}

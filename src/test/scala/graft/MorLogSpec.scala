@@ -1,0 +1,103 @@
+package graft
+
+import graft.sink.MorLog
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The log-backed MoR table: one commit log versioning appends,
+  * deletes, schema evolution and compaction, so VERSION AS OF
+  * composes across all four — including reading PRE-compaction
+  * versions (the directory-listing tier's documented gap). */
+class MorLogSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").as[Long].collect().toSet
+
+  test("one log versions create/append/delete/evolve/compact; every version reads back") {
+    val dir = s"${tmp("graft-ml1-")}/t"
+    MorLog.create(
+      spark.range(100).select(col("id"), (col("id") * 2).as("x")), dir)
+    MorLog.append(spark, dir,
+      spark.range(100, 150).select(col("id"), (col("id") * 2).as("x")))
+    val deleted = MorLog.deleteWhere(spark, dir, col("id") % 10 === 0)
+    assert(deleted == 15)
+    MorLog.evolveAppend(spark, dir,
+      spark.range(150, 160).select(col("id"), (col("id") * 2).as("x"),
+        lit("t").as("tag")))
+    val replaced = MorLog.compact(spark, dir)
+    assert(replaced >= 2, "compact must swap out the old file list")
+    MorLog.append(spark, dir,
+      spark.range(160, 170).select(col("id"), (col("id") * 2).as("x"),
+        lit("u").as("tag")))
+    assert(MorLog.versions(spark, dir) == Seq(0, 1, 2, 3, 4, 5))
+
+    def want(hi: Long, deleted: Boolean) =
+      (0L until hi).filterNot(i => deleted && i % 10 == 0).toSet
+    assert(ids(MorLog.readVersion(spark, dir, 0)) == want(100, false))
+    assert(ids(MorLog.readVersion(spark, dir, 1)) == want(150, false))
+    assert(ids(MorLog.readVersion(spark, dir, 2)) == want(150, true))
+    // v3: evolved — old rows surface tag as NULL, v2's schema stays narrow
+    val v3 = MorLog.readVersion(spark, dir, 3)
+    assert(v3.columns.toSeq == Seq("id", "x", "tag"))
+    assert(MorLog.readVersion(spark, dir, 2).columns.toSeq == Seq("id", "x"))
+    assert(ids(v3) == want(150, true) ++ (150L until 160L))
+    assert(v3.filter(col("id") < 150 && col("tag").isNotNull).count() == 0)
+    // v4: compaction is value-invisible...
+    val v4 = MorLog.readVersion(spark, dir, 4)
+    assert(v4.exceptAll(v3).isEmpty && v3.exceptAll(v4).isEmpty)
+    // ...and v2 (PRE-compaction) still reads — old files were retained
+    assert(ids(MorLog.readVersion(spark, dir, 2)) == want(150, true))
+    assert(ids(MorLog.read(spark, dir)) ==
+      want(150, true) ++ (150L until 170L))
+  }
+
+  test("vacuum drops only the out-of-retention versions; travel past it fails loud") {
+    val dir = s"${tmp("graft-ml2-")}/t"
+    MorLog.create(spark.range(50).toDF("id"), dir)
+    MorLog.deleteWhere(spark, dir, col("id") % 5 === 0)
+    MorLog.compact(spark, dir)
+    MorLog.append(spark, dir, spark.range(50, 60).toDF("id"))
+    val dropped = MorLog.vacuum(spark, dir, keepVersions = 2)
+    assert(dropped >= 1, "vacuum must delete the pre-compaction files")
+    assert(MorLog.versions(spark, dir) == Seq(2, 3))
+    // retained versions still exact
+    assert(ids(MorLog.readVersion(spark, dir, 2)) ==
+      (0L until 50L).filterNot(_ % 5 == 0).toSet)
+    assert(ids(MorLog.read(spark, dir)) ==
+      (0L until 60L).filterNot(i => i < 50 && i % 5 == 0).toSet)
+    // travel to a vacuumed version fails loud, not wrong
+    val e = intercept[Exception](
+      MorLog.readVersion(spark, dir, 0).count())
+    assert(e.getMessage.toLowerCase.contains("vacuum"))
+  }
+
+  test("a torn commit is invisible; the retry completes it") {
+    val dir = s"${tmp("graft-ml3-")}/t"
+    MorLog.create(spark.range(30).toDF("id"), dir)
+    // simulate a crash: tombstones staged for v1 but no meta swap
+    Seq(("part-v0-0.parquet", 0L)).toDF("file", "row_idx")
+      .write.parquet(s"$dir/_log/tombs_v1")
+    assert(MorLog.currentVersion(spark, dir) == 0)
+    assert(ids(MorLog.read(spark, dir)) == (0L until 30L).toSet)
+    // the retried delete commits over the leftovers
+    assert(MorLog.deleteWhere(spark, dir, col("id") < 3) == 3)
+    assert(ids(MorLog.read(spark, dir)) == (3L until 30L).toSet)
+  }
+
+  test("schema drift and retypes fail loud") {
+    val dir = s"${tmp("graft-ml4-")}/t"
+    MorLog.create(spark.range(10).select(col("id"), lit(1).as("n")), dir)
+    intercept[IllegalArgumentException](
+      MorLog.append(spark, dir,
+        spark.range(3).select(col("id"), lit(1).as("n"), lit(2).as("m"))))
+    intercept[IllegalArgumentException](
+      MorLog.evolveAppend(spark, dir,
+        spark.range(3).select(col("id"), lit(1L).as("n"))))
+  }
+}
