@@ -496,6 +496,10 @@ object SparkEntry {
     "q233_type_widen"       -> ((s, d) => CoreQueries.typeWiden(s, d)),
     // one commit log: snapshots across append+delete+compaction
     "q234_mor_timetravel"   -> ((s, d) => CoreQueries.morTimeTravel(s, d)),
+    // watermark-evicted unmatched PURCHASES (right outer)
+    "q235_stream_router_join" -> ((s, d) => CoreQueries.streamRightOuterJoin(s, d)),
+    // both sides' unmatched in one drain (full outer)
+    "q236_stream_fouter_join" -> ((s, d) => CoreQueries.streamFullOuterJoin(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -744,6 +748,37 @@ object SparkEntry {
          FROM c LEFT JOIN p ON p.p_user = c.user_id
            AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 4 HOUR
          GROUP BY c.user_id""",
+    // right outer: q229's oracle shape with the sides swapped
+    "q235_stream_router_join" ->
+      """WITH c AS (SELECT user_id AS c_user, event_id AS click_id,
+               ts AS c_ts FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id, event_id AS purchase_id,
+               ts AS p_ts FROM events WHERE event_type = 'purchase')
+         SELECT p.user_id, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_unmatched,
+           CAST(SUM(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pairs
+         FROM p LEFT JOIN c ON c.c_user = p.user_id
+           AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 4 HOUR
+         GROUP BY p.user_id""",
+    // full outer: both sides' unmatched, grouped on whichever is present
+    "q236_stream_fouter_join" ->
+      """WITH c AS (SELECT user_id AS c_user, event_id AS click_id,
+               ts AS c_ts FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id AS p_user, event_id AS purchase_id,
+               ts AS p_ts FROM events WHERE event_type = 'purchase')
+         SELECT COALESCE(c_user, p_user) AS user_id, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_unmatched_clicks,
+           CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_unmatched_purchases,
+           CAST(SUM(CASE WHEN click_id IS NOT NULL
+                     AND purchase_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pairs
+         FROM c FULL JOIN p ON p.p_user = c.c_user
+           AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 4 HOUR
+         GROUP BY COALESCE(c_user, p_user)""",
     "q230_dv_undelete" ->
       """SELECT user_id,
            CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))

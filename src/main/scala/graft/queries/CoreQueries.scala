@@ -2838,7 +2838,14 @@ object CoreQueries {
     * count ever changes. A production deployment with time-ordered
     * arrival uses its real lateness bound instead and gets the small
     * state that buys. */
-  def streamOuterJoin(s: SparkSession, d: String): DataFrame = {
+  /** Shared fixture+drain for the OUTER stream-stream interval joins
+    * (q229/q235/q236): sentinel-flushed click/purchase feeds with
+    * pinned mtimes, drained through [[graft.streaming.EventTimeOps
+    * .intervalJoinStreams]] with the given join type. Returns the
+    * materialized join output (sentinel rows still present — each
+    * caller filters its own sides). */
+  private def drainOuterJoin(s: SparkSession, d: String,
+                             joinType: String): DataFrame = {
     import s.implicits._
     val work = graft.TempDirs.create("graft-ssoj-")
     val ev = Tables.events(s, d)
@@ -2884,13 +2891,17 @@ object CoreQueries {
       feed(s"$work/clicks", clicks.schema), "c_ts",
       feed(s"$work/purchases", purchases.schema), "p_ts",
       "c_user", "p_user", maxDelay = "4 hours",
-      watermark = s"$spanDays days", joinType = "left_outer")
+      watermark = s"$spanDays days", joinType = joinType)
     val q = joined.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", s"$work/ckpt")
       .format("parquet").option("path", s"$work/out").start()
     q.awaitTermination()
     s.read.parquet(s"$work/out")
+  }
+
+  def streamOuterJoin(s: SparkSession, d: String): DataFrame =
+    drainOuterJoin(s, d, "left_outer")
       .filter(col("c_user") =!= -1L)
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_rows"),
@@ -2898,7 +2909,41 @@ object CoreQueries {
           .as("n_unmatched"),
         sum(when(col("purchase_id").isNotNull, 1L).otherwise(0L))
           .as("n_pairs"))
-  }
+
+  /** STREAM-STREAM RIGHT OUTER interval join (q235): q229's machine
+    * mirrored — unmatched PURCHASES (no qualifying click in
+    * [p_ts − 4h, p_ts]) emit with null click columns on watermark
+    * eviction of the LEFT buffer. Same bounded-state argument,
+    * sentinel flush, and batch-join parity as q229. */
+  def streamRightOuterJoin(s: SparkSession, d: String): DataFrame =
+    drainOuterJoin(s, d, "right_outer")
+      .filter(col("p_user") =!= -1L)
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("click_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched"),
+        sum(when(col("click_id").isNotNull, 1L).otherwise(0L))
+          .as("n_pairs"))
+
+  /** STREAM-STREAM FULL OUTER interval join (q236): both sides'
+    * unmatched rows emit on watermark eviction — clicks that never
+    * converted AND purchases with no attributable click, in one
+    * drain. The two sentinels match each other (never a real row),
+    * so filtering either sentinel id removes exactly that one pair.
+    * Grouped on whichever side is present. */
+  def streamFullOuterJoin(s: SparkSession, d: String): DataFrame =
+    drainOuterJoin(s, d, "full_outer")
+      .filter(coalesce(col("c_user"), lit(0L)) =!= -1L &&
+        coalesce(col("p_user"), lit(0L)) =!= -1L)
+      .groupBy(coalesce(col("c_user"), col("p_user")).as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched_clicks"),
+        sum(when(col("click_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched_purchases"),
+        sum(when(col("click_id").isNotNull
+          && col("purchase_id").isNotNull, 1L).otherwise(0L))
+          .as("n_pairs"))
 
   /** TOMBSTONE time travel (q230): two DV delete generations, then
     * [[graft.sink.DeletionVectors.readPreviousGen]] reads the
