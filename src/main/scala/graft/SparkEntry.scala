@@ -500,6 +500,8 @@ object SparkEntry {
     "q235_stream_router_join" -> ((s, d) => CoreQueries.streamRightOuterJoin(s, d)),
     // both sides' unmatched in one drain (full outer)
     "q236_stream_fouter_join" -> ((s, d) => CoreQueries.streamFullOuterJoin(s, d)),
+    // recall@3 A/B: mean-threshold vs per-subspace Lloyd codebooks
+    "q237_pq_kmeans"        -> ((s, d) => LlmQueries.pqKmeansRecall(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -978,6 +980,110 @@ object SparkEntry {
          FROM exact x LEFT JOIN pq p
            ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id
          GROUP BY 1""",
+    // the q228 audit over BOTH codebooks: the mean-threshold CTEs are
+    // q228's verbatim; the kmeans chain unrolls two deterministic
+    // Lloyd rounds per subspace (seeds = 8 lowest ids, 5-dp quantized
+    // distances and centroid means, code tie-breaks)
+    "q237_pq_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         mu AS (SELECT i, AVG(v[i]) AS mu
+                FROM e, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY i),
+         cd AS (SELECT e.vec_id, CAST(s AS INT) AS s,
+                  CAST(SUM(CASE WHEN e.v[s * 8 + b + 1] >= mu.mu
+                    THEN 1 << b ELSE 0 END) AS INT) AS code
+                FROM e, range(0, 8) ts(s), range(0, 8) tb(b), mu
+                WHERE mu.i = s * 8 + b + 1
+                GROUP BY 1, 2),
+         cb AS (SELECT cd.s, cd.code, CAST(b AS INT) AS b,
+                  AVG(e.v[cd.s * 8 + b + 1]) AS cv
+                FROM e JOIN cd USING (vec_id), range(0, 8) tb(b)
+                GROUP BY 1, 2, 3),
+         q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+         lut AS (SELECT q.query_id, cb.s, cb.code,
+                   SUM(q.v[cb.s * 8 + cb.b + 1] * cb.cv) AS dot8
+                 FROM q, cb GROUP BY 1, 2, 3),
+         sc AS (SELECT lut.query_id, cd.vec_id AS neighbor_id,
+                  SUM(lut.dot8) AS adc
+                FROM cd JOIN lut ON lut.s = cd.s AND lut.code = cd.code
+                WHERE cd.vec_id <> lut.query_id
+                GROUP BY 1, 2),
+         pq AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY floor(adc * 100000.0 + 0.5) / 100000.0 DESC,
+                      neighbor_id) AS rank
+                  FROM sc) WHERE rank <= 3),
+         x AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS s,
+                 CAST((i - 1) % 8 AS INT) AS b, v[i] AS x
+               FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+         seeds AS (SELECT vec_id,
+                 CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+               FROM (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+         c0 AS (SELECT x.s, seeds.code, x.b, x.x AS cv
+               FROM x JOIN seeds USING (vec_id)),
+         a1 AS (SELECT x.vec_id, x.s, c0.code,
+                 SUM((x.x - c0.cv) * (x.x - c0.cv)) AS dist
+               FROM x JOIN c0 ON x.s = c0.s AND x.b = c0.b GROUP BY 1, 2, 3),
+         g1 AS (SELECT vec_id, s, code FROM (
+                 SELECT vec_id, s, code, row_number() OVER (
+                   PARTITION BY vec_id, s
+                   ORDER BY floor(dist * 100000.0 + 0.5), code) AS rk
+                 FROM a1) WHERE rk = 1),
+         c1 AS (SELECT x.s, g1.code, x.b,
+                 CAST(SUM(CAST(floor(x.x * 100000.0 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 100000.0 / COUNT(*) AS cv
+               FROM x JOIN g1 ON x.vec_id = g1.vec_id AND x.s = g1.s
+               GROUP BY 1, 2, 3),
+         a2 AS (SELECT x.vec_id, x.s, c1.code,
+                 SUM((x.x - c1.cv) * (x.x - c1.cv)) AS dist
+               FROM x JOIN c1 ON x.s = c1.s AND x.b = c1.b GROUP BY 1, 2, 3),
+         g2 AS (SELECT vec_id, s, code FROM (
+                 SELECT vec_id, s, code, row_number() OVER (
+                   PARTITION BY vec_id, s
+                   ORDER BY floor(dist * 100000.0 + 0.5), code) AS rk
+                 FROM a2) WHERE rk = 1),
+         lutk AS (SELECT x.vec_id AS query_id, c1.s, c1.code,
+                   SUM(x.x * c1.cv) AS dot8
+                 FROM x JOIN c1 ON x.s = c1.s AND x.b = c1.b
+                 WHERE x.vec_id < 5 GROUP BY 1, 2, 3),
+         sck AS (SELECT lutk.query_id, g2.vec_id AS neighbor_id,
+                  SUM(lutk.dot8) AS adc
+                FROM g2 JOIN lutk ON lutk.s = g2.s AND lutk.code = g2.code
+                WHERE g2.vec_id <> lutk.query_id GROUP BY 1, 2),
+         pqk AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY floor(adc * 100000.0 + 0.5) / 100000.0 DESC,
+                      neighbor_id) AS rank
+                  FROM sck) WHERE rank <= 3),
+         ex AS (SELECT q.query_id, e2.vec_id AS neighbor_id,
+                  list_sum(list_transform(range(1, len(q.v) + 1),
+                    i -> q.v[i] * e2.v[i])) AS dot
+                FROM q, e e2 WHERE e2.vec_id <> q.query_id),
+         exact AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY floor(dot * 100000.0 + 0.5) / 100000.0 DESC,
+                      neighbor_id) AS rnk
+                  FROM ex) WHERE rnk <= 3)
+         SELECT 'mean' AS variant, x.query_id,
+           CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS hits,
+           floor(CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1
+               ELSE 0 END) AS DOUBLE) / 3.0 * 100000.0 + 0.5) / 100000.0
+             AS recall3
+         FROM exact x LEFT JOIN pq p
+           ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id
+         GROUP BY 1, 2
+         UNION ALL
+         SELECT 'kmeans', x.query_id,
+           CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           floor(CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1
+               ELSE 0 END) AS DOUBLE) / 3.0 * 100000.0 + 0.5) / 100000.0
+         FROM exact x LEFT JOIN pqk p
+           ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id
+         GROUP BY 1, 2""",
     "q221_ivf_pq" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          mu AS (SELECT i, AVG(v[i]) AS mu

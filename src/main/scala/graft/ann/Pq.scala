@@ -71,6 +71,64 @@ object Pq {
       .groupBy("s", "code", "b").agg(avg("xv").as("cv"))
   }
 
+  /** Per-subspace LLOYD K-MEANS codebook — the production codebook
+    * the class doc's mean-threshold variant stands in for, composed
+    * from the q99 k-means mechanics PER SUBSPACE and kept fully
+    * deterministic so the DuckDB oracle reproduces the training
+    * bit-for-bit: seeds = the `kc` lowest-id vectors' sub-vectors,
+    * fixed `iters` Lloyd rounds, assignment by L2 distance rounded
+    * to 5 dp with a code tie-break, centroids as 5-dp-quantized
+    * element means (exact integer sums / double division — the q99
+    * quantizedMeans rule). Scale shape per round: one broadcast-
+    * assign pass over the exploded corpus (centroids are m·kc·sub
+    * rows — broadcast at any corpus size) plus one partial-aggregated
+    * centroid recompute; the ADC scan downstream is unchanged —
+    * training choice and scan shape stay decoupled, which is the
+    * point of the swap seam. Returns (codebook (s, code, b, cv),
+    * codes (id, s, code)). */
+  def fitKmeans(corpus: DataFrame, vecCol: String, idCol: String,
+                m: Int, kc: Int, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1 && kc >= 2, s"need iters>=1, kc>=2; got $iters/$kc")
+    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dims % m == 0, s"dim $dims not divisible by m=$m")
+    val sub = dims / m
+    val x = corpus.select(col(idCol).as("id"),
+        posexplode(transform(col(vecCol), v => v.cast("double")))
+          .as(Seq("i", "x")))
+      .withColumn("s", (col("i") / lit(sub)).cast("int"))
+      .withColumn("b", (col("i") % lit(sub)).cast("int"))
+      .drop("i")
+    // deterministic seeds: the kc lowest ids (kc rows — the
+    // unpartitioned window is over an already-limited frame)
+    val seeds = corpus.select(col(idCol).as("id")).distinct()
+      .orderBy("id").limit(kc)
+      .withColumn("code",
+        (row_number().over(Window.orderBy("id")) - 1).cast("int"))
+    def assign(c: DataFrame): DataFrame = {
+      val dw = Window.partitionBy("id", "s")
+        .orderBy(floor(col("dist") * 1e5 + 0.5), col("code"))
+      x.join(broadcast(c), Seq("s", "b"))
+        .groupBy("id", "s", "code")
+        .agg(sum((col("x") - col("cv")) * (col("x") - col("cv")))
+          .as("dist"))
+        .withColumn("rk", row_number().over(dw))
+        .filter(col("rk") === 1).select("id", "s", "code")
+    }
+    def centroids(a: DataFrame): DataFrame =
+      x.join(a, Seq("id", "s"))
+        .groupBy("s", "code", "b")
+        .agg((sum(floor(col("x") * 1e5 + 0.5).cast("long")).cast("double")
+          / lit(1e5) / count(lit(1))).as("cv"))
+    var cent: DataFrame = x.join(broadcast(seeds), "id")
+      .select(col("s"), col("code"), col("b"), col("x").as("cv"))
+    var assigned = assign(cent)
+    (1 until iters).foreach { _ =>
+      cent = centroids(assigned)
+      assigned = assign(cent)
+    }
+    (cent, assigned)
+  }
+
   /** ADC top-k: per query build the m×2^sub lookup table of
     * query·centroid dot products (broadcast), scan the CODES (never
     * the floats), sum m looked-up values per neighbor, rank on the

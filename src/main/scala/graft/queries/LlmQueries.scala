@@ -851,6 +851,76 @@ object LlmQueries {
         graft.Oracle.stableRound(col("hits") / lit(3.0), 5).as("recall3"))
   }
 
+  /** K-MEANS vs MEAN-THRESHOLD PQ recall A/B (q237): the same
+    * recall@3 audit as q228 run over BOTH codebook constructions on
+    * the same corpus and query split — the judgement a deployment
+    * actually makes before swapping training methods. The k-means
+    * side trains per-subspace Lloyd ([[graft.ann.Pq.fitKmeans]],
+    * kc=8 centroids, 2 fixed rounds, fully deterministic) and scans
+    * via the identical ADC mechanics; output rows are (variant,
+    * query_id, hits, recall3), and the oracle reproduces BOTH
+    * trainings — the mean thresholds as in q228 and the unrolled
+    * two-round Lloyd — so the A/B itself sits under the row gate. */
+  def pqKmeansRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 5)
+    // shared exact ground truth (q228's)
+    val q2 = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val dot = aggregate(zip_with(
+      transform(col("qv"), x => x.cast("double")),
+      transform(col("nv"), x => x.cast("double")),
+      (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+    val exact = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"))
+      .crossJoin(broadcast(q2))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot5", graft.Oracle.stableRound(dot, 5))
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("dot5").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist()
+    // variant A: mean-threshold cells (q220/q228's codebook)
+    val means = graft.ann.Pq.fitMeans(e, "embedding")
+    val topMean = graft.ann.Pq.adcTopK(e, queries, "embedding",
+        "vec_id", means, m = 8, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    // variant B: per-subspace Lloyd centroids, same ADC scan
+    val (cb, codes) = graft.ann.Pq.fitKmeans(e, "embedding", "vec_id",
+      m = 8, kc = 8, iters = 2)
+    val qd = queries.select(col("vec_id").as("query_id"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("i", "qv")))
+      .withColumn("s", (col("i") / lit(8)).cast("int"))
+      .withColumn("b", (col("i") % lit(8)).cast("int"))
+    val lut = qd.join(cb, Seq("s", "b"))
+      .groupBy("query_id", "s", "code")
+      .agg(sum(col("qv") * col("cv")).as("dot8"))
+    val topKm = codes.select(col("id").as("neighbor_id"), col("s"),
+        col("code"))
+      .join(broadcast(lut), Seq("s", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("dot8")).as("adc"))
+      .withColumn("adc5", graft.Oracle.stableRound(col("adc"), 5))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy("query_id")
+        .orderBy(col("adc5").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    def recallOf(top: org.apache.spark.sql.DataFrame, variant: String) =
+      exact.join(top.withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+        .select(lit(variant).as("variant"), col("query_id"), col("hits"),
+          graft.Oracle.stableRound(col("hits") / lit(3.0), 5)
+            .as("recall3"))
+    recallOf(topMean, "mean").unionByName(recallOf(topKm, "kmeans"))
+  }
+
   /** GROUPED covariance (q231): the q218 moment aggregate under
     * `groupBy(label)` — one O(d²) buffer PER GROUP with map-side
     * partial aggregation, the per-cluster second-moment profile an
