@@ -149,7 +149,13 @@ object Bench {
       val qs = results.map { case (k, v) => s"\"${keyOf(k)}\":${fmt(v)}" }
         .mkString("{", ",", "}")
       val band = if (withBand) s"$bandJson," else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partial"queries":$qs,""" +
+      // "value" IS the floor-sum: every per-query number is the min of
+      // its converged samples, and the total sums those floors — the
+      // primary cross-round metric (round-9 verdict item 8). The
+      // explicit "floor_total" alias makes that reading unambiguous
+      // in the artifact; "band" spans what the total WOULD be under
+      // worst/best observed draws (host-noise context, not the metric).
+      s"""{"metric":"total","value":${fmt(total)},"floor_total":${fmt(total)},"unit":"sec",$partial"queries":$qs,""" +
         s""""failed":${failedJson(keyOf)},$envJson,$band"sf":"$sfDir"}"""
     }
     // stdout guard: the driver's tail buffer is 2000 chars and
@@ -167,7 +173,7 @@ object Bench {
         val qs = top.map { case (k, v) =>
           s""""${k.takeWhile(_ != '_')}":${fmt(v)}""" }
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partial""" +
+        s"""{"metric":"total","value":${fmt(total)},"floor_total":${fmt(total)},"unit":"sec",$partial""" +
           s""""queries":$qs,"shed":${results.size - top.size},""" +
           s""""failed":${failedJson(_.takeWhile(_ != '_'))},"sf":"$sfDir"}"""
       })

@@ -502,6 +502,12 @@ object SparkEntry {
     "q236_stream_fouter_join" -> ((s, d) => CoreQueries.streamFullOuterJoin(s, d)),
     // recall@3 A/B: mean-threshold vs per-subspace Lloyd codebooks
     "q237_pq_kmeans"        -> ((s, d) => LlmQueries.pqKmeansRecall(s, d)),
+    // keyed upsert on the log table: one atomic version per merge
+    "q238_morlog_upsert"    -> ((s, d) => CoreQueries.morLogUpsert(s, d)),
+    // change feed spanning upsert+delete versions of the log
+    "q239_morlog_changes"   -> ((s, d) => CoreQueries.morLogChanges(s, d)),
+    // checkpointed drain: one time-travelable version per micro-batch
+    "q240_morlog_stream"    -> ((s, d) => CoreQueries.morLogStream(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -847,6 +853,51 @@ object SparkEntry {
            SELECT user_id + 1000000, user_id + 3000000000
            FROM base WHERE user_id % 3 = 0)
          SELECT user_id, val FROM ev WHERE user_id % 7 <> 0""",
+    // upsert (updates + inserts) then delete, folded to the final state
+    "q238_morlog_upsert" ->
+      """WITH base AS (SELECT user_id,
+             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+               AS BIGINT) AS val
+           FROM events GROUP BY user_id),
+         up AS (SELECT user_id,
+                  CASE WHEN user_id % 4 = 0 THEN val + 100 ELSE val END AS val
+                FROM base
+                UNION ALL
+                SELECT user_id + 1000000, val + 9
+                FROM base WHERE user_id % 9 = 0)
+         SELECT user_id, val FROM up WHERE user_id % 7 <> 0""",
+    // v0→v2 diff: inserts (new keys), updates (%4 repriced, not
+    // deleted), deletes (%7 keys gone) — unchanged keys emit nothing
+    "q239_morlog_changes" ->
+      """WITH base AS (SELECT user_id,
+             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+               AS BIGINT) AS val
+           FROM events GROUP BY user_id),
+         v2 AS (SELECT * FROM (
+                  SELECT user_id,
+                    CASE WHEN user_id % 4 = 0 THEN val + 100 ELSE val END AS val
+                  FROM base
+                  UNION ALL
+                  SELECT user_id + 1000000, val + 9
+                  FROM base WHERE user_id % 9 = 0)
+                WHERE user_id % 7 <> 0)
+         SELECT COALESCE(base.user_id, v2.user_id) AS user_id,
+           CASE WHEN base.user_id IS NULL THEN 'insert'
+                WHEN v2.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change,
+           base.val AS old_val, v2.val AS new_val
+         FROM base FULL OUTER JOIN v2 ON base.user_id = v2.user_id
+         WHERE base.user_id IS NULL OR v2.user_id IS NULL
+            OR base.val <> v2.val""",
+    // drain fold: evens seeded, %10 repriced by the feed, odds inserted
+    "q240_morlog_stream" ->
+      """WITH base AS (SELECT user_id,
+             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+               AS BIGINT) AS val
+           FROM events GROUP BY user_id)
+         SELECT user_id,
+           CASE WHEN user_id % 10 = 0 THEN val + 100 ELSE val END AS val
+         FROM base""",
     // four snapshots reconstructed: v1 append, v2 delete, v3 compact
     // (≡ v2 — value-invisible), v4 append-after-compact
     "q234_mor_timetravel" ->

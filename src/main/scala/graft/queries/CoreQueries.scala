@@ -3044,6 +3044,69 @@ object CoreQueries {
       .reduce(_ unionByName _)
   }
 
+  /** Shared q238/q239 fixture: log-backed table at v0 = the per-user
+    * aggregate, v1 = one atomic keyed UPSERT (updates + inserts),
+    * v2 = a predicate delete. */
+  private def morLogUpserted(s: SparkSession, d: String): String = {
+    val work = graft.TempDirs.create("graft-mlup-")
+    val dir = s"$work/t"
+    val base = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(floor(moneySum(col("value"))).cast("long").as("val"))
+    graft.sink.MorLog.create(base.repartition(4), dir) // v0
+    val batch = base.filter(col("user_id") % 4 === 0)
+      .select(col("user_id"), (col("val") + 100L).as("val"))
+      .unionByName(base.filter(col("user_id") % 9 === 0)
+        .select((col("user_id") + 1000000L).as("user_id"),
+          (col("val") + 9L).as("val")))
+    graft.sink.MorLog.upsert(s, dir, batch, "user_id") // v1
+    graft.sink.MorLog.deleteWhere(s, dir, col("user_id") % 7 === 0) // v2
+    dir
+  }
+
+  /** LOG-BACKED keyed UPSERT (q238): the CDC merge on the [[graft
+    * .sink.MorLog]] table — tombstones for the batch's matched keys
+    * and the appended fresh images commit under ONE meta swap, so a
+    * reader sees the whole merge or none of it and the pre-merge
+    * snapshot stays one readVersion away. Final state after
+    * upsert + delete, under the oracle. */
+  def morLogUpsert(s: SparkSession, d: String): DataFrame =
+    graft.sink.MorLog.read(s, morLogUpserted(s, d))
+      .select(col("user_id"), col("val"))
+
+  /** LOG-SPAN CHANGE FEED (q239): CDC_CHANGES between v0 and v2 of
+    * the q238 fixture — one call classifies insert/update/delete at
+    * key granularity across an upsert AND a delete (any number of
+    * intervening versions, including value-invisible compactions,
+    * fold away). */
+  def morLogChanges(s: SparkSession, d: String): DataFrame = {
+    val dir = morLogUpserted(s, d)
+    graft.sink.MorLog.changes(s, dir, 0, 2, Seq("user_id"))
+      .select(col("user_id"), col("change"),
+        col("_old.val").as("old_val"), col("_new.val").as("new_val"))
+  }
+
+  /** STREAMING drain into the log-backed table (q240): checkpointed
+    * AvailableNow upserts, ONE committed version per micro-batch —
+    * the whole drain history is time-travelable, and the replay
+    * fence is the version log itself (the batch's (checkpoint,
+    * batchId) identity rides the committed action tag; no side
+    * marker files). */
+  def morLogStream(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-mlst-")
+    val dir = s"$work/t"
+    val base = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(floor(moneySum(col("value"))).cast("long").as("val"))
+    graft.sink.MorLog.create(
+      base.filter(col("user_id") % 2 === 0).repartition(2), dir)
+    val feed = base.filter(col("user_id") % 10 === 0)
+      .select(col("user_id"), (col("val") + 100L).as("val"))
+      .unionByName(base.filter(col("user_id") % 2 === 1))
+    feed.repartition(2).write.parquet(s"$work/feed")
+    graft.sink.MorLog.runStream(s, s"$work/feed", feed.schema,
+      s"$work/ckpt", dir, "user_id")
+    graft.sink.MorLog.read(s, dir).select(col("user_id"), col("val"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

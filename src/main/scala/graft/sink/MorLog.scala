@@ -298,4 +298,110 @@ object MorLog {
   /** The current snapshot. */
   def read(spark: SparkSession, dir: String): DataFrame =
     readVersion(spark, dir, currentVersion(spark, dir))
+
+  /** Keyed MoR UPSERT as ONE committed version: tombstone the current
+    * visible rows whose `keyCol` appears in `batch`, append the batch
+    * — both under a single meta swap, so a reader sees the whole
+    * merge or none of it, and the pre-merge snapshot stays one
+    * `readVersion` away. `batch` must be unique on the key (checked).
+    * `actionTag` lets a streaming drain fence replays (see
+    * [[applyStreamBatch]]). */
+  def upsert(spark: SparkSession, dir: String, batch: DataFrame,
+             keyCol: String, actionTag: String = "upsert"): Unit = {
+    val st = currentState(spark, dir)
+    require(batch.columns.toSet == st.schema.fieldNames.toSet,
+      s"upsert: batch columns ${batch.columns.toSeq.sorted} drift from " +
+        s"the table's ${st.schema.fieldNames.toSeq.sorted}")
+    val keys = batch.select(col(keyCol)).distinct().persist()
+    try {
+      val nKeys = keys.count()
+      require(nKeys == batch.count(),
+        s"upsert: batch is not unique on $keyCol")
+      val v = st.version + 1
+      if (nKeys == 0) {
+        // zero-row batch: commit a data-less version so a stream
+        // fence still lands (no empty data files written)
+        writeState(spark, dir,
+          State(v, actionTag, st.tombsV, st.schema, st.files))
+        return
+      }
+      val cur = withId(readData(spark, dir, st))
+      val visible = tombsOf(spark, dir, st) match {
+        case None => cur
+        case Some(t) => cur.join(broadcast(t),
+          col(RName) === col(FileCol) && col(RRow) === col(RowCol),
+          "left_anti")
+      }
+      val victims = visible
+        .join(broadcast(keys), Seq(keyCol), "left_semi")
+        .select(col(RName).as(FileCol), col(RRow).as(RowCol))
+      val prev = tombsOf(spark, dir, st)
+      val all = prev.map(_.unionByName(victims)).getOrElse(victims)
+        .distinct().persist()
+      try {
+        val tombsV = if (all.isEmpty) st.tombsV else {
+          all.coalesce(1).write.mode("overwrite")
+            .parquet(tombsDir(dir, v))
+          v
+        }
+        val names = stageIn(spark, dir,
+          batch.select(st.schema.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*), v)
+        writeState(spark, dir,
+          State(v, actionTag, tombsV, st.schema, st.files ++ names))
+      } finally all.unpersist()
+    } finally keys.unpersist()
+  }
+
+  /** CDC_CHANGES between two committed versions, at key granularity:
+    * (keys…, change ∈ insert/update/delete, _old, _new) — the
+    * [[AtomicParquetSink.tableChanges]] classification over the log's
+    * snapshots, so "what changed between v3 and v7" is one call
+    * regardless of how many upserts/deletes/compactions lie between.
+    * Value-identical frames (e.g. across a pure compaction) diff to
+    * zero rows. */
+  def changes(spark: SparkSession, dir: String, fromV: Int, toV: Int,
+              keyCols: Seq[String]): DataFrame =
+    AtomicParquetSink.diffFrames(
+      readVersion(spark, dir, fromV), readVersion(spark, dir, toV),
+      keyCols, s"v$fromV", s"v$toV")
+
+  /** Idempotently apply one streaming micro-batch as an upsert
+    * version. The replay fence is the version log itself: the batch's
+    * (checkpoint, batchId) identity rides the committed action tag,
+    * so a redelivered batch finds its own commit and no-ops — no
+    * side marker files, the fence IS the transaction record (Delta's
+    * txn appId/version, in the meta line). */
+  def applyStreamBatch(spark: SparkSession, dir: String,
+                       batch: DataFrame, batchId: Long, keyCol: String,
+                       checkpointDir: String): Unit = {
+    val tag =
+      s"upsert:${graft.streaming.StreamMoR.runTagOf(checkpointDir)}b$batchId"
+    val applied = versions(spark, dir)
+      .exists(v => state(spark, dir, v).action == tag)
+    if (!applied) upsert(spark, dir, batch, keyCol, tag)
+  }
+
+  /** Drain a keyed parquet change feed into the log-backed table:
+    * checkpointed, AvailableNow, one committed version per
+    * micro-batch — so the WHOLE drain history is time-travelable
+    * (any mid-drain state is a `readVersion` away) and replays fence
+    * on the log itself. */
+  def runStream(spark: SparkSession, feedDir: String,
+                schema: StructType, checkpointDir: String, dir: String,
+                keyCol: String, maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(feedDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyStreamBatch(spark, dir, batch, batchId, keyCol,
+          checkpointDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

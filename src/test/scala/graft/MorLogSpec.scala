@@ -90,6 +90,47 @@ class MorLogSpec extends AnyFunSuite {
     assert(ids(MorLog.read(spark, dir)) == (3L until 30L).toSet)
   }
 
+  test("upsert commits tombstones+append as ONE version; the log fences stream replays") {
+    val dir = s"${tmp("graft-ml5-")}/t"
+    MorLog.create(
+      spark.range(20).select(col("id"), (col("id") * 10).as("v")), dir)
+    // updates 3 keys, inserts 2 — one version
+    MorLog.upsert(spark, dir,
+      Seq((1L, -1L), (2L, -2L), (3L, -3L), (100L, -4L), (101L, -5L))
+        .toDF("id", "v"), "id")
+    assert(MorLog.currentVersion(spark, dir) == 1)
+    val got = MorLog.read(spark, dir).select("id", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == -1L && got(3L) == -3L && got(100L) == -4L)
+    assert(got.size == 22 && got(5L) == 50L)
+    // the pre-merge snapshot is one readVersion away
+    val v0 = MorLog.readVersion(spark, dir, 0).select("id", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(v0(1L) == 10L && !v0.contains(100L))
+    // change feed across the merge classifies exactly
+    val ch = MorLog.changes(spark, dir, 0, 1, Seq("id"))
+      .select("id", "change").as[(Long, String)].collect().toMap
+    assert(ch == Map(1L -> "update", 2L -> "update", 3L -> "update",
+      100L -> "insert", 101L -> "insert"))
+    // stream-batch replay: same (checkpoint, batchId) no-ops; the
+    // fence is the committed action tag, not a side marker
+    val ckpt = s"${tmp("graft-ml5c-")}/ckpt"
+    MorLog.applyStreamBatch(spark, dir,
+      Seq((5L, -6L)).toDF("id", "v"), 7L, "id", ckpt)
+    assert(MorLog.currentVersion(spark, dir) == 2)
+    MorLog.applyStreamBatch(spark, dir,
+      Seq((5L, -999L)).toDF("id", "v"), 7L, "id", ckpt) // replay
+    assert(MorLog.currentVersion(spark, dir) == 2,
+      "a replayed batch id must not commit a second version")
+    assert(MorLog.read(spark, dir).filter(col("id") === 5L)
+      .select("v").as[Long].head() == -6L)
+    // a DIFFERENT checkpoint's batch 7 is a different transaction
+    MorLog.applyStreamBatch(spark, dir,
+      Seq((6L, -7L)).toDF("id", "v"), 7L, "id",
+      s"${tmp("graft-ml5d-")}/ckpt2")
+    assert(MorLog.currentVersion(spark, dir) == 3)
+  }
+
   test("schema drift and retypes fail loud") {
     val dir = s"${tmp("graft-ml4-")}/t"
     MorLog.create(spark.range(10).select(col("id"), lit(1).as("n")), dir)
