@@ -508,6 +508,10 @@ object SparkEntry {
     "q239_morlog_changes"   -> ((s, d) => CoreQueries.morLogChanges(s, d)),
     // checkpointed drain: one time-travelable version per micro-batch
     "q240_morlog_stream"    -> ((s, d) => CoreQueries.morLogStream(s, d)),
+    // CDF from the log's own deltas — O(changed), q239's oracle
+    "q241_morlog_cdf"       -> ((s, d) => CoreQueries.morLogCdf(s, d)),
+    // RESTORE TO VERSION: one metadata commit rewinds to v0
+    "q242_morlog_restore"   -> ((s, d) => CoreQueries.morLogRestore(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -682,6 +686,30 @@ object SparkEntry {
   /** Shared by q218 (one-pass covariance kernel) and q222 (the same
     * moments maintained as streaming state — merge-then-derive must
     * equal derive-of-union). */
+  /** Shared by q239 (snapshot diff) and q241 (incremental CDF) — the
+    * two change-feed implementations must net to ONE truth. */
+  private val morLogDiffOracle: String =
+    """WITH base AS (SELECT user_id,
+             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+               AS BIGINT) AS val
+           FROM events GROUP BY user_id),
+         v2 AS (SELECT * FROM (
+                  SELECT user_id,
+                    CASE WHEN user_id % 4 = 0 THEN val + 100 ELSE val END AS val
+                  FROM base
+                  UNION ALL
+                  SELECT user_id + 1000000, val + 9
+                  FROM base WHERE user_id % 9 = 0)
+                WHERE user_id % 7 <> 0)
+         SELECT COALESCE(base.user_id, v2.user_id) AS user_id,
+           CASE WHEN base.user_id IS NULL THEN 'insert'
+                WHEN v2.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change,
+           base.val AS old_val, v2.val AS new_val
+         FROM base FULL OUTER JOIN v2 ON base.user_id = v2.user_id
+         WHERE base.user_id IS NULL OR v2.user_id IS NULL
+            OR base.val <> v2.val"""
+
   private val embedCovOracle =
     """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        x AS (SELECT i, j, v[i] * v[j] AS p, v[i] AS xi, v[j] AS xj
@@ -868,27 +896,16 @@ object SparkEntry {
          SELECT user_id, val FROM up WHERE user_id % 7 <> 0""",
     // v0→v2 diff: inserts (new keys), updates (%4 repriced, not
     // deleted), deletes (%7 keys gone) — unchanged keys emit nothing
-    "q239_morlog_changes" ->
-      """WITH base AS (SELECT user_id,
-             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
-               AS BIGINT) AS val
-           FROM events GROUP BY user_id),
-         v2 AS (SELECT * FROM (
-                  SELECT user_id,
-                    CASE WHEN user_id % 4 = 0 THEN val + 100 ELSE val END AS val
-                  FROM base
-                  UNION ALL
-                  SELECT user_id + 1000000, val + 9
-                  FROM base WHERE user_id % 9 = 0)
-                WHERE user_id % 7 <> 0)
-         SELECT COALESCE(base.user_id, v2.user_id) AS user_id,
-           CASE WHEN base.user_id IS NULL THEN 'insert'
-                WHEN v2.user_id IS NULL THEN 'delete'
-                ELSE 'update' END AS change,
-           base.val AS old_val, v2.val AS new_val
-         FROM base FULL OUTER JOIN v2 ON base.user_id = v2.user_id
-         WHERE base.user_id IS NULL OR v2.user_id IS NULL
-            OR base.val <> v2.val""",
+    "q239_morlog_changes" -> morLogDiffOracle,
+    // the INCREMENTAL feed nets to the identical diff — one oracle,
+    // two implementations (snapshot scan vs per-version log deltas)
+    "q241_morlog_cdf" -> morLogDiffOracle,
+    // restore(v0) must reproduce the original aggregate exactly
+    "q242_morlog_restore" ->
+      """SELECT user_id,
+           CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+             AS BIGINT) AS val
+         FROM events GROUP BY user_id""",
     // drain fold: evens seeded, %10 repriced by the feed, odds inserted
     "q240_morlog_stream" ->
       """WITH base AS (SELECT user_id,

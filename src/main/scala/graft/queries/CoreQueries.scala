@@ -3107,6 +3107,31 @@ object CoreQueries {
     graft.sink.MorLog.read(s, dir).select(col("user_id"), col("val"))
   }
 
+  /** INCREMENTAL change feed from the log (q241): the SAME v0→v2 net
+    * as q239, but derived from the log's own per-version deltas —
+    * files added per version and tombstone-set growth — never from
+    * snapshot scans ([[graft.sink.MorLog.incrementalChanges]]):
+    * O(changed data + affected files) at any table size, the 100 TB
+    * CDC-subscription form. Shares q239's oracle verbatim — two
+    * implementations, one truth. */
+  def morLogCdf(s: SparkSession, d: String): DataFrame = {
+    val dir = morLogUpserted(s, d)
+    graft.sink.MorLog.incrementalChanges(s, dir, 0, 2, Seq("user_id"))
+      .select(col("user_id"), col("change"),
+        col("_old.val").as("old_val"), col("_new.val").as("new_val"))
+  }
+
+  /** RESTORE TO VERSION (q242): after the upsert and the delete, one
+    * metadata commit rewinds the table to v0's exact state — files,
+    * tombstones, schema — while history keeps moving forward (the
+    * intermediate versions stay readable). Read-back must equal the
+    * original aggregate bit-for-bit. */
+  def morLogRestore(s: SparkSession, d: String): DataFrame = {
+    val dir = morLogUpserted(s, d)
+    graft.sink.MorLog.restore(s, dir, 0) // v3 = v0's state
+    graft.sink.MorLog.read(s, dir).select(col("user_id"), col("val"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

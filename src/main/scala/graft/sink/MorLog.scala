@@ -361,10 +361,157 @@ object MorLog {
     * Value-identical frames (e.g. across a pure compaction) diff to
     * zero rows. */
   def changes(spark: SparkSession, dir: String, fromV: Int, toV: Int,
-              keyCols: Seq[String]): DataFrame =
-    AtomicParquetSink.diffFrames(
-      readVersion(spark, dir, fromV), readVersion(spark, dir, toV),
+              keyCols: Seq[String]): DataFrame = {
+    val a = readVersion(spark, dir, fromV)
+    val toSchema = state(spark, dir, toV).schema
+    // a span crossing an evolveAppend: project the old snapshot to
+    // the newer schema (added columns null-filled), like any CDC
+    // consumer expects — dropping columns backwards stays loud
+    val extra = a.columns.toSet -- toSchema.fieldNames.toSet
+    require(extra.isEmpty,
+      s"changes: v$fromV carries columns $extra that v$toV lacks")
+    val aCols = a.columns.toSet
+    val aProj = a.select(toSchema.map(f =>
+      (if (aCols.contains(f.name)) col(f.name)
+       else lit(null)).cast(f.dataType).as(f.name)): _*)
+    AtomicParquetSink.diffFrames(aProj, readVersion(spark, dir, toV),
       keyCols, s"v$fromV", s"v$toV")
+  }
+
+  /** RESTORE TO VERSION as a NEW commit (Delta's RESTORE): re-commit
+    * version `v`'s exact state — files, tombstone pointer, schema —
+    * as the next version. History only moves forward: the bad
+    * intermediate versions stay readable under normal retention, and
+    * the restore itself is one metadata swap (no data moves). Fails
+    * loud when `v`'s files were already vacuumed. */
+  def restore(spark: SparkSession, dir: String, v: Int): Unit = {
+    val st = state(spark, dir, v)
+    val fs = fsOf(spark, dir)
+    val missing = st.files.filterNot(n => fs.exists(new Path(s"$dir/$n")))
+    require(missing.isEmpty,
+      s"restore: version $v references ${missing.length} vacuumed file(s)")
+    val cur = currentState(spark, dir)
+    writeState(spark, dir,
+      State(cur.version + 1, s"restore:v$v", st.tombsV, st.schema,
+        st.files))
+  }
+
+  /** INCREMENTAL change feed (Delta's CDF shape): the net
+    * insert/update/delete set over (fromV, toV], derived from the
+    * LOG'S OWN PER-VERSION DELTAS — the files each version added and
+    * the tombstone-set growth — never from snapshot scans. Cost is
+    * O(changed data + affected files), at ANY table size, vs
+    * [[changes]]' two full snapshot reads; the two agree exactly
+    * (spec-pinned), so [[changes]] is the small-table/ad-hoc form
+    * and this is the 100 TB subscription form.
+    *
+    * Contract: the span's versions must follow the keyed
+    * single-visible-row discipline ([[create]]/[[upsert]]/
+    * [[deleteWhere]]/[[evolveAppend]] of distinct keys) — plain
+    * appends that duplicate a key make per-key netting ill-defined
+    * (same contract as Delta CDF over MERGE-maintained tables).
+    * Compactions inside the span are value-invisible and contribute
+    * nothing; a RESTORE inside the span rewinds state non-monotonically
+    * and is rejected loud (subscribe across it via two spans or the
+    * snapshot diff). Old images are projected to `toV`'s schema
+    * (added columns null-filled), like any CDC consumer expects. */
+  def incrementalChanges(spark: SparkSession, dir: String, fromV: Int,
+                         toV: Int, keyCols: Seq[String]): DataFrame = {
+    require(fromV < toV, s"need fromV < toV, got $fromV/$toV")
+    val span = versions(spark, dir).filter(v => v > fromV && v <= toV)
+    require(span.nonEmpty && span.max == toV,
+      s"span ($fromV, $toV] not fully in the log")
+    val toSchema = state(spark, dir, toV).schema
+    val nonKey = toSchema.fieldNames.filterNot(keyCols.contains).toSeq
+    def payload(df: DataFrame): Column =
+      struct(nonKey.map(c =>
+        (if (df.columns.contains(c)) col(c)
+         else lit(null)).cast(toSchema(c).dataType).as(c)): _*)
+    var prev = state(spark, dir, fromV)
+    val events = span.flatMap { v =>
+      val st = state(spark, dir, v)
+      require(!st.action.startsWith("restore:"),
+        s"incrementalChanges: version $v is a RESTORE — state rewinds " +
+          "non-monotonically inside the span; use changes() across it")
+      val out: Seq[DataFrame] =
+        if (st.action == "compact") Seq.empty // value-invisible
+        else {
+          val added = st.files.filterNot(prev.files.toSet)
+          val ins =
+            if (added.isEmpty) None
+            else {
+              val src = spark.read.schema(st.schema)
+                .parquet(added.map(n => s"$dir/$n"): _*)
+              Some(src.select(keyCols.map(col) :+ lit(v).as("_v") :+
+                lit("I").as("_kind") :+ payload(src).as("_payload"): _*))
+            }
+          val del =
+            if (st.tombsV == prev.tombsV) None
+            else {
+              val newT = tombsOf(spark, dir, st).get
+              val delta = tombsOf(spark, dir, prev) match {
+                case None => newT
+                case Some(o) => newT.exceptAll(o)
+              }
+              // the delta names only the files that LOST rows this
+              // version — the old images load from just those files
+              val names = delta.select(col(FileCol)).distinct()
+                .collect().map(_.getString(0)).toSeq.sorted
+              if (names.isEmpty) None
+              else {
+                val src = spark.read.schema(prev.schema)
+                  .parquet(names.map(n => s"$dir/$n"): _*)
+                Some(withId(src)
+                  .join(broadcast(delta),
+                    col(RName) === col(FileCol) && col(RRow) === col(RowCol),
+                    "left_semi")
+                  .select(keyCols.map(col) :+ lit(v).as("_v") :+
+                    lit("D").as("_kind") :+ payload(src).as("_payload"): _*))
+              }
+            }
+          (del.toSeq ++ ins.toSeq)
+        }
+      prev = st
+      out
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        keyCols.map(k => org.apache.spark.sql.types.StructField(k,
+          toSchema(k).dataType)) ++ Seq(
+          org.apache.spark.sql.types.StructField("_v",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("_kind",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("_payload",
+            org.apache.spark.sql.types.StructType(nonKey.map(c =>
+              org.apache.spark.sql.types.StructField(c,
+                toSchema(c).dataType)))))))
+    val ev = events.foldLeft(empty)(_ unionByName _)
+    // per-key netting: a delete orders before an insert within one
+    // version (an upsert is delete-then-insert); net old = the first
+    // event's payload iff it is a delete (the key was visible at
+    // fromV), net new = the last event's payload iff it is an insert
+    val rank = when(col("_kind") === "D", 0).otherwise(1)
+    val ord = struct(col("_v"), rank.as("_r"))
+    val net = ev.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(col("_kind"), col("_payload")), ord).as("_first"),
+        max_by(struct(col("_kind"), col("_payload")), ord).as("_last"))
+      .select(keyCols.map(col) :+
+        when(col("_first._kind") === "D", col("_first._payload"))
+          .as("_old") :+
+        when(col("_last._kind") === "I", col("_last._payload"))
+          .as("_new"): _*)
+    net
+      .withColumn("change",
+        when(col("_old").isNull && col("_new").isNotNull, "insert")
+          .when(col("_old").isNotNull && col("_new").isNull, "delete")
+          .when(col("_old").isNotNull && col("_new").isNotNull
+            && !(col("_old") <=> col("_new")), "update"))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) ++ Seq(col("change"), col("_old"),
+        col("_new")): _*)
+  }
 
   /** Idempotently apply one streaming micro-batch as an upsert
     * version. The replay fence is the version log itself: the batch's

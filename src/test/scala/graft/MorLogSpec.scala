@@ -131,6 +131,44 @@ class MorLogSpec extends AnyFunSuite {
     assert(MorLog.currentVersion(spark, dir) == 3)
   }
 
+  test("incremental CDF equals the snapshot diff across upserts, deletes, evolve and compact") {
+    val dir = s"${tmp("graft-ml6-")}/t"
+    MorLog.create(
+      spark.range(60).select(col("id"), (col("id") * 10).as("v")), dir) // v0
+    MorLog.upsert(spark, dir,
+      Seq((1L, -1L), (2L, -2L), (100L, -3L)).toDF("id", "v"), "id") // v1
+    MorLog.deleteWhere(spark, dir, col("id") % 9 === 5) // v2
+    MorLog.compact(spark, dir) // v3 — must contribute NOTHING
+    MorLog.evolveAppend(spark, dir,
+      Seq((200L, -4L, "t")).toDF("id", "v", "tag")) // v4
+    MorLog.upsert(spark, dir,
+      Seq((1L, -9L, null.asInstanceOf[String])).toDF("id", "v", "tag"),
+      "id") // v5: re-update an already-updated key
+    for ((f, t) <- Seq((0, 5), (0, 2), (1, 4), (2, 5))) {
+      val snap = MorLog.changes(spark, dir, f, t, Seq("id"))
+      val inc = MorLog.incrementalChanges(spark, dir, f, t, Seq("id"))
+      assert(inc.exceptAll(snap).isEmpty && snap.exceptAll(inc).isEmpty,
+        s"CDF ($f,$t] diverged from the snapshot diff")
+    }
+    // a key deleted then re-upserted with its ORIGINAL image nets to
+    // nothing in both forms
+    MorLog.deleteWhere(spark, dir, col("id") === 7L) // v6
+    MorLog.upsert(spark, dir,
+      Seq((7L, 70L, null.asInstanceOf[String])).toDF("id", "v", "tag"),
+      "id") // v7
+    assert(MorLog.incrementalChanges(spark, dir, 5, 7, Seq("id"))
+      .isEmpty, "delete+identical-reinsert must net to no change")
+    // a restore inside the span is rejected loud
+    MorLog.restore(spark, dir, 0) // v8
+    val e = intercept[IllegalArgumentException](
+      MorLog.incrementalChanges(spark, dir, 5, 8, Seq("id")).count())
+    assert(e.getMessage.contains("RESTORE"))
+    // …and the restored head equals v0 exactly
+    val v0 = MorLog.readVersion(spark, dir, 0)
+    val head = MorLog.read(spark, dir).select("id", "v")
+    assert(head.exceptAll(v0).isEmpty && v0.exceptAll(head).isEmpty)
+  }
+
   test("schema drift and retypes fail loud") {
     val dir = s"${tmp("graft-ml4-")}/t"
     MorLog.create(spark.range(10).select(col("id"), lit(1).as("n")), dir)
