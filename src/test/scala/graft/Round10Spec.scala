@@ -257,6 +257,93 @@ class Round10Spec extends AnyFunSuite {
     assert(MorGoldStats.totalFallbacks == before + 1)
   }
 
+  // ---- random histories across the per-file migration --------------
+
+  test("property: random CDC histories across the per-file DV migration + exact recency converge") {
+    // The Round9 random-history envelope, re-armed at the round-10
+    // risk surface: the guard is forced tiny so the DV store MIGRATES
+    // to per-file sidecars mid-history (every later locate/read/
+    // maintenance op runs in pf mode), and exactLastSeen is ON so the
+    // top-K recency state is property-tested too. Gold must equal the
+    // from-scratch aggregate of the final visible fact INCLUDING the
+    // delete-correct per-country max timestamp.
+    import graft.streaming.StreamMorGold
+    val userCountry = (1L to 16L).map(k => (k, s"C${k % 4}"))
+      .toDF("user_id", "country")
+    for (seed <- Seq(7, 23, 41)) {
+      spark.conf.set(DeletionVectors.GuardConfKey, "3")
+      try {
+        val rnd = new scala.util.Random(seed)
+        val work = tmp(s"graft-r10pp$seed-")
+        val (fact, gold) = (s"$work/fact", s"$work/gold")
+        val base = (1L to 10L).map(k =>
+          (k, rnd.nextInt(1000) / 100.0, "2024-01-01 00:00:00"))
+          .toDF("user_id", "value", "ts_s")
+        graft.sink.BloomSkipIndex.bloomWrite(base, "user_id", fact,
+          nFiles = 4)
+        StreamMorGold.bootstrapGold(spark, fact, gold, userCountry)
+        var t = 0
+        for (b <- 0 until 8) {
+          val keys = rnd.shuffle((1L to 16L).toList)
+            .take(1 + rnd.nextInt(12))
+          val rows = keys.map { k =>
+            t += 1
+            (k, rnd.nextInt(10000) / 100.0,
+              f"2024-01-02 00:${t / 60}%02d:${t % 60}%02d",
+              Seq("I", "U", "D")(rnd.nextInt(3)))
+          }
+          val df = rows.toDF("user_id", "value", "ts_s", "op")
+          def full(): Unit = StreamMorGold.processBatch(
+            df, b.toLong, fact, gold, userCountry, "user_id", "op",
+            exactLastSeen = true)
+          rnd.nextInt(4) match {
+            case 0 =>
+              StreamMorGold.stageDeltas(df, b.toLong, fact, gold,
+                "user_id", "op")
+              full()
+            case 1 =>
+              StreamMorGold.stageDeltas(df, b.toLong, fact, gold,
+                "user_id", "op")
+              graft.streaming.StreamMoR.applyBatch(spark, fact, df,
+                b.toLong, "user_id", "op")
+              full()
+            case 2 => full(); full()
+            case _ => full()
+          }
+          rnd.nextInt(4) match {
+            case 0 => DeletionVectors.compactIfNeeded(spark, fact, 0.05)
+            case 1 => DeletionVectors.compactSmallFiles(spark, fact,
+              smallBytes = 1L << 20, targetBytes = 4L << 20)
+            case 2 => DeletionVectors.maintain(spark, fact,
+              maxDeleteRatio = 0.05, smallBytes = 1L << 20,
+              targetBytes = 4L << 20)
+            case _ => ()
+          }
+        }
+        // non-vacuous: the tiny guard must actually have migrated the
+        // store (compaction can retire sidecars later, so accept
+        // either a live pf commit or a compacted-away one — but the
+        // _dvpf dir must exist, i.e. migration ran)
+        assert(new java.io.File(s"$fact/_dvpf").exists,
+          s"seed $seed: guard 3 never triggered the per-file migration")
+        val folded = graft.sink.AtomicParquetSink.read(spark, gold).get
+          .filter(col("n_users") =!= 0L)
+          .select("country", "n_users", "total_value", "last_seen")
+          .as[(String, Long, java.math.BigDecimal, String)].collect()
+          .map(x => (x._1, x._2, x._3.doubleValue, x._4)).toSet
+        val scratch = DeletionVectors.read(spark, fact)
+          .join(userCountry, "user_id").groupBy(col("country"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("tv"),
+            max(col("ts_s")).as("mx"))
+          .as[(String, Long, java.math.BigDecimal, String)].collect()
+          .map(x => (x._1, x._2, x._3.doubleValue, x._4)).toSet
+        assert(folded == scratch,
+          s"seed $seed: folded $folded != from-scratch $scratch")
+      } finally spark.conf.unset(DeletionVectors.GuardConfKey)
+    }
+  }
+
   // ---- legacy marker adoption --------------------------------------
 
   test("adoptLegacyMarkers claims untagged fences so a resumed drain skips, not re-applies") {
