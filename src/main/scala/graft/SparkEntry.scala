@@ -512,6 +512,8 @@ object SparkEntry {
     "q241_morlog_cdf"       -> ((s, d) => CoreQueries.morLogCdf(s, d)),
     // RESTORE TO VERSION: one metadata commit rewinds to v0
     "q242_morlog_restore"   -> ((s, d) => CoreQueries.morLogRestore(s, d)),
+    // genuine PNG/JPEG/GIF header parse, corrupt blobs → NULL
+    "q243_image_dims"       -> ((s, d) => LlmQueries.imageDims(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -906,6 +908,19 @@ object SparkEntry {
            CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
              AS BIGINT) AS val
          FROM events GROUP BY user_id""",
+    // the parsed container dims are pure doc_id arithmetic; corrupted
+    // (%31) payloads surface NULLs
+    "q243_image_dims" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 31 = 0 THEN NULL
+                WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'jpeg'
+                ELSE 'gif' END AS format,
+           CASE WHEN doc_id % 31 = 0 THEN NULL
+                ELSE CAST(doc_id % 640 + 16 AS INT) END AS width,
+           CASE WHEN doc_id % 31 = 0 THEN NULL
+                ELSE CAST(doc_id % 480 + 16 AS INT) END AS height
+         FROM documents""",
     // drain fold: evens seeded, %10 repriced by the feed, odds inserted
     "q240_morlog_stream" ->
       """WITH base AS (SELECT user_id,

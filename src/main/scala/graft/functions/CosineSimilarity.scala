@@ -103,6 +103,7 @@ object GraftFunctions {
   val covName = "graft_embed_cov"
   val momName = "graft_embed_mom"
   val dvDeletedName = "graft_dv_deleted"
+  val imageDimsName = "graft_image_dims"
 
   private def cosBuilder(exprs: Seq[Expression]): Expression =
     CosineSimilarity(exprs.head, exprs(1))
@@ -195,6 +196,9 @@ object GraftFunctions {
     if (!registry.functionExists(FunctionIdentifier(dvDeletedName)))
       registry.createOrReplaceTempFunction(dvDeletedName, dvDeletedBuilder,
         "built-in")
+    if (!registry.functionExists(FunctionIdentifier(imageDimsName)))
+      registry.createOrReplaceTempFunction(imageDimsName,
+        graft.multimodal.ImageDims.builder, "built-in")
   }
 
   /** Column form: cosine(a, b) as a codegen'd native expression. */

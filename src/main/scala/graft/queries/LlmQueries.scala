@@ -312,6 +312,35 @@ object LlmQueries {
   def binaryMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.binaryMeta(Tables.documents(s, d))
 
+  /** CONTAINER-HEADER probe (q243): build GENUINE PNG/JPEG/GIF
+    * header bytes per document (dimensions derived from doc_id, the
+    * format rotating) and parse them back with the codegen'd
+    * `graft_image_dims` expression — the no-codec slice of "decode"
+    * a 100 TB image corpus scan runs hot (resolution routing,
+    * aspect filters, corrupt-blob quarantine) made REAL: the
+    * builder and the parser are independent code paths over the
+    * published byte layouts. A corrupted payload (every doc_id % 31
+    * == 0 gets its signature truncated) must surface NULL dims, not
+    * a throw — the quarantine contract. Oracle: the dimensions are
+    * pure doc_id arithmetic. */
+  def imageDims(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("w", (col("doc_id") % 640 + 16).cast("int"))
+      .withColumn("h", (col("doc_id") % 480 + 16).cast("int"))
+      .withColumn("payload",
+        Multimodal.containerPayload((col("doc_id") % 3).cast("int"),
+          col("w"), col("h")))
+      .withColumn("payload",
+        when(col("doc_id") % 31 === 0,
+          expr("substring(payload, 1, 3)")) // truncated: unparseable
+          .otherwise(col("payload")))
+    docs
+      .withColumn("dims", expr("graft_image_dims(payload)"))
+      .select(col("doc_id"), col("dims.format").as("format"),
+        col("dims.width").as("width"), col("dims.height").as("height"))
+  }
+
   /** Frame sampling: 64-unit frames on a 48-unit stride per payload. */
   def frameSample(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Tables.documents(s, d), width = 64, stride = 48)

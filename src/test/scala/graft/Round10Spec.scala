@@ -131,6 +131,41 @@ class Round10Spec extends AnyFunSuite {
     assert(top.count() == 5)
   }
 
+  // ---- container-header probe --------------------------------------
+
+  test("graft_image_dims parses real container bytes; corrupt blobs yield NULL") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // a REAL 1×1 PNG (the canonical minimal transparent pixel) — an
+    // external fixture, independent of both the builder and parser
+    val realPng = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42m" +
+        "NkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    // a JPEG marker stream whose SOF2 sits BEHIND a DQT segment —
+    // the walk must skip non-frame segments by their length fields
+    val jpeg = Array(0xFF, 0xD8, 0xFF, 0xDB, 0x00, 0x05, 1, 2, 3,
+      0xFF, 0xC2, 0x00, 0x0B, 0x08, 0x00, 0x02, 0x00, 0x03,
+      0x01, 0x01, 0x11, 0x00, 0xFF, 0xD9).map(_.toByte)
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x05, 0x00, 0x07, 0x00, 0x00, 0x00, 0x3B)
+    val garbage = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+    val truncated = realPng.take(10)
+    val rows = Seq(
+      (1L, realPng), (2L, jpeg), (3L, gif), (4L, garbage),
+      (5L, truncated), (6L, Array.empty[Byte]))
+      .toDF("id", "payload")
+      .selectExpr("id", "graft_image_dims(payload) AS d")
+      .select(col("id"), col("d.format"), col("d.width"), col("d.height"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.get(2)), Option(r.get(3))))
+      .toMap
+    assert(rows(1L) == (Some("png"), Some(1), Some(1)))
+    assert(rows(2L) == (Some("jpeg"), Some(3), Some(2)))
+    assert(rows(3L) == (Some("gif"), Some(5), Some(7)))
+    assert(rows(4L) == (None, None, None))
+    assert(rows(5L) == (None, None, None))
+    assert(rows(6L) == (None, None, None))
+  }
+
   // ---- byte-based optimized write ----------------------------------
 
   private def dataFileSizes(dir: String): Seq[(String, Long)] = {
