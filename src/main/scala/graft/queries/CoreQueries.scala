@@ -2980,7 +2980,10 @@ object CoreQueries {
     val base = Tables.events(s, d).groupBy(col("user_id"))
       .agg(floor(moneySum(col("value"))).cast("long").as("val"))
     graft.sink.BloomSkipIndex.bloomWrite(base, "user_id", dir, nFiles = 8)
-    s.conf.set(graft.sink.DeletionVectors.GuardConfKey, "64")
+    // low enough that the FIRST delete crosses it at every test sf
+    // (sf0.001's smaller user domain included) — the entry must
+    // exercise the per-file path wherever the driver runs it
+    s.conf.set(graft.sink.DeletionVectors.GuardConfKey, "2")
     try {
       graft.sink.DeletionVectors.deleteWhere(s, dir,
         col("user_id") % 7 === 0) // crosses the guard → migrates
