@@ -514,6 +514,8 @@ object SparkEntry {
     "q242_morlog_restore"   -> ((s, d) => CoreQueries.morLogRestore(s, d)),
     // genuine PNG/JPEG/GIF header parse, corrupt blobs → NULL
     "q243_image_dims"       -> ((s, d) => LlmQueries.imageDims(s, d)),
+    // bin-pack the drain's debris as one version: value-invisible
+    "q244_morlog_packed"    -> ((s, d) => CoreQueries.morLogPacked(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -688,6 +690,17 @@ object SparkEntry {
   /** Shared by q218 (one-pass covariance kernel) and q222 (the same
     * moments maintained as streaming state — merge-then-derive must
     * equal derive-of-union). */
+  /** Shared by q240 (drain) and q244 (post-pack read) — small-file
+    * compaction must be value-invisible. */
+  private val morLogDrainOracle: String =
+    """WITH base AS (SELECT user_id,
+             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+               AS BIGINT) AS val
+           FROM events GROUP BY user_id)
+         SELECT user_id,
+           CASE WHEN user_id % 10 = 0 THEN val + 100 ELSE val END AS val
+         FROM base"""
+
   /** Shared by q239 (snapshot diff) and q241 (incremental CDF) — the
     * two change-feed implementations must net to ONE truth. */
   private val morLogDiffOracle: String =
@@ -922,14 +935,9 @@ object SparkEntry {
                 ELSE CAST(doc_id % 480 + 16 AS INT) END AS height
          FROM documents""",
     // drain fold: evens seeded, %10 repriced by the feed, odds inserted
-    "q240_morlog_stream" ->
-      """WITH base AS (SELECT user_id,
-             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
-               AS BIGINT) AS val
-           FROM events GROUP BY user_id)
-         SELECT user_id,
-           CASE WHEN user_id % 10 = 0 THEN val + 100 ELSE val END AS val
-         FROM base""",
+    "q240_morlog_stream" -> morLogDrainOracle,
+    // the packed table answers exactly like the never-packed drain
+    "q244_morlog_packed" -> morLogDrainOracle,
     // four snapshots reconstructed: v1 append, v2 delete, v3 compact
     // (≡ v2 — value-invisible), v4 append-after-compact
     "q234_mor_timetravel" ->

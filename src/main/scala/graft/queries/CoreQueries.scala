@@ -3094,7 +3094,11 @@ object CoreQueries {
     * fence is the version log itself (the batch's (checkpoint,
     * batchId) identity rides the committed action tag; no side
     * marker files). */
-  def morLogStream(s: SparkSession, d: String): DataFrame = {
+  def morLogStream(s: SparkSession, d: String): DataFrame =
+    graft.sink.MorLog.read(s, morLogDrained(s, d))
+      .select(col("user_id"), col("val"))
+
+  private def morLogDrained(s: SparkSession, d: String): String = {
     val work = graft.TempDirs.create("graft-mlst-")
     val dir = s"$work/t"
     val base = Tables.events(s, d).groupBy(col("user_id"))
@@ -3107,6 +3111,20 @@ object CoreQueries {
     feed.repartition(2).write.parquet(s"$work/feed")
     graft.sink.MorLog.runStream(s, s"$work/feed", feed.schema,
       s"$work/ckpt", dir, "user_id")
+    dir
+  }
+
+  /** SMALL-FILE compaction on the drained log table (q244): the q240
+    * drain leaves one file set per micro-batch plus per-version
+    * tombstones; [[graft.sink.MorLog.compactSmall]] bin-packs ONLY
+    * the small files (through their tombstones) as one more version
+    * — O(small files), never O(table) — and the packed table must
+    * answer exactly like the never-packed one (q240's oracle), while
+    * the pre-pack version keeps reading (asserted in MorLogSpec). */
+  def morLogPacked(s: SparkSession, d: String): DataFrame = {
+    val dir = morLogDrained(s, d)
+    graft.sink.MorLog.compactSmall(s, dir,
+      smallBytes = 64L << 20, targetBytes = 128L << 20)
     graft.sink.MorLog.read(s, dir).select(col("user_id"), col("val"))
   }
 

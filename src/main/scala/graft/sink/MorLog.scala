@@ -253,6 +253,64 @@ object MorLog {
     st.files.size
   }
 
+  /** Bin-pack SMALL data files into ~`targetBytes` outputs as ONE
+    * version — the incremental OPTIMIZE a trickle-drained log table
+    * needs: [[compact]] rewrites the whole snapshot (right-sized
+    * after a bulk delete), but a long [[runStream]] drain leaves one
+    * small file set per micro-batch, and folding that debris must
+    * cost O(small files), not O(table). Only files under
+    * `smallBytes` are read (through their tombstones — a raw repack
+    * would resurrect deleted rows); large files and their tombstone
+    * entries stay untouched in the new version's state, and the old
+    * files remain on disk so every earlier version keeps reading.
+    * Returns the number of files packed away. */
+  def compactSmall(spark: SparkSession, dir: String,
+                   smallBytes: Long = 8L << 20,
+                   targetBytes: Long = 128L << 20): Int = {
+    require(smallBytes > 0 && targetBytes >= smallBytes,
+      s"need 0 < smallBytes <= targetBytes, got $smallBytes/$targetBytes")
+    val st = currentState(spark, dir)
+    val fs = fsOf(spark, dir)
+    val sized = st.files.map(n =>
+      n -> fs.getFileStatus(new Path(s"$dir/$n")).getLen)
+    val small = sized.filter(_._2 < smallBytes).map(_._1)
+    if (small.size < 2) return 0
+    val keepNames = st.files.filterNot(small.toSet)
+    val src = spark.read.schema(st.schema)
+      .parquet(small.map(n => s"$dir/$n"): _*)
+    val visible = tombsOf(spark, dir, st) match {
+      case None => src
+      case Some(t) => withId(src).join(broadcast(t),
+          col(RName) === col(FileCol) && col(RRow) === col(RowCol),
+          "left_anti")
+        .drop(RName, RRow)
+    }
+    val nOut = math.max(1,
+      math.ceil(small.map(n => sized.toMap.apply(n)).sum.toDouble
+        / targetBytes).toInt)
+    val v = st.version + 1
+    val packed = stageIn(spark, dir, visible.repartition(nOut), v)
+    // tombstone entries of the packed files fold away with the
+    // rewrite; kept files' entries carry into the new version's set
+    val newTombsV = tombsOf(spark, dir, st) match {
+      case None => -1
+      case Some(t) =>
+        val kept = t.filter(col(FileCol).isInCollection(keepNames))
+          .persist()
+        try {
+          if (kept.isEmpty) -1
+          else {
+            kept.coalesce(1).write.mode("overwrite")
+              .parquet(tombsDir(dir, v))
+            v
+          }
+        } finally kept.unpersist()
+    }
+    writeState(spark, dir,
+      State(v, "compact", newTombsV, st.schema, keepNames ++ packed))
+    small.size
+  }
+
   /** Drop versions older than the newest `keepVersions` and every
     * data file / tombstone set only they reference. Explicit
     * retention, Delta's VACUUM: travel to a vacuumed version fails

@@ -169,6 +169,41 @@ class MorLogSpec extends AnyFunSuite {
     assert(head.exceptAll(v0).isEmpty && v0.exceptAll(head).isEmpty)
   }
 
+  test("compactSmall packs only the small files, keeps big tombstones, old versions still read") {
+    val dir = s"${tmp("graft-ml7-")}/t"
+    // one BIG base file + three trickle appends + deletes in both
+    MorLog.create(spark.range(50000).select(col("id"),
+      md5(col("id").cast("string")).as("v")).repartition(1), dir) // v0
+    for (i <- 1 to 3)
+      MorLog.upsert(spark, dir,
+        spark.range(50000L + i * 10, 50000L + i * 10 + 10)
+          .select(col("id"), lit(s"t$i").as("v")), "id") // v1..v3
+    MorLog.deleteWhere(spark, dir, col("id") % 10000 === 1) // v4: big file
+    MorLog.deleteWhere(spark, dir, col("id") === 50011L) // v5: small file
+    val before = MorLog.read(spark, dir)
+    val beforeRows = before.count()
+    val st5 = MorLog.state(spark, dir, 5)
+    // pack with a threshold UNDER the big file's size
+    val bigLen = new java.io.File(s"$dir/${st5.files.head}").length
+    val packed = MorLog.compactSmall(spark, dir,
+      smallBytes = bigLen, targetBytes = bigLen * 2)
+    assert(packed >= 3, s"expected the trickle files packed, got $packed")
+    val st6 = MorLog.state(spark, dir, 6)
+    assert(st6.files.contains(st5.files.head),
+      "the big file must survive the pack untouched")
+    assert(st6.files.size < st5.files.size)
+    // value-invisible, including the big file's surviving tombstones
+    val after = MorLog.read(spark, dir)
+    assert(after.count() == beforeRows)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    assert(after.filter(col("id") % 10000 === 1 || col("id") === 50011L)
+      .count() == 0, "packing resurrected a deleted row")
+    // the pre-pack version still reads (old files retained)
+    assert(MorLog.readVersion(spark, dir, 5).count() == beforeRows)
+    // and the CDF across the pack sees it as value-invisible
+    assert(MorLog.incrementalChanges(spark, dir, 5, 6, Seq("id")).isEmpty)
+  }
+
   test("schema drift and retypes fail loud") {
     val dir = s"${tmp("graft-ml4-")}/t"
     MorLog.create(spark.range(10).select(col("id"), lit(1).as("n")), dir)
