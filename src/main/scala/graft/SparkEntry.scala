@@ -516,6 +516,8 @@ object SparkEntry {
     "q243_image_dims"       -> ((s, d) => LlmQueries.imageDims(s, d)),
     // bin-pack the drain's debris as one version: value-invisible
     "q244_morlog_packed"    -> ((s, d) => CoreQueries.morLogPacked(s, d)),
+    // route the corpus by (format, aspect) from header bytes alone
+    "q245_aspect_buckets"   -> ((s, d) => LlmQueries.aspectBuckets(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -921,6 +923,22 @@ object SparkEntry {
            CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
              AS BIGINT) AS val
          FROM events GROUP BY user_id""",
+    // (format, aspect-bucket) routing incl. the corrupt-quarantine cell
+    "q245_aspect_buckets" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 31 = 0 THEN NULL
+                  WHEN doc_id % 3 = 0 THEN 'png'
+                  WHEN doc_id % 3 = 1 THEN 'jpeg'
+                  ELSE 'gif' END AS format,
+             doc_id % 640 + 16 AS w, doc_id % 480 + 16 AS h
+           FROM documents)
+         SELECT COALESCE(format, 'corrupt') AS format,
+           CASE WHEN format IS NULL THEN -1
+                ELSE CAST(floor(w * 10 / h) AS BIGINT) END AS aspect10,
+           COUNT(*) AS n_blobs,
+           CAST(SUM(CASE WHEN format IS NULL THEN 0 ELSE w * h END)
+             AS BIGINT) AS sum_pixels
+         FROM d GROUP BY 1, 2""",
     // the parsed container dims are pure doc_id arithmetic; corrupted
     // (%31) payloads surface NULLs
     "q243_image_dims" ->

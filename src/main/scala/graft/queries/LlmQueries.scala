@@ -950,6 +950,39 @@ object LlmQueries {
     recallOf(topMean, "mean").unionByName(recallOf(topKm, "kmeans"))
   }
 
+  /** ASPECT-RATIO routing (q245): what the header probe exists FOR
+    * in a training-data pipeline — route the corpus into
+    * (format, aspect-bucket) cells without touching a pixel decoder:
+    * parse dims in-scan (q243's probe), bucket on integer aspect
+    * (floor(10·w/h) — exact cross-engine arithmetic), count the
+    * corrupt blobs into their own quarantine cell instead of
+    * dropping them silently. One scan, one partial-aggregated
+    * groupBy; at 100 TB the probe is the only per-row work. */
+  def aspectBuckets(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("w", (col("doc_id") % 640 + 16).cast("int"))
+      .withColumn("h", (col("doc_id") % 480 + 16).cast("int"))
+      .withColumn("payload",
+        Multimodal.containerPayload((col("doc_id") % 3).cast("int"),
+          col("w"), col("h")))
+      .withColumn("payload",
+        when(col("doc_id") % 31 === 0,
+          expr("substring(payload, 1, 3)"))
+          .otherwise(col("payload")))
+      .withColumn("dims", expr("graft_image_dims(payload)"))
+    docs
+      .select(
+        coalesce(col("dims.format"), lit("corrupt")).as("format"),
+        when(col("dims").isNull, lit(-1L))
+          .otherwise(floor(col("dims.width") * 10L / col("dims.height")))
+          .as("aspect10"),
+        coalesce(col("dims.width").cast("long")
+          * col("dims.height"), lit(0L)).as("px"))
+      .groupBy(col("format"), col("aspect10"))
+      .agg(count(lit(1)).as("n_blobs"), sum(col("px")).as("sum_pixels"))
+  }
+
   /** GROUPED covariance (q231): the q218 moment aggregate under
     * `groupBy(label)` — one O(d²) buffer PER GROUP with map-side
     * partial aggregation, the per-cluster second-moment profile an
