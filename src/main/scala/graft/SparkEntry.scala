@@ -518,6 +518,8 @@ object SparkEntry {
     "q244_morlog_packed"    -> ((s, d) => CoreQueries.morLogPacked(s, d)),
     // route the corpus by (format, aspect) from header bytes alone
     "q245_aspect_buckets"   -> ((s, d) => LlmQueries.aspectBuckets(s, d)),
+    // checkpointed drain crossing the per-file DV migration + maintain
+    "q246_stream_mor_pf"    -> ((s, d) => CoreQueries.streamMorPf(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -692,6 +694,19 @@ object SparkEntry {
   /** Shared by q218 (one-pass covariance kernel) and q222 (the same
     * moments maintained as streaming state — merge-then-derive must
     * equal derive-of-union). */
+  /** Shared by q207 (packed drain) and q246 (drain across the
+    * per-file DV migration + maintain) — same final state, three
+    * physical histories. */
+  private val morDrainFoldOracle: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CASE WHEN event_id % 10 = 4
+                              THEN value + 10000.0 ELSE value END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE event_id % 10 <> 8
+         GROUP BY event_type"""
+
   /** Shared by q240 (drain) and q244 (post-pack read) — small-file
     * compaction must be value-invisible. */
   private val morLogDrainOracle: String =
@@ -4208,15 +4223,11 @@ object SparkEntry {
          GROUP BY n_name""",
     // packed MoR table answers exactly like the never-packed one —
     // q197's oracle over the same final state
-    "q207_mor_small_files" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(CASE WHEN event_id % 10 = 4
-                              THEN value + 10000.0 ELSE value END
-                         AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-           CAST(sum(event_id) AS BIGINT) AS sum_event_id
-         FROM events
-         WHERE event_id % 10 <> 8
-         GROUP BY event_type""",
+    "q207_mor_small_files" -> morDrainFoldOracle,
+    // the drain that MIGRATED to per-file tombstones mid-stream (and
+    // took a maintain pass) answers exactly the same — representation
+    // and maintenance are value-invisible
+    "q246_stream_mor_pf" -> morDrainFoldOracle,
     // indexed MoR drain: evens minus the deleted %1000==502, the
     // %1000==2 re-priced, plus the inserted odd %1000==1 rows
     "q208_stream_mor_indexed" -> indexedDrainOracle,

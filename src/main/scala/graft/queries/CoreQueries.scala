@@ -3153,6 +3153,47 @@ object CoreQueries {
     graft.sink.MorLog.read(s, dir).select(col("user_id"), col("val"))
   }
 
+  /** STREAMING MoR drain ACROSS the per-file migration (q246): q207's
+    * feed into a bloom-indexed fact with the broadcast guard forced
+    * low, so the accumulated tombstones cross it MID-DRAIN — later
+    * batches' locates, the DV-aware reads, and the closing
+    * [[graft.sink.DeletionVectors.maintain]] pass all run against
+    * the per-file store, under a live checkpointed stream. The entry
+    * fails loud if the migration never engaged (a vacuous run would
+    * silently test the broadcast regime). Oracle: q207's final
+    * state — representation and maintenance are value-invisible. */
+  def streamMorPf(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-smpf-")
+    val dir = s"$work/table"
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    graft.sink.BloomSkipIndex.bloomWrite(
+      ev.filter(col("event_id") % 2 === 0), "event_id", dir, nFiles = 8)
+    val feed = ev.filter(col("event_id") % 2 =!= 0)
+      .withColumn("op", lit("I"))
+      .unionByName(ev.filter(col("event_id") % 10 === 4)
+        .withColumn("value", col("value") + lit(10000.0))
+        .withColumn("op", lit("U")))
+      .unionByName(ev.filter(col("event_id") % 10 === 8)
+        .withColumn("op", lit("D")))
+    feed.repartition(4).write.parquet(s"$work/feed")
+    s.conf.set(graft.sink.DeletionVectors.GuardConfKey, "16")
+    try {
+      graft.streaming.StreamMoR.run(s, s"$work/feed", feed.schema,
+        s"$work/checkpoint", dir, keyCol = "event_id", opCol = "op")
+      require(graft.sink.DvPerFile.committedGen(s, dir).nonEmpty,
+        "q246: the drain never crossed the guard — vacuous")
+      graft.sink.DeletionVectors.maintain(s, dir,
+        maxDeleteRatio = 0.3, smallBytes = 64L << 20,
+        targetBytes = 128L << 20)
+    } finally s.conf.unset(graft.sink.DeletionVectors.GuardConfKey)
+    graft.sink.DeletionVectors.read(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {
