@@ -204,6 +204,81 @@ class MorLogSpec extends AnyFunSuite {
     assert(MorLog.incrementalChanges(spark, dir, 5, 6, Seq("id")).isEmpty)
   }
 
+  test("property: random op histories match an in-memory model at EVERY version") {
+    for (seed <- Seq(3, 19, 37)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = s"${tmp(s"graft-mlp$seed-")}/t"
+      def df(m: Map[Long, Long]) =
+        m.toSeq.sortBy(_._1).toDF("id", "v")
+      var model = (1L to 20L).filter(_ => rnd.nextBoolean())
+        .map(k => k -> rnd.nextLong(1000)).toMap + (0L -> 0L)
+      MorLog.create(df(model).repartition(2), dir)
+      var snapshots = Vector(model)
+      var restored = Set.empty[Int] // spans a CDF may not cross
+      for (_ <- 0 until 8) {
+        val before = MorLog.currentVersion(spark, dir)
+        rnd.nextInt(6) match {
+          case 0 | 1 => // upsert: random keys, random values
+            val batch = (1L to 24L).filter(_ => rnd.nextInt(4) == 0)
+              .map(k => k -> rnd.nextLong(1000)).toMap
+            val b = if (batch.isEmpty) Map(99L -> 1L) else batch
+            MorLog.upsert(spark, dir, df(b), "id")
+            model = model ++ b
+          case 2 => // predicate delete (may commit nothing)
+            val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+            MorLog.deleteWhere(spark, dir, col("id") % m === r)
+            model = model.filter { case (k, _) => k % m != r }
+          case 3 =>
+            MorLog.compact(spark, dir)
+          case 4 => // may be a no-op under 2 small files
+            MorLog.compactSmall(spark, dir,
+              smallBytes = 1L << 20, targetBytes = 4L << 20)
+          case _ => // restore to a random earlier version
+            val v = rnd.nextInt(snapshots.size)
+            MorLog.restore(spark, dir, v)
+            model = snapshots(v)
+            restored += snapshots.size // this new version is a restore
+        }
+        // zero-victim deletes and sub-2-file packs commit NO version —
+        // the model history only grows when the log did
+        if (MorLog.currentVersion(spark, dir) > before) snapshots :+= model
+      }
+      // every version's snapshot equals the model's history
+      assert(MorLog.versions(spark, dir).size == snapshots.size)
+      snapshots.zipWithIndex.foreach { case (m, v) =>
+        val got = MorLog.readVersion(spark, dir, v)
+          .select("id", "v").as[(Long, Long)].collect().toMap
+        assert(got == m, s"seed $seed v$v: $got != $m")
+      }
+      // both change-feed forms net the same random span (CDF only
+      // over restore-free spans, per its documented contract)
+      val last = snapshots.size - 1
+      for (_ <- 0 until 3) {
+        val f = rnd.nextInt(last); val t = f + 1 + rnd.nextInt(last - f)
+        val snap = MorLog.changes(spark, dir, f, t, Seq("id"))
+        val expected = {
+          val (a, b) = (snapshots(f), snapshots(t))
+          (a.keySet ++ b.keySet).toSeq.flatMap { k =>
+            (a.get(k), b.get(k)) match {
+              case (None, Some(n)) => Some((k, "insert"))
+              case (Some(_), None) => Some((k, "delete"))
+              case (Some(o), Some(n)) if o != n => Some((k, "update"))
+              case _ => None
+            }
+          }.toSet
+        }
+        val gotSnap = snap.select("id", "change")
+          .as[(Long, String)].collect().toSet
+        assert(gotSnap == expected, s"seed $seed ($f,$t]: snapshot diff")
+        if (!(f + 1 to t).exists(restored.contains)) {
+          val inc = MorLog.incrementalChanges(spark, dir, f, t, Seq("id"))
+          assert(inc.exceptAll(snap).isEmpty && snap.exceptAll(inc).isEmpty,
+            s"seed $seed ($f,$t]: CDF != snapshot diff")
+        }
+      }
+    }
+  }
+
   test("schema drift and retypes fail loud") {
     val dir = s"${tmp("graft-ml4-")}/t"
     MorLog.create(spark.range(10).select(col("id"), lit(1).as("n")), dir)
