@@ -520,6 +520,8 @@ object SparkEntry {
     "q245_aspect_buckets"   -> ((s, d) => LlmQueries.aspectBuckets(s, d)),
     // checkpointed drain crossing the per-file DV migration + maintain
     "q246_stream_mor_pf"    -> ((s, d) => CoreQueries.streamMorPf(s, d)),
+    // keyed UPDATE through the per-file store's in-scan visible view
+    "q247_mor_update_pf"    -> ((s, d) => CoreQueries.morUpdatePf(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -4107,6 +4109,17 @@ object SparkEntry {
                          AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
            CAST(sum(event_id) AS BIGINT) AS sum_event_id
          FROM events
+         GROUP BY event_type""",
+    // q199's update composed with a prior %10==8 delete, both applied
+    // through the per-file store
+    "q247_mor_update_pf" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CASE WHEN event_type = 'click' AND value > 100.0
+                              THEN value * 2.0 ELSE value END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE event_id % 10 <> 8
          GROUP BY event_type""",
     // manifest-pruned box scan through the deletion vectors: the box
     // filter with the tombstoned users complemented out — file

@@ -3194,6 +3194,34 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** Keyed MoR UPDATE on a MIGRATED table (q247): a delete first
+    * pushes the table past the guard into the per-file store, then
+    * q199's predicate UPDATE runs against it — the update's visible
+    * view resolves through the in-scan probe, its tombstones merge
+    * per-file, and the final read composes both mutations. The entry
+    * fails loud if the migration never engaged. */
+  def morUpdatePf(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-morupf-")
+    val dir = s"$work/t"
+    Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+      .repartition(8).write.parquet(dir)
+    s.conf.set(graft.sink.DeletionVectors.GuardConfKey, "16")
+    try {
+      graft.sink.DeletionVectors.deleteWhere(s, dir,
+        col("event_id") % 10 === 8) // crosses the guard → migrates
+      require(graft.sink.DvPerFile.committedGen(s, dir).nonEmpty,
+        "q247: the delete never crossed the guard — vacuous")
+      graft.sink.DeletionVectors.updateWhere(s, dir,
+        col("event_type") === "click" && col("value") > 100.0,
+        Map("value" -> (col("value") * lit(2.0))))
+    } finally s.conf.unset(graft.sink.DeletionVectors.GuardConfKey)
+    graft.sink.DeletionVectors.read(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -371,7 +371,8 @@ object StreamMorGold {
                    goldDir: String, userCountry: DataFrame,
                    keyCol: String, opCol: String,
                    maintainBloom: Boolean = true,
-                   exactLastSeen: Boolean = false): Unit = {
+                   exactLastSeen: Boolean = false,
+                   exactTopK: Int = ExactTopK): Unit = {
     val spark = batch.sparkSession
     val b = batch.persist()
     try {
@@ -386,7 +387,7 @@ object StreamMorGold {
       if (exactLastSeen)
         IncrementalGold.foldGold(spark, batchId, staged, goldDir,
           userCountry,
-          exactPatch(spark, tableDir, userCountry, staged, ExactTopK))
+          exactPatch(spark, tableDir, userCountry, staged, exactTopK))
       else
         IncrementalGold.foldGold(spark, batchId, staged, goldDir,
           userCountry)
@@ -402,7 +403,8 @@ object StreamMorGold {
           opCol: String = "op", maxFilesPerTrigger: Int = 1,
           compactRatio: Double = 0.0,
           maintainBloom: Boolean = true,
-          exactLastSeen: Boolean = false): DataFrame = {
+          exactLastSeen: Boolean = false,
+          exactTopK: Int = ExactTopK): DataFrame = {
     // The gold's staged-delta and fold fences are keyed by BATCH ID,
     // and batch ids restart at 0 for a new checkpoint — so one gold
     // may only ever be maintained by ONE checkpointed stream. Pin the
@@ -441,7 +443,7 @@ object StreamMorGold {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, tableDir, goldDir, userCountry,
-          keyCol, opCol, maintainBloom, exactLastSeen)
+          keyCol, opCol, maintainBloom, exactLastSeen, exactTopK)
         // inline MoR compaction AFTER the fold (same rationale and
         // safety argument as StreamMoR.run's compactRatio): the next
         // batch's delta stage reads through DeletionVectors.read, so
