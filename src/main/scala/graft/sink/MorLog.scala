@@ -338,6 +338,23 @@ object MorLog {
     deleted
   }
 
+  /** One maintenance pass, in the safe order — the table-service call
+    * a long-drained log table runs between batches: bin-pack the
+    * trickle debris ([[compactSmall]], one value-invisible version),
+    * then retire out-of-retention versions and the files only they
+    * reference ([[vacuum]]). Returns (filesPacked, filesVacuumed).
+    * Ordering matters for efficiency only: vacuuming first would
+    * retain the debris the pack is about to supersede for one more
+    * cycle. */
+  def maintain(spark: SparkSession, dir: String,
+               smallBytes: Long = 8L << 20,
+               targetBytes: Long = 128L << 20,
+               keepVersions: Int = 2): (Int, Int) = {
+    val packed = compactSmall(spark, dir, smallBytes, targetBytes)
+    val dropped = vacuum(spark, dir, keepVersions)
+    (packed, dropped)
+  }
+
   /** The table as of version `v` — files, tombstones, and schema all
     * as committed then. */
   def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {

@@ -202,6 +202,15 @@ class MorLogSpec extends AnyFunSuite {
     assert(MorLog.readVersion(spark, dir, 5).count() == beforeRows)
     // and the CDF across the pack sees it as value-invisible
     assert(MorLog.incrementalChanges(spark, dir, 5, 6, Seq("id")).isEmpty)
+    // one maintenance call: pack (a no-op now — already packed) +
+    // vacuum to retention 1, which finally frees the packed-away
+    // trickle files (retention 2 would keep v5 referencing them)
+    val (p2, dropped) = MorLog.maintain(spark, dir,
+      smallBytes = bigLen, targetBytes = bigLen * 2, keepVersions = 1)
+    assert(p2 == 0 && dropped >= 3,
+      s"expected the superseded trickle files freed, got $dropped")
+    assert(MorLog.versions(spark, dir).size == 1)
+    assert(MorLog.read(spark, dir).count() == beforeRows)
   }
 
   test("property: random op histories match an in-memory model at EVERY version") {
