@@ -11,7 +11,9 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** PER-FILE deletion-vector store — the representation the tombstone
   * set SWITCHES to once it outgrows the broadcast regime (Delta's DV
-  * shape; the full-set `_dv_g<N>` generations and their broadcast
+  * shape; the DELETE capability itself substitutes for the
+  * reference's alter-row delete routing,
+  * dataflow/BookingDataTransformation.json:95-117, on open parquet; the full-set `_dv_g<N>` generations and their broadcast
   * anti-join stay the right answer while the set is metadata-sized,
   * but both fail outright at 100 TB delete volumes: the read
   * broadcasts the whole set to every task, and every delete batch

@@ -10,7 +10,12 @@ import org.apache.spark.sql.types.StructType
   * (the Delta/Iceberg table-log shape; closes the documented scope
   * gaps of the directory-listing MoR tier, where
   * [[DeletionVectors.readPreviousGen]] versions only tombstones and
-  * any compaction invalidates the grace snapshot).
+  * any compaction invalidates the grace snapshot). Relative to the
+  * reference's table lifecycle — overwrite-style dimension reloads
+  * and a TRUNCATE+INSERT gold refresh with no retained history
+  * (synapse_table_creation.sql:56-88; pipeline/LoadCustomerDim
+  * .json) — this is the versioned upgrade: every load is a readable
+  * snapshot and "what changed" is a log question, not a re-scan.
   *
   * The key inversion vs the `_dv_g` tier: readers NEVER list the
   * directory — every version's metadata file names its exact data
