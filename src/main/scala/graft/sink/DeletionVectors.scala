@@ -1066,14 +1066,9 @@ object DeletionVectors {
     // NARROWER than the table casts up in the projection below (no
     // schema change). Anything else — narrowing the table, or an
     // incompatible retype — still fails loud: those need a rewrite.
-    import org.apache.spark.sql.types._
-    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
-      case (ByteType, ShortType | IntegerType | LongType) => true
-      case (ShortType, IntegerType | LongType) => true
-      case (IntegerType, LongType) => true
-      case (FloatType, DoubleType) => true
-      case _ => false
-    }
+    def widens(from: org.apache.spark.sql.types.DataType,
+               to: org.apache.spark.sql.types.DataType): Boolean =
+      SchemaGuard.widens(from, to)
     val retyped = curMap.keySet.intersect(bMap.keySet)
       .filter(c => curMap(c) != bMap(c))
     val widened = retyped.filter(c => widens(curMap(c), bMap(c)))

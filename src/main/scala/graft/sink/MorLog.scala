@@ -163,22 +163,33 @@ object MorLog {
       State(v, "append", st.tombsV, st.schema, st.files ++ names))
   }
 
-  /** ADD-COLUMN schema evolution as one version: the union schema
-    * commits in the meta, the batch appends projected to it, and old
-    * files surface the new columns as NULL under the versioned read
-    * schema — previous versions keep their own (narrower) schema. */
+  /** Schema evolution as one version: ADD COLUMN and safe TYPE
+    * WIDENING ([[SchemaGuard.widens]]) commit in the meta, the batch
+    * appends projected to the union, and old files decode under the
+    * versioned (wider) read schema — previous versions keep their
+    * own (narrower) schema; batches narrower than the table cast up
+    * in the projection; narrowing/incompatible retypes stay loud. */
   def evolveAppend(spark: SparkSession, dir: String,
                    batch: DataFrame): Unit = {
     val st = currentState(spark, dir)
     val curMap = st.schema.map(f => f.name -> f.dataType).toMap
     val retyped = batch.schema.filter(f =>
       curMap.get(f.name).exists(_ != f.dataType))
-    require(retyped.isEmpty,
-      s"evolveAppend: retyped ${retyped.map(_.name)} — this tier " +
-        "evolves by ADDING columns; retypes go through a rewrite")
+    val widened = retyped.filter(f =>
+      SchemaGuard.widens(curMap(f.name), f.dataType))
+    val bad = retyped.filterNot(f =>
+      SchemaGuard.widens(curMap(f.name), f.dataType) ||
+        SchemaGuard.widens(f.dataType, curMap(f.name)))
+    require(bad.isEmpty,
+      s"evolveAppend: retyped ${bad.map(_.name)} — this tier evolves " +
+        "by adding columns and safe widenings; other retypes go " +
+        "through a rewrite")
+    val widenMap = widened.map(f => f.name -> f.dataType).toMap
     val newFields = batch.schema.filter(f => !curMap.contains(f.name))
     val union = StructType(
-      (st.schema.fields ++ newFields).map(_.copy(nullable = true)))
+      (st.schema.fields.map(f =>
+        widenMap.get(f.name).map(t => f.copy(dataType = t))
+          .getOrElse(f)) ++ newFields).map(_.copy(nullable = true)))
     val bCols = batch.columns.toSet
     val v = st.version + 1
     val names = stageIn(spark, dir,

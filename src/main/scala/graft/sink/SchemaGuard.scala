@@ -72,6 +72,23 @@ object SchemaGuard {
     storedSchema(spark, dir).map(visible)
       .getOrElse(spark.read.parquet(dir).schema)
 
+  /** Safe metadata-only type widenings (the lattice Spark's
+    * vectorized parquet reader decodes natively: old narrow pages
+    * under the wider read schema) — shared by the directory-listing
+    * tier's [[DeletionVectors.evolveAppend]] and the log-backed
+    * [[MorLog.evolveAppend]]. */
+  def widens(from: org.apache.spark.sql.types.DataType,
+             to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
   /** No-op when `dir` holds no data file yet (first write defines the
     * schema). */
   def requireSameColumns(spark: SparkSession, dir: String,

@@ -288,14 +288,26 @@ class MorLogSpec extends AnyFunSuite {
     }
   }
 
-  test("schema drift and retypes fail loud") {
+  test("schema drift and incompatible retypes fail loud; widening versions the schema") {
     val dir = s"${tmp("graft-ml4-")}/t"
     MorLog.create(spark.range(10).select(col("id"), lit(1).as("n")), dir)
     intercept[IllegalArgumentException](
       MorLog.append(spark, dir,
         spark.range(3).select(col("id"), lit(1).as("n"), lit(2).as("m"))))
+    // int→long WIDENS as metadata: one version, both file widths
+    // decode under the new schema, the old version stays narrow
+    MorLog.evolveAppend(spark, dir,
+      spark.range(10, 13).select(col("id"), lit(3000000000L).as("n")))
+    assert(MorLog.state(spark, dir, 1).schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(MorLog.state(spark, dir, 0).schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val got = MorLog.read(spark, dir).select("id", "n")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 13 && got(0L) == 1L && got(12L) == 3000000000L)
+    // an incompatible retype still fails loud
     intercept[IllegalArgumentException](
       MorLog.evolveAppend(spark, dir,
-        spark.range(3).select(col("id"), lit(1L).as("n"))))
+        spark.range(3).select(col("id"), lit("x").as("n"))))
   }
 }
