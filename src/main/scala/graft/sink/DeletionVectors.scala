@@ -628,7 +628,8 @@ object DeletionVectors {
           rewriteFiles(spark, dir, grp, t)
           DvPerFile.retire(spark, dir, names)
         }
-        DvPerFile.commitAfterRetire(spark, dir)
+        DvPerFile.commitAfterRetire(spark, dir,
+          affected.map(f => new Path(new java.net.URI(f)).getName).toSet)
         affected.length
       case None =>
         val t = currentTombstones(spark, dir).getOrElse(return 0).persist()
@@ -700,7 +701,8 @@ object DeletionVectors {
             DvPerFile.tombstonesOfFiles(spark, dir, ceil, Some(names)))
           DvPerFile.retire(spark, dir, names)
         }
-        DvPerFile.commitAfterRetire(spark, dir)
+        DvPerFile.commitAfterRetire(spark, dir,
+          due.map(f => new Path(new java.net.URI(f)).getName).toSet)
         due.length
       case None =>
         val t = currentTombstones(spark, dir).getOrElse(return 0).persist()
@@ -766,8 +768,9 @@ object DeletionVectors {
     // `_metadata.file_path` and the listing, cf. vacuumTombstones)
     pfGen(spark, dir) match {
       case Some(_) =>
-        DvPerFile.retire(spark, dir, files.map(f => new Path(f).getName).toSet)
-        DvPerFile.commitAfterRetire(spark, dir)
+        val names = files.map(f => new Path(f).getName).toSet
+        DvPerFile.retire(spark, dir, names)
+        DvPerFile.commitAfterRetire(spark, dir, names)
       case None =>
         currentTombstones(spark, dir).foreach { ts =>
           val names = files.map(f => new Path(f).getName)
@@ -831,7 +834,7 @@ object DeletionVectors {
           .filterNot(live.contains).toSet
         if (dead.nonEmpty) {
           DvPerFile.retire(spark, dir, dead)
-          DvPerFile.commitAfterRetire(spark, dir)
+          DvPerFile.commitAfterRetire(spark, dir, dead)
         }
       case None =>
         val t = currentTombstones(spark, dir).getOrElse(return)

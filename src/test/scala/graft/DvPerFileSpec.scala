@@ -162,6 +162,65 @@ class DvPerFileSpec extends AnyFunSuite {
     }
   }
 
+  test("sidecar discovery is the commit marker, never a directory listing") {
+    val dir = s"${tmp("graft-pf7-")}/t"
+    base(20000).repartition(8).write.parquet(dir)
+    withGuard(500) {
+      DeletionVectors.deleteWhere(spark, dir, col("id") % 7 === 0)
+      val ceil = DvPerFile.committedGen(spark, dir).get
+      // plant a STRAY sidecar the marker does not reference, at a gen
+      // the old listing-based resolve would have preferred — with
+      // garbage content, so any path that lists-and-reads it throws
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_dvpf")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(p,
+        s"zz-not-in-marker.parquet.g$ceil.dv"), true)
+      out.write("garbage-not-a-sidecar".getBytes("UTF-8")); out.close()
+      val before = graft.sink.DvScanCache.listingFallbackCount
+      // marker-backed read: resolves + scans fine, ignores the stray
+      assert(readIds(dir) == expected(20000, _ % 7 == 0))
+      assert(DvPerFile.countsByFile(spark, dir, ceil).values.sum == 2858)
+      assert(graft.sink.DvScanCache.listingFallbackCount == before,
+        "read/resolve path took a directory-listing fallback")
+      // and mergeCommit's task-side resolution is marker-backed too
+      DeletionVectors.deleteByKeys(spark, dir, "id", Seq(lit(1L)))
+      assert(readIds(dir) ==
+        expected(20000, i => i % 7 == 0 || i == 1))
+      assert(graft.sink.DvScanCache.listingFallbackCount == before)
+    }
+  }
+
+  test("a torn delete attempt's leftover sidecars never leak into a later commit") {
+    val dir = s"${tmp("graft-pf8-")}/t"
+    base(20000).repartition(8).write.parquet(dir)
+    withGuard(500) {
+      DeletionVectors.deleteWhere(spark, dir, col("id") % 7 === 0)
+      val base0 = DvPerFile.committedGen(spark, dir).get
+      // simulate a crashed batch: a sidecar landed at base+1 for some
+      // file, but the marker never advanced
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val anyFull = DvPerFile.countsByFile(spark, dir, base0).keys.head
+      val name = new org.apache.hadoop.fs.Path(
+        new java.net.URI(anyFull)).getName
+      DvPerFile.writeSidecar(hconf, dir, name, base0 + 1, anyFull,
+        (0L until 1000L).toArray) // tombstones the crashed batch wanted
+      // a DIFFERENT batch now commits gen base+1
+      DeletionVectors.deleteByKeys(spark, dir, "id", Seq(lit(1L)))
+      assert(DvPerFile.committedGen(spark, dir).get == base0 + 1)
+      // the torn attempt's tombstones must NOT surface
+      assert(readIds(dir) ==
+        expected(20000, i => i % 7 == 0 || i == 1),
+        "torn-attempt sidecar leaked into the committed view")
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/_dvpf")
+        .getFileSystem(hconf)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/_dvpf/$name.g${base0 + 1}.dv")) ||
+        DvPerFile.countsByFile(spark, dir, base0 + 1)
+          .get(anyFull).forall(_ < 1000),
+        "mergeCommit must sweep torn sidecars above the base marker")
+    }
+  }
+
   test("pre-guard tables stay in the broadcast regime") {
     val dir = s"${tmp("graft-pf6-")}/t"
     base(2000).repartition(4).write.parquet(dir)
