@@ -312,15 +312,27 @@ private[graft] object DvPerFile {
     *
     * `gc=false` callers ([[MorLog]]) version their ceilings: old
     * generations stay until the caller's own retention drops them
-    * ([[gcKeepCeilings]]). */
+    * ([[gcKeepCeilings]]).
+    *
+    * `baseCeil`/`nextGen` (< 0 = default): a versioned caller that
+    * RESTORED to an older ceiling merges FROM that ceiling's state
+    * but must write ABOVE every generation its log still retains
+    * (the skipped-over versions stay readable) — it passes both
+    * explicitly and owns the torn-attempt sweep itself
+    * ([[rollbackAbove]] at its retained maximum); the default path
+    * merges from the committed marker and sweeps above it here. */
   def mergeCommit(spark: SparkSession, tableDir: String,
-                  newTombs: DataFrame, gc: Boolean = true): Long = {
-    val base = committedGen(spark, tableDir).getOrElse(
-      throw new IllegalStateException(
-        s"mergeCommit on $tableDir without a per-file commit"))
-    val next = base + 1
+                  newTombs: DataFrame, gc: Boolean = true,
+                  baseCeil: Int = -1, nextGen: Int = -1): Long = {
+    val base =
+      if (baseCeil >= 0) baseCeil
+      else committedGen(spark, tableDir).getOrElse(
+        throw new IllegalStateException(
+          s"mergeCommit on $tableDir without a per-file commit"))
+    val next = if (nextGen >= 0) nextGen else base + 1
+    require(next > base, s"mergeCommit: nextGen $next must exceed base $base")
     val hconf = spark.sparkContext.hadoopConfiguration
-    dropSidecarsAbove(hconf, tableDir, base)
+    if (nextGen < 0) dropSidecarsAbove(hconf, tableDir, base)
     val conf = new SerConf(hconf)
     val td = tableDir
     val grouped = newTombs
@@ -435,6 +447,27 @@ private[graft] object DvPerFile {
         if (g < minMarkerKeep && !keepMarkers.contains(g))
           fs.delete(s.getPath, false)
       }
+    }
+  }
+
+  /** Roll back UNCOMMITTED (at the caller's level) generations: drop
+    * every marker AND sidecar above `ceil`. For versioned callers
+    * ([[MorLog]]) whose own log is the commit point: a crash between
+    * [[mergeCommit]]'s marker write and the caller's meta swap leaves
+    * an orphan generation that the next write must not build on. */
+  def rollbackAbove(spark: SparkSession, tableDir: String,
+                    ceil: Int): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    dropSidecarsAbove(hconf, tableDir, ceil)
+    val d = pfDir(tableDir)
+    val fs = fsOf(hconf, d)
+    if (!fs.exists(new Path(d))) return
+    fs.listStatus(new Path(d)).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("_commit.g") &&
+          scala.util.Try(n.stripPrefix("_commit.g").toInt).toOption
+            .exists(_ > ceil))
+        fs.delete(s.getPath, false)
     }
   }
 

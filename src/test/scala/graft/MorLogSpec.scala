@@ -213,8 +213,181 @@ class MorLogSpec extends AnyFunSuite {
     assert(MorLog.read(spark, dir).count() == beforeRows)
   }
 
+  test("past the guard, tombstones ride per-file sidecars; travel, CDF, restore and vacuum cross the migration") {
+    val dir = s"${tmp("graft-ml8-")}/t"
+    spark.conf.set(graft.sink.DeletionVectors.GuardConfKey, "10")
+    try {
+      MorLog.create(spark.range(200)
+        .select(col("id"), (col("id") * 10).as("v")).repartition(4), dir)
+      // v1: 5 tombstones — under the guard, broadcast tier
+      assert(MorLog.deleteWhere(spark, dir, col("id") < 5) == 5)
+      val st1 = MorLog.state(spark, dir, 1)
+      assert(st1.tombsV == 1 && st1.pfCeil == -1)
+      // v2: 20 total crosses the guard — the ONE O(total) migration
+      assert(MorLog.deleteWhere(spark, dir,
+        col("id") >= 5 && col("id") < 20) == 15)
+      val st2 = MorLog.state(spark, dir, 2)
+      assert(st2.tombsV == -1 && st2.pfCeil >= 1,
+        s"guard crossing must land per-file, got $st2")
+      // v3: a later delete merges ONLY the affected file's sidecar
+      assert(MorLog.deleteWhere(spark, dir, col("id") === 100L) == 1)
+      val st3 = MorLog.state(spark, dir, 3)
+      assert(st3.pfCeil == st2.pfCeil + 1)
+      // v4: keyed upsert in the per-file tier
+      MorLog.upsert(spark, dir,
+        Seq((50L, -1L), (51L, -2L), (500L, -3L)).toDF("id", "v"), "id")
+      // every version reads exactly, across the tier boundary
+      assert(ids(MorLog.readVersion(spark, dir, 0)) == (0L until 200L).toSet)
+      assert(ids(MorLog.readVersion(spark, dir, 1)) == (5L until 200L).toSet)
+      assert(ids(MorLog.readVersion(spark, dir, 2)) == (20L until 200L).toSet)
+      assert(ids(MorLog.readVersion(spark, dir, 3)) ==
+        (20L until 200L).toSet - 100L)
+      val head = MorLog.read(spark, dir).select("id", "v")
+        .as[(Long, Long)].collect().toMap
+      assert(head.keySet == (20L until 200L).toSet - 100L + 500L)
+      assert(head(50L) == -1L && head(500L) == -3L && head(60L) == 600L)
+      // CDF: incremental equals snapshot diff within the per-file
+      // tier AND across the migration crossing
+      for ((f, t) <- Seq((0, 2), (1, 3), (2, 4), (0, 4))) {
+        val snap = MorLog.changes(spark, dir, f, t, Seq("id"))
+        val inc = MorLog.incrementalChanges(spark, dir, f, t, Seq("id"))
+        assert(inc.exceptAll(snap).isEmpty && snap.exceptAll(inc).isEmpty,
+          s"CDF ($f,$t] diverged across the migration")
+      }
+      // restore BACK to the broadcast-tier v1 and mutate: per-file
+      // history (v2–v4) must stay readable
+      MorLog.restore(spark, dir, 1) // v5
+      assert(ids(MorLog.read(spark, dir)) == (5L until 200L).toSet)
+      assert(MorLog.deleteWhere(spark, dir, col("id") === 7L) == 1) // v6
+      assert(ids(MorLog.read(spark, dir)) == (5L until 200L).toSet - 7L)
+      assert(ids(MorLog.readVersion(spark, dir, 3)) ==
+        (20L until 200L).toSet - 100L)
+      // restore FORWARD into the per-file tier and mutate: the new
+      // generation must write ABOVE v4's retained ceiling while
+      // merging FROM v3's (the restored) state
+      MorLog.restore(spark, dir, 3) // v7
+      assert(MorLog.state(spark, dir, 7).pfCeil == st3.pfCeil)
+      assert(MorLog.deleteWhere(spark, dir, col("id") === 101L) == 1) // v8
+      val st8 = MorLog.state(spark, dir, 8)
+      assert(st8.pfCeil > MorLog.state(spark, dir, 4).pfCeil,
+        "post-restore generation collided with retained history")
+      assert(ids(MorLog.read(spark, dir)) ==
+        (20L until 200L).toSet - 100L - 101L)
+      // the skipped-over upsert version still reads exactly
+      val v4 = MorLog.readVersion(spark, dir, 4).select("id", "v")
+        .as[(Long, Long)].collect().toMap
+      assert(v4.keySet == (20L until 200L).toSet - 100L + 500L &&
+        v4(50L) == -1L)
+      // vacuum to the last 3: retained ceilings keep resolving,
+      // dropped history fails loud
+      MorLog.vacuum(spark, dir, keepVersions = 3)
+      assert(MorLog.versions(spark, dir) == Seq(6, 7, 8))
+      assert(ids(MorLog.readVersion(spark, dir, 7)) ==
+        (20L until 200L).toSet - 100L)
+      assert(ids(MorLog.readVersion(spark, dir, 8)) ==
+        (20L until 200L).toSet - 100L - 101L)
+      intercept[Exception](MorLog.readVersion(spark, dir, 2).count())
+    } finally spark.conf.unset(graft.sink.DeletionVectors.GuardConfKey)
+  }
+
+  test("commit metadata is O(changed files): delta metas between checkpoints; vacuum re-checkpoints the oldest survivor") {
+    val dir = s"${tmp("graft-ml9-")}/t"
+    MorLog.create(spark.range(4000).select(col("id"),
+      (col("id") * 7).as("v")).repartition(8), dir) // v0: 8 files
+    for (i <- 1 to 14)
+      MorLog.upsert(spark, dir,
+        Seq((i * 100L, -i.toLong)).toDF("id", "v"), "id")
+    def metaLines(v: Int): Seq[String] =
+      new String(Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/_log/v$v.meta")), "UTF-8")
+        .split("\n", -1).toSeq
+    // a mid-stream upsert names only the file it added (+) — NOT the
+    // whole table list (8 base files + one per prior version)
+    val m7 = metaLines(7)
+    assert(m7(3) == "delta", s"v7 should be a delta meta, got ${m7(3)}")
+    val m7files = m7.drop(4).filter(_.nonEmpty)
+    assert(m7files.nonEmpty && m7files.size <= 2 &&
+      m7files.forall(l => l.startsWith("+") || l.startsWith("-")),
+      s"delta meta must carry only the changed files, got $m7files")
+    // the periodic checkpoint carries the full list
+    assert(metaLines(10)(3) == "full")
+    // reconstruction across the checkpoint boundary is exact
+    val got = MorLog.read(spark, dir).select("id", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 4000 && got(700L) == -7L && got(1100L) == -11L
+      && got(3L) == 21L, "reconstructed file list lost rows")
+    // vacuum upgrades the oldest survivor (a delta) to a checkpoint
+    // so it reconstructs without the dropped metas
+    MorLog.vacuum(spark, dir, keepVersions = 3)
+    assert(MorLog.versions(spark, dir) == Seq(12, 13, 14))
+    assert(metaLines(12)(3) == "full",
+      "the oldest retained delta meta must be upgraded to a checkpoint")
+    assert(MorLog.readVersion(spark, dir, 12)
+      .filter(col("id") === 1200L).select("v").as[Long].head() == -12L)
+  }
+
+  test("narrowing batches fail loud on append and upsert; narrower batches upcast") {
+    val dir = s"${tmp("graft-mla-")}/t"
+    MorLog.create(spark.range(10)
+      .select(col("id"), lit(1).cast("int").as("n")), dir)
+    val wide = spark.range(10, 12)
+      .select(col("id"), lit(3000000000L).as("n"))
+    val e1 = intercept[IllegalArgumentException](
+      MorLog.append(spark, dir, wide))
+    assert(e1.getMessage.contains("narrow-cast"))
+    val e2 = intercept[IllegalArgumentException](
+      MorLog.upsert(spark, dir, wide, "id"))
+    assert(e2.getMessage.contains("narrow-cast"))
+    assert(MorLog.currentVersion(spark, dir) == 0,
+      "a rejected batch must not commit")
+    // a NARROWER batch upcasts on write — fine both paths
+    MorLog.evolveAppend(spark, dir, spark.range(20, 22)
+      .select(col("id"), lit(3000000000L).as("n"))) // n -> long (v1)
+    MorLog.append(spark, dir, spark.range(12, 14)
+      .select(col("id"), lit(2).cast("int").as("n"))) // int into long
+    MorLog.upsert(spark, dir, spark.range(0, 2)
+      .select(col("id"), lit(9).cast("int").as("n")), "id")
+    val got = MorLog.read(spark, dir).select("id", "n")
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) == 9L && got(12L) == 2L && got(20L) == 3000000000L)
+  }
+
+  test("vacuum sweeps crashed-attempt debris: stage dirs and data files of uncommitted versions") {
+    val dir = s"${tmp("graft-mlb-")}/t"
+    MorLog.create(spark.range(10).toDF("id"), dir)
+    MorLog.append(spark, dir, spark.range(10, 20).toDF("id"))
+    // fake a crashed v5 attempt: a stage dir and an already-renamed
+    // data file, no meta
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/_log/_stage_v5"))
+    Files.write(java.nio.file.Paths.get(s"$dir/_log/_stage_v5/x.parquet"),
+      Array[Byte](1))
+    Files.copy(
+      java.nio.file.Paths.get(s"$dir/part-v1-0.parquet"),
+      java.nio.file.Paths.get(s"$dir/part-v5-0.parquet"))
+    MorLog.vacuum(spark, dir, keepVersions = 10) // drops nothing live
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/_log/_stage_v5")),
+      "crashed stage dir must be swept")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/part-v5-0.parquet")),
+      "an uncommitted version's data file must be swept")
+    assert(MorLog.versions(spark, dir) == Seq(0, 1))
+    assert(ids(MorLog.read(spark, dir)) == (0L until 20L).toSet)
+  }
+
   test("property: random op histories match an in-memory model at EVERY version") {
-    for (seed <- Seq(3, 19, 37)) {
+    for ((seed, guard) <- Seq((3, None), (19, None), (37, None),
+      (5, Some("6")), (23, Some("6")))) {
+      guard.foreach(g =>
+        spark.conf.set(graft.sink.DeletionVectors.GuardConfKey, g))
+      try runHistory(seed)
+      finally if (guard.isDefined)
+        spark.conf.unset(graft.sink.DeletionVectors.GuardConfKey)
+    }
+  }
+
+  /** One random-history run — with the guard lowered, histories cross
+    * the broadcast→per-file migration (and restore across it), and
+    * the model must still match at every version. */
+  private def runHistory(seed: Int): Unit = {
       val rnd = new scala.util.Random(seed)
       val dir = s"${tmp(s"graft-mlp$seed-")}/t"
       def df(m: Map[Long, Long]) =
@@ -285,7 +458,6 @@ class MorLogSpec extends AnyFunSuite {
             s"seed $seed ($f,$t]: CDF != snapshot diff")
         }
       }
-    }
   }
 
   test("schema drift and incompatible retypes fail loud; widening versions the schema") {
