@@ -522,6 +522,8 @@ object SparkEntry {
     "q246_stream_mor_pf"    -> ((s, d) => CoreQueries.streamMorPf(s, d)),
     // keyed UPDATE through the per-file store's in-scan visible view
     "q247_mor_update_pf"    -> ((s, d) => CoreQueries.morUpdatePf(s, d)),
+    // log-backed drain crossing the per-file migration mid-stream
+    "q248_morlog_stream_pf" -> ((s, d) => CoreQueries.morLogStreamPf(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -973,6 +975,9 @@ object SparkEntry {
     "q240_morlog_stream" -> morLogDrainOracle,
     // the packed table answers exactly like the never-packed drain
     "q244_morlog_packed" -> morLogDrainOracle,
+    // the drain that crossed the per-file migration mid-stream (and
+    // was maintained through the migrated store) answers identically
+    "q248_morlog_stream_pf" -> morLogDrainOracle,
     // four snapshots reconstructed: v1 append, v2 delete, v3 compact
     // (≡ v2 — value-invisible), v4 append-after-compact
     "q234_mor_timetravel" ->

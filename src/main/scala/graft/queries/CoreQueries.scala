@@ -3128,6 +3128,55 @@ object CoreQueries {
     graft.sink.MorLog.read(s, dir).select(col("user_id"), col("val"))
   }
 
+  /** STREAMING drain into the LOG-BACKED table ACROSS the per-file
+    * migration (q248): q240's drain with the broadcast guard forced
+    * to ~40% of the update-key count, so the upsert tombstones
+    * accumulating under the version log cross it MID-DRAIN — earlier
+    * micro-batches commit broadcast-tier versions, the crossing batch
+    * migrates the whole set to per-file sidecars under its OWN
+    * committed version, later batches merge only affected files'
+    * sidecars, and the closing [[graft.sink.MorLog.maintain]] packs
+    * the trickle files and vacuums out-of-retention versions THROUGH
+    * the migrated store (retained ceilings keep resolving). Fails
+    * loud when the run is vacuous for the crossing: no broadcast-tier
+    * version (guard crossed before the drain began), no migration, or
+    * no post-migration merge. Oracle: q240's final state verbatim —
+    * tombstone tier, representation, and maintenance are all
+    * value-invisible. */
+  def morLogStreamPf(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-mlpf-")
+    val dir = s"$work/t"
+    val base = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(floor(moneySum(col("value"))).cast("long").as("val"))
+    graft.sink.MorLog.create(
+      base.filter(col("user_id") % 2 === 0).repartition(2), dir)
+    val updates = base.filter(col("user_id") % 10 === 0)
+      .select(col("user_id"), (col("val") + 100L).as("val"))
+    val feed = updates.unionByName(base.filter(col("user_id") % 2 === 1))
+    feed.repartition(4).write.parquet(s"$work/feed")
+    val nUpd = updates.count()
+    s.conf.set(graft.sink.DeletionVectors.GuardConfKey,
+      math.max(2L, nUpd * 2 / 5).toString)
+    try {
+      graft.sink.MorLog.runStream(s, s"$work/feed", feed.schema,
+        s"$work/ckpt", dir, "user_id")
+      val sts = graft.sink.MorLog.versions(s, dir)
+        .map(graft.sink.MorLog.state(s, dir, _))
+      require(sts.exists(_.tombsV >= 0),
+        "q248: no broadcast-tier version — the guard crossed before " +
+          "the drain began; vacuous for the migration")
+      val ceils = sts.map(_.pfCeil).filter(_ >= 0)
+      require(ceils.nonEmpty,
+        "q248: the drain never crossed the guard — vacuous")
+      require(ceils.distinct.size >= 2,
+        "q248: no post-migration per-file merge happened — vacuous " +
+          "for the per-file tier")
+      graft.sink.MorLog.maintain(s, dir, smallBytes = 64L << 20,
+        targetBytes = 128L << 20, keepVersions = 2)
+    } finally s.conf.unset(graft.sink.DeletionVectors.GuardConfKey)
+    graft.sink.MorLog.read(s, dir).select(col("user_id"), col("val"))
+  }
+
   /** INCREMENTAL change feed from the log (q241): the SAME v0→v2 net
     * as q239, but derived from the log's own per-version deltas —
     * files added per version and tombstone-set growth — never from
