@@ -64,6 +64,10 @@ import org.apache.spark.sql.streaming.Trigger
 private[graft] object MorGoldStats {
   @volatile var lastFallbackCountries: Int = 0
   @volatile var totalFallbacks: Long = 0L
+  /** Rows the exact-mode patch collected to the driver in the last
+    * batch (delta groups + touched prior state) — specs pin this to
+    * O(batch countries), independent of the gold's own grain. */
+  @volatile var lastStateRowsCollected: Int = 0
 }
 
 object StreamMorGold {
@@ -253,10 +257,16 @@ object StreamMorGold {
     * these so specs can pin "zero fallbacks" on realistic feeds. */
   private[streaming] val ExactTopK = 32
 
-  private def countryTopK(spark: SparkSession, tableDir: String,
-                          userCountry: DataFrame,
-                          only: Option[Seq[String]],
-                          k: Int): Map[String, (Seq[String], Boolean)] = {
+  /** The per-country state (country, _ts_topk, _ts_complete) built
+    * from the fact — the DISTRIBUTED form: partitioned window over
+    * country, never materialized on the driver. Bootstrap consumes it
+    * as-is (state for EVERY country without a driver round-trip);
+    * [[countryTopK]] collects it for the fallback rebuilds, which are
+    * bounded to the affected countries. */
+  private def countryTopKDf(spark: SparkSession, tableDir: String,
+                            userCountry: DataFrame,
+                            only: Option[Seq[String]],
+                            k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dim = only match {
       case Some(cs) if cs.nonEmpty =>
@@ -271,13 +281,19 @@ object StreamMorGold {
       .withColumn("_rn", row_number().over(w))
       .groupBy(col("country"))
       .agg(sort_array(collect_list(
-          when(col("_rn") <= k, col("ts_s"))), asc = false).as("topk"),
-        count(lit(1)).as("n"))
+          when(col("_rn") <= k, col("ts_s"))), asc = false).as("_ts_topk"),
+        (count(lit(1)) <= k).as("_ts_complete"))
+  }
+
+  private def countryTopK(spark: SparkSession, tableDir: String,
+                          userCountry: DataFrame,
+                          only: Option[Seq[String]],
+                          k: Int): Map[String, (Seq[String], Boolean)] =
+    countryTopKDf(spark, tableDir, userCountry, only, k)
       .collect()
       .map(r => r.getString(0) ->
-        (r.getSeq[String](1).toSeq, r.getLong(2) <= k))
+        (r.getSeq[String](1).toSeq, r.getBoolean(2)))
       .toMap
-  }
 
   /** Remove each element of `removes` (a multiset) from `base` once.
     * Returns None when the state cannot prove the removal is safe:
@@ -299,26 +315,35 @@ object StreamMorGold {
 
   /** The foldGold patch for exact mode: update (or bootstrap) the
     * per-country state from the staged deltas, set `last_seen` from
-    * its head. Runs post-apply, inside the fenced swap. */
+    * its head. Runs post-apply, inside the fenced swap.
+    *
+    * Driver memory is bounded by the BATCH, not the gold: only the
+    * batch's countries' prior state and delta rows are ever
+    * collected (O(batch countries × K)); every untouched country's
+    * state flows prior → new gold as a DataFrame union that never
+    * visits the driver, and the bootstrap builds the whole state
+    * distributed. A 10k-group (or 10M-group) gold key is therefore
+    * fine as long as single BATCHES stay driver-sized — that is the
+    * grain contract, and [[MorGoldStats.lastStateRowsCollected]]
+    * exposes the actual per-batch collect so specs pin it
+    * (review-caught: the old fold collected the ENTIRE per-country
+    * map every micro-batch). */
   private def exactPatch(spark: SparkSession, tableDir: String,
                          userCountry: DataFrame, staged: DataFrame,
                          k: Int)(merged: DataFrame,
                                  prior: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
     val hasState = prior.exists(_.columns.contains("_ts_topk"))
-    val state: Map[String, (Seq[String], Boolean)] =
+    val stateDf: DataFrame =
       if (!hasState) {
         // bootstrap: the fact already includes this batch (the fold
         // runs post-apply), so build the state directly and skip the
-        // delta fold for this one batch — idempotent on replay
+        // delta fold for this one batch — idempotent on replay, and
+        // fully distributed (no driver materialization at any grain)
         MorGoldStats.lastFallbackCountries = 0
-        countryTopK(spark, tableDir, userCountry, None, k)
+        MorGoldStats.lastStateRowsCollected = 0
+        countryTopKDf(spark, tableDir, userCountry, None, k)
       } else {
-        val priorMap = prior.get.select(col("country"), col("_ts_topk"),
-            col("_ts_complete")).collect()
-          .map(r => r.getString(0) ->
-            (Option(r.getSeq[String](1)).map(_.toSeq).getOrElse(Seq.empty),
-              r.getBoolean(2)))
-          .toMap
         val ar = staged.join(broadcast(userCountry), "user_id")
           .groupBy(col("country"))
           .agg(collect_list(col("add_ts")).as("adds"),
@@ -326,6 +351,19 @@ object StreamMorGold {
           .collect()
           .map(r => (r.getString(0), r.getSeq[String](1).toSeq,
             r.getSeq[String](2).toSeq))
+        val batchCountries = ar.map(_._1).toSeq
+        val priorState = prior.get.select(col("country"),
+          col("_ts_topk"), col("_ts_complete"))
+        val priorMap: Map[String, (Seq[String], Boolean)] =
+          if (batchCountries.isEmpty) Map.empty
+          else priorState
+            .filter(col("country").isInCollection(batchCountries))
+            .collect()
+            .map(r => r.getString(0) ->
+              (Option(r.getSeq[String](1)).map(_.toSeq)
+                .getOrElse(Seq.empty), r.getBoolean(2)))
+            .toMap
+        MorGoldStats.lastStateRowsCollected = ar.length + priorMap.size
         var fallback = List.empty[String]
         val updated = ar.flatMap { case (c, adds, removes) =>
           val (base, complete) =
@@ -343,14 +381,18 @@ object StreamMorGold {
         val rebuilt =
           if (fallback.isEmpty) Map.empty[String, (Seq[String], Boolean)]
           else countryTopK(spark, tableDir, userCountry, Some(fallback), k)
-        priorMap ++ updated ++
-          fallback.map(c => c -> rebuilt.getOrElse(c, (Seq.empty, true)))
+        val touched = (updated ++
+          fallback.map(c => c -> rebuilt.getOrElse(c, (Seq.empty, true))))
+          .toSeq.map { case (c, (arr, comp)) => (c, arr, comp) }
+          .toDF("country", "_ts_topk", "_ts_complete")
+        // untouched countries' state carries over without ever
+        // visiting the driver
+        priorState
+          .filter(if (batchCountries.isEmpty) lit(true)
+            else !col("country").isInCollection(batchCountries))
+          .unionByName(touched)
       }
-    import spark.implicits._
-    val stateDf = state.toSeq
-      .map { case (c, (arr, comp)) => (c, arr, comp) }
-      .toDF("country", "_ts_topk", "_ts_complete")
-    merged.join(broadcast(stateDf), Seq("country"), "left_outer")
+    merged.join(stateDf, Seq("country"), "left_outer")
       .withColumn("_ts_topk",
         coalesce(col("_ts_topk"), array().cast("array<string>")))
       .withColumn("_ts_complete", coalesce(col("_ts_complete"), lit(true)))
