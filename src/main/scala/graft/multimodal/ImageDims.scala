@@ -11,11 +11,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * 100 TB image corpus scan actually runs hot: extracting format and
   * pixel dimensions from the container bytes so downstream routing
   * (resolution buckets, aspect filters, corrupt-blob quarantine)
-  * never touches a pixel decoder. PNG (IHDR), JPEG (SOF marker walk)
-  * and GIF (logical screen descriptor) per their public format specs;
-  * anything else — including truncated or corrupt headers — yields
-  * NULL, never a throw (a quarantine filter must be able to SELECT
-  * the bad blobs). */
+  * never touches a pixel decoder. PNG (IHDR), JPEG (SOF marker walk),
+  * GIF (logical screen descriptor) and WEBP (RIFF: VP8/VP8L/VP8X)
+  * per their public format specs; anything else — including
+  * truncated or corrupt headers — yields NULL, never a throw (a
+  * quarantine filter must be able to SELECT the bad blobs). */
 object MultimodalCodecs {
 
   private def be32(b: Array[Byte], i: Int): Int =
@@ -25,6 +25,10 @@ object MultimodalCodecs {
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
   private def le16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le24(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+  private def le32(b: Array[Byte], i: Int): Int =
+    le16(b, i) | (le16(b, i + 2) << 16)
 
   private def row(fmt: String, w: Int, h: Int): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -49,6 +53,36 @@ object MultimodalCodecs {
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
       val w = le16(b, 6); val h = le16(b, 8)
       return if (w > 0 && h > 0) row("gif", w, h) else null
+    }
+    // WEBP: RIFF container ("RIFF" + size + "WEBP"), first chunk at
+    // 12 — "VP8 " lossy (14-bit dims after the 0x9d012a sync code),
+    // "VP8L" lossless (0x2f signature, then 14-bit-packed dims−1),
+    // "VP8X" extended (24-bit LE canvas dims−1). The dominant
+    // web-scraped-corpus format; was quarantined as corrupt before.
+    if (b.length >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P') {
+      if (b.length >= 30 && b(12) == 'V' && b(13) == 'P' && b(14) == '8' &&
+          b(15) == ' ') {
+        // 3-byte frame tag at 20, sync code 9D 01 2A at 23
+        if ((b(23) & 0xff) != 0x9d || (b(24) & 0xff) != 0x01 ||
+            (b(25) & 0xff) != 0x2a) return null
+        val w = le16(b, 26) & 0x3fff; val h = le16(b, 28) & 0x3fff
+        return if (w > 0 && h > 0) row("webp", w, h) else null
+      }
+      if (b.length >= 25 && b(12) == 'V' && b(13) == 'P' && b(14) == '8' &&
+          b(15) == 'L') {
+        if ((b(20) & 0xff) != 0x2f) return null // lossless signature
+        val v = le32(b, 21)
+        val w = (v & 0x3fff) + 1; val h = ((v >> 14) & 0x3fff) + 1
+        return row("webp", w, h)
+      }
+      if (b.length >= 30 && b(12) == 'V' && b(13) == 'P' && b(14) == '8' &&
+          b(15) == 'X') {
+        val w = le24(b, 24) + 1; val h = le24(b, 27) + 1
+        return row("webp", w, h)
+      }
+      return null // unknown/truncated first chunk
     }
     // JPEG: SOI then a marker walk to the first frame header (SOFn,
     // excluding DHT/JPG/DAC which reuse the C-range), whose payload

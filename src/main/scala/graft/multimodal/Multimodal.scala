@@ -108,6 +108,11 @@ object Multimodal {
     val h = lpad(hex(c), 4, "0")
     unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
   }
+  private def le32(c: org.apache.spark.sql.Column) = {
+    val h = lpad(hex(c), 8, "0")
+    unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2)))
+  }
   private def bin(hexStr: String) = lit(
     hexStr.replaceAll(" ", "").sliding(2, 2).toArray
       .map(Integer.parseInt(_, 16).toByte))
@@ -115,7 +120,8 @@ object Multimodal {
   /** A VALID container header for the given dimensions, format
     * rotated per doc — real PNG signature+IHDR, a real JPEG
     * SOI/APP0/SOF0 marker stream, a real GIF logical screen
-    * descriptor — built from in-plan byte arithmetic (the payload a
+    * descriptor, a real WEBP RIFF/VP8L bitstream head — built from
+    * in-plan byte arithmetic (the payload a
     * real media table carries, minus the pixel data the engine never
     * reads anyway). The builder and [[MultimodalCodecs.dims]] are
     * independent code paths over the published byte layouts, so a
@@ -132,7 +138,14 @@ object Multimodal {
         concat(bin("FFD8 FFE00010 4A46494600 0101 00 0001 0001 0000"),
           bin("FFC00011 08"), be16(h), be16(w),
           bin("03 012200 021101 031101 FFD9")))
-      .otherwise(
+      .when(fmtSel === 2,
         concat(lit("GIF89a".getBytes("US-ASCII")), le16(w), le16(h),
           bin("F70000 3B")))
+      .otherwise(
+        // WEBP VP8L (lossless): RIFF("WEBP") + VP8L chunk — the 0x2f
+        // signature then the 14-bit-packed (w−1, h−1) LE dims word.
+        // RIFF size = "WEBP"(4) + chunk header(8) + data(5) = 17.
+        concat(lit("RIFF".getBytes("US-ASCII")), le32(lit(17)),
+          lit("WEBPVP8L".getBytes("US-ASCII")), le32(lit(5)),
+          bin("2F"), le32((w - 1) + (h - 1) * 16384)))
 }

@@ -312,7 +312,7 @@ object LlmQueries {
   def binaryMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.binaryMeta(Tables.documents(s, d))
 
-  /** CONTAINER-HEADER probe (q243): build GENUINE PNG/JPEG/GIF
+  /** CONTAINER-HEADER probe (q243): build GENUINE PNG/JPEG/GIF/WEBP
     * header bytes per document (dimensions derived from doc_id, the
     * format rotating) and parse them back with the codegen'd
     * `graft_image_dims` expression — the no-codec slice of "decode"
@@ -329,7 +329,7 @@ object LlmQueries {
       .withColumn("w", (col("doc_id") % 640 + 16).cast("int"))
       .withColumn("h", (col("doc_id") % 480 + 16).cast("int"))
       .withColumn("payload",
-        Multimodal.containerPayload((col("doc_id") % 3).cast("int"),
+        Multimodal.containerPayload((col("doc_id") % 4).cast("int"),
           col("w"), col("h")))
       .withColumn("payload",
         when(col("doc_id") % 31 === 0,
@@ -964,7 +964,7 @@ object LlmQueries {
       .withColumn("w", (col("doc_id") % 640 + 16).cast("int"))
       .withColumn("h", (col("doc_id") % 480 + 16).cast("int"))
       .withColumn("payload",
-        Multimodal.containerPayload((col("doc_id") % 3).cast("int"),
+        Multimodal.containerPayload((col("doc_id") % 4).cast("int"),
           col("w"), col("h")))
       .withColumn("payload",
         when(col("doc_id") % 31 === 0,

@@ -65,4 +65,43 @@ class Round11Spec extends AnyFunSuite {
     assert(g2("c7") == (1L, Some(ts(500))), "untouched state drifted")
     assert(MorGoldStats.lastStateRowsCollected <= 2)
   }
+
+  test("graft_image_dims parses WEBP VP8/VP8L/VP8X; corrupt and truncated variants yield NULL") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le24(v: Int) = le16(v) :+ ((v >> 16) & 0xff).toByte
+    def le32(v: Int) = le16(v) ++ le16(v >> 16)
+    def riff(fourcc: String, data: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ le32(4 + 8 + data.length) ++ "WEBP".getBytes ++
+        fourcc.getBytes ++ le32(data.length) ++ data
+    val vp8 = riff("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a) ++
+      le16(640) ++ le16(360))
+    val vp8BadSync = riff("VP8 ",
+      Array[Byte](0, 0, 0, 0x9c.toByte, 0x01, 0x2a) ++
+        le16(640) ++ le16(360))
+    val vp8l = riff("VP8L",
+      0x2f.toByte +: le32((799) | (449 << 14))) // 800×450, −1-encoded
+    val vp8lTrunc = vp8l.take(22)
+    val vp8x = riff("VP8X", Array[Byte](0, 0, 0, 0) ++
+      le24(1023) ++ le24(767)) // canvas 1024×768, −1-encoded
+    val alien = riff("ALPH", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
+    val stub = "RIFFWEBP".getBytes
+    val got = Seq(
+      ("vp8", vp8), ("vp8badsync", vp8BadSync), ("vp8l", vp8l),
+      ("vp8ltrunc", vp8lTrunc), ("vp8x", vp8x), ("alien", alien),
+      ("stub", stub))
+      .toDF("name", "payload")
+      .selectExpr("name", "graft_image_dims(payload) AS d")
+      .selectExpr("name", "d.format", "d.width", "d.height")
+      .collect()
+      .map(r => r.getString(0) ->
+        (Option(r.getString(1)), Option(r.get(2)), Option(r.get(3))))
+      .toMap
+    assert(got("vp8") == (Some("webp"), Some(640), Some(360)))
+    assert(got("vp8l") == (Some("webp"), Some(800), Some(450)))
+    assert(got("vp8x") == (Some("webp"), Some(1024), Some(768)))
+    for (bad <- Seq("vp8badsync", "vp8ltrunc", "alien", "stub"))
+      assert(got(bad) == (None, None, None),
+        s"$bad must quarantine as NULL, got ${got(bad)}")
+  }
 }
