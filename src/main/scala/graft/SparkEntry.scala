@@ -946,9 +946,10 @@ object SparkEntry {
     "q245_aspect_buckets" ->
       """WITH d AS (SELECT doc_id,
              CASE WHEN doc_id % 31 = 0 THEN NULL
-                  WHEN doc_id % 3 = 0 THEN 'png'
-                  WHEN doc_id % 3 = 1 THEN 'jpeg'
-                  ELSE 'gif' END AS format,
+                  WHEN doc_id % 4 = 0 THEN 'png'
+                  WHEN doc_id % 4 = 1 THEN 'jpeg'
+                  WHEN doc_id % 4 = 2 THEN 'gif'
+                  ELSE 'webp' END AS format,
              doc_id % 640 + 16 AS w, doc_id % 480 + 16 AS h
            FROM documents)
          SELECT COALESCE(format, 'corrupt') AS format,
@@ -963,9 +964,10 @@ object SparkEntry {
     "q243_image_dims" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 31 = 0 THEN NULL
-                WHEN doc_id % 3 = 0 THEN 'png'
-                WHEN doc_id % 3 = 1 THEN 'jpeg'
-                ELSE 'gif' END AS format,
+                WHEN doc_id % 4 = 0 THEN 'png'
+                WHEN doc_id % 4 = 1 THEN 'jpeg'
+                WHEN doc_id % 4 = 2 THEN 'gif'
+                ELSE 'webp' END AS format,
            CASE WHEN doc_id % 31 = 0 THEN NULL
                 ELSE CAST(doc_id % 640 + 16 AS INT) END AS width,
            CASE WHEN doc_id % 31 = 0 THEN NULL
@@ -1129,7 +1131,7 @@ object SparkEntry {
                   AVG(e.v[cd.s * 8 + b + 1]) AS cv
                 FROM e JOIN cd USING (vec_id), range(0, 8) tb(b)
                 GROUP BY 1, 2, 3),
-         q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+         q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 20),
          lut AS (SELECT q.query_id, cb.s, cb.code,
                    SUM(q.v[cb.s * 8 + cb.b + 1] * cb.cv) AS dot8
                  FROM q, cb GROUP BY 1, 2, 3),
@@ -1147,11 +1149,120 @@ object SparkEntry {
          x AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS s,
                  CAST((i - 1) % 8 AS INT) AS b, v[i] AS x
                FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
-         seeds AS (SELECT vec_id,
-                 CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-               FROM (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT 8)),
-         c0 AS (SELECT x.s, seeds.code, x.b, x.x AS cv
-               FROM x JOIN seeds USING (vec_id)),
+         sd0 AS (SELECT DISTINCT s, (SELECT MIN(vec_id) FROM e) AS sid FROM x),
+         dd0 AS (SELECT x.vec_id, x.s,
+                  floor(SUM((x.x - sv.x) * (x.x - sv.x)) * 100000.0 + 0.5)
+                    / 100000.0 AS nd
+                FROM x JOIN sd0 ON sd0.s = x.s
+                  JOIN x sv ON sv.vec_id = sd0.sid AND sv.s = x.s
+                    AND sv.b = x.b
+                GROUP BY 1, 2),
+         mm0 AS (SELECT vec_id, s, nd AS mind FROM dd0),
+         sd1 AS (SELECT s, vec_id AS sid FROM (
+                  SELECT s, vec_id, row_number() OVER (PARTITION BY s
+                    ORDER BY mind DESC, vec_id) AS rk FROM mm0)
+                WHERE rk = 1),
+         dd1 AS (SELECT x.vec_id, x.s,
+                  floor(SUM((x.x - sv.x) * (x.x - sv.x)) * 100000.0 + 0.5)
+                    / 100000.0 AS nd
+                FROM x JOIN sd1 ON sd1.s = x.s
+                  JOIN x sv ON sv.vec_id = sd1.sid AND sv.s = x.s
+                    AND sv.b = x.b
+                GROUP BY 1, 2),
+         mm1 AS (SELECT mm0.vec_id, mm0.s,
+                  LEAST(mm0.mind, dd1.nd) AS mind
+                FROM mm0 JOIN dd1 ON dd1.vec_id = mm0.vec_id
+                  AND dd1.s = mm0.s),
+         sd2 AS (SELECT s, vec_id AS sid FROM (
+                  SELECT s, vec_id, row_number() OVER (PARTITION BY s
+                    ORDER BY mind DESC, vec_id) AS rk FROM mm1)
+                WHERE rk = 1),
+         dd2 AS (SELECT x.vec_id, x.s,
+                  floor(SUM((x.x - sv.x) * (x.x - sv.x)) * 100000.0 + 0.5)
+                    / 100000.0 AS nd
+                FROM x JOIN sd2 ON sd2.s = x.s
+                  JOIN x sv ON sv.vec_id = sd2.sid AND sv.s = x.s
+                    AND sv.b = x.b
+                GROUP BY 1, 2),
+         mm2 AS (SELECT mm1.vec_id, mm1.s,
+                  LEAST(mm1.mind, dd2.nd) AS mind
+                FROM mm1 JOIN dd2 ON dd2.vec_id = mm1.vec_id
+                  AND dd2.s = mm1.s),
+         sd3 AS (SELECT s, vec_id AS sid FROM (
+                  SELECT s, vec_id, row_number() OVER (PARTITION BY s
+                    ORDER BY mind DESC, vec_id) AS rk FROM mm2)
+                WHERE rk = 1),
+         dd3 AS (SELECT x.vec_id, x.s,
+                  floor(SUM((x.x - sv.x) * (x.x - sv.x)) * 100000.0 + 0.5)
+                    / 100000.0 AS nd
+                FROM x JOIN sd3 ON sd3.s = x.s
+                  JOIN x sv ON sv.vec_id = sd3.sid AND sv.s = x.s
+                    AND sv.b = x.b
+                GROUP BY 1, 2),
+         mm3 AS (SELECT mm2.vec_id, mm2.s,
+                  LEAST(mm2.mind, dd3.nd) AS mind
+                FROM mm2 JOIN dd3 ON dd3.vec_id = mm2.vec_id
+                  AND dd3.s = mm2.s),
+         sd4 AS (SELECT s, vec_id AS sid FROM (
+                  SELECT s, vec_id, row_number() OVER (PARTITION BY s
+                    ORDER BY mind DESC, vec_id) AS rk FROM mm3)
+                WHERE rk = 1),
+         dd4 AS (SELECT x.vec_id, x.s,
+                  floor(SUM((x.x - sv.x) * (x.x - sv.x)) * 100000.0 + 0.5)
+                    / 100000.0 AS nd
+                FROM x JOIN sd4 ON sd4.s = x.s
+                  JOIN x sv ON sv.vec_id = sd4.sid AND sv.s = x.s
+                    AND sv.b = x.b
+                GROUP BY 1, 2),
+         mm4 AS (SELECT mm3.vec_id, mm3.s,
+                  LEAST(mm3.mind, dd4.nd) AS mind
+                FROM mm3 JOIN dd4 ON dd4.vec_id = mm3.vec_id
+                  AND dd4.s = mm3.s),
+         sd5 AS (SELECT s, vec_id AS sid FROM (
+                  SELECT s, vec_id, row_number() OVER (PARTITION BY s
+                    ORDER BY mind DESC, vec_id) AS rk FROM mm4)
+                WHERE rk = 1),
+         dd5 AS (SELECT x.vec_id, x.s,
+                  floor(SUM((x.x - sv.x) * (x.x - sv.x)) * 100000.0 + 0.5)
+                    / 100000.0 AS nd
+                FROM x JOIN sd5 ON sd5.s = x.s
+                  JOIN x sv ON sv.vec_id = sd5.sid AND sv.s = x.s
+                    AND sv.b = x.b
+                GROUP BY 1, 2),
+         mm5 AS (SELECT mm4.vec_id, mm4.s,
+                  LEAST(mm4.mind, dd5.nd) AS mind
+                FROM mm4 JOIN dd5 ON dd5.vec_id = mm4.vec_id
+                  AND dd5.s = mm4.s),
+         sd6 AS (SELECT s, vec_id AS sid FROM (
+                  SELECT s, vec_id, row_number() OVER (PARTITION BY s
+                    ORDER BY mind DESC, vec_id) AS rk FROM mm5)
+                WHERE rk = 1),
+         dd6 AS (SELECT x.vec_id, x.s,
+                  floor(SUM((x.x - sv.x) * (x.x - sv.x)) * 100000.0 + 0.5)
+                    / 100000.0 AS nd
+                FROM x JOIN sd6 ON sd6.s = x.s
+                  JOIN x sv ON sv.vec_id = sd6.sid AND sv.s = x.s
+                    AND sv.b = x.b
+                GROUP BY 1, 2),
+         mm6 AS (SELECT mm5.vec_id, mm5.s,
+                  LEAST(mm5.mind, dd6.nd) AS mind
+                FROM mm5 JOIN dd6 ON dd6.vec_id = mm5.vec_id
+                  AND dd6.s = mm5.s),
+         sd7 AS (SELECT s, vec_id AS sid FROM (
+                  SELECT s, vec_id, row_number() OVER (PARTITION BY s
+                    ORDER BY mind DESC, vec_id) AS rk FROM mm6)
+                WHERE rk = 1),
+         seedsx AS (SELECT s, sid, CAST(0 AS INT) AS code FROM sd0
+           UNION ALL SELECT s, sid, 1 FROM sd1
+           UNION ALL SELECT s, sid, 2 FROM sd2
+           UNION ALL SELECT s, sid, 3 FROM sd3
+           UNION ALL SELECT s, sid, 4 FROM sd4
+           UNION ALL SELECT s, sid, 5 FROM sd5
+           UNION ALL SELECT s, sid, 6 FROM sd6
+           UNION ALL SELECT s, sid, 7 FROM sd7),
+         c0 AS (SELECT x.s, seedsx.code, x.b, x.x AS cv
+               FROM x JOIN seedsx ON x.vec_id = seedsx.sid
+                 AND x.s = seedsx.s),
          a1 AS (SELECT x.vec_id, x.s, c0.code,
                  SUM((x.x - c0.cv) * (x.x - c0.cv)) AS dist
                FROM x JOIN c0 ON x.s = c0.s AND x.b = c0.b GROUP BY 1, 2, 3),
@@ -1173,10 +1284,15 @@ object SparkEntry {
                    PARTITION BY vec_id, s
                    ORDER BY floor(dist * 100000.0 + 0.5), code) AS rk
                  FROM a2) WHERE rk = 1),
-         lutk AS (SELECT x.vec_id AS query_id, c1.s, c1.code,
-                   SUM(x.x * c1.cv) AS dot8
-                 FROM x JOIN c1 ON x.s = c1.s AND x.b = c1.b
-                 WHERE x.vec_id < 5 GROUP BY 1, 2, 3),
+         cf AS (SELECT x.s, g2.code, x.b,
+                 CAST(SUM(CAST(floor(x.x * 100000.0 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 100000.0 / COUNT(*) AS cv
+               FROM x JOIN g2 ON x.vec_id = g2.vec_id AND x.s = g2.s
+               GROUP BY 1, 2, 3),
+         lutk AS (SELECT x.vec_id AS query_id, cf.s, cf.code,
+                   SUM(x.x * cf.cv) AS dot8
+                 FROM x JOIN cf ON x.s = cf.s AND x.b = cf.b
+                 WHERE x.vec_id < 20 GROUP BY 1, 2, 3),
          sck AS (SELECT lutk.query_id, g2.vec_id AS neighbor_id,
                   SUM(lutk.dot8) AS adc
                 FROM g2 JOIN lutk ON lutk.s = g2.s AND lutk.code = g2.code
@@ -1187,6 +1303,45 @@ object SparkEntry {
                     ORDER BY floor(adc * 100000.0 + 0.5) / 100000.0 DESC,
                       neighbor_id) AS rank
                   FROM sck) WHERE rank <= 3),
+         g1c AS (SELECT vec_id, s, code FROM (
+                 SELECT x.vec_id, x.s, cb.code, row_number() OVER (
+                   PARTITION BY x.vec_id, x.s
+                   ORDER BY floor(SUM((x.x - cb.cv) * (x.x - cb.cv))
+                     * 100000.0 + 0.5), cb.code) AS rk
+                 FROM x JOIN cb ON x.s = cb.s AND x.b = cb.b
+                 GROUP BY x.vec_id, x.s, cb.code) WHERE rk = 1),
+         c1c AS (SELECT x.s, g1c.code, x.b,
+                 CAST(SUM(CAST(floor(x.x * 100000.0 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 100000.0 / COUNT(*) AS cv
+               FROM x JOIN g1c ON x.vec_id = g1c.vec_id AND x.s = g1c.s
+               GROUP BY 1, 2, 3),
+         g2c AS (SELECT vec_id, s, code FROM (
+                 SELECT x.vec_id, x.s, c1c.code, row_number() OVER (
+                   PARTITION BY x.vec_id, x.s
+                   ORDER BY floor(SUM((x.x - c1c.cv) * (x.x - c1c.cv))
+                     * 100000.0 + 0.5), c1c.code) AS rk
+                 FROM x JOIN c1c ON x.s = c1c.s AND x.b = c1c.b
+                 GROUP BY x.vec_id, x.s, c1c.code) WHERE rk = 1),
+         cfc AS (SELECT x.s, g2c.code, x.b,
+                 CAST(SUM(CAST(floor(x.x * 100000.0 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 100000.0 / COUNT(*) AS cv
+               FROM x JOIN g2c ON x.vec_id = g2c.vec_id AND x.s = g2c.s
+               GROUP BY 1, 2, 3),
+         lutc AS (SELECT x.vec_id AS query_id, cfc.s, cfc.code,
+                   SUM(x.x * cfc.cv) AS dot8
+                 FROM x JOIN cfc ON x.s = cfc.s AND x.b = cfc.b
+                 WHERE x.vec_id < 20 GROUP BY 1, 2, 3),
+         scc AS (SELECT lutc.query_id, g2c.vec_id AS neighbor_id,
+                  SUM(lutc.dot8) AS adc
+                FROM g2c JOIN lutc ON lutc.s = g2c.s
+                  AND lutc.code = g2c.code
+                WHERE g2c.vec_id <> lutc.query_id GROUP BY 1, 2),
+         pqc AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY floor(adc * 100000.0 + 0.5) / 100000.0 DESC,
+                      neighbor_id) AS rank
+                  FROM scc) WHERE rank <= 3),
          ex AS (SELECT q.query_id, e2.vec_id AS neighbor_id,
                   list_sum(list_transform(range(1, len(q.v) + 1),
                     i -> q.v[i] * e2.v[i])) AS dot
@@ -1213,6 +1368,15 @@ object SparkEntry {
            floor(CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1
                ELSE 0 END) AS DOUBLE) / 3.0 * 100000.0 + 0.5) / 100000.0
          FROM exact x LEFT JOIN pqk p
+           ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id
+         GROUP BY 1, 2
+         UNION ALL
+         SELECT 'kmeans_cells', x.query_id,
+           CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           floor(CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1
+               ELSE 0 END) AS DOUBLE) / 3.0 * 100000.0 + 0.5) / 100000.0
+         FROM exact x LEFT JOIN pqc p
            ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id
          GROUP BY 1, 2""",
     "q221_ivf_pq" ->

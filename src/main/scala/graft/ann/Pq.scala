@@ -75,14 +75,24 @@ object Pq {
     * the class doc's mean-threshold variant stands in for, composed
     * from the q99 k-means mechanics PER SUBSPACE and kept fully
     * deterministic so the DuckDB oracle reproduces the training
-    * bit-for-bit: seeds = the `kc` lowest-id vectors' sub-vectors,
-    * fixed `iters` Lloyd rounds, assignment by L2 distance rounded
-    * to 5 dp with a code tie-break, centroids as 5-dp-quantized
+    * bit-for-bit: MAXMIN (farthest-point) seeding — the
+    * deterministic kmeans++ analog (Gonzalez 1985; kmeans++'s
+    * D²-sampling replaced by the argmax so no RNG crosses the
+    * oracle): seed 0 = the lowest id's sub-vector, each next seed =
+    * the point whose 5-dp-rounded distance to its nearest chosen
+    * seed is largest (id tie-break), PER SUBSPACE; then fixed
+    * `iters` Lloyd rounds, assignment by L2 distance rounded to
+    * 5 dp with a code tie-break, centroids as 5-dp-quantized
     * element means (exact integer sums / double division — the q99
-    * quantizedMeans rule). Scale shape per round: one broadcast-
+    * quantizedMeans rule). Round 10 seeded with the `kc` lowest ids
+    * and the honest A/B (q237) showed Lloyd LOSING to
+    * mean-threshold — degenerate seeds, not Lloyd, were the
+    * problem. Scale shape: seeding is kc−1 broadcast-assign passes
+    * (chosen seeds are tiny) and each Lloyd round one broadcast-
     * assign pass over the exploded corpus (centroids are m·kc·sub
-    * rows — broadcast at any corpus size) plus one partial-aggregated
-    * centroid recompute; the ADC scan downstream is unchanged —
+    * rows — broadcast at any corpus size) plus one
+    * partial-aggregated centroid recompute; 100 TB trains on a
+    * sample (class doc), and the ADC scan downstream is unchanged —
     * training choice and scan shape stay decoupled, which is the
     * point of the swap seam. Returns (codebook (s, code, b, cv),
     * codes (id, s, code)). */
@@ -98,12 +108,42 @@ object Pq {
       .withColumn("s", (col("i") / lit(sub)).cast("int"))
       .withColumn("b", (col("i") % lit(sub)).cast("int"))
       .drop("i")
-    // deterministic seeds: the kc lowest ids (kc rows — the
-    // unpartitioned window is over an already-limited frame)
-    val seeds = corpus.select(col(idCol).as("id")).distinct()
-      .orderBy("id").limit(kc)
-      .withColumn("code",
-        (row_number().over(Window.orderBy("id")) - 1).cast("int"))
+    // maxmin seeding, per subspace: (s, id, code). Each step's pick
+    // (m rows) materializes to the driver and re-enters as a literal
+    // frame — keeps the kc−1-step lineage flat, so planning stays
+    // O(kc) instead of a nested-union blowup.
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val seedSchema = StructType(Seq(
+      StructField("s", IntegerType, nullable = false),
+      StructField("id", x.schema("id").dataType, nullable = false),
+      StructField("code", IntegerType, nullable = false)))
+    def seedDf(rows: Seq[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), seedSchema)
+    val id0 = corpus.select(col(idCol).as("id")).orderBy("id")
+      .limit(1).head().get(0)
+    var seedRows: Seq[org.apache.spark.sql.Row] =
+      (0 until m).map(s => org.apache.spark.sql.Row(s, id0, 0))
+    (1 until kc).foreach { j =>
+      val cent = x.join(broadcast(seedDf(seedRows)), Seq("id", "s"))
+        .select(col("s"), col("code"), col("b"), col("x").as("cv"))
+      val mind = x.join(broadcast(cent), Seq("s", "b"))
+        .groupBy("id", "s", "code")
+        .agg(sum((col("x") - col("cv")) * (col("x") - col("cv")))
+          .as("dist"))
+        .groupBy("id", "s")
+        .agg(min(floor(col("dist") * 1e5 + 0.5) / lit(1e5)).as("mind"))
+      val w = Window.partitionBy("s")
+        .orderBy(col("mind").desc, col("id"))
+      seedRows = seedRows ++ mind
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("s"), col("id"))
+        .collect()
+        .map(r => org.apache.spark.sql.Row(r.getInt(0), r.get(1), j))
+    }
+    val seeds = seedDf(seedRows)
     def assign(c: DataFrame): DataFrame = {
       val dw = Window.partitionBy("id", "s")
         .orderBy(floor(col("dist") * 1e5 + 0.5), col("code"))
@@ -119,14 +159,68 @@ object Pq {
         .groupBy("s", "code", "b")
         .agg((sum(floor(col("x") * 1e5 + 0.5).cast("long")).cast("double")
           / lit(1e5) / count(lit(1))).as("cv"))
-    var cent: DataFrame = x.join(broadcast(seeds), "id")
+    var cent: DataFrame = x.join(broadcast(seeds), Seq("id", "s"))
       .select(col("s"), col("code"), col("b"), col("x").as("cv"))
     var assigned = assign(cent)
     (1 until iters).foreach { _ =>
       cent = centroids(assigned)
       assigned = assign(cent)
     }
-    (cent, assigned)
+    // the returned codebook is the TRUE mean of each final cell (one
+    // more centroid recompute over the final assignment) — scoring
+    // codes against the stale pre-assignment centroids cost recall
+    // for free (round-11 A/B measurement)
+    (centroids(assigned), assigned)
+  }
+
+  /** Lloyd refinement INITIALIZED FROM THE MEAN-THRESHOLD CELLS —
+    * the other seeding in the swap seam: start from the cheap
+    * quantizer's codebook ([[codebook]] — the 2^sub sign-pattern
+    * cells the class doc trains, with their true cell means) and run
+    * `iters` Lloyd rounds over it; each round can only reduce
+    * within-cell distortion, so the refined codebook competes with
+    * mean-threshold at its OWN capacity instead of a hand-picked kc
+    * (the round-10 A/B compared kc=8 Lloyd against ~2^8 occupied
+    * sign cells — a capacity mismatch no seeding could win).
+    * Mechanics (assignment rounding/tie-breaks, quantized centroid
+    * means) identical to [[fitKmeans]]; codes stay in the sign-int
+    * code space. Returns (codebook (s, code, b, cv), codes
+    * (id, s, code)). */
+  def fitKmeansCells(corpus: DataFrame, vecCol: String, idCol: String,
+                     m: Int, means: Array[Double],
+                     iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"need iters>=1, got $iters")
+    val dims = means.length
+    require(dims % m == 0, s"dim $dims not divisible by m=$m")
+    val sub = dims / m
+    val x = corpus.select(col(idCol).as("id"),
+        posexplode(transform(col(vecCol), v => v.cast("double")))
+          .as(Seq("i", "x")))
+      .withColumn("s", (col("i") / lit(sub)).cast("int"))
+      .withColumn("b", (col("i") % lit(sub)).cast("int"))
+      .drop("i")
+    def assign(c: DataFrame): DataFrame = {
+      val dw = Window.partitionBy("id", "s")
+        .orderBy(floor(col("dist") * 1e5 + 0.5), col("code"))
+      x.join(broadcast(c), Seq("s", "b"))
+        .groupBy("id", "s", "code")
+        .agg(sum((col("x") - col("cv")) * (col("x") - col("cv")))
+          .as("dist"))
+        .withColumn("rk", row_number().over(dw))
+        .filter(col("rk") === 1).select("id", "s", "code")
+    }
+    def centroids(a: DataFrame): DataFrame =
+      x.join(a, Seq("id", "s"))
+        .groupBy("s", "code", "b")
+        .agg((sum(floor(col("x") * 1e5 + 0.5).cast("long")).cast("double")
+          / lit(1e5) / count(lit(1))).as("cv"))
+    var cent = codebook(corpus, vecCol, means, m)
+    var assigned = assign(cent)
+    (1 until iters).foreach { _ =>
+      cent = centroids(assigned)
+      assigned = assign(cent)
+    }
+    (centroids(assigned), assigned)
   }
 
   /** ADC top-k: per query build the m×2^sub lookup table of

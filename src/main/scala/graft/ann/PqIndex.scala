@@ -42,19 +42,84 @@ object PqIndex {
       .readString(spark.sparkContext.hadoopConfiguration, meansPath(dir))
       .stripPrefix("[").stripSuffix("]").split(",").map(_.toDouble)
 
+  private def modePath(dir: String) = new Path(dir, "_pq_mode")
+
+  private[graft] def readMode(spark: SparkSession, dir: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (modePath(dir).getFileSystem(conf).exists(modePath(dir)))
+      graft.sink.AtomicFiles.readString(conf, modePath(dir)).trim
+    else "mean" // legacy indexes predate the flag
+  }
+
+  /** (id, s, code) → (idCol, codes array ordered by s) — the codes
+    * table's storage shape. */
+  private def codesToArray(assigned: DataFrame, idCol: String): DataFrame =
+    assigned.groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("code"))))
+        .as("sc"))
+      .select(col("id").as(idCol),
+        transform(col("sc"), x => x.getField("code")).as("codes"))
+
+  /** Assign `batch`'s vectors against a STORED codebook — nearest
+    * centroid per subspace, [[Pq.fitKmeans]]'s rounding and
+    * tie-break rules. O(batch × codebook), broadcast. */
+  private def assignAgainst(batch: DataFrame, vecCol: String,
+                            idCol: String, cb: DataFrame,
+                            sub: Int): DataFrame = {
+    val x = batch.select(col(idCol).as("id"),
+        posexplode(transform(col(vecCol), v => v.cast("double")))
+          .as(Seq("i", "x")))
+      .withColumn("s", (col("i") / lit(sub)).cast("int"))
+      .withColumn("b", (col("i") % lit(sub)).cast("int"))
+      .drop("i")
+    val dw = Window.partitionBy("id", "s")
+      .orderBy(floor(col("dist") * 1e5 + 0.5), col("code"))
+    x.join(broadcast(cb), Seq("s", "b"))
+      .groupBy("id", "s", "code")
+      .agg(sum((col("x") - col("cv")) * (col("x") - col("cv")))
+        .as("dist"))
+      .withColumn("rk", row_number().over(dw))
+      .filter(col("rk") === 1).select("id", "s", "code")
+  }
+
   /** Build the index: train thresholds + codebook on `corpus`, write
     * codes for every corpus vector. One pass for the moments, one for
-    * the codebook/codes. */
+    * the codebook/codes.
+    *
+    * `codebook` selects the training (the round-10 verdict's swap
+    * seam, now actually worth swapping): `"mean"` (default) = the
+    * sign-pattern cells, codes re-derivable from the thresholds
+    * alone; `"lloyd"` = [[Pq.fitKmeansCells]] — Lloyd refinement of
+    * those cells at their own capacity, which MATCHES the mean
+    * variant's recall at the fixture (q237's A/B) and strictly
+    * reduces within-cell distortion. The stored layout is identical
+    * either way ([[adcTopK]] is mode-blind); `_pq_mode` records the
+    * choice so [[append]] encodes new vectors the same way the build
+    * did — threshold signs for `mean`, nearest stored centroid for
+    * `lloyd`. */
   def write(corpus: DataFrame, vecCol: String, idCol: String,
-            dir: String, m: Int): Unit = {
+            dir: String, m: Int, codebook: String = "mean",
+            lloydIters: Int = 2): Unit = {
+    require(codebook == "mean" || codebook == "lloyd",
+      s"codebook must be mean|lloyd, got $codebook")
     val spark = corpus.sparkSession
     val means = Pq.fitMeans(corpus, vecCol)
     writeMeans(spark, dir, means)
-    Pq.codebook(corpus, vecCol, means, m)
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
-    corpus.select(col(idCol),
-        Pq.codesColumn(vecCol, means, m).as("codes"))
-      .write.mode("overwrite").parquet(s"$dir/codes")
+    graft.sink.AtomicFiles.replace(spark.sparkContext.hadoopConfiguration,
+      modePath(dir), codebook.getBytes("UTF-8"))
+    if (codebook == "mean") {
+      Pq.codebook(corpus, vecCol, means, m)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+      corpus.select(col(idCol),
+          Pq.codesColumn(vecCol, means, m).as("codes"))
+        .write.mode("overwrite").parquet(s"$dir/codes")
+    } else {
+      val (cb, assigned) = Pq.fitKmeansCells(corpus, vecCol, idCol, m,
+        means, lloydIters)
+      cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+      codesToArray(assigned, idCol)
+        .write.mode("overwrite").parquet(s"$dir/codes")
+    }
   }
 
   /** Encode `batch` against the STORED thresholds and append its
@@ -73,9 +138,16 @@ object PqIndex {
   def append(spark: SparkSession, batch: DataFrame, vecCol: String,
              idCol: String, dir: String, m: Int): Long = {
     val means = readMeans(spark, dir)
-    val coded = batch.select(col(idCol),
+    val coded = (readMode(spark, dir) match {
+      case "lloyd" =>
+        // a lloyd index encodes by nearest STORED centroid — every
+        // assigned cell exists in the codebook by construction, so
+        // the drift count below is structurally 0
+        codesToArray(assignAgainst(batch, vecCol, idCol,
+          spark.read.parquet(s"$dir/codebook"), means.length / m), idCol)
+      case _ => batch.select(col(idCol),
         Pq.codesColumn(vecCol, means, m).as("codes"))
-      .persist()
+    }).persist()
     try {
       coded.write.mode("append").parquet(s"$dir/codes")
       val cells = spark.read.parquet(s"$dir/codebook")

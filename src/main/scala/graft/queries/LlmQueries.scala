@@ -881,19 +881,25 @@ object LlmQueries {
   }
 
   /** K-MEANS vs MEAN-THRESHOLD PQ recall A/B (q237): the same
-    * recall@3 audit as q228 run over BOTH codebook constructions on
-    * the same corpus and query split — the judgement a deployment
-    * actually makes before swapping training methods. The k-means
-    * side trains per-subspace Lloyd ([[graft.ann.Pq.fitKmeans]],
-    * kc=8 centroids, 2 fixed rounds, fully deterministic) and scans
-    * via the identical ADC mechanics; output rows are (variant,
-    * query_id, hits, recall3), and the oracle reproduces BOTH
-    * trainings — the mean thresholds as in q228 and the unrolled
-    * two-round Lloyd — so the A/B itself sits under the row gate. */
+    * recall@3 audit as q228 run over THREE codebook constructions on
+    * the same corpus and 20-query split — the judgement a deployment
+    * actually makes before swapping training methods. Variants:
+    * `mean` (the sign-pattern cells, q228's codebook), `kmeans`
+    * (from-scratch per-subspace Lloyd, maxmin/farthest-point seeded
+    * — [[graft.ann.Pq.fitKmeans]], kc=8, 2 rounds: honest about its
+    * 8-vs-~218-cell capacity disadvantage, which is what the
+    * round-10 "Lloyd loses" actually measured once the 5-query
+    * noise was widened out), and `kmeans_cells` (Lloyd REFINEMENT
+    * of the mean-threshold cells at their own capacity —
+    * [[graft.ann.Pq.fitKmeansCells]], 2 rounds), which matches the
+    * mean variant's recall at the fixture. All three trainings are
+    * deterministic and the oracle reproduces each — the unrolled
+    * maxmin selection, both Lloyd loops — so the A/B itself sits
+    * under the row gate. */
   def pqKmeansRecall(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
-    val queries = e.filter(col("vec_id") < 5)
+    val queries = e.filter(col("vec_id") < 20)
     // shared exact ground truth (q228's)
     val q2 = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"))
@@ -916,29 +922,34 @@ object LlmQueries {
     val topMean = graft.ann.Pq.adcTopK(e, queries, "embedding",
         "vec_id", means, m = 8, k = 3)
       .select(col("query_id"), col("neighbor_id"))
-    // variant B: per-subspace Lloyd centroids, same ADC scan
-    val (cb, codes) = graft.ann.Pq.fitKmeans(e, "embedding", "vec_id",
-      m = 8, kc = 8, iters = 2)
-    val qd = queries.select(col("vec_id").as("query_id"),
-        posexplode(transform(col("embedding"), x => x.cast("double")))
-          .as(Seq("i", "qv")))
-      .withColumn("s", (col("i") / lit(8)).cast("int"))
-      .withColumn("b", (col("i") % lit(8)).cast("int"))
-    val lut = qd.join(cb, Seq("s", "b"))
-      .groupBy("query_id", "s", "code")
-      .agg(sum(col("qv") * col("cv")).as("dot8"))
-    val topKm = codes.select(col("id").as("neighbor_id"), col("s"),
-        col("code"))
-      .join(broadcast(lut), Seq("s", "code"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum(col("dot8")).as("adc"))
-      .withColumn("adc5", graft.Oracle.stableRound(col("adc"), 5))
-      .withColumn("rank", row_number().over(Window
-        .partitionBy("query_id")
-        .orderBy(col("adc5").desc, col("neighbor_id"))))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("neighbor_id"))
+    // variants B/C: Lloyd codebooks, same ADC scan over the codes
+    def topOf(trained: (org.apache.spark.sql.DataFrame,
+                        org.apache.spark.sql.DataFrame)) = {
+      val (cb, codes) = trained
+      val qd = queries.select(col("vec_id").as("query_id"),
+          posexplode(transform(col("embedding"), x => x.cast("double")))
+            .as(Seq("i", "qv")))
+        .withColumn("s", (col("i") / lit(8)).cast("int"))
+        .withColumn("b", (col("i") % lit(8)).cast("int"))
+      val lut = qd.join(cb, Seq("s", "b"))
+        .groupBy("query_id", "s", "code")
+        .agg(sum(col("qv") * col("cv")).as("dot8"))
+      codes.select(col("id").as("neighbor_id"), col("s"), col("code"))
+        .join(broadcast(lut), Seq("s", "code"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum(col("dot8")).as("adc"))
+        .withColumn("adc5", graft.Oracle.stableRound(col("adc"), 5))
+        .withColumn("rank", row_number().over(Window
+          .partitionBy("query_id")
+          .orderBy(col("adc5").desc, col("neighbor_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val topKm = topOf(graft.ann.Pq.fitKmeans(e, "embedding", "vec_id",
+      m = 8, kc = 8, iters = 2))
+    val topCells = topOf(graft.ann.Pq.fitKmeansCells(e, "embedding",
+      "vec_id", m = 8, means = means, iters = 2))
     def recallOf(top: org.apache.spark.sql.DataFrame, variant: String) =
       exact.join(top.withColumn("hit", lit(1)),
           Seq("query_id", "neighbor_id"), "left_outer")
@@ -947,7 +958,9 @@ object LlmQueries {
         .select(lit(variant).as("variant"), col("query_id"), col("hits"),
           graft.Oracle.stableRound(col("hits") / lit(3.0), 5)
             .as("recall3"))
-    recallOf(topMean, "mean").unionByName(recallOf(topKm, "kmeans"))
+    recallOf(topMean, "mean")
+      .unionByName(recallOf(topKm, "kmeans"))
+      .unionByName(recallOf(topCells, "kmeans_cells"))
   }
 
   /** ASPECT-RATIO routing (q245): what the header probe exists FOR

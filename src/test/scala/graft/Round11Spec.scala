@@ -104,4 +104,87 @@ class Round11Spec extends AnyFunSuite {
       assert(got(bad) == (None, None, None),
         s"$bad must quarantine as NULL, got ${got(bad)}")
   }
+
+  test("PqIndex lloyd codebook: persisted index = in-memory refinement; appends assign against stored centroids") {
+    val work = tmp("graft-r11pq-")
+    val dir = s"$work/idx"
+    // 24 vectors, 16 dims, m=2 subspaces; two visible clusters so
+    // Lloyd refinement actually moves centroids
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(16)(d => (if (i % 2 == 0) 1.0f else -1.0f) *
+        (1.0f + 0.03f * ((i + d) % 5)))
+    val corpus = (0 until 24).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    graft.ann.PqIndex.write(corpus, "embedding", "vec_id", dir, m = 2,
+      codebook = "lloyd")
+    // the persisted scan must equal the in-memory refined ADC rank
+    val queries = corpus.filter(col("vec_id") < 3)
+    val idxTop = graft.ann.PqIndex.adcTopK(spark, dir, queries,
+      "embedding", "vec_id", m = 2, k = 4)
+    val means = graft.ann.Pq.fitMeans(corpus, "embedding")
+    val (cb, codes) = graft.ann.Pq.fitKmeansCells(corpus, "embedding",
+      "vec_id", m = 2, means = means, iters = 2)
+    import org.apache.spark.sql.expressions.Window
+    val qd = queries.select(col("vec_id").as("query_id"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("i", "qv")))
+      .withColumn("s", (col("i") / lit(8)).cast("int"))
+      .withColumn("b", (col("i") % lit(8)).cast("int"))
+    val lut = qd.join(cb, Seq("s", "b"))
+      .groupBy("query_id", "s", "code")
+      .agg(sum(col("qv") * col("cv")).as("dot8"))
+    val memTop = codes.select(col("id").as("neighbor_id"), col("s"),
+        col("code"))
+      .join(broadcast(lut), Seq("s", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("dot8")).as("adc"))
+      .withColumn("adc5", graft.Oracle.stableRound(col("adc"), 5))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy("query_id")
+        .orderBy(col("adc5").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 4)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("adc5"))
+    assert(idxTop.exceptAll(memTop).isEmpty &&
+      memTop.exceptAll(idxTop).isEmpty,
+      "persisted lloyd index diverged from the in-memory refinement")
+    // append: codes come from nearest STORED centroid — structurally
+    // zero drift, and identical to an independent assignment
+    val batch = (100 until 104).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    assert(graft.ann.PqIndex.append(spark, batch, "embedding",
+      "vec_id", dir, m = 2) == 0L,
+      "lloyd appends can never produce unseen cells")
+    val storedCodes = spark.read.parquet(s"$dir/codes")
+      .filter(col("vec_id") >= 100)
+    assert(storedCodes.count() == 4)
+    // independent nearest-centroid assignment of one appended vector
+    val cbStored = spark.read.parquet(s"$dir/codebook")
+    val one = batch.filter(col("vec_id") === 100L)
+      .select(col("vec_id").as("id"),
+        posexplode(transform(col("embedding"), v => v.cast("double")))
+          .as(Seq("i", "x")))
+      .withColumn("s", (col("i") / lit(8)).cast("int"))
+      .withColumn("b", (col("i") % lit(8)).cast("int"))
+      .join(broadcast(cbStored), Seq("s", "b"))
+      .groupBy("s", "code")
+      .agg(sum((col("x") - col("cv")) * (col("x") - col("cv")))
+        .as("dist"))
+      .withColumn("rk", row_number().over(Window.partitionBy("s")
+        .orderBy(floor(col("dist") * 1e5 + 0.5), col("code"))))
+      .filter(col("rk") === 1)
+      .orderBy("s").select("code")
+      .collect().map(_.getInt(0)).toSeq
+    val storedOne = storedCodes.filter(col("vec_id") === 100L)
+      .select("codes").head().getSeq[Int](0).toSeq
+    assert(storedOne == one,
+      s"appended codes $storedOne != independent assignment $one")
+    // a mean-mode index still reads as before (legacy default)
+    val dir2 = s"$work/idx2"
+    graft.ann.PqIndex.write(corpus, "embedding", "vec_id", dir2, m = 2)
+    assert(graft.ann.PqIndex.readMode(spark, dir2) == "mean")
+    assert(graft.ann.PqIndex.adcTopK(spark, dir2, queries, "embedding",
+      "vec_id", m = 2, k = 4).count() == 12)
+  }
 }
