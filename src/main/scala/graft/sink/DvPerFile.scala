@@ -78,19 +78,63 @@ private[graft] object DvPerFile {
 
   // ---- commit protocol ---------------------------------------------
 
+  /** Diagnostic: how many times [[committedGen]] had to fall back to
+    * a directory listing because the `_current` pointer was absent or
+    * stale-below-rollback. Specs pin the hot read path at zero. */
+  @volatile private[graft] var genListingFallbackCount: Long = 0L
+
   /** Highest committed per-file generation, or None = the table is
-    * not (yet) in per-file mode. */
+    * not (yet) in per-file mode.
+    *
+    * Discovery is the `_current` pointer file plus a forward probe —
+    * NOT a directory listing: the flat `_dvpf/` dir holds one sidecar
+    * per tombstoned file, so listing it is an O(tombstoned-files)
+    * paged object-store call per driver op (the same cost the marker
+    * map killed on the executor scan path). The pointer is a HINT
+    * written after the marker commit (a crash between the two leaves
+    * it one behind — healed by probing `_commit.g(h+1)` forward until
+    * absent); the marker rename stays the only commit point. Listing
+    * survives solely as the legacy/no-pointer fallback, counted in
+    * [[genListingFallbackCount]]. */
   def committedGen(spark: SparkSession, tableDir: String): Option[Int] = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val d = pfDir(tableDir)
-    val fs = fsOf(spark.sparkContext.hadoopConfiguration, d)
+    val fs = fsOf(conf, d)
     if (!fs.exists(new Path(d))) return None
-    val gens = fs.listStatus(new Path(d)).iterator
-      .map(_.getPath.getName)
-      .filter(_.startsWith("_commit.g"))
-      .flatMap(n => scala.util.Try(n.stripPrefix("_commit.g").toInt).toOption)
-      .toSeq
-    if (gens.isEmpty) None else Some(gens.max)
+    def markerAt(g: Int) = fs.exists(new Path(d, s"_commit.g$g"))
+    val hint = scala.util.Try(
+      AtomicFiles.readString(conf, new Path(d, PtrName)).trim.toInt).toOption
+    hint match {
+      case Some(h) if markerAt(h) =>
+        var g = h
+        while (markerAt(g + 1)) g += 1
+        Some(g)
+      case _ =>
+        // no pointer (legacy dir) or pointer above a rolled-back
+        // ceiling whose marker is gone: one listing, then heal the
+        // pointer so the next read is pointer-only again
+        genListingFallbackCount += 1
+        val gens = fs.listStatus(new Path(d)).iterator
+          .map(_.getPath.getName)
+          .filter(_.startsWith("_commit.g"))
+          .flatMap(n =>
+            scala.util.Try(n.stripPrefix("_commit.g").toInt).toOption)
+          .toSeq
+        if (gens.isEmpty) None
+        else {
+          val g = gens.max
+          scala.util.Try(writePtr(conf, tableDir, g))
+          Some(g)
+        }
+    }
   }
+
+  private val PtrName = "_current"
+
+  private def writePtr(conf: Configuration, tableDir: String,
+                       gen: Int): Unit =
+    AtomicFiles.replace(conf, new Path(pfDir(tableDir), PtrName),
+      gen.toString.getBytes("UTF-8"))
 
   /** Total tombstone count recorded in the gen's commit marker. */
   def totalAt(spark: SparkSession, tableDir: String, gen: Int): Long = {
@@ -110,6 +154,10 @@ private[graft] object DvPerFile {
       .mkString("\n")
     AtomicFiles.replace(conf, new Path(pfDir(tableDir), s"_commit.g$gen"),
       body.getBytes("UTF-8"))
+    // pointer AFTER the marker: the marker rename is the commit point;
+    // a crash here leaves the pointer one behind, healed by
+    // committedGen's forward probe
+    writePtr(conf, tableDir, gen)
   }
 
   /** The (dataFileName → sidecar gen) map recorded in gen's marker;
@@ -244,7 +292,7 @@ private[graft] object DvPerFile {
 
   /** Serializable Hadoop-conf wrapper for executor-side sidecar IO
     * (the Spark-internal equivalent is private[spark]). */
-  private class SerConf(@transient var value: Configuration)
+  private[sink] class SerConf(@transient var value: Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit =
       value.write(out)
@@ -469,6 +517,12 @@ private[graft] object DvPerFile {
             .exists(_ > ceil))
         fs.delete(s.getPath, false)
     }
+    // re-point at the retained ceiling so the next committedGen stays
+    // pointer-only; if no marker survives at (or below) the ceiling,
+    // drop the pointer and let the listing fallback resolve honestly
+    if (fs.exists(new Path(d, s"_commit.g$ceil")))
+      writePtr(hconf, tableDir, ceil)
+    else fs.delete(new Path(d, PtrName), false)
   }
 
   /** Drop sidecars of data files in `names` — compaction/vacuum

@@ -158,6 +158,108 @@ object MorLog {
     AtomicFiles.replace(conf(spark), metaPath(dir, st.version),
       body.getBytes("UTF-8"))
     stateCache.put(s"$dir#${st.version}", st)
+    writeStats(spark, dir, st, added, full)
+  }
+
+  // ---- per-file column stats (log-level data skipping) -------------
+
+  private def statsPath(dir: String, v: Int) =
+    new Path(s"$dir/$LogDir/v$v.stats")
+
+  /** Collect footer stats for `names` — O(changed files) small reads,
+    * on executors past a driver-side threshold, never a data scan. */
+  private def footerStats(spark: SparkSession, dir: String,
+                          names: Seq[String])
+      : Map[String, FileStats.FileColStats] =
+    if (names.isEmpty) Map.empty
+    else if (names.size <= 16) {
+      val c = conf(spark)
+      names.iterator
+        .map(n => n -> scala.util.Try(FileStats.ofFooter(c, s"$dir/$n"))
+          .getOrElse(Map.empty[String, FileStats.ColStat]))
+        .filter(_._2.nonEmpty).toMap
+    } else {
+      val sc = new DvPerFile.SerConf(conf(spark))
+      spark.sparkContext.parallelize(names,
+          math.min(names.size, 256))
+        .map(n => n -> scala.util.Try(
+          FileStats.ofFooter(sc.value, s"$dir/$n"))
+          .getOrElse(Map.empty[String, FileStats.ColStat]))
+        .filter(_._2.nonEmpty)
+        .collect().toMap
+    }
+
+  /** Write `v<k>.stats` mirroring the meta's full/delta kind: a delta
+    * carries only the files this version ADDED (removal is implied by
+    * the meta's file list), a checkpoint carries every current file —
+    * reusing already-resolved stats and footer-reading only the files
+    * the chain does not cover (a RESTORE resurrects files whose stats
+    * fell outside the walk). Stats are advisory: any read/parse
+    * failure here degrades to scan-everything, never to wrong
+    * results. */
+  private def writeStats(spark: SparkSession, dir: String, st: State,
+                         added: Seq[String], full: Boolean): Unit = {
+    val m: Map[String, FileStats.FileColStats] =
+      if (!full) footerStats(spark, dir, added)
+      else {
+        val prior =
+          if (st.version == 0) Map.empty[String, FileStats.FileColStats]
+          else statsOf(spark, dir, st.version - 1)
+        val have = prior.filter { case (f, _) => st.files.contains(f) }
+        have ++ footerStats(spark, dir,
+          st.files.filterNot(have.contains))
+      }
+    if (m.nonEmpty || full) {
+      val body = ((if (full) "full" else "delta") +:
+        FileStats.render(m)).mkString("\n")
+      AtomicFiles.replace(conf(spark), statsPath(dir, st.version),
+        body.getBytes("UTF-8"))
+    }
+    statsCache.put(s"$dir#${st.version}",
+      if (full) m else statsOf(spark, dir, st.version - 1) ++ m)
+  }
+
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, FileStats.FileColStats]]()
+
+  /** Test hook: forget cached stats resolutions for `dir` (the cache
+    * is sound for committed versions — only out-of-band file surgery
+    * in specs needs it). */
+  private[graft] def dropStatsCache(dir: String): Unit = {
+    val it = statsCache.keySet.iterator
+    while (it.hasNext) {
+      val k = it.next()
+      if (k.startsWith(s"$dir#")) it.remove()
+    }
+  }
+
+  /** Resolved (file → column stats) as of version `v`: the delta
+    * chain folded back to the nearest checkpoint. Versions without a
+    * stats file (pre-stats history, or a no-file-change commit that
+    * skipped the write) contribute nothing — their files simply scan
+    * unpruned. */
+  private[graft] def statsOf(spark: SparkSession, dir: String, v: Int)
+      : Map[String, FileStats.FileColStats] = {
+    if (v < 0) return Map.empty
+    val key = s"$dir#$v"
+    val hit = statsCache.get(key)
+    if (hit != null) return hit
+    val c = conf(spark)
+    val fs = fsOf(spark, dir)
+    val p = statsPath(dir, v)
+    val (kind, lines) =
+      if (!fs.exists(p)) ("delta", Seq.empty[String])
+      else {
+        val body = AtomicFiles.readString(c, p)
+        val ls = body.split("\n", -1).toSeq
+        (ls.head, ls.drop(1))
+      }
+    val own = FileStats.parse(lines)
+    val out =
+      if (kind == "full" || v == 0) own
+      else statsOf(spark, dir, v - 1) ++ own
+    statsCache.put(key, out)
+    out
   }
 
   /** Resolved states, cached: meta files are immutable once committed
@@ -326,15 +428,22 @@ object MorLog {
       col("_metadata.row_index").as(RRow))
 
   private def readData(spark: SparkSession, dir: String,
-                       st: State): DataFrame = {
+                       st: State): DataFrame =
+    readDataFiles(spark, dir, st, st.files)
+
+  private def readDataFiles(spark: SparkSession, dir: String,
+                            st: State, files: Seq[String]): DataFrame = {
     val fs = fsOf(spark, dir)
-    val missing = st.files.filterNot(n => fs.exists(new Path(s"$dir/$n")))
+    val missing = files.filterNot(n => fs.exists(new Path(s"$dir/$n")))
     require(missing.isEmpty,
       s"version ${st.version} references ${missing.length} vacuumed " +
         s"file(s) (${missing.take(3).mkString(", ")}…) — travel past " +
         "the retention window")
-    spark.read.schema(st.schema)
-      .parquet(st.files.map(n => s"$dir/$n"): _*)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
+    else spark.read.schema(st.schema)
+      .parquet(files.map(n => s"$dir/$n"): _*)
   }
 
   /** The broadcast-tier tombstone set of `st` (None when empty or
@@ -441,8 +550,15 @@ object MorLog {
     * deleted rows. */
   def deleteWhere(spark: SparkSession, dir: String, cond: Column): Long = {
     val st = currentState(spark, dir)
+    // the locate scan prunes by file stats: a file whose bounds prove
+    // `cond` false holds no victims (its tombstones are untouched
+    // either way, so the pruned complement commits identically)
+    val (scanFiles, _) =
+      FileStats.prune(spark, st.schema,
+        statsOf(spark, dir, st.version), st.files, cond)
+    if (scanFiles.isEmpty) return 0L
     val visible = minusTombs(spark, dir, st,
-      withId(readData(spark, dir, st)))
+      withId(readDataFiles(spark, dir, st, scanFiles)))
     val victims = visible.filter(coalesce(cond, lit(false)))
       .select(col(RPath), col(RName), col(RRow))
     val v = st.version + 1
@@ -558,6 +674,16 @@ object MorLog {
         "full") ++ oldest.files).mkString("\n")
       AtomicFiles.replace(conf(spark), metaPath(dir, oldest.version),
         body.getBytes("UTF-8"))
+      // the stats chain runs through the dropped versions too:
+      // checkpoint the oldest retained version's RESOLVED stats in
+      // place (restricted to files some retained version still
+      // references) before their delta links are deleted
+      val keptStats = statsOf(spark, dir, oldest.version)
+        .filter { case (f, _) => referenced.contains(f) }
+      AtomicFiles.replace(conf(spark), statsPath(dir, oldest.version),
+        (("full" +: FileStats.render(keptStats)).mkString("\n"))
+          .getBytes("UTF-8"))
+      statsCache.put(s"$dir#${oldest.version}", keptStats)
       drop.map(state(spark, dir, _)).foreach { st =>
         st.files.filterNot(referenced.contains).foreach { n =>
           if (fs.delete(new Path(s"$dir/$n"), false)) deleted += 1
@@ -565,6 +691,7 @@ object MorLog {
         if (st.tombsV >= 0 && !keptTombs.contains(st.tombsV))
           fs.delete(new Path(tombsDir(dir, st.tombsV)), true)
         fs.delete(metaPath(dir, st.version), false)
+        fs.delete(statsPath(dir, st.version), false)
       }
       val keptCeils = keptStates.map(_.pfCeil).filter(_ >= 0).distinct
       if (keptCeils.nonEmpty)
@@ -630,6 +757,35 @@ object MorLog {
   /** The current snapshot. */
   def read(spark: SparkSession, dir: String): DataFrame =
     readVersion(spark, dir, currentVersion(spark, dir))
+
+  /** Filtered read with LOG-LEVEL data skipping: the version log's
+    * per-file min/max stats prune files whose bounds PROVE `cond`
+    * matches nothing, so tasks are scheduled only against files that
+    * can contribute — at a million-file table a selective key-range
+    * query launches a handful of tasks instead of a million (Delta's
+    * data skipping; parquet's own row-group pruning still applies
+    * inside the surviving files). The predicate is ALWAYS applied to
+    * the scan as well — stats are an optimization, never a semantic:
+    * a file without stats (pre-stats history, unsupported column
+    * type, unreliable chunk stats) simply scans. Tombstone
+    * subtraction is per-file, so pruning the file list never changes
+    * the visible complement. */
+  def readWhere(spark: SparkSession, dir: String, cond: Column,
+                version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, dir))
+    val st = state(spark, dir, v)
+    val (scan, skip) =
+      FileStats.prune(spark, st.schema,
+        statsOf(spark, dir, v), st.files, cond)
+    MorLogStats.lastFilesScanned = scan.size
+    MorLogStats.lastFilesSkipped = skip.size
+    val data = readDataFiles(spark, dir, st, scan)
+    val visible =
+      if (scan.isEmpty || (st.tombsV < 0 && st.pfCeil < 0)) data
+      else minusTombs(spark, dir, st, withId(data))
+        .drop(RPath, RName, RRow)
+    visible.filter(cond)
+  }
 
   /** Keyed MoR UPSERT as ONE committed version: tombstone the current
     * visible rows whose `keyCol` appears in `batch`, append the batch
@@ -913,4 +1069,11 @@ object MorLog {
       .start()
     q.awaitTermination()
   }
+}
+
+/** Diagnostics for the last [[MorLog.readWhere]] on this driver —
+  * specs and oracle entries assert the skipping was non-vacuous. */
+object MorLogStats {
+  @volatile var lastFilesScanned: Int = -1
+  @volatile var lastFilesSkipped: Int = -1
 }

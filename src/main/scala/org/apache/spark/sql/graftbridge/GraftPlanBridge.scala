@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, ExpressionUtils, SparkSession => ClassicSparkSession}
 
 /** The one sanctioned crossing into Spark's `private[sql]` plan
   * constructor: wrapping a custom resolved [[LogicalPlan]] (e.g.
@@ -14,4 +15,10 @@ import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => 
 object GraftPlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** The (unresolved) expression tree behind a fluent-API [[Column]] —
+    * what `col.expr` was before the Connect split made Column wrap a
+    * ColumnNode. Used for driver-side predicate ANALYSIS only (file
+    * stats pruning), never to build plans. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }

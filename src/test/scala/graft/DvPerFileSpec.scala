@@ -221,6 +221,49 @@ class DvPerFileSpec extends AnyFunSuite {
     }
   }
 
+  test("gen discovery is the _current pointer, never a listing — and heals after crash/rollback") {
+    val dir = s"${tmp("graft-pf9-")}/t"
+    base(20000).repartition(8).write.parquet(dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_dvpf")
+    withGuard(500) {
+      DeletionVectors.deleteWhere(spark, dir, col("id") % 7 === 0)
+      val fs = p.getFileSystem(hconf)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(p, "_current")),
+        "migration commit must write the gen pointer")
+      // hot path: committedGen (driver, every read/write op) must not
+      // list the flat sidecar dir — pointer + marker probe only
+      val before = DvPerFile.genListingFallbackCount
+      val g1 = DvPerFile.committedGen(spark, dir).get
+      DeletionVectors.deleteByKeys(spark, dir, "id", Seq(lit(1L)))
+      assert(DvPerFile.committedGen(spark, dir).get == g1 + 1)
+      assert(readIds(dir) == expected(20000, i => i % 7 == 0 || i == 1))
+      assert(DvPerFile.genListingFallbackCount == before,
+        "hot-path gen discovery took a directory-listing fallback")
+      // crash-between-marker-and-pointer: pointer one behind — the
+      // forward probe heals without a listing
+      val out = fs.create(new org.apache.hadoop.fs.Path(p, "_current"), true)
+      out.write(g1.toString.getBytes("UTF-8")); out.close()
+      assert(DvPerFile.committedGen(spark, dir).get == g1 + 1)
+      assert(DvPerFile.genListingFallbackCount == before,
+        "stale-behind pointer must heal by forward probe, not listing")
+      // legacy dir (no pointer at all): ONE counted listing fallback,
+      // after which the healed pointer serves reads again
+      fs.delete(new org.apache.hadoop.fs.Path(p, "_current"), false)
+      assert(DvPerFile.committedGen(spark, dir).get == g1 + 1)
+      assert(DvPerFile.genListingFallbackCount == before + 1)
+      assert(DvPerFile.committedGen(spark, dir).get == g1 + 1)
+      assert(DvPerFile.genListingFallbackCount == before + 1,
+        "fallback listing must heal the pointer for subsequent reads")
+      // rollback below the pointer re-points at the retained ceiling
+      DvPerFile.rollbackAbove(spark, dir, g1)
+      assert(DvPerFile.committedGen(spark, dir).get == g1)
+      assert(DvPerFile.genListingFallbackCount == before + 1,
+        "rollback must fix the pointer, not leave it stale-above")
+      assert(readIds(dir) == expected(20000, _ % 7 == 0))
+    }
+  }
+
   test("pre-guard tables stay in the broadcast regime") {
     val dir = s"${tmp("graft-pf6-")}/t"
     base(2000).repartition(4).write.parquet(dir)
