@@ -524,6 +524,8 @@ object SparkEntry {
     "q247_mor_update_pf"    -> ((s, d) => CoreQueries.morUpdatePf(s, d)),
     // log-backed drain crossing the per-file migration mid-stream
     "q248_morlog_stream_pf" -> ((s, d) => CoreQueries.morLogStreamPf(s, d)),
+    // log-level data skipping: per-file min/max stats prune the scan
+    "q249_morlog_stats_skip" -> ((s, d) => CoreQueries.morLogStatsSkip(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -980,6 +982,18 @@ object SparkEntry {
     // the drain that crossed the per-file migration mid-stream (and
     // was maintained through the migrated store) answers identically
     "q248_morlog_stream_pf" -> morLogDrainOracle,
+    // stats-pruned range read = the plain range filter over the
+    // delete complement (skipping is value-invisible by construction;
+    // the query itself asserts a file was actually skipped)
+    "q249_morlog_stats_skip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE event_id % 10 <> 6
+           AND event_id >= 100 AND event_id < 600
+         GROUP BY event_type""",
     // four snapshots reconstructed: v1 append, v2 delete, v3 compact
     // (≡ v2 — value-invisible), v4 append-after-compact
     "q234_mor_timetravel" ->

@@ -3177,6 +3177,35 @@ object CoreQueries {
     graft.sink.MorLog.read(s, dir).select(col("user_id"), col("val"))
   }
 
+  /** LOG-LEVEL data skipping (q249): `events` range-clustered on
+    * event_id into a log-backed table, a scattered DELETE, then a
+    * selective range read through [[graft.sink.MorLog.readWhere]] —
+    * the version log's per-file min/max stats (parquet footers,
+    * collected at commit) prune the out-of-range files BEFORE any
+    * task is scheduled, Delta's data-skipping shape at the log tier.
+    * Non-vacuity asserted in-query: at least one file must actually
+    * skip. Oracle: the plain range filter over the delete complement
+    * — stats are advisory, pruning must be value-invisible. */
+  def morLogStatsSkip(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-fsk-")
+    val dir = s"$work/t"
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    graft.sink.MorLog.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"), dir)
+    graft.sink.MorLog.deleteWhere(s, dir, col("event_id") % 10 === 6)
+    val out = graft.sink.MorLog.readWhere(s, dir,
+      col("event_id") >= 100L && col("event_id") < 600L)
+    require(graft.sink.MorLogStats.lastFilesSkipped > 0,
+      "q249: no file was skipped — the range layout or the stats " +
+        "chain is broken; the read silently degraded to a full scan")
+    out.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** INCREMENTAL change feed from the log (q241): the SAME v0→v2 net
     * as q239, but derived from the log's own per-version deltas —
     * files added per version and tombstone-set growth — never from
