@@ -526,6 +526,8 @@ object SparkEntry {
     "q248_morlog_stream_pf" -> ((s, d) => CoreQueries.morLogStreamPf(s, d)),
     // log-level data skipping: per-file min/max stats prune the scan
     "q249_morlog_stats_skip" -> ((s, d) => CoreQueries.morLogStatsSkip(s, d)),
+    // genuine WAV/FLAC/MP3 header parse, corrupt blobs → NULL
+    "q250_audio_meta"       -> ((s, d) => LlmQueries.audioMeta(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -994,6 +996,39 @@ object SparkEntry {
          WHERE event_id % 10 <> 6
            AND event_id >= 100 AND event_id < 600
          GROUP BY event_type""",
+    // the parsed audio container fields are pure doc_id arithmetic;
+    // corrupted (%29) payloads surface NULLs; durations are the
+    // parser's integer formulas (WAV/FLAC: samples*1000/rate; MP3:
+    // CBR stream-bytes*8000/bps over an ID3v2-skipped stream)
+    "q250_audio_meta" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 3 AS fmt,
+             CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               WHEN 2 THEN 44100 ELSE 48000 END AS prate,
+             CASE (doc_id % 4) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+               ELSE 32000 END AS mrate,
+             CAST(doc_id % 2 + 1 AS INT) AS ch,
+             (doc_id % 1000 + 1) * 441 AS units,
+             CASE doc_id % 14 + 1 WHEN 1 THEN 32 WHEN 2 THEN 40
+               WHEN 3 THEN 48 WHEN 4 THEN 56 WHEN 5 THEN 64
+               WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+               WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+               WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END AS kbps
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN doc_id % 29 = 0 THEN NULL WHEN fmt = 0 THEN 'wav'
+                WHEN fmt = 1 THEN 'flac' ELSE 'mp3' END AS format,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                WHEN fmt = 2 THEN CAST(mrate AS INT)
+                ELSE CAST(prate AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 29 = 0 THEN NULL ELSE ch END AS channels,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                WHEN fmt = 2 THEN CAST(
+                  (kbps * (doc_id % 5 + 1) + 4) * 8000 // (kbps * 1000)
+                  AS BIGINT)
+                ELSE CAST(units * 1000 // prate AS BIGINT)
+             END AS duration_ms
+         FROM d""",
     // four snapshots reconstructed: v1 append, v2 delete, v3 compact
     // (≡ v2 — value-invisible), v4 append-after-compact
     "q234_mor_timetravel" ->

@@ -104,6 +104,7 @@ object GraftFunctions {
   val momName = "graft_embed_mom"
   val dvDeletedName = "graft_dv_deleted"
   val imageDimsName = "graft_image_dims"
+  val audioMetaName = "graft_audio_meta"
 
   private def cosBuilder(exprs: Seq[Expression]): Expression =
     CosineSimilarity(exprs.head, exprs(1))
@@ -199,6 +200,9 @@ object GraftFunctions {
     if (!registry.functionExists(FunctionIdentifier(imageDimsName)))
       registry.createOrReplaceTempFunction(imageDimsName,
         graft.multimodal.ImageDims.builder, "built-in")
+    if (!registry.functionExists(FunctionIdentifier(audioMetaName)))
+      registry.createOrReplaceTempFunction(audioMetaName,
+        graft.multimodal.AudioMeta.builder, "built-in")
   }
 
   /** Column form: cosine(a, b) as a codegen'd native expression. */

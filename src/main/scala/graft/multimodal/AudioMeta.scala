@@ -1,0 +1,156 @@
+package graft.multimodal
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Audio-container header parsers — the audio counterpart of
+  * [[MultimodalCodecs.dims]]: extract (format, sample_rate, channels,
+  * duration_ms) from the container bytes so corpus routing (sample-
+  * rate buckets, mono/stereo splits, length filters, corrupt-blob
+  * quarantine) never touches an audio decoder. The reference
+  * pipeline's multimodal ambition stops at opaque blobs
+  * (README.md:216-222 ships CSVs; blobs are out of scope there) — at
+  * LLM-corpus scale the header probe IS the hot path. WAV (RIFF
+  * chunk walk), FLAC (STREAMINFO bit unpack) and MP3 (ID3v2 skip +
+  * MPEG-1 Layer III frame header, CBR length estimate) per their
+  * public format specs; anything unrecognized, truncated or corrupt
+  * yields NULL, never a throw. */
+object AudioCodecs {
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    le16(b, i) | (le16(b, i + 2) << 16)
+  private def be24(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 16) | ((b(i + 1) & 0xff) << 8) | (b(i + 2) & 0xff)
+
+  private def row(fmt: String, rate: Int, ch: Int, durMs: Long): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(fmt), rate, ch, durMs))
+
+  /** MPEG-1 Layer III bitrate table (kbps) by 4-bit index; 0 ("free")
+    * and 15 (bad) are unparseable here. */
+  private val Mp3KbpsV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3RateV1 = Array(44100, 48000, 32000)
+
+  /** (format, sample_rate, channels, duration_ms) of a recognized
+    * audio container header, else null. Pure byte inspection; total,
+    * never throws. Durations: WAV from data-chunk size over byte
+    * rate; FLAC from STREAMINFO total samples; MP3 a CBR estimate
+    * from the post-tag stream length over the first frame's bitrate
+    * (the standard no-decode estimate — VBR needs a Xing walk a
+    * header-only probe can't afford). */
+  def meta(b: Array[Byte]): InternalRow = {
+    if (b == null) return null
+    // WAV: RIFF/WAVE, then a chunk walk for "fmt " (PCM layout) and
+    // the "data" chunk SIZE (header suffices; payload bytes need not
+    // be present past the declared header)
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E') {
+      var i = 12
+      var rate = -1; var ch = -1; var byteRate = -1; var dataSize = -1L
+      while (i + 8 <= b.length && (rate < 0 || dataSize < 0)) {
+        val sz = le32(b, i + 4).toLong & 0xffffffffL
+        if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
+            b(i + 3) == ' ') {
+          if (sz < 16 || i + 8 + 16 > b.length) return null
+          ch = le16(b, i + 10)
+          rate = le32(b, i + 12)
+          byteRate = le32(b, i + 16)
+        } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+            b(i + 3) == 'a') {
+          dataSize = sz
+        }
+        i += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks pad to even
+        if (sz > Int.MaxValue - 16) return null
+      }
+      return if (rate > 0 && ch > 0 && byteRate > 0 && dataSize >= 0)
+        row("wav", rate, ch, dataSize * 1000L / byteRate)
+      else null
+    }
+    // FLAC: "fLaC" magic, then the mandatory first metadata block
+    // must be STREAMINFO (type 0, length >= 34): 10 bytes of block/
+    // frame sizes, then a packed 64-bit group — sample rate (20 bits),
+    // channels-1 (3), bits-per-sample-1 (5), total samples (36)
+    if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+        b(3) == 'C') {
+      if (b.length < 8 + 18) return null
+      if ((b(4) & 0x7f) != 0) return null // first block not STREAMINFO
+      if (be24(b, 5) < 34 || b.length < 8 + 34) return null
+      val o = 8 + 10
+      var packed = 0L
+      var k = 0
+      while (k < 8) { packed = (packed << 8) | (b(o + k) & 0xff); k += 1 }
+      val rate = (packed >>> 44).toInt
+      val ch = ((packed >>> 41) & 0x7).toInt + 1
+      val totalSamples = packed & 0xfffffffffL // 36 bits
+      return if (rate > 0)
+        row("flac", rate, ch, totalSamples * 1000L / rate)
+      else null
+    }
+    // MP3: optional ID3v2 tag ("ID3" + 2-byte version + flags +
+    // 4-byte syncsafe size), then an MPEG-1 Layer III frame header:
+    // FF Ex sync, bitrate/sample-rate indices, channel mode
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val syncsafe = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      off = 10 + syncsafe
+    }
+    if (b.length >= off + 4 && (b(off) & 0xff) == 0xff &&
+        (b(off + 1) & 0xe0) == 0xe0) {
+      if ((b(off + 1) & 0x18) != 0x18) return null // MPEG-1 only
+      if ((b(off + 1) & 0x06) != 0x02) return null // Layer III only
+      val bi = (b(off + 2) >> 4) & 0xf
+      val si = (b(off + 2) >> 2) & 0x3
+      if (bi == 0 || bi == 15 || si == 3) return null
+      val kbps = Mp3KbpsV1L3(bi)
+      val rate = Mp3RateV1(si)
+      val ch = if (((b(off + 3) >> 6) & 0x3) == 3) 1 else 2
+      val streamBytes = (b.length - off).toLong
+      return row("mp3", rate, ch, streamBytes * 8000L / (kbps * 1000L))
+    }
+    null
+  }
+}
+
+/** `graft_audio_meta(binary)` → struct(format, sample_rate, channels,
+  * duration_ms) | null — codegen'd audio header probe
+  * ([[AudioCodecs.meta]]). Stays inside whole-stage codegen: one
+  * static call per row, no decode, corrupt headers are data (NULL),
+  * not exceptions. */
+case class AudioMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = AudioMeta.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_audio_meta"
+
+  override def nullSafeEval(v: Any): Any =
+    AudioCodecs.meta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+      |  graft.multimodal.AudioCodecs.meta($b);
+      |${ev.isNull} = ${ev.value} == null;
+    """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object AudioMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  private[graft] def builder(exprs: Seq[Expression]): Expression =
+    AudioMeta(exprs.head)
+}

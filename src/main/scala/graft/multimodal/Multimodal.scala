@@ -148,4 +148,63 @@ object Multimodal {
         concat(lit("RIFF".getBytes("US-ASCII")), le32(lit(17)),
           lit("WEBPVP8L".getBytes("US-ASCII")), le32(lit(5)),
           bin("2F"), le32((w - 1) + (h - 1) * 16384)))
+
+  private def be64(c: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(c), 16, "0"))
+  private def be24col(c: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(c), 6, "0"))
+  private def zeros(n: org.apache.spark.sql.Column) =
+    unhex(call_function("repeat", lit("00"), n.cast("int")))
+  private def byte1(c: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(c), 2, "0"))
+
+  /** A VALID audio container header for the given parameters, format
+    * selected per row — a real WAV RIFF/fmt/data chunk layout, a real
+    * FLAC STREAMINFO block (bit-packed rate/channels/bps/samples), a
+    * real ID3v2-tagged MPEG-1 Layer III frame head with CBR padding —
+    * built from in-plan byte arithmetic. The builder and
+    * [[AudioCodecs.meta]] are independent code paths over the
+    * published byte layouts, so a parse of a built payload is a
+    * genuine round trip.
+    *
+    *   fmtSel: 0 = WAV (16-bit PCM, `units` frames)
+    *           1 = FLAC (16 bps, `units` total samples)
+    *           2 = MP3 (`kbpsIdx` ∈ 1..14 bitrate index, `mp3Rate` ∈
+    *               {44100,48000,32000}, `padBytes` of CBR stream body)
+    */
+  def audioPayload(fmtSel: org.apache.spark.sql.Column,
+                   rate: org.apache.spark.sql.Column,
+                   ch: org.apache.spark.sql.Column,
+                   units: org.apache.spark.sql.Column,
+                   mp3Rate: org.apache.spark.sql.Column,
+                   kbpsIdx: org.apache.spark.sql.Column,
+                   padBytes: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val block = ch * 2 // 16-bit PCM frame bytes
+    val byteRate = rate * block
+    val dataSize = units * block
+    val wav = concat(lit("RIFF".getBytes("US-ASCII")),
+      le32(dataSize + 36), lit("WAVEfmt ".getBytes("US-ASCII")),
+      le32(lit(16)), le16(lit(1)), le16(ch), le32(rate), le32(byteRate),
+      le16(block), le16(lit(16)),
+      lit("data".getBytes("US-ASCII")), le32(dataSize))
+    // STREAMINFO packed group: rate(20) | ch-1(3) | bps-1=15(5) | samples(36)
+    val packed = rate.cast("long") * lit(17592186044416L) + // << 44
+      (ch.cast("long") - 1) * lit(2199023255552L) + // << 41
+      lit(15L) * lit(68719476736L) + // << 36
+      units.cast("long")
+    val flac = concat(lit("fLaC".getBytes("US-ASCII")),
+      bin("80"), be24col(lit(34)), zeros(lit(10)), be64(packed),
+      zeros(lit(16)))
+    // MP3: ID3v2.3 tag with a 16-byte body (exercises the syncsafe
+    // skip), then FF FB (MPEG-1 Layer III), bitrate/sample-rate
+    // nibbles, channel-mode byte, CBR body
+    val srIdx = when(mp3Rate === 44100, 0).when(mp3Rate === 48000, 1)
+      .otherwise(2)
+    val mp3 = concat(lit("ID3".getBytes("US-ASCII")),
+      bin("0300 00 00000010"), zeros(lit(16)),
+      bin("FFFB"), byte1(shiftleft(kbpsIdx, 4) + shiftleft(srIdx, 2)),
+      byte1(when(ch === 1, 0xc0).otherwise(0x00)), zeros(padBytes))
+    when(fmtSel === 0, wav).when(fmtSel === 1, flac).otherwise(mp3)
+  }
 }

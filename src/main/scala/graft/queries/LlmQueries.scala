@@ -341,6 +341,49 @@ object LlmQueries {
         col("dims.width").as("width"), col("dims.height").as("height"))
   }
 
+  /** AUDIO-HEADER probe (q250): build GENUINE WAV/FLAC/MP3 container
+    * headers per document (rate/channels/length derived from doc_id,
+    * the format rotating) and parse them back with the codegen'd
+    * `graft_audio_meta` expression — the audio counterpart of q243:
+    * sample-rate buckets, mono/stereo splits and duration filters
+    * over a 100 TB audio corpus are header reads, never decodes.
+    * Builder and parser are independent code paths over the published
+    * byte layouts (RIFF chunk walk, FLAC STREAMINFO bit unpack, ID3v2
+    * syncsafe skip + MPEG-1 Layer III frame fields). A corrupted
+    * payload (doc_id % 29 == 0, signature truncated) must surface
+    * NULL meta, not a throw. Oracle: the parsed fields are pure
+    * doc_id arithmetic. */
+  def audioMeta(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val kbps = ((col("doc_id") % 14) + 1).cast("int")
+    val kbpsVal = element_at(
+      array(Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+        256, 320).map(lit): _*), kbps)
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("fmt", (col("doc_id") % 3).cast("int"))
+      .withColumn("prate", element_at(
+        array(lit(8000), lit(16000), lit(44100), lit(48000)),
+        (col("doc_id") % 4).cast("int") + 1))
+      .withColumn("mrate", element_at(
+        array(lit(44100), lit(48000), lit(32000)),
+        ((col("doc_id") % 4) % 3).cast("int") + 1))
+      .withColumn("ch", (col("doc_id") % 2 + 1).cast("int"))
+      .withColumn("units", ((col("doc_id") % 1000 + 1) * 441).cast("int"))
+      .withColumn("payload", Multimodal.audioPayload(
+        col("fmt"), col("prate"), col("ch"), col("units"),
+        col("mrate"), kbps, kbpsVal * (col("doc_id") % 5 + 1)))
+      .withColumn("payload",
+        when(col("doc_id") % 29 === 0,
+          expr("substring(payload, 1, 3)")) // truncated: unparseable
+          .otherwise(col("payload")))
+    docs
+      .withColumn("meta", expr("graft_audio_meta(payload)"))
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.channels").as("channels"),
+        col("meta.duration_ms").as("duration_ms"))
+  }
+
   /** Frame sampling: 64-unit frames on a 48-unit stride per payload. */
   def frameSample(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Tables.documents(s, d), width = 64, stride = 48)

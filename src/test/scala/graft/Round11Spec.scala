@@ -187,4 +187,91 @@ class Round11Spec extends AnyFunSuite {
     assert(graft.ann.PqIndex.adcTopK(spark, dir2, queries, "embedding",
       "vec_id", m = 2, k = 4).count() == 12)
   }
+
+  // ---- audio-container header probe --------------------------------
+
+  test("graft_audio_meta parses hand-built WAV/FLAC/MP3 headers; corrupt blobs yield NULL") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = le16(v) ++ le16(v >> 16)
+    // WAV, 8000 Hz stereo 16-bit, 4000 frames (500 ms); a JUNK chunk
+    // before fmt exercises the chunk walk
+    val wav = "RIFF".getBytes ++ le32(36 + 6 + 16000) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(6) ++ Array.fill[Byte](6)(0) ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(8000) ++
+      le32(32000) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(16000)
+    // FLAC STREAMINFO: 44100 Hz mono 16 bps, 44100 samples (1000 ms)
+    val packed = (44100L << 44) | (0L << 41) | (15L << 36) | 44100L
+    val flac = "fLaC".getBytes ++ Array[Byte](0x80.toByte, 0, 0, 34) ++
+      Array.fill[Byte](10)(0) ++
+      (0 until 8).map(k =>
+        ((packed >>> (56 - 8 * k)) & 0xff).toByte).toArray ++
+      Array.fill[Byte](16)(0)
+    // MP3: ID3v2 with an 8-byte body, then an MPEG-1 Layer III frame
+    // at 128 kbps / 44100 Hz stereo and 196 stream bytes → 12 ms CBR
+    val mp3 = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0, 8) ++
+      Array.fill[Byte](8)(0) ++
+      Array(0xFF.toByte, 0xFB.toByte, ((9 << 4) | (0 << 2)).toByte,
+        0x00.toByte) ++ Array.fill[Byte](192)(0)
+    val mp3Mono = Array(0xFF.toByte, 0xFB.toByte,
+      ((1 << 4) | (2 << 2)).toByte, 0xC0.toByte) ++ Array.fill[Byte](28)(0)
+    val mpeg2 = Array(0xFF.toByte, 0xF3.toByte, 0x94.toByte, 0x00.toByte)
+    val freeBitrate = Array(0xFF.toByte, 0xFB.toByte, 0x00.toByte, 0x00.toByte)
+    val rows = Seq(
+      ("wav", wav), ("flac", flac), ("mp3", mp3), ("mp3mono", mp3Mono),
+      ("mpeg2", mpeg2), ("free", freeBitrate),
+      ("garbage", Array[Byte](9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9)),
+      ("wavtrunc", wav.take(20)), ("flactrunc", flac.take(12)),
+      ("empty", Array.empty[Byte]))
+      .toDF("name", "payload")
+      .selectExpr("name", "graft_audio_meta(payload) AS m")
+      .selectExpr("name", "m.format", "m.sample_rate", "m.channels",
+        "m.duration_ms")
+      .collect()
+      .map(r => r.getString(0) -> (Option(r.getString(1)),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(rows("wav") == (Some("wav"), Some(8000), Some(2), Some(500L)))
+    assert(rows("flac") ==
+      (Some("flac"), Some(44100), Some(1), Some(1000L)))
+    // 196 bytes * 8000 / 128000 = 12 ms
+    assert(rows("mp3") == (Some("mp3"), Some(44100), Some(2), Some(12L)))
+    // mono, 32 kbps @ 32000 Hz, 32 bytes → 8 ms
+    assert(rows("mp3mono") ==
+      (Some("mp3"), Some(32000), Some(1), Some(8L)))
+    for (bad <- Seq("mpeg2", "free", "garbage", "wavtrunc", "flactrunc",
+        "empty"))
+      assert(rows(bad) == (None, None, None, None),
+        s"$bad must quarantine as NULL, got ${rows(bad)}")
+  }
+
+  test("q250 audio round trip: builder payloads parse to doc_id arithmetic, %29 corrupt to NULL") {
+    val out = graft.queries.LlmQueries.audioMeta(spark,
+      "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.length > 0)
+    for (r <- rows) {
+      val id = r.getLong(0)
+      if (id % 29 == 0) assert(r.isNullAt(1), s"doc $id must be corrupt")
+      else {
+        val fmt = Seq("wav", "flac", "mp3")((id % 3).toInt)
+        assert(r.getString(1) == fmt, s"doc $id format")
+        val prate = Seq(8000, 16000, 44100, 48000)((id % 4).toInt)
+        val mrate = Seq(44100, 48000, 32000)(((id % 4) % 3).toInt)
+        assert(r.getInt(2) == (if (fmt == "mp3") mrate else prate))
+        assert(r.getInt(3) == (id % 2 + 1).toInt)
+        val kbps = Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+          224, 256, 320)((id % 14).toInt)
+        val expectMs =
+          if (fmt == "mp3") (kbps * (id % 5 + 1) + 4) * 8000 / (kbps * 1000)
+          else (id % 1000 + 1) * 441 * 1000 / prate
+        assert(r.getLong(4) == expectMs, s"doc $id duration")
+      }
+    }
+    // the probe stays inside whole-stage codegen (the `*(n)` span
+    // marker) with no UDF fallback
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), "probe fell out of whole-stage codegen")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
 }
