@@ -528,6 +528,9 @@ object SparkEntry {
     "q249_morlog_stats_skip" -> ((s, d) => CoreQueries.morLogStatsSkip(s, d)),
     // genuine WAV/FLAC/MP3 header parse, corrupt blobs → NULL
     "q250_audio_meta"       -> ((s, d) => LlmQueries.audioMeta(s, d)),
+    // span-level dedup with removal: cross-doc 5-gram spans cut,
+    // survivors reassembled in order (Lee et al. ExactSubstr analog)
+    "q251_span_scrub"       -> ((s, d) => LlmQueries.spanScrub(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1029,6 +1032,39 @@ object SparkEntry {
                 ELSE CAST(units * 1000 // prate AS BIGINT)
              END AS duration_ms
          FROM d""",
+    // span scrub: every word position covered by a 5-gram occurring
+    // in >= 2 distinct docs is cut, survivors rejoined in order (the
+    // Spark side groups by 60-bit gram hashes, the oracle by gram
+    // strings — equal strings hash equal; collisions are ~2^-60)
+    "q251_span_scrub" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split(text, ' ') AS w,
+                  len(string_split(text, ' ')) AS nw
+           FROM documents),
+         grams AS (
+           SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS g
+           FROM tok, unnest(range(1, nw - 3)) AS t(i)),
+         dup AS (
+           SELECT g FROM grams GROUP BY g
+           HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (
+           SELECT DISTINCT grams.doc_id, grams.i + t.k AS widx
+           FROM grams JOIN dup USING (g), unnest(range(0, 5)) AS t(k)),
+         words AS (
+           SELECT doc_id, i AS widx, w[i] AS word
+           FROM tok, unnest(range(1, nw + 1)) AS t(i)),
+         kept AS (
+           SELECT words.doc_id, count(*) AS n_kept,
+                  string_agg(words.word, ' ' ORDER BY words.widx)
+                    AS clean_text
+           FROM words ANTI JOIN cov
+             ON words.doc_id = cov.doc_id AND words.widx = cov.widx
+           GROUP BY words.doc_id)
+         SELECT tok.doc_id,
+           COALESCE(kept.clean_text, '') AS clean_text,
+           CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(tok.nw - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_cut
+         FROM tok LEFT JOIN kept USING (doc_id)""",
     // four snapshots reconstructed: v1 append, v2 delete, v3 compact
     // (≡ v2 — value-invisible), v4 append-after-compact
     "q234_mor_timetravel" ->

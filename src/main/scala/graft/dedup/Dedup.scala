@@ -632,6 +632,66 @@ object Dedup {
           .as("dup_ratio"))
   }
 
+  /** SPAN-LEVEL dedup with actual removal (Lee et al. 2022's ExactSubstr
+    * made corpus-shaped): cut from every document each word position
+    * covered by an `n`-gram that also occurs in at least one OTHER
+    * document, and reassemble the surviving words in order. [[dupSpans]]
+    * is the measurement; this is the scrub. The cut is symmetric (all
+    * occurrences go, including the "first" — the published finding is
+    * that repeated sequences are memorization fuel wherever they sit).
+    *
+    * Returns (id, clean_text, n_kept, n_cut) for every input doc — a
+    * fully scrubbed doc keeps the row with clean_text = ''.
+    *
+    * Scale: gram strings never shuffle — positions ride 60-bit md5
+    * hashes (8 B). Three key-partitioned shuffles total: (gram → doc
+    * frequency, map-side partial after a per-doc distinct), (gram ⋈
+    * duplicated grams, broadcast-eligible when the dup set is small),
+    * (doc id → covered-position merge + reassembly). No all-pairs, no
+    * suffix array: an n-gram table IS the Lee et al. suffix-array
+    * query for fixed n, and fixed n is what a distributed scrub wants
+    * (bounded key width, bounded state). */
+  def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 5): DataFrame = {
+    val tok = docs.select(col(idCol), split(col(textCol), " ").as("w"))
+      .withColumn("nw", size(col("w")))
+    // positional gram hashes: starts i = 0..nw-n (none when nw < n)
+    val grams = tok.select(col(idCol), col("nw"),
+        posexplode(when(col("nw") >= n, expr(
+          s"""transform(sequence(0, nw - $n), i ->
+             |  cast(conv(substring(md5(concat_ws(' ',
+             |    slice(w, i + 1, $n))), 1, 15), 16, 10) as bigint))"""
+            .stripMargin))
+          .otherwise(expr("cast(array() as array<bigint>)"))))
+      .select(col(idCol), col("pos"), col("col").as("gram"))
+    // corpus doc-frequency on the hash: per-doc distinct first, so
+    // count(*) IS the distinct-doc frequency (map-side combinable)
+    val dup = grams.select(col(idCol), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("gram")
+    // word positions covered by any duplicated gram
+    val covered = grams.join(dup, Seq("gram"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("widx"))
+      .distinct()
+    // reassemble the survivors in order
+    val words = tok.select(col(idCol), col("nw"),
+        posexplode(col("w")).as(Seq("widx", "word")))
+    val kept = words.join(covered, Seq(idCol, "widx"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("widx"), col("word")))),
+          x => x("word")), " ").as("clean_text"))
+    tok.select(col(idCol), col("nw"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("nw").cast(LongType) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_cut"))
+  }
+
   /** Exact (hash-keyed) dedup: group by content md5, keep min id and
     * copy count. The groupBy gets map-side partial aggregation; at
     * 100 TB this is one shuffle on a 32-hex key. */

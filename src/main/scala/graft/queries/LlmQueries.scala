@@ -403,6 +403,13 @@ object LlmQueries {
   def dupSpans(s: SparkSession, d: String): DataFrame =
     Dedup.dupSpans(Tables.documents(s, d), "doc_id", "text", n = 5)
 
+  /** Span-level dedup WITH REMOVAL (q251): every word position covered
+    * by a 5-gram that also occurs in another document is cut, the
+    * survivors reassembled — [[Dedup.dupSpans]] measures, this scrubs.
+    * Oracle: the same cut computed over gram strings in SQL. */
+  def spanScrub(s: SparkSession, d: String): DataFrame =
+    Dedup.scrubDupSpans(Tables.documents(s, d), "doc_id", "text", n = 5)
+
   /** Concat-and-split sequence packing into 512-token context bins via
     * the distributed two-pass prefix sum; per-bin manifest. */
   def packSequences(s: SparkSession, d: String): DataFrame = {

@@ -188,6 +188,53 @@ class Round11Spec extends AnyFunSuite {
       "vec_id", m = 2, k = 4).count() == 12)
   }
 
+  // ---- span-level dedup with removal --------------------------------
+
+  test("scrubDupSpans cuts cross-doc spans symmetrically, merges overlaps, keeps short docs") {
+    val docs = Seq(
+      // docs 1 and 2 share "a b c" (and overlapping "b c d" only in 1)
+      (1L, "x a b c y z q"),
+      (2L, "p a b c r s t"),
+      // doc 3 repeats a trigram only WITHIN itself — not cross-doc
+      (3L, "m n o m n o m n o"),
+      // doc 4 is shorter than n — untouched by construction
+      (4L, "u v"),
+      // docs 5 and 6 are identical — fully scrubbed
+      (5L, "e f g h i"),
+      (6L, "e f g h i"))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.scrubDupSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size == 6, "every input doc keeps a row")
+    // "a b c" occurs in docs 1 and 2: cut there, neighbors survive
+    assert(out(1L) == ("x y z q", 4L, 3L))
+    assert(out(2L) == ("p r s t", 4L, 3L))
+    // within-doc repetition alone is not cross-doc duplication
+    assert(out(3L) == ("m n o m n o m n o", 9L, 0L))
+    assert(out(4L) == ("u v", 2L, 0L))
+    // identical docs: every trigram shared -> all positions covered
+    assert(out(5L) == ("", 0L, 5L))
+    assert(out(6L) == ("", 0L, 5L))
+  }
+
+  test("scrubDupSpans merges OVERLAPPING duplicated spans into one contiguous cut") {
+    // "a b c d" in doc 1 vs "a b c" in doc 2 and "b c d" in doc 3:
+    // doc 1's positions 1..4 are covered by two overlapping trigrams —
+    // the union cut must be contiguous, not double-counted
+    val docs = Seq(
+      (1L, "z a b c d z2"),
+      (2L, "q a b c q2 q3"),
+      (3L, "r b c d r2 r3"))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.scrubDupSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ("z z2", 2L, 4L))
+    assert(out(2L) == ("q q2 q3", 3L, 3L))
+    assert(out(3L) == ("r r2 r3", 3L, 3L))
+  }
+
   // ---- audio-container header probe --------------------------------
 
   test("graft_audio_meta parses hand-built WAV/FLAC/MP3 headers; corrupt blobs yield NULL") {
