@@ -531,6 +531,10 @@ object SparkEntry {
     // span-level dedup with removal: cross-doc 5-gram spans cut,
     // survivors reassembled in order (Lee et al. ExactSubstr analog)
     "q251_span_scrub"       -> ((s, d) => LlmQueries.spanScrub(s, d)),
+    // OPTIMIZE ZORDER under the log: same values, better skipping
+    "q252_morlog_cluster"   -> ((s, d) => CoreQueries.morLogCluster(s, d)),
+    // retention delete where whole files drop as pure metadata
+    "q253_morlog_drop_delete" -> ((s, d) => CoreQueries.morLogDropDelete(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1065,6 +1069,35 @@ object SparkEntry {
            CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
            CAST(tok.nw - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_cut
          FROM tok LEFT JOIN kept USING (doc_id)""",
+    // clustering is value-invisible: the oracle is the plain filtered
+    // aggregate (box bounds from the data's own maxima); the query
+    // itself asserts the skipping improvement
+    "q252_morlog_cluster" ->
+      """WITH b AS (SELECT max(event_id) * 2 // 5 AS e0,
+                    max(event_id) * 3 // 5 AS e1,
+                    max(user_id) // 5 AS u0,
+                    max(user_id) * 2 // 5 AS u1 FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events, b
+         WHERE event_id % 10 <> 6
+           AND event_id >= e0 AND event_id < e1
+           AND user_id >= u0 AND user_id < u1
+         GROUP BY event_type""",
+    // the metadata-only drop and the tombstone path must land on the
+    // same complement: everything at or above the 60% cut, minus the
+    // earlier scattered delete
+    "q253_morlog_drop_delete" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE event_id % 10 <> 6
+           AND event_id >= (SELECT max(event_id) * 3 // 5 FROM events)
+         GROUP BY event_type""",
     // four snapshots reconstructed: v1 append, v2 delete, v3 compact
     // (≡ v2 — value-invisible), v4 append-after-compact
     "q234_mor_timetravel" ->

@@ -3206,6 +3206,77 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** Z-ORDER CLUSTERING under the version log (q252): the table is
+    * created with both query dimensions interleaved across every file
+    * (hash layout on an unrelated column), so a two-dim box query
+    * prunes nothing; one [[graft.sink.MorLog.cluster]] rewrite later
+    * the same box skips most files off the new footer stats — and the
+    * visible values are bit-identical (cluster is a compaction
+    * variant: tombstones fold away, history stays readable). The
+    * entry fails loud if skipping did NOT improve, so a silent
+    * layout/stats regression can't pass vacuously. Box bounds derive
+    * from the data's own maxima (scale-free selectivity); oracle is
+    * the plain filtered aggregate. */
+  def morLogCluster(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val work = graft.TempDirs.create("graft-clu-")
+    val dir = s"$work/t"
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    graft.sink.MorLog.create(ev.repartition(8, col("event_type")), dir)
+    graft.sink.MorLog.deleteWhere(s, dir, col("event_id") % 10 === 6)
+    val (maxE, maxU) = ev.agg(max("event_id"), max("user_id"))
+      .as[(Long, Long)].head()
+    val box = col("event_id") >= maxE * 2 / 5 &&
+      col("event_id") < maxE * 3 / 5 &&
+      col("user_id") >= maxU / 5 && col("user_id") < maxU * 2 / 5
+    // readWhere prunes EAGERLY (driver-side stats walk at call time),
+    // so the counters compare plan-time pruning, no execution needed
+    graft.sink.MorLog.readWhere(s, dir, box)
+    val skippedBefore = graft.sink.MorLogStats.lastFilesSkipped
+    graft.sink.MorLog.cluster(s, dir, Seq("event_id", "user_id"),
+      nFiles = 8)
+    val scan = graft.sink.MorLog.readWhere(s, dir, box)
+    require(graft.sink.MorLogStats.lastFilesSkipped > skippedBefore,
+      "q252: clustering did not improve file skipping — the Z-order " +
+        "rewrite or the stats chain regressed")
+    scan.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
+  /** METADATA-ONLY file-drop delete (q253): the table is range-laid
+    * on event_id, tombstones scattered first, then a retention cut
+    * deletes the low 60% of the key space — files wholly under the
+    * cut leave the file list WITHOUT a scan or a tombstone write
+    * ([[graft.sink.FileStats.coveredAll]]); only the boundary file
+    * pays row-level tombstones. At 100 TB this is the difference
+    * between a retention job that rewrites nothing and one that
+    * materializes a billion-row tombstone set. Fails loud if no file
+    * dropped wholesale. Oracle: the surviving complement. */
+  def morLogDropDelete(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val work = graft.TempDirs.create("graft-dropd-")
+    val dir = s"$work/t"
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    graft.sink.MorLog.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"), dir)
+    graft.sink.MorLog.deleteWhere(s, dir, col("event_id") % 10 === 6)
+    val maxE = ev.agg(max("event_id")).as[Long].head()
+    graft.sink.MorLog.deleteWhere(s, dir, col("event_id") < maxE * 3 / 5)
+    require(graft.sink.MorLogStats.lastFilesDropped >= 1,
+      "q253: no file dropped wholesale — the metadata-only delete " +
+        "tier never engaged; the delete silently degraded to tombstones")
+    graft.sink.MorLog.read(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** INCREMENTAL change feed from the log (q241): the SAME v0→v2 net
     * as q239, but derived from the log's own per-version deltas —
     * files added per version and tombstone-set growth — never from

@@ -234,6 +234,23 @@ private[graft] object DvPerFile {
     } finally in.close()
   }
 
+  /** Tombstone COUNT per data file at `ceiling`, for `names` only —
+    * sidecar-HEADER reads (path + count, never the index payload), so
+    * a metadata-only caller (file-drop delete accounting) stays
+    * metadata-only. Files without a sidecar at the ceiling are simply
+    * absent (zero tombstones). */
+  private[sink] def headerCounts(conf: Configuration, tableDir: String,
+                                 ceiling: Int, names: Seq[String])
+      : Map[String, Long] = {
+    if (ceiling < 0 || names.isEmpty) return Map.empty
+    val gens = resolve(conf, tableDir, ceiling)
+    names.iterator.flatMap { n =>
+      gens.get(n).map { g =>
+        n -> readHeader(conf, sidecarPath(tableDir, n, g))._2
+      }
+    }.toMap
+  }
+
   // ---- resolution --------------------------------------------------
 
   /** (dataFileName → best sidecar gen ≤ ceiling). ONE marker read

@@ -418,4 +418,54 @@ private[graft] object FileStats {
             f.condition
         }
     }.toOption.flatten
+
+  /** Files whose stats PROVE `pred` holds for EVERY row — the dual of
+    * [[prune]], and the gate for metadata-only file-drop deletes:
+    * [[canSkip]] on the OPTIMIZER-simplified negation (the optimizer
+    * pushes NOT through And/Or into the comparison shapes canSkip
+    * analyzes; plain analysis would leave an opaque Not node) proves
+    * ¬pred matches no row, PLUS a zero-null requirement on every
+    * column the condition references — a null-valued row satisfies
+    * NEITHER pred nor ¬pred, so without it a provably-¬pred-free file
+    * could still hold rows the caller's `coalesce(pred, false)`
+    * semantics would keep. Conservative everywhere: missing stats, an
+    * unanalyzable predicate, or a fold-away filter qualify nothing. */
+  def coveredAll(spark: SparkSession, schema: StructType,
+                 stats: Map[String, FileColStats], files: Seq[String],
+                 pred: Column): Seq[String] = {
+    // NOT pushed into the comparison shapes canSkip analyzes; valid
+    // under three-valued logic (¬(a<b) ≡ a≥b — null stays null).
+    // Shapes without a sound rewrite stay wrapped and prove nothing.
+    def pushNot(e: Expression): Expression = e match {
+      case Not(Not(x))                  => pushNot(x)
+      case Not(And(a, b))               => Or(pushNot(Not(a)), pushNot(Not(b)))
+      case Not(Or(a, b))                => And(pushNot(Not(a)), pushNot(Not(b)))
+      case Not(LessThan(a, b))          => GreaterThanOrEqual(a, b)
+      case Not(LessThanOrEqual(a, b))   => GreaterThan(a, b)
+      case Not(GreaterThan(a, b))       => LessThanOrEqual(a, b)
+      case Not(GreaterThanOrEqual(a, b)) => LessThan(a, b)
+      case And(a, b)                    => And(pushNot(a), pushNot(b))
+      case Or(a, b)                     => Or(pushNot(a), pushNot(b))
+      case other                        => other
+    }
+    val negated = resolvedPredicate(spark, schema, pred)
+      .map(e => pushNot(Not(e)))
+    negated match {
+      case None => Seq.empty
+      case Some(e) =>
+        val refs = e.references.map(_.name).toSeq
+        files.filter { f =>
+          stats.get(f).exists { s =>
+            refs.forall(n =>
+              s.get(n).exists(c => c.nulls == 0 && c.rows > 0)) &&
+              canSkip(s, e)
+          }
+        }
+    }
+  }
+
+  /** Row count recorded in a file's stats (all columns agree; absent
+    * stats → None). */
+  def rowsOf(stats: Map[String, FileColStats], f: String): Option[Long] =
+    stats.get(f).flatMap(_.values.headOption).map(_.rows)
 }

@@ -550,23 +550,56 @@ object MorLog {
     * deleted rows. */
   def deleteWhere(spark: SparkSession, dir: String, cond: Column): Long = {
     val st = currentState(spark, dir)
+    val stats = statsOf(spark, dir, st.version)
+    // METADATA-ONLY tier first: files whose stats PROVE `cond` for
+    // every row ([[FileStats.coveredAll]] — negation-skip plus a
+    // zero-null guard) leave the file list wholesale: no scan, no
+    // tombstones, no data IO beyond header counts for the return
+    // value. A retention delete over a range-laid-out table is
+    // O(boundary files), not O(deleted data) — the file stays on
+    // disk for history, exactly like a compaction's replaced inputs.
+    val dropped = FileStats.coveredAll(spark, st.schema, stats,
+      st.files, cond)
+    val remaining = st.files.filterNot(dropped.toSet)
     // the locate scan prunes by file stats: a file whose bounds prove
     // `cond` false holds no victims (its tombstones are untouched
     // either way, so the pruned complement commits identically)
     val (scanFiles, _) =
-      FileStats.prune(spark, st.schema,
-        statsOf(spark, dir, st.version), st.files, cond)
-    if (scanFiles.isEmpty) return 0L
-    val visible = minusTombs(spark, dir, st,
-      withId(readDataFiles(spark, dir, st, scanFiles)))
-    val victims = visible.filter(coalesce(cond, lit(false)))
-      .select(col(RPath), col(RName), col(RRow))
+      FileStats.prune(spark, st.schema, stats, remaining, cond)
+    MorLogStats.lastFilesDropped = dropped.size
+    if (dropped.isEmpty && scanFiles.isEmpty) return 0L
     val v = st.version + 1
-    val (added, tombsV, pfCeil) = commitTombs(spark, dir, st, victims, v)
-    if (added == 0) return 0L
+    val (added, tombsV, pfCeil) =
+      if (scanFiles.isEmpty) (0L, st.tombsV, st.pfCeil)
+      else {
+        val visible = minusTombs(spark, dir, st,
+          withId(readDataFiles(spark, dir, st, scanFiles)))
+        val victims = visible.filter(coalesce(cond, lit(false)))
+          .select(col(RPath), col(RName), col(RRow))
+        commitTombs(spark, dir, st, victims, v)
+      }
+    if (added == 0 && dropped.isEmpty) return 0L
+    // dropped files' newly deleted rows = stats row count − their
+    // tombstones at the PRE-delete state, all from metadata
+    val droppedRows =
+      if (dropped.isEmpty) 0L
+      else {
+        val tombCounts: Map[String, Long] =
+          if (st.pfCeil >= 0)
+            DvPerFile.headerCounts(conf(spark), dir, st.pfCeil, dropped)
+          else tombsOf(spark, dir, st) match {
+            case None => Map.empty
+            case Some(t) => t
+              .filter(col(FileCol).isInCollection(dropped))
+              .groupBy(FileCol).agg(count(lit(1)).as("n"))
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          }
+        dropped.map(f => FileStats.rowsOf(stats, f).getOrElse(0L) -
+          tombCounts.getOrElse(f, 0L)).sum
+      }
     writeState(spark, dir,
-      State(v, "delete", tombsV, pfCeil, st.schema, st.files), st.files)
-    added
+      State(v, "delete", tombsV, pfCeil, st.schema, remaining), st.files)
+    added + droppedRows
   }
 
   /** Compaction as one version: the current VISIBLE rows rewrite into
@@ -642,6 +675,33 @@ object MorLog {
       State(v, "compact", newTombsV, st.pfCeil, st.schema,
         keepNames ++ packed), st.files)
     small.size
+  }
+
+  /** CLUSTER the current snapshot on `dims` as one committed version —
+    * OPTIMIZE ... ZORDER BY under the version log: the visible rows
+    * rewrite into `nFiles` range-partitioned, curve-sorted files via
+    * [[ZOrderLayout.clusteredRanked]] (rank-quantized N-dim Morton
+    * order — skew-proof; tombstones fold away with the rewrite), the
+    * old files stay on disk so every earlier version keeps reading,
+    * and the new files' footer stats hand [[readWhere]] tight min/max
+    * boxes on EVERY clustered dimension at once. This is the layout
+    * lever that turns log-level data skipping from "lucky ingest
+    * order" into a maintained property — at 100 TB a multi-dim
+    * selective query prunes to the curve cells it intersects instead
+    * of scanning whatever the drain happened to write. Value-
+    * invisible like [[compact]] ([[incrementalChanges]] skips it).
+    * Returns the number of files replaced. */
+  def cluster(spark: SparkSession, dir: String, dims: Seq[String],
+              nFiles: Int = 0, buckets: Int = 256): Int = {
+    val st = currentState(spark, dir)
+    val n = if (nFiles > 0) nFiles else math.max(1, st.files.size)
+    val clustered = ZOrderLayout.clusteredRanked(
+      readVersion(spark, dir, st.version), dims, n, buckets)
+    val v = st.version + 1
+    val names = stageIn(spark, dir, clustered, v)
+    writeState(spark, dir,
+      State(v, "cluster", -1, -1, st.schema, names), st.files)
+    st.files.size
   }
 
   /** Drop versions older than the newest `keepVersions` and every
@@ -938,9 +998,23 @@ object MorLog {
         s"incrementalChanges: version $v is a RESTORE — state rewinds " +
           "non-monotonically inside the span; use changes() across it")
       val out: Seq[DataFrame] =
-        if (st.action == "compact") Seq.empty // value-invisible
+        // compaction/clustering rewrites are value-invisible
+        if (st.action == "compact" || st.action == "cluster") Seq.empty
         else {
           val added = st.files.filterNot(prev.files.toSet)
+          // a delete may DROP whole files from the list (the
+          // metadata-only tier): their prev-visible rows are delete
+          // events — no tombstone delta ever names them
+          val removed = prev.files.filterNot(st.files.toSet)
+          val dropDel =
+            if (removed.isEmpty) None
+            else {
+              val src = spark.read.schema(prev.schema)
+                .parquet(removed.map(n => s"$dir/$n"): _*)
+              val vis = minusTombs(spark, dir, prev, withId(src))
+              Some(vis.select(keyCols.map(col) :+ lit(v).as("_v") :+
+                lit("D").as("_kind") :+ payload(vis).as("_payload"): _*))
+            }
           val ins =
             if (added.isEmpty) None
             else {
@@ -966,7 +1040,7 @@ object MorLog {
                   lit("D").as("_kind") :+ payload(src).as("_payload"): _*))
             }
           }
-          (del.toSeq ++ ins.toSeq)
+          (dropDel.toSeq ++ del.toSeq ++ ins.toSeq)
         }
       prev = st
       out
@@ -1076,4 +1150,9 @@ object MorLog {
 object MorLogStats {
   @volatile var lastFilesScanned: Int = -1
   @volatile var lastFilesSkipped: Int = -1
+
+  /** Files the last [[MorLog.deleteWhere]] dropped WHOLESALE (the
+    * metadata-only tier) — non-vacuity hook for specs and oracle
+    * entries. */
+  @volatile var lastFilesDropped: Int = -1
 }

@@ -188,6 +188,90 @@ class Round11Spec extends AnyFunSuite {
       "vec_id", m = 2, k = 4).count() == 12)
   }
 
+  // ---- MorLog: metadata-only file-drop delete ------------------------
+
+  test("deleteWhere drops fully-covered files wholesale: no tombstone growth, exact count, CDF and travel intact") {
+    import graft.sink.{MorLog, MorLogStats}
+    val dir = s"${tmp("graft-r11drop-")}/t"
+    val base = spark.range(0, 400)
+      .select(col("id"), (col("id") * 2).as("val"))
+    MorLog.create(base.repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id"), dir)
+    // v1: scatter a tombstone into the first file (id=5) so the drop
+    // accounting must subtract pre-existing tombstones
+    assert(MorLog.deleteWhere(spark, dir, col("id") === 5) == 1L)
+    assert(MorLogStats.lastFilesDropped == 0)
+    // v2: retention delete — files fully under 200 drop WHOLESALE;
+    // the boundary file (if any) goes through normal tombstones
+    // 200 ids under the cut, one (id=5) already tombstoned -> 199 new
+    val n = MorLog.deleteWhere(spark, dir, col("id") < 200)
+    assert(n == 199L, s"expected 199 newly deleted rows, got $n")
+    assert(MorLogStats.lastFilesDropped >= 1,
+      "no file dropped wholesale — the metadata-only tier never engaged")
+    val st2files = MorLog.versions(spark, dir)
+    assert(MorLog.read(spark, dir).agg(count(lit(1)), sum("id"))
+      .as[(Long, Long)].head() == ((200L, (200L until 400L).sum)))
+    // time travel: v0 still full, v1 still missing only id=5
+    assert(MorLog.readVersion(spark, dir, 0).count() == 400L)
+    assert(MorLog.readVersion(spark, dir, 1).count() == 399L)
+    // CDF across the drop agrees with the snapshot diff exactly
+    val inc = MorLog.incrementalChanges(spark, dir, 1, 2, Seq("id"))
+      .select(col("id"), col("change")).as[(Long, String)]
+      .collect().toSet
+    val snap = MorLog.changes(spark, dir, 1, 2, Seq("id"))
+      .select(col("id"), col("change")).as[(Long, String)]
+      .collect().toSet
+    assert(inc == snap)
+    assert(inc.size == 199 && inc.forall(_._2 == "delete"))
+  }
+
+  test("deleteWhere never drops a file holding nulls on a referenced column") {
+    import graft.sink.{MorLog, MorLogStats}
+    val dir = s"${tmp("graft-r11null-")}/t"
+    // one file, ids 1..9 plus a NULL id: bounds alone would prove
+    // id < 50 for every non-null row — the null row must survive
+    val df = spark.range(1, 10)
+      .select(col("id"), lit("x").as("tag"))
+      .unionByName(Seq((null.asInstanceOf[java.lang.Long], "keep"))
+        .toDF("id", "tag"))
+    MorLog.create(df.coalesce(1), dir)
+    val n = MorLog.deleteWhere(spark, dir, col("id") < 50)
+    assert(MorLogStats.lastFilesDropped == 0,
+      "a file with nulls on the predicate column must not drop")
+    assert(n == 9L)
+    val left = MorLog.read(spark, dir).select("tag").as[String].collect()
+    assert(left.toSeq == Seq("keep"))
+  }
+
+  // ---- MorLog: Z-order clustering under the log ----------------------
+
+  test("cluster rewrites the snapshot Z-ordered: same values, multi-dim skipping engages, history and CDF intact") {
+    import graft.sink.{MorLog, MorLogStats}
+    val dir = s"${tmp("graft-r11clu-")}/t"
+    val base = spark.range(0, 10000)
+      .select((col("id") % 100).as("a"), (col("id") / 100).as("b"),
+        col("id").as("k"))
+    // ingest order deliberately interleaves both dims across files
+    MorLog.create(base.repartition(8, col("k") % 8), dir)
+    val box = col("a") >= 10 && col("a") < 30 && col("b") >= 10 &&
+      col("b") < 30
+    val before = MorLog.readWhere(spark, dir, box)
+      .select("k").as[Long].collect().sorted.toSeq
+    val skippedBefore = MorLogStats.lastFilesSkipped
+    assert(MorLog.cluster(spark, dir, Seq("a", "b"), nFiles = 8) >= 1)
+    val after = MorLog.readWhere(spark, dir, box)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(after == before, "clustering changed visible values")
+    assert(MorLogStats.lastFilesSkipped > skippedBefore,
+      s"skipping did not improve: before=$skippedBefore " +
+        s"after=${MorLogStats.lastFilesSkipped}")
+    // value-invisible: CDF across the cluster version nets to zero,
+    // and the pre-cluster version still reads
+    assert(MorLog.incrementalChanges(spark, dir, 0, 1, Seq("k"))
+      .count() == 0L)
+    assert(MorLog.readVersion(spark, dir, 0).count() == 10000L)
+  }
+
   // ---- span-level dedup with removal --------------------------------
 
   test("scrubDupSpans cuts cross-doc spans symmetrically, merges overlaps, keeps short docs") {
