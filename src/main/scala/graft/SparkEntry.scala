@@ -531,6 +531,8 @@ object SparkEntry {
     // span-level dedup with removal: cross-doc 5-gram spans cut,
     // survivors reassembled in order (Lee et al. ExactSubstr analog)
     "q251_span_scrub"       -> ((s, d) => LlmQueries.spanScrub(s, d)),
+    // genuine MP4/AVI header parse, corrupt blobs → NULL
+    "q254_video_meta"       -> ((s, d) => LlmQueries.videoMeta(s, d)),
     // OPTIMIZE ZORDER under the log: same values, better skipping
     "q252_morlog_cluster"   -> ((s, d) => CoreQueries.morLogCluster(s, d)),
     // retention delete where whole files drop as pure metadata
@@ -1069,6 +1071,26 @@ object SparkEntry {
            CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
            CAST(tok.nw - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_cut
          FROM tok LEFT JOIN kept USING (doc_id)""",
+    // the parsed video container fields are pure doc_id arithmetic;
+    // corrupted (%23) payloads surface NULLs; durations are the
+    // parser's integer formulas (MP4: mvhd duration*1000/timescale;
+    // AVI: frames*µs-per-frame/1000)
+    "q254_video_meta" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 23 = 0 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS format,
+           CASE WHEN doc_id % 23 = 0 THEN NULL
+                ELSE CAST(doc_id % 1280 + 16 AS INT) END AS width,
+           CASE WHEN doc_id % 23 = 0 THEN NULL
+                ELSE CAST(doc_id % 720 + 16 AS INT) END AS height,
+           CASE WHEN doc_id % 23 = 0 THEN NULL
+                WHEN doc_id % 2 = 0 THEN
+                  CAST((doc_id % 500 + 1) * 100 AS BIGINT)
+                ELSE CAST((doc_id % 1000 + 1) *
+                  (CASE doc_id % 3 WHEN 0 THEN 16667 WHEN 1 THEN 33333
+                   ELSE 40000 END) // 1000 AS BIGINT)
+             END AS duration_ms
+         FROM documents""",
     // clustering is value-invisible: the oracle is the plain filtered
     // aggregate (box bounds from the data's own maxima); the query
     // itself asserts the skipping improvement

@@ -105,6 +105,7 @@ object GraftFunctions {
   val dvDeletedName = "graft_dv_deleted"
   val imageDimsName = "graft_image_dims"
   val audioMetaName = "graft_audio_meta"
+  val videoMetaName = "graft_video_meta"
 
   private def cosBuilder(exprs: Seq[Expression]): Expression =
     CosineSimilarity(exprs.head, exprs(1))
@@ -203,6 +204,9 @@ object GraftFunctions {
     if (!registry.functionExists(FunctionIdentifier(audioMetaName)))
       registry.createOrReplaceTempFunction(audioMetaName,
         graft.multimodal.AudioMeta.builder, "built-in")
+    if (!registry.functionExists(FunctionIdentifier(videoMetaName)))
+      registry.createOrReplaceTempFunction(videoMetaName,
+        graft.multimodal.VideoMeta.builder, "built-in")
   }
 
   /** Column form: cosine(a, b) as a codegen'd native expression. */

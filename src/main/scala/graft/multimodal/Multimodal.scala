@@ -207,4 +207,50 @@ object Multimodal {
       byte1(when(ch === 1, 0xc0).otherwise(0x00)), zeros(padBytes))
     when(fmtSel === 0, wav).when(fmtSel === 1, flac).otherwise(mp3)
   }
+
+  /** A VALID video container header for the given parameters — a real
+    * MP4 ftyp + moov(mvhd v0, trak(tkhd v0 with 16.16-fixed dims))
+    * box tree, or a real AVI RIFF('AVI ')/LIST('hdrl')/avih main
+    * header — built from in-plan byte arithmetic. Independent of
+    * [[VideoCodecs.meta]]'s parse path, so a parse of a built payload
+    * is a genuine round trip.
+    *
+    *   fmtSel: 0 = MP4 (`timescale` units/s, `durUnits` total)
+    *           1 = AVI (`uspf` µs/frame, `frames` total)
+    */
+  def videoPayload(fmtSel: org.apache.spark.sql.Column,
+                   w: org.apache.spark.sql.Column,
+                   h: org.apache.spark.sql.Column,
+                   timescale: org.apache.spark.sql.Column,
+                   durUnits: org.apache.spark.sql.Column,
+                   uspf: org.apache.spark.sql.Column,
+                   frames: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    def be32c(c: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(c), 8, "0"))
+    val ftyp = concat(be32c(lit(16)), lit("ftypisom".getBytes("US-ASCII")),
+      zeros(lit(4)))
+    // mvhd v0: ver/flags + creation/modification + timescale +
+    // duration + (rate/volume/reserved/matrix/predefined/next-id = 80)
+    val mvhd = concat(be32c(lit(108)), lit("mvhd".getBytes("US-ASCII")),
+      zeros(lit(12)), be32c(timescale), be32c(durUnits), zeros(lit(80)))
+    // tkhd v0: ver/flags + 20 (times/id/duration) + 8 + 8 + matrix(36),
+    // then width/height as 16.16 fixed
+    val tkhd = concat(be32c(lit(92)), lit("tkhd".getBytes("US-ASCII")),
+      zeros(lit(76)), be32c(w.cast("long") * 65536L),
+      be32c(h.cast("long") * 65536L))
+    val trak = concat(be32c(lit(100)), lit("trak".getBytes("US-ASCII")),
+      tkhd)
+    val mp4 = concat(ftyp, be32c(lit(216)),
+      lit("moov".getBytes("US-ASCII")), mvhd, trak)
+    // avih: uspf, (maxbytes/padding/flags = 12), totalframes,
+    // (initial/streams/sugbuf = 12), width, height, reserved(16)
+    val avih = concat(lit("avih".getBytes("US-ASCII")), le32(lit(56)),
+      le32(uspf), zeros(lit(12)), le32(frames), zeros(lit(12)),
+      le32(w), le32(h), zeros(lit(16)))
+    val avi = concat(lit("RIFF".getBytes("US-ASCII")), le32(lit(80)),
+      lit("AVI LIST".getBytes("US-ASCII")), le32(lit(68)),
+      lit("hdrl".getBytes("US-ASCII")), avih)
+    when(fmtSel === 0, mp4).otherwise(avi)
+  }
 }

@@ -384,6 +384,39 @@ object LlmQueries {
         col("meta.duration_ms").as("duration_ms"))
   }
 
+  /** VIDEO-HEADER probe (q254): genuine MP4 box trees (ftyp +
+    * moov/mvhd/trak/tkhd) and AVI RIFF headers built per document and
+    * parsed back with the codegen'd `graft_video_meta` expression —
+    * completing the image/audio/video probe triad: duration filters
+    * and resolution routing over a 100 TB video corpus are header
+    * walks, never decodes. Corrupt (doc_id % 23 == 0, truncated)
+    * payloads surface NULL meta. Oracle: pure doc_id arithmetic. */
+  def videoMeta(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val ts = element_at(array(lit(600), lit(1000), lit(90000)),
+      (col("doc_id") % 3).cast("int") + 1)
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("fmt", (col("doc_id") % 2).cast("int"))
+      .withColumn("w", (col("doc_id") % 1280 + 16).cast("int"))
+      .withColumn("h", (col("doc_id") % 720 + 16).cast("int"))
+      .withColumn("payload", Multimodal.videoPayload(
+        col("fmt"), col("w"), col("h"),
+        ts, (col("doc_id") % 500 + 1) * (ts / 10),
+        element_at(array(lit(16667), lit(33333), lit(40000)),
+          (col("doc_id") % 3).cast("int") + 1),
+        (col("doc_id") % 1000 + 1).cast("int")))
+      .withColumn("payload",
+        when(col("doc_id") % 23 === 0,
+          expr("substring(payload, 1, 3)")) // truncated: unparseable
+          .otherwise(col("payload")))
+    docs
+      .withColumn("meta", expr("graft_video_meta(payload)"))
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.duration_ms").as("duration_ms"))
+  }
+
   /** Frame sampling: 64-unit frames on a 48-unit stride per payload. */
   def frameSample(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Tables.documents(s, d), width = 64, stride = 48)

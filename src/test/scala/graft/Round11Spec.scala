@@ -376,6 +376,79 @@ class Round11Spec extends AnyFunSuite {
         s"$bad must quarantine as NULL, got ${rows(bad)}")
   }
 
+  test("graft_video_meta parses hand-built MP4/AVI headers; corrupt blobs yield NULL") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def le32(v: Long) = be32(v).reverse
+    def box(t: String, payload: Array[Byte]) =
+      be32(8 + payload.length) ++ t.getBytes ++ payload
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0))
+    // mvhd v1 (64-bit duration), a free box BEFORE moov, and a trak
+    // whose tkhd carries 1920×1080 in 16.16 fixed — the walk must
+    // skip unknown boxes by size and handle the v1 field widths
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++
+      be64(0) ++ be32(90000) ++ be64(450000) ++ Array.fill[Byte](80)(0))
+    val tkhd0 = box("tkhd", Array[Byte](0, 0, 0, 0) ++
+      Array.fill[Byte](72)(0) ++ be32(1920L << 16) ++ be32(1080L << 16))
+    val mp4 = ftyp ++ box("free", Array.fill[Byte](6)(7)) ++
+      box("moov", mvhd1 ++ box("trak", tkhd0))
+    // AVI: 25 fps (40000 µs/frame), 250 frames → 10000 ms, 640×480
+    val avih = "avih".getBytes ++ le32(56) ++ le32(40000) ++
+      Array.fill[Byte](12)(0) ++ le32(250) ++ Array.fill[Byte](12)(0) ++
+      le32(640) ++ le32(480) ++ Array.fill[Byte](16)(0)
+    val hdrl = "LIST".getBytes ++ le32(4 + avih.length) ++
+      "hdrl".getBytes ++ avih
+    val avi = "RIFF".getBytes ++ le32(4 + hdrl.length) ++
+      "AVI ".getBytes ++ hdrl
+    val noMoov = ftyp ++ box("mdat", Array.fill[Byte](8)(1))
+    val rows = Seq(
+      ("mp4", mp4), ("avi", avi), ("nomoov", noMoov),
+      ("mp4trunc", mp4.take(30)), ("avitrunc", avi.take(14)),
+      ("garbage", Array.fill[Byte](32)(9)),
+      ("empty", Array.empty[Byte]))
+      .toDF("name", "payload")
+      .selectExpr("name", "graft_video_meta(payload) AS m")
+      .selectExpr("name", "m.format", "m.width", "m.height",
+        "m.duration_ms")
+      .collect()
+      .map(r => r.getString(0) -> (Option(r.getString(1)),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    // 450000 units at 90000/s = 5000 ms
+    assert(rows("mp4") ==
+      (Some("mp4"), Some(1920), Some(1080), Some(5000L)))
+    assert(rows("avi") ==
+      (Some("avi"), Some(640), Some(480), Some(10000L)))
+    for (bad <- Seq("nomoov", "mp4trunc", "avitrunc", "garbage", "empty"))
+      assert(rows(bad) == (None, None, None, None),
+        s"$bad must quarantine as NULL, got ${rows(bad)}")
+  }
+
+  test("q254 video round trip: builder payloads parse to doc_id arithmetic, %23 corrupt to NULL") {
+    val out = graft.queries.LlmQueries.videoMeta(spark,
+      "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.length > 0)
+    for (r <- rows) {
+      val id = r.getLong(0)
+      if (id % 23 == 0) assert(r.isNullAt(1), s"doc $id must be corrupt")
+      else {
+        assert(r.getString(1) == (if (id % 2 == 0) "mp4" else "avi"))
+        assert(r.getInt(2) == (id % 1280 + 16).toInt, s"doc $id width")
+        assert(r.getInt(3) == (id % 720 + 16).toInt, s"doc $id height")
+        val expectMs =
+          if (id % 2 == 0) (id % 500 + 1) * 100
+          else (id % 1000 + 1) *
+            Seq(16667L, 33333L, 40000L)((id % 3).toInt) / 1000
+        assert(r.getLong(4) == expectMs, s"doc $id duration")
+      }
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), "probe fell out of whole-stage codegen")
+  }
+
   test("q250 audio round trip: builder payloads parse to doc_id arithmetic, %29 corrupt to NULL") {
     val out = graft.queries.LlmQueries.audioMeta(spark,
       "/root/testdata/sf0.001")
