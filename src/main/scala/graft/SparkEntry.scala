@@ -537,6 +537,8 @@ object SparkEntry {
     "q252_morlog_cluster"   -> ((s, d) => CoreQueries.morLogCluster(s, d)),
     // retention delete where whole files drop as pure metadata
     "q253_morlog_drop_delete" -> ((s, d) => CoreQueries.morLogDropDelete(s, d)),
+    // mergeable KLL quantile sketch, rank-checked against exact
+    "q255_quantile_sketch"  -> ((s, d) => CoreQueries.quantileSketch(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1071,6 +1073,20 @@ object SparkEntry {
            CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
            CAST(tok.nw - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_cut
          FROM tok LEFT JOIN kept USING (doc_id)""",
+    // the sketch is asserted in-query; the emitted columns are the
+    // EXACT rank-based quantiles (integer-ceil ranks, value+id order)
+    "q255_quantile_sketch" ->
+      """WITH r AS (
+           SELECT event_type, value, event_id,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+           MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+         FROM r GROUP BY event_type""",
     // the parsed video container fields are pure doc_id arithmetic;
     // corrupted (%23) payloads surface NULLs; durations are the
     // parser's integer formulas (MP4: mvhd duration*1000/timescale;

@@ -106,6 +106,8 @@ object GraftFunctions {
   val imageDimsName = "graft_image_dims"
   val audioMetaName = "graft_audio_meta"
   val videoMetaName = "graft_video_meta"
+  val kllName = "graft_kll"
+  val kllQuantileName = "graft_kll_quantile"
 
   private def cosBuilder(exprs: Seq[Expression]): Expression =
     CosineSimilarity(exprs.head, exprs(1))
@@ -141,6 +143,19 @@ object GraftFunctions {
 
   private[graft] def hllBuilder(exprs: Seq[Expression]): Expression =
     HllDistinct(exprs.head)
+
+  private[graft] def kllBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegerType
+    exprs(1) match {
+      case Literal(kv: Int, IntegerType) => KllSketch(exprs.head, kv)
+      case other => throw new IllegalArgumentException(
+        s"$kllName requires a literal int k, got $other")
+    }
+  }
+
+  private[graft] def kllQuantileBuilder(exprs: Seq[Expression]): Expression =
+    KllQuantile(exprs.head, exprs(1))
 
   private[graft] def covBuilder(exprs: Seq[Expression]): Expression =
     EmbedCov(exprs.head)
@@ -207,6 +222,11 @@ object GraftFunctions {
     if (!registry.functionExists(FunctionIdentifier(videoMetaName)))
       registry.createOrReplaceTempFunction(videoMetaName,
         graft.multimodal.VideoMeta.builder, "built-in")
+    if (!registry.functionExists(FunctionIdentifier(kllName)))
+      registry.createOrReplaceTempFunction(kllName, kllBuilder, "built-in")
+    if (!registry.functionExists(FunctionIdentifier(kllQuantileName)))
+      registry.createOrReplaceTempFunction(kllQuantileName,
+        kllQuantileBuilder, "built-in")
   }
 
   /** Column form: cosine(a, b) as a codegen'd native expression. */

@@ -3277,6 +3277,68 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** MERGEABLE QUANTILE SKETCH A/B (q255): per event_type, `value`
+    * quantiles two ways — EXACT via integer-ceil ranks over a window
+    * (the oracle-matched output), and a `graft_kll` compactor-ladder
+    * sketch whose p50/p90/p99 estimates are rank-checked in-query
+    * against a ±5%-of-n bound (the honest A/B: the entry fails loud
+    * if the sketch degrades, and also if its state stopped being a
+    * sketch — size must stay well under the raw value footprint).
+    * At 100 TB the sketch is the only viable plan: O(k·log(n/k))
+    * doubles per group cross the wire vs a full sort/shuffle of every
+    * value; here the exact path doubles as its truth. */
+  def quantileSketch(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+    val sk = ev.groupBy(col("event_type"))
+      .agg(expr("graft_kll(value, 256)").as("sk"),
+        count(lit(1)).as("n"))
+    val est = sk.select(col("event_type"), col("n"),
+      octet_length(col("sk")).as("sk_bytes"),
+      expr("graft_kll_quantile(sk, 0.5d)").as("e50"),
+      expr("graft_kll_quantile(sk, 0.9d)").as("e90"),
+      expr("graft_kll_quantile(sk, 0.99d)").as("e99"))
+    val chk = ev.join(broadcast(est), Seq("event_type"))
+      .groupBy(col("event_type"), col("n"), col("sk_bytes"))
+      .agg(sum(when(col("value") <= col("e50"), 1L).otherwise(0L))
+          .as("r50"),
+        sum(when(col("value") <= col("e90"), 1L).otherwise(0L)).as("r90"),
+        sum(when(col("value") <= col("e99"), 1L).otherwise(0L)).as("r99"))
+      .collect()
+    require(chk.nonEmpty, "q255: no groups")
+    chk.foreach { r =>
+      val n = r.getLong(1).toDouble
+      val eps = 0.05 * n
+      for ((p, i) <- Seq(0.5 -> 3, 0.9 -> 4, 0.99 -> 5))
+        require(math.abs(r.getLong(i) - p * n) <= eps + 1,
+          s"q255: sketch p$p rank off by ${r.getLong(i) - p * n} " +
+            s"on n=$n for ${r.getString(0)} — the compactor ladder " +
+            "lost its rank guarantee")
+      require(n < 2048 || r.getInt(2) < n * 8 / 4,
+        s"q255: sketch state ${r.getInt(2)} B on n=$n values — " +
+          "that is a value list, not a sketch")
+    }
+    // the oracle-matched output: exact rank-based quantiles
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy("event_type")))
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rn") ===
+          floor((col("n") + 1) / 2).cast("long"), col("value")))
+          .as("p50"),
+        max(when(col("rn") ===
+          floor((col("n") * 9 + 9) / 10).cast("long"), col("value")))
+          .as("p90"),
+        max(when(col("rn") ===
+          floor((col("n") * 99 + 99) / 100).cast("long"), col("value")))
+          .as("p99"))
+  }
+
   /** INCREMENTAL change feed from the log (q241): the SAME v0→v2 net
     * as q239, but derived from the log's own per-version deltas —
     * files added per version and tombstone-set growth — never from

@@ -272,6 +272,49 @@ class Round11Spec extends AnyFunSuite {
     assert(MorLog.readVersion(spark, dir, 0).count() == 10000L)
   }
 
+  // ---- mergeable quantile sketch -------------------------------------
+
+  test("graft_kll: exact under k, bounded rank error over k, weight exactly n, merge-order-proof") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // under k: no compaction ever fires — the sketch IS the data
+    val small = new graft.functions.Kll.Buf(64)
+    (1 to 50).reverse.foreach(v => small.insert(v.toDouble))
+    assert(small.quantile(0.5) == 25.0)
+    assert(small.quantile(0.02) == 1.0)
+    assert(small.quantile(1.0) == 50.0)
+    // over k: total weight stays EXACTLY n through every compaction
+    val big = new graft.functions.Kll.Buf(128)
+    (1 to 100000).foreach(v => big.insert((v * 7919 % 100000).toDouble))
+    assert(big.n == 100000L)
+    val weight = big.levels.zipWithIndex.map { case (l, i) =>
+      l.size.toLong << i }.sum
+    assert(weight == 100000L, s"weight $weight drifted from n")
+    // serialize → deserialize → same estimates
+    val rt = graft.functions.Kll.deserialize(big.serialize())
+    for (p <- Seq(0.1, 0.5, 0.9, 0.99))
+      assert(rt.quantile(p) == big.quantile(p))
+    // distributed: rank error within 2% of n at k=256 across 32 tasks
+    val n = 200000L
+    val est = spark.range(0, n).select(
+        (col("id") * 7919 % n).cast("double").as("v"))
+      .repartition(32)
+      .agg(expr("graft_kll_quantile(graft_kll(v, 256), 0.5d)"),
+        expr("graft_kll_quantile(graft_kll(v, 256), 0.99d)"))
+      .as[(Double, Double)].head()
+    assert(math.abs(est._1 - 0.5 * n) <= 0.02 * n,
+      s"p50 estimate ${est._1} off the uniform ramp")
+    assert(math.abs(est._2 - 0.99 * n) <= 0.02 * n,
+      s"p99 estimate ${est._2} off the uniform ramp")
+    // mergeability: two disjoint halves merged = one pass, same bound
+    val a = new graft.functions.Kll.Buf(128)
+    val b = new graft.functions.Kll.Buf(128)
+    (1 to 50000).foreach(v => a.insert(v.toDouble))
+    (50001 to 100000).foreach(v => b.insert(v.toDouble))
+    a.mergeIn(b)
+    assert(a.n == 100000L)
+    assert(math.abs(a.quantile(0.75) - 75000.0) <= 2000.0)
+  }
+
   // ---- span-level dedup with removal --------------------------------
 
   test("scrubDupSpans cuts cross-doc spans symmetrically, merges overlaps, keeps short docs") {
