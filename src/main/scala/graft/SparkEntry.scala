@@ -539,6 +539,8 @@ object SparkEntry {
     "q253_morlog_drop_delete" -> ((s, d) => CoreQueries.morLogDropDelete(s, d)),
     // mergeable KLL quantile sketch, rank-checked against exact
     "q255_quantile_sketch"  -> ((s, d) => CoreQueries.quantileSketch(s, d)),
+    // the sketch folded across a fenced streaming drain
+    "q256_stream_quantiles" -> ((s, d) => CoreQueries.streamQuantiles(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -728,6 +730,24 @@ object SparkEntry {
 
   /** Shared by q240 (drain) and q244 (post-pack read) — small-file
     * compaction must be value-invisible. */
+  /** Shared by q255 (one-pass KLL sketch A/B) and q256 (the same
+    * sketch folded across a fenced streaming drain): both emit the
+    * EXACT rank-based quantiles — integer-ceil ranks over a
+    * (value, event_id) order — while the sketch estimates are
+    * rank-asserted inside the queries themselves. */
+  private val exactQuantileOracle: String =
+    """WITH r AS (
+         SELECT event_type, value, event_id,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value, event_id) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+         FROM events)
+       SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+         MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+         MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+       FROM r GROUP BY event_type"""
+
   private val morLogDrainOracle: String =
     """WITH base AS (SELECT user_id,
              CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
@@ -1075,18 +1095,10 @@ object SparkEntry {
          FROM tok LEFT JOIN kept USING (doc_id)""",
     // the sketch is asserted in-query; the emitted columns are the
     // EXACT rank-based quantiles (integer-ceil ranks, value+id order)
-    "q255_quantile_sketch" ->
-      """WITH r AS (
-           SELECT event_type, value, event_id,
-                  row_number() OVER (PARTITION BY event_type
-                    ORDER BY value, event_id) AS rn,
-                  count(*) OVER (PARTITION BY event_type) AS n
-           FROM events)
-         SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
-           MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
-           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
-           MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
-         FROM r GROUP BY event_type""",
+    "q255_quantile_sketch" -> exactQuantileOracle,
+    // the drained sketch asserts in-query; output is the same exact
+    // rank-based computation
+    "q256_stream_quantiles" -> exactQuantileOracle,
     // the parsed video container fields are pure doc_id arithmetic;
     // corrupted (%23) payloads surface NULLs; durations are the
     // parser's integer formulas (MP4: mvhd duration*1000/timescale;

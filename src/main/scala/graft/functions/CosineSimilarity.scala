@@ -108,6 +108,7 @@ object GraftFunctions {
   val videoMetaName = "graft_video_meta"
   val kllName = "graft_kll"
   val kllQuantileName = "graft_kll_quantile"
+  val kllMergeName = "graft_kll_merge"
 
   private def cosBuilder(exprs: Seq[Expression]): Expression =
     CosineSimilarity(exprs.head, exprs(1))
@@ -227,6 +228,9 @@ object GraftFunctions {
     if (!registry.functionExists(FunctionIdentifier(kllQuantileName)))
       registry.createOrReplaceTempFunction(kllQuantileName,
         kllQuantileBuilder, "built-in")
+    if (!registry.functionExists(FunctionIdentifier(kllMergeName)))
+      registry.createOrReplaceTempFunction(kllMergeName,
+        (exprs: Seq[Expression]) => KllMerge(exprs.head), "built-in")
   }
 
   /** Column form: cosine(a, b) as a codegen'd native expression. */

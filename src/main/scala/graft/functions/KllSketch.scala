@@ -186,6 +186,57 @@ case class KllSketch(
     copy(child = newChildren.head)
 }
 
+/** `graft_kll_merge(sketch)` → binary: union of already-serialized
+  * sketch states — the aggregate that makes the state a first-class
+  * value: per-table/per-batch sketches persist, and a later query (or
+  * a streaming fold) merges the BYTES without touching a raw value.
+  * The merged state keeps the first non-empty input's k. */
+case class KllMerge(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Kll.Buf] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a binary sketch column, got $t")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kll_merge"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): Kll.Buf = new Kll.Buf(8)
+
+  override def update(buffer: Kll.Buf, input: InternalRow): Kll.Buf = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val o = Kll.deserialize(v.asInstanceOf[Array[Byte]])
+      if (buffer.n == 0) o else { buffer.mergeIn(o); buffer }
+    }
+  }
+
+  override def merge(buffer: Kll.Buf, other: Kll.Buf): Kll.Buf =
+    if (buffer.n == 0) other else { buffer.mergeIn(other); buffer }
+
+  override def eval(buffer: Kll.Buf): Any = buffer.serialize()
+  override def serialize(buffer: Kll.Buf): Array[Byte] =
+    buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): Kll.Buf =
+    Kll.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KllMerge =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMerge =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 /** `graft_kll_quantile(sketch, p)` → estimated p-quantile off stored
   * sketch bytes. Eval-only ([[CodegenFallback]]): it runs once per
   * GROUP row (post-aggregate), never in a per-row hot path. */

@@ -3319,14 +3319,58 @@ object CoreQueries {
           "that is a value list, not a sketch")
     }
     // the oracle-matched output: exact rank-based quantiles
+    exactQuantiles(ev)
+  }
+
+  /** STREAMING quantile maintenance (q256): the q255 sketch folded
+    * across a checkpointed AvailableNow drain — per-batch sketches
+    * merge into the stored state BYTES-to-BYTES (`graft_kll_merge`),
+    * fenced against replay like [[graft.streaming.StreamCov]]. The
+    * drained estimates are rank-checked in-query against the exact
+    * quantiles (compaction order shifts survivors, never the rank
+    * band, so the fold asserts the BOUND, not bit equality — unlike
+    * the KMV/HLL folds whose merge is exactly idempotent). The entry
+    * also fails loud if the drain collapsed into a single batch.
+    * Emits the exact rank-based quantiles — q255's oracle. */
+  def streamQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val work = graft.TempDirs.create("graft-skll-")
+    val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+    ev.repartition(8).write.mode("overwrite").parquet(s"$work/feed")
+    val est = graft.streaming.StreamKll.run(s, s"$work/feed", ev.schema,
+      s"$work/ckpt", s"$work/state", "event_type", "value")
+    require(graft.streaming.StreamKll.fenceOf(s, s"$work/state") >= 1,
+      "q256: the drain ran as one batch — the cross-batch fold was " +
+        "never exercised")
+    val chk = ev.join(broadcast(est),
+        col("event_type") === col("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("e50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("value") <= col("e90"), 1L).otherwise(0L)).as("r90"),
+        sum(when(col("value") <= col("e99"), 1L).otherwise(0L)).as("r99"))
+      .collect()
+    require(chk.nonEmpty, "q256: no groups")
+    chk.foreach { r =>
+      val n = r.getLong(1).toDouble
+      for ((p, i) <- Seq(0.5 -> 2, 0.9 -> 3, 0.99 -> 4))
+        require(math.abs(r.getLong(i) - p * n) <= 0.05 * n + 1,
+          s"q256: drained sketch p$p rank off by " +
+            s"${r.getLong(i) - p * n} on n=$n for ${r.getString(0)}")
+    }
+    exactQuantiles(ev)
+  }
+
+  /** Exact rank-based per-type quantiles — q255/q256's shared
+    * oracle-matched output shape. */
+  private def exactQuantiles(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type")
       .orderBy(col("value"), col("event_id"))
-    val ranked = ev
-      .withColumn("rn", row_number().over(w).cast("long"))
+    ev.withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1))
         .over(Window.partitionBy("event_type")))
-    ranked.groupBy(col("event_type"))
+      .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         max(when(col("rn") ===
           floor((col("n") + 1) / 2).cast("long"), col("value")))

@@ -315,6 +315,29 @@ class Round11Spec extends AnyFunSuite {
     assert(math.abs(a.quantile(0.75) - 75000.0) <= 2000.0)
   }
 
+  test("StreamKll: replayed batches no-op under the fence; fold stays rank-bounded") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val state = s"${tmp("graft-r11skll-")}/state"
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(lit("t").as("g"), col("id").cast("double").as("v"))
+    graft.streaming.StreamKll.applyBatch(spark, state,
+      batch(0, 40000), "g", "v", k = 256, batchId = 0L)
+    graft.streaming.StreamKll.applyBatch(spark, state,
+      batch(40000, 80000), "g", "v", k = 256, batchId = 1L)
+    val before = graft.streaming.StreamKll.estimates(spark, state)
+      .select("e50", "e90").as[(Double, Double)].head()
+    // replay batch 1: the fence must swallow it bit-for-bit
+    graft.streaming.StreamKll.applyBatch(spark, state,
+      batch(40000, 80000), "g", "v", k = 256, batchId = 1L)
+    val after = graft.streaming.StreamKll.estimates(spark, state)
+      .select("e50", "e90").as[(Double, Double)].head()
+    assert(after == before, "a replayed batch changed the state")
+    assert(graft.streaming.StreamKll.fenceOf(spark, state) == 1L)
+    // the two-batch fold still ranks the 0..80000 ramp within 2%
+    assert(math.abs(before._1 - 40000.0) <= 1600.0, s"p50 ${before._1}")
+    assert(math.abs(before._2 - 72000.0) <= 1600.0, s"p90 ${before._2}")
+  }
+
   // ---- span-level dedup with removal --------------------------------
 
   test("scrubDupSpans cuts cross-doc spans symmetrically, merges overlaps, keeps short docs") {
