@@ -541,6 +541,8 @@ object SparkEntry {
     "q255_quantile_sketch"  -> ((s, d) => CoreQueries.quantileSketch(s, d)),
     // the sketch folded across a fenced streaming drain
     "q256_stream_quantiles" -> ((s, d) => CoreQueries.streamQuantiles(s, d)),
+    // ADC shortlist -> exact re-rank: the two-stage serving pattern
+    "q257_pq_rerank"        -> ((s, d) => LlmQueries.pqRerank(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1095,6 +1097,52 @@ object SparkEntry {
          FROM tok LEFT JOIN kept USING (doc_id)""",
     // the sketch is asserted in-query; the emitted columns are the
     // EXACT rank-based quantiles (integer-ceil ranks, value+id order)
+    // both stages replicated: ADC shortlist to 12 off mean-threshold
+    // codes, exact dot re-rank of only the shortlist to top-3
+    "q257_pq_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         mu AS (SELECT i, AVG(v[i]) AS mu
+                FROM e, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY i),
+         cd AS (SELECT e.vec_id, CAST(s AS INT) AS s,
+                  CAST(SUM(CASE WHEN e.v[s * 8 + b + 1] >= mu.mu
+                    THEN 1 << b ELSE 0 END) AS INT) AS code
+                FROM e, range(0, 8) ts(s), range(0, 8) tb(b), mu
+                WHERE mu.i = s * 8 + b + 1
+                GROUP BY 1, 2),
+         cb AS (SELECT cd.s, cd.code, CAST(b AS INT) AS b,
+                  AVG(e.v[cd.s * 8 + b + 1]) AS cv
+                FROM e JOIN cd USING (vec_id), range(0, 8) tb(b)
+                GROUP BY 1, 2, 3),
+         q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+         lut AS (SELECT q.query_id, cb.s, cb.code,
+                   SUM(q.v[cb.s * 8 + cb.b + 1] * cb.cv) AS dot8
+                 FROM q, cb GROUP BY 1, 2, 3),
+         sc AS (SELECT lut.query_id, cd.vec_id AS neighbor_id,
+                  SUM(lut.dot8) AS adc
+                FROM cd JOIN lut ON lut.s = cd.s AND lut.code = cd.code
+                WHERE cd.vec_id <> lut.query_id
+                GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY floor(adc * 100000.0 + 0.5) / 100000.0 DESC,
+                     neighbor_id) AS rank
+               FROM sc),
+         cand AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 12),
+         ex AS (SELECT cand.query_id, cand.neighbor_id,
+                  floor(SUM(q.v[i] * e.v[i]) * 100000.0 + 0.5)
+                    / 100000.0 AS dot5
+                FROM cand
+                  JOIN q ON q.query_id = cand.query_id
+                  JOIN e ON e.vec_id = cand.neighbor_id,
+                  unnest(range(1, len(q.v) + 1)) AS t(i)
+                GROUP BY 1, 2),
+         r2 AS (SELECT query_id, neighbor_id, dot5,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY dot5 DESC, neighbor_id) AS rank
+                FROM ex)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           dot5
+         FROM r2 WHERE rank <= 3""",
     "q255_quantile_sketch" -> exactQuantileOracle,
     // the drained sketch asserts in-query; output is the same exact
     // rank-based computation

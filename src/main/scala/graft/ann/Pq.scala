@@ -275,4 +275,37 @@ object Pq {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("adc5"))
   }
+
+  /** TWO-STAGE ANN — the production serving pattern: [[adcTopK]]
+    * shortlists `c` candidates per query off the 8-byte codes (the
+    * wide scan never touches a float), then ONLY the shortlist —
+    * O(queries × c) rows — joins back to the full-precision vectors
+    * for an exact dot-product re-rank to `k`. The shortlist rides as
+    * the BROADCAST side against the corpus, so the re-rank is one
+    * broadcast semi-probe of the vector table, not a shuffle: ADC's
+    * quantization error decides only WHICH c survive, never their
+    * final order. */
+  def adcRerankTopK(corpus: DataFrame, queries: DataFrame,
+                    vecCol: String, idCol: String, means: Array[Double],
+                    m: Int, k: Int, c: Int): DataFrame = {
+    require(c >= k, s"shortlist $c must be >= k=$k")
+    val short = adcTopK(corpus, queries, vecCol, idCol, means, m, k = c)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv"))
+    val pairs = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+    val dot = expr("""aggregate(zip_with(_qv, _nv,
+      (a, b) -> cast(a as double) * cast(b as double)),
+      0d, (acc, x) -> acc + x)""")
+    pairs.withColumn("dot5", graft.Oracle.stableRound(dot, 5))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy("query_id")
+        .orderBy(col("dot5").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dot5"))
+  }
 }

@@ -889,6 +889,19 @@ object LlmQueries {
       "vec_id", means, m = 8, k = 3)
   }
 
+  /** TWO-STAGE ANN (q257): q220's ADC scan shortlists 12 candidates
+    * per query off the 8-byte codes, then only the shortlist joins
+    * back to the raw floats for an exact dot-product re-rank to
+    * top-3 — the pattern every production vector-serving stack runs
+    * (quantized scan wide, full precision narrow). Oracle replicates
+    * both stages in SQL. */
+  def pqRerank(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val means = graft.ann.Pq.fitMeans(e, "embedding")
+    graft.ann.Pq.adcRerankTopK(e, e.filter(col("vec_id") < 5),
+      "embedding", "vec_id", means, m = 8, k = 3, c = 12)
+  }
+
   /** IVF-PQ (q221): q220's ADC scan routed through the coarse IVF
     * cell (label) — the complete two-level architecture a 100 TB
     * vector corpus runs: coarse routing prunes the scan to the
