@@ -535,6 +535,8 @@ object SparkEntry {
     "q254_video_meta"       -> ((s, d) => LlmQueries.videoMeta(s, d)),
     // OPTIMIZE ZORDER under the log: same values, better skipping
     "q252_morlog_cluster"   -> ((s, d) => CoreQueries.morLogCluster(s, d)),
+    // the same skipping maintained incrementally on drain debris
+    "q258_morlog_cluster_small" -> ((s, d) => CoreQueries.morLogClusterSmall(s, d)),
     // retention delete where whole files drop as pure metadata
     "q253_morlog_drop_delete" -> ((s, d) => CoreQueries.morLogDropDelete(s, d)),
     // mergeable KLL quantile sketch, rank-checked against exact
@@ -749,6 +751,24 @@ object SparkEntry {
          MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
          MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
        FROM r GROUP BY event_type"""
+
+  /** Shared by q252 (full OPTIMIZE-ZORDER rewrite) and q258 (the
+    * incremental small-file clustering): both are value-invisible
+    * layout moves over the same delete complement and box. */
+  private val clusterBoxOracle: String =
+    """WITH b AS (SELECT max(event_id) * 2 // 5 AS e0,
+                  max(event_id) * 3 // 5 AS e1,
+                  max(user_id) // 5 AS u0,
+                  max(user_id) * 2 // 5 AS u1 FROM events)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_value,
+         CAST(sum(event_id) AS BIGINT) AS sum_event_id
+       FROM events, b
+       WHERE event_id % 10 <> 6
+         AND event_id >= e0 AND event_id < e1
+         AND user_id >= u0 AND user_id < u1
+       GROUP BY event_type"""
 
   private val morLogDrainOracle: String =
     """WITH base AS (SELECT user_id,
@@ -1170,20 +1190,9 @@ object SparkEntry {
     // clustering is value-invisible: the oracle is the plain filtered
     // aggregate (box bounds from the data's own maxima); the query
     // itself asserts the skipping improvement
-    "q252_morlog_cluster" ->
-      """WITH b AS (SELECT max(event_id) * 2 // 5 AS e0,
-                    max(event_id) * 3 // 5 AS e1,
-                    max(user_id) // 5 AS u0,
-                    max(user_id) * 2 // 5 AS u1 FROM events)
-         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-             AS total_value,
-           CAST(sum(event_id) AS BIGINT) AS sum_event_id
-         FROM events, b
-         WHERE event_id % 10 <> 6
-           AND event_id >= e0 AND event_id < e1
-           AND user_id >= u0 AND user_id < u1
-         GROUP BY event_type""",
+    "q252_morlog_cluster" -> clusterBoxOracle,
+    // incremental clusterSmall lands on the same complement
+    "q258_morlog_cluster_small" -> clusterBoxOracle,
     // the metadata-only drop and the tombstone path must land on the
     // same complement: everything at or above the 60% cut, minus the
     // earlier scattered delete

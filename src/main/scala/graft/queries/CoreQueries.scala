@@ -3246,6 +3246,49 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** INCREMENTAL clustering of drain debris (q258): the table arrives
+    * as 8 trickle appends (each scattering both query dims across its
+    * files — a drain's natural debris), so q252's box query prunes
+    * nothing; ONE [[graft.sink.MorLog.clusterSmall]] pass folds only
+    * the small files (large clustered files would never rewrite) into
+    * curve-ordered outputs and the same box skips most files. This is
+    * how q252's skipping stays a MAINTAINED property on a live table
+    * at O(new data) per maintenance round. Values are q252's oracle —
+    * clustering and the append path are value-invisible. */
+  def morLogClusterSmall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val work = graft.TempDirs.create("graft-clus-")
+    val dir = s"$work/t"
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    graft.sink.MorLog.create(
+      ev.filter(col("event_id") % 8 === 0)
+        .repartition(2, col("event_type")), dir)
+    (1 to 7).foreach(i => graft.sink.MorLog.append(s, dir,
+      ev.filter(col("event_id") % 8 === i)
+        .repartition(2, col("event_type"))))
+    graft.sink.MorLog.deleteWhere(s, dir, col("event_id") % 10 === 6)
+    val (maxE, maxU) = ev.agg(max("event_id"), max("user_id"))
+      .as[(Long, Long)].head()
+    val box = col("event_id") >= maxE * 2 / 5 &&
+      col("event_id") < maxE * 3 / 5 &&
+      col("user_id") >= maxU / 5 && col("user_id") < maxU * 2 / 5
+    graft.sink.MorLog.readWhere(s, dir, box)
+    val skippedBefore = graft.sink.MorLogStats.lastFilesSkipped
+    val packed = graft.sink.MorLog.clusterSmall(s, dir,
+      Seq("event_id", "user_id"), nFiles = 8)
+    require(packed >= 2,
+      "q258: no small-file debris got clustered — the scenario is " +
+        "vacuous")
+    val scan = graft.sink.MorLog.readWhere(s, dir, box)
+    require(graft.sink.MorLogStats.lastFilesSkipped > skippedBefore,
+      "q258: incremental clustering did not improve file skipping")
+    scan.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** METADATA-ONLY file-drop delete (q253): the table is range-laid
     * on event_id, tombstones scattered first, then a retention cut
     * deletes the low 60% of the key space — files wholly under the

@@ -632,7 +632,30 @@ object MorLog {
     * away. */
   def compactSmall(spark: SparkSession, dir: String,
                    smallBytes: Long = 8L << 20,
-                   targetBytes: Long = 128L << 20): Int = {
+                   targetBytes: Long = 128L << 20): Int =
+    repackSmall(spark, dir, smallBytes, targetBytes, "compact",
+      (vis, nOut) => vis.repartition(nOut))
+
+  /** INCREMENTAL clustering: [[compactSmall]]'s small-file repack,
+    * but the packed rewrite lands in [[ZOrderLayout.clusteredRanked]]
+    * curve order on `dims` — the maintenance move a trickle-drained
+    * table needs to KEEP q252's data skipping: each drain batch
+    * appends unclustered debris; this folds only that debris
+    * (O(small files), large already-clustered files never rewrite)
+    * into tightly-boxed files, so multi-dim skipping is a maintained
+    * property at O(new data) cost per maintenance round. */
+  def clusterSmall(spark: SparkSession, dir: String, dims: Seq[String],
+                   smallBytes: Long = 8L << 20,
+                   targetBytes: Long = 128L << 20,
+                   buckets: Int = 256, nFiles: Int = 0): Int =
+    repackSmall(spark, dir, smallBytes, targetBytes, "cluster",
+      (vis, nOut) => ZOrderLayout.clusteredRanked(vis, dims,
+        if (nFiles > 0) nFiles else nOut, buckets))
+
+  private def repackSmall(spark: SparkSession, dir: String,
+                          smallBytes: Long, targetBytes: Long,
+                          action: String,
+                          layout: (DataFrame, Int) => DataFrame): Int = {
     require(smallBytes > 0 && targetBytes >= smallBytes,
       s"need 0 < smallBytes <= targetBytes, got $smallBytes/$targetBytes")
     val st = currentState(spark, dir)
@@ -650,7 +673,7 @@ object MorLog {
       math.ceil(small.map(n => sized.toMap.apply(n)).sum.toDouble
         / targetBytes).toInt)
     val v = st.version + 1
-    val packed = stageIn(spark, dir, visible.repartition(nOut), v)
+    val packed = stageIn(spark, dir, layout(visible, nOut), v)
     // tombstone entries of the packed files fold away with the
     // rewrite; kept files' entries carry into the new version's set.
     // Per-file tier: nothing to rewrite at all — the ceiling carries
@@ -672,7 +695,7 @@ object MorLog {
           } finally kept.unpersist()
       }
     writeState(spark, dir,
-      State(v, "compact", newTombsV, st.pfCeil, st.schema,
+      State(v, action, newTombsV, st.pfCeil, st.schema,
         keepNames ++ packed), st.files)
     small.size
   }

@@ -338,6 +338,74 @@ class Round11Spec extends AnyFunSuite {
     assert(math.abs(before._2 - 72000.0) <= 1600.0, s"p90 ${before._2}")
   }
 
+  test("clusterSmall folds only small files through their tombstones; large files and history stay") {
+    import graft.sink.MorLog
+    val dir = s"${tmp("graft-r11cls-")}/t"
+    // v0: one LARGE (well, above-threshold) file of ids 0..4999
+    MorLog.create(spark.range(0, 5000)
+      .select(col("id").as("a"), (col("id") % 97).as("b"))
+      .coalesce(1), dir)
+    // debris: 4 tiny appends
+    (0 until 4).foreach(i => MorLog.append(spark, dir,
+      spark.range(5000 + i * 10, 5010 + i * 10)
+        .select(col("id").as("a"), (col("id") % 97).as("b"))
+        .coalesce(1)))
+    // a tombstone INSIDE the debris must not resurrect
+    assert(MorLog.deleteWhere(spark, dir, col("a") === 5005L) == 1L)
+    val before = MorLog.read(spark, dir).agg(sum("a")).as[Long].head()
+    // gate on the REAL sizes: big file must survive the small cut
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s.getPath.getName -> s.getLen).toMap
+    val bigName = sizes.maxBy(_._2)._1
+    val cut = sizes(bigName) // everything strictly under the big file
+    val packed = MorLog.clusterSmall(spark, dir, Seq("a", "b"),
+      smallBytes = cut, targetBytes = cut, nFiles = 2)
+    assert(packed == 4, s"expected the 4 debris files packed, got $packed")
+    assert(MorLog.read(spark, dir).agg(sum("a")).as[Long].head() == before,
+      "clusterSmall changed visible values")
+    // the big file is still in the current state, un-rewritten
+    val cur = MorLog.readVersion(spark, dir,
+      MorLog.currentVersion(spark, dir))
+    assert(cur.count() == 5000 + 40 - 1)
+    // CDF across the cluster version nets to zero
+    val v = MorLog.currentVersion(spark, dir)
+    assert(MorLog.incrementalChanges(spark, dir, v - 1, v, Seq("a"))
+      .count() == 0L)
+  }
+
+  test("adcRerankTopK with a full-corpus shortlist equals exact brute-force dot top-k") {
+    val corpus = (0 until 30).map(i =>
+      (i.toLong, Array.tabulate(16)(d => ((i * 31 + d * 7) % 13 - 6)
+        .toFloat / 6f))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+    val means = graft.ann.Pq.fitMeans(corpus, "embedding")
+    // c = corpus size: the ADC stage can't drop anyone, so the
+    // re-rank must BE the exact brute-force answer
+    val rr = graft.ann.Pq.adcRerankTopK(corpus, queries, "embedding",
+      "vec_id", means, m = 8, k = 4, c = 30)
+    import org.apache.spark.sql.expressions.Window
+    val dot = expr("""aggregate(zip_with(_qv, _nv,
+      (a, b) -> cast(a as double) * cast(b as double)),
+      0d, (acc, x) -> acc + x)""")
+    val brute = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("_nv"))
+      .crossJoin(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("_qv")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot5", graft.Oracle.stableRound(dot, 5))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy("query_id")
+        .orderBy(col("dot5").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 4)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dot5"))
+    assert(rr.exceptAll(brute).isEmpty && brute.exceptAll(rr).isEmpty,
+      "full-shortlist re-rank diverged from brute force")
+  }
+
   // ---- span-level dedup with removal --------------------------------
 
   test("scrubDupSpans cuts cross-doc spans symmetrically, merges overlaps, keeps short docs") {
