@@ -545,6 +545,8 @@ object SparkEntry {
     "q256_stream_quantiles" -> ((s, d) => CoreQueries.streamQuantiles(s, d)),
     // ADC shortlist -> exact re-rank: the two-stage serving pattern
     "q257_pq_rerank"        -> ((s, d) => LlmQueries.pqRerank(s, d)),
+    // watermark-late rows quarantined to a dead-letter sink, not dropped
+    "q259_stream_dlq"       -> ((s, d) => CoreQueries.streamDlq(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1163,6 +1165,30 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
            dot5
          FROM r2 WHERE rank <= 3""",
+    // the watermark recurrence replayed in SQL: batch b's rows are
+    // late iff older than (max event time over batches < b) − 1 h
+    "q259_stream_dlq" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+         a AS (SELECT e.*, LEAST(e.event_id * 8 // (m.mx + 1) +
+                 CASE WHEN e.event_id % 37 = 0 THEN 1 ELSE 0 END, 7)
+                 AS b
+               FROM events e, m),
+         wm AS (SELECT b, max(ts) AS mxts FROM a GROUP BY b),
+         wmc AS (SELECT b, max(mxts) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS wm_prev
+                 FROM wm),
+         r AS (SELECT a.event_type, a.event_id,
+                 CASE WHEN wmc.wm_prev IS NOT NULL
+                      AND a.ts < wmc.wm_prev - INTERVAL 1 HOUR
+                      THEN 1 ELSE 0 END AS late
+               FROM a JOIN wmc USING (b))
+         SELECT event_type,
+           CAST(sum(1 - late) AS BIGINT) AS n_main,
+           CAST(sum(late) AS BIGINT) AS n_dlq,
+           CAST(COALESCE(sum(CASE WHEN late = 1 THEN event_id END), 0)
+             AS BIGINT) AS dlq_sum_event_id
+         FROM r GROUP BY event_type""",
     "q255_quantile_sketch" -> exactQuantileOracle,
     // the drained sketch asserts in-query; output is the same exact
     // rank-based computation

@@ -3426,6 +3426,47 @@ object CoreQueries {
           .as("p99"))
   }
 
+  /** LATE-DATA DEAD-LETTER routing (q259): the feed arrives as 8
+    * time-chunked batches with every 37th event delayed one batch, so
+    * it lands ~an eighth of the time range behind the watermark —
+    * far past the 1-hour horizon. [[graft.streaming.StreamDlq]]
+    * routes each batch against the prior batches' max event time:
+    * on-time rows to the main sink, late rows to the quarantine sink
+    * (what `withWatermark` would DROP silently, made observable and
+    * replayable). Idempotent per-batch subdir writes + the in-state
+    * fence give exactly-once without a transactional sink. Oracle
+    * replays the same watermark recurrence in SQL. */
+  def streamDlq(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-dlq-")
+    val ev = Tables.events(s, d)
+      .select("event_id", "event_type", "ts", "value")
+    val maxId = ev.agg(max("event_id")).head().getLong(0)
+    ev.withColumn("b", least(
+        floor(col("event_id") * 8 / (maxId + 1)) +
+          when(col("event_id") % 37 === 0, 1).otherwise(0),
+        lit(7)).cast("int"))
+      .repartition(col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$work/feed")
+    graft.streaming.StreamDlq.run(s, s"$work/feed", ev.schema,
+      s"$work/ckpt", s"$work/state", s"$work/main", s"$work/dlq",
+      "ts", horizonMs = 3600L * 1000L)
+    val main = graft.streaming.StreamDlq
+      .readSide(s, s"$work/main", ev.schema).withColumn("late", lit(0L))
+    val dlq = graft.streaming.StreamDlq
+      .readSide(s, s"$work/dlq", ev.schema).withColumn("late", lit(1L))
+    val out = main.unionByName(dlq)
+      .groupBy(col("event_type"))
+      .agg(sum(lit(1L) - col("late")).as("n_main"),
+        sum(col("late")).as("n_dlq"),
+        coalesce(sum(when(col("late") === 1L, col("event_id"))), lit(0L))
+          .as("dlq_sum_event_id"))
+    val totals = out.agg(sum("n_main"), sum("n_dlq"))
+      .head()
+    require(totals.getLong(0) > 0 && totals.getLong(1) > 0,
+      "q259: routing is vacuous — need both on-time and late rows")
+    out
+  }
+
   /** INCREMENTAL change feed from the log (q241): the SAME v0→v2 net
     * as q239, but derived from the log's own per-version deltas —
     * files added per version and tombstone-set growth — never from

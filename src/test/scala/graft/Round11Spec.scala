@@ -406,6 +406,46 @@ class Round11Spec extends AnyFunSuite {
       "full-shortlist re-rank diverged from brute force")
   }
 
+  test("StreamDlq routes against the prior watermark; replays and torn retries are exactly-once") {
+    val work = tmp("graft-r11dlq-")
+    val (state, mainD, dlqD) = (s"$work/st", s"$work/main", s"$work/dlq")
+    def batch(rows: (Long, String)*) = rows.toSeq
+      .toDF("event_id", "ts_s")
+      .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"))
+    val schema = batch().schema
+    // batch 0: establishes wm at 10:00 — nothing can be late yet
+    graft.streaming.StreamDlq.applyBatch(spark, state, mainD, dlqD,
+      batch(1L -> "2024-01-01 09:00:00", 2L -> "2024-01-01 10:00:00"),
+      "ts", horizonMs = 3600000L, batchId = 0L)
+    // batch 1: 8:30 is >1h behind wm(10:00) -> dlq; 9:30 is within -> main
+    graft.streaming.StreamDlq.applyBatch(spark, state, mainD, dlqD,
+      batch(3L -> "2024-01-01 08:30:00", 4L -> "2024-01-01 09:30:00",
+        5L -> "2024-01-01 11:00:00"),
+      "ts", horizonMs = 3600000L, batchId = 1L)
+    def ids(dir: String) = graft.streaming.StreamDlq
+      .readSide(spark, dir, schema)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids(mainD) == Seq(1L, 2L, 4L, 5L))
+    assert(ids(dlqD) == Seq(3L))
+    // replay batch 1 (redelivery): the fence swallows it
+    graft.streaming.StreamDlq.applyBatch(spark, state, mainD, dlqD,
+      batch(3L -> "2024-01-01 08:30:00", 4L -> "2024-01-01 09:30:00",
+        5L -> "2024-01-01 11:00:00"),
+      "ts", horizonMs = 3600000L, batchId = 1L)
+    assert(ids(mainD) == Seq(1L, 2L, 4L, 5L) && ids(dlqD) == Seq(3L))
+    // torn retry: batch 2's data landed but the state swap didn't —
+    // the retry overwrites the SAME per-batch subdirs, no duplicates
+    val b2 = batch(6L -> "2024-01-01 09:45:00", 7L -> "2024-01-01 12:00:00")
+    b2.filter(col("event_id") === 6L) // 9:45 < 11:00-1h -> would be dlq
+      .write.mode("overwrite").parquet(s"$dlqD/batch=2")
+    b2.filter(col("event_id") === 7L)
+      .write.mode("overwrite").parquet(s"$mainD/batch=2")
+    graft.streaming.StreamDlq.applyBatch(spark, state, mainD, dlqD,
+      b2, "ts", horizonMs = 3600000L, batchId = 2L)
+    assert(ids(mainD) == Seq(1L, 2L, 4L, 5L, 7L))
+    assert(ids(dlqD) == Seq(3L, 6L))
+  }
+
   // ---- span-level dedup with removal --------------------------------
 
   test("scrubDupSpans cuts cross-doc spans symmetrically, merges overlaps, keeps short docs") {
