@@ -547,6 +547,8 @@ object SparkEntry {
     "q257_pq_rerank"        -> ((s, d) => LlmQueries.pqRerank(s, d)),
     // watermark-late rows quarantined to a dead-letter sink, not dropped
     "q259_stream_dlq"       -> ((s, d) => CoreQueries.streamDlq(s, d)),
+    // count(*)/min/max answered from stats + sidecar headers alone
+    "q260_meta_agg"         -> ((s, d) => CoreQueries.morLogMetaAgg(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1189,6 +1191,15 @@ object SparkEntry {
            CAST(COALESCE(sum(CASE WHEN late = 1 THEN event_id END), 0)
              AS BIGINT) AS dlq_sum_event_id
          FROM r GROUP BY event_type""",
+    // the metadata answers must equal the raw-data answers exactly
+    "q260_meta_agg" ->
+      """SELECT
+           CAST(sum(CASE WHEN event_id % 10 <> 6 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_visible,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(min(event_id) AS BIGINT) AS min_event_id,
+           CAST(max(event_id) AS BIGINT) AS max_event_id
+         FROM events""",
     "q255_quantile_sketch" -> exactQuantileOracle,
     // the drained sketch asserts in-query; output is the same exact
     // rank-based computation

@@ -3426,6 +3426,42 @@ object CoreQueries {
           .as("p99"))
   }
 
+  /** METADATA-ONLY aggregates (q260): `count(*)` over a deleted
+    * MorLog table answered WITHOUT opening a data file — per-file row
+    * counts off the stats chain minus tombstones counted from sidecar
+    * HEADERS (the guard is forced low so the delete migrates to the
+    * per-file tier: the count must hold through the migration), and
+    * min/max off the stats bounds on a clean table (the API REFUSES
+    * the metadata path the moment tombstones exist — a deleted row
+    * could be the extreme; asserted in-query). The Delta/Iceberg
+    * `SELECT count(*)` answer: at a million files this is driver
+    * arithmetic, not a scan. */
+  def morLogMetaAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val work = graft.TempDirs.create("graft-meta-")
+    val (dirA, dirB) = (s"$work/a", s"$work/b")
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    def ranged = ev.repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id")
+    graft.sink.MorLog.create(ranged, dirA)
+    s.conf.set(graft.sink.DeletionVectors.GuardConfKey, "2")
+    try graft.sink.MorLog.deleteWhere(s, dirA, col("event_id") % 10 === 6)
+    finally s.conf.unset(graft.sink.DeletionVectors.GuardConfKey)
+    val nVisible = graft.sink.MorLog.countMetaOnly(s, dirA)
+    require(graft.sink.MorLog
+        .minMaxMetaOnly(s, dirA, "event_id").isEmpty,
+      "q260: min/max must refuse the metadata path once deletes exist")
+    graft.sink.MorLog.create(ranged, dirB)
+    val nTotal = graft.sink.MorLog.countMetaOnly(s, dirB)
+    val (mn, mx) = graft.sink.MorLog
+      .minMaxMetaOnly(s, dirB, "event_id")
+      .getOrElse(throw new IllegalStateException(
+        "q260: clean-table bounds must resolve from stats"))
+    Seq((nVisible, nTotal, mn.toLong, mx.toLong))
+      .toDF("n_visible", "n_total", "min_event_id", "max_event_id")
+  }
+
   /** LATE-DATA DEAD-LETTER routing (q259): the feed arrives as 8
     * time-chunked batches with every 37th event delayed one batch, so
     * it lands ~an eighth of the time range behind the watermark —

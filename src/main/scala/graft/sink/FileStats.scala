@@ -468,4 +468,12 @@ private[graft] object FileStats {
     * stats → None). */
   def rowsOf(stats: Map[String, FileColStats], f: String): Option[Long] =
     stats.get(f).flatMap(_.values.headOption).map(_.rows)
+
+  /** A file's recorded numeric (min, max) for `colName` — None for
+    * string/absent/all-null stats. */
+  def numericBounds(stats: FileColStats, colName: String)
+      : Option[(BigDecimal, BigDecimal)] =
+    stats.get(colName).filter(s => s.kind != "str" && s.hasValues)
+      .flatMap(s => scala.util.Try(
+        (BigDecimal(s.min), BigDecimal(s.max))).toOption)
 }

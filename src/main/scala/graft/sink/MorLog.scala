@@ -825,6 +825,58 @@ object MorLog {
     (packed, dropped)
   }
 
+  /** METADATA-ONLY `count(*)`: per-file row counts off the stats
+    * chain, minus the version's tombstones counted from metadata too
+    * (sidecar HEADERS in the per-file tier; the metadata-sized
+    * tombstone set, restricted to files still on the list, in the
+    * broadcast tier — a file-drop delete leaves dead entries for
+    * files no longer visible). No data file is ever opened — at a
+    * million-file table this is driver arithmetic over already-cached
+    * stats, the Delta/Iceberg `SELECT count(*)` answer. Throws when a
+    * file lacks stats rather than silently scanning: the caller chose
+    * the metadata path, a fallback would un-choose it. */
+  def countMetaOnly(spark: SparkSession, dir: String,
+                    version: Option[Int] = None): Long = {
+    val v = version.getOrElse(currentVersion(spark, dir))
+    val st = state(spark, dir, v)
+    val stats = statsOf(spark, dir, v)
+    val rows = st.files.map(f => FileStats.rowsOf(stats, f).getOrElse(
+      throw new IllegalStateException(
+        s"countMetaOnly: no stats for $f — metadata path unavailable")))
+      .sum
+    val tombs =
+      if (st.pfCeil >= 0)
+        DvPerFile.headerCounts(conf(spark), dir, st.pfCeil, st.files)
+          .values.sum
+      else tombsOf(spark, dir, st) match {
+        case None => 0L
+        case Some(t) =>
+          t.filter(col(FileCol).isInCollection(st.files)).count()
+      }
+    rows - tombs
+  }
+
+  /** METADATA-ONLY min/max of `colName`: the fold of the per-file
+    * stats bounds — EXACT only while the version carries no
+    * tombstones (a deleted row could be the extreme; stats can't
+    * see which), so it returns None the moment any delete exists.
+    * Values come back as the stats chain's decoded numerics. */
+  def minMaxMetaOnly(spark: SparkSession, dir: String, colName: String,
+                     version: Option[Int] = None)
+      : Option[(BigDecimal, BigDecimal)] = {
+    val v = version.getOrElse(currentVersion(spark, dir))
+    val st = state(spark, dir, v)
+    if (st.tombsV >= 0 || st.pfCeil >= 0) return None
+    val stats = statsOf(spark, dir, v)
+    val bounds = st.files.map(f => stats.get(f).flatMap(
+      FileStats.numericBounds(_, colName)))
+    if (bounds.isEmpty || bounds.exists(_.isEmpty)) None
+    else {
+      val bs = bounds.map(_.get)
+      Some((bs.map(_._1).min, bs.map(_._2).max))
+    }
+  }
+
   /** The table as of version `v` — files, tombstones, and schema all
     * as committed then (the per-file tier pins the scan to `v`'s own
     * sidecar ceiling, so travel works identically across the
