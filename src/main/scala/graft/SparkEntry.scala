@@ -549,6 +549,8 @@ object SparkEntry {
     "q259_stream_dlq"       -> ((s, d) => CoreQueries.streamDlq(s, d)),
     // count(*)/min/max answered from stats + sidecar headers alone
     "q260_meta_agg"         -> ((s, d) => CoreQueries.morLogMetaAgg(s, d)),
+    // the q82 CMS grid sum-folded across a fenced streaming drain
+    "q261_stream_cms"       -> ((s, d) => LlmQueries.streamCms(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -743,6 +745,35 @@ object SparkEntry {
     * EXACT rank-based quantiles — integer-ceil ranks over a
     * (value, event_id) order — while the sketch estimates are
     * rank-asserted inside the queries themselves. */
+  /** Shared by q82 (one-pass CMS heavy hitters) and q261 (the same
+    * grid SUM-folded across a fenced streaming drain): counter sums
+    * are associative, so both are the SAME deterministic grid. */
+  private val cmsHeavyOracle: String =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         occ AS (SELECT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS x
+           FROM toks),
+         cells AS (SELECT h,
+             ((((2654435761 * (h + 1)) % 1073741789) * (x // 1073741824)
+               + ((2246822519 * (h + 1)) % 1073741789) * (x % 1073741824)
+               + h) % 1073741789) % 1024 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM occ, unnest(range(4)) AS t(h) GROUP BY h, bucket),
+         tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY tok),
+         top AS (SELECT tok, cnt,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS x
+           FROM tf ORDER BY cnt DESC, tok LIMIT 20),
+         probes AS (SELECT t.tok, t.cnt, u.h,
+             ((((2654435761 * (u.h + 1)) % 1073741789) * (t.x // 1073741824)
+               + ((2246822519 * (u.h + 1)) % 1073741789) * (t.x % 1073741824)
+               + u.h) % 1073741789) % 1024 AS bucket
+           FROM top t, unnest(range(4)) AS u(h))
+         SELECT p.tok, p.cnt AS exact_cnt, MIN(c.c) AS cms_est,
+           MIN(c.c) - p.cnt AS overcount
+         FROM probes p JOIN cells c ON p.h = c.h AND p.bucket = c.bucket
+         GROUP BY p.tok, p.cnt"""
+
   private val exactQuantileOracle: String =
     """WITH r AS (
          SELECT event_type, value, event_id,
@@ -2764,31 +2795,10 @@ object SparkEntry {
          FROM b LEFT JOIN uni u ON b.doc_id = u.doc_id
            LEFT JOIN bi ON b.doc_id = bi.doc_id
            LEFT JOIN tri t ON b.doc_id = t.doc_id""",
-    "q82_cms_heavy" ->
-      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
-           FROM documents),
-         occ AS (SELECT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS x
-           FROM toks),
-         cells AS (SELECT h,
-             ((((2654435761 * (h + 1)) % 1073741789) * (x // 1073741824)
-               + ((2246822519 * (h + 1)) % 1073741789) * (x % 1073741824)
-               + h) % 1073741789) % 1024 AS bucket,
-             CAST(COUNT(*) AS BIGINT) AS c
-           FROM occ, unnest(range(4)) AS t(h) GROUP BY h, bucket),
-         tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM toks GROUP BY tok),
-         top AS (SELECT tok, cnt,
-             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS x
-           FROM tf ORDER BY cnt DESC, tok LIMIT 20),
-         probes AS (SELECT t.tok, t.cnt, u.h,
-             ((((2654435761 * (u.h + 1)) % 1073741789) * (t.x // 1073741824)
-               + ((2246822519 * (u.h + 1)) % 1073741789) * (t.x % 1073741824)
-               + u.h) % 1073741789) % 1024 AS bucket
-           FROM top t, unnest(range(4)) AS u(h))
-         SELECT p.tok, p.cnt AS exact_cnt, MIN(c.c) AS cms_est,
-           MIN(c.c) - p.cnt AS overcount
-         FROM probes p JOIN cells c ON p.h = c.h AND p.bucket = c.bucket
-         GROUP BY p.tok, p.cnt""",
+    // the drained grid is bit-identical to the one-pass CMS: q261
+    // shares q82's oracle verbatim
+    "q261_stream_cms" -> cmsHeavyOracle,
+    "q82_cms_heavy" -> cmsHeavyOracle,
     "q83_resample_daily" ->
       """WITH e AS (SELECT user_id,
              CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day, value

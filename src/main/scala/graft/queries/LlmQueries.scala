@@ -812,6 +812,22 @@ object LlmQueries {
       s"$work/state")
   }
 
+  /** Streaming CMS heavy hitters (q261): the q82 Count-Min grid
+    * SUM-folded across a checkpointed drain under the in-state batch
+    * fence ([[graft.streaming.StreamCms]]) — counter sums are
+    * associative, so the drained grid and every estimate off it are
+    * BIT-IDENTICAL to the one-pass batch CMS; q82's oracle verifies
+    * that identity directly. */
+  def streamCms(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-scms-")
+    graft.streaming.StreamDedup.writeFeed(
+      Tables.documents(s, d), s"$work/feed", nFiles = 4)
+    graft.streaming.StreamCms.run(s, s"$work/feed", s"$work/ckpt",
+      s"$work/state")
+    graft.streaming.StreamCms.heavyHitters(s, s"$work/state",
+      Tables.documents(s, d), "text")
+  }
+
   /** Streaming HLL distinct-count (q189): drain the corpus feed
     * max-merging 64-byte per-lang register states across micro-batches
     * ([[graft.streaming.StreamHll]]); the final estimate must be
