@@ -551,6 +551,8 @@ object SparkEntry {
     "q260_meta_agg"         -> ((s, d) => CoreQueries.morLogMetaAgg(s, d)),
     // the q82 CMS grid sum-folded across a fenced streaming drain
     "q261_stream_cms"       -> ((s, d) => LlmQueries.streamCms(s, d)),
+    // zero-copy clone forks the table in one metadata commit
+    "q262_morlog_clone"     -> ((s, d) => CoreQueries.morLogClone(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1222,6 +1224,18 @@ object SparkEntry {
            CAST(COALESCE(sum(CASE WHEN late = 1 THEN event_id END), 0)
              AS BIGINT) AS dlq_sum_event_id
          FROM r GROUP BY event_type""",
+    // the diverged clone: source's delete complement with every 7th
+    // event repriced by the upsert (the source's own answer is
+    // asserted unchanged in-query)
+    "q262_morlog_clone" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CASE WHEN event_id % 7 = 0 THEN value + 1000
+             ELSE value END AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE event_id % 10 <> 6
+         GROUP BY event_type""",
     // the metadata answers must equal the raw-data answers exactly
     "q260_meta_agg" ->
       """SELECT

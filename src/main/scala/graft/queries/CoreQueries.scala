@@ -3462,6 +3462,49 @@ object CoreQueries {
       .toDF("n_visible", "n_total", "min_event_id", "max_event_id")
   }
 
+  /** ZERO-COPY SHALLOW CLONE (q262): the clone's first version
+    * references the source's data files by absolute path — no data
+    * copied (asserted in-query: the clone dir holds no parquet before
+    * divergence) — then DIVERGES with a keyed upsert repricing every
+    * 7th event; the source must answer exactly as before the clone
+    * (asserted in-query against the pre-clone snapshot) while the
+    * clone answers the repriced oracle. At 100 TB this is how an
+    * experiment forks a petabyte table in one metadata commit. */
+  def morLogClone(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-clone-")
+    val (src, dst) = (s"$work/src", s"$work/dst")
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    graft.sink.MorLog.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"), src)
+    graft.sink.MorLog.deleteWhere(s, src, col("event_id") % 10 === 6)
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+    val srcBefore = agg(graft.sink.MorLog.read(s, src))
+      .collect().map(_.toString).sorted.toSeq
+    graft.sink.MorLog.shallowClone(s, src, dst)
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val copied = fs.listStatus(new org.apache.hadoop.fs.Path(dst))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    require(copied == 0,
+      s"q262: the clone copied $copied data files — not a shallow clone")
+    // diverge: reprice every 7th event in the CLONE only
+    val batch = graft.sink.MorLog.read(s, dst)
+      .filter(col("event_id") % 7 === 0)
+      .withColumn("value", col("value") + 1000.0)
+    graft.sink.MorLog.upsert(s, dst, batch, "event_id")
+    val srcAfter = agg(graft.sink.MorLog.read(s, src))
+      .collect().map(_.toString).sorted.toSeq
+    require(srcAfter == srcBefore,
+      "q262: the clone's divergence leaked into the source")
+    agg(graft.sink.MorLog.read(s, dst))
+  }
+
   /** LATE-DATA DEAD-LETTER routing (q259): the feed arrives as 8
     * time-chunked batches with every 37th event delayed one batch, so
     * it lands ~an eighth of the time range behind the watermark —

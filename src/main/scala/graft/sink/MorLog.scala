@@ -95,6 +95,17 @@ object MorLog {
     new Path(s"$dir/$LogDir/v$v.meta")
   private def tombsDir(dir: String, v: Int) = s"$dir/$LogDir/tombs_v$v"
 
+  /** A state's file entry is usually a bare name in the table dir; a
+    * SHALLOW CLONE references its source's files by ABSOLUTE path —
+    * resolve accordingly. */
+  private def resolvePath(dir: String, n: String): String =
+    if (n.startsWith("/") || n.contains("://")) n else s"$dir/$n"
+
+  /** Foreign = referenced across a table boundary (clone source
+    * files): never deleted by THIS table's vacuum. */
+  private def isForeign(n: String): Boolean =
+    n.startsWith("/") || n.contains("://")
+
   private def guard(spark: SparkSession): Long =
     spark.conf.getOption(DeletionVectors.GuardConfKey)
       .map(_.toLong).getOrElse(4000000L)
@@ -140,7 +151,9 @@ object MorLog {
     * checkpoint every [[CheckpointEvery]] versions or when the list
     * was reordered (restore). */
   private def writeState(spark: SparkSession, dir: String, st: State,
-                         prevFiles: Seq[String]): Unit = {
+                         prevFiles: Seq[String],
+                         preStats: Option[Map[String,
+                           FileStats.FileColStats]] = None): Unit = {
     val prevSet = prevFiles.toSet
     val newSet = st.files.toSet
     val added = st.files.filterNot(prevSet)
@@ -158,7 +171,7 @@ object MorLog {
     AtomicFiles.replace(conf(spark), metaPath(dir, st.version),
       body.getBytes("UTF-8"))
     stateCache.put(s"$dir#${st.version}", st)
-    writeStats(spark, dir, st, added, full)
+    writeStats(spark, dir, st, added, full, preStats)
   }
 
   // ---- per-file column stats (log-level data skipping) -------------
@@ -175,7 +188,8 @@ object MorLog {
     else if (names.size <= 16) {
       val c = conf(spark)
       names.iterator
-        .map(n => n -> scala.util.Try(FileStats.ofFooter(c, s"$dir/$n"))
+        .map(n => n -> scala.util.Try(
+          FileStats.ofFooter(c, resolvePath(dir, n)))
           .getOrElse(Map.empty[String, FileStats.ColStat]))
         .filter(_._2.nonEmpty).toMap
     } else {
@@ -183,7 +197,7 @@ object MorLog {
       spark.sparkContext.parallelize(names,
           math.min(names.size, 256))
         .map(n => n -> scala.util.Try(
-          FileStats.ofFooter(sc.value, s"$dir/$n"))
+          FileStats.ofFooter(sc.value, resolvePath(dir, n)))
           .getOrElse(Map.empty[String, FileStats.ColStat]))
         .filter(_._2.nonEmpty)
         .collect().toMap
@@ -198,9 +212,12 @@ object MorLog {
     * failure here degrades to scan-everything, never to wrong
     * results. */
   private def writeStats(spark: SparkSession, dir: String, st: State,
-                         added: Seq[String], full: Boolean): Unit = {
+                         added: Seq[String], full: Boolean,
+                         preStats: Option[Map[String,
+                           FileStats.FileColStats]] = None): Unit = {
     val m: Map[String, FileStats.FileColStats] =
-      if (!full) footerStats(spark, dir, added)
+      if (preStats.isDefined) preStats.get // clone: re-keyed source stats
+      else if (!full) footerStats(spark, dir, added)
       else {
         val prior =
           if (st.version == 0) Map.empty[String, FileStats.FileColStats]
@@ -434,7 +451,9 @@ object MorLog {
   private def readDataFiles(spark: SparkSession, dir: String,
                             st: State, files: Seq[String]): DataFrame = {
     val fs = fsOf(spark, dir)
-    val missing = files.filterNot(n => fs.exists(new Path(s"$dir/$n")))
+    val missing = files.filterNot(n =>
+      fsOf(spark, resolvePath(dir, n))
+        .exists(new Path(resolvePath(dir, n))))
     require(missing.isEmpty,
       s"version ${st.version} references ${missing.length} vacuumed " +
         s"file(s) (${missing.take(3).mkString(", ")}…) — travel past " +
@@ -443,7 +462,7 @@ object MorLog {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
     else spark.read.schema(st.schema)
-      .parquet(files.map(n => s"$dir/$n"): _*)
+      .parquet(files.map(n => resolvePath(dir, n)): _*)
   }
 
   /** The broadcast-tier tombstone set of `st` (None when empty or
@@ -661,12 +680,12 @@ object MorLog {
     val st = currentState(spark, dir)
     val fs = fsOf(spark, dir)
     val sized = st.files.map(n =>
-      n -> fs.getFileStatus(new Path(s"$dir/$n")).getLen)
+      n -> fs.getFileStatus(new Path(resolvePath(dir, n))).getLen)
     val small = sized.filter(_._2 < smallBytes).map(_._1)
     if (small.size < 2) return 0
     val keepNames = st.files.filterNot(small.toSet)
     val src = spark.read.schema(st.schema)
-      .parquet(small.map(n => s"$dir/$n"): _*)
+      .parquet(small.map(n => resolvePath(dir, n)): _*)
     val visible = minusTombs(spark, dir, st, withId(src))
       .drop(RPath, RName, RRow)
     val nOut = math.max(1,
@@ -727,6 +746,47 @@ object MorLog {
     st.files.size
   }
 
+  /** SHALLOW CLONE (Delta's CLONE): `dstDir` becomes an independent
+    * table whose FIRST version references `srcDir`'s current data
+    * files by absolute path — ZERO data copied; only the
+    * metadata-sized tombstone set and the already-resolved stats
+    * chain (re-keyed) land in the clone's log. Writes to the clone
+    * stage files in the clone's own dir; the source never sees them,
+    * and the clone's [[vacuum]] never deletes across the table
+    * boundary (foreign = absolute reference). The clone's version
+    * numbering starts AT the source's current version, so its own
+    * staged `part-v<k>-…` names can never collide with the
+    * basenames it references (source names stop at k = srcVersion).
+    * Per-file-tier sources must [[compact]] first: their tombstones
+    * live in the source's sidecar store, which a clone must not
+    * depend on (the source's vacuum could GC it). */
+  def shallowClone(spark: SparkSession, srcDir: String,
+                   dstDir: String): Int = {
+    val st = currentState(spark, srcDir)
+    require(st.pfCeil < 0,
+      s"shallowClone: $srcDir's tombstones are in the per-file tier — " +
+        "compact (fold tombstones away) before cloning")
+    require(versions(spark, dstDir).isEmpty,
+      s"$dstDir already carries a log")
+    val files = st.files.map(n => resolvePath(srcDir, n))
+    val v = st.version
+    val newTombsV = st.tombsV match {
+      case tv if tv < 0 => -1
+      case _ =>
+        tombsOf(spark, srcDir, st).get.coalesce(1)
+          .write.mode("overwrite").parquet(tombsDir(dstDir, v))
+        v
+    }
+    val srcStats = statsOf(spark, srcDir, st.version)
+    val reKeyed = srcStats.collect {
+      case (n, cs) if st.files.contains(n) => resolvePath(srcDir, n) -> cs
+    }
+    writeState(spark, dstDir,
+      State(v, s"clone:$srcDir", newTombsV, -1, st.schema, files),
+      Seq.empty, preStats = Some(reKeyed))
+    files.size
+  }
+
   /** Drop versions older than the newest `keepVersions` and every
     * data file / tombstone state only they reference — including
     * per-file sidecar generations no retained version's ceiling
@@ -769,7 +829,8 @@ object MorLog {
       statsCache.put(s"$dir#${oldest.version}", keptStats)
       drop.map(state(spark, dir, _)).foreach { st =>
         st.files.filterNot(referenced.contains).foreach { n =>
-          if (fs.delete(new Path(s"$dir/$n"), false)) deleted += 1
+          if (!isForeign(n) &&
+              fs.delete(new Path(s"$dir/$n"), false)) deleted += 1
         }
         if (st.tombsV >= 0 && !keptTombs.contains(st.tombsV))
           fs.delete(new Path(tombsDir(dir, st.tombsV)), true)
@@ -846,12 +907,15 @@ object MorLog {
       .sum
     val tombs =
       if (st.pfCeil >= 0)
-        DvPerFile.headerCounts(conf(spark), dir, st.pfCeil, st.files)
-          .values.sum
+        // sidecars key by BASENAME (clone-referenced files are
+        // absolute paths)
+        DvPerFile.headerCounts(conf(spark), dir, st.pfCeil,
+          st.files.map(n => new Path(n).getName)).values.sum
       else tombsOf(spark, dir, st) match {
         case None => 0L
-        case Some(t) =>
-          t.filter(col(FileCol).isInCollection(st.files)).count()
+        case Some(t) => // tombstones key by BASENAME too
+          t.filter(col(FileCol).isInCollection(
+            st.files.map(n => new Path(n).getName))).count()
       }
     rows - tombs
   }
@@ -999,7 +1063,8 @@ object MorLog {
   def restore(spark: SparkSession, dir: String, v: Int): Unit = {
     val st = state(spark, dir, v)
     val fs = fsOf(spark, dir)
-    val missing = st.files.filterNot(n => fs.exists(new Path(s"$dir/$n")))
+    val missing = st.files.filterNot(n =>
+      fs.exists(new Path(resolvePath(dir, n))))
     require(missing.isEmpty,
       s"restore: version $v references ${missing.length} vacuumed file(s)")
     val cur = currentState(spark, dir)
@@ -1085,7 +1150,7 @@ object MorLog {
             if (removed.isEmpty) None
             else {
               val src = spark.read.schema(prev.schema)
-                .parquet(removed.map(n => s"$dir/$n"): _*)
+                .parquet(removed.map(n => resolvePath(dir, n)): _*)
               val vis = minusTombs(spark, dir, prev, withId(src))
               Some(vis.select(keyCols.map(col) :+ lit(v).as("_v") :+
                 lit("D").as("_kind") :+ payload(vis).as("_payload"): _*))
@@ -1094,7 +1159,7 @@ object MorLog {
             if (added.isEmpty) None
             else {
               val src = spark.read.schema(st.schema)
-                .parquet(added.map(n => s"$dir/$n"): _*)
+                .parquet(added.map(n => resolvePath(dir, n)): _*)
               Some(src.select(keyCols.map(col) :+ lit(v).as("_v") :+
                 lit("I").as("_kind") :+ payload(src).as("_payload"): _*))
             }
@@ -1106,7 +1171,7 @@ object MorLog {
             if (names.isEmpty) None
             else {
               val src = spark.read.schema(prev.schema)
-                .parquet(names.map(n => s"$dir/$n"): _*)
+                .parquet(names.map(n => resolvePath(dir, n)): _*)
               Some(withId(src)
                 .join(broadcast(delta),
                   col(RName) === col(FileCol) && col(RRow) === col(RowCol),

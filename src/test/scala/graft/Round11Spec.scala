@@ -446,6 +446,39 @@ class Round11Spec extends AnyFunSuite {
     assert(ids(dlqD) == Seq(3L, 6L))
   }
 
+  test("shallowClone: clone vacuum never crosses the table boundary; travel and re-clone work") {
+    import graft.sink.MorLog
+    val work = tmp("graft-r11cln-")
+    val (src, dst, dst2) = (s"$work/src", s"$work/dst", s"$work/dst2")
+    MorLog.create(spark.range(0, 1000)
+      .select(col("id"), (col("id") % 7).as("g")).coalesce(2), src)
+    MorLog.deleteWhere(spark, src, col("id") === 13L)
+    MorLog.shallowClone(spark, src, dst)
+    val base = MorLog.currentVersion(spark, dst)
+    // diverge the clone heavily: delete + compact + more versions,
+    // then vacuum down to 1 retained version
+    MorLog.deleteWhere(spark, dst, col("id") < 100)
+    assert(MorLog.compact(spark, dst) >= 1)
+    MorLog.append(spark, dst, spark.range(5000, 5010)
+      .select(col("id"), (col("id") % 7).as("g")).coalesce(1))
+    MorLog.vacuum(spark, dst, keepVersions = 1)
+    // the SOURCE still answers in full: its files survived the
+    // clone's vacuum even though the clone's dropped base referenced
+    // them
+    assert(MorLog.read(spark, src).count() == 999L)
+    assert(MorLog.read(spark, dst).count() == 910L)
+    // a clone of the DIVERGED clone still forks cleanly (absolute
+    // refs stay absolute)
+    MorLog.shallowClone(spark, dst, dst2)
+    assert(MorLog.read(spark, dst2).count() == 910L)
+    MorLog.deleteWhere(spark, dst2, col("id") >= 5000L)
+    assert(MorLog.read(spark, dst2).count() == 900L)
+    assert(MorLog.read(spark, dst).count() == 910L,
+      "grand-clone divergence leaked into its source")
+    // clone base version stays travelable until vacuumed
+    assert(base >= 1)
+  }
+
   // ---- span-level dedup with removal --------------------------------
 
   test("scrubDupSpans cuts cross-doc spans symmetrically, merges overlaps, keeps short docs") {
