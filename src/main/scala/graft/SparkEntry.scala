@@ -553,6 +553,8 @@ object SparkEntry {
     "q261_stream_cms"       -> ((s, d) => LlmQueries.streamCms(s, d)),
     // zero-copy clone forks the table in one metadata commit
     "q262_morlog_clone"     -> ((s, d) => CoreQueries.morLogClone(s, d)),
+    // gate -> dedup -> decontam -> pack, one composed lazy plan
+    "q263_curation_pipeline" -> ((s, d) => LlmQueries.curationPipeline(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1224,6 +1226,53 @@ object SparkEntry {
            CAST(COALESCE(sum(CASE WHEN late = 1 THEN event_id END), 0)
              AS BIGINT) AS dlq_sum_event_id
          FROM r GROUP BY event_type""",
+    // the full four-stage pipeline composed: Gopher gate, min-id
+    // exact dedup, benchmark 5-gram decontamination, 512-token bins
+    "q263_curation_pipeline" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w
+           FROM documents),
+         s AS (SELECT doc_id, text, w, len(w) AS n,
+             CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)
+               / len(w) AS mean_len,
+             1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+               AS rep_ratio,
+             len(list_filter(w,
+               t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS stop_hits
+           FROM d),
+         gated AS (SELECT doc_id, text, w FROM s
+           WHERE n >= 5 AND n <= 1000
+             AND mean_len >= 2.0 AND mean_len <= 12.0
+             AND stop_hits >= 1 AND rep_ratio <= 0.5),
+         keeper AS (SELECT md5(text) AS h, MIN(doc_id) AS kid
+           FROM gated GROUP BY 1),
+         dd AS (SELECT g.doc_id, g.w FROM gated g
+           JOIN keeper k ON g.doc_id = k.kid),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 5 THEN
+               list_distinct(list_transform(
+                 list_distinct(list_transform(range(1, len(w) - 3),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                     || w[i+3] || ' ' || w[i+4])),
+                 s2 -> CAST('0x' || substr(md5(s2), 1, 15) AS BIGINT)))
+             ELSE [] END AS grams
+           FROM d),
+         bench AS (SELECT DISTINCT unnest(grams) AS gram FROM sh
+           WHERE doc_id % 10 = 0),
+         poolg AS (SELECT dd.doc_id, unnest(sh.grams) AS gram
+           FROM dd JOIN sh USING (doc_id) WHERE dd.doc_id % 10 <> 0),
+         contaminated AS (SELECT DISTINCT p.doc_id
+           FROM poolg p JOIN bench b ON p.gram = b.gram),
+         clean AS (SELECT dd.doc_id, CAST(len(dd.w) AS BIGINT) AS n
+           FROM dd ANTI JOIN contaminated c ON dd.doc_id = c.doc_id
+           WHERE dd.doc_id % 10 <> 0),
+         c AS (SELECT doc_id, n,
+             COALESCE(CAST(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS strt
+           FROM clean)
+         SELECT strt // 512 AS bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS sum_tokens, MIN(doc_id) AS first_doc
+         FROM c GROUP BY 1""",
     // the diverged clone: source's delete complement with every 7th
     // event repriced by the upsert (the source's own answer is
     // asserted unchanged in-query)

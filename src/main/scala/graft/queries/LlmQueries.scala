@@ -443,6 +443,40 @@ object LlmQueries {
   def spanScrub(s: SparkSession, d: String): DataFrame =
     Dedup.scrubDupSpans(Tables.documents(s, d), "doc_id", "text", n = 5)
 
+  /** END-TO-END CURATION PIPELINE (q263): the four stages a training
+    * corpus actually runs, composed as ONE declarative plan — Gopher
+    * quality gate → exact dedup (min-id keeper per content hash) →
+    * benchmark bigram decontamination (the doc_id % 10 == 0 split is
+    * the held-out benchmark) → 512-token sequence packing of the
+    * survivors. Every stage is its own oracle-verified operator
+    * (q39/q19/q70/q72); this entry pins that the COMPOSITION stays
+    * bit-exact end to end — the whole pipeline is still one lazy plan
+    * Catalyst can push through, not four materialized passes. */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val gate = TextOps.gopherQuality(docs).filter(col("keep"))
+      .select("doc_id")
+    val kept = docs.join(gate, Seq("doc_id"), "left_semi")
+    val keepers = Dedup.exactDupGroups(kept, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"))
+    val deduped = kept.join(keepers, Seq("doc_id"), "left_semi")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val pool = deduped.filter(col("doc_id") % 10 =!= 0)
+    // 5-grams, not bigrams: a decontamination GATE needs grams rare
+    // enough that only genuine benchmark overlap trips it (bigrams
+    // condemn essentially every doc sharing vocabulary)
+    val contaminated = Dedup.decontaminate(pool, bench,
+      "doc_id", "text", n = 5).select("doc_id").persist()
+    val clean = pool.join(contaminated, Seq("doc_id"), "left_anti")
+    val sized = clean.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val bins = graft.text.Packing.packBins(sized, "doc_id", "n_tokens",
+      budget = 512L)
+    require(contaminated.count() > 0,
+      "q263: the decontamination stage is vacuous on this corpus")
+    bins
+  }
+
   /** Concat-and-split sequence packing into 512-token context bins via
     * the distributed two-pass prefix sum; per-bin manifest. */
   def packSequences(s: SparkSession, d: String): DataFrame = {
