@@ -479,6 +479,77 @@ class Round11Spec extends AnyFunSuite {
     assert(base >= 1)
   }
 
+  test("coveredAll is SOUND under random range predicates: never claims a file a scan would keep rows in") {
+    import graft.sink.MorLog
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 6) {
+      val dir = s"${tmp(s"graft-r11fz$trial-")}/t"
+      // random layout: some files range-tight, some scattered, one
+      // with nulls on the predicate column
+      val n = 2000
+      val base = spark.range(0, n).select(
+        when(col("id") % 503 === 0, lit(null))
+          .otherwise(col("id")).as("a"),
+        (col("id") * 17 % 1000).as("b"),
+        col("id").as("k"))
+      val laid =
+        if (trial % 2 == 0)
+          base.repartitionByRange(6, col("k")).sortWithinPartitions("k")
+        else base.repartition(6, col("b") % 6)
+      MorLog.create(laid, dir)
+      // random conjunction/disjunction of ranges on a and b
+      def rndPred() = {
+        val lo = rnd.nextInt(n); val hi = lo + rnd.nextInt(n)
+        val lo2 = rnd.nextInt(1000); val hi2 = lo2 + rnd.nextInt(1000)
+        val p1 = col("a") >= lo && col("a") < hi
+        val p2 = col("b") >= lo2 && col("b") < hi2
+        rnd.nextInt(3) match {
+          case 0 => p1
+          case 1 => p1 || p2
+          case _ => p1 && p2
+        }
+      }
+      for (_ <- 0 until 5) {
+        val pred = rndPred()
+        // ground truth BEFORE the delete
+        val expectKeep = MorLog.read(spark, dir)
+          .filter(!coalesce(pred, lit(false)))
+          .select("k").as[Long].collect().sorted.toSeq
+        MorLog.deleteWhere(spark, dir, pred)
+        val got = MorLog.read(spark, dir)
+          .select("k").as[Long].collect().sorted.toSeq
+        assert(got == expectKeep,
+          s"trial $trial: drop-tier delete diverged from scan semantics")
+      }
+    }
+  }
+
+  test("file-drop deletes keep CDF == snapshot diff across random range-delete histories") {
+    import graft.sink.MorLog
+    val rnd = new scala.util.Random(23)
+    val dir = s"${tmp("graft-r11cdf-")}/t"
+    MorLog.create(spark.range(0, 3000)
+      .select(col("id"), (col("id") % 13).as("g"))
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id"), dir)
+    for (_ <- 0 until 4) {
+      val lo = rnd.nextInt(3000)
+      val cut = col("id") >= lo && col("id") < lo + rnd.nextInt(1500)
+      val vBefore = MorLog.currentVersion(spark, dir)
+      if (MorLog.deleteWhere(spark, dir, cut) > 0) {
+        val v = MorLog.currentVersion(spark, dir)
+        val inc = MorLog.incrementalChanges(spark, dir, vBefore, v,
+          Seq("id")).select(col("id"), col("change"))
+          .as[(Long, String)].collect().toSet
+        val snap = MorLog.changes(spark, dir, vBefore, v, Seq("id"))
+          .select(col("id"), col("change"))
+          .as[(Long, String)].collect().toSet
+        assert(inc == snap,
+          s"CDF diverged from snapshot diff after delete at v$v " +
+            s"(dropped ${graft.sink.MorLogStats.lastFilesDropped} files)")
+      }
+    }
+  }
+
   // ---- span-level dedup with removal --------------------------------
 
   test("scrubDupSpans cuts cross-doc spans symmetrically, merges overlaps, keeps short docs") {
