@@ -555,6 +555,8 @@ object SparkEntry {
     "q262_morlog_clone"     -> ((s, d) => CoreQueries.morLogClone(s, d)),
     // gate -> dedup -> decontam -> pack, one composed lazy plan
     "q263_curation_pipeline" -> ((s, d) => LlmQueries.curationPipeline(s, d)),
+    // MERGE INTO: mixed delete/update/insert batch as ONE version
+    "q264_morlog_merge"     -> ((s, d) => CoreQueries.morLogMerge(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1273,6 +1275,22 @@ object SparkEntry {
          SELECT strt // 512 AS bin_id, COUNT(*) AS n_docs,
            CAST(SUM(n) AS BIGINT) AS sum_tokens, MIN(doc_id) AS first_doc
          FROM c GROUP BY 1""",
+    // the merge fold: %5 deleted, %5+1 repriced, 50 inserts appended
+    "q264_morlog_merge" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+         kept AS (SELECT event_id, event_type,
+             CASE WHEN event_id % 5 = 1 THEN value + 500 ELSE value END
+               AS value
+           FROM events WHERE event_id % 5 <> 0),
+         ins AS (SELECT m.mx + i AS event_id, 'merged' AS event_type,
+             CAST(i AS DOUBLE) AS value
+           FROM m, unnest(range(1, 51)) AS t(i)),
+         u AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM u GROUP BY event_type""",
     // the diverged clone: source's delete complement with every 7th
     // event repriced by the upsert (the source's own answer is
     // asserted unchanged in-query)

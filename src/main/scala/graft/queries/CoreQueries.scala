@@ -3462,6 +3462,43 @@ object CoreQueries {
       .toDF("n_visible", "n_total", "min_event_id", "max_event_id")
   }
 
+  /** MERGE INTO (q264): one mixed CDC batch — every 5th event
+    * deleted, every 5th+1 repriced, 50 new events inserted — lands as
+    * ONE committed version ([[graft.sink.MorLog.mergeInto]]): a
+    * reader sees the whole merge or none of it, where a
+    * delete-then-upsert pair would expose the in-between state. The
+    * locate is one broadcast semi-join of the batch keys; no table
+    * rewrite. Oracle: the fold in plain arithmetic. */
+  def morLogMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val work = graft.TempDirs.create("graft-merge-")
+    val dir = s"$work/t"
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    graft.sink.MorLog.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"), dir)
+    val maxId = ev.agg(max("event_id")).as[Long].head()
+    val dels = ev.filter(col("event_id") % 5 === 0)
+      .withColumn("_op", lit("D"))
+    val ups = ev.filter(col("event_id") % 5 === 1)
+      .withColumn("value", col("value") + 500.0)
+      .withColumn("_op", lit("U"))
+    val ins = s.range(1, 51).select(
+      (lit(maxId) + col("id")).as("event_id"),
+      col("id").as("user_id"), lit("merged").as("event_type"),
+      col("id").cast("double").as("value"), lit("I").as("_op"))
+    val (deleted, written) = graft.sink.MorLog.mergeInto(s, dir,
+      dels.unionByName(ups).unionByName(ins), "event_id", "_op")
+    require(deleted > 0 && written > 0,
+      s"q264: vacuous merge (deleted=$deleted written=$written)")
+    graft.sink.MorLog.read(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** ZERO-COPY SHALLOW CLONE (q262): the clone's first version
     * references the source's data files by absolute path — no data
     * copied (asserted in-query: the clone dir holds no parquet before

@@ -1029,6 +1029,54 @@ object MorLog {
     } finally keys.unpersist()
   }
 
+  /** MERGE INTO as ONE committed version (Delta's MERGE, the CDC-apply
+    * shape): `batch` carries an op column — 'D' rows DELETE their key,
+    * every other row UPSERTS (update when the key is visible, insert
+    * when not) — and the whole mixed batch lands under a single meta
+    * swap: a reader sees all of it or none of it, unlike a
+    * delete-then-upsert pair which exposes the in-between state.
+    * Victim location is one broadcast semi-join of the batch's keys
+    * against the visible snapshot (batch-bounded build side); no
+    * table rewrite. The change feed nets it per key exactly like an
+    * upsert version (delete-then-insert ordering). Returns (deleted
+    * keys found, rows written). */
+  def mergeInto(spark: SparkSession, dir: String, batch: DataFrame,
+                keyCol: String, opCol: String,
+                actionTag: String = "merge"): (Long, Long) = {
+    val st = currentState(spark, dir)
+    require(batch.columns.toSet == st.schema.fieldNames.toSet + opCol,
+      s"mergeInto: batch columns ${batch.columns.toSeq.sorted} must be " +
+        s"the table's ${st.schema.fieldNames.toSeq.sorted} plus $opCol")
+    requireUpcastOnly(st,
+      batch.drop(opCol), "mergeInto")
+    val keys = batch.select(col(keyCol)).distinct().persist()
+    try {
+      require(keys.count() == batch.count(),
+        s"mergeInto: batch is not unique on $keyCol")
+      val v = st.version + 1
+      val visible = minusTombs(spark, dir, st,
+        withId(readData(spark, dir, st)))
+      // every batch key's CURRENT row dies: deletes stay dead,
+      // upserts are replaced by their staged row
+      val victims = visible
+        .join(broadcast(keys), Seq(keyCol), "left_semi")
+        .select(col(RPath), col(RName), col(RRow))
+      val (deleted, tombsV, pfCeil) = commitTombs(spark, dir, st,
+        victims, v)
+      val upRows = batch.filter(col(opCol) =!= "D").drop(opCol)
+      val nUp = upRows.count()
+      val names =
+        if (nUp == 0) Seq.empty
+        else stageIn(spark, dir,
+          upRows.select(st.schema.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*), v)
+      writeState(spark, dir,
+        State(v, actionTag, tombsV, pfCeil, st.schema,
+          st.files ++ names), st.files)
+      (deleted, nUp)
+    } finally keys.unpersist()
+  }
+
   /** CDC_CHANGES between two committed versions, at key granularity:
     * (keys…, change ∈ insert/update/delete, _old, _new) — the
     * [[AtomicParquetSink.tableChanges]] classification over the log's

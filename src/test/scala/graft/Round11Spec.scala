@@ -550,6 +550,36 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("mergeInto commits delete+update+insert as ONE version; CDF classifies all three") {
+    import graft.sink.MorLog
+    val dir = s"${tmp("graft-r11mrg-")}/t"
+    MorLog.create(spark.range(0, 100)
+      .select(col("id"), (col("id") * 2).as("v")).coalesce(2), dir)
+    val batch = Seq(
+      (5L, 0L, "D"), (7L, 0L, "D"),        // deletes (v ignored)
+      (8L, 888L, "U"), (9L, 999L, "U"),    // updates
+      (200L, 2000L, "I"), (201L, 2010L, "I")) // inserts
+      .toDF("id", "v", "_op")
+    val (del, wrote) = MorLog.mergeInto(spark, dir, batch, "id", "_op")
+    assert(del == 4L,
+      s"the 4 batch keys WITH current rows die (inserts have none), got $del")
+    assert(wrote == 4L)
+    // exactly ONE new version
+    assert(MorLog.versions(spark, dir) == Seq(0, 1))
+    val m = MorLog.read(spark, dir).as[(Long, Long)].collect().toMap
+    assert(m.size == 100L) // 100 - 2 deletes + 2 inserts
+    assert(!m.contains(5L) && !m.contains(7L))
+    assert(m(8L) == 888L && m(9L) == 999L)
+    assert(m(200L) == 2000L && m(201L) == 2010L)
+    assert(m(50L) == 100L, "untouched row drifted")
+    val cdf = MorLog.incrementalChanges(spark, dir, 0, 1, Seq("id"))
+      .select(col("id"), col("change")).as[(Long, String)]
+      .collect().toMap
+    assert(cdf == Map(5L -> "delete", 7L -> "delete",
+      8L -> "update", 9L -> "update",
+      200L -> "insert", 201L -> "insert"))
+  }
+
   // ---- span-level dedup with removal --------------------------------
 
   test("scrubDupSpans cuts cross-doc spans symmetrically, merges overlaps, keeps short docs") {
