@@ -557,6 +557,8 @@ object SparkEntry {
     "q263_curation_pipeline" -> ((s, d) => LlmQueries.curationPipeline(s, d)),
     // MERGE INTO: mixed delete/update/insert batch as ONE version
     "q264_morlog_merge"     -> ((s, d) => CoreQueries.morLogMerge(s, d)),
+    // per-dim p05/p95 clip bounds: d KLL sketches in one agg pass
+    "q265_dim_clip"         -> ((s, d) => LlmQueries.dimClipStats(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1275,6 +1277,29 @@ object SparkEntry {
          SELECT strt // 512 AS bin_id, COUNT(*) AS n_docs,
            CAST(SUM(n) AS BIGINT) AS sum_tokens, MIN(doc_id) AS first_doc
          FROM c GROUP BY 1""",
+    // the emitted bounds are exact rank-based values; the one-pass
+    // d-sketch plan is asserted in-query
+    "q265_dim_clip" ->
+      """WITH v AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+             CAST(embedding AS DOUBLE[])[i] AS x
+           FROM embeddings,
+             unnest(range(1, len(embedding) + 1)) AS t(i)),
+         r AS (SELECT dim, x, vec_id,
+             row_number() OVER (PARTITION BY dim ORDER BY x, vec_id)
+               AS rn,
+             count(*) OVER (PARTITION BY dim) AS n
+           FROM v),
+         q AS (SELECT dim,
+             MAX(CASE WHEN rn = (n + 19) // 20 THEN x END) AS p05,
+             MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN x END) AS p95
+           FROM r GROUP BY dim)
+         SELECT q.dim, q.p05, q.p95,
+           CAST(sum(CASE WHEN v.x < q.p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(sum(CASE WHEN v.x > q.p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above
+         FROM v JOIN q USING (dim)
+         GROUP BY q.dim, q.p05, q.p95""",
     // the merge fold: %5 deleted, %5+1 repriced, 50 inserts appended
     "q264_morlog_merge" ->
       """WITH m AS (SELECT max(event_id) AS mx FROM events),

@@ -846,6 +846,57 @@ object LlmQueries {
       s"$work/state")
   }
 
+  /** PER-DIMENSION robust clipping stats (q265): the preprocessing
+    * pass a quantization/normalization pipeline runs over an
+    * embedding corpus — p05/p95 per dimension plus how many values
+    * each clip bound would cut. One posexplode + ONE aggregate pass
+    * of d KLL sketches covers every dimension simultaneously (the
+    * 100 TB plan: O(d · k · log(n/k)) state total, vs a per-dim sort);
+    * the sketch estimates are rank-checked in-query and the emitted
+    * bounds are the exact rank-based values under the oracle. */
+  def dimClipStats(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val vals = Tables.embeddings(s, d).select(col("vec_id"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("dim", "x")))
+    val est = vals.groupBy("dim")
+      .agg(expr("graft_kll(x, 256)").as("sk"), count(lit(1)).as("n"))
+      .select(col("dim"), col("n"),
+        expr("graft_kll_quantile(sk, 0.05d)").as("e05"),
+        expr("graft_kll_quantile(sk, 0.95d)").as("e95"))
+    val chk = vals.join(broadcast(est), Seq("dim"))
+      .groupBy(col("dim"), col("n"))
+      .agg(sum(when(col("x") <= col("e05"), 1L).otherwise(0L)).as("r05"),
+        sum(when(col("x") <= col("e95"), 1L).otherwise(0L)).as("r95"))
+      .collect()
+    require(chk.nonEmpty, "q265: no dimensions")
+    chk.foreach { r =>
+      val n = r.getLong(1).toDouble
+      for ((p, i) <- Seq(0.05 -> 2, 0.95 -> 3))
+        require(math.abs(r.getLong(i) - p * n) <= 0.05 * n + 1,
+          s"q265: sketch p$p rank off by ${r.getLong(i) - p * n} " +
+            s"on dim ${r.getInt(0)}")
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("dim").orderBy(col("x"), col("vec_id"))
+    val q = vals
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("dim")))
+      .groupBy(col("dim"))
+      .agg(max(when(col("rn") ===
+          floor((col("n") + 19) / 20).cast("long"), col("x"))).as("p05"),
+        max(when(col("rn") ===
+          floor((col("n") * 19 + 19) / 20).cast("long"), col("x")))
+          .as("p95"))
+    vals.join(broadcast(q), Seq("dim"))
+      .groupBy(col("dim"), col("p05"), col("p95"))
+      .agg(sum(when(col("x") < col("p05"), 1L).otherwise(0L))
+          .as("n_below"),
+        sum(when(col("x") > col("p95"), 1L).otherwise(0L)).as("n_above"))
+      .select(col("dim"), col("p05"), col("p95"), col("n_below"),
+        col("n_above"))
+  }
+
   /** Streaming CMS heavy hitters (q261): the q82 Count-Min grid
     * SUM-folded across a checkpointed drain under the in-state batch
     * fence ([[graft.streaming.StreamCms]]) — counter sums are
