@@ -559,6 +559,8 @@ object SparkEntry {
     "q264_morlog_merge"     -> ((s, d) => CoreQueries.morLogMerge(s, d)),
     // per-dim p05/p95 clip bounds: d KLL sketches in one agg pass
     "q265_dim_clip"         -> ((s, d) => LlmQueries.dimClipStats(s, d)),
+    // packed bins with per-bin doc-start offsets (attention masks)
+    "q266_pack_boundaries"  -> ((s, d) => LlmQueries.packBoundaries(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1276,6 +1278,21 @@ object SparkEntry {
            FROM clean)
          SELECT strt // 512 AS bin_id, COUNT(*) AS n_docs,
            CAST(SUM(n) AS BIGINT) AS sum_tokens, MIN(doc_id) AS first_doc
+         FROM c GROUP BY 1""",
+    // the in-bin offset of a doc is its global token start mod the
+    // budget; boundaries ride as a CSV in doc order
+    "q266_pack_boundaries" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+         c AS (SELECT doc_id, n,
+             COALESCE(CAST(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS strt
+           FROM d)
+         SELECT strt // 512 AS bin_id, COUNT(*) AS n_docs,
+           string_agg(CAST(strt % 512 AS VARCHAR), ','
+             ORDER BY doc_id) AS boundaries
          FROM c GROUP BY 1""",
     // the emitted bounds are exact rank-based values; the one-pass
     // d-sketch plan is asserted in-query

@@ -486,6 +486,17 @@ object LlmQueries {
     graft.text.Packing.packBins(docs, "doc_id", "n_tokens", budget = 512L)
   }
 
+  /** Packed-bin attention boundaries (q266): q72's 512-token packing
+    * with the per-bin DOC START OFFSETS emitted — the manifest a
+    * shard writer needs for block-diagonal attention masks. */
+  def packBoundaries(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.text.Packing.packBoundaries(docs, "doc_id", "n_tokens",
+      budget = 512L)
+  }
+
   /** Top-3 characteristic terms per doc (tf-desc/rarity rank, TF-IDF
     * score annotated). */
   def tfidfTerms(s: SparkSession, d: String): DataFrame =

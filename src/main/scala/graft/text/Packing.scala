@@ -94,4 +94,20 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"),
         min(col(idCol)).as("first_doc"))
+
+  /** Per-bin ATTENTION-BOUNDARY manifest: each bin's doc start
+    * offsets (CSV, doc order) — what a pretraining shard writer needs
+    * to emit the block-diagonal attention mask that stops cross-doc
+    * attention inside a packed context. Same distributed prefix sum
+    * as [[packBins]]; the boundary list is per-bin metadata (a few
+    * dozen ints), never row data. */
+  def packBoundaries(docs: DataFrame, idCol: String,
+                     tokenCountCol: String, budget: Long): DataFrame =
+    withBins(docs, idCol, tokenCountCol, budget)
+      .withColumn("off", col("start") - col("bin") * budget)
+      .groupBy(col("bin").as("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol), col("off")))),
+          x => x("off").cast("string")), ",").as("boundaries"))
 }
