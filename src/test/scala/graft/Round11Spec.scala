@@ -580,6 +580,58 @@ class Round11Spec extends AnyFunSuite {
       200L -> "insert", 201L -> "insert"))
   }
 
+  test("media probes are TOTAL: random bytes and random truncations of valid headers never throw") {
+    val rnd = new scala.util.Random(7)
+    def arbitrary(n: Int) = Array.fill[Byte](n)(rnd.nextInt.toByte)
+    // valid headers to truncate at every prefix length
+    val valids = Seq[Array[Byte]](
+      // WAV
+      "RIFF".getBytes ++ Array[Byte](100, 0, 0, 0) ++
+        "WAVEfmt ".getBytes ++ Array[Byte](16, 0, 0, 0, 1, 0, 2, 0) ++
+        Array[Byte](0x40, 0x1f, 0, 0) ++ Array[Byte](0, 125, 0, 0) ++
+        Array[Byte](4, 0, 16, 0) ++ "data".getBytes ++
+        Array[Byte](16, 0, 0, 0),
+      // fLaC magic + block header
+      "fLaC".getBytes ++ Array[Byte](0x80.toByte, 0, 0, 34) ++
+        Array.fill[Byte](34)(1),
+      // ID3 + MP3 frame
+      "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0, 4) ++
+        Array.fill[Byte](4)(0) ++
+        Array(0xFF.toByte, 0xFB.toByte, 0x94.toByte, 0x00.toByte),
+      // MP4
+      Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes ++
+        Array.fill[Byte](4)(0) ++ Array[Byte](0, 0, 0, 116) ++
+        "moov".getBytes ++ Array[Byte](0, 0, 0, 108) ++
+        "mvhd".getBytes ++ Array.fill[Byte](100)(0),
+      // AVI
+      "RIFF".getBytes ++ Array[Byte](80, 0, 0, 0) ++
+        "AVI LIST".getBytes ++ Array[Byte](68, 0, 0, 0) ++
+        "hdrlavih".getBytes ++ Array[Byte](56, 0, 0, 0) ++
+        Array.fill[Byte](56)(0),
+      // PNG sig + IHDR
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes ++
+        Array.fill[Byte](17)(3))
+    val cases =
+      (0 until 200).map(_ => arbitrary(rnd.nextInt(64))) ++
+      valids.flatMap(v => (0 to v.length).map(v.take)) ++
+      // adversarial size fields: declared chunk sizes near overflow
+      Seq("RIFF".getBytes ++ Array.fill[Byte](4)(0xff.toByte) ++
+          "WAVE".getBytes ++ "fmt ".getBytes ++
+          Array.fill[Byte](4)(0xff.toByte) ++ Array.fill[Byte](16)(0),
+        Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte,
+          0xff.toByte) ++ "ftyp".getBytes ++ Array.fill[Byte](8)(0))
+    // totality = none of the three probes throws on ANY input
+    cases.foreach { b =>
+      graft.multimodal.MultimodalCodecs.dims(b)
+      graft.multimodal.AudioCodecs.meta(b)
+      graft.multimodal.VideoCodecs.meta(b)
+    }
+    // and null-safety
+    assert(graft.multimodal.AudioCodecs.meta(null) == null)
+    assert(graft.multimodal.VideoCodecs.meta(null) == null)
+  }
+
   // ---- span-level dedup with removal --------------------------------
 
   test("scrubDupSpans cuts cross-doc spans symmetrically, merges overlaps, keeps short docs") {
