@@ -561,6 +561,8 @@ object SparkEntry {
     "q265_dim_clip"         -> ((s, d) => LlmQueries.dimClipStats(s, d)),
     // packed bins with per-bin doc-start offsets (attention masks)
     "q266_pack_boundaries"  -> ((s, d) => LlmQueries.packBoundaries(s, d)),
+    // metadata-only DROP COLUMN with a loud resurrection guard
+    "q267_morlog_dropcol"   -> ((s, d) => CoreQueries.morLogDropColumn(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1279,6 +1281,19 @@ object SparkEntry {
          SELECT strt // 512 AS bin_id, COUNT(*) AS n_docs,
            CAST(SUM(n) AS BIGINT) AS sum_tokens, MIN(doc_id) AS first_doc
          FROM c GROUP BY 1""",
+    // the transient column never reaches the answer: original rows
+    // plus the 50 evolved rows, flag dropped
+    "q267_morlog_dropcol" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+         u AS (SELECT event_id, event_type, value FROM events
+           UNION ALL
+           SELECT m.mx + i, 'evolved', CAST(i AS DOUBLE)
+           FROM m, unnest(range(1, 51)) AS t(i))
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM u GROUP BY event_type""",
     // the in-bin offset of a doc is its global token start mod the
     // budget; boundaries ride as a CSV in doc order
     "q266_pack_boundaries" ->

@@ -3499,6 +3499,46 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** METADATA-ONLY DROP COLUMN (q267): add a column with an evolving
+    * append, then DROP it — one metadata commit, zero data IO; reads
+    * project through the narrowed schema while old files physically
+    * keep the column, and a name-based RE-ADD is refused loud
+    * (asserted in-query: old files would resurrect stale values —
+    * the boundary Delta solves with column IDs). Completes the
+    * tier's schema evolution: add, safe widen (q233), drop. Oracle:
+    * the rows fold without the transient column. */
+  def morLogDropColumn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val work = graft.TempDirs.create("graft-dropc-")
+    val dir = s"$work/t"
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    graft.sink.MorLog.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"), dir)
+    val maxId = ev.agg(max("event_id")).as[Long].head()
+    val extra = s.range(1, 51).select(
+      (lit(maxId) + col("id")).as("event_id"),
+      col("id").as("user_id"), lit("evolved").as("event_type"),
+      col("id").cast("double").as("value"), lit(1L).as("flag"))
+    graft.sink.MorLog.evolveAppend(s, dir, extra)
+    val wideV = graft.sink.MorLog.currentVersion(s, dir)
+    graft.sink.MorLog.dropColumn(s, dir, "flag")
+    require(!graft.sink.MorLog.read(s, dir).columns.contains("flag"))
+    // time travel still shows the wide schema
+    require(graft.sink.MorLog.readVersion(s, dir, wideV)
+      .columns.contains("flag"))
+    // the resurrection guard must refuse a name-based re-add
+    require(scala.util.Try(graft.sink.MorLog.evolveAppend(s, dir,
+      extra.filter(col("event_id") < 0))).isFailure,
+      "q267: re-adding a dropped column must fail loud")
+    graft.sink.MorLog.read(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** ZERO-COPY SHALLOW CLONE (q262): the clone's first version
     * references the source's data files by absolute path — no data
     * copied (asserted in-query: the clone dir holds no parquet before

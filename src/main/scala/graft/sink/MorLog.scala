@@ -406,10 +406,51 @@ object MorLog {
     * versioned (wider) read schema — previous versions keep their
     * own (narrower) schema; batches narrower than the table cast up
     * in the projection; narrowing/incompatible retypes stay loud. */
+  /** Names ever dropped by a [[dropColumn]] in this log — the
+    * RESURRECTION boundary: old data files still physically carry a
+    * dropped column, and a name-based re-add would silently read
+    * those stale values back (the problem Delta solves with column
+    * IDs; this tier solves it by refusing the re-add loudly). */
+  private def droppedNames(spark: SparkSession, dir: String): Set[String] =
+    versions(spark, dir).iterator
+      .map(v => state(spark, dir, v).action)
+      .collect { case a if a.startsWith("dropcol:") =>
+        a.stripPrefix("dropcol:") }
+      .toSet
+
+  /** METADATA-ONLY DROP COLUMN: commit a version whose schema omits
+    * `colName` — zero data IO; every read projects through the
+    * narrowed schema while the physical column stays in the old
+    * files (exactly like a compaction's replaced inputs, it ages out
+    * as files rewrite). Time travel still shows the wide schema at
+    * earlier versions. Completes the tier's schema evolution
+    * alongside add ([[evolveAppend]]) and safe widening (q233). */
+  def dropColumn(spark: SparkSession, dir: String,
+                 colName: String): Unit = {
+    val st = currentState(spark, dir)
+    require(st.schema.fieldNames.contains(colName),
+      s"dropColumn: $colName is not in the schema")
+    require(st.schema.fields.length > 1,
+      "dropColumn: cannot drop the only column")
+    val narrowed = StructType(st.schema.fields.filterNot(
+      _.name == colName))
+    writeState(spark, dir,
+      State(st.version + 1, s"dropcol:$colName", st.tombsV, st.pfCeil,
+        narrowed, st.files), st.files)
+  }
+
   def evolveAppend(spark: SparkSession, dir: String,
                    batch: DataFrame): Unit = {
     val st = currentState(spark, dir)
     val curMap = st.schema.map(f => f.name -> f.dataType).toMap
+    val resurrected = batch.schema.map(_.name)
+      .filterNot(curMap.contains).toSet
+      .intersect(droppedNames(spark, dir))
+    require(resurrected.isEmpty,
+      s"evolveAppend: column(s) $resurrected were DROPPED earlier — " +
+        "old data files still physically carry them, and a name-based " +
+        "re-add would resurrect stale values; use a new name or " +
+        "rewrite the table")
     val retyped = batch.schema.filter(f =>
       curMap.get(f.name).exists(_ != f.dataType))
     val widened = retyped.filter(f =>
