@@ -1098,17 +1098,19 @@ object SparkEntry {
          GROUP BY event_type""",
     // the parsed audio container fields are pure doc_id arithmetic;
     // corrupted (%29) payloads surface NULLs; durations are the
-    // parser's integer formulas (WAV/FLAC: samples*1000/rate; MP3:
-    // CBR stream-bytes*8000/bps over an ID3v2-skipped stream)
+    // parser's integer formulas (WAV/FLAC: samples*1000/rate; CBR
+    // MP3: stream-bytes*8000/bps over an ID3v2-skipped stream; VBR
+    // MP3: the Xing/VBRI frame count × 1152 samples over the rate)
     "q250_audio_meta" ->
       """WITH d AS (
-           SELECT doc_id, doc_id % 3 AS fmt,
+           SELECT doc_id, doc_id % 4 AS fmt,
              CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                WHEN 2 THEN 44100 ELSE 48000 END AS prate,
-             CASE (doc_id % 4) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+             CASE (doc_id % 5) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
                ELSE 32000 END AS mrate,
-             CAST(doc_id % 2 + 1 AS INT) AS ch,
+             CAST((doc_id % 3) % 2 + 1 AS INT) AS ch,
              (doc_id % 1000 + 1) * 441 AS units,
+             (doc_id % 2000 + 100) AS vframes,
              CASE doc_id % 14 + 1 WHEN 1 THEN 32 WHEN 2 THEN 40
                WHEN 3 THEN 48 WHEN 4 THEN 56 WHEN 5 THEN 64
                WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
@@ -1119,13 +1121,15 @@ object SparkEntry {
            CASE WHEN doc_id % 29 = 0 THEN NULL WHEN fmt = 0 THEN 'wav'
                 WHEN fmt = 1 THEN 'flac' ELSE 'mp3' END AS format,
            CASE WHEN doc_id % 29 = 0 THEN NULL
-                WHEN fmt = 2 THEN CAST(mrate AS INT)
+                WHEN fmt >= 2 THEN CAST(mrate AS INT)
                 ELSE CAST(prate AS INT) END AS sample_rate,
            CASE WHEN doc_id % 29 = 0 THEN NULL ELSE ch END AS channels,
            CASE WHEN doc_id % 29 = 0 THEN NULL
                 WHEN fmt = 2 THEN CAST(
                   (kbps * (doc_id % 5 + 1) + 4) * 8000 // (kbps * 1000)
                   AS BIGINT)
+                WHEN fmt = 3 THEN CAST(
+                  vframes * 1152 * 1000 // mrate AS BIGINT)
                 ELSE CAST(units * 1000 // prate AS BIGINT)
              END AS duration_ms
          FROM d""",
@@ -1376,21 +1380,27 @@ object SparkEntry {
     // the parsed video container fields are pure doc_id arithmetic;
     // corrupted (%23) payloads surface NULLs; durations are the
     // parser's integer formulas (MP4: mvhd duration*1000/timescale;
-    // AVI: frames*µs-per-frame/1000)
+    // AVI: frames*µs-per-frame/1000; WebM/MKV: Duration ticks ×
+    // TimestampScale/1e6 — the builder's ticks×multiplier)
     "q254_video_meta" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 23 = 0 THEN NULL
-                WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS format,
+                WHEN doc_id % 3 = 0 THEN 'mp4'
+                WHEN doc_id % 3 = 1 THEN 'avi'
+                WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'mkv' END AS format,
            CASE WHEN doc_id % 23 = 0 THEN NULL
                 ELSE CAST(doc_id % 1280 + 16 AS INT) END AS width,
            CASE WHEN doc_id % 23 = 0 THEN NULL
                 ELSE CAST(doc_id % 720 + 16 AS INT) END AS height,
            CASE WHEN doc_id % 23 = 0 THEN NULL
-                WHEN doc_id % 2 = 0 THEN
+                WHEN doc_id % 3 = 0 THEN
                   CAST((doc_id % 500 + 1) * 100 AS BIGINT)
-                ELSE CAST((doc_id % 1000 + 1) *
-                  (CASE doc_id % 3 WHEN 0 THEN 16667 WHEN 1 THEN 33333
+                WHEN doc_id % 3 = 1 THEN CAST((doc_id % 1000 + 1) *
+                  (CASE (doc_id % 7) % 3 WHEN 0 THEN 16667
+                   WHEN 1 THEN 33333
                    ELSE 40000 END) // 1000 AS BIGINT)
+                ELSE CAST((doc_id % 900 + 1) * (doc_id % 4 + 1)
+                  AS BIGINT)
              END AS duration_ms
          FROM documents""",
     // clustering is value-invisible: the oracle is the plain filtered

@@ -171,6 +171,10 @@ object Multimodal {
     *           1 = FLAC (16 bps, `units` total samples)
     *           2 = MP3 (`kbpsIdx` ∈ 1..14 bitrate index, `mp3Rate` ∈
     *               {44100,48000,32000}, `padBytes` of CBR stream body)
+    *           3 = VBR MP3: a real Xing (vbrKind 0 — after the
+    *               channel-dependent side info) or Fraunhofer VBRI
+    *               (vbrKind 1 — fixed 32-byte offset) header carrying
+    *               `vbrFrames` as the authoritative frame count
     */
   def audioPayload(fmtSel: org.apache.spark.sql.Column,
                    rate: org.apache.spark.sql.Column,
@@ -178,7 +182,9 @@ object Multimodal {
                    units: org.apache.spark.sql.Column,
                    mp3Rate: org.apache.spark.sql.Column,
                    kbpsIdx: org.apache.spark.sql.Column,
-                   padBytes: org.apache.spark.sql.Column)
+                   padBytes: org.apache.spark.sql.Column,
+                   vbrFrames: org.apache.spark.sql.Column = lit(0),
+                   vbrKind: org.apache.spark.sql.Column = lit(0))
       : org.apache.spark.sql.Column = {
     val block = ch * 2 // 16-bit PCM frame bytes
     val byteRate = rate * block
@@ -205,7 +211,24 @@ object Multimodal {
       bin("0300 00 00000010"), zeros(lit(16)),
       bin("FFFB"), byte1(shiftleft(kbpsIdx, 4) + shiftleft(srIdx, 2)),
       byte1(when(ch === 1, 0xc0).otherwise(0x00)), zeros(padBytes))
-    when(fmtSel === 0, wav).when(fmtSel === 1, flac).otherwise(mp3)
+    // VBR: the same ID3+frame head, then side-info padding and the
+    // Xing ("Xing" + flags(FRAMES) + frame count — the side-info
+    // offset is 17 bytes mono / 32 otherwise, per the public layout)
+    // or VBRI ("VBRI" at +32 always: version, delay, quality, bytes,
+    // then the frame count) variable-bitrate header
+    val vbrHead = concat(lit("ID3".getBytes("US-ASCII")),
+      bin("0300 00 00000010"), zeros(lit(16)),
+      bin("FFFB"), byte1(shiftleft(kbpsIdx, 4) + shiftleft(srIdx, 2)),
+      byte1(when(ch === 1, 0xc0).otherwise(0x00)))
+    val xing = concat(vbrHead, zeros(when(ch === 1, 17).otherwise(32)),
+      lit("Xing".getBytes("US-ASCII")), be32(lit(1)), be32(vbrFrames),
+      zeros(lit(16)))
+    val vbri = concat(vbrHead, zeros(lit(32)),
+      lit("VBRI".getBytes("US-ASCII")), be16(lit(1)), be16(lit(0)),
+      be16(lit(0)), be32(lit(0)), be32(vbrFrames), zeros(lit(16)))
+    when(fmtSel === 0, wav).when(fmtSel === 1, flac)
+      .when(fmtSel === 2, mp3)
+      .otherwise(when(vbrKind === 0, xing).otherwise(vbri))
   }
 
   /** A VALID video container header for the given parameters — a real
@@ -217,6 +240,10 @@ object Multimodal {
     *
     *   fmtSel: 0 = MP4 (`timescale` units/s, `durUnits` total)
     *           1 = AVI (`uspf` µs/frame, `frames` total)
+    *           2 = WebM/Matroska (EBML: DocType `webm` when mkvDoc 0
+    *               else `matroska`; Duration = `ebmlTicks` as an
+    *               IEEE-754 double, TimestampScale = `ebmlScaleMul`
+    *               × 1e6 ns — so duration_ms = ticks × mul)
     */
   def videoPayload(fmtSel: org.apache.spark.sql.Column,
                    w: org.apache.spark.sql.Column,
@@ -224,7 +251,10 @@ object Multimodal {
                    timescale: org.apache.spark.sql.Column,
                    durUnits: org.apache.spark.sql.Column,
                    uspf: org.apache.spark.sql.Column,
-                   frames: org.apache.spark.sql.Column)
+                   frames: org.apache.spark.sql.Column,
+                   mkvDoc: org.apache.spark.sql.Column = lit(0),
+                   ebmlTicks: org.apache.spark.sql.Column = lit(1),
+                   ebmlScaleMul: org.apache.spark.sql.Column = lit(1))
       : org.apache.spark.sql.Column = {
     def be32c(c: org.apache.spark.sql.Column) =
       unhex(lpad(hex(c), 8, "0"))
@@ -251,6 +281,36 @@ object Multimodal {
     val avi = concat(lit("RIFF".getBytes("US-ASCII")), le32(lit(80)),
       lit("AVI LIST".getBytes("US-ASCII")), le32(lit(68)),
       lit("hdrl".getBytes("US-ASCII")), avih)
-    when(fmtSel === 0, mp4).otherwise(avi)
+    // EBML: header(DocType) + Segment(Info(TimestampScale, Duration),
+    // Tracks(TrackEntry(Video(PixelWidth, PixelHeight)))) — 1-byte
+    // sizes throughout (every payload here is < 127 bytes). The
+    // Duration element is a float by spec: its 8 bytes are the
+    // IEEE-754 double of the integer tick count, built from in-plan
+    // arithmetic ([[dblBits]]).
+    val ebmlHdr = when(mkvDoc === 0,
+      concat(bin("1A45DFA3 87 4282 84"), lit("webm".getBytes("US-ASCII"))))
+      .otherwise(
+        concat(bin("1A45DFA3 8B 4282 88"),
+          lit("matroska".getBytes("US-ASCII"))))
+    val info = concat(bin("1549A966 93"),
+      bin("2AD7B1 84"), be32(ebmlScaleMul.cast("long") * 1000000L),
+      bin("4489 88"), be64(dblBits(ebmlTicks)))
+    val tracks = concat(bin("1654AE6B 8C AE 8A E0 88"),
+      bin("B0 82"), be16(w), bin("BA 82"), be16(h))
+    val webm = concat(ebmlHdr, bin("18538067 A9"), info, tracks)
+    when(fmtSel === 0, mp4).when(fmtSel === 1, avi).otherwise(webm)
+  }
+
+  /** IEEE-754 double bit pattern of a POSITIVE INTEGER column, as a
+    * bigint — pure column arithmetic (no float-bits builtin exists):
+    * exponent from the binary digit count, mantissa by shifting the
+    * value's leading bit onto bit 52 and dropping it. Exact for
+    * 1 ≤ n < 2^52. */
+  private def dblBits(n: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val e = (length(conv(n.cast("long"), 10, 2)) - 1).cast("long")
+    val mant = call_function("shiftleft", n.cast("long"),
+      (lit(52L) - e).cast("int")) - lit(4503599627370496L)
+    (e + 1023L) * lit(4503599627370496L) + mant
   }
 }

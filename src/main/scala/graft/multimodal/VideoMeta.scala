@@ -13,9 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * resolution routing and corrupt-blob quarantine over a video corpus
   * never open a video decoder. MP4/ISO-BMFF (top-level box walk →
   * `moov` → `mvhd` for timescale/duration, first `trak` → `tkhd` for
-  * the 16.16-fixed track dimensions) and AVI (RIFF `hdrl`/`avih`
-  * frame timing and dimensions) per their public specs; anything
-  * unrecognized, truncated or corrupt yields NULL, never a throw. */
+  * the 16.16-fixed track dimensions), AVI (RIFF `hdrl`/`avih`
+  * frame timing and dimensions) and WebM/Matroska (EBML element walk
+  * → Segment → Info for TimestampScale/Duration, Tracks → TrackEntry
+  * → Video for pixel dimensions — the dominant scraped-web video
+  * container) per their public specs; anything unrecognized,
+  * truncated or corrupt yields NULL, never a throw. */
 object VideoCodecs {
 
   private def be16(b: Array[Byte], i: Int): Int =
@@ -34,6 +37,136 @@ object VideoCodecs {
   private def row(fmt: String, w: Int, h: Int, durMs: Long): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](UTF8String.fromString(fmt), w, h, durMs))
+
+  // ---- EBML (WebM / Matroska) ---------------------------------------
+
+  /** EBML vint width from the first byte's marker bit (1..8); 0 =
+    * invalid (a zero first byte encodes nothing). */
+  private def vintLen(first: Int): Int = {
+    var mask = 0x80; var len = 1
+    while (len <= 8) {
+      if ((first & mask) != 0) return len
+      mask >>= 1; len += 1
+    }
+    0
+  }
+
+  /** One EBML vint at `i` (IDs keep the marker bit, sizes mask it).
+    * Returns (value, width) or (−1, 0) when truncated/invalid. */
+  private def readVint(b: Array[Byte], i: Int, to: Int,
+                       maskMarker: Boolean): (Long, Int) = {
+    if (i >= to) return (-1L, 0)
+    val first = b(i) & 0xff
+    val len = vintLen(first)
+    if (len == 0 || i + len > to) return (-1L, 0)
+    var v = if (maskMarker) (first & (0xff >>> len)).toLong else first.toLong
+    var k = 1
+    while (k < len) { v = (v << 8) | (b(i + k) & 0xff); k += 1 }
+    (v, len)
+  }
+
+  /** First child element `id` (full ID, marker kept) among the
+    * siblings in [from, to): payload bounds, or (−1, −1). An
+    * unknown-size element (size vint all ones) extends to `to` when
+    * it IS the match and ends the walk otherwise (siblings past it
+    * are unreachable without parsing its children). Every step
+    * strictly advances (id+size vints are ≥ 2 bytes). */
+  private def findEbml(b: Array[Byte], from: Int, to: Int,
+                       id: Long): (Int, Int) = {
+    var i = from
+    while (i < to) {
+      val (eid, idLen) = readVint(b, i, to, maskMarker = false)
+      if (idLen == 0) return (-1, -1)
+      val (sz, szLen) = readVint(b, i + idLen, to, maskMarker = true)
+      if (szLen == 0) return (-1, -1)
+      val p = i + idLen + szLen
+      val unknown = sz == (1L << (7 * szLen)) - 1
+      if (eid == id) {
+        if (unknown) return (p, to)
+        if (sz > to - p) return (-1, -1)
+        return (p, p + sz.toInt)
+      }
+      if (unknown || sz > to - p) return (-1, -1)
+      i = p + sz.toInt
+    }
+    (-1, -1)
+  }
+
+  /** Unsigned-int payload of an EBML element (≤ 8 bytes). */
+  private def ebmlUint(b: Array[Byte], from: Int, to: Int): Long = {
+    var v = 0L; var i = from
+    val end = math.min(to, from + 8)
+    while (i < end) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+    v
+  }
+
+  /** Float payload of an EBML element: 4 → IEEE-754 single, 8 →
+    * double, anything else NaN. */
+  private def ebmlFloat(b: Array[Byte], from: Int, to: Int): Double =
+    (to - from) match {
+      case 4 => java.lang.Float.intBitsToFloat(be32(b, from).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(be64(b, from))
+      case _ => Double.NaN
+    }
+
+  private val IdSegment = 0x18538067L
+  private val IdInfo = 0x1549A966L
+  private val IdTimestampScale = 0x2AD7B1L
+  private val IdDuration = 0x4489L
+  private val IdTracks = 0x1654AE6BL
+  private val IdTrackEntry = 0xAEL
+  private val IdVideo = 0xE0L
+  private val IdPixelWidth = 0xB0L
+  private val IdPixelHeight = 0xBAL
+  private val IdDocType = 0x4282L
+
+  /** WebM/Matroska header walk: EBML header (DocType → webm|mkv),
+    * Segment → Info (TimestampScale ns/tick, default 1e6; Duration
+    * float ticks) and Tracks → first TrackEntry → Video
+    * (PixelWidth/PixelHeight). Null on anything truncated/corrupt. */
+  private def ebmlMeta(b: Array[Byte]): InternalRow = {
+    // the EBML header is itself an element: 1A45DFA3 + size + children
+    val (hdrP, hdrEnd) = findEbml(b, 0, b.length, 0x1A45DFA3L)
+    if (hdrP < 0) return null
+    val fmt = {
+      val (dtP, dtEnd) = findEbml(b, hdrP, hdrEnd, IdDocType)
+      if (dtP < 0) "mkv"
+      else new String(b, dtP, dtEnd - dtP, "US-ASCII") match {
+        case "webm" => "webm"
+        case _ => "mkv"
+      }
+    }
+    val (segP, segEnd) = findEbml(b, hdrEnd, b.length, IdSegment)
+    if (segP < 0) return null
+    val (infoP, infoEnd) = findEbml(b, segP, segEnd, IdInfo)
+    if (infoP < 0) return null
+    val tsScale = {
+      val (p, e) = findEbml(b, infoP, infoEnd, IdTimestampScale)
+      if (p < 0) 1000000L else ebmlUint(b, p, e)
+    }
+    val dur = {
+      val (p, e) = findEbml(b, infoP, infoEnd, IdDuration)
+      if (p < 0) Double.NaN else ebmlFloat(b, p, e)
+    }
+    if (tsScale <= 0 || dur.isNaN || dur < 0) return null
+    var w = 0; var h = 0
+    val (trksP, trksEnd) = findEbml(b, segP, segEnd, IdTracks)
+    if (trksP >= 0) {
+      val (teP, teEnd) = findEbml(b, trksP, trksEnd, IdTrackEntry)
+      if (teP >= 0) {
+        val (vP, vEnd) = findEbml(b, teP, teEnd, IdVideo)
+        if (vP >= 0) {
+          val (wP, wEnd) = findEbml(b, vP, vEnd, IdPixelWidth)
+          val (hP, hEnd) = findEbml(b, vP, vEnd, IdPixelHeight)
+          if (wP >= 0) w = ebmlUint(b, wP, wEnd).toInt
+          if (hP >= 0) h = ebmlUint(b, hP, hEnd).toInt
+        }
+      }
+    }
+    // duration ticks × ns/tick → ms; builder ticks are integral so
+    // the double product is exact at header scales
+    row(fmt, w, h, (dur * (tsScale.toDouble / 1e6)).toLong)
+  }
 
   /** First child box of type `typ` inside [from, to): returns the
     * payload offset and end, or null bounds. Box = u32 BE size + 4cc;
@@ -65,6 +198,10 @@ object VideoCodecs {
     * duration from avih dwTotalFrames × dwMicroSecPerFrame. */
   def meta(b: Array[Byte]): InternalRow = {
     if (b == null) return null
+    // WebM / Matroska: EBML magic
+    if (b.length >= 4 && (b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+        (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3)
+      return ebmlMeta(b)
     // MP4 / ISO-BMFF: the first top-level box must be ftyp
     if (b.length >= 12 && fourcc(b, 4) == "ftyp") {
       val (moovP, moovEnd) = findBox(b, 0, b.length, "moov")
@@ -121,13 +258,21 @@ object VideoCodecs {
                 val h = le32(b, p + 36).toInt
                 return row("avi", w, h, frames * uspf / 1000L)
               }
-              j += 8 + le32(b, j + 4).toInt
+              // a declared child size past the list can never need
+              // walking, and the step must strictly advance — a
+              // 0xFFFFFFF8-ish size would otherwise wrap j negative
+              // or freeze it (review-caught)
+              val csz = le32(b, j + 4)
+              if (csz > listEnd - j - 8) return null
+              j += 8 + csz.toInt
               j += (j & 1) // RIFF chunks pad to even
             }
             return null
           }
         }
-        if (chunkSz > Int.MaxValue - 16) return null
+        // i-relative guard BEFORE the step: a ~2 GB declared chunk
+        // near the end of the buffer would overflow `i` (review-caught)
+        if (chunkSz > b.length - i - 8) return null
         i += 8 + chunkSz.toInt + (chunkSz.toInt & 1)
       }
       return null

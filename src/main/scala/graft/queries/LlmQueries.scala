@@ -343,16 +343,19 @@ object LlmQueries {
 
   /** AUDIO-HEADER probe (q250): build GENUINE WAV/FLAC/MP3 container
     * headers per document (rate/channels/length derived from doc_id,
-    * the format rotating) and parse them back with the codegen'd
-    * `graft_audio_meta` expression — the audio counterpart of q243:
-    * sample-rate buckets, mono/stereo splits and duration filters
-    * over a 100 TB audio corpus are header reads, never decodes.
-    * Builder and parser are independent code paths over the published
-    * byte layouts (RIFF chunk walk, FLAC STREAMINFO bit unpack, ID3v2
-    * syncsafe skip + MPEG-1 Layer III frame fields). A corrupted
-    * payload (doc_id % 29 == 0, signature truncated) must surface
-    * NULL meta, not a throw. Oracle: the parsed fields are pure
-    * doc_id arithmetic. */
+    * the format rotating — including VBR MP3s whose Xing or VBRI
+    * header carries the authoritative frame count, the common
+    * scraped-audio case a CBR estimate gets wrong) and parse them
+    * back with the codegen'd `graft_audio_meta` expression — the
+    * audio counterpart of q243: sample-rate buckets, mono/stereo
+    * splits and duration filters over a 100 TB audio corpus are
+    * header reads, never decodes. Builder and parser are independent
+    * code paths over the published byte layouts (RIFF chunk walk,
+    * FLAC STREAMINFO bit unpack, ID3v2 syncsafe skip + MPEG-1 Layer
+    * III frame fields + Xing/VBRI walks). A corrupted payload
+    * (doc_id % 29 == 0, signature truncated) must surface NULL meta,
+    * not a throw. Oracle: the parsed fields are pure doc_id
+    * arithmetic. */
   def audioMeta(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val kbps = ((col("doc_id") % 14) + 1).cast("int")
@@ -360,18 +363,22 @@ object LlmQueries {
       array(Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
         256, 320).map(lit): _*), kbps)
     val docs = Tables.documents(s, d).select(col("doc_id"))
-      .withColumn("fmt", (col("doc_id") % 3).cast("int"))
+      .withColumn("fmt", (col("doc_id") % 4).cast("int"))
       .withColumn("prate", element_at(
         array(lit(8000), lit(16000), lit(44100), lit(48000)),
         (col("doc_id") % 4).cast("int") + 1))
       .withColumn("mrate", element_at(
         array(lit(44100), lit(48000), lit(32000)),
-        ((col("doc_id") % 4) % 3).cast("int") + 1))
-      .withColumn("ch", (col("doc_id") % 2 + 1).cast("int"))
+        ((col("doc_id") % 5) % 3).cast("int") + 1))
+      .withColumn("ch", ((col("doc_id") % 3) % 2 + 1).cast("int"))
       .withColumn("units", ((col("doc_id") % 1000 + 1) * 441).cast("int"))
+      .withColumn("vframes", (col("doc_id") % 2000 + 100).cast("int"))
       .withColumn("payload", Multimodal.audioPayload(
         col("fmt"), col("prate"), col("ch"), col("units"),
-        col("mrate"), kbps, kbpsVal * (col("doc_id") % 5 + 1)))
+        col("mrate"), kbps, kbpsVal * (col("doc_id") % 5 + 1),
+        // fmt-3 rows have doc_id % 8 ∈ {3, 7}: 3 → Xing, 7 → VBRI —
+        // both VBR header layouts parse to the same frame count
+        col("vframes"), when(col("doc_id") % 8 === 3, 0).otherwise(1)))
       .withColumn("payload",
         when(col("doc_id") % 29 === 0,
           expr("substring(payload, 1, 3)")) // truncated: unparseable
@@ -385,26 +392,32 @@ object LlmQueries {
   }
 
   /** VIDEO-HEADER probe (q254): genuine MP4 box trees (ftyp +
-    * moov/mvhd/trak/tkhd) and AVI RIFF headers built per document and
-    * parsed back with the codegen'd `graft_video_meta` expression —
-    * completing the image/audio/video probe triad: duration filters
-    * and resolution routing over a 100 TB video corpus are header
-    * walks, never decodes. Corrupt (doc_id % 23 == 0, truncated)
-    * payloads surface NULL meta. Oracle: pure doc_id arithmetic. */
+    * moov/mvhd/trak/tkhd), AVI RIFF headers AND WebM/Matroska EBML
+    * trees (DocType, Info's TimestampScale + float Duration, Tracks'
+    * pixel dimensions — the dominant scraped-web container) built per
+    * document and parsed back with the codegen'd `graft_video_meta`
+    * expression — completing the image/audio/video probe triad:
+    * duration filters and resolution routing over a 100 TB video
+    * corpus are header walks, never decodes. Corrupt
+    * (doc_id % 23 == 0, truncated) payloads surface NULL meta.
+    * Oracle: pure doc_id arithmetic. */
   def videoMeta(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val ts = element_at(array(lit(600), lit(1000), lit(90000)),
-      (col("doc_id") % 3).cast("int") + 1)
+      ((col("doc_id") % 7) % 3).cast("int") + 1)
     val docs = Tables.documents(s, d).select(col("doc_id"))
-      .withColumn("fmt", (col("doc_id") % 2).cast("int"))
+      .withColumn("fmt", (col("doc_id") % 3).cast("int"))
       .withColumn("w", (col("doc_id") % 1280 + 16).cast("int"))
       .withColumn("h", (col("doc_id") % 720 + 16).cast("int"))
       .withColumn("payload", Multimodal.videoPayload(
         col("fmt"), col("w"), col("h"),
         ts, (col("doc_id") % 500 + 1) * (ts / 10),
         element_at(array(lit(16667), lit(33333), lit(40000)),
-          (col("doc_id") % 3).cast("int") + 1),
-        (col("doc_id") % 1000 + 1).cast("int")))
+          ((col("doc_id") % 7) % 3).cast("int") + 1),
+        (col("doc_id") % 1000 + 1).cast("int"),
+        mkvDoc = (col("doc_id") % 2).cast("int"),
+        ebmlTicks = (col("doc_id") % 900 + 1).cast("int"),
+        ebmlScaleMul = (col("doc_id") % 4 + 1).cast("int")))
       .withColumn("payload",
         when(col("doc_id") % 23 === 0,
           expr("substring(payload, 1, 3)")) // truncated: unparseable
