@@ -35,7 +35,12 @@ object StreamDlq {
     }
     val fence = stVal("B").getOrElse(-1L)
     if (batchId <= fence) return // redelivery — already routed
-    val wmPrev = stVal("W")
+    // a W row exists only once real event time was observed; the
+    // MinValue filter also heals state dirs a pre-fix writer left
+    // behind (review-caught: an empty/all-null FIRST batch used to
+    // persist Long.MinValue, and `w - horizon` then underflowed to a
+    // huge positive threshold that dead-lettered every later row)
+    val wmPrev = stVal("W").filter(_ != Long.MinValue)
     val tsMicros = unix_micros(col(tsCol))
     val late = wmPrev match {
       case None => lit(false)
@@ -48,12 +53,17 @@ object StreamDlq {
       tagged.filter(col("_late")).drop("_late")
         .write.mode("overwrite").parquet(s"$dlqDir/batch=$batchId")
       val batchMax = tagged.agg(max(tsMicros)).head()
-      val newWm = math.max(wmPrev.getOrElse(Long.MinValue),
-        if (batchMax.isNullAt(0)) Long.MinValue else batchMax.getLong(0))
+      val batchWm =
+        if (batchMax.isNullAt(0)) None else Some(batchMax.getLong(0))
+      // no watermark row until SOME event time exists — an empty or
+      // all-null-ts first batch must leave later batches un-fenced
+      val newWm = (wmPrev.toSeq ++ batchWm.toSeq)
+        .reduceOption((a, b) => math.max(a, b))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      rows.add(org.apache.spark.sql.Row("B", batchId))
+      newWm.foreach(w => rows.add(org.apache.spark.sql.Row("W", w)))
       AtomicParquetSink.overwrite(
-        spark.createDataFrame(java.util.Arrays.asList(
-          org.apache.spark.sql.Row("W", newWm),
-          org.apache.spark.sql.Row("B", batchId)),
+        spark.createDataFrame(rows,
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("kind",
               org.apache.spark.sql.types.StringType),

@@ -156,6 +156,40 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("StreamDlq: an empty (or all-null-ts) first batch leaves later batches un-fenced") {
+    val work = tmp("graft-r12dlq-")
+    val (state, mainD, dlqD) = (s"$work/st", s"$work/main", s"$work/dlq")
+    def batch(rows: (Long, String)*) = rows.toSeq
+      .toDF("event_id", "ts_s")
+      .select(col("event_id"),
+        col("ts_s").cast("timestamp").as("ts"))
+    val schema = batch().schema
+    // batch 0 is EMPTY: no watermark can exist yet (the advice bug
+    // persisted Long.MinValue here, and `w - horizon` then
+    // underflowed so every later row was silently dead-lettered)
+    graft.streaming.StreamDlq.applyBatch(spark, state, mainD, dlqD,
+      batch(), "ts", horizonMs = 3600000L, batchId = 0L)
+    // batch 1: all-null event time — still no watermark
+    graft.streaming.StreamDlq.applyBatch(spark, state, mainD, dlqD,
+      batch(1L -> null), "ts", horizonMs = 3600000L, batchId = 1L)
+    // batch 2: first real event times — must ALL land in main
+    graft.streaming.StreamDlq.applyBatch(spark, state, mainD, dlqD,
+      batch(2L -> "2024-01-01 09:00:00", 3L -> "2024-01-01 10:00:00"),
+      "ts", horizonMs = 3600000L, batchId = 2L)
+    def ids(dir: String) = graft.streaming.StreamDlq
+      .readSide(spark, dir, schema)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids(mainD) == Seq(1L, 2L, 3L),
+      s"rows were dead-lettered under a phantom watermark: main=${ids(mainD)}")
+    assert(ids(dlqD).isEmpty)
+    // and the watermark NOW exists: batch 3's stale row routes to dlq
+    graft.streaming.StreamDlq.applyBatch(spark, state, mainD, dlqD,
+      batch(4L -> "2024-01-01 08:30:00", 5L -> "2024-01-01 10:30:00"),
+      "ts", horizonMs = 3600000L, batchId = 3L)
+    assert(ids(dlqD) == Seq(4L), "the real watermark must still fence")
+    assert(ids(mainD) == Seq(1L, 2L, 3L, 5L))
+  }
+
   test("q250/q254 round trip: the in-plan builders and the parsers agree on every new format branch") {
     val d = "/root/testdata/sf0.001"
     val a = queries.LlmQueries.audioMeta(spark, d)
