@@ -644,18 +644,24 @@ object MorLog {
     val droppedRows =
       if (dropped.isEmpty) 0L
       else {
+        // sidecar headers and the tombstone set key by BASENAME; a
+        // dropped entry on a cloned table is an absolute path
+        // (review-caught: the raw entry missed the lookup and the
+        // count kept the file's pre-existing tombstones)
+        val nameOf = dropped.map(f => f -> new Path(f).getName).toMap
         val tombCounts: Map[String, Long] =
           if (st.pfCeil >= 0)
-            DvPerFile.headerCounts(conf(spark), dir, st.pfCeil, dropped)
+            DvPerFile.headerCounts(conf(spark), dir, st.pfCeil,
+              nameOf.values.toSeq)
           else tombsOf(spark, dir, st) match {
             case None => Map.empty
             case Some(t) => t
-              .filter(col(FileCol).isInCollection(dropped))
+              .filter(col(FileCol).isInCollection(nameOf.values.toSeq))
               .groupBy(FileCol).agg(count(lit(1)).as("n"))
               .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
           }
         dropped.map(f => FileStats.rowsOf(stats, f).getOrElse(0L) -
-          tombCounts.getOrElse(f, 0L)).sum
+          tombCounts.getOrElse(nameOf(f), 0L)).sum
       }
     writeState(spark, dir,
       State(v, "delete", tombsV, pfCeil, st.schema, remaining), st.files)
@@ -1090,11 +1096,27 @@ object MorLog {
         s"the table's ${st.schema.fieldNames.toSeq.sorted} plus $opCol")
     requireUpcastOnly(st,
       batch.drop(opCol), "mergeInto")
-    val keys = batch.select(col(keyCol)).distinct().persist()
+    // persist the BATCH, not just its keys: an expensive upstream
+    // plan would otherwise re-evaluate for the guard aggregate, the
+    // upsert count and the staging write (review-caught). The guard
+    // aggregate folds uniqueness, the NULL-op check (a null op would
+    // pass `=!= "D"` as not-an-upsert yet still tombstone its key —
+    // a silent delete) and the upsert count into ONE pass.
+    val b = batch.persist()
     try {
-      require(keys.count() == batch.count(),
+      val g = b.agg(count(lit(1)).as("n"),
+        count_distinct(col(keyCol)).as("nk"),
+        count(when(col(opCol).isNull, 1)).as("nullOps"),
+        count(when(col(opCol) =!= "D", 1)).as("nUp")).head()
+      require(g.getLong(2) == 0,
+        s"mergeInto: ${g.getLong(2)} batch row(s) carry a NULL $opCol — " +
+          "a null op would silently act as a delete; route every row " +
+          "explicitly ('D' or an upsert op)")
+      require(g.getLong(0) == g.getLong(1),
         s"mergeInto: batch is not unique on $keyCol")
+      val nUp = g.getLong(3)
       val v = st.version + 1
+      val keys = b.select(col(keyCol)).distinct()
       val visible = minusTombs(spark, dir, st,
         withId(readData(spark, dir, st)))
       // every batch key's CURRENT row dies: deletes stay dead,
@@ -1104,18 +1126,16 @@ object MorLog {
         .select(col(RPath), col(RName), col(RRow))
       val (deleted, tombsV, pfCeil) = commitTombs(spark, dir, st,
         victims, v)
-      val upRows = batch.filter(col(opCol) =!= "D").drop(opCol)
-      val nUp = upRows.count()
       val names =
         if (nUp == 0) Seq.empty
         else stageIn(spark, dir,
-          upRows.select(st.schema.map(f =>
+          b.filter(col(opCol) =!= "D").select(st.schema.map(f =>
             col(f.name).cast(f.dataType).as(f.name)): _*), v)
       writeState(spark, dir,
         State(v, actionTag, tombsV, pfCeil, st.schema,
           st.files ++ names), st.files)
       (deleted, nUp)
-    } finally keys.unpersist()
+    } finally b.unpersist()
   }
 
   /** CDC_CHANGES between two committed versions, at key granularity:

@@ -190,6 +190,49 @@ class Round12Spec extends AnyFunSuite {
     assert(ids(mainD) == Seq(1L, 2L, 3L, 5L))
   }
 
+  test("mergeInto: a NULL op row fails loud instead of silently deleting its key") {
+    import graft.sink.MorLog
+    val work = tmp("graft-r12mrg-")
+    val dir = s"$work/t"
+    MorLog.create(spark.range(0, 10)
+      .select(col("id"), (col("id") * 2).as("v")), dir)
+    val bad = Seq((1L, 111L, null.asInstanceOf[String]),
+      (2L, 222L, "U")).toDF("id", "v", "_op")
+    val e = intercept[IllegalArgumentException] {
+      MorLog.mergeInto(spark, dir, bad, "id", "_op")
+    }
+    assert(e.getMessage.contains("NULL"))
+    // nothing committed, nothing tombstoned
+    assert(MorLog.versions(spark, dir) == Seq(0))
+    assert(MorLog.read(spark, dir).count() == 10)
+  }
+
+  test("deleteWhere on a shallow clone: file-drop accounting subtracts the dropped files' pre-existing tombstones") {
+    import graft.sink.MorLog
+    val work = tmp("graft-r12cln-")
+    val (src, dst) = (s"$work/src", s"$work/dst")
+    // two single-file versions with disjoint id ranges, so stats can
+    // prove a whole-file drop
+    MorLog.create(spark.range(0, 50)
+      .select(col("id"), (col("id") % 7).as("g")).coalesce(1), src)
+    MorLog.append(spark, src, spark.range(50, 100)
+      .select(col("id"), (col("id") % 7).as("g")).coalesce(1))
+    // one pre-existing tombstone INSIDE the file the delete will drop
+    assert(MorLog.deleteWhere(spark, src, col("id") === 75L) == 1L)
+    MorLog.shallowClone(spark, src, dst)
+    // metadata-only drop of the upper file (clone references it by
+    // ABSOLUTE path; the tombstone set keys by basename — the advice
+    // bug returned 50 here, recounting id=75)
+    val n = MorLog.deleteWhere(spark, dst, col("id") >= 50L)
+    assert(graft.sink.MorLogStats.lastFilesDropped == 1,
+      "the upper file must drop wholesale (metadata-only tier)")
+    assert(n == 49L, s"newly-deleted must exclude the pre-existing " +
+      s"tombstone, got $n")
+    assert(MorLog.read(spark, dst).count() == 50L)
+    // the source is untouched
+    assert(MorLog.read(spark, src).count() == 99L)
+  }
+
   test("q250/q254 round trip: the in-plan builders and the parsers agree on every new format branch") {
     val d = "/root/testdata/sf0.001"
     val a = queries.LlmQueries.audioMeta(spark, d)
