@@ -795,13 +795,19 @@ class Round11Spec extends AnyFunSuite {
       val id = r.getLong(0)
       if (id % 23 == 0) assert(r.isNullAt(1), s"doc $id must be corrupt")
       else {
-        assert(r.getString(1) == (if (id % 2 == 0) "mp4" else "avi"))
+        // round-12 rotation: mp4 / avi / webm|mkv
+        val fmt =
+          if (id % 3 == 0) "mp4"
+          else if (id % 3 == 1) "avi"
+          else if (id % 2 == 0) "webm" else "mkv"
+        assert(r.getString(1) == fmt, s"doc $id format")
         assert(r.getInt(2) == (id % 1280 + 16).toInt, s"doc $id width")
         assert(r.getInt(3) == (id % 720 + 16).toInt, s"doc $id height")
         val expectMs =
-          if (id % 2 == 0) (id % 500 + 1) * 100
-          else (id % 1000 + 1) *
-            Seq(16667L, 33333L, 40000L)((id % 3).toInt) / 1000
+          if (id % 3 == 0) (id % 500 + 1) * 100
+          else if (id % 3 == 1) (id % 1000 + 1) *
+            Seq(16667L, 33333L, 40000L)(((id % 7) % 3).toInt) / 1000
+          else (id % 900 + 1) * (id % 4 + 1)
         assert(r.getLong(4) == expectMs, s"doc $id duration")
       }
     }
@@ -818,16 +824,18 @@ class Round11Spec extends AnyFunSuite {
       val id = r.getLong(0)
       if (id % 29 == 0) assert(r.isNullAt(1), s"doc $id must be corrupt")
       else {
-        val fmt = Seq("wav", "flac", "mp3")((id % 3).toInt)
+        // round-12 rotation: wav / flac / CBR mp3 / VBR mp3
+        val fmt = Seq("wav", "flac", "mp3", "mp3")((id % 4).toInt)
         assert(r.getString(1) == fmt, s"doc $id format")
         val prate = Seq(8000, 16000, 44100, 48000)((id % 4).toInt)
-        val mrate = Seq(44100, 48000, 32000)(((id % 4) % 3).toInt)
+        val mrate = Seq(44100, 48000, 32000)(((id % 5) % 3).toInt)
         assert(r.getInt(2) == (if (fmt == "mp3") mrate else prate))
-        assert(r.getInt(3) == (id % 2 + 1).toInt)
+        assert(r.getInt(3) == ((id % 3) % 2 + 1).toInt)
         val kbps = Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
           224, 256, 320)((id % 14).toInt)
         val expectMs =
-          if (fmt == "mp3") (kbps * (id % 5 + 1) + 4) * 8000 / (kbps * 1000)
+          if (id % 4 == 2) (kbps * (id % 5 + 1) + 4) * 8000 / (kbps * 1000)
+          else if (id % 4 == 3) (id % 2000 + 100) * 1152 * 1000 / mrate
           else (id % 1000 + 1) * 441 * 1000 / prate
         assert(r.getLong(4) == expectMs, s"doc $id duration")
       }
