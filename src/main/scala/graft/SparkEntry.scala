@@ -563,6 +563,8 @@ object SparkEntry {
     "q266_pack_boundaries"  -> ((s, d) => LlmQueries.packBoundaries(s, d)),
     // metadata-only DROP COLUMN with a loud resurrection guard
     "q267_morlog_dropcol"   -> ((s, d) => CoreQueries.morLogDropColumn(s, d)),
+    // conditional MERGE: per-clause routing, one committed version
+    "q268_morlog_merge_when" -> ((s, d) => CoreQueries.morLogMergeWhen(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1293,6 +1295,32 @@ object SparkEntry {
            UNION ALL
            SELECT m.mx + i, 'evolved', CAST(i AS DOUBLE)
            FROM m, unnest(range(1, 51)) AS t(i))
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM u GROUP BY event_type""",
+    // conditional-merge routing as a SQL fold: every 8th event
+    // reprices up (the only matched-update clause hit), matched
+    // non-updates die only on the user_id%5 clause, click%11
+    // target-only rows purge, and only even-user candidates insert
+    "q268_morlog_merge_when" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+         u AS (
+           SELECT event_id, 'repriced' AS event_type,
+               value + 100 AS value
+             FROM events WHERE event_id % 8 = 0
+           UNION ALL
+           SELECT event_id, event_type, value FROM events
+             WHERE event_id % 4 = 0 AND event_id % 8 <> 0
+               AND user_id % 5 <> 0
+           UNION ALL
+           SELECT event_id, event_type, value FROM events
+             WHERE event_id % 4 <> 0
+               AND NOT (event_type = 'click' AND event_id % 11 = 0)
+           UNION ALL
+           SELECT m.mx + i, 'merged', CAST(i AS DOUBLE)
+             FROM m, unnest(range(1, 41)) AS t(i) WHERE i % 2 = 0)
          SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
              AS total_value,

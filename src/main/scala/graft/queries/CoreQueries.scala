@@ -3499,6 +3499,57 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** CONDITIONAL MERGE INTO (q268): the full Delta clause set over
+    * one mixed batch ([[graft.sink.MorLog.mergeIntoWhen]]) — the
+    * source reprices every 4th event (up for every 8th, DOWN
+    * otherwise) and appends 40 candidate new rows; the clauses route
+    * each key BY CONDITION, differently than the op-column form ever
+    * could: WHEN MATCHED AND s.value > t.value THEN UPDATE (only the
+    * repriced-up half), WHEN MATCHED AND t.user_id % 5 = 0 THEN
+    * DELETE, no clause firing → the target row survives UNTOUCHED;
+    * WHEN NOT MATCHED AND s.user_id % 2 = 0 THEN INSERT (half the
+    * candidates); WHEN NOT MATCHED BY SOURCE AND t.event_type =
+    * 'click' AND t.event_id % 11 = 0 THEN DELETE. One committed
+    * version; counts asserted non-vacuous per clause. Oracle: the
+    * same routing as a SQL full-outer fold. */
+  def morLogMergeWhen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val work = graft.TempDirs.create("graft-mrgw-")
+    val dir = s"$work/t"
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    graft.sink.MorLog.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"), dir)
+    val maxId = ev.agg(max("event_id")).as[Long].head()
+    val repriced = ev.filter(col("event_id") % 4 === 0)
+      .withColumn("value",
+        when(col("event_id") % 8 === 0, col("value") + 100.0)
+          .otherwise(col("value") - 100.0))
+      .withColumn("event_type", lit("repriced"))
+    val candidates = s.range(1, 41).select(
+      (lit(maxId) + col("id")).as("event_id"),
+      col("id").as("user_id"), lit("merged").as("event_type"),
+      col("id").cast("double").as("value"))
+    val (upd, del, ins) = graft.sink.MorLog.mergeIntoWhen(s, dir,
+      repriced.unionByName(candidates), "event_id",
+      matched = Seq(
+        "s.value > t.value" -> "update",
+        "t.user_id % 5 = 0" -> "delete"),
+      notMatchedInsert = Some("s.user_id % 2 = 0"),
+      notMatchedBySourceDelete =
+        Some("t.event_type = 'click' AND t.event_id % 11 = 0"))
+    require(upd > 0 && del > 0 && ins > 0,
+      s"q268: vacuous clause routing (upd=$upd del=$del ins=$ins)")
+    require(ins == 20, s"q268: the insert gate must admit exactly " +
+      s"half the 40 candidates, got $ins")
+    graft.sink.MorLog.read(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** METADATA-ONLY DROP COLUMN (q267): add a column with an evolving
     * append, then DROP it — one metadata commit, zero data IO; reads
     * project through the narrowed schema while old files physically
@@ -3545,8 +3596,13 @@ object CoreQueries {
     * divergence) — then DIVERGES with a keyed upsert repricing every
     * 7th event; the source must answer exactly as before the clone
     * (asserted in-query against the pre-clone snapshot) while the
-    * clone answers the repriced oracle. At 100 TB this is how an
-    * experiment forks a petabyte table in one metadata commit. */
+    * clone answers the repriced oracle. The SOURCE is past the
+    * broadcast guard at clone time (asserted — round-12: a heavy-
+    * delete-history table is exactly the one worth zero-copy
+    * forking), so the ceiling's sidecar set copies into the clone's
+    * own store instead of a forced compaction rewrite. At 100 TB
+    * this is how an experiment forks a petabyte table in one
+    * metadata commit. */
   def morLogClone(s: SparkSession, d: String): DataFrame = {
     val work = graft.TempDirs.create("graft-clone-")
     val (src, dst) = (s"$work/src", s"$work/dst")
@@ -3555,7 +3611,11 @@ object CoreQueries {
     graft.sink.MorLog.create(
       ev.repartitionByRange(8, col("event_id"))
         .sortWithinPartitions("event_id"), src)
-    graft.sink.MorLog.deleteWhere(s, src, col("event_id") % 10 === 6)
+    // the delete crosses the broadcast guard: tombstones land in the
+    // per-file sidecar tier before the clone
+    s.conf.set(graft.sink.DeletionVectors.GuardConfKey, "2")
+    try graft.sink.MorLog.deleteWhere(s, src, col("event_id") % 10 === 6)
+    finally s.conf.unset(graft.sink.DeletionVectors.GuardConfKey)
     def agg(df: org.apache.spark.sql.DataFrame) = df
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -3563,6 +3623,10 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
     val srcBefore = agg(graft.sink.MorLog.read(s, src))
       .collect().map(_.toString).sorted.toSeq
+    // non-vacuity: the source IS in the per-file tier
+    require(graft.sink.MorLog
+      .state(s, src, graft.sink.MorLog.currentVersion(s, src))
+      .pfCeil >= 0, "q262: the source must be past the guard")
     graft.sink.MorLog.shallowClone(s, src, dst)
     val fs = new org.apache.hadoop.fs.Path(dst)
       .getFileSystem(s.sparkContext.hadoopConfiguration)

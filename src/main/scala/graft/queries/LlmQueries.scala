@@ -1018,13 +1018,20 @@ object LlmQueries {
     * per query off the 8-byte codes, then only the shortlist joins
     * back to the raw floats for an exact dot-product re-rank to
     * top-3 — the pattern every production vector-serving stack runs
-    * (quantized scan wide, full precision narrow). Oracle replicates
-    * both stages in SQL. */
+    * (quantized scan wide, full precision narrow). Round 12 routes it
+    * through the PERSISTED index ([[graft.ann.PqIndex.rerank]]): the
+    * exact stage fetches the shortlist through the id-clustered
+    * vectors tier's per-file bounds — O(shortlist files) of float IO,
+    * never a full-corpus scan (the round-11 `weak`). Oracle
+    * (unchanged) replicates both stages in SQL. */
   def pqRerank(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-pqr-")
     val e = Tables.embeddings(s, d)
-    val means = graft.ann.Pq.fitMeans(e, "embedding")
-    graft.ann.Pq.adcRerankTopK(e, e.filter(col("vec_id") < 5),
-      "embedding", "vec_id", means, m = 8, k = 3, c = 12)
+    graft.ann.PqIndex.write(e, "embedding", "vec_id", s"$work/idx",
+      m = 8)
+    graft.ann.PqIndex.rerank(s, s"$work/idx",
+      e.filter(col("vec_id") < 5), "embedding", "vec_id",
+      m = 8, k = 3, c = 12)
   }
 
   /** IVF-PQ (q221): q220's ADC scan routed through the coarse IVF

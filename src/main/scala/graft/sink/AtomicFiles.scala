@@ -29,6 +29,46 @@ private[graft] object AtomicFiles {
     fc.rename(tmp, dst, Options.Rename.OVERWRITE)
   }
 
+  /** PUT-IF-ABSENT: atomically publish `bytes` at `dst` iff no file
+    * exists there — the commit primitive optimistic concurrency needs
+    * (Delta's LogStore contract: a version's commit file is written
+    * exactly once; the loser of a race must see failure, never an
+    * overwrite). Returns false when `dst` already exists. On local
+    * filesystems the publish is a hard link from the hidden temp
+    * (`link(2)` fails atomically on an existing destination); on
+    * HDFS-like stores it is a no-overwrite rename, which the namenode
+    * serializes. Object stores without atomic create-if-absent need a
+    * coordination service — same boundary Delta documents for S3. */
+  def createExclusive(conf: Configuration, dst: Path,
+                      bytes: Array[Byte]): Boolean = {
+    val fs = dst.getFileSystem(conf)
+    if (fs.exists(dst)) return false // cheap early exit, not the guard
+    val tmp = new Path(dst.getParent,
+      s".${dst.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val scheme = Option(dst.toUri.getScheme).getOrElse("file")
+    val ok =
+      if (scheme == "file") {
+        val src = java.nio.file.Paths.get(tmp.toUri.getPath)
+        val to = java.nio.file.Paths.get(dst.toUri.getPath)
+        try { java.nio.file.Files.createLink(to, src); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else
+        try {
+          val fc = FileContext.getFileContext(dst.toUri, conf)
+          fc.rename(tmp, dst, Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.FileNotFoundException => false
+        }
+    fs.delete(tmp, false)
+    ok
+  }
+
   /** The file's full contents, decoded as UTF-8. */
   def readString(conf: Configuration, p: Path): String = {
     val fs = p.getFileSystem(conf)

@@ -542,6 +542,47 @@ private[graft] object DvPerFile {
     else fs.delete(new Path(d, PtrName), false)
   }
 
+  /** COPY one committed ceiling's ENTIRE sidecar set (and a marker at
+    * the same gen numbers) into another table's `_dvpf` — the
+    * metadata move that lets a shallow clone of a per-file-tier table
+    * own its deletes: the clone must never depend on the source's
+    * sidecar store (the source's vacuum could GC it), and sidecars
+    * are O(tombstoned files) small files, not data. Gen numbers are
+    * preserved so the cloned meta's ceiling resolves identically;
+    * later writes on the clone merge ABOVE them in the clone's own
+    * store. Sidecars are re-written through read/write (validates
+    * magic) — recorded full paths stay the source spelling, which is
+    * exactly what the clone's scans see (it references the source's
+    * data files by absolute path) and the basename keying every
+    * consumer uses. Returns the number of sidecars copied. */
+  def copyCeiling(spark: SparkSession, srcDir: String, dstDir: String,
+                  ceiling: Int): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val map = resolve(hconf, srcDir, ceiling)
+    fsOf(hconf, pfDir(dstDir)).mkdirs(new Path(pfDir(dstDir)))
+    val entries = map.toSeq
+    if (entries.size <= 16) {
+      entries.foreach { case (name, g) =>
+        val (fullPath, idxs) =
+          readSidecar(hconf, sidecarPath(srcDir, name, g))
+        writeSidecar(hconf, dstDir, name, g, fullPath, idxs)
+      }
+    } else {
+      val conf = new SerConf(hconf)
+      val (s, d) = (srcDir, dstDir)
+      spark.sparkContext
+        .parallelize(entries, math.max(1, math.min(entries.size, 64)))
+        .foreach { case (name, g) =>
+          val (fullPath, idxs) =
+            readSidecar(conf.value, sidecarPath(s, name, g))
+          writeSidecar(conf.value, d, name, g, fullPath, idxs)
+        }
+    }
+    writeMarker(hconf, dstDir, ceiling,
+      totalAt(spark, srcDir, ceiling), map)
+    entries.size
+  }
+
   /** Drop sidecars of data files in `names` — compaction/vacuum
     * retirement. Pair with [[commitAfterRetire]] (passing the same
     * names) to advance the marker. */

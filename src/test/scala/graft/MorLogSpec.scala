@@ -356,21 +356,31 @@ class MorLogSpec extends AnyFunSuite {
     val dir = s"${tmp("graft-mlb-")}/t"
     MorLog.create(spark.range(10).toDF("id"), dir)
     MorLog.append(spark, dir, spark.range(10, 20).toDF("id"))
-    // fake a crashed v5 attempt: a stage dir and an already-renamed
-    // data file, no meta
-    Files.createDirectories(java.nio.file.Paths.get(s"$dir/_log/_stage_v5"))
-    Files.write(java.nio.file.Paths.get(s"$dir/_log/_stage_v5/x.parquet"),
+    // fake a crashed tip+1 attempt: a stage dir and an already-renamed
+    // data file, no meta. (Attempts are always tip+1 under OCC; an
+    // above-tip data file could be a CONCURRENT writer's in-flight
+    // staging, so the sweep spares it until the tip passes it.)
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/_log/_stage_v2_dead"))
+    Files.write(
+      java.nio.file.Paths.get(s"$dir/_log/_stage_v2_dead/x.parquet"),
       Array[Byte](1))
+    val v1File = new java.io.File(dir).list()
+      .filter(_.startsWith("part-v1-")).head
     Files.copy(
-      java.nio.file.Paths.get(s"$dir/part-v1-0.parquet"),
-      java.nio.file.Paths.get(s"$dir/part-v5-0.parquet"))
+      java.nio.file.Paths.get(s"$dir/$v1File"),
+      java.nio.file.Paths.get(s"$dir/part-v2-dead-0.parquet"))
     MorLog.vacuum(spark, dir, keepVersions = 10) // drops nothing live
-    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/_log/_stage_v5")),
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/_log/_stage_v2_dead")),
       "crashed stage dir must be swept")
-    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/part-v5-0.parquet")),
-      "an uncommitted version's data file must be swept")
-    assert(MorLog.versions(spark, dir) == Seq(0, 1))
-    assert(ids(MorLog.read(spark, dir)) == (0L until 20L).toSet)
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/part-v2-dead-0.parquet")),
+      "an above-tip data file is possibly in-flight — spared for now")
+    // the tip passes the crashed version: now it is provably debris
+    MorLog.append(spark, dir, spark.range(20, 25).toDF("id"))
+    MorLog.vacuum(spark, dir, keepVersions = 10)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/part-v2-dead-0.parquet")),
+      "a left-behind data file at or below the tip must be swept")
+    assert(MorLog.versions(spark, dir) == Seq(0, 1, 2))
+    assert(ids(MorLog.read(spark, dir)) == (0L until 25L).toSet)
   }
 
   test("property: random op histories match an in-memory model at EVERY version") {

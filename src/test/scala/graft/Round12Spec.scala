@@ -233,6 +233,240 @@ class Round12Spec extends AnyFunSuite {
     assert(MorLog.read(spark, src).count() == 99L)
   }
 
+  test("commit meta is put-if-absent: the second writer of a version sees failure, never an overwrite") {
+    val d = tmp("graft-r12cx-")
+    val p = new org.apache.hadoop.fs.Path(s"$d/x.meta")
+    val c = spark.sparkContext.hadoopConfiguration
+    assert(graft.sink.AtomicFiles.createExclusive(c, p, "a".getBytes))
+    assert(!graft.sink.AtomicFiles.createExclusive(c, p, "b".getBytes),
+      "the losing create must report the conflict")
+    assert(graft.sink.AtomicFiles.readString(c, p) == "a",
+      "the loser must not have clobbered the winner's bytes")
+  }
+
+  test("OCC: a drain upsert and a clusterSmall racing on the same version BOTH land (the loser retries)") {
+    import graft.sink.{MorLog, MorLogStats}
+    val work = tmp("graft-r12occ-")
+    val dir = s"$work/t"
+    MorLog.create(spark.range(0, 400)
+      .select(col("id"), (col("id") % 7).as("g")).repartition(4), dir)
+    // park the FIRST writer to reach its commit point (after it read
+    // base state v0 and staged) until the rival has committed — the
+    // deterministic form of the race. On the pre-OCC overwrite-rename
+    // commit this scenario silently LOST one of the two commits.
+    val parked = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val first = new java.util.concurrent.atomic.AtomicBoolean(false)
+    MorLog.commitPauseHook = (d, _) =>
+      if (d == dir && first.compareAndSet(false, true)) {
+        parked.set(true)
+        release.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      }
+    try {
+      @volatile var err: Throwable = null
+      val a = new Thread(() => {
+        try MorLog.upsert(spark, dir,
+          spark.range(0, 10).select(col("id"), lit(999L).as("g")), "id")
+        catch { case t: Throwable => err = t }
+      })
+      a.start()
+      val t0 = System.nanoTime()
+      while (!parked.get && System.nanoTime() - t0 < 60e9.toLong)
+        Thread.sleep(10)
+      assert(parked.get, "writer A never reached the commit point")
+      // writer B: the maintenance job commits version 1 under A
+      assert(MorLog.clusterSmall(spark, dir, Seq("id", "g")) == 4)
+      release.countDown()
+      a.join(120000)
+      assert(err == null, s"the upsert writer failed: $err")
+      // BOTH landed: the cluster at v1, the retried upsert at v2
+      assert(MorLog.versions(spark, dir) == Seq(0, 1, 2))
+      assert(MorLog.state(spark, dir, 1).action == "cluster")
+      assert(MorLog.state(spark, dir, 2).action == "upsert")
+      assert(MorLogStats.lastCommitRetries >= 1,
+        "the loser must have gone through a conflict retry")
+      val got = MorLog.read(spark, dir).select("id", "g")
+        .as[(Long, Long)].collect().toMap
+      assert(got.size == 400)
+      assert((0L until 10L).forall(got(_) == 999L),
+        "the upsert's rows must be visible")
+      assert(got(100L) == 100L % 7, "clustered rows drifted")
+    } finally {
+      MorLog.commitPauseHook = (_, _) => ()
+      release.countDown()
+    }
+  }
+
+  test("OCC: a tombstone-writing delete losing to an append recomputes cleanly, no torn side state") {
+    import graft.sink.MorLog
+    val work = tmp("graft-r12occ2-")
+    val dir = s"$work/t"
+    MorLog.create(spark.range(0, 100)
+      .select(col("id"), (col("id") % 7).as("g")), dir)
+    val parked = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val first = new java.util.concurrent.atomic.AtomicBoolean(false)
+    MorLog.commitPauseHook = (d, _) =>
+      if (d == dir && first.compareAndSet(false, true)) {
+        parked.set(true)
+        release.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      }
+    try {
+      @volatile var deleted = -1L
+      @volatile var err: Throwable = null
+      val a = new Thread(() => {
+        try deleted = MorLog.deleteWhere(spark, dir, col("id") < 5)
+        catch { case t: Throwable => err = t }
+      })
+      a.start()
+      val t0 = System.nanoTime()
+      while (!parked.get && System.nanoTime() - t0 < 60e9.toLong)
+        Thread.sleep(10)
+      assert(parked.get)
+      MorLog.append(spark, dir, spark.range(100, 110)
+        .select(col("id"), (col("id") % 7).as("g")))
+      release.countDown()
+      a.join(120000)
+      assert(err == null, s"the delete writer failed: $err")
+      assert(deleted == 5L)
+      assert(MorLog.versions(spark, dir) == Seq(0, 1, 2))
+      assert(MorLog.state(spark, dir, 1).action == "append")
+      assert(MorLog.state(spark, dir, 2).action == "delete")
+      // the delete recomputed against the appended state: appended
+      // rows survive, victims are gone
+      val ids = MorLog.read(spark, dir).select("id").as[Long]
+        .collect().toSet
+      assert(ids == (5L until 110L).toSet)
+    } finally {
+      MorLog.commitPauseHook = (_, _) => ()
+      release.countDown()
+    }
+  }
+
+  test("shallowClone across the per-file DV tier: the clone owns its sidecars, vacuums never cross, clone-of-clone works") {
+    import graft.sink.{DvPerFile, MorLog}
+    val work = tmp("graft-r12pfc-")
+    val (src, dst, dst2) = (s"$work/src", s"$work/dst", s"$work/dst2")
+    MorLog.create(spark.range(0, 300)
+      .select(col("id"), (col("id") % 7).as("g"))
+      .repartitionByRange(3, col("id")).sortWithinPartitions("id"), src)
+    // push the source past the broadcast guard: tombstones live in
+    // per-file sidecars at clone time (pre-round-12 this clone was
+    // REFUSED and forced a full compaction rewrite)
+    spark.conf.set(graft.sink.DeletionVectors.GuardConfKey, "2")
+    try assert(MorLog.deleteWhere(spark, src, col("id") % 10 === 6) == 30)
+    finally spark.conf.unset(graft.sink.DeletionVectors.GuardConfKey)
+    val srcCeil = MorLog.state(spark, src,
+      MorLog.currentVersion(spark, src)).pfCeil
+    assert(srcCeil >= 0, "source must be in the per-file tier")
+    MorLog.shallowClone(spark, src, dst)
+    // the clone resolves deletes from ITS OWN sidecar store
+    assert(DvPerFile.committedGen(spark, dst).contains(srcCeil))
+    def ids(dir: String) = MorLog.read(spark, dir)
+      .select("id").as[Long].collect().toSet
+    val expect = (0L until 300L).filterNot(_ % 10 == 6).toSet
+    assert(ids(dst) == expect && ids(src) == expect)
+    // diverge the clone (a pf-tier merge ABOVE the copied ceiling)...
+    assert(MorLog.deleteWhere(spark, dst, col("id") === 3L) == 1)
+    assert(ids(dst) == expect - 3L && ids(src) == expect)
+    // ...and vacuum BOTH sides: neither touches the other's store
+    MorLog.vacuum(spark, dst, keepVersions = 1)
+    MorLog.vacuum(spark, src, keepVersions = 10) // drops nothing live
+    assert(ids(src) == expect, "src sidecars survived the clone's vacuum")
+    assert(ids(dst) == expect - 3L, "clone survived the src vacuum")
+    // clone-of-clone: the grand-clone reads through the middle
+    // clone's ceiling (absolute references into BOTH ancestors)
+    MorLog.shallowClone(spark, dst, dst2)
+    assert(ids(dst2) == expect - 3L)
+    // and diverges independently
+    MorLog.upsert(spark, dst2, Seq((1L, 999L)).toDF("id", "g"), "id")
+    assert(MorLog.read(spark, dst2).filter(col("id") === 1L)
+      .select("g").as[Long].head() == 999L)
+    assert(ids(dst) == expect - 3L, "grand-clone leaked into its parent")
+  }
+
+  test("PqIndex.rerank: the exact stage reads O(shortlist) files through id-bound pruning, and matches the in-plan form") {
+    import graft.ann.{Pq, PqIndex, PqIndexStats}
+    val work = tmp("graft-r12pqr-")
+    // 4096 vectors, 64 id-range files: a 5-query × 12 shortlist can
+    // touch at most 60 files — the exact stage must NOT read all 64
+    val corpus = spark.range(0, 4096).select(
+      col("id").as("vec_id"),
+      array((0 until 8).map(j =>
+        ((col("id") * (j + 3) + j) % 97).cast("float")): _*)
+        .as("embedding"))
+    val queries = corpus.filter(col("vec_id") < 5)
+    PqIndex.write(corpus, "embedding", "vec_id", s"$work/idx", m = 8,
+      nVecFiles = 64)
+    val got = PqIndex.rerank(spark, s"$work/idx", queries,
+      "embedding", "vec_id", m = 8, k = 3, c = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(PqIndexStats.lastRerankFilesScanned > 0 &&
+      PqIndexStats.lastRerankFilesScanned <= 60,
+      s"exact stage scanned ${PqIndexStats.lastRerankFilesScanned} " +
+        "files — must be bounded by the shortlist, not the corpus")
+    assert(PqIndexStats.lastRerankFilesSkipped >=
+      64 - 60, s"only ${PqIndexStats.lastRerankFilesSkipped} files " +
+      "skipped — the id-clustered bounds pruned nothing")
+    assert(PqIndexStats.lastRerankFilesScanned +
+      PqIndexStats.lastRerankFilesSkipped == 64)
+    // identical ranking to the in-plan two-stage form
+    val means = Pq.fitMeans(corpus, "embedding")
+    val want = Pq.adcRerankTopK(corpus, queries, "embedding",
+      "vec_id", means, m = 8, k = 3, c = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want, "persisted rerank diverged from the in-plan form")
+  }
+
+  test("mergeIntoWhen: first true clause wins, no clause keeps the row, gates route inserts and by-source deletes, ambiguity fails loud") {
+    import graft.sink.MorLog
+    val work = tmp("graft-r12mw-")
+    val dir = s"$work/t"
+    MorLog.create(spark.range(0, 10)
+      .select(col("id"), (col("id") * 10).as("v")), dir)
+    // source: keys 0..4 (matched) + 20, 21 (new). s.v beats t.v only
+    // for even keys.
+    val src = Seq((0L, 5L), (1L, 100L), (2L, 15L), (3L, 100L),
+      (4L, 35L), (20L, 1L), (21L, 1L)).toDF("id", "v")
+    val (upd, del, ins) = MorLog.mergeIntoWhen(spark, dir, src, "id",
+      matched = Seq(
+        "s.v > t.v" -> "update",  // keys 0, 1, 3 (5>0, 100>10/30)
+        "t.id % 2 = 0" -> "delete"), // of the rest: 2, 4
+      notMatchedInsert = Some("s.id % 2 = 0"),  // 20 yes, 21 no
+      notMatchedBySourceDelete = Some("t.id = 9"))
+    assert((upd, del, ins) == (3L, 3L, 1L),
+      s"clause routing drifted: ($upd, $del, $ins)")
+    assert(MorLog.versions(spark, dir) == Seq(0, 1),
+      "the whole merge must be ONE committed version")
+    val got = MorLog.read(spark, dir).as[(Long, Long)].collect().toMap
+    // updates took the source image; matched keys with no firing
+    // clause would SURVIVE UNTOUCHED (the op-column form can't do
+    // this — here 5 and 7 are unmatched survivors, and 0/1/3 prove
+    // the first clause shadows the second)
+    assert(got(0L) == 5L && got(1L) == 100L && got(3L) == 100L)
+    assert(!got.contains(2L) && !got.contains(4L))
+    assert(got(5L) == 50L && got(7L) == 70L, "untouched rows drifted")
+    assert(got(20L) == 1L && !got.contains(21L), "insert gate drifted")
+    assert(!got.contains(9L), "by-source delete missed")
+    assert(got.size == 10 - 2 - 1 + 1)
+    // ambiguous merge: duplicate source keys fail loud, no commit
+    val e = intercept[IllegalArgumentException] {
+      MorLog.mergeIntoWhen(spark, dir,
+        Seq((1L, 1L), (1L, 2L)).toDF("id", "v"), "id",
+        matched = Seq("true" -> "update"))
+    }
+    assert(e.getMessage.contains("unique"))
+    assert(MorLog.versions(spark, dir) == Seq(0, 1))
+    // CDF still nets the conditional merge exactly
+    val cdf = MorLog.incrementalChanges(spark, dir, 0, 1, Seq("id"))
+      .select(col("id"), col("change")).as[(Long, String)]
+      .collect().toMap
+    assert(cdf == Map(2L -> "delete", 4L -> "delete", 9L -> "delete",
+      0L -> "update", 1L -> "update", 3L -> "update", 20L -> "insert"))
+  }
+
   test("q250/q254 round trip: the in-plan builders and the parsers agree on every new format branch") {
     val d = "/root/testdata/sf0.001"
     val a = queries.LlmQueries.audioMeta(spark, d)
