@@ -387,19 +387,31 @@ object MorLog {
     val key = s"$dir#$v"
     val hit = stateCache.get(key)
     if (hit != null) return hit
-    // walk back to the nearest checkpoint, then fold deltas forward
+    // walk back to the nearest checkpoint OR already-cached state,
+    // then fold deltas forward. Stopping at a cached intermediate is
+    // what makes a sequential span walk (CDF over (fromV, toV]) O(1)
+    // meta reads per version instead of O(CheckpointEvery) — the
+    // round-11 delta/checkpoint split re-read up to 10 metas per
+    // state() and q241 paid 1.33× for it (round-12 A/B).
     var metas = List.empty[(Int, (String, String, String, String, Seq[String]))]
     var cur = v
+    var base: State = null
     var found = false
     while (!found) {
-      require(fsOf(spark, dir).exists(metaPath(dir, cur)),
-        s"version $v: reconstruction needs version $cur's meta, which " +
-          "was vacuumed — travel past the retention window")
-      val m = rawMeta(spark, dir, cur)
-      metas ::= (cur, m)
-      if (m._4 == "full") found = true else cur -= 1
+      if (cur != v) {
+        val cached = stateCache.get(s"$dir#$cur")
+        if (cached != null) { base = cached; found = true }
+      }
+      if (!found) {
+        require(fsOf(spark, dir).exists(metaPath(dir, cur)),
+          s"version $v: reconstruction needs version $cur's meta, which " +
+            "was vacuumed — travel past the retention window")
+        val m = rawMeta(spark, dir, cur)
+        metas ::= (cur, m)
+        if (m._4 == "full") found = true else cur -= 1
+      }
     }
-    var files = Seq.empty[String]
+    var files = if (base != null) base.files else Seq.empty[String]
     metas.foreach { case (_, (_, _, _, kind, lines)) =>
       files =
         if (kind == "full") lines
