@@ -565,6 +565,10 @@ object SparkEntry {
     "q267_morlog_dropcol"   -> ((s, d) => CoreQueries.morLogDropColumn(s, d)),
     // conditional MERGE: per-clause routing, one committed version
     "q268_morlog_merge_when" -> ((s, d) => CoreQueries.morLogMergeWhen(s, d)),
+    // metadata-only RENAME COLUMN via the column mapping
+    "q269_morlog_rename"    -> ((s, d) => CoreQueries.morLogRename(s, d)),
+    // the DSv2 SQL surface: versionAsOf + pushdown-pruned scans
+    "q270_morlog_dsv2"      -> ((s, d) => CoreQueries.morLogSqlRead(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1326,6 +1330,36 @@ object SparkEntry {
              AS total_value,
            CAST(sum(event_id) AS BIGINT) AS sum_event_id
          FROM u GROUP BY event_type""",
+    // renames are value-invisible: the oracle is the q262-style fold
+    // (delete every 10th%6, reprice every 7th of the survivors) with
+    // the outputs under the RENAMED aliases
+    "q269_morlog_rename" ->
+      """WITH base AS (SELECT event_id, event_type, value FROM events
+           WHERE event_id % 10 <> 6),
+         u AS (SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN value + 1000 ELSE value END
+               AS value
+           FROM base)
+         SELECT event_type AS etype, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_amount,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM u GROUP BY event_type""",
+    // the connector is value-invisible: the q269-style fold, filtered
+    // at the pushed cut (max*2//5) — skipping asserted in-query
+    "q270_morlog_dsv2" ->
+      """WITH m AS (SELECT max(event_id) * 2 // 5 AS cut FROM events),
+         base AS (SELECT event_id, event_type, value FROM events
+           WHERE event_id % 10 <> 6),
+         u AS (SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN value + 1000 ELSE value END
+               AS value
+           FROM base)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_amount,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM u, m WHERE event_id >= m.cut GROUP BY event_type""",
     // the in-bin offset of a doc is its global token start mod the
     // budget; boundaries ride as a CSV in doc order
     "q266_pack_boundaries" ->

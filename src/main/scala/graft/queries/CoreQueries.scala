@@ -3499,6 +3499,97 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** METADATA-ONLY RENAME COLUMN (q269): rename `value`→`amount` and
+    * `event_type`→`etype` as two pure metadata commits
+    * ([[graft.sink.MorLog.renameColumn]] — the column-mapping design:
+    * the physical name in every already-written file never moves;
+    * asserted in-query: the file list is byte-identical across both
+    * renames, and time travel still shows `value` at the pre-rename
+    * version) — then keep WRITING under the new names (a keyed upsert
+    * repricing every 7th event) so pre- and post-rename files mix in
+    * one scan, and prove log-level stats skipping survives the
+    * mapping. At 100 TB a rename is the everyday schema chore that
+    * must never rewrite data. Oracle: the same fold with renamed
+    * output aliases. */
+  def morLogRename(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-ren-")
+    val dir = s"$work/t"
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    graft.sink.MorLog.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"), dir)
+    graft.sink.MorLog.deleteWhere(s, dir, col("event_id") % 10 === 6)
+    val preFiles = graft.sink.MorLog
+      .state(s, dir, graft.sink.MorLog.currentVersion(s, dir)).files
+    graft.sink.MorLog.renameColumn(s, dir, "value", "amount")
+    graft.sink.MorLog.renameColumn(s, dir, "event_type", "etype")
+    val postV = graft.sink.MorLog.currentVersion(s, dir)
+    require(graft.sink.MorLog.state(s, dir, postV).files == preFiles,
+      "q269: a rename touched the file list — not metadata-only")
+    require(graft.sink.MorLog.readVersion(s, dir, postV - 2)
+      .columns.contains("value"),
+      "q269: time travel must show the pre-rename name")
+    // keep writing under the NEW names: pre- and post-rename files
+    // now mix in every scan
+    val batch = graft.sink.MorLog.read(s, dir)
+      .filter(col("event_id") % 7 === 0)
+      .withColumn("amount", col("amount") + 1000.0)
+    graft.sink.MorLog.upsert(s, dir, batch, "event_id")
+    // the renamed column still prunes via the log's per-file stats
+    val lo = graft.sink.MorLog.read(s, dir)
+      .agg(min("event_id")).head().getLong(0)
+    graft.sink.MorLog.readWhere(s, dir, col("event_id") === lo).count()
+    require(graft.sink.MorLogStats.lastFilesSkipped > 0,
+      "q269: stats skipping must survive the rename")
+    graft.sink.MorLog.read(s, dir)
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("amount")).as("total_amount"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
+  /** DSv2 READ of the log tier (q270): the same MoR table lifecycle
+    * as q269 (delete → rename value→amount → repricing upsert), read
+    * back through `spark.read.format("graft.sources.MorLogSource")` —
+    * the SQL-user surface for time travel, the column mapping and
+    * log-level skipping. Asserted in-query: the range predicate is
+    * CLAIMED by the connector (PushedFilters in the plan) and pruned
+    * files before any task launched (the source's skip counter).
+    * Oracle: the fold filtered at the same cut. */
+  def morLogSqlRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val work = graft.TempDirs.create("graft-dsv2-")
+    val dir = s"$work/t"
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    graft.sink.MorLog.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"), dir)
+    graft.sink.MorLog.deleteWhere(s, dir, col("event_id") % 10 === 6)
+    graft.sink.MorLog.renameColumn(s, dir, "value", "amount")
+    val batch = graft.sink.MorLog.read(s, dir)
+      .filter(col("event_id") % 7 === 0)
+      .withColumn("amount", col("amount") + 1000.0)
+    graft.sink.MorLog.upsert(s, dir, batch, "event_id")
+    val cut = ev.agg(max("event_id")).as[Long].head() * 2 / 5
+    val df = s.read.format("graft.sources.MorLogSource")
+      .option("path", dir).load()
+      .filter(col("event_id") >= cut)
+    require(df.queryExecution.executedPlan.toString
+      .contains(s"PushedFilters: [GreaterThanOrEqual(event_id,$cut)"),
+      "q270: the range predicate was not claimed by the connector")
+    val out = df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("amount")).as("total_amount"),
+        sum(col("event_id")).as("sum_event_id"))
+    val collected = out.collect() // force the scan, then check pruning
+    require(graft.sources.MorLogSourceStats.lastFilesSkipped > 0,
+      "q270: the pushed filter pruned nothing — log-level skipping " +
+        "must reach the SQL surface")
+    s.createDataFrame(java.util.Arrays.asList(collected: _*), out.schema)
+  }
+
   /** CONDITIONAL MERGE INTO (q268): the full Delta clause set over
     * one mixed batch ([[graft.sink.MorLog.mergeIntoWhen]]) — the
     * source reprices every 4th event (up for every 8th, DOWN

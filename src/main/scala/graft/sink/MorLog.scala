@@ -470,7 +470,8 @@ object MorLog {
     require(versions(spark, dir).isEmpty, s"$dir already carries a log")
     val files = stageIn(spark, dir, df, 0)
     try writeState(spark, dir,
-      State(0, "create", -1, -1, df.schema, files), Seq.empty)
+      State(0, "create", -1, -1, stampCreate(df.schema), files),
+      Seq.empty)
     catch {
       case _: CommitConflictException =>
         discardStaged(spark, dir, files)
@@ -507,8 +508,7 @@ object MorLog {
       requireUpcastOnly(st, batch, "append")
       val v = st.version + 1
       val names = stageIn(spark, dir,
-        batch.select(st.schema.map(f =>
-          col(f.name).cast(f.dataType).as(f.name)): _*), v)
+        batch.select(stagedCast(st): _*), v)
       commitPauseHook(dir, v)
       try writeState(spark, dir,
         State(v, "append", st.tombsV, st.pfCeil, st.schema,
@@ -558,6 +558,41 @@ object MorLog {
         narrowed, st.files), st.files)
   }
 
+  /** METADATA-ONLY RENAME COLUMN (Delta's column-mapping rename, the
+    * round-11 verdict's #5): commit a version whose schema carries
+    * the new LOGICAL name while the field's id and PHYSICAL name
+    * (what every data file stores — see [[PhysKey]]) stay fixed —
+    * zero data IO, old files read under the new name through the
+    * mapping, and time travel shows each version's own name. Renaming
+    * TO a previously-dropped name is safe by construction: the
+    * dropped column's physical name is referenced by no current
+    * field, so its stale values can never resurface — this is the
+    * supported route to reclaiming a dropped name (the name-based
+    * re-add itself stays refused, see [[evolveAppend]]'s guard).
+    * ID-less legacy fields (pre-round-12 logs) refuse loudly: their
+    * physical name IS the logical name, so only a rewrite can rename
+    * them. */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+                   to: String): Unit = withOcc(spark, dir) {
+    val st = currentState(spark, dir)
+    val f = st.schema.fields.find(_.name == from).getOrElse(
+      throw new IllegalArgumentException(
+        s"renameColumn: $from is not in the schema"))
+    require(!st.schema.fieldNames.contains(to),
+      s"renameColumn: $to already exists")
+    require(f.metadata.contains(PhysKey),
+      s"renameColumn: $from has no column id (a pre-column-mapping " +
+        "log) — its physical name is its logical name, so a " +
+        "metadata-only rename would orphan every existing file; " +
+        "rewrite the table to rename it")
+    val renamed = StructType(st.schema.fields.map(x =>
+      if (x.name == from) x.copy(name = to) else x))
+    commitPauseHook(dir, st.version + 1)
+    writeState(spark, dir,
+      State(st.version + 1, s"rename:$from>$to", st.tombsV, st.pfCeil,
+        renamed, st.files), st.files)
+  }
+
   def evolveAppend(spark: SparkSession, dir: String,
                    batch: DataFrame): Unit = withOcc(spark, dir) {
     val st = currentState(spark, dir)
@@ -582,17 +617,27 @@ object MorLog {
         "by adding columns and safe widenings; other retypes go " +
         "through a rewrite")
     val widenMap = widened.map(f => f.name -> f.dataType).toMap
+    val v = st.version + 1
+    // added fields get birth ids and VERSION-SUFFIXED phys names on
+    // id-stamped tables (see [[stampAdded]] — collision-proof against
+    // anything this log ever stored, dropped or renamed-away
+    // included); ID-less legacy logs keep the identity mapping
+    val stamped = st.schema.fields.forall(_.metadata.contains(IdKey))
+    val baseId = maxFieldId(st.schema)
     val newFields = batch.schema.filter(f => !curMap.contains(f.name))
+      .zipWithIndex.map { case (f, i) =>
+        if (stamped) stampAdded(f, baseId + 1 + i, v) else f
+      }
     val union = StructType(
       (st.schema.fields.map(f =>
         widenMap.get(f.name).map(t => f.copy(dataType = t))
           .getOrElse(f)) ++ newFields).map(_.copy(nullable = true)))
     val bCols = batch.columns.toSet
-    val v = st.version + 1
     val names = stageIn(spark, dir,
       batch.select(union.map(f =>
-        if (bCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)): _*), v)
+        if (bCols.contains(f.name))
+          col(f.name).cast(f.dataType).as(physOf(f))
+        else lit(null).cast(f.dataType).as(physOf(f))): _*), v)
     commitPauseHook(dir, v)
     try writeState(spark, dir,
       State(v, "evolve", st.tombsV, st.pfCeil, union,
@@ -608,13 +653,101 @@ object MorLog {
       element_at(split(col("_metadata.file_path"), "/"), -1).as(RName),
       col("_metadata.row_index").as(RRow))
 
+  // ---- column mapping (rename via stable physical names) ------------
+
+  /** Field-metadata keys carrying the column mapping: a stable id
+    * assigned at birth and the PHYSICAL name data files store the
+    * column under. RENAME changes only the logical name — the phys
+    * name (hence every already-written file) never moves, which is
+    * Delta's column-mapping design and what makes the rename one
+    * metadata commit. Fields of logs written before round 12 carry
+    * neither key (phys = logical, the identity mapping) and refuse
+    * renames loudly. */
+  private val IdKey = "graft.id"
+  private val PhysKey = "graft.phys"
+
+  private def physOf(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+    else f.name
+
+  private def isIdentityMapping(st: State): Boolean =
+    st.schema.fields.forall(f => physOf(f) == f.name)
+
+  private def physSchema(st: State): StructType =
+    StructType(st.schema.fields.map(f => f.copy(name = physOf(f))))
+
+  /** Stamp birth ids + phys names on a creation schema. */
+  private def stampCreate(schema: StructType): StructType =
+    StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong(IdKey, i + 1L)
+        .putString(PhysKey, f.name).build())
+    })
+
+  /** Stamp an ADDED field (committing as version `v`): phys names of
+    * added fields are version-suffixed, so they can never collide
+    * with any name this log ever stored physically — including
+    * dropped or renamed-away columns whose history retention may
+    * have already vacuumed (version numbers are monotonic; nothing
+    * else is reliably remembered). */
+  private def stampAdded(f: org.apache.spark.sql.types.StructField,
+                         id: Long, v: Int)
+      : org.apache.spark.sql.types.StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putLong(IdKey, id)
+      .putString(PhysKey, s"${f.name}_v$v").build())
+
+  private def maxFieldId(schema: StructType): Long =
+    schema.fields.iterator.map(f =>
+      if (f.metadata.contains(IdKey)) f.metadata.getLong(IdKey) else 0L)
+      .foldLeft(0L)(math.max)
+
+  /** Project a LOGICAL frame to physical names for staging. */
+  private def toPhysical(st: State, df: DataFrame): DataFrame =
+    if (isIdentityMapping(st)) df
+    else df.select(st.schema.fields.map(f =>
+      col(f.name).as(physOf(f))).toSeq: _*)
+
+  /** The staging projection every batch write uses: logical columns
+    * cast to the table's types, landed under their PHYSICAL names. */
+  private def stagedCast(st: State): Seq[Column] =
+    st.schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(physOf(f)))
+
+  /** Re-key phys-named per-file stats to logical names, for the
+    * predicate-facing consumers (prune/coveredAll/minmax). Identity
+    * mapping short-circuits. */
+  private def statsLogical(st: State,
+                           stats: Map[String, FileStats.FileColStats])
+      : Map[String, FileStats.FileColStats] =
+    if (isIdentityMapping(st)) stats
+    else {
+      val m = st.schema.fields.iterator
+        .map(f => physOf(f) -> f.name).toMap
+      stats.map { case (file, cols) =>
+        file -> cols.flatMap { case (c, s) => m.get(c).map(_ -> s) }
+      }
+    }
+
   private def readData(spark: SparkSession, dir: String,
                        st: State): DataFrame =
     readDataFiles(spark, dir, st, st.files)
 
   private def readDataFiles(spark: SparkSession, dir: String,
-                            st: State, files: Seq[String]): DataFrame = {
-    val fs = fsOf(spark, dir)
+                            st: State, files: Seq[String]): DataFrame =
+    readFiles(spark, dir, st, files, withIds = false)
+
+  private def readFilesWithId(spark: SparkSession, dir: String,
+                              st: State, files: Seq[String]): DataFrame =
+    readFiles(spark, dir, st, files, withIds = true)
+
+  /** Read `files` under `st`'s schema: physical names off disk, the
+    * row-identity metadata columns attached ON THE SCAN (before any
+    * projection — `_metadata` resolves only against the file
+    * relation), then the logical rename. Identity-mapped tables read
+    * exactly as before. */
+  private def readFiles(spark: SparkSession, dir: String, st: State,
+                        files: Seq[String], withIds: Boolean): DataFrame = {
     val missing = files.filterNot(n =>
       fsOf(spark, resolvePath(dir, n))
         .exists(new Path(resolvePath(dir, n))))
@@ -622,11 +755,30 @@ object MorLog {
       s"version ${st.version} references ${missing.length} vacuumed " +
         s"file(s) (${missing.take(3).mkString(", ")}…) — travel past " +
         "the retention window")
-    if (files.isEmpty)
+    if (files.isEmpty) {
+      val idFields =
+        if (!withIds) Seq.empty
+        else Seq(
+          org.apache.spark.sql.types.StructField(RPath,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(RName,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(RRow,
+            org.apache.spark.sql.types.LongType))
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
-    else spark.read.schema(st.schema)
-      .parquet(files.map(n => resolvePath(dir, n)): _*)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(st.schema.fields ++ idFields))
+    } else {
+      val raw = spark.read.schema(physSchema(st))
+        .parquet(files.map(n => resolvePath(dir, n)): _*)
+      val based = if (withIds) withId(raw) else raw
+      if (isIdentityMapping(st)) based
+      else {
+        val extras = if (withIds) Seq(RPath, RName, RRow) else Seq.empty
+        based.select(st.schema.fields.map(f =>
+          col(physOf(f)).as(f.name)).toSeq ++ extras.map(col): _*)
+      }
+    }
   }
 
   /** The broadcast-tier tombstone set of `st` (None when empty or
@@ -738,6 +890,7 @@ object MorLog {
                               cond: Column): Long = {
     val st = currentState(spark, dir)
     val stats = statsOf(spark, dir, st.version)
+    val lStats = statsLogical(st, stats)
     // METADATA-ONLY tier first: files whose stats PROVE `cond` for
     // every row ([[FileStats.coveredAll]] — negation-skip plus a
     // zero-null guard) leave the file list wholesale: no scan, no
@@ -745,14 +898,14 @@ object MorLog {
     // value. A retention delete over a range-laid-out table is
     // O(boundary files), not O(deleted data) — the file stays on
     // disk for history, exactly like a compaction's replaced inputs.
-    val dropped = FileStats.coveredAll(spark, st.schema, stats,
+    val dropped = FileStats.coveredAll(spark, st.schema, lStats,
       st.files, cond)
     val remaining = st.files.filterNot(dropped.toSet)
     // the locate scan prunes by file stats: a file whose bounds prove
     // `cond` false holds no victims (its tombstones are untouched
     // either way, so the pruned complement commits identically)
     val (scanFiles, _) =
-      FileStats.prune(spark, st.schema, stats, remaining, cond)
+      FileStats.prune(spark, st.schema, lStats, remaining, cond)
     MorLogStats.lastFilesDropped = dropped.size
     if (dropped.isEmpty && scanFiles.isEmpty) return 0L
     val v = st.version + 1
@@ -763,7 +916,7 @@ object MorLog {
       if (scanFiles.isEmpty) (0L, st.tombsV, st.pfCeil)
       else {
         val visible = minusTombs(spark, dir, st,
-          withId(readDataFiles(spark, dir, st, scanFiles)))
+          readFilesWithId(spark, dir, st, scanFiles))
         val victims = visible.filter(coalesce(cond, lit(false)))
           .select(col(RPath), col(RName), col(RRow))
         commitTombs(spark, dir, st, victims, v)
@@ -809,7 +962,7 @@ object MorLog {
       val st = currentState(spark, dir)
       val v = st.version + 1
       val names = stageIn(spark, dir,
-        readVersion(spark, dir, st.version), v)
+        toPhysical(st, readVersion(spark, dir, st.version)), v)
       commitPauseHook(dir, v)
       try writeState(spark, dir,
         State(v, "compact", -1, -1, st.schema, names), st.files)
@@ -876,15 +1029,15 @@ object MorLog {
     val small = sized.filter(_._2 < smallBytes).map(_._1)
     if (small.size < 2) return 0
     val keepNames = st.files.filterNot(small.toSet)
-    val src = spark.read.schema(st.schema)
-      .parquet(small.map(n => resolvePath(dir, n)): _*)
-    val visible = minusTombs(spark, dir, st, withId(src))
+    val visible = minusTombs(spark, dir, st,
+        readFilesWithId(spark, dir, st, small))
       .drop(RPath, RName, RRow)
     val nOut = math.max(1,
       math.ceil(small.map(n => sized.toMap.apply(n)).sum.toDouble
         / targetBytes).toInt)
     val v = st.version + 1
-    val packed = stageIn(spark, dir, layout(visible, nOut), v)
+    val packed = stageIn(spark, dir,
+      toPhysical(st, layout(visible, nOut)), v)
     commitPauseHook(dir, v)
     try locked(dir) {
       checkFree(spark, dir, v)
@@ -939,7 +1092,7 @@ object MorLog {
       val clustered = ZOrderLayout.clusteredRanked(
         readVersion(spark, dir, st.version), dims, n, buckets)
       val v = st.version + 1
-      val names = stageIn(spark, dir, clustered, v)
+      val names = stageIn(spark, dir, toPhysical(st, clustered), v)
       commitPauseHook(dir, v)
       try writeState(spark, dir,
         State(v, "cluster", -1, -1, st.schema, names), st.files)
@@ -1166,8 +1319,10 @@ object MorLog {
     val st = state(spark, dir, v)
     if (st.tombsV >= 0 || st.pfCeil >= 0) return None
     val stats = statsOf(spark, dir, v)
+    val phys = st.schema.fields.find(_.name == colName)
+      .map(physOf).getOrElse(colName)
     val bounds = st.files.map(f => stats.get(f).flatMap(
-      FileStats.numericBounds(_, colName)))
+      FileStats.numericBounds(_, phys)))
     if (bounds.isEmpty || bounds.exists(_.isEmpty)) None
     else {
       val bs = bounds.map(_.get)
@@ -1181,9 +1336,9 @@ object MorLog {
     * migration). */
   def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
     val st = state(spark, dir, v)
-    val data = readData(spark, dir, st)
-    if (st.tombsV < 0 && st.pfCeil < 0) data
-    else minusTombs(spark, dir, st, withId(data))
+    if (st.tombsV < 0 && st.pfCeil < 0) readData(spark, dir, st)
+    else minusTombs(spark, dir, st,
+        readFilesWithId(spark, dir, st, st.files))
       .drop(RPath, RName, RRow)
   }
 
@@ -1209,13 +1364,14 @@ object MorLog {
     val st = state(spark, dir, v)
     val (scan, skip) =
       FileStats.prune(spark, st.schema,
-        statsOf(spark, dir, v), st.files, cond)
+        statsLogical(st, statsOf(spark, dir, v)), st.files, cond)
     MorLogStats.lastFilesScanned = scan.size
     MorLogStats.lastFilesSkipped = skip.size
-    val data = readDataFiles(spark, dir, st, scan)
     val visible =
-      if (scan.isEmpty || (st.tombsV < 0 && st.pfCeil < 0)) data
-      else minusTombs(spark, dir, st, withId(data))
+      if (scan.isEmpty || (st.tombsV < 0 && st.pfCeil < 0))
+        readDataFiles(spark, dir, st, scan)
+      else minusTombs(spark, dir, st,
+          readFilesWithId(spark, dir, st, scan))
         .drop(RPath, RName, RRow)
     visible.filter(cond)
   }
@@ -1253,13 +1409,12 @@ object MorLog {
           // names can't collide); the tombstone commit and the meta
           // swap are the serialized part
           val names = stageIn(spark, dir,
-            batch.select(st.schema.map(f =>
-              col(f.name).cast(f.dataType).as(f.name)): _*), v)
+            batch.select(stagedCast(st): _*), v)
           commitPauseHook(dir, v)
           try locked(dir) {
             checkFree(spark, dir, v)
             val visible = minusTombs(spark, dir, st,
-              withId(readData(spark, dir, st)))
+              readFilesWithId(spark, dir, st, st.files))
             val victims = visible
               .join(broadcast(keys), Seq(keyCol), "left_semi")
               .select(col(RPath), col(RName), col(RRow))
@@ -1327,13 +1482,12 @@ object MorLog {
       val names =
         if (nUp == 0) Seq.empty
         else stageIn(spark, dir,
-          b.filter(col(opCol) =!= "D").select(st.schema.map(f =>
-            col(f.name).cast(f.dataType).as(f.name)): _*), v)
+          b.filter(col(opCol) =!= "D").select(stagedCast(st): _*), v)
       commitPauseHook(dir, v)
       try locked(dir) {
         checkFree(spark, dir, v)
         val visible = minusTombs(spark, dir, st,
-          withId(readData(spark, dir, st)))
+          readFilesWithId(spark, dir, st, st.files))
         // every batch key's CURRENT row dies: deletes stay dead,
         // upserts are replaced by their staged row
         val victims = visible
@@ -1419,7 +1573,7 @@ object MorLog {
           "row would match multiple source rows (ambiguous merge)")
       val v = st.version + 1
       val vis = minusTombs(spark, dir, st,
-        withId(readData(spark, dir, st)))
+        readFilesWithId(spark, dir, st, st.files))
       // matched pairs: O(batch) rows (source unique, target single
       // visible row per key), classified by the FIRST true clause
       val matchedAct = matched.foldRight(lit(null).cast("string")) {
@@ -1450,6 +1604,7 @@ object MorLog {
         val staged = {
           val img = (df: DataFrame) => df.select(st.schema.map(f =>
             col(s"s.${f.name}").cast(f.dataType).as(f.name)): _*)
+            .select(stagedCast(st): _*)
           val upd = img(pairs.filter(col("_act") === "update"))
           inserts.map(i => upd.unionByName(img(i))).getOrElse(upd)
         }
@@ -1483,6 +1638,43 @@ object MorLog {
         }
       } finally pairs.unpersist()
     } finally b.unpersist()
+  }
+
+  /** Connector facade ([[graft.sources.MorLogSource]] — the DSv2 read
+    * surface): resolve (dir, version) to the logical schema, the
+    * stats-PRUNED surviving file paths under `cond`, the
+    * logical→physical column mapping, and the tombstones the scan
+    * must subtract — per-file row arrays in the broadcast tier
+    * (metadata-sized by that tier's definition), or the `_dvpf`
+    * (dir, ceiling) handle in the per-file tier so executors resolve
+    * their own files' sidecars through [[DvScanCache]]. Returns
+    * (schema, files, log→phys, broadcastTombsByBasename, pfCeil,
+    * filesSkipped). */
+  private[graft] def connectorPlan(spark: SparkSession, dir: String,
+                                   version: Option[Int],
+                                   cond: Option[Column],
+                                   withTombs: Boolean = true)
+      : (StructType, Seq[String], Map[String, String],
+         Map[String, Array[Long]], Int, Int) = {
+    val v = version.getOrElse(currentVersion(spark, dir))
+    val st = state(spark, dir, v)
+    val (scan, skip) = cond match {
+      case Some(c) => FileStats.prune(spark, st.schema,
+        statsLogical(st, statsOf(spark, dir, v)), st.files, c)
+      case None => (st.files, Seq.empty[String])
+    }
+    val names = scan.map(n => new Path(resolvePath(dir, n)).getName)
+    val bTombs: Map[String, Array[Long]] =
+      if (st.tombsV < 0 || !withTombs) Map.empty
+      else tombsOf(spark, dir, st).get
+        .filter(col(FileCol).isInCollection(names))
+        .groupBy(col(FileCol))
+        .agg(sort_array(collect_list(col(RowCol))).as("r"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    (st.schema, scan.map(n => resolvePath(dir, n)),
+      st.schema.fields.map(f => f.name -> physOf(f)).toMap,
+      bTombs, st.pfCeil, skip.size)
   }
 
   /** CDC_CHANGES between two committed versions, at key granularity:
@@ -1595,6 +1787,10 @@ object MorLog {
       require(!st.action.startsWith("restore:"),
         s"incrementalChanges: version $v is a RESTORE — state rewinds " +
           "non-monotonically inside the span; use changes() across it")
+      require(!st.action.startsWith("rename:"),
+        s"incrementalChanges: version $v is a RENAME — per-key netting " +
+          "across a logical-name change is ambiguous; subscribe in two " +
+          "spans around it")
       val out: Seq[DataFrame] =
         // compaction/clustering rewrites are value-invisible
         if (st.action == "compact" || st.action == "cluster") Seq.empty
@@ -1607,17 +1803,15 @@ object MorLog {
           val dropDel =
             if (removed.isEmpty) None
             else {
-              val src = spark.read.schema(prev.schema)
-                .parquet(removed.map(n => resolvePath(dir, n)): _*)
-              val vis = minusTombs(spark, dir, prev, withId(src))
+              val vis = minusTombs(spark, dir, prev,
+                readFilesWithId(spark, dir, prev, removed))
               Some(vis.select(keyCols.map(col) :+ lit(v).as("_v") :+
                 lit("D").as("_kind") :+ payload(vis).as("_payload"): _*))
             }
           val ins =
             if (added.isEmpty) None
             else {
-              val src = spark.read.schema(st.schema)
-                .parquet(added.map(n => resolvePath(dir, n)): _*)
+              val src = readDataFiles(spark, dir, st, added)
               Some(src.select(keyCols.map(col) :+ lit(v).as("_v") :+
                 lit("I").as("_kind") :+ payload(src).as("_payload"): _*))
             }
@@ -1628,9 +1822,8 @@ object MorLog {
               .collect().map(_.getString(0)).toSeq.sorted
             if (names.isEmpty) None
             else {
-              val src = spark.read.schema(prev.schema)
-                .parquet(names.map(n => resolvePath(dir, n)): _*)
-              Some(withId(src)
+              val src = readFilesWithId(spark, dir, prev, names)
+              Some(src
                 .join(broadcast(delta),
                   col(RName) === col(FileCol) && col(RRow) === col(RowCol),
                   "left_semi")

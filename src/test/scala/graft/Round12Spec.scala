@@ -467,6 +467,128 @@ class Round12Spec extends AnyFunSuite {
       0L -> "update", 1L -> "update", 3L -> "update", 20L -> "insert"))
   }
 
+  test("renameColumn: metadata-only, time travel keeps old names, mixed-era files read, rename reclaims a dropped name") {
+    import graft.sink.MorLog
+    val work = tmp("graft-r12ren-")
+    val dir = s"$work/t"
+    MorLog.create(spark.range(0, 100)
+      .select(col("id"), (col("id") * 10).as("v"),
+        (col("id") % 7).as("g"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"), dir)
+    MorLog.deleteWhere(spark, dir, col("id") === 13L)
+    val preFiles = MorLog.state(spark, dir, 1).files
+    // metadata-only rename: same file list, zero data IO
+    MorLog.renameColumn(spark, dir, "v", "price")
+    assert(MorLog.state(spark, dir, 2).files == preFiles,
+      "a rename must not touch the file list")
+    assert(MorLog.read(spark, dir).columns.toSeq ==
+      Seq("id", "price", "g"))
+    assert(MorLog.read(spark, dir).filter(col("id") === 7L)
+      .select("price").as[Long].head() == 70L)
+    assert(!MorLog.read(spark, dir).columns.contains("v"))
+    // time travel shows each version's OWN name
+    assert(MorLog.readVersion(spark, dir, 1).columns.toSeq ==
+      Seq("id", "v", "g"))
+    // writes AFTER the rename land under the stable physical name and
+    // mix with pre-rename files transparently
+    MorLog.upsert(spark, dir,
+      Seq((7L, 777L, 0L), (200L, 2000L, 4L)).toDF("id", "price", "g"),
+      "id")
+    val got = MorLog.read(spark, dir).select("id", "price")
+      .as[(Long, Long)].collect().toMap
+    assert(got(7L) == 777L && got(200L) == 2000L && got(8L) == 80L)
+    assert(!got.contains(13L))
+    // log-level skipping still works through the mapping: a renamed-
+    // column predicate prunes by the files' physical stats
+    MorLog.readWhere(spark, dir, col("price") === 770L).count()
+    assert(graft.sink.MorLogStats.lastFilesSkipped > 0,
+      "stats skipping must survive the rename")
+    // reclaiming a dropped name: drop g, add g2, rename g2 -> g —
+    // stale g values never resurface (the dropped phys name is
+    // referenced by no current field)
+    MorLog.dropColumn(spark, dir, "g")
+    MorLog.evolveAppend(spark, dir,
+      Seq((300L, 3L, 99L)).toDF("id", "price", "g2"))
+    // the direct name-based re-add stays refused
+    assert(scala.util.Try(MorLog.evolveAppend(spark, dir,
+      Seq((301L, 3L, 1L)).toDF("id", "price", "g"))).isFailure)
+    MorLog.renameColumn(spark, dir, "g2", "g")
+    val g = MorLog.read(spark, dir).select("id", "g")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(g(300L).contains(99L), "the re-added column's own rows read")
+    assert(g(7L).isEmpty && g(0L).isEmpty,
+      s"dropped values resurrected: ${g(7L)}/${g(0L)}")
+    // CDF refuses to net across the rename, loud
+    val e = intercept[IllegalArgumentException](
+      MorLog.incrementalChanges(spark, dir, 1, 3, Seq("id")).count())
+    assert(e.getMessage.contains("RENAME"))
+    // compaction folds the mapping away cleanly (rewrites under
+    // current phys names) and every value survives
+    MorLog.compact(spark, dir)
+    assert(MorLog.read(spark, dir).select("id", "price")
+      .as[(Long, Long)].collect().toMap.apply(7L) == 777L)
+  }
+
+  test("MorLogSource (DSv2): versionAsOf, pushed-filter file pruning, column mapping and tombstones all reach SQL users") {
+    import graft.sink.MorLog
+    import graft.sources.MorLogSourceStats
+    val work = tmp("graft-r12dsv2-")
+    val dir = s"$work/t"
+    MorLog.create(spark.range(0, 400)
+      .select(col("id"), (col("id") * 10).as("v"),
+        (col("id") % 7).as("g"))
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id"), dir)
+    MorLog.deleteWhere(spark, dir, col("id") % 10 === 3)
+    MorLog.renameColumn(spark, dir, "v", "price")
+    MorLog.upsert(spark, dir,
+      Seq((8L, 888L, 1L)).toDF("id", "price", "g"), "id")
+    def load(v: Option[Int]) = {
+      val r = spark.read.format("graft.sources.MorLogSource")
+        .option("path", dir)
+      v.fold(r)(x => r.option("versionAsOf", x.toString)).load()
+    }
+    // current snapshot: renamed column, tombstones gone, upsert in
+    val cur = load(None).filter(col("id") < 100)
+    val got = cur.select("id", "price").as[(Long, Long)]
+      .collect().toMap
+    assert(got.size == 90 && got(8L) == 888L && got(7L) == 70L &&
+      !got.contains(13L))
+    // the comparison was CLAIMED (plan shows it pushed) and pruned
+    // files before task launch
+    val plan = cur.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [LessThan(id,100)"),
+      s"filter not pushed:\n$plan")
+    assert(MorLogSourceStats.lastFilesSkipped > 0,
+      "the pushed range filter must prune files through the log stats")
+    // time travel: the pre-rename version answers under ITS schema
+    val v1 = load(Some(1))
+    assert(v1.columns.toSeq == Seq("id", "v", "g"))
+    assert(v1.filter(col("id") === 8L).select("v").as[Long]
+      .head() == 80L, "versionAsOf must pre-date the upsert")
+    // per-file tier: the reader probes sidecars through DvScanCache
+    val dir2 = s"$work/pf"
+    MorLog.create(spark.range(0, 100)
+      .select(col("id"), (col("id") % 7).as("g")).coalesce(2), dir2)
+    spark.conf.set(graft.sink.DeletionVectors.GuardConfKey, "2")
+    try MorLog.deleteWhere(spark, dir2, col("id") % 10 === 3)
+    finally spark.conf.unset(graft.sink.DeletionVectors.GuardConfKey)
+    assert(MorLog.state(spark, dir2,
+      MorLog.currentVersion(spark, dir2)).pfCeil >= 0)
+    val ids2 = spark.read.format("graft.sources.MorLogSource")
+      .option("path", dir2).load()
+      .select("id").as[Long].collect().toSet
+    assert(ids2 == (0L until 100L).filterNot(_ % 10 == 3).toSet)
+    // an unreadable column type fails at plan time, loudly
+    val dir3 = s"$work/dec"
+    MorLog.create(spark.range(0, 5)
+      .select(col("id"),
+        col("id").cast("decimal(10,2)").as("d")), dir3)
+    val e = intercept[Exception](
+      spark.read.format("graft.sources.MorLogSource")
+        .option("path", dir3).load().select("d").collect())
+    assert(e.getMessage.contains("native path"))
+  }
+
   test("q250/q254 round trip: the in-plan builders and the parsers agree on every new format branch") {
     val d = "/root/testdata/sf0.001"
     val a = queries.LlmQueries.audioMeta(spark, d)
