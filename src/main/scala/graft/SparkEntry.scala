@@ -569,6 +569,8 @@ object SparkEntry {
     "q269_morlog_rename"    -> ((s, d) => CoreQueries.morLogRename(s, d)),
     // the DSv2 SQL surface: versionAsOf + pushdown-pruned scans
     "q270_morlog_dsv2"      -> ((s, d) => CoreQueries.morLogSqlRead(s, d)),
+    // streaming CDC-MERGE drain: mixed I/U/D batches, one version each
+    "q271_morlog_stream_merge" -> ((s, d) => CoreQueries.morLogStreamMerge(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1085,6 +1087,26 @@ object SparkEntry {
          FROM documents""",
     // drain fold: evens seeded, %10 repriced by the feed, odds inserted
     "q240_morlog_stream" -> morLogDrainOracle,
+    // the CDC-merge drain's net state: in the covered range every 5th
+    // user deletes and the rest reprice +500; 10 inserts per chunk;
+    // the tail never moves
+    "q271_morlog_stream_merge" ->
+      """WITH base AS (SELECT user_id,
+             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+               AS BIGINT) AS val
+           FROM events GROUP BY user_id),
+         m AS (SELECT max(user_id) AS mu, max(user_id) // 8 + 1 AS r
+           FROM base),
+         u AS (
+           SELECT user_id,
+               CASE WHEN user_id < 6 * m.r THEN val + 500 ELSE val END
+                 AS val
+             FROM base, m
+             WHERE NOT (user_id < 6 * m.r AND user_id % 5 = 0)
+           UNION ALL
+           SELECT m.mu + 1 + j, j % 10 + 1
+             FROM m, unnest(range(0, 60)) AS t(j))
+         SELECT user_id, val FROM u""",
     // the packed table answers exactly like the never-packed drain
     "q244_morlog_packed" -> morLogDrainOracle,
     // the drain that crossed the per-file migration mid-stream (and

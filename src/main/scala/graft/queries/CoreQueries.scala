@@ -3114,6 +3114,57 @@ object CoreQueries {
     dir
   }
 
+  /** STREAMING CDC-MERGE drain (q271): a TRUE op-tagged change feed —
+    * each micro-batch mixes deletes ('D'), updates and inserts — and
+    * [[graft.sink.MorLog.runMergeStream]] lands every batch as ONE
+    * committed MERGE version (atomic mixed batch; the upsert drain
+    * q240 can't delete at all). Chunks carry DISJOINT key ranges so
+    * the net state folds in plain SQL: in the covered range every 5th
+    * user is deleted, the rest reprice +500; 10 new users insert per
+    * chunk; the tail above the range is untouched. Replays fence on
+    * the log's committed action tags, same as q240. */
+  def morLogStreamMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val work = graft.TempDirs.create("graft-mlsm-")
+    val dir = s"$work/t"
+    val base = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(floor(moneySum(col("value"))).cast("long").as("val"))
+    graft.sink.MorLog.create(base.repartition(2), dir)
+    val maxU = base.agg(max("user_id")).as[Long].head()
+    val r = maxU / 8 + 1 // 6 chunks cover [0, 6r); the tail never moves
+    val chunks = 6
+    (0 until chunks).foreach { k =>
+      val lo = k * r; val hi = (k + 1) * r
+      val slice = base.filter(col("user_id") >= lo &&
+        col("user_id") < hi)
+      val dels = slice.filter(col("user_id") % 5 === 0)
+        .withColumn("_op", lit("D"))
+      val ups = slice.filter(col("user_id") % 5 =!= 0)
+        .withColumn("val", col("val") + 500L)
+        .withColumn("_op", lit("U"))
+      val ins = s.range(0, 10).select(
+        (lit(maxU) + 1L + lit(k.toLong) * 10L + col("id")).as("user_id"),
+        (col("id") + 1L).as("val"), lit("I").as("_op"))
+      // flat feed dir, one file per chunk; chunks are key-disjoint so
+      // batch order cannot matter
+      dels.unionByName(ups).unionByName(ins)
+        .coalesce(1).write.mode("append").parquet(s"$work/feed")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("val",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_op",
+        org.apache.spark.sql.types.StringType)))
+    graft.sink.MorLog.runMergeStream(s, s"$work/feed", schema,
+      s"$work/ckpt", dir, "user_id", "_op")
+    // one committed MERGE version per micro-batch, non-vacuously
+    require(graft.sink.MorLog.versions(s, dir).size >= 1 + chunks,
+      "q271: the drain must commit per micro-batch")
+    graft.sink.MorLog.read(s, dir).select(col("user_id"), col("val"))
+  }
+
   /** SMALL-FILE compaction on the drained log table (q244): the q240
     * drain leaves one file set per micro-batch plus per-version
     * tombstones; [[graft.sink.MorLog.compactSmall]] bin-packs ONLY

@@ -1912,6 +1912,46 @@ object MorLog {
       upsert(spark, dir, batch, keyCol, tag)
   }
 
+  /** Idempotently apply one streaming micro-batch as a MERGE version
+    * — [[applyStreamBatch]]'s op-column sibling for a TRUE CDC feed
+    * (mixed inserts/updates/deletes per batch, 'D' rows delete their
+    * key, everything else upserts), the whole batch under one meta
+    * swap. Replays fence on the committed action tag, same as the
+    * upsert drain. */
+  def applyStreamMergeBatch(spark: SparkSession, dir: String,
+                            batch: DataFrame, batchId: Long,
+                            keyCol: String, opCol: String,
+                            checkpointDir: String): Unit = {
+    val tag =
+      s"merge:${graft.streaming.StreamMoR.runTagOf(checkpointDir)}b$batchId"
+    if (!appliedTags(spark, dir).contains(tag))
+      mergeInto(spark, dir, batch, keyCol, opCol, tag)
+  }
+
+  /** Drain an op-tagged parquet CDC feed into the log-backed table:
+    * checkpointed, AvailableNow, one committed MERGE version per
+    * micro-batch — deletes and upserts land atomically per batch, the
+    * drain history stays time-travelable, and redelivered batches
+    * no-op on the log's own tags. */
+  def runMergeStream(spark: SparkSession, feedDir: String,
+                     schema: StructType, checkpointDir: String,
+                     dir: String, keyCol: String, opCol: String,
+                     maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(feedDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyStreamMergeBatch(spark, dir, batch, batchId, keyCol,
+          opCol, checkpointDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain a keyed parquet change feed into the log-backed table:
     * checkpointed, AvailableNow, one committed version per
     * micro-batch — so the WHOLE drain history is time-travelable

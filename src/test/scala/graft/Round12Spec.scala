@@ -589,6 +589,55 @@ class Round12Spec extends AnyFunSuite {
     assert(e.getMessage.contains("native path"))
   }
 
+  test("OCC property: concurrent upsert writers and a maintenance job all land — contiguous versions, no lost update") {
+    import graft.sink.MorLog
+    val work = tmp("graft-r12occ3-")
+    val dir = s"$work/t"
+    MorLog.create(spark.range(0, 100)
+      .select(col("id"), lit(0L).as("v")).repartition(4), dir)
+    val nThreads = 3; val opsEach = 2
+    // worst-case consecutive conflicts for one op = commits by every
+    // other writer (3×2 + 2 − own 2 = 6) < the 8-attempt budget, so
+    // termination is guaranteed, not probabilistic
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (0 until nThreads).map { t =>
+      new Thread(() => try {
+        (0 until opsEach).foreach { i =>
+          MorLog.upsert(spark, dir,
+            spark.range(1000L * (t + 1), 1000L * (t + 1) + 20)
+              .select(col("id"),
+                lit(t * 1000000L + i).as("v")), "id")
+        }
+      } catch { case e: Throwable => errs.add(e) })
+    }
+    val maint = new Thread(() => try {
+      (0 until 2).foreach { _ =>
+        MorLog.compactSmall(spark, dir)
+        Thread.sleep(50)
+      }
+    } catch { case e: Throwable => errs.add(e) })
+    (writers :+ maint).foreach(_.start())
+    (writers :+ maint).foreach(_.join(300000))
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    // no version was ever lost: the committed log is contiguous
+    val vs = MorLog.versions(spark, dir)
+    assert(vs == (0 to vs.max).toSeq,
+      s"version gap — a commit was clobbered: $vs")
+    assert(vs.max >= 1 + nThreads * opsEach,
+      "every upsert must have committed its own version")
+    // every thread's LAST write is visible (its ops are sequential;
+    // threads touch disjoint keys)
+    val got = MorLog.read(spark, dir).as[(Long, Long)].collect().toMap
+    assert(got.size == 100 + nThreads * 20)
+    (0 until nThreads).foreach { t =>
+      (1000L * (t + 1) until 1000L * (t + 1) + 20).foreach { k =>
+        assert(got(k) == t * 1000000L + (opsEach - 1),
+          s"thread $t key $k lost its last write: ${got(k)}")
+      }
+    }
+    assert(got(50L) == 0L, "a base row drifted")
+  }
+
   test("q250/q254 round trip: the in-plan builders and the parsers agree on every new format branch") {
     val d = "/root/testdata/sf0.001"
     val a = queries.LlmQueries.audioMeta(spark, d)
