@@ -1640,6 +1640,41 @@ object MorLog {
     } finally b.unpersist()
   }
 
+  /** DESCRIBE HISTORY (Delta's shape): one row per committed version —
+    * action, file counts and deltas, schema width, and the tombstone
+    * tier in force — straight off the cached metas, zero data IO.
+    * The operational "what happened to this table" answer a shared
+    * 100 TB table needs before any debugging starts. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val vs = versions(spark, dir)
+    var prevFiles = Set.empty[String]
+    val rows = vs.map { v =>
+      val st = state(spark, dir, v)
+      val cur = st.files.toSet
+      val tier =
+        if (st.pfCeil >= 0) s"per-file(g${st.pfCeil})"
+        else if (st.tombsV >= 0) s"broadcast(v${st.tombsV})"
+        else "none"
+      val r = Row(v, st.action, st.files.size,
+        (cur -- prevFiles).size, (prevFiles -- cur).size,
+        st.schema.fields.length, tier)
+      prevFiles = cur
+      r
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("action", StringType, nullable = false),
+        StructField("n_files", IntegerType, nullable = false),
+        StructField("files_added", IntegerType, nullable = false),
+        StructField("files_removed", IntegerType, nullable = false),
+        StructField("n_columns", IntegerType, nullable = false),
+        StructField("tombstone_tier", StringType, nullable = false))))
+  }
+
   /** Connector facade ([[graft.sources.MorLogSource]] — the DSv2 read
     * surface): resolve (dir, version) to the logical schema, the
     * stats-PRUNED surviving file paths under `cond`, the

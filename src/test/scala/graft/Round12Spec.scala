@@ -638,6 +638,38 @@ class Round12Spec extends AnyFunSuite {
     assert(got(50L) == 0L, "a base row drifted")
   }
 
+  test("composition: the DSv2 connector reads a shallow CLONE (absolute refs + copied tombstones), and history() narrates the log") {
+    import graft.sink.MorLog
+    val work = tmp("graft-r12comp-")
+    val (src, dst) = (s"$work/src", s"$work/dst")
+    MorLog.create(spark.range(0, 200)
+      .select(col("id"), (col("id") % 7).as("g"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"), src)
+    MorLog.deleteWhere(spark, src, col("id") % 10 === 3)
+    MorLog.shallowClone(spark, src, dst)
+    // diverge the clone, then read IT through the SQL surface: the
+    // partitions reference the source's files by absolute path and
+    // the tombstones key by basename
+    MorLog.upsert(spark, dst, Seq((7L, 700L)).toDF("id", "g"), "id")
+    val got = spark.read.format("graft.sources.MorLogSource")
+      .option("path", dst).load()
+      .filter(col("id") < 50)
+      .select("id", "g").as[(Long, Long)].collect().toMap
+    assert(got.size == 45 && got(7L) == 700L && !got.contains(13L) &&
+      got(8L) == 1L)
+    assert(graft.sources.MorLogSourceStats.lastFilesSkipped > 0,
+      "pruning must work on absolute-path (clone) files too")
+    // history narrates the lifecycle off pure metadata
+    val h = MorLog.history(spark, src).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getString(6))).toMap
+    assert(h(0) == ("create", "none"))
+    assert(h(1)._1 == "delete" && h(1)._2.startsWith("broadcast"))
+    val hd = MorLog.history(spark, dst).collect()
+    assert(hd.head.getString(1).startsWith("clone:"))
+    assert(hd.last.getString(1) == "upsert")
+    assert(hd.last.getInt(3) >= 1, "the upsert's files_added must show")
+  }
+
   test("q250/q254 round trip: the in-plan builders and the parsers agree on every new format branch") {
     val d = "/root/testdata/sf0.001"
     val a = queries.LlmQueries.audioMeta(spark, d)
