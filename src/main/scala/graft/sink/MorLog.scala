@@ -226,6 +226,7 @@ object MorLog {
     * fileLines). `kind` ∈ full | delta. */
   private def rawMeta(spark: SparkSession, dir: String,
                       v: Int): (String, String, String, String, Seq[String]) = {
+    MorLogStats.metaReads += 1
     val body = AtomicFiles.readString(conf(spark), metaPath(dir, v))
     val lines = body.split("\n", -1).toSeq
     (lines.head, lines(1), lines(2), lines(3),
@@ -376,9 +377,21 @@ object MorLog {
     * (single-writer; the one rewrite — [[vacuum]]'s delta→checkpoint
     * upgrade of the oldest retained version — preserves the resolved
     * content). The existence check stays OUTSIDE the cache so travel
-    * to a vacuumed version keeps failing loud. */
+    * to a vacuumed version keeps failing loud. LRU, access-ordered:
+    * a wholesale clear at the cap (the round-12 shape) would thrash a
+    * span walk over a >cap-version log — exactly the workload the
+    * cache exists for — back to O(CheckpointEvery) meta reads per
+    * version mid-walk. */
+  private[graft] var stateCacheCap = 4096
   private val stateCache =
-    new java.util.concurrent.ConcurrentHashMap[String, State]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, State](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, State]): Boolean =
+          size > stateCacheCap
+      })
+
+  private[graft] def dropStateCache(): Unit = stateCache.clear()
 
   def state(spark: SparkSession, dir: String, v: Int): State = {
     require(fsOf(spark, dir).exists(metaPath(dir, v)),
@@ -427,7 +440,6 @@ object MorLog {
     val st = State(v, action, tombsV, pfCeil,
       org.apache.spark.sql.types.DataType.fromJson(schemaJson)
         .asInstanceOf[StructType], files)
-    if (stateCache.size > 1024) stateCache.clear()
     stateCache.put(key, st)
     st
   }
@@ -1161,6 +1173,12 @@ object MorLog {
     * VACUUM: travel to a vacuumed version fails loud in
     * [[readVersion]]'s liveness check. Returns the number of data
     * files deleted. */
+  /** Test seam: invoked after vacuum resolved its entry-time snapshot
+    * (`referenced`/kept states) and before any deletion — a spec
+    * lands a concurrent commit here to pin the tip-guard-from-entry-
+    * snapshot rule (a mid-vacuum commit must survive the sweep). */
+  @volatile private[graft] var vacuumPauseHook: String => Unit = _ => ()
+
   def vacuum(spark: SparkSession, dir: String,
              keepVersions: Int = 2): Int = locked(dir) {
     require(keepVersions >= 1, "keepVersions must be >= 1")
@@ -1168,6 +1186,7 @@ object MorLog {
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     val keptStates = keep.map(state(spark, dir, _))
     val referenced = keptStates.flatMap(_.files).toSet
+    vacuumPauseHook(dir)
     val fs = fsOf(spark, dir)
     var deleted = 0
     if (drop.nonEmpty) {
@@ -1218,8 +1237,18 @@ object MorLog {
     // and re-stage anyway). Covers both crashed attempts (version
     // never committed) and OCC losers (version committed by the
     // winner, under different uid names).
+    //
+    // The tip guard derives from the ENTRY-TIME snapshot `vs`, not a
+    // fresh listing: `referenced`/`keptTombs2` were resolved from that
+    // snapshot, so a writer committing tip+1 mid-vacuum would be ≤ a
+    // refreshed tip yet absent from them — the sweep would delete a
+    // JUST-COMMITTED version's data files (review-caught). Anything
+    // committed after vacuum started stays above the entry tip and is
+    // spared until the next cycle. Only the stage-dir sweep uses a
+    // refreshed listing (a stage dir is debris precisely when its
+    // version never committed — fresher is strictly safer there).
     val committed = versions(spark, dir).toSet
-    val maxCommitted = committed.foldLeft(-1)(math.max)
+    val maxCommitted = vs.foldLeft(-1)(math.max)
     val logP = new Path(s"$dir/$LogDir")
     if (fs.exists(logP)) {
       val keptTombs2 = keptStates.map(_.tombsV).filter(_ >= 0).toSet
@@ -1383,6 +1412,51 @@ object MorLog {
     * `readVersion` away. `batch` must be unique on the key (checked).
     * `actionTag` lets a streaming drain fence replays (see
     * [[applyStreamBatch]]). */
+  /** Key-membership cap for the victim-locate prune: batches up to
+    * this many distinct keys prune with exact per-file membership
+    * (stats `In`), larger ones with the key RANGE alone. */
+  private[graft] val LocateInCapKey = "graft.morlog.locateInCap"
+
+  /** Victim-locate file prune for the keyed mutating ops
+    * ([[upsert]] / [[mergeInto]] / [[mergeIntoWhen]]): the files that
+    * can hold a CURRENT row of any batch key, off the log's per-file
+    * stats — the same skipping [[readWhere]] applies to reads. The
+    * batch key set is broadcast-small by construction (it is the
+    * locate semi-join's build side), so collecting it is O(batch).
+    * The prune predicate puts the key-RANGE check first (O(1) per
+    * file — out-of-range files never pay the membership walk) and
+    * exact membership second, capped at [[LocateInCapKey]] keys
+    * (above the cap the range alone prunes; a batch that large
+    * touches most files anyway). Files without stats always scan;
+    * NULL batch keys locate nothing (the semi-join is
+    * null-rejecting). Turns the per-batch locate from O(table rows)
+    * into O(files containing batch keys) — the difference between a
+    * streaming MERGE drain that re-reads the table's key column every
+    * micro-batch and one that opens the handful of files its keys
+    * live in. */
+  private def locateFiles(spark: SparkSession, dir: String, st: State,
+                          keyCol: String, keys: DataFrame): Seq[String] = {
+    val kc = col(keyCol)
+    val bounds = keys.agg(min(kc).as("lo"), max(kc).as("hi")).head()
+    if (bounds.isNullAt(0)) { // empty or all-NULL key set: no victims
+      MorLogStats.lastLocateScanned = 0
+      MorLogStats.lastLocateSkipped = st.files.size
+      return Seq.empty
+    }
+    val range = kc >= lit(bounds.get(0)) && kc <= lit(bounds.get(1))
+    val cap = spark.conf.getOption(LocateInCapKey)
+      .map(_.toInt).getOrElse(4096)
+    val vals = keys.filter(kc.isNotNull).limit(cap + 1).collect()
+      .map(_.get(0)).toSeq
+    val pred =
+      if (vals.size <= cap) range && kc.isInCollection(vals) else range
+    val (scan, skip) = FileStats.prune(spark, st.schema,
+      statsLogical(st, statsOf(spark, dir, st.version)), st.files, pred)
+    MorLogStats.lastLocateScanned = scan.size
+    MorLogStats.lastLocateSkipped = skip.size
+    scan
+  }
+
   def upsert(spark: SparkSession, dir: String, batch: DataFrame,
              keyCol: String, actionTag: String = "upsert"): Unit =
     withOcc(spark, dir) {
@@ -1410,16 +1484,22 @@ object MorLog {
           // swap are the serialized part
           val names = stageIn(spark, dir,
             batch.select(stagedCast(st): _*), v)
+          // stats-pruned victim locate: only files that can hold a
+          // batch key are opened, not the whole table
+          val scanFiles = locateFiles(spark, dir, st, keyCol, keys)
           commitPauseHook(dir, v)
           try locked(dir) {
             checkFree(spark, dir, v)
-            val visible = minusTombs(spark, dir, st,
-              readFilesWithId(spark, dir, st, st.files))
-            val victims = visible
-              .join(broadcast(keys), Seq(keyCol), "left_semi")
-              .select(col(RPath), col(RName), col(RRow))
             val (_, tombsV, pfCeil) =
-              commitTombs(spark, dir, st, victims, v)
+              if (scanFiles.isEmpty) (0L, st.tombsV, st.pfCeil)
+              else {
+                val visible = minusTombs(spark, dir, st,
+                  readFilesWithId(spark, dir, st, scanFiles))
+                val victims = visible
+                  .join(broadcast(keys), Seq(keyCol), "left_semi")
+                  .select(col(RPath), col(RName), col(RRow))
+                commitTombs(spark, dir, st, victims, v)
+              }
             writeState(spark, dir,
               State(v, actionTag, tombsV, pfCeil, st.schema,
                 st.files ++ names), st.files)
@@ -1483,18 +1563,23 @@ object MorLog {
         if (nUp == 0) Seq.empty
         else stageIn(spark, dir,
           b.filter(col(opCol) =!= "D").select(stagedCast(st): _*), v)
+      // stats-pruned victim locate (same skipping readWhere applies)
+      val scanFiles = locateFiles(spark, dir, st, keyCol, keys)
       commitPauseHook(dir, v)
       try locked(dir) {
         checkFree(spark, dir, v)
-        val visible = minusTombs(spark, dir, st,
-          readFilesWithId(spark, dir, st, st.files))
         // every batch key's CURRENT row dies: deletes stay dead,
         // upserts are replaced by their staged row
-        val victims = visible
-          .join(broadcast(keys), Seq(keyCol), "left_semi")
-          .select(col(RPath), col(RName), col(RRow))
-        val (deleted, tombsV, pfCeil) = commitTombs(spark, dir, st,
-          victims, v)
+        val (deleted, tombsV, pfCeil) =
+          if (scanFiles.isEmpty) (0L, st.tombsV, st.pfCeil)
+          else {
+            val visible = minusTombs(spark, dir, st,
+              readFilesWithId(spark, dir, st, scanFiles))
+            val victims = visible
+              .join(broadcast(keys), Seq(keyCol), "left_semi")
+              .select(col(RPath), col(RName), col(RRow))
+            commitTombs(spark, dir, st, victims, v)
+          }
         writeState(spark, dir,
           State(v, actionTag, tombsV, pfCeil, st.schema,
             st.files ++ names), st.files)
@@ -1529,12 +1614,16 @@ object MorLog {
     * multiple-source-match error).
     *
     * Scale shape: the matched classification is one broadcast inner
-    * join (O(batch) output, persisted batch-bounded); inserts
-    * anti-join the batch against the MATCHED KEY SET (batch-sized,
-    * broadcast — never a table-key shuffle); the by-source victims
-    * ride the same single visible-snapshot scan the tombstone commit
-    * performs. No table rewrite. Returns (updated, deleted,
-    * inserted). */
+    * join (O(batch) output, persisted batch-bounded) over a
+    * STATS-PRUNED snapshot — only files that can hold a source key
+    * are opened ([[locateFiles]]). Inserts anti-join the batch
+    * against the MATCHED KEY SET (batch-sized, broadcast — never a
+    * table-key shuffle). The by-source clause inherently needs the
+    * full visible snapshot (its victims are target-ONLY rows — no
+    * key prune applies, same as Delta's NOT MATCHED BY SOURCE); with
+    * it set, ONE persisted snapshot scan serves both the matched
+    * pairs and the by-source victims. No table rewrite. Returns
+    * (updated, deleted, inserted). */
   def mergeIntoWhen(spark: SparkSession, dir: String, source: DataFrame,
                     keyCol: String, matched: Seq[(String, String)],
                     notMatchedInsert: Option[String] = Some("true"),
@@ -1572,8 +1661,22 @@ object MorLog {
         s"mergeIntoWhen: source is not unique on $keyCol — a target " +
           "row would match multiple source rows (ambiguous merge)")
       val v = st.version + 1
-      val vis = minusTombs(spark, dir, st,
-        readFilesWithId(spark, dir, st, st.files))
+      // Stats-pruned victim locate when only keyed branches run; the
+      // by-source clause needs the full snapshot — then ONE persisted
+      // scan serves both branches instead of two table passes.
+      val scanFiles =
+        if (notMatchedBySourceDelete.isEmpty)
+          locateFiles(spark, dir, st, keyCol, b.select(col(keyCol)))
+        else {
+          MorLogStats.lastLocateScanned = st.files.size
+          MorLogStats.lastLocateSkipped = 0
+          st.files
+        }
+      val vis = {
+        val raw = minusTombs(spark, dir, st,
+          readFilesWithId(spark, dir, st, scanFiles))
+        if (notMatchedBySourceDelete.isDefined) raw.persist() else raw
+      }
       // matched pairs: O(batch) rows (source unique, target single
       // visible row per key), classified by the FIRST true clause
       val matchedAct = matched.foldRight(lit(null).cast("string")) {
@@ -1628,7 +1731,9 @@ object MorLog {
                 .filter(coalesce(expr(c), lit(false)))))
           }
           val (added, tombsV, pfCeil) =
-            commitTombs(spark, dir, st, victims, v)
+            if (nUpd + nMDel == 0 && notMatchedBySourceDelete.isEmpty)
+              (0L, st.tombsV, st.pfCeil)
+            else commitTombs(spark, dir, st, victims, v)
           writeState(spark, dir,
             State(v, actionTag, tombsV, pfCeil, st.schema,
               st.files ++ names), st.files)
@@ -1636,7 +1741,10 @@ object MorLog {
         } catch { case e: CommitConflictException =>
           discardStaged(spark, dir, names); throw e
         }
-      } finally pairs.unpersist()
+      } finally {
+        pairs.unpersist()
+        if (notMatchedBySourceDelete.isDefined) vis.unpersist()
+      }
     } finally b.unpersist()
   }
 
@@ -2025,4 +2133,14 @@ object MorLogStats {
   /** Commit conflicts the last mutating op retried through (0 = it
     * won first try) — the OCC specs' non-vacuity hook. */
   @volatile var lastCommitRetries: Int = -1
+
+  /** Files the last keyed mutating op's victim locate scanned /
+    * stats-skipped ([[MorLog.upsert]]/mergeInto/mergeIntoWhen) — the
+    * non-vacuity hook for the O(files containing batch keys) claim. */
+  @volatile var lastLocateScanned: Int = -1
+  @volatile var lastLocateSkipped: Int = -1
+
+  /** Raw meta-file reads (cache misses) — the state-cache LRU spec's
+    * counter. */
+  @volatile var metaReads: Long = 0L
 }
