@@ -34,6 +34,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // standard INT64 micros, never INT96: INT96 is deprecated,
+      // carries NO usable footer stats (so file skipping and the
+      // MorLog stats tier would go blind on timestamp columns), and
+      // the DSv2 reader decodes the standard form directly
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(cores: Int = cpus): SparkSession = {

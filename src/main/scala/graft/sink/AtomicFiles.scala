@@ -21,7 +21,13 @@ private[graft] object AtomicFiles {
 
   def replace(conf: Configuration, dst: Path, bytes: Array[Byte]): Unit = {
     val fc = FileContext.getFileContext(dst.toUri, conf)
-    val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
+    // ATTEMPT-unique temp: two concurrent replaces of the same dst
+    // (e.g. the _dvpf `_current` pointer hint under disjoint-gen
+    // writers) each rename their own temp — last wins, neither sees
+    // its temp stolen (the fixed-name temp threw FileNotFound when a
+    // rival renamed it first).
+    val tmp = new Path(dst.getParent, s".${dst.getName}." +
+      s"${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fc.create(tmp,
       java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
       Options.CreateOpts.createParent())

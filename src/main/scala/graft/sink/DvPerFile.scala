@@ -131,10 +131,36 @@ private[graft] object DvPerFile {
 
   private val PtrName = "_current"
 
+  /** Allocate a per-file generation EXCLUSIVELY (put-if-absent claim
+    * file): gen numbers become single-owner across PROCESSES, so
+    * concurrent [[mergeCommit]]s write disjoint sidecar and marker
+    * names and the caller's own commit (MorLog's meta put-if-absent)
+    * picks the winner — the loser's generation is orphan debris that
+    * no marker map at a committed ceiling ever references. A crashed
+    * or losing attempt's gen is never REUSED (its claim persists
+    * until retention GC drops it below every kept ceiling), which is
+    * what makes eager torn-attempt sweeps unnecessary on this path:
+    * the old [[rollbackAbove]]-on-entry could tear a concurrent
+    * writer's in-flight generation. */
+  def claimGen(conf: Configuration, tableDir: String, floor: Int): Int = {
+    val d = pfDir(tableDir)
+    fsOf(conf, d).mkdirs(new Path(d))
+    var g = math.max(0, floor)
+    while (!AtomicFiles.createExclusive(conf,
+        new Path(d, s"_claim.g$g"), Array.emptyByteArray))
+      g += 1
+    g
+  }
+
   private def writePtr(conf: Configuration, tableDir: String,
                        gen: Int): Unit =
-    AtomicFiles.replace(conf, new Path(pfDir(tableDir), PtrName),
+    // the pointer is a HINT (committedGen probes forward / falls back
+    // to a listing): concurrent disjoint-gen writers may race the
+    // local FileContext overwrite-rename — losing that race loses
+    // nothing, so swallow it rather than fail a committed write
+    try AtomicFiles.replace(conf, new Path(pfDir(tableDir), PtrName),
       gen.toString.getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
 
   /** Total tombstone count recorded in the gen's commit marker. */
   def totalAt(spark: SparkSession, tableDir: String, gen: Int): Long = {
@@ -508,6 +534,14 @@ private[graft] object DvPerFile {
         }
       } else if (n.startsWith("_commit.g")) {
         val g = scala.util.Try(n.stripPrefix("_commit.g").toInt)
+          .getOrElse(Int.MaxValue)
+        if (g < minMarkerKeep && !keepMarkers.contains(g))
+          fs.delete(s.getPath, false)
+      } else if (n.startsWith("_claim.g")) {
+        // a claim below every kept ceiling can never be re-claimed
+        // (claim floors start above the retained maximum), so it is
+        // pure debris once its marker window closes
+        val g = scala.util.Try(n.stripPrefix("_claim.g").toInt)
           .getOrElse(Int.MaxValue)
         if (g < minMarkerKeep && !keepMarkers.contains(g))
           fs.delete(s.getPath, false)

@@ -60,10 +60,14 @@ import org.apache.spark.sql.types.StructType
   * recomputes its victims against the winner's rows, and an op whose
   * preconditions no longer hold fails loud. A drain and a
   * maintenance job (clusterSmall/vacuum) therefore BOTH land instead
-  * of silently losing one. Remaining boundary (see [[dirLocks]]):
-  * tombstone-WRITING ops in different PROCESSES can tear each other's
-  * in-flight side state and need external coordination; in-process
-  * they serialize on the commit monitor.
+  * of silently losing one. Since round 13 the side state is safe
+  * cross-PROCESS too: broadcast tombstone sets stage in
+  * attempt-unique `tombs_v<k>_<uid>` dirs recorded in the meta
+  * token, and per-file sidecar generations are allocated by
+  * put-if-absent claim files ([[DvPerFile.claimGen]]) — concurrent
+  * tombstone writers never touch the same side files, so the meta
+  * put-if-absent alone picks the winner (see [[dirLocks]], now an
+  * optimization).
   *
   * TOMBSTONE TIERS (same two-regime design as [[DeletionVectors]],
   * composed here under the version log — the round-10 verdict's top
@@ -100,24 +104,29 @@ object MorLog {
     extends RuntimeException(
       s"version $v of $dir was committed by a concurrent writer")
 
-  /** Per-table in-process monitor serializing the side-state-plus-meta
-    * commit section of tombstone-writing ops (their tombs dirs /
-    * sidecar generations are keyed by the attempted version/gen, so
-    * two IN-PROCESS writers must not physically interleave those
-    * writes; the meta put-if-absent then decides the logical winner).
-    * Cross-PROCESS, the meta commit is still exclusive — a losing
-    * writer's orphan side state is torn-attempt debris the retry
-    * ([[DvPerFile.rollbackAbove]]) and [[vacuum]] clean — but two
-    * processes writing TOMBSTONES concurrently can tear each other's
-    * in-flight side files and need external coordination (the same
-    * boundary Delta draws: DV file names come from its log service).
-    * Appends, rewrites, restores and schema commits are fully safe
-    * cross-process. */
+  /** Per-table in-process monitor over the commit section of
+    * tombstone-writing ops — an OPTIMIZATION only, since round 13:
+    * broadcast tombstone sets stage in attempt-unique
+    * `tombs_v<v>_<uid>` dirs recorded in the meta token, and per-file
+    * sidecar generations are allocated by put-if-absent CLAIM files
+    * ([[DvPerFile.claimGen]]), so concurrent tombstone writers — in-
+    * OR cross-process — physically never touch the same side files
+    * and the meta put-if-absent alone decides the winner (the
+    * property spec re-runs with this monitor disabled). Serializing
+    * in-process writers just converts doomed side-state work into an
+    * early [[CommitConflictException]]. */
   private val dirLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Test seam: bypass the in-process monitor so specs can prove the
+    * commit protocol alone (uid dirs + gen claims + meta
+    * put-if-absent) carries correctness — the cross-process
+    * situation, where no shared monitor exists. */
+  @volatile private[graft] var disableDirLocks = false
+
   private def locked[T](dir: String)(body: => T): T =
-    dirLocks.computeIfAbsent(dir, _ => new Object).synchronized(body)
+    if (disableDirLocks) body
+    else dirLocks.computeIfAbsent(dir, _ => new Object).synchronized(body)
 
   /** Fail fast BEFORE side-state writes when the version was already
     * taken (the meta create would catch it anyway — this keeps the
@@ -167,12 +176,17 @@ object MorLog {
 
   /** One version's committed state (file list fully resolved).
     * Tombstone pointer is EITHER `tombsV` ≥ 0 (broadcast tier: the
-    * version whose `tombs_v<k>` dir holds the current full set) OR
-    * `pfCeil` ≥ 0 (per-file tier: the [[DvPerFile]] marker ceiling),
-    * never both; both −1 = no deletes. */
+    * version whose `tombs_v<k>[_<uid>]` dir holds the current full
+    * set — `tombsUid` is the ATTEMPT-unique suffix, empty on legacy
+    * metas) OR `pfCeil` ≥ 0 (per-file tier: the [[DvPerFile]] marker
+    * ceiling), never both; both −1 = no deletes. The uid makes the
+    * broadcast tombstone write safe cross-PROCESS: two attempts at
+    * the same version stage disjoint dirs and the meta put-if-absent
+    * picks whose dir is live — an OCC loser can no longer clobber a
+    * winner's already-committed set. */
   final case class State(version: Int, action: String, tombsV: Int,
                          pfCeil: Int, schema: StructType,
-                         files: Seq[String])
+                         files: Seq[String], tombsUid: String = "")
 
   private def conf(spark: SparkSession) =
     spark.sparkContext.hadoopConfiguration
@@ -180,7 +194,12 @@ object MorLog {
     new Path(dir).getFileSystem(conf(spark))
   private def metaPath(dir: String, v: Int) =
     new Path(s"$dir/$LogDir/v$v.meta")
-  private def tombsDir(dir: String, v: Int) = s"$dir/$LogDir/tombs_v$v"
+  private def tombsName(v: Int, uid: String) =
+    s"tombs_v$v" + (if (uid.isEmpty) "" else s"_$uid")
+  private def tombsDir(dir: String, v: Int, uid: String = "") =
+    s"$dir/$LogDir/${tombsName(v, uid)}"
+  private def newUid(): String =
+    java.util.UUID.randomUUID().toString.take(8)
 
   /** A state's file entry is usually a bare name in the table dir; a
     * SHALLOW CLONE references its source's files by ABSOLUTE path —
@@ -215,12 +234,18 @@ object MorLog {
 
   // ---- meta format -------------------------------------------------
 
-  private def tombsToken(tombsV: Int, pfCeil: Int): String =
-    if (pfCeil >= 0) s"pf$pfCeil" else tombsV.toString
+  private def tombsToken(tombsV: Int, pfCeil: Int, uid: String): String =
+    if (pfCeil >= 0) s"pf$pfCeil"
+    else if (tombsV >= 0 && uid.nonEmpty) s"${tombsV}_$uid"
+    else tombsV.toString
 
-  private def parseTombsToken(t: String): (Int, Int) =
-    if (t.startsWith("pf")) (-1, t.stripPrefix("pf").toInt)
-    else (t.toInt, -1)
+  /** (tombsV, pfCeil, uid). Legacy tokens carry no uid. */
+  private def parseTombsToken(t: String): (Int, Int, String) =
+    if (t.startsWith("pf")) (-1, t.stripPrefix("pf").toInt, "")
+    else t.split("_", 2) match {
+      case Array(v, uid) => (v.toInt, -1, uid)
+      case _ => (t.toInt, -1, "")
+    }
 
   /** Raw meta lines: (action, tombsToken, schemaJson, kind,
     * fileLines). `kind` ∈ full | delta. */
@@ -258,7 +283,8 @@ object MorLog {
     val fileLines =
       if (full) st.files
       else added.map("+" + _) ++ removed.map("-" + _)
-    val body = (Seq(st.action, tombsToken(st.tombsV, st.pfCeil),
+    val body = (Seq(st.action,
+      tombsToken(st.tombsV, st.pfCeil, st.tombsUid),
       st.schema.json, if (full) "full" else "delta") ++ fileLines)
       .mkString("\n")
     if (!AtomicFiles.createExclusive(conf(spark),
@@ -436,10 +462,10 @@ object MorLog {
         }
     }
     val (action, tok, schemaJson, _, _) = metas.last._2
-    val (tombsV, pfCeil) = parseTombsToken(tok)
+    val (tombsV, pfCeil, tombsUid) = parseTombsToken(tok)
     val st = State(v, action, tombsV, pfCeil,
       org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-        .asInstanceOf[StructType], files)
+        .asInstanceOf[StructType], files, tombsUid)
     stateCache.put(key, st)
     st
   }
@@ -524,7 +550,7 @@ object MorLog {
       commitPauseHook(dir, v)
       try writeState(spark, dir,
         State(v, "append", st.tombsV, st.pfCeil, st.schema,
-          st.files ++ names), st.files)
+          st.files ++ names, st.tombsUid), st.files)
       catch { case e: CommitConflictException =>
         discardStaged(spark, dir, names); throw e
       }
@@ -567,7 +593,7 @@ object MorLog {
     commitPauseHook(dir, st.version + 1)
     writeState(spark, dir,
       State(st.version + 1, s"dropcol:$colName", st.tombsV, st.pfCeil,
-        narrowed, st.files), st.files)
+        narrowed, st.files, st.tombsUid), st.files)
   }
 
   /** METADATA-ONLY RENAME COLUMN (Delta's column-mapping rename, the
@@ -602,7 +628,7 @@ object MorLog {
     commitPauseHook(dir, st.version + 1)
     writeState(spark, dir,
       State(st.version + 1, s"rename:$from>$to", st.tombsV, st.pfCeil,
-        renamed, st.files), st.files)
+        renamed, st.files, st.tombsUid), st.files)
   }
 
   def evolveAppend(spark: SparkSession, dir: String,
@@ -653,7 +679,7 @@ object MorLog {
     commitPauseHook(dir, v)
     try writeState(spark, dir,
       State(v, "evolve", st.tombsV, st.pfCeil, union,
-        st.files ++ names), st.files)
+        st.files ++ names, st.tombsUid), st.files)
     catch { case e: CommitConflictException =>
       discardStaged(spark, dir, names); throw e
     }
@@ -799,7 +825,8 @@ object MorLog {
   private def tombsOf(spark: SparkSession, dir: String,
                       st: State): Option[DataFrame] =
     if (st.tombsV < 0) None
-    else Sidecars.readRaw(spark, s"$dir/$LogDir", s"tombs_v${st.tombsV}",
+    else Sidecars.readRaw(spark, s"$dir/$LogDir",
+      tombsName(st.tombsV, st.tombsUid),
       Seq(FileCol, RowCol)) match {
       case None => throw new IllegalStateException(
         s"version ${st.version}: tombstone set v${st.tombsV} unreadable")
@@ -846,23 +873,32 @@ object MorLog {
   /** Commit `victims` (RPath/RName/RRow rows) as the next tombstone
     * state, MIGRATING to the per-file tier when the accumulated set
     * crosses the broadcast guard. Returns (newly deleted count,
-    * tombsV, pfCeil) for the caller's meta — the caller commits the
-    * meta; on a crash before that, [[DvPerFile.rollbackAbove]] (run
-    * here on entry) and tombs-dir overwrite make the retry clean. */
+    * tombsV, tombsUid, pfCeil) for the caller's meta — the caller
+    * commits the meta. Broadcast-tier sets land in an ATTEMPT-UNIQUE
+    * `tombs_v<v>_<uid>` dir recorded in the meta token: concurrent
+    * attempts (in- or cross-process) stage disjoint dirs, the meta
+    * put-if-absent picks whose is live, and losers'/crashed attempts'
+    * dirs are unreferenced debris for [[vacuum]]'s sweep. */
   private def commitTombs(spark: SparkSession, dir: String, st: State,
                           victims: DataFrame,
-                          v: Int): (Long, Int, Int) = {
+                          v: Int): (Long, Int, String, Int) = {
     if (st.pfCeil >= 0) {
       // per-file tier: merge only affected files' sidecars, FROM the
       // current version's ceiling (post-restore that may be older
-      // than the retained maximum) ABOVE every retained generation
+      // than the retained maximum) at an EXCLUSIVELY-CLAIMED gen
+      // above every retained generation — concurrent writers (in- or
+      // cross-process) claim disjoint gens and write disjoint
+      // sidecar/marker names, the meta put-if-absent picks whose gen
+      // is live, and orphan gens are debris no committed ceiling's
+      // marker map references (the old eager rollbackAbove sweep
+      // could tear a concurrent writer's in-flight generation).
       val maxCeil = maxRetainedCeil(spark, dir)
-      DvPerFile.rollbackAbove(spark, dir, maxCeil)
+      val gen = DvPerFile.claimGen(conf(spark), dir, maxCeil + 1)
       val added = DvPerFile.mergeCommit(spark, dir,
         victims.select(col(RPath).as(FileCol), col(RRow).as(RowCol)),
-        gc = false, baseCeil = st.pfCeil, nextGen = maxCeil + 1)
-      val ceil = if (added > 0) maxCeil + 1 else st.pfCeil
-      (added, -1, ceil)
+        gc = false, baseCeil = st.pfCeil, nextGen = gen)
+      val ceil = if (added > 0) gen else st.pfCeil
+      (added, -1, "", ceil)
     } else {
       val prev = tombsOf(spark, dir, st)
       val prevN = prev.map(_.count()).getOrElse(0L)
@@ -873,19 +909,23 @@ object MorLog {
         .distinct().persist()
       try {
         val n = all.count()
-        if (n == prevN) (0L, st.tombsV, -1)
+        if (n == prevN) (0L, st.tombsV, st.tombsUid, -1)
         else if (n > guard(spark)) {
           // guard crossing: the whole set lands per-file ONCE; every
           // later batch is O(changed files). Gen numbering continues
-          // any markers left by a pre-compaction migration.
-          val gen = DvPerFile.committedGen(spark, dir).getOrElse(0) + 1
+          // any markers left by a pre-compaction migration; the gen
+          // is claimed put-if-absent like every mergeCommit gen.
+          val gen = DvPerFile.claimGen(conf(spark), dir,
+            DvPerFile.committedGen(spark, dir).getOrElse(0) + 1)
           DvPerFile.migrate(spark, dir,
             all.select(concat(lit(s"$dir/"), col(FileCol)).as(FileCol),
               col(RowCol)), gen, n)
-          (n - prevN, -1, gen)
+          (n - prevN, -1, "", gen)
         } else {
-          all.coalesce(1).write.mode("overwrite").parquet(tombsDir(dir, v))
-          (n - prevN, v, -1)
+          val uid = newUid()
+          all.coalesce(1).write.mode("overwrite")
+            .parquet(tombsDir(dir, v, uid))
+          (n - prevN, v, uid, -1)
         }
       } finally all.unpersist()
     }
@@ -924,8 +964,8 @@ object MorLog {
     commitPauseHook(dir, v)
     locked(dir) {
     checkFree(spark, dir, v)
-    val (added, tombsV, pfCeil) =
-      if (scanFiles.isEmpty) (0L, st.tombsV, st.pfCeil)
+    val (added, tombsV, tombsUid, pfCeil) =
+      if (scanFiles.isEmpty) (0L, st.tombsV, st.tombsUid, st.pfCeil)
       else {
         val visible = minusTombs(spark, dir, st,
           readFilesWithId(spark, dir, st, scanFiles))
@@ -959,7 +999,8 @@ object MorLog {
           tombCounts.getOrElse(nameOf(f), 0L)).sum
       }
     writeState(spark, dir,
-      State(v, "delete", tombsV, pfCeil, st.schema, remaining), st.files)
+      State(v, "delete", tombsV, pfCeil, st.schema, remaining, tombsUid),
+      st.files)
     added + droppedRows
     }
   }
@@ -1057,25 +1098,26 @@ object MorLog {
       // rewrite; kept files' entries carry into the new version's set.
       // Per-file tier: nothing to rewrite at all — the ceiling carries
       // over and only scanned (kept) files' sidecars are ever probed.
-      val newTombsV =
-        if (st.pfCeil >= 0) -1
+      val (newTombsV, newUidV) =
+        if (st.pfCeil >= 0) (-1, "")
         else tombsOf(spark, dir, st) match {
-          case None => -1
+          case None => (-1, "")
           case Some(t) =>
             val kept = t.filter(col(FileCol).isInCollection(keepNames))
               .persist()
             try {
-              if (kept.isEmpty) -1
+              if (kept.isEmpty) (-1, "")
               else {
+                val uid = newUid()
                 kept.coalesce(1).write.mode("overwrite")
-                  .parquet(tombsDir(dir, v))
-                v
+                  .parquet(tombsDir(dir, v, uid))
+                (v, uid)
               }
             } finally kept.unpersist()
         }
       writeState(spark, dir,
         State(v, action, newTombsV, st.pfCeil, st.schema,
-          keepNames ++ packed), st.files)
+          keepNames ++ packed, newUidV), st.files)
     } catch { case e: CommitConflictException =>
       discardStaged(spark, dir, packed); throw e
     }
@@ -1142,6 +1184,8 @@ object MorLog {
     val newTombsV = st.tombsV match {
       case tv if tv < 0 => -1
       case _ =>
+        // fresh dst dir (create-race guarded by the meta): the plain
+        // un-uid'd name is unambiguous here
         tombsOf(spark, srcDir, st).get.coalesce(1)
           .write.mode("overwrite").parquet(tombsDir(dstDir, v))
         v
@@ -1190,13 +1234,15 @@ object MorLog {
     val fs = fsOf(spark, dir)
     var deleted = 0
     if (drop.nonEmpty) {
-      val keptTombs = keptStates.map(_.tombsV).filter(_ >= 0).toSet
+      val keptTombs = keptStates.filter(_.tombsV >= 0)
+        .map(s => tombsName(s.tombsV, s.tombsUid)).toSet
       // the oldest retained meta must reconstruct without the dropped
       // ones: upgrade it to a checkpoint in place (same resolved
       // content, so caches stay valid)
       val oldest = keptStates.head
       val body = (Seq(oldest.action,
-        tombsToken(oldest.tombsV, oldest.pfCeil), oldest.schema.json,
+        tombsToken(oldest.tombsV, oldest.pfCeil, oldest.tombsUid),
+        oldest.schema.json,
         "full") ++ oldest.files).mkString("\n")
       AtomicFiles.replace(conf(spark), metaPath(dir, oldest.version),
         body.getBytes("UTF-8"))
@@ -1215,8 +1261,9 @@ object MorLog {
           if (!isForeign(n) &&
               fs.delete(new Path(s"$dir/$n"), false)) deleted += 1
         }
-        if (st.tombsV >= 0 && !keptTombs.contains(st.tombsV))
-          fs.delete(new Path(tombsDir(dir, st.tombsV)), true)
+        if (st.tombsV >= 0 &&
+            !keptTombs.contains(tombsName(st.tombsV, st.tombsUid)))
+          fs.delete(new Path(tombsDir(dir, st.tombsV, st.tombsUid)), true)
         fs.delete(metaPath(dir, st.version), false)
         fs.delete(statsPath(dir, st.version), false)
       }
@@ -1251,7 +1298,8 @@ object MorLog {
     val maxCommitted = vs.foldLeft(-1)(math.max)
     val logP = new Path(s"$dir/$LogDir")
     if (fs.exists(logP)) {
-      val keptTombs2 = keptStates.map(_.tombsV).filter(_ >= 0).toSet
+      val keptTombs2 = keptStates.filter(_.tombsV >= 0)
+        .map(s => tombsName(s.tombsV, s.tombsUid)).toSet
       fs.listStatus(logP).iterator.foreach { s =>
         val n = s.getPath.getName
         if (n.startsWith("_stage_v")) {
@@ -1263,11 +1311,14 @@ object MorLog {
             .takeWhile(_.isDigit).toInt).toOption
           if (!k.exists(committed)) fs.delete(s.getPath, true)
         } else if (n.startsWith("tombs_v")) {
-          // tombstone dir no retained state points at, below the tip
-          // (an above-tip dir may be a concurrent writer's in-flight
-          // side state)
-          val k = scala.util.Try(n.stripPrefix("tombs_v").toInt).toOption
-          if (k.exists(j => j <= maxCommitted && !keptTombs2.contains(j)))
+          // tombstone dir no retained state points at (the name may
+          // carry an attempt uid), below the entry-time tip — an
+          // above-tip dir may be a concurrent writer's in-flight side
+          // state, and uid'd dirs of post-entry commits are spared by
+          // the same guard
+          val k = scala.util.Try(n.stripPrefix("tombs_v")
+            .takeWhile(_.isDigit).toInt).toOption
+          if (k.exists(j => j <= maxCommitted && !keptTombs2.contains(n)))
             fs.delete(s.getPath, true)
         }
       }
@@ -1477,7 +1528,7 @@ object MorLog {
           commitPauseHook(dir, v)
           writeState(spark, dir,
             State(v, actionTag, st.tombsV, st.pfCeil, st.schema,
-              st.files), st.files)
+              st.files, st.tombsUid), st.files)
         } else {
           // staging happens OUTSIDE the commit section (attempt-unique
           // names can't collide); the tombstone commit and the meta
@@ -1490,8 +1541,8 @@ object MorLog {
           commitPauseHook(dir, v)
           try locked(dir) {
             checkFree(spark, dir, v)
-            val (_, tombsV, pfCeil) =
-              if (scanFiles.isEmpty) (0L, st.tombsV, st.pfCeil)
+            val (_, tombsV, tombsUid, pfCeil) =
+              if (scanFiles.isEmpty) (0L, st.tombsV, st.tombsUid, st.pfCeil)
               else {
                 val visible = minusTombs(spark, dir, st,
                   readFilesWithId(spark, dir, st, scanFiles))
@@ -1502,7 +1553,7 @@ object MorLog {
               }
             writeState(spark, dir,
               State(v, actionTag, tombsV, pfCeil, st.schema,
-                st.files ++ names), st.files)
+                st.files ++ names, tombsUid), st.files)
           } catch { case e: CommitConflictException =>
             discardStaged(spark, dir, names); throw e
           }
@@ -1570,8 +1621,8 @@ object MorLog {
         checkFree(spark, dir, v)
         // every batch key's CURRENT row dies: deletes stay dead,
         // upserts are replaced by their staged row
-        val (deleted, tombsV, pfCeil) =
-          if (scanFiles.isEmpty) (0L, st.tombsV, st.pfCeil)
+        val (deleted, tombsV, tombsUid, pfCeil) =
+          if (scanFiles.isEmpty) (0L, st.tombsV, st.tombsUid, st.pfCeil)
           else {
             val visible = minusTombs(spark, dir, st,
               readFilesWithId(spark, dir, st, scanFiles))
@@ -1582,7 +1633,7 @@ object MorLog {
           }
         writeState(spark, dir,
           State(v, actionTag, tombsV, pfCeil, st.schema,
-            st.files ++ names), st.files)
+            st.files ++ names, tombsUid), st.files)
         (deleted, nUp)
       } catch { case e: CommitConflictException =>
         discardStaged(spark, dir, names); throw e
@@ -1730,13 +1781,13 @@ object MorLog {
                   col(s"t.$keyCol") === b(keyCol), "left_anti")
                 .filter(coalesce(expr(c), lit(false)))))
           }
-          val (added, tombsV, pfCeil) =
+          val (added, tombsV, tombsUid, pfCeil) =
             if (nUpd + nMDel == 0 && notMatchedBySourceDelete.isEmpty)
-              (0L, st.tombsV, st.pfCeil)
+              (0L, st.tombsV, st.tombsUid, st.pfCeil)
             else commitTombs(spark, dir, st, victims, v)
           writeState(spark, dir,
             State(v, actionTag, tombsV, pfCeil, st.schema,
-              st.files ++ names), st.files)
+              st.files ++ names, tombsUid), st.files)
           (nUpd, added - nUpd, nIns)
         } catch { case e: CommitConflictException =>
           discardStaged(spark, dir, names); throw e
@@ -1863,7 +1914,7 @@ object MorLog {
       commitPauseHook(dir, cur.version + 1)
       writeState(spark, dir,
         State(cur.version + 1, s"restore:v$v", st.tombsV, st.pfCeil,
-          st.schema, st.files), cur.files)
+          st.schema, st.files, st.tombsUid), cur.files)
     }
 
   /** The tombstones ADDED between two consecutive states, as (file
@@ -1873,7 +1924,8 @@ object MorLog {
   private def tombsDelta(spark: SparkSession, dir: String,
                          prev: State, st: State): Option[DataFrame] =
     (prev.pfCeil, st.pfCeil) match {
-      case (_, p) if p < 0 && st.tombsV == prev.tombsV => None
+      case (_, p) if p < 0 && st.tombsV == prev.tombsV &&
+        st.tombsUid == prev.tombsUid => None
       case (pp, p) if pp >= 0 && p >= 0 =>
         if (pp == p) None
         else Some(DvPerFile.tombstoneDelta(spark, dir, pp, p)

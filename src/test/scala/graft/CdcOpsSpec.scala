@@ -12,6 +12,9 @@ object SparkTestSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
+    // mirror GraftSession: standard INT64-micros timestamps (footer
+    // stats + the DSv2 reader's standard decode; INT96 has neither)
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -119,6 +119,91 @@ class Round13Spec extends AnyFunSuite {
     assert(snap.count() == 39)
   }
 
+  test("cross-process tombstone safety: concurrent tombstone writers land with the in-process monitor DISABLED (broadcast tier)") {
+    val dir = tmp("r13_occ_nolock") + "/t"
+    MorLog.create(spark.range(0, 100)
+      .select(col("id"), lit(0L).as("v")).repartition(4), dir)
+    val nThreads = 3; val opsEach = 2
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    MorLog.disableDirLocks = true
+    try {
+      // every op UPDATES existing keys, so every commit writes a
+      // broadcast tombstone set — the exact side state the old
+      // version-keyed dir could tear cross-process
+      val writers = (0 until nThreads).map { t =>
+        new Thread(() => try {
+          (0 until opsEach).foreach { i =>
+            MorLog.upsert(spark, dir,
+              spark.range(t * 20L, t * 20L + 10)
+                .select(col("id"), lit(t * 100L + i + 1).as("v")), "id")
+          }
+        } catch { case e: Throwable => errs.add(e) })
+      }
+      writers.foreach(_.start()); writers.foreach(_.join(300000))
+    } finally MorLog.disableDirLocks = false
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    val vs = MorLog.versions(spark, dir)
+    assert(vs == (0 to vs.max).toSeq, s"version gap: $vs")
+    val got = MorLog.read(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 100, s"row count drifted: ${got.size}")
+    (0 until nThreads).foreach { t =>
+      (t * 20L until t * 20L + 10).foreach(k =>
+        assert(got(k) == t * 100L + opsEach,
+          s"thread $t key $k lost its last write: ${got(k)}"))
+    }
+    assert(got(90L) == 0L, "an untouched base row drifted")
+    // the committed sets live in attempt-unique dirs
+    val logDir = new java.io.File(s"$dir/_log")
+    assert(logDir.listFiles().exists(f =>
+      f.getName.matches("tombs_v\\d+_[0-9a-f]{8}")),
+      "broadcast tombstone dirs must carry the attempt uid")
+  }
+
+  test("cross-process tombstone safety: per-file-tier writers claim disjoint generations, monitor disabled") {
+    val dir = tmp("r13_occ_pf") + "/t"
+    MorLog.create(spark.range(0, 100)
+      .select(col("id"), lit(0L).as("v")).repartition(4), dir)
+    // push the table into the per-file tier first
+    spark.conf.set(graft.sink.DeletionVectors.GuardConfKey, "2")
+    try {
+      MorLog.deleteWhere(spark, dir, col("id") % 10 === 9)
+      assert(MorLog.state(spark, dir,
+        MorLog.currentVersion(spark, dir)).pfCeil >= 0)
+      val errs =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      MorLog.disableDirLocks = true
+      try {
+        val writers = (0 until 3).map { t =>
+          new Thread(() => try {
+            MorLog.upsert(spark, dir,
+              spark.range(t * 20L, t * 20L + 10)
+                .select(col("id"), lit(t + 1L).as("v")), "id")
+          } catch { case e: Throwable => errs.add(e) })
+        }
+        writers.foreach(_.start()); writers.foreach(_.join(300000))
+      } finally MorLog.disableDirLocks = false
+      assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+      val vs = MorLog.versions(spark, dir)
+      assert(vs == (0 to vs.max).toSeq, s"version gap: $vs")
+      // 100 − 10 deleted (…%10==9) + 3 re-inserted by the upserts
+      // (upsert = insert-or-update; keys 9/29/49 sit in upsert ranges)
+      val got = MorLog.read(spark, dir).as[(Long, Long)].collect().toMap
+      assert(got.size == 93, s"row count drifted: ${got.size}")
+      (0 until 3).foreach { t =>
+        (t * 20L until t * 20L + 10).foreach(k =>
+          assert(got(k) == t + 1L, s"key $k lost its write: ${got(k)}"))
+      }
+      assert(!got.contains(59L) && !got.contains(99L),
+        "a deleted key outside the upsert ranges resurfaced")
+      // gen numbers were claimed put-if-absent
+      val pf = new java.io.File(s"$dir/_dvpf")
+      assert(pf.listFiles().exists(_.getName.startsWith("_claim.g")),
+        "per-file generations must be claim-allocated")
+    } finally
+      spark.conf.unset(graft.sink.DeletionVectors.GuardConfKey)
+  }
+
   test("state cache is LRU: a span walk over a >cap-version log pays one meta read per version") {
     val dir = tmp("r13_lru")
     val n = 30
