@@ -571,6 +571,11 @@ object SparkEntry {
     "q270_morlog_dsv2"      -> ((s, d) => CoreQueries.morLogSqlRead(s, d)),
     // streaming CDC-MERGE drain: mixed I/U/D batches, one version each
     "q271_morlog_stream_merge" -> ((s, d) => CoreQueries.morLogStreamMerge(s, d)),
+    // the connector decodes the reference's fact types: timestamp
+    // (pushed + stats-pruned), decimal(10,2), nested struct
+    "q272_morlog_typed_dsv2" -> ((s, d) => CoreQueries.morLogTypedRead(s, d)),
+    // the change feed through the connector: changesFrom/changesTo
+    "q273_morlog_changes_dsv2" -> ((s, d) => CoreQueries.morLogChangesSql(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1382,6 +1387,39 @@ object SparkEntry {
              AS total_amount,
            CAST(sum(event_id) AS BIGINT) AS sum_event_id
          FROM u, m WHERE event_id >= m.cut GROUP BY event_type""",
+    // the typed connector read: same lifecycle over the bookings-fact
+    // shape (timestamp cut, decimal money, nested status field)
+    "q272_morlog_typed_dsv2" ->
+      """WITH base AS (SELECT o_orderkey AS booking_id,
+             CAST(floor(o_totalprice * 100 + 0.5) / 100
+               AS DECIMAL(10,2)) AS price,
+             o_orderdate AS ts, o_orderstatus AS status
+           FROM orders WHERE o_orderkey % 10 <> 6),
+         u AS (SELECT booking_id, ts, status,
+             CASE WHEN booking_id % 7 = 0 THEN price + 100 ELSE price END
+               AS price
+           FROM base)
+         SELECT status, CAST(count(*) AS BIGINT) AS n_bookings,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(sum(booking_id) AS BIGINT) AS sum_id
+         FROM u WHERE ts >= TIMESTAMP '1999-01-01 00:00:00'
+         GROUP BY status""",
+    // the change feed through the connector: v1 deletes every 10th
+    // key, v2's upsert is its delete+insert pair (raw per-version
+    // events, Delta's table_changes shape)
+    "q273_morlog_changes_dsv2" ->
+      """WITH del1 AS (SELECT event_id, event_type, 'delete' AS ct,
+             1 AS v FROM events WHERE event_id % 10 = 3),
+         up AS (SELECT event_id, event_type FROM events
+           WHERE event_id % 10 <> 3 AND event_id % 9 = 0),
+         ev AS (SELECT * FROM del1
+           UNION ALL SELECT event_id, event_type, 'delete', 2 FROM up
+           UNION ALL SELECT event_id, event_type, 'insert', 2 FROM up)
+         SELECT ct AS change_type, v AS commit_version, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id
+         FROM ev GROUP BY 1, 2, 3""",
     // the in-bin offset of a doc is its global token start mod the
     // budget; boundaries ride as a CSV in doc order
     "q266_pack_boundaries" ->

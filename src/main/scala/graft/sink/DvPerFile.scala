@@ -232,7 +232,7 @@ private[graft] object DvPerFile {
       throw new java.io.IOException(s"rename $tmp -> $dst failed")
   }
 
-  private[sink] def readSidecar(conf: Configuration,
+  private[graft] def readSidecar(conf: Configuration,
                                 p: Path): (String, Array[Long]) = {
     val fs = p.getFileSystem(conf)
     val in = new java.io.DataInputStream(
@@ -284,7 +284,7 @@ private[graft] object DvPerFile {
     * marker this module writes); the directory-listing fallback only
     * serves legacy markers and is counted so specs can pin "zero
     * listings" on the modern path. */
-  private[sink] def resolve(conf: Configuration, tableDir: String,
+  private[graft] def resolve(conf: Configuration, tableDir: String,
                             ceiling: Int): Map[String, Int] =
     markerMap(conf, tableDir, ceiling).getOrElse {
       DvScanCache.noteListingFallback()
@@ -313,7 +313,7 @@ private[graft] object DvPerFile {
       .toSeq.groupBy(_._1).map { case (n, gs) => n -> gs.map(_._2).max }
   }
 
-  private def sidecarPath(tableDir: String, name: String, gen: Int): Path =
+  private[graft] def sidecarPath(tableDir: String, name: String, gen: Int): Path =
     new Path(pfDir(tableDir), s"$name.g$gen.dv")
 
   // ---- write paths -------------------------------------------------
@@ -335,7 +335,7 @@ private[graft] object DvPerFile {
 
   /** Serializable Hadoop-conf wrapper for executor-side sidecar IO
     * (the Spark-internal equivalent is private[spark]). */
-  private[sink] class SerConf(@transient var value: Configuration)
+  private[graft] class SerConf(@transient var value: Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit =
       value.write(out)
@@ -762,11 +762,11 @@ object DvScanCache {
   private[sink] def noteListingFallback(): Unit = fallbacks.incrementAndGet()
   private[graft] def listingFallbackCount: Long = fallbacks.get()
 
-  private def mapOf(pfDir: String, ceiling: Int): Map[String, Int] = {
+  private def mapOf(conf: Configuration, pfDir: String,
+                    ceiling: Int): Map[String, Int] = {
     val key = s"$pfDir#$ceiling"
     var m = listings.get(key)
     if (m == null) {
-      val conf = new Configuration()
       val tableDir = pfDir.stripSuffix(s"/${DvPerFile.SubDir}")
       m = DvPerFile.markerMap(conf, tableDir, ceiling).getOrElse {
         noteListingFallback()
@@ -778,13 +778,14 @@ object DvScanCache {
     m
   }
 
-  private def setOf(pfDir: String, ceiling: Int, name: String): Array[Long] = {
+  private def setOf(conf: Configuration, pfDir: String, ceiling: Int,
+                    name: String): Array[Long] = {
     val key = s"$pfDir#$ceiling#$name"
     var a = sets.get(key)
     if (a == null) {
-      a = mapOf(pfDir, ceiling).get(name) match {
+      a = mapOf(conf, pfDir, ceiling).get(name) match {
         case Some(g) =>
-          DvPerFile.readSidecar(new Configuration(),
+          DvPerFile.readSidecar(conf,
             new Path(pfDir, s"$name.g$g.dv"))._2
         case None => Empty
       }
@@ -797,13 +798,23 @@ object DvScanCache {
   /** Hot path: called once per scanned row from generated code. The
     * file-name suffix extraction and map lookup run once per DISTINCT
     * file per thread in practice (the metadata column is constant per
-    * split); the per-row cost is the binary search. */
+    * split); the per-row cost is the binary search. The codegen path
+    * carries no session handle, so it reads under the executor's
+    * default Hadoop configuration (classpath core-site — the standard
+    * executor assumption); callers that HAVE the driver's
+    * configuration (the DSv2 readers) pass it through the overload so
+    * object-store credentials are honored. */
   def deleted(pfDir: String, ceiling: Int, file: UTF8String,
-              row: Long): Boolean = {
+              row: Long): Boolean =
+    deleted(new Configuration(), pfDir, ceiling, file, row)
+
+  def deleted(conf: Configuration, pfDir: String, ceiling: Int,
+              file: UTF8String, row: Long): Boolean = {
     if (file == null) return false
     val s = file.toString
     val name = s.substring(s.lastIndexOf('/') + 1)
-    java.util.Arrays.binarySearch(setOf(pfDir, ceiling, name), row) >= 0
+    java.util.Arrays.binarySearch(
+      setOf(conf, pfDir, ceiling, name), row) >= 0
   }
 }
 

@@ -1871,6 +1871,136 @@ object MorLog {
       bTombs, st.pfCeil, skip.size)
   }
 
+  /** One file's worth of change events for the connector CDF scan:
+    * (absolute path, commit version, change type, row-selection mode
+    * ∈ all|include|exclude, broadcast-tier row indexes, per-file-tier
+    * old/new sidecar paths). `include` emits exactly the rows the
+    * version tombstoned (sidecar-pair diff executor-side in the
+    * per-file tier); `exclude` emits a dropped file's previously
+    * VISIBLE rows. */
+  final case class ChangeFileSpec(file: String, version: Int,
+                                  changeType: String, mode: String,
+                                  idxs: Array[Long], oldSidecar: String,
+                                  newSidecar: String)
+
+  /** Connector facade for the CHANGE FEED ([[graft.sources
+    * .MorLogSource]] with `changesFrom`/`changesTo`): per-version raw
+    * change events over (fromV, toV] — Delta's `table_changes` shape
+    * (each commit's inserts and deletes tagged with
+    * `_change_type`/`_commit_version`; an upsert is its delete+insert
+    * pair; netting across versions is the consumer's GROUP BY, or
+    * [[incrementalChanges]] on the Scala side). Everything here is
+    * METADATA work: file-list diffs off cached states, sidecar-gen
+    * maps, and the broadcast tier's (metadata-sized) tombstone
+    * deltas; the row payloads stay in the per-file partitions the
+    * scan plans. Compactions/clusterings contribute nothing;
+    * RESTORE/RENAME inside the span and the broadcast→per-file
+    * migration crossing (whose delta is O(total set)) are rejected
+    * loud — consume those spans via [[incrementalChanges]]. */
+  private[graft] def connectorChangesPlan(spark: SparkSession,
+                                          dir: String, fromV: Int,
+                                          toV: Int)
+      : (StructType, Map[String, String], Seq[ChangeFileSpec]) = {
+    require(fromV < toV,
+      s"changesFrom must precede changesTo, got ($fromV, $toV]")
+    val span = versions(spark, dir).filter(v => v > fromV && v <= toV)
+    require(span.nonEmpty && span.max == toV &&
+      versions(spark, dir).contains(fromV),
+      s"change span ($fromV, $toV] not fully in $dir's log")
+    val hconf = conf(spark)
+    val toSt = state(spark, dir, toV)
+    var prev = state(spark, dir, fromV)
+    val specs = Seq.newBuilder[ChangeFileSpec]
+    span.foreach { v =>
+      val st = state(spark, dir, v)
+      require(!st.action.startsWith("restore:"),
+        s"changesFrom: version $v is a RESTORE — state rewinds " +
+          "non-monotonically inside the span; use MorLog.changes")
+      require(!st.action.startsWith("rename:"),
+        s"changesFrom: version $v is a RENAME — subscribe in two " +
+          "spans around it")
+      if (st.action != "compact" && st.action != "cluster") {
+        require(!(prev.pfCeil < 0 && st.pfCeil >= 0),
+          s"changesFrom: version $v crosses the broadcast→per-file " +
+            "tombstone migration (its delta is the whole accumulated " +
+            "set); consume this span via MorLog.incrementalChanges")
+        val prevSet = prev.files.toSet
+        val byName = prev.files.map(e =>
+          new Path(resolvePath(dir, e)).getName ->
+            resolvePath(dir, e)).toMap
+        st.files.filterNot(prevSet).foreach(f =>
+          specs += ChangeFileSpec(resolvePath(dir, f), v, "insert",
+            "all", Array.empty, "", ""))
+        val removed = prev.files.filterNot(st.files.toSet)
+        if (removed.nonEmpty) {
+          if (prev.pfCeil >= 0) {
+            val m = DvPerFile.resolve(hconf, dir, prev.pfCeil)
+            removed.foreach { e =>
+              val n = new Path(resolvePath(dir, e)).getName
+              specs += ChangeFileSpec(resolvePath(dir, e), v, "delete",
+                "exclude", Array.empty,
+                m.get(n).map(g =>
+                  DvPerFile.sidecarPath(dir, n, g).toString)
+                  .getOrElse(""), "")
+            }
+          } else {
+            val names = removed.map(e =>
+              new Path(resolvePath(dir, e)).getName)
+            val ex: Map[String, Array[Long]] =
+              tombsOf(spark, dir, prev) match {
+                case None => Map.empty
+                case Some(t) => t
+                  .filter(col(FileCol).isInCollection(names))
+                  .groupBy(col(FileCol))
+                  .agg(sort_array(collect_list(col(RowCol))).as("r"))
+                  .collect()
+                  .map(r => r.getString(0) ->
+                    r.getSeq[Long](1).toArray).toMap
+              }
+            removed.foreach { e =>
+              val n = new Path(resolvePath(dir, e)).getName
+              specs += ChangeFileSpec(resolvePath(dir, e), v, "delete",
+                "exclude", ex.getOrElse(n, Array.empty), "", "")
+            }
+          }
+        }
+        // tombstone growth this version
+        if (st.pfCeil >= 0 && st.pfCeil != prev.pfCeil) {
+          val fromMap = DvPerFile.resolve(hconf, dir, prev.pfCeil)
+          val toMap = DvPerFile.resolve(hconf, dir, st.pfCeil)
+          toMap.toSeq.sortBy(_._1).foreach { case (n, g) =>
+            if (!fromMap.get(n).contains(g)) byName.get(n).foreach(abs =>
+              specs += ChangeFileSpec(abs, v, "delete", "include",
+                Array.empty,
+                fromMap.get(n).map(og =>
+                  DvPerFile.sidecarPath(dir, n, og).toString)
+                  .getOrElse(""),
+                DvPerFile.sidecarPath(dir, n, g).toString))
+          }
+        } else if (st.pfCeil < 0 && (st.tombsV != prev.tombsV ||
+            st.tombsUid != prev.tombsUid) && st.tombsV >= 0) {
+          val newT = tombsOf(spark, dir, st).get
+          val delta = tombsOf(spark, dir, prev) match {
+            case None => newT
+            case Some(o) => newT.exceptAll(o)
+          }
+          delta.groupBy(col(FileCol))
+            .agg(sort_array(collect_list(col(RowCol))).as("r"))
+            .collect()
+            .foreach { r =>
+              byName.get(r.getString(0)).foreach(abs =>
+                specs += ChangeFileSpec(abs, v, "delete", "include",
+                  r.getSeq[Long](1).toArray, "", ""))
+            }
+        }
+      }
+      prev = st
+    }
+    (toSt.schema,
+      toSt.schema.fields.map(f => f.name -> physOf(f)).toMap,
+      specs.result())
+  }
+
   /** CDC_CHANGES between two committed versions, at key granularity:
     * (keys…, change ∈ insert/update/delete, _old, _new) — the
     * [[AtomicParquetSink.tableChanges]] classification over the log's

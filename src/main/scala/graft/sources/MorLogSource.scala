@@ -9,7 +9,7 @@ import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
 import org.apache.parquet.hadoop.api.ReadSupport
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.schema.MessageType
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -21,6 +21,8 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
+import graft.sink.{DvPerFile, MorLog}
+
 /** DataSourceV2 READ surface for the [[graft.sink.MorLog]] table tier
   * (the round-11 verdict's #9): time travel, the column mapping and
   * log-level stats skipping were Scala-API-only — this relation hands
@@ -29,8 +31,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *   spark.read.format("graft.sources.MorLogSource")
   *     .option("path", dir).option("versionAsOf", "7").load()
   *
-  *  - `versionAsOf` (optional) pins the snapshot; default = current.
-  *  - FILTER PUSHDOWN: claimed comparisons prune FILES through the
+  *  - `versionAsOf` (optional) pins the snapshot; default = current,
+  *    resolved ONCE per scan (plan and reader factory see the same
+  *    version even if a commit lands mid-planning — review-caught).
+  *  - `changesFrom` / `changesTo` (round 13): the CHANGE FEED over
+  *    (from, to] as per-version raw events — Delta's `table_changes`
+  *    shape: the snapshot schema plus `_change_type`
+  *    (insert|delete) and `_commit_version`; an upsert is its
+  *    delete+insert pair, netting across versions is the consumer's
+  *    GROUP BY. Partitions stay per-file: inserts scan the version's
+  *    added files, deletes re-read exactly the tombstoned rows (the
+  *    broadcast tier's delta rides the partition; the per-file tier
+  *    diffs its own sidecar pair executor-side). `changesTo` defaults
+  *    to the current version; invalid spans fail loud at plan time.
+  *  - FILTER PUSHDOWN (snapshot reads): claimed comparisons — incl.
+  *    timestamp, decimal and date literals — prune FILES through the
   *    log's per-file stats before any task launches (the same
   *    [[graft.sink.FileStats]] skipping `readWhere` uses — visible in
   *    the plan as PushedFilters and counted in [[MorLogSourceStats]])
@@ -39,30 +54,48 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - COLUMN PRUNING: the reader asks parquet for only the required
   *    columns, resolved through the tier's logical→PHYSICAL column
   *    mapping, so renamed columns read correctly at every version.
+  *  - TYPES: long/int/double/float/string/boolean/date PLUS
+  *    timestamp (INT64 micros/millis and legacy INT96), decimal
+  *    (int32/int64/binary-backed) and nested structs of these — the
+  *    reference's own fact schema (timestamp
+  *    reference synapse_table_creation.sql:37,46, decimal(10,2)
+  *    sql:20, nested property_location
+  *    dataset/BookingDataCosmosDB.json:40-50) reads through the
+  *    connector. Still-unsupported types fail at PLAN time, loudly.
   *  - TOMBSTONES are subtracted: broadcast-tier sets ride inside each
   *    file's own InputPartition (metadata-sized by that tier's
   *    definition); per-file-tier readers probe their file's sidecar
   *    through the executor-side [[graft.sink.DvScanCache]] — no
-  *    broadcast, no listing.
+  *    broadcast, no listing. Readers run under the DRIVER's Hadoop
+  *    configuration (shipped serialized), so object-store credentials
+  *    reach the executors.
   *
   * The reader materializes rows via parquet's example Group API — the
   * right trade for a SQL access path (correct, pushdown-pruned);
   * bulk-analytic scans keep the vectorized native path via
-  * [[graft.sink.MorLog.read]]/`readWhere`. The change feed likewise
-  * stays `incrementalChanges` (a feed is a computation, not a
-  * snapshot relation). */
+  * [[graft.sink.MorLog.read]]/`readWhere`. */
 class MorLogSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = org.apache.spark.sql.SparkSession.active
     val dir = options.get("path")
-    val v = Option(options.get("versionAsOf")).map(_.trim.toInt)
-    MorLogFacade.schemaOf(spark, dir, v)
+    MorLogFacade.changesSpan(spark, dir, options) match {
+      case Some((from, to)) =>
+        val (schema, _, _) = MorLog.connectorChangesPlan(spark, dir, from, to)
+        MorLogFacade.withChangeCols(schema)
+      case None =>
+        val v = Option(options.get("versionAsOf")).map(_.trim.toInt)
+        val (schema, _, _, _, _, _) =
+          MorLog.connectorPlan(spark, dir, v, None)
+        schema
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new MorLogTable(properties.get("path"),
-      Option(properties.get("versionAsOf")).map(_.trim.toInt), schema)
+      Option(properties.get("versionAsOf")).map(_.trim.toInt),
+      Option(properties.get("changesFrom")).map(_.trim.toInt),
+      Option(properties.get("changesTo")).map(_.trim.toInt), schema)
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -70,36 +103,68 @@ class MorLogSource extends TableProvider {
 /** Unsupported-in-reader types fail at PLAN time, loudly — a silent
   * null would be data corruption. */
 private[sources] object MorLogFacade {
-  import graft.sink.MorLog
-
-  def schemaOf(spark: org.apache.spark.sql.SparkSession, dir: String,
-               v: Option[Int]): StructType = {
-    val (schema, _, _, _, _, _) =
-      MorLog.connectorPlan(spark, dir, v, None)
-    schema
-  }
 
   def supportedType(t: DataType): Boolean = t match {
     case LongType | IntegerType | DoubleType | FloatType |
-         StringType | BooleanType | DateType => true
+         StringType | BooleanType | DateType | TimestampType => true
+    case _: DecimalType => true
+    case s: StructType => s.fields.forall(f => supportedType(f.dataType))
     case _ => false
   }
+
+  val ChangeType = "_change_type"
+  val CommitVersion = "_commit_version"
+
+  def withChangeCols(schema: StructType): StructType =
+    StructType(schema.fields ++ Seq(
+      StructField(ChangeType, StringType, nullable = false),
+      StructField(CommitVersion, IntegerType, nullable = false)))
+
+  /** (from, to) when the options select the change feed; validates
+    * option combinations loudly. */
+  def changesSpan(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  options: CaseInsensitiveStringMap): Option[(Int, Int)] =
+    spanOf(spark, dir, Option(options.get("changesFrom")),
+      Option(options.get("changesTo")),
+      Option(options.get("versionAsOf")))
+
+  def spanOf(spark: org.apache.spark.sql.SparkSession, dir: String,
+             changesFrom: Option[String], changesTo: Option[String],
+             versionAsOf: Option[String]): Option[(Int, Int)] =
+    changesFrom match {
+      case None =>
+        require(changesTo.isEmpty,
+          "changesTo requires changesFrom")
+        None
+      case Some(f) =>
+        require(versionAsOf.isEmpty,
+          "versionAsOf and changesFrom are mutually exclusive")
+        val from = f.trim.toInt
+        val to = changesTo.map(_.trim.toInt)
+          .getOrElse(MorLog.currentVersion(spark, dir))
+        Some((from, to))
+    }
 }
 
 class MorLogTable(path: String, version: Option[Int],
+                  changesFrom: Option[Int], changesTo: Option[Int],
                   tblSchema: StructType)
     extends Table with SupportsRead {
   override def name(): String =
-    s"graft_morlog($path${version.map("@v" + _).getOrElse("")})"
+    s"graft_morlog($path${version.map("@v" + _).getOrElse("")}" +
+      s"${changesFrom.map(f => s"@changes($f,${changesTo.getOrElse("tip")}]")
+        .getOrElse("")})"
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new MorLogScanBuilder(path, version, tblSchema)
+    new MorLogScanBuilder(path, version, changesFrom, changesTo,
+      tblSchema)
 }
 
 class MorLogScanBuilder(path: String, version: Option[Int],
+                        changesFrom: Option[Int], changesTo: Option[Int],
                         full: StructType) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = full
@@ -116,6 +181,11 @@ class MorLogScanBuilder(path: String, version: Option[Int],
         case FloatType => v.isInstanceOf[java.lang.Float]
         case StringType => v.isInstanceOf[String]
         case BooleanType => v.isInstanceOf[java.lang.Boolean]
+        case DateType => v.isInstanceOf[java.sql.Date] ||
+          v.isInstanceOf[java.time.LocalDate]
+        case TimestampType => v.isInstanceOf[java.sql.Timestamp] ||
+          v.isInstanceOf[java.time.Instant]
+        case _: DecimalType => v.isInstanceOf[java.math.BigDecimal]
         case _ => false
       })
     }
@@ -131,6 +201,9 @@ class MorLogScanBuilder(path: String, version: Option[Int],
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // the change-feed scan claims nothing (its rows carry virtual
+    // columns a file-stat can't see); Catalyst keeps every filter
+    if (changesFrom.isDefined) return filters
     val (ours, residual) = filters.partition(supported)
     pushed = ours
     residual
@@ -138,17 +211,31 @@ class MorLogScanBuilder(path: String, version: Option[Int],
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    MorLogScan(path, version, required, pushed)
+
+  override def build(): Scan = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    MorLogFacade.spanOf(spark, path,
+      changesFrom.map(_.toString), changesTo.map(_.toString),
+      version.map(_.toString)) match {
+      case Some((from, to)) =>
+        MorLogChangesScan(path, from, to, required)
+      case None =>
+        // pin the snapshot ONCE: planInputPartitions and
+        // createReaderFactory must agree even if a commit (e.g. a
+        // rename) lands between the two calls
+        val pinned = version.getOrElse(MorLog.currentVersion(spark, path))
+        MorLogScan(path, pinned, required, pushed)
+    }
+  }
 }
 
-case class MorLogScan(path: String, version: Option[Int],
+case class MorLogScan(path: String, pinnedVersion: Int,
                       required: StructType, filters: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_morlog path=$path${version.map(" v=" + _).getOrElse("")}, " +
+    s"graft_morlog path=$path v=$pinnedVersion, " +
       s"PrunedSchema: ${required.simpleString}, " +
       s"PushedFilters: [${filters.mkString(", ")}]"
 
@@ -164,11 +251,10 @@ case class MorLogScan(path: String, version: Option[Int],
         "read those through MorLog.read (the native path)")
     val cond = filters.map(filterToColumn).reduceOption(_ && _)
     val (schema, files, logToPhys, bTombs, pfCeil, skipped) =
-      graft.sink.MorLog.connectorPlan(spark, path, version, cond)
+      MorLog.connectorPlan(spark, path, Some(pinnedVersion), cond)
     MorLogSourceStats.lastFilesScanned = files.size
     MorLogSourceStats.lastFilesSkipped = skipped
-    val pfDir =
-      if (pfCeil >= 0) graft.sink.DvPerFile.pfDir(path) else null
+    val pfDir = if (pfCeil >= 0) DvPerFile.pfDir(path) else null
     files.sorted.map { f =>
       val base = new Path(f).getName
       MorLogPartition(f, bTombs.getOrElse(base, Array.empty),
@@ -189,8 +275,8 @@ case class MorLogScan(path: String, version: Option[Int],
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val (schema, _, logToPhys, _, _, _) = graft.sink.MorLog
-      .connectorPlan(spark, path, version, None, withTombs = false)
+    val (schema, _, logToPhys, _, _, _) = MorLog.connectorPlan(spark,
+      path, Some(pinnedVersion), None, withTombs = false)
     // a CLAIMED filter is never re-checked by Catalyst, and the
     // pruned projection may exclude its columns — the reader reads
     // required ∪ filter-referenced, then emits only the required
@@ -200,7 +286,54 @@ case class MorLogScan(path: String, version: Option[Int],
     val readSchema = StructType(required.fields ++ extra)
     MorLogReaderFactory(readSchema,
       readSchema.fields.map(f => logToPhys.getOrElse(f.name, f.name)),
-      filters, required.fields.length)
+      filters, required.fields.length,
+      new DvPerFile.SerConf(spark.sparkContext.hadoopConfiguration))
+  }
+}
+
+/** CDF scan: one partition per (file, version, change-kind) event
+  * source from [[MorLog.connectorChangesPlan]]. No filter claiming;
+  * column pruning applies (virtual columns materialize from the
+  * partition's own tags). */
+case class MorLogChangesScan(path: String, fromV: Int, toV: Int,
+                             required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_morlog path=$path changes=($fromV,$toV], " +
+      s"PrunedSchema: ${required.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (schema, _, specs) =
+      MorLog.connectorChangesPlan(spark, path, fromV, toV)
+    val dataFields = required.fields.filterNot(f =>
+      f.name == MorLogFacade.ChangeType ||
+        f.name == MorLogFacade.CommitVersion)
+    val bad = dataFields.filterNot(f =>
+      MorLogFacade.supportedType(f.dataType))
+    require(bad.isEmpty,
+      s"MorLogSource reader does not decode column(s) ${bad.map(f =>
+        s"${f.name}: ${f.dataType.simpleString}").mkString(", ")} — " +
+        "read those through MorLog.incrementalChanges (the native path)")
+    MorLogSourceStats.lastChangePartitions = specs.size
+    specs.map(s => MorLogChangePartition(s.file, s.version,
+      s.changeType, s.mode, s.idxs, s.oldSidecar,
+      s.newSidecar): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (schema, logToPhys, _) =
+      MorLog.connectorChangesPlan(spark, path, fromV, toV)
+    val dataFields = required.fields.filter(f =>
+      f.name != MorLogFacade.ChangeType &&
+        f.name != MorLogFacade.CommitVersion)
+    MorLogChangesReaderFactory(required,
+      StructType(dataFields),
+      dataFields.map(f => logToPhys.getOrElse(f.name, f.name)),
+      new DvPerFile.SerConf(spark.sparkContext.hadoopConfiguration))
   }
 }
 
@@ -208,15 +341,140 @@ case class MorLogPartition(file: String, tombs: Array[Long],
                            pfDir: String, pfCeil: Int)
     extends InputPartition
 
+case class MorLogChangePartition(file: String, version: Int,
+                                 changeType: String, mode: String,
+                                 idxs: Array[Long], oldSidecar: String,
+                                 newSidecar: String)
+    extends InputPartition
+
 case class MorLogReaderFactory(readSchema: StructType,
                                physNames: Array[String],
                                filters: Array[Filter],
-                               nRequired: Int)
+                               nRequired: Int,
+                               conf: DvPerFile.SerConf)
     extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val mp = p.asInstanceOf[MorLogPartition]
-    new MorLogReader(mp, readSchema, physNames, filters, nRequired)
+    new MorLogReader(mp, readSchema, physNames, filters, nRequired,
+      new Configuration(conf.value))
+  }
+}
+
+case class MorLogChangesReaderFactory(outSchema: StructType,
+                                      dataSchema: StructType,
+                                      physNames: Array[String],
+                                      conf: DvPerFile.SerConf)
+    extends PartitionReaderFactory {
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] = {
+    val mp = p.asInstanceOf[MorLogChangePartition]
+    new MorLogChangesReader(mp, outSchema, dataSchema, physNames,
+      new Configuration(conf.value))
+  }
+}
+
+/** Group→Catalyst decode shared by the snapshot and change-feed
+  * readers: flat and one-level-nested values under the physical
+  * column projection, incl. the timestamp encodings Spark writes
+  * (INT64 micros/millis/nanos and legacy INT96) and
+  * int32/int64/binary-backed decimals. */
+private[sources] object GroupDecode {
+
+  /** phys name → projected-group field ordinal (constant across a
+    * file's rows). */
+  def resolveIdx(g: Group, physNames: Array[String]): Array[Int] = {
+    val names = new java.util.ArrayList[String]()
+    val it = g.getType.getFields.iterator()
+    while (it.hasNext) names.add(it.next().getName)
+    physNames.map(names.indexOf(_))
+  }
+
+  private val JulianEpochDay = 2440588L
+
+  def value(g: Group, fi: Int, dt: DataType): Any = {
+    if (fi < 0 || g.getFieldRepetitionCount(fi) == 0) return null
+    dt match {
+      case LongType => java.lang.Long.valueOf(g.getLong(fi, 0))
+      case IntegerType | DateType =>
+        java.lang.Integer.valueOf(g.getInteger(fi, 0))
+      case DoubleType => java.lang.Double.valueOf(g.getDouble(fi, 0))
+      case FloatType => java.lang.Float.valueOf(g.getFloat(fi, 0))
+      case BooleanType => java.lang.Boolean.valueOf(g.getBoolean(fi, 0))
+      case StringType =>
+        UTF8String.fromBytes(g.getBinary(fi, 0).getBytes)
+      case TimestampType =>
+        val pt = g.getType.getType(fi).asPrimitiveType()
+        pt.getPrimitiveTypeName match {
+          case PrimitiveType.PrimitiveTypeName.INT96 =>
+            // 12 LE bytes: nanos-of-day then Julian day
+            val b = java.nio.ByteBuffer
+              .wrap(g.getInt96(fi, 0).getBytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val nanos = b.getLong; val jd = b.getInt
+            java.lang.Long.valueOf(
+              (jd - JulianEpochDay) * 86400000000L + nanos / 1000L)
+          case _ =>
+            val raw = g.getLong(fi, 0)
+            val micros = pt.getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+                  case LogicalTypeAnnotation.TimeUnit.NANOS => raw / 1000L
+                  case _ => raw
+                }
+              case _ => raw // bare INT64: assume micros
+            }
+            java.lang.Long.valueOf(micros)
+        }
+      case d: DecimalType =>
+        val pt = g.getType.getType(fi).asPrimitiveType()
+        pt.getPrimitiveTypeName match {
+          case PrimitiveType.PrimitiveTypeName.INT32 =>
+            Decimal(g.getInteger(fi, 0).toLong, d.precision, d.scale)
+          case PrimitiveType.PrimitiveTypeName.INT64 =>
+            Decimal(g.getLong(fi, 0), d.precision, d.scale)
+          case _ =>
+            val bytes = g.getBinary(fi, 0).getBytes
+            Decimal(new java.math.BigDecimal(
+              new java.math.BigInteger(bytes), d.scale),
+              d.precision, d.scale)
+        }
+      case s: StructType =>
+        val child = g.getGroup(fi, 0)
+        val ct = child.getType
+        new GenericInternalRow(s.fields.map { cf =>
+          // nested children keep their logical names (the column
+          // mapping stamps top-level fields only)
+          if (!ct.containsField(cf.name)) null
+          else value(child, ct.getFieldIndex(cf.name), cf.dataType)
+        }.asInstanceOf[Array[Any]])
+      case _ => null
+    }
+  }
+
+  /** Parquet read projection: the file's top-level fields whose names
+    * the scan wants (nested groups project whole; the decoder prunes
+    * children). */
+  def projectedSchema(fileSchema: MessageType,
+                      want: Set[String]): MessageType = {
+    val kept = fileSchema.getFields.iterator()
+    val sel = new java.util.ArrayList[org.apache.parquet.schema.Type]()
+    while (kept.hasNext) {
+      val t = kept.next()
+      if (want.contains(t.getName)) sel.add(t)
+    }
+    new MessageType(fileSchema.getName, sel)
+  }
+
+  def openReader(conf: Configuration, p: Path,
+                 physNames: Array[String]): ParquetReader[Group] = {
+    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    val fileSchema = try footer.getFooter.getFileMetaData.getSchema
+    finally footer.close()
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA,
+      projectedSchema(fileSchema, physNames.toSet).toString)
+    ParquetReader.builder(new GroupReadSupport(), p).withConf(conf).build()
   }
 }
 
@@ -227,66 +485,37 @@ case class MorLogReaderFactory(readSchema: StructType,
   * the required columns. */
 class MorLogReader(part: MorLogPartition, required: StructType,
                    physNames: Array[String], filters: Array[Filter],
-                   nRequired: Int)
+                   nRequired: Int, conf: Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
   private val p = new Path(part.file)
   private val fileUtf8 = UTF8String.fromString(part.file)
 
-  // project the parquet read to the required PHYSICAL columns only —
-  // a column the file predates (post-rename adds) is simply absent
-  // and materializes null
-  private val reader: ParquetReader[Group] = {
-    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-    val fileSchema = try footer.getFooter.getFileMetaData.getSchema
-    finally footer.close()
-    val want = physNames.toSet
-    val kept = fileSchema.getFields.iterator()
-    val sel = new java.util.ArrayList[org.apache.parquet.schema.Type]()
-    while (kept.hasNext) {
-      val t = kept.next()
-      if (want.contains(t.getName)) sel.add(t)
-    }
-    val projected = new MessageType(fileSchema.getName, sel)
-    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
-    ParquetReader.builder(new GroupReadSupport(), p).withConf(conf).build()
-  }
+  private val reader: ParquetReader[Group] =
+    GroupDecode.openReader(conf, p, physNames)
 
   private var row: InternalRow = _
   private var rowIdx = -1L
 
   private def deleted(idx: Long): Boolean =
     if (part.pfCeil >= 0)
-      graft.sink.DvScanCache.deleted(part.pfDir, part.pfCeil,
+      graft.sink.DvScanCache.deleted(conf, part.pfDir, part.pfCeil,
         fileUtf8, idx)
     else java.util.Arrays.binarySearch(part.tombs, idx) >= 0
 
-  // phys name → projected-group field ordinal, resolved once on the
-  // first record (the projection is constant across a file's rows)
   private var fieldIdx: Array[Int] = _
 
-  private def resolveIdx(g: Group): Unit = {
-    val names = new java.util.ArrayList[String]()
-    val it = g.getType.getFields.iterator()
-    while (it.hasNext) names.add(it.next().getName)
-    fieldIdx = physNames.map(names.indexOf(_))
+  private def micros(x: Any): Option[Long] = x match {
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case _ => None
   }
-
-  private def value(g: Group, i: Int, dt: DataType): Any = {
-    val fi = fieldIdx(i)
-    if (fi < 0 || g.getFieldRepetitionCount(fi) == 0) null
-    else dt match {
-      case LongType => java.lang.Long.valueOf(g.getLong(fi, 0))
-      case IntegerType | DateType =>
-        java.lang.Integer.valueOf(g.getInteger(fi, 0))
-      case DoubleType => java.lang.Double.valueOf(g.getDouble(fi, 0))
-      case FloatType => java.lang.Float.valueOf(g.getFloat(fi, 0))
-      case BooleanType => java.lang.Boolean.valueOf(g.getBoolean(fi, 0))
-      case StringType =>
-        UTF8String.fromBytes(g.getBinary(fi, 0).getBytes)
-      case _ => null
-    }
+  private def days(x: Any): Option[Int] = x match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toInt)
+    case _ => None
   }
 
   private def passes(vals: Array[Any]): Boolean = {
@@ -294,12 +523,18 @@ class MorLogReader(part: MorLogPartition, required: StructType,
       val i = required.fieldNames.indexOf(a)
       if (i >= 0) vals(i) else null
     }
+    def fieldType(a: String): Option[DataType] =
+      required.fields.find(_.name == a).map(_.dataType)
     def cmp(a: String, x: Any): Option[Int] = (v(a), x) match {
       case (null, _) => None
       case (l: java.lang.Long, r: java.lang.Long) =>
         Some(java.lang.Long.compare(l, r))
+      case (l: java.lang.Long, r) if fieldType(a).contains(TimestampType) =>
+        micros(r).map(m => java.lang.Long.compare(l, m))
       case (l: java.lang.Integer, r: java.lang.Integer) =>
         Some(java.lang.Integer.compare(l, r))
+      case (l: java.lang.Integer, r) if fieldType(a).contains(DateType) =>
+        days(r).map(d => java.lang.Integer.compare(l, d))
       case (l: java.lang.Double, r: java.lang.Double) =>
         Some(java.lang.Double.compare(l, r))
       case (l: java.lang.Float, r: java.lang.Float) =>
@@ -308,6 +543,8 @@ class MorLogReader(part: MorLogPartition, required: StructType,
         Some(l.toString.compareTo(r))
       case (l: java.lang.Boolean, r: java.lang.Boolean) =>
         Some(java.lang.Boolean.compare(l, r))
+      case (l: Decimal, r: java.math.BigDecimal) =>
+        Some(l.toJavaBigDecimal.compareTo(r))
       case _ => None
     }
     filters.forall {
@@ -324,13 +561,15 @@ class MorLogReader(part: MorLogPartition, required: StructType,
   override def next(): Boolean = {
     var g = reader.read()
     while (g != null) {
-      if (fieldIdx == null) resolveIdx(g)
+      if (fieldIdx == null)
+        fieldIdx = GroupDecode.resolveIdx(g, physNames)
       rowIdx += 1
       if (!deleted(rowIdx)) {
         val vals = new Array[Any](required.fields.length)
         var i = 0
         while (i < vals.length) {
-          vals(i) = value(g, i, required.fields(i).dataType)
+          vals(i) = GroupDecode.value(g, fieldIdx(i),
+            required.fields(i).dataType)
           i += 1
         }
         if (passes(vals)) {
@@ -348,10 +587,107 @@ class MorLogReader(part: MorLogPartition, required: StructType,
   override def close(): Unit = reader.close()
 }
 
+/** Change-feed reader: emits one partition's change events — all rows
+  * (an added file), exactly the tombstoned rows (a delete delta —
+  * broadcast-tier indexes ride the partition, per-file-tier readers
+  * diff their own sidecar pair), or a dropped file's previously
+  * visible rows — with the partition's `_change_type` and
+  * `_commit_version` appended where the scan asked for them. */
+class MorLogChangesReader(part: MorLogChangePartition,
+                          outSchema: StructType, dataSchema: StructType,
+                          physNames: Array[String], conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val reader: ParquetReader[Group] =
+    GroupDecode.openReader(conf, new Path(part.file), physNames)
+
+  /** Sorted selection set: include-mode rows IN it emit; exclude-mode
+    * rows NOT in it emit. */
+  private val sel: Array[Long] = part.mode match {
+    case "all" => Array.empty
+    case "include" =>
+      if (part.newSidecar.isEmpty) part.idxs
+      else {
+        val now = DvPerFile.readSidecar(conf, new Path(part.newSidecar))._2
+        if (part.oldSidecar.isEmpty) now
+        else {
+          val old = DvPerFile.readSidecar(conf,
+            new Path(part.oldSidecar))._2
+          diffSorted(now, old)
+        }
+      }
+    case _ => // exclude
+      if (part.oldSidecar.nonEmpty)
+        DvPerFile.readSidecar(conf, new Path(part.oldSidecar))._2
+      else part.idxs
+  }
+
+  /** now − old, both sorted. */
+  private def diffSorted(now: Array[Long], old: Array[Long]): Array[Long] = {
+    val out = Array.newBuilder[Long]
+    var i = 0; var j = 0
+    while (i < now.length) {
+      while (j < old.length && old(j) < now(i)) j += 1
+      if (j >= old.length || old(j) != now(i)) out += now(i)
+      i += 1
+    }
+    out.result()
+  }
+
+  private def emits(idx: Long): Boolean = part.mode match {
+    case "all" => true
+    case "include" => java.util.Arrays.binarySearch(sel, idx) >= 0
+    case _ => java.util.Arrays.binarySearch(sel, idx) < 0
+  }
+
+  private val tagUtf8 = UTF8String.fromString(part.changeType)
+  private var row: InternalRow = _
+  private var rowIdx = -1L
+  private var fieldIdx: Array[Int] = _
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    while (g != null) {
+      if (fieldIdx == null)
+        fieldIdx = GroupDecode.resolveIdx(g, physNames)
+      rowIdx += 1
+      if (emits(rowIdx)) {
+        val vals = new Array[Any](outSchema.fields.length)
+        var di = 0
+        var i = 0
+        while (i < vals.length) {
+          val f = outSchema.fields(i)
+          vals(i) =
+            if (f.name == MorLogFacade.ChangeType) tagUtf8
+            else if (f.name == MorLogFacade.CommitVersion)
+              java.lang.Integer.valueOf(part.version)
+            else {
+              val x = GroupDecode.value(g, fieldIdx(di),
+                dataSchema.fields(di).dataType)
+              di += 1
+              x
+            }
+          i += 1
+        }
+        row = new GenericInternalRow(vals)
+        return true
+      }
+      g = reader.read()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}
+
 /** Diagnostics for the last [[MorLogScan]] planning on this driver —
   * specs and oracle entries pin that the pushed filters genuinely
   * pruned files before task launch. */
 object MorLogSourceStats {
   @volatile var lastFilesScanned: Int = -1
   @volatile var lastFilesSkipped: Int = -1
+
+  /** Event partitions the last change-feed scan planned. */
+  @volatile var lastChangePartitions: Int = -1
 }

@@ -204,6 +204,86 @@ class Round13Spec extends AnyFunSuite {
       spark.conf.unset(graft.sink.DeletionVectors.GuardConfKey)
   }
 
+  test("connector decodes legacy INT96 timestamps, wide (binary-backed) decimals and pruned nested structs") {
+    val dir = tmp("r13_typed") + "/t"
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try {
+      val df = spark.range(0, 40).select(col("id"),
+        (col("id") * 86400L).cast("timestamp").as("ts"),
+        (col("id") * 1000000 + lit("0.25").cast("decimal(20,2)"))
+          .cast("decimal(20,2)").as("wide"),
+        struct((col("id") % 3).cast("string").as("tag"),
+          col("id").as("raw")).as("meta"))
+      MorLog.create(df.repartition(2), dir)
+    } finally
+      spark.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MICROS")
+    val conn = spark.read.format("graft.sources.MorLogSource")
+      .option("path", dir).load()
+    // nested pruning: only meta.tag requested
+    val tags = conn.select(col("meta.tag")).groupBy("tag").count()
+      .as[(String, Long)].collect().toMap
+    assert(tags == Map("0" -> 14L, "1" -> 13L, "2" -> 13L))
+    // INT96 decode agrees with the native reader row-for-row
+    val got = conn.select(col("id"), col("ts"), col("wide"))
+      .as[(Long, java.sql.Timestamp, java.math.BigDecimal)]
+      .collect().sortBy(_._1)
+    val want = MorLog.read(spark, dir)
+      .select(col("id"), col("ts"), col("wide"))
+      .as[(Long, java.sql.Timestamp, java.math.BigDecimal)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // decimal filters are claimed and evaluated exactly
+    val big = conn.filter(col("wide") >
+      new java.math.BigDecimal("20000000")).count()
+    assert(big == got.count(_._3
+      .compareTo(new java.math.BigDecimal("20000000")) > 0))
+  }
+
+  test("connector change feed: per-file-tier sidecar diffs executor-side; invalid spans fail loud") {
+    val dir = tmp("r13_cdf") + "/t"
+    MorLog.create(spark.range(0, 100)
+      .select(col("id"), lit(0L).as("v")).repartition(4), dir)
+    spark.conf.set(graft.sink.DeletionVectors.GuardConfKey, "2")
+    try {
+      MorLog.deleteWhere(spark, dir, col("id") % 10 === 9) // v1: migrates
+      MorLog.deleteWhere(spark, dir, col("id") % 10 === 4) // v2: pf delta
+      MorLog.upsert(spark, dir,
+        Seq((7L, 700L), (200L, 1L)).toDF("id", "v"), "id") // v3: del+ins
+    } finally
+      spark.conf.unset(graft.sink.DeletionVectors.GuardConfKey)
+    // the migration crossing refuses loud
+    val e1 = intercept[Exception](
+      spark.read.format("graft.sources.MorLogSource")
+        .option("path", dir).option("changesFrom", "0").load())
+    assert(e1.getMessage.contains("migration"))
+    // the pf→pf span reads: v2's delta (include-mode sidecar pair
+    // diff) and v3's upsert pair
+    val ch = spark.read.format("graft.sources.MorLogSource")
+      .option("path", dir).option("changesFrom", "1").load()
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, Int)].collect().toSet
+    val want =
+      (0L until 100L).filter(_ % 10 == 4).map((_, "delete", 2)).toSet ++
+        Set((7L, "delete", 3), (7L, "insert", 3), (200L, "insert", 3))
+    assert(ch == want)
+    // bounded span + option validation
+    val ch12 = spark.read.format("graft.sources.MorLogSource")
+      .option("path", dir).option("changesFrom", "1")
+      .option("changesTo", "2").load()
+    assert(ch12.count() == 10)
+    assert(intercept[Exception](
+      spark.read.format("graft.sources.MorLogSource")
+        .option("path", dir).option("changesFrom", "2")
+        .option("changesTo", "2").load()).getMessage
+      .contains("changesFrom must precede"))
+    assert(intercept[Exception](
+      spark.read.format("graft.sources.MorLogSource")
+        .option("path", dir).option("changesFrom", "1")
+        .option("versionAsOf", "2").load()).getMessage
+      .contains("mutually exclusive"))
+  }
+
   test("state cache is LRU: a span walk over a >cap-version log pays one meta read per version") {
     val dir = tmp("r13_lru")
     val n = 30
