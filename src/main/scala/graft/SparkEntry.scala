@@ -576,6 +576,13 @@ object SparkEntry {
     "q272_morlog_typed_dsv2" -> ((s, d) => CoreQueries.morLogTypedRead(s, d)),
     // the change feed through the connector: changesFrom/changesTo
     "q273_morlog_changes_dsv2" -> ((s, d) => CoreQueries.morLogChangesSql(s, d)),
+    // PARTITIONED BY (day): aligned files, exact partition pruning,
+    // metadata-only partition-range retention
+    "q274_morlog_partitioned" -> ((s, d) => CoreQueries.morLogPartitioned(s, d)),
+    // Opus/M4A/ADTS-AAC header parse, corrupt blobs → NULL
+    "q275_audio_meta2"      -> ((s, d) => LlmQueries.audioMeta2(s, d)),
+    // AVIF/HEIC ispe-walk dims, corrupt blobs → NULL
+    "q276_image_meta2"      -> ((s, d) => LlmQueries.imageMeta2(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1420,6 +1427,59 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(event_id) AS BIGINT) AS sum_id
          FROM ev GROUP BY 1, 2, 3""",
+    // round-13 audio formats: opus duration = EOS granule − pre-skip
+    // over the 48 kHz decode clock; m4a = mdhd duration/timescale;
+    // adts = frames × 1024 samples / rate
+    "q275_audio_meta2" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 3 AS fmt,
+             CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               WHEN 2 THEN 44100 ELSE 48000 END AS prate,
+             CASE (doc_id % 5) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+               ELSE 32000 END AS mrate,
+             CASE doc_id % 5 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+               WHEN 2 THEN 32000 WHEN 3 THEN 16000 ELSE 8000
+               END AS arate,
+             doc_id % 3000 + 48 AS osamples,
+             (doc_id % 2000 + 100) * 441 AS msamples,
+             doc_id % 500 + 10 AS aframes
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN doc_id % 31 = 0 THEN NULL WHEN fmt = 0 THEN 'opus'
+                ELSE 'aac' END AS format,
+           CASE WHEN doc_id % 31 = 0 THEN NULL
+                WHEN fmt = 0 THEN CAST(prate AS INT)
+                WHEN fmt = 1 THEN CAST(mrate AS INT)
+                ELSE CAST(arate AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 31 = 0 THEN NULL
+                WHEN fmt = 2 THEN CAST(doc_id % 3 + 1 AS INT)
+                ELSE CAST(doc_id % 2 + 1 AS INT) END AS channels,
+           CASE WHEN doc_id % 31 = 0 THEN NULL
+                WHEN fmt = 0 THEN osamples * 1000 // 48000
+                WHEN fmt = 1 THEN msamples * 1000 // mrate
+                ELSE aframes * 1024 * 1000 // arate
+                END AS duration_ms
+         FROM d""",
+    // round-13 image formats: the ispe property carries the dims
+    "q276_image_meta2" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 19 = 0 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic'
+                END AS format,
+           CASE WHEN doc_id % 19 = 0 THEN NULL
+                ELSE CAST(doc_id % 2048 + 16 AS INT) END AS width,
+           CASE WHEN doc_id % 19 = 0 THEN NULL
+                ELSE CAST(doc_id % 1024 + 16 AS INT) END AS height
+         FROM documents""",
+    // the partitioned table after its day < 2024-01-10 retention
+    // delete (partition pruning/file-drop asserted in-query)
+    "q274_morlog_partitioned" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+         GROUP BY event_type""",
     // the in-bin offset of a doc is its global token start mod the
     // budget; boundaries ride as a CSV in doc order
     "q266_pack_boundaries" ->

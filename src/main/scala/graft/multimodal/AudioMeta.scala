@@ -14,10 +14,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * pipeline's multimodal ambition stops at opaque blobs
   * (README.md:216-222 ships CSVs; blobs are out of scope there) — at
   * LLM-corpus scale the header probe IS the hot path. WAV (RIFF
-  * chunk walk), FLAC (STREAMINFO bit unpack) and MP3 (ID3v2 skip +
-  * MPEG-1 Layer III frame header, CBR length estimate) per their
-  * public format specs; anything unrecognized, truncated or corrupt
-  * yields NULL, never a throw. */
+  * chunk walk), FLAC (STREAMINFO bit unpack), MP3 (ID3v2 skip +
+  * MPEG-1 Layer III frame header, Xing/VBRI or CBR length), Ogg/Opus
+  * (OpusHead + last-page granule), M4A/AAC (ISO-BMFF mdhd + mp4a
+  * walk) and raw ADTS AAC (frame-chain walk) per their public format
+  * specs; anything unrecognized, truncated or corrupt yields NULL,
+  * never a throw. */
 object AudioCodecs {
 
   private def le16(b: Array[Byte], i: Int): Int =
@@ -29,6 +31,13 @@ object AudioCodecs {
   private def be32(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
       ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def le64(b: Array[Byte], i: Int): Long = {
+    var v = 0L; var k = 7
+    while (k >= 0) { v = (v << 8) | (b(i + k) & 0xffL); k -= 1 }
+    v
+  }
 
   private def row(fmt: String, rate: Int, ch: Int, durMs: Long): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -100,6 +109,104 @@ object AudioCodecs {
       val totalSamples = packed & 0xfffffffffL // 36 bits
       return if (rate > 0)
         row("flac", rate, ch, totalSamples * 1000L / rate)
+      else null
+    }
+    // Ogg/Opus: "OggS" capture (version 0), the BOS page's first
+    // packet is "OpusHead" (channels, pre-skip, input rate); the
+    // stream duration is the LAST page's granule position (48 kHz PCM
+    // samples) minus the pre-skip — a bounded backwards scan for the
+    // final page header. The dominant scraped-voice format.
+    if (b.length >= 28 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' &&
+        b(3) == 'S' && b(4) == 0) {
+      val nsegs = b(26) & 0xff
+      val po = 27 + nsegs
+      if (b.length < po + 19) return null
+      if (!(b(po) == 'O' && b(po + 1) == 'p' && b(po + 2) == 'u' &&
+            b(po + 3) == 's' && b(po + 4) == 'H' && b(po + 5) == 'e' &&
+            b(po + 6) == 'a' && b(po + 7) == 'd')) return null
+      val ch = b(po + 9) & 0xff
+      val preSkip = le16(b, po + 10)
+      val inRate = le32(b, po + 12)
+      var i = b.length - 28
+      var granule = -1L
+      while (i > 0 && granule < 0) {
+        if (b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' &&
+            b(i + 3) == 'S' && b(i + 4) == 0)
+          granule = le64(b, i + 6)
+        i -= 1
+      }
+      if (granule < 0) return null
+      val samples = math.max(0L, granule - preSkip)
+      return if (ch > 0 && inRate > 0)
+        row("opus", inRate, ch, samples * 1000L / 48000L)
+      else null
+    }
+    // AAC in ISO-BMFF (M4A): "ftyp", then a bounded box walk
+    // moov → trak → mdia → { mdhd (timescale + duration — for audio
+    // tracks the timescale IS the sample rate), minf → stbl → stsd →
+    // mp4a (channel count, 16.16-fixed sample rate) }. A non-audio
+    // BMFF (an MP4 video) finds no mp4a and yields NULL here.
+    if (b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+        b(7) == 'p') {
+      var rate = -1; var ch = -1; var durMs = -1L
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > 8) return
+        var i = start
+        while (i + 8 <= end) {
+          val sz = be32(b, i).toInt
+          if (sz < 8 || sz > end - i) return
+          val t = new String(b, i + 4, 4, "US-ASCII")
+          t match {
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              walk(i + 8, i + sz, depth + 1)
+            case "stsd" if sz >= 16 => // FullBox + entry_count
+              walk(i + 16, i + sz, depth + 1)
+            case "mp4a" if sz >= 36 =>
+              ch = be16(b, i + 24)
+              rate = be16(b, i + 32) // upper half of the 16.16 fixed
+            case "mdhd" if sz >= 24 =>
+              val ver = b(i + 8) & 0xff
+              if (ver == 0 && sz >= 32) {
+                val tsc = be32(b, i + 20)
+                val dur = be32(b, i + 24)
+                if (tsc > 0) durMs = dur * 1000L / tsc
+              } else if (ver == 1 && sz >= 44) {
+                val tsc = be32(b, i + 28)
+                val dur = (be32(b, i + 32) << 32) | be32(b, i + 36)
+                if (tsc > 0) durMs = dur * 1000L / tsc
+              }
+            case _ => ()
+          }
+          i += sz
+        }
+      }
+      walk(0, b.length, 0)
+      return if (rate > 0 && ch > 0 && durMs >= 0)
+        row("aac", rate, ch, durMs)
+      else null
+    }
+    // Raw ADTS AAC: FFFx sync with LAYER 00 (an MP3's Layer III is
+    // 01 — that sync falls through to the MP3 branch below). Every
+    // frame header carries its own byte length, so the strictly-
+    // advancing frame-chain walk counts frames; duration = frames ×
+    // 1024 samples / rate.
+    if (b.length >= 7 && (b(0) & 0xff) == 0xff &&
+        (b(1) & 0xf0) == 0xf0 && (b(1) & 0x06) == 0x00) {
+      val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+        24000, 22050, 16000, 12000, 11025, 8000, 7350)
+      val sfi = (b(2) >> 2) & 0xf
+      if (sfi >= AdtsRates.length) return null
+      val rate = AdtsRates(sfi)
+      val ch = ((b(2) & 1) << 2) | ((b(3) >> 6) & 0x3)
+      var i = 0; var frames = 0L
+      while (i + 7 <= b.length &&
+          (b(i) & 0xff) == 0xff && (b(i + 1) & 0xf0) == 0xf0) {
+        val flen = ((b(i + 3) & 0x3) << 11) | ((b(i + 4) & 0xff) << 3) |
+          ((b(i + 5) >> 5) & 0x7)
+        if (flen < 7) i = b.length else { frames += 1; i += flen }
+      }
+      return if (ch > 0 && frames > 0)
+        row("aac", rate, ch, frames * 1024L * 1000L / rate)
       else null
     }
     // MP3: optional ID3v2 tag ("ID3" + 2-byte version + flags +

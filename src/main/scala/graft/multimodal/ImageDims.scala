@@ -12,7 +12,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * pixel dimensions from the container bytes so downstream routing
   * (resolution buckets, aspect filters, corrupt-blob quarantine)
   * never touches a pixel decoder. PNG (IHDR), JPEG (SOF marker walk),
-  * GIF (logical screen descriptor) and WEBP (RIFF: VP8/VP8L/VP8X)
+  * GIF (logical screen descriptor), WEBP (RIFF: VP8/VP8L/VP8X) and
+  * AVIF/HEIC (ISO-BMFF ispe property walk)
   * per their public format specs; anything else — including
   * truncated or corrupt headers — yields NULL, never a throw (a
   * quarantine filter must be able to SELECT the bad blobs). */
@@ -83,6 +84,43 @@ object MultimodalCodecs {
         return row("webp", w, h)
       }
       return null // unknown/truncated first chunk
+    }
+    // AVIF/HEIC: ISO-BMFF — "ftyp" with an AV1/HEVC image brand, then
+    // a bounded box walk meta(FullBox) → iprp → ipco → ispe(FullBox:
+    // width, height BE32). The same container family the video walk
+    // parses for MP4; for still images the DIMENSIONS PROPERTY, not a
+    // movie header, carries the answer. Multiple ispe boxes (thumb +
+    // primary) resolve to the LARGEST — the primary item. Strictly
+    // advancing; malformed sizes stop the walk (NULL, never a throw).
+    if (b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+        b(7) == 'p') {
+      val brand = new String(b, 8, 4, "US-ASCII")
+      val fmt = brand match {
+        case "avif" | "avis" => "avif"
+        case "heic" | "heix" | "mif1" | "msf1" => "heic"
+        case _ => return null // some other BMFF (an MP4 is not an image)
+      }
+      var bw = 0; var bh = 0
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > 8) return
+        var i = start
+        while (i + 8 <= end) {
+          val sz = be32(b, i)
+          if (sz < 8 || sz > end - i) return // 64-bit/malformed: stop
+          val t = new String(b, i + 4, 4, "US-ASCII")
+          if (t == "ispe" && sz >= 20) {
+            val w = be32(b, i + 12); val h = be32(b, i + 16)
+            if (w > 0 && h > 0 && w.toLong * h > bw.toLong * bh) {
+              bw = w; bh = h
+            }
+          } else if (t == "meta") walk(i + 12, i + sz, depth + 1)
+          else if (t == "iprp" || t == "ipco")
+            walk(i + 8, i + sz, depth + 1)
+          i += sz
+        }
+      }
+      walk(0, b.length, 0)
+      return if (bw > 0) row(fmt, bw, bh) else null
     }
     // JPEG: SOI then a marker walk to the first frame header (SOFn,
     // excluding DHT/JPG/DAC which reuse the C-range), whose payload

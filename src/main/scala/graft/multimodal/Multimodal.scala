@@ -231,6 +231,90 @@ object Multimodal {
       .otherwise(when(vbrKind === 0, xing).otherwise(vbri))
   }
 
+  private def le64(c: org.apache.spark.sql.Column) = {
+    val h = lpad(hex(c), 16, "0")
+    unhex(concat((0 until 8).reverse.map(k =>
+      substring(h, k * 2 + 1, 2)): _*))
+  }
+
+  /** Round-13 audio formats — same independent-builder contract as
+    * [[audioPayload]]:
+    *
+    *   fmtSel: 0 = Ogg/Opus: a BOS page carrying a real OpusHead
+    *           (ch, `preSkip`, `rate` as the informational input
+    *           rate) and an EOS page whose granule position is
+    *           preSkip + `units` 48 kHz samples
+    *           1 = M4A/AAC: real ftyp(M4A ) + moov/trak/mdia( mdhd
+    *           v0 with timescale=`rate`, duration=`units`,
+    *           minf/stbl/stsd/mp4a with `ch` + 16.16 `rate`)
+    *           2 = raw ADTS AAC: `frames` frames of 23 bytes each,
+    *           AAC-LC, `rate` ∈ {48000,44100,32000,16000,8000} */
+  def audioPayload2(fmtSel: org.apache.spark.sql.Column,
+                    rate: org.apache.spark.sql.Column,
+                    ch: org.apache.spark.sql.Column,
+                    units: org.apache.spark.sql.Column,
+                    preSkip: org.apache.spark.sql.Column,
+                    frames: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val page1 = concat(lit("OggS".getBytes("US-ASCII")),
+      bin("00 02"), le64(lit(0L)), le32(lit(7)), le32(lit(0)),
+      le32(lit(0)), bin("01 13"),
+      lit("OpusHead".getBytes("US-ASCII")), bin("01"), byte1(ch),
+      le16(preSkip), le32(rate), le16(lit(0)), bin("00"))
+    val page2 = concat(lit("OggS".getBytes("US-ASCII")),
+      bin("00 04"), le64(preSkip.cast("long") + units.cast("long")),
+      le32(lit(7)), le32(lit(1)), le32(lit(0)), bin("01 01 00"))
+    val opus = concat(page1, page2)
+    // M4A box tree, all sizes static: mdhd 32, mp4a 36, stsd 52,
+    // stbl 60, minf 68, mdia 108, trak 116, moov 124, ftyp 16
+    val mdhd = concat(be32(lit(32)), lit("mdhd".getBytes("US-ASCII")),
+      zeros(lit(12)), be32(rate), be32(units), zeros(lit(4)))
+    val mp4a = concat(be32(lit(36)), lit("mp4a".getBytes("US-ASCII")),
+      zeros(lit(8)), zeros(lit(8)), be16(ch), be16(lit(16)),
+      zeros(lit(4)), be32(rate.cast("long") * 65536L))
+    val stsd = concat(be32(lit(52)), lit("stsd".getBytes("US-ASCII")),
+      zeros(lit(4)), be32(lit(1)), mp4a)
+    val stbl = concat(be32(lit(60)), lit("stbl".getBytes("US-ASCII")), stsd)
+    val minf = concat(be32(lit(68)), lit("minf".getBytes("US-ASCII")), stbl)
+    val mdia = concat(be32(lit(108)), lit("mdia".getBytes("US-ASCII")),
+      mdhd, minf)
+    val trak = concat(be32(lit(116)), lit("trak".getBytes("US-ASCII")), mdia)
+    val m4a = concat(be32(lit(16)), lit("ftypM4A ".getBytes("US-ASCII")),
+      zeros(lit(4)),
+      be32(lit(124)), lit("moov".getBytes("US-ASCII")), trak)
+    // ADTS: one 23-byte AAC-LC frame's hex, repeated `frames` times.
+    // header: FF F1, profile 01 | sfi<<2 | ch>>2, (ch&3)<<6 | len
+    // bits, len middle byte, (len&7)<<5 | 0x1F, FC; body zeros
+    val sfi = when(rate === 48000, 3).when(rate === 44100, 4)
+      .when(rate === 32000, 5).when(rate === 16000, 8).otherwise(11)
+    val flen = 23
+    val frameHex = concat(lit("FFF1"),
+      lpad(hex(lit(0x40) + shiftleft(sfi, 2) + shiftright(ch, 2)), 2, "0"),
+      lpad(hex(shiftleft(ch.cast("int") % 4, 6) + lit(flen >> 11)), 2, "0"),
+      lpad(hex(lit((flen >> 3) & 0xff)), 2, "0"),
+      lpad(hex(lit(((flen & 7) << 5) | 0x1f)), 2, "0"),
+      lit("FC"), call_function("repeat", lit("00"), lit(flen - 7)))
+    val adts = unhex(call_function("repeat", frameHex, frames))
+    when(fmtSel === 0, opus).when(fmtSel === 1, m4a).otherwise(adts)
+  }
+
+  /** Round-13 still-image ISO-BMFF formats (AVIF/HEIC): real
+    * ftyp(brand) + meta(FullBox)/iprp/ipco/ispe(w, h) trees. */
+  def containerPayload2(fmtSel: org.apache.spark.sql.Column,
+                        w: org.apache.spark.sql.Column,
+                        h: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val brand = when(fmtSel === 0, lit("avif")).otherwise(lit("heic"))
+    // ispe 20, ipco 28, iprp 36, meta 48, ftyp 16
+    concat(be32(lit(16)), lit("ftyp".getBytes("US-ASCII")),
+      encode(brand, "US-ASCII"), zeros(lit(4)),
+      be32(lit(48)), lit("meta".getBytes("US-ASCII")), zeros(lit(4)),
+      be32(lit(36)), lit("iprp".getBytes("US-ASCII")),
+      be32(lit(28)), lit("ipco".getBytes("US-ASCII")),
+      be32(lit(20)), lit("ispe".getBytes("US-ASCII")), zeros(lit(4)),
+      be32(w), be32(h))
+  }
+
   /** A VALID video container header for the given parameters — a real
     * MP4 ftyp + moov(mvhd v0, trak(tkhd v0 with 16.16-fixed dims))
     * box tree, or a real AVI RIFF('AVI ')/LIST('hdrl')/avih main

@@ -4014,6 +4014,58 @@ object CoreQueries {
     s.createDataFrame(java.util.Arrays.asList(collected: _*), out.schema)
   }
 
+  /** PARTITIONED LOG TABLE (q274): the canonical 100 TB layout —
+    * `create(..., partitionBy = Seq("day"))` on a date column. Every
+    * write stages files ALIGNED to one partition value (the columns
+    * stay physically in the files — Iceberg's choice — so reads are
+    * unchanged and the footer stats come out min==max on `day`),
+    * which makes the log's stats prune EXACT on the partition
+    * column. Asserted in-query: a one-day readWhere scans only that
+    * day's files (29 of 30 partitions skipped); a `day <` retention
+    * delete drops whole files METADATA-ONLY (zero tombstones — the
+    * table stays in the no-deletes tier); an appended batch aligns
+    * too. Oracle: the post-retention fold. */
+  def morLogPartitioned(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val work = graft.TempDirs.create("graft-part13-")
+    val dir = s"$work/t"
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("event_type"), col("value"),
+      to_date(col("ts")).as("day"))
+    val (head, tail) = (ev.filter(col("day") =!= "2024-01-30"),
+      ev.filter(col("day") === "2024-01-30"))
+    graft.sink.MorLog.create(head.repartition(col("day")), dir,
+      partitionBy = Seq("day"))
+    // appends inherit the alignment from the table's spec
+    graft.sink.MorLog.append(s, dir, tail)
+    require(graft.sink.MorLog.partitionColumns(s, dir) == Seq("day"))
+    // partition-selective read: tasks launch against ONE day's files
+    val one = graft.sink.MorLog.readWhere(s, dir,
+      col("day") === lit(java.sql.Date.valueOf("2024-01-15")))
+    val nOne = one.count()
+    require(nOne > 0, "q274: vacuous day slice")
+    require(graft.sink.MorLogStats.lastFilesSkipped >
+      graft.sink.MorLogStats.lastFilesScanned * 10,
+      s"q274: partition pruning failed (scanned=" +
+        s"${graft.sink.MorLogStats.lastFilesScanned} skipped=" +
+        s"${graft.sink.MorLogStats.lastFilesSkipped})")
+    // retention: whole partitions drop metadata-only, no tombstones
+    val dropped = graft.sink.MorLog.deleteWhere(s, dir,
+      col("day") < lit(java.sql.Date.valueOf("2024-01-10")))
+    require(dropped > 0 && graft.sink.MorLogStats.lastFilesDropped > 0,
+      "q274: the retention delete dropped no whole files")
+    val st = graft.sink.MorLog.state(s, dir,
+      graft.sink.MorLog.currentVersion(s, dir))
+    require(st.tombsV < 0 && st.pfCeil < 0,
+      "q274: a partition-range retention delete must write ZERO " +
+        "tombstones")
+    graft.sink.MorLog.read(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

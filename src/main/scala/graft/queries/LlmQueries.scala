@@ -430,6 +430,71 @@ object LlmQueries {
         col("meta.duration_ms").as("duration_ms"))
   }
 
+  /** AUDIO-HEADER probe, round-13 formats (q275): genuine Ogg/Opus
+    * (OpusHead + EOS granule), M4A/AAC (ISO-BMFF mdhd/mp4a tree) and
+    * raw ADTS AAC (frame chain) headers built per document and parsed
+    * back with `graft_audio_meta` — the formats scraped audio
+    * actually arrives in (Opus voice, AAC podcasts/video-rips), the
+    * round-12 verdict's probe-coverage gap. Builder and parser stay
+    * independent code paths over the published byte layouts. Corrupt
+    * (doc_id % 31 == 0, truncated) payloads surface NULL meta.
+    * Oracle: pure doc_id arithmetic. */
+  def audioMeta2(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val fmt = (col("doc_id") % 3).cast("int")
+    val prate = element_at(
+      array(lit(8000), lit(16000), lit(44100), lit(48000)),
+      (col("doc_id") % 4).cast("int") + 1)
+    val mrate = element_at(array(lit(44100), lit(48000), lit(32000)),
+      ((col("doc_id") % 5) % 3).cast("int") + 1)
+    val arate = element_at(
+      array(lit(48000), lit(44100), lit(32000), lit(16000), lit(8000)),
+      (col("doc_id") % 5).cast("int") + 1)
+    val rate = when(fmt === 0, prate).when(fmt === 1, mrate)
+      .otherwise(arate)
+    val ch = when(fmt === 2, (col("doc_id") % 3 + 1).cast("int"))
+      .otherwise((col("doc_id") % 2 + 1).cast("int"))
+    val units = when(fmt === 0, (col("doc_id") % 3000 + 48).cast("int"))
+      .otherwise(((col("doc_id") % 2000 + 100) * 441).cast("int"))
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("payload", Multimodal.audioPayload2(
+        fmt, rate, ch, units, lit(312),
+        (col("doc_id") % 500 + 10).cast("int")))
+      .withColumn("payload",
+        when(col("doc_id") % 31 === 0,
+          expr("substring(payload, 1, 3)")) // truncated: unparseable
+          .otherwise(col("payload")))
+    docs
+      .withColumn("meta", expr("graft_audio_meta(payload)"))
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.channels").as("channels"),
+        col("meta.duration_ms").as("duration_ms"))
+  }
+
+  /** IMAGE-DIMS probe, round-13 formats (q276): genuine AVIF/HEIC
+    * ISO-BMFF trees (ftyp brand + meta/iprp/ipco/ispe) built per
+    * document and parsed back with `graft_image_dims` — the modern
+    * scraped-web still formats (the ISO-BMFF family the video walk
+    * already parses for MP4). Corrupt (doc_id % 19 == 0) payloads
+    * surface NULL. Oracle: pure doc_id arithmetic. */
+  def imageMeta2(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("payload", Multimodal.containerPayload2(
+        (col("doc_id") % 2).cast("int"),
+        (col("doc_id") % 2048 + 16).cast("int"),
+        (col("doc_id") % 1024 + 16).cast("int")))
+      .withColumn("payload",
+        when(col("doc_id") % 19 === 0,
+          expr("substring(payload, 1, 6)")) // truncated: unparseable
+          .otherwise(col("payload")))
+    docs
+      .withColumn("dims", expr("graft_image_dims(payload)"))
+      .select(col("doc_id"), col("dims.format").as("format"),
+        col("dims.width").as("width"), col("dims.height").as("height"))
+  }
+
   /** Frame sampling: 64-unit frames on a 48-unit stride per payload. */
   def frameSample(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Tables.documents(s, d), width = 64, stride = 48)

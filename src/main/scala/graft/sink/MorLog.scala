@@ -479,18 +479,40 @@ object MorLog {
     * data files with a UUID for exactly this), the meta put-if-absent
     * then picks the winner, and a loser's (or a crashed attempt's)
     * staged files are unreferenced debris — discarded eagerly on a
-    * detected conflict, swept by [[vacuum]] otherwise. */
+    * detected conflict, swept by [[vacuum]] otherwise.
+    *
+    * `parts` (PHYSICAL column names) = the table's PARTITION COLUMNS:
+    * staging then goes through a dynamic-partition write on
+    * DUPLICATED helper columns, so every landed file holds EXACTLY
+    * ONE partition tuple while the real columns stay physically IN
+    * the file (Iceberg's choice, not Delta's hive-stripping) — files
+    * remain self-contained, every read path is unchanged, and the
+    * footer stats the log already records come out min==max on the
+    * partition columns, which makes the EXISTING stats prune exact on
+    * them: a `day = X` readWhere launches tasks against only that
+    * day's files, and a `day < X` retention delete drops whole files
+    * metadata-only through [[FileStats.coveredAll]]. The files land
+    * FLAT in the table dir (layout dirs carry no information the
+    * stats don't; vacuum's debris sweep stays one listing). */
   private def stageIn(spark: SparkSession, dir: String, df: DataFrame,
-                      v: Int): Seq[String] = {
+                      v: Int, parts: Seq[String] = Seq.empty): Seq[String] = {
     val fs = fsOf(spark, dir)
-    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val uid = newUid()
     val stage = s"$dir/$LogDir/_stage_v${v}_$uid"
-    df.write.mode("overwrite").parquet(stage)
-    val parts = fs.listStatus(new Path(stage)).iterator
-      .filter(_.isFile).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).toSeq
-      .sortBy(_.getName)
-    val names = parts.zipWithIndex.map { case (p, i) =>
+    if (parts.isEmpty) df.write.mode("overwrite").parquet(stage)
+    else {
+      val dup = parts.map(c => col(c).as(s"__gp_$c"))
+      df.select(col("*") +: dup: _*).write.mode("overwrite")
+        .partitionBy(parts.map("__gp_" + _): _*).parquet(stage)
+    }
+    def leaves(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) leaves(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
+        else Seq.empty
+      }
+    val staged = leaves(new Path(stage)).sortBy(_.toString)
+    val names = staged.zipWithIndex.map { case (p, i) =>
       val n = s"part-v$v-$uid-$i.parquet"
       if (!fs.rename(p, new Path(s"$dir/$n")))
         throw new java.io.IOException(s"rename $p failed")
@@ -502,13 +524,32 @@ object MorLog {
 
   /** Version 0: create the table from `df`. Two racing creates
     * resolve by the meta put-if-absent — the loser fails loud, it
-    * does not retry onto someone else's table. */
-  def create(df: DataFrame, dir: String): Unit = {
+    * does not retry onto someone else's table.
+    *
+    * `partitionBy` declares PARTITION COLUMNS (Delta's PARTITIONED
+    * BY, the canonical 100 TB date layout): the spec rides the
+    * schema's field metadata, every write on the table — create,
+    * append, evolve, upsert and merge staging — aligns its files to
+    * one partition tuple each ([[stageIn]]), and the log's stats
+    * prune becomes EXACT on those columns (min==max per file), so a
+    * partition-selective read launches tasks against only the
+    * matching partition's files and a partition-range retention
+    * delete drops whole files metadata-only. The prune itself is the
+    * same cached driver-side metadata pass as a directory prune —
+    * this tier's stats live in the meta chain, not in footers read
+    * per query. */
+  def create(df: DataFrame, dir: String,
+             partitionBy: Seq[String] = Seq.empty): Unit = {
     val spark = df.sparkSession
     require(versions(spark, dir).isEmpty, s"$dir already carries a log")
-    val files = stageIn(spark, dir, df, 0)
+    val missing = partitionBy.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"create: partition column(s) ${missing.mkString(", ")} not in " +
+        "the frame")
+    val files = stageIn(spark, dir, df, 0, partitionBy)
     try writeState(spark, dir,
-      State(0, "create", -1, -1, stampCreate(df.schema), files),
+      State(0, "create", -1, -1,
+        stampCreate(df.schema, partitionBy), files),
       Seq.empty)
     catch {
       case _: CommitConflictException =>
@@ -546,7 +587,7 @@ object MorLog {
       requireUpcastOnly(st, batch, "append")
       val v = st.version + 1
       val names = stageIn(spark, dir,
-        batch.select(stagedCast(st): _*), v)
+        batch.select(stagedCast(st): _*), v, partSpecPhys(st))
       commitPauseHook(dir, v)
       try writeState(spark, dir,
         State(v, "append", st.tombsV, st.pfCeil, st.schema,
@@ -588,6 +629,10 @@ object MorLog {
       s"dropColumn: $colName is not in the schema")
     require(st.schema.fields.length > 1,
       "dropColumn: cannot drop the only column")
+    require(!st.schema.fields.exists(f =>
+      f.name == colName && f.metadata.contains(PartKey)),
+      s"dropColumn: $colName is a partition column — dropping it " +
+        "would orphan the table's file alignment; rewrite the table")
     val narrowed = StructType(st.schema.fields.filterNot(
       _.name == colName))
     commitPauseHook(dir, st.version + 1)
@@ -675,7 +720,8 @@ object MorLog {
       batch.select(union.map(f =>
         if (bCols.contains(f.name))
           col(f.name).cast(f.dataType).as(physOf(f))
-        else lit(null).cast(f.dataType).as(physOf(f))): _*), v)
+        else lit(null).cast(f.dataType).as(physOf(f))): _*), v,
+      partSpecPhys(st))
     commitPauseHook(dir, v)
     try writeState(spark, dir,
       State(v, "evolve", st.tombsV, st.pfCeil, union,
@@ -714,13 +760,38 @@ object MorLog {
   private def physSchema(st: State): StructType =
     StructType(st.schema.fields.map(f => f.copy(name = physOf(f))))
 
-  /** Stamp birth ids + phys names on a creation schema. */
-  private def stampCreate(schema: StructType): StructType =
+  /** Field-metadata key marking a PARTITION column (value = 1-based
+    * position in the partition spec). */
+  private val PartKey = "graft.part"
+
+  /** Stamp birth ids + phys names (+ the partition spec) on a
+    * creation schema. */
+  private def stampCreate(schema: StructType,
+                          partitionBy: Seq[String] = Seq.empty)
+      : StructType =
     StructType(schema.fields.zipWithIndex.map { case (f, i) =>
-      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      val b = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata).putLong(IdKey, i + 1L)
-        .putString(PhysKey, f.name).build())
+        .putString(PhysKey, f.name)
+      val pi = partitionBy.indexOf(f.name)
+      if (pi >= 0) b.putLong(PartKey, pi + 1L)
+      f.copy(metadata = b.build())
     })
+
+  /** The table's partition columns (PHYSICAL names, spec order) —
+    * empty for unpartitioned tables. Every batch staging aligns its
+    * files to these. */
+  private def partSpecPhys(st: State): Seq[String] =
+    st.schema.fields.filter(_.metadata.contains(PartKey))
+      .sortBy(_.metadata.getLong(PartKey)).map(physOf).toSeq
+
+  /** Public: the table's partition columns at its current version
+    * (LOGICAL names, spec order). */
+  def partitionColumns(spark: SparkSession, dir: String): Seq[String] = {
+    val st = currentState(spark, dir)
+    st.schema.fields.filter(_.metadata.contains(PartKey))
+      .sortBy(_.metadata.getLong(PartKey)).map(_.name).toSeq
+  }
 
   /** Stamp an ADDED field (committing as version `v`): phys names of
     * added fields are version-suffixed, so they can never collide
@@ -1015,7 +1086,8 @@ object MorLog {
       val st = currentState(spark, dir)
       val v = st.version + 1
       val names = stageIn(spark, dir,
-        toPhysical(st, readVersion(spark, dir, st.version)), v)
+        toPhysical(st, readVersion(spark, dir, st.version)), v,
+        partSpecPhys(st))
       commitPauseHook(dir, v)
       try writeState(spark, dir,
         State(v, "compact", -1, -1, st.schema, names), st.files)
@@ -1090,7 +1162,7 @@ object MorLog {
         / targetBytes).toInt)
     val v = st.version + 1
     val packed = stageIn(spark, dir,
-      toPhysical(st, layout(visible, nOut)), v)
+      toPhysical(st, layout(visible, nOut)), v, partSpecPhys(st))
     commitPauseHook(dir, v)
     try locked(dir) {
       checkFree(spark, dir, v)
@@ -1146,7 +1218,8 @@ object MorLog {
       val clustered = ZOrderLayout.clusteredRanked(
         readVersion(spark, dir, st.version), dims, n, buckets)
       val v = st.version + 1
-      val names = stageIn(spark, dir, toPhysical(st, clustered), v)
+      val names = stageIn(spark, dir, toPhysical(st, clustered), v,
+        partSpecPhys(st))
       commitPauseHook(dir, v)
       try writeState(spark, dir,
         State(v, "cluster", -1, -1, st.schema, names), st.files)
@@ -1534,7 +1607,7 @@ object MorLog {
           // names can't collide); the tombstone commit and the meta
           // swap are the serialized part
           val names = stageIn(spark, dir,
-            batch.select(stagedCast(st): _*), v)
+            batch.select(stagedCast(st): _*), v, partSpecPhys(st))
           // stats-pruned victim locate: only files that can hold a
           // batch key are opened, not the whole table
           val scanFiles = locateFiles(spark, dir, st, keyCol, keys)
@@ -1613,7 +1686,8 @@ object MorLog {
       val names =
         if (nUp == 0) Seq.empty
         else stageIn(spark, dir,
-          b.filter(col(opCol) =!= "D").select(stagedCast(st): _*), v)
+          b.filter(col(opCol) =!= "D").select(stagedCast(st): _*), v,
+          partSpecPhys(st))
       // stats-pruned victim locate (same skipping readWhere applies)
       val scanFiles = locateFiles(spark, dir, st, keyCol, keys)
       commitPauseHook(dir, v)
@@ -1764,7 +1838,7 @@ object MorLog {
         }
         val names =
           if (nUpd + nIns == 0) Seq.empty
-          else stageIn(spark, dir, staged, v)
+          else stageIn(spark, dir, staged, v, partSpecPhys(st))
         commitPauseHook(dir, v)
         try locked(dir) {
           checkFree(spark, dir, v)

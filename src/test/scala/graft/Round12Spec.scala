@@ -578,14 +578,20 @@ class Round12Spec extends AnyFunSuite {
       .option("path", dir2).load()
       .select("id").as[Long].collect().toSet
     assert(ids2 == (0L until 100L).filterNot(_ % 10 == 3).toSet)
-    // an unreadable column type fails at plan time, loudly
+    // decimals read through the connector since round 13; a still-
+    // unsupported type (array) keeps failing at plan time, loudly
     val dir3 = s"$work/dec"
     MorLog.create(spark.range(0, 5)
       .select(col("id"),
-        col("id").cast("decimal(10,2)").as("d")), dir3)
+        col("id").cast("decimal(10,2)").as("d"),
+        array(col("id")).as("arr")), dir3)
+    assert(spark.read.format("graft.sources.MorLogSource")
+      .option("path", dir3).load().select("d")
+      .as[java.math.BigDecimal].collect().map(_.longValueExact()).sorted
+      .toSeq == (0L until 5L))
     val e = intercept[Exception](
       spark.read.format("graft.sources.MorLogSource")
-        .option("path", dir3).load().select("d").collect())
+        .option("path", dir3).load().select("arr").collect())
     assert(e.getMessage.contains("native path"))
   }
 

@@ -284,6 +284,121 @@ class Round13Spec extends AnyFunSuite {
       .contains("mutually exclusive"))
   }
 
+  test("partition columns: every write aligns files to one partition value; pruning exact; drop refused; rename keeps the spec") {
+    val dir = tmp("r13_part") + "/t"
+    val df = spark.range(0, 90).select(col("id"),
+      (col("id") % 3).cast("string").as("bucket"),
+      (col("id") * 2).as("v"))
+    MorLog.create(df.repartition(4), dir, partitionBy = Seq("bucket"))
+    assert(MorLog.partitionColumns(spark, dir) == Seq("bucket"))
+    // an upsert's staged files align too: its batch spans 2 buckets
+    MorLog.upsert(spark, dir,
+      Seq((0L, "0", -1L), (1L, "1", -2L)).toDF("id", "bucket", "v"), "id")
+    // one-bucket read scans only that bucket's files
+    val one = MorLog.readWhere(spark, dir, col("bucket") === "2")
+    assert(one.count() == 30)
+    assert(graft.sink.MorLogStats.lastFilesSkipped > 0,
+      "partition pruning must skip the other buckets' files")
+    val scanned = graft.sink.MorLogStats.lastFilesScanned
+    // every scanned file is single-valued on the partition column:
+    // the upsert batch staged one file per bucket (2 files), so
+    // bucket=2 scans only create-time bucket-2 files
+    assert(one.filter(col("bucket") =!= "2").count() == 0)
+    assert(scanned < 5, s"bucket slice scanned $scanned files")
+    // dropping the partition column refuses loud; renaming keeps it
+    assert(intercept[Exception](
+      MorLog.dropColumn(spark, dir, "bucket"))
+      .getMessage.contains("partition column"))
+    MorLog.renameColumn(spark, dir, "bucket", "shard")
+    assert(MorLog.partitionColumns(spark, dir) == Seq("shard"))
+    val two = MorLog.readWhere(spark, dir, col("shard") === "1")
+    assert(two.count() == 30)
+    assert(graft.sink.MorLogStats.lastFilesSkipped > 0,
+      "pruning must survive the partition column's rename")
+  }
+
+  // ---- round-13 probe formats: hand-built bytes, independent of
+  // both the in-plan builders and the parsers ----------------------
+
+  private def be16b(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+  private def be32b(v: Long) = Array[Byte](
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def le16b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def le32b(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+    (v >> 16).toByte, (v >> 24).toByte)
+  private def le64b(v: Long) = le32b(v & 0xffffffffL) ++ le32b(v >>> 32)
+  private def ascii(s: String) = s.getBytes("US-ASCII")
+  private def box(t: String, body: Array[Byte]): Array[Byte] =
+    be32b(body.length + 8L) ++ ascii(t) ++ body
+
+  private def audioMeta(b: Array[Byte]) =
+    Option(graft.multimodal.AudioCodecs.meta(b))
+      .map(r => (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2),
+        r.getLong(3)))
+  private def imageDims(b: Array[Byte]) =
+    Option(graft.multimodal.MultimodalCodecs.dims(b))
+      .map(r => (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2)))
+
+  test("opus/m4a/adts audio probes parse hand-built headers; truncations are total") {
+    // Opus: BOS page w/ OpusHead (2ch, preskip 312, in-rate 16000),
+    // EOS page granule 312 + 96000 -> 2000 ms at the 48 kHz clock
+    val opusHead = ascii("OpusHead") ++ Array[Byte](1, 2) ++
+      le16b(312) ++ le32b(16000) ++ le16b(0) ++ Array[Byte](0)
+    val page1 = ascii("OggS") ++ Array[Byte](0, 2) ++ le64b(0) ++
+      le32b(7) ++ le32b(0) ++ le32b(0) ++
+      Array[Byte](1, opusHead.length.toByte) ++ opusHead
+    val page2 = ascii("OggS") ++ Array[Byte](0, 4) ++ le64b(96312) ++
+      le32b(7) ++ le32b(1) ++ le32b(0) ++ Array[Byte](1, 1, 0)
+    val opus = page1 ++ page2
+    assert(audioMeta(opus).contains(("opus", 16000, 2, 2000L)))
+    // M4A: mdhd timescale 44100 / duration 88200 -> 2000 ms; mp4a 2ch
+    val mdhd = box("mdhd", Array.fill[Byte](12)(0) ++ be32b(44100) ++
+      be32b(88200) ++ Array.fill[Byte](4)(0))
+    val mp4a = box("mp4a", Array.fill[Byte](16)(0) ++ be16b(2) ++
+      be16b(16) ++ Array.fill[Byte](4)(0) ++ be32b(44100L << 16))
+    val stsd = box("stsd", Array.fill[Byte](4)(0) ++ be32b(1) ++ mp4a)
+    val m4a = box("ftyp", ascii("M4A ") ++ Array.fill[Byte](4)(0)) ++
+      box("moov", box("trak", box("mdia",
+        mdhd ++ box("minf", box("stbl", stsd)))))
+    assert(audioMeta(m4a).contains(("aac", 44100, 2, 2000L)))
+    // ADTS: 50 frames of 23 bytes, 48 kHz (sfi 3), 2 ch
+    val hdr = Array[Byte](0xff.toByte, 0xf1.toByte,
+      (0x40 | (3 << 2)).toByte, (2 << 6 | 0).toByte,
+      ((23 >> 3) & 0xff).toByte, (((23 & 7) << 5) | 0x1f).toByte,
+      0xfc.toByte)
+    val frame = hdr ++ Array.fill[Byte](16)(0)
+    val adts = Array.fill(50)(frame).flatten
+    assert(audioMeta(adts).contains(
+      ("aac", 48000, 2, 50L * 1024 * 1000 / 48000)))
+    // totality: every truncation parses or NULLs, never throws
+    Seq(opus, m4a, adts).foreach(full =>
+      (0 to full.length).foreach(n => audioMeta(full.take(n))))
+    // hostile sizes: a box length past the buffer stops the walk
+    val hostile = m4a.clone()
+    hostile(0) = 0x7f; audioMeta(hostile)
+  }
+
+  test("avif/heic ispe walk parses hand-built trees; largest ispe wins; truncations total") {
+    def bmff(brand: String, dims: Seq[(Int, Int)]): Array[Byte] = {
+      val ispes = dims.map { case (w, h) =>
+        box("ispe", Array.fill[Byte](4)(0) ++ be32b(w) ++ be32b(h))
+      }.reduce(_ ++ _)
+      box("ftyp", ascii(brand) ++ Array.fill[Byte](4)(0)) ++
+        box("meta", Array.fill[Byte](4)(0) ++
+          box("iprp", box("ipco", ispes)))
+    }
+    assert(imageDims(bmff("avif", Seq((640, 480))))
+      .contains(("avif", 640, 480)))
+    assert(imageDims(bmff("heic", Seq((160, 120), (4032, 3024))))
+      .contains(("heic", 4032, 3024)), "primary (largest) ispe wins")
+    assert(imageDims(bmff("mp42", Seq((640, 480)))).isEmpty,
+      "a video brand is not an image")
+    val full = bmff("avif", Seq((99, 77)))
+    (0 to full.length).foreach(n => imageDims(full.take(n)))
+    val hostile = full.clone(); hostile(16) = 0x7f
+    imageDims(hostile)
+  }
+
   test("state cache is LRU: a span walk over a >cap-version log pays one meta read per version") {
     val dir = tmp("r13_lru")
     val n = 30
