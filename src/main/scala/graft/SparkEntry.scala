@@ -583,6 +583,8 @@ object SparkEntry {
     "q275_audio_meta2"      -> ((s, d) => LlmQueries.audioMeta2(s, d)),
     // AVIF/HEIC ispe-walk dims, corrupt blobs → NULL
     "q276_image_meta2"      -> ((s, d) => LlmQueries.imageMeta2(s, d)),
+    // named SQL tables over the log tier: CREATE/INSERT/VERSION AS OF
+    "q277_morlog_catalog"   -> ((s, d) => CoreQueries.morLogCatalogSql(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1471,6 +1473,16 @@ object SparkEntry {
            CASE WHEN doc_id % 19 = 0 THEN NULL
                 ELSE CAST(doc_id % 1024 + 16 AS INT) END AS height
          FROM documents""",
+    // the catalog lifecycle's final pruned fold (insert + retention
+    // delete below 01-10 + a day >= 2024-01-20 read whose partition
+    // pruning is asserted in-query; travel asserted in-query too)
+    "q277_morlog_catalog" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-20'
+         GROUP BY event_type""",
     // the partitioned table after its day < 2024-01-10 retention
     // delete (partition pruning/file-drop asserted in-query)
     "q274_morlog_partitioned" ->

@@ -559,6 +559,52 @@ object MorLog {
     }
   }
 
+  /** Version 0 with NO data: the `CREATE TABLE (cols)` shape the SQL
+    * catalog needs — schema (and partition spec) commit, the first
+    * append brings the data. */
+  def createEmpty(spark: SparkSession, dir: String, schema: StructType,
+                  partitionBy: Seq[String] = Seq.empty): Unit = {
+    require(versions(spark, dir).isEmpty, s"$dir already carries a log")
+    val missing = partitionBy.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"createEmpty: partition column(s) ${missing.mkString(", ")} " +
+        "not in the schema")
+    try writeState(spark, dir,
+      State(0, "create", -1, -1,
+        stampCreate(schema, partitionBy), Seq.empty), Seq.empty)
+    catch {
+      case _: CommitConflictException =>
+        throw new IllegalStateException(
+          s"$dir already carries a log (lost a creation race)")
+    }
+  }
+
+  /** OVERWRITE as one version (INSERT OVERWRITE / save mode
+    * "overwrite"): the new batch's files REPLACE the whole list, the
+    * tombstone pointer clears (nothing old is visible to need one),
+    * and — like every rewrite here — the old files stay on disk so
+    * earlier versions keep reading until retention drops them. The
+    * change feed sees it as what it is: every previous row deleted,
+    * every new row inserted. */
+  def overwrite(spark: SparkSession, dir: String,
+                batch: DataFrame): Unit =
+    withOcc(spark, dir) {
+      val st = currentState(spark, dir)
+      require(batch.columns.toSet == st.schema.fieldNames.toSet,
+        s"overwrite: batch columns ${batch.columns.toSeq.sorted} drift " +
+          s"from the table's ${st.schema.fieldNames.toSeq.sorted}")
+      requireUpcastOnly(st, batch, "overwrite")
+      val v = st.version + 1
+      val names = stageIn(spark, dir,
+        batch.select(stagedCast(st): _*), v, partSpecPhys(st))
+      commitPauseHook(dir, v)
+      try writeState(spark, dir,
+        State(v, "overwrite", -1, -1, st.schema, names), st.files)
+      catch { case e: CommitConflictException =>
+        discardStaged(spark, dir, names); throw e
+      }
+    }
+
   /** Batch columns may be NARROWER than the table (safe upcast on
     * write) but never wider: a long batch landing in an int column
     * would silently truncate under the cast — that retype must go

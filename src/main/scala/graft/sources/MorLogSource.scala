@@ -97,12 +97,20 @@ class MorLogSource extends TableProvider {
       Option(properties.get("changesFrom")).map(_.trim.toInt),
       Option(properties.get("changesTo")).map(_.trim.toInt), schema)
 
-  override def supportsExternalMetadata(): Boolean = false
+  // writes to a NOT-YET-EXISTING path carry the frame's own schema
+  // (the create-on-first-write path); reads still infer from the log
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 /** Unsupported-in-reader types fail at PLAN time, loudly — a silent
   * null would be data corruption. */
 private[sources] object MorLogFacade {
+
+  def schemaOf(spark: org.apache.spark.sql.SparkSession, dir: String,
+               v: Option[Int]): StructType = {
+    val (schema, _, _, _, _, _) = MorLog.connectorPlan(spark, dir, v, None)
+    schema
+  }
 
   def supportedType(t: DataType): Boolean = t match {
     case LongType | IntegerType | DoubleType | FloatType |
@@ -148,19 +156,63 @@ private[sources] object MorLogFacade {
 
 class MorLogTable(path: String, version: Option[Int],
                   changesFrom: Option[Int], changesTo: Option[Int],
-                  tblSchema: StructType)
-    extends Table with SupportsRead {
+                  tblSchema: StructType,
+                  createPartitionBy: Seq[String] = Seq.empty)
+    extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"graft_morlog($path${version.map("@v" + _).getOrElse("")}" +
       s"${changesFrom.map(f => s"@changes($f,${changesTo.getOrElse("tip")}]")
         .getOrElse("")})"
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new MorLogScanBuilder(path, version, changesFrom, changesTo,
       tblSchema)
+
+  /** WRITE surface, via the V1 fallback (the same route Spark's own
+    * JDBC source takes): the resolved frame lands driver-side as one
+    * [[graft.sink.MorLog.append]] / `overwrite` commit — the log's
+    * own staging writes the files distributed, so nothing collects;
+    * only the plan handle crosses the boundary. A write to a path
+    * with NO log yet CREATES the table from the frame (save mode
+    * semantics). Time-travel and change-feed relations refuse
+    * writes. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(version.isEmpty && changesFrom.isEmpty,
+      "writes must target the CURRENT snapshot — versionAsOf/" +
+        "changesFrom relations are read-only")
+    new MorLogWriteBuilder(path, createPartitionBy)
+  }
+}
+
+class MorLogWriteBuilder(path: String, partitionBy: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var overwrite = false
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation()
+          : org.apache.spark.sql.sources.InsertableRelation =
+        (data: org.apache.spark.sql.DataFrame, ow: Boolean) => {
+          val spark = data.sparkSession
+          if (MorLog.versions(spark, path).isEmpty)
+            MorLog.create(data, path, partitionBy)
+          else if (overwrite || ow) MorLog.overwrite(spark, path, data)
+          else MorLog.append(spark, path, data)
+        }
+    }
 }
 
 class MorLogScanBuilder(path: String, version: Option[Int],

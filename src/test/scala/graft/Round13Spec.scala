@@ -317,6 +317,62 @@ class Round13Spec extends AnyFunSuite {
       "pruning must survive the partition column's rename")
   }
 
+  test("SQL catalog + write path: CREATE/INSERT/OVERWRITE/time travel/DROP; path-based save modes") {
+    val root = tmp("r13_cat")
+    spark.conf.set("spark.sql.catalog.g13", "graft.sources.MorLogCatalog")
+    spark.conf.set("spark.sql.catalog.g13.root", root)
+    spark.sql("CREATE TABLE g13.ns.t (id BIGINT, bucket STRING, " +
+      "v BIGINT) PARTITIONED BY (bucket)")
+    spark.sql("INSERT INTO g13.ns.t SELECT id, " +
+      "CAST(id % 3 AS STRING), id * 2 FROM range(90)")
+    assert(spark.sql("SELECT count(*) FROM g13.ns.t")
+      .as[Long].head() == 90)
+    spark.sql("INSERT INTO g13.ns.t VALUES (1000, '1', 1)")
+    assert(spark.sql("SELECT count(*) FROM g13.ns.t")
+      .as[Long].head() == 91)
+    // partition pruning reaches SQL-by-name reads
+    assert(spark.sql("SELECT count(*) FROM g13.ns.t WHERE bucket = '2'")
+      .as[Long].head() == 30)
+    assert(graft.sources.MorLogSourceStats.lastFilesSkipped > 0,
+      "the catalog read must prune through the log stats")
+    // time travel by name
+    assert(spark.sql("SELECT count(*) FROM g13.ns.t VERSION AS OF 1")
+      .as[Long].head() == 90)
+    // INSERT OVERWRITE = one overwrite commit; history stays readable
+    spark.sql("INSERT OVERWRITE g13.ns.t VALUES (7, 'x', 8)")
+    assert(spark.sql("SELECT count(*) FROM g13.ns.t")
+      .as[Long].head() == 1)
+    assert(spark.sql("SELECT count(*) FROM g13.ns.t VERSION AS OF 2")
+      .as[Long].head() == 91)
+    // catalog listing + drop
+    assert(spark.sql("SHOW TABLES IN g13.ns").count() == 1)
+    spark.sql("DROP TABLE g13.ns.t")
+    assert(spark.sql("SHOW TABLES IN g13.ns").count() == 0)
+    // ALTER refuses loud (schema evolution = the tier's own ops)
+    spark.sql("CREATE TABLE g13.ns.u (id BIGINT)")
+    assert(intercept[Exception](
+      spark.sql("ALTER TABLE g13.ns.u ADD COLUMN x BIGINT"))
+      .getMessage.contains("evolveAppend"))
+    // path-based writes: create-on-first-write (append mode — the V2
+    // path-write contract allows only Append/Overwrite), then append
+    val dir = tmp("r13_write") + "/t"
+    val df = spark.range(0, 10).select(col("id"), (col("id") * 3).as("w"))
+    df.write.format("graft.sources.MorLogSource")
+      .option("path", dir).mode("append").save()
+    df.write.format("graft.sources.MorLogSource")
+      .option("path", dir).mode("append").save()
+    assert(MorLog.read(spark, dir).count() == 20)
+    df.limit(3).write.format("graft.sources.MorLogSource")
+      .option("path", dir).mode("overwrite").save()
+    assert(MorLog.read(spark, dir).count() == 3)
+    assert(MorLog.readVersion(spark, dir, 1).count() == 20,
+      "the overwrite must not destroy history")
+    // a time-travel relation refuses writes
+    assert(scala.util.Try(df.write.format("graft.sources.MorLogSource")
+      .option("path", dir).option("versionAsOf", "0")
+      .mode("append").save()).isFailure)
+  }
+
   // ---- round-13 probe formats: hand-built bytes, independent of
   // both the in-plan builders and the parsers ----------------------
 
