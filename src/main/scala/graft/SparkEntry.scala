@@ -585,6 +585,8 @@ object SparkEntry {
     "q276_image_meta2"      -> ((s, d) => LlmQueries.imageMeta2(s, d)),
     // named SQL tables over the log tier: CREATE/INSERT/VERSION AS OF
     "q277_morlog_catalog"   -> ((s, d) => CoreQueries.morLogCatalogSql(s, d)),
+    // the log tier as a readStream SOURCE: offsets are versions
+    "q278_morlog_stream_source" -> ((s, d) => CoreQueries.morLogStreamSource(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1473,6 +1475,22 @@ object SparkEntry {
            CASE WHEN doc_id % 19 = 0 THEN NULL
                 ELSE CAST(doc_id % 1024 + 16 AS INT) END AS height
          FROM documents""",
+    // the streaming CDC source's drained events: v0 = the create's
+    // inserts, v1 = the delete's victims, v2 = the upsert's pair
+    "q278_morlog_stream_source" ->
+      """WITH ins0 AS (SELECT event_id, event_type, 'insert' AS ct,
+             0 AS v FROM events),
+         del1 AS (SELECT event_id, event_type, 'delete', 1
+           FROM events WHERE event_id % 10 = 3),
+         up AS (SELECT event_id, event_type FROM events
+           WHERE event_id % 10 <> 3 AND event_id % 9 = 0),
+         ev AS (SELECT * FROM ins0 UNION ALL SELECT * FROM del1
+           UNION ALL SELECT event_id, event_type, 'delete', 2 FROM up
+           UNION ALL SELECT event_id, event_type, 'insert', 2 FROM up)
+         SELECT ct AS change_type, v AS commit_version, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id
+         FROM ev GROUP BY 1, 2, 3""",
     // the catalog lifecycle's final pruned fold (insert + retention
     // delete below 01-10 + a day >= 2024-01-20 read whose partition
     // pruning is asserted in-query; travel asserted in-query too)

@@ -4114,6 +4114,47 @@ object CoreQueries {
     s.createDataFrame(java.util.Arrays.asList(collected: _*), out.schema)
   }
 
+  /** STREAMING CDC SOURCE (q278): `spark.readStream.format(...)
+    * .option("streamChanges", "true").option("startingVersion", "0")`
+    * — the log tier as a Structured Streaming SOURCE (offsets ARE
+    * committed versions; each micro-batch is a change span served by
+    * the same per-file event partitions as the batch CDF). The
+    * lifecycle (create → delete → upsert) drains AvailableNow into a
+    * parquet sink under a checkpoint, then the folded events verify
+    * against pure arithmetic: startingVersion=0 replays the create's
+    * inserts at v0, the delete's victims at v1, and the upsert as its
+    * delete+insert pair at v2 — Delta's streaming-source shape,
+    * completing subscribe (this) + apply ([[graft.sink.MorLog
+    * .runMergeStream]], q271) for SQL-level users. */
+  def morLogStreamSource(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-cdcsrc-")
+    val dir = s"$work/t"
+    val ev = Tables.events(s, d)
+      .select("event_id", "event_type", "value")
+    graft.sink.MorLog.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"), dir)
+    graft.sink.MorLog.deleteWhere(s, dir, col("event_id") % 10 === 3)
+    val batch = graft.sink.MorLog.read(s, dir)
+      .filter(col("event_id") % 9 === 0)
+      .withColumn("value", col("value") + 500.0)
+    graft.sink.MorLog.upsert(s, dir, batch, "event_id")
+    val out = s"$work/out"
+    val q = s.readStream.format("graft.sources.MorLogSource")
+      .option("path", dir).option("streamChanges", "true")
+      .option("startingVersion", "0").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    s.read.parquet(out).groupBy(
+        col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

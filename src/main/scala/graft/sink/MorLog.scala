@@ -2025,11 +2025,15 @@ object MorLog {
       s"changesFrom must precede changesTo, got ($fromV, $toV]")
     val span = versions(spark, dir).filter(v => v > fromV && v <= toV)
     require(span.nonEmpty && span.max == toV &&
-      versions(spark, dir).contains(fromV),
+      (fromV < 0 || versions(spark, dir).contains(fromV)),
       s"change span ($fromV, $toV] not fully in $dir's log")
     val hconf = conf(spark)
     val toSt = state(spark, dir, toV)
-    var prev = state(spark, dir, fromV)
+    // fromV = -1 is "before everything": the whole history including
+    // version 0's own file adds (the streaming source's full replay)
+    var prev =
+      if (fromV < 0) State(-1, "init", -1, -1, toSt.schema, Seq.empty)
+      else state(spark, dir, fromV)
     val specs = Seq.newBuilder[ChangeFileSpec]
     span.foreach { v =>
       val st = state(spark, dir, v)

@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -78,6 +78,9 @@ class MorLogSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = org.apache.spark.sql.SparkSession.active
     val dir = options.get("path")
+    if (options.getBoolean("streamChanges", false))
+      return MorLogFacade.withChangeCols(
+        MorLogFacade.schemaOf(spark, dir, None))
     MorLogFacade.changesSpan(spark, dir, options) match {
       case Some((from, to)) =>
         val (schema, _, _) = MorLog.connectorChangesPlan(spark, dir, from, to)
@@ -95,7 +98,11 @@ class MorLogSource extends TableProvider {
     new MorLogTable(properties.get("path"),
       Option(properties.get("versionAsOf")).map(_.trim.toInt),
       Option(properties.get("changesFrom")).map(_.trim.toInt),
-      Option(properties.get("changesTo")).map(_.trim.toInt), schema)
+      Option(properties.get("changesTo")).map(_.trim.toInt), schema,
+      streamChanges =
+        "true".equalsIgnoreCase(properties.get("streamChanges")),
+      startingVersion =
+        Option(properties.get("startingVersion")).map(_.trim.toInt))
 
   // writes to a NOT-YET-EXISTING path carry the frame's own schema
   // (the create-on-first-write path); reads still infer from the log
@@ -122,6 +129,52 @@ private[sources] object MorLogFacade {
 
   val ChangeType = "_change_type"
   val CommitVersion = "_commit_version"
+
+  /** V2 predicate tree → Column, STRICT: any node this can't express
+    * returns None and the whole DELETE refuses at `canDeleteWhere` —
+    * Spark's default V2→V1 bridge can silently LOSE an inconvertible
+    * branch (observed: `id % 10 = 3 OR id >= 90` deleted only the
+    * right disjunct through the bridge), and a lossy condition on a
+    * DELETE is data corruption, not an optimization miss. General
+    * arithmetic (%, +, −, *) is translatable because
+    * [[graft.sink.MorLog.deleteWhere]] evaluates a full Spark plan,
+    * not the Group reader's claim set. */
+  def v2ToColumn(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[org.apache.spark.sql.Column] = e match {
+    case r: org.apache.spark.sql.connector.expressions.NamedReference
+        if r.fieldNames.length == 1 =>
+      Some(col(r.fieldNames.head))
+    case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+      scala.util.Try(lit(
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(l.value, l.dataType))).toOption
+    case g: org.apache.spark.sql.connector.expressions.GeneralScalarExpression =>
+      val ch = g.children.toSeq.map(v2ToColumn)
+      if (ch.exists(_.isEmpty)) None
+      else (g.name, ch.map(_.get)) match {
+        case ("=", Seq(a, b)) => Some(a === b)
+        case ("<>", Seq(a, b)) => Some(a =!= b)
+        case ("<=>", Seq(a, b)) => Some(a <=> b)
+        case ("<", Seq(a, b)) => Some(a < b)
+        case ("<=", Seq(a, b)) => Some(a <= b)
+        case (">", Seq(a, b)) => Some(a > b)
+        case (">=", Seq(a, b)) => Some(a >= b)
+        case ("AND", Seq(a, b)) => Some(a && b)
+        case ("OR", Seq(a, b)) => Some(a || b)
+        case ("NOT", Seq(a)) => Some(!a)
+        case ("IS_NULL", Seq(a)) => Some(a.isNull)
+        case ("IS_NOT_NULL", Seq(a)) => Some(a.isNotNull)
+        case ("IN", a +: rest) if rest.nonEmpty =>
+          Some(rest.map(a === _).reduce(_ || _))
+        case ("%", Seq(a, b)) => Some(a % b)
+        case ("+", Seq(a, b)) => Some(a + b)
+        case ("-", Seq(a, b)) => Some(a - b)
+        case ("-", Seq(a)) => Some(-a)
+        case ("*", Seq(a, b)) => Some(a * b)
+        case _ => None
+      }
+    case _ => None
+  }
 
   def withChangeCols(schema: StructType): StructType =
     StructType(schema.fields ++ Seq(
@@ -157,10 +210,13 @@ private[sources] object MorLogFacade {
 class MorLogTable(path: String, version: Option[Int],
                   changesFrom: Option[Int], changesTo: Option[Int],
                   tblSchema: StructType,
-                  createPartitionBy: Seq[String] = Seq.empty)
+                  createPartitionBy: Seq[String] = Seq.empty,
+                  streamChanges: Boolean = false,
+                  startingVersion: Option[Int] = None)
     extends Table
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   override def name(): String =
     s"graft_morlog($path${version.map("@v" + _).getOrElse("")}" +
       s"${changesFrom.map(f => s"@changes($f,${changesTo.getOrElse("tip")}]")
@@ -169,11 +225,36 @@ class MorLogTable(path: String, version: Option[Int],
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.V1_BATCH_WRITE)
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new MorLogScanBuilder(path, version, changesFrom, changesTo,
-      tblSchema)
+      tblSchema, streamChanges, startingVersion)
+
+  /** SQL `DELETE FROM … WHERE …`: the predicate conjunction maps onto
+    * [[graft.sink.MorLog.deleteWhere]] — whole-file metadata drops
+    * where stats PROVE the predicate, tombstones for the rest, one
+    * committed version. `TRUNCATE TABLE` is the empty conjunction
+    * (provably-true: every file drops metadata-only). Translation is
+    * STRICT at the V2 predicate level ([[MorLogFacade.v2ToColumn]]) —
+    * an inexpressible condition refuses the whole DELETE loudly
+    * rather than risk the lossy default V1 bridge. */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Boolean =
+    version.isEmpty && changesFrom.isEmpty && !streamChanges &&
+      predicates.forall(p => MorLogFacade.v2ToColumn(p).isDefined)
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val cond = predicates.toSeq.map(p =>
+        MorLogFacade.v2ToColumn(p).getOrElse(throw
+          new IllegalArgumentException(s"untranslatable predicate $p")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    MorLog.deleteWhere(spark, path, cond)
+  }
 
   /** WRITE surface, via the V1 fallback (the same route Spark's own
     * JDBC source takes): the resolved frame lands driver-side as one
@@ -186,9 +267,9 @@ class MorLogTable(path: String, version: Option[Int],
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    require(version.isEmpty && changesFrom.isEmpty,
+    require(version.isEmpty && changesFrom.isEmpty && !streamChanges,
       "writes must target the CURRENT snapshot — versionAsOf/" +
-        "changesFrom relations are read-only")
+        "changesFrom/streamChanges relations are read-only")
     new MorLogWriteBuilder(path, createPartitionBy)
   }
 }
@@ -217,7 +298,10 @@ class MorLogWriteBuilder(path: String, partitionBy: Seq[String])
 
 class MorLogScanBuilder(path: String, version: Option[Int],
                         changesFrom: Option[Int], changesTo: Option[Int],
-                        full: StructType) extends ScanBuilder
+                        full: StructType,
+                        streamChanges: Boolean = false,
+                        startingVersion: Option[Int] = None)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
@@ -253,9 +337,9 @@ class MorLogScanBuilder(path: String, version: Option[Int],
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // the change-feed scan claims nothing (its rows carry virtual
+    // the change-feed scans claim nothing (their rows carry virtual
     // columns a file-stat can't see); Catalyst keeps every filter
-    if (changesFrom.isDefined) return filters
+    if (changesFrom.isDefined || streamChanges) return filters
     val (ours, residual) = filters.partition(supported)
     pushed = ours
     residual
@@ -266,6 +350,8 @@ class MorLogScanBuilder(path: String, version: Option[Int],
 
   override def build(): Scan = {
     val spark = org.apache.spark.sql.SparkSession.active
+    if (streamChanges)
+      return MorLogStreamScan(path, required, startingVersion)
     MorLogFacade.spanOf(spark, path,
       changesFrom.map(_.toString), changesTo.map(_.toString),
       version.map(_.toString)) match {
@@ -279,6 +365,82 @@ class MorLogScanBuilder(path: String, version: Option[Int],
         MorLogScan(path, pinned, required, pushed)
     }
   }
+}
+
+/** STREAMING change-feed scan (`spark.readStream.format(...)
+  * .option("streamChanges", "true")`): offsets ARE committed log
+  * versions, each micro-batch is the change span between two of them
+  * — the same per-file event partitions and reader the batch CDF
+  * uses, under Structured Streaming's own checkpointing (Delta's
+  * streaming-source shape). `startingVersion = v` streams changes
+  * from version v ONWARD (inclusive; 0 replays the whole history,
+  * create included — Delta's convention); absent, the stream starts
+  * at the tip and delivers only commits that land after it. */
+case class MorLogStreamScan(path: String, required: StructType,
+                            startingVersion: Option[Int])
+    extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft_morlog path=$path streamChanges starting=" +
+      s"${startingVersion.getOrElse(-1)}"
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new MorLogMicroBatchStream(path, required, startingVersion)
+}
+
+/** One offset = one committed version (inclusive upper bound of the
+  * delivered span). */
+case class MorLogOffset(v: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+class MorLogMicroBatchStream(path: String, outSchema: StructType,
+                             startingVersion: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  private def spark = org.apache.spark.sql.SparkSession.active
+
+  override def initialOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    // inclusive startingVersion → exclusive span lower bound
+    MorLogOffset(startingVersion.map(_ - 1).getOrElse(
+      MorLog.currentVersion(spark, path)))
+
+  override def latestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    MorLogOffset(MorLog.currentVersion(spark, path))
+
+  override def deserializeOffset(json: String)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    MorLogOffset(json.trim.toInt)
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[MorLogOffset].v
+    val e = end.asInstanceOf[MorLogOffset].v
+    if (s >= e) return Array.empty
+    val (_, _, specs) = MorLog.connectorChangesPlan(spark, path, s, e)
+    specs.map(sp => MorLogChangePartition(sp.file, sp.version,
+      sp.changeType, sp.mode, sp.idxs, sp.oldSidecar,
+      sp.newSidecar): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (_, _, logToPhys, _, _, _) =
+      MorLog.connectorPlan(spark, path, None, None, withTombs = false)
+    val dataFields = outSchema.fields.filter(f =>
+      f.name != MorLogFacade.ChangeType &&
+        f.name != MorLogFacade.CommitVersion)
+    MorLogChangesReaderFactory(outSchema, StructType(dataFields),
+      dataFields.map(f => logToPhys.getOrElse(f.name, f.name)),
+      new DvPerFile.SerConf(spark.sparkContext.hadoopConfiguration))
+  }
+
+  override def commit(
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class MorLogScan(path: String, pinnedVersion: Int,

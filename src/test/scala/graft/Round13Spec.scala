@@ -373,6 +373,58 @@ class Round13Spec extends AnyFunSuite {
       .mode("append").save()).isFailure)
   }
 
+  test("SQL DELETE through the catalog; streaming CDC source resumes from its checkpoint") {
+    val root = tmp("r13_del")
+    spark.conf.set("spark.sql.catalog.g14", "graft.sources.MorLogCatalog")
+    spark.conf.set("spark.sql.catalog.g14.root", root)
+    spark.sql("CREATE TABLE g14.ns.t (id BIGINT, v BIGINT)")
+    spark.range(0, 100).select(col("id"), (col("id") * 2).as("v"))
+      .createOrReplaceTempView("r13src")
+    spark.sql("INSERT INTO g14.ns.t SELECT * FROM r13src")
+    spark.sql("DELETE FROM g14.ns.t WHERE id % 10 = 3 OR id >= 90")
+    assert(spark.sql("SELECT count(*) FROM g14.ns.t")
+      .as[Long].head() == 81)
+    spark.sql("TRUNCATE TABLE g14.ns.t")
+    assert(spark.sql("SELECT count(*) FROM g14.ns.t")
+      .as[Long].head() == 0)
+    // history survives both (versioned deletes, not rewrites)
+    assert(spark.sql("SELECT count(*) FROM g14.ns.t VERSION AS OF 1")
+      .as[Long].head() == 100)
+
+    // streaming CDC source: drain history, commit more, resume
+    val dir = s"$root/ns/s"
+    MorLog.create(spark.range(0, 50)
+      .select(col("id"), lit(0L).as("v")).repartition(2), dir)
+    MorLog.deleteWhere(spark, dir, col("id") % 10 === 9)
+    val ckpt = tmp("r13_ckpt")
+    val out1 = tmp("r13_out1")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.MorLogSource")
+        .option("path", dir).option("streamChanges", "true")
+        .option("startingVersion", "0").load()
+        .writeStream.format("parquet")
+        .option("path", out1).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    val ev1 = spark.read.parquet(out1)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Int)].collect().toSet
+    assert(ev1 == (0L until 50L).map((_, "insert", 0)).toSet ++
+      (0L until 50L).filter(_ % 10 == 9).map((_, "delete", 1)).toSet,
+      "startingVersion=0 must replay the whole history incl. create")
+    // new commits after the first drain: ONLY they arrive on resume
+    MorLog.upsert(spark, dir, Seq((7L, 700L)).toDF("id", "v"), "id")
+    drain()
+    val ev2 = spark.read.parquet(out1)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Int)].collect().toSet
+    assert(ev2 == ev1 ++ Set((7L, "delete", 2), (7L, "insert", 2)),
+      "the resumed stream must deliver exactly the new span")
+  }
+
   // ---- round-13 probe formats: hand-built bytes, independent of
   // both the in-plan builders and the parsers ----------------------
 
