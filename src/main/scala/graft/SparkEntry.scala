@@ -1433,11 +1433,12 @@ object SparkEntry {
          FROM ev GROUP BY 1, 2, 3""",
     // round-13 audio formats: opus duration = EOS granule − pre-skip
     // over the 48 kHz decode clock; m4a = mdhd duration/timescale;
-    // adts = frames × 1024 samples / rate
+    // adts = frames × 1024 samples / rate; vorbis = EOS granule over
+    // the stream's own rate
     "q275_audio_meta2" ->
       """WITH d AS (
-           SELECT doc_id, doc_id % 3 AS fmt,
-             CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+           SELECT doc_id, doc_id % 4 AS fmt,
+             CASE (doc_id % 7) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                WHEN 2 THEN 44100 ELSE 48000 END AS prate,
              CASE (doc_id % 5) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
                ELSE 32000 END AS mrate,
@@ -1450,18 +1451,20 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id,
            CASE WHEN doc_id % 31 = 0 THEN NULL WHEN fmt = 0 THEN 'opus'
+                WHEN fmt = 3 THEN 'vorbis'
                 ELSE 'aac' END AS format,
            CASE WHEN doc_id % 31 = 0 THEN NULL
-                WHEN fmt = 0 THEN CAST(prate AS INT)
                 WHEN fmt = 1 THEN CAST(mrate AS INT)
-                ELSE CAST(arate AS INT) END AS sample_rate,
+                WHEN fmt = 2 THEN CAST(arate AS INT)
+                ELSE CAST(prate AS INT) END AS sample_rate,
            CASE WHEN doc_id % 31 = 0 THEN NULL
                 WHEN fmt = 2 THEN CAST(doc_id % 3 + 1 AS INT)
                 ELSE CAST(doc_id % 2 + 1 AS INT) END AS channels,
            CASE WHEN doc_id % 31 = 0 THEN NULL
                 WHEN fmt = 0 THEN osamples * 1000 // 48000
                 WHEN fmt = 1 THEN msamples * 1000 // mrate
-                ELSE aframes * 1024 * 1000 // arate
+                WHEN fmt = 2 THEN aframes * 1024 * 1000 // arate
+                ELSE osamples * 1000 // prate
                 END AS duration_ms
          FROM d""",
     // round-13 image formats: the ispe property carries the dims

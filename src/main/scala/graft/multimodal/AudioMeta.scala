@@ -120,26 +120,46 @@ object AudioCodecs {
         b(3) == 'S' && b(4) == 0) {
       val nsegs = b(26) & 0xff
       val po = 27 + nsegs
-      if (b.length < po + 19) return null
-      if (!(b(po) == 'O' && b(po + 1) == 'p' && b(po + 2) == 'u' &&
-            b(po + 3) == 's' && b(po + 4) == 'H' && b(po + 5) == 'e' &&
-            b(po + 6) == 'a' && b(po + 7) == 'd')) return null
-      val ch = b(po + 9) & 0xff
-      val preSkip = le16(b, po + 10)
-      val inRate = le32(b, po + 12)
-      var i = b.length - 28
-      var granule = -1L
-      while (i > 0 && granule < 0) {
-        if (b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' &&
-            b(i + 3) == 'S' && b(i + 4) == 0)
-          granule = le64(b, i + 6)
-        i -= 1
+      def lastGranule(): Long = {
+        var i = b.length - 28
+        var granule = -1L
+        while (i > 0 && granule < 0) {
+          if (b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' &&
+              b(i + 3) == 'S' && b(i + 4) == 0)
+            granule = le64(b, i + 6)
+          i -= 1
+        }
+        granule
       }
-      if (granule < 0) return null
-      val samples = math.max(0L, granule - preSkip)
-      return if (ch > 0 && inRate > 0)
-        row("opus", inRate, ch, samples * 1000L / 48000L)
-      else null
+      // Opus: "OpusHead" — granules tick the 48 kHz decode clock
+      if (b.length >= po + 19 &&
+          b(po) == 'O' && b(po + 1) == 'p' && b(po + 2) == 'u' &&
+          b(po + 3) == 's' && b(po + 4) == 'H' && b(po + 5) == 'e' &&
+          b(po + 6) == 'a' && b(po + 7) == 'd') {
+        val ch = b(po + 9) & 0xff
+        val preSkip = le16(b, po + 10)
+        val inRate = le32(b, po + 12)
+        val granule = lastGranule()
+        if (granule < 0) return null
+        val samples = math.max(0L, granule - preSkip)
+        return if (ch > 0 && inRate > 0)
+          row("opus", inRate, ch, samples * 1000L / 48000L)
+        else null
+      }
+      // Vorbis: \x01 "vorbis" identification header — channels at
+      // +11, rate LE32 at +12; granules tick at the STREAM's rate
+      if (b.length >= po + 16 && (b(po) & 0xff) == 0x01 &&
+          b(po + 1) == 'v' && b(po + 2) == 'o' && b(po + 3) == 'r' &&
+          b(po + 4) == 'b' && b(po + 5) == 'i' && b(po + 6) == 's') {
+        val ch = b(po + 11) & 0xff
+        val rate = le32(b, po + 12)
+        val granule = lastGranule()
+        if (granule < 0) return null
+        return if (ch > 0 && rate > 0)
+          row("vorbis", rate, ch, granule * 1000L / rate)
+        else null
+      }
+      return null // some other Ogg codec
     }
     // AAC in ISO-BMFF (M4A): "ftyp", then a bounded box walk
     // moov → trak → mdia → { mdhd (timescale + duration — for audio

@@ -248,7 +248,10 @@ object Multimodal {
     *           v0 with timescale=`rate`, duration=`units`,
     *           minf/stbl/stsd/mp4a with `ch` + 16.16 `rate`)
     *           2 = raw ADTS AAC: `frames` frames of 23 bytes each,
-    *           AAC-LC, `rate` ∈ {48000,44100,32000,16000,8000} */
+    *           AAC-LC, `rate` ∈ {48000,44100,32000,16000,8000}
+    *           3 = Ogg/Vorbis: identification header (ch, `rate`) and
+    *           an EOS page whose granule is `units` samples at the
+    *           STREAM's rate */
   def audioPayload2(fmtSel: org.apache.spark.sql.Column,
                     rate: org.apache.spark.sql.Column,
                     ch: org.apache.spark.sql.Column,
@@ -295,7 +298,19 @@ object Multimodal {
       lpad(hex(lit(((flen & 7) << 5) | 0x1f)), 2, "0"),
       lit("FC"), call_function("repeat", lit("00"), lit(flen - 7)))
     val adts = unhex(call_function("repeat", frameHex, frames))
-    when(fmtSel === 0, opus).when(fmtSel === 1, m4a).otherwise(adts)
+    // Vorbis identification header: \x01"vorbis" + version(4) +
+    // ch(1) + rate LE32 + bitrate triple (12 zeros) + blocksizes +
+    // framing = 30 bytes
+    val vorbId = concat(bin("01"), lit("vorbis".getBytes("US-ASCII")),
+      le32(lit(0)), byte1(ch), le32(rate), zeros(lit(12)), bin("00 01"))
+    val vorbis = concat(lit("OggS".getBytes("US-ASCII")),
+      bin("00 02"), le64(lit(0L)), le32(lit(9)), le32(lit(0)),
+      le32(lit(0)), bin("01 1E"), vorbId,
+      lit("OggS".getBytes("US-ASCII")),
+      bin("00 04"), le64(units.cast("long")), le32(lit(9)),
+      le32(lit(1)), le32(lit(0)), bin("01 01 00"))
+    when(fmtSel === 0, opus).when(fmtSel === 1, m4a)
+      .when(fmtSel === 2, adts).otherwise(vorbis)
   }
 
   /** Round-13 still-image ISO-BMFF formats (AVIF/HEIC): real

@@ -431,30 +431,33 @@ object LlmQueries {
   }
 
   /** AUDIO-HEADER probe, round-13 formats (q275): genuine Ogg/Opus
-    * (OpusHead + EOS granule), M4A/AAC (ISO-BMFF mdhd/mp4a tree) and
-    * raw ADTS AAC (frame chain) headers built per document and parsed
-    * back with `graft_audio_meta` — the formats scraped audio
-    * actually arrives in (Opus voice, AAC podcasts/video-rips), the
+    * (OpusHead + EOS granule over the 48 kHz decode clock), M4A/AAC
+    * (ISO-BMFF mdhd/mp4a tree), raw ADTS AAC (frame chain) and
+    * Ogg/Vorbis (identification header + EOS granule at the STREAM's
+    * rate) headers built per document and parsed back with
+    * `graft_audio_meta` — the formats scraped audio actually arrives
+    * in (Opus voice, AAC podcasts/video-rips, legacy Vorbis), the
     * round-12 verdict's probe-coverage gap. Builder and parser stay
     * independent code paths over the published byte layouts. Corrupt
     * (doc_id % 31 == 0, truncated) payloads surface NULL meta.
     * Oracle: pure doc_id arithmetic. */
   def audioMeta2(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    val fmt = (col("doc_id") % 3).cast("int")
+    val fmt = (col("doc_id") % 4).cast("int")
     val prate = element_at(
       array(lit(8000), lit(16000), lit(44100), lit(48000)),
-      (col("doc_id") % 4).cast("int") + 1)
+      ((col("doc_id") % 7) % 4).cast("int") + 1)
     val mrate = element_at(array(lit(44100), lit(48000), lit(32000)),
       ((col("doc_id") % 5) % 3).cast("int") + 1)
     val arate = element_at(
       array(lit(48000), lit(44100), lit(32000), lit(16000), lit(8000)),
       (col("doc_id") % 5).cast("int") + 1)
-    val rate = when(fmt === 0, prate).when(fmt === 1, mrate)
-      .otherwise(arate)
+    val rate = when(fmt === 1, mrate).when(fmt === 2, arate)
+      .otherwise(prate) // opus input rate / the vorbis stream rate
     val ch = when(fmt === 2, (col("doc_id") % 3 + 1).cast("int"))
       .otherwise((col("doc_id") % 2 + 1).cast("int"))
-    val units = when(fmt === 0, (col("doc_id") % 3000 + 48).cast("int"))
+    val units = when(fmt === 0 || fmt === 3,
+        (col("doc_id") % 3000 + 48).cast("int"))
       .otherwise(((col("doc_id") % 2000 + 100) * 441).cast("int"))
     val docs = Tables.documents(s, d).select(col("doc_id"))
       .withColumn("payload", Multimodal.audioPayload2(

@@ -487,10 +487,15 @@ case class MorLogScan(path: String, pinnedVersion: Int,
       case _ => lit(true)
     }
 
+  // metadata-only twin of the partition plan (no tombstone collect),
+  // resolved once per scan
+  private lazy val factoryPlan = MorLog.connectorPlan(
+    org.apache.spark.sql.SparkSession.active, path, Some(pinnedVersion),
+    None, withTombs = false)
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val (schema, _, logToPhys, _, _, _) = MorLog.connectorPlan(spark,
-      path, Some(pinnedVersion), None, withTombs = false)
+    val (schema, _, logToPhys, _, _, _) = factoryPlan
     // a CLAIMED filter is never re-checked by Catalyst, and the
     // pruned projection may exclude its columns — the reader reads
     // required ∪ filter-referenced, then emits only the required
@@ -518,10 +523,14 @@ case class MorLogChangesScan(path: String, fromV: Int, toV: Int,
     s"graft_morlog path=$path changes=($fromV,$toV], " +
       s"PrunedSchema: ${required.simpleString}"
 
+  // ONE span plan serves both planInputPartitions and the reader
+  // factory (the span is pinned by (fromV, toV), and re-planning
+  // would re-collect the broadcast tier's delta arrays)
+  private lazy val planned = MorLog.connectorChangesPlan(
+    org.apache.spark.sql.SparkSession.active, path, fromV, toV)
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    val (schema, _, specs) =
-      MorLog.connectorChangesPlan(spark, path, fromV, toV)
+    val (schema, _, specs) = planned
     val dataFields = required.fields.filterNot(f =>
       f.name == MorLogFacade.ChangeType ||
         f.name == MorLogFacade.CommitVersion)
@@ -539,8 +548,7 @@ case class MorLogChangesScan(path: String, fromV: Int, toV: Int,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val (schema, logToPhys, _) =
-      MorLog.connectorChangesPlan(spark, path, fromV, toV)
+    val (_, logToPhys, _) = planned
     val dataFields = required.fields.filter(f =>
       f.name != MorLogFacade.ChangeType &&
         f.name != MorLogFacade.CommitVersion)

@@ -478,8 +478,20 @@ class Round13Spec extends AnyFunSuite {
     val adts = Array.fill(50)(frame).flatten
     assert(audioMeta(adts).contains(
       ("aac", 48000, 2, 50L * 1024 * 1000 / 48000)))
+    // Ogg/Vorbis: identification header (2 ch, 44100), EOS granule
+    // 88200 samples at the STREAM's rate -> 2000 ms
+    val vorbId = Array[Byte](1) ++ ascii("vorbis") ++
+      le32b(0) ++ Array[Byte](2) ++ le32b(44100) ++
+      le32b(0) ++ le32b(0) ++ le32b(0) ++ Array[Byte](0, 1)
+    val vPage1 = ascii("OggS") ++ Array[Byte](0, 2) ++ le64b(0) ++
+      le32b(9) ++ le32b(0) ++ le32b(0) ++
+      Array[Byte](1, vorbId.length.toByte) ++ vorbId
+    val vPage2 = ascii("OggS") ++ Array[Byte](0, 4) ++ le64b(88200) ++
+      le32b(9) ++ le32b(1) ++ le32b(0) ++ Array[Byte](1, 1, 0)
+    val vorbis = vPage1 ++ vPage2
+    assert(audioMeta(vorbis).contains(("vorbis", 44100, 2, 2000L)))
     // totality: every truncation parses or NULLs, never throws
-    Seq(opus, m4a, adts).foreach(full =>
+    Seq(opus, m4a, adts, vorbis).foreach(full =>
       (0 to full.length).foreach(n => audioMeta(full.take(n))))
     // hostile sizes: a box length past the buffer stops the walk
     val hostile = m4a.clone()
