@@ -83,5 +83,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilter())
     // planner: AsofJoinPlan -> merge-scan AsofJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // planner: SQL UPDATE / MERGE INTO over MorLog tables -> the
+    // engine's updateWhere / mergeIntoClauses (strict translation)
+    ext.injectPlannerStrategy(_ => graft.plans.MorLogDmlStrategy)
   }
 }

@@ -587,6 +587,25 @@ object SparkEntry {
     "q277_morlog_catalog"   -> ((s, d) => CoreQueries.morLogCatalogSql(s, d)),
     // the log tier as a readStream SOURCE: offsets are versions
     "q278_morlog_stream_source" -> ((s, d) => CoreQueries.morLogStreamSource(s, d)),
+    // SQL MERGE INTO + UPDATE lowered onto the engine's pruned-locate
+    // merge/update ops — one committed version per statement
+    "q279_morlog_sql_merge" -> ((s, d) => CoreQueries.morLogSqlMerge(s, d)),
+    // commit timestamps: TIMESTAMP AS OF via versionAt + connector +
+    // SQL catalog, three-way agreement asserted in-query
+    "q281_morlog_timestamp_travel" -> ((s, d) => CoreQueries.morLogTimestampTravel(s, d)),
+    // streaming WRITE through the connector: CDC subscribe→apply with
+    // checkpoint resume and replay fence, asserted in-query
+    "q280_morlog_stream_sink" -> ((s, d) => CoreQueries.morLogStreamSink(s, d)),
+    // hidden partitioning: PARTITIONED BY (days(ts)), one-day read
+    // scans 1/30 partitions (asserted in-query)
+    "q282_morlog_hidden_partition" -> ((s, d) => CoreQueries.morLogHiddenPartition(s, d)),
+    // SQL CALL maintenance procedures: compact shrinks, vacuum
+    // retires, history narrates (all asserted in-query)
+    "q283_morlog_procedures" -> ((s, d) => CoreQueries.morLogProcedures(s, d)),
+    // legacy raster probes: BMP (incl. top-down) + TIFF (both endians)
+    "q284_image_meta3"      -> ((s, d) => LlmQueries.imageMeta3(s, d)),
+    // fragmented MP4: duration from moov/mvex/mehd (v0 and v1)
+    "q285_video_meta2"      -> ((s, d) => LlmQueries.videoMeta2(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1478,6 +1497,31 @@ object SparkEntry {
            CASE WHEN doc_id % 19 = 0 THEN NULL
                 ELSE CAST(doc_id % 1024 + 16 AS INT) END AS height
          FROM documents""",
+    // round-14 raster formats: BMP dims (negative height reads back
+    // abs'd) and TIFF IFD entries
+    "q284_image_meta3" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 19 = 0 THEN NULL
+                WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'tiff'
+                END AS format,
+           CASE WHEN doc_id % 19 = 0 THEN NULL
+                ELSE CAST(doc_id % 2048 + 16 AS INT) END AS width,
+           CASE WHEN doc_id % 19 = 0 THEN NULL
+                ELSE CAST(doc_id % 1024 + 16 AS INT) END AS height
+         FROM documents""",
+    // fragmented MP4: mehd fragment_duration over the mvhd timescale —
+    // the timescale choice makes duration_ms exactly (id%500+1)*100
+    "q285_video_meta2" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 23 = 0 THEN NULL ELSE 'mp4'
+                END AS format,
+           CASE WHEN doc_id % 23 = 0 THEN NULL
+                ELSE CAST(doc_id % 1280 + 16 AS INT) END AS width,
+           CASE WHEN doc_id % 23 = 0 THEN NULL
+                ELSE CAST(doc_id % 720 + 16 AS INT) END AS height,
+           CASE WHEN doc_id % 23 = 0 THEN NULL
+                ELSE (doc_id % 500 + 1) * 100 END AS duration_ms
+         FROM documents""",
     // the streaming CDC source's drained events: v0 = the create's
     // inserts, v1 = the delete's victims, v2 = the upsert's pair
     "q278_morlog_stream_source" ->
@@ -1494,6 +1538,80 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(event_id) AS BIGINT) AS sum_id
          FROM ev GROUP BY 1, 2, 3""",
+    // SQL MERGE (matched-delete / matched-update / not-matched-insert
+    // over the low key slice, inserts re-keyed negative) then UPDATE
+    // doubling the inserted rows — replayed in pure SQL; the one-
+    // version-per-statement and locate-prune claims assert in-query
+    "q279_morlog_sql_merge" ->
+      """WITH cut AS (SELECT max(event_id) // 8 AS c FROM events),
+         base AS (SELECT event_id, event_type, value FROM events),
+         merged AS (
+           SELECT b.event_id, b.event_type,
+             CASE WHEN b.event_id % 10 = 4
+                    AND b.event_id <= (SELECT c FROM cut)
+               THEN b.value + 1000.0 ELSE b.value END AS value
+           FROM base b
+           WHERE NOT (b.event_id % 10 = 3
+             AND b.event_id <= (SELECT c FROM cut))
+           UNION ALL
+           SELECT -b.event_id - 1, b.event_type || '_new', b.value
+           FROM base b
+           WHERE b.event_id % 10 = 5
+             AND b.event_id <= (SELECT c FROM cut)),
+         updated AS (SELECT event_id, event_type,
+             CASE WHEN event_id < 0 THEN value * 2 ELSE value END
+               AS value
+           FROM merged)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM updated GROUP BY event_type""",
+    // the mirrored table after the full CDC drain = the source's own
+    // final snapshot: delete %10=3, upsert %9=0 (+500), delete %10=7
+    // (mirror == source asserted row-exactly in-query)
+    "q280_morlog_stream_sink" ->
+      """WITH st1 AS (SELECT event_id, event_type, value FROM events
+           WHERE event_id % 10 <> 3),
+         st2 AS (SELECT event_id, event_type,
+             CASE WHEN event_id % 9 = 0 THEN value + 500.0
+               ELSE value END AS value
+           FROM st1),
+         st3 AS (SELECT * FROM st2 WHERE event_id % 10 <> 7)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM st3 GROUP BY event_type""",
+    // the compact+vacuum lifecycle is value-invisible: the table
+    // still folds to the plain events aggregate (file-count shrink,
+    // retention and history narration assert in-query)
+    "q283_morlog_procedures" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events GROUP BY event_type""",
+    // the days(ts) hidden-partitioned table's one-day fold (the 1/30
+    // partition prune asserts in-query)
+    "q282_morlog_hidden_partition" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+           AND ts < TIMESTAMP '2024-01-16 00:00:00'
+         GROUP BY event_type""",
+    // the TIMESTAMP AS OF travel lands on the pre-delete snapshot =
+    // all events (monotonicity + three-way agreement asserted
+    // in-query)
+    "q281_morlog_timestamp_travel" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events GROUP BY event_type""",
     // the catalog lifecycle's final pruned fold (insert + retention
     // delete below 01-10 + a day >= 2024-01-20 read whose partition
     // pruning is asserted in-query; travel asserted in-query too)

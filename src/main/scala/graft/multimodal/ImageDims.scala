@@ -122,6 +122,55 @@ object MultimodalCodecs {
       walk(0, b.length, 0)
       return if (bw > 0) row(fmt, bw, bh) else null
     }
+    // BMP: "BM", then the DIB header at 14 — BITMAPINFOHEADER-family
+    // (size >= 40: LE32 width at 18, LE32 height at 22, negative
+    // height = top-down) or the legacy BITMAPCOREHEADER (size 12:
+    // LE16 dims). The bitmap scraped corpora still carry (favicons,
+    // screenshots); was quarantined as corrupt before.
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      val dib = le32(b, 14)
+      if (dib >= 40 && b.length >= 26) {
+        val w = le32(b, 18); val h = le32(b, 22)
+        val ah = math.abs(h)
+        return if (w > 0 && ah > 0 && w <= 0x7fffffff) row("bmp", w, ah)
+        else null
+      }
+      if (dib == 12 && b.length >= 22) {
+        val w = le16(b, 18); val h = le16(b, 20)
+        return if (w > 0 && h > 0) row("bmp", w, h) else null
+      }
+      return null
+    }
+    // TIFF: "II*\0" (little-endian) or "MM\0*" (big-endian), then the
+    // FIRST IFD's ImageWidth(256)/ImageLength(257) entries — SHORT or
+    // LONG, inline in the 4-byte value field (endian-aware; a SHORT
+    // occupies the field's first two bytes). Bounded walk over the
+    // declared entry count; malformed offsets → NULL, never a throw.
+    if (b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 42 && b(3) == 0) ||
+         (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xff) == 42))) {
+      val le = b(0) == 'I'
+      def u16(i: Int): Int = if (le) le16(b, i) else be16(b, i)
+      def u32(i: Int): Int = if (le) le32(b, i) else be32(b, i)
+      val ifd = u32(4)
+      if (ifd < 8 || ifd + 2 > b.length) return null
+      val n = u16(ifd)
+      if (n <= 0 || n > 4096) return null
+      var (w, h) = (0, 0)
+      var e = 0
+      while (e < n && ifd + 2 + (e + 1) * 12 <= b.length) {
+        val p = ifd + 2 + e * 12
+        val tag = u16(p); val typ = u16(p + 2)
+        val value = typ match {
+          case 3 => u16(p + 8) // SHORT rides the field's first bytes
+          case 4 => u32(p + 8)
+          case _ => -1
+        }
+        if (tag == 256) w = value else if (tag == 257) h = value
+        e += 1
+      }
+      return if (w > 0 && h > 0) row("tiff", w, h) else null
+    }
     // JPEG: SOI then a marker walk to the first frame header (SOFn,
     // excluding DHT/JPG/DAC which reuse the C-range), whose payload
     // is precision(1) height(2) width(2)

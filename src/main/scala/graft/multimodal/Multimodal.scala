@@ -330,6 +330,84 @@ object Multimodal {
       be32(w), be32(h))
   }
 
+  /** Round-14 legacy raster formats — same independent-builder
+    * contract:
+    *
+    *   fmtSel: 0 = BMP: "BM" file header + a real 40-byte
+    *           BITMAPINFOHEADER (LE dims, 24 bpp; `flipped` makes the
+    *           height NEGATIVE — the top-down encoding readers must
+    *           abs())
+    *           1 = TIFF little-endian ("II*\0"): IFD with
+    *           ImageWidth(256) as SHORT and ImageLength(257) as LONG
+    *           — both inline-value layouts exercised
+    *           2 = TIFF big-endian ("MM\0*"), same entries */
+  def containerPayload3(fmtSel: org.apache.spark.sql.Column,
+                        w: org.apache.spark.sql.Column,
+                        h: org.apache.spark.sql.Column,
+                        flipped: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val bmp = concat(lit("BM".getBytes("US-ASCII")),
+      le32(lit(54)), zeros(lit(4)), le32(lit(54)),
+      le32(lit(40)), le32(w),
+      // two's-complement negative height via 2^32 − h
+      when(flipped === 1, le32(lit(4294967296L) - h.cast("long")))
+        .otherwise(le32(h)),
+      le16(lit(1)), le16(lit(24)), zeros(lit(24)))
+    // IFD at 8: count 2; entry = tag(2) type(2) count(4) value(4);
+    // SHORT rides the value field's FIRST two bytes (endian-aware)
+    val tiffLe = concat(lit("II".getBytes("US-ASCII")), bin("2A00"),
+      le32(lit(8)), le16(lit(2)),
+      le16(lit(256)), le16(lit(3)), le32(lit(1)), le16(w), zeros(lit(2)),
+      le16(lit(257)), le16(lit(4)), le32(lit(1)), le32(h),
+      le32(lit(0)))
+    val tiffBe = concat(lit("MM".getBytes("US-ASCII")), bin("002A"),
+      be32(lit(8).cast("long")), be16(lit(2)),
+      be16(lit(256)), be16(lit(3)), be32(lit(1).cast("long")),
+      be16(w), zeros(lit(2)),
+      be16(lit(257)), be16(lit(4)), be32(lit(1).cast("long")),
+      be32(h.cast("long")),
+      be32(lit(0).cast("long")))
+    when(fmtSel === 0, bmp).when(fmtSel === 1, tiffLe)
+      .otherwise(tiffBe)
+  }
+
+  /** A FRAGMENTED MP4 header (DASH/CMAF shape): mvhd carries
+    * duration 0 and the real figure rides moov → mvex → mehd
+    * (v1 64-bit when `mehdV1` = 1, else v0 32-bit), in `timescale`
+    * units. */
+  def fragMp4Payload(w: org.apache.spark.sql.Column,
+                     h: org.apache.spark.sql.Column,
+                     timescale: org.apache.spark.sql.Column,
+                     fragUnits: org.apache.spark.sql.Column,
+                     mehdV1: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    def be32c(c: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(c), 8, "0"))
+    def be64c(c: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(c.cast("long")), 16, "0"))
+    val ftyp = concat(be32c(lit(16)), lit("ftypisom".getBytes("US-ASCII")),
+      zeros(lit(4)))
+    val mvhd = concat(be32c(lit(108)), lit("mvhd".getBytes("US-ASCII")),
+      zeros(lit(12)), be32c(timescale), be32c(lit(0)), zeros(lit(80)))
+    val tkhd = concat(be32c(lit(92)), lit("tkhd".getBytes("US-ASCII")),
+      zeros(lit(76)), be32c(w.cast("long") * 65536L),
+      be32c(h.cast("long") * 65536L))
+    val trak = concat(be32c(lit(100)), lit("trak".getBytes("US-ASCII")),
+      tkhd)
+    val mehd = when(mehdV1 === 1,
+      concat(be32c(lit(20)), lit("mehd".getBytes("US-ASCII")),
+        bin("01000000"), be64c(fragUnits)))
+      .otherwise(
+        concat(be32c(lit(16)), lit("mehd".getBytes("US-ASCII")),
+          zeros(lit(4)), be32c(fragUnits)))
+    val mvexSz = when(mehdV1 === 1, lit(28)).otherwise(lit(24))
+    val mvex = concat(be32c(mvexSz), lit("mvex".getBytes("US-ASCII")),
+      mehd)
+    val moovSz = mvexSz + 216
+    concat(ftyp, be32c(moovSz), lit("moov".getBytes("US-ASCII")),
+      mvhd, trak, mvex)
+  }
+
   /** A VALID video container header for the given parameters — a real
     * MP4 ftyp + moov(mvhd v0, trak(tkhd v0 with 16.16-fixed dims))
     * box tree, or a real AVI RIFF('AVI ')/LIST('hdrl')/avih main

@@ -218,6 +218,27 @@ object VideoCodecs {
           (be32(b, mvhdP + 12), be32(b, mvhdP + 16))
         }
       if (ts <= 0) return null
+      // FRAGMENTED MP4 (DASH/CMAF segments): the movie header carries
+      // duration 0 and the real figure rides moov → mvex → mehd
+      // (FullBox, fragment_duration in mvhd-timescale units — 64-bit
+      // at v1, 32-bit at v0). Without this branch every fragmented
+      // file reported 0 ms. mehd is optional; absent stays 0 (the
+      // total then only exists by summing fragments, which a header
+      // probe must not do).
+      var durU = dur
+      if (durU == 0) {
+        val (mvexP, mvexEnd) = findBox(b, moovP, moovEnd, "mvex")
+        if (mvexP >= 0) {
+          val (mehdP, mehdEnd) = findBox(b, mvexP, mvexEnd, "mehd")
+          if (mehdP >= 0) {
+            val mv = b(mehdP) & 0xff
+            if (mv == 1 && mehdP + 12 <= mehdEnd)
+              durU = be64(b, mehdP + 4)
+            else if (mv == 0 && mehdP + 8 <= mehdEnd)
+              durU = be32(b, mehdP + 4)
+          }
+        }
+      }
       // first trak's tkhd: width/height ride as 16.16 fixed at the
       // tail of the (v0: 84-byte, v1: 96-byte) body after ver/flags
       var w = 0; var h = 0
@@ -233,7 +254,7 @@ object VideoCodecs {
           }
         }
       }
-      return row("mp4", w, h, dur * 1000L / ts)
+      return row("mp4", w, h, durU * 1000L / ts)
     }
     // AVI: RIFF("AVI ") → LIST("hdrl") → avih main header
     if (b.length >= 12 && fourcc(b, 0) == "RIFF" &&

@@ -4155,6 +4155,321 @@ object CoreQueries {
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
   }
 
+  /** COMMIT TIMESTAMPS + `TIMESTAMP AS OF` (q281, the round-13
+    * verdict's #3): every meta commit now stamps a monotone-corrected
+    * wall-clock timestamp (Delta's convention — a commit never stamps
+    * at-or-before its predecessor even under OCC clock skew), which
+    * is what lets an operator ask "what did this table look like
+    * last night" WITHOUT knowing version numbers. The lifecycle:
+    * create → retention delete, then the PRE-delete snapshot reads
+    * back three ways that must agree — [[graft.sink.MorLog
+    * .versionAt]] (millis → version), the connector's
+    * `timestampAsOf` option, and SQL `TIMESTAMP AS OF` by catalog
+    * name — all anchored on the history's new `timestamp` column.
+    * Oracle: the pre-delete snapshot is ALL events. */
+  def morLogTimestampTravel(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-tsaof-")
+    val dir = s"$work/t"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.sink.MorLog.create(ev.repartition(4), dir)
+    graft.sink.MorLog.deleteWhere(s, dir, col("event_id") % 10 === 3)
+    val h = graft.sink.MorLog.history(s, dir)
+      .orderBy("version").collect()
+    val (ts0, ts1) = (h(0).getTimestamp(7).getTime,
+      h(1).getTimestamp(7).getTime)
+    require(ts1 > ts0,
+      "q281: commit timestamps must be strictly monotone")
+    require(graft.sink.MorLog.versionAt(s, dir, ts0) == 0 &&
+      graft.sink.MorLog.versionAt(s, dir, ts1) == 1 &&
+      graft.sink.MorLog.versionAt(s, dir, ts1 + 3600000L) == 1,
+      "q281: versionAt must resolve newest-at-or-before")
+    // the connector, by epoch millis
+    val pre = s.read.format("graft.sources.MorLogSource")
+      .option("path", dir).option("timestampAsOf", ts0.toString).load()
+    // SQL by name, TIMESTAMP AS OF a formatted UTC literal (session
+    // zone is pinned UTC; the catalog root is the work dir, so the
+    // empty-namespace identifier resolves to the same table dir)
+    val cat = "g14t_" + java.util.UUID.randomUUID().toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.MorLogCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", work)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    val preN = pre.count()
+    val sqlPre = s.sql(s"SELECT count(*) AS n FROM $cat.t " +
+      s"TIMESTAMP AS OF '${fmt.format(
+        java.time.Instant.ofEpochMilli(ts0))}'").head().getLong(0)
+    val curN = s.sql(s"SELECT count(*) AS n FROM $cat.t")
+      .head().getLong(0)
+    require(sqlPre == preN && curN < preN,
+      s"q281: SQL TIMESTAMP AS OF ($sqlPre) must agree with the " +
+        s"connector ($preN) and exceed the post-delete count ($curN)")
+    pre.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
+  /** SQL `MERGE INTO` + `UPDATE` (q279, the round-13 verdict's #1):
+    * the reference IS an upsert pipeline (keyed fact sink,
+    * reference dataflow/BookingDataTransformation.json:156-186), and
+    * these are the statements its SQL users write. The statements
+    * lower onto the engine's [[graft.sink.MorLog.mergeIntoClauses]] /
+    * `updateWhere` through [[graft.plans.MorLogDmlStrategy]] (strict
+    * clause translation — the DELETE-bridge lesson), so each lands as
+    * ONE committed version with the STATS-PRUNED victim locate
+    * (asserted in-query: scanned < live files on both statements).
+    * Lifecycle: a range-laid table, then one MERGE carrying all three
+    * clause kinds (matched-delete, matched-update with arithmetic
+    * assignments, not-matched-insert with expression VALUES), then
+    * one UPDATE over the inserted key range. Oracle: the same
+    * transform in pure SQL over events. */
+  def morLogSqlMerge(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-sqlmerge-")
+    val dir = s"$work/t"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.sink.MorLog.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"), dir)
+    val hi = ev.agg(max(col("event_id"))).head().getLong(0)
+    val cut = hi / 8
+    val inCut = col("event_id") <= cut
+    val src = ev.filter(col("event_id") % 10 === 3 && inCut)
+      .withColumn("op", lit("D"))
+      .unionByName(ev.filter(col("event_id") % 10 === 4 && inCut)
+        .withColumn("value", lit(1000.0)).withColumn("op", lit("U")))
+      .unionByName(ev.filter(col("event_id") % 10 === 5 && inCut)
+        .withColumn("event_id", -col("event_id") - 1)
+        .withColumn("op", lit("U")))
+    val cat = "g14m_" + java.util.UUID.randomUUID().toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.MorLogCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", work)
+    src.createOrReplaceTempView(s"src_$cat")
+    val v0 = graft.sink.MorLog.currentVersion(s, dir)
+    val nFiles = graft.sink.MorLog.history(s, dir)
+      .orderBy(col("version").desc).head().getInt(2)
+    s.sql(s"""
+      MERGE INTO $cat.t AS t USING src_$cat AS s
+      ON t.event_id = s.event_id
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET value = t.value + s.value
+      WHEN NOT MATCHED THEN INSERT (event_id, event_type, value)
+        VALUES (s.event_id, concat(s.event_type, '_new'), s.value)""")
+    require(graft.sink.MorLog.currentVersion(s, dir) == v0 + 1,
+      "q279: the MERGE must land as exactly ONE committed version")
+    require(graft.sink.MorLogStats.lastLocateScanned < nFiles &&
+      graft.sink.MorLogStats.lastLocateScanned > 0,
+      s"q279: the MERGE victim locate must stats-prune (scanned " +
+        s"${graft.sink.MorLogStats.lastLocateScanned} of $nFiles)")
+    val expectDel = src.filter(col("op") === "D").count()
+    val expectIns = src.filter(col("event_id") < 0).count()
+    require(graft.plans.MorLogDmlStats.lastDeleted == expectDel &&
+      graft.plans.MorLogDmlStats.lastInserted == expectIns,
+      s"q279: MERGE counts drifted (del ${graft.plans.MorLogDmlStats
+        .lastDeleted}/$expectDel, ins ${graft.plans.MorLogDmlStats
+        .lastInserted}/$expectIns)")
+    // the inserted keys are all negative: the UPDATE's range
+    // condition must prune to the merge's own staged file(s) —
+    // every base file's event_id bounds are non-negative
+    val liveAfterMerge = graft.sink.MorLog.history(s, dir)
+      .orderBy(col("version").desc).head().getInt(2)
+    s.sql(s"UPDATE $cat.t SET value = value * 2 WHERE event_id < 0")
+    require(graft.sink.MorLog.currentVersion(s, dir) == v0 + 2,
+      "q279: the UPDATE must land as exactly ONE committed version")
+    require(graft.plans.MorLogDmlStats.lastUpdated == expectIns,
+      "q279: the UPDATE must hit exactly the inserted rows")
+    require(graft.sink.MorLogStats.lastLocateScanned > 0 &&
+      graft.sink.MorLogStats.lastLocateScanned < liveAfterMerge,
+      s"q279: the UPDATE victim locate must stats-prune (scanned " +
+        s"${graft.sink.MorLogStats.lastLocateScanned} of " +
+        s"$liveAfterMerge)")
+    graft.sink.MorLog.read(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
+  /** HIDDEN PARTITIONING (q282, the round-13 verdict's #5):
+    * `PARTITIONED BY (days(ts))` — the canonical 100 TB time layout —
+    * WITHOUT the user materializing a day column: the spec stores the
+    * transform in the schema metadata, every write aligns its files
+    * to one day of `ts` (the staging duplicates a derived helper
+    * column, the real `ts` stays in the file), and the log's EXISTING
+    * per-file stats on the raw column become partition-exact, so the
+    * user's own timestamp-range predicate skips partitions. The
+    * one-day SQL read must scan exactly 1 of the 30 day files
+    * (asserted in-query). Oracle: the same one-day fold over
+    * events. */
+  def morLogHiddenPartition(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-hiddenpart-")
+    val dir = s"$work/t"
+    val cat = "g14h_" + java.util.UUID.randomUUID().toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.MorLogCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", work)
+    s.sql(s"CREATE TABLE $cat.t (event_id BIGINT, event_type STRING, " +
+      "value DOUBLE, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    require(graft.sink.MorLog.partitionSpec(s, dir) == Seq("days(ts)"),
+      "q282: the transform must ride the committed spec")
+    // one task per day so the day-aligned staging writes one file per
+    // partition (the same move q274 makes for identity specs)
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      .repartition(to_date(col("ts")))
+      .createOrReplaceTempView(s"src_$cat")
+    s.sql(s"INSERT INTO $cat.t SELECT * FROM src_$cat")
+    val out = s.sql(s"""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_value,
+        CAST(sum(event_id) AS BIGINT) AS sum_event_id
+      FROM $cat.t
+      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        AND ts < TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY event_type""")
+    val collected = out.collect()
+    require(graft.sources.MorLogSourceStats.lastFilesScanned == 1 &&
+      graft.sources.MorLogSourceStats.lastFilesSkipped == 29,
+      s"q282: the one-day read must scan 1/30 day partitions, got " +
+        s"${graft.sources.MorLogSourceStats.lastFilesScanned}/" +
+        s"${graft.sources.MorLogSourceStats.lastFilesSkipped}")
+    s.createDataFrame(java.util.Arrays.asList(collected: _*), out.schema)
+  }
+
+  /** STREAMING WRITE SINK (q280, the round-13 verdict's #2): the CDC
+    * loop closed END-TO-END at the DataFrame level, no foreachBatch —
+    * `readStream(streamChanges)` on the source table →
+    * `writeStream.format(graft)` with a keyed merge apply onto a
+    * second table. The subscription caps each epoch at ONE source
+    * version (`maxVersionsPerTrigger = 1` — admission control), which
+    * makes the sink's per-epoch netting exact: a version's
+    * delete+insert upsert pair arrives together (data row wins), and
+    * distinct versions never share an epoch. Executors write staged
+    * parquet directly; the epoch commit RENAMES it into table files —
+    * one committed version per epoch, no second data copy, victims
+    * located through the same stats-pruned locate as every keyed op.
+    * CHECKPOINT RESUME is part of the lifecycle: the first run drains
+    * create+delete+upsert, the source then commits MORE (a second
+    * delete), and a SECOND run under the same checkpoint drains only
+    * the new version; a third run drains nothing (replay fence).
+    * Oracle: the mirrored table equals the source's final snapshot =
+    * pure arithmetic over events. */
+  def morLogStreamSink(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-cdcsink-")
+    val (src, dst) = (s"$work/src", s"$work/dst")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.sink.MorLog.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"), src)
+    graft.sink.MorLog.deleteWhere(s, src, col("event_id") % 10 === 3)
+    val up = graft.sink.MorLog.read(s, src)
+      .filter(col("event_id") % 9 === 0)
+      .withColumn("value", col("value") + 500.0)
+    graft.sink.MorLog.upsert(s, src, up, "event_id")
+    // the mirror starts EMPTY with the same schema
+    graft.sink.MorLog.createEmpty(s, dst,
+      graft.sink.MorLog.read(s, src).schema)
+    def drain(): Unit = {
+      val q = s.readStream.format("graft.sources.MorLogSource")
+        .option("path", src).option("streamChanges", "true")
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1").load()
+        .withColumn("op", col("_change_type"))
+        .drop("_change_type", "_commit_version")
+        .writeStream.format("graft.sources.MorLogSource")
+        .option("path", dst)
+        .option("mergeKey", "event_id")
+        .option("opCol", "op").option("deleteValue", "delete")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+    }
+    drain() // epochs: v0 create, v1 delete, v2 upsert
+    val vAfterFirst = graft.sink.MorLog.currentVersion(s, dst)
+    require(vAfterFirst == 3,
+      s"q280: the first drain must land one version per source " +
+        s"version (3), got $vAfterFirst")
+    // the source moves on; the SAME checkpoint resumes and drains
+    // exactly the new version
+    graft.sink.MorLog.deleteWhere(s, src, col("event_id") % 10 === 7)
+    drain()
+    require(graft.sink.MorLog.currentVersion(s, dst) == vAfterFirst + 1,
+      "q280: the resumed drain must land exactly the new version")
+    drain() // nothing new: the replay fence must keep dst unchanged
+    require(graft.sink.MorLog.currentVersion(s, dst) == vAfterFirst + 1,
+      "q280: an empty resume must commit nothing")
+    // mirror == source, exactly
+    val diff = graft.sink.MorLog.read(s, dst)
+      .exceptAll(graft.sink.MorLog.read(s, src)).count() +
+      graft.sink.MorLog.read(s, src)
+        .exceptAll(graft.sink.MorLog.read(s, dst)).count()
+    require(diff == 0, s"q280: mirror drifted from source by $diff rows")
+    graft.sink.MorLog.read(s, dst)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
+  /** SQL MAINTENANCE PROCEDURES (q283, the round-13 verdict's #6):
+    * Delta ships OPTIMIZE/VACUUM statements; the catalog now ships
+    * `CALL <cat>.system.compact/compact_small/cluster/vacuum/history`
+    * as V2 procedures. Lifecycle: three INSERTs leave multi-file
+    * debris → `CALL compact_small` bin-packs it (file count shrinks,
+    * values identical) → `CALL vacuum` retires the
+    * out-of-retention versions and their files → `CALL history`
+    * narrates it — all by NAME, zero Scala. Oracle: the compacted
+    * table still folds to the events aggregate. */
+  def morLogProcedures(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-proc-")
+    val dir = s"$work/t"
+    val cat = "g14p_" + java.util.UUID.randomUUID().toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.MorLogCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", work)
+    s.sql(s"CREATE TABLE $cat.t (event_id BIGINT, event_type STRING, " +
+      "value DOUBLE)")
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartition(4)
+      .createOrReplaceTempView(s"src_$cat")
+    (0 until 3).foreach(i => s.sql(
+      s"INSERT INTO $cat.t SELECT * FROM src_$cat " +
+        s"WHERE event_id % 3 = $i"))
+    val filesBefore = graft.sink.MorLog.history(s, dir)
+      .orderBy(col("version").desc).head().getInt(2)
+    require(filesBefore >= 12, s"q283: need debris, got $filesBefore")
+    val packed = s.sql(s"CALL $cat.system.compact_small('t')")
+      .head().getInt(0)
+    require(packed == filesBefore,
+      s"q283: compact_small must pack all $filesBefore small files, " +
+        s"got $packed")
+    val filesAfter = graft.sink.MorLog.history(s, dir)
+      .orderBy(col("version").desc).head().getInt(2)
+    require(filesAfter < filesBefore,
+      s"q283: the pack must shrink the file count " +
+        s"($filesBefore -> $filesAfter)")
+    val vacuumed = s.sql(s"CALL $cat.system.vacuum('t', 1)")
+      .head().getInt(0)
+    require(vacuumed >= filesBefore,
+      s"q283: vacuum must retire the pre-compaction files, got " +
+        s"$vacuumed")
+    val hist = s.sql(s"CALL $cat.system.history('t')").collect()
+    require(hist.length == 1 && hist.head.getString(1) == "compact" &&
+      !hist.head.isNullAt(7),
+      "q283: history must narrate the one retained (compact) version " +
+        "with its timestamp")
+    s.sql(s"""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_value,
+        CAST(sum(event_id) AS BIGINT) AS sum_event_id
+      FROM $cat.t GROUP BY event_type""")
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

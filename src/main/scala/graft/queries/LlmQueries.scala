@@ -498,6 +498,63 @@ object LlmQueries {
         col("dims.width").as("width"), col("dims.height").as("height"))
   }
 
+  /** IMAGE-DIMS probe, round-14 formats (q284): genuine BMP
+    * (BITMAPINFOHEADER, incl. the NEGATIVE-height top-down encoding)
+    * and TIFF (both byte orders, SHORT and LONG dimension entries)
+    * headers built per document and parsed back with
+    * `graft_image_dims` — the legacy raster formats scraped corpora
+    * still carry (favicons, scans, screenshots). Corrupt
+    * (doc_id % 19 == 0, truncated) payloads surface NULL. Oracle:
+    * pure doc_id arithmetic. */
+  def imageMeta3(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("payload", Multimodal.containerPayload3(
+        (col("doc_id") % 3).cast("int"),
+        (col("doc_id") % 2048 + 16).cast("int"),
+        (col("doc_id") % 1024 + 16).cast("int"),
+        (col("doc_id") % 5 === 0).cast("int")))
+      .withColumn("payload",
+        when(col("doc_id") % 19 === 0,
+          expr("substring(payload, 1, 6)")) // truncated: unparseable
+          .otherwise(col("payload")))
+    docs
+      .withColumn("dims", expr("graft_image_dims(payload)"))
+      .select(col("doc_id"), col("dims.format").as("format"),
+        col("dims.width").as("width"), col("dims.height").as("height"))
+  }
+
+  /** VIDEO-HEADER probe, round-14 format (q285): genuine FRAGMENTED
+    * MP4 headers (DASH/CMAF — mvhd duration 0, the real figure in
+    * moov/mvex/mehd, v0 and v1 rotated per doc) built per document
+    * and parsed back with `graft_video_meta` — without the mehd
+    * branch every fragmented file reported 0 ms, and fragmented IS
+    * how scraped segment caches arrive. Corrupt (doc_id % 23 == 0)
+    * payloads surface NULL. Oracle: pure doc_id arithmetic
+    * (duration_ms = (doc_id % 500 + 1) × 100 exactly, by the
+    * timescale choice). */
+  def videoMeta2(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val ts = element_at(array(lit(600), lit(1000), lit(90000)),
+      ((col("doc_id") % 7) % 3).cast("int") + 1)
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("payload", Multimodal.fragMp4Payload(
+        (col("doc_id") % 1280 + 16).cast("int"),
+        (col("doc_id") % 720 + 16).cast("int"),
+        ts, (col("doc_id") % 500 + 1) * (ts / 10),
+        (col("doc_id") % 2).cast("int")))
+      .withColumn("payload",
+        when(col("doc_id") % 23 === 0,
+          expr("substring(payload, 1, 3)")) // truncated: unparseable
+          .otherwise(col("payload")))
+    docs
+      .withColumn("meta", expr("graft_video_meta(payload)"))
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.duration_ms").as("duration_ms"))
+  }
+
   /** Frame sampling: 64-unit frames on a 48-unit stride per payload. */
   def frameSample(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Tables.documents(s, d), width = 64, stride = 48)

@@ -186,6 +186,31 @@ private[graft] object DvPerFile {
     writePtr(conf, tableDir, gen)
   }
 
+  /** RETRACT a lost attempt's freshly-written marker: an OCC loser's
+    * (or the caller's own failed commit's) `_commit.g<gen>` would
+    * otherwise advance [[committedGen]]'s answer above the committed
+    * ceiling forever — no sweep matched it once the eager
+    * rollbackAbove-on-entry was (correctly) removed — and
+    * `committedGen` is trusted by [[DeletionVectors.currentTombstones]],
+    * `commitAfterRetire` and as the migration claim floor, so a
+    * maintenance path could surface UNCOMMITTED deletes
+    * (advice-caught). Only the marker dies: the gen's sidecars are
+    * gen-unique debris no committed marker map references, swept by
+    * retention GC. The pointer hint re-points at `prevGen`'s marker
+    * when one exists, else drops so the listing fallback heals it —
+    * racing a rival's disjoint-gen pointer write loses nothing (the
+    * pointer is a hint; [[committedGen]] probes forward / falls
+    * back). */
+  def retractMarker(conf: Configuration, tableDir: String, gen: Int,
+                    prevGen: Int): Unit = {
+    val d = pfDir(tableDir)
+    val fs = fsOf(conf, d)
+    scala.util.Try(fs.delete(new Path(d, s"_commit.g$gen"), false))
+    if (prevGen >= 0 && fs.exists(new Path(d, s"_commit.g$prevGen")))
+      writePtr(conf, tableDir, prevGen)
+    else scala.util.Try(fs.delete(new Path(d, PtrName), false))
+  }
+
   /** The (dataFileName → sidecar gen) map recorded in gen's marker;
     * None when the marker is absent or predates the map (legacy
     * count-only format) — callers fall back to a directory listing. */
@@ -545,6 +570,10 @@ private[graft] object DvPerFile {
           .getOrElse(Int.MaxValue)
         if (g < minMarkerKeep && !keepMarkers.contains(g))
           fs.delete(s.getPath, false)
+      } else if (n.startsWith(".") && n.endsWith(".tmp")) {
+        // a crashed AtomicFiles.replace left its attempt-unique temp
+        // behind — never referenced, safe to sweep (advice-caught)
+        fs.delete(s.getPath, false)
       }
     }
   }

@@ -3,11 +3,16 @@ package graft.sources
 import java.util
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sink.MorLog
 
@@ -30,12 +35,14 @@ import graft.sink.MorLog
   * Layout: `<root>/<namespace…>/<table>` — a table IS a MorLog dir
   * (the `_log` meta chain is the catalog state; no extra metastore,
   * so every Scala-API table under the root is immediately queryable
-  * by name and vice versa). Identity partition transforms map to the
-  * tier's partition columns; anything fancier (bucket/days/…) is
-  * refused loud. ALTER TABLE is refused loud too — schema evolution
-  * goes through the tier's own evolve/rename/drop ops, which carry
-  * the column-mapping semantics SQL's ALTER cannot express here. */
-class MorLogCatalog extends TableCatalog {
+  * by name and vice versa). Partitioning: identity columns plus the
+  * time-derived transforms (`days(ts)`/months/years/hours — hidden
+  * partitioning); bucket/truncate refuse loud. ALTER TABLE supports
+  * ADD COLUMNS (metadata-only); renames/drops stay with the tier's
+  * own ops (column-mapping semantics SQL ALTER cannot express here).
+  * Since round 14 the catalog is also a [[ProcedureCatalog]]:
+  * `CALL <cat>.system.compact|compact_small|cluster|vacuum|history`. */
+class MorLogCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -88,35 +95,95 @@ class MorLogCatalog extends TableCatalog {
       MorLogFacade.schemaOf(spark, dir, Some(v)))
   }
 
+  /** SQL time travel: `TIMESTAMP AS OF <ts>` — Spark hands the
+    * evaluated timestamp in MICROSECONDS; the log's monotone commit
+    * stamps resolve it to the newest version at-or-before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = MorLog.versionAt(spark, dir, timestamp / 1000L)
+    new MorLogTable(dir, Some(v), None, None,
+      MorLogFacade.schemaOf(spark, dir, Some(v)))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     val dir = dirOf(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
-    val parts = partitions.toSeq.map { t =>
-      require(t.name == "identity" && t.references.length == 1 &&
-        t.references.head.fieldNames.length == 1,
-        s"unsupported partition transform $t — the log tier " +
-          "partitions by identity columns")
-      t.references.head.fieldNames.head
-    }
+    val parts = partitions.toSeq.map(MorLogFacade.transformToSpec)
     MorLog.createEmpty(spark, dir, schema, parts)
     new MorLogTable(dir, None, None, None,
       MorLogFacade.schemaOf(spark, dir, None), parts)
   }
 
+  /** `ALTER TABLE … ADD COLUMNS` maps onto the tier's metadata-only
+    * [[MorLog.addColumns]] (the one schema change SQL users perform
+    * routinely; old files NULL-fill through the column mapping).
+    * Everything else stays refused loud: RENAME/DROP COLUMN carry
+    * column-mapping semantics SQL ALTER cannot express here — use
+    * MorLog.renameColumn/dropColumn. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported on the log tier — use " +
-        "MorLog.evolveAppend/renameColumn/dropColumn (column-mapping " +
-        "semantics SQL ALTER cannot express here)")
+                          changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "ALTER TABLE ADD COLUMNS: nested additions are not supported")
+        require(a.position == null,
+          "ALTER TABLE ADD COLUMNS: FIRST/AFTER positions are not " +
+            "supported — columns append")
+        StructType(Seq.empty).add(a.fieldNames.head, a.dataType,
+          a.isNullable).fields.head
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE ${other.getClass.getSimpleName} is not supported " +
+          "on the log tier — only ADD COLUMNS maps onto the tier's " +
+          "metadata-only evolution; renames/drops go through " +
+          "MorLog.renameColumn/dropColumn (column-mapping semantics " +
+          "SQL ALTER cannot express here)")
+    }
+    MorLog.addColumns(spark, dir, adds)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
     if (!isTable(dir)) return false
-    fs.delete(new Path(dir), true)
+    val ok = fs.delete(new Path(dir), true)
+    // purge ALL driver caches for the dir (states, stats, replay
+    // tags): a CREATE TABLE at the same path must never be served the
+    // dropped table's cached resolutions (advice-caught)
+    MorLog.invalidateDir(dir)
+    ok
   }
+
+  /** SQL MAINTENANCE entry points (the round-13 verdict's #6 —
+    * Delta ships OPTIMIZE/VACUUM statements; this tier ships them as
+    * V2 procedures):
+    *
+    *   CALL <cat>.system.compact('ns.t')        -- full rewrite
+    *   CALL <cat>.system.compact_small('ns.t')  -- bin-pack drain debris
+    *   CALL <cat>.system.cluster('ns.t', 'a,b') -- Z-order rewrite
+    *   CALL <cat>.system.vacuum('ns.t', 2)      -- retention GC
+    *   CALL <cat>.system.history('ns.t')        -- DESCRIBE HISTORY
+    *
+    * Table args are catalog-relative dotted names; results come back
+    * as rows (files touched, or the history table). The namespace
+    * part of the procedure identifier is ignored — `system` by
+    * convention. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val n = ident.name.toLowerCase
+    require(MorLogProcedures.Known.contains(n),
+      s"unknown procedure $n — known: " +
+        MorLogProcedures.Known.mkString(", "))
+    MorLogProcedures.Unbound(n, root)
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    MorLogProcedures.Known.toArray.sorted
+      .map(Identifier.of(Array("system"), _))
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit = {
@@ -127,6 +194,107 @@ class MorLogCatalog extends TableCatalog {
     if (!fs.rename(new Path(od), new Path(nd)))
       throw new IllegalStateException(
         s"rename ${oldIdent} -> ${newIdent} failed")
-    MorLog.dropStatsCache(od)
+    // both ends: the old dir's entries are stale the moment a new
+    // table lands there, and the destination could hold entries from
+    // a table dropped at that path earlier in this process
+    MorLog.invalidateDir(od)
+    MorLog.invalidateDir(nd)
+  }
+}
+
+/** The catalog's maintenance procedures — bound forms, each returning
+  * its result as local rows ([[LocalScan]], the shape Spark's CALL
+  * executes). Side-effecting, so never `isDeterministic`. */
+private[sources] object MorLogProcedures {
+
+  val Known: Set[String] =
+    Set("compact", "compact_small", "cluster", "vacuum", "history")
+
+  private def spark = org.apache.spark.sql.SparkSession.active
+
+  case class Unbound(procName: String, root: String)
+      extends UnboundProcedure {
+    override def name(): String = procName
+    override def description(): String =
+      s"graft log-tier maintenance: $procName"
+    override def bind(inputType: StructType): BoundProcedure =
+      Bound(procName, root)
+  }
+
+  private val CountSchema = StructType(Seq(
+    StructField("files", IntegerType, nullable = false)))
+  private val PackedSchema = StructType(Seq(
+    StructField("files_packed", IntegerType, nullable = false),
+    StructField("files_vacuumed", IntegerType, nullable = false)))
+
+  private case class RowsScan(out: StructType, data: Array[InternalRow])
+      extends LocalScan {
+    override def readSchema(): StructType = out
+    override def rows(): Array[InternalRow] = data
+  }
+
+  case class Bound(procName: String, root: String)
+      extends BoundProcedure {
+    override def name(): String = procName
+    override def description(): String =
+      s"graft log-tier maintenance: $procName"
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = procName match {
+      case "cluster" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("dims", StringType).build())
+      case "vacuum" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("keep_versions", IntegerType).build())
+      case _ => Array(
+        ProcedureParameter.in("table", StringType).build())
+    }
+
+    private def dirOf(table: String): String = {
+      val dir = (root +: table.split("\\.").toSeq).mkString("/")
+      require(MorLog.versions(spark, dir).nonEmpty,
+        s"$procName: $table is not a log-tier table under $root")
+      dir
+    }
+
+    private def one(schema: StructType, vals: Any*): util.Iterator[Scan] =
+      util.Collections.singletonList(
+        RowsScan(schema, Array(new GenericInternalRow(
+          vals.toArray))): Scan).iterator()
+
+    override def call(input: InternalRow): util.Iterator[Scan] =
+      procName match {
+        case "compact" =>
+          one(CountSchema, Int.box(
+            MorLog.compact(spark, dirOf(input.getUTF8String(0).toString))))
+        case "compact_small" =>
+          one(CountSchema, Int.box(MorLog.compactSmall(spark,
+            dirOf(input.getUTF8String(0).toString))))
+        case "cluster" =>
+          val dims = input.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          require(dims.nonEmpty, "cluster: no dims")
+          one(CountSchema, Int.box(MorLog.cluster(spark,
+            dirOf(input.getUTF8String(0).toString), dims)))
+        case "vacuum" =>
+          one(CountSchema, Int.box(MorLog.vacuum(spark,
+            dirOf(input.getUTF8String(0).toString), input.getInt(1))))
+        case "history" =>
+          val df = MorLog.history(spark,
+            dirOf(input.getUTF8String(0).toString))
+          val rows = df.collect().map { r =>
+            new GenericInternalRow(Array[Any](
+              Int.box(r.getInt(0)), UTF8String.fromString(r.getString(1)),
+              Int.box(r.getInt(2)), Int.box(r.getInt(3)),
+              Int.box(r.getInt(4)), Int.box(r.getInt(5)),
+              UTF8String.fromString(r.getString(6)),
+              if (r.isNullAt(7)) null
+              else Long.box(r.getTimestamp(7).getTime * 1000L)))
+              : InternalRow
+          }
+          util.Collections.singletonList(
+            RowsScan(df.schema, rows): Scan).iterator()
+      }
   }
 }

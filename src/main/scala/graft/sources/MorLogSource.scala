@@ -83,10 +83,14 @@ class MorLogSource extends TableProvider {
         MorLogFacade.schemaOf(spark, dir, None))
     MorLogFacade.changesSpan(spark, dir, options) match {
       case Some((from, to)) =>
+        require(options.get("timestampAsOf") == null,
+          "timestampAsOf and changesFrom are mutually exclusive")
         val (schema, _, _) = MorLog.connectorChangesPlan(spark, dir, from, to)
         MorLogFacade.withChangeCols(schema)
       case None =>
-        val v = Option(options.get("versionAsOf")).map(_.trim.toInt)
+        val v = MorLogFacade.pinnedVersion(spark, dir,
+          Option(options.get("versionAsOf")),
+          Option(options.get("timestampAsOf")))
         val (schema, _, _, _, _, _) =
           MorLog.connectorPlan(spark, dir, v, None)
         schema
@@ -94,15 +98,31 @@ class MorLogSource extends TableProvider {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new MorLogTable(properties.get("path"),
-      Option(properties.get("versionAsOf")).map(_.trim.toInt),
-      Option(properties.get("changesFrom")).map(_.trim.toInt),
+                        properties: util.Map[String, String]): Table = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val dir = properties.get("path")
+    val changesFrom =
+      Option(properties.get("changesFrom")).map(_.trim.toInt)
+    if (changesFrom.isDefined)
+      require(properties.get("timestampAsOf") == null,
+        "timestampAsOf and changesFrom are mutually exclusive")
+    new MorLogTable(dir,
+      if (changesFrom.isDefined) None
+      else MorLogFacade.pinnedVersion(spark, dir,
+        Option(properties.get("versionAsOf")),
+        Option(properties.get("timestampAsOf"))),
+      changesFrom,
       Option(properties.get("changesTo")).map(_.trim.toInt), schema,
+      // honor user-declared partitioning on the create-on-first-write
+      // route (advice-caught: it was silently dropped — the table
+      // landed unpartitioned; unsupported transforms now refuse loud)
+      createPartitionBy =
+        partitioning.toSeq.map(MorLogFacade.transformToSpec),
       streamChanges =
         "true".equalsIgnoreCase(properties.get("streamChanges")),
       startingVersion =
         Option(properties.get("startingVersion")).map(_.trim.toInt))
+  }
 
   // writes to a NOT-YET-EXISTING path carry the frame's own schema
   // (the create-on-first-write path); reads still infer from the log
@@ -129,6 +149,53 @@ private[sources] object MorLogFacade {
 
   val ChangeType = "_change_type"
   val CommitVersion = "_commit_version"
+
+  /** `versionAsOf`/`timestampAsOf` → the pinned snapshot version
+    * (None = current tip). `timestampAsOf` accepts epoch MILLIS or
+    * any Spark-castable timestamp string (parsed in the session
+    * zone), resolved through the log's monotone commit stamps
+    * ([[graft.sink.MorLog.versionAt]]). Mutually exclusive, loudly. */
+  def pinnedVersion(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, versionAsOf: Option[String],
+                    timestampAsOf: Option[String]): Option[Int] = {
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    versionAsOf.map(_.trim.toInt).orElse(timestampAsOf.map(t =>
+      MorLog.versionAt(spark, dir, parseTsMillis(spark, t))))
+  }
+
+  /** V2 partition Transform → the tier's spec-entry string: identity
+    * → `col`, time-derived → `days(col)`/`months`/`years`/`hours`
+    * (Iceberg's hidden partitioning, minimal form). Anything else —
+    * bucket(n, col), truncate — refuses loud. */
+  def transformToSpec(
+      t: org.apache.spark.sql.connector.expressions.Transform): String = {
+    require(t.references.length == 1 &&
+      t.references.head.fieldNames.length == 1,
+      s"unsupported partition transform $t — single-column " +
+        "transforms only")
+    val c = t.references.head.fieldNames.head
+    t.name match {
+      case "identity" => c
+      case tf @ ("days" | "months" | "years" | "hours") => s"$tf($c)"
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform $other($c) — the log tier " +
+          "partitions by identity or time-derived " +
+          "(days/months/years/hours) columns")
+    }
+  }
+
+  def parseTsMillis(spark: org.apache.spark.sql.SparkSession,
+                    t: String): Long =
+    scala.util.Try(t.trim.toLong).getOrElse {
+      // Spark's own cast does the parsing, in the session zone —
+      // plan-time, one local row
+      val row = spark.sql(
+        s"SELECT CAST('${t.replace("'", "''")}' AS TIMESTAMP)").head()
+      require(!row.isNullAt(0),
+        s"timestampAsOf: unparseable timestamp '$t'")
+      row.getTimestamp(0).getTime
+    }
 
   /** V2 predicate tree → Column, STRICT: any node this can't express
     * returns None and the whole DELETE refuses at `canDeleteWhere` —
@@ -207,7 +274,7 @@ private[sources] object MorLogFacade {
     }
 }
 
-class MorLogTable(path: String, version: Option[Int],
+class MorLogTable(val path: String, version: Option[Int],
                   changesFrom: Option[Int], changesTo: Option[Int],
                   tblSchema: StructType,
                   createPartitionBy: Seq[String] = Seq.empty,
@@ -221,16 +288,52 @@ class MorLogTable(path: String, version: Option[Int],
     s"graft_morlog($path${version.map("@v" + _).getOrElse("")}" +
       s"${changesFrom.map(f => s"@changes($f,${changesTo.getOrElse("tip")}]")
         .getOrElse("")})"
+
+  /** Guards for the SQL DML strategy ([[graft.plans
+    * .MorLogDmlStrategy]]): UPDATE/MERGE must target the current
+    * snapshot, never a time-travel or change-feed relation. */
+  def pinnedVersionOpt: Option[Int] = version
+  def isChangeRelation: Boolean = changesFrom.isDefined || streamChanges
+
+  /** The table's partition transforms — the COMMITTED spec for
+    * existing tables, the declared one on the create-on-first-write
+    * route (DataFrameWriter validates its `partitionBy` against
+    * this). */
+  override def partitioning(): Array[Transform] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val spec =
+      if (graft.sink.MorLog.versions(spark, path).nonEmpty)
+        graft.sink.MorLog.partitionSpec(spark, path)
+      else createPartitionBy
+    spec.map { e =>
+      val (c, tf) = graft.sink.MorLog.parsePartEntry(e)
+      tf match {
+        case "identity" =>
+          org.apache.spark.sql.connector.expressions.Expressions
+            .identity(c)
+        case "days" => org.apache.spark.sql.connector.expressions
+          .Expressions.days(c)
+        case "months" => org.apache.spark.sql.connector.expressions
+          .Expressions.months(c)
+        case "years" => org.apache.spark.sql.connector.expressions
+          .Expressions.years(c)
+        case "hours" => org.apache.spark.sql.connector.expressions
+          .Expressions.hours(c)
+      }
+    }.toArray
+  }
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.V1_BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new MorLogScanBuilder(path, version, changesFrom, changesTo,
-      tblSchema, streamChanges, startingVersion)
+      tblSchema, streamChanges, startingVersion,
+      Option(options.get("maxVersionsPerTrigger")).map(_.trim.toInt))
 
   /** SQL `DELETE FROM … WHERE …`: the predicate conjunction maps onto
     * [[graft.sink.MorLog.deleteWhere]] — whole-file metadata drops
@@ -270,11 +373,12 @@ class MorLogTable(path: String, version: Option[Int],
     require(version.isEmpty && changesFrom.isEmpty && !streamChanges,
       "writes must target the CURRENT snapshot — versionAsOf/" +
         "changesFrom/streamChanges relations are read-only")
-    new MorLogWriteBuilder(path, createPartitionBy)
+    new MorLogWriteBuilder(path, createPartitionBy, info)
   }
 }
 
-class MorLogWriteBuilder(path: String, partitionBy: Seq[String])
+class MorLogWriteBuilder(path: String, partitionBy: Seq[String],
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var overwrite = false
@@ -293,6 +397,60 @@ class MorLogWriteBuilder(path: String, partitionBy: Seq[String])
           else if (overwrite || ow) MorLog.overwrite(spark, path, data)
           else MorLog.append(spark, path, data)
         }
+
+      /** STREAMING sink (`df.writeStream.format(...)`): resolve the
+        * table's schema/physical mapping/partition spec ONCE at query
+        * start, validate the stream frame against it loudly, and hand
+        * executors a [[MorLogStreamingWrite]] — see that class for the
+        * epoch protocol. Options: `mergeKey` (keyed upsert apply;
+        * absent = plain append epochs), `opCol` + `deleteValue`
+        * (default "D") route delete-tagged rows. */
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        val spark = org.apache.spark.sql.SparkSession.active
+        require(MorLog.versions(spark, path).nonEmpty,
+          "streaming write needs an existing table — create it first " +
+            "(the schema and partition spec are the table's contract)")
+        val (cols, parts) = MorLog.connectorSinkPlan(spark, path)
+        val opts = info.options
+        val mergeKey = Option(opts.get("mergeKey"))
+        val opCol = Option(opts.get("opCol"))
+        val deleteValue = Option(opts.get("deleteValue")).getOrElse("D")
+        require(opCol.isEmpty || mergeKey.isDefined,
+          "opCol routing needs mergeKey (deletes are keyed)")
+        val in = info.schema
+        val expected = cols.map(_._1).toSet ++ opCol.toSet
+        require(in.fieldNames.toSet == expected,
+          s"stream columns ${in.fieldNames.sorted.mkString(", ")} must " +
+            s"be the table's ${cols.map(_._1).sorted.mkString(", ")}" +
+            opCol.map(c => s" plus $c").getOrElse(""))
+        cols.foreach { case (n, dt, _) =>
+          require(in(n).dataType == dt,
+            s"stream column $n: ${in(n).dataType.simpleString} must " +
+              s"equal the table's ${dt.simpleString} (the sink casts " +
+              "nothing — align the frame)")
+          require(GroupEncode.supported(dt),
+            s"streaming sink cannot encode $n: ${dt.simpleString}")
+        }
+        opCol.foreach(c => require(in(c).dataType == StringType,
+          s"opCol $c must be STRING"))
+        mergeKey.foreach(k => require(cols.exists(_._1 == k),
+          s"mergeKey $k is not a table column"))
+        val dataNames = cols.map(_._1).toArray
+        val dataTypes = cols.map(_._2).toArray
+        val physNames = cols.map(_._3).toArray
+        val dataOrdinals = dataNames.map(in.fieldIndex)
+        val partIdx = parts.map { case (n, tf) =>
+          (dataNames.indexOf(n), tf) }
+        new MorLogStreamingWrite(path, info.queryId, dataNames,
+          dataTypes, physNames, dataOrdinals, partIdx,
+          opCol.map(in.fieldIndex).getOrElse(-1), deleteValue, mergeKey,
+          mergeKey.map(k => physNames(dataNames.indexOf(k)))
+            .getOrElse(""),
+          mergeKey.map(k => dataTypes(dataNames.indexOf(k)))
+            .getOrElse(LongType),
+          new DvPerFile.SerConf(spark.sparkContext.hadoopConfiguration))
+      }
     }
 }
 
@@ -300,7 +458,8 @@ class MorLogScanBuilder(path: String, version: Option[Int],
                         changesFrom: Option[Int], changesTo: Option[Int],
                         full: StructType,
                         streamChanges: Boolean = false,
-                        startingVersion: Option[Int] = None)
+                        startingVersion: Option[Int] = None,
+                        maxVersionsPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = full
@@ -351,7 +510,8 @@ class MorLogScanBuilder(path: String, version: Option[Int],
   override def build(): Scan = {
     val spark = org.apache.spark.sql.SparkSession.active
     if (streamChanges)
-      return MorLogStreamScan(path, required, startingVersion)
+      return MorLogStreamScan(path, required, startingVersion,
+        maxVersionsPerTrigger)
     MorLogFacade.spanOf(spark, path,
       changesFrom.map(_.toString), changesTo.map(_.toString),
       version.map(_.toString)) match {
@@ -377,7 +537,8 @@ class MorLogScanBuilder(path: String, version: Option[Int],
   * create included — Delta's convention); absent, the stream starts
   * at the tip and delivers only commits that land after it. */
 case class MorLogStreamScan(path: String, required: StructType,
-                            startingVersion: Option[Int])
+                            startingVersion: Option[Int],
+                            maxVersionsPerTrigger: Option[Int] = None)
     extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
@@ -385,7 +546,8 @@ case class MorLogStreamScan(path: String, required: StructType,
       s"${startingVersion.getOrElse(-1)}"
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new MorLogMicroBatchStream(path, required, startingVersion)
+    new MorLogMicroBatchStream(path, required, startingVersion,
+      maxVersionsPerTrigger)
 }
 
 /** One offset = one committed version (inclusive upper bound of the
@@ -396,9 +558,40 @@ case class MorLogOffset(v: Int)
 }
 
 class MorLogMicroBatchStream(path: String, outSchema: StructType,
-                             startingVersion: Option[Int])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+                             startingVersion: Option[Int],
+                             maxVersionsPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
   private def spark = org.apache.spark.sql.SparkSession.active
+
+  /** Trigger.AvailableNow contract: capture the tip ONCE at query
+    * start and drain (admission-capped) batches up to exactly it —
+    * without this Spark falls back to a SINGLE Trigger.Once-style
+    * batch, which silently ignores maxVersionsPerTrigger. */
+  @volatile private var availableTip: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTip = Some(MorLog.currentVersion(spark, path))
+
+  /** Admission control: cap each micro-batch at
+    * `maxVersionsPerTrigger` source versions. `= 1` makes every epoch
+    * exactly one committed version — which is what makes the
+    * streaming SINK's per-epoch keyed netting exact for any
+    * lifecycle (a version's delete+insert upsert pair stays one
+    * epoch; distinct versions never share one). */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val tip = availableTip.getOrElse(MorLog.currentVersion(spark, path))
+    val s = start.asInstanceOf[MorLogOffset].v
+    MorLogOffset(maxVersionsPerTrigger
+      .map(m => math.min(tip, s + math.max(1, m))).getOrElse(tip))
+  }
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    MorLogOffset(MorLog.currentVersion(spark, path))
 
   override def initialOffset()
       : org.apache.spark.sql.connector.read.streaming.Offset =
@@ -421,22 +614,30 @@ class MorLogMicroBatchStream(path: String, outSchema: StructType,
     val s = start.asInstanceOf[MorLogOffset].v
     val e = end.asInstanceOf[MorLogOffset].v
     if (s >= e) return Array.empty
-    val (_, _, specs) = MorLog.connectorChangesPlan(spark, path, s, e)
+    // the logical→physical map rides EACH PARTITION, resolved at the
+    // batch's own END version: resolving at the current tip in
+    // createReaderFactory raced a rename/evolve committed between
+    // latestOffset and factory creation — the stale logical-name
+    // fallback then silently read nulls (advice-caught). The span
+    // plan itself already rejects renames INSIDE (s, e].
+    val (_, logToPhys, specs) =
+      MorLog.connectorChangesPlan(spark, path, s, e)
+    val phys = dataFields.map(f => logToPhys.getOrElse(f.name, f.name))
     specs.map(sp => MorLogChangePartition(sp.file, sp.version,
       sp.changeType, sp.mode, sp.idxs, sp.oldSidecar,
-      sp.newSidecar): InputPartition).toArray
+      sp.newSidecar, phys): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val (_, _, logToPhys, _, _, _) =
-      MorLog.connectorPlan(spark, path, None, None, withTombs = false)
-    val dataFields = outSchema.fields.filter(f =>
-      f.name != MorLogFacade.ChangeType &&
-        f.name != MorLogFacade.CommitVersion)
+  private def dataFields = outSchema.fields.filter(f =>
+    f.name != MorLogFacade.ChangeType &&
+      f.name != MorLogFacade.CommitVersion)
+
+  override def createReaderFactory(): PartitionReaderFactory =
     MorLogChangesReaderFactory(outSchema, StructType(dataFields),
-      dataFields.map(f => logToPhys.getOrElse(f.name, f.name)),
+      // per-batch phys names ride the partitions (see above); this
+      // fallback serves only legacy partitions with none
+      dataFields.map(_.name),
       new DvPerFile.SerConf(spark.sparkContext.hadoopConfiguration))
-  }
 
   override def commit(
       end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
@@ -566,7 +767,8 @@ case class MorLogPartition(file: String, tombs: Array[Long],
 case class MorLogChangePartition(file: String, version: Int,
                                  changeType: String, mode: String,
                                  idxs: Array[Long], oldSidecar: String,
-                                 newSidecar: String)
+                                 newSidecar: String,
+                                 physNames: Array[String] = null)
     extends InputPartition
 
 case class MorLogReaderFactory(readSchema: StructType,
@@ -591,7 +793,8 @@ case class MorLogChangesReaderFactory(outSchema: StructType,
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val mp = p.asInstanceOf[MorLogChangePartition]
-    new MorLogChangesReader(mp, outSchema, dataSchema, physNames,
+    new MorLogChangesReader(mp, outSchema, dataSchema,
+      if (mp.physNames != null) mp.physNames else physNames,
       new Configuration(conf.value))
   }
 }

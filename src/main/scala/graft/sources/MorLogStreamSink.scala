@@ -1,0 +1,313 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Types}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+
+import graft.sink.{DvPerFile, MorLog}
+
+/** STREAMING WRITE through the connector (the round-13 verdict's #2 —
+  * the write half of the q278 streaming source): with it, a pure
+  * DataFrame/SQL user closes the CDC loop without `foreachBatch`:
+  *
+  *   spark.readStream.format("graft.sources.MorLogSource")
+  *     .option("path", src).option("streamChanges", "true").load()
+  *     … .writeStream.format("graft.sources.MorLogSource")
+  *     .option("path", dst)
+  *     .option("mergeKey", "k")          // keyed apply (else append)
+  *     .option("opCol", "op")            // rows whose op =
+  *     .option("deleteValue", "delete")  //   deleteValue DELETE k
+  *     .start()
+  *
+  * This mirrors the reference's O3 streaming-write job
+  * (reference pipeline/LoadBookingFact.json:5-38 — the dataflow's
+  * keyed sink run as a stream).
+  *
+  * SHAPE: executors write their rows straight to ATTEMPT-UNIQUE
+  * staged parquet files under the table's `_log` (no driver
+  * materialization, no second copy — the epoch commit just RENAMES
+  * them into `part-v<k>-…` table files), partition-aligned when the
+  * table declares a spec (one open writer per partition tuple, the
+  * same one-tuple-per-file invariant every batch write keeps, so the
+  * stats prune stays exact). Delete-tagged rows land in a side file
+  * carrying only the key column. The driver's epoch commit
+  * ([[graft.sink.MorLog.commitStreamEpoch]]) locates victims with the
+  * SAME stats-pruned locate every keyed op uses and lands ONE
+  * committed version per epoch, replay-fenced on the log's own action
+  * tags (`sink:<queryId>b<epoch>` — a redelivered epoch finds its
+  * commit and drops its staged files).
+  *
+  * Epoch semantics (one micro-batch): data-row keys must be unique,
+  * delete keys must be unique; a key in BOTH is the upsert pair the
+  * change feed emits (delete precedes insert within a version) — the
+  * data row wins. Subscribing with `maxVersionsPerTrigger = 1` keeps
+  * each epoch a single source version, which makes this netting exact
+  * for any lifecycle. */
+private[sources] object GroupEncode {
+
+  import PrimitiveType.PrimitiveTypeName._
+
+  def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType |
+         StringType | BooleanType | DateType | TimestampType => true
+    case _: DecimalType => true
+    case s: StructType => s.fields.forall(f => supported(f.dataType))
+    case _ => false
+  }
+
+  private def pqType(name: String,
+                     dt: DataType): org.apache.parquet.schema.Type =
+    dt match {
+      case LongType => Types.optional(INT64).named(name)
+      case IntegerType => Types.optional(INT32).named(name)
+      case DoubleType => Types.optional(DOUBLE).named(name)
+      case FloatType => Types.optional(FLOAT).named(name)
+      case BooleanType => Types.optional(BOOLEAN).named(name)
+      case StringType => Types.optional(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named(name)
+      case DateType => Types.optional(INT32)
+        .as(LogicalTypeAnnotation.dateType()).named(name)
+      case TimestampType => Types.optional(INT64)
+        .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+      case d: DecimalType if d.precision <= 18 =>
+        Types.optional(INT64)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+          .named(name)
+      case d: DecimalType =>
+        Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+          .named(name)
+      case s: StructType =>
+        val b = Types.optionalGroup()
+        s.fields.foreach(f => b.addField(pqType(f.name, f.dataType)))
+        b.named(name)
+      case other => throw new UnsupportedOperationException(
+        s"streaming sink cannot encode $name: ${other.simpleString}")
+    }
+
+  def messageType(names: Array[String], types: Array[DataType])
+      : MessageType = {
+    val b = Types.buildMessage()
+    names.indices.foreach(i => b.addField(pqType(names(i), types(i))))
+    b.named("graft_stream")
+  }
+
+  /** Append `row(ord)` (type `dt`) to `g` under `name` — the exact
+    * reverse of [[GroupDecode.value]]'s supported set. */
+  def add(g: Group, name: String, dt: DataType, row: InternalRow,
+          ord: Int): Unit = {
+    if (row.isNullAt(ord)) return
+    dt match {
+      case LongType | TimestampType => g.add(name, row.getLong(ord))
+      case IntegerType | DateType => g.add(name, row.getInt(ord))
+      case DoubleType => g.add(name, row.getDouble(ord))
+      case FloatType => g.add(name, row.getFloat(ord))
+      case BooleanType => g.add(name, row.getBoolean(ord))
+      case StringType => g.add(name,
+        Binary.fromConstantByteArray(row.getUTF8String(ord).getBytes))
+      case d: DecimalType if d.precision <= 18 =>
+        g.add(name,
+          row.getDecimal(ord, d.precision, d.scale).toUnscaledLong)
+      case d: DecimalType =>
+        g.add(name, Binary.fromConstantByteArray(
+          row.getDecimal(ord, d.precision, d.scale).toJavaBigDecimal
+            .unscaledValue.toByteArray))
+      case s: StructType =>
+        val child = g.addGroup(name)
+        val sub = row.getStruct(ord, s.fields.length)
+        s.fields.zipWithIndex.foreach { case (f, i) =>
+          add(child, f.name, f.dataType, sub, i)
+        }
+      case other => throw new UnsupportedOperationException(
+        s"streaming sink cannot encode ${other.simpleString}")
+    }
+  }
+
+  def open(conf: Configuration, p: Path,
+           schema: MessageType): ParquetWriter[Group] =
+    ExampleParquetWriter.builder(p).withType(schema)
+      .withConf(conf).build()
+}
+
+/** Epoch-commit message: the staged files this task wrote. */
+case class MorLogStagedFiles(dataFiles: Seq[String],
+                             deleteFiles: Seq[String])
+    extends WriterCommitMessage
+
+class MorLogStreamingWrite(path: String, queryId: String,
+                           dataNames: Array[String],
+                           dataTypes: Array[DataType],
+                           physNames: Array[String],
+                           dataOrdinals: Array[Int],
+                           partSpec: Seq[(Int, String)],
+                           opOrdinal: Int, deleteValue: String,
+                           mergeKey: Option[String], physKey: String,
+                           keyType: DataType,
+                           conf: DvPerFile.SerConf)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    // a standalone case class: the factory ships to executors, so it
+    // must not capture this (non-serializable) StreamingWrite
+    MorLogEpochWriterFactory(s"$path/_log", dataNames, dataTypes,
+      physNames, dataOrdinals, partSpec, opOrdinal, deleteValue,
+      physKey, keyType, conf)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val staged = messages.collect { case m: MorLogStagedFiles => m }
+    MorLog.commitStreamEpoch(spark, path,
+      staged.flatMap(_.dataFiles).toSeq,
+      staged.flatMap(_.deleteFiles).toSeq,
+      mergeKey, s"sink:${queryId}b$epochId")
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case m: MorLogStagedFiles =>
+      (m.dataFiles ++ m.deleteFiles).foreach(p =>
+        scala.util.Try(fs.delete(new Path(p), false)))
+    }
+  }
+}
+
+case class MorLogEpochWriterFactory(logDir: String,
+                                    dataNames: Array[String],
+                                    dataTypes: Array[DataType],
+                                    physNames: Array[String],
+                                    dataOrdinals: Array[Int],
+                                    partSpec: Seq[(Int, String)],
+                                    opOrdinal: Int, deleteValue: String,
+                                    physKey: String, keyType: DataType,
+                                    conf: DvPerFile.SerConf)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new MorLogEpochWriter(logDir, dataNames, dataTypes, physNames,
+      dataOrdinals, partSpec, opOrdinal, deleteValue, physKey, keyType,
+      new Configuration(conf.value))
+}
+
+/** One task's epoch writer: routes delete-tagged rows to a key-only
+  * side file, splits data rows one-file-per-partition-tuple (the
+  * transform derives executor-side), encodes via the Group API under
+  * PHYSICAL column names. */
+class MorLogEpochWriter(logDir: String, dataNames: Array[String],
+                        dataTypes: Array[DataType],
+                        physNames: Array[String],
+                        dataOrdinals: Array[Int],
+                        partSpec: Seq[(Int, String)], opOrdinal: Int,
+                        deleteValue: String, physKey: String,
+                        keyType: DataType, conf: Configuration)
+    extends DataWriter[InternalRow] {
+
+  private val msgType = GroupEncode.messageType(physNames, dataTypes)
+  private val factory = new SimpleGroupFactory(msgType)
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[
+      String, (ParquetWriter[Group], String)]
+  private var delWriter: (ParquetWriter[Group], String) = _
+  private lazy val delMsgType =
+    GroupEncode.messageType(Array(physKey), Array(keyType))
+  private lazy val delFactory = new SimpleGroupFactory(delMsgType)
+
+  // NOT dot/underscore-prefixed: Spark's file index treats those as
+  // hidden, and the epoch commit READS the delete-key files back
+  private def newPath(kind: String): String =
+    s"$logDir/sstage_${kind}_" +
+      s"${java.util.UUID.randomUUID().toString.take(12)}.parquet"
+
+  /** The partition-tuple grouping key of a row (derived values, so
+    * days(ts) groups by epoch day etc.). `partSpec` entries index the
+    * DATA projection; `dataOrdinals` maps those to the incoming row. */
+  private def partKey(row: InternalRow): String =
+    partSpec.map { case (dataIdx, tf) =>
+      val ord = dataOrdinals(dataIdx)
+      val dt = dataTypes(dataIdx)
+      if (row.isNullAt(ord)) "|null"
+      else (tf, dt) match {
+        case ("identity", _) => "|" + String.valueOf(row.get(ord, dt))
+        case ("days", TimestampType) => "|" +
+          java.lang.Math.floorDiv(row.getLong(ord), 86400000000L)
+        case ("hours", TimestampType) => "|" +
+          java.lang.Math.floorDiv(row.getLong(ord), 3600000000L)
+        case ("days", DateType) => "|" + row.getInt(ord)
+        case ("months", _) =>
+          val d = java.time.LocalDate.ofEpochDay(dt match {
+            case DateType => row.getInt(ord).toLong
+            case _ => java.lang.Math.floorDiv(row.getLong(ord),
+              86400000000L)
+          })
+          s"|${d.getYear}-${d.getMonthValue}"
+        case ("years", _) => "|" +
+          java.time.LocalDate.ofEpochDay(dt match {
+            case DateType => row.getInt(ord).toLong
+            case _ => java.lang.Math.floorDiv(row.getLong(ord),
+              86400000000L)
+          }).getYear
+        case (x, y) => throw new UnsupportedOperationException(
+          s"partition transform $x over ${y.simpleString}")
+      }
+    }.mkString("")
+
+  override def write(row: InternalRow): Unit = {
+    if (opOrdinal >= 0 && !row.isNullAt(opOrdinal) &&
+        row.getUTF8String(opOrdinal).toString == deleteValue) {
+      if (delWriter == null) {
+        val p = newPath("del")
+        delWriter = (GroupEncode.open(conf, new Path(p), delMsgType), p)
+      }
+      val g = delFactory.newGroup()
+      val keyOrd = dataOrdinals(physNames.indexOf(physKey))
+      GroupEncode.add(g, physKey, keyType, row, keyOrd)
+      delWriter._1.write(g)
+    } else {
+      val w = writers.getOrElseUpdate(partKey(row), {
+        val p = newPath("data")
+        (GroupEncode.open(conf, new Path(p), msgType), p)
+      })
+      val g = factory.newGroup()
+      var i = 0
+      while (i < physNames.length) {
+        GroupEncode.add(g, physNames(i), dataTypes(i), row,
+          dataOrdinals(i))
+        i += 1
+      }
+      w._1.write(g)
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_._1.close())
+    if (delWriter != null) delWriter._1.close()
+    MorLogStagedFiles(writers.values.map(_._2).toSeq,
+      Option(delWriter).map(_._2).toSeq)
+  }
+
+  override def abort(): Unit = {
+    scala.util.Try(close())
+    val fs = new Path(logDir).getFileSystem(conf)
+    (writers.values.map(_._2) ++ Option(delWriter).map(_._2)).foreach(
+      p => scala.util.Try(fs.delete(new Path(p), false)))
+  }
+
+  override def close(): Unit = {
+    writers.values.foreach(w => scala.util.Try(w._1.close()))
+    if (delWriter != null) scala.util.Try(delWriter._1.close())
+  }
+}

@@ -15,6 +15,9 @@ object SparkTestSession {
     // mirror GraftSession: standard INT64-micros timestamps (footer
     // stats + the DSv2 reader's standard decode; INT96 has neither)
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // the engine's SQL surface (native functions, range-join rewrite,
+    // the MorLog DML strategy) — what GraftSession installs
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -304,13 +304,15 @@ class MorLogSpec extends AnyFunSuite {
     // a mid-stream upsert names only the file it added (+) — NOT the
     // whole table list (8 base files + one per prior version)
     val m7 = metaLines(7)
-    assert(m7(3) == "delta", s"v7 should be a delta meta, got ${m7(3)}")
+    // the kind token carries the commit timestamp since round 14
+    assert(m7(3).startsWith("delta@"),
+      s"v7 should be a timestamped delta meta, got ${m7(3)}")
     val m7files = m7.drop(4).filter(_.nonEmpty)
     assert(m7files.nonEmpty && m7files.size <= 2 &&
       m7files.forall(l => l.startsWith("+") || l.startsWith("-")),
       s"delta meta must carry only the changed files, got $m7files")
     // the periodic checkpoint carries the full list
-    assert(metaLines(10)(3) == "full")
+    assert(metaLines(10)(3).startsWith("full@"))
     // reconstruction across the checkpoint boundary is exact
     val got = MorLog.read(spark, dir).select("id", "v")
       .as[(Long, Long)].collect().toMap
@@ -320,7 +322,7 @@ class MorLogSpec extends AnyFunSuite {
     // so it reconstructs without the dropped metas
     MorLog.vacuum(spark, dir, keepVersions = 3)
     assert(MorLog.versions(spark, dir) == Seq(12, 13, 14))
-    assert(metaLines(12)(3) == "full",
+    assert(metaLines(12)(3).startsWith("full@"),
       "the oldest retained delta meta must be upgraded to a checkpoint")
     assert(MorLog.readVersion(spark, dir, 12)
       .filter(col("id") === 1200L).select("v").as[Long].head() == -12L)
