@@ -293,9 +293,20 @@ object MorLog {
     // commit timestamp, monotone-corrected (Delta's convention): a
     // commit stamps strictly after its predecessor even when two OCC
     // racers' clocks disagree or land in the same millisecond — what
-    // makes versionAt's "newest version at-or-before ts" well-defined
-    val prevTs = versions(spark, dir).filter(_ < st.version).lastOption
-      .map(pv => state(spark, dir, pv).ts).getOrElse(0L)
+    // makes versionAt's "newest version at-or-before ts" well-defined.
+    // The predecessor is version-1 (cached — every mutating op just
+    // resolved it), except a clone's first commit (numbering starts at
+    // the source's version; no local predecessor): one existence probe
+    // instead of a per-commit directory listing.
+    val prevTs =
+      if (st.version == 0) 0L
+      else {
+        val hit = stateCache.get(s"$dir#${st.version - 1}")
+        if (hit != null) hit.ts
+        else if (fsOf(spark, dir).exists(metaPath(dir, st.version - 1)))
+          state(spark, dir, st.version - 1).ts
+        else 0L
+      }
     val stamped = st.copy(
       ts = math.max(System.currentTimeMillis(), prevTs + 1))
     val body = (Seq(st.action,

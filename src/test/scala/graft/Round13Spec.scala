@@ -348,11 +348,16 @@ class Round13Spec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN g13.ns").count() == 1)
     spark.sql("DROP TABLE g13.ns.t")
     assert(spark.sql("SHOW TABLES IN g13.ns").count() == 0)
-    // ALTER refuses loud (schema evolution = the tier's own ops)
+    // ADD COLUMN maps onto the tier's metadata-only evolve since
+    // round 14 (Round14Spec covers it); the column-mapping ops
+    // (rename/drop) keep refusing loud toward the tier's own API
     spark.sql("CREATE TABLE g13.ns.u (id BIGINT)")
+    spark.sql("ALTER TABLE g13.ns.u ADD COLUMN x BIGINT")
+    assert(spark.sql("SELECT * FROM g13.ns.u").columns.toSeq ==
+      Seq("id", "x"))
     assert(intercept[Exception](
-      spark.sql("ALTER TABLE g13.ns.u ADD COLUMN x BIGINT"))
-      .getMessage.contains("evolveAppend"))
+      spark.sql("ALTER TABLE g13.ns.u RENAME COLUMN x TO y"))
+      .getMessage.contains("renameColumn"))
     // path-based writes: create-on-first-write (append mode — the V2
     // path-write contract allows only Append/Overwrite), then append
     val dir = tmp("r13_write") + "/t"

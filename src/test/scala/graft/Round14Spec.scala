@@ -414,6 +414,39 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("streaming sink onto a partitioned table keeps one-tuple-per-file alignment") {
+    val work = tmp("r14_sinkpart")
+    val (src, dst) = (s"$work/src", s"$work/dst")
+    val df = spark.range(0, 60)
+      .select(col("id").as("k"), (col("id") % 3).as("g"))
+    MorLog.create(df.repartition(2), src)
+    // the mirror declares a partition spec the SOURCE does not have —
+    // the sink must align its epoch files to it
+    MorLog.createEmpty(spark, dst, df.schema, partitionBy = Seq("g"))
+    val q = spark.readStream.format("graft.sources.MorLogSource")
+      .option("path", src).option("streamChanges", "true")
+      .option("startingVersion", "0").load()
+      .drop("_change_type", "_commit_version")
+      .writeStream.format("graft.sources.MorLogSource")
+      .option("path", dst)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(MorLog.read(spark, dst).count() == 60)
+    // partition-exact prune: a one-group read skips the other groups'
+    // files — only possible if every sink file holds ONE g value
+    val one = MorLog.readWhere(spark, dst, col("g") === 1L)
+    assert(one.count() == 20)
+    // 3 groups → at least 2/3 of the files hold only other groups
+    assert(MorLogStats.lastFilesScanned >= 1 &&
+      MorLogStats.lastFilesSkipped >=
+        2 * MorLogStats.lastFilesScanned,
+      s"sink files must align to the partition spec (scanned " +
+        s"${MorLogStats.lastFilesScanned}, skipped " +
+        s"${MorLogStats.lastFilesSkipped})")
+  }
+
   test("vacuum sweeps crashed-replace temp debris in _log and _dvpf") {
     val dir = s"${tmp("r14_tmps")}/t"
     spark.conf.set(graft.sink.DeletionVectors.GuardConfKey, "1")
