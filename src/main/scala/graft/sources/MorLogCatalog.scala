@@ -166,6 +166,7 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog {
     *   CALL <cat>.system.compact_small('ns.t')  -- bin-pack drain debris
     *   CALL <cat>.system.cluster('ns.t', 'a,b') -- Z-order rewrite
     *   CALL <cat>.system.vacuum('ns.t', 2)      -- retention GC
+   *   CALL <cat>.system.restore('ns.t', 3)     -- RESTORE TO VERSION
     *   CALL <cat>.system.history('ns.t')        -- DESCRIBE HISTORY
     *
     * Table args are catalog-relative dotted names; results come back
@@ -208,7 +209,8 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog {
 private[sources] object MorLogProcedures {
 
   val Known: Set[String] =
-    Set("compact", "compact_small", "cluster", "vacuum", "history")
+    Set("compact", "compact_small", "cluster", "vacuum", "history",
+      "restore")
 
   private def spark = org.apache.spark.sql.SparkSession.active
 
@@ -247,6 +249,9 @@ private[sources] object MorLogProcedures {
       case "vacuum" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("keep_versions", IntegerType).build())
+      case "restore" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("version", IntegerType).build())
       case _ => Array(
         ProcedureParameter.in("table", StringType).build())
     }
@@ -280,6 +285,11 @@ private[sources] object MorLogProcedures {
         case "vacuum" =>
           one(CountSchema, Int.box(MorLog.vacuum(spark,
             dirOf(input.getUTF8String(0).toString), input.getInt(1))))
+        case "restore" =>
+          val dir = dirOf(input.getUTF8String(0).toString)
+          MorLog.restore(spark, dir, input.getInt(1))
+          one(StructType(Seq(StructField("restored_to", IntegerType,
+            nullable = false))), Int.box(input.getInt(1)))
         case "history" =>
           val df = MorLog.history(spark,
             dirOf(input.getUTF8String(0).toString))

@@ -330,6 +330,30 @@ class Round14Spec extends AnyFunSuite {
     } finally spark.conf.unset(graft.sink.DeletionVectors.GuardConfKey)
   }
 
+  test("CALL restore and cluster procedures round out the SQL maintenance surface") {
+    val root = tmp("r14_proc2")
+    val c = cat(root)
+    spark.sql(s"CREATE TABLE $c.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $c.t VALUES (1, 10), (2, 20)")
+    spark.sql(s"INSERT INTO $c.t VALUES (3, 30)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.t")
+      .head().getLong(0) == 3)
+    // rewind to the first insert, by name
+    assert(spark.sql(s"CALL $c.system.restore('t', 1)")
+      .head().getInt(0) == 1)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.t")
+      .head().getLong(0) == 2)
+    // restore is a forward commit: history kept moving
+    assert(spark.sql(s"CALL $c.system.history('t')").count() == 4)
+    // cluster rewrites the snapshot in curve order, value-invisible
+    // (the Z-order layout needs >= 2 dims by contract)
+    val replaced = spark.sql(s"CALL $c.system.cluster('t', 'k,v')")
+      .head().getInt(0)
+    assert(replaced >= 1)
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $c.t")
+      .head().getLong(0) == 30)
+  }
+
   test("CDF driver-collect cap: an over-limit broadcast-tier span read fails loud, under-limit unchanged") {
     val dir = s"${tmp("r14_cap")}/t"
     MorLog.create(spark.range(0, 100)
