@@ -1604,6 +1604,21 @@ object MorLog {
     * snapshot rule (a mid-vacuum commit must survive the sweep). */
   @volatile private[graft] var vacuumPauseHook: String => Unit = _ => ()
 
+  /** AGE-BASED RETENTION (Delta's `VACUUM … RETAIN n HOURS`, possible
+    * now that commits carry timestamps): keep every version whose
+    * commit stamp is at-or-after `now − retainMillis` — and always
+    * the tip, whatever its age. Resolves to a version count off the
+    * cached states (stamps are monotone, so the cut is a suffix) and
+    * delegates to [[vacuum]]. */
+  def vacuumRetain(spark: SparkSession, dir: String,
+                   retainMillis: Long): Int = {
+    val cut = System.currentTimeMillis() - retainMillis
+    val vs = versions(spark, dir)
+    val kept = vs.reverseIterator
+      .takeWhile(v => state(spark, dir, v).ts >= cut).size
+    vacuum(spark, dir, keepVersions = math.max(1, kept))
+  }
+
   def vacuum(spark: SparkSession, dir: String,
              keepVersions: Int = 2): Int = locked(dir) {
     require(keepVersions >= 1, "keepVersions must be >= 1")
@@ -2327,6 +2342,16 @@ object MorLog {
       s"timestampAsOf $tsMillis predates $dir's oldest retained " +
         s"commit (v${vs.head} at ${state(spark, dir, vs.head).ts})"))
   }
+
+  /** The NEWEST version committed strictly BEFORE `tsMillis`, or −1
+    * when every retained commit is at-or-after it — the exclusive
+    * LOWER bound a timestamp-anchored change subscription needs
+    * (`changesFromTimestamp` delivers every version stamped ≥ ts;
+    * −1 = the full history including the create). */
+  def versionBefore(spark: SparkSession, dir: String,
+                    tsMillis: Long): Int =
+    versions(spark, dir).reverseIterator
+      .find(v => state(spark, dir, v).ts < tsMillis).getOrElse(-1)
 
   /** DESCRIBE HISTORY (Delta's shape): one row per committed version —
     * action, file counts and deltas, schema width, the tombstone

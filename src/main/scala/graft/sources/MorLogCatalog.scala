@@ -167,6 +167,7 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog {
     *   CALL <cat>.system.cluster('ns.t', 'a,b') -- Z-order rewrite
     *   CALL <cat>.system.vacuum('ns.t', 2)      -- retention GC
    *   CALL <cat>.system.restore('ns.t', 3)     -- RESTORE TO VERSION
+   *   CALL <cat>.system.vacuum_retain('ns.t', 168) -- age-based GC (hours)
     *   CALL <cat>.system.history('ns.t')        -- DESCRIBE HISTORY
     *
     * Table args are catalog-relative dotted names; results come back
@@ -209,8 +210,8 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog {
 private[sources] object MorLogProcedures {
 
   val Known: Set[String] =
-    Set("compact", "compact_small", "cluster", "vacuum", "history",
-      "restore")
+    Set("compact", "compact_small", "cluster", "vacuum",
+      "vacuum_retain", "history", "restore")
 
   private def spark = org.apache.spark.sql.SparkSession.active
 
@@ -252,6 +253,9 @@ private[sources] object MorLogProcedures {
       case "restore" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("version", IntegerType).build())
+      case "vacuum_retain" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("retain_hours", IntegerType).build())
       case _ => Array(
         ProcedureParameter.in("table", StringType).build())
     }
@@ -285,6 +289,10 @@ private[sources] object MorLogProcedures {
         case "vacuum" =>
           one(CountSchema, Int.box(MorLog.vacuum(spark,
             dirOf(input.getUTF8String(0).toString), input.getInt(1))))
+        case "vacuum_retain" =>
+          one(CountSchema, Int.box(MorLog.vacuumRetain(spark,
+            dirOf(input.getUTF8String(0).toString),
+            input.getInt(1) * 3600000L)))
         case "restore" =>
           val dir = dirOf(input.getUTF8String(0).toString)
           MorLog.restore(spark, dir, input.getInt(1))

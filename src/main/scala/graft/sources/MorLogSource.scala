@@ -101,8 +101,9 @@ class MorLogSource extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     val spark = org.apache.spark.sql.SparkSession.active
     val dir = properties.get("path")
-    val changesFrom =
-      Option(properties.get("changesFrom")).map(_.trim.toInt)
+    val changesFrom = MorLogFacade.resolveChangesFrom(spark, dir,
+      Option(properties.get("changesFrom")),
+      Option(properties.get("changesFromTimestamp"))).map(_.trim.toInt)
     if (changesFrom.isDefined)
       require(properties.get("timestampAsOf") == null,
         "timestampAsOf and changesFrom are mutually exclusive")
@@ -112,7 +113,10 @@ class MorLogSource extends TableProvider {
         Option(properties.get("versionAsOf")),
         Option(properties.get("timestampAsOf"))),
       changesFrom,
-      Option(properties.get("changesTo")).map(_.trim.toInt), schema,
+      MorLogFacade.resolveChangesTo(spark, dir,
+        Option(properties.get("changesTo")),
+        Option(properties.get("changesToTimestamp")))
+        .map(_.trim.toInt), schema,
       // honor user-declared partitioning on the create-on-first-write
       // route (advice-caught: it was silently dropped — the table
       // landed unpartitioned; unsupported transforms now refuse loud)
@@ -120,8 +124,16 @@ class MorLogSource extends TableProvider {
         partitioning.toSeq.map(MorLogFacade.transformToSpec),
       streamChanges =
         "true".equalsIgnoreCase(properties.get("streamChanges")),
-      startingVersion =
-        Option(properties.get("startingVersion")).map(_.trim.toInt))
+      startingVersion = {
+        val byV = Option(properties.get("startingVersion"))
+        val byTs = Option(properties.get("startingTimestamp"))
+        require(byV.isEmpty || byTs.isEmpty,
+          "startingVersion and startingTimestamp are mutually exclusive")
+        // inclusive contract: stream every version stamped >= ts
+        byV.map(_.trim.toInt).orElse(byTs.map(t =>
+          MorLog.versionBefore(spark, dir,
+            MorLogFacade.parseTsMillis(spark, t)) + 1))
+      })
   }
 
   // writes to a NOT-YET-EXISTING path carry the frame's own schema
@@ -248,12 +260,41 @@ private[sources] object MorLogFacade {
       StructField(ChangeType, StringType, nullable = false),
       StructField(CommitVersion, IntegerType, nullable = false)))
 
+  /** `changesFromTimestamp`/`changesToTimestamp` → the version span
+    * they anchor: from = the newest version committed strictly BEFORE
+    * the timestamp (so every version stamped at-or-after it is
+    * delivered; earlier than the first retained commit = the full
+    * history), to = newest at-or-before. Mutually exclusive with the
+    * version forms, loudly. */
+  def resolveChangesFrom(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, byVersion: Option[String],
+                         byTs: Option[String]): Option[String] = {
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "changesFrom and changesFromTimestamp are mutually exclusive")
+    byVersion.orElse(byTs.map(t => MorLog.versionBefore(spark, dir,
+      parseTsMillis(spark, t)).toString))
+  }
+
+  def resolveChangesTo(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, byVersion: Option[String],
+                       byTs: Option[String]): Option[String] = {
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "changesTo and changesToTimestamp are mutually exclusive")
+    byVersion.orElse(byTs.map(t => MorLog.versionAt(spark, dir,
+      parseTsMillis(spark, t)).toString))
+  }
+
   /** (from, to) when the options select the change feed; validates
     * option combinations loudly. */
   def changesSpan(spark: org.apache.spark.sql.SparkSession, dir: String,
                   options: CaseInsensitiveStringMap): Option[(Int, Int)] =
-    spanOf(spark, dir, Option(options.get("changesFrom")),
-      Option(options.get("changesTo")),
+    spanOf(spark, dir,
+      resolveChangesFrom(spark, dir,
+        Option(options.get("changesFrom")),
+        Option(options.get("changesFromTimestamp"))),
+      resolveChangesTo(spark, dir,
+        Option(options.get("changesTo")),
+        Option(options.get("changesToTimestamp"))),
       Option(options.get("versionAsOf")))
 
   def spanOf(spark: org.apache.spark.sql.SparkSession, dir: String,

@@ -354,6 +354,54 @@ class Round14Spec extends AnyFunSuite {
       .head().getLong(0) == 30)
   }
 
+  test("timestamp-anchored change feeds, streaming startingTimestamp, age-based vacuum") {
+    val work = tmp("r14_tscdf")
+    val dir = s"$work/t"
+    MorLog.create(spark.range(0, 30)
+      .select(col("id").as("k"), col("id").as("v")).repartition(1), dir)
+    MorLog.deleteWhere(spark, dir, col("k") < 5)
+    MorLog.upsert(spark, dir, Seq((7L, 700L)).toDF("k", "v"), "k")
+    val stamps = MorLog.versions(spark, dir)
+      .map(v => MorLog.state(spark, dir, v).ts)
+    def changes(opts: (String, String)*): Long = {
+      var r = spark.read.format("graft.sources.MorLogSource")
+        .option("path", dir)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load().count()
+    }
+    // anchored at v1's stamp: every version stamped >= it → (0, 2]
+    assert(changes("changesFromTimestamp" -> stamps(1).toString) ==
+      changes("changesFrom" -> "0"))
+    // earlier than the first commit = the full history (create incl.)
+    assert(changes("changesFromTimestamp" -> (stamps.head - 1).toString)
+      == changes("changesFrom" -> "-1"))
+    // bounded above by a timestamp: (0, 1] only
+    assert(changes("changesFromTimestamp" -> stamps(1).toString,
+      "changesToTimestamp" -> stamps(1).toString) ==
+      changes("changesFrom" -> "0", "changesTo" -> "1"))
+    intercept[Exception](changes("changesFrom" -> "0",
+      "changesFromTimestamp" -> stamps(1).toString))
+    // streaming: startingTimestamp before the create = full replay
+    val out = s"$work/out"
+    val q = spark.readStream.format("graft.sources.MorLogSource")
+      .option("path", dir).option("streamChanges", "true")
+      .option("startingTimestamp", (stamps.head - 1).toString).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() ==
+      changes("changesFrom" -> "-1"))
+    // age-based vacuum: everything younger than a day → no-op;
+    // zero retention keeps only the tip
+    assert(MorLog.vacuumRetain(spark, dir, 86400000L) == 0)
+    assert(MorLog.versions(spark, dir).size == 3)
+    MorLog.vacuumRetain(spark, dir, 0L)
+    assert(MorLog.versions(spark, dir) == Seq(2))
+    assert(MorLog.read(spark, dir).count() == 25)
+  }
+
   test("CDF driver-collect cap: an over-limit broadcast-tier span read fails loud, under-limit unchanged") {
     val dir = s"${tmp("r14_cap")}/t"
     MorLog.create(spark.range(0, 100)
