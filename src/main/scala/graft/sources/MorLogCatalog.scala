@@ -169,6 +169,7 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog {
    *   CALL <cat>.system.restore('ns.t', 3)     -- RESTORE TO VERSION
    *   CALL <cat>.system.vacuum_retain('ns.t', 168) -- age-based GC (hours)
     *   CALL <cat>.system.history('ns.t')        -- DESCRIBE HISTORY
+   *   CALL <cat>.system.detail('ns.t')         -- DESCRIBE DETAIL
     *
     * Table args are catalog-relative dotted names; results come back
     * as rows (files touched, or the history table). The namespace
@@ -211,7 +212,7 @@ private[sources] object MorLogProcedures {
 
   val Known: Set[String] =
     Set("compact", "compact_small", "cluster", "vacuum",
-      "vacuum_retain", "history", "restore")
+      "vacuum_retain", "history", "restore", "detail")
 
   private def spark = org.apache.spark.sql.SparkSession.active
 
@@ -298,6 +299,28 @@ private[sources] object MorLogProcedures {
           MorLog.restore(spark, dir, input.getInt(1))
           one(StructType(Seq(StructField("restored_to", IntegerType,
             nullable = false))), Int.box(input.getInt(1)))
+        case "detail" =>
+          // DESCRIBE DETAIL: the current snapshot's operational
+          // one-liner, straight off the cached meta (zero data IO)
+          val dir = dirOf(input.getUTF8String(0).toString)
+          val v = MorLog.currentVersion(spark, dir)
+          val h = MorLog.history(spark, dir)
+            .orderBy(org.apache.spark.sql.functions.col("version").desc)
+            .head()
+          val spec = MorLog.partitionSpec(spark, dir)
+          one(StructType(Seq(
+            StructField("version", IntegerType, nullable = false),
+            StructField("n_files", IntegerType, nullable = false),
+            StructField("n_columns", IntegerType, nullable = false),
+            StructField("partition_spec", StringType, nullable = false),
+            StructField("tombstone_tier", StringType, nullable = false),
+            StructField("last_commit_at", TimestampType,
+              nullable = true))),
+            Int.box(v), Int.box(h.getInt(2)), Int.box(h.getInt(5)),
+            UTF8String.fromString(spec.mkString(", ")),
+            UTF8String.fromString(h.getString(6)),
+            if (h.isNullAt(7)) null
+            else Long.box(h.getTimestamp(7).getTime * 1000L))
         case "history" =>
           val df = MorLog.history(spark,
             dirOf(input.getUTF8String(0).toString))

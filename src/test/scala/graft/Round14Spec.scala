@@ -352,6 +352,11 @@ class Round14Spec extends AnyFunSuite {
     assert(replaced >= 1)
     assert(spark.sql(s"SELECT sum(v) AS s FROM $c.t")
       .head().getLong(0) == 30)
+    // DESCRIBE DETAIL: the operational one-liner off pure metadata
+    val det = spark.sql(s"CALL $c.system.detail('t')").head()
+    assert(det.getInt(0) == MorLog.currentVersion(spark, s"$root/t") &&
+      det.getInt(2) == 2 && det.getString(4) == "none" &&
+      !det.isNullAt(5), s"detail row drifted: $det")
   }
 
   test("timestamp-anchored change feeds, streaming startingTimestamp, age-based vacuum") {
