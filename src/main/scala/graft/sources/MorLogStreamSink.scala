@@ -266,7 +266,14 @@ class MorLogEpochWriter(logDir: String, dataNames: Array[String],
     }.mkString("")
 
   override def write(row: InternalRow): Unit = {
-    if (opOrdinal >= 0 && !row.isNullAt(opOrdinal) &&
+    // a NULL op would silently act as an upsert — the same hazard the
+    // batch mergeInto refuses (there a null op silently deleted);
+    // route every row explicitly or fail the epoch loud
+    if (opOrdinal >= 0 && row.isNullAt(opOrdinal))
+      throw new IllegalArgumentException(
+        "streaming sink: a row carries a NULL op column — route every " +
+          s"row explicitly ('$deleteValue' or an upsert op)")
+    if (opOrdinal >= 0 &&
         row.getUTF8String(opOrdinal).toString == deleteValue) {
       if (delWriter == null) {
         val p = newPath("del")
