@@ -330,6 +330,22 @@ class Round14Spec extends AnyFunSuite {
     } finally spark.conf.unset(graft.sink.DeletionVectors.GuardConfKey)
   }
 
+  test("CTAS and SHOW CREATE TABLE work through the catalog; the transform surfaces") {
+    val root = tmp("r14_ctas")
+    val c = cat(root)
+    spark.sql(s"CREATE TABLE $c.t AS SELECT id AS k, id * 2 AS v " +
+      "FROM range(10)")
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $c.t")
+      .head().getLong(0) == 90)
+    assert(MorLog.currentVersion(spark, s"$root/t") == 1,
+      "CTAS = create-empty + one insert commit")
+    spark.sql(s"CREATE TABLE $c.p (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    val ddl = spark.sql(s"SHOW CREATE TABLE $c.p").head().getString(0)
+    assert(ddl.contains("days(ts)"),
+      s"SHOW CREATE must surface the hidden-partitioning transform:\n$ddl")
+  }
+
   test("CALL restore and cluster procedures round out the SQL maintenance surface") {
     val root = tmp("r14_proc2")
     val c = cat(root)
