@@ -129,11 +129,11 @@ object MultimodalCodecs {
     // screenshots); was quarantined as corrupt before.
     if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
       val dib = le32(b, 14)
-      if (dib >= 40 && b.length >= 26) {
+      if (dib >= 40) {
+        // >= 2^31 widths parse as negative Ints and fail w > 0
         val w = le32(b, 18); val h = le32(b, 22)
         val ah = math.abs(h)
-        return if (w > 0 && ah > 0 && w <= 0x7fffffff) row("bmp", w, ah)
-        else null
+        return if (w > 0 && ah > 0) row("bmp", w, ah) else null
       }
       if (dib == 12 && b.length >= 22) {
         val w = le16(b, 18); val h = le16(b, 20)
@@ -153,12 +153,16 @@ object MultimodalCodecs {
       def u16(i: Int): Int = if (le) le16(b, i) else be16(b, i)
       def u32(i: Int): Int = if (le) le32(b, i) else be32(b, i)
       val ifd = u32(4)
-      if (ifd < 8 || ifd + 2 > b.length) return null
+      // LONG arithmetic: a hostile IFD offset near Int.MaxValue would
+      // wrap `ifd + 2` negative and dodge the bounds check, then
+      // throw on the index — the probe must yield NULL, never throw
+      // (review-caught)
+      if (ifd < 8 || ifd.toLong + 2 > b.length) return null
       val n = u16(ifd)
       if (n <= 0 || n > 4096) return null
       var (w, h) = (0, 0)
       var e = 0
-      while (e < n && ifd + 2 + (e + 1) * 12 <= b.length) {
+      while (e < n && ifd.toLong + 2 + (e + 1) * 12 <= b.length) {
         val p = ifd + 2 + e * 12
         val tag = u16(p); val typ = u16(p + 2)
         val value = typ match {

@@ -230,7 +230,9 @@ object VideoCodecs {
         val (mvexP, mvexEnd) = findBox(b, moovP, moovEnd, "mvex")
         if (mvexP >= 0) {
           val (mehdP, mehdEnd) = findBox(b, mvexP, mvexEnd, "mehd")
-          if (mehdP >= 0) {
+          // an empty-payload mehd (size 8) puts the version byte AT
+          // the payload end — reading it would throw (review-caught)
+          if (mehdP >= 0 && mehdP < mehdEnd) {
             val mv = b(mehdP) & 0xff
             if (mv == 1 && mehdP + 12 <= mehdEnd)
               durU = be64(b, mehdP + 4)

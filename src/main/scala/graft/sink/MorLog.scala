@@ -2735,14 +2735,17 @@ object MorLog {
           val del = tombsDelta(spark, dir, prev, st).flatMap { delta =>
             // the delta names only the files that LOST rows this
             // version — the old images load from just those files.
-            // Broadcast-tier deltas ride a driver broadcast: same cap
-            // as the connector span reads (per-file-tier deltas are
-            // already O(files changed))
+            // ONE grouped pass serves both the names and the
+            // driver-row guard (broadcast-tier deltas ride a driver
+            // broadcast: same cap as the connector span reads;
+            // per-file-tier deltas are already O(files changed) —
+            // review-caught: a separate count() re-ran the exceptAll)
+            val perFile = delta.groupBy(col(FileCol))
+              .agg(count(lit(1)).as("n")).collect()
             if (prev.pfCeil < 0)
               guardDriverRows(spark, s"incrementalChanges (v$v)",
-                delta.count())
-            val names = delta.select(col(FileCol)).distinct()
-              .collect().map(_.getString(0)).toSeq.sorted
+                perFile.iterator.map(_.getLong(1)).sum)
+            val names = perFile.map(_.getString(0)).toSeq.sorted
             if (names.isEmpty) None
             else {
               val src = readFilesWithId(spark, dir, prev, names)

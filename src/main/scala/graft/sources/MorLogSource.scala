@@ -78,9 +78,14 @@ class MorLogSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = org.apache.spark.sql.SparkSession.active
     val dir = options.get("path")
-    if (options.getBoolean("streamChanges", false))
+    if (options.getBoolean("streamChanges", false)) {
+      require(options.get("timestampAsOf") == null &&
+        options.get("versionAsOf") == null,
+        "streamChanges is anchored by startingVersion/" +
+          "startingTimestamp, not versionAsOf/timestampAsOf")
       return MorLogFacade.withChangeCols(
         MorLogFacade.schemaOf(spark, dir, None))
+    }
     MorLogFacade.changesSpan(spark, dir, options) match {
       case Some((from, to)) =>
         require(options.get("timestampAsOf") == null,
@@ -107,8 +112,15 @@ class MorLogSource extends TableProvider {
     if (changesFrom.isDefined)
       require(properties.get("timestampAsOf") == null,
         "timestampAsOf and changesFrom are mutually exclusive")
+    val streamChanges =
+      "true".equalsIgnoreCase(properties.get("streamChanges"))
+    if (streamChanges)
+      require(properties.get("timestampAsOf") == null &&
+        properties.get("versionAsOf") == null,
+        "streamChanges is anchored by startingVersion/" +
+          "startingTimestamp, not versionAsOf/timestampAsOf")
     new MorLogTable(dir,
-      if (changesFrom.isDefined) None
+      if (changesFrom.isDefined || streamChanges) None
       else MorLogFacade.pinnedVersion(spark, dir,
         Option(properties.get("versionAsOf")),
         Option(properties.get("timestampAsOf"))),
@@ -122,8 +134,7 @@ class MorLogSource extends TableProvider {
       // landed unpartitioned; unsupported transforms now refuse loud)
       createPartitionBy =
         partitioning.toSeq.map(MorLogFacade.transformToSpec),
-      streamChanges =
-        "true".equalsIgnoreCase(properties.get("streamChanges")),
+      streamChanges = streamChanges,
       startingVersion = {
         val byV = Option(properties.get("startingVersion"))
         val byTs = Option(properties.get("startingTimestamp"))
@@ -490,7 +501,11 @@ class MorLogWriteBuilder(path: String, partitionBy: Seq[String],
             .getOrElse(""),
           mergeKey.map(k => dataTypes(dataNames.indexOf(k)))
             .getOrElse(LongType),
-          new DvPerFile.SerConf(spark.sparkContext.hadoopConfiguration))
+          new DvPerFile.SerConf(spark.sparkContext.hadoopConfiguration),
+          // session zone: the sink's partition derivation must group
+          // by the same boundaries as the batch path's session-zone
+          // SQL transforms (review-caught)
+          spark.conf.get("spark.sql.session.timeZone"))
       }
     }
 }

@@ -153,7 +153,8 @@ class MorLogStreamingWrite(path: String, queryId: String,
                            opOrdinal: Int, deleteValue: String,
                            mergeKey: Option[String], physKey: String,
                            keyType: DataType,
-                           conf: DvPerFile.SerConf)
+                           conf: DvPerFile.SerConf,
+                           zoneId: String = "UTC")
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -162,7 +163,7 @@ class MorLogStreamingWrite(path: String, queryId: String,
     // must not capture this (non-serializable) StreamingWrite
     MorLogEpochWriterFactory(s"$path/_log", dataNames, dataTypes,
       physNames, dataOrdinals, partSpec, opOrdinal, deleteValue,
-      physKey, keyType, conf)
+      physKey, keyType, conf, zoneId)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -194,13 +195,14 @@ case class MorLogEpochWriterFactory(logDir: String,
                                     partSpec: Seq[(Int, String)],
                                     opOrdinal: Int, deleteValue: String,
                                     physKey: String, keyType: DataType,
-                                    conf: DvPerFile.SerConf)
+                                    conf: DvPerFile.SerConf,
+                                    zoneId: String = "UTC")
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new MorLogEpochWriter(logDir, dataNames, dataTypes, physNames,
       dataOrdinals, partSpec, opOrdinal, deleteValue, physKey, keyType,
-      new Configuration(conf.value))
+      new Configuration(conf.value), zoneId)
 }
 
 /** One task's epoch writer: routes delete-tagged rows to a key-only
@@ -213,10 +215,26 @@ class MorLogEpochWriter(logDir: String, dataNames: Array[String],
                         dataOrdinals: Array[Int],
                         partSpec: Seq[(Int, String)], opOrdinal: Int,
                         deleteValue: String, physKey: String,
-                        keyType: DataType, conf: Configuration)
+                        keyType: DataType, conf: Configuration,
+                        zoneId: String = "UTC")
     extends DataWriter[InternalRow] {
 
   private val msgType = GroupEncode.messageType(physNames, dataTypes)
+  // constant for the writer's lifetime; write() is the hot path
+  private val keyOrd =
+    if (physKey.nonEmpty) dataOrdinals(physNames.indexOf(physKey))
+    else -1
+  // the SESSION zone, captured at query start: the batch write path
+  // derives days/months/years/hours with session-zone SQL
+  // (to_date/date_trunc), and the sink must group by the SAME
+  // boundaries or its files straddle the table's partition tuples
+  // (review-caught: raw-UTC floorDiv drifted in non-UTC sessions)
+  private val zone = java.time.ZoneId.of(zoneId)
+  private def localDate(micros: Long): java.time.LocalDate =
+    java.time.Instant.ofEpochSecond(
+      java.lang.Math.floorDiv(micros, 1000000L),
+      java.lang.Math.floorMod(micros, 1000000L) * 1000L)
+      .atZone(zone).toLocalDate
   private val factory = new SimpleGroupFactory(msgType)
   private val writers =
     scala.collection.mutable.LinkedHashMap.empty[
@@ -242,23 +260,26 @@ class MorLogEpochWriter(logDir: String, dataNames: Array[String],
       if (row.isNullAt(ord)) "|null"
       else (tf, dt) match {
         case ("identity", _) => "|" + String.valueOf(row.get(ord, dt))
-        case ("days", TimestampType) => "|" +
-          java.lang.Math.floorDiv(row.getLong(ord), 86400000000L)
-        case ("hours", TimestampType) => "|" +
-          java.lang.Math.floorDiv(row.getLong(ord), 3600000000L)
+        case ("days", TimestampType) =>
+          "|" + localDate(row.getLong(ord)).toEpochDay
+        case ("hours", TimestampType) =>
+          val zdt = java.time.Instant.ofEpochSecond(
+            java.lang.Math.floorDiv(row.getLong(ord), 1000000L))
+            .atZone(zone)
+          s"|${zdt.toLocalDate.toEpochDay}T${zdt.getHour}"
         case ("days", DateType) => "|" + row.getInt(ord)
         case ("months", _) =>
-          val d = java.time.LocalDate.ofEpochDay(dt match {
-            case DateType => row.getInt(ord).toLong
-            case _ => java.lang.Math.floorDiv(row.getLong(ord),
-              86400000000L)
-          })
+          val d = dt match {
+            case DateType =>
+              java.time.LocalDate.ofEpochDay(row.getInt(ord).toLong)
+            case _ => localDate(row.getLong(ord))
+          }
           s"|${d.getYear}-${d.getMonthValue}"
-        case ("years", _) => "|" +
-          java.time.LocalDate.ofEpochDay(dt match {
-            case DateType => row.getInt(ord).toLong
-            case _ => java.lang.Math.floorDiv(row.getLong(ord),
-              86400000000L)
+        case ("years", _) =>
+          "|" + (dt match {
+            case DateType =>
+              java.time.LocalDate.ofEpochDay(row.getInt(ord).toLong)
+            case _ => localDate(row.getLong(ord))
           }).getYear
         case (x, y) => throw new UnsupportedOperationException(
           s"partition transform $x over ${y.simpleString}")
@@ -280,7 +301,6 @@ class MorLogEpochWriter(logDir: String, dataNames: Array[String],
         delWriter = (GroupEncode.open(conf, new Path(p), delMsgType), p)
       }
       val g = delFactory.newGroup()
-      val keyOrd = dataOrdinals(physNames.indexOf(physKey))
       GroupEncode.add(g, physKey, keyType, row, keyOrd)
       delWriter._1.write(g)
     } else {

@@ -490,6 +490,11 @@ class Round14Spec extends AnyFunSuite {
     }
     // an IFD offset past the buffer → NULL
     assert(MultimodalCodecs.dims(tiff(false, 8, 8).take(9)) == null)
+    // a HOSTILE IFD offset near Int.MaxValue must not wrap the bounds
+    // check and throw (review-caught)
+    val hostile = Array[Byte]('I', 'I', 42, 0,
+      0xfe.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte)
+    assert(MultimodalCodecs.dims(hostile) == null)
     // fragmented MP4 bytes come from the in-plan builder; round-trip
     // both mehd versions through the parser and pin the truncation
     import spark.implicits._
@@ -505,6 +510,18 @@ class Round14Spec extends AnyFunSuite {
         VideoCodecs.meta(p.take(40)).getLong(3) == 0L,
         "a truncated fragment header never throws")
     }
+    // an EMPTY-payload mehd (size 8) ending exactly at the buffer must
+    // not read its version byte past the end (review-caught): splice
+    // a hand-built moov(mvhd dur=0, mvex(mehd size 8)) tail
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 16)
+    bb.putInt(16).put("ftypisom".getBytes).putInt(0)
+    bb.putInt(108 + 16 + 8).put("moov".getBytes)
+    bb.putInt(108).put("mvhd".getBytes).put(new Array[Byte](12))
+      .putInt(1000).putInt(0).put(new Array[Byte](80))
+    bb.putInt(16).put("mvex".getBytes).putInt(8).put("mehd".getBytes)
+    val m2 = VideoCodecs.meta(bb.array())
+    assert(m2 == null || m2.getLong(3) == 0L,
+      "an empty mehd payload never throws")
   }
 
   test("streaming sink onto a partitioned table keeps one-tuple-per-file alignment") {
