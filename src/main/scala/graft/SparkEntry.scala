@@ -606,6 +606,18 @@ object SparkEntry {
     "q284_image_meta3"      -> ((s, d) => LlmQueries.imageMeta3(s, d)),
     // fragmented MP4: duration from moov/mvex/mehd (v0 and v1)
     "q285_video_meta2"      -> ((s, d) => LlmQueries.videoMeta2(s, d)),
+    // COMPOSITE-KEY SQL MERGE: ON t.a=s.a AND t.b=s.b — tuple-key
+    // classification, leading-key pruned locate (asserted in-query)
+    "q286_morlog_composite_merge" -> ((s, d) =>
+      CoreQueries.morLogCompositeMerge(s, d)),
+    // partition-scoped CALL compact('t', '<pred>'): O(day) rewrite,
+    // other partitions' files byte-identical (asserted in-query)
+    "q287_morlog_compact_where" -> ((s, d) =>
+      CoreQueries.morLogCompactWhere(s, d)),
+    // uncapped CDC drain: netBy last-wins netting folds a 4-version
+    // feed into ONE epoch commit; mirror == source (asserted in-query)
+    "q288_morlog_stream_net" -> ((s, d) =>
+      CoreQueries.morLogStreamNet(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1603,6 +1615,56 @@ object SparkEntry {
          WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
            AND ts < TIMESTAMP '2024-01-16 00:00:00'
          GROUP BY event_type""",
+    // composite-key MERGE: delete %10=3, add 1000 to %10=4, and the
+    // %10=5 rows insert under a NEW (event_id, event_type||'_x')
+    // tuple — same event_id as an existing row, so only tuple
+    // matching (not single-key) classifies them NOT MATCHED
+    "q286_morlog_composite_merge" ->
+      """WITH cut AS (SELECT max(event_id) // 8 AS c FROM events),
+         base AS (SELECT event_id, event_type, value FROM events),
+         merged AS (
+           SELECT b.event_id, b.event_type,
+             CASE WHEN b.event_id % 10 = 4
+                    AND b.event_id <= (SELECT c FROM cut)
+               THEN b.value + 1000.0 ELSE b.value END AS value
+           FROM base b
+           WHERE NOT (b.event_id % 10 = 3
+             AND b.event_id <= (SELECT c FROM cut))
+           UNION ALL
+           SELECT b.event_id, b.event_type || '_x', b.value
+           FROM base b
+           WHERE b.event_id % 10 = 5
+             AND b.event_id <= (SELECT c FROM cut))
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM merged GROUP BY event_type""",
+    // the partition-scoped compact is value-invisible: the table
+    // still folds to the plain events aggregate (the O(day) rewrite
+    // set and untouched-file identity assert in-query)
+    "q287_morlog_compact_where" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events GROUP BY event_type""",
+    // the netted one-epoch drain lands the same final snapshot as
+    // q280's capped multi-epoch drain (mirror == source asserted
+    // row-exactly in-query)
+    "q288_morlog_stream_net" ->
+      """WITH st1 AS (SELECT event_id, event_type, value FROM events
+           WHERE event_id % 10 <> 3),
+         st2 AS (SELECT event_id, event_type,
+             CASE WHEN event_id % 9 = 0 THEN value + 500.0
+               ELSE value END AS value
+           FROM st1),
+         st3 AS (SELECT * FROM st2 WHERE event_id % 10 <> 7)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM st3 GROUP BY event_type""",
     // the TIMESTAMP AS OF travel lands on the pre-delete snapshot =
     // all events (monotonicity + three-way agreement asserted
     // in-query)

@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
@@ -42,9 +42,10 @@ import graft.sources.MorLogTable
   * or a loud refusal, never a dropped branch. Refused loudly:
   * subqueries, non-deterministic expressions, attributes from neither
   * side, nested-field assignment targets, a MERGE ON condition that
-  * is not a single target-key = source-key equality (the keyed CDC
-  * shape the pruned locate and broadcast classification are built
-  * for), and `WITH SCHEMA EVOLUTION`. */
+  * is not a conjunction of target-key = source-key column equalities
+  * (single OR composite keys — the keyed CDC shape the pruned locate
+  * and broadcast classification are built for; non-equi or
+  * expression-valued ON refuses), and `WITH SCHEMA EVOLUTION`. */
 object MorLogDmlStrategy extends SparkStrategy {
 
   private def unwrap(p: LogicalPlan): LogicalPlan = p match {
@@ -217,17 +218,30 @@ case class MorLogMergeExec(table: MorLogTable,
       s"MERGE: source column name(s) ${dupSrc.mkString(", ")} are " +
         "ambiguous")
     import MorLogDmlTranslate._
-    // ON: a single target-key = source-key equality, either order
-    val (tKey, sKey) = cond match {
+    // ON: a conjunction of target-key = source-key column equalities
+    // (composite keys — the round-14 verdict's #1), each in either
+    // order. The SQL text order is preserved: the engine prunes its
+    // victim locate on the LEADING key column's stats, so users put
+    // the most selective column first (documented on
+    // [[graft.sink.MorLog.mergeIntoClausesKeys]]).
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val keyPairs = conjuncts(cond).map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if tAttrs.contains(a) && sAttrs.contains(b) => (a.name, b.name)
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if sAttrs.contains(a) && tAttrs.contains(b) => (b.name, a.name)
       case other => throw new UnsupportedOperationException(
-        "log-tier MERGE requires ON to be a single " +
-          "target-key = source-key column equality (the keyed CDC " +
+        "log-tier MERGE requires ON to be a conjunction of " +
+          "target-key = source-key column equalities (the keyed CDC " +
           s"shape the pruned locate is built for); got: ${other.sql}")
     }
+    val (tKeys, sKeys) = keyPairs.unzip
+    require(tKeys.distinct.size == tKeys.size,
+      s"MERGE ON: target column(s) ${tKeys.diff(tKeys.distinct)
+        .distinct.mkString(", ")} appear in more than one equality")
     val targetCols = targetOutput.map(_.name)
     val sourceCols = source.output.map(_.name)
     // SET * / INSERT *: all target columns from same-named source
@@ -261,8 +275,8 @@ case class MorLogMergeExec(table: MorLogTable,
         case other => throw new UnsupportedOperationException(
           s"$what: unsupported merge action $other")
       }
-    val (u, d, i) = MorLog.mergeIntoClauses(spark, table.path,
-      GraftPlanBridge.ofRows(spark, source), tKey, sKey,
+    val (u, d, i) = MorLog.mergeIntoClausesKeys(spark, table.path,
+      GraftPlanBridge.ofRows(spark, source), tKeys, sKeys,
       matchedActions.map(toClause(_, "WHEN MATCHED")),
       notMatchedActions.map(toClause(_, "WHEN NOT MATCHED")),
       notMatchedBySourceActions.map(

@@ -4470,6 +4470,193 @@ object CoreQueries {
       FROM $cat.t GROUP BY event_type""")
   }
 
+  /** COMPOSITE-KEY SQL MERGE (q286, the round-14 verdict's #1): real
+    * CDC tables routinely carry multi-column keys, and the strategy
+    * now accepts `ON t.a = s.a AND t.b = s.b` — a conjunction of
+    * column equalities — threading a TUPLE key through
+    * [[graft.sink.MorLog.mergeIntoClausesKeys]]: the victim locate
+    * prunes on the LEADING key column's stats, the classification
+    * join exact-matches the whole tuple. The tuple semantics are
+    * pinned in-query: the inserted rows reuse EXISTING event_ids
+    * under a new event_type — a single-key match would route them to
+    * the UPDATE clause; only tuple matching classifies them NOT
+    * MATCHED. One committed version and the pruned locate are
+    * counter-asserted. Oracle: the same arithmetic over events. */
+  def morLogCompositeMerge(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-cmerge-")
+    val dir = s"$work/t"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.sink.MorLog.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"), dir)
+    val hi = ev.agg(max(col("event_id"))).head().getLong(0)
+    val inCut = col("event_id") <= hi / 8
+    val src = ev.filter(col("event_id") % 10 === 3 && inCut)
+      .withColumn("op", lit("D"))
+      .unionByName(ev.filter(col("event_id") % 10 === 4 && inCut)
+        .withColumn("value", lit(1000.0)).withColumn("op", lit("U")))
+      .unionByName(ev.filter(col("event_id") % 10 === 5 && inCut)
+        .withColumn("event_type", concat(col("event_type"), lit("_x")))
+        .withColumn("op", lit("I")))
+    val cat = "g15c_" + java.util.UUID.randomUUID().toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.MorLogCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", work)
+    src.createOrReplaceTempView(s"src_$cat")
+    val v0 = graft.sink.MorLog.currentVersion(s, dir)
+    val nFiles = graft.sink.MorLog.history(s, dir)
+      .orderBy(col("version").desc).head().getInt(2)
+    s.sql(s"""
+      MERGE INTO $cat.t AS t USING src_$cat AS s
+      ON t.event_id = s.event_id AND t.event_type = s.event_type
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET value = t.value + s.value
+      WHEN NOT MATCHED THEN INSERT (event_id, event_type, value)
+        VALUES (s.event_id, s.event_type, s.value)""")
+    require(graft.sink.MorLog.currentVersion(s, dir) == v0 + 1,
+      "q286: the composite-key MERGE must land as ONE committed version")
+    require(graft.sink.MorLogStats.lastLocateScanned > 0 &&
+      graft.sink.MorLogStats.lastLocateScanned < nFiles,
+      s"q286: the locate must prune on the leading key (scanned " +
+        s"${graft.sink.MorLogStats.lastLocateScanned} of $nFiles)")
+    val (n3, n4, n5) = (
+      src.filter(col("op") === "D").count(),
+      src.filter(col("op") === "U").count(),
+      src.filter(col("op") === "I").count())
+    require(graft.plans.MorLogDmlStats.lastDeleted == n3 &&
+      graft.plans.MorLogDmlStats.lastUpdated == n4 &&
+      graft.plans.MorLogDmlStats.lastInserted == n5,
+      s"q286: tuple matching drifted — same-id/new-type rows must be " +
+        s"NOT MATCHED (del ${graft.plans.MorLogDmlStats.lastDeleted}/" +
+        s"$n3, upd ${graft.plans.MorLogDmlStats.lastUpdated}/$n4, ins " +
+        s"${graft.plans.MorLogDmlStats.lastInserted}/$n5)")
+    graft.sink.MorLog.read(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
+  /** PARTITION-SCOPED MAINTENANCE (q287, the round-14 verdict's #4):
+    * at 100 TB you compact yesterday's partition, not the table —
+    * `CALL system.compact('t', '<predicate>')` bounds the rewrite to
+    * the files the predicate's STATS select (the same pruning reads
+    * use), so one day of a 30-day table folds in O(day) while every
+    * other partition's files carry over byte-untouched (file-name
+    * identity asserted in-query). Value-invisible. Oracle: the
+    * whole-table fold over events is unchanged. */
+  def morLogCompactWhere(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-cwhere-")
+    val dir = s"$work/t"
+    val cat = "g15w_" + java.util.UUID.randomUUID().toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.MorLogCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", work)
+    s.sql(s"CREATE TABLE $cat.t (event_id BIGINT, event_type STRING, " +
+      "value DOUBLE, day DATE) PARTITIONED BY (day)")
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("day"))
+      .repartition(col("day"))
+      .createOrReplaceTempView(s"src_$cat")
+    // two inserts → two files per day partition (drain debris)
+    s.sql(s"INSERT INTO $cat.t SELECT * FROM src_$cat " +
+      "WHERE event_id % 2 = 0")
+    s.sql(s"INSERT INTO $cat.t SELECT * FROM src_$cat " +
+      "WHERE event_id % 2 = 1")
+    val st0 = graft.sink.MorLog.state(s, dir,
+      graft.sink.MorLog.currentVersion(s, dir))
+    val dayFiles = 2
+    val packed = s.sql(s"CALL $cat.system.compact('t', " +
+      "'day = DATE''2024-01-15''')").head().getInt(0)
+    require(packed == dayFiles,
+      s"q287: the scoped compact must rewrite exactly the day's " +
+        s"$dayFiles files, got $packed")
+    require(graft.sink.MorLogStats.lastLocateScanned == dayFiles &&
+      graft.sink.MorLogStats.lastLocateSkipped ==
+        st0.files.size - dayFiles,
+      s"q287: the rewrite set must stats-prune (scanned " +
+        s"${graft.sink.MorLogStats.lastLocateScanned}, skipped " +
+        s"${graft.sink.MorLogStats.lastLocateSkipped} of " +
+        s"${st0.files.size})")
+    val st1 = graft.sink.MorLog.state(s, dir,
+      graft.sink.MorLog.currentVersion(s, dir))
+    require(st0.files.count(st1.files.contains) ==
+      st0.files.size - dayFiles,
+      "q287: every other partition's files must carry over untouched")
+    require(st1.files.size == st0.files.size - dayFiles + 1,
+      s"q287: the day must fold $dayFiles -> 1 " +
+        s"(${st1.files.size} vs ${st0.files.size})")
+    s.sql(s"""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_value,
+        CAST(sum(event_id) AS BIGINT) AS sum_event_id
+      FROM $cat.t GROUP BY event_type""")
+  }
+
+  /** UNCAPPED CDC DRAIN WITH EPOCH NETTING (q288, the round-14
+    * verdict's #6): q280 needed `maxVersionsPerTrigger = 1` because
+    * an epoch had to be key-unique per side; with
+    * `.option("netBy", "<orderCol>")` the sink LAST-WINS-NETS
+    * duplicate keys inside an epoch on that order column (stamped on
+    * delete-key files too), so the WHOLE four-version lifecycle —
+    * create, delete, upsert (delete+insert pairs), delete — drains in
+    * ONE epoch and lands as ONE committed version, and the mirror
+    * still equals the source's final snapshot exactly (asserted
+    * row-wise in-query). The order column here is the change feed's
+    * own `_commit_version`, persisted as a mirror column. Oracle: the
+    * same arithmetic as q280. */
+  def morLogStreamNet(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-cdcnet-")
+    val (src, dst) = (s"$work/src", s"$work/dst")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.sink.MorLog.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"), src)
+    graft.sink.MorLog.deleteWhere(s, src, col("event_id") % 10 === 3)
+    val up = graft.sink.MorLog.read(s, src)
+      .filter(col("event_id") % 9 === 0)
+      .withColumn("value", col("value") + 500.0)
+    graft.sink.MorLog.upsert(s, src, up, "event_id")
+    graft.sink.MorLog.deleteWhere(s, src, col("event_id") % 10 === 7)
+    // the mirror carries the order column (the last-writer version)
+    val verField = org.apache.spark.sql.types.StructField("ver",
+      org.apache.spark.sql.types.IntegerType)
+    graft.sink.MorLog.createEmpty(s, dst,
+      org.apache.spark.sql.types.StructType(
+        graft.sink.MorLog.read(s, src).schema.fields :+ verField))
+    val v0 = graft.sink.MorLog.currentVersion(s, dst)
+    val q = s.readStream.format("graft.sources.MorLogSource")
+      .option("path", src).option("streamChanges", "true")
+      .option("startingVersion", "0").load()
+      .withColumn("op", col("_change_type"))
+      .withColumn("ver", col("_commit_version").cast("int"))
+      .drop("_change_type", "_commit_version")
+      .writeStream.format("graft.sources.MorLogSource")
+      .option("path", dst)
+      .option("mergeKey", "event_id")
+      .option("opCol", "op").option("deleteValue", "delete")
+      .option("netBy", "ver")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    require(graft.sink.MorLog.currentVersion(s, dst) == v0 + 1,
+      "q288: the whole multi-version feed must net into ONE epoch " +
+        s"commit, got ${graft.sink.MorLog.currentVersion(s, dst) - v0}")
+    val mirror = graft.sink.MorLog.read(s, dst).drop("ver")
+    val snap = graft.sink.MorLog.read(s, src)
+    val diff = mirror.exceptAll(snap).count() +
+      snap.exceptAll(mirror).count()
+    require(diff == 0,
+      s"q288: netted mirror drifted from the source by $diff rows")
+    mirror.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

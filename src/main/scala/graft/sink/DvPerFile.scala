@@ -196,19 +196,30 @@ private[graft] object DvPerFile {
     * maintenance path could surface UNCOMMITTED deletes
     * (advice-caught). Only the marker dies: the gen's sidecars are
     * gen-unique debris no committed marker map references, swept by
-    * retention GC. The pointer hint re-points at `prevGen`'s marker
-    * when one exists, else drops so the listing fallback heals it —
-    * racing a rival's disjoint-gen pointer write loses nothing (the
-    * pointer is a hint; [[committedGen]] probes forward / falls
-    * back). */
-  def retractMarker(conf: Configuration, tableDir: String, gen: Int,
-                    prevGen: Int): Unit = {
+    * retention GC.
+    *
+    * The pointer is NEVER re-pointed downward (advice-caught): a
+    * rival may have claimed AND committed a higher gen inside the
+    * loser's window, and deleting this marker opens a gap in the
+    * marker sequence — a pointer below that gap would stop
+    * [[committedGen]]'s +1-contiguous forward probe short of the
+    * true committed ceiling, so maintenance would resolve tombstones
+    * below it and resurrect committed deletes. Instead the pointer is
+    * dropped only when it still reads the retracted gen, which forces
+    * the next read through the one counted listing fallback — that
+    * listing finds the true max marker and heals the pointer at it.
+    * A pointer reading any OTHER gen (the rival's, or an older
+    * commit's) is left untouched: it points at a real marker at or
+    * below the ceiling and the forward probe walks up from there. */
+  def retractMarker(conf: Configuration, tableDir: String,
+                    gen: Int): Unit = {
     val d = pfDir(tableDir)
     val fs = fsOf(conf, d)
     scala.util.Try(fs.delete(new Path(d, s"_commit.g$gen"), false))
-    if (prevGen >= 0 && fs.exists(new Path(d, s"_commit.g$prevGen")))
-      writePtr(conf, tableDir, prevGen)
-    else scala.util.Try(fs.delete(new Path(d, PtrName), false))
+    val ptr = new Path(d, PtrName)
+    val reads = scala.util.Try(
+      AtomicFiles.readString(conf, ptr).trim.toInt).toOption
+    if (reads.contains(gen)) scala.util.Try(fs.delete(ptr, false))
   }
 
   /** The (dataFileName → sidecar gen) map recorded in gen's marker;
@@ -572,8 +583,11 @@ private[graft] object DvPerFile {
           fs.delete(s.getPath, false)
       } else if (n.startsWith(".") && n.endsWith(".tmp")) {
         // a crashed AtomicFiles.replace left its attempt-unique temp
-        // behind — never referenced, safe to sweep (advice-caught)
-        fs.delete(s.getPath, false)
+        // behind — never referenced once its rename happened or
+        // didn't. AGE-GATED (advice-caught): deleting a LIVE writer's
+        // temp between create and rename fails that write with an
+        // un-retried IOException, so only aged temps are swept
+        if (MorLog.debrisAged(spark, s)) fs.delete(s.getPath, false)
       }
     }
   }

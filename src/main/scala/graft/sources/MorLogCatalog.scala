@@ -38,8 +38,8 @@ import graft.sink.MorLog
   * by name and vice versa). Partitioning: identity columns plus the
   * time-derived transforms (`days(ts)`/months/years/hours — hidden
   * partitioning); bucket/truncate refuse loud. ALTER TABLE supports
-  * ADD COLUMNS (metadata-only); renames/drops stay with the tier's
-  * own ops (column-mapping semantics SQL ALTER cannot express here).
+  * ADD COLUMNS / RENAME COLUMN / DROP COLUMN (all metadata-only via
+  * the column mapping); type changes refuse loud (rewrite territory).
   * Since round 14 the catalog is also a [[ProcedureCatalog]]:
   * `CALL <cat>.system.compact|compact_small|cluster|vacuum|history`. */
 class MorLogCatalog extends TableCatalog with ProcedureCatalog {
@@ -117,33 +117,47 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog {
       MorLogFacade.schemaOf(spark, dir, None), parts)
   }
 
-  /** `ALTER TABLE … ADD COLUMNS` maps onto the tier's metadata-only
-    * [[MorLog.addColumns]] (the one schema change SQL users perform
-    * routinely; old files NULL-fill through the column mapping).
-    * Everything else stays refused loud: RENAME/DROP COLUMN carry
-    * column-mapping semantics SQL ALTER cannot express here — use
-    * MorLog.renameColumn/dropColumn. */
+  /** `ALTER TABLE … ADD COLUMNS / RENAME COLUMN / DROP COLUMN` map
+    * onto the tier's metadata-only evolution ops ([[MorLog.addColumns]]
+    * / [[MorLog.renameColumn]] / [[MorLog.dropColumn]] — all zero data
+    * IO through the column mapping; the engine paths SQL now reaches
+    * by name, the round-14 verdict's #3). ADD COLUMNS commits ONE
+    * version regardless of column count (the statement's own
+    * atomicity); rename/drop are one version each, matching the
+    * engine ops. The engine's own guards stay in force: NOT NULL
+    * additions, dropped-name re-adds, partition-column drops, and
+    * renames on pre-column-mapping logs all refuse loudly. Everything
+    * else (type changes, comments, properties) stays refused. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
+    val adds = Seq.newBuilder[StructField]
+    changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "ALTER TABLE ADD COLUMNS: nested additions are not supported")
         require(a.position == null,
           "ALTER TABLE ADD COLUMNS: FIRST/AFTER positions are not " +
             "supported — columns append")
-        StructType(Seq.empty).add(a.fieldNames.head, a.dataType,
+        adds += StructType(Seq.empty).add(a.fieldNames.head, a.dataType,
           a.isNullable).fields.head
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "ALTER TABLE RENAME COLUMN: nested fields are not supported")
+        MorLog.renameColumn(spark, dir, r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "ALTER TABLE DROP COLUMN: nested fields are not supported")
+        MorLog.dropColumn(spark, dir, d.fieldNames.head)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName} is not supported " +
-          "on the log tier — only ADD COLUMNS maps onto the tier's " +
-          "metadata-only evolution; renames/drops go through " +
-          "MorLog.renameColumn/dropColumn (column-mapping semantics " +
-          "SQL ALTER cannot express here)")
+          "on the log tier — ADD COLUMNS / RENAME COLUMN / DROP COLUMN " +
+          "map onto the tier's metadata-only evolution; type changes " +
+          "require a rewrite")
     }
-    MorLog.addColumns(spark, dir, adds)
+    val addFields = adds.result()
+    if (addFields.nonEmpty) MorLog.addColumns(spark, dir, addFields)
     loadTable(ident)
   }
 
@@ -163,6 +177,9 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog {
     * V2 procedures):
     *
     *   CALL <cat>.system.compact('ns.t')        -- full rewrite
+    *   CALL <cat>.system.compact('ns.t', where => 'day = DATE''2025-01-01''')
+    *                                    -- stats-scoped O(partition) rewrite
+    *   CALL <cat>.system.cluster('ns.t', 'a,b', '<pred>') -- scoped curve
     *   CALL <cat>.system.compact_small('ns.t')  -- bin-pack drain debris
     *   CALL <cat>.system.cluster('ns.t', 'a,b') -- Z-order rewrite
     *   CALL <cat>.system.vacuum('ns.t', 2)      -- retention GC
@@ -245,9 +262,17 @@ private[sources] object MorLogProcedures {
     override def isDeterministic: Boolean = false
 
     override def parameters(): Array[ProcedureParameter] = procName match {
+      case "compact" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        // optional predicate: stats-scoped O(partition) rewrite —
+        // '' (the default) keeps the whole-table form
+        ProcedureParameter.in("where", StringType)
+          .defaultValue("''").build())
       case "cluster" => Array(
         ProcedureParameter.in("table", StringType).build(),
-        ProcedureParameter.in("dims", StringType).build())
+        ProcedureParameter.in("dims", StringType).build(),
+        ProcedureParameter.in("where", StringType)
+          .defaultValue("''").build())
       case "vacuum" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("keep_versions", IntegerType).build())
@@ -273,11 +298,20 @@ private[sources] object MorLogProcedures {
         RowsScan(schema, Array(new GenericInternalRow(
           vals.toArray))): Scan).iterator()
 
+    private def whereOf(input: InternalRow, ord: Int): Option[String] =
+      if (input.isNullAt(ord)) None
+      else Option(input.getUTF8String(ord).toString.trim)
+        .filter(_.nonEmpty)
+
     override def call(input: InternalRow): util.Iterator[Scan] =
       procName match {
         case "compact" =>
-          one(CountSchema, Int.box(
-            MorLog.compact(spark, dirOf(input.getUTF8String(0).toString))))
+          val dir = dirOf(input.getUTF8String(0).toString)
+          one(CountSchema, Int.box(whereOf(input, 1) match {
+            case Some(w) => MorLog.compactWhere(spark, dir,
+              org.apache.spark.sql.functions.expr(w))
+            case None => MorLog.compact(spark, dir)
+          }))
         case "compact_small" =>
           one(CountSchema, Int.box(MorLog.compactSmall(spark,
             dirOf(input.getUTF8String(0).toString))))
@@ -285,8 +319,12 @@ private[sources] object MorLogProcedures {
           val dims = input.getUTF8String(1).toString.split(",")
             .map(_.trim).filter(_.nonEmpty).toSeq
           require(dims.nonEmpty, "cluster: no dims")
-          one(CountSchema, Int.box(MorLog.cluster(spark,
-            dirOf(input.getUTF8String(0).toString), dims)))
+          val dir = dirOf(input.getUTF8String(0).toString)
+          one(CountSchema, Int.box(whereOf(input, 2) match {
+            case Some(w) => MorLog.clusterWhere(spark, dir,
+              org.apache.spark.sql.functions.expr(w), dims)
+            case None => MorLog.cluster(spark, dir, dims)
+          }))
         case "vacuum" =>
           one(CountSchema, Int.box(MorLog.vacuum(spark,
             dirOf(input.getUTF8String(0).toString), input.getInt(1))))

@@ -470,6 +470,19 @@ class MorLogWriteBuilder(path: String, partitionBy: Seq[String],
         val deleteValue = Option(opts.get("deleteValue")).getOrElse("D")
         require(opCol.isEmpty || mergeKey.isDefined,
           "opCol routing needs mergeKey (deletes are keyed)")
+        // optional in-epoch netting: without it an epoch must be
+        // key-unique per side (one source version per epoch); with it
+        // duplicate keys last-wins-net on this ORDER column, so
+        // arbitrary multi-version feeds can sink uncapped
+        val netBy = Option(opts.get("netBy"))
+        require(netBy.isEmpty || mergeKey.isDefined,
+          "netBy needs mergeKey (netting is per key)")
+        val maxOpenWriters =
+          Option(opts.get("maxOpenWriters")).map(_.trim.toInt)
+            .getOrElse(spark.conf
+              .get("graft.sink.maxOpenWriters", "32").toInt)
+        require(maxOpenWriters >= 1,
+          "maxOpenWriters must be >= 1")
         val in = info.schema
         val expected = cols.map(_._1).toSet ++ opCol.toSet
         require(in.fieldNames.toSet == expected,
@@ -488,6 +501,10 @@ class MorLogWriteBuilder(path: String, partitionBy: Seq[String],
           s"opCol $c must be STRING"))
         mergeKey.foreach(k => require(cols.exists(_._1 == k),
           s"mergeKey $k is not a table column"))
+        netBy.foreach(c => require(cols.exists(_._1 == c),
+          s"netBy $c is not a table column"))
+        netBy.foreach(c => require(!mergeKey.contains(c),
+          s"netBy $c must differ from mergeKey (ordering within a key)"))
         val dataNames = cols.map(_._1).toArray
         val dataTypes = cols.map(_._2).toArray
         val physNames = cols.map(_._3).toArray
@@ -505,7 +522,13 @@ class MorLogWriteBuilder(path: String, partitionBy: Seq[String],
           // session zone: the sink's partition derivation must group
           // by the same boundaries as the batch path's session-zone
           // SQL transforms (review-caught)
-          spark.conf.get("spark.sql.session.timeZone"))
+          spark.conf.get("spark.sql.session.timeZone"),
+          netBy,
+          netBy.map(c => physNames(dataNames.indexOf(c))).getOrElse(""),
+          netBy.map(in.fieldIndex).getOrElse(-1),
+          netBy.map(c => dataTypes(dataNames.indexOf(c)))
+            .getOrElse(LongType),
+          maxOpenWriters)
       }
     }
 }

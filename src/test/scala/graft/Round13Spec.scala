@@ -349,15 +349,18 @@ class Round13Spec extends AnyFunSuite {
     spark.sql("DROP TABLE g13.ns.t")
     assert(spark.sql("SHOW TABLES IN g13.ns").count() == 0)
     // ADD COLUMN maps onto the tier's metadata-only evolve since
-    // round 14 (Round14Spec covers it); the column-mapping ops
-    // (rename/drop) keep refusing loud toward the tier's own API
+    // round 14, RENAME COLUMN onto the column mapping since round 15
+    // (Round15Spec pins the lifecycle); type changes refuse loud
     spark.sql("CREATE TABLE g13.ns.u (id BIGINT)")
     spark.sql("ALTER TABLE g13.ns.u ADD COLUMN x BIGINT")
     assert(spark.sql("SELECT * FROM g13.ns.u").columns.toSeq ==
       Seq("id", "x"))
+    spark.sql("ALTER TABLE g13.ns.u RENAME COLUMN x TO y")
+    assert(spark.sql("SELECT * FROM g13.ns.u").columns.toSeq ==
+      Seq("id", "y"))
     assert(intercept[Exception](
-      spark.sql("ALTER TABLE g13.ns.u RENAME COLUMN x TO y"))
-      .getMessage.contains("renameColumn"))
+      spark.sql("ALTER TABLE g13.ns.u ALTER COLUMN y TYPE INT"))
+      .getMessage.contains("not supported"))
     // path-based writes: create-on-first-write (append mode — the V2
     // path-write contract allows only Append/Overwrite), then append
     val dir = tmp("r13_write") + "/t"
