@@ -220,10 +220,10 @@ case class MorLogMergeExec(table: MorLogTable,
     import MorLogDmlTranslate._
     // ON: a conjunction of target-key = source-key column equalities
     // (composite keys — the round-14 verdict's #1), each in either
-    // order. The SQL text order is preserved: the engine prunes its
-    // victim locate on the LEADING key column's stats, so users put
-    // the most selective column first (documented on
-    // [[graft.sink.MorLog.mergeIntoClausesKeys]]).
+    // order. The engine prunes its victim locate on EVERY key
+    // column's stats (per-column range ∧ membership, ANDed — see
+    // [[graft.sink.MorLog.mergeIntoClausesKeys]]), so equality order
+    // in the SQL text does not matter for pruning.
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)

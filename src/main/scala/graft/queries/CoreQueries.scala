@@ -4475,8 +4475,9 @@ object CoreQueries {
     * now accepts `ON t.a = s.a AND t.b = s.b` — a conjunction of
     * column equalities — threading a TUPLE key through
     * [[graft.sink.MorLog.mergeIntoClausesKeys]]: the victim locate
-    * prunes on the LEADING key column's stats, the classification
-    * join exact-matches the whole tuple. The tuple semantics are
+    * prunes on EVERY key column's stats (per-column range plus
+    * membership, ANDed), the classification join exact-matches the
+    * whole tuple. The tuple semantics are
     * pinned in-query: the inserted rows reuse EXISTING event_ids
     * under a new event_type — a single-key match would route them to
     * the UPDATE clause; only tuple matching classifies them NOT
@@ -4517,7 +4518,7 @@ object CoreQueries {
       "q286: the composite-key MERGE must land as ONE committed version")
     require(graft.sink.MorLogStats.lastLocateScanned > 0 &&
       graft.sink.MorLogStats.lastLocateScanned < nFiles,
-      s"q286: the locate must prune on the leading key (scanned " +
+      s"q286: the locate must prune on the key columns' stats (scanned " +
         s"${graft.sink.MorLogStats.lastLocateScanned} of $nFiles)")
     val (n3, n4, n5) = (
       src.filter(col("op") === "D").count(),

@@ -2077,21 +2077,42 @@ object MorLog {
     * micro-batch and one that opens the handful of files its keys
     * live in. */
   private def locateFiles(spark: SparkSession, dir: String, st: State,
-                          keyCol: String, keys: DataFrame): Seq[String] = {
-    val kc = col(keyCol)
-    val bounds = keys.agg(min(kc).as("lo"), max(kc).as("hi")).head()
-    if (bounds.isNullAt(0)) { // empty or all-NULL key set: no victims
+                          keyCol: String, keys: DataFrame): Seq[String] =
+    locateFilesKeys(spark, dir, st, Seq(keyCol -> keyCol), keys)
+
+  /** Tuple-key form of the victim locate: a file can hold a matching
+    * row only if EVERY key column's value set intersects it, so the
+    * prune predicate is the AND of each column's (range ∧ membership)
+    * — a sound per-column relaxation of tuple membership (it can
+    * over-select, never under-select). `pairs` maps target column →
+    * the batch frame's column carrying its values. Rows where ANY key
+    * column is NULL locate nothing (the victim joins are
+    * null-rejecting on every key). */
+  private def locateFilesKeys(spark: SparkSession, dir: String,
+                              st: State, pairs: Seq[(String, String)],
+                              keys: DataFrame): Seq[String] = {
+    val nonNull = keys.filter(
+      pairs.map { case (_, sk) => col(sk).isNotNull }.reduce(_ && _))
+    val aggs = pairs.zipWithIndex.flatMap { case ((_, sk), i) =>
+      Seq(min(col(sk)).as(s"_lo$i"), max(col(sk)).as(s"_hi$i")) }
+    val bounds = nonNull.agg(aggs.head, aggs.tail: _*).head()
+    if (bounds.isNullAt(0)) { // empty (or all-null-key) set: no victims
       MorLogStats.lastLocateScanned = 0
       MorLogStats.lastLocateSkipped = st.files.size
       return Seq.empty
     }
-    val range = kc >= lit(bounds.get(0)) && kc <= lit(bounds.get(1))
     val cap = spark.conf.getOption(LocateInCapKey)
       .map(_.toInt).getOrElse(4096)
-    val vals = keys.filter(kc.isNotNull).limit(cap + 1).collect()
-      .map(_.get(0)).toSeq
-    val pred =
-      if (vals.size <= cap) range && kc.isInCollection(vals) else range
+    val rows = nonNull.select(pairs.map(p => col(p._2)): _*)
+      .limit(cap + 1).collect()
+    val pred = pairs.zipWithIndex.map { case ((tk, _), i) =>
+      val kc = col(tk)
+      val range = kc >= lit(bounds.get(2 * i)) &&
+        kc <= lit(bounds.get(2 * i + 1))
+      if (rows.size <= cap)
+        range && kc.isInCollection(rows.map(_.get(i)).distinct.toSeq)
+      else range
+    }.reduce(_ && _)
     val (scan, skip) = FileStats.prune(spark, st.schema,
       statsLogical(st, statsOf(spark, dir, st.version)), st.files, pred)
     MorLogStats.lastLocateScanned = scan.size
@@ -2339,10 +2360,10 @@ object MorLog {
   /** COMPOSITE-KEY form of [[mergeIntoClauses]] (the round-14
     * verdict's #1 — real CDC tables routinely carry multi-column
     * keys): the match key is a TUPLE of target↔source column
-    * equalities, positionally paired. The victim locate prunes on the
-    * LEADING key column's stats ([[locateFiles]] — put the most
-    * selective / best-clustered column first) and the classification
-    * join exact-matches the whole tuple; everything else — broadcast
+    * equalities, positionally paired. The victim locate prunes on
+    * EVERY key column's stats ([[locateFilesKeys]] — per-column
+    * range ∧ membership, ANDed) and the classification join
+    * exact-matches the whole tuple; everything else — broadcast
     * O(batch) classification, one committed version, OCC — is
     * unchanged from the single-key form, which is the 1-tuple case. */
   def mergeIntoClausesKeys(spark: SparkSession, dir: String,
@@ -2428,14 +2449,14 @@ object MorLog {
           "multiple source rows (ambiguous merge)")
       val v = st.version + 1
       // Stats-pruned victim locate when only keyed branches run — on
-      // the LEADING key column (a composite key prunes on its first
-      // column's stats; the join exact-matches the tuple). A by-source
-      // clause needs the full snapshot — then ONE persisted scan
-      // serves both branches instead of two table passes.
+      // EVERY key column's stats (a file must intersect each column's
+      // batch values to hold a matching tuple; the join then
+      // exact-matches the tuple). A by-source clause needs the full
+      // snapshot — then ONE persisted scan serves both branches
+      // instead of two table passes.
       val scanFiles =
         if (notMatchedBySource.isEmpty)
-          locateFiles(spark, dir, st, targetKeys.head,
-            b.select(col(sourceKeys.head).as(targetKeys.head)))
+          locateFilesKeys(spark, dir, st, targetKeys.zip(sourceKeys), b)
         else {
           MorLogStats.lastLocateScanned = st.files.size
           MorLogStats.lastLocateSkipped = 0
@@ -3306,8 +3327,21 @@ object MorLog {
           }
           val out = s"$dir/$LogDir/sstage_netd_$uid"
           dirs += out
-          survivors.select(physSchema(st).fieldNames.map(col): _*)
-            .write.parquet(out)
+          val img = survivors.select(
+            physSchema(st).fieldNames.map(col): _*)
+          val parts = partSpecPhys(st)
+          if (parts.isEmpty) img.write.parquet(out)
+          else {
+            // partitioned table: the rewrite must keep the
+            // one-tuple-per-file alignment the sink's own writers
+            // produce — same duplicated-helper-column dynamic write
+            // as [[stageIn]] (the helper becomes the dir name and is
+            // stripped from the file; real columns stay in it)
+            val dup = parts.map { case (c, tf) =>
+              partExpr(col(c), tf).as(s"__gp_$c") }
+            img.select(col("*") +: dup: _*).write
+              .partitionBy(parts.map("__gp_" + _._1): _*).parquet(out)
+          }
           dropAll2(fs, dataStaged)
           listStaged(fs, out)
         } finally top.unpersist()
@@ -3328,13 +3362,18 @@ object MorLog {
                        ps: Seq[String]): Unit =
     ps.foreach(p => scala.util.Try(fs.delete(new Path(p), false)))
 
+  /** Leaf parquet files under a netting staging dir — recursive, the
+    * partitioned rewrite nests them in helper-column dirs. */
   private def listStaged(fs: org.apache.hadoop.fs.FileSystem,
                          d: String): Seq[String] =
-    fs.listStatus(new Path(d)).iterator
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith(".") &&
-        s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString).toSeq
+    fs.listStatus(new Path(d)).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && !n.startsWith(".") && n != "_temporary")
+        listStaged(fs, s.getPath.toString)
+      else if (s.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+        n.endsWith(".parquet")) Seq(s.getPath.toString)
+      else Seq.empty
+    }
 
   /** Drain an op-tagged parquet CDC feed into the log-backed table:
     * checkpointed, AvailableNow, one committed MERGE version per

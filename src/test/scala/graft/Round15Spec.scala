@@ -254,6 +254,71 @@ class Round15Spec extends AnyFunSuite {
     assert(chain(e3).contains("not unique"), chain(e3))
   }
 
+  test("netBy on a PARTITIONED mirror keeps one-tuple-per-file alignment through the netting rewrite") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val work = tmp("r15_netpart")
+    val dst = s"$work/dst"
+    val schema = spark.range(0, 0)
+      .select(col("id").as("k"), col("id").as("g"),
+        col("id").as("seq")).schema
+    MorLog.createEmpty(spark, dst, schema, partitionBy = Seq("g"))
+    val in = MemoryStream[(Long, Long, Long, String)](spark)
+    // duplicates per key FORCE the netting rewrite; winners span 3
+    // partition tuples
+    in.addData((1L, 0L, 1L, "U"), (1L, 0L, 2L, "U"),
+      (2L, 1L, 1L, "U"), (2L, 1L, 3L, "U"),
+      (3L, 2L, 1L, "U"))
+    val q = in.toDF().toDF("k", "g", "seq", "op")
+      .writeStream.format("graft.sources.MorLogSource")
+      .option("path", dst).option("mergeKey", "k")
+      .option("opCol", "op").option("deleteValue", "D")
+      .option("netBy", "seq")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = MorLog.read(spark, dst).as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L, 2L), (2L, 1L, 3L), (3L, 2L, 1L)),
+      s"netting drifted: $got")
+    // the netted rewrite must keep one-tuple-per-file: a one-group
+    // read scans exactly its own file
+    assert(MorLog.readWhere(spark, dst, col("g") === 1L).count() == 1)
+    assert(MorLogStats.lastFilesScanned == 1 &&
+      MorLogStats.lastFilesSkipped == 2,
+      s"netting rewrite broke partition alignment (scanned " +
+        s"${MorLogStats.lastFilesScanned}, skipped " +
+        s"${MorLogStats.lastFilesSkipped})")
+  }
+
+  // ---- composite-key locate pruning ----------------------------------
+
+  test("composite-key MERGE prunes on EVERY key column's stats, not just the leading one") {
+    val root = tmp("r15_ck")
+    val dir = s"$root/t"
+    // 8 files: ALL overlap on `a` (0..9), disjoint on `b` — a
+    // leading-column-only prune would scan everything
+    def slab(i: Int) = spark.range(0, 10)
+      .select((col("id") % 10).as("a"), (col("id") + i * 100L).as("b"),
+        col("id").as("v")).repartition(1)
+    MorLog.create(slab(0), dir)
+    (1 until 8).foreach(i => MorLog.append(spark, dir, slab(i)))
+    val c = cat(root)
+    Seq((3L, 303L, 9L)).toDF("a", "b", "delta")
+      .createOrReplaceTempView("r15_cksrc")
+    spark.sql(s"""
+      MERGE INTO $c.t AS t USING r15_cksrc AS s
+      ON t.a = s.a AND t.b = s.b
+      WHEN MATCHED THEN UPDATE SET v = t.v + s.delta""")
+    assert(MorLogStats.lastLocateScanned == 1 &&
+      MorLogStats.lastLocateSkipped == 7,
+      s"the second key column's stats must prune (scanned " +
+        s"${MorLogStats.lastLocateScanned})")
+    val got = MorLog.read(spark, dir)
+      .filter(col("b") === 303L).select("v").as[Long].head()
+    assert(got == 12L, s"tuple-matched update drifted: $got")
+  }
+
   // ---- predicate-scoped maintenance ---------------------------------
 
   test("compactWhere rewrites only the stats-selected partition; other files stay byte-identical") {
