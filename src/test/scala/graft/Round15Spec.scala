@@ -359,6 +359,49 @@ class Round15Spec extends AnyFunSuite {
     assert(MorLog.read(spark, dir).count() == 100)
     // an empty predicate match is a no-op version-wise
     assert(MorLog.compactWhere(spark, dir, col("g") === 99L) == 0)
+    // cluster takes the same scope: re-curve ONE partition in
+    // O(partition)
+    val clustered = spark.sql(
+      s"CALL $c.system.cluster('t', 'k,v', 'g = 2')").head().getInt(0)
+    assert(clustered == 2, s"scoped cluster must rewrite g=2's two " +
+      s"files, got $clustered")
+    assert(MorLog.read(spark, dir).count() == 100)
+  }
+
+  test("streaming sink derives hidden days(ts) tuples executor-side, matching the batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val work = tmp("r15_sinkdays")
+    val dst = s"$work/dst"
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = spark.range(0, 0)
+      .select(col("id").as("k"),
+        lit(t("2024-01-01 00:00:00")).as("ts")).schema
+    MorLog.createEmpty(spark, dst, schema, partitionBy = Seq("days(ts)"))
+    val in = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    in.addData(
+      (1L, t("2024-03-01 00:00:01")), (2L, t("2024-03-01 23:59:59")),
+      (3L, t("2024-03-02 12:00:00")), (4L, t("2024-03-03 00:00:00")))
+    val q = in.toDF().toDF("k", "ts")
+      .writeStream.format("graft.sources.MorLogSource")
+      .option("path", dst)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(MorLog.read(spark, dst).count() == 4)
+    // one-day read: exactly the 2024-03-01 file (2 rows), the other
+    // two day files skipped — only possible if the sink's
+    // executor-side day derivation matches the batch path's
+    // session-zone boundaries
+    val one = MorLog.readWhere(spark, dst,
+      col("ts") >= lit(t("2024-03-01 00:00:00")) &&
+        col("ts") < lit(t("2024-03-02 00:00:00")))
+    assert(one.count() == 2)
+    assert(MorLogStats.lastFilesScanned == 1 &&
+      MorLogStats.lastFilesSkipped == 2,
+      s"sink day alignment drifted (scanned " +
+        s"${MorLogStats.lastFilesScanned}, skipped " +
+        s"${MorLogStats.lastFilesSkipped})")
   }
 
   // ---- capped CDF exclude-path collect -------------------------------
