@@ -1147,6 +1147,39 @@ object MorLog {
       }
     }
 
+  /** Planning-time row estimate for the connector's
+    * `SupportsReportStatistics` (what lets Catalyst AUTO-BROADCAST a
+    * small log table in a join — without it every V2 relation weighs
+    * `defaultSizeInBytes` ≈ ∞ and a star join over catalog tables
+    * never picks a broadcast side): the stats-pruned file set's
+    * summed footer row counts, entirely off the CACHED per-file
+    * stats — zero file IO at planning. Conservative by construction:
+    * tombstoned rows still count (over-estimate), and any scanned
+    * file MISSING stats makes the whole answer unknown (None) — an
+    * undercount could wrongly broadcast a huge table, unknown keeps
+    * Spark's safe default. */
+  private[graft] def estimateScanRows(spark: SparkSession, dir: String,
+                                      version: Int,
+                                      cond: Option[Column])
+      : Option[Long] = {
+    val st = state(spark, dir, version)
+    val stats = statsOf(spark, dir, version)
+    val scan = cond match {
+      case Some(c) => FileStats.prune(spark, st.schema,
+        statsLogical(st, stats), st.files, c)._1
+      case None => st.files
+    }
+    var total = 0L
+    val it = scan.iterator
+    while (it.hasNext) {
+      stats.get(it.next()).flatMap(_.values.map(_.rows).maxOption) match {
+        case Some(r) => total += r
+        case None => return None
+      }
+    }
+    Some(total)
+  }
+
   private def readData(spark: SparkSession, dir: String,
                        st: State): DataFrame =
     readDataFiles(spark, dir, st, st.files)

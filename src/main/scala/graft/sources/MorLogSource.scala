@@ -725,13 +725,39 @@ class MorLogMicroBatchStream(path: String, outSchema: StructType,
 
 case class MorLogScan(path: String, pinnedVersion: Int,
                       required: StructType, filters: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_morlog path=$path v=$pinnedVersion, " +
       s"PrunedSchema: ${required.simpleString}, " +
       s"PushedFilters: [${filters.mkString(", ")}]"
+
+  /** Planning-time stats off the log's CACHED per-file footer counts
+    * (pruned under the pushed filters — zero file IO): rows, and
+    * bytes = rows × the pruned read schema's default row width
+    * (Spark's own estimation convention, so the broadcast threshold
+    * compares like for like). Unknown (conservative default) when any
+    * surviving file lacks stats — see
+    * [[graft.sink.MorLog.estimateScanRows]]. This is what lets a
+    * small catalog table AUTO-broadcast in a join. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val cond = filters.map(filterToColumn).reduceOption(_ && _)
+    val rows = scala.util.Try(MorLog.estimateScanRows(
+      spark, path, pinnedVersion, cond)).toOption.flatten
+    val width = math.max(1L, required.defaultSize.toLong)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        rows.map(r => java.util.OptionalLong.of(r * width))
+          .getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
 
   /** One partition per surviving data file — the log's stats prune
     * under the pushed filters BEFORE any task exists. */

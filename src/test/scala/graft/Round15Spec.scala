@@ -404,6 +404,40 @@ class Round15Spec extends AnyFunSuite {
         s"${MorLogStats.lastFilesSkipped})")
   }
 
+  // ---- connector scan statistics --------------------------------------
+
+  test("the scan reports stats off cached footer counts: small tables auto-broadcast, pushed filters shrink the estimate") {
+    val root = tmp("r15_stats")
+    val dir = s"$root/t"
+    // 4 files with disjoint k ranges, ~100 rows total
+    def slab(i: Int) = spark.range(i * 100L, i * 100L + 25L)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+      .repartition(1)
+    MorLog.create(slab(0), dir)
+    (1 until 4).foreach(i => MorLog.append(spark, dir, slab(i)))
+    val c = cat(root)
+    val small = spark.table(s"$c.t")
+    // numRows estimate = exact footer counts; sizeInBytes = rows×width
+    val st = small.queryExecution.optimizedPlan.stats
+    assert(st.rowCount.contains(BigInt(100)),
+      s"scan stats must carry the footer row count, got ${st.rowCount}")
+    // a pushed filter prunes files BEFORE the estimate: one slab only
+    val oneSlab = small.filter(col("k") >= 100 && col("k") < 200)
+    assert(oneSlab.queryExecution.optimizedPlan.stats.rowCount
+      .contains(BigInt(25)),
+      "the estimate must reflect the stats-pruned file set")
+    // the payoff: joined to a big side, the SMALL log table is chosen
+    // as the broadcast side with NO hint (without reported stats a V2
+    // relation weighs defaultSizeInBytes ≈ ∞ and this plans a
+    // sort-merge join)
+    val big = spark.range(0, 3000000L).select(col("id").as("k"),
+      (col("id") % 7).as("w"))
+    val joined = big.join(small, "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a 100-row log table must auto-broadcast, got:\n$plan")
+  }
+
   // ---- capped CDF exclude-path collect -------------------------------
 
   test("the exclude-path CDF collect rides the driver cap like its siblings") {
