@@ -208,9 +208,14 @@ private[graft] object DvPerFile {
     * dropped only when it still reads the retracted gen, which forces
     * the next read through the one counted listing fallback — that
     * listing finds the true max marker and heals the pointer at it.
-    * A pointer reading any OTHER gen (the rival's, or an older
-    * commit's) is left untouched: it points at a real marker at or
-    * below the ceiling and the forward probe walks up from there. */
+    * The pointer is dropped whenever it reads AT-OR-BELOW the
+    * retracted gen — not only when it reads it exactly
+    * (review-caught): a pointer parked BELOW the gap this deletion
+    * opens (both the loser's and a higher rival's writePtr racing or
+    * swallow-failing) would let the forward probe stop at the gap and
+    * miss the rival's committed marker above it. A pointer reading
+    * ABOVE the retracted gen points at a real marker past the gap and
+    * stays. */
   def retractMarker(conf: Configuration, tableDir: String,
                     gen: Int): Unit = {
     val d = pfDir(tableDir)
@@ -219,7 +224,7 @@ private[graft] object DvPerFile {
     val ptr = new Path(d, PtrName)
     val reads = scala.util.Try(
       AtomicFiles.readString(conf, ptr).trim.toInt).toOption
-    if (reads.contains(gen)) scala.util.Try(fs.delete(ptr, false))
+    if (reads.exists(_ <= gen)) scala.util.Try(fs.delete(ptr, false))
   }
 
   /** The (dataFileName → sidecar gen) map recorded in gen's marker;

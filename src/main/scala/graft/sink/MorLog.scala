@@ -551,6 +551,7 @@ object MorLog {
     }
     val hit = histCache.keySet.iterator
     while (hit.hasNext) if (hit.next().startsWith(s"$dir#")) hit.remove()
+    lenCache.remove(dir)
     dropStatsCache(dir)
     tagCache.remove(dir)
   }
@@ -651,13 +652,7 @@ object MorLog {
       df.select(col("*") +: dup: _*).write.mode("overwrite")
         .partitionBy(parts.map("__gp_" + _._1): _*).parquet(stage)
     }
-    def leaves(p: Path): Seq[Path] =
-      fs.listStatus(p).toSeq.flatMap { s =>
-        if (s.isDirectory) leaves(s.getPath)
-        else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
-        else Seq.empty
-      }
-    val staged = leaves(new Path(stage)).sortBy(_.toString)
+    val staged = listStaged(fs, stage).sorted.map(new Path(_))
     val names = staged.zipWithIndex.map { case (p, i) =>
       val n = s"part-v$v-$uid-$i.parquet"
       if (!fs.rename(p, new Path(s"$dir/$n")))
@@ -807,8 +802,8 @@ object MorLog {
     versions(spark, dir).iterator
       .map(v => state(spark, dir, v).action)
       .collect { case a if a.startsWith("dropcol:") =>
-        a.stripPrefix("dropcol:") }
-      .toSet
+        a.stripPrefix("dropcol:").split(',').toSeq }
+      .flatten.toSet
 
   /** METADATA-ONLY DROP COLUMN: commit a version whose schema omits
     * `colName` — zero data IO; every read projects through the
@@ -818,22 +813,39 @@ object MorLog {
     * earlier versions. Completes the tier's schema evolution
     * alongside add ([[evolveAppend]]) and safe widening (q233). */
   def dropColumn(spark: SparkSession, dir: String,
-                 colName: String): Unit = withOcc(spark, dir) {
+                 colName: String): Unit =
+    dropColumns(spark, dir, Seq(colName))
+
+  /** Multi-column form, ONE committed version — what keeps a SQL
+    * `ALTER TABLE … DROP COLUMNS (x, y)` statement-atomic
+    * (review-caught: applying per-column commits left x gone when y's
+    * validation refused). Every name validates against the CURRENT
+    * schema before anything commits. */
+  def dropColumns(spark: SparkSession, dir: String,
+                  colNames: Seq[String]): Unit = withOcc(spark, dir) {
+    require(colNames.nonEmpty, "dropColumns: no columns")
+    require(colNames.distinct.size == colNames.size,
+      s"dropColumns: duplicate name in $colNames")
+    colNames.foreach(n => require(!n.contains(','),
+      s"dropColumns: $n — names with ',' cannot ride the action tag"))
     val st = currentState(spark, dir)
-    require(st.schema.fieldNames.contains(colName),
-      s"dropColumn: $colName is not in the schema")
-    require(st.schema.fields.length > 1,
-      "dropColumn: cannot drop the only column")
-    require(!st.schema.fields.exists(f =>
-      f.name == colName && f.metadata.contains(PartKey)),
-      s"dropColumn: $colName is a partition column — dropping it " +
-        "would orphan the table's file alignment; rewrite the table")
-    val narrowed = StructType(st.schema.fields.filterNot(
-      _.name == colName))
+    colNames.foreach { colName =>
+      require(st.schema.fieldNames.contains(colName),
+        s"dropColumn: $colName is not in the schema")
+      require(!st.schema.fields.exists(f =>
+        f.name == colName && f.metadata.contains(PartKey)),
+        s"dropColumn: $colName is a partition column — dropping it " +
+          "would orphan the table's file alignment; rewrite the table")
+    }
+    require(st.schema.fields.length > colNames.size,
+      "dropColumn: cannot drop every column")
+    val gone = colNames.toSet
+    val narrowed = StructType(st.schema.fields.filterNot(f =>
+      gone.contains(f.name)))
     commitPauseHook(dir, st.version + 1)
     writeState(spark, dir,
-      State(st.version + 1, s"dropcol:$colName", st.tombsV, st.pfCeil,
-        narrowed, st.files, st.tombsUid), st.files)
+      State(st.version + 1, s"dropcol:${colNames.mkString(",")}",
+        st.tombsV, st.pfCeil, narrowed, st.files, st.tombsUid), st.files)
   }
 
   /** METADATA-ONLY RENAME COLUMN (Delta's column-mapping rename, the
@@ -1161,7 +1173,7 @@ object MorLog {
   private[graft] def estimateScanRows(spark: SparkSession, dir: String,
                                       version: Int,
                                       cond: Option[Column])
-      : Option[Long] = {
+      : Option[(Long, Long)] = {
     val st = state(spark, dir, version)
     val stats = statsOf(spark, dir, version)
     val scan = cond match {
@@ -1169,15 +1181,43 @@ object MorLog {
         statsLogical(st, stats), st.files, c)._1
       case None => st.files
     }
-    var total = 0L
+    // on-disk byte lengths from ONE table-dir listing (the same cost
+    // class as any file source's index listing), cached: data file
+    // names are attempt-unique so a name's length never changes — the
+    // cache only re-lists when a (newly committed) name is missing
+    val names = scan.map(f => new Path(f).getName)
+    val lens = fileLens(spark, dir, names)
+    var rows = 0L
+    var bytes = 0L
     val it = scan.iterator
     while (it.hasNext) {
-      stats.get(it.next()).flatMap(_.values.map(_.rows).maxOption) match {
-        case Some(r) => total += r
-        case None => return None
+      val f = it.next()
+      (FileStats.rowsOf(stats, f),
+        lens.get(new Path(f).getName)) match {
+        case (Some(r), Some(b)) => rows += r; bytes += b
+        case _ => return None
       }
     }
-    Some(total)
+    Some((rows, bytes))
+  }
+
+  /** name → on-disk length for the table's data files (see
+    * [[estimateScanRows]]); refreshed only when a needed name is
+    * absent, purged by [[invalidateDir]]. */
+  private val lenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]
+
+  private def fileLens(spark: SparkSession, dir: String,
+                       needed: Seq[String]): Map[String, Long] = {
+    val hit = lenCache.get(dir)
+    if (hit != null && needed.forall(hit.contains)) return hit
+    val fs = fsOf(spark, dir)
+    val m = fs.listStatus(new Path(dir)).iterator
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .map(s => s.getPath.getName -> s.getLen).toMap
+    lenCache.put(dir, m)
+    m
   }
 
   private def readData(spark: SparkSession, dir: String,
@@ -1585,9 +1625,10 @@ object MorLog {
     val fs = fsOf(spark, dir)
     val sized = st.files.map(n =>
       n -> fs.getFileStatus(new Path(resolvePath(dir, n))).getLen)
-    val small = sized.filter(_._2 < smallBytes).map(_._1)
+    val small = sized.filter(_._2 < smallBytes)
     if (small.size < 2) return 0
-    repackChosen(spark, dir, st, small, targetBytes, action, layout)
+    repackChosen(spark, dir, st, small.map(_._1), small.map(_._2).sum,
+      targetBytes, action, layout)
   }
 
   /** PREDICATE-SCOPED OPTIMIZE (the round-14 verdict's #4 — at 100 TB
@@ -1628,27 +1669,28 @@ object MorLog {
     MorLogStats.lastLocateScanned = hit.size
     MorLogStats.lastLocateSkipped = skip.size
     if (hit.isEmpty) return 0
-    repackChosen(spark, dir, st, hit, targetBytes, action, layout)
+    val fs = fsOf(spark, dir)
+    val bytes = hit.map(n =>
+      fs.getFileStatus(new Path(resolvePath(dir, n))).getLen).sum
+    repackChosen(spark, dir, st, hit, bytes, targetBytes, action, layout)
   }
 
   /** The shared rewrite core under [[compactSmall]]/[[clusterSmall]]
     * and [[compactWhere]]/[[clusterWhere]]: `chosen` files' VISIBLE
-    * rows rewrite (tombstones folding away), every other file and its
-    * tombstone entries carry into the new version untouched, old
-    * files stay on disk for time travel. */
+    * rows (`chosenBytes` on disk — sized by the caller, which already
+    * has the lengths in hand) rewrite with tombstones folding away,
+    * every other file and its tombstone entries carry into the new
+    * version untouched, old files stay on disk for time travel. */
   private def repackChosen(spark: SparkSession, dir: String, st: State,
-                           chosen: Seq[String], targetBytes: Long,
-                           action: String,
+                           chosen: Seq[String], chosenBytes: Long,
+                           targetBytes: Long, action: String,
                            layout: (DataFrame, Int) => DataFrame): Int = {
-    val fs = fsOf(spark, dir)
     val keepNames = st.files.filterNot(chosen.toSet)
     val visible = minusTombs(spark, dir, st,
         readFilesWithId(spark, dir, st, chosen))
       .drop(RPath, RName, RRow)
     val nOut = math.max(1,
-      math.ceil(chosen.map(n =>
-          fs.getFileStatus(new Path(resolvePath(dir, n))).getLen)
-        .sum.toDouble / targetBytes).toInt)
+      math.ceil(chosenBytes.toDouble / targetBytes).toInt)
     val v = st.version + 1
     val packed = stageIn(spark, dir,
       toPhysical(st, layout(visible, nOut)), v, partSpecPhys(st))
@@ -3198,8 +3240,7 @@ object MorLog {
                                        netBy: Option[String] = None)
       : Unit = {
     val fs = fsOf(spark, dir)
-    def dropAll(ps: Seq[String]): Unit = ps.foreach(p =>
-      scala.util.Try(fs.delete(new Path(p), false)))
+    def dropAll(ps: Seq[String]): Unit = dropAll2(fs, ps)
     if (dataStaged.isEmpty && deleteStaged.isEmpty) return
     if (appliedTags(spark, dir).contains(tag)) {
       dropAll(dataStaged ++ deleteStaged); return

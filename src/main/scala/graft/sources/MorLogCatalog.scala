@@ -133,6 +133,8 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog {
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val adds = Seq.newBuilder[StructField]
+    val renames = Seq.newBuilder[(String, String)]
+    val drops = Seq.newBuilder[String]
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
@@ -145,19 +147,34 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "ALTER TABLE RENAME COLUMN: nested fields are not supported")
-        MorLog.renameColumn(spark, dir, r.fieldNames.head, r.newName)
+        renames += (r.fieldNames.head -> r.newName)
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           "ALTER TABLE DROP COLUMN: nested fields are not supported")
-        MorLog.dropColumn(spark, dir, d.fieldNames.head)
+        drops += d.fieldNames.head
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName} is not supported " +
           "on the log tier — ADD COLUMNS / RENAME COLUMN / DROP COLUMN " +
           "map onto the tier's metadata-only evolution; type changes " +
           "require a rewrite")
     }
-    val addFields = adds.result()
-    if (addFields.nonEmpty) MorLog.addColumns(spark, dir, addFields)
+    // ONE engine commit per statement (review-caught: applying
+    // changes one commit at a time left earlier changes applied when
+    // a later one refused — non-atomic). SQL produces one change
+    // kind per ALTER statement; a mixed batch (programmatic callers)
+    // refuses rather than commit partially.
+    val (a, r, d) = (adds.result(), renames.result(), drops.result())
+    require(Seq(a.nonEmpty, r.nonEmpty, d.nonEmpty).count(identity) <= 1,
+      "ALTER TABLE: mixed add/rename/drop changes in one statement " +
+        "cannot commit atomically on the log tier — issue separate " +
+        "statements")
+    require(r.size <= 1,
+      "ALTER TABLE: multiple RENAME COLUMN changes in one statement " +
+        "cannot commit atomically — issue separate statements")
+    if (a.nonEmpty) MorLog.addColumns(spark, dir, a)
+    r.foreach { case (from, to) =>
+      MorLog.renameColumn(spark, dir, from, to) }
+    if (d.nonEmpty) MorLog.dropColumns(spark, dir, d)
     loadTable(ident)
   }
 

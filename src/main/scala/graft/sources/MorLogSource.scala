@@ -734,27 +734,31 @@ case class MorLogScan(path: String, pinnedVersion: Int,
       s"PrunedSchema: ${required.simpleString}, " +
       s"PushedFilters: [${filters.mkString(", ")}]"
 
-  /** Planning-time stats off the log's CACHED per-file footer counts
-    * (pruned under the pushed filters — zero file IO): rows, and
-    * bytes = rows × the pruned read schema's default row width
-    * (Spark's own estimation convention, so the broadcast threshold
-    * compares like for like). Unknown (conservative default) when any
-    * surviving file lacks stats — see
-    * [[graft.sink.MorLog.estimateScanRows]]. This is what lets a
-    * small catalog table AUTO-broadcast in a join. */
+  /** Planning-time stats for the pruned file set: rows from the
+    * log's CACHED footer counts, bytes from the files' ON-DISK
+    * lengths × `spark.sql.sources.fileCompressionFactor` — the exact
+    * basis Spark's own file sources use, so the broadcast threshold
+    * compares like for like (review-caught: rows × schema
+    * defaultSize under-weighs wide variable-length columns by orders
+    * of magnitude and could wrongly broadcast a huge table). Unknown
+    * (conservative default ≈ ∞) when any surviving file lacks stats
+    * or a length — see [[graft.sink.MorLog.estimateScanRows]]. This
+    * is what lets a small catalog table AUTO-broadcast in a join. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val spark = org.apache.spark.sql.SparkSession.active
     val cond = filters.map(filterToColumn).reduceOption(_ && _)
-    val rows = scala.util.Try(MorLog.estimateScanRows(
+    val est = scala.util.Try(MorLog.estimateScanRows(
       spark, path, pinnedVersion, cond)).toOption.flatten
-    val width = math.max(1L, required.defaultSize.toLong)
+    val factor = spark.conf
+      .get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        rows.map(r => java.util.OptionalLong.of(r * width))
+        est.map { case (_, b) => java.util.OptionalLong.of(
+          math.max(1L, (b * factor).toLong)) }
           .getOrElse(java.util.OptionalLong.empty())
       override def numRows(): java.util.OptionalLong =
-        rows.map(java.util.OptionalLong.of)
+        est.map { case (r, _) => java.util.OptionalLong.of(r) }
           .getOrElse(java.util.OptionalLong.empty())
     }
   }

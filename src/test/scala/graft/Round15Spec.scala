@@ -71,6 +71,14 @@ class Round15Spec extends AnyFunSuite {
     val c = setup(Seq(5, 6), ptr = 6)
     DvPerFile.retractMarker(hconf, c, 6)
     assert(DvPerFile.committedGen(spark, c).contains(5))
+    // DOUBLE pointer-write failure (review-caught): the pointer is
+    // parked BELOW the gap the retraction opens while the rival's
+    // marker sits above it — an at-or-below pointer must drop so the
+    // listing finds the true ceiling
+    val dd = setup(Seq(5, 6, 7), ptr = 5)
+    DvPerFile.retractMarker(hconf, dd, 6)
+    assert(DvPerFile.committedGen(spark, dd).contains(7),
+      "a pointer below the retraction gap must not cap the answer")
   }
 
   // ---- schema evolution through SQL ALTER --------------------------
