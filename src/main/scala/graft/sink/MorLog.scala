@@ -3210,10 +3210,12 @@ object MorLog {
   /** COMMIT one streaming-sink epoch: the executors' already-landed
     * staged files (PHYSICAL column names, partition-aligned) RENAME
     * into table data files and commit as ONE version — no second copy
-    * of the data, ever. With `mergeKey`, the epoch applies KEYED:
-    * victims = visible rows whose key appears in the epoch (data rows
-    * replace; delete-file keys just die), located through the same
-    * stats-pruned [[locateFiles]] every keyed op uses. Replays fence
+    * of the data, ever. With `mergeKeys` (one column or a composite
+    * tuple), the epoch applies KEYED: victims = visible rows whose
+    * key appears in the epoch (data rows replace; delete-file keys
+    * just die), located through the same stats-pruned
+    * [[locateFilesKeys]] every keyed op uses (per-column pruning,
+    * exact tuple match). Replays fence
     * on the committed action `tag` — a redelivered epoch finds its
     * commit and drops its staged files. Data keys must be unique, as
     * must delete keys; a key in BOTH is the change feed's upsert pair
@@ -3235,7 +3237,7 @@ object MorLog {
   private[graft] def commitStreamEpoch(spark: SparkSession, dir: String,
                                        dataStaged: Seq[String],
                                        deleteStaged: Seq[String],
-                                       mergeKey: Option[String],
+                                       mergeKeys: Seq[String],
                                        tag: String,
                                        netBy: Option[String] = None)
       : Unit = {
@@ -3245,12 +3247,12 @@ object MorLog {
     if (appliedTags(spark, dir).contains(tag)) {
       dropAll(dataStaged ++ deleteStaged); return
     }
-    require(mergeKey.isDefined || deleteStaged.isEmpty,
+    require(mergeKeys.nonEmpty || deleteStaged.isEmpty,
       "delete-tagged rows need mergeKey")
     val (dataNetted, delNetted, netDirs) =
       netBy match {
         case Some(ordCol) => netEpoch(spark, dir, dataStaged,
-          deleteStaged, mergeKey.get, ordCol)
+          deleteStaged, mergeKeys, ordCol)
         case None => (dataStaged, deleteStaged, Seq.empty[String])
       }
     // staged files re-rename per OCC attempt (the name carries the
@@ -3267,63 +3269,69 @@ object MorLog {
         n
       }
       current = names.map(n => s"$dir/$n")
-      mergeKey match {
-        case None =>
-          commitPauseHook(dir, v)
-          writeState(spark, dir,
-            State(v, tag, st.tombsV, st.pfCeil, st.schema,
-              st.files ++ names, st.tombsUid), st.files)
-        case Some(k) =>
-          val physK = st.schema.fields.find(_.name == k).map(physOf)
+      if (mergeKeys.isEmpty) {
+        commitPauseHook(dir, v)
+        writeState(spark, dir,
+          State(v, tag, st.tombsV, st.pfCeil, st.schema,
+            st.files ++ names, st.tombsUid), st.files)
+      } else {
+        val physKs = mergeKeys.map(k =>
+          k -> st.schema.fields.find(_.name == k).map(physOf)
             .getOrElse(throw new IllegalArgumentException(
-              s"mergeKey $k is not in the schema"))
-          val dataKeys =
-            if (names.isEmpty) None
-            else Some(spark.read.schema(physSchema(st))
-              .parquet(current: _*).select(col(physK).as(k)))
-          val delKeys =
-            if (delNetted.isEmpty) None
-            else Some(spark.read.parquet(delNetted: _*)
-              .select(col(physK).as(k)))
-          // per-side uniqueness; the union may overlap (upsert pair)
-          (dataKeys.toSeq ++ delKeys.toSeq).zip(Seq("data", "delete"))
-            .foreach { case (ks, side) =>
-              val g = ks.agg(count(lit(1)).as("n"),
-                count_distinct(col(k)).as("nk"),
-                count(when(col(k).isNull, 1)).as("nulls")).head()
-              require(g.getLong(2) == 0,
-                s"stream epoch: NULL $k in $side rows")
-              require(g.getLong(0) == g.getLong(1),
-                s"stream epoch is not unique on $k in its $side rows " +
-                  "— net per key upstream (one source version per " +
-                  "epoch via maxVersionsPerTrigger=1 makes this exact)")
-            }
-          val keys = (dataKeys.toSeq ++ delKeys.toSeq)
-            .reduce(_ unionByName _).distinct().persist()
-          try {
-            val scanFiles = locateFiles(spark, dir, st, k, keys)
-            commitPauseHook(dir, v)
-            locked(dir) {
-              checkFree(spark, dir, v)
-              val (_, tombsV, tombsUid, pfCeil) =
-                if (scanFiles.isEmpty)
-                  (0L, st.tombsV, st.tombsUid, st.pfCeil)
-                else {
-                  val visible = minusTombs(spark, dir, st,
-                    readFilesWithId(spark, dir, st, scanFiles))
-                  val victims = visible
-                    .join(broadcast(keys), Seq(k), "left_semi")
-                    .select(col(RPath), col(RName), col(RRow))
-                  commitTombs(spark, dir, st, victims, v)
-                }
-              try writeState(spark, dir,
-                State(v, tag, tombsV, pfCeil, st.schema,
-                  st.files ++ names, tombsUid), st.files)
-              catch { case e: CommitConflictException =>
-                retractTombs(spark, dir, st, pfCeil); throw e
+              s"mergeKey $k is not in the schema")))
+        def logical(df: DataFrame): DataFrame =
+          df.select(physKs.map { case (k, pk) => col(pk).as(k) }: _*)
+        val dataKeys =
+          if (names.isEmpty) None
+          else Some(logical(spark.read.schema(physSchema(st))
+            .parquet(current: _*)))
+        val delKeys =
+          if (delNetted.isEmpty) None
+          else Some(logical(spark.read.parquet(delNetted: _*)))
+        val anyNull = mergeKeys.map(col(_).isNull).reduce(_ || _)
+        // per-side uniqueness; the union may overlap (upsert pair)
+        (dataKeys.toSeq ++ delKeys.toSeq).zip(Seq("data", "delete"))
+          .foreach { case (ks, side) =>
+            val g = ks.agg(count(lit(1)).as("n"),
+              count_distinct(col(mergeKeys.head),
+                mergeKeys.tail.map(col): _*).as("nk"),
+              count(when(anyNull, 1)).as("nulls")).head()
+            require(g.getLong(2) == 0,
+              s"stream epoch: NULL key column " +
+                s"(${mergeKeys.mkString(", ")}) in $side rows")
+            require(g.getLong(0) == g.getLong(1),
+              s"stream epoch is not unique on " +
+                s"(${mergeKeys.mkString(", ")}) in its $side rows " +
+                "— net per key upstream (one source version per " +
+                "epoch via maxVersionsPerTrigger=1 makes this exact)")
+          }
+        val keys = (dataKeys.toSeq ++ delKeys.toSeq)
+          .reduce(_ unionByName _).distinct().persist()
+        try {
+          val scanFiles = locateFilesKeys(spark, dir, st,
+            mergeKeys.map(k => k -> k), keys)
+          commitPauseHook(dir, v)
+          locked(dir) {
+            checkFree(spark, dir, v)
+            val (_, tombsV, tombsUid, pfCeil) =
+              if (scanFiles.isEmpty)
+                (0L, st.tombsV, st.tombsUid, st.pfCeil)
+              else {
+                val visible = minusTombs(spark, dir, st,
+                  readFilesWithId(spark, dir, st, scanFiles))
+                val victims = visible
+                  .join(broadcast(keys), mergeKeys, "left_semi")
+                  .select(col(RPath), col(RName), col(RRow))
+                commitTombs(spark, dir, st, victims, v)
               }
+            try writeState(spark, dir,
+              State(v, tag, tombsV, pfCeil, st.schema,
+                st.files ++ names, tombsUid), st.files)
+            catch { case e: CommitConflictException =>
+              retractTombs(spark, dir, st, pfCeil); throw e
             }
-          } finally keys.unpersist()
+          }
+        } finally keys.unpersist()
       }
     }
     dropAll(delNetted)
@@ -3339,24 +3347,25 @@ object MorLog {
     * writes only the affected side's epoch files — never table data. */
   private def netEpoch(spark: SparkSession, dir: String,
                        dataStaged: Seq[String], deleteStaged: Seq[String],
-                       k: String, ordCol: String)
+                       ks: Seq[String], ordCol: String)
       : (Seq[String], Seq[String], Seq[String]) = {
     import org.apache.spark.sql.expressions.Window
     val fs = fsOf(spark, dir)
     val st = currentState(spark, dir)
-    val physK = st.schema.fields.find(_.name == k).map(physOf)
-      .getOrElse(throw new IllegalArgumentException(
-        s"mergeKey $k is not in the schema"))
-    val physO = st.schema.fields.find(_.name == ordCol).map(physOf)
-      .getOrElse(throw new IllegalArgumentException(
-        s"netBy $ordCol is not in the schema"))
+    def physOfName(n: String, what: String): String =
+      st.schema.fields.find(_.name == n).map(physOf)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$what $n is not in the schema"))
+    val physKs = ks.map(physOfName(_, "mergeKey"))
+    val physO = physOfName(ordCol, "netBy")
+    val kCols = physKs.map(col)
     val data = if (dataStaged.isEmpty) None
       else Some(spark.read.schema(physSchema(st)).parquet(dataStaged: _*))
     val dels = if (deleteStaged.isEmpty) None
       else Some(spark.read.parquet(deleteStaged: _*))
     def sideAgg(df: DataFrame, side: String): (Long, Long) = {
       val r = df.agg(count(lit(1)).as("n"),
-        count_distinct(col(physK)).as("nk"),
+        count_distinct(kCols.head, kCols.tail: _*).as("nk"),
         count(when(col(physO).isNull, 1)).as("no")).head()
       require(r.getLong(2) == 0,
         s"stream epoch netBy: NULL $ordCol in $side rows — the order " +
@@ -3365,12 +3374,12 @@ object MorLog {
     }
     val (nData, nDataKeys) = data.map(sideAgg(_, "data")).getOrElse((0L, 0L))
     val (nDel, nDelKeys) = dels.map(sideAgg(_, "delete")).getOrElse((0L, 0L))
-    val delMax = dels.map(_.groupBy(col(physK))
+    val delMax = dels.map(_.groupBy(kCols: _*)
       .agg(max(col(physO)).as("_net_dord")))
     // delete-beats-data losses (only possible when both sides land)
     val lossCnt = (data, delMax) match {
-      case (Some(d), Some(m)) => d.select(col(physK), col(physO))
-        .join(m, Seq(physK))
+      case (Some(d), Some(m)) => d.select((kCols :+ col(physO)): _*)
+        .join(m, physKs)
         .filter(col("_net_dord") > col(physO)).count()
       case _ => 0L
     }
@@ -3381,21 +3390,22 @@ object MorLog {
     val dataOut = if (nData == nDataKeys && lossCnt == 0L) dataStaged
       else {
         val d = data.get
-        val byK = Window.partitionBy(col(physK))
+        val byK = Window.partitionBy(kCols: _*)
           .orderBy(col(physO).desc)
         val top = d
           .withColumn("_net_rn", row_number().over(byK))
           .withColumn("_net_tie", count(lit(1))
-            .over(Window.partitionBy(col(physK), col(physO))))
+            .over(Window.partitionBy((kCols :+ col(physO)): _*)))
           .filter(col("_net_rn") === 1).persist()
         try {
           require(top.filter(col("_net_tie") > 1).isEmpty,
-            s"stream epoch netBy: data rows tie on ($k, $ordCol) — an " +
+            s"stream epoch netBy: data rows tie on " +
+              s"((${ks.mkString(", ")}), $ordCol) — an " +
               "arbitrary winner would be nondeterministic; include a " +
               "finer order column")
           val survivors = delMax match {
             case None => top
-            case Some(m) => top.join(m, Seq(physK), "left")
+            case Some(m) => top.join(m, physKs, "left")
               .filter(col("_net_dord").isNull ||
                 col(physO) >= col("_net_dord"))
           }
@@ -3424,7 +3434,7 @@ object MorLog {
       else {
         val out = s"$dir/$LogDir/sstage_netk_$uid"
         dirs += out
-        delMax.get.select(col(physK), col("_net_dord").as(physO))
+        delMax.get.select((kCols :+ col("_net_dord").as(physO)): _*)
           .write.parquet(out)
         dropAll2(fs, deleteStaged)
         listStaged(fs, out)

@@ -4,9 +4,9 @@ import java.util
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
@@ -42,7 +42,8 @@ import graft.sink.MorLog
   * the column mapping); type changes refuse loud (rewrite territory).
   * Since round 14 the catalog is also a [[ProcedureCatalog]]:
   * `CALL <cat>.system.compact|compact_small|cluster|vacuum|history`. */
-class MorLogCatalog extends TableCatalog with ProcedureCatalog {
+class MorLogCatalog extends TableCatalog with ProcedureCatalog
+    with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
@@ -221,6 +222,90 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog {
       : Array[Identifier] =
     MorLogProcedures.Known.toArray.sorted
       .map(Identifier.of(Array("system"), _))
+
+  // ---- namespaces (SQL CREATE/SHOW/DROP NAMESPACE) -------------------
+  // A namespace IS a directory under the root that is not itself a
+  // table — the same no-extra-metastore stance as tables (any dir a
+  // Scala user mkdir'd is immediately a namespace and vice versa).
+  // Namespace properties (COMMENT/LOCATION/...) have nowhere durable
+  // to live in this layout, so non-empty creation properties and
+  // ALTER NAMESPACE refuse loud rather than silently drop.
+
+  private def nsDir(namespace: Array[String]): String =
+    (root +: namespace.toSeq).mkString("/")
+
+  private def isNamespaceDir(p: Path): Boolean =
+    fs.getFileStatus(p).isDirectory && !isTable(p.toString)
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    val p = new Path(nsDir(namespace))
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    if (!fs.exists(p)) return Array.empty
+    fs.listStatus(p).iterator
+      .filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".") &&
+        !isTable(s.getPath.toString))
+      .map(s => namespace :+ s.getPath.getName)
+      .toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val p = new Path(nsDir(namespace))
+      fs.exists(p) && isNamespaceDir(p)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String])
+      : Unit = {
+    require(namespace.nonEmpty, "CREATE NAMESPACE: empty name")
+    // Spark stamps an "owner" property on every CREATE NAMESPACE;
+    // anything beyond that has nowhere durable to live here
+    val rest = metadata.keySet().iterator()
+    while (rest.hasNext) {
+      val k = rest.next()
+      require(k == SupportsNamespaces.PROP_OWNER,
+        s"CREATE NAMESPACE: property $k is not supported — this " +
+          "catalog stores no namespace metadata (a namespace IS a " +
+          "directory)")
+    }
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(new Path(nsDir(namespace)))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "ALTER NAMESPACE is not supported — this catalog stores no " +
+        "namespace metadata (a namespace IS a directory)")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val p = new Path(nsDir(namespace))
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new NonEmptyNamespaceException(namespace)
+    // cascade: every table under it goes through the same cache purge
+    // a DROP TABLE performs (advice lesson: stale driver caches serve
+    // a re-created path wrong reads)
+    if (cascade) listTables(namespace).foreach(dropTable)
+    val ok = fs.delete(p, cascade)
+    ok
+  }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit = {

@@ -465,17 +465,22 @@ class MorLogWriteBuilder(path: String, partitionBy: Seq[String],
             "(the schema and partition spec are the table's contract)")
         val (cols, parts) = MorLog.connectorSinkPlan(spark, path)
         val opts = info.options
-        val mergeKey = Option(opts.get("mergeKey"))
+        // comma-separated = a COMPOSITE key (the tuple forms of the
+        // locate/netting — same semantics as multi-equality MERGE ON)
+        val mergeKeys = Option(opts.get("mergeKey")).toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        require(mergeKeys.distinct.size == mergeKeys.size,
+          s"mergeKey: duplicate column in $mergeKeys")
         val opCol = Option(opts.get("opCol"))
         val deleteValue = Option(opts.get("deleteValue")).getOrElse("D")
-        require(opCol.isEmpty || mergeKey.isDefined,
+        require(opCol.isEmpty || mergeKeys.nonEmpty,
           "opCol routing needs mergeKey (deletes are keyed)")
         // optional in-epoch netting: without it an epoch must be
         // key-unique per side (one source version per epoch); with it
         // duplicate keys last-wins-net on this ORDER column, so
         // arbitrary multi-version feeds can sink uncapped
         val netBy = Option(opts.get("netBy"))
-        require(netBy.isEmpty || mergeKey.isDefined,
+        require(netBy.isEmpty || mergeKeys.nonEmpty,
           "netBy needs mergeKey (netting is per key)")
         val maxOpenWriters =
           Option(opts.get("maxOpenWriters")).map(_.trim.toInt)
@@ -499,11 +504,11 @@ class MorLogWriteBuilder(path: String, partitionBy: Seq[String],
         }
         opCol.foreach(c => require(in(c).dataType == StringType,
           s"opCol $c must be STRING"))
-        mergeKey.foreach(k => require(cols.exists(_._1 == k),
+        mergeKeys.foreach(k => require(cols.exists(_._1 == k),
           s"mergeKey $k is not a table column"))
         netBy.foreach(c => require(cols.exists(_._1 == c),
           s"netBy $c is not a table column"))
-        netBy.foreach(c => require(!mergeKey.contains(c),
+        netBy.foreach(c => require(!mergeKeys.contains(c),
           s"netBy $c must differ from mergeKey (ordering within a key)"))
         val dataNames = cols.map(_._1).toArray
         val dataTypes = cols.map(_._2).toArray
@@ -513,11 +518,10 @@ class MorLogWriteBuilder(path: String, partitionBy: Seq[String],
           (dataNames.indexOf(n), tf) }
         new MorLogStreamingWrite(path, info.queryId, dataNames,
           dataTypes, physNames, dataOrdinals, partIdx,
-          opCol.map(in.fieldIndex).getOrElse(-1), deleteValue, mergeKey,
-          mergeKey.map(k => physNames(dataNames.indexOf(k)))
-            .getOrElse(""),
-          mergeKey.map(k => dataTypes(dataNames.indexOf(k)))
-            .getOrElse(LongType),
+          opCol.map(in.fieldIndex).getOrElse(-1), deleteValue,
+          mergeKeys,
+          mergeKeys.map(k => physNames(dataNames.indexOf(k))).toArray,
+          mergeKeys.map(k => dataTypes(dataNames.indexOf(k))).toArray,
           new DvPerFile.SerConf(spark.sparkContext.hadoopConfiguration),
           // session zone: the sink's partition derivation must group
           // by the same boundaries as the batch path's session-zone

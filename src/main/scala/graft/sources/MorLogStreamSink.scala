@@ -23,7 +23,8 @@ import graft.sink.{DvPerFile, MorLog}
   *     .option("path", src).option("streamChanges", "true").load()
   *     … .writeStream.format("graft.sources.MorLogSource")
   *     .option("path", dst)
-  *     .option("mergeKey", "k")          // keyed apply (else append)
+  *     .option("mergeKey", "k")          // keyed apply (else append);
+  *                                       //   "a,b" = composite key
   *     .option("opCol", "op")            // rows whose op =
   *     .option("deleteValue", "delete")  //   deleteValue DELETE k
   *     .start()
@@ -171,8 +172,9 @@ class MorLogStreamingWrite(path: String, queryId: String,
                            dataOrdinals: Array[Int],
                            partSpec: Seq[(Int, String)],
                            opOrdinal: Int, deleteValue: String,
-                           mergeKey: Option[String], physKey: String,
-                           keyType: DataType,
+                           mergeKeys: Seq[String],
+                           physKeys: Array[String],
+                           keyTypes: Array[DataType],
                            conf: DvPerFile.SerConf,
                            zoneId: String = "UTC",
                            netBy: Option[String] = None,
@@ -187,7 +189,7 @@ class MorLogStreamingWrite(path: String, queryId: String,
     // must not capture this (non-serializable) StreamingWrite
     MorLogEpochWriterFactory(s"$path/_log", dataNames, dataTypes,
       physNames, dataOrdinals, partSpec, opOrdinal, deleteValue,
-      physKey, keyType, conf, zoneId, netPhys, netOrdinal, netType,
+      physKeys, keyTypes, conf, zoneId, netPhys, netOrdinal, netType,
       maxOpenWriters)
 
   override def commit(epochId: Long,
@@ -197,7 +199,7 @@ class MorLogStreamingWrite(path: String, queryId: String,
     MorLog.commitStreamEpoch(spark, path,
       staged.flatMap(_.dataFiles).toSeq,
       staged.flatMap(_.deleteFiles).toSeq,
-      mergeKey, s"sink:${queryId}b$epochId", netBy)
+      mergeKeys, s"sink:${queryId}b$epochId", netBy)
   }
 
   override def abort(epochId: Long,
@@ -219,7 +221,8 @@ case class MorLogEpochWriterFactory(logDir: String,
                                     dataOrdinals: Array[Int],
                                     partSpec: Seq[(Int, String)],
                                     opOrdinal: Int, deleteValue: String,
-                                    physKey: String, keyType: DataType,
+                                    physKeys: Array[String],
+                                    keyTypes: Array[DataType],
                                     conf: DvPerFile.SerConf,
                                     zoneId: String = "UTC",
                                     netPhys: String = "",
@@ -230,9 +233,9 @@ case class MorLogEpochWriterFactory(logDir: String,
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new MorLogEpochWriter(logDir, dataNames, dataTypes, physNames,
-      dataOrdinals, partSpec, opOrdinal, deleteValue, physKey, keyType,
-      new Configuration(conf.value), zoneId, netPhys, netOrdinal,
-      netType, maxOpenWriters)
+      dataOrdinals, partSpec, opOrdinal, deleteValue, physKeys,
+      keyTypes, new Configuration(conf.value), zoneId, netPhys,
+      netOrdinal, netType, maxOpenWriters)
 }
 
 /** One task's epoch writer: routes delete-tagged rows to a key-only
@@ -244,8 +247,8 @@ class MorLogEpochWriter(logDir: String, dataNames: Array[String],
                         physNames: Array[String],
                         dataOrdinals: Array[Int],
                         partSpec: Seq[(Int, String)], opOrdinal: Int,
-                        deleteValue: String, physKey: String,
-                        keyType: DataType, conf: Configuration,
+                        deleteValue: String, physKeys: Array[String],
+                        keyTypes: Array[DataType], conf: Configuration,
                         zoneId: String = "UTC",
                         netPhys: String = "", netOrdinal: Int = -1,
                         netType: DataType = LongType,
@@ -254,9 +257,8 @@ class MorLogEpochWriter(logDir: String, dataNames: Array[String],
 
   private val msgType = GroupEncode.messageType(physNames, dataTypes)
   // constant for the writer's lifetime; write() is the hot path
-  private val keyOrd =
-    if (physKey.nonEmpty) dataOrdinals(physNames.indexOf(physKey))
-    else -1
+  private val keyOrds =
+    physKeys.map(pk => dataOrdinals(physNames.indexOf(pk)))
   // the SESSION zone, captured at query start: the batch write path
   // derives days/months/years/hours with session-zone SQL
   // (to_date/date_trunc), and the sink must group by the SAME
@@ -301,9 +303,9 @@ class MorLogEpochWriter(logDir: String, dataNames: Array[String],
   private var delWriter: (ParquetWriter[Group], String) = _
   private lazy val delMsgType =
     if (netPhys.nonEmpty)
-      GroupEncode.messageType(Array(physKey, netPhys),
-        Array(keyType, netType))
-    else GroupEncode.messageType(Array(physKey), Array(keyType))
+      GroupEncode.messageType(physKeys :+ netPhys,
+        keyTypes :+ netType)
+    else GroupEncode.messageType(physKeys, keyTypes)
   private lazy val delFactory = new SimpleGroupFactory(delMsgType)
 
   // NOT dot/underscore-prefixed: Spark's file index treats those as
@@ -372,7 +374,11 @@ class MorLogEpochWriter(logDir: String, dataNames: Array[String],
         delWriter = (GroupEncode.open(conf, new Path(p), delMsgType), p)
       }
       val g = delFactory.newGroup()
-      GroupEncode.add(g, physKey, keyType, row, keyOrd)
+      var i = 0
+      while (i < physKeys.length) {
+        GroupEncode.add(g, physKeys(i), keyTypes(i), row, keyOrds(i))
+        i += 1
+      }
       if (netOrdinal >= 0)
         GroupEncode.add(g, netPhys, netType, row, netOrdinal)
       delWriter._1.write(g)

@@ -327,6 +327,38 @@ class Round15Spec extends AnyFunSuite {
     assert(got == 12L, s"tuple-matched update drifted: $got")
   }
 
+  test("streaming sink with a COMPOSITE mergeKey: tuple upserts/deletes, netBy nets per tuple") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val work = tmp("r15_cksink")
+    val dst = s"$work/dst"
+    // key = (a, b): rows sharing `a` are DIFFERENT keys
+    MorLog.create(Seq(
+      (1L, "x", 10L, 0L), (1L, "y", 11L, 0L), (2L, "x", 20L, 0L))
+      .toDF("a", "b", "v", "seq"), dst)
+    val in = MemoryStream[(Long, String, Long, Long, String)](spark)
+    // (1,x): update seq1 then delete seq2 -> dies; (1,y): update ->
+    // 111; (2,x) untouched; (3,z): insert twice, last (seq5) wins
+    in.addData(
+      (1L, "x", 99L, 1L, "U"), (1L, "x", 0L, 2L, "D"),
+      (1L, "y", 111L, 1L, "U"),
+      (3L, "z", 30L, 4L, "U"), (3L, "z", 33L, 5L, "U"))
+    val v0 = MorLog.currentVersion(spark, dst)
+    val q = in.toDF().toDF("a", "b", "v", "seq", "op")
+      .writeStream.format("graft.sources.MorLogSource")
+      .option("path", dst).option("mergeKey", "a,b")
+      .option("opCol", "op").option("deleteValue", "D")
+      .option("netBy", "seq")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(MorLog.currentVersion(spark, dst) == v0 + 1)
+    val got = MorLog.read(spark, dst).as[(Long, String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq((1L, "y", 111L, 1L), (2L, "x", 20L, 0L),
+      (3L, "z", 33L, 5L)), s"composite-key apply drifted: $got")
+  }
+
   // ---- predicate-scoped maintenance ---------------------------------
 
   test("compactWhere rewrites only the stats-selected partition; other files stay byte-identical") {
@@ -410,6 +442,36 @@ class Round15Spec extends AnyFunSuite {
       s"sink day alignment drifted (scanned " +
         s"${MorLogStats.lastFilesScanned}, skipped " +
         s"${MorLogStats.lastFilesSkipped})")
+  }
+
+  // ---- namespaces -----------------------------------------------------
+
+  test("CREATE/SHOW/DROP NAMESPACE: a namespace IS a directory; drop refuses non-empty without CASCADE") {
+    val root = tmp("r15_ns")
+    val c = cat(root)
+    spark.sql(s"CREATE NAMESPACE $c.staging")
+    assert(spark.sql(s"SHOW NAMESPACES IN $c").collect()
+      .map(_.getString(0)).contains("staging"))
+    spark.sql(s"CREATE TABLE $c.staging.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $c.staging.t VALUES (1, 10), (2, 20)")
+    assert(spark.sql(s"SELECT sum(v) FROM $c.staging.t")
+      .head().getLong(0) == 30)
+    // a table dir is NOT a namespace
+    assert(!spark.sql(s"SHOW NAMESPACES IN $c").collect()
+      .map(_.getString(0)).contains("t"))
+    // non-empty drop refuses without CASCADE
+    val e = intercept[Throwable](
+      spark.sql(s"DROP NAMESPACE $c.staging"))
+    assert(chain(e).toLowerCase.contains("empty") ||
+      e.getClass.getSimpleName.contains("NonEmpty"), chain(e))
+    spark.sql(s"DROP NAMESPACE $c.staging CASCADE")
+    assert(!spark.sql(s"SHOW NAMESPACES IN $c").collect()
+      .map(_.getString(0)).contains("staging"))
+    // ALTER NAMESPACE has nowhere to store metadata → refuses loud
+    spark.sql(s"CREATE NAMESPACE $c.m")
+    val e2 = intercept[Throwable](spark.sql(
+      s"ALTER NAMESPACE $c.m SET PROPERTIES ('k'='v')"))
+    assert(chain(e2).contains("no namespace metadata"), chain(e2))
   }
 
   // ---- connector scan statistics --------------------------------------
