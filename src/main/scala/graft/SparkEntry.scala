@@ -618,6 +618,10 @@ object SparkEntry {
     // feed into ONE epoch commit; mirror == source (asserted in-query)
     "q288_morlog_stream_net" -> ((s, d) =>
       CoreQueries.morLogStreamNet(s, d)),
+    // composite-key CDC end-to-end: tuple-keyed Scala merge + a
+    // composite-mergeKey netted sink drain, one epoch, exact decimals
+    "q289_morlog_composite_cdc" -> ((s, d) =>
+      CoreQueries.morLogCompositeCdc(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1665,6 +1669,25 @@ object SparkEntry {
              AS total_value,
            CAST(sum(event_id) AS BIGINT) AS sum_event_id
          FROM st3 GROUP BY event_type""",
+    // the tuple-keyed lifecycle in DECIMAL(18,2) money: per-
+    // (event_type, bucket) totals, delete bucket%7=3, +1000 on
+    // bucket%5=0, mirrored through the composite-mergeKey netted sink
+    "q289_morlog_composite_cdc" ->
+      """WITH base AS (
+           SELECT event_type, event_id % 50 AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS total
+           FROM events GROUP BY 1, 2),
+         st1 AS (SELECT * FROM base WHERE bucket % 7 <> 3),
+         st2 AS (SELECT event_type, bucket, n,
+             CASE WHEN bucket % 5 = 0 THEN total + 1000
+               ELSE total END AS total
+           FROM st1)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(total) AS DOUBLE) AS total_value,
+           CAST(sum(bucket) AS BIGINT) AS sum_bucket
+         FROM st2 GROUP BY event_type""",
     // the TIMESTAMP AS OF travel lands on the pre-delete snapshot =
     // all events (monotonicity + three-way agreement asserted
     // in-query)

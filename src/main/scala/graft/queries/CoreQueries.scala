@@ -4658,6 +4658,73 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** COMPOSITE-KEY CDC END-TO-END (q289): the tuple-key surface
+    * joined up — a table keyed on (event_type, bucket) mutates
+    * through [[graft.sink.MorLog.deleteWhere]] and the SCALA
+    * composite-key merge ([[graft.sink.MorLog.mergeIntoClausesKeys]],
+    * the API under q286's SQL form), then the WHOLE three-version
+    * feed drains through the streaming sink with a composite
+    * `mergeKey = "event_type,bucket"` and `netBy` netting in ONE
+    * epoch commit — mirror == source row-exactly (asserted). Money
+    * stays DECIMAL(18,2) end to end, so every sum is exact on both
+    * engines. */
+  def morLogCompositeCdc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, IntegerType,
+      StructField, StructType}
+    val work = graft.TempDirs.create("graft-ckcdc-")
+    val (src, dst) = (s"$work/src", s"$work/dst")
+    val base = Tables.events(s, d)
+      .select(col("event_type"), (col("event_id") % 50).as("bucket"),
+        col("value"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("total"))
+    graft.sink.MorLog.create(base.repartition(4), src)
+    graft.sink.MorLog.deleteWhere(s, src, col("bucket") % 7 === 3)
+    val upd = graft.sink.MorLog.read(s, src)
+      .filter(col("bucket") % 5 === 0)
+      .select(col("event_type"), col("bucket"))
+    val (u, del, ins) = graft.sink.MorLog.mergeIntoClausesKeys(s, src,
+      upd, Seq("event_type", "bucket"), Seq("event_type", "bucket"),
+      matched = Seq(graft.sink.MorLog.MergeClause(None, "update",
+        Seq("total" -> "t.total + 1000"))))
+    require(u == upd.count() && del == 0 && ins == 0,
+      s"q289: the composite-key merge must update exactly the " +
+        s"filtered tuples ($u/${upd.count()})")
+    graft.sink.MorLog.createEmpty(s, dst, StructType(
+      graft.sink.MorLog.read(s, src).schema.fields :+
+        StructField("ver", IntegerType)))
+    val v0 = graft.sink.MorLog.currentVersion(s, dst)
+    val q = s.readStream.format("graft.sources.MorLogSource")
+      .option("path", src).option("streamChanges", "true")
+      .option("startingVersion", "0").load()
+      .withColumn("op", col("_change_type"))
+      .withColumn("ver", col("_commit_version").cast("int"))
+      .drop("_change_type", "_commit_version")
+      .writeStream.format("graft.sources.MorLogSource")
+      .option("path", dst)
+      .option("mergeKey", "event_type,bucket")
+      .option("opCol", "op").option("deleteValue", "delete")
+      .option("netBy", "ver")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    require(graft.sink.MorLog.currentVersion(s, dst) == v0 + 1,
+      "q289: the whole tuple-keyed feed must net into ONE epoch commit")
+    val mirror = graft.sink.MorLog.read(s, dst).drop("ver")
+    val snap = graft.sink.MorLog.read(s, src)
+    val diff = mirror.exceptAll(snap).count() +
+      snap.exceptAll(mirror).count()
+    require(diff == 0,
+      s"q289: tuple-keyed mirror drifted from the source by $diff rows")
+    mirror.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("total")).cast("double").as("total_value"),
+        sum(col("bucket")).as("sum_bucket"))
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {
