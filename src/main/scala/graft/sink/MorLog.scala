@@ -2394,6 +2394,62 @@ object MorLog {
       actionTag)
   }
 
+  /** COMPOSITE-KEY [[upsert]] — same replace-the-row semantics, a
+    * TUPLE key: a thin delegate onto [[mergeIntoClausesKeys]]'s
+    * SET-star/INSERT-star form (one committed version, per-column
+    * pruned tuple locate). Completes the Scala keyed-op symmetry with
+    * the SQL MERGE and sink surfaces. */
+  def upsertKeys(spark: SparkSession, dir: String, batch: DataFrame,
+                 keyCols: Seq[String],
+                 actionTag: String = "upsert"): Unit = {
+    val st = currentState(spark, dir)
+    require(batch.columns.toSet == st.schema.fieldNames.toSet,
+      s"upsertKeys: batch columns ${batch.columns.toSeq.sorted} drift " +
+        s"from the table's ${st.schema.fieldNames.toSeq.sorted}")
+    requireUpcastOnly(st, batch, "upsertKeys")
+    val star = st.schema.fieldNames.toSeq.map(n => n -> s"s.`$n`")
+    mergeIntoClausesKeys(spark, dir, batch, keyCols, keyCols,
+      matched = Seq(MergeClause(None, "update", star)),
+      notMatched = Seq(MergeClause(None, "insert", star)),
+      actionTag = actionTag)
+    ()
+  }
+
+  /** COMPOSITE-KEY [[mergeInto]] — the op-tagged CDC apply on a TUPLE
+    * key: rows whose `opCol` is "D" delete their tuple, every other
+    * row upserts. Delegates onto [[mergeIntoClausesKeys]]; NULL ops
+    * refuse loudly like [[mergeInto]] (the clause engine would
+    * silently ignore a no-clause row — the exact hazard the op-tagged
+    * form exists to refuse). Returns (upserts, deletes). */
+  def mergeIntoKeys(spark: SparkSession, dir: String, batch: DataFrame,
+                    keyCols: Seq[String], opCol: String,
+                    actionTag: String = "merge"): (Long, Long) = {
+    val st = currentState(spark, dir)
+    require(batch.columns.toSet == st.schema.fieldNames.toSet + opCol,
+      s"mergeIntoKeys: batch columns ${batch.columns.toSeq.sorted} " +
+        s"must be the table's ${st.schema.fieldNames.toSeq.sorted} " +
+        s"plus $opCol")
+    requireUpcastOnly(st, batch.drop(opCol), "mergeIntoKeys")
+    val b = batch.persist()
+    try {
+      val nullOps = b.filter(col(opCol).isNull).count()
+      require(nullOps == 0,
+        s"mergeIntoKeys: $nullOps batch row(s) carry a NULL $opCol — " +
+          "a null op would silently act as neither delete nor upsert; " +
+          "route every row explicitly")
+      val star = st.schema.fieldNames.toSeq.map(n => n -> s"s.`$n`")
+      val (u, d, i) = mergeIntoClausesKeys(spark, dir, b, keyCols,
+        keyCols,
+        matched = Seq(
+          MergeClause(Some(s"s.`$opCol` = 'D'"), "delete"),
+          MergeClause(None, "update", star)),
+        notMatched = Seq(
+          MergeClause(Some(s"s.`$opCol` <> 'D'"), "insert", star)),
+        actionTag = actionTag)
+      (u + i, d)
+    } finally b.unpersist()
+  }
+
   /** One WHEN clause of [[mergeIntoClauses]]: `cond` is a SQL
     * expression over the `s` (source) / `t` (target) aliases (None =
     * always fires), `action` ∈ update | delete | insert, and

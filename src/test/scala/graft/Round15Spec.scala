@@ -359,6 +359,38 @@ class Round15Spec extends AnyFunSuite {
       (3L, "z", 33L, 5L)), s"composite-key apply drifted: $got")
   }
 
+  test("upsertKeys/mergeIntoKeys: tuple-keyed Scala ops match single-key semantics and refuse NULL ops") {
+    val work = tmp("r15_ckops")
+    val dir = s"$work/t"
+    MorLog.create(Seq((1L, "x", 10L), (1L, "y", 11L), (2L, "x", 20L))
+      .toDF("a", "b", "v").repartition(1), dir)
+    // tuple upsert: replace (1,x), insert (3,z) — (1,y) untouched
+    MorLog.upsertKeys(spark, dir,
+      Seq((1L, "x", 100L), (3L, "z", 30L)).toDF("a", "b", "v"),
+      Seq("a", "b"))
+    val got1 = MorLog.read(spark, dir).as[(Long, String, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got1 == Seq((1L, "x", 100L), (1L, "y", 11L), (2L, "x", 20L),
+      (3L, "z", 30L)), s"upsertKeys drifted: $got1")
+    // op-tagged tuple merge: delete (1,y), upsert (2,x), insert (4,w)
+    val (ups, dels) = MorLog.mergeIntoKeys(spark, dir,
+      Seq((1L, "y", 0L, "D"), (2L, "x", 200L, "U"), (4L, "w", 40L, "U"))
+        .toDF("a", "b", "v", "op"),
+      Seq("a", "b"), "op")
+    assert(ups == 2 && dels == 1, s"counts drifted: $ups/$dels")
+    val got2 = MorLog.read(spark, dir).as[(Long, String, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got2 == Seq((1L, "x", 100L), (2L, "x", 200L), (3L, "z", 30L),
+      (4L, "w", 40L)), s"mergeIntoKeys drifted: $got2")
+    // NULL op refuses loud, nothing committed
+    val v = MorLog.currentVersion(spark, dir)
+    val e = intercept[Throwable](MorLog.mergeIntoKeys(spark, dir,
+      Seq((9L, "q", 1L, null.asInstanceOf[String]))
+        .toDF("a", "b", "v", "op"), Seq("a", "b"), "op"))
+    assert(chain(e).contains("NULL op"), chain(e))
+    assert(MorLog.currentVersion(spark, dir) == v)
+  }
+
   // ---- predicate-scoped maintenance ---------------------------------
 
   test("compactWhere rewrites only the stats-selected partition; other files stay byte-identical") {
