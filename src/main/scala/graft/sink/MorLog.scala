@@ -1181,19 +1181,25 @@ object MorLog {
         statsLogical(st, stats), st.files, c)._1
       case None => st.files
     }
-    // on-disk byte lengths from ONE table-dir listing (the same cost
-    // class as any file source's index listing), cached: data file
-    // names are attempt-unique so a name's length never changes — the
-    // cache only re-lists when a (newly committed) name is missing
-    val names = scan.map(f => new Path(f).getName)
-    val lens = fileLens(spark, dir, names)
+    // on-disk byte lengths from per-PARENT-DIR listings (the same
+    // cost class as any file source's index listing), cached: data
+    // file names are attempt-unique so a name's length never changes —
+    // a dir re-lists only when a (newly committed) name is missing.
+    // Grouping by each file's OWN parent handles shallow clones,
+    // whose entries are absolute paths into the source table
+    // (review-caught: a table-dir-only listing starved clones of any
+    // estimate and re-listed on every plan).
+    val resolved = scan.map(f => f -> new Path(resolvePath(dir, f)))
+    val lensByParent = resolved.groupBy(_._2.getParent.toString)
+      .map { case (parent, fs0) =>
+        parent -> fileLens(spark, parent, fs0.map(_._2.getName)) }
     var rows = 0L
     var bytes = 0L
-    val it = scan.iterator
+    val it = resolved.iterator
     while (it.hasNext) {
-      val f = it.next()
+      val (f, p) = it.next()
       (FileStats.rowsOf(stats, f),
-        lens.get(new Path(f).getName)) match {
+        lensByParent(p.getParent.toString).get(p.getName)) match {
         case (Some(r), Some(b)) => rows += r; bytes += b
         case _ => return None
       }
@@ -1201,7 +1207,7 @@ object MorLog {
     Some((rows, bytes))
   }
 
-  /** name → on-disk length for the table's data files (see
+  /** name → on-disk length for one directory's data files (see
     * [[estimateScanRows]]); refreshed only when a needed name is
     * absent, purged by [[invalidateDir]]. */
   private val lenCache =
@@ -2430,24 +2436,19 @@ object MorLog {
         s"must be the table's ${st.schema.fieldNames.toSeq.sorted} " +
         s"plus $opCol")
     requireUpcastOnly(st, batch.drop(opCol), "mergeIntoKeys")
-    val b = batch.persist()
-    try {
-      val nullOps = b.filter(col(opCol).isNull).count()
-      require(nullOps == 0,
-        s"mergeIntoKeys: $nullOps batch row(s) carry a NULL $opCol — " +
-          "a null op would silently act as neither delete nor upsert; " +
-          "route every row explicitly")
-      val star = st.schema.fieldNames.toSeq.map(n => n -> s"s.`$n`")
-      val (u, d, i) = mergeIntoClausesKeys(spark, dir, b, keyCols,
-        keyCols,
-        matched = Seq(
-          MergeClause(Some(s"s.`$opCol` = 'D'"), "delete"),
-          MergeClause(None, "update", star)),
-        notMatched = Seq(
-          MergeClause(Some(s"s.`$opCol` <> 'D'"), "insert", star)),
-        actionTag = actionTag)
-      (u + i, d)
-    } finally b.unpersist()
+    val star = st.schema.fieldNames.toSeq.map(n => n -> s"s.`$n`")
+    // the NULL-op refusal folds into the merge's own one-pass guard
+    // aggregate (requireNonNull) — no extra batch pass
+    val (u, d, i) = mergeIntoClausesKeys(spark, dir, batch, keyCols,
+      keyCols,
+      matched = Seq(
+        MergeClause(Some(s"s.`$opCol` = 'D'"), "delete"),
+        MergeClause(None, "update", star)),
+      notMatched = Seq(
+        MergeClause(Some(s"s.`$opCol` <> 'D'"), "insert", star)),
+      actionTag = actionTag,
+      requireNonNull = Seq(opCol))
+    (u + i, d)
   }
 
   /** One WHEN clause of [[mergeIntoClauses]]: `cond` is a SQL
@@ -2504,11 +2505,13 @@ object MorLog {
                            notMatched: Seq[MergeClause] = Seq.empty,
                            notMatchedBySource: Seq[MergeClause] =
                              Seq.empty,
-                           actionTag: String = "merge")
+                           actionTag: String = "merge",
+                           requireNonNull: Seq[String] = Seq.empty)
       : (Long, Long, Long) =
     withOcc(spark, dir) {
       mergeIntoClausesOnce(spark, dir, source, targetKeys, sourceKeys,
-        matched, notMatched, notMatchedBySource, actionTag)
+        matched, notMatched, notMatchedBySource, actionTag,
+        requireNonNull)
     }
 
   private def mergeIntoClausesOnce(spark: SparkSession, dir: String,
@@ -2518,7 +2521,9 @@ object MorLog {
                                    matched: Seq[MergeClause],
                                    notMatched: Seq[MergeClause],
                                    notMatchedBySource: Seq[MergeClause],
-                                   actionTag: String): (Long, Long, Long) = {
+                                   actionTag: String,
+                                   requireNonNull: Seq[String] =
+                                     Seq.empty): (Long, Long, Long) = {
     val st = currentState(spark, dir)
     require(targetKeys.nonEmpty && targetKeys.size == sourceKeys.size,
       "mergeIntoClauses: target/source key lists must pair up")
@@ -2567,13 +2572,22 @@ object MorLog {
     val b = source.persist()
     try {
       val anyNullKey = sourceKeys.map(col(_).isNull).reduce(_ || _)
+      // callers' extra NULL guards (e.g. the op-tagged forms' routing
+      // column) fold into this ONE guard aggregate — no second pass
       val g = b.agg(count(lit(1)).as("n"),
-        count_distinct(col(sourceKeys.head),
-          sourceKeys.tail.map(col): _*).as("nk"),
-        count(when(anyNullKey, 1)).as("nullKeys")).head()
+        (count_distinct(col(sourceKeys.head),
+          sourceKeys.tail.map(col): _*).as("nk") +:
+          count(when(anyNullKey, 1)).as("nullKeys") +:
+          requireNonNull.map(c =>
+            count(when(col(c).isNull, 1)).as(s"_nn_$c"))): _*).head()
       require(g.getLong(2) == 0,
         s"mergeIntoClauses: ${g.getLong(2)} source row(s) carry a " +
           s"NULL key column (${sourceKeys.mkString(", ")})")
+      requireNonNull.zipWithIndex.foreach { case (c, i) =>
+        require(g.getLong(3 + i) == 0,
+          s"mergeIntoClauses: ${g.getLong(3 + i)} source row(s) carry " +
+            s"a NULL $c — route every row explicitly")
+      }
       require(g.getLong(0) == g.getLong(1),
         s"mergeIntoClauses: source is not unique on " +
           s"(${sourceKeys.mkString(", ")}) — a target row would match " +

@@ -152,7 +152,12 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           "ALTER TABLE DROP COLUMN: nested fields are not supported")
-        drops += d.fieldNames.head
+        // IF EXISTS: an absent column is the promised no-op
+        // (review-caught: the flag was ignored and the drop refused)
+        if (!d.ifExists() || MorLog.state(spark, dir,
+            MorLog.currentVersion(spark, dir))
+            .schema.fieldNames.contains(d.fieldNames.head))
+          drops += d.fieldNames.head
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName} is not supported " +
           "on the log tier — ADD COLUMNS / RENAME COLUMN / DROP COLUMN " +
@@ -284,6 +289,11 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog
     }
     if (namespaceExists(namespace))
       throw new NamespaceAlreadyExistsException(namespace)
+    // a TABLE already owns this path: mkdirs would "succeed" while
+    // namespaceExists stays false — a silent no-op (review-caught)
+    require(!isTable(nsDir(namespace)),
+      s"CREATE NAMESPACE ${namespace.mkString(".")}: the path is a " +
+        "TABLE — drop or rename it first")
     fs.mkdirs(new Path(nsDir(namespace)))
   }
 
@@ -299,10 +309,16 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog
     val p = new Path(nsDir(namespace))
     if (!cascade && fs.listStatus(p).nonEmpty)
       throw new NonEmptyNamespaceException(namespace)
-    // cascade: every table under it goes through the same cache purge
-    // a DROP TABLE performs (advice lesson: stale driver caches serve
-    // a re-created path wrong reads)
-    if (cascade) listTables(namespace).foreach(dropTable)
+    // cascade: every table under it — NESTED namespaces included
+    // (review-caught: the direct listing missed a.b.t under DROP a) —
+    // goes through the same cache purge a DROP TABLE performs
+    // (advice lesson: stale driver caches serve a re-created path
+    // wrong reads)
+    def purge(ns: Array[String]): Unit = {
+      listTables(ns).foreach(dropTable)
+      listNamespaces(ns).foreach(purge)
+    }
+    if (cascade) purge(namespace)
     val ok = fs.delete(p, cascade)
     ok
   }

@@ -467,8 +467,13 @@ class MorLogWriteBuilder(path: String, partitionBy: Seq[String],
         val opts = info.options
         // comma-separated = a COMPOSITE key (the tuple forms of the
         // locate/netting — same semantics as multi-equality MERGE ON)
-        val mergeKeys = Option(opts.get("mergeKey")).toSeq
+        val mergeKeyOpt = Option(opts.get("mergeKey"))
+        val mergeKeys = mergeKeyOpt.toSeq
           .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        // a present-but-empty option must not silently select APPEND
+        // mode (review-caught: a typo'd "" duplicated every epoch)
+        require(mergeKeyOpt.isEmpty || mergeKeys.nonEmpty,
+          "mergeKey: the option is present but names no column")
         require(mergeKeys.distinct.size == mergeKeys.size,
           s"mergeKey: duplicate column in $mergeKeys")
         val opCol = Option(opts.get("opCol"))
