@@ -622,12 +622,60 @@ object SparkEntry {
     // composite-mergeKey netted sink drain, one epoch, exact decimals
     "q289_morlog_composite_cdc" -> ((s, d) =>
       CoreQueries.morLogCompositeCdc(s, d)),
+    // quarantine-list DELETE: non-correlated IN (SELECT …) folds to a
+    // stats-prunable literal set; one commit; correlated refuses
+    "q290_morlog_delete_subquery" -> ((s, d) =>
+      CoreQueries.morLogDeleteSubquery(s, d)),
+    // durable TBLPROPERTIES: one metadata commit, SHOW round-trips,
+    // the table-level writer cap governs the sink (counter-pinned)
+    "q291_morlog_tblproperties" -> ((s, d) =>
+      CoreQueries.morLogTblProps(s, d)),
+    // version-stamped ANN index: stale serving refuses, CDF refresh
+    // rewrites O(delta) files (counter-pinned), answers == tip corpus
+    "q292_pq_refresh" -> ((s, d) => LlmQueries.pqRefresh(s, d)),
+    // persisted LSH band index: 3 rolling ingests (batch-only
+    // hashing, bucket-pruned candidate scans) == one-shot q20 exactly
+    "q293_band_index_dedup" -> ((s, d) =>
+      LlmQueries.bandIndexDedup(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
   // second-precision strftime for event timestamps (ns parquet),
   // DECIMAL-routed money sums, BIGINT-aligned integer outputs,
   // deterministic window tie-breaks on (formatted ts, key).
+  /** The full MinHash-LSH pipeline in SQL — shared verbatim by q20
+    * (the one-shot batch pipeline) and q293 (the persisted band
+    * index's rolling ingest), because the index form's CONTRACT is
+    * exact equality with the batch result. */
+  private val minhashLshOracle: String =
+    """WITH str AS (SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+             ELSE [] END AS shingles
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS shingles
+           FROM str),
+         sig AS (SELECT doc_id, shingles,
+             [list_min(list_transform(shingles, x ->
+                (((2654435761 * (h + 1)) % 1073741789) * (x // 1073741824)
+                 + ((2246822519 * (h + 1)) % 1073741789) * (x % 1073741824)
+                 + h) % 1073741789)) FOR h IN range(12)] AS sig
+           FROM sh),
+         bands AS (SELECT doc_id, b,
+             md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3])) AS band_key
+           FROM sig, unnest(range(4)) AS t(b)),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bands x JOIN bands y
+             ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         j AS (SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+           FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)
+         SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8"""
+
   /** Shared CTE block: trigram 60-bit shingle hashes split into the
     * corpus/benchmark halves — used verbatim by BOTH q41 and q57 so
     * the contamination definition can never drift between them. */
@@ -1293,6 +1341,68 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
            dot5
          FROM r2 WHERE rank <= 3""",
+    // q257's two-stage replication over the MUTATED corpus: thresholds
+    // (mu) and codebook (cb) train on the ORIGINAL corpus e0 (the
+    // build snapshot — train once, encode forever), codes re-derive
+    // over the FINAL corpus e (erasure cut + doubled vectors); unseen
+    // cells score 0 on both engines (inner cell join)
+    "q292_pq_refresh" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+         m0 AS (SELECT max(vec_id) AS hi FROM embeddings),
+         e AS (SELECT vec_id,
+                 CASE WHEN vec_id % 10 = 4 AND vec_id <= m0.hi // 4
+                   THEN list_transform(v, x -> x * 2) ELSE v END AS v
+               FROM e0, m0
+               WHERE NOT (vec_id % 10 = 3 AND vec_id <= m0.hi // 4)),
+         mu AS (SELECT i, AVG(v[i]) AS mu
+                FROM e0, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY i),
+         cd0 AS (SELECT e0.vec_id, CAST(s AS INT) AS s,
+                  CAST(SUM(CASE WHEN e0.v[s * 8 + b + 1] >= mu.mu
+                    THEN 1 << b ELSE 0 END) AS INT) AS code
+                FROM e0, range(0, 8) ts(s), range(0, 8) tb(b), mu
+                WHERE mu.i = s * 8 + b + 1
+                GROUP BY 1, 2),
+         cb AS (SELECT cd0.s, cd0.code, CAST(b AS INT) AS b,
+                  AVG(e0.v[cd0.s * 8 + b + 1]) AS cv
+                FROM e0 JOIN cd0 USING (vec_id), range(0, 8) tb(b)
+                GROUP BY 1, 2, 3),
+         cd AS (SELECT e.vec_id, CAST(s AS INT) AS s,
+                  CAST(SUM(CASE WHEN e.v[s * 8 + b + 1] >= mu.mu
+                    THEN 1 << b ELSE 0 END) AS INT) AS code
+                FROM e, range(0, 8) ts(s), range(0, 8) tb(b), mu
+                WHERE mu.i = s * 8 + b + 1
+                GROUP BY 1, 2),
+         q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+         lut AS (SELECT q.query_id, cb.s, cb.code,
+                   SUM(q.v[cb.s * 8 + cb.b + 1] * cb.cv) AS dot8
+                 FROM q, cb GROUP BY 1, 2, 3),
+         sc AS (SELECT lut.query_id, cd.vec_id AS neighbor_id,
+                  SUM(lut.dot8) AS adc
+                FROM cd JOIN lut ON lut.s = cd.s AND lut.code = cd.code
+                WHERE cd.vec_id <> lut.query_id
+                GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY floor(adc * 100000.0 + 0.5) / 100000.0 DESC,
+                     neighbor_id) AS rank
+               FROM sc),
+         cand AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 12),
+         ex AS (SELECT cand.query_id, cand.neighbor_id,
+                  floor(SUM(q.v[i] * e.v[i]) * 100000.0 + 0.5)
+                    / 100000.0 AS dot5
+                FROM cand
+                  JOIN q ON q.query_id = cand.query_id
+                  JOIN e ON e.vec_id = cand.neighbor_id,
+                  unnest(range(1, len(q.v) + 1)) AS t(i)
+                GROUP BY 1, 2),
+         r2 AS (SELECT query_id, neighbor_id, dot5,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY dot5 DESC, neighbor_id) AS rank
+                FROM ex)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           dot5
+         FROM r2 WHERE rank <= 3""",
     // the watermark recurrence replayed in SQL: batch b's rows are
     // late iff older than (max event time over batches < b) − 1 h
     "q259_stream_dlq" ->
@@ -1688,6 +1798,26 @@ object SparkEntry {
            CAST(SUM(total) AS DOUBLE) AS total_value,
            CAST(sum(bucket) AS BIGINT) AS sum_bucket
          FROM st2 GROUP BY event_type""",
+    // the property-capped sink drain lands every event exactly once
+    "q291_morlog_tblproperties" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events GROUP BY event_type""",
+    // quarantine-list DELETE: the surviving rows' fold — NOT IN over
+    // the same range-bounded erasure set
+    "q290_morlog_delete_subquery" ->
+      """WITH m AS (SELECT max(event_id) AS hi FROM events),
+         q AS (SELECT event_id FROM events, m
+               WHERE event_id % 10 = 3 AND event_id <= hi // 4),
+         kept AS (SELECT * FROM events
+                  WHERE event_id NOT IN (SELECT event_id FROM q))
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM kept GROUP BY event_type""",
     // the TIMESTAMP AS OF travel lands on the pre-delete snapshot =
     // all events (monotonicity + three-way agreement asserted
     // in-query)
@@ -2448,34 +2578,10 @@ object SparkEntry {
          SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id,
            COUNT(*) AS n_copies
          FROM r GROUP BY 1""",
-    "q20_minhash_lsh" ->
-      """WITH str AS (SELECT doc_id,
-             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-               list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
-             ELSE [] END AS shingles
-           FROM documents),
-         sh AS (SELECT doc_id,
-             list_distinct(list_transform(shingles,
-               s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS shingles
-           FROM str),
-         sig AS (SELECT doc_id, shingles,
-             [list_min(list_transform(shingles, x ->
-                (((2654435761 * (h + 1)) % 1073741789) * (x // 1073741824)
-                 + ((2246822519 * (h + 1)) % 1073741789) * (x % 1073741824)
-                 + h) % 1073741789)) FOR h IN range(12)] AS sig
-           FROM sh),
-         bands AS (SELECT doc_id, b,
-             md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3])) AS band_key
-           FROM sig, unnest(range(4)) AS t(b)),
-         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           FROM bands x JOIN bands y
-             ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-         j AS (SELECT c.doc_a, c.doc_b,
-             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-               len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-           FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id)
-         SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8""",
+    "q20_minhash_lsh" -> minhashLshOracle,
+    // rolling band-index ingest == the one-shot batch pipeline, so the
+    // SAME oracle verifies the union of the three increments' pairs
+    "q293_band_index_dedup" -> minhashLshOracle,
     "q21_ngram_jaccard" ->
       """WITH sh AS (SELECT doc_id, lang,
              CAST(floor(len(string_split(text, ' ')) / 16.0) AS BIGINT) AS lb,

@@ -114,17 +114,24 @@ object PqIndex {
     writeMeans(spark, dir, means)
     graft.sink.AtomicFiles.replace(spark.sparkContext.hadoopConfiguration,
       modePath(dir), codebook.getBytes("UTF-8"))
+    // the codes land ID-CLUSTERED like the vectors tier: the ADC scan
+    // is layout-agnostic, but [[refresh]]'s per-file id bounds then
+    // rewrite O(changed-id files), not whatever file a shuffle threw
+    // each id into
+    def clustered(codes: DataFrame): DataFrame = codes
+      .repartitionByRange(math.max(1, nVecFiles), col(idCol))
+      .sortWithinPartitions(idCol)
     if (codebook == "mean") {
       Pq.codebook(corpus, vecCol, means, m)
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
-      corpus.select(col(idCol),
-          Pq.codesColumn(vecCol, means, m).as("codes"))
+      clustered(corpus.select(col(idCol),
+          Pq.codesColumn(vecCol, means, m).as("codes")))
         .write.mode("overwrite").parquet(s"$dir/codes")
     } else {
       val (cb, assigned) = Pq.fitKmeansCells(corpus, vecCol, idCol, m,
         means, lloydIters)
       cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
-      codesToArray(assigned, idCol)
+      clustered(codesToArray(assigned, idCol))
         .write.mode("overwrite").parquet(s"$dir/codes")
     }
     // the full-precision floats, ID-CLUSTERED (range-partitioned +
@@ -137,6 +144,212 @@ object PqIndex {
       .sortWithinPartitions(idCol)
       .write.mode("overwrite").parquet(s"$dir/vectors")
     writeVecStats(spark, dir, replace = true)
+    writeCodeStats(spark, dir, replace = true)
+  }
+
+  // ---- MorLog-tier source stamp + incremental refresh ---------------
+  // (round-15 verdict's #4: an index over a MUTATING 100 TB embedding
+  // table must know WHICH version it reflects — serving a stale index
+  // silently returns pre-delete vectors — and must refresh at
+  // O(changed rows), not O(corpus).)
+
+  private def srcPath(dir: String) = new Path(dir, "_pq_src")
+
+  /** (tableDir, version, idCol, vecCol, m) the index was built from /
+    * last refreshed to. */
+  private[graft] def readSrc(spark: SparkSession, dir: String)
+      : Option[(String, Int, String, String, Int)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (!srcPath(dir).getFileSystem(conf).exists(srcPath(dir))) None
+    else graft.sink.AtomicFiles.readString(conf, srcPath(dir))
+      .trim.split("\\|") match {
+      case Array(t, v, id, vec, m) =>
+        Some((t, v.toInt, id, vec, m.toInt))
+      case _ => None
+    }
+  }
+
+  private def writeSrc(spark: SparkSession, dir: String, table: String,
+                       v: Int, idCol: String, vecCol: String,
+                       m: Int): Unit =
+    graft.sink.AtomicFiles.replace(spark.sparkContext.hadoopConfiguration,
+      srcPath(dir), s"$table|$v|$idCol|$vecCol|$m".getBytes("UTF-8"))
+
+  /** Build the index FROM a MorLog table's current snapshot and stamp
+    * the (table, version) it reflects — [[refresh]] then advances the
+    * stamp incrementally off the table's change feed, and the query
+    * paths refuse a moved table unless told `allowStale`. */
+  def writeFromTable(spark: SparkSession, tableDir: String,
+                     vecCol: String, idCol: String, dir: String,
+                     m: Int, codebook: String = "mean",
+                     lloydIters: Int = 2, nVecFiles: Int = 16): Unit = {
+    val v = graft.sink.MorLog.currentVersion(spark, tableDir)
+    write(graft.sink.MorLog.read(spark, tableDir), vecCol, idCol, dir,
+      m, codebook, lloydIters, nVecFiles)
+    writeSrc(spark, dir, tableDir, v, idCol, vecCol, m)
+  }
+
+  /** Refuse (or permit) serving an index whose source table moved —
+    * the stamp is the contract; a stampless (static-corpus) index
+    * serves unconditionally. */
+  private def guardStale(spark: SparkSession, dir: String,
+                         allowStale: Boolean): Unit =
+    readSrc(spark, dir).foreach { case (table, v, _, _, _) =>
+      val tip = graft.sink.MorLog.currentVersion(spark, table)
+      if (tip != v && !allowStale) throw new IllegalStateException(
+        s"PQ index $dir reflects $table@v$v but the table is at " +
+          s"v$tip — PqIndex.refresh(...) the index (O(changed rows)), " +
+          "or pass allowStale = true to serve the stale snapshot " +
+          "knowingly")
+    }
+
+  /** Incremental refresh off the source table's CHANGE FEED: one
+    * [[graft.sink.MorLog.changes]] span resolves the changed ids;
+    * only the code/vector files whose per-file id bounds admit those
+    * ids rewrite (survivors carry over byte-untouched), new images
+    * re-encode against the STORED thresholds/codebook — O(delta)
+    * files and rows, counter-pinned via [[PqIndexStats]]. Returns the
+    * number of changed ids applied (0 = already fresh).
+    *
+    * The index is DERIVED data: a crash mid-refresh can leave a
+    * changed id present in both an old and a new code file, and a
+    * re-run heals it (every file holding a changed id is selected and
+    * rewritten, so duplicates collapse); refresh is a maintenance op,
+    * not a concurrent-serving op. */
+  def refresh(spark: SparkSession, dir: String): Long = {
+    val (table, v0, idCol, vecCol, m) = readSrc(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"PQ index $dir carries no source stamp — built from a static " +
+          "DataFrame; rebuild via writeFromTable to refresh off a log"))
+    val tip = graft.sink.MorLog.currentVersion(spark, table)
+    if (tip == v0) {
+      PqIndexStats.lastRefreshIds = 0
+      PqIndexStats.lastRefreshCodeFilesRewritten = 0
+      PqIndexStats.lastRefreshVecFilesRewritten = 0
+      return 0L
+    }
+    val cap = spark.conf.getOption("graft.ann.refreshIdCap")
+      .map(_.toInt).getOrElse(1000000)
+    val ch = graft.sink.MorLog.changes(spark, table, v0, tip, Seq(idCol))
+    val idRows = ch.select(col(idCol)).distinct()
+      .limit(cap + 1).collect()
+    require(idRows.length <= cap,
+      s"refresh: ${idRows.length}+ changed ids exceed " +
+        "graft.ann.refreshIdCap — rebuild the index instead " +
+        "(a delta that large IS a rebuild)")
+    val ids = idRows.map(_.get(0)).toSeq
+    if (ids.isEmpty) { writeSrc(spark, dir, table, tip, idCol, vecCol, m)
+      PqIndexStats.lastRefreshIds = 0
+      PqIndexStats.lastRefreshCodeFilesRewritten = 0
+      PqIndexStats.lastRefreshVecFilesRewritten = 0
+      return 0L }
+    // the tip images of every changed id — pruned read (insert AND
+    // update post-images; a deleted id simply has no tip row)
+    val newRows = graft.sink.MorLog.readWhere(spark, table,
+      col(idCol).isInCollection(ids)).select(col(idCol), col(vecCol))
+    val means = readMeans(spark, dir)
+    val newCodes = readMode(spark, dir) match {
+      case "lloyd" => codesToArray(assignAgainst(
+        newRows, vecCol, idCol,
+        spark.read.parquet(s"$dir/codebook"), means.length / m), idCol)
+      case _ => newRows.select(col(idCol),
+        Pq.codesColumn(vecCol, means, m).as("codes"))
+    }
+    PqIndexStats.lastRefreshCodeFilesRewritten = rewriteTier(spark, dir,
+      "codes", codeStatsPath(dir), idCol, ids, newCodes,
+      idSorted = false)
+    PqIndexStats.lastRefreshVecFilesRewritten = rewriteTier(spark, dir,
+      "vectors", vecStatsPath(dir), idCol, ids,
+      newRows.select(col(idCol), col(vecCol)), idSorted = true)
+    writeSrc(spark, dir, table, tip, idCol, vecCol, m)
+    PqIndexStats.lastRefreshIds = ids.length.toLong
+    ids.length.toLong
+  }
+
+  /** Replace, inside ONE index tier, the files whose per-file id
+    * bounds admit any changed id: survivors-of-those-files minus the
+    * changed ids union the fresh images land as new files; every
+    * other file carries over untouched; the tier's stats sidecar
+    * re-resolves only the new files' footers. Returns the number of
+    * files rewritten. */
+  private def rewriteTier(spark: SparkSession, dir: String, tier: String,
+                          statsP: Path, idCol: String, ids: Seq[Any],
+                          fresh: DataFrame, idSorted: Boolean): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tdir = s"$dir/$tier"
+    val fs = new Path(tdir).getFileSystem(hconf)
+    val stats = readTierStats(spark, statsP)
+    val files = fs.listStatus(new Path(tdir)).iterator.filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_")
+        && !n.startsWith(".")).toSeq.sorted
+    val schema = spark.read.parquet(tdir).schema
+    val (scan, _) = graft.sink.FileStats.prune(spark, schema,
+      stats, files, col(idCol).isInCollection(ids))
+    val survivors =
+      if (scan.isEmpty) None
+      else Some(spark.read.schema(schema)
+        .parquet(scan.map(n => s"$tdir/$n"): _*)
+        .filter(!col(idCol).isInCollection(ids)))
+    val out = survivors.map(_.unionByName(fresh)).getOrElse(fresh)
+    val shaped =
+      if (idSorted) out.repartitionByRange(1, col(idCol))
+        .sortWithinPartitions(idCol)
+      else out.coalesce(1)
+    val tmp = s"$dir/_refresh_${tier}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    shaped.write.parquet(tmp)
+    val moved = fs.listStatus(new Path(tmp)).iterator.filter(_.isFile)
+      .map(_.getPath).filter(p => p.getName.endsWith(".parquet"))
+      .zipWithIndex.map { case (p, i) =>
+        val n = s"part-rf${System.nanoTime()}-$i.parquet"
+        if (!fs.rename(p, new Path(s"$tdir/$n")))
+          throw new java.io.IOException(s"rename $p -> $tdir/$n failed")
+        n
+      }.toSeq
+    fs.delete(new Path(tmp), true)
+    scan.foreach(n => fs.delete(new Path(s"$tdir/$n"), false))
+    val keptStats = stats.filterNot { case (n, _) => scan.contains(n) }
+    val newStats = moved.map(n =>
+      n -> graft.sink.FileStats.ofFooter(hconf, s"$tdir/$n"))
+      .filter(_._2.nonEmpty)
+    graft.sink.AtomicFiles.replace(hconf, statsP,
+      graft.sink.FileStats.render(keptStats ++ newStats)
+        .mkString("\n").getBytes("UTF-8"))
+    scan.size
+  }
+
+  private def codeStatsPath(dir: String) = new Path(dir, "_code_stats")
+
+  private def readTierStats(spark: SparkSession, p: Path)
+      : Map[String, graft.sink.FileStats.FileColStats] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    if (!p.getFileSystem(hconf).exists(p)) Map.empty
+    else graft.sink.FileStats.parse(
+      graft.sink.AtomicFiles.readString(hconf, p).split("\n", -1).toSeq)
+  }
+
+  /** Collect (or fold new files into) the codes tier's per-file
+    * stats — footer reads only, O(files); what lets [[refresh]]
+    * rewrite O(delta) code files instead of the whole tier. */
+  private def writeCodeStats(spark: SparkSession, dir: String,
+                             replace: Boolean): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val cdir = new Path(s"$dir/codes")
+    val fs = cdir.getFileSystem(hconf)
+    val prior =
+      if (replace) Map.empty[String, graft.sink.FileStats.FileColStats]
+      else readTierStats(spark, codeStatsPath(dir))
+    val names = fs.listStatus(cdir).iterator.filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_")
+        && !n.startsWith(".")).toSeq
+    val fresh = names.filterNot(prior.contains).map { n =>
+      n -> graft.sink.FileStats.ofFooter(hconf, s"$dir/codes/$n")
+    }.filter(_._2.nonEmpty)
+    val all = prior.filter { case (n, _) => names.contains(n) } ++ fresh
+    graft.sink.AtomicFiles.replace(hconf, codeStatsPath(dir),
+      graft.sink.FileStats.render(all).mkString("\n").getBytes("UTF-8"))
   }
 
   private def vecStatsPath(dir: String) = new Path(dir, "_vec_stats")
@@ -206,6 +419,7 @@ object PqIndex {
         .repartitionByRange(1, col(idCol)).sortWithinPartitions(idCol)
         .write.mode("append").parquet(s"$dir/vectors")
       writeVecStats(spark, dir, replace = false)
+      writeCodeStats(spark, dir, replace = false)
       val cells = spark.read.parquet(s"$dir/codebook")
         .select(col("s"), col("code")).distinct()
       val unseen = coded
@@ -247,9 +461,10 @@ object PqIndex {
     * [[Pq.adcRerankTopK]]. */
   def rerank(spark: SparkSession, dir: String, queries: DataFrame,
              vecCol: String, idCol: String, m: Int, k: Int,
-             c: Int): DataFrame = {
+             c: Int, allowStale: Boolean = false): DataFrame = {
     require(c >= k, s"shortlist $c must be >= k=$k")
-    val short = adcTopK(spark, dir, queries, vecCol, idCol, m, k = c)
+    val short = adcTopK(spark, dir, queries, vecCol, idCol, m, k = c,
+      allowStale = allowStale)
       .select(col("query_id"), col("neighbor_id")).persist()
     try {
       // queries × c ids — metadata-scale by construction (it is the
@@ -292,7 +507,8 @@ object PqIndex {
 
   def adcTopK(spark: SparkSession, dir: String, queries: DataFrame,
               vecCol: String, idCol: String, m: Int,
-              k: Int): DataFrame = {
+              k: Int, allowStale: Boolean = false): DataFrame = {
+    guardStale(spark, dir, allowStale)
     val means = readMeans(spark, dir)
     val sub = means.length / m
     val cb = spark.read.parquet(s"$dir/codebook")
@@ -329,4 +545,9 @@ object PqIndex {
 object PqIndexStats {
   @volatile var lastRerankFilesScanned: Int = -1
   @volatile var lastRerankFilesSkipped: Int = -1
+  // the refresh's O(delta) claim, pinned: ids applied and files
+  // rewritten per tier on the last [[PqIndex.refresh]]
+  @volatile var lastRefreshIds: Long = -1L
+  @volatile var lastRefreshCodeFilesRewritten: Int = -1
+  @volatile var lastRefreshVecFilesRewritten: Int = -1
 }

@@ -1,0 +1,183 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.GraftFunctions
+import graft.sink.{MorLog, MorLogStats}
+
+/** PERSISTED LSH BAND INDEX — the O(new-docs) shape of rolling corpus
+  * dedup (the round-15 verdict's #5: [[Dedup.incrementalNearDups]]
+  * re-hashes the FULL corpus on every call, which a rolling 100 TB
+  * crawl cannot afford). The corpus's banded MinHash projection and
+  * its hashed shingle arrays are materialized ONCE as two MorLog
+  * tables under `indexRoot`:
+  *
+  *   bands/    (pkb, doc_id, band, band_key)  — identity-PARTITIONED
+  *             on `pkb` = hash(band_key) mod `buckets`, so an
+  *             arriving batch's keys prune the candidate scan to
+  *             their own bucket partitions (per-file stats are exact
+  *             on an identity partition column)
+  *   sh/       (doc_id, shingles)             — doc-id-clustered, so
+  *             the exact-Jaccard verify fetches only the candidate
+  *             old docs' arrays through the id bounds
+  *
+  * [[ingest]] hashes ONLY the arriving batch, joins its band keys
+  * against the pruned index slice, verifies candidates with the same
+  * merge-scan Jaccard the batch pipeline uses, then upserts the batch
+  * into both tables — so the UNION of every increment's returned
+  * pairs equals [[Dedup.minhashNearDups]] over the whole corpus
+  * exactly (each unordered pair surfaces once, at its later member's
+  * increment: in-batch pairs via the batch self-join, cross-increment
+  * pairs via the index join). */
+object BandIndex {
+
+  private def bandsDir(root: String) = s"$root/bands"
+  private def shDir(root: String) = s"$root/sh"
+
+  /** The batch's banded projection: (pkb, doc_id, band, band_key). */
+  private def bandRows(hashed: DataFrame, idCol: String, k: Int,
+                       bands: Int, buckets: Int): DataFrame = {
+    val spark = hashed.sparkSession
+    hashed
+      .withColumn("sig",
+        GraftFunctions.minhash(spark, col("shingles"), k))
+      .select(col(idCol),
+        posexplode(Dedup.bandKeys("sig", bands, k / bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+      .withColumn("pkb", pmod(hash(col("band_key")), lit(buckets)))
+      .select(col("pkb"), col(idCol), col("band"), col("band_key"))
+  }
+
+  /** Ingest one arriving batch: returns its near-dup pairs
+    * (doc_a < doc_b, jaccard ≥ tau) against the corpus-so-far AND
+    * within itself, then admits the batch into the index. Only the
+    * BATCH is ever hashed; the corpus side is served off the two
+    * persisted tables through their stats prunes
+    * ([[BandIndexStats]] records both). Re-ingesting an already-
+    * indexed doc id refuses loud — an index row is an admission
+    * record, not an upsert target. */
+  def ingest(spark: SparkSession, indexRoot: String, newDocs: DataFrame,
+             idCol: String, textCol: String, n: Int = 3, k: Int = 12,
+             bands: Int = 4, tau: Double = 0.8,
+             buckets: Int = 64): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val newSh = Dedup.withHashedShingles(newDocs, idCol, textCol, n)
+      .filter(size(col("shingles")) > 0).persist()
+    val newBand = bandRows(newSh, idCol, k, bands, buckets).persist()
+    try {
+      val exists = MorLog.versions(spark, bandsDir(indexRoot)).nonEmpty
+      // in-batch pairs — the batch self-join [[Dedup.lshCandidates]]
+      // already implements (it is O(batch), the arriving side)
+      val nn = Dedup.lshCandidates(newSh, idCol, k, bands)
+      val cross =
+        if (!exists) None
+        else {
+          // the batch's key set is broadcast-scale by construction
+          // (it is the build side of the candidate join)
+          val keyRows = newBand
+            .select(col("pkb"), col("band"), col("band_key"))
+            .distinct().collect()
+          val pkbs = keyRows.map(_.getInt(0).asInstanceOf[Any])
+            .distinct.toSeq
+          val keys = keyRows.map(_.getString(2).asInstanceOf[Any])
+            .distinct.toSeq
+          // bucket partitions first (identity-partition stats prune
+          // exactly), key membership second
+          val idx = MorLog.readWhere(spark, bandsDir(indexRoot),
+            col("pkb").isInCollection(pkbs) &&
+              col("band_key").isInCollection(keys))
+          BandIndexStats.lastBandFilesScanned =
+            MorLogStats.lastFilesScanned
+          BandIndexStats.lastBandFilesSkipped =
+            MorLogStats.lastFilesSkipped
+          val joined = idx.select(col(idCol).as("old_id"), col("band"),
+              col("band_key"))
+            .join(broadcast(newBand.select(col(idCol).as("new_id"),
+              col("band"), col("band_key"))), Seq("band", "band_key"))
+            .select(col("new_id"), col("old_id")).distinct()
+            .persist()
+          BandIndexStats.lastIndexPairs = joined.count()
+          Some(joined)
+        }
+      // re-ingest guard: an id in BOTH the batch and the index would
+      // double-count its pairs across increments
+      if (exists) {
+        val newIds = newSh.select(col(idCol)).collect()
+          .map(_.get(0)).toSeq
+        val dup = MorLog.readWhere(spark, shDir(indexRoot),
+          col(idCol).isInCollection(newIds)).count()
+        require(dup == 0,
+          s"BandIndex.ingest: $dup batch doc id(s) are already " +
+            "indexed — the index is an admission record; dedupe the " +
+            "feed or rebuild")
+      }
+      // candidate old docs' shingles, fetched THROUGH the id bounds —
+      // O(candidates), never a corpus shingle scan
+      val oldSh = cross.map { c =>
+        val oldIds = c.select(col("old_id")).distinct().collect()
+          .map(_.get(0)).toSeq
+        val fetched =
+          if (oldIds.isEmpty) {
+            BandIndexStats.lastShingleFilesScanned = 0
+            BandIndexStats.lastShingleFilesSkipped = -1
+            newSh.filter(lit(false))
+          } else {
+            val f = MorLog.readWhere(spark, shDir(indexRoot),
+              col(idCol).isInCollection(oldIds))
+            BandIndexStats.lastShingleFilesScanned =
+              MorLogStats.lastFilesScanned
+            BandIndexStats.lastShingleFilesSkipped =
+              MorLogStats.lastFilesSkipped
+            f
+          }
+        fetched
+      }
+      // verify: merge-scan Jaccard over candidates only, both shapes
+      val lookup = oldSh.map(newSh.unionByName(_)).getOrElse(newSh)
+      val candAll = cross match {
+        case None => nn.select(col("id_a"), col("id_b"))
+        case Some(c) => nn.select(col("id_a"), col("id_b"))
+          .unionByName(c.select(
+            least(col("new_id"), col("old_id")).as("id_a"),
+            greatest(col("new_id"), col("old_id")).as("id_b")))
+          .distinct()
+      }
+      val pairs = Dedup.jaccardOnCandidates(candAll, lookup, idCol, tau)
+        .persist()
+      pairs.count()
+      nn.unpersist()
+      cross.foreach(_.unpersist())
+      // admit the batch: bucket-partitioned band rows, id-clustered
+      // shingle arrays — each increment lands one file per touched
+      // bucket / id range, so later prunes stay exact
+      if (!exists) {
+        // schemas come straight off the batch frames — the append
+        // guard is exact on element nullability, and these ARE the
+        // shapes every later increment appends
+        MorLog.createEmpty(spark, bandsDir(indexRoot), newBand.schema,
+          Seq("pkb"))
+        MorLog.createEmpty(spark, shDir(indexRoot), newSh.schema)
+      }
+      MorLog.append(spark, bandsDir(indexRoot), newBand)
+      MorLog.append(spark, shDir(indexRoot),
+        newSh.repartitionByRange(4, col(idCol))
+          .sortWithinPartitions(idCol))
+      pairs
+    } finally { newSh.unpersist(); newBand.unpersist() }
+  }
+}
+
+/** The index path's scale claims, pinned by specs/oracle entries:
+  * candidate scans prune to the batch's touched bucket partitions,
+  * the shingle fetch prunes to the candidates' id ranges, and the
+  * candidate join ships O(batch-key matches) rows. */
+object BandIndexStats {
+  @volatile var lastBandFilesScanned: Int = -1
+  @volatile var lastBandFilesSkipped: Int = -1
+  @volatile var lastShingleFilesScanned: Int = -1
+  @volatile var lastShingleFilesSkipped: Int = -1
+  @volatile var lastIndexPairs: Long = -1L
+}

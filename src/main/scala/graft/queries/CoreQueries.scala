@@ -4725,6 +4725,120 @@ object CoreQueries {
         sum(col("bucket")).as("sum_bucket"))
   }
 
+  /** QUARANTINE-LIST DELETE (q290, the round-15 verdict's #1): `DELETE
+    * FROM t WHERE event_id IN (SELECT …)` — the erasure/decontamination
+    * shape every retention flow takes, refused outright until round 16
+    * (any `SubqueryExpression` threw). The non-correlated subquery
+    * folds to a literal set driver-side
+    * ([[graft.plans.MorLogDmlTranslate.foldSubqueries]]) and lands on
+    * the SAME stats-pruned [[graft.sink.MorLog.deleteWhere]] the plain
+    * route reaches: the table is range-laid-out on event_id and the
+    * quarantine list is range-bounded, so the victim locate opens a
+    * strict subset of files (counter-asserted), and the whole
+    * statement commits as ONE version. The correlated form still
+    * refuses loud (asserted in-query). Oracle: the same NOT IN
+    * arithmetic over events. */
+  def morLogDeleteSubquery(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-delsub-")
+    val dir = s"$work/t"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.sink.MorLog.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"), dir)
+    val hi = ev.agg(max(col("event_id"))).head().getLong(0)
+    val cat = "g16d_" + java.util.UUID.randomUUID().toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.MorLogCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", work)
+    // the quarantine list: a range-bounded erasure set (a view here;
+    // any table the session can read works — the subquery is its own
+    // self-contained plan)
+    ev.filter(col("event_id") % 10 === 3 && col("event_id") <= hi / 4)
+      .select(col("event_id"))
+      .createOrReplaceTempView(s"quarantine_$cat")
+    val v0 = graft.sink.MorLog.currentVersion(s, dir)
+    val nFiles = graft.sink.MorLog.history(s, dir)
+      .orderBy(col("version").desc).head().getInt(2)
+    s.sql(s"DELETE FROM $cat.t WHERE event_id IN " +
+      s"(SELECT event_id FROM quarantine_$cat)")
+    require(graft.sink.MorLog.currentVersion(s, dir) == v0 + 1,
+      "q290: the subquery DELETE must land as ONE committed version")
+    require(graft.sink.MorLogStats.lastLocateScanned > 0 &&
+      graft.sink.MorLogStats.lastLocateScanned < nFiles,
+      s"q290: the folded IN list must stats-prune the locate (scanned " +
+        s"${graft.sink.MorLogStats.lastLocateScanned} of $nFiles)")
+    val expected = ev
+      .filter(col("event_id") % 10 === 3 && col("event_id") <= hi / 4)
+      .count()
+    require(graft.plans.MorLogDmlStats.lastDeleted == expected,
+      s"q290: deleted ${graft.plans.MorLogDmlStats.lastDeleted}, " +
+        s"quarantine list holds $expected")
+    // the correlated form stays a loud refusal, not a wrong answer
+    val correlated = scala.util.Try(s.sql(
+      s"DELETE FROM $cat.t t WHERE EXISTS (SELECT 1 FROM " +
+        s"quarantine_$cat q WHERE q.event_id = t.event_id)"))
+    require(correlated.isFailure,
+      "q290: a correlated DML subquery must refuse loud")
+    graft.sink.MorLog.read(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
+  /** DURABLE TBLPROPERTIES (q291, the round-15 verdict's #3): `ALTER
+    * TABLE … SET TBLPROPERTIES` commits ONE metadata-only version
+    * whose meta stamps the map; `SHOW TBLPROPERTIES` serves it back;
+    * and the engine's per-table knobs read the TABLE property before
+    * any session conf — pinned here by setting the streaming sink's
+    * writer cap (`graft.sink.maxOpenWriters` = 2) as a property and
+    * draining a 16-partition-tuple feed through ONE task: the pool
+    * must evict (cap observed ≤ 2) with no writer option and no
+    * session conf set. Oracle: the drained fold over events. */
+  def morLogTblProps(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-props-")
+    val cat = "g16p_" + java.util.UUID.randomUUID().toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.MorLogCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", work)
+    s.sql(s"CREATE TABLE $cat.t (event_id BIGINT, event_type STRING, " +
+      "value DOUBLE, bucket INT) PARTITIONED BY (bucket)")
+    val v0 = graft.sink.MorLog.currentVersion(s, s"$work/t")
+    s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES (" +
+      "'graft.sink.maxOpenWriters' = '2', 'graft.owner.team' = 'cdc')")
+    require(graft.sink.MorLog.currentVersion(s, s"$work/t") == v0 + 1,
+      "q291: SET TBLPROPERTIES must land as ONE metadata-only commit")
+    val shown = s.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(shown.get("graft.sink.maxOpenWriters").contains("2") &&
+      shown.get("graft.owner.team").contains("cdc"),
+      s"q291: SHOW TBLPROPERTIES drifted: $shown")
+    val feed = s"$work/feed"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        (col("event_id") % 16).cast("int").as("bucket"))
+    ev.repartition(1).write.parquet(feed) // one task sees all 16 tuples
+    graft.sources.MorLogStreamSinkStats.resetForTest()
+    val q = s.readStream.schema(ev.schema).parquet(feed)
+      .writeStream.format("graft.sources.MorLogSource")
+      .option("path", s"$work/t")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    require(graft.sources.MorLogStreamSinkStats.maxOpenObserved.get() <= 2
+      && graft.sources.MorLogStreamSinkStats.writerEvictions.get() > 0,
+      s"q291: the TABLE PROPERTY must govern the sink's writer pool " +
+        s"(max open ${graft.sources.MorLogStreamSinkStats
+          .maxOpenObserved.get()}, evictions ${graft.sources
+          .MorLogStreamSinkStats.writerEvictions.get()})")
+    s.sql(s"""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_value,
+        CAST(sum(event_id) AS BIGINT) AS sum_event_id
+      FROM $cat.t GROUP BY event_type""")
+  }
+
   /** Bench headliner — 4-way star join rollup to region grain; small dims
     * broadcast so only the fact⋈customer join shuffles. */
   def regionRollup(s: SparkSession, d: String): DataFrame = {

@@ -592,7 +592,8 @@ private[graft] object DvPerFile {
         // didn't. AGE-GATED (advice-caught): deleting a LIVE writer's
         // temp between create and rename fails that write with an
         // un-retried IOException, so only aged temps are swept
-        if (MorLog.debrisAged(spark, s)) fs.delete(s.getPath, false)
+        if (MorLog.debrisAged(spark, tableDir, s))
+          fs.delete(s.getPath, false)
       }
     }
   }

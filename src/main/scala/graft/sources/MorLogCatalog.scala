@@ -107,6 +107,12 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog
       MorLogFacade.schemaOf(spark, dir, Some(v)))
   }
 
+  /** Engine-less property keys Spark itself stamps on CREATE — not
+    * user table properties, so never stored (storing `owner` would
+    * make SHOW TBLPROPERTIES lie about what the user set). */
+  private val ReservedProps =
+    Set("owner", "provider", "location", "comment", "external")
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -114,6 +120,17 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     val parts = partitions.toSeq.map(MorLogFacade.transformToSpec)
     MorLog.createEmpty(spark, dir, schema, parts)
+    // CREATE TABLE … TBLPROPERTIES(…): user properties land durably
+    // (one extra metadata-only commit on the fresh table)
+    val userProps = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.toMap
+        .filterNot { case (k, _) =>
+          ReservedProps.contains(k.toLowerCase) ||
+            k.startsWith("option.") }
+    }
+    if (userProps.nonEmpty)
+      MorLog.setTblProperties(spark, dir, userProps)
     new MorLogTable(dir, None, None, None,
       MorLogFacade.schemaOf(spark, dir, None), parts)
   }
@@ -136,7 +153,13 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog
     val adds = Seq.newBuilder[StructField]
     val renames = Seq.newBuilder[(String, String)]
     val drops = Seq.newBuilder[String]
+    val propSets = Seq.newBuilder[(String, String)]
+    val propUnsets = Seq.newBuilder[String]
     changes.foreach {
+      case sp: TableChange.SetProperty =>
+        propSets += (sp.property -> sp.value)
+      case rp: TableChange.RemoveProperty =>
+        propUnsets += rp.property
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "ALTER TABLE ADD COLUMNS: nested additions are not supported")
@@ -161,8 +184,8 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName} is not supported " +
           "on the log tier — ADD COLUMNS / RENAME COLUMN / DROP COLUMN " +
-          "map onto the tier's metadata-only evolution; type changes " +
-          "require a rewrite")
+          "/ SET/UNSET TBLPROPERTIES map onto the tier's metadata-only " +
+          "evolution; type changes require a rewrite")
     }
     // ONE engine commit per statement (review-caught: applying
     // changes one commit at a time left earlier changes applied when
@@ -170,8 +193,10 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog
     // kind per ALTER statement; a mixed batch (programmatic callers)
     // refuses rather than commit partially.
     val (a, r, d) = (adds.result(), renames.result(), drops.result())
-    require(Seq(a.nonEmpty, r.nonEmpty, d.nonEmpty).count(identity) <= 1,
-      "ALTER TABLE: mixed add/rename/drop changes in one statement " +
+    val (ps, pu) = (propSets.result(), propUnsets.result())
+    require(Seq(a.nonEmpty, r.nonEmpty, d.nonEmpty,
+        ps.nonEmpty || pu.nonEmpty).count(identity) <= 1,
+      "ALTER TABLE: mixed column/property changes in one statement " +
         "cannot commit atomically on the log tier — issue separate " +
         "statements")
     require(r.size <= 1,
@@ -181,6 +206,10 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog
     r.foreach { case (from, to) =>
       MorLog.renameColumn(spark, dir, from, to) }
     if (d.nonEmpty) MorLog.dropColumns(spark, dir, d)
+    // SET/UNSET TBLPROPERTIES: one metadata-only commit for the
+    // statement's whole batch (round-15 verdict's #3)
+    if (ps.nonEmpty || pu.nonEmpty)
+      MorLog.setTblProperties(spark, dir, ps.toMap, pu)
     loadTable(ident)
   }
 
@@ -206,10 +235,12 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog
     *   CALL <cat>.system.compact_small('ns.t')  -- bin-pack drain debris
     *   CALL <cat>.system.cluster('ns.t', 'a,b') -- Z-order rewrite
     *   CALL <cat>.system.vacuum('ns.t', 2)      -- retention GC
+   *   CALL <cat>.system.vacuum('ns.t', 2, dry_run => true)
+   *                                    -- would-delete (kind, path) rows, read-only
    *   CALL <cat>.system.restore('ns.t', 3)     -- RESTORE TO VERSION
    *   CALL <cat>.system.vacuum_retain('ns.t', 168) -- age-based GC (hours)
     *   CALL <cat>.system.history('ns.t')        -- DESCRIBE HISTORY
-   *   CALL <cat>.system.detail('ns.t')         -- DESCRIBE DETAIL
+   *   CALL <cat>.system.detail('ns.t')         -- DESCRIBE DETAIL + size histogram
     *
     * Table args are catalog-relative dotted names; results come back
     * as rows (files touched, or the history table). The namespace
@@ -320,6 +351,12 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog
     }
     if (cascade) purge(namespace)
     val ok = fs.delete(p, cascade)
+    // the recursive delete removes EVERYTHING under the path —
+    // including tables in hidden ('_'/'.'-prefixed) subdirectories
+    // the enumeration above cannot see — so the cache purge must be
+    // by PREFIX, not by the enumerated tables alone (advice-caught:
+    // a re-create at a hidden path was served stale driver caches)
+    if (cascade) MorLog.invalidateByPrefix(nsDir(namespace))
     ok
   }
 
@@ -393,7 +430,11 @@ private[sources] object MorLogProcedures {
           .defaultValue("''").build())
       case "vacuum" => Array(
         ProcedureParameter.in("table", StringType).build(),
-        ProcedureParameter.in("keep_versions", IntegerType).build())
+        ProcedureParameter.in("keep_versions", IntegerType).build(),
+        // dry_run => true: return the would-delete (kind, path) rows
+        // instead of sweeping — strictly read-only
+        ProcedureParameter.in("dry_run", BooleanType)
+          .defaultValue("false").build())
       case "restore" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("version", IntegerType).build())
@@ -444,8 +485,22 @@ private[sources] object MorLogProcedures {
             case None => MorLog.cluster(spark, dir, dims)
           }))
         case "vacuum" =>
-          one(CountSchema, Int.box(MorLog.vacuum(spark,
-            dirOf(input.getUTF8String(0).toString), input.getInt(1))))
+          val dir = dirOf(input.getUTF8String(0).toString)
+          val dryRun = !input.isNullAt(2) && input.getBoolean(2)
+          if (dryRun) {
+            val rows = MorLog.vacuumDryRun(spark, dir, input.getInt(1))
+              .map { case (kind, p) =>
+                new GenericInternalRow(Array[Any](
+                  UTF8String.fromString(kind),
+                  UTF8String.fromString(p))): InternalRow
+              }.toArray
+            util.Collections.singletonList(
+              RowsScan(StructType(Seq(
+                StructField("kind", StringType, nullable = false),
+                StructField("path", StringType, nullable = false))),
+                rows): Scan).iterator()
+          } else one(CountSchema,
+            Int.box(MorLog.vacuum(spark, dir, input.getInt(1))))
         case "vacuum_retain" =>
           one(CountSchema, Int.box(MorLog.vacuumRetain(spark,
             dirOf(input.getUTF8String(0).toString),
@@ -457,13 +512,17 @@ private[sources] object MorLogProcedures {
             nullable = false))), Int.box(input.getInt(1)))
         case "detail" =>
           // DESCRIBE DETAIL: the current snapshot's operational
-          // one-liner, straight off the cached meta (zero data IO)
+          // one-liner — cached meta plus the size HISTOGRAM off the
+          // cached directory-length listings (zero data IO; the
+          // "does this table need compaction" columns, round-15
+          // verdict's #7)
           val dir = dirOf(input.getUTF8String(0).toString)
           val v = MorLog.currentVersion(spark, dir)
           val h = MorLog.history(spark, dir)
             .orderBy(org.apache.spark.sql.functions.col("version").desc)
             .head()
           val spec = MorLog.partitionSpec(spark, dir)
+          val sizes = MorLog.fileSizeSummary(spark, dir)
           one(StructType(Seq(
             StructField("version", IntegerType, nullable = false),
             StructField("n_files", IntegerType, nullable = false),
@@ -471,12 +530,20 @@ private[sources] object MorLogProcedures {
             StructField("partition_spec", StringType, nullable = false),
             StructField("tombstone_tier", StringType, nullable = false),
             StructField("last_commit_at", TimestampType,
-              nullable = true))),
+              nullable = true),
+            StructField("total_bytes", LongType, nullable = true),
+            StructField("p50_file_bytes", LongType, nullable = true),
+            StructField("p90_file_bytes", LongType, nullable = true),
+            StructField("max_file_bytes", LongType, nullable = true))),
             Int.box(v), Int.box(h.getInt(2)), Int.box(h.getInt(5)),
             UTF8String.fromString(spec.mkString(", ")),
             UTF8String.fromString(h.getString(6)),
             if (h.isNullAt(7)) null
-            else Long.box(h.getTimestamp(7).getTime * 1000L))
+            else Long.box(h.getTimestamp(7).getTime * 1000L),
+            sizes.map(x => Long.box(x._1)).orNull,
+            sizes.map(x => Long.box(x._2)).orNull,
+            sizes.map(x => Long.box(x._3)).orNull,
+            sizes.map(x => Long.box(x._4)).orNull)
         case "history" =>
           val df = MorLog.history(spark,
             dirOf(input.getUTF8String(0).toString))

@@ -52,10 +52,12 @@ import graft.sink.{DvPerFile, MorLog}
   * change feed emits (delete precedes insert within a version) — the
   * data row wins. Subscribing with `maxVersionsPerTrigger = 1` keeps
   * each epoch a single source version, which makes this netting exact
-  * for any lifecycle. Alternatively `.option("netBy", "<orderCol>")`
-  * last-wins-nets duplicate keys INSIDE an epoch on that order column
-  * (the sink stamps it on delete-key files too), so uncapped
-  * multi-version feeds sink exactly — see
+  * for any lifecycle. Alternatively `.option("netBy",
+  * "<orderCol>[,<tiebreak>…]")` last-wins-nets duplicate keys INSIDE
+  * an epoch on that order column LIST (lexicographic; the sink stamps
+  * every listed column on delete-key files too), so uncapped
+  * multi-version feeds sink exactly, and second-precision feeds break
+  * their timestamp ties on the finer tail ordinal — see
   * [[graft.sink.MorLog.commitStreamEpoch]]'s netBy contract.
   * `.option("maxOpenWriters", n)` (or `graft.sink.maxOpenWriters`,
   * default 32) bounds each task's concurrently open parquet writers —
@@ -177,9 +179,10 @@ class MorLogStreamingWrite(path: String, queryId: String,
                            keyTypes: Array[DataType],
                            conf: DvPerFile.SerConf,
                            zoneId: String = "UTC",
-                           netBy: Option[String] = None,
-                           netPhys: String = "", netOrdinal: Int = -1,
-                           netType: DataType = LongType,
+                           netBy: Seq[String] = Seq.empty,
+                           netPhys: Array[String] = Array.empty,
+                           netOrdinals: Array[Int] = Array.empty,
+                           netTypes: Array[DataType] = Array.empty,
                            maxOpenWriters: Int = 32)
     extends StreamingWrite {
 
@@ -189,7 +192,7 @@ class MorLogStreamingWrite(path: String, queryId: String,
     // must not capture this (non-serializable) StreamingWrite
     MorLogEpochWriterFactory(s"$path/_log", dataNames, dataTypes,
       physNames, dataOrdinals, partSpec, opOrdinal, deleteValue,
-      physKeys, keyTypes, conf, zoneId, netPhys, netOrdinal, netType,
+      physKeys, keyTypes, conf, zoneId, netPhys, netOrdinals, netTypes,
       maxOpenWriters)
 
   override def commit(epochId: Long,
@@ -225,9 +228,12 @@ case class MorLogEpochWriterFactory(logDir: String,
                                     keyTypes: Array[DataType],
                                     conf: DvPerFile.SerConf,
                                     zoneId: String = "UTC",
-                                    netPhys: String = "",
-                                    netOrdinal: Int = -1,
-                                    netType: DataType = LongType,
+                                    netPhys: Array[String] =
+                                      Array.empty,
+                                    netOrdinals: Array[Int] =
+                                      Array.empty,
+                                    netTypes: Array[DataType] =
+                                      Array.empty,
                                     maxOpenWriters: Int = 32)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
@@ -235,7 +241,7 @@ case class MorLogEpochWriterFactory(logDir: String,
     new MorLogEpochWriter(logDir, dataNames, dataTypes, physNames,
       dataOrdinals, partSpec, opOrdinal, deleteValue, physKeys,
       keyTypes, new Configuration(conf.value), zoneId, netPhys,
-      netOrdinal, netType, maxOpenWriters)
+      netOrdinals, netTypes, maxOpenWriters)
 }
 
 /** One task's epoch writer: routes delete-tagged rows to a key-only
@@ -250,8 +256,9 @@ class MorLogEpochWriter(logDir: String, dataNames: Array[String],
                         deleteValue: String, physKeys: Array[String],
                         keyTypes: Array[DataType], conf: Configuration,
                         zoneId: String = "UTC",
-                        netPhys: String = "", netOrdinal: Int = -1,
-                        netType: DataType = LongType,
+                        netPhys: Array[String] = Array.empty,
+                        netOrdinals: Array[Int] = Array.empty,
+                        netTypes: Array[DataType] = Array.empty,
                         maxOpenWriters: Int = 32)
     extends DataWriter[InternalRow] {
 
@@ -302,10 +309,7 @@ class MorLogEpochWriter(logDir: String, dataNames: Array[String],
     }
   private var delWriter: (ParquetWriter[Group], String) = _
   private lazy val delMsgType =
-    if (netPhys.nonEmpty)
-      GroupEncode.messageType(physKeys :+ netPhys,
-        keyTypes :+ netType)
-    else GroupEncode.messageType(physKeys, keyTypes)
+    GroupEncode.messageType(physKeys ++ netPhys, keyTypes ++ netTypes)
   private lazy val delFactory = new SimpleGroupFactory(delMsgType)
 
   // NOT dot/underscore-prefixed: Spark's file index treats those as
@@ -379,8 +383,11 @@ class MorLogEpochWriter(logDir: String, dataNames: Array[String],
         GroupEncode.add(g, physKeys(i), keyTypes(i), row, keyOrds(i))
         i += 1
       }
-      if (netOrdinal >= 0)
-        GroupEncode.add(g, netPhys, netType, row, netOrdinal)
+      var j = 0
+      while (j < netOrdinals.length) {
+        GroupEncode.add(g, netPhys(j), netTypes(j), row, netOrdinals(j))
+        j += 1
+      }
       delWriter._1.write(g)
     } else {
       val pk = partKey(row)

@@ -21,4 +21,12 @@ object GraftPlanBridge {
     * ColumnNode. Used for driver-side predicate ANALYSIS only (file
     * stats pruning), never to build plans. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The inverse: wrap an (unresolved) expression tree as a fluent
+    * [[Column]] — what `new Column(expr)` was before the Connect
+    * split. Lets the SQL-DML lowering hand the engine a condition
+    * WITHOUT an `Expression.sql` text round-trip (a folded
+    * `IN (<subquery>)` literal list would render to megabytes of SQL
+    * only to be re-parsed). */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
 }

@@ -127,11 +127,14 @@ class Round14Spec extends AnyFunSuite {
       WHEN MATCHED THEN UPDATE SET *"""))
     assert(chain(nonEqui).contains("column equalit"),
       s"non-equi ON must refuse loud, got ${chain(nonEqui)}")
+    // round 16: NON-correlated subqueries now FOLD (Round16Spec pins
+    // them); the refusal surface narrowed to CORRELATED forms
     val sub = intercept[Throwable](spark.sql(s"""
-      UPDATE $c.t SET v = 0
-      WHERE k IN (SELECT k FROM r14_src4)"""))
-    assert(chain(sub).toLowerCase.contains("subquer"),
-      s"subquery DML must refuse loud, got ${chain(sub)}")
+      UPDATE $c.t t SET v = 0
+      WHERE EXISTS (SELECT 1 FROM r14_src4 s WHERE s.k = t.k)"""))
+    assert(chain(sub).toLowerCase.contains("subquer") ||
+      chain(sub).toLowerCase.contains("correlated"),
+      s"correlated subquery DML must refuse loud, got ${chain(sub)}")
     val evo = intercept[Throwable](spark.sql(s"""
       MERGE WITH SCHEMA EVOLUTION INTO $c.t AS t
       USING r14_src4 AS s ON t.k = s.k
