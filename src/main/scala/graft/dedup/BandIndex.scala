@@ -67,12 +67,38 @@ object BandIndex {
     val newSh = Dedup.withHashedShingles(newDocs, idCol, textCol, n)
       .filter(size(col("shingles")) > 0).persist()
     val newBand = bandRows(newSh, idCol, k, bands, buckets).persist()
+    var nn: DataFrame = null
+    var cross: Option[DataFrame] = None
     try {
       val exists = MorLog.versions(spark, bandsDir(indexRoot)).nonEmpty
+      // re-ingest guard FIRST (an id in both the batch and the index
+      // would double-count its pairs across increments): id-pruned
+      // membership read for admission-scale batches, a distributed
+      // semi-join count past the cap — never an unbounded driver
+      // collect (review-caught)
+      if (exists) {
+        val guardCap = spark.conf
+          .getOption("graft.dedup.ingestGuardIdCap")
+          .map(_.toInt).getOrElse(100000)
+        val newIds = newSh.select(col(idCol))
+          .limit(guardCap + 1).collect()
+        val dup =
+          if (newIds.length <= guardCap)
+            MorLog.readWhere(spark, shDir(indexRoot),
+              col(idCol).isInCollection(newIds.map(_.get(0)).toSeq))
+              .count()
+          else MorLog.read(spark, shDir(indexRoot))
+            .join(newSh.select(col(idCol)), Seq(idCol), "left_semi")
+            .count()
+        require(dup == 0,
+          s"BandIndex.ingest: $dup batch doc id(s) are already " +
+            "indexed — the index is an admission record; dedupe the " +
+            "feed or rebuild")
+      }
       // in-batch pairs — the batch self-join [[Dedup.lshCandidates]]
       // already implements (it is O(batch), the arriving side)
-      val nn = Dedup.lshCandidates(newSh, idCol, k, bands)
-      val cross =
+      nn = Dedup.lshCandidates(newSh, idCol, k, bands)
+      cross =
         if (!exists) None
         else {
           // the batch's key set is broadcast-scale by construction
@@ -102,18 +128,6 @@ object BandIndex {
           BandIndexStats.lastIndexPairs = joined.count()
           Some(joined)
         }
-      // re-ingest guard: an id in BOTH the batch and the index would
-      // double-count its pairs across increments
-      if (exists) {
-        val newIds = newSh.select(col(idCol)).collect()
-          .map(_.get(0)).toSeq
-        val dup = MorLog.readWhere(spark, shDir(indexRoot),
-          col(idCol).isInCollection(newIds)).count()
-        require(dup == 0,
-          s"BandIndex.ingest: $dup batch doc id(s) are already " +
-            "indexed — the index is an admission record; dedupe the " +
-            "feed or rebuild")
-      }
       // candidate old docs' shingles, fetched THROUGH the id bounds —
       // O(candidates), never a corpus shingle scan
       val oldSh = cross.map { c =>
@@ -148,8 +162,6 @@ object BandIndex {
       val pairs = Dedup.jaccardOnCandidates(candAll, lookup, idCol, tau)
         .persist()
       pairs.count()
-      nn.unpersist()
-      cross.foreach(_.unpersist())
       // admit the batch: bucket-partitioned band rows, id-clustered
       // shingle arrays — each increment lands one file per touched
       // bucket / id range, so later prunes stay exact
@@ -166,7 +178,13 @@ object BandIndex {
         newSh.repartitionByRange(4, col(idCol))
           .sortWithinPartitions(idCol))
       pairs
-    } finally { newSh.unpersist(); newBand.unpersist() }
+    } finally {
+      newSh.unpersist(); newBand.unpersist()
+      // nn/cross were persisted mid-flight — release them on EVERY
+      // exit, refusals included (review-caught leak)
+      if (nn != null) nn.unpersist()
+      cross.foreach(_.unpersist())
+    }
   }
 }
 

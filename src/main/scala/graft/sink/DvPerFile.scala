@@ -561,6 +561,8 @@ private[graft] object DvPerFile {
     val keep: Set[(String, Int)] = ceilings.toSet[Int]
       .flatMap(c => resolve(hconf, tableDir, c).toSeq.map(e => (e._1, e._2)))
     val keepMarkers = ceilings.toSet
+    // resolved once per sweep, not per candidate (review-caught)
+    val grace = MorLog.debrisGraceMs(spark, tableDir)
     fs.listStatus(new Path(d)).foreach { s =>
       val n = s.getPath.getName
       if (n.endsWith(".dv") && !n.startsWith("_") && !n.startsWith(".")) {
@@ -592,7 +594,7 @@ private[graft] object DvPerFile {
         // didn't. AGE-GATED (advice-caught): deleting a LIVE writer's
         // temp between create and rename fails that write with an
         // un-retried IOException, so only aged temps are swept
-        if (MorLog.debrisAged(spark, tableDir, s))
+        if (MorLog.debrisAged(grace, s))
           fs.delete(s.getPath, false)
       }
     }

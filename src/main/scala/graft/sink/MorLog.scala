@@ -1347,10 +1347,19 @@ object MorLog {
   }
 
   /** name → on-disk length for one directory's data files (see
-    * [[estimateScanRows]]); refreshed only when a needed name is
-    * absent, purged by [[invalidateDir]]. */
+    * [[estimateScanRows]]); value carries the LISTING TIME so
+    * negative entries can expire, purged by [[invalidateDir]]. */
   private val lenCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Map[String, Long])]
+
+  /** How long a NEGATIVE length entry stays authoritative: within the
+    * window an absent name degrades to the unknown-stats path with no
+    * re-list (the advice fix); past it ONE re-list re-validates, so a
+    * transient listing miss (eventual consistency) heals instead of
+    * pinning a quiescent table to no-estimates forever
+    * (review-caught). */
+  private val LenNegativeTtlMs = 60000L
 
   /** Negative-entry sentinel in [[lenCache]]: the name was asked for
     * but the listing didn't carry it (a name outside the part-*
@@ -1364,7 +1373,10 @@ object MorLog {
   private def fileLens(spark: SparkSession, dir: String,
                        needed: Seq[String]): Map[String, Long] = {
     val hit = lenCache.get(dir)
-    if (hit != null && needed.forall(hit.contains)) return hit
+    if (hit != null && needed.forall(hit._2.contains) &&
+        (needed.forall(n => hit._2(n) != LenAbsent) ||
+          System.currentTimeMillis() - hit._1 < LenNegativeTtlMs))
+      return hit._2
     val fs = fsOf(spark, dir)
     val listed = fs.listStatus(new Path(dir)).iterator
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
@@ -1372,7 +1384,7 @@ object MorLog {
       .map(s => s.getPath.getName -> s.getLen).toMap
     val m = listed ++
       needed.filterNot(listed.contains).map(_ -> LenAbsent)
-    lenCache.put(dir, m)
+    lenCache.put(dir, (System.currentTimeMillis(), m))
     m
   }
 
@@ -2016,12 +2028,18 @@ object MorLog {
     * Spec-tunable via `graft.vacuum.debrisGraceMs` (default 20 min —
     * comfortably above any epoch's executor-commit→driver-rename or
     * temp-create→rename window, both sub-second in practice). */
-  private[sink] def debrisAged(spark: SparkSession, dir: String,
+  /** Resolve the debris grace ONCE per sweep (review-caught: the
+    * per-candidate tableProp lookup re-listed `_log` for every debris
+    * file inside the sweep loops). */
+  private[sink] def debrisGraceMs(spark: SparkSession,
+                                  dir: String): Long =
+    tableProp(spark, dir, "graft.vacuum.debrisGraceMs")
+      .map(_.toLong).getOrElse(1200000L)
+
+  private[sink] def debrisAged(graceMs: Long,
                                s: org.apache.hadoop.fs.FileStatus)
       : Boolean =
-    System.currentTimeMillis() - s.getModificationTime >
-      tableProp(spark, dir, "graft.vacuum.debrisGraceMs")
-        .map(_.toLong).getOrElse(1200000L)
+    System.currentTimeMillis() - s.getModificationTime > graceMs
 
   def vacuum(spark: SparkSession, dir: String,
              keepVersions: Int = 2): Int =
@@ -2051,10 +2069,18 @@ object MorLog {
     if (!dry) vacuumPauseHook(dir)
     val fs = fsOf(spark, dir)
     val would = Seq.newBuilder[(String, String)]
-    def del(kind: String, p: Path, recursive: Boolean): Boolean = {
-      would += (kind -> p.toString)
-      if (dry) true else fs.delete(p, recursive)
-    }
+    // dry mode must not DOUBLE-report: in the real pass a SECOND
+    // fs.delete of the same file returns false (two dropped versions
+    // referencing one file; the debris sweep re-seeing a drop-loop
+    // victim), but in dry mode everything stays on disk — so del()
+    // mirrors that by answering false for an already-named file
+    // (review-caught: entries surfaced twice, in two path spellings)
+    val seenNames = scala.collection.mutable.HashSet.empty[String]
+    def del(kind: String, p: Path, recursive: Boolean): Boolean =
+      if (dry) {
+        if (!seenNames.add(p.getName)) false
+        else { would += (kind -> p.toString); true }
+      } else fs.delete(p, recursive)
     var deleted = 0
     if (drop.nonEmpty) {
       val keptTombs = keptStates.filter(_.tombsV >= 0)
@@ -2135,6 +2161,7 @@ object MorLog {
     // version never committed — fresher is strictly safer there).
     val committed = versions(spark, dir).toSet
     val maxCommitted = vs.foldLeft(-1)(math.max)
+    val grace = debrisGraceMs(spark, dir)
     val logP = new Path(s"$dir/$LogDir")
     if (fs.exists(logP)) {
       val keptTombs2 = keptStates.filter(_.tombsV >= 0)
@@ -2177,7 +2204,7 @@ object MorLog {
           // staged file there fails that epoch's commit loud (withOcc
           // does not retry IOExceptions), so only files older than the
           // debris grace window are crash debris by construction
-          if (debrisAged(spark, dir, s)) del("stream-stage", s.getPath, true)
+          if (debrisAged(grace, s)) del("stream-stage", s.getPath, true)
         } else if (n.startsWith(".") && n.endsWith(".tmp")) {
           // a crashed AtomicFiles.replace/createExclusive between its
           // temp create and rename leaks the attempt-unique temp
@@ -2186,7 +2213,7 @@ object MorLog {
           // happened or didn't. Age-gated like sstage_ (advice-caught):
           // a LIVE writer's temp deleted between create and rename
           // fails that write with an un-retried IOException
-          if (debrisAged(spark, dir, s)) del("temp", s.getPath, false)
+          if (debrisAged(grace, s)) del("temp", s.getPath, false)
         }
       }
     }

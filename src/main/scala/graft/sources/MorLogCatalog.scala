@@ -157,6 +157,12 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog
     val propUnsets = Seq.newBuilder[String]
     changes.foreach {
       case sp: TableChange.SetProperty =>
+        // the same reserved filter CREATE applies — storing Spark's
+        // own stamps (owner/comment/…) as user properties would make
+        // SHOW TBLPROPERTIES lie about what the user set
+        require(!ReservedProps.contains(sp.property.toLowerCase),
+          s"ALTER TABLE SET TBLPROPERTIES: ${sp.property} is a " +
+            "Spark-managed key, not a user table property")
         propSets += (sp.property -> sp.value)
       case rp: TableChange.RemoveProperty =>
         propUnsets += rp.property

@@ -253,11 +253,23 @@ class Round16Spec extends AnyFunSuite {
     val root = tmp("r16_vdry")
     val (c, dir) = keyedTable(root)
     MorLog.deleteWhere(spark, dir, col("id") < 10)
+    // compact REPLACES the original 4 files, so vacuum(keep 1) has
+    // real data files to drop — the review-caught double-report only
+    // reproduced when the drop loop actually named files
+    MorLog.compact(spark, dir)
     val before = MorLog.read(spark, dir).count()
     val would = MorLog.vacuumDryRun(spark, dir, keepVersions = 1)
     assert(would.nonEmpty)
+    val wdata = would.collect { case ("data", p) => p }
+    assert(wdata.size >= 4, s"expected the 4 replaced files: $would")
+    // no duplicate reporting across the drop loop and the debris
+    // sweep (review-caught: files surfaced twice in two spellings)
+    val names = would.map { case (_, p) =>
+      new org.apache.hadoop.fs.Path(p).getName }
+    assert(names.distinct.size == names.size,
+      s"dry-run duplicated entries: $would")
     // STRICTLY read-only: same versions, same rows, still time-travels
-    assert(MorLog.versions(spark, dir) == Seq(0, 1))
+    assert(MorLog.versions(spark, dir) == Seq(0, 1, 2))
     assert(MorLog.read(spark, dir).count() == before)
     val wouldData = would.collect { case ("data", p) => p }.toSet
     val hconf = spark.sparkContext.hadoopConfiguration
