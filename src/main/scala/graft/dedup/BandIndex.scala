@@ -186,6 +186,19 @@ object BandIndex {
       cross.foreach(_.unpersist())
     }
   }
+
+  /** Bound the index's file growth: every ingest lands one file per
+    * touched bucket partition (bands) plus one id-range file (sh), so
+    * a long-running crawl accumulates O(increments × buckets) small
+    * files and the per-ingest candidate scan creeps from O(buckets)
+    * toward O(increments). Run between ingests: bin-pack both tables
+    * (partition alignment on bands is preserved — the repack is the
+    * same one-tuple-per-file rewrite compaction always does). Both
+    * are value-invisible versions; old files stay time-travelable.
+    * Returns (bandFilesPacked, shingleFilesPacked). */
+  def maintain(spark: SparkSession, indexRoot: String): (Int, Int) =
+    (MorLog.compactSmall(spark, bandsDir(indexRoot)),
+      MorLog.compactSmall(spark, shDir(indexRoot)))
 }
 
 /** The index path's scale claims, pinned by specs/oracle entries:

@@ -3069,12 +3069,16 @@ object MorLog {
     * driver (round-13 verdict watch item #1). */
   private[graft] val CdfCapKey = "graft.morlog.cdfDriverRowCap"
 
-  private def guardDriverRows(spark: SparkSession, dir: String,
-                              what: String, n: Long): Unit = {
-    // table property first (durable, travels with the table), then
-    // session conf, then the default
-    val cap = tableProp(spark, dir, CdfCapKey).map(_.toLong)
-      .getOrElse(5000000L)
+  /** Resolve the CDF driver-row cap ONCE per operation — table
+    * property first (durable, travels with the table), then session
+    * conf, then the default. Per-version lookups inside a span loop
+    * would re-list `_log` every iteration (same hazard the review
+    * caught on debrisAged). */
+  private def cdfCapOf(spark: SparkSession, dir: String): Long =
+    tableProp(spark, dir, CdfCapKey).map(_.toLong).getOrElse(5000000L)
+
+  private def guardDriverRows(cap: Long, what: String,
+                              n: Long): Unit = {
     if (n > cap) throw new IllegalStateException(
       s"$what would materialize $n broadcast-tier tombstone rows on " +
         s"the driver (cap $cap via $CdfCapKey) — this table's delete " +
@@ -3103,7 +3107,8 @@ object MorLog {
         val rel = tombsOf(spark, dir, st).get
           .filter(col(FileCol).isInCollection(names)).persist()
         try {
-          guardDriverRows(spark, dir, "connector scan", rel.count())
+          guardDriverRows(cdfCapOf(spark, dir), "connector scan",
+            rel.count())
           rel.groupBy(col(FileCol))
             .agg(sort_array(collect_list(col(RowCol))).as("r"))
             .collect()
@@ -3158,6 +3163,7 @@ object MorLog {
     var prev =
       if (fromV < 0) State(-1, "init", -1, -1, toSt.schema, Seq.empty)
       else state(spark, dir, fromV)
+    val cdfCap = cdfCapOf(spark, dir)
     val specs = Seq.newBuilder[ChangeFileSpec]
     span.foreach { v =>
       val st = state(spark, dir, v)
@@ -3203,7 +3209,7 @@ object MorLog {
                   try {
                     // the one exclude-path sibling of the three capped
                     // CDF collects — same loud bound (verdict-caught)
-                    guardDriverRows(spark, dir,
+                    guardDriverRows(cdfCap,
                       s"change span exclude (v$v)", hit.count())
                     hit.groupBy(col(FileCol))
                       .agg(sort_array(collect_list(col(RowCol))).as("r"))
@@ -3240,7 +3246,7 @@ object MorLog {
             case Some(o) => newT.exceptAll(o)
           }).persist()
           try {
-            guardDriverRows(spark, dir,
+            guardDriverRows(cdfCap,
               s"change span (v$v)", delta.count())
             delta.groupBy(col(FileCol))
               .agg(sort_array(collect_list(col(RowCol))).as("r"))
@@ -3366,6 +3372,7 @@ object MorLog {
         (if (df.columns.contains(c)) col(c)
          else lit(null)).cast(toSchema(c).dataType).as(c)): _*)
     var prev = state(spark, dir, fromV)
+    val cdfCap = cdfCapOf(spark, dir)
     val events = span.flatMap { v =>
       val st = state(spark, dir, v)
       require(!st.action.startsWith("restore:"),
@@ -3410,7 +3417,7 @@ object MorLog {
             val perFile = delta.groupBy(col(FileCol))
               .agg(count(lit(1)).as("n")).collect()
             if (prev.pfCeil < 0)
-              guardDriverRows(spark, dir, s"incrementalChanges (v$v)",
+              guardDriverRows(cdfCap, s"incrementalChanges (v$v)",
                 perFile.iterator.map(_.getLong(1)).sum)
             val names = perFile.map(_.getString(0)).toSeq.sorted
             if (names.isEmpty) None

@@ -358,6 +358,36 @@ class Round16Spec extends AnyFunSuite {
         "prune bucket partitions")
   }
 
+  test("band index maintenance packs files without changing answers") {
+    val root = tmp("r16_bandm")
+    val docs = spark.range(240).toDF("doc_id").withColumn("text",
+      concat_ws(" ", (0 until 12).map(i =>
+        concat(lit("w"), ((col("doc_id") * 13 + i) % 40))): _*))
+    def part(i: Int) = docs.filter(col("doc_id") % 4 === i)
+    val p0 = graft.dedup.BandIndex.ingest(spark, root, part(0),
+      "doc_id", "text").collect().toSet
+    val p1 = graft.dedup.BandIndex.ingest(spark, root, part(1),
+      "doc_id", "text").collect().toSet
+    val p2 = graft.dedup.BandIndex.ingest(spark, root, part(2),
+      "doc_id", "text").collect().toSet
+    def nFiles(d: String) = MorLog.state(spark, d,
+      MorLog.currentVersion(spark, d)).files.size
+    val before = nFiles(s"$root/bands")
+    val (packed, clustered) = graft.dedup.BandIndex.maintain(spark, root)
+    assert(packed > 0 && clustered > 0,
+      s"3 increments must leave packable debris ($packed, $clustered)")
+    assert(nFiles(s"$root/bands") < before,
+      "maintenance must shrink the bands file count")
+    // a post-maintenance ingest still answers exactly (and the batch
+    // result over the whole corpus stays the increments' union)
+    val p3 = graft.dedup.BandIndex.ingest(spark, root, part(3),
+      "doc_id", "text").collect().toSet
+    val batch = graft.dedup.Dedup.minhashNearDups(docs, "doc_id", "text")
+      .collect().toSet
+    assert((p0 ++ p1 ++ p2 ++ p3) == batch,
+      "rolling pairs across maintenance drifted from the batch result")
+  }
+
   test("MERGE clause conditions fold non-correlated subqueries") {
     val root = tmp("r16_mergesub")
     val c = cat(root)
