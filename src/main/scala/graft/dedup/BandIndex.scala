@@ -191,14 +191,20 @@ object BandIndex {
     * touched bucket partition (bands) plus one id-range file (sh), so
     * a long-running crawl accumulates O(increments × buckets) small
     * files and the per-ingest candidate scan creeps from O(buckets)
-    * toward O(increments). Run between ingests: bin-pack both tables
-    * (partition alignment on bands is preserved — the repack is the
-    * same one-tuple-per-file rewrite compaction always does). Both
-    * are value-invisible versions; old files stay time-travelable.
-    * Returns (bandFilesPacked, shingleFilesPacked). */
-  def maintain(spark: SparkSession, indexRoot: String): (Int, Int) =
+    * toward O(increments). Run between ingests: bin-pack the bands
+    * table (partition alignment preserved — the repack is the same
+    * one-tuple-per-file rewrite compaction always does) and
+    * RANGE-CLUSTER-pack the shingle table on the id — a plain
+    * compactSmall's round-robin repartition would spread every packed
+    * file across the full id range and silently turn the
+    * exact-verify fetch back into a corpus scan (review-caught);
+    * clusterSmall keeps the per-file id bounds the fetch prunes on.
+    * Both are value-invisible versions; old files stay
+    * time-travelable. Returns (bandFilesPacked, shingleFilesPacked). */
+  def maintain(spark: SparkSession, indexRoot: String,
+               idCol: String = "doc_id"): (Int, Int) =
     (MorLog.compactSmall(spark, bandsDir(indexRoot)),
-      MorLog.compactSmall(spark, shDir(indexRoot)))
+      MorLog.clusterSmall(spark, shDir(indexRoot), Seq(idCol)))
 }
 
 /** The index path's scale claims, pinned by specs/oracle entries:

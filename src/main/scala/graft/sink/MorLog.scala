@@ -2432,8 +2432,13 @@ object MorLog {
       return Seq.empty
     }
     // table property first (per-table durable knob, like the sink/CDF
-    // caps), then session conf — once per locate, not per file
-    val cap = tableProp(spark, dir, LocateInCapKey)
+    // caps), then session conf. The caller already holds the resolved
+    // tip state, whose parsed props ARE the table properties — a
+    // tableProp() call here would re-list `_log` on EVERY locate of a
+    // streaming drain (review-caught); legacy metas (props None) fall
+    // to the session conf, which is all they ever had
+    val cap = st.props.flatMap(_.get(LocateInCapKey))
+      .orElse(spark.conf.getOption(LocateInCapKey))
       .map(_.toInt).getOrElse(4096)
     val rows = nonNull.select(pairs.map(p => col(p._2)): _*)
       .limit(cap + 1).collect()

@@ -128,7 +128,13 @@ object ZOrderLayout {
     * [[Compaction.zorderCompact]]) write it after their commit. */
   def clusteredRanked(df: DataFrame, dims: Seq[String], nFiles: Int,
                       buckets: Int = 256): DataFrame = {
-    require(dims.size >= 2, s"need >= 2 dims, got $dims")
+    require(dims.nonEmpty, "need at least one dim")
+    // ONE dim needs no curve: a plain range sort is EXACT clustering
+    // (no rank-bucket quantization loss) — what `CLUSTER BY (id)` and
+    // the band index's shingle-table maintenance mean
+    if (dims.size == 1)
+      return df.repartitionByRange(math.max(1, nFiles), col(dims.head))
+        .sortWithinPartitions(dims.head)
     require(buckets >= 2 && buckets <= 65536, s"buckets out of range: $buckets")
     val probs = (0 to buckets).map(_.toDouble / buckets).toArray
     val numNames = dims.indices.map(i => s"_zq$i")
