@@ -4816,7 +4816,12 @@ object CoreQueries {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"),
         (col("event_id") % 16).cast("int").as("bucket"))
-    ev.repartition(1).write.parquet(feed) // one task sees all 16 tuples
+    // one task sees all 16 tuples, CLUSTERED into runs: the cap-2
+    // pool must still evict (16 tuples > 2 writers) but ~14 times,
+    // not once per row — an unsorted round-robin feed through a tiny
+    // cap churned ~600k file seals at sf0.1 (bench-caught; the
+    // pathological-feed shape itself is Round15Spec's territory)
+    ev.repartition(1).sortWithinPartitions("bucket").write.parquet(feed)
     graft.sources.MorLogStreamSinkStats.resetForTest()
     val q = s.readStream.schema(ev.schema).parquet(feed)
       .writeStream.format("graft.sources.MorLogSource")

@@ -177,8 +177,11 @@ class Round16Spec extends AnyFunSuite {
     assert(MorLog.tableProps(spark, dir)
       .get("graft.vacuum.debrisGraceMs").contains("7"))
     // vacuum prunes history without losing the map (the tip meta is
-    // the O(1) source of truth)
+    // the O(1) source of truth) — and a FRESH driver (caches dropped,
+    // re-parse from disk) reads the same map: the durability claim is
+    // about bytes on disk, not a warm cache
     MorLog.vacuum(spark, dir, keepVersions = 1)
+    MorLog.dropStateCache()
     assert(MorLog.tableProps(spark, dir)
       .get("graft.vacuum.debrisGraceMs").contains("7"))
     // a clone inherits the source's properties
