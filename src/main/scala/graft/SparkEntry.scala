@@ -637,6 +637,10 @@ object SparkEntry {
     // hashing, bucket-pruned candidate scans) == one-shot q20 exactly
     "q293_band_index_dedup" -> ((s, d) =>
       LlmQueries.bandIndexDedup(s, d)),
+    // tied coarse ordinals drain in one epoch on the netBy tiebreak
+    // LIST; mirror row-exact (single-column netBy would refuse)
+    "q294_morlog_stream_net_ties" -> ((s, d) =>
+      CoreQueries.morLogStreamNetTies(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1767,6 +1771,21 @@ object SparkEntry {
     // q280's capped multi-epoch drain (mirror == source asserted
     // row-exactly in-query)
     "q288_morlog_stream_net" ->
+      """WITH st1 AS (SELECT event_id, event_type, value FROM events
+           WHERE event_id % 10 <> 3),
+         st2 AS (SELECT event_id, event_type,
+             CASE WHEN event_id % 9 = 0 THEN value + 500.0
+               ELSE value END AS value
+           FROM st1),
+         st3 AS (SELECT * FROM st2 WHERE event_id % 10 <> 7)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM st3 GROUP BY event_type""",
+    // q288's lifecycle netted on the ("ord","seq") tiebreak list —
+    // same final snapshot, same arithmetic
+    "q294_morlog_stream_net_ties" ->
       """WITH st1 AS (SELECT event_id, event_type, value FROM events
            WHERE event_id % 10 <> 3),
          st2 AS (SELECT event_id, event_type,

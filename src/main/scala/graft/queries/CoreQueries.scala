@@ -4786,6 +4786,70 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** TIED-ORDINAL CDC DRAIN WITH A TIEBREAK LIST (q294, the round-15
+    * verdict's #6 under the oracle gate): q288's uncapped
+    * multi-version netted drain, but the netting ordinal is
+    * DELIBERATELY COARSE — `ord = _commit_version / 2` ties versions
+    * pairwise, exactly the second-precision-timestamp shape real
+    * change feeds produce — and `netBy = "ord,seq"` breaks the ties
+    * on the finer sequence (the raw version). A single-column netBy
+    * on `ord` would refuse loud (data rows tying per key); the list
+    * form drains the whole 4-version lifecycle in ONE epoch commit
+    * with the LAST writer per key winning, mirror == source
+    * row-exactly (asserted). Oracle: q288's arithmetic. */
+  def morLogStreamNetTies(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-cdcties-")
+    val (src, dst) = (s"$work/src", s"$work/dst")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.sink.MorLog.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"), src)
+    graft.sink.MorLog.deleteWhere(s, src, col("event_id") % 10 === 3)
+    val up = graft.sink.MorLog.read(s, src)
+      .filter(col("event_id") % 9 === 0)
+      .withColumn("value", col("value") + 500.0)
+    graft.sink.MorLog.upsert(s, src, up, "event_id")
+    graft.sink.MorLog.deleteWhere(s, src, col("event_id") % 10 === 7)
+    import org.apache.spark.sql.types.{IntegerType, StructField,
+      StructType}
+    graft.sink.MorLog.createEmpty(s, dst, StructType(
+      graft.sink.MorLog.read(s, src).schema.fields ++
+        Seq(StructField("ord", IntegerType),
+          StructField("seq", IntegerType))))
+    val v0 = graft.sink.MorLog.currentVersion(s, dst)
+    val q = s.readStream.format("graft.sources.MorLogSource")
+      .option("path", src).option("streamChanges", "true")
+      .option("startingVersion", "0").load()
+      .withColumn("op", col("_change_type"))
+      .withColumn("seq", col("_commit_version").cast("int"))
+      // COARSE on purpose: versions (0,1) and (2,3) tie on ord
+      .withColumn("ord", (col("_commit_version") / 2).cast("int"))
+      .drop("_change_type", "_commit_version")
+      .writeStream.format("graft.sources.MorLogSource")
+      .option("path", dst)
+      .option("mergeKey", "event_id")
+      .option("opCol", "op").option("deleteValue", "delete")
+      .option("netBy", "ord,seq")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    require(graft.sink.MorLog.currentVersion(s, dst) == v0 + 1,
+      "q294: the tied feed must net into ONE epoch commit on the " +
+        "tiebreak list")
+    val mirror = graft.sink.MorLog.read(s, dst).drop("ord", "seq")
+    val snap = graft.sink.MorLog.read(s, src)
+    val diff = mirror.exceptAll(snap).count() +
+      snap.exceptAll(mirror).count()
+    require(diff == 0,
+      s"q294: tiebreak netting drifted from the source by $diff rows")
+    mirror.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** DURABLE TBLPROPERTIES (q291, the round-15 verdict's #3): `ALTER
     * TABLE … SET TBLPROPERTIES` commits ONE metadata-only version
     * whose meta stamps the map; `SHOW TBLPROPERTIES` serves it back;
