@@ -99,6 +99,35 @@ class Round16Spec extends AnyFunSuite {
     assert(MorLogDmlStats.lastUpdated == 0)
   }
 
+  test("EXPLAIN of subquery DML never executes the subquery; plain DELETE keeps the V2 route") {
+    val root = tmp("r16_explain")
+    val (c, dir) = keyedTable(root)
+    // a quarantine view whose EVALUATION is observable
+    val acc = spark.sparkContext.longAccumulator("r16_probe")
+    spark.range(5).toDF("qid").as[Long](org.apache.spark.sql.Encoders
+        .scalaLong)
+      .map { x => acc.add(1); x }(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("qid").createOrReplaceTempView(s"quar_$c")
+    val v0 = MorLog.currentVersion(spark, dir)
+    spark.sql(s"EXPLAIN DELETE FROM $c.t WHERE id IN " +
+      s"(SELECT qid FROM quar_$c)").collect()
+    assert(acc.value == 0,
+      s"EXPLAIN must not execute the folded subquery (ran " +
+        s"${acc.value} rows)") // the Shielded-holder laziness claim
+    assert(MorLog.currentVersion(spark, dir) == v0,
+      "EXPLAIN must not commit")
+    // executing it DOES evaluate, exactly once per statement
+    spark.sql(s"DELETE FROM $c.t WHERE id IN (SELECT qid FROM quar_$c)")
+    assert(acc.value == 5 && MorLog.read(spark, dir).count() == 95)
+    // a PLAIN predicate keeps Spark's strict V2 SupportsDeleteV2
+    // route — our DML exec (which stamps lastDeleted) must not fire
+    graft.plans.MorLogDmlStats.lastDeleted = -7L
+    spark.sql(s"DELETE FROM $c.t WHERE id >= 90")
+    assert(graft.plans.MorLogDmlStats.lastDeleted == -7L,
+      "plain-predicate DELETE must stay on the V2 route")
+    assert(MorLog.read(spark, dir).count() == 85)
+  }
+
   test("correlated subqueries in DML refuse loud") {
     val root = tmp("r16_corr")
     val (c, dir) = keyedTable(root)
