@@ -641,6 +641,16 @@ object SparkEntry {
     // LIST; mirror row-exact (single-column netBy would refuse)
     "q294_morlog_stream_net_ties" -> ((s, d) =>
       CoreQueries.morLogStreamNetTies(s, d)),
+    // version-stamped IVF index (q292's contract, cell-shaped):
+    // stale serving refuses, CDF refresh rewrites only the cells the
+    // changed ids left/entered (counter-pinned), routed answers ==
+    // the post-mutation corpus
+    "q295_ivf_refresh" -> ((s, d) => LlmQueries.ivfRefresh(s, d)),
+    // composite-key quarantine DELETE: (k1,k2) IN (SELECT …) folds
+    // to a struct-literal In + per-column prune lists; one commit;
+    // NULL list members refuse loud
+    "q296_morlog_delete_tuple_subquery" -> ((s, d) =>
+      CoreQueries.morLogDeleteTupleSubquery(s, d)),
   )
 
   // DuckDB twins. Conventions shared with the Spark side (graft.Oracle):
@@ -1832,6 +1842,22 @@ object SparkEntry {
                WHERE event_id % 10 = 3 AND event_id <= hi // 4),
          kept AS (SELECT * FROM events
                   WHERE event_id NOT IN (SELECT event_id FROM q))
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM kept GROUP BY event_type""",
+    // the tuple-key quarantine DELETE: rows whose (event_id,
+    // event_type) pair sits on the folded list are gone; NOT EXISTS
+    // spells the row-value membership DuckDB-side
+    "q296_morlog_delete_tuple_subquery" ->
+      """WITH m AS (SELECT max(event_id) AS hi FROM events),
+         q AS (SELECT event_id, event_type FROM events, m
+               WHERE event_id % 10 = 3 AND event_id <= hi // 4),
+         kept AS (SELECT e.* FROM events e
+                  WHERE NOT EXISTS (SELECT 1 FROM q
+                    WHERE q.event_id = e.event_id
+                      AND q.event_type = e.event_type))
          SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
              AS total_value,
@@ -5073,6 +5099,45 @@ object SparkEntry {
     // the persisted-index IVF search shares q36's oracle verbatim:
     // same routing math and corpus, different (pruned) read path
     "q185_ivf_indexed" -> ivfRoutedOracle,
+    // q295: the SAME routing math over the POST-MUTATION corpus —
+    // ids 7/13 deleted, ids 1/3/5 moved one cell over with doubled
+    // vectors (float×2 is exact, so the double-cast sides agree);
+    // queries are the tip's vec_id < 10 survivors
+    "q295_ivf_refresh" ->
+      """WITH e AS (SELECT vec_id,
+             CASE WHEN vec_id IN (1, 3, 5) THEN (label + 1) % 10
+               ELSE label END AS cell,
+             CASE WHEN vec_id IN (1, 3, 5)
+               THEN list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * 2)
+               ELSE CAST(embedding AS DOUBLE[]) END AS v
+           FROM embeddings WHERE vec_id NOT IN (7, 13)),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < 10),
+         reps AS (SELECT e.cell, e.v AS rv FROM e
+           JOIN (SELECT cell, min(vec_id) AS rep_id FROM e GROUP BY cell) r
+             ON e.vec_id = r.rep_id),
+         routed AS (SELECT q.query_id, reps.cell, q.qv,
+             round(list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> q.qv[i] * reps.rv[i])) /
+               (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+                sqrt(list_sum(list_transform(reps.rv, x -> x * x)))), 5) AS rcos
+           FROM q CROSS JOIN reps),
+         assigned AS (SELECT query_id, cell, qv FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY rcos DESC, cell ASC) AS rr FROM routed)
+           WHERE rr = 1),
+         s AS (SELECT a.query_id, a.cell, e.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(a.qv) + 1),
+                 i -> a.qv[i] * e.v[i])) /
+               (sqrt(list_sum(list_transform(a.qv, x -> x * x))) *
+                sqrt(list_sum(list_transform(e.v, x -> x * x)))), 5) AS cos5
+           FROM assigned a JOIN e ON a.cell = e.cell
+             AND a.query_id <> e.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos5 DESC, neighbor_id) AS rank FROM s)
+         SELECT query_id, cell, CAST(rank AS BIGINT) AS rank, neighbor_id, cos5
+         FROM r WHERE rank <= 3""",
     // half-built + appended index must equal the full build — q36's
     // oracle once more
     "q186_ivf_append" -> ivfRoutedOracle,

@@ -36,6 +36,211 @@ object IvfIndex {
 
   private def repsDir(dir: String): String = s"$dir/_reps"
 
+  // ---- MorLog-tier source stamp + staleness guard + refresh ---------
+  // (the round-16 verdict's #4: PqIndex got the full version-stamp
+  // treatment in q292, but THIS index still served a moved table's
+  // stale routing silently. Same contract, IVF-shaped: the refresh
+  // unit is the CELL PARTITION — the change feed's pre/post images
+  // name exactly which cells a changed id touches, so only those
+  // cells' directories rewrite, O(affected cells), never the corpus.)
+
+  private def srcPath(dir: String) = new Path(dir, "_ivf_src")
+
+  /** (tableDir, version, idCol, embCol, cellCol) the index was built
+    * from / last refreshed to; None = static-corpus index (no guard). */
+  private[graft] def readSrc(spark: SparkSession, dir: String)
+      : Option[(String, Int, String, String, String)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (!srcPath(dir).getFileSystem(conf).exists(srcPath(dir))) None
+    else graft.sink.AtomicFiles.readString(conf, srcPath(dir))
+      .trim.split("\\|") match {
+      case Array(t, v, id, emb, cell) => Some((t, v.toInt, id, emb, cell))
+      case _ => None
+    }
+  }
+
+  private def writeSrc(spark: SparkSession, dir: String, table: String,
+                       v: Int, idCol: String, embCol: String,
+                       cellCol: String): Unit =
+    graft.sink.AtomicFiles.replace(spark.sparkContext.hadoopConfiguration,
+      srcPath(dir), s"$table|$v|$idCol|$embCol|$cellCol"
+        .getBytes("UTF-8"))
+
+  /** Build the index FROM a MorLog table's current snapshot and stamp
+    * the (table, version) it reflects — [[refresh]] then advances the
+    * stamp off the table's change feed, and [[searchIndexed]] refuses
+    * a moved table unless told `allowStale`. */
+  def writeFromTable(spark: SparkSession, tableDir: String,
+                     idCol: String, embCol: String, cellCol: String,
+                     dir: String): Unit = {
+    val v = graft.sink.MorLog.currentVersion(spark, tableDir)
+    buildIndex(graft.sink.MorLog.read(spark, tableDir), idCol, embCol,
+      cellCol, dir)
+    writeSrc(spark, dir, tableDir, v, idCol, embCol, cellCol)
+  }
+
+  /** Refuse (or permit) serving an index whose source table moved —
+    * a stampless (static-corpus) index serves unconditionally. */
+  private def guardStale(spark: SparkSession, dir: String,
+                         allowStale: Boolean): Unit =
+    readSrc(spark, dir).foreach { case (table, v, _, _, _) =>
+      val tip = graft.sink.MorLog.currentVersion(spark, table)
+      if (tip != v && !allowStale) throw new IllegalStateException(
+        s"IVF index $dir reflects $table@v$v but the table is at " +
+          s"v$tip — IvfIndex.refresh(...) the index (O(affected " +
+          "cells)), or pass allowStale = true to serve the stale " +
+          "snapshot knowingly")
+    }
+
+  /** Incremental refresh off the source table's CHANGE FEED: one
+    * [[graft.sink.MorLog.changes]] span resolves the changed ids and —
+    * through its pre/post images — the CELLS those ids occupied or
+    * now occupy; only those cells' partition directories rewrite
+    * (survivors carry over, deduped by id so a crashed prior attempt
+    * heals on re-run), every other cell is untouched, and the routing
+    * sidecar refolds only the affected cells' representatives.
+    * Counter-pinned via [[IvfIndexStats]]. Returns the number of
+    * changed ids applied (0 = already fresh). */
+  def refresh(spark: SparkSession, dir: String): Long = {
+    val (table, v0, idCol, embCol, cellCol) =
+      readSrc(spark, dir).getOrElse(throw new IllegalStateException(
+        s"IVF index $dir carries no source stamp — built from a " +
+          "static DataFrame; rebuild via writeFromTable to refresh " +
+          "off a log"))
+    val tip = graft.sink.MorLog.currentVersion(spark, table)
+    if (tip == v0) {
+      IvfIndexStats.lastRefreshIds = 0
+      IvfIndexStats.lastRefreshCellsRewritten = 0
+      return 0L
+    }
+    val cap = spark.conf.getOption("graft.ann.refreshIdCap")
+      .map(_.toInt).getOrElse(1000000)
+    val ch = graft.sink.MorLog.changes(spark, table, v0, tip, Seq(idCol))
+      .persist()
+    try {
+      val idRows = ch.select(col(idCol)).distinct()
+        .limit(cap + 1).collect()
+      require(idRows.length <= cap,
+        s"refresh: ${idRows.length}+ changed ids exceed " +
+          "graft.ann.refreshIdCap — rebuild the index instead " +
+          "(a delta that large IS a rebuild)")
+      val ids = idRows.map(_.get(0)).toSeq
+      if (ids.isEmpty) {
+        writeSrc(spark, dir, table, tip, idCol, embCol, cellCol)
+        IvfIndexStats.lastRefreshIds = 0
+        IvfIndexStats.lastRefreshCellsRewritten = 0
+        return 0L
+      }
+      // the cells a changed id LEFT (pre-image) or ENTERED
+      // (post-image) — bounded by the capped id list, so the collect
+      // is metadata-scale
+      val affected = ch.select(explode(array(
+          col(s"_old.$cellCol"), col(s"_new.$cellCol"))).as("cell"))
+        .filter(col("cell").isNotNull)
+        .select(col("cell").cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      // survivors of the affected cells only (partition-pruned read),
+      // minus the changed ids; deduped so a crash between a prior
+      // attempt's rename-in and its delete cannot double unchanged ids
+      val survivors = spark.read.parquet(dir)
+        .filter(col("cell").isin(affected: _*))
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          col("v"))
+        .filter(!col("vec_id").isInCollection(ids))
+        .dropDuplicates("vec_id")
+      // tip images of the changed ids — pruned read off the source
+      val fresh = normalized(graft.sink.MorLog.readWhere(spark, table,
+        col(idCol).isInCollection(ids)), idCol, embCol, cellCol)
+      // STAGE the rewritten cells under an underscore dir first (the
+      // PqIndex rewriteTier protocol; Spark caching is NOT a safe
+      // intermediary here — an append into `dir` triggers
+      // recacheByPath, which re-executes any cached plan over the
+      // by-then-deleted old files), then re-read the staged files —
+      // a source with no dependence on the files about to die
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(dir).getFileSystem(hconf)
+      val tmp = s"$dir/_refresh_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      survivors.unionByName(fresh).repartition(col("cell"))
+        .write.partitionBy("cell").parquet(tmp)
+      val staged = spark.read.parquet(tmp)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          col("v"))
+      // the affected cells' new representatives, materialized OFF the
+      // staged files BEFORE they rename away (|affected| rows —
+      // metadata-scale)
+      val newRepsPlan = repsOf(staged)
+      val newRepRows = newRepsPlan.collect().toSeq
+      val newReps = spark.createDataFrame(
+        spark.sparkContext.parallelize(newRepRows, 1),
+        newRepsPlan.schema)
+      val oldFiles = affected.flatMap { c =>
+        val cd = new Path(s"$dir/cell=$c")
+        if (!fs.exists(cd)) Seq.empty
+        else fs.listStatus(cd).toSeq.filter(_.isFile)
+          .map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") &&
+            !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      }
+      // rename the staged files into their cell dirs, then drop the
+      // replaced files — a crash in between duplicates survivors,
+      // which the id-dedup above heals on the re-run
+      fs.listStatus(new Path(tmp)).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .foreach { cd =>
+          val dst = new Path(dir, cd.getPath.getName)
+          fs.mkdirs(dst)
+          fs.listStatus(cd.getPath).iterator.filter(_.isFile)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (f, i) =>
+              val n = s"part-rf${System.nanoTime()}-$i.parquet"
+              if (!fs.rename(f.getPath, new Path(dst, n)))
+                throw new java.io.IOException(
+                  s"rename ${f.getPath} -> $dst/$n failed")
+            }
+        }
+      oldFiles.foreach(p => fs.delete(p, false))
+      // a cell whose every row was deleted keeps an EMPTY dir —
+      // remove it so routing/recompute never lists a ghost cell
+      affected.foreach { c =>
+        val cd = new Path(s"$dir/cell=$c")
+        if (fs.exists(cd) && fs.listStatus(cd).isEmpty)
+          fs.delete(cd, true)
+      }
+      // refold ONLY the affected cells' representatives (collected
+      // above, before the staged files renamed away); untouched cells
+      // keep their stored rows. writeReps collects before it writes
+      // and stamps the FINAL data-file inventory (tmp is
+      // underscore-hidden, never part of it).
+      val keptReps = routingRepsStored(spark, dir)
+        .getOrElse(repsOf(spark.read.parquet(dir).select(
+          col("vec_id"), col("cell").cast("int").as("cell"),
+          col("v"))))
+        .filter(!col("cell").isin(affected: _*))
+      writeReps(spark, dir, keptReps.unionByName(newReps))
+      fs.delete(new Path(tmp), true)
+      writeSrc(spark, dir, table, tip, idCol, embCol, cellCol)
+      IvfIndexStats.lastRefreshIds = ids.length.toLong
+      IvfIndexStats.lastRefreshCellsRewritten = affected.size
+      ids.length.toLong
+    } finally ch.unpersist()
+  }
+
+  /** The stored sidecar's rep rows IGNORING the file-inventory stamp
+    * (refresh re-stamps it right after) — None when absent/malformed. */
+  private def routingRepsStored(spark: SparkSession,
+                                dir: String): Option[DataFrame] = {
+    val rdir = new Path(repsDir(dir))
+    val fs = rdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rdir)) None
+    else try {
+      val side = spark.read.parquet(repsDir(dir))
+      if (Seq("cell", "rep_id", "rv").forall(side.columns.contains))
+        Some(side.select("cell", "rep_id", "rv"))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** (vec_id, cell, v) normal form of an embedding frame. */
   private def normalized(emb: DataFrame, idCol: String, embCol: String,
                          cellCol: String): DataFrame =
@@ -167,7 +372,9 @@ object IvfIndex {
     * then `cell IN (probed)` prunes the vector read to those
     * directories. Output (query_id, cell, rank, neighbor_id, cos5). */
   def searchIndexed(spark: SparkSession, dir: String, queries: DataFrame,
-                    idCol: String, embCol: String, k: Int): DataFrame = {
+                    idCol: String, embCol: String, k: Int,
+                    allowStale: Boolean = false): DataFrame = {
+    guardStale(spark, dir, allowStale)
     val reps = routingReps(spark, dir)
     val q = queries.select(col(idCol).as("query_id"),
       Ann.asDouble(embCol).as("qv"))
@@ -202,4 +409,12 @@ object IvfIndex {
         col("neighbor_id"), col("cos5"))
     out
   }
+}
+
+/** The refresh path's O(affected cells) claim, pinned by specs /
+  * q295: changed ids applied and cell partitions rewritten on the
+  * last [[IvfIndex.refresh]]. */
+object IvfIndexStats {
+  @volatile var lastRefreshIds: Long = -1L
+  @volatile var lastRefreshCellsRewritten: Int = -1
 }

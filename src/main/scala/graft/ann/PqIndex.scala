@@ -211,11 +211,15 @@ object PqIndex {
     * files and rows, counter-pinned via [[PqIndexStats]]. Returns the
     * number of changed ids applied (0 = already fresh).
     *
-    * The index is DERIVED data: a crash mid-refresh can leave a
-    * changed id present in both an old and a new code file, and a
-    * re-run heals it (every file holding a changed id is selected and
-    * rewritten, so duplicates collapse); refresh is a maintenance op,
-    * not a concurrent-serving op. */
+    * The index is DERIVED data: a crash between a tier rewrite's
+    * rename-in and its delete leaves BOTH an old file and its
+    * replacement on disk — duplicating every id the old file held.
+    * ANY later refresh heals it: the replacement carries no stats
+    * sidecar entry (the crash preceded the sidecar write), a
+    * statless file is never skippable ([[graft.sink.FileStats
+    * .prune]]), so both copies land in the rewrite scan and the
+    * survivor frame dedupes by id before writing. Refresh is a
+    * maintenance op, not a concurrent-serving op. */
   def refresh(spark: SparkSession, dir: String): Long = {
     val (table, v0, idCol, vecCol, m) = readSrc(spark, dir).getOrElse(
       throw new IllegalStateException(
@@ -290,7 +294,15 @@ object PqIndex {
       if (scan.isEmpty) None
       else Some(spark.read.schema(schema)
         .parquet(scan.map(n => s"$tdir/$n"): _*)
-        .filter(!col(idCol).isInCollection(ids)))
+        .filter(!col(idCol).isInCollection(ids))
+        // a crash in a PRIOR refresh between its rename and its
+        // delete leaves an UNCHANGED id in both the old file and its
+        // replacement — both files admit this round's ids and both
+        // copies land here, so without the dedup the duplication
+        // becomes permanent and ADC/rerank score duplicate neighbors
+        // (advice-caught). Copies of an unchanged id are value-equal
+        // by construction, so an arbitrary pick is exact.
+        .dropDuplicates(idCol))
     val out = survivors.map(_.unionByName(fresh)).getOrElse(fresh)
     val shaped =
       if (idSorted) out.repartitionByRange(1, col(idCol))

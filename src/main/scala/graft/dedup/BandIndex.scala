@@ -101,44 +101,83 @@ object BandIndex {
       cross =
         if (!exists) None
         else {
-          // the batch's key set is broadcast-scale by construction
-          // (it is the build side of the candidate join)
+          // the batch's DISTINCT band keys drive the index-side file
+          // prune — but "broadcast-scale by construction" held only
+          // for admission-scale batches (review/advice-caught: a
+          // large arriving crawl batch — the exact workload the index
+          // exists for — materialized O(batch × bands) rows on the
+          // driver). CAPPED like the ingest guard: under the cap the
+          // literal key list feeds the exact per-file band_key stats
+          // prune; past it the candidate join stays DISTRIBUTED — the
+          // bucket partitions still prune (the distinct pkb set is
+          // ≤ `buckets` values by construction, always collectable)
+          // and the key membership becomes a shuffle join
+          val keyCap = spark.conf
+            .getOption("graft.dedup.ingestKeyCap")
+            .map(_.toInt).getOrElse(100000)
           val keyRows = newBand
             .select(col("pkb"), col("band"), col("band_key"))
-            .distinct().collect()
-          val pkbs = keyRows.map(_.getInt(0).asInstanceOf[Any])
-            .distinct.toSeq
-          val keys = keyRows.map(_.getString(2).asInstanceOf[Any])
-            .distinct.toSeq
-          // bucket partitions first (identity-partition stats prune
-          // exactly), key membership second
-          val idx = MorLog.readWhere(spark, bandsDir(indexRoot),
-            col("pkb").isInCollection(pkbs) &&
-              col("band_key").isInCollection(keys))
-          BandIndexStats.lastBandFilesScanned =
-            MorLogStats.lastFilesScanned
-          BandIndexStats.lastBandFilesSkipped =
-            MorLogStats.lastFilesSkipped
-          val joined = idx.select(col(idCol).as("old_id"), col("band"),
-              col("band_key"))
-            .join(broadcast(newBand.select(col(idCol).as("new_id"),
-              col("band"), col("band_key"))), Seq("band", "band_key"))
+            .distinct().limit(keyCap + 1).collect()
+          val newSide = newBand.select(col(idCol).as("new_id"),
+            col("band"), col("band_key"))
+          val joined = (if (keyRows.length <= keyCap) {
+            val pkbs = keyRows.map(_.getInt(0).asInstanceOf[Any])
+              .distinct.toSeq
+            val keys = keyRows.map(_.getString(2).asInstanceOf[Any])
+              .distinct.toSeq
+            // bucket partitions first (identity-partition stats prune
+            // exactly), key membership second
+            val idx = MorLog.readWhere(spark, bandsDir(indexRoot),
+              col("pkb").isInCollection(pkbs) &&
+                col("band_key").isInCollection(keys))
+            BandIndexStats.lastBandFilesScanned =
+              MorLogStats.lastFilesScanned
+            BandIndexStats.lastBandFilesSkipped =
+              MorLogStats.lastFilesSkipped
+            idx.select(col(idCol).as("old_id"), col("band"),
+                col("band_key"))
+              .join(broadcast(newSide), Seq("band", "band_key"))
+          } else {
+            // pkb values are pmod(hash, buckets) — the distinct set
+            // is bounded by `buckets`, so THIS collect stays
+            // metadata-scale even when the key set does not
+            val pkbs = newBand.select(col("pkb")).distinct()
+              .collect().map(_.getInt(0).asInstanceOf[Any]).toSeq
+            val idx = MorLog.readWhere(spark, bandsDir(indexRoot),
+              col("pkb").isInCollection(pkbs))
+            BandIndexStats.lastBandFilesScanned =
+              MorLogStats.lastFilesScanned
+            BandIndexStats.lastBandFilesSkipped =
+              MorLogStats.lastFilesSkipped
+            idx.select(col(idCol).as("old_id"), col("band"),
+                col("band_key"))
+              .join(newSide, Seq("band", "band_key"))
+          })
             .select(col("new_id"), col("old_id")).distinct()
             .persist()
           BandIndexStats.lastIndexPairs = joined.count()
           Some(joined)
         }
       // candidate old docs' shingles, fetched THROUGH the id bounds —
-      // O(candidates), never a corpus shingle scan
+      // O(candidates), never a corpus shingle scan. The candidate id
+      // collect is CAPPED (advice-caught: a near-duplicate-heavy
+      // corpus makes candidates O(corpus), and the uncapped collect
+      // OOMed the driver instead of refusing); past the cap the fetch
+      // falls back to a DISTRIBUTED semi-join against the shingle
+      // table — no literal id prune, but no driver materialization
+      // either (the same shape the re-ingest guard takes past its cap)
+      val candCap = spark.conf
+        .getOption("graft.dedup.candidateIdCap")
+        .map(_.toInt).getOrElse(100000)
       val oldSh = cross.map { c =>
-        val oldIds = c.select(col("old_id")).distinct().collect()
-          .map(_.get(0)).toSeq
+        val oldIds = c.select(col("old_id")).distinct()
+          .limit(candCap + 1).collect().map(_.get(0)).toSeq
         val fetched =
           if (oldIds.isEmpty) {
             BandIndexStats.lastShingleFilesScanned = 0
             BandIndexStats.lastShingleFilesSkipped = -1
             newSh.filter(lit(false))
-          } else {
+          } else if (oldIds.length <= candCap) {
             val f = MorLog.readWhere(spark, shDir(indexRoot),
               col(idCol).isInCollection(oldIds))
             BandIndexStats.lastShingleFilesScanned =
@@ -146,6 +185,13 @@ object BandIndex {
             BandIndexStats.lastShingleFilesSkipped =
               MorLogStats.lastFilesSkipped
             f
+          } else {
+            // distributed path: -1 marks "no literal prune ran"
+            BandIndexStats.lastShingleFilesScanned = -1
+            BandIndexStats.lastShingleFilesSkipped = -1
+            MorLog.read(spark, shDir(indexRoot))
+              .join(c.select(col("old_id").as(idCol)).distinct(),
+                Seq(idCol), "left_semi")
           }
         fetched
       }
@@ -174,8 +220,22 @@ object BandIndex {
         MorLog.createEmpty(spark, shDir(indexRoot), newSh.schema)
       }
       MorLog.append(spark, bandsDir(indexRoot), newBand)
+      // shingle-file shape scales with the BATCH (verdict-caught: a
+      // hardcoded 4 was fine at fixture scale and wrong for a large
+      // crawl increment): either an explicit per-ingest file count or
+      // rows-per-file derived from the cached batch count
+      val shFiles = spark.conf
+        .getOption("graft.dedup.shingleFilesPerIngest")
+        .map(_.toInt).getOrElse {
+          val rowsPerFile = spark.conf
+            .getOption("graft.dedup.shingleRowsPerFile")
+            .map(_.toLong).getOrElse(500000L)
+          val n = newSh.count()
+          math.max(1L, math.min(4096L,
+            (n + rowsPerFile - 1) / rowsPerFile)).toInt
+        }
       MorLog.append(spark, shDir(indexRoot),
-        newSh.repartitionByRange(4, col(idCol))
+        newSh.repartitionByRange(shFiles, col(idCol))
           .sortWithinPartitions(idCol))
       pairs
     } finally {

@@ -210,15 +210,80 @@ private[graft] object MorLogDmlTranslate {
       case in: InSubquery =>
         val q = in.query
         refuseCorrelated(q)
-        if (in.values.size != 1) throw new UnsupportedOperationException(
-          s"$what: multi-column IN (subquery) is not supported in " +
-            "log-tier DML — rewrite as MERGE INTO on the tuple key")
         val rows = collectCapped(q.plan)
         if (rows.isEmpty) Literal.FalseLiteral
-        else {
+        else if (in.values.size == 1) {
           val dt = q.plan.output.head.dataType
           org.apache.spark.sql.catalyst.expressions.In(in.values.head,
             rows.toSeq.map(r => Literal.create(r.get(0), dt)))
+        } else {
+          // TUPLE fold (round-16 verdict's #5): `(k1,k2) IN (SELECT
+          // …)` — the composite-key quarantine list — folds to a
+          // STRUCT-literal In (struct comparison is the engine's
+          // tuple idiom; OptimizeIn turns the literal list into an
+          // InSet hash probe). Exactness: SQL row-value IN is an OR
+          // over per-tuple ANDs of field equalities — binary struct
+          // equality matches it EXCEPT around NULLs, so (1) a NULL
+          // inside any LIST tuple refuses loud (struct equality
+          // would treat it as a comparable value where SQL yields
+          // NULL/FALSE per row), and (2) a nullable LEFT tuple
+          // routes its null-field rows through a literal OR-of-ANDs
+          // fallback carrying SQL's exact semantics — FALSE when
+          // every tuple mismatches on a non-null field, NULL
+          // otherwise — because bare struct equality would answer
+          // FALSE for all of them and silently flip a NOT IN. The
+          // whole fold sits under a conjunction with the per-column
+          // literal IN lists it implies, so the per-file stats
+          // prune — which reads per-COLUMN bounds — keeps pruning
+          // the victim locate exactly as q286's composite keyed
+          // batches do (a top-level If would be opaque to canSkip).
+          import org.apache.spark.sql.catalyst.expressions._
+          val dts = q.plan.output.map(_.dataType)
+          rows.foreach { r =>
+            if (dts.indices.exists(r.isNullAt))
+              throw new UnsupportedOperationException(
+                s"$what: the tuple IN (subquery) result contains a " +
+                  "NULL field — SQL row-value IN semantics over NULL " +
+                  "members do not fold to a literal list; clean the " +
+                  "list or rewrite as MERGE INTO")
+          }
+          def named(fields: Seq[Expression]): Expression =
+            CreateNamedStruct(fields.zipWithIndex.flatMap {
+              case (f, i) => Seq(Literal(s"c$i"), f) })
+          val lits = rows.toSeq.map(r => named(dts.zipWithIndex.map {
+            case (dt, i) => Literal.create(r.get(i), dt) }))
+          val structIn = In(named(in.values), lits)
+          val colIns = in.values.zipWithIndex.map { case (v, i) =>
+            In(v, rows.toSeq.map(r =>
+              Literal.create(r.get(i), dts(i))).distinct)
+          }.reduceLeft[Expression](And)
+          val core: Expression =
+            if (in.values.forall(!_.nullable)) structIn
+            else {
+              val fbCap = spark.conf
+                .getOption("graft.dml.tupleNullFallbackCap")
+                .map(_.toInt).getOrElse(10000)
+              if (rows.length > fbCap)
+                throw new UnsupportedOperationException(
+                  s"$what: tuple IN (subquery) over NULLABLE key " +
+                    s"columns folded ${rows.length} rows — beyond " +
+                    "graft.dml.tupleNullFallbackCap the exact " +
+                    "null-row fallback expression is too large; " +
+                    "declare the key columns NOT NULL, raise the " +
+                    "cap, or rewrite as MERGE INTO")
+              val anyNull = in.values.map(IsNull(_): Expression)
+                .reduceLeft[Expression](Or)
+              // evaluated ONLY for null-field rows: OR over tuples
+              // of AND over fields — SQL's own 3VL, verbatim
+              val orChain = rows.toSeq.map { r =>
+                in.values.zipWithIndex.map { case (v, i) =>
+                  EqualTo(v, Literal.create(r.get(i), dts(i)))
+                    : Expression
+                }.reduceLeft[Expression](And)
+              }.reduceLeft[Expression](Or)
+              If(anyNull, orChain, structIn)
+            }
+          And(colIns, core)
         }
       case ex: Exists =>
         refuseCorrelated(ex)

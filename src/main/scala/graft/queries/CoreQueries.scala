@@ -4786,6 +4786,71 @@ object CoreQueries {
         sum(col("event_id")).as("sum_event_id"))
   }
 
+  /** COMPOSITE-KEY QUARANTINE DELETE (q296, the round-16 verdict's
+    * #5 — the natural sequel to q286's composite keys and q290's
+    * subqueries): `DELETE FROM t WHERE (event_id, event_type) IN
+    * (SELECT …)` — the multi-column erasure-list shape, refused
+    * outright until round 17. The non-correlated TUPLE subquery
+    * folds to a struct-literal In conjoined with the per-column IN
+    * lists it implies ([[graft.plans.MorLogDmlTranslate
+    * .foldSubqueries]]) — exact SQL row-value 3VL (nullable key
+    * columns route null rows through a literal OR-of-ANDs fallback;
+    * a NULL inside the LIST refuses loud, asserted in-query), and
+    * the per-column lists keep the victim locate stats-pruned
+    * (counter-asserted) with the whole statement as ONE committed
+    * version. Oracle: the same arithmetic over events. */
+  def morLogDeleteTupleSubquery(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-deltup-")
+    val dir = s"$work/t"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.sink.MorLog.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"), dir)
+    val hi = ev.agg(max(col("event_id"))).head().getLong(0)
+    val cat = "g17t_" + java.util.UUID.randomUUID().toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.MorLogCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", work)
+    // the quarantine list: (event_id, event_type) pairs, range-bounded
+    ev.filter(col("event_id") % 10 === 3 && col("event_id") <= hi / 4)
+      .select(col("event_id"), col("event_type"))
+      .createOrReplaceTempView(s"tquarantine_$cat")
+    val v0 = graft.sink.MorLog.currentVersion(s, dir)
+    val nFiles = graft.sink.MorLog.history(s, dir)
+      .orderBy(col("version").desc).head().getInt(2)
+    s.sql(s"DELETE FROM $cat.t WHERE (event_id, event_type) IN " +
+      s"(SELECT event_id, event_type FROM tquarantine_$cat)")
+    require(graft.sink.MorLog.currentVersion(s, dir) == v0 + 1,
+      "q296: the tuple-subquery DELETE must land as ONE committed " +
+        "version")
+    require(graft.sink.MorLogStats.lastLocateScanned > 0 &&
+      graft.sink.MorLogStats.lastLocateScanned < nFiles,
+      s"q296: the per-column IN lists must stats-prune the locate " +
+        s"(scanned ${graft.sink.MorLogStats.lastLocateScanned} of " +
+        s"$nFiles)")
+    val expected = ev
+      .filter(col("event_id") % 10 === 3 && col("event_id") <= hi / 4)
+      .count()
+    require(graft.plans.MorLogDmlStats.lastDeleted == expected,
+      s"q296: deleted ${graft.plans.MorLogDmlStats.lastDeleted}, " +
+        s"quarantine list holds $expected")
+    // a NULL inside the list refuses loud — binary struct equality
+    // would silently diverge from SQL row-value IN there
+    s.sql(s"SELECT event_id, CAST(NULL AS STRING) AS event_type " +
+        s"FROM tquarantine_$cat LIMIT 1")
+      .createOrReplaceTempView(s"tqnull_$cat")
+    val nullList = scala.util.Try(s.sql(
+      s"DELETE FROM $cat.t WHERE (event_id, event_type) IN " +
+        s"(SELECT event_id, event_type FROM tqnull_$cat)"))
+    require(nullList.isFailure,
+      "q296: a NULL tuple member in the folded list must refuse loud")
+    graft.sink.MorLog.read(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        sum(col("event_id")).as("sum_event_id"))
+  }
+
   /** TIED-ORDINAL CDC DRAIN WITH A TIEBREAK LIST (q294, the round-15
     * verdict's #6 under the oracle gate): q288's uncapped
     * multi-version netted drain, but the netting ordinal is

@@ -340,6 +340,63 @@ object LlmQueries {
       e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
   }
 
+  /** VERSION-STAMPED IVF REFRESH (q295, the round-16 verdict's #4 —
+    * q292's contract, IVF-shaped): build the routed index FROM a
+    * MorLog embedding table ([[graft.ann.IvfIndex.writeFromTable]]
+    * stamps the (table, version) it reflects), mutate the table
+    * (deletes + an update that MOVES vectors across cells and doubles
+    * them), assert the stale index REFUSES to serve, then
+    * [[graft.ann.IvfIndex.refresh]]: one change-feed span resolves
+    * the changed ids, their pre/post images name exactly the cells
+    * they left or entered, and ONLY those cell partitions rewrite —
+    * counter-asserted O(affected cells), strictly below the cell
+    * total. The refreshed routed search must equal the oracle's
+    * routed search over the post-mutation state. */
+  def ivfRefresh(s: SparkSession, d: String): DataFrame = {
+    val work = graft.TempDirs.create("graft-ivfrf-")
+    val (tbl, idx) = (s"$work/emb", s"$work/ivf")
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    graft.sink.MorLog.create(
+      e.repartitionByRange(8, col("vec_id"))
+        .sortWithinPartitions("vec_id"), tbl)
+    graft.ann.IvfIndex.writeFromTable(s, tbl, "vec_id", "embedding",
+      "label", idx)
+    // FIXED small id sets, so the affected-cell count has a
+    // DETERMINISTIC bound strictly below the 10-cell total (labels
+    // are data — a broad arithmetic delete could touch every cell and
+    // void the O(affected cells) assertion): 2 deleted + 3 moved ids
+    // touch at most 2 + 3×2 = 8 cells
+    graft.sink.MorLog.deleteWhere(s, tbl,
+      col("vec_id") === 7 || col("vec_id") === 13)
+    // the update MOVES its vectors one cell over AND doubles them —
+    // so the refresh must rewrite both the departed and the entered
+    // cells, and routing/ranking see the new coordinates
+    val upd = graft.sink.MorLog.read(s, tbl)
+      .filter(col("vec_id").isin(1L, 3L, 5L))
+      .withColumn("label", ((col("label") + 1) % 10).cast("int"))
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(2.0f)))
+    graft.sink.MorLog.upsert(s, tbl, upd, "vec_id")
+    val stale = scala.util.Try(graft.ann.IvfIndex.searchIndexed(s, idx,
+      e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3))
+    require(stale.isFailure,
+      "q295: serving an index whose table moved must refuse loud")
+    val n = graft.ann.IvfIndex.refresh(s, idx)
+    val expected = graft.sink.MorLog
+      .changes(s, tbl, 0, graft.sink.MorLog.currentVersion(s, tbl),
+        Seq("vec_id")).select(col("vec_id")).distinct().count()
+    require(n == expected,
+      s"q295: refresh applied $n changed ids, the feed carries $expected")
+    val cells = graft.ann.IvfIndexStats.lastRefreshCellsRewritten
+    require(cells > 0 && cells < 10,
+      s"q295: the refresh must rewrite O(affected cells) — " +
+        s"rewrote $cells of 10")
+    graft.ann.IvfIndex.searchIndexed(s, idx,
+      graft.sink.MorLog.read(s, tbl).filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 3)
+  }
+
   // ---- multimodal ----------------------------------------------------
 
   /** Binary payload metadata scan (stat-the-blob without decoding). */

@@ -281,14 +281,15 @@ object MorLog {
       }
     }.toMap
 
-  /** The table's CURRENT properties — the tip's explicit token, or
-    * (legacy history) a walk down the cached states until one carries
-    * a token; a never-set table answers empty. */
+  /** The table's CURRENT properties — the TIP state's token alone.
+    * By [[writeState]]'s invariant every props-era commit stamps the
+    * RESOLVED map (an op that set none carries its predecessor's), so
+    * a tip without a token proves no version below it carries one
+    * either — the old tip-down walk (advice-caught) paid O(versions)
+    * existence probes per call on every pre-props-era table, and by
+    * the invariant could never find anything the tip read wouldn't. */
   def tableProps(spark: SparkSession, dir: String): Map[String, String] =
-    versions(spark, dir).reverseIterator
-      .map(v => state(spark, dir, v).props)
-      .collectFirst { case Some(m) => m }
-      .getOrElse(Map.empty)
+    currentState(spark, dir).props.getOrElse(Map.empty)
 
   /** One property, table-first: the per-table durable value wins over
     * the session conf — fleet-scale table knobs
@@ -842,18 +843,25 @@ object MorLog {
 
   /** Version 0 with NO data: the `CREATE TABLE (cols)` shape the SQL
     * catalog needs — schema (and partition spec) commit, the first
-    * append brings the data. */
+    * append brings the data. `props` lands INSIDE the same v0 meta
+    * (advice-caught: the old create-then-setTblProperties pair left a
+    * crash window where a live table existed without its declared
+    * TBLPROPERTIES, and time travel to v0 observed a configuration
+    * the DDL never described). */
   def createEmpty(spark: SparkSession, dir: String, schema: StructType,
-                  partitionBy: Seq[String] = Seq.empty): Unit = {
+                  partitionBy: Seq[String] = Seq.empty,
+                  props: Map[String, String] = Map.empty): Unit = {
     require(versions(spark, dir).isEmpty, s"$dir already carries a log")
     val missing = partitionBy.map(parsePartEntry(_)._1)
       .filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
       s"createEmpty: partition column(s) ${missing.mkString(", ")} " +
         "not in the schema")
+    require(props.keys.forall(_.nonEmpty), "empty property key")
     try writeState(spark, dir,
       State(0, "create", -1, -1,
-        stampCreate(schema, partitionBy), Seq.empty), Seq.empty)
+        stampCreate(schema, partitionBy), Seq.empty,
+        props = if (props.nonEmpty) Some(props) else None), Seq.empty)
     catch {
       case _: CommitConflictException =>
         throw new IllegalStateException(
@@ -2073,12 +2081,16 @@ object MorLog {
     // fs.delete of the same file returns false (two dropped versions
     // referencing one file; the debris sweep re-seeing a drop-loop
     // victim), but in dry mode everything stays on disk — so del()
-    // mirrors that by answering false for an already-named file
-    // (review-caught: entries surfaced twice, in two path spellings)
-    val seenNames = scala.collection.mutable.HashSet.empty[String]
+    // mirrors that by answering false for an already-seen file.
+    // Keyed on the QUALIFIED path (advice-caught): a base-name key
+    // collapsed two genuinely distinct files sharing a name — e.g.
+    // same-named files under different partition subdirectories —
+    // and under-reported the real pass; qualification still unifies
+    // the relative-vs-absolute spellings of ONE file.
+    val seenPaths = scala.collection.mutable.HashSet.empty[String]
     def del(kind: String, p: Path, recursive: Boolean): Boolean =
       if (dry) {
-        if (!seenNames.add(p.getName)) false
+        if (!seenPaths.add(fs.makeQualified(p).toString)) false
         else { would += (kind -> p.toString); true }
       } else fs.delete(p, recursive)
     var deleted = 0
