@@ -140,17 +140,42 @@ object IvfIndex {
         .select(col("cell").cast("int")).distinct()
         .collect().map(_.getInt(0)).toSeq
       // survivors of the affected cells only (partition-pruned read),
-      // minus the changed ids; deduped so a crash between a prior
-      // attempt's rename-in and its delete cannot double unchanged ids
-      val survivors = spark.read.parquet(dir)
+      // minus the changed ids
+      val survivorsRaw = spark.read.parquet(dir)
         .filter(col("cell").isin(affected: _*))
         .select(col("vec_id"), col("cell").cast("int").as("cell"),
           col("v"))
         .filter(!col("vec_id").isInCollection(ids))
-        .dropDuplicates("vec_id")
+      // crash debris check (review-caught): a crash between a prior
+      // attempt's rename-in and its delete duplicates unchanged ids.
+      // VALUE-EQUAL copies collapse exactly under the dedup below;
+      // DIVERGED copies (the crash interleaved with a table revert,
+      // so this span no longer names the id) cannot be arbitrated
+      // from the index alone — refuse loud with the rebuild remedy
+      // rather than keep an arbitrary copy.
+      val diverged = survivorsRaw.groupBy("vec_id")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(struct(col("cell"), col("v"))).as("nv"))
+        .filter(col("n") > 1 && col("nv") > 1).limit(1).count()
+      require(diverged == 0,
+        s"IvfIndex.refresh: the affected cells carry duplicate ids " +
+          "with DIVERGED values — crash debris a later table change " +
+          "has hidden from the change feed; rebuild the index " +
+          "(writeFromTable)")
+      val survivors = survivorsRaw.dropDuplicates("vec_id")
       // tip images of the changed ids — pruned read off the source
       val fresh = normalized(graft.sink.MorLog.readWhere(spark, table,
         col(idCol).isInCollection(ids)), idCol, embCol, cellCol)
+      // the UNAFFECTED cells' representatives, resolved through the
+      // stamp-CHECKED routing path and materialized BEFORE the
+      // rewrite perturbs the listing (review-caught: the stored
+      // sidecar could be stale after a crashed appendVectors or a
+      // foreign write — blessing it here would convert detectable
+      // staleness into silently wrong routing; routingReps falls
+      // back to a data recompute exactly when the inventory drifted)
+      val keptRepsPlan = routingReps(spark, dir)
+        .filter(!col("cell").isin(affected: _*))
+      val keptRepRows = keptRepsPlan.collect().toSeq
       // STAGE the rewritten cells under an underscore dir first (the
       // PqIndex rewriteTier protocol; Spark caching is NOT a safe
       // intermediary here — an append into `dir` triggers
@@ -161,68 +186,72 @@ object IvfIndex {
       val fs = new Path(dir).getFileSystem(hconf)
       val tmp = s"$dir/_refresh_" +
         java.util.UUID.randomUUID().toString.take(8)
-      survivors.unionByName(fresh).repartition(col("cell"))
-        .write.partitionBy("cell").parquet(tmp)
-      val staged = spark.read.parquet(tmp)
-        .select(col("vec_id"), col("cell").cast("int").as("cell"),
-          col("v"))
-      // the affected cells' new representatives, materialized OFF the
-      // staged files BEFORE they rename away (|affected| rows —
-      // metadata-scale)
-      val newRepsPlan = repsOf(staged)
-      val newRepRows = newRepsPlan.collect().toSeq
-      val newReps = spark.createDataFrame(
-        spark.sparkContext.parallelize(newRepRows, 1),
-        newRepsPlan.schema)
-      val oldFiles = affected.flatMap { c =>
-        val cd = new Path(s"$dir/cell=$c")
-        if (!fs.exists(cd)) Seq.empty
-        else fs.listStatus(cd).toSeq.filter(_.isFile)
-          .map(_.getPath)
-          .filter(p => p.getName.endsWith(".parquet") &&
-            !p.getName.startsWith("_") && !p.getName.startsWith("."))
-      }
-      // rename the staged files into their cell dirs, then drop the
-      // replaced files — a crash in between duplicates survivors,
-      // which the id-dedup above heals on the re-run
-      fs.listStatus(new Path(tmp)).iterator
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-        .foreach { cd =>
-          val dst = new Path(dir, cd.getPath.getName)
-          fs.mkdirs(dst)
-          fs.listStatus(cd.getPath).iterator.filter(_.isFile)
-            .filter(_.getPath.getName.endsWith(".parquet"))
-            .zipWithIndex.foreach { case (f, i) =>
-              val n = s"part-rf${System.nanoTime()}-$i.parquet"
-              if (!fs.rename(f.getPath, new Path(dst, n)))
-                throw new java.io.IOException(
-                  s"rename ${f.getPath} -> $dst/$n failed")
-            }
+      try {
+        survivors.unionByName(fresh).repartition(col("cell"))
+          .write.partitionBy("cell").parquet(tmp)
+        // schema given explicitly: a rewrite set that deletes a whole
+        // cell's residents with nothing arriving stages ZERO parquet
+        // files, and schema inference would throw where an empty
+        // frame is the correct answer (review-caught)
+        val staged = spark.read.schema(survivorsRaw.schema).parquet(tmp)
+          .select(col("vec_id"), col("cell").cast("int").as("cell"),
+            col("v"))
+        // the affected cells' new representatives, materialized OFF
+        // the staged files BEFORE they rename away (|affected| rows)
+        val newRepsPlan = repsOf(staged)
+        val newRepRows = newRepsPlan.collect().toSeq
+        val newReps = spark.createDataFrame(
+          spark.sparkContext.parallelize(newRepRows, 1),
+          newRepsPlan.schema)
+        val oldFiles = affected.flatMap { c =>
+          val cd = new Path(s"$dir/cell=$c")
+          if (!fs.exists(cd)) Seq.empty
+          else fs.listStatus(cd).toSeq.filter(_.isFile)
+            .map(_.getPath)
+            .filter(p => p.getName.endsWith(".parquet") &&
+              !p.getName.startsWith("_") && !p.getName.startsWith("."))
         }
-      oldFiles.foreach(p => fs.delete(p, false))
-      // a cell whose every row was deleted keeps an EMPTY dir —
-      // remove it so routing/recompute never lists a ghost cell
-      affected.foreach { c =>
-        val cd = new Path(s"$dir/cell=$c")
-        if (fs.exists(cd) && fs.listStatus(cd).isEmpty)
-          fs.delete(cd, true)
-      }
-      // refold ONLY the affected cells' representatives (collected
-      // above, before the staged files renamed away); untouched cells
-      // keep their stored rows. writeReps collects before it writes
-      // and stamps the FINAL data-file inventory (tmp is
-      // underscore-hidden, never part of it).
-      val keptReps = routingRepsStored(spark, dir)
-        .getOrElse(repsOf(spark.read.parquet(dir).select(
-          col("vec_id"), col("cell").cast("int").as("cell"),
-          col("v"))))
-        .filter(!col("cell").isin(affected: _*))
-      writeReps(spark, dir, keptReps.unionByName(newReps))
-      fs.delete(new Path(tmp), true)
-      writeSrc(spark, dir, table, tip, idCol, embCol, cellCol)
-      IvfIndexStats.lastRefreshIds = ids.length.toLong
-      IvfIndexStats.lastRefreshCellsRewritten = affected.size
-      ids.length.toLong
+        // rename the staged files into their cell dirs, then drop the
+        // replaced files — a crash in between duplicates survivors; an
+        // IMMEDIATE re-run heals it (same span, same affected cells,
+        // value-equal copies collapse). Interleaving table mutations
+        // before the re-run can push the debris outside the next
+        // span's view — the diverged-copy refusal above catches it.
+        fs.listStatus(new Path(tmp)).iterator
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("cell="))
+          .foreach { cd =>
+            val dst = new Path(dir, cd.getPath.getName)
+            fs.mkdirs(dst)
+            fs.listStatus(cd.getPath).iterator.filter(_.isFile)
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .zipWithIndex.foreach { case (f, i) =>
+                val n = s"part-rf${System.nanoTime()}-$i.parquet"
+                if (!fs.rename(f.getPath, new Path(dst, n)))
+                  throw new java.io.IOException(
+                    s"rename ${f.getPath} -> $dst/$n failed")
+              }
+          }
+        oldFiles.foreach(p => fs.delete(p, false))
+        // a cell whose every row was deleted keeps an EMPTY dir —
+        // remove it so routing/recompute never lists a ghost cell
+        affected.foreach { c =>
+          val cd = new Path(s"$dir/cell=$c")
+          if (fs.exists(cd) && fs.listStatus(cd).isEmpty)
+            fs.delete(cd, true)
+        }
+        // kept (collected pre-rewrite) ∪ new representatives;
+        // writeReps collects before it writes and stamps the FINAL
+        // data-file inventory (tmp is underscore-hidden, never in it)
+        val keptReps = spark.createDataFrame(
+          spark.sparkContext.parallelize(keptRepRows, 1),
+          keptRepsPlan.schema)
+        writeReps(spark, dir, keptReps.unionByName(newReps))
+        writeSrc(spark, dir, table, tip, idCol, embCol, cellCol)
+        IvfIndexStats.lastRefreshIds = ids.length.toLong
+        IvfIndexStats.lastRefreshCellsRewritten = affected.size
+        ids.length.toLong
+      } finally fs.delete(new Path(tmp), true)
     } finally ch.unpersist()
   }
 
@@ -296,6 +325,15 @@ object IvfIndex {
   def appendVectors(batch: DataFrame, idCol: String, embCol: String,
                     cellCol: String, dir: String): Unit = {
     val spark = batch.sparkSession
+    // a STAMPED index maintains through its source table (refresh
+    // covers inserts via the change feed); a direct append would add
+    // vectors the stamp's table never held with no staleness signal
+    readSrc(spark, dir).foreach { case (table, v, _, _, _) =>
+      throw new IllegalStateException(
+        s"IVF index $dir is stamped to $table@v$v — append the " +
+          "vectors to the TABLE and IvfIndex.refresh(...) instead; a " +
+          "direct index append diverges silently from the stamp")
+    }
     val e = normalized(batch, idCol, embCol, cellCol)
     // fold batch reps into stored reps FIRST (while the sidecar still
     // matches the pre-append listing); min-id wins per cell. The

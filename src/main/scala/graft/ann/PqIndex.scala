@@ -288,21 +288,48 @@ object PqIndex {
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_")
         && !n.startsWith(".")).toSeq.sorted
     val schema = spark.read.parquet(tdir).schema
-    val (scan, _) = graft.sink.FileStats.prune(spark, schema,
-      stats, files, col(idCol).isInCollection(ids))
-    val survivors =
+    // a STATLESS file is evidence of a crashed prior rewrite (its
+    // sidecar entry lands only after the old files' delete) or a
+    // crashed append — and its duplicate twin can be a stats-carrying
+    // file this round's id bounds would NOT otherwise select
+    // (review-caught: the heal was partial when the changed ids fell
+    // outside the old file's range). Any statless file promotes the
+    // rewrite to the FULL tier, so both copies of every duplicated id
+    // always rejoin one scan and the dedup below closes them out.
+    val statless = files.filterNot(stats.contains)
+    val (scan, _) =
+      if (statless.nonEmpty) (files, Seq.empty[String])
+      else graft.sink.FileStats.prune(spark, schema,
+        stats, files, col(idCol).isInCollection(ids))
+    val survivorsRaw =
       if (scan.isEmpty) None
       else Some(spark.read.schema(schema)
         .parquet(scan.map(n => s"$tdir/$n"): _*)
-        .filter(!col(idCol).isInCollection(ids))
-        // a crash in a PRIOR refresh between its rename and its
-        // delete leaves an UNCHANGED id in both the old file and its
-        // replacement — both files admit this round's ids and both
-        // copies land here, so without the dedup the duplication
-        // becomes permanent and ADC/rerank score duplicate neighbors
-        // (advice-caught). Copies of an unchanged id are value-equal
-        // by construction, so an arbitrary pick is exact.
-        .dropDuplicates(idCol))
+        .filter(!col(idCol).isInCollection(ids)))
+    // a crash in a PRIOR refresh between its rename and its delete
+    // leaves an UNCHANGED id in both the old file and its replacement
+    // (advice-caught: without the dedup the duplication became
+    // permanent and ADC/rerank scored duplicate neighbors). Copies of
+    // an unchanged id are value-equal by construction, so an
+    // arbitrary pick is exact — and if a table revert has made copies
+    // DIVERGE (the id no longer in any later span), no pick can be
+    // arbitrated from the index alone: refuse loud with the rebuild
+    // remedy.
+    survivorsRaw.foreach { s =>
+      val allCols = schema.fieldNames.filterNot(_ == idCol)
+      val diverged = s.groupBy(col(idCol))
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.countDistinct(
+            org.apache.spark.sql.functions.struct(
+              allCols.map(col): _*)).as("nv"))
+        .filter(col("n") > 1 && col("nv") > 1).limit(1).count()
+      require(diverged == 0,
+        s"PqIndex refresh ($tier): duplicate ids with DIVERGED " +
+          "values — crash debris a later table change has hidden " +
+          "from the change feed; rebuild the index (writeFromTable)")
+    }
+    val survivors = survivorsRaw.map(_.dropDuplicates(idCol))
     val out = survivors.map(_.unionByName(fresh)).getOrElse(fresh)
     val shaped =
       if (idSorted) out.repartitionByRange(1, col(idCol))
@@ -310,16 +337,19 @@ object PqIndex {
       else out.coalesce(1)
     val tmp = s"$dir/_refresh_${tier}_" +
       java.util.UUID.randomUUID().toString.take(8)
-    shaped.write.parquet(tmp)
-    val moved = fs.listStatus(new Path(tmp)).iterator.filter(_.isFile)
-      .map(_.getPath).filter(p => p.getName.endsWith(".parquet"))
-      .zipWithIndex.map { case (p, i) =>
-        val n = s"part-rf${System.nanoTime()}-$i.parquet"
-        if (!fs.rename(p, new Path(s"$tdir/$n")))
-          throw new java.io.IOException(s"rename $p -> $tdir/$n failed")
-        n
-      }.toSeq
-    fs.delete(new Path(tmp), true)
+    val moved =
+      try {
+        shaped.write.parquet(tmp)
+        fs.listStatus(new Path(tmp)).iterator.filter(_.isFile)
+          .map(_.getPath).filter(p => p.getName.endsWith(".parquet"))
+          .zipWithIndex.map { case (p, i) =>
+            val n = s"part-rf${System.nanoTime()}-$i.parquet"
+            if (!fs.rename(p, new Path(s"$tdir/$n")))
+              throw new java.io.IOException(
+                s"rename $p -> $tdir/$n failed")
+            n
+          }.toSeq
+      } finally fs.delete(new Path(tmp), true)
     scan.foreach(n => fs.delete(new Path(s"$tdir/$n"), false))
     val keptStats = stats.filterNot { case (n, _) => scan.contains(n) }
     val newStats = moved.map(n =>
@@ -412,6 +442,16 @@ object PqIndex {
     * code is fully scored. */
   def append(spark: SparkSession, batch: DataFrame, vecCol: String,
              idCol: String, dir: String, m: Int): Long = {
+    // a STAMPED index maintains through its source table: direct
+    // appends would add vectors the (table, version) stamp's table
+    // never held, and guardStale could not see the divergence
+    // (versions still match) — refuse loud with the sanctioned route
+    readSrc(spark, dir).foreach { case (table, v, _, _, _) =>
+      throw new IllegalStateException(
+        s"PQ index $dir is stamped to $table@v$v — append the " +
+          "vectors to the TABLE and PqIndex.refresh(...) instead; a " +
+          "direct index append diverges silently from the stamp")
+    }
     val means = readMeans(spark, dir)
     val coded = (readMode(spark, dir) match {
       case "lloyd" =>

@@ -253,9 +253,31 @@ private[graft] object MorLogDmlTranslate {
           val lits = rows.toSeq.map(r => named(dts.zipWithIndex.map {
             case (dt, i) => Literal.create(r.get(i), dt) }))
           val structIn = In(named(in.values), lits)
+          // the per-column conjuncts exist ONLY to feed the per-file
+          // stats prune; past a size cap they degrade to min/max
+          // range bounds — O(1) literals instead of a second
+          // full-size list per key column (review-caught: the tuple
+          // fold near the main cap tripled the single-column fold's
+          // driver expression footprint). Bounds are implied by
+          // membership, so the conjunction stays semantics-neutral.
+          val colInCap = spark.conf
+            .getOption("graft.dml.tupleColPruneListCap")
+            .map(_.toInt).getOrElse(100000)
           val colIns = in.values.zipWithIndex.map { case (v, i) =>
-            In(v, rows.toSeq.map(r =>
-              Literal.create(r.get(i), dts(i))).distinct)
+            val vals = rows.toSeq.map(r =>
+              Literal.create(r.get(i), dts(i))).distinct
+            if (vals.size <= colInCap) In(v, vals): Expression
+            else {
+              val raw = vals.map(_.value)
+              if (raw.forall(_.isInstanceOf[Comparable[_]])) {
+                val ord = new Ordering[Any] {
+                  def compare(a: Any, b: Any): Int =
+                    a.asInstanceOf[Comparable[Any]].compareTo(b)
+                }
+                And(GreaterThanOrEqual(v, Literal(raw.min(ord), dts(i))),
+                  LessThanOrEqual(v, Literal(raw.max(ord), dts(i))))
+              } else Literal.TrueLiteral // no prune aid, still exact
+            }
           }.reduceLeft[Expression](And)
           val core: Expression =
             if (in.values.forall(!_.nullable)) structIn

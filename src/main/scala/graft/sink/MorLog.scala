@@ -289,7 +289,9 @@ object MorLog {
     * existence probes per call on every pre-props-era table, and by
     * the invariant could never find anything the tip read wouldn't. */
   def tableProps(spark: SparkSession, dir: String): Map[String, String] =
-    currentState(spark, dir).props.getOrElse(Map.empty)
+    versions(spark, dir).lastOption
+      .map(v => state(spark, dir, v).props.getOrElse(Map.empty))
+      .getOrElse(Map.empty) // pre-first-commit callers see no props
 
   /** One property, table-first: the per-table durable value wins over
     * the session conf — fleet-scale table knobs

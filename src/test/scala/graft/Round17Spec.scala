@@ -270,6 +270,98 @@ class Round17Spec extends AnyFunSuite {
     assert(graft.ann.IvfIndex.refresh(spark, idx) == 0L)
   }
 
+  test("IvfIndex refresh survives an empty rewrite set (cell wiped)") {
+    val root = tmp("r17_ivfwipe")
+    val (tbl, idx) = (embTable(root), s"$root/ivf")
+    graft.ann.IvfIndex.writeFromTable(spark, tbl, "vec_id", "embedding",
+      "label", idx)
+    // delete EVERY resident of cell 4 and nothing else: survivors and
+    // fresh are both empty, so the staged rewrite lands ZERO files —
+    // the refresh must treat that as the correct empty answer
+    // (review-caught: schema inference threw on the empty stage dir)
+    MorLog.deleteWhere(spark, tbl, col("label") === 4)
+    val n = graft.ann.IvfIndex.refresh(spark, idx)
+    assert(n == 12, s"refresh applied $n ids")
+    assert(graft.ann.IvfIndexStats.lastRefreshCellsRewritten == 1)
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/cell=4")),
+      "the wiped cell's dir must not linger as a ghost")
+    val got = graft.ann.IvfIndex.searchIndexed(spark, idx,
+      MorLog.read(spark, tbl).filter(col("vec_id") < 4),
+      "vec_id", "embedding", k = 2)
+    assert(got.count() > 0 &&
+      got.filter(col("cell") === 4).count() == 0)
+  }
+
+  test("PqIndex refresh refuses DIVERGED crash debris loud") {
+    val root = tmp("r17_pqdiv")
+    val dir = s"$root/emb"
+    val e = spark.range(40).toDF("vec_id")
+      .withColumn("embedding", array((0 until 16).map(j =>
+        ((col("vec_id") * (j + 5)) % 13).cast("float")): _*))
+    MorLog.create(e.repartitionByRange(4, col("vec_id"))
+      .sortWithinPartitions("vec_id"), dir)
+    val idx = s"$root/idx"
+    graft.ann.PqIndex.writeFromTable(spark, dir, "embedding", "vec_id",
+      idx, m = 8, nVecFiles = 4)
+    // debris whose codes DIVERGE from the live copy — a crashed
+    // rewrite interleaved with a table revert; no arbitration is
+    // possible from the index alone, so the refresh must refuse
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val cdir = new org.apache.hadoop.fs.Path(s"$idx/codes")
+    val fs = cdir.getFileSystem(hconf)
+    val first = fs.listStatus(cdir).filter(_.isFile).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith("_")).minBy(_.getName)
+    val stage = tmp("r17_pqdivstage")
+    spark.read.parquet(first.toString)
+      .withColumn("codes", transform(col("codes"), x => x + 1))
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val bad = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .filter(_.isFile).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, bad, fs,
+      new org.apache.hadoop.fs.Path(cdir, "part-rfbad-0.parquet"),
+      false, hconf)
+    MorLog.deleteWhere(spark, dir, col("vec_id") === 35L)
+    val t = intercept[Throwable](graft.ann.PqIndex.refresh(spark, idx))
+    assert(chain(t).contains("DIVERGED"), chain(t))
+  }
+
+  test("a STAMPED index refuses direct appends (maintain via table)") {
+    val root = tmp("r17_appguard")
+    val tbl = embTableWide(root)
+    graft.ann.PqIndex.writeFromTable(spark, tbl, "embedding", "vec_id",
+      s"$root/pq", m = 8, nVecFiles = 4)
+    val batch = spark.range(100, 105).toDF("vec_id")
+      .withColumn("label", lit(0))
+      .withColumn("embedding", array((0 until 16).map(j =>
+        lit(j.toFloat)): _*))
+    val tp = intercept[IllegalStateException](graft.ann.PqIndex.append(
+      spark, batch, "embedding", "vec_id", s"$root/pq", m = 8))
+    assert(tp.getMessage.contains("refresh"))
+    graft.ann.IvfIndex.writeFromTable(spark, tbl, "vec_id", "embedding",
+      "label", s"$root/ivf")
+    val ti = intercept[IllegalStateException](
+      graft.ann.IvfIndex.appendVectors(batch, "vec_id", "embedding",
+        "label", s"$root/ivf"))
+    assert(ti.getMessage.contains("refresh"))
+    // the stampless forms keep appending (q186/q227's contract)
+    val e = spark.range(20).toDF("vec_id")
+      .withColumn("label", (col("vec_id") % 3).cast("int"))
+      .withColumn("embedding", array(lit(1.0f),
+        col("vec_id").cast("float")))
+    graft.ann.IvfIndex.buildIndex(e, "vec_id", "embedding", "label",
+      s"$root/ivfs")
+    graft.ann.IvfIndex.appendVectors(
+      spark.range(20, 25).toDF("vec_id")
+        .withColumn("label", (col("vec_id") % 3).cast("int"))
+        .withColumn("embedding", array(lit(1.0f),
+          col("vec_id").cast("float"))),
+      "vec_id", "embedding", "label", s"$root/ivfs")
+  }
+
   test("IvfIndex: a stampless (static) index cannot refresh") {
     val root = tmp("r17_ivfstatic")
     val e = spark.range(20).toDF("vec_id")
@@ -317,14 +409,19 @@ class Round17Spec extends AnyFunSuite {
     val codes = spark.read.parquet(s"$idx/codes")
     assert(codes.groupBy("vec_id").count().filter(col("count") > 1)
       .count() > 0, "the simulated crash must duplicate ids")
-    // move the table and refresh: the statless duplicate is never
-    // skippable, so it joins the rewrite scan and the id-dedup heals
-    MorLog.deleteWhere(spark, dir, col("vec_id") === 7L)
+    // move the table with a changed id whose bounds do NOT admit the
+    // duplicated (first) file — the hard case: a bounds-only scan
+    // would rewrite the statless twin but leave the stats-carrying
+    // original, making the duplication permanent (review-caught).
+    // The statless file's presence must promote the rewrite to the
+    // full tier, so both copies rejoin one scan and the dedup heals.
+    MorLog.deleteWhere(spark, dir, col("vec_id") === 35L)
     graft.ann.PqIndex.refresh(spark, idx)
     val healed = spark.read.parquet(s"$idx/codes")
     assert(healed.groupBy("vec_id").count().filter(col("count") > 1)
       .count() == 0, "refresh must collapse crash duplicates")
-    assert(healed.filter(col("vec_id") === 7L).count() == 0)
+    assert(healed.filter(col("vec_id") === 35L).count() == 0)
+    assert(healed.filter(col("vec_id") === 7L).count() == 1)
   }
 
   // ---- atomic CREATE TABLE ... TBLPROPERTIES (advice) ---------------
