@@ -39,6 +39,25 @@ object GraftSession {
       // MorLog stats tier would go blind on timestamp columns), and
       // the DSv2 reader decodes the standard form directly
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Streaming-checkpoint IO fast path (optimization r17, measured
+      // with thread dumps — see GraftLocalCheckpointFileManager's
+      // scaladoc): the stock FileContext manager forks a `chmod`
+      // process per checkpoint file/dir when the Hadoop native lib is
+      // absent, and Spark 4.1's checkpoint-file checksum layer doubles
+      // every state/WAL file write and blocks each close on an async
+      // checksum future (32 join tasks measured parked in
+      // ChecksumCheckpointFileManager.awaitResult). The graft manager
+      // does NIO writes with atomic temp+rename on `file:` roots and
+      // DELEGATES to the stock manager for remote schemes; the
+      // checksum layer is off by default for the same reason the
+      // manager exists (local durability comes from the atomic
+      // rename; remote deployments that want per-file checksums
+      // re-enable with one conf — both are plain session confs, so
+      // any user setting wins over these defaults).
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "GraftLocalCheckpointFileManager")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(cores: Int = cpus): SparkSession = {

@@ -2860,30 +2860,35 @@ object CoreQueries {
     val spanDays = (mx.getTime - mn.getTime) / 86400000L + 2L
     val sentTs = new java.sql.Timestamp(
       mx.getTime + (spanDays + 1L) * 86400 * 1000)
-    clicks.repartition(2).write.mode("overwrite")
-      .parquet(s"$work/clicks")
-    Seq((-1L, -1L, sentTs)).toDF("c_user", "click_id", "c_ts")
-      .coalesce(1).write.mode("append").parquet(s"$work/clicks")
-    purchases.repartition(2).write.mode("overwrite")
-      .parquet(s"$work/purchases")
-    Seq((-1L, -1L, sentTs)).toDF("p_user", "purchase_id", "p_ts")
-      .coalesce(1).write.mode("append").parquet(s"$work/purchases")
-    // pin mtimes so each side's sentinel arrives LAST (q214 convention)
-    for (side <- Seq("clicks", "purchases")) {
-      val fp = new org.apache.hadoop.fs.Path(s"$work/$side")
+    // write each side, then its sentinel; the sentinel FILE is
+    // identified as the file-set delta around the append (r17: the
+    // old form re-READ every part file to find the sentinel — one
+    // Spark job per file, pure fixture overhead in the timed region)
+    def writeSide(df: DataFrame, sentinel: DataFrame,
+                  path: String): Unit = {
+      val fp = new org.apache.hadoop.fs.Path(path)
       val fs = fp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val parts = fs.listStatus(fp).filter(st => st.isFile &&
-        st.getPath.getName.endsWith(".parquet"))
-      val ordered = parts.map { st =>
-        val isSent = s.read.parquet(st.getPath.toString)
-          .filter(col(if (side == "clicks") "c_user" else "p_user") === -1L)
-          .limit(1).count() > 0
-        (isSent, st.getPath)
-      }.sortBy(_._1) // sentinels last
-      ordered.zipWithIndex.foreach { case ((_, p), i) =>
+      def parts(): Array[org.apache.hadoop.fs.Path] =
+        fs.listStatus(fp).collect { case st
+          if st.isFile && st.getPath.getName.endsWith(".parquet") =>
+            st.getPath
+        }
+      df.repartition(2).write.mode("overwrite").parquet(path)
+      val dataFiles = parts()
+      sentinel.coalesce(1).write.mode("append").parquet(path)
+      val known = dataFiles.map(_.getName).toSet
+      val sentFiles = parts().filterNot(p => known(p.getName))
+      // pin mtimes so the sentinel arrives LAST (q214 convention)
+      (dataFiles ++ sentFiles).zipWithIndex.foreach { case (p, i) =>
         fs.setTimes(p, 1700000000000L + i * 60000L, -1)
       }
     }
+    writeSide(clicks,
+      Seq((-1L, -1L, sentTs)).toDF("c_user", "click_id", "c_ts"),
+      s"$work/clicks")
+    writeSide(purchases,
+      Seq((-1L, -1L, sentTs)).toDF("p_user", "purchase_id", "p_ts"),
+      s"$work/purchases")
     def feed(path: String, schema: org.apache.spark.sql.types.StructType) =
       s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(path)
