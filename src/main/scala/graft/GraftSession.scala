@@ -58,6 +58,17 @@ object GraftSession {
         "org.apache.spark.sql.execution.streaming.checkpointing." +
           "GraftLocalCheckpointFileManager")
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // Let AQE re-plan the output partitioning of CACHED plans
+      // (SPARK-38232, default false): the lifecycle ops persist small
+      // key/tombstone sets mid-commit, and with the default every
+      // cached `distinct()` pins shuffle-partition-count partitions —
+      // measured as 32-task stages (and 32-task broadcast builds) over
+      // few-KB cached frames on every tombstone count and victim
+      // locate. With AQE allowed, those cache at their coalesced size.
+      // Scale-correct by construction: AQE sizes partitions from data,
+      // so a 100 TB key set keeps its parallelism.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(cores: Int = cpus): SparkSession = {

@@ -316,28 +316,47 @@ object Dedup {
           .stripMargin)))
       .select(col("id"), col("sh"), col("pos").as("band"),
         col("col").as("bkey"))
-      // same persist rationale as lshCandidates: O(docs×bands) tiny
-      // rows feeding both sides of the self-join
-      .persist()
-    val a = banded.select(col("id").as("doc_a"), col("sh").as("sh_a"),
-      col("band"), col("bkey"))
-    val b = banded.select(col("id").as("doc_b"), col("sh").as("sh_b"),
-      col("band"), col("bkey"))
-    // hamming BEFORE distinct: the xor/popcount is a codegen'd bit op
-    // on the join output, so the dedup shuffle carries only pairs that
-    // already passed the radius cut (the large majority fail it) — and
-    // a pair meeting in several bands has one hamming value, so
-    // distinct-on-(pair, hamming) ≡ distinct-on-pair
-    val result = a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming",
-        expr("cast(bit_count(sh_a ^ sh_b) as bigint)"))
-      .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming").distinct()
-      .persist()
-    result.count()
-    banded.unpersist()
-    result
+    // CPU-vs-bytes mismatch guard (r17): the banded self-join EXPLODES
+    // pairs inside each bucket — CPU grows with the pair count while
+    // the cached/shuffled BYTES stay tiny, so letting AQE re-plan the
+    // CACHED plans here (cached-plan AQE is on session-wide) coalesces
+    // them to 1–3 tasks by size and the pair explosion runs
+    // near-serial (bench-caught: 1.5 s → 6.9 s; alternates measured —
+    // dropping the cache re-plans the join as a BroadcastHashJoin
+    // whose two children each recompute the whole simhash pipeline,
+    // 4.2 s). The persist itself is load-bearing (it is what computes
+    // the simhash once), so the cached-plan re-planning is scoped OFF
+    // for exactly these caches and restored after.
+    val sess = docs.sparkSession
+    val aqeCacheKey =
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prevAqeCache = sess.conf.getOption(aqeCacheKey)
+    sess.conf.set(aqeCacheKey, "false")
+    try {
+      val cached = banded.persist()
+      val a = cached.select(col("id").as("doc_a"), col("sh").as("sh_a"),
+        col("band"), col("bkey"))
+      val b = cached.select(col("id").as("doc_b"), col("sh").as("sh_b"),
+        col("band"), col("bkey"))
+      // hamming BEFORE distinct: the xor/popcount is a codegen'd bit
+      // op on the join output, so the dedup shuffle carries only pairs
+      // that already passed the radius cut (the large majority fail
+      // it) — and a pair meeting in several bands has one hamming
+      // value, so distinct-on-(pair, hamming) ≡ distinct-on-pair
+      val result = a.join(b, Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming",
+          expr("cast(bit_count(sh_a ^ sh_b) as bigint)"))
+        .filter(col("hamming") <= maxHamming)
+        .select("doc_a", "doc_b", "hamming").distinct()
+        .persist()
+      result.count()
+      cached.unpersist()
+      result
+    } finally prevAqeCache match {
+      case Some(v) => sess.conf.set(aqeCacheKey, v)
+      case None => sess.conf.unset(aqeCacheKey)
+    }
   }
 
   /** Partition-local union-find: parent map with path compression and

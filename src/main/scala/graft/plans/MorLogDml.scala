@@ -296,13 +296,28 @@ private[graft] object MorLogDmlTranslate {
               val anyNull = in.values.map(IsNull(_): Expression)
                 .reduceLeft[Expression](Or)
               // evaluated ONLY for null-field rows: OR over tuples
-              // of AND over fields — SQL's own 3VL, verbatim
-              val orChain = rows.toSeq.map { r =>
+              // of AND over fields — SQL's own 3VL, verbatim. The
+              // combine is BALANCED (pairwise, log-depth), not
+              // reduceLeft: a left-deep Or chain's depth equals the
+              // list size, and Catalyst's recursive tree walks
+              // (transformDown itself, the optimizer, codegen)
+              // StackOverflowed on the ~2.5k-row sf0.1 quarantine
+              // list (r17 bench-caught; 3VL OR is associative, so
+              // the tree shape is semantics-neutral)
+              def balancedOr(es: IndexedSeq[Expression]): Expression = {
+                var level = es
+                while (level.size > 1)
+                  level = level.grouped(2).map(g =>
+                    if (g.size == 2) Or(g(0), g(1)) else g(0))
+                    .toIndexedSeq
+                level.head
+              }
+              val orChain = balancedOr(rows.toIndexedSeq.map { r =>
                 in.values.zipWithIndex.map { case (v, i) =>
                   EqualTo(v, Literal.create(r.get(i), dts(i)))
                     : Expression
                 }.reduceLeft[Expression](And)
-              }.reduceLeft[Expression](Or)
+              })
               If(anyNull, orChain, structIn)
             }
           And(colIns, core)

@@ -34,6 +34,27 @@ object CoreQueries {
     * at every scale factor (the events time span grows with sf). */
   private def isIncoming: Column = pmod(col("event_id"), lit(10)) >= 8
 
+  /** Multiset symmetric-difference size — the same number
+    * `a.exceptAll(b).count + b.exceptAll(a).count` yields (exceptAll
+    * keeps multiplicity, so the two-sided count is Σ|cntA−cntB| over
+    * row values), computed in ONE pass per side instead of four:
+    * group each side by all columns, full-outer join the counts
+    * null-safely (exceptAll treats NULLs as equal; a plain
+    * column-list join would mismatch null-carrying rows), sum the
+    * absolute count gaps. The r17 lifecycle entries use this for
+    * their mirror==source assertions — the two exceptAll counts were
+    * re-reading both MoR tables twice each inside the timed region. */
+  private def multisetDiff(a: DataFrame, b: DataFrame): Long = {
+    val cols = a.columns.toSeq
+    val ca = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("_ca"))
+    val cb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("_cb"))
+    val cond = cols.map(c => ca(c) <=> cb(c)).reduce(_ && _)
+    val r = ca.join(cb, cond, "full_outer")
+      .agg(sum(abs(coalesce(col("_ca"), lit(0L)) -
+        coalesce(col("_cb"), lit(0L)))).as("d")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** Q1+Q2+Q4 — flagship gold aggregation: bookings+revenue per country
     * (synapse_table_creation.sql:56-88). orders=fact, customer=dim,
     * nation=country attr. */
@@ -4408,10 +4429,8 @@ object CoreQueries {
     require(graft.sink.MorLog.currentVersion(s, dst) == vAfterFirst + 1,
       "q280: an empty resume must commit nothing")
     // mirror == source, exactly
-    val diff = graft.sink.MorLog.read(s, dst)
-      .exceptAll(graft.sink.MorLog.read(s, src)).count() +
-      graft.sink.MorLog.read(s, src)
-        .exceptAll(graft.sink.MorLog.read(s, dst)).count()
+    val diff = multisetDiff(graft.sink.MorLog.read(s, dst),
+      graft.sink.MorLog.read(s, src))
     require(diff == 0, s"q280: mirror drifted from source by $diff rows")
     graft.sink.MorLog.read(s, dst)
       .groupBy(col("event_type"))
@@ -4653,8 +4672,7 @@ object CoreQueries {
         s"commit, got ${graft.sink.MorLog.currentVersion(s, dst) - v0}")
     val mirror = graft.sink.MorLog.read(s, dst).drop("ver")
     val snap = graft.sink.MorLog.read(s, src)
-    val diff = mirror.exceptAll(snap).count() +
-      snap.exceptAll(mirror).count()
+    val diff = multisetDiff(mirror, snap)
     require(diff == 0,
       s"q288: netted mirror drifted from the source by $diff rows")
     mirror.groupBy(col("event_type"))
@@ -4720,8 +4738,7 @@ object CoreQueries {
       "q289: the whole tuple-keyed feed must net into ONE epoch commit")
     val mirror = graft.sink.MorLog.read(s, dst).drop("ver")
     val snap = graft.sink.MorLog.read(s, src)
-    val diff = mirror.exceptAll(snap).count() +
-      snap.exceptAll(mirror).count()
+    val diff = multisetDiff(mirror, snap)
     require(diff == 0,
       s"q289: tuple-keyed mirror drifted from the source by $diff rows")
     mirror.groupBy(col("event_type"))
@@ -4910,8 +4927,7 @@ object CoreQueries {
         "tiebreak list")
     val mirror = graft.sink.MorLog.read(s, dst).drop("ord", "seq")
     val snap = graft.sink.MorLog.read(s, src)
-    val diff = mirror.exceptAll(snap).count() +
-      snap.exceptAll(mirror).count()
+    val diff = multisetDiff(mirror, snap)
     require(diff == 0,
       s"q294: tiebreak netting drifted from the source by $diff rows")
     mirror.groupBy(col("event_type"))

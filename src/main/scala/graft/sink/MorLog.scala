@@ -148,6 +148,20 @@ object MorLog {
     * preconditions no longer hold (schema drifted under it) fails
     * loud. Bounded; a table hot enough to exhaust the retries needs
     * its writers coordinated, not more spinning. */
+  /** Job-description label for every Spark job `f` launches (guide
+    * §1.5): the lifecycle ops run many small jobs per commit, and
+    * unlabeled they all attribute to the caller's action callsite —
+    * labels make the UI/listener breakdown per PHASE (net, uniq,
+    * locate, tombs, stage) instead of one undifferentiated blob.
+    * Thread-local, restored on exit; nesting keeps the innermost. */
+  @inline private def labeled[T](spark: SparkSession, label: String)
+                                (f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(label)
+    try f finally sc.setJobDescription(prev)
+  }
+
   private def withOcc[T](spark: SparkSession, dir: String,
                          maxAttempts: Int = 8)(body: => T): T = {
     var attempt = 0
@@ -784,14 +798,16 @@ object MorLog {
     val fs = fsOf(spark, dir)
     val uid = newUid()
     val stage = s"$dir/$LogDir/_stage_v${v}_$uid"
-    if (parts.isEmpty) df.write.mode("overwrite").parquet(stage)
-    else {
-      // duplicated helper columns carry the (possibly transform-
-      // derived) partition value; the real columns stay IN the file
-      val dup = parts.map { case (c, tf) =>
-        partExpr(col(c), tf).as(s"__gp_$c") }
-      df.select(col("*") +: dup: _*).write.mode("overwrite")
-        .partitionBy(parts.map("__gp_" + _._1): _*).parquet(stage)
+    labeled(spark, "morlog:stage") {
+      if (parts.isEmpty) df.write.mode("overwrite").parquet(stage)
+      else {
+        // duplicated helper columns carry the (possibly transform-
+        // derived) partition value; the real columns stay IN the file
+        val dup = parts.map { case (c, tf) =>
+          partExpr(col(c), tf).as(s"__gp_$c") }
+        df.select(col("*") +: dup: _*).write.mode("overwrite")
+          .partitionBy(parts.map("__gp_" + _._1): _*).parquet(stage)
+      }
     }
     val staged = listStaged(fs, stage).sorted.map(new Path(_))
     val names = staged.zipWithIndex.map { case (p, i) =>
@@ -1511,6 +1527,13 @@ object MorLog {
     * put-if-absent picks whose is live, and losers'/crashed attempts'
     * dirs are unreferenced debris for [[vacuum]]'s sweep. */
   private def commitTombs(spark: SparkSession, dir: String, st: State,
+                          victims: DataFrame,
+                          v: Int): (Long, Int, String, Int) =
+    labeled(spark, "morlog:tombs") {
+      commitTombs0(spark, dir, st, victims, v)
+    }
+
+  private def commitTombs0(spark: SparkSession, dir: String, st: State,
                           victims: DataFrame,
                           v: Int): (Long, Int, String, Int) = {
     if (st.pfCeil >= 0) {
@@ -2433,6 +2456,13 @@ object MorLog {
     * column is NULL locate nothing (the victim joins are
     * null-rejecting on every key). */
   private def locateFilesKeys(spark: SparkSession, dir: String,
+                              st: State, pairs: Seq[(String, String)],
+                              keys: DataFrame): Seq[String] =
+    labeled(spark, "morlog:locate") {
+      locateFilesKeys0(spark, dir, st, pairs, keys)
+    }
+
+  private def locateFilesKeys0(spark: SparkSession, dir: String,
                               st: State, pairs: Seq[(String, String)],
                               keys: DataFrame): Seq[String] = {
     val nonNull = keys.filter(
@@ -3610,8 +3640,9 @@ object MorLog {
     require(mergeKeys.nonEmpty || deleteStaged.isEmpty,
       "delete-tagged rows need mergeKey")
     val (dataNetted, delNetted, netDirs) =
-      if (netBy.nonEmpty) netEpoch(spark, dir, dataStaged,
-        deleteStaged, mergeKeys, netBy)
+      if (netBy.nonEmpty) labeled(spark, "morlog:net") {
+        netEpoch(spark, dir, dataStaged, deleteStaged, mergeKeys, netBy)
+      }
       else (dataStaged, deleteStaged, Seq.empty[String])
     // staged files re-rename per OCC attempt (the name carries the
     // version); `current` tracks their present location
@@ -3647,34 +3678,43 @@ object MorLog {
           if (delNetted.isEmpty) None
           else Some(logical(spark.read.parquet(delNetted: _*)))
         val anyNull = mergeKeys.map(col(_).isNull).reduce(_ || _)
-        // per-side uniqueness; the union may overlap (upsert pair)
-        (dataKeys.toSeq ++ delKeys.toSeq).zip(Seq("data", "delete"))
-          .foreach { case (ks, side) =>
-            val g = ks.agg(count(lit(1)).as("n"),
-              count_distinct(col(mergeKeys.head),
-                mergeKeys.tail.map(col): _*).as("nk"),
-              count(when(anyNull, 1)).as("nulls")).head()
-            require(g.getLong(2) == 0,
-              s"stream epoch: NULL key column " +
-                s"(${mergeKeys.mkString(", ")}) in $side rows")
-            require(g.getLong(0) == g.getLong(1),
-              s"stream epoch is not unique on " +
-                s"(${mergeKeys.mkString(", ")}) in its $side rows " +
-                "— net per key upstream (one source version per " +
-                "epoch via maxVersionsPerTrigger=1 makes this exact)")
-          }
+        // per-side uniqueness; the union may overlap (upsert pair).
+        // SKIPPED for netted epochs (r17): netEpoch just PRODUCED
+        // per-key-unique sides (its sideAgg counted n vs nk and its
+        // rewrite keeps row 1 per key) and checked NULL keys itself —
+        // re-aggregating both sides here was two redundant jobs per
+        // epoch re-proving what the netting pass established.
+        if (netBy.isEmpty) labeled(spark, "morlog:uniq") {
+          (dataKeys.toSeq ++ delKeys.toSeq).zip(Seq("data", "delete"))
+            .foreach { case (ks, side) =>
+              val g = ks.agg(count(lit(1)).as("n"),
+                count_distinct(col(mergeKeys.head),
+                  mergeKeys.tail.map(col): _*).as("nk"),
+                count(when(anyNull, 1)).as("nulls")).head()
+              require(g.getLong(2) == 0,
+                s"stream epoch: NULL key column " +
+                  s"(${mergeKeys.mkString(", ")}) in $side rows")
+              require(g.getLong(0) == g.getLong(1),
+                s"stream epoch is not unique on " +
+                  s"(${mergeKeys.mkString(", ")}) in its $side rows " +
+                  "— net per key upstream (one source version per " +
+                  "epoch via maxVersionsPerTrigger=1 makes this exact)")
+            }
+        }
         val keys = (dataKeys.toSeq ++ delKeys.toSeq)
           .reduce(_ unionByName _).distinct().persist()
         try {
-          val scanFiles = locateFilesKeys(spark, dir, st,
-            mergeKeys.map(k => k -> k), keys)
+          val scanFiles = labeled(spark, "morlog:locate") {
+            locateFilesKeys(spark, dir, st,
+              mergeKeys.map(k => k -> k), keys)
+          }
           commitPauseHook(dir, v)
           locked(dir) {
             checkFree(spark, dir, v)
             val (_, tombsV, tombsUid, pfCeil) =
               if (scanFiles.isEmpty)
                 (0L, st.tombsV, st.tombsUid, st.pfCeil)
-              else {
+              else labeled(spark, "morlog:tombs") {
                 val visible = minusTombs(spark, dir, st,
                   readFilesWithId(spark, dir, st, scanFiles))
                 val victims = visible
@@ -3729,9 +3769,17 @@ object MorLog {
       else Some(spark.read.parquet(deleteStaged: _*))
     def sideAgg(df: DataFrame, side: String): (Long, Long) = {
       val anyNullOrd = physOs.map(col(_).isNull).reduce(_ || _)
+      val anyNullKey = kCols.map(_.isNull).reduce(_ || _)
       val r = df.agg(count(lit(1)).as("n"),
         count_distinct(kCols.head, kCols.tail: _*).as("nk"),
-        count(when(anyNullOrd, 1)).as("no")).head()
+        count(when(anyNullOrd, 1)).as("no"),
+        // null-KEY refusal lives here for netted epochs (r17): the
+        // post-net uniqueness re-check was dropped as redundant, and
+        // this same aggregate carries its null-key guard for free
+        count(when(anyNullKey, 1)).as("nks")).head()
+      require(r.getLong(3) == 0,
+        s"stream epoch: NULL key column " +
+          s"(${ks.mkString(", ")}) in $side rows")
       require(r.getLong(2) == 0,
         s"stream epoch netBy: NULL ${ordCols.mkString(", ")} in $side " +
           "rows — every order column must be total on every routed row")

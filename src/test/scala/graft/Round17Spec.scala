@@ -525,4 +525,29 @@ class Round17Spec extends AnyFunSuite {
     MorLog.append(spark, dir2, df)
     assert(MorLog.tableProps(spark, dir2).isEmpty)
   }
+
+  // ---- tuple-fold depth (optimization r17 bugfix) -------------------
+
+  test("a THOUSANDS-row nullable tuple IN list folds without overflow") {
+    // the sf0.1 bench caught a StackOverflowError: the nullable-key
+    // fallback OR-chain was built reduceLeft (depth == list size) and
+    // Catalyst's recursive walks blew past ~2.5k tuples; the combine
+    // is balanced now (log depth). 4k rows reproduce the old crash.
+    val root = tmp("r17_deeptuple")
+    val c = cat(root)
+    val df = spark.range(8000).toDF("id")
+      .withColumn("grp", (col("id") % 100).cast("int"))
+      .withColumn("v", col("id").cast("double"))
+    MorLog.create(df.repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id"), s"$root/t")
+    // every even (id, grp) pair — 4000 tuples, nullable key columns
+    spark.range(8000).filter(col("id") % 2 === 0)
+      .select(col("id"), (col("id") % 100).cast("int").as("grp"))
+      .createOrReplaceTempView(s"quarantine_$c")
+    spark.sql(s"DELETE FROM $c.t WHERE (id, grp) IN " +
+      s"(SELECT id, grp FROM quarantine_$c)")
+    assert(MorLog.read(spark, s"$root/t").count() == 4000L)
+    assert(MorLog.read(spark, s"$root/t")
+      .filter(col("id") % 2 === 0).count() == 0L)
+  }
 }
